@@ -1,13 +1,497 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Ingest
+import graft.notify.Notify
+import graft.ops.{Dedup, EventWindows, Similarity, TextOps}
+import graft.process.Checkout
+import graft.queries.StarQueries
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is an implemented operator from SURVEY.md §2
+  * (or an LLM-pipeline extension op); every entry in `oracleSql` is the
+  * DuckDB-equivalent ANSI SQL the driver hash-compares against at
+  * sf0.01. Column names, types and row order are aligned on both sides:
+  * aggregates are explicitly aliased, DuckDB integer aggregates are cast
+  * to Spark's result types (DuckDB sum(INT) is HUGEINT), doubles are
+  * rounded only at the output edge, and each query carries a total
+  * ORDER BY on a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The checkout-parity composition: fact scan → broadcast
+    * inventory lookup → all-or-nothing order verdict → status counts. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Checkout.checkout(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_items")).as("n_lines"))
+      .orderBy(col("status"))
+  }
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // Checkout building blocks shared by several queries.
+  private def lineVerdicts(s: SparkSession, d: String): DataFrame =
+    Checkout.lineVerdicts(
+      Tables.lineitem(s, d),
+      Checkout.inventoryFromParts(Tables.part(s, d)))
+
+  private def orderVerdicts(s: SparkSession, d: String): DataFrame =
+    Checkout.orderVerdicts(lineVerdicts(s, d))
+
+  private def embQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map(
+    // ----- ingest edge: P1/V1/V2 parse+validate, K1 key, E1 enrich, A3 dedup
+    "ingest_parse_validate" -> ((s, d) =>
+      Ingest.parseAndValidateEvents(Tables.events(s, d)).orderBy(col("event_id"))),
+    "ingest_reject_split" -> ((s, d) =>
+      Ingest.rejectSplit(Tables.events(s, d)).orderBy(col("is_valid"))),
+    "ingest_idempotency_key" -> ((s, d) =>
+      Ingest.eventKeys(Tables.events(s, d)).orderBy(col("event_id"))),
+    "ingest_enrich" -> ((s, d) =>
+      Ingest.enrichEvents(Tables.events(s, d)).orderBy(col("event_id"))),
+    "ingest_dedup_first" -> ((s, d) =>
+      Checkout.dedupFirstBy(
+        Tables.events(s, d).select(col("user_id"), col("event_type"), col("event_id")),
+        Seq("user_id", "event_type"), "event_id")
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // ----- checkout core: G1 explode, J1/J1a join, A1/A2 verdicts, A4/A5 upsert
+    "checkout_items_roundtrip" -> ((s, d) =>
+      Checkout.explodeItems(Checkout.ordersWithItems(Tables.lineitem(s, d)))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("quantity")).as("total_qty"))
+        .orderBy(col("l_orderkey"))),
+    "checkout_line_verdict" -> ((s, d) =>
+      lineVerdicts(s, d).orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "checkout_order_verdict" -> ((s, d) =>
+      orderVerdicts(s, d).orderBy(col("l_orderkey"))),
+    "checkout_unknown_products" -> ((s, d) =>
+      Checkout.unknownProducts(
+        Tables.lineitem(s, d),
+        Checkout.inventoryFromParts(
+          Tables.part(s, d).filter(col("p_partkey") % 7 =!= 0)))
+        .orderBy(col("l_partkey"))),
+    "checkout_final_inventory" -> ((s, d) =>
+      Checkout.finalInventory(
+        Checkout.inventoryFromParts(Tables.part(s, d)),
+        lineVerdicts(s, d), orderVerdicts(s, d))
+        .orderBy(col("product_id"))),
+    "checkout_status_upsert" -> ((s, d) =>
+      Checkout.statusUpsert(Tables.orders(s, d), orderVerdicts(s, d))
+        .orderBy(col("o_orderkey"))),
+    "checkout_idempotent_consume" -> ((s, d) =>
+      Checkout.idempotentConsume(Tables.orders(s, d))),
+    "notify_messages" -> ((s, d) =>
+      Notify.notifications(orderVerdicts(s, d), Tables.orders(s, d))
+        .orderBy(col("o_orderkey"))),
+
+    // ----- relational surface certification (M2)
+    "rel_q1_pricing_summary" -> ((s, d) =>
+      StarQueries.q1PricingSummary(Tables.lineitem(s, d))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "rel_q3_top_revenue" -> ((s, d) =>
+      StarQueries.q3TopRevenue(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d), 10)),
+    "rel_q5_region_revenue" -> ((s, d) =>
+      StarQueries.q5RegionRevenue(
+        Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d)).orderBy(col("n_name"))),
+    "rel_join_semi" -> ((s, d) =>
+      StarQueries.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("c_mktsegment"))),
+    "rel_join_anti" -> ((s, d) =>
+      StarQueries.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("c_nationkey"))),
+    "rel_join_broadcast" -> ((s, d) =>
+      StarQueries.customersPerRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
+        .orderBy(col("r_name"), col("n_name"))),
+    "rel_agg_distinct" -> ((s, d) =>
+      StarQueries.segmentStats(Tables.customer(s, d)).orderBy(col("c_mktsegment"))),
+    "rel_agg_rollup" -> ((s, d) =>
+      StarQueries.acctbalRollup(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
+        .orderBy(col("region"), col("nation"))),
+    "rel_agg_cube" -> ((s, d) =>
+      StarQueries.orderCube(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("segment"), col("priority"))),
+    "rel_window_rank" -> ((s, d) =>
+      StarQueries.topCustomersPerSegment(Tables.customer(s, d), 3)
+        .orderBy(col("c_mktsegment"), col("rn"))),
+    "rel_window_running" -> ((s, d) =>
+      StarQueries.runningOrderTotal(Tables.orders(s, d), 100)
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+    "rel_sort_topk" -> ((s, d) =>
+      StarQueries.topOrders(Tables.orders(s, d), 20)),
+    "rel_set_ops" -> ((s, d) =>
+      StarQueries.setOps(Tables.customer(s, d), Tables.orders(s, d)).orderBy(col("op"))),
+    "rel_scalar_string_math" -> ((s, d) =>
+      StarQueries.scalarStringMath(Tables.part(s, d)).orderBy(col("p_partkey"))),
+    "rel_scalar_dates" -> ((s, d) =>
+      StarQueries.scalarDates(Tables.orders(s, d)).orderBy(col("o_orderkey"))),
+
+    // ----- text analysis (M4)
+    "text_token_stats" -> ((s, d) =>
+      TextOps.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_term_freq" -> ((s, d) =>
+      TextOps.termFrequency(Tables.documents(s, d), 50)),
+    "text_quality_by_lang" -> ((s, d) =>
+      TextOps.qualityByLang(Tables.documents(s, d)).orderBy(col("lang"))),
+    "text_lang_id" -> ((s, d) =>
+      TextOps.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_fingerprints" -> ((s, d) =>
+      TextOps.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // ----- deduplication (M4)
+    "dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactDedupGroups(Tables.documents(s, d)).orderBy(col("content_hash"))),
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), 20)),
+    "dedup_minhash_buckets" -> ((s, d) =>
+      Dedup.minhashBuckets(Tables.documents(s, d), 4).orderBy(col("band"), col("signature"))),
+
+    // ----- similarity search (M4)
+    "emb_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), embQueries(s, d), 10)
+        .orderBy(col("q_id"), col("rank"))),
+    "emb_bucket_histogram" -> ((s, d) =>
+      Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
+    "emb_ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d), 5, 4)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // ----- event-time windows (M4 / ST6 extensions)
+    "events_tumbling_hourly" -> ((s, d) =>
+      EventWindows.tumblingHourly(Tables.events(s, d))
+        .orderBy(col("win_start"), col("event_type"))),
+    "events_sliding_hourly" -> ((s, d) =>
+      EventWindows.slidingHourly(Tables.events(s, d)).orderBy(col("win_start"))),
+    "events_sessions" -> ((s, d) =>
+      EventWindows.sessions(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // ----- streaming core (M3): the full pipeline — raw JSON stream →
+    //       parse/validate → foreachBatch transactional inventory →
+    //       verdict sink — run synchronously (AvailableNow, one file ⇒
+    //       one micro-batch, so admission semantics are oracle-checkable:
+    //       admitted = orders whose every line fits under full cumulative
+    //       charge serialized by order_id).
+    "stream_checkout_counts" -> ((s, d) => streamCheckoutCounts(s, d)),
+
+    // ----- SimHash (custom typed Aggregator; no ANSI-SQL form — rows-only
+    //       driver check, semantics covered in ScalaTest)
+    "dedup_simhash" -> ((s, d) =>
+      graft.ops.Simhash.signatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // ----- multimodal plumbing (binary column features; decode is stubbed
+    //       in graft.multimodal, the SQL-checkable surface is below)
+    "mm_binary_features" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).as("first_code"),
+        md5(col("text")).as("content_hash"))
+        .orderBy(col("doc_id")))
+  )
+
+  /** The streaming pipeline driven end-to-end as a deterministic job:
+    * orders (10% sample of lineitem, grouped to order events, JSON-
+    * serialized into ONE file) stream through parse → validate →
+    * transactional inventory, verdict counts read back from the sink. */
+  private def streamCheckoutCounts(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+    Checkout.ordersWithItems(li)
+      .select(to_json(struct(
+        col("l_orderkey").cast("string").as("order_id"),
+        concat(lit("cust-"), col("l_orderkey")).as("customer_id"),
+        transform(col("items"), i => struct(
+          i.getField("product_id").cast("string").as("product_id"),
+          i.getField("quantity").as("quantity"))).as("items"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$base/in")
+    val raw = s.readStream.text(s"$base/in")
+    val (valid, _) = graft.streaming.CheckoutStream.parseOrderStream(raw, "value")
+    val inv = new graft.streaming.CheckoutStream.InventoryTable(s, s"$base/inv")
+    inv.initialize(Checkout.inventoryFromParts(Tables.part(s, d))
+      .select(col("product_id").cast("string").as("product_id"), col("stock")))
+    val q = graft.streaming.CheckoutStream
+      .start(valid, inv, s"$base/verdicts", s"$base/ckpt").start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/verdicts")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("status"))
+  }
+
+  // Shared SQL fragments for the checkout oracle (kept identical across
+  // the queries that build on line verdicts).
+  private val lvSql =
+    "SELECT l_orderkey, l_linenumber, l_partkey, CAST(l_quantity AS INT) AS qty, " +
+      "COALESCE(p_size*10, 0) AS stock, " +
+      "(COALESCE(p_size*10, 0) >= CAST(l_quantity AS INT)) AS sufficient " +
+      "FROM lineitem LEFT JOIN part ON l_partkey = p_partkey"
+
+  private val ovSql =
+    "SELECT l_orderkey, CASE WHEN bool_and(sufficient) THEN 'PROCESSED' ELSE 'FAILED' END AS status, " +
+      s"CAST(count(*) AS BIGINT) AS n_items FROM ($lvSql) GROUP BY l_orderkey"
+
+  private val shingleSql =
+    "SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
+      "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
+      "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+
+  private val validSql =
+    "(user_id IS NOT NULL AND event_type IS NOT NULL AND " +
+      "json_extract_string(props, '$.k') IS NOT NULL AND value >= 1.0)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (streaming state machines — covered by ScalaTest instead). */
+  def oracleSql: Map[String, String] = Map(
+    "ingest_parse_validate" ->
+      ("SELECT event_id, user_id, event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
+        s"$validSql AS is_valid FROM events ORDER BY event_id"),
+    "ingest_reject_split" ->
+      (s"SELECT $validSql AS is_valid, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY 1 ORDER BY is_valid"),
+    "ingest_idempotency_key" ->
+      ("SELECT event_id, concat_ws('-', substr(h,1,8), substr(h,9,4), substr(h,13,4), substr(h,17,4), substr(h,21,12)) AS order_id " +
+        "FROM (SELECT event_id, md5(concat_ws('|', user_id, event_type, event_id)) AS h FROM events) " +
+        "ORDER BY event_id"),
+    "ingest_enrich" ->
+      ("SELECT event_id, printf('cust-%05d', user_id) AS customer_id, event_type, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id"),
+    "ingest_dedup_first" ->
+      ("SELECT user_id, event_type, event_id FROM events " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1 " +
+        "ORDER BY user_id, event_type"),
+
+    "checkout_items_roundtrip" ->
+      ("SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty " +
+        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "checkout_line_verdict" -> s"$lvSql ORDER BY l_orderkey, l_linenumber",
+    "checkout_order_verdict" -> s"$ovSql ORDER BY l_orderkey",
+    "checkout_unknown_products" ->
+      ("SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines FROM lineitem " +
+        "WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0) " +
+        "GROUP BY l_partkey ORDER BY l_partkey"),
+    "checkout_final_inventory" ->
+      (s"WITH lv AS ($lvSql), " +
+        "ov AS (SELECT l_orderkey FROM lv GROUP BY l_orderkey HAVING bool_and(sufficient)), " +
+        "dem AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS demand FROM lv JOIN ov USING (l_orderkey) GROUP BY l_partkey) " +
+        "SELECT p_partkey AS product_id, p_size*10 AS stock, COALESCE(demand, 0) AS demand, " +
+        "CAST(p_size*10 - COALESCE(demand, 0) AS BIGINT) AS remaining " +
+        "FROM part LEFT JOIN dem ON p_partkey = l_partkey ORDER BY product_id"),
+    "checkout_status_upsert" ->
+      (s"WITH ov AS ($ovSql) " +
+        "SELECT o_orderkey, o_custkey, COALESCE(status, 'PENDING') AS final_status " +
+        "FROM orders LEFT JOIN ov ON o_orderkey = l_orderkey ORDER BY o_orderkey"),
+    "checkout_idempotent_consume" ->
+      ("WITH d AS (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS deliveries FROM " +
+        "(SELECT o_orderkey FROM orders UNION ALL SELECT o_orderkey FROM orders) GROUP BY o_orderkey) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(deliveries) AS BIGINT) AS n_deliveries, " +
+        "CAST(sum(deliveries) - count(*) AS BIGINT) AS n_skipped FROM d"),
+    "notify_messages" ->
+      (s"WITH ov AS ($ovSql) " +
+        "SELECT o_orderkey, printf('Notification sent for Order ID: %d to Customer ID: %d', o_orderkey, o_custkey) AS message " +
+        "FROM ov JOIN orders ON l_orderkey = o_orderkey WHERE status = 'PROCESSED' ORDER BY o_orderkey"),
+
+    "rel_q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price, " +
+        "round(avg(l_discount), 4) AS avg_disc, CAST(count(*) AS BIGINT) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "rel_q3_top_revenue" ->
+      ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +
+        "round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "rel_q5_region_revenue" ->
+      ("SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "rel_join_semi" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "rel_join_anti" ->
+      ("SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "rel_join_broadcast" ->
+      ("SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers, " +
+        "round(sum(c_acctbal), 2) AS total_acctbal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "rel_agg_distinct" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, " +
+        "CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations, " +
+        "round(avg(c_acctbal), 2) AS avg_acctbal FROM customer " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "rel_agg_rollup" ->
+      ("SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, " +
+        "CAST(count(*) AS BIGINT) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation"),
+    "rel_agg_cube" ->
+      ("SELECT COALESCE(c_mktsegment, 'ALL') AS segment, COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        "CAST(count(*) AS BIGINT) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY CUBE(c_mktsegment, o_orderpriority) ORDER BY segment, priority"),
+    "rel_window_rank" ->
+      ("SELECT c_mktsegment, c_custkey, c_acctbal, CAST(row_number() OVER w AS INT) AS rn, " +
+        "CAST(rank() OVER w AS INT) AS rnk, lag(c_acctbal, 1) OVER w AS prev_acctbal " +
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) " +
+        "QUALIFY row_number() OVER w <= 3 ORDER BY c_mktsegment, rn"),
+    "rel_window_running" ->
+      ("SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total " +
+        "FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey"),
+    "rel_sort_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+    "rel_set_ops" ->
+      ("WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders), " +
+        "pos AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0) " +
+        "SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT custkey FROM buyers UNION SELECT custkey FROM pos) " +
+        "UNION ALL SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM pos) " +
+        "UNION ALL SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM pos) " +
+        "ORDER BY op"),
+    "rel_scalar_string_math" ->
+      ("SELECT p_partkey, upper(substr(p_name, 1, 8)) AS name_prefix, CAST(length(p_name) AS INT) AS name_len, " +
+        "replace(p_type, ' ', '_') AS type_slug, p_size % 5 AS size_mod, " +
+        "round(p_retailprice * 1.1, 2) AS uplifted, concat_ws(':', p_brand, p_size) AS brand_size " +
+        "FROM part ORDER BY p_partkey"),
+    "rel_scalar_dates" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +
+        "CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m, " +
+        "CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS d, CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q, " +
+        "CAST(o_orderdate AS DATE) + 30 AS due_date, last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INT) AS age_days " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "text_token_stats" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(length(text) AS INT) AS n_chars, " +
+        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len " +
+        "FROM documents ORDER BY doc_id"),
+    "text_term_freq" ->
+      ("SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "GROUP BY word ORDER BY freq DESC, word LIMIT 50"),
+    "text_quality_by_lang" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(n_chars), 2) AS avg_chars, " +
+        "round(avg(n_tokens), 2) AS avg_tokens, round(avg(stop_ratio), 4) AS avg_stop_ratio, " +
+        "round(avg(punct_ratio), 4) AS avg_punct_ratio FROM " +
+        "(SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio, " +
+        "CAST(length(text) - length(replace(replace(text, ',', ''), '.', '')) AS DOUBLE) / length(text) AS punct_ratio " +
+        "FROM documents) GROUP BY lang ORDER BY lang"),
+    "text_lang_id" ->
+      ("SELECT doc_id, lang AS labeled_lang, " +
+        "CASE WHEN en >= de AND en >= es THEN 'en' WHEN de >= es THEN 'de' ELSE 'es' END AS guessed_lang FROM " +
+        "(SELECT doc_id, lang, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS en, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','ein'))) AS de, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','y','que','un'))) AS es " +
+        "FROM documents) ORDER BY doc_id"),
+    "text_fingerprints" ->
+      (s"SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint " +
+        s"FROM ($shingleSql) ORDER BY doc_id"),
+
+    "dedup_exact_groups" ->
+      ("SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, " +
+        "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"),
+    "dedup_jaccard_pairs" ->
+      (s"WITH sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id), " +
+        "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard " +
+        "FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id " +
+        "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"),
+    "dedup_minhash_buckets" ->
+      (s"WITH sig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> md5(concat_ws('|', b.band, s)))) AS signature " +
+        s"FROM ($shingleSql) CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b) " +
+        "SELECT band, signature, CAST(count(*) AS BIGINT) AS n_docs FROM sig " +
+        "GROUP BY band, signature ORDER BY band, signature"),
+
+    "emb_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+        "s AS (SELECT q_id, vec_id, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))), 4) AS sim " +
+        "FROM q CROSS JOIN c WHERE vec_id <> q_id) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    "emb_bucket_histogram" ->
+      ("SELECT ((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) + " +
+        "(CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_vectors, CAST(count(DISTINCT label) AS BIGINT) AS n_labels " +
+        "FROM embeddings GROUP BY 1 ORDER BY bucket"),
+    "emb_ann_lsh_topk" ->
+      ("WITH bkt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+        "((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) + " +
+        "(CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM bkt WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, c.vec_id, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*c.e[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(c.e, x -> x*x)))), 4) AS sim " +
+        "FROM q JOIN bkt c ON q.bucket = c.bucket AND c.vec_id <> q.q_id) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 5 ORDER BY q_id, rank"),
+
+    "events_tumbling_hourly" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"),
+    "events_sliding_hourly" ->
+      ("WITH x AS (SELECT user_id, unnest([time_bucket(INTERVAL '30 minutes', ts), " +
+        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws FROM events) " +
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM x GROUP BY ws ORDER BY win_start"),
+    "events_sessions" ->
+      ("WITH o AS (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+        "m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s FROM o), " +
+        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M') AS session_start, " +
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+
+    // Streaming checkout, batch-equivalent final state: one micro-batch ⇒
+    // admission = every line fits under cumulative demand charged in
+    // order_id-string order (pessimistic full-charge round, see
+    // CheckoutStream.admitOrders). Integer-only arithmetic.
+    "stream_checkout_counts" ->
+      ("WITH l AS (SELECT CAST(l_orderkey AS VARCHAR) AS order_id, l_partkey AS product_id, " +
+        "CAST(l_quantity AS BIGINT) AS quantity FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "cum AS (SELECT *, sum(quantity) OVER (PARTITION BY product_id ORDER BY order_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM l), " +
+        "v AS (SELECT order_id, bool_and(cum <= COALESCE(p_size*10, 0)) AS ok " +
+        "FROM cum LEFT JOIN part ON product_id = p_partkey GROUP BY order_id) " +
+        "SELECT CASE WHEN ok THEN 'PROCESSED' ELSE 'FAILED' END AS status, " +
+        "CAST(count(*) AS BIGINT) AS n_orders FROM v GROUP BY 1 ORDER BY status"),
+
+    "mm_binary_features" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+        "CAST(ascii(substr(text, 1, 1)) AS INT) AS first_code, md5(text) AS content_hash " +
+        "FROM documents ORDER BY doc_id")
+  )
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard near-dup, MinHash-LSH banding.
+  * (SimHash lives in Simhash.scala as a typed Aggregator.)
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup groups on a 128-bit content hash, never on the raw
+  *    text — the shuffle moves 32-byte keys, not documents.
+  *  - Near-dup NEVER does an all-pairs cross join. Candidate pairs come
+  *    from an equi-join on shared shingles (or MinHash band buckets),
+  *    so the join key prunes the pair space to documents that share
+  *    content. With b bands of r-min signatures, a pair colliding in ≥1
+  *    band is found with prob 1-(1-s^r)^b — the knob that trades recall
+  *    for candidate volume.
+  *  - Band signatures use lexicographic min over md5 hex — deterministic,
+  *    engine-neutral (no Murmur seed dependence), and oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5(text) → keeper (min doc_id) + multiplicity.
+    * `SELECT ... GROUP BY hash` keeps the shuffle key narrow. */
+  def exactDedupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct (doc_id, shingle) pairs — the posting list the candidate
+    * join runs on. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle"))
+      .distinct()
+
+  /** n-gram Jaccard near-dup candidates: equi-join postings on shingle,
+    * count common shingles per pair, Jaccard = |∩| / |∪|. Top-n pairs by
+    * similarity (deterministic tiebreak). */
+  def jaccardPairs(docs: DataFrame, topN: Int): DataFrame = {
+    val sh = shingleSets(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id"), col("n_shingles").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_shingles").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
+
+  /** MinHash band signatures: for each band b, the signature is
+    * min(md5(b || '|' || shingle)) over the doc's shingles. Docs sharing
+    * a (band, signature) land in the same LSH bucket — the bucket join
+    * replaces the all-pairs comparison at scale. */
+  def minhashSignatures(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val words = TextOps.tokens(col("text"))
+    val sh = TextOps.shingles(words)
+    val sigCols = (0 until bands).map { b =>
+      array_min(transform(sh, s => md5(concat_ws("|", lit(b), s)))).as(s"sig_$b")
+    }
+    docs.select((col("doc_id") +: sigCols): _*)
+  }
+
+  /** LSH bucket histogram: (band, signature) → bucket size. Buckets with
+    * n_docs > 1 are the near-dup candidate sets; emitting all buckets
+    * keeps the query deterministic on dup-free corpora too. */
+  def minhashBuckets(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, bands)
+    val perBand = (0 until bands).map { b =>
+      sigs.select(lit(b).as("band"), col(s"sig_$b").as("signature"))
+    }
+    perBand.reduce(_ unionAll _)
+      .groupBy(col("band"), col("signature"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table — tumbling, sliding and
+  * session windows. Declared engine extensions beyond the reference's
+  * pure processing-time semantics (SURVEY.md §2.6-ST6).
+  *
+  * The same `window`/`session_window` expressions run unchanged in a
+  * streaming plan with `withWatermark` (see graft.streaming); batch
+  * formulations here are what the DuckDB oracle certifies. Window starts
+  * are emitted as formatted strings — a display contract that sidesteps
+  * engine-specific timestamp physical types.
+  *
+  * Scale: each windowed aggregate is one shuffle on (window, key);
+  * watermarking bounds state in streaming, and AQE handles hot windows.
+  */
+object EventWindows {
+
+  private def fmt(ts: org.apache.spark.sql.Column) =
+    date_format(ts, "yyyy-MM-dd HH:mm")
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        fmt(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        fmt(col("window.start")).as("win_start"),
+        col("n_events"), col("n_users"))
+
+  /** Session windows per user with a fixed inactivity gap. */
+  def sessions(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(
+        col("user_id"),
+        fmt(col("session_window.start")).as("session_start"),
+        col("n_events"), col("session_value"))
+}

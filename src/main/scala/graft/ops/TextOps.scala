@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, token counting, term frequency,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built-in Column expressions (split / higher-order
+  * functions / md5) — codegen'd, no UDFs, no driver-side loops. At
+  * 100 TB these are narrow map stages plus one aggregation shuffle where
+  * a groupBy appears; term frequency is the only op with a potentially
+  * hot key distribution (stopwords) and relies on map-side partial
+  * aggregation to keep the shuffle small.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (single-space contract of the corpus; a
+    * BPE-ish regex tokenizer is `tokensRegex`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokenizer: words / numbers / single punctuation, the shape a
+    * BPE pre-tokenizer produces. */
+  def tokensRegex(text: Column): Column =
+    filter(split(text, "[^A-Za-z0-9']+"), t => length(t) > 0)
+
+  /** Per-document token statistics: token count, char count, mean token
+    * length — the backbone of length-based quality filters. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      length(col("text")).as("n_chars"),
+      round(
+        length(replace(col("text"), lit(" "), lit(""))).cast("double") / size(toks),
+        4).as("avg_token_len"))
+  }
+
+  /** Corpus-level term frequency: explode → count. Top-n with a
+    * deterministic (count desc, word asc) order. */
+  def termFrequency(docs: DataFrame, topN: Int): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topN)
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "ein")
+  private val esStop = Seq("el", "la", "de", "y", "que", "un")
+
+  private def stopHits(words: Column, stops: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(stops)))
+
+  /** Quality metrics per language: doc counts, mean length, stopword
+    * ratio (fluency proxy), punctuation ratio. */
+  def qualityByLang(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val perDoc = docs.select(
+      col("lang"),
+      col("n_chars"),
+      size(toks).as("n_tokens"),
+      (stopHits(toks, enStop).cast("double") / size(toks)).as("stop_ratio"),
+      (length(col("text")) - length(replace(replace(col("text"), lit(","), lit("")), lit("."), lit(""))))
+        .cast("double").divide(length(col("text"))).as("punct_ratio"))
+    perDoc
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        round(avg(col("punct_ratio")), 4).as("avg_punct_ratio"))
+  }
+
+  /** Language-ID heuristic: stopword-list hit counting per candidate
+    * language, argmax with a fixed precedence order. (An n-gram profile
+    * model is the production version; hit-counting is its 1-gram
+    * degenerate case and stays fully inside codegen.) */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = stopHits(toks, enStop)
+    val de = stopHits(toks, deStop)
+    val es = stopHits(toks, esStop)
+    docs.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      when(en >= de && en >= es, "en")
+        .when(de >= es, "de")
+        .otherwise("es").as("guessed_lang"))
+  }
+
+  /** Word n-gram shingles (default 3) — the unit of near-dup detection.
+    * Guarded so short docs yield an empty set, not a negative range. */
+  def shingles(words: Column, n: Int = 3): Column =
+    when(size(words) >= n,
+      transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*)))
+      .otherwise(array())
+
+  /** Document fingerprint: minimum md5 over the doc's 3-gram shingles —
+    * a 1-band MinHash, i.e. a locality-sensitive rolling-hash signature.
+    * Equal fingerprints ⇒ near-identical prefix content. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_min(transform(shingles(tokens(col("text"))), s => md5(s))).as("fingerprint"))
+}

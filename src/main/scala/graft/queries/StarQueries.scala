@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-surface certification (SURVEY.md §2.4 note, §7.2-M2):
+  * joins (inner/left/semi/anti/broadcast), aggregation (distinct, rollup,
+  * cube), window functions (rank/lag/frames), sort/limit/top-k, set
+  * operations, scalar string/date/math expressions — each registered in
+  * SparkEntry with a DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - Dimensions (region/nation, and customer where it qualifies) are
+  *    broadcast; the fact tables (lineitem/orders) shuffle at most once
+  *    per aggregation key.
+  *  - Aggregates are declarative `groupBy().agg()` ⇒ map-side partial
+  *    aggregation + AQE partition coalescing for free.
+  *  - Filters appear before joins so Catalyst pushes them into the
+  *    parquet scans (PushedFilters), and projections are minimal so
+  *    ReadSchema stays narrow.
+  *  - Floating-point aggregates are rounded at the output edge only
+  *    (display contract), never mid-plan.
+  */
+object StarQueries {
+
+  /** TPC-H Q1-shaped pricing summary: wide aggregate over the biggest
+    * fact table; one shuffle on a 6-value grouping key. */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped: selective dimension filter → join → top-k revenue.
+    * customer(BUILDING) is small after the filter ⇒ broadcast to the
+    * orders⋈lineitem side; top-k is a single global sort-limit. */
+  def q3TopRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: Int): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+
+  /** TPC-H Q5-shaped: five-way join, revenue per nation within a region.
+    * region/nation/supplier broadcast; lineitem shuffles once on the
+    * grouping key. */
+  def q5RegionRevenue(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** left_semi — customers that have at least one order (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** left_anti — customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Broadcast dimension enrichment: customer ⋈ nation ⋈ region with both
+    * dims broadcast — zero shuffle before the aggregate. */
+  def customersPerRegion(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+
+  /** Exact distinct aggregation (count + countDistinct in one pass). */
+  def segmentStats(customer: DataFrame): DataFrame =
+    customer
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+
+  /** ROLLUP over (region, nation); rolled-up groups surfaced as 'ALL'
+    * (sentinel instead of NULL so ordering semantics are engine-neutral). */
+  def acctbalRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("total_acctbal"))
+
+  /** CUBE over (mktsegment, orderpriority). */
+  def orderCube(customer: DataFrame, orders: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+
+  /** Window functions: row_number / rank / dense_rank / lag over a
+    * deterministic per-segment ordering; top-3 per segment. */
+  def topCustomersPerSegment(customer: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        lag(col("c_acctbal"), 1).over(w).as("prev_acctbal"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Running total (ROWS UNBOUNDED PRECEDING frame) of order value per
+    * customer in date order. */
+  def runningOrderTotal(orders: DataFrame, maxCustkey: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .filter(col("o_custkey") <= maxCustkey)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** Global sort + limit top-k. */
+  def topOrders(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Set operations: buyers (distinct o_custkey) vs positive-balance
+    * customers — union / intersect / except cardinalities. */
+  def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val buyers = orders.select(col("o_custkey").as("custkey")).distinct()
+    val positive = customer.filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
+    val u = buyers.union(positive).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+    val i = buyers.intersect(positive).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+    val e = buyers.except(positive).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+    u.unionAll(i).unionAll(e)
+  }
+
+  /** Scalar string/math expression surface over `part`. */
+  def scalarStringMath(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+      length(col("p_name")).as("name_len"),
+      replace(col("p_type"), lit(" "), lit("_")).as("type_slug"),
+      (col("p_size") % 5).as("size_mod"),
+      round(col("p_retailprice") * 1.1, 2).as("uplifted"),
+      concat_ws(":", col("p_brand"), col("p_size")).as("brand_size"))
+
+  /** Scalar date expression surface over `orders`. */
+  def scalarDates(orders: DataFrame): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    orders.select(
+      col("o_orderkey"),
+      d.as("orderdate"),
+      year(d).as("y"),
+      month(d).as("m"),
+      dayofmonth(d).as("d"),
+      quarter(d).as("q"),
+      date_add(d, 30).as("due_date"),
+      last_day(d).as("month_end"),
+      datediff(lit(java.sql.Date.valueOf("2026-01-01")), d).as("age_days"))
+  }
+}

@@ -1,13 +1,18 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loaders over the driver test data (TESTDATA.md).
   *
   * Scale notes (100 TB): every loader is a plain parquet scan, so Catalyst
   * predicate pushdown / column pruning / partition pruning apply untouched.
   * At cluster scale these would be partitioned tables (e.g. orders by
-  * o_orderdate) — the query code below never assumes single-file layout.
+  * o_orderdate) — callers should never assume single-file layout.
+  *
+  * `documents`/`embeddings` are extra LLM-pipeline tables present on disk
+  * under /root/testdata (every sf dir) but not listed in TESTDATA.md's
+  * table list.
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -20,7 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects outright. Read nanos as raw longs (legacy conf) and
+    * convert with integer division — ns epoch values exceed 2^53, so a
+    * double-precision divide would corrupt them. DuckDB truncates ns→µs
+    * the same way, keeping oracle parity. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** LLM-pipeline operator specs: text analysis, dedup, similarity. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+
+  test("tokenStats counts tokens and chars") {
+    val r = TextOps.tokenStats(docs((1L, "a bb ccc"))).collect()(0)
+    assert(r.getAs[Int]("n_tokens") === 3)
+    assert(r.getAs[Int]("n_chars") === 8)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 2.0) < 1e-9)
+  }
+
+  test("shingles produce n-2 trigrams; short docs give empty set") {
+    val r = docs((1L, "a b c d"), (2L, "a b"))
+      .select($"doc_id", TextOps.shingles(TextOps.tokens($"text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(r(1L) === Seq("a b c", "b c d"))
+    assert(r(2L) === Seq.empty)
+  }
+
+  test("exact dedup groups identical texts under one hash") {
+    val g = Dedup.exactDedupGroups(docs((1L, "same text here"), (2L, "same text here"), (3L, "different")))
+    val byCopies = g.collect().map(r => r.getAs[Long]("n_copies")).sorted
+    assert(byCopies === Array(1L, 2L))
+    val dup = g.filter($"n_copies" === 2).collect()(0)
+    assert(dup.getAs[Long]("keeper_doc_id") === 1L)
+  }
+
+  test("jaccard pairs find near-duplicates via shared shingles, not all pairs") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely unrelated text with different words entirely"))
+    val pairs = Dedup.jaccardPairs(d, 10).collect()
+    assert(pairs.length === 1) // only 1-2 share shingles; 3 never joins
+    val p = pairs(0)
+    assert(p.getAs[Long]("doc_a") === 1L && p.getAs[Long]("doc_b") === 2L)
+    assert(p.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("identical docs collide in every minhash band") {
+    val d = docs((1L, "one two three four five"), (2L, "one two three four five"))
+    val buckets = Dedup.minhashBuckets(d, 4)
+    assert(buckets.filter($"n_docs" === 2).count() === 4)
+  }
+
+  test("cosine similarity: identical=1, orthogonal=0") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), "same"),
+      (Seq(1f, 0f), Seq(0f, 1f), "orth")).toDF("a", "b", "tag")
+      .select($"tag", Similarity.cosine($"a", $"b").as("sim"))
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("same") - 1.0) < 1e-12)
+    assert(math.abs(m("orth")) < 1e-12)
+  }
+
+  test("brute-force topk ranks by similarity with deterministic tiebreak") {
+    val corpus = Seq(
+      (10L, Seq(1f, 0f), 0), (11L, Seq(0.9f, 0.1f), 0), (12L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((10L, Seq(1f, 0f))).toDF("q_id", "q_emb")
+    val top = Similarity.bruteForceTopK(corpus, queries, 2).orderBy($"rank").collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(11L, 12L))
+  }
+
+  test("lsh bucket join only probes same-bucket candidates") {
+    val corpus = Seq(
+      (1L, Seq(1f, 1f, 1f, 1f), 0),   // bucket 15
+      (2L, Seq(1f, 1f, 1f, -1f), 0),  // bucket 14
+      (3L, Seq(0.9f, 0.9f, 0.9f, 0.9f), 0)) // bucket 15
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Seq(1f, 1f, 1f, 1f))).toDF("q_id", "q_emb")
+    val res = Similarity.lshTopK(corpus, queries, 5, 4).collect()
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L)) // 2 pruned by bucket
+  }
+
+  test("langId guesses the stopword-dominant language") {
+    val d = docs((1L, "the cat of the house and the dog"), (2L, "der hund und die katze ist ein tier"))
+    val m = TextOps.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("guessed_lang")).toMap
+    assert(m(1L) === "en")
+    assert(m(2L) === "de")
+  }
+}
