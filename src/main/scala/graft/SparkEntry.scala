@@ -162,6 +162,9 @@ object SparkEntry {
     "emb_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), embQueries(s, d), 10)
         .orderBy(col("q_id"), col("rank"))),
+    "emb_cosine_topk_native" -> ((s, d) =>
+      Similarity.bruteForceTopKNative(Tables.embeddings(s, d), embQueries(s, d), 10)
+        .orderBy(col("q_id"), col("rank"))),
     "emb_bucket_histogram" -> ((s, d) =>
       Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
     "emb_ann_lsh_topk" -> ((s, d) =>
@@ -432,6 +435,15 @@ object SparkEntry {
         "GROUP BY band, signature ORDER BY band, signature"),
 
     "emb_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+        "s AS (SELECT q_id, vec_id, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))), 4) AS sim " +
+        "FROM q CROSS JOIN c WHERE vec_id <> q_id) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    "emb_cosine_topk_native" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
         "s AS (SELECT q_id, vec_id, round(" +

@@ -31,10 +31,12 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** Distinct (doc_id, shingle) pairs — the posting list the candidate
-    * join runs on. */
+    * join runs on. Tokens are materialized and the corpus repartitioned
+    * before the generator (TextOps.withTokens) so the explode
+    * parallelizes and shingle assembly stays O(n) per doc. */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle"))
+    TextOps.withTokens(docs)
+      .select(col("doc_id"), explode(TextOps.shingles(col("words"))).as("shingle"))
       .distinct()
 
   /** n-gram Jaccard near-dup candidates: equi-join postings on shingle,
@@ -61,28 +63,31 @@ object Dedup {
   }
 
   /** MinHash band signatures: for each band b, the signature is
-    * min(md5(b || '|' || shingle)) over the doc's shingles. Docs sharing
-    * a (band, signature) land in the same LSH bucket — the bucket join
-    * replaces the all-pairs comparison at scale. */
-  def minhashSignatures(docs: DataFrame, bands: Int = 4): DataFrame = {
-    val words = TextOps.tokens(col("text"))
-    val sh = TextOps.shingles(words)
-    val sigCols = (0 until bands).map { b =>
-      array_min(transform(sh, s => md5(concat_ws("|", lit(b), s)))).as(s"sig_$b")
-    }
-    docs.select((col("doc_id") +: sigCols): _*)
-  }
+    * min(md5(b || '|' || shingle)) over the doc's shingles.
+    *
+    * Computed in the FLAT posting-list shape: explode shingles, explode
+    * bands, md5 once per (shingle, band), min-aggregate per (doc, band).
+    * The md5+min stays inside whole-stage codegen and aggregates with
+    * map-side partial min — the nested HOF formulation (array_min over
+    * a lambda over a computed shingle array, per band column) drops out
+    * of codegen and cost ~70× more wall-clock at sf0.1. At 100 TB the
+    * posting list is also the right shuffle unit: 32-byte keys, never
+    * whole documents. */
+  def minhashSignatures(docs: DataFrame, bands: Int = 4): DataFrame =
+    TextOps.withTokens(docs)
+      .select(col("doc_id"), explode(TextOps.shingles(col("words"))).as("shingle"))
+      .select(col("doc_id"), col("shingle"),
+        explode(array((0 until bands).map(lit): _*)).as("band"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(md5(concat_ws("|", col("band"), col("shingle")))).as("signature"))
 
-  /** LSH bucket histogram: (band, signature) → bucket size. Buckets with
-    * n_docs > 1 are the near-dup candidate sets; emitting all buckets
-    * keeps the query deterministic on dup-free corpora too. */
-  def minhashBuckets(docs: DataFrame, bands: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, bands)
-    val perBand = (0 until bands).map { b =>
-      sigs.select(lit(b).as("band"), col(s"sig_$b").as("signature"))
-    }
-    perBand.reduce(_ unionAll _)
+  /** LSH bucket histogram: (band, signature) → bucket size. Docs sharing
+    * a (band, signature) land in the same LSH bucket — the bucket join
+    * replaces the all-pairs comparison at scale. Emitting all buckets
+    * (not just n_docs > 1) keeps the query deterministic on dup-free
+    * corpora too. */
+  def minhashBuckets(docs: DataFrame, bands: Int = 4): DataFrame =
+    minhashSignatures(docs, bands)
       .groupBy(col("band"), col("signature"))
       .agg(count(lit(1)).as("n_docs"))
-  }
 }

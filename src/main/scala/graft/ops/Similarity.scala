@@ -43,19 +43,33 @@ object Similarity {
 
   /** Brute-force cosine top-k: every query vector against the full
     * corpus. The query side is broadcast (it is small by contract);
-    * rank is deterministic via (sim desc, vec_id) tiebreak. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * rank is deterministic via (sim desc, vec_id) tiebreak. `score`
+    * swaps the similarity implementation (HOF default vs the fused
+    * codegen expression) without changing the plan shape. */
+  def bruteForceTopKWith(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      score: (Column, Column) => Column): DataFrame = {
     val scored = corpus
       .join(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(
         col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 4).as("sim"))
+        round(score(col("q_emb"), col("embedding")), 4).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopKWith(corpus, queries, k, cosine)
+
+  /** Same plan with the fused native expression
+    * (graft.functions.VectorExpressions) — bit-identical results, one
+    * codegen'd loop per pair instead of zip_with + three folds. */
+  def bruteForceTopKNative(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopKWith(corpus, queries, k,
+      graft.functions.VectorExpressions.cosineNative)
 
   /** Deterministic sign-bit LSH bucket id from the first `bits` vector
     * components (axis-aligned random-hyperplane LSH). */

@@ -94,7 +94,13 @@ object TextOps {
   }
 
   /** Word n-gram shingles (default 3) — the unit of near-dup detection.
-    * Guarded so short docs yield an empty set, not a negative range. */
+    * Guarded so short docs yield an empty set, not a negative range.
+    *
+    * ⚠ Pass a MATERIALIZED array column (see [[withTokens]]), never the
+    * `split(...)` expression inline: HOF lambdas evaluate interpreted,
+    * and an inlined split gets re-executed for every `element_at`
+    * reference — O(tokens²) per document (measured: a 70× slowdown at
+    * sf0.1 with one executor thread pinned in UTF8String.split). */
   def shingles(words: Column, n: Int = 3): Column =
     when(size(words) >= n,
       transform(
@@ -102,11 +108,23 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*)))
       .otherwise(array())
 
+  /** (doc_id, words) with the token array materialized in its own
+    * projection — CollapseProject keeps the alias because it is
+    * non-cheap and multiply referenced, so downstream shingle assembly
+    * reads the array O(1) per element. Also spreads the corpus across
+    * the cluster first: generator-heavy stages amplify rows, so
+    * parallelism must be fixed BEFORE the explode (a single-file corpus
+    * otherwise runs the whole generator in one task). */
+  def withTokens(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("words"))
+
   /** Document fingerprint: minimum md5 over the doc's 3-gram shingles —
     * a 1-band MinHash, i.e. a locality-sensitive rolling-hash signature.
     * Equal fingerprints ⇒ near-identical prefix content. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(
+    withTokens(docs).select(
       col("doc_id"),
-      array_min(transform(shingles(tokens(col("text"))), s => md5(s))).as("fingerprint"))
+      array_min(transform(shingles(col("words")), s => md5(s))).as("fingerprint"))
 }

@@ -66,46 +66,35 @@ object CheckoutStream {
     *
     * Declared batch semantics (SURVEY.md §7.4.2): orders are serialized
     * by `order_id`; an order is admitted iff every line fits in stock
-    * after charging the running demand of the admitted orders ordered
-    * before it (window cumsum per product). Admission is *pessimistic*:
-    * the first round charges every order, and orders that fail are out
-    * for the batch even if later failures would have freed their stock —
-    * the admitted set only shrinks, each survivor still fits with less
-    * contention, so the fixpoint lands in two rounds, deterministically.
+    * after charging the running demand (window cumsum per product) of
+    * ALL orders ordered before it. Admission is *pessimistic*: an order
+    * that fails under full charge stays failed even though later
+    * failures free their stock. That makes admission a single
+    * distributed pass — a fixpoint iteration that releases failed
+    * orders' demand would only re-confirm the same set (survivors of
+    * the full-charge round still fit with less contention, and failed
+    * orders are never re-charged), so there is nothing to iterate.
     * All-or-nothing and conservation hold by construction; under
     * contention the reference's outcome is arrival-order dependent
     * anyway (ST5 — standard SQS guarantees no order), so any
-    * deterministic serialization is a valid refinement. Every round is a
-    * window-cumsum + aggregate, fully distributed — no collect().
+    * deterministic serialization is a valid refinement. A greedy
+    * re-fill serialization (re-admitting after releases) is the v2
+    * `transformWithState` upgrade path. One window-cumsum + one
+    * aggregate, fully distributed — no collect(), no driver loop.
     *
     * Input: (order_id, product_id, quantity) lines; inventory:
     * (product_id, stock). Returns (order_id, status) verdicts.
     */
-  def admitOrders(lines: DataFrame, inventory: DataFrame, maxRounds: Int = 10): DataFrame = {
-    val spark = lines.sparkSession
+  def admitOrders(lines: DataFrame, inventory: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("product_id")).orderBy(col("order_id"))
-    var admitted = lines.select(col("order_id")).distinct() // optimistic start
-    var stable = false
-    var round = 0
-    while (!stable && round < maxRounds) {
-      val charged = lines.join(admitted, Seq("order_id"))
-      val verdicts = charged
-        .withColumn("cum_demand", sum(col("quantity")).over(w))
-        .join(broadcast(inventory), Seq("product_id"), "left")
-        .groupBy(col("order_id"))
-        .agg(bool_and(col("cum_demand") <= coalesce(col("stock"), lit(0))).as("ok"))
-      val next = verdicts.filter(col("ok")).select(col("order_id"))
-      // fixpoint check: admitted set unchanged (cheap at micro-batch size)
-      stable = next.count() == admitted.count() &&
-        next.except(admitted).isEmpty
-      admitted = next.localCheckpoint(true)
-      round += 1
-    }
-    lines.select(col("order_id")).distinct()
-      .join(admitted.withColumn("ok", lit(true)), Seq("order_id"), "left")
+    lines
+      .withColumn("cum_demand", sum(col("quantity")).over(w))
+      .join(broadcast(inventory), Seq("product_id"), "left")
+      .groupBy(col("order_id"))
+      .agg(bool_and(col("cum_demand") <= coalesce(col("stock"), lit(0))).as("ok"))
       .select(
         col("order_id"),
-        when(col("ok").isNotNull, Model.StatusProcessed)
+        when(col("ok"), Model.StatusProcessed)
           .otherwise(Model.StatusFailed).as("status"))
   }
 
@@ -132,7 +121,10 @@ object CheckoutStream {
       * decremented inventory as the next version. Returns verdicts. */
     def applyBatch(lines: DataFrame): DataFrame = {
       val inv = current()
-      val verdicts = admitOrders(lines, inv).localCheckpoint(true)
+      // no checkpoint needed: the new version is written to a fresh
+      // directory, so the verdict lineage (reading the current version)
+      // stays valid for the caller's downstream writes
+      val verdicts = admitOrders(lines, inv)
       val processedDemand = lines
         .join(verdicts.filter(col("status") === Model.StatusProcessed), Seq("order_id"))
         .groupBy(col("product_id"))

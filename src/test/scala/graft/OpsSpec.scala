@@ -83,6 +83,17 @@ class OpsSpec extends SparkSpec {
     assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L)) // 2 pruned by bucket
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.limit(50).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .crossJoin(emb.limit(50))
+    val diff = pairs.select(
+      graft.ops.Similarity.cosine($"q_emb", $"embedding").as("hof"),
+      graft.functions.VectorExpressions.cosineNative($"q_emb", $"embedding").as("native"))
+      .filter($"hof" =!= $"native")
+    assert(diff.count() === 0)
+  }
+
   test("langId guesses the stopword-dominant language") {
     val d = docs((1L, "the cat of the house and the dog"), (2L, "der hund und die katze ist ein tier"))
     val m = TextOps.langId(d).collect()
