@@ -106,6 +106,25 @@ object SparkEntry {
       StarQueries.q5RegionRevenue(
         Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d)).orderBy(col("n_name"))),
+    "rel_q5_local_supplier" -> ((s, d) =>
+      StarQueries.q5LocalSupplier(
+        Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))
+        .orderBy(col("n_name"))),
+    "rel_window_extras" -> ((s, d) =>
+      StarQueries.windowExtras(Tables.customer(s, d))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))),
+    "rel_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        "SELECT coalesce(c_mktsegment, 'ALL') AS segment, " +
+          "coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation, " +
+          "count(*) AS n FROM customer_v " +
+          "GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ()) " +
+          "ORDER BY segment, nation")
+    }),
+    "source_seed_loader" -> ((s, d) =>
+      graft.sources.Seeds.referenceInventory(s).orderBy(col("product_id"))),
     "rel_join_semi" -> ((s, d) =>
       StarQueries.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))
         .orderBy(col("c_mktsegment"))),
@@ -326,6 +345,29 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "rel_q5_local_supplier" ->
+      ("SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "rel_window_extras" ->
+      ("SELECT c_mktsegment, c_custkey, CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "round(percent_rank() OVER w, 4) AS pct_rank, " +
+        "first_value(c_custkey) OVER w AS segment_top " +
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) " +
+        "ORDER BY c_mktsegment, c_custkey"),
+    "rel_grouping_sets" ->
+      ("SELECT coalesce(c_mktsegment, 'ALL') AS segment, " +
+        "coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation, " +
+        "CAST(count(*) AS BIGINT) AS n FROM customer " +
+        "GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ()) " +
+        "ORDER BY segment, nation"),
+    "source_seed_loader" ->
+      ("SELECT * FROM (VALUES ('prod-101', 'Wireless Headphones', 50), " +
+        "('prod-102', 'Mechanical Keyboard', 20), ('prod-103', 'Gaming Mouse', 35), " +
+        "('prod-104', 'USB-C Monitor', 10), ('prod-105', 'Ergonomic Chair', 5)) " +
+        "AS t(product_id, product_name, quantity_available) ORDER BY product_id"),
     "rel_join_semi" ->
       ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers FROM customer " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +

@@ -65,6 +65,36 @@ object StarQueries {
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
 
+  /** Full TPC-H Q5 shape including the local-supplier condition: lineitem
+    * joins supplier on BOTH l_suppkey and the customer's nation — the
+    * classic multi-equi-join the optimizer must order well. supplier/
+    * nation/region broadcast; lineitem shuffles once for the aggregate. */
+  def q5LocalSupplier(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** Extended window-function surface: ntile quartiles, percent_rank,
+    * first_value over the default frame. */
+  def windowExtras(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer.select(
+      col("c_mktsegment"), col("c_custkey"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 4).as("pct_rank"),
+      first(col("c_custkey")).over(w).as("segment_top"))
+  }
+
   /** left_semi — customers that have at least one order (EXISTS). */
   def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer

@@ -63,12 +63,67 @@ class StreamingSpec extends SparkSpec {
     assert(stock === Map("prod-101" -> 48, "prod-105" -> 5))
   }
 
+  test("A2 v2: transformWithState keyed inventory reserves per product with RocksDB state") {
+    import graft.streaming.InventoryProcessor._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[LineRequest]
+      val requests = mem.toDS().groupByKey(_.product_id)
+      val seed = Seq(ProductStock("prod-101", 50), ProductStock("prod-105", 5))
+        .toDS().groupByKey(_.product_id)
+      val verdicts = graft.streaming.InventoryProcessor.reserve(requests, seed)
+      val q = verdicts.writeStream
+        .format("memory").queryName("twstate_out").outputMode("append")
+        .option("checkpointLocation", tmp("graft-tws-ckpt")).start()
+      mem.addData(
+        LineRequest("o-1", "prod-101", 2),
+        LineRequest("o-2", "prod-105", 4))
+      q.processAllAvailable()
+      // second micro-batch: state persisted across batches (prod-105 has 1 left)
+      mem.addData(LineRequest("o-3", "prod-105", 2))
+      q.processAllAvailable()
+      val rows = spark.table("twstate_out").collect()
+        .map(r => r.getAs[String]("order_id") -> r.getAs[Boolean]("granted")).toMap
+      q.stop()
+      assert(rows === Map("o-1" -> true, "o-2" -> true, "o-3" -> false))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ST2: dead-letter split diverts keys at maxAttempts, keeps the rest") {
     val batch = Seq(("k1", "payload1"), ("k2", "payload2")).toDF("key", "payload")
     val attempts = Seq(("k1", 3)).toDF("key", "n_failures")
     val (ok, dead) = Sinks.deadLetterSplit(batch, attempts, "key", maxAttempts = 3)
     assert(ok.collect().map(_.getString(0)).toSeq === Seq("k2"))
     assert(dead.collect().map(_.getString(0)).toSeq === Seq("k1"))
+  }
+
+  test("ST7: maxFilesPerTrigger paces delivery into multiple micro-batches") {
+    val inDir = tmp("graft-rate-in")
+    // two files => two micro-batches at maxFilesPerTrigger=1
+    Seq("""{"order_id":"o-1","customer_id":"c","items":[{"product_id":"p1","quantity":1}]}""")
+      .toDF("value").coalesce(1).write.mode("append").text(inDir)
+    Seq("""{"order_id":"o-2","customer_id":"c","items":[{"product_id":"p1","quantity":1}]}""")
+      .toDF("value").coalesce(1).write.mode("append").text(inDir)
+    val raw = spark.readStream.option("maxFilesPerTrigger", 1).text(inDir)
+    val (valid, _) = CheckoutStream.parseOrderStream(raw, "value")
+    val inv = new CheckoutStream.InventoryTable(spark, tmp("graft-rate-inv"))
+    inv.initialize(Seq(("p1", 10)).toDF("product_id", "stock"))
+    val verdictsPath = tmp("graft-rate-verdicts")
+    val q = CheckoutStream.start(valid, inv, verdictsPath, tmp("graft-rate-ckpt")).start()
+    q.awaitTermination()
+    val verdicts = spark.read.parquet(verdictsPath)
+    assert(verdicts.select("batch_id").distinct().count() === 2)
+    assert(verdicts.count() === 2)
+    // both batches decremented the same inventory table serially
+    assert(inv.current().collect()(0).getAs[Int]("stock") === 8)
   }
 
   test("ST6: event-time windows run identically over a stream with watermark") {
