@@ -154,6 +154,27 @@ object SparkEntry {
       StarQueries.setOps(Tables.customer(s, d), Tables.orders(s, d)).orderBy(col("op"))),
     "rel_scalar_string_math" -> ((s, d) =>
       StarQueries.scalarStringMath(Tables.part(s, d)).orderBy(col("p_partkey"))),
+    "rel_pivot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val pivoted = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+      pivoted.select(
+        col("c_nationkey") +: segs.map(g => coalesce(col(g), lit(0L)).as(g)): _*)
+        .orderBy(col("c_nationkey"))
+    }),
+    "text_array_ops" -> ((s, d) =>
+      graft.ops.TextOps.withTokens(Tables.documents(s, d)).select(
+        col("doc_id"),
+        element_at(col("words"), 1).as("first_word"),
+        element_at(col("words"), -1).as("last_word"),
+        size(col("words")).as("n_tokens"),
+        array_min(col("words")).as("min_word"),
+        concat_ws("-", slice(col("words"), 1, 3)).as("prefix3"),
+        array_contains(col("words"), "the").as("has_the"),
+        coalesce(array_position(col("words"), "the"), lit(0L)).as("the_pos"))
+        .orderBy(col("doc_id"))),
     "rel_scalar_dates" -> ((s, d) =>
       StarQueries.scalarDates(Tables.orders(s, d)).orderBy(col("o_orderkey"))),
 
@@ -176,6 +197,8 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), 20)),
     "dedup_minhash_buckets" -> ((s, d) =>
       Dedup.minhashBuckets(Tables.documents(s, d), 4).orderBy(col("band"), col("signature"))),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), 20, 4)),
 
     // ----- similarity search (M4)
     "emb_cosine_topk" -> ((s, d) =>
@@ -207,6 +230,7 @@ object SparkEntry {
     //       admitted = orders whose every line fits under full cumulative
     //       charge serialized by order_id).
     "stream_checkout_counts" -> ((s, d) => streamCheckoutCounts(s, d)),
+    "stream_dedup_counts" -> ((s, d) => streamDedupCounts(s, d)),
 
     // ----- SimHash (custom typed Aggregator; no ANSI-SQL form — rows-only
     //       driver check, semantics covered in ScalaTest)
@@ -251,6 +275,29 @@ object SparkEntry {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("status"))
+  }
+
+  /** ST4 over the generic event stream: every event delivered twice,
+    * watermarked stream dedup restores exactly-once — final counts are
+    * oracle-checkable against the plain distinct counts. */
+  private def streamDedupCounts(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.unionAll(ev).write.mode("overwrite").parquet(s"$base/in")
+    val q = s.readStream.schema(ev.schema).parquet(s"$base/in")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$base/out")
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
   }
 
   // Shared SQL fragments for the checkout oracle (kept identical across
@@ -476,6 +523,35 @@ object SparkEntry {
         "SELECT band, signature, CAST(count(*) AS BIGINT) AS n_docs FROM sig " +
         "GROUP BY band, signature ORDER BY band, signature"),
 
+    "dedup_embedding_cosine" ->
+      ("WITH bkt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+        "((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) + " +
+        "(CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket " +
+        "FROM embeddings) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(" +
+        "list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])) / " +
+        "(sqrt(list_sum(list_transform(a.e, x -> x*x))) * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) AS sim " +
+        "FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+        "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"),
+    "stream_dedup_counts" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "rel_pivot" ->
+      ("SELECT c_nationkey, " +
+        "CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS AUTOMOBILE, " +
+        "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS BUILDING, " +
+        "CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS FURNITURE, " +
+        "CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS HOUSEHOLD, " +
+        "CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS MACHINERY " +
+        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "text_array_ops" ->
+      ("SELECT doc_id, w[1] AS first_word, w[-1] AS last_word, " +
+        "CAST(len(w) AS INT) AS n_tokens, list_min(w) AS min_word, " +
+        "array_to_string(w[1:3], '-') AS prefix3, " +
+        "list_contains(w, 'the') AS has_the, " +
+        "CAST(COALESCE(list_position(w, 'the'), 0) AS BIGINT) AS the_pos " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) " +
+        "ORDER BY doc_id"),
     "emb_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +

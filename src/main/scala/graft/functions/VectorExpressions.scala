@@ -29,7 +29,10 @@ object VectorExpressions {
     override def prettyName: String = "cosine_similarity"
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      val ok = Seq(left, right).forall(_.dataType == ArrayType(FloatType))
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true // containsNull irrelevant: nulls read as 0f
+        case _ => false
+      })
       if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires two array<float> arguments, " +

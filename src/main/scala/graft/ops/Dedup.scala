@@ -81,6 +81,29 @@ object Dedup {
       .groupBy(col("doc_id"), col("band"))
       .agg(min(md5(concat_ws("|", col("band"), col("shingle")))).as("signature"))
 
+  /** Embedding-cosine near-dup: candidate pairs from the sign-bit LSH
+    * bucket join (never all-pairs), scored with the fused native cosine
+    * expression, top-n by similarity. At scale the bucket equi-join
+    * partitions the corpus; the 1/2^bits candidate fraction is the
+    * recall/cost knob (IVF centroids would replace sign buckets with
+    * the same join shape). */
+  def embeddingNearDups(embeddings: DataFrame, topN: Int, bits: Int = 4): DataFrame = {
+    val withBucket = embeddings
+      .select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), bits).as("bucket"))
+    val a = withBucket.select(
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = withBucket.select(
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.VectorExpressions.cosineNative(col("emb_a"), col("emb_b")), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(topN)
+  }
+
   /** LSH bucket histogram: (band, signature) → bucket size. Docs sharing
     * a (band, signature) land in the same LSH bucket — the bucket join
     * replaces the all-pairs comparison at scale. Emitting all buckets

@@ -83,6 +83,28 @@ class OpsSpec extends SparkSpec {
     assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L)) // 2 pruned by bucket
   }
 
+  test("salted join returns exactly the plain join's result set") {
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey".as("p_partkey"))
+    val dim = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select($"p_partkey", $"p_size")
+    val plain = fact.join(dim, Seq("p_partkey"))
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "p_partkey", 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select($"l_orderkey", $"p_partkey", $"p_size")
+      .exceptAll(plain.select($"l_orderkey", $"p_partkey", $"p_size")).isEmpty)
+  }
+
+  test("embedding near-dup candidates come only from shared LSH buckets") {
+    val emb = Seq(
+      (1L, Seq(1f, 1f, 1f, 1f), 0), (2L, Seq(0.9f, 0.9f, 0.9f, 0.9f), 0),
+      (3L, Seq(-1f, 1f, 1f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val pairs = graft.ops.Dedup.embeddingNearDups(emb, 10, 4).collect()
+    assert(pairs.length === 1) // only (1,2) share bucket 15; 3 is pruned
+    assert(pairs(0).getAs[Long]("vec_a") === 1L && pairs(0).getAs[Long]("vec_b") === 2L)
+    assert(pairs(0).getAs[Double]("sim") > 0.99)
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = emb.limit(50).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
