@@ -189,6 +189,13 @@ object SparkEntry {
       TextOps.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprints" -> ((s, d) =>
       TextOps.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_quality_scores" -> ((s, d) =>
+      TextOps.qualityScores(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_token_regex" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.tokensRegex(col("text"))).as("n_regex_tokens"))
+        .orderBy(col("doc_id"))),
 
     // ----- deduplication (M4)
     "dedup_exact_groups" -> ((s, d) =>
@@ -505,6 +512,17 @@ object SparkEntry {
       (s"SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint " +
         s"FROM ($shingleSql) ORDER BY doc_id"),
 
+    "text_quality_scores" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_token_len, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio, " +
+        "((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 9.0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) > 0 THEN 1 ELSE 0 END)) AS quality_score " +
+        "FROM documents ORDER BY doc_id"),
+    "text_token_regex" ->
+      ("SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9'']+'), t -> length(t) > 0)) AS INT) AS n_regex_tokens " +
+        "FROM documents ORDER BY doc_id"),
     "dedup_exact_groups" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, " +
         "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"),

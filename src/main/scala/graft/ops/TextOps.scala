@@ -38,6 +38,26 @@ object TextOps {
         4).as("avg_token_len"))
   }
 
+  /** Per-document composite quality score — the standard pre-training
+    * filter signals in one pass: length band, mean token length band,
+    * stopword presence. Deterministic integer/ratio arithmetic. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val meanLen = length(replace(col("text"), lit(" "), lit(""))).cast("double") / nTokens
+    val stopRatio = stopHits(toks, enStop).cast("double") / nTokens
+    docs.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      round(meanLen, 4).as("mean_token_len"),
+      round(stopRatio, 4).as("stop_ratio"),
+      // score: in-band length (20..80 tokens) + plausible word length
+      // (3..9 chars) + any stopwords present
+      (when(nTokens.between(20, 80), 1).otherwise(0) +
+        when(meanLen.between(3.0, 9.0), 1).otherwise(0) +
+        when(stopRatio > 0, 1).otherwise(0)).as("quality_score"))
+  }
+
   /** Corpus-level term frequency: explode → count. Top-n with a
     * deterministic (count desc, word asc) order. */
   def termFrequency(docs: DataFrame, topN: Int): DataFrame =
@@ -48,7 +68,7 @@ object TextOps {
       .orderBy(col("freq").desc, col("word"))
       .limit(topN)
 
-  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[ops] val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val deStop = Seq("der", "die", "das", "und", "ist", "ein")
   private val esStop = Seq("el", "la", "de", "y", "que", "un")
 
