@@ -35,14 +35,15 @@ object Dedup {
     * before the generator (TextOps.withTokens) so the explode
     * parallelizes and shingle assembly stays O(n) per doc. */
   def shingleSets(docs: DataFrame): DataFrame =
-    TextOps.withTokens(docs)
-      .select(col("doc_id"), explode(TextOps.shingles(col("words"))).as("shingle"))
-      .distinct()
+    TextOps.shinglePostings(docs).distinct()
 
   /** n-gram Jaccard near-dup candidates: equi-join postings on shingle,
     * count common shingles per pair, Jaccard = |∩| / |∪|. Top-n pairs by
     * similarity (deterministic tiebreak). */
   def jaccardPairs(docs: DataFrame, topN: Int): DataFrame = {
+    // the posting list feeds three consumers (both join sides + sizes);
+    // regeneration is a cheap codegen'd window pass, and leaving it
+    // uncached keeps AQE free to re-plan the self-join
     val sh = shingleSets(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -74,8 +75,7 @@ object Dedup {
     * posting list is also the right shuffle unit: 32-byte keys, never
     * whole documents. */
   def minhashSignatures(docs: DataFrame, bands: Int = 4): DataFrame =
-    TextOps.withTokens(docs)
-      .select(col("doc_id"), explode(TextOps.shingles(col("words"))).as("shingle"))
+    TextOps.shinglePostings(docs)
       .select(col("doc_id"), col("shingle"),
         explode(array((0 until bands).map(lit): _*)).as("band"))
       .groupBy(col("doc_id"), col("band"))

@@ -140,11 +140,32 @@ object TextOps {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("words"))
 
+  /** Flat (doc_id, shingle) postings via posexplode + lead windows — the
+    * generation path for bulk near-dup work. Fully codegen'd (window +
+    * concat, no HOF lambda, whose interpreted evaluation dominates cold
+    * runs), one shuffle on doc_id, and already in the posting-list shape
+    * the candidate joins consume. Multiset-identical to
+    * `explode(shingles(words))`. */
+  def shinglePostings(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("word"), i).over(w).as(s"w$i"))
+    withTokens(docs)
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
+      .select((col("doc_id") +: col("word") +: leads): _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("word") +: (1 until n).map(i => col(s"w$i")): _*).as("shingle"))
+  }
+
   /** Document fingerprint: minimum md5 over the doc's 3-gram shingles —
     * a 1-band MinHash, i.e. a locality-sensitive rolling-hash signature.
-    * Equal fingerprints ⇒ near-identical prefix content. */
+    * Equal fingerprints ⇒ near-identical prefix content. Docs too short
+    * to shingle keep a null fingerprint. */
   def fingerprints(docs: DataFrame): DataFrame =
-    withTokens(docs).select(
-      col("doc_id"),
-      array_min(transform(shingles(col("words")), s => md5(s))).as("fingerprint"))
+    docs.select(col("doc_id")).join(
+      shinglePostings(docs)
+        .groupBy(col("doc_id"))
+        .agg(min(md5(col("shingle"))).as("fingerprint")),
+      Seq("doc_id"), "left")
 }
