@@ -219,6 +219,11 @@ object SparkEntry {
     "emb_ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d), 5, 4)
         .orderBy(col("q_id"), col("rank"))),
+    "emb_ivf_assign" -> ((s, d) =>
+      graft.ops.Ivf.buildIndex(Tables.embeddings(s, d), k = 8, iters = 1)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("centroid_id"))),
 
     // ----- event-time windows (M4 / ST6 extensions)
     "events_tumbling_hourly" -> ((s, d) =>
@@ -606,6 +611,17 @@ object SparkEntry {
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 5 ORDER BY q_id, rank"),
 
+    "emb_ivf_assign" ->
+      ("WITH c AS (SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 8), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
+        "s AS (SELECT vec_id, centroid_id, " +
+        "list_sum(list_transform(range(1, len(ve)+1), i -> ve[i]*ce[i])) / " +
+        "(sqrt(list_sum(list_transform(ve, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))) AS sim " +
+        "FROM v CROSS JOIN c), " +
+        "a AS (SELECT vec_id, centroid_id FROM s " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1) " +
+        "SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors FROM a " +
+        "GROUP BY centroid_id ORDER BY centroid_id"),
     "events_tumbling_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value " +

@@ -116,6 +116,27 @@ class OpsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("IVF: clusters separate, probes stay inside the routed bucket") {
+    import graft.ops.Ivf
+    // two obvious clusters around (1,0) and (0,1)
+    val corpus = Seq(
+      (0L, Seq(1f, 0.1f)), (1L, Seq(0.9f, 0f)), (2L, Seq(1f, 0.2f)),
+      (10L, Seq(0f, 1f)), (11L, Seq(0.1f, 0.9f)), (12L, Seq(0.2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val index = Ivf.buildIndex(corpus, k = 2, iters = 2)
+    val clusters = index.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("centroid_id")).toMap
+    // cluster membership is consistent: 0,1,2 together; 10,11,12 together
+    assert(Set(clusters(0L), clusters(1L), clusters(2L)).size === 1)
+    assert(Set(clusters(10L), clusters(11L), clusters(12L)).size === 1)
+    assert(clusters(0L) !== clusters(10L))
+    // probe: a query near (1,0) only sees its own bucket
+    val centroids = Ivf.updateCentroids(index)
+    val queries = Seq((0L, Seq(1f, 0f))).toDF("q_id", "q_emb")
+    val top = Ivf.topK(index, centroids, queries, k = 5, nprobe = 1).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSet === Set(1L, 2L))
+  }
+
   test("langId guesses the stopword-dominant language") {
     val d = docs((1L, "the cat of the house and the dog"), (2L, "der hund und die katze ist ein tier"))
     val m = TextOps.langId(d).collect()
