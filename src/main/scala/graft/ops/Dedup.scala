@@ -39,12 +39,25 @@ object Dedup {
 
   /** n-gram Jaccard near-dup candidates: equi-join postings on shingle,
     * count common shingles per pair, Jaccard = |∩| / |∪|. Top-n pairs by
-    * similarity (deterministic tiebreak). */
-  def jaccardPairs(docs: DataFrame, topN: Int): DataFrame = {
-    // the posting list feeds three consumers (both join sides + sizes);
-    // regeneration is a cheap codegen'd window pass, and leaving it
-    // uncached keeps AQE free to re-plan the self-join
+    * similarity (deterministic tiebreak).
+    *
+    * Two scale guards:
+    *  - document-frequency cap: a stop-shingle present in n documents
+    *    would emit n²/2 candidate pairs; postings whose shingle exceeds
+    *    `maxDf` are dropped BEFORE the self-join (standard practice —
+    *    boilerplate shingles carry no near-dup signal anyway). Jaccard
+    *    is then computed consistently over the capped shingle sets.
+    *  - the capped posting list feeds three consumers (both join sides
+    *    + per-doc sizes); it is persisted for the query's lifetime so
+    *    the window+explode generation pass runs once, not three times.
+    */
+  def jaccardPairs(docs: DataFrame, topN: Int, maxDf: Int = 100): DataFrame = {
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
     val sh = shingleSets(docs)
+      .withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -63,23 +76,31 @@ object Dedup {
       .limit(topN)
   }
 
-  /** MinHash band signatures: for each band b, the signature is
-    * min(md5(b || '|' || shingle)) over the doc's shingles.
+  /** MinHash band signatures: ONE md5 per shingle; band b's hash is a
+    * fixed 8-hex-char rotation of the 32-hex digest, so each band orders
+    * shingles by an independent-ish bit window of the same digest and
+    * the signature is the min rotated digest over the doc's shingles.
     *
-    * Computed in the FLAT posting-list shape: explode shingles, explode
-    * bands, md5 once per (shingle, band), min-aggregate per (doc, band).
-    * The md5+min stays inside whole-stage codegen and aggregates with
-    * map-side partial min — the nested HOF formulation (array_min over
-    * a lambda over a computed shingle array, per band column) drops out
-    * of codegen and cost ~70× more wall-clock at sf0.1. At 100 TB the
+    * Computed in the FLAT posting-list shape: explode shingles, md5 once
+    * per posting, explode bands, rotate (cheap string slice), min-
+    * aggregate per (doc, band). Everything stays inside whole-stage
+    * codegen with map-side partial min — the nested HOF formulation
+    * (array_min over a lambda, per band column) drops out of codegen and
+    * cost ~70× more wall-clock at sf0.1, and hashing per (shingle, band)
+    * costs `bands`× the digest work for no extra signal. At 100 TB the
     * posting list is also the right shuffle unit: 32-byte keys, never
     * whole documents. */
-  def minhashSignatures(docs: DataFrame, bands: Int = 4): DataFrame =
+  def minhashSignatures(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val rotated = concat(
+      col("h").substr(col("band") * 8 + 1, lit(32) - col("band") * 8),
+      col("h").substr(lit(1), col("band") * 8))
     TextOps.shinglePostings(docs)
-      .select(col("doc_id"), col("shingle"),
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .select(col("doc_id"), col("h"),
         explode(array((0 until bands).map(lit): _*)).as("band"))
       .groupBy(col("doc_id"), col("band"))
-      .agg(min(md5(concat_ws("|", col("band"), col("shingle")))).as("signature"))
+      .agg(min(rotated).as("signature"))
+  }
 
   /** Embedding-cosine near-dup: candidate pairs from the sign-bit LSH
     * bucket join (never all-pairs), scored with the fused native cosine

@@ -71,6 +71,16 @@ object Similarity {
     bruteForceTopKWith(corpus, queries, k,
       graft.functions.VectorExpressions.cosineNative)
 
+  /** Bucket-width knob scaled to corpus size: bits ≈ log2(n/targetBucket)
+    * keeps expected bucket occupancy near `targetBucket` as the corpus
+    * grows. A FIXED bits degrades to all-pairs/2^bits at scale — at
+    * 100 TB the bucket count must grow with the corpus (or the buckets
+    * be replaced by IVF centroids with k ∝ n, same join shape). Clamped
+    * to the embedding dimensionality ceiling by the caller. */
+  def scaledBits(n: Long, targetBucket: Int = 32, minBits: Int = 4, maxBits: Int = 24): Int =
+    math.min(maxBits, math.max(minBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
   /** Deterministic sign-bit LSH bucket id from the first `bits` vector
     * components (axis-aligned random-hyperplane LSH). */
   def signBucket(emb: Column, bits: Int = 4): Column =

@@ -135,10 +135,15 @@ object TextOps {
     * the cluster first: generator-heavy stages amplify rows, so
     * parallelism must be fixed BEFORE the explode (a single-file corpus
     * otherwise runs the whole generator in one task). */
-  def withTokens(docs: DataFrame): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), tokens(col("text")).as("words"))
+  def withTokens(docs: DataFrame): DataFrame = {
+    // only repartition when the input is UNDER-parallel (single-file
+    // corpus): at 100 TB the input splits already parallelize and an
+    // unconditional repartition would shuffle the whole raw corpus
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    spread.select(col("doc_id"), tokens(col("text")).as("words"))
+  }
 
   /** Flat (doc_id, shingle) postings via posexplode + lead windows — the
     * generation path for bulk near-dup work. Fully codegen'd (window +

@@ -86,7 +86,14 @@ object CheckoutStream {
     * (product_id, stock). Returns (order_id, status) verdicts.
     */
   def admitOrders(lines: DataFrame, inventory: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("product_id")).orderBy(col("order_id"))
+    // explicit ROWS frame + quantity tiebreak: the default RANGE frame
+    // would let peer rows (same order_id) see the full group sum, which
+    // diverges from the declared per-line running charge when an order
+    // repeats a product; after (order_id, quantity) any remaining ties
+    // are identical rows, so the cumsum multiset is deterministic
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("order_id"), col("quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lines
       .withColumn("cum_demand", sum(col("quantity")).over(w))
       .join(broadcast(inventory), Seq("product_id"), "left")
@@ -117,12 +124,19 @@ object CheckoutStream {
     def current(): DataFrame =
       spark.read.parquet(s"$dir/v${versions.last}")
 
-    /** Apply one micro-batch transactionally: admit orders, persist the
-      * decremented inventory as the next version. Returns verdicts. */
-    def applyBatch(lines: DataFrame): DataFrame = {
-      val inv = current()
+    /** Apply one micro-batch transactionally: admit orders against the
+      * version PRECEDING this batch, persist the decremented inventory
+      * as version batchId+1. Keying the version by batchId (instead of
+      * "latest + 1") makes the write idempotent under Structured
+      * Streaming's micro-batch retry: a retried batch re-reads the SAME
+      * pre-batch version it read the first time and overwrites the same
+      * target directory, so a failure between write and checkpoint
+      * commit never double-decrements stock. Versions align with batch
+      * ids: initialize() writes v0, batch b writes v(b+1). */
+    def applyBatch(lines: DataFrame, batchId: Long): DataFrame = {
+      val inv = spark.read.parquet(s"$dir/v$batchId")
       // no checkpoint needed: the new version is written to a fresh
-      // directory, so the verdict lineage (reading the current version)
+      // directory, so the verdict lineage (reading the pre-batch version)
       // stays valid for the caller's downstream writes
       val verdicts = admitOrders(lines, inv)
       val processedDemand = lines
@@ -134,7 +148,7 @@ object CheckoutStream {
         .select(
           col("product_id"),
           (col("stock") - coalesce(col("demand"), lit(0L))).cast("int").as("stock"))
-      next.write.mode("overwrite").parquet(s"$dir/v${versions.last + 1}")
+      next.write.mode("overwrite").parquet(s"$dir/v${batchId + 1}")
       verdicts
     }
   }
@@ -159,12 +173,14 @@ object CheckoutStream {
             col("order_id"), col("customer_id"),
             col("item.product_id").as("product_id"),
             col("item.quantity").cast("long").as("quantity"))
-        val verdicts = inventory.applyBatch(lines)
-        // E2 projection on the success path; FAILED is recorded too (A4)
+        val verdicts = inventory.applyBatch(lines, batchId)
+        // E2 projection on the success path; FAILED is recorded too (A4).
+        // Per-batch partition dir + overwrite (not a blind append) keeps
+        // the sink idempotent under micro-batch retry, matching the
+        // inventory versioning above.
         verdicts
-          .withColumn("batch_id", lit(batchId))
           .withColumn("processed_at", current_timestamp())
-          .write.mode("append").parquet(verdictsPath)
+          .write.mode("overwrite").parquet(s"$verdictsPath/batch_id=$batchId")
         ()
       }
 }

@@ -62,11 +62,16 @@ class CheckoutSpec extends SparkSpec {
     // batch 1: o-1 takes 2 of prod-101
     val v1 = CheckoutStream.admitOrders(lines(("o-1", "prod-101", 2)), inv.current())
     assert(statusOf(v1)("o-1") === Model.StatusProcessed)
-    inv.applyBatch(lines(("o-1", "prod-101", 2)))
+    inv.applyBatch(lines(("o-1", "prod-101", 2)), batchId = 0)
     val after1 = inv.current().filter($"product_id" === "prod-101").collect()(0).getAs[Int]("stock")
     assert(after1 === 48)
+    // batch 1 RETRIED (redelivery): re-reads the same pre-batch version
+    // and overwrites the same target — no double decrement
+    inv.applyBatch(lines(("o-1", "prod-101", 2)), batchId = 0)
+    val retried = inv.current().filter($"product_id" === "prod-101").collect()(0).getAs[Int]("stock")
+    assert(retried === 48)
     // batch 2: different order, decrements again
-    inv.applyBatch(lines(("o-2", "prod-101", 3)))
+    inv.applyBatch(lines(("o-2", "prod-101", 3)), batchId = 1)
     val after2 = inv.current().filter($"product_id" === "prod-101").collect()(0).getAs[Int]("stock")
     assert(after2 === 45)
   }
