@@ -225,11 +225,21 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d), 5,
         Similarity.scaledBits(Tables.embeddings(s, d).count()))
         .orderBy(col("q_id"), col("rank"))),
+    // two Lloyd iterations so the centroid UPDATE path (not just the
+    // seeded assignment) runs under the oracle; the DuckDB SQL mirrors
+    // the full assign → float-quantized mean → re-assign chain
     "emb_ivf_assign" -> ((s, d) =>
-      graft.ops.Ivf.buildIndex(Tables.embeddings(s, d), k = 8, iters = 1)
+      graft.ops.Ivf.buildIndex(Tables.embeddings(s, d), k = 8, iters = 2)
         .groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("centroid_id"))),
+    // probe path: route each query to its nprobe=2 nearest centroids,
+    // score only vectors in those buckets
+    "emb_ivf_topk" -> ((s, d) => {
+      val (idx, cents) = graft.ops.Ivf.index(Tables.embeddings(s, d), k = 8, iters = 2)
+      graft.ops.Ivf.topK(idx, cents, embQueries(s, d), 10, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
 
     // ----- event-time windows (M4 / ST6 extensions)
     "events_tumbling_hourly" -> ((s, d) =>
@@ -250,8 +260,8 @@ object SparkEntry {
     "stream_checkout_counts" -> ((s, d) => streamCheckoutCounts(s, d)),
     "stream_dedup_counts" -> ((s, d) => streamDedupCounts(s, d)),
 
-    // ----- SimHash (custom typed Aggregator; no ANSI-SQL form — rows-only
-    //       driver check, semantics covered in ScalaTest)
+    // ----- SimHash (custom typed Aggregator; md5-derived token hash, so
+    //       the bit-vote aggregation IS oracle-checkable — see oracleSql)
     "dedup_simhash" -> ((s, d) =>
       graft.ops.Simhash.signatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
@@ -339,6 +349,29 @@ object SparkEntry {
   private val validSql =
     "(user_id IS NOT NULL AND event_type IS NOT NULL AND " +
       "json_extract_string(props, '$.k') IS NOT NULL AND value >= 1.0)"
+
+  /** Sequential-fold cosine over DOUBLE[] — bitwise-matches the Spark
+    * HOF fold and the fused native expression (same element order). */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))"
+
+  /** Two Lloyd iterations mirrored in SQL: seed from the 8 lowest ids,
+    * assign (argmax cosine, centroid-id tiebreak), per-dim mean cast to
+    * FLOAT (the quantization updateCentroids applies — also what keeps
+    * both engines' aggregation-order double noise from leaking into the
+    * comparison), re-assign. `a2` = final assignments, `c1` = the
+    * centroids that produced them. */
+  private val ivfSql =
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
+      "c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 8), " +
+      s"s1 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM v CROSS JOIN c0), " +
+      "a1 AS (SELECT vec_id, ve, centroid_id FROM s1 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1), " +
+      "cell AS (SELECT centroid_id, unnest(range(0, len(ve))) AS dim, unnest(ve) AS val FROM a1), " +
+      "cm AS (SELECT centroid_id, dim, avg(val) AS m FROM cell GROUP BY centroid_id, dim), " +
+      "c1 AS (SELECT centroid_id, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS ce FROM cm GROUP BY centroid_id), " +
+      s"s2 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM v CROSS JOIN c1), " +
+      "a2 AS (SELECT vec_id, ve, centroid_id FROM s2 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -625,16 +658,18 @@ object SparkEntry {
         "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 5 ORDER BY q_id, rank"),
 
     "emb_ivf_assign" ->
-      ("WITH c AS (SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 8), " +
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
-        "s AS (SELECT vec_id, centroid_id, " +
-        "list_sum(list_transform(range(1, len(ve)+1), i -> ve[i]*ce[i])) / " +
-        "(sqrt(list_sum(list_transform(ve, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))) AS sim " +
-        "FROM v CROSS JOIN c), " +
-        "a AS (SELECT vec_id, centroid_id FROM s " +
-        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1) " +
-        "SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors FROM a " +
+      (s"WITH $ivfSql " +
+        "SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors FROM a2 " +
         "GROUP BY centroid_id ORDER BY centroid_id"),
+    "emb_ivf_topk" ->
+      (s"WITH $ivfSql, " +
+        "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        s"r AS (SELECT q_id, qe, centroid_id FROM (SELECT q_id, qe, centroid_id, ${cosSql("qe", "ce")} AS csim FROM q CROSS JOIN c1) " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
+        s"sc AS (SELECT q_id, vec_id, round(${cosSql("qe", "ve")}, 4) AS sim " +
+        "FROM r JOIN a2 USING (centroid_id) WHERE vec_id <> q_id) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
     "events_tumbling_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value " +
@@ -665,6 +700,24 @@ object SparkEntry {
         "FROM cum LEFT JOIN part ON product_id = p_partkey GROUP BY order_id) " +
         "SELECT CASE WHEN ok THEN 'PROCESSED' ELSE 'FAILED' END AS status, " +
         "CAST(count(*) AS BIGINT) AS n_orders FROM v GROUP BY 1 ORDER BY status"),
+
+    // SimHash bit-vote re-derived from the md5 hex digest: token hash =
+    // first 16 hex chars as a big-endian 64-bit value, so bit i of the
+    // hash is bit (i%4) of hex nibble at 1-based position 16 - i//4.
+    // Explode 64 bit positions per token, signed-sum the votes, assemble
+    // the signature as HUGEINT, then two's-complement down to BIGINT.
+    "dedup_simhash" ->
+      ("WITH w AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents), " +
+        "b AS (SELECT doc_id, h, unnest(range(0, 64)) AS i FROM w), " +
+        "v AS (SELECT doc_id, i, sum(CASE WHEN " +
+        "((strpos('0123456789abcdef', substr(h, CAST(16 - i // 4 AS INT), 1)) - 1) " +
+        "// CAST(power(2, i % 4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote " +
+        "FROM b GROUP BY doc_id, i), " +
+        "s AS (SELECT doc_id, COALESCE(sum(CASE WHEN vote > 0 THEN CAST(power(2, i) AS HUGEINT) " +
+        "ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS raw FROM v GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(raw - CASE WHEN raw >= 9223372036854775808 " +
+        "THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS simhash " +
+        "FROM s ORDER BY doc_id"),
 
     "mm_binary_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +

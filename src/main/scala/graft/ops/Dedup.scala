@@ -134,4 +134,60 @@ object Dedup {
     minhashSignatures(docs, bands)
       .groupBy(col("band"), col("signature"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Dedup DECISIONS — the operator a training-data pipeline actually
+    * runs end-to-end: candidate edges from the MinHash LSH buckets →
+    * connected components → one keeper per component.
+    *
+    * Edges are the buckets' STARS (bucket-min doc ↔ each member), so a
+    * bucket of n docs contributes n-1 edges, never n²/2. Components are
+    * resolved by iterative min-label propagation over the symmetric
+    * edge set — fully distributed (each round is one join + one min
+    * aggregation; NO driver-side union-find, nothing ever collected),
+    * converging in O(component diameter) rounds; star edges keep
+    * diameters small, and a production giant-component corpus would add
+    * large-star/small-star rounds to cut them further. The driver loop
+    * only checks a converged-count per round — an O(1) scalar action,
+    * not data movement.
+    *
+    * Returns (doc_id, component_id, is_keeper): component_id = min
+    * doc_id reachable, keeper = the doc equal to it. Docs with no
+    * shingles (or no collisions) are their own singleton component. */
+  def dedupComponents(docs: DataFrame, bands: Int = 4, maxRounds: Int = 20): DataFrame = {
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("signature"))
+    val edges = minhashSignatures(docs, bands)
+      .withColumn("hub", min(col("doc_id")).over(bucketW))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    val sym = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component_id"))
+    var prev: DataFrame = null
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaNeighbor = sym
+        .join(labels, sym("src") === labels("doc_id"))
+        .select(sym("dst").as("doc_id"), col("component_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component_id")).as("component_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("component_id", "old_label"), Seq("doc_id"))
+        .filter(col("component_id") =!= col("old_label"))
+        .count()
+      if (prev != null) prev.unpersist(false)
+      prev = next
+      labels = next
+      round += 1
+    }
+    labels.select(
+      col("doc_id"), col("component_id"),
+      (col("doc_id") === col("component_id")).as("is_keeper"))
+  }
 }

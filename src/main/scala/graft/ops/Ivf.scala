@@ -58,17 +58,25 @@ object Ivf {
       .select(col("centroid_id"),
         transform(col("cells"), c => c.getField("m").cast("float")).as("centroid"))
 
-  /** Build the index: fixed-iteration Lloyd's, returns (vec_id,
-    * embedding, centroid_id) assignments. */
-  def buildIndex(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+  /** Build the index: fixed-iteration Lloyd's. Returns the (vec_id,
+    * embedding, centroid_id) assignments AND the centroids that produced
+    * the final assignment — the probe path must route queries with
+    * exactly those centroids. Centroid cells are float-quantized
+    * (updateCentroids casts the per-dim mean to float), which also pins
+    * cross-engine reproducibility: a float has enough headroom over the
+    * ~1-ulp double variance of aggregation order. */
+  def index(corpus: DataFrame, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
     var centroids = seedCentroids(corpus, k)
     var assigned = assign(corpus, centroids)
     for (_ <- 1 until math.max(1, iters)) {
       centroids = updateCentroids(assigned)
       assigned = assign(corpus, centroids)
     }
-    assigned
+    (assigned, centroids)
   }
+
+  def buildIndex(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame =
+    index(corpus, k, iters)._1
 
   /** Probe-time top-k: route each query to its `nprobe` nearest
     * centroids, score only vectors in those buckets. The candidate join

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * the per-bit vote sum over its tokens' 64-bit hashes; near-duplicate
   * docs have small Hamming distance between their SimHashes.
   *
-  * The token hash is FNV-1a (deterministic, seed-free, engine-neutral —
-  * no dependence on Spark's Murmur seed). Not oracle-checkable in SQL
-  * (bit-vote aggregation has no reasonable ANSI form), so this op is
-  * covered by ScalaTest + a rows-only driver check.
+  * The token hash is the first 8 bytes (big-endian) of md5 over the
+  * UTF-8 token — deterministic, seed-free, and engine-neutral: any SQL
+  * engine with md5 can reproduce it from the hex digest (bit i of the
+  * hash is bit i%4 of hex nibble 16 - i/4), which is exactly how the
+  * driver's DuckDB oracle re-derives the bit votes.
   *
   * Scale: one map-side-combining aggregation per doc (merge is a 64-int
   * vector add), then candidate pairing by Hamming distance over the
@@ -21,15 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Simhash {
 
-  /** FNV-1a 64-bit. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(token), big-endian — h's most significant
+    * nibble is the digest's first hex character. */
   private[ops] def hash64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
     h
   }
 

@@ -137,6 +137,23 @@ class OpsSpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("vec_id")).toSet === Set(1L, 2L))
   }
 
+  test("Simhash: md5-derived token hash, identical docs collide, near-dups are close") {
+    import graft.ops.Simhash
+    // hash64 = first 8 bytes of md5, big-endian (pinned against an
+    // independently computed value — the contract the oracle SQL relies on)
+    assert(Simhash.hash64("the") === -8087290180436138277L)
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely different content about spark engines"))
+    val sig = Simhash.signatures(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) === sig(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
+  }
+
   test("langId guesses the stopword-dominant language") {
     val d = docs((1L, "the cat of the house and the dog"), (2L, "der hund und die katze ist ein tier"))
     val m = TextOps.langId(d).collect()
