@@ -19,8 +19,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // One-time session warmup (codegen compiler, parquet reader classes,
     // shuffle infra) so the first measured query doesn't absorb it.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warmup failure (e.g. a dataset dir without region.parquet) must not
+    // abort the run — per-query errors are isolated below, this is too.
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     // deterministic order + per-query session hygiene: drop any cached
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state

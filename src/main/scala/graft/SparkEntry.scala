@@ -49,6 +49,16 @@ object SparkEntry {
     Tables.embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** LSH bit width shared by the Spark side and the DuckDB oracle: both
+    * engines derive scaledBits from the SAME (corpus size, embedding
+    * dim) — see the `bitsSql` fragment, which is this formula in SQL —
+    * so parity holds at any SF, not just where the knob lands on 4. */
+  private def embBits(s: SparkSession, d: String): Int = {
+    val r = Tables.embeddings(s, d)
+      .agg(count(lit(1)).as("n"), min(size(col("embedding"))).as("dim")).head()
+    Similarity.scaledBits(r.getLong(0), r.getInt(1))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map(
     // ----- ingest edge: P1/V1/V2 parse+validate, K1 key, E1 enrich, A3 dedup
@@ -204,13 +214,17 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), 20)),
     "dedup_minhash_buckets" -> ((s, d) =>
       Dedup.minhashBuckets(Tables.documents(s, d), 4).orderBy(col("band"), col("signature"))),
-    // bucket bits scale with corpus size (scaledBits: 500 vecs → 4 bits,
-    // matching the fixed-4-bit oracle at sf0.01; 2000 vecs at sf0.1 → 6
-    // bits, 4× fewer candidate pairs). The count() is parquet-metadata-
-    // cheap and keeps the knob corpus-proportional at any SF.
+    // end-to-end dedup DECISION: LSH buckets → connected components →
+    // keeper per component (what a training-data pipeline actually runs)
+    "dedup_components" -> ((s, d) =>
+      Dedup.dedupComponents(Tables.documents(s, d), 4).orderBy(col("doc_id"))),
+    // bucket bits scale with corpus size AND are clamped to the embedding
+    // dim (500 vecs → 4 bits at sf0.01, 2000 vecs → 6 bits at sf0.1, 4×
+    // fewer candidate pairs). The oracle derives the SAME bit count in
+    // SQL, so the pair stays hash-green at any SF. The agg is parquet-
+    // metadata-cheap and keeps the knob corpus-proportional.
     "dedup_embedding_cosine" -> ((s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), 20,
-        Similarity.scaledBits(Tables.embeddings(s, d).count()))),
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), 20, embBits(s, d))),
 
     // ----- similarity search (M4)
     "emb_cosine_topk" -> ((s, d) =>
@@ -222,8 +236,7 @@ object SparkEntry {
     "emb_bucket_histogram" -> ((s, d) =>
       Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
     "emb_ann_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d), 5,
-        Similarity.scaledBits(Tables.embeddings(s, d).count()))
+      Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d), 5, embBits(s, d))
         .orderBy(col("q_id"), col("rank"))),
     // two Lloyd iterations so the centroid UPDATE path (not just the
     // seeded assignment) runs under the oracle; the DuckDB SQL mirrors
@@ -259,11 +272,18 @@ object SparkEntry {
     //       charge serialized by order_id).
     "stream_checkout_counts" -> ((s, d) => streamCheckoutCounts(s, d)),
     "stream_dedup_counts" -> ((s, d) => streamDedupCounts(s, d)),
+    "stream_dlq_counts" -> ((s, d) => streamDlqCounts(s, d)),
 
     // ----- SimHash (custom typed Aggregator; md5-derived token hash, so
     //       the bit-vote aggregation IS oracle-checkable — see oracleSql)
     "dedup_simhash" -> ((s, d) =>
       graft.ops.Simhash.signatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // Hamming ≤ 3 near-dup pairing over 4×16-bit signature chunks —
+    // banded candidates are provably complete at this threshold, so the
+    // brute-force DuckDB oracle checks recall, not just precision
+    "dedup_simhash_pairs" -> ((s, d) =>
+      graft.ops.Simhash.hammingPairs(Tables.documents(s, d), 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // ----- multimodal plumbing (binary column features; decode is stubbed
     //       in graft.multimodal, the SQL-checkable surface is below)
@@ -276,12 +296,26 @@ object SparkEntry {
         .orderBy(col("doc_id")))
   )
 
+  /** Scratch space for the stream_* builders: run the pipeline in a temp
+    * dir, eagerly materialize the (tiny) final aggregate via
+    * localCheckpoint so its lineage no longer needs the files, then
+    * delete the dir — repeated invocations in a long session leave no
+    * litter. */
+  private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    try f(base.toString).localCheckpoint(true)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** The streaming pipeline driven end-to-end as a deterministic job:
     * orders (10% sample of lineitem, grouped to order events, JSON-
     * serialized into ONE file) stream through parse → validate →
     * transactional inventory, verdict counts read back from the sink. */
-  private def streamCheckoutCounts(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+  private def streamCheckoutCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-stream") { base =>
     val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
     Checkout.ordersWithItems(li)
       .select(to_json(struct(
@@ -308,8 +342,7 @@ object SparkEntry {
   /** ST4 over the generic event stream: every event delivered twice,
     * watermarked stream dedup restores exactly-once — final counts are
     * oracle-checkable against the plain distinct counts. */
-  private def streamDedupCounts(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+  private def streamDedupCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-dedup-stream") { base =>
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     ev.unionAll(ev).write.mode("overwrite").parquet(s"$base/in")
@@ -326,6 +359,28 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
+  }
+
+  /** ST2/S4 driven end-to-end: every event enters a file-backed retry
+    * queue; invalid events are poison — they fail every delivery,
+    * re-enter the queue with attempts+1, and divert to the DLQ at
+    * maxAttempts=3. Valid events deliver on attempt 1. The final
+    * (outcome, count, total attempts) split is oracle-checkable because
+    * the redrive policy is deterministic. */
+  private def streamDlqCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-dlq") { base =>
+    val queue = Ingest.parseAndValidateEvents(Tables.events(s, d))
+      .select(col("event_id"), col("is_valid"), lit(0).as("attempts"))
+    queue.write.mode("overwrite").parquet(s"$base/in/seed")
+    graft.streaming.RetryLoop.run(s, queue.schema, s"$base/in",
+      s"$base/delivered", s"$base/dlq", s"$base/ckpt", !col("is_valid"), maxAttempts = 3)
+    val del = s.read.schema(queue.schema).parquet(s"$base/delivered")
+      .select(lit("delivered").as("outcome"), col("attempts"))
+    val dead = s.read.schema(queue.schema).parquet(s"$base/dlq")
+      .select(lit("dead_letter").as("outcome"), col("attempts"))
+    del.unionByName(dead)
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n_events"), sum(col("attempts")).cast("long").as("n_attempts"))
+      .orderBy(col("outcome"))
   }
 
   // Shared SQL fragments for the checkout oracle (kept identical across
@@ -345,6 +400,41 @@ object SparkEntry {
       "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
       "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+
+  /** SimHash signatures in SQL — the token hash is the first 16 hex
+    * chars of md5 as a big-endian 64-bit value, so bit i of the hash is
+    * bit (i%4) of hex nibble at 1-based position 16 - i//4. Explode 64
+    * bit positions per token, signed-sum the votes, assemble the
+    * signature as HUGEINT, two's-complement down to BIGINT. Yields
+    * `sig(doc_id, simhash)`. */
+  private val simhashSigSql =
+    "w AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents), " +
+      "b AS (SELECT doc_id, h, unnest(range(0, 64)) AS i FROM w), " +
+      "v AS (SELECT doc_id, i, sum(CASE WHEN " +
+      "((strpos('0123456789abcdef', substr(h, CAST(16 - i // 4 AS INT), 1)) - 1) " +
+      "// CAST(power(2, i % 4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote " +
+      "FROM b GROUP BY doc_id, i), " +
+      "sraw AS (SELECT doc_id, COALESCE(sum(CASE WHEN vote > 0 THEN CAST(power(2, i) AS HUGEINT) " +
+      "ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS raw FROM v GROUP BY doc_id), " +
+      "sig AS (SELECT doc_id, CAST(raw - CASE WHEN raw >= 9223372036854775808 " +
+      "THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS simhash FROM sraw)"
+
+  /** The scaledBits knob in SQL — MUST mirror `embBits`/`Similarity
+    * .scaledBits` exactly (least over dim and 24, greatest with 4,
+    * ceil-log2 of n/32) so both engines derive the same LSH bit width
+    * from the data at any SF. */
+  private val bitsSql =
+    "prm AS (SELECT CAST(least(CAST(min(len(embedding)) AS INT), 24, " +
+      "greatest(4, CAST(ceil(log2(greatest(1.0, count(*) / 32.0))) AS INT))) AS INT) AS b " +
+      "FROM embeddings)"
+
+  /** Sign-bucket assignment with the formula-derived bit width; bit i
+    * (1-based) weighs 2^(b-i), matching Similarity.signBucket. */
+  private val bktSql =
+    s"$bitsSql, bkt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+      "list_sum(list_transform(range(1, b + 1), i -> CASE WHEN embedding[i] > 0 " +
+      "THEN CAST(power(2, b - i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS bucket " +
+      "FROM embeddings CROSS JOIN prm)"
 
   private val validSql =
     "(user_id IS NOT NULL AND event_type IS NOT NULL AND " +
@@ -593,10 +683,7 @@ object SparkEntry {
         "GROUP BY band, signature ORDER BY band, signature"),
 
     "dedup_embedding_cosine" ->
-      ("WITH bkt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
-        "((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) + " +
-        "(CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket " +
-        "FROM embeddings) " +
+      (s"WITH $bktSql " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(" +
         "list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])) / " +
         "(sqrt(list_sum(list_transform(a.e, x -> x*x))) * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 4) AS sim " +
@@ -605,6 +692,14 @@ object SparkEntry {
     "stream_dedup_counts" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // Deterministic redrive policy: valid events deliver on attempt 1,
+    // poison events burn exactly maxAttempts=3 attempts then dead-letter.
+    "stream_dlq_counts" ->
+      (s"SELECT CASE WHEN $validSql THEN 'delivered' ELSE 'dead_letter' END AS outcome, " +
+        "CAST(count(*) AS BIGINT) AS n_events, " +
+        s"CAST(sum(CASE WHEN $validSql THEN 1 ELSE 3 END) AS BIGINT) AS n_attempts " +
+        "FROM events GROUP BY 1 ORDER BY outcome"),
     "rel_pivot" ->
       ("SELECT c_nationkey, " +
         "CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS AUTOMOBILE, " +
@@ -645,10 +740,7 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_vectors, CAST(count(DISTINCT label) AS BIGINT) AS n_labels " +
         "FROM embeddings GROUP BY 1 ORDER BY bucket"),
     "emb_ann_lsh_topk" ->
-      ("WITH bkt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
-        "((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) + " +
-        "(CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket " +
-        "FROM embeddings), " +
+      (s"WITH $bktSql, " +
         "q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM bkt WHERE vec_id < 5), " +
         "s AS (SELECT q_id, c.vec_id, round(" +
         "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*c.e[i])) / " +
@@ -701,23 +793,36 @@ object SparkEntry {
         "SELECT CASE WHEN ok THEN 'PROCESSED' ELSE 'FAILED' END AS status, " +
         "CAST(count(*) AS BIGINT) AS n_orders FROM v GROUP BY 1 ORDER BY status"),
 
-    // SimHash bit-vote re-derived from the md5 hex digest: token hash =
-    // first 16 hex chars as a big-endian 64-bit value, so bit i of the
-    // hash is bit (i%4) of hex nibble at 1-based position 16 - i//4.
-    // Explode 64 bit positions per token, signed-sum the votes, assemble
-    // the signature as HUGEINT, then two's-complement down to BIGINT.
+    // SimHash bit-vote re-derived from the md5 hex digest (simhashSigSql)
     "dedup_simhash" ->
-      ("WITH w AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents), " +
-        "b AS (SELECT doc_id, h, unnest(range(0, 64)) AS i FROM w), " +
-        "v AS (SELECT doc_id, i, sum(CASE WHEN " +
-        "((strpos('0123456789abcdef', substr(h, CAST(16 - i // 4 AS INT), 1)) - 1) " +
-        "// CAST(power(2, i % 4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote " +
-        "FROM b GROUP BY doc_id, i), " +
-        "s AS (SELECT doc_id, COALESCE(sum(CASE WHEN vote > 0 THEN CAST(power(2, i) AS HUGEINT) " +
-        "ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS raw FROM v GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(raw - CASE WHEN raw >= 9223372036854775808 " +
-        "THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS simhash " +
-        "FROM s ORDER BY doc_id"),
+      s"WITH $simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+
+    // Brute-force all-pairs Hamming ≤ 3 — deliberately NOT banded: at
+    // this threshold the Spark side's 4-chunk banding is provably
+    // complete (pigeonhole), so brute force checks the LSH loses nothing.
+    "dedup_simhash_pairs" ->
+      (s"WITH $simhashSigSql " +
+        "SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming " +
+        "FROM sig x JOIN sig y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.simhash, y.simhash)) <= 3 ORDER BY doc_a, doc_b"),
+
+    // Connected components as a recursive-CTE transitive closure over the
+    // SAME star edges (bucket-min hub ↔ member) the Spark operator builds;
+    // min reachable label == converged min-label propagation.
+    "dedup_components" ->
+      (s"WITH RECURSIVE sig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        s"FROM (SELECT * FROM ($shingleSql) WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+        "star AS (SELECT min(doc_id) OVER (PARTITION BY band, signature) AS src, doc_id AS dst FROM sig), " +
+        "edges AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst), " +
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), " +
+        "reach AS (SELECT doc_id, doc_id AS lbl FROM documents " +
+        "UNION SELECT e.dst, r.lbl FROM sym e JOIN reach r ON e.src = r.doc_id) " +
+        "SELECT doc_id, min(lbl) AS component_id, doc_id = min(lbl) AS is_keeper " +
+        "FROM reach GROUP BY doc_id ORDER BY doc_id"),
 
     "mm_binary_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +

@@ -47,17 +47,20 @@ object Dedup {
     *    `maxDf` are dropped BEFORE the self-join (standard practice —
     *    boilerplate shingles carry no near-dup signal anyway). Jaccard
     *    is then computed consistently over the capped shingle sets.
-    *  - the capped posting list feeds three consumers (both join sides
-    *    + per-doc sizes); it is persisted for the query's lifetime so
-    *    the window+explode generation pass runs once, not three times.
+    *    The cap is an aggregate per shingle (a TINY result — one row per
+    *    distinct shingle under the cap) left-semi-joined back onto the
+    *    postings: no window sort of the full posting list, no persist,
+    *    and AQE stays free to re-plan the self-join (a window+persist
+    *    variant measured 11× slower at sf0.1 and its persist would be a
+    *    cluster-memory bomb at 100 TB).
     */
   def jaccardPairs(docs: DataFrame, topN: Int, maxDf: Int = 100): DataFrame = {
-    val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val sh = shingleSets(docs)
-      .withColumn("df", count(lit(1)).over(dfw))
+    val rare = shingleSets(docs)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .drop("df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("shingle"))
+    val sh = shingleSets(docs).join(rare, Seq("shingle"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -161,12 +164,18 @@ object Dedup {
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
       .distinct()
+    // Eager localCheckpoint: materializes the edge set once AND cuts the
+    // logical plan, so each propagation round plans over a flat scan
+    // instead of a lineage that doubles per round (a persist-only
+    // formulation re-analyzes the full history every round — measured
+    // minutes at 20 rounds even on 500 docs). On a real cluster swap for
+    // reliable checkpoint(dir); blocks are freed by the ContextCleaner.
     val sym = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = docs.select(col("doc_id"), col("doc_id").as("component_id"))
-    var prev: DataFrame = null
+      .localCheckpoint(true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -176,16 +185,18 @@ object Dedup {
       val next = labels.unionByName(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("component_id")).as("component_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("component_id", "old_label"), Seq("doc_id"))
         .filter(col("component_id") =!= col("old_label"))
         .count()
-      if (prev != null) prev.unpersist(false)
-      prev = next
       labels = next
       round += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dedupComponents: label propagation did NOT converge after $maxRounds rounds " +
+          s"($changed labels still changing) — components may be split across keepers; raise maxRounds")
     labels.select(
       col("doc_id"), col("component_id"),
       (col("doc_id") === col("component_id")).as("is_keeper"))

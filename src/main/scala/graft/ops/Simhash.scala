@@ -29,7 +29,7 @@ object Simhash {
 
   /** First 8 bytes of md5(token), big-endian — h's most significant
     * nibble is the digest's first hex character. */
-  private[ops] def hash64(s: String): Long = {
+  private[graft] def hash64(s: String): Long = {
     val md = mdLocal.get()
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -82,4 +82,34 @@ object Simhash {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"))
       .agg(simhash(col("word")).as("simhash"))
+
+  /** Near-dup pairs by Hamming distance over BANDED signatures — never
+    * all-pairs: the 64-bit signature splits into 4×16-bit chunks and
+    * candidate pairs come from an equi-join on (chunk_idx, chunk). By
+    * pigeonhole a pair within Hamming distance 3 has its ≤3 differing
+    * bits in ≤3 chunks, so it agrees on ≥1 chunk — for maxHamming ≤ 3
+    * recall is COMPLETE and the result equals brute-force pairing
+    * (exactly how the DuckDB oracle cross-checks it). At scale the
+    * chunk equi-join shuffles 8-byte keys and buckets the corpus;
+    * the all-pairs comparison never materializes. */
+  def hammingPairs(docs: org.apache.spark.sql.DataFrame, maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming > 3 breaks the 4-chunk pigeonhole recall guarantee")
+    val chunks = signatures(docs).select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(ci => struct(
+        lit(ci).as("chunk_idx"),
+        shiftrightunsigned(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+    val a = chunks.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sig_a"), col("sig_b")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -75,17 +75,25 @@ object Similarity {
     * keeps expected bucket occupancy near `targetBucket` as the corpus
     * grows. A FIXED bits degrades to all-pairs/2^bits at scale — at
     * 100 TB the bucket count must grow with the corpus (or the buckets
-    * be replaced by IVF centroids with k ∝ n, same join shape). Clamped
-    * to the embedding dimensionality ceiling by the caller. */
+    * be replaced by IVF centroids with k ∝ n, same join shape). */
   def scaledBits(n: Long, targetBucket: Int = 32, minBits: Int = 4, maxBits: Int = 24): Int =
     math.min(maxBits, math.max(minBits,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
+  /** As above, clamped to the embedding dimensionality `dim` — sign bits
+    * beyond the vector length carry no signal, so a knob that exceeds
+    * dim would only pretend to grow the bucket count. */
+  def scaledBits(n: Long, dim: Int): Int = math.min(dim, scaledBits(n))
+
   /** Deterministic sign-bit LSH bucket id from the first `bits` vector
-    * components (axis-aligned random-hyperplane LSH). */
+    * components (axis-aligned random-hyperplane LSH). `get` (0-based,
+    * null out of range under ANSI and non-ANSI alike) makes components
+    * past the vector length contribute 0 instead of erroring, but
+    * callers should still clamp bits to the dimensionality via
+    * `scaledBits(n, dim)` — see that doc. */
   def signBucket(emb: Column, bits: Int = 4): Column =
     (0 until bits).map { i =>
-      when(element_at(emb, i + 1) > 0f, lit(1 << (bits - 1 - i))).otherwise(lit(0))
+      when(get(emb, lit(i)) > 0f, lit(1 << (bits - 1 - i))).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Bucket occupancy histogram — the data-skew view of the LSH index. */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders, KeyValueGroupedDataset}
+import org.apache.spark.sql.{Dataset, Encoders, KeyValueGroupedDataset, functions => F}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** A2 v2 — the reserve phase of the transactional inventory on Spark 4's
@@ -48,11 +48,17 @@ object InventoryProcessor {
         rows: Iterator[LineRequest],
         timerValues: TimerValues): Iterator[LineVerdict] = {
       var available = if (stock.exists()) stock.get() else 0L
+      // compensation credits (quantity < 0) apply first, then requests in
       // deterministic within-batch serialization by order_id (ST5)
-      val verdicts = rows.toSeq.sortBy(_.order_id).map { r =>
-        val ok = available >= r.quantity && r.quantity >= 0
-        if (ok) available -= r.quantity
-        LineVerdict(r.order_id, r.product_id, r.quantity, ok)
+      val verdicts = rows.toSeq.sortBy(r => (r.quantity >= 0, r.order_id)).map { r =>
+        if (r.quantity < 0) { // saga rollback credit: always applied
+          available -= r.quantity
+          LineVerdict(r.order_id, r.product_id, r.quantity, granted = true)
+        } else {
+          val ok = available >= r.quantity
+          if (ok) available -= r.quantity
+          LineVerdict(r.order_id, r.product_id, r.quantity, ok)
+        }
       }
       stock.update(available)
       verdicts.iterator
@@ -69,5 +75,45 @@ object InventoryProcessor {
       Encoders.product[ProductStock]
     requests.transformWithState(
       new Processor, TimeMode.None(), OutputMode.Append(), initialStock)
+  }
+
+  // ---------------------------------------------------------------------
+  // Phase 2 — order-level all-or-nothing as a saga over the keyed
+  // reserve: grant per line above → group verdicts by order → emit
+  // compensating +quantity credits for orders with any denied line. The
+  // credits hop back into the SAME request stream (a queue hop, S3) and
+  // are applied ahead of the next batch's requests, restoring stock —
+  // the distributed rollback of the reference's transaction
+  // (src/order_processor/app.py:60-108) with no per-batch full-table
+  // rewrite: state stays sharded per product in RocksDB at any scale.
+  // ---------------------------------------------------------------------
+
+  /** All-or-nothing order verdict over line verdicts; credits (negative
+    * quantities) are bookkeeping rows, not order lines. */
+  def orderVerdicts(verdicts: Dataset[LineVerdict]): org.apache.spark.sql.DataFrame =
+    verdicts.toDF()
+      .filter(F.col("quantity") >= 0)
+      .groupBy(F.col("order_id"))
+      .agg(F.bool_and(F.col("granted")).as("all_granted"))
+
+  /** Compensating credits: negate each granted line of every order with
+    * a denied line. Feeding these back through `reserve` completes the
+    * saga — conservation holds because a failed order's net effect on
+    * every product is zero after its credits land. */
+  def compensations(verdicts: Dataset[LineVerdict]): Dataset[LineRequest] = {
+    implicit val reqEnc: org.apache.spark.sql.Encoder[LineRequest] =
+      Encoders.product[LineRequest]
+    // re-alias the key to fresh attributes: both join sides derive from
+    // the same verdicts relation (a self-join Catalyst cannot always
+    // deduplicate, e.g. over a streaming memory sink)
+    val failed = orderVerdicts(verdicts)
+      .filter(!F.col("all_granted"))
+      .select(F.col("order_id")).toDF("failed_order_id")
+    verdicts.toDF()
+      .filter(F.col("granted") && F.col("quantity") > 0)
+      .join(failed, F.col("order_id") === F.col("failed_order_id"))
+      .select(F.col("order_id"), F.col("product_id"),
+        (-F.col("quantity")).as("quantity"))
+      .as[LineRequest]
   }
 }

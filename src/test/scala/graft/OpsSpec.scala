@@ -154,6 +154,38 @@ class OpsSpec extends SparkSpec {
     assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
   }
 
+  test("dedupComponents resolves a multi-hop component to one keeper") {
+    // doc2 = doc1's words ++ doc3's words: its band-min shingle equals
+    // doc1's in bands 0/2 and doc3's in bands 1/3 (verified offline), so
+    // the edge set is the CHAIN 1–2, 2–3 with no direct 1–3 edge — label
+    // 1 must propagate to doc3 through doc2, exercising convergence
+    // beyond one round. doc4 shares nothing and stays a singleton.
+    val t1 = "apple banana cherry date elderberry fig grape"
+    val t3 = "zebra yak xenon walrus vulture toad stork"
+    val d = docs((1L, t1), (2L, s"$t1 $t3"), (3L, t3), (4L, "lonely isolated document over here today"))
+    val r = Dedup.dedupComponents(d, 4).collect()
+      .map(x => x.getAs[Long]("doc_id") -> ((x.getAs[Long]("component_id"), x.getAs[Boolean]("is_keeper")))).toMap
+    assert(r(1L) === ((1L, true)))
+    assert(r(2L) === ((1L, false)))
+    assert(r(3L) === ((1L, false))) // reached only via doc2: multi-hop
+    assert(r(4L) === ((4L, true)))
+    // NOTE: dedupComponents uses eager localCheckpoint (not persist), so
+    // its blocks are ContextCleaner-managed — freed when the RDD refs go
+    // out of scope and the driver GCs, with nothing for a caller to leak.
+  }
+
+  test("simhash hammingPairs: banded candidates find all pairs within distance 3") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "totally unrelated corpus about distributed engines"))
+    val pairs = graft.ops.Simhash.hammingPairs(d, 3).collect()
+    assert(pairs.length === 1) // identical docs: hamming 0; doc3 far away
+    assert(pairs(0).getAs[Long]("doc_a") === 1L && pairs(0).getAs[Long]("doc_b") === 2L)
+    assert(pairs(0).getAs[Int]("hamming") === 0)
+    intercept[IllegalArgumentException] { graft.ops.Simhash.hammingPairs(d, 5) }
+  }
+
   test("langId guesses the stopword-dominant language") {
     val d = docs((1L, "the cat of the house and the dog"), (2L, "der hund und die katze ist ein tier"))
     val m = TextOps.langId(d).collect()

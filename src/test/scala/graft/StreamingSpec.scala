@@ -97,6 +97,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("A2 v2 phase 2: failed orders compensate through the queue hop; conservation holds") {
+    import graft.streaming.InventoryProcessor._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[LineRequest]
+      val seed = Seq(ProductStock("A", 10), ProductStock("B", 0)).toDS().groupByKey(_.product_id)
+      val verdicts = graft.streaming.InventoryProcessor.reserve(
+        mem.toDS().groupByKey(_.product_id), seed)
+      val q = verdicts.writeStream
+        .format("memory").queryName("saga_out").outputMode("append")
+        .option("checkpointLocation", tmp("graft-saga-ckpt")).start()
+      // contention: o-1 takes A:8; o-2 gets A:2 granted (A exhausted) but
+      // B:1 denied (no stock) -> o-2 FAILED with a granted line to refund
+      mem.addData(LineRequest("o-1", "A", 8), LineRequest("o-2", "A", 2), LineRequest("o-2", "B", 1))
+      q.processAllAvailable()
+      val batch1 = spark.table("saga_out").as[LineVerdict]
+      val ov = orderVerdicts(batch1).collect()
+        .map(r => r.getAs[String]("order_id") -> r.getAs[Boolean]("all_granted")).toMap
+      assert(ov === Map("o-1" -> true, "o-2" -> false))
+      val credits = compensations(batch1).collect()
+      assert(credits.toSeq === Seq(LineRequest("o-2", "A", -2)))
+      mem.addData(credits.toIndexedSeq: _*) // the saga's queue hop back
+      q.processAllAvailable()
+      // probe: A:2 only fits if the credit restored stock (10 - 8 = 2)
+      mem.addData(LineRequest("o-3", "A", 2))
+      q.processAllAvailable()
+      val o3 = spark.table("saga_out").as[LineVerdict].collect().filter(_.order_id == "o-3")
+      q.stop()
+      assert(o3.map(_.granted).toSeq === Seq(true))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("ST2/S4 end-to-end: poison rows redeliver, accumulate attempts, divert to DLQ") {
+    import graft.streaming.RetryLoop
+    val base = tmp("graft-retry")
+    val queue = Seq(("ok-1", false, 0), ("ok-2", false, 0), ("poison-1", true, 0))
+      .toDF("key", "poison", "attempts")
+    queue.write.parquet(s"$base/in/seed")
+    val passes = RetryLoop.run(spark, queue.schema, s"$base/in",
+      s"$base/delivered", s"$base/dlq", s"$base/ckpt", $"poison", maxAttempts = 3)
+    assert(passes === 3) // poison burns exactly maxAttempts passes
+    val delivered = spark.read.schema(queue.schema).parquet(s"$base/delivered")
+      .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(delivered === Map("ok-1" -> 1, "ok-2" -> 1))
+    val dead = spark.read.schema(queue.schema).parquet(s"$base/dlq")
+      .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dead === Map("poison-1" -> 3)) // attempt count accumulated across redeliveries
+  }
+
   test("ST2: dead-letter split diverts keys at maxAttempts, keeps the rest") {
     val batch = Seq(("k1", "payload1"), ("k2", "payload2")).toDF("key", "payload")
     val attempts = Seq(("k1", 3)).toDF("key", "n_failures")
