@@ -273,6 +273,7 @@ object SparkEntry {
     "stream_checkout_counts" -> ((s, d) => streamCheckoutCounts(s, d)),
     "stream_dedup_counts" -> ((s, d) => streamDedupCounts(s, d)),
     "stream_dlq_counts" -> ((s, d) => streamDlqCounts(s, d)),
+    "stream_saga_counts" -> ((s, d) => streamSagaCounts(s, d)),
 
     // ----- SimHash (custom typed Aggregator; md5-derived token hash, so
     //       the bit-vote aggregation IS oracle-checkable — see oracleSql)
@@ -381,6 +382,55 @@ object SparkEntry {
       .groupBy(col("outcome"))
       .agg(count(lit(1)).as("n_events"), sum(col("attempts")).cast("long").as("n_attempts"))
       .orderBy(col("outcome"))
+  }
+
+  /** A2 v2 driven end-to-end under the oracle: the keyed
+    * `transformWithState` reserve (RocksDB state) over a file-source
+    * stream, composed with the phase-2 order verdict. The request set
+    * keeps ONE line per product (first order wins), so the keyed
+    * sequential grant is exactly `quantity <= stock` per line and the
+    * whole path is SQL-expressible; contention/compensation semantics
+    * are certified separately by the StreamingSpec saga test. */
+  private def streamSagaCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-saga") { base =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.InventoryProcessor
+    import s.implicits._
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        col("l_orderkey").cast("string").as("order_id"),
+        col("l_partkey").cast("string").as("product_id"),
+        col("l_quantity").cast("long").as("quantity"))
+      .write.mode("overwrite").parquet(s"$base/in")
+    val reqSchema = org.apache.spark.sql.Encoders.product[InventoryProcessor.LineRequest].schema
+    val requests = s.readStream.schema(reqSchema).parquet(s"$base/in")
+      .as[InventoryProcessor.LineRequest].groupByKey(_.product_id)
+    val seed = Checkout.inventoryFromParts(Tables.part(s, d))
+      .select(col("product_id").cast("string").as("product_id"), col("stock").cast("long").as("stock"))
+      .as[InventoryProcessor.ProductStock].groupByKey(_.product_id)
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = InventoryProcessor.reserve(requests, seed)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/verdicts")
+        .start()
+      q.awaitTermination()
+    } finally prevProvider match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val verdicts = s.read.parquet(s"$base/verdicts").as[InventoryProcessor.LineVerdict]
+    InventoryProcessor.orderVerdicts(verdicts)
+      .select(col("order_id"),
+        when(col("all_granted"), "PROCESSED").otherwise("FAILED").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("status"))
   }
 
   // Shared SQL fragments for the checkout oracle (kept identical across
@@ -692,6 +742,18 @@ object SparkEntry {
     "stream_dedup_counts" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // One line per product (first order by (orderkey, linenumber) wins),
+    // so the keyed sequential grant reduces to quantity <= stock and the
+    // order verdict to bool_and over the order's retained lines.
+    "stream_saga_counts" ->
+      ("WITH r AS (SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS q FROM lineitem " +
+        "WHERE l_orderkey % 10 = 0 " +
+        "QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) = 1), " +
+        "v AS (SELECT l_orderkey, bool_and(q <= COALESCE(p_size*10, 0)) AS ok " +
+        "FROM r LEFT JOIN part ON l_partkey = p_partkey GROUP BY l_orderkey) " +
+        "SELECT CASE WHEN ok THEN 'PROCESSED' ELSE 'FAILED' END AS status, " +
+        "CAST(count(*) AS BIGINT) AS n_orders FROM v GROUP BY 1 ORDER BY status"),
 
     // Deterministic redrive policy: valid events deliver on attempt 1,
     // poison events burn exactly maxAttempts=3 attempts then dead-letter.
