@@ -218,6 +218,9 @@ object SparkEntry {
     // keeper per component (what a training-data pipeline actually runs)
     "dedup_components" -> ((s, d) =>
       Dedup.dedupComponents(Tables.documents(s, d), 4).orderBy(col("doc_id"))),
+    // the two-stage pipeline: LSH candidates, exact-Jaccard verification
+    "dedup_minhash_verified" -> ((s, d) =>
+      Dedup.minhashVerifiedPairs(Tables.documents(s, d), 20)),
     // bucket bits scale with corpus size AND are clamped to the embedding
     // dim (500 vecs → 4 bits at sf0.01, 2000 vecs → 6 bits at sf0.1, 4×
     // fewer candidate pairs). The oracle derives the SAME bit count in
@@ -253,6 +256,10 @@ object SparkEntry {
       graft.ops.Ivf.topK(idx, cents, embQueries(s, d), 10, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // centroid-bucketed near-dup: same join shape as the sign-bucket
+    // variant with learned (data-adaptive) buckets
+    "dedup_embedding_ivf" -> ((s, d) =>
+      graft.ops.Ivf.nearDupPairs(Tables.embeddings(s, d), 20, k = 8, iters = 2)),
 
     // ----- event-time windows (M4 / ST6 extensions)
     "events_tumbling_hourly" -> ((s, d) =>
@@ -747,6 +754,27 @@ object SparkEntry {
         "SELECT band, signature, CAST(count(*) AS BIGINT) AS n_docs FROM sig " +
         "GROUP BY band, signature ORDER BY band, signature"),
 
+    // LSH-candidate generation mirrored exactly; exact Jaccard verify
+    // over the FULL (uncapped) shingle sets restricted to candidates.
+    "dedup_minhash_verified" ->
+      (s"WITH sig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        s"FROM (SELECT * FROM ($shingleSql) WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+        "ok AS (SELECT band, signature FROM (SELECT band, signature, count(*) AS n " +
+        "FROM sig GROUP BY 1, 2) WHERE n <= 50), " +
+        "bucketed AS (SELECT sig.doc_id, sig.band, sig.signature FROM sig JOIN ok USING (band, signature)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bucketed x " +
+        "JOIN bucketed y ON x.band = y.band AND x.signature = y.signature AND x.doc_id < y.doc_id), " +
+        s"sh0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh0 GROUP BY doc_id), " +
+        "common AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common FROM cand " +
+        "JOIN sh0 p ON p.doc_id = doc_a JOIN sh0 q ON q.doc_id = doc_b AND q.shingle = p.shingle GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard " +
+        "FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id " +
+        "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"),
+
     "dedup_embedding_cosine" ->
       (s"WITH $bktSql " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(" +
@@ -830,6 +858,14 @@ object SparkEntry {
       (s"WITH $ivfSql " +
         "SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors FROM a2 " +
         "GROUP BY centroid_id ORDER BY centroid_id"),
+    // same final assignments (a2) as emb_ivf_assign/topk; within-bucket
+    // pairs scored with the sequential-fold cosine
+    "dedup_embedding_ivf" ->
+      (s"WITH $ivfSql " +
+        s"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(${cosSql("x.ve", "y.ve")}, 4) AS sim " +
+        "FROM a2 x JOIN a2 y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id " +
+        "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"),
+
     "emb_ivf_topk" ->
       (s"WITH $ivfSql, " +
         "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +

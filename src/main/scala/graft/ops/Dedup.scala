@@ -138,6 +138,45 @@ object Dedup {
       .groupBy(col("band"), col("signature"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** The canonical two-stage MinHash dedup pipeline: LSH band buckets
+    * GENERATE candidate pairs (docs sharing any (band, signature)
+    * bucket), exact n-gram Jaccard over the full shingle sets VERIFIES
+    * them — LSH recall, exact precision. Degenerate buckets (boilerplate
+    * collisions) are dropped above `maxBucket` members before pairing,
+    * the same n²-guard as jaccardPairs' DF cap and implemented the same
+    * way (tiny aggregate, left-semi join — no window, no persist). At
+    * scale the verify join touches only candidate pairs' shingles, a
+    * vanishing fraction of the corpus. */
+  def minhashVerifiedPairs(
+      docs: DataFrame, topN: Int, bands: Int = 4, maxBucket: Int = 50): DataFrame = {
+    val sigs = minhashSignatures(docs, bands)
+    val ok = sigs.groupBy(col("band"), col("signature"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("band"), col("signature"))
+    val bucketed = sigs.join(ok, Seq("band", "signature"), "left_semi")
+    val cand = bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_a"))
+      .join(bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_b")),
+        Seq("band", "signature"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sh = shingleSets(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id"), col("n_shingles").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_shingles").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
+
   /** Dedup DECISIONS — the operator a training-data pipeline actually
     * runs end-to-end: candidate edges from the MinHash LSH buckets →
     * connected components → one keeper per component.

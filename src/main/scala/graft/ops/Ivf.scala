@@ -78,6 +78,25 @@ object Ivf {
   def buildIndex(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame =
     index(corpus, k, iters)._1
 
+  /** IVF-bucketed near-dup pairs: candidates share a centroid bucket
+    * (the equi-join on centroid_id replaces the all-pairs cross join —
+    * the same shape as Dedup.embeddingNearDups with sign buckets swapped
+    * for learned centroids, which adapt to the data distribution where
+    * axis-aligned sign planes cannot). Top-n by native cosine. */
+  def nearDupPairs(corpus: DataFrame, topN: Int, k: Int, iters: Int = 2): DataFrame = {
+    val (assigned, _) = index(corpus, k, iters)
+    val a = assigned.select(
+      col("centroid_id"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(
+      col("centroid_id"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cos(col("emb_a"), col("emb_b")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(topN)
+  }
+
   /** Probe-time top-k: route each query to its `nprobe` nearest
     * centroids, score only vectors in those buckets. The candidate join
     * is an equi-join on centroid_id — the corpus fraction scanned is

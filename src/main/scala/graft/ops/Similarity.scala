@@ -105,7 +105,9 @@ object Similarity {
         countDistinct(col("label")).as("n_labels"))
 
   /** LSH-bucketed ANN top-k: queries probe only their own bucket —
-    * the equi-join on bucket id replaces the cross join. */
+    * the equi-join on bucket id replaces the cross join. Scoring uses
+    * the fused native cosine (bit-identical to the HOF fold — proven by
+    * OpsSpec — in one codegen'd loop per pair). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4): DataFrame = {
     val c = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
     val q = queries.withColumn("bucket", signBucket(col("q_emb"), bits))
@@ -114,7 +116,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(
         col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 4).as("sim"))
+        round(graft.functions.VectorExpressions.cosineNative(col("q_emb"), col("embedding")), 4)
+          .as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -186,6 +186,28 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { graft.ops.Simhash.hammingPairs(d, 5) }
   }
 
+  test("minhashVerifiedPairs: LSH candidates verified by exact Jaccard") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "unrelated words that share nothing at all"))
+    val pairs = Dedup.minhashVerifiedPairs(d, 10).collect()
+    assert(pairs.length === 1) // 3 never shares a bucket with 1/2
+    assert(pairs(0).getAs[Long]("doc_a") === 1L && pairs(0).getAs[Long]("doc_b") === 2L)
+    assert(pairs(0).getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("IVF near-dup pairs come only from shared centroid buckets") {
+    import graft.ops.Ivf
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.95f, 0.05f)),
+      (10L, Seq(0f, 1f)), (11L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Ivf.nearDupPairs(corpus, 10, k = 2, iters = 2).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs === Set((0L, 1L), (10L, 11L))) // no cross-cluster pair
+  }
+
   test("langId guesses the stopword-dominant language") {
     val d = docs((1L, "the cat of the house and the dog"), (2L, "der hund und die katze ist ein tier"))
     val m = TextOps.langId(d).collect()
