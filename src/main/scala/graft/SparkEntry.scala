@@ -221,6 +221,11 @@ object SparkEntry {
     // the two-stage pipeline: LSH candidates, exact-Jaccard verification
     "dedup_minhash_verified" -> ((s, d) =>
       Dedup.minhashVerifiedPairs(Tables.documents(s, d), 20)),
+    // terminal op: the deduplicated corpus itself (keepers only)
+    "dedup_kept_docs" -> ((s, d) =>
+      Dedup.deduplicate(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     // bucket bits scale with corpus size AND are clamped to the embedding
     // dim (500 vecs → 4 bits at sf0.01, 2000 vecs → 6 bits at sf0.1, 4×
     // fewer candidate pairs). The oracle derives the SAME bit count in
@@ -753,6 +758,22 @@ object SparkEntry {
         "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b) " +
         "SELECT band, signature, CAST(count(*) AS BIGINT) AS n_docs FROM sig " +
         "GROUP BY band, signature ORDER BY band, signature"),
+
+    // keepers = docs whose id equals their component min (same recursive
+    // closure as dedup_components), semi-joined back onto the corpus
+    "dedup_kept_docs" ->
+      (s"WITH RECURSIVE sig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        s"FROM (SELECT * FROM ($shingleSql) WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+        "star AS (SELECT min(doc_id) OVER (PARTITION BY band, signature) AS src, doc_id AS dst FROM sig), " +
+        "edges AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst), " +
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), " +
+        "reach AS (SELECT doc_id, doc_id AS lbl FROM documents " +
+        "UNION SELECT e.dst, r.lbl FROM sym e JOIN reach r ON e.src = r.doc_id), " +
+        "keep AS (SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id = min(lbl)) " +
+        "SELECT d.doc_id, lang, n_chars FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id"),
 
     // LSH-candidate generation mirrored exactly; exact Jaccard verify
     // over the FULL (uncapped) shingle sets restricted to candidates.

@@ -258,4 +258,13 @@ object Dedup {
       col("doc_id"), col("component_id"),
       (col("doc_id") === col("component_id")).as("is_keeper"))
   }
+
+  /** Terminal dedup op: the corpus with only component KEEPERS retained —
+    * the frame a downstream training pipeline actually consumes. One
+    * left-semi join against the (tiny) keeper id set; all columns pass
+    * through untouched. */
+  def deduplicate(docs: DataFrame, bands: Int = 4): DataFrame =
+    docs.join(
+      dedupComponents(docs, bands).filter(col("is_keeper")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
 }

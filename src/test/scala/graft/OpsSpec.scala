@@ -169,6 +169,9 @@ class OpsSpec extends SparkSpec {
     assert(r(2L) === ((1L, false)))
     assert(r(3L) === ((1L, false))) // reached only via doc2: multi-hop
     assert(r(4L) === ((4L, true)))
+    // terminal op: only the keepers survive
+    assert(Dedup.deduplicate(d, 4).collect().map(_.getAs[Long]("doc_id")).sorted
+      === Array(1L, 4L))
     // NOTE: dedupComponents uses eager localCheckpoint (not persist), so
     // its blocks are ContextCleaner-managed — freed when the RDD refs go
     // out of scope and the driver GCs, with nothing for a caller to leak.
