@@ -187,6 +187,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "rel_scalar_dates" -> ((s, d) =>
       StarQueries.scalarDates(Tables.orders(s, d)).orderBy(col("o_orderkey"))),
+    // skew-salted join certified against the PLAIN join's oracle: the
+    // salt must be invisible in the result by construction
+    "rel_join_salted" -> ((s, d) =>
+      graft.ops.Skew.saltedJoin(
+        Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p_partkey"), col("l_extendedprice")),
+        Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        "p_partkey", 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .orderBy(col("p_brand"))),
 
     // ----- text analysis (M4)
     "text_token_stats" -> ((s, d) =>
@@ -686,6 +698,13 @@ object SparkEntry {
         "replace(p_type, ' ', '_') AS type_slug, p_size % 5 AS size_mod, " +
         "round(p_retailprice * 1.1, 2) AS uplifted, concat_ws(':', p_brand, p_size) AS brand_size " +
         "FROM part ORDER BY p_partkey"),
+    // the salted join must produce exactly the plain join's aggregate
+    "rel_join_salted" ->
+      ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "round(sum(l_extendedprice), 2) AS total_price " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+
     "rel_scalar_dates" ->
       ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +
         "CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m, " +
