@@ -298,6 +298,7 @@ object SparkEntry {
     "stream_dedup_counts" -> ((s, d) => streamDedupCounts(s, d)),
     "stream_dlq_counts" -> ((s, d) => streamDlqCounts(s, d)),
     "stream_saga_counts" -> ((s, d) => streamSagaCounts(s, d)),
+    "stream_window_counts" -> ((s, d) => streamWindowCounts(s, d)),
 
     // ----- SimHash (custom typed Aggregator; md5-derived token hash, so
     //       the bit-vote aggregation IS oracle-checkable — see oracleSql)
@@ -470,6 +471,47 @@ object SparkEntry {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("status"))
+  }
+
+  /** ST6 under the oracle: watermarked tumbling-window aggregation in
+    * APPEND mode — a window row is emitted exactly once, when the
+    * watermark passes its end. Two AvailableNow passes over the same
+    * checkpoint: pass 1 streams the real events; pass 2 streams one
+    * sentinel event 3 h past the horizon, advancing the watermark past
+    * every real window's end so all of them finalize (the sentinel's own
+    * window stays open and is filtered out). The emitted set then equals
+    * the batch tumbling aggregate — the events_tumbling_hourly oracle. */
+  private def streamWindowCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-win") { base =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(s"$base/in/batch0")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def runPass(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(s"$base/in/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    }
+    runPass()
+    s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
+      lit("sentinel").as("event_type"),
+      lit(0.0).as("value"))
+      .write.mode("overwrite").parquet(s"$base/in/sentinel")
+    runPass()
+    s.read.parquet(s"$base/out")
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy(col("win_start"), col("event_type"))
   }
 
   // Shared SQL fragments for the checkout oracle (kept identical across
@@ -916,6 +958,12 @@ object SparkEntry {
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
     "events_tumbling_hourly" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"),
+
+    // append-mode watermarked windows must equal the batch aggregate
+    "stream_window_counts" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"),
