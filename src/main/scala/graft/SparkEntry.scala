@@ -218,6 +218,13 @@ object SparkEntry {
         col("doc_id"),
         size(TextOps.tokensRegex(col("text"))).as("n_regex_tokens"))
         .orderBy(col("doc_id"))),
+    // context-window chunking (32-token windows, stride 24); chunk
+    // content certified via md5 so the gate hashes stay compact
+    "text_chunks" -> ((s, d) =>
+      TextOps.chunks(Tables.documents(s, d), 32, 24)
+        .select(col("doc_id"), col("chunk_start"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_start"))),
 
     // ----- deduplication (M4)
     "dedup_exact_groups" -> ((s, d) =>
@@ -795,6 +802,16 @@ object SparkEntry {
     "text_token_regex" ->
       ("SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9'']+'), t -> length(t) > 0)) AS INT) AS n_regex_tokens " +
         "FROM documents ORDER BY doc_id"),
+
+    // 1-based inclusive slice w[cs+1 : cs+32] truncates at the end —
+    // matching Spark's slice(words, start+1, 32)
+    "text_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS cs FROM t) " +
+        "SELECT doc_id, CAST(cs AS INT) AS chunk_start, " +
+        "CAST(least(32, len(w) - cs) AS INT) AS n_chunk_tokens, " +
+        "md5(array_to_string(w[cs + 1 : cs + 32], ' ')) AS chunk_hash " +
+        "FROM s WHERE least(32, len(w) - cs) > 0 ORDER BY doc_id, chunk_start"),
     "dedup_exact_groups" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, " +
         "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"),

@@ -247,6 +247,10 @@ object Dedup {
         .join(labels.withColumnRenamed("component_id", "old_label"), Seq("doc_id"))
         .filter(col("component_id") =!= col("old_label"))
         .count()
+      // free the previous round's checkpoint blocks NOW — leaving them
+      // for driver GC strands rounds × partitions blocks per call and
+      // measurably degrades later queries in the same session
+      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(labels)
       labels = next
       round += 1
     }
@@ -254,6 +258,10 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"dedupComponents: label propagation did NOT converge after $maxRounds rounds " +
           s"($changed labels still changing) — components may be split across keepers; raise maxRounds")
+    // sym's blocks are no longer needed (labels' checkpoint cut the
+    // lineage); only the final labels checkpoint stays alive, backing
+    // the returned frame
+    org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(sym)
     labels.select(
       col("doc_id"), col("component_id"),
       (col("doc_id") === col("component_id")).as("is_keeper"))

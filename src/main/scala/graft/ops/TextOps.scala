@@ -145,6 +145,26 @@ object TextOps {
     spread.select(col("doc_id"), tokens(col("text")).as("words"))
   }
 
+  /** Context-window chunking — the op that turns documents into
+    * training examples: fixed `chunkSize`-token windows starting every
+    * `stride` tokens (overlap = chunkSize - stride; trailing windows
+    * shorter than chunkSize are kept with their true token count). One
+    * narrow explode per doc, no shuffle — at 100 TB this is a map-only
+    * stage whose output is already the training-shard shape. `slice` +
+    * `concat_ws` over the materialized token array stay codegen'd. */
+  def chunks(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    withTokens(docs)
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0), greatest(size(col("words")) - 1, lit(0)), lit(stride)))
+          .as("chunk_start"))
+      .select(
+        col("doc_id"), col("chunk_start"),
+        least(lit(chunkSize), size(col("words")) - col("chunk_start")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("words"), col("chunk_start") + 1, lit(chunkSize))).as("chunk_text"))
+      .filter(col("n_chunk_tokens") > 0)
+  }
+
   /** Flat (doc_id, shingle) postings via posexplode + lead windows — the
     * generation path for bulk near-dup work. Fully codegen'd (window +
     * concat, no HOF lambda, whose interpreted evaluation dominates cold

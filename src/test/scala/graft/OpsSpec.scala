@@ -211,6 +211,13 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (10L, 11L))) // no cross-cluster pair
   }
 
+  test("chunks: stride windows with true trailing token counts") {
+    val r = TextOps.chunks(docs((1L, "a b c d e")), chunkSize = 3, stride = 2)
+      .orderBy($"chunk_start").collect()
+      .map(x => (x.getAs[Int]("chunk_start"), x.getAs[Int]("n_chunk_tokens"), x.getAs[String]("chunk_text")))
+    assert(r.toSeq === Seq((0, 3, "a b c"), (2, 3, "c d e"), (4, 1, "e")))
+  }
+
   test("langId guesses the stopword-dominant language") {
     val d = docs((1L, "the cat of the house and the dog"), (2L, "der hund und die katze ist ein tier"))
     val m = TextOps.langId(d).collect()
