@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ingest.Ingest
 import graft.notify.Notify
-import graft.ops.{Dedup, EventWindows, Similarity, TextOps}
+import graft.ops.{Dedup, EventWindows, Sampling, Similarity, TextOps}
 import graft.process.Checkout
 import graft.queries.StarQueries
 import graft.sources.Tables
@@ -225,6 +225,45 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_start"), col("n_chunk_tokens"),
           md5(col("chunk_text")).as("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_start"))),
+    // non-overlapping 32-token chunks packed into ≤128-token sequences
+    "text_packed_sequences" -> ((s, d) =>
+      TextOps.packChunks(TextOps.chunks(Tables.documents(s, d), 32, 32), 128)
+        .orderBy(col("doc_id"), col("seq_id"))),
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidf(Tables.documents(s, d), 3).orderBy(col("doc_id"), col("rank"))),
+    // exact top-fraction quality cut via the tiny score histogram — no
+    // global window; threshold broadcasts back as a map-only filter
+    "text_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(Tables.documents(s, d), 0.5).orderBy(col("doc_id"))),
+    // deterministic md5-prefix split: same doc_id → same side, forever
+    "text_sample_split" -> ((s, d) =>
+      Sampling.trainEvalSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), 0.8, "graft")
+        .orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetitionScores(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // bucketed-layout co-located join: both sides written hash-clustered
+    // and sorted on custkey (the shuffle is paid once, at write), then
+    // joined exchange-free; certified against the plain-join oracle —
+    // the layout must be invisible in the result
+    "store_bucketed_join" -> ((s, d) => {
+      val out = withTempDir("graft-bucketed") { base =>
+        val o = graft.sources.Bucketing.writeBucketed(
+          Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+          s"$base/orders", "graft_bkt_orders", "o_custkey", 8)
+        val c = graft.sources.Bucketing.writeBucketed(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          s"$base/customer", "graft_bkt_customer", "c_custkey", 8)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+      }
+      graft.sources.Bucketing.drop(s, "graft_bkt_orders")
+      graft.sources.Bucketing.drop(s, "graft_bkt_customer")
+      out.orderBy(col("c_mktsegment"))
+    }),
 
     // ----- deduplication (M4)
     "dedup_exact_groups" -> ((s, d) =>
@@ -812,6 +851,80 @@ object SparkEntry {
         "CAST(least(32, len(w) - cs) AS INT) AS n_chunk_tokens, " +
         "md5(array_to_string(w[cs + 1 : cs + 32], ' ')) AS chunk_hash " +
         "FROM s WHERE least(32, len(w) - cs) > 0 ORDER BY doc_id, chunk_start"),
+
+    // DuckDB window sum(INT) is HUGEINT — cast at the comparison/output
+    // edges; /128.0 forces double division (DuckDB '/' on ints is
+    // integer division, Spark's never is)
+    "text_packed_sequences" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, w, unnest(range(0, len(w), 32)) AS cs FROM t), " +
+        "c AS (SELECT doc_id, CAST(cs AS INT) AS chunk_start, " +
+        "CAST(least(32, len(w) - cs) AS INT) AS n_chunk_tokens FROM s WHERE least(32, len(w) - cs) > 0), " +
+        "x AS (SELECT doc_id, n_chunk_tokens, " +
+        "sum(n_chunk_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_start) - n_chunk_tokens AS cum_before FROM c) " +
+        "SELECT doc_id, CAST(floor(CAST(cum_before AS DOUBLE) / 128.0) AS BIGINT) AS seq_id, " +
+        "CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(n_chunk_tokens) AS BIGINT) AS seq_tokens " +
+        "FROM x GROUP BY 1, 2 ORDER BY doc_id, seq_id"),
+
+    "text_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2), " +
+        "dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, word, tf, df, " +
+        "round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf " +
+        "FROM tf JOIN dfreq USING (word) CROSS JOIN n), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn FROM scored) " +
+        "SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf, CAST(rn AS INT) AS rank " +
+        "FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank"),
+
+    // same per-doc score expressions as text_quality_scores; the
+    // histogram-derived threshold is the smallest score whose ≥-cohort
+    // covers half the corpus
+    "text_quality_filter" ->
+      ("WITH q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_token_len, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio, " +
+        "((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 9.0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) > 0 THEN 1 ELSE 0 END)) AS quality_score " +
+        "FROM documents), " +
+        "hist AS (SELECT quality_score, count(*) AS cnt FROM q GROUP BY 1), " +
+        "cum AS (SELECT quality_score, sum(cnt) OVER (ORDER BY quality_score DESC) AS cum_ge, " +
+        "sum(cnt) OVER () AS n_total FROM hist), " +
+        "thr AS (SELECT max(quality_score) AS q_threshold FROM cum " +
+        "WHERE CAST(cum_ge AS DOUBLE) >= CAST(n_total AS DOUBLE) * 0.5) " +
+        "SELECT q.*, thr.q_threshold FROM q CROSS JOIN thr " +
+        "WHERE quality_score >= q_threshold ORDER BY doc_id"),
+
+    // the SAME hexThreshold(0.8) literal is injected on both sides, and
+    // the md5-prefix compare is lexicographic in both engines
+    "text_sample_split" ->
+      (s"WITH h AS (SELECT doc_id, n_chars, " +
+        "substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) AS bucket_hash FROM documents) " +
+        s"SELECT doc_id, n_chars, bucket_hash, " +
+        s"CASE WHEN bucket_hash < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train' ELSE 'heldout' END AS split " +
+        "FROM h ORDER BY doc_id"),
+
+    // DuckDB range(1, len) yields 1..len-1, pairing w[i] with w[i+1] —
+    // the same bigram set as Spark's posexplode+lead postings
+    "text_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "b AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram " +
+        "FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)), " +
+        "bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "bt AS (SELECT doc_id, max(cnt) AS top_cnt FROM bc GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens, " +
+        "round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_token_ratio, " +
+        "round(CAST(coalesce(top_cnt, 0) AS DOUBLE) / greatest(len(w) - 1, 1), 4) AS top_bigram_ratio " +
+        "FROM t LEFT JOIN bt ON t.doc_id = bt.doc_id ORDER BY t.doc_id"),
+
+    // the bucketed layout must reproduce the plain join's aggregate
+    "store_bucketed_join" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "dedup_exact_groups" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, " +
         "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"),

@@ -165,6 +165,102 @@ object TextOps {
       .filter(col("n_chunk_tokens") > 0)
   }
 
+  /** Pack chunked docs into ~`budget`-token training sequences, per
+    * doc: chunks are taken in order and assigned to sequence
+    * floor(tokens_before / budget) — a sequence may overflow by at most
+    * one chunk's tail, never undershoot-split. Use stride == chunkSize
+    * chunks (non-overlapping) as input. The only shuffle is the
+    * per-doc window partition, which 100 TB parallelizes on doc_id. */
+  def packChunks(chunked: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_start"))
+    chunked
+      .withColumn("cum_before",
+        sum(col("n_chunk_tokens")).over(w) - col("n_chunk_tokens"))
+      .withColumn("seq_id", floor(col("cum_before") / budget))
+      .groupBy(col("doc_id"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("seq_tokens"))
+  }
+
+  /** TF-IDF with smoothed idf = ln((N+1)/(df+1)), top `topPerDoc` terms
+    * per document (ties broken by word so the result is total-ordered).
+    * Shuffle profile at 100 TB: the (doc, word) tf agg partial-combines
+    * map-side; df is one vocabulary-sized agg over the already-compact
+    * tf table; the scalar N rides in as a 1-row broadcast; the final
+    * per-doc window re-uses the tf shuffle's doc co-location. */
+  def tfidf(docs: DataFrame, topPerDoc: Int): DataFrame = {
+    val tf = withTokens(docs)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPerDoc)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  /** Keep the smallest score-threshold cohort covering at least `frac`
+    * of the corpus. This is the scale-correct exact top-fraction
+    * filter: a global percent_rank would funnel the corpus through one
+    * window partition, whereas the score histogram is tiny (scores are
+    * small ints), its cumulative scan runs on a handful of rows, and
+    * the derived threshold broadcasts back onto the corpus as a
+    * map-only filter. All boundary-score docs are kept (no arbitrary
+    * tie-break), so the kept fraction is ≥ frac. */
+  def qualityFilter(docs: DataFrame, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0,1]")
+    val scored = qualityScores(docs)
+    val hist = scored.groupBy(col("quality_score")).agg(count(lit(1)).as("cnt"))
+    // ≤4-row frame: the unpartitioned window is deliberate and cheap
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score").desc)
+    val thr = hist
+      .withColumn("cum_ge", sum(col("cnt")).over(cumW))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_total"))))
+      .filter(col("cum_ge").cast("double") >= col("n_total") * lit(frac))
+      .agg(max(col("quality_score")).as("q_threshold"))
+    scored
+      .crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("q_threshold"))
+  }
+
+  /** Repetition quality signals (the Gopher-rules family): how much of
+    * a document is the same content said again. `dup_token_ratio` =
+    * 1 − distinct/total tokens (per-row `array_distinct`, no shuffle);
+    * `top_bigram_ratio` = occurrences of the doc's most frequent
+    * bigram over its bigram count (posting-list agg keyed on doc_id —
+    * partial-combines map-side, so the shuffle carries one row per
+    * distinct (doc, bigram), not per token). High values flag boiler-
+    * plate/spam worth dropping before training. */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val base = withTokens(docs).select(
+      col("doc_id"),
+      size(col("words")).as("n_tokens"),
+      size(array_distinct(col("words"))).as("n_distinct"))
+    val topBigram = shinglePostings(docs, 2)
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram_cnt"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_token_ratio"),
+        round(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+          greatest(col("n_tokens") - 1, lit(1)), 4).as("top_bigram_ratio"))
+  }
+
   /** Flat (doc_id, shingle) postings via posexplode + lead windows — the
     * generation path for bulk near-dup work. Fully codegen'd (window +
     * concat, no HOF lambda, whose interpreted evaluation dominates cold

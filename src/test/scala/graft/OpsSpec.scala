@@ -218,6 +218,61 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq === Seq((0, 3, "a b c"), (2, 3, "c d e"), (4, 1, "e")))
   }
 
+  test("packChunks assigns in-order chunks to budgeted sequences") {
+    // 10 tokens, 3-token chunks (stride 3): sizes 3,3,3,1 at starts 0,3,6,9;
+    // budget 6 → cum_before 0,3,6,9 → seq 0,0,1,1
+    val r = TextOps.packChunks(
+        TextOps.chunks(docs((1L, "a b c d e f g h i j")), 3, 3), 6)
+      .orderBy($"seq_id").collect()
+      .map(x => (x.getAs[Long]("seq_id"), x.getAs[Long]("n_chunks"), x.getAs[Long]("seq_tokens")))
+    assert(r.toSeq === Seq((0L, 2L, 6L), (1L, 2L, 4L)))
+  }
+
+  test("tfidf ranks a doc's distinctive terms above corpus-wide ones") {
+    val d = docs(
+      (1L, "apple apple banana the the"),
+      (2L, "cherry the banana the the"),
+      (3L, "durian the the the the"))
+    val top = TextOps.tfidf(d, 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("word")).toMap
+    // 'the' appears in every doc (idf ln(4/4)=0); the doc-unique fruit wins
+    assert(top === Map(1L -> "apple", 2L -> "cherry", 3L -> "durian"))
+  }
+
+  test("qualityFilter keeps the smallest score cohort covering the fraction") {
+    val good = "the quick brown fox jumps over a lazy dog and then runs far away home tonight with the pack of hounds" // 21 tokens, stopwords
+    val d = docs((1L, good), (2L, good), (3L, "zz qq"), (4L, "xx"))
+    val kept = TextOps.qualityFilter(d, 0.5).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L))
+    assert(kept.forall(_.getAs[Int]("q_threshold") === 3))
+  }
+
+  test("hash sampling is deterministic, key-consistent and threshold-exact") {
+    val d = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    val s1 = graft.ops.Sampling.trainEvalSplit(d, $"doc_id", 0.8, "graft")
+    val s2 = graft.ops.Sampling.trainEvalSplit(d, $"doc_id", 0.8, "graft")
+    // identical across runs
+    assert(s1.collect().map(_.toString).sorted === s2.collect().map(_.toString).sorted)
+    // split matches an independent sample() call at the same rate/salt
+    val sampled = graft.ops.Sampling.sample(d, $"doc_id", 0.8, "graft")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val train = s1.filter($"split" === "train").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(train === sampled)
+    // a different salt reshuffles membership
+    val other = graft.ops.Sampling.sample(d, $"doc_id", 0.8, "other")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(other !== sampled)
+  }
+
+  test("repetitionScores flags repeated tokens and dominant bigrams") {
+    // doc 1: 5 tokens, 2 distinct → dup 0.6; bigrams a-b ×2, b-a ×2 of 4 → top 0.5
+    // doc 2: all distinct → dup 0.0; every bigram unique → top 1/4 = 0.25
+    val r = TextOps.repetitionScores(docs((1L, "a b a b a"), (2L, "v w x y z")))
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("dup_token_ratio"), x.getAs[Double]("top_bigram_ratio")))
+    assert(r.toSeq === Seq((1L, 0.6, 0.5), (2L, 0.0, 0.25)))
+  }
+
   test("langId guesses the stopword-dominant language") {
     val d = docs((1L, "the cat of the house and the dog"), (2L, "der hund und die katze ist ein tier"))
     val m = TextOps.langId(d).collect()
