@@ -264,6 +264,22 @@ object SparkEntry {
       graft.sources.Bucketing.drop(s, "graft_bkt_customer")
       out.orderBy(col("c_mktsegment"))
     }),
+    // hive-partitioned layout round-trip: write partitioned by lang,
+    // read back one partition (pruned at planning time) and aggregate;
+    // certified against the plain filtered aggregate
+    "store_partitioned_scan" -> ((s, d) =>
+      withTempDir("graft-partitioned") { base =>
+        graft.sources.Bucketing.writePartitioned(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          s"$base/docs", "lang")
+        s.read.parquet(s"$base/docs").filter(col("lang") === "de")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      }.orderBy(col("source"))),
+    // typed JSON payload extraction over the events stream table
+    "events_props_stats" -> ((s, d) =>
+      EventWindows.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
 
     // ----- deduplication (M4)
     "dedup_exact_groups" -> ((s, d) =>
@@ -925,6 +941,18 @@ object SparkEntry {
         "round(sum(o_totalprice), 2) AS total_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    // the partitioned layout must reproduce the plain filtered aggregate
+    "store_partitioned_scan" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents WHERE lang = 'de' GROUP BY source ORDER BY source"),
+
+    "events_props_stats" ->
+      ("WITH e AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, round(avg(k), 4) AS avg_k, " +
+        "min(k) AS min_k, max(k) AS max_k " +
+        "FROM e GROUP BY event_type ORDER BY event_type"),
     "dedup_exact_groups" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, " +
         "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"),

@@ -54,4 +54,23 @@ object EventWindows {
         col("user_id"),
         fmt(col("session_window.start")).as("session_start"),
         col("n_events"), col("session_value"))
+
+  /** Semi-structured payload extraction: parse the `props` JSON column
+    * once with a declared schema (`from_json` — codegen'd, no UDF, no
+    * per-field re-parse the way repeated `get_json_object` calls would)
+    * and aggregate the typed field per event type. The JSON never
+    * reaches the shuffle — parsing happens map-side and only the
+    * (type, k) pair flows into the partial aggregate. */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
 }

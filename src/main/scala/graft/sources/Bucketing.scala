@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table storage layout — the shuffle-free co-located join.
+  *
+  * At 100 TB the single biggest join cost is the exchange: re-hashing
+  * both sides of a fact-fact join moves the whole dataset across the
+  * network. Writing both tables bucketed (hash-clustered and sorted)
+  * on the join key fixes the partitioning AT WRITE TIME, so every
+  * subsequent join or aggregation on that key is exchange-free: each
+  * task sort-merges bucket i of A with bucket i of B locally. The
+  * shuffle is paid once, at ingest, and amortized over every later
+  * query — the classic layout decision a warehouse makes for its
+  * largest fact tables.
+  *
+  * Uses Spark's v1 parquet bucketing (`bucketBy` + `sortBy` +
+  * `saveAsTable` with an explicit `path`, i.e. an EXTERNAL table —
+  * no warehouse-dir dependency; metadata lives in the session's
+  * in-memory catalog, data at the caller's path).
+  */
+object Bucketing {
+
+  /** Write `df` as an external parquet table bucketed AND sorted on
+    * `key` into `numBuckets` hash buckets at `path`, and return the
+    * catalog-backed frame (the one whose scan reports the bucket
+    * layout to the planner). */
+  def writeBucketed(df: DataFrame, path: String, table: String,
+                    key: String, numBuckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Drop the catalog entry (data at the external path is untouched —
+    * callers owning a temp dir delete it themselves). */
+  def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** Write `df` hive-partitioned on `partCol` — the other half of the
+    * layout story: a predicate on the partition column prunes whole
+    * directories at PLANNING time (PartitionFilters on the scan), so a
+    * one-partition query over a 100 TB table reads one partition's
+    * files and zero bytes of the rest. Choose low-cardinality columns
+    * (lang, date, source); high-cardinality keys belong in buckets. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketing
+
+/** The 100 TB claim behind `Bucketing`: a join of two tables bucketed
+  * on the join key plans WITHOUT a shuffle exchange — the layout
+  * already satisfies the join's distribution requirement. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-bucketed equi-join is exchange-free and result-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt-spec")
+    val left  = (1 to 200).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 200).map(i => (i.toLong % 50, s"r$i")).toDF("k", "rv")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // force a sort-merge join and a concrete (non-adaptive) plan so the
+    // exchange assertion reads the real physical operators
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bl = Bucketing.writeBucketed(left, s"$dir/l", "spec_bkt_l", "k", 4)
+      val br = Bucketing.writeBucketed(right, s"$dir/r", "spec_bkt_r", "k", 4)
+      val joined = bl.join(br, Seq("k"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected an exchange-free co-located join, got:\n${joined.queryExecution.executedPlan}")
+      // the layout must be invisible in the result
+      val plain = left.join(right, Seq("k"))
+      assert(joined.count() === plain.count())
+      assert(joined.agg(sum(length($"rv"))).head.getLong(0) ===
+        plain.agg(sum(length($"rv"))).head.getLong(0))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Bucketing.drop(spark, "spec_bkt_l")
+      Bucketing.drop(spark, "spec_bkt_r")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("partitioned layout prunes non-matching partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part-spec")
+    try {
+      val df = (1 to 100).map(i => (i.toLong, s"p${i % 5}", i)).toDF("id", "part", "v")
+      Bucketing.writePartitioned(df, s"$dir/t", "part")
+      val filtered = spark.read.parquet(s"$dir/t").filter($"part" === "p3")
+      val scans = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      // the predicate must land in PartitionFilters (directory pruning),
+      // not as a post-scan data filter over all partitions
+      assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "part")),
+        s"expected a partition filter on 'part', got: ${scans.head.partitionFilters}")
+      assert(filtered.count() === 20)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("bucketed groupBy on the bucket key aggregates without an exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt-agg")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1 to 300).map(i => (i.toLong % 30, i)).toDF("k", "v")
+      val b = Bucketing.writeBucketed(df, s"$dir/t", "spec_bkt_agg", "k", 4)
+      val agg = b.groupBy($"k").agg(sum($"v").as("s"))
+      val shuffles = agg.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected an exchange-free bucketed aggregate, got:\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() === 30)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Bucketing.drop(spark, "spec_bkt_agg")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}

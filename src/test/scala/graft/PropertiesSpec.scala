@@ -27,6 +27,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ST2 property: delivered/DLQ partition the queue; poison depth sets the pass count") {
+    import graft.streaming.RetryLoop
+    val gen = for {
+      n <- Gen.choose(3, 6)
+      mask <- Gen.listOfN(n, Gen.prob(0.4))
+      maxA <- Gen.choose(1, 3)
+    } yield (mask, maxA)
+    samples(gen, 3).zipWithIndex.foreach { case ((mask, maxA), i) =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft-retry-prop$i").toString
+      val queue = mask.zipWithIndex.map { case (p, k) => (s"k$k", p, 0) }
+        .toDF("key", "poison", "attempts")
+      queue.write.parquet(s"$base/in/seed")
+      val passes = RetryLoop.run(spark, queue.schema, s"$base/in",
+        s"$base/delivered", s"$base/dlq", s"$base/ckpt", $"poison", maxA)
+      val anyPoison = mask.contains(true)
+      // a poison record burns exactly maxAttempts passes; a clean queue drains in one
+      assert(passes === (if (anyPoison) maxA else 1))
+      val delivered = spark.read.schema(queue.schema).parquet(s"$base/delivered")
+        .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val dead = spark.read.schema(queue.schema).parquet(s"$base/dlq")
+        .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      // the two sinks PARTITION the queue: nothing lost, nothing duplicated
+      val expectDelivered = mask.zipWithIndex.collect { case (false, k) => s"k$k" -> 1 }.toMap
+      val expectDead = mask.zipWithIndex.collect { case (true, k) => s"k$k" -> maxA }.toMap
+      assert(delivered === expectDelivered)
+      assert(dead === expectDead)
+    }
+  }
+
   test("conservation + all-or-nothing: admitted orders never oversell") {
     val orderGen = for {
       n <- Gen.choose(1, 6)
