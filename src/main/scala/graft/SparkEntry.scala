@@ -243,6 +243,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionScores(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // per-stratum rates rebalance the corpus; es/fr absent from the
+    // rate map → dropped, exercising the unknown-stratum contract
+    "text_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"), stratRates, "strat")
+        .orderBy(col("doc_id"))),
+    // eval-leak check: heldout docs sharing a near-dup fingerprint
+    // (min-md5 of 3-gram shingles) with any train doc
+    "text_split_contamination" -> ((s, d) =>
+      Sampling.splitContamination(
+        TextOps.fingerprints(Tables.documents(s, d)), "fingerprint", 0.8, "graft")
+        .orderBy(col("doc_id"))),
     // bucketed-layout co-located join: both sides written hash-clustered
     // and sorted on custkey (the shuffle is paid once, at write), then
     // joined exchange-free; certified against the plain-join oracle —
@@ -588,6 +601,11 @@ object SparkEntry {
     "SELECT l_orderkey, CASE WHEN bool_and(sufficient) THEN 'PROCESSED' ELSE 'FAILED' END AS status, " +
       s"CAST(count(*) AS BIGINT) AS n_items FROM ($lvSql) GROUP BY l_orderkey"
 
+  /** Per-lang keep rates for `text_stratified_sample` — the SAME map
+    * generates both the Spark predicate and the oracle SQL, so parity
+    * holds by construction at any SF. */
+  private val stratRates = Map("de" -> 0.9, "en" -> 0.4, "zh" -> 0.7)
+
   private val shingleSql =
     "SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
       "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
@@ -921,6 +939,25 @@ object SparkEntry {
         s"SELECT doc_id, n_chars, bucket_hash, " +
         s"CASE WHEN bucket_hash < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train' ELSE 'heldout' END AS split " +
         "FROM h ORDER BY doc_id"),
+
+    // the rate map compiles to the same md5-threshold predicate on
+    // both sides (see stratRates)
+    "text_stratified_sample" -> {
+      val conds = stratRates.toSeq.sortBy(_._1).map { case (l, r) =>
+        s"(lang = '$l' AND substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.hexThreshold(r)}')"
+      }.mkString(" OR ")
+      s"SELECT doc_id, lang FROM documents WHERE $conds ORDER BY doc_id"
+    },
+
+    // near-dup eval leakage: same fingerprint CTE as text_fingerprints,
+    // same split threshold as text_sample_split
+    "text_split_contamination" ->
+      (s"WITH f AS (SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint FROM ($shingleSql)), " +
+        "sp AS (SELECT doc_id, fingerprint, " +
+        s"CASE WHEN substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train' ELSE 'heldout' END AS split FROM f) " +
+        "SELECT doc_id, fingerprint FROM sp WHERE split = 'heldout' " +
+        "AND fingerprint IN (SELECT fingerprint FROM sp WHERE split = 'train' AND fingerprint IS NOT NULL) " +
+        "ORDER BY doc_id"),
 
     // DuckDB range(1, len) yields 1..len-1, pairing w[i] with w[i+1] —
     // the same bigram set as Spark's posexplode+lead postings

@@ -49,4 +49,41 @@ object Sampling {
         when(col("bucket_hash") < lit(hexThreshold(trainFrac)), "train")
           .otherwise("heldout"))
   }
+
+  /** Per-stratum deterministic sampling — rebalance a corpus (e.g.
+    * upweight rare languages) with a different keep-rate per stratum
+    * value. Still map-only: the rate table compiles into a chained
+    * codegen'd predicate, so nothing is joined, shuffled or
+    * randomized; rows in strata absent from `rates` are dropped. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Double], salt: String): DataFrame = {
+    require(rates.nonEmpty, "rates must be non-empty")
+    val h = bucketHash(key, salt)
+    val cond = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => (stratum === s) && (h < lit(hexThreshold(r))) }
+      .reduce(_ || _)
+    df.filter(cond)
+  }
+
+  /** Split-decontamination report: heldout docs whose content key also
+    * appears on the train side of the same (salt, doc_id) split — the
+    * leak check run before any eval set is trusted. Key-consistent
+    * splitting already prevents same-doc leakage; this catches
+    * DIFFERENT docs carrying the same content. `keyed` is any
+    * (doc_id, contentCol) representation — `md5(text)` for exact
+    * leakage, `TextOps.fingerprints` or an LSH signature for near-dup
+    * leakage. Scale shape: both sides reduce to digests before the
+    * left-semi join, so the shuffle carries 32-byte keys, not
+    * documents, and AQE broadcasts the train side when small. Rows
+    * with a null content key (docs too short to key) can never match
+    * and drop out of the report. */
+  def splitContamination(keyed: DataFrame, contentCol: String,
+                         trainFrac: Double, salt: String): DataFrame = {
+    val tagged = trainEvalSplit(keyed, col("doc_id"), trainFrac, salt)
+    val trainKeys = tagged.filter(col("split") === "train")
+      .select(col(contentCol)).distinct()
+    tagged.filter(col("split") === "heldout")
+      .join(trainKeys, Seq(contentCol), "left_semi")
+      .select(col("doc_id"), col(contentCol))
+  }
 }

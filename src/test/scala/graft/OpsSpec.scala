@@ -264,6 +264,37 @@ class OpsSpec extends SparkSpec {
     assert(other !== sampled)
   }
 
+  test("stratifiedSample applies per-stratum rates and drops unknown strata") {
+    val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toSeq.toDF("doc_id", "lang")
+    val kept = graft.ops.Sampling.stratifiedSample(
+      d, $"doc_id", $"lang", Map("a" -> 1.0, "b" -> 0.5), "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "a") === 100)      // rate 1.0 keeps every 'a'
+    assert(kept.count(_._2 == "c") === 0)        // absent stratum dropped
+    val b = kept.count(_._2 == "b")
+    assert(b > 20 && b < 80, s"rate 0.5 kept $b of 100")
+    // per-stratum membership matches the plain sampler at the same rate/salt
+    val plain = graft.ops.Sampling.sample(d.filter($"lang" === "b"), $"doc_id", 0.5, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "b").map(_._1).toSet === plain)
+  }
+
+  test("splitContamination reports heldout keys present on the train side") {
+    // doc_ids 1..6 under salt "x": membership is deterministic; give
+    // three docs one shared key, the rest unique keys
+    val d = Seq((1L, "k-shared"), (2L, "k-shared"), (3L, "k-u3"), (4L, "k-u4"),
+      (5L, "k-shared"), (6L, null.asInstanceOf[String])).toDF("doc_id", "fp")
+    val split = graft.ops.Sampling.trainEvalSplit(d, $"doc_id", 0.5, "x")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val sharedSides = Seq(1L, 2L, 5L).map(split)
+    assume(sharedSides.distinct.size == 2, "salt must split the shared-key docs")
+    val leaked = graft.ops.Sampling.splitContamination(d, "fp", 0.5, "x")
+      .collect().map(_.getLong(0)).toSet
+    val expected = Seq(1L, 2L, 5L).filter(i => split(i) == "heldout").toSet
+    assert(leaked === expected) // unique and null keys never leak
+  }
+
   test("repetitionScores flags repeated tokens and dominant bigrams") {
     // doc 1: 5 tokens, 2 distinct → dup 0.6; bigrams a-b ×2, b-a ×2 of 4 → top 0.5
     // doc 2: all distinct → dup 0.0; every bigram unique → top 1/4 = 0.25
