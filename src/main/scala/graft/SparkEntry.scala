@@ -243,6 +243,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionScores(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_length_quantiles" -> ((s, d) =>
+      TextOps.lengthQuantiles(Tables.documents(s, d)).orderBy(col("lang"))),
     // per-stratum rates rebalance the corpus; es/fr absent from the
     // rate map → dropped, exercising the unknown-stratum contract
     "text_stratified_sample" -> ((s, d) =>
@@ -297,6 +299,14 @@ object SparkEntry {
     // ----- deduplication (M4)
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactDedupGroups(Tables.documents(s, d)).orderBy(col("content_hash"))),
+    // incremental ingest: batch = every 5th doc, history = the rest
+    "dedup_incremental_new" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+        .orderBy(col("content_hash"))
+    }),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), 20)),
     "dedup_minhash_buckets" -> ((s, d) =>
@@ -939,6 +949,23 @@ object SparkEntry {
         s"SELECT doc_id, n_chars, bucket_hash, " +
         s"CASE WHEN bucket_hash < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train' ELSE 'heldout' END AS split " +
         "FROM h ORDER BY doc_id"),
+
+    // Spark `percentile` and DuckDB `quantile_cont` are both exact
+    // linear-interpolated quantiles; round(.,4) absorbs fp noise
+    "text_length_quantiles" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "round(quantile_cont(n_chars, 0.25), 4) AS p25, " +
+        "round(quantile_cont(n_chars, 0.50), 4) AS p50, " +
+        "round(quantile_cont(n_chars, 0.75), 4) AS p75, " +
+        "round(quantile_cont(n_chars, 0.95), 4) AS p95 " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+
+    "dedup_incremental_new" ->
+      ("WITH b AS (SELECT md5(text) AS content_hash, doc_id FROM documents WHERE doc_id % 5 = 0), " +
+        "h AS (SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 5 <> 0) " +
+        "SELECT content_hash, min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_copies " +
+        "FROM b WHERE content_hash NOT IN (SELECT content_hash FROM h) " +
+        "GROUP BY content_hash ORDER BY content_hash"),
 
     // the rate map compiles to the same md5-threshold predicate on
     // both sides (see stratRates)

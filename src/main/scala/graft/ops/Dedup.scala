@@ -30,6 +30,24 @@ object Dedup {
         min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental ingest dedup: of an arriving batch, the docs whose
+    * exact content has NOT been seen in the historical corpus — the
+    * op a continuously-fed training pipeline runs on every delivery.
+    * Within-batch duplicates also collapse to their keeper (min
+    * doc_id), so the output is insert-ready. Scale shape: history
+    * reduces to its distinct 32-byte digests BEFORE the anti-join
+    * (at 100 TB the digest set is the thing you'd persist as the
+    * "seen" state table, not the corpus), and the join shuffles
+    * digests only. */
+  def incrementalNew(batch: DataFrame, history: DataFrame): DataFrame = {
+    val seen = history.select(md5(col("text")).as("content_hash")).distinct()
+    batch
+      .withColumn("content_hash", md5(col("text")))
+      .join(seen, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Distinct (doc_id, shingle) pairs — the posting list the candidate
     * join runs on. Tokens are materialized and the corpus repartitioned
     * before the generator (TextOps.withTokens) so the explode

@@ -233,6 +233,20 @@ object TextOps {
       .filter(col("quality_score") >= col("q_threshold"))
   }
 
+  /** Per-language document-length distribution — the numbers quality
+    * cutoffs are calibrated from. Exact interpolated percentiles
+    * (`percentile`) so the result is oracle-checkable; at 100 TB swap
+    * the aggregate for `percentile_approx` (t-digest sketch, fixed
+    * memory, mergeable across partitions) — LengthQuantilesSpec pins
+    * the approx path to the exact one within tolerance. */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+      round(expr("percentile(n_chars, 0.50)"), 4).as("p50"),
+      round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+      round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+
   /** Repetition quality signals (the Gopher-rules family): how much of
     * a document is the same content said again. `dup_token_ratio` =
     * 1 − distinct/total tokens (per-row `array_distinct`, no shuffle);

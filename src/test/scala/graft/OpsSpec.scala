@@ -264,6 +264,25 @@ class OpsSpec extends SparkSpec {
     assert(other !== sampled)
   }
 
+  test("lengthQuantiles is exact; approx_percentile tracks it within tolerance") {
+    val d = (1 to 500).map(i => ("en", i.toLong)).toDF("lang", "n_chars")
+    val r = TextOps.lengthQuantiles(d).collect()(0)
+    assert(r.getAs[Double]("p25") === 125.75) // 1 + 0.25 * 499, interpolated
+    assert(r.getAs[Double]("p50") === 250.5)
+    assert(r.getAs[Double]("p95") === 475.05)
+    // the 100 TB path: t-digest sketch stays within 1% on this distribution
+    val approx = d.agg(expr("percentile_approx(n_chars, 0.5, 10000)")).head.getLong(0)
+    assert(math.abs(approx - 250.5) <= 5.0, s"approx p50 $approx drifted from exact 250.5")
+  }
+
+  test("incrementalNew admits only unseen content and collapses batch dups") {
+    val hist = docs((1L, "seen one"), (2L, "seen two"))
+    val batch = docs((10L, "seen one"), (11L, "fresh"), (12L, "fresh"), (13L, "brand new"))
+    val r = graft.ops.Dedup.incrementalNew(batch, hist)
+      .collect().map(x => x.getAs[Long]("keeper_doc_id") -> x.getAs[Long]("n_copies")).toMap
+    assert(r === Map(11L -> 2L, 13L -> 1L)) // seen content excluded, dup batch collapsed
+  }
+
   test("stratifiedSample applies per-stratum rates and drops unknown strata") {
     val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
       .toSeq.toDF("doc_id", "lang")
