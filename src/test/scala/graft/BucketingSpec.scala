@@ -68,6 +68,34 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("point filter on the bucket key prunes the scan to a single bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt-prune")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1 to 400).map(i => (i.toLong % 40, i)).toDF("k", "v")
+      val b = Bucketing.writeBucketed(df, s"$dir/t", "spec_bkt_prune", "k", 8)
+      val point = b.filter($"k" === 7L)
+      val scans = point.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      // the equality predicate restricts the scan to the one bucket
+      // that can hold k=7 — 1/numBuckets of the files at any scale
+      val bucketSet = scans.head.optionalBucketSet
+      assert(bucketSet.isDefined, "expected bucket pruning to engage")
+      assert(bucketSet.get.cardinality() === 1,
+        s"expected exactly one surviving bucket, got ${bucketSet.get.cardinality()}")
+      assert(point.count() === 10)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Bucketing.drop(spark, "spec_bkt_prune")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed groupBy on the bucket key aggregates without an exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bkt-agg")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
