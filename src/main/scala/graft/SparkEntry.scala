@@ -384,6 +384,26 @@ object SparkEntry {
     "stream_dlq_counts" -> ((s, d) => streamDlqCounts(s, d)),
     "stream_saga_counts" -> ((s, d) => streamSagaCounts(s, d)),
     "stream_window_counts" -> ((s, d) => streamWindowCounts(s, d)),
+    // streaming incremental-dedup ingest: 3 micro-batch files with
+    // in-batch and cross-batch duplicates; content admitted exactly
+    // once stream-wide regardless of batch arrival order
+    "stream_ingest_dedup_counts" -> ((s, d) => withTempDir("graft-ingest-dedup") { base =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$base/in/g0")
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$base/in/g1")
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .coalesce(1).write.parquet(s"$base/in/g2")
+      graft.streaming.DedupIngest.run(s, docs.schema,
+        s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+      // recursive lookup instead of a glob: a glob path trips
+      // FileStreamSink's metadata probe into logging a full stack trace
+      val admitted = s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$base/out").count()
+      val total = docs.count() + docs.filter(col("doc_id") % 7 === 0).count()
+      Seq((admitted, total - admitted)).toDF("n_admitted", "n_rejected")
+    }),
 
     // ----- SimHash (custom typed Aggregator; md5-derived token hash, so
     //       the bit-vote aggregation IS oracle-checkable — see oracleSql)
@@ -1183,6 +1203,14 @@ object SparkEntry {
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"),
+
+    // stream-wide admission = one per distinct content, independent of
+    // micro-batch arrival order
+    "stream_ingest_dedup_counts" ->
+      ("WITH i AS (SELECT md5(text) AS h FROM documents " +
+        "UNION ALL SELECT md5(text) AS h FROM documents WHERE doc_id % 7 = 0) " +
+        "SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_admitted, " +
+        "CAST((count(*) - count(DISTINCT h)) AS BIGINT) AS n_rejected FROM i"),
 
     // append-mode watermarked windows must equal the batch aggregate
     "stream_window_counts" ->

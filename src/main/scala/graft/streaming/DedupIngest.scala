@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Streaming incremental-dedup ingest: the continuously-fed corpus
+  * pipeline. Each micro-batch collapses its own duplicates (first
+  * keeper by doc_id), anti-joins the survivors against the accumulated
+  * SEEN-DIGEST state table, appends only genuinely new content to the
+  * output corpus, and extends the state with the admitted digests —
+  * so a document's content is admitted exactly once across the whole
+  * stream, no matter which batch carries its copies.
+  *
+  * The batch analog is [[graft.ops.Dedup.incrementalNew]]; this runs
+  * the same anti-join shape under Structured Streaming's delivery.
+  *
+  * State is a digest-ONLY parquet table (32-byte md5 per admitted
+  * doc): at 100 TB of corpus the state is ~3 orders of magnitude
+  * smaller than the data, the anti-join shuffles digests rather than
+  * text, and AQE broadcasts the batch side when small. Both the
+  * output and state writes are per-batch overwrite directories keyed
+  * by batchId (`batch_N`/`seen_N` — no `=`, so no partition-column
+  * inference), making a retried micro-batch rewrite its own outputs
+  * instead of double-appending. A production deployment would
+  * periodically compact the seen-digest dirs (or hold them in a
+  * transactional table); the per-batch layout keeps this demo
+  * engine-only.
+  */
+object DedupIngest {
+
+  val stateSchema: StructType =
+    StructType(Seq(StructField("content_hash", StringType, nullable = false)))
+
+  /** Drain `inDir` (one-level glob of parquet dirs/files) with
+    * AvailableNow semantics. Returns the number of micro-batches. */
+  def run(
+      spark: SparkSession,
+      schema: StructType,
+      inDir: String,
+      outDir: String,
+      stateDir: String,
+      checkpoint: String): Int = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/*")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val keeper = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+        val inBatch = batch
+          .withColumn("content_hash", md5(col("text")))
+          .withColumn("rn", row_number().over(keeper))
+          .filter(col("rn") === 1).drop("rn")
+        val seenDirs = listStateDirs(stateDir)
+        val fresh =
+          if (seenDirs.isEmpty) inBatch
+          else inBatch.join(
+            ss.read.schema(stateSchema).parquet(seenDirs: _*),
+            Seq("content_hash"), "left_anti")
+        fresh.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        // derive the state extension from the just-written output so
+        // state and corpus can never diverge (and the anti-join isn't
+        // recomputed)
+        ss.read.parquet(s"$outDir/batch_$batchId")
+          .select(col("content_hash"))
+          .write.mode("overwrite").parquet(s"$stateDir/seen_$batchId")
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  private def listStateDirs(stateDir: String): Seq[String] = {
+    val d = new java.io.File(stateDir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("seen_"))
+      .map(_.getAbsolutePath).toSeq
+  }
+}

@@ -154,6 +154,25 @@ class StreamingSpec extends SparkSpec {
     assert(dead === Map("poison-1" -> 3)) // attempt count accumulated across redeliveries
   }
 
+  test("streaming dedup ingest admits content once across micro-batches") {
+    import graft.streaming.DedupIngest
+    val base = tmp("graft-ingest")
+    // g0 carries an in-batch duplicate; g1 re-sends "alpha" cross-batch
+    val g0 = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")).toDF("doc_id", "text")
+    val g1 = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")
+    g0.coalesce(1).write.parquet(s"$base/in/g0")
+    g1.coalesce(1).write.parquet(s"$base/in/g1")
+    val nBatches = DedupIngest.run(spark, g0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    assert(nBatches === 2) // maxFilesPerTrigger=1 paces one file per batch
+    val admitted = spark.read.parquet(s"$base/out/*")
+      .select($"text").collect().map(_.getString(0)).sorted.toSeq
+    assert(admitted === Seq("alpha", "beta", "gamma"))
+    // the state table holds exactly the admitted digests
+    val state = spark.read.schema(DedupIngest.stateSchema).parquet(s"$base/state/*")
+    assert(state.distinct().count() === 3)
+  }
+
   test("ST2: maxAttempts=1 dead-letters poison on first failure, no redelivery") {
     import graft.streaming.RetryLoop
     val base = tmp("graft-retry1")
