@@ -292,6 +292,19 @@ object SparkEntry {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       }.orderBy(col("source"))),
+    // range-clustered compaction round-trip: the layout (disjoint
+    // per-file key ranges + parquet min/max stats) must be invisible
+    // to a range query's result
+    "store_sorted_scan" -> ((s, d) =>
+      withTempDir("graft-sorted") { base =>
+        graft.sources.Bucketing.writeSorted(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          s"$base/docs", "n_chars", numFiles = 8)
+        s.read.parquet(s"$base/docs")
+          .filter(col("n_chars").between(200, 400))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      }.orderBy(col("lang"))),
     // typed JSON payload extraction over the events stream table
     "events_props_stats" -> ((s, d) =>
       EventWindows.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
@@ -1031,6 +1044,13 @@ object SparkEntry {
       ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents WHERE lang = 'de' GROUP BY source ORDER BY source"),
+
+    // the clustered layout must reproduce the plain range-filtered aggregate
+    "store_sorted_scan" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents WHERE n_chars BETWEEN 200 AND 400 " +
+        "GROUP BY lang ORDER BY lang"),
 
     "events_props_stats" ->
       ("WITH e AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events) " +

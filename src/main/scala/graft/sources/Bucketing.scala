@@ -43,6 +43,24 @@ object Bucketing {
   def drop(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
 
+  /** Range-clustered compaction writer — the small-files/data-skipping
+    * answer at ingest time. `repartitionByRange` gives each of
+    * `numFiles` output tasks a disjoint `sortCol` range (sampled range
+    * bounds — one pass, no global sort), `sortWithinPartitions` orders
+    * rows inside each, and `maxRecordsPerFile` caps file size, so
+    * every emitted parquet file covers a contiguous, pairwise-disjoint
+    * key range. Parquet min/max footer stats then let ANY later range
+    * predicate skip whole files — the poor engine's Z-order, and the
+    * compaction pass a 100 TB ingest runs instead of accumulating
+    * thousands of tiny unclustered files. */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  numFiles: Int, maxRecordsPerFile: Long = 0L): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Write `df` hive-partitioned on `partCol` — the other half of the
     * layout story: a predicate on the partition column prunes whole
     * directories at PLANNING time (PartitionFilters on the scan), so a

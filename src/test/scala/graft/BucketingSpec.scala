@@ -96,6 +96,33 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("range-clustered writer emits files with pairwise-disjoint key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted-spec")
+    try {
+      val df = (1 to 1000).map(i => ((i * 7919) % 1000L, i)).toDF("k", "v") // scrambled key order
+      Bucketing.writeSorted(df, s"$dir/t", "k", numFiles = 4, maxRecordsPerFile = 100)
+      val files = new java.io.File(s"$dir/t").listFiles()
+        .filter(f => f.getName.startsWith("part-")).map(_.getAbsolutePath).toSeq
+      // maxRecordsPerFile splits the 4 range partitions into ~10 files
+      assert(files.size >= 10, s"expected maxRecordsPerFile to split files, got ${files.size}")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f).agg(min($"k"), max($"k")).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      // contiguous sorted slices: every file's range ends before the next begins,
+      // so parquet min/max footer stats can skip whole files on any k-range predicate
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping file ranges: $ranges")
+        case _ =>
+      }
+      assert(spark.read.parquet(s"$dir/t").count() === 1000)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed groupBy on the bucket key aggregates without an exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bkt-agg")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
