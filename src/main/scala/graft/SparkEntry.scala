@@ -245,6 +245,30 @@ object SparkEntry {
       TextOps.repetitionScores(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_length_quantiles" -> ((s, d) =>
       TextOps.lengthQuantiles(Tables.documents(s, d)).orderBy(col("lang"))),
+    // statistical-aggregate zoo: per-lang regression of char length on
+    // token count (corr/covar/regr_* are exact one-pass aggregates in
+    // both engines; only the tiny per-lang result crosses the shuffle)
+    "text_lang_regression" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("double").as("y"),
+          size(split(col("text"), " ")).cast("double").as("x"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          round(corr(col("y"), col("x")), 4).as("corr_yx"),
+          round(covar_samp(col("y"), col("x")), 4).as("covar_yx"),
+          round(expr("regr_slope(y, x)"), 4).as("slope"),
+          round(expr("regr_intercept(y, x)"), 4).as("intercept"))
+        .orderBy(col("lang"))),
+    // per-lang vocabulary size, exact (the HLL sketch path is pinned
+    // to this exact aggregate in OpsSpec within tolerance)
+    "text_vocab_stats" -> ((s, d) =>
+      TextOps.withTokens(Tables.documents(s, d))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"), explode(col("words")).as("word"))
+        .groupBy(col("lang")).agg(
+          countDistinct(col("word")).as("n_vocab"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("lang"))),
     // per-stratum rates rebalance the corpus; es/fr absent from the
     // rate map → dropped, exercising the unknown-stratum contract
     "text_stratified_sample" -> ((s, d) =>
@@ -982,6 +1006,19 @@ object SparkEntry {
         s"SELECT doc_id, n_chars, bucket_hash, " +
         s"CASE WHEN bucket_hash < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train' ELSE 'heldout' END AS split " +
         "FROM h ORDER BY doc_id"),
+
+    "text_lang_regression" ->
+      ("WITH t AS (SELECT lang, CAST(n_chars AS DOUBLE) AS y, " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS x FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "round(corr(y, x), 4) AS corr_yx, round(covar_samp(y, x), 4) AS covar_yx, " +
+        "round(regr_slope(y, x), 4) AS slope, round(regr_intercept(y, x), 4) AS intercept " +
+        "FROM t GROUP BY lang ORDER BY lang"),
+
+    "text_vocab_stats" ->
+      ("WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_vocab, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens FROM w GROUP BY lang ORDER BY lang"),
 
     // Spark `percentile` and DuckDB `quantile_cont` are both exact
     // linear-interpolated quantiles; round(.,4) absorbs fp noise

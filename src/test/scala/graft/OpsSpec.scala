@@ -275,6 +275,15 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(approx - 250.5) <= 5.0, s"approx p50 $approx drifted from exact 250.5")
   }
 
+  test("approx_count_distinct tracks the exact vocabulary within tolerance") {
+    val d = (1 to 2000).map(i => s"w${i % 700}").toDF("word")
+    val exact = d.agg(countDistinct($"word")).head.getLong(0)
+    assert(exact === 700)
+    // the 100 TB path: HLL++ sketch (fixed memory, mergeable) within 5%
+    val approx = d.agg(approx_count_distinct($"word", 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact) <= exact * 0.05, s"HLL $approx vs exact $exact")
+  }
+
   test("incrementalNew admits only unseen content and collapses batch dups") {
     val hist = docs((1L, "seen one"), (2L, "seen two"))
     val batch = docs((10L, "seen one"), (11L, "fresh"), (12L, "fresh"), (13L, "brand new"))
