@@ -332,6 +332,13 @@ object SparkEntry {
     // typed JSON payload extraction over the events stream table
     "events_props_stats" -> ((s, d) =>
       EventWindows.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
+    // frame-sampling schedule over synthetic video durations (derived
+    // deterministically from n_chars so the oracle shares the input)
+    "mm_frame_schedule" -> ((s, d) =>
+      graft.multimodal.Multimodal.frameSchedule(
+        Tables.documents(s, d).select(col("doc_id").as("media_id"),
+          (col("n_chars") * lit(100L)).as("duration_ms")), 5)
+        .orderBy(col("media_id"), col("frame_idx"))),
 
     // ----- deduplication (M4)
     "dedup_exact_groups" -> ((s, d) =>
@@ -1088,6 +1095,18 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents WHERE n_chars BETWEEN 200 AND 400 " +
         "GROUP BY lang ORDER BY lang"),
+
+    // floor() on both sides: DuckDB CAST(double AS INT) rounds while
+    // Spark's truncates, but floor-then-cast agrees everywhere
+    "mm_frame_schedule" ->
+      ("WITH m AS (SELECT doc_id AS media_id, n_chars * 100 AS duration_ms FROM documents), " +
+        "n AS (SELECT media_id, duration_ms, " +
+        "CAST(least(5, greatest(floor(duration_ms / 1000), 1)) AS INT) AS n_frames FROM m), " +
+        "f AS (SELECT media_id, n_frames, duration_ms, " +
+        "CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx FROM n) " +
+        "SELECT media_id, n_frames, frame_idx, " +
+        "CAST(floor(duration_ms * (frame_idx * 2 + 1) / (n_frames * 2)) AS BIGINT) AS ts_ms " +
+        "FROM f ORDER BY media_id, frame_idx"),
 
     "events_props_stats" ->
       ("WITH e AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events) " +

@@ -95,6 +95,28 @@ object Multimodal {
   def prunableMedia(df: DataFrame, kind: String, maxBytes: Int): DataFrame =
     df.filter(col("kind") === kind && octet_length(col("content")) <= maxBytes)
 
+  /** Uniform frame-sampling schedule — the video-path planning step
+    * that decides WHICH frames to decode before any codec touches
+    * bytes: up to `maxFrames` midpoint-rule timestamps per media item,
+    * capped at ~1 frame/second for short clips. Frame i of n lands at
+    * floor(duration·(2i+1)/(2n)) ms, so samples are centered in equal
+    * duration slices (no 0 ms / end-of-file frames). Pure codegen'd
+    * arithmetic + one narrow explode; the schedule then drives the
+    * batched [[extractFeatures]] decode with metadata-pruned inputs. */
+  def frameSchedule(media: DataFrame, maxFrames: Int): DataFrame = {
+    require(maxFrames > 0, "maxFrames must be positive")
+    media
+      .withColumn("n_frames",
+        least(lit(maxFrames),
+          greatest(floor(col("duration_ms") / 1000), lit(1L))).cast("int"))
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("duration_ms"))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        floor(col("duration_ms") * (col("frame_idx") * 2 + 1) / (col("n_frames") * 2))
+          .cast("long").as("ts_ms"))
+  }
+
   /** Build a deterministic media table from the documents corpus (text
     * bytes as payload) — the test harness for the plumbing. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {

@@ -20,6 +20,16 @@ class MultimodalSpec extends SparkSpec {
       again.map(r => r.media_id -> r.checksum).toMap)
   }
 
+  test("frameSchedule samples midpoints of equal duration slices") {
+    val m = Seq((1L, 10000L), (2L, 500L), (3L, 3000L)).toDF("media_id", "duration_ms")
+    val r = Multimodal.frameSchedule(m, 5).collect()
+      .map(x => (x.getAs[Long]("media_id"), x.getAs[Int]("frame_idx"), x.getAs[Long]("ts_ms")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(r(1L) === Seq(1000L, 3000L, 5000L, 7000L, 9000L)) // 5 of 10 s
+    assert(r(2L) === Seq(250L))                              // sub-second clip: 1 frame
+    assert(r(3L) === Seq(500L, 1500L, 2500L))                // 1 fps cap: 3 frames
+  }
+
   test("metadata pruning filters without touching payload bytes") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val media = Multimodal.mediaFromDocuments(spark, docs).toDF()
