@@ -245,6 +245,11 @@ object SparkEntry {
       TextOps.repetitionScores(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_length_quantiles" -> ((s, d) =>
       TextOps.lengthQuantiles(Tables.documents(s, d)).orderBy(col("lang"))),
+    // distributed prefix scan (per-partition cumsum + broadcast
+    // offsets) must equal the oracle's single global running sum
+    "text_shard_assignments" -> ((s, d) =>
+      TextOps.shardAssignments(Tables.documents(s, d), 4096)
+        .orderBy(col("doc_id"))),
     // statistical-aggregate zoo: per-lang regression of char length on
     // token count (corr/covar/regr_* are exact one-pass aggregates in
     // both engines; only the tiny per-lang result crosses the shuffle)
@@ -1013,6 +1018,15 @@ object SparkEntry {
         s"SELECT doc_id, n_chars, bucket_hash, " +
         s"CASE WHEN bucket_hash < '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train' ELSE 'heldout' END AS split " +
         "FROM h ORDER BY doc_id"),
+
+    // DuckDB window sum(INT) → HUGEINT; cast at the output edge
+    "text_shard_assignments" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, " +
+        "sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS cum_before FROM t) " +
+        "SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before, " +
+        "CAST(floor(CAST(cum_before AS DOUBLE) / 4096) AS BIGINT) AS shard_id " +
+        "FROM c ORDER BY doc_id"),
 
     "text_lang_regression" ->
       ("WITH t AS (SELECT lang, CAST(n_chars AS DOUBLE) AS y, " +

@@ -233,6 +233,38 @@ object TextOps {
       .filter(col("quality_score") >= col("q_threshold"))
   }
 
+  /** Cross-document training-shard assignment: docs in doc_id order
+    * are packed into consecutive `budget`-token shards (shard =
+    * floor(tokens-before / budget)). The naive formulation is a GLOBAL
+    * running sum — a single-partition window that serializes the whole
+    * corpus through one task. This is the distributed prefix-scan
+    * instead: range-partition by doc_id (contiguous ranges, ordered
+    * partition ids), cum-sum WITHIN each partition in parallel, and
+    * add each partition's broadcast offset (running total of the tiny
+    * per-partition sums). Exactly equal to the global scan — where the
+    * sampled range bounds land cannot change any row's result — but
+    * every stage is parallel and the only global object is one row per
+    * partition. */
+  def shardAssignments(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = withTokens(docs)
+      .select(col("doc_id"), size(col("words")).as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = toks.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
+      // ≤(shuffle partitions) rows: the unpartitioned window is deliberate
+      .withColumn("offset",
+        coalesce(sum(col("ptotal")).over(w.orderBy(col("pid"))) - col("ptotal"), lit(0L)))
+      .select(col("pid"), col("offset"))
+    toks.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w.partitionBy(col("pid")).orderBy(col("doc_id")))
+          - col("n_tokens") + col("offset"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        floor(col("cum_before") / budget).as("shard_id"))
+  }
+
   /** Per-language document-length distribution — the numbers quality
     * cutoffs are calibrated from. Exact interpolated percentiles
     * (`percentile`) so the result is oracle-checkable; at 100 TB swap

@@ -275,6 +275,21 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(approx - 250.5) <= 5.0, s"approx p50 $approx drifted from exact 250.5")
   }
 
+  test("shardAssignments' distributed prefix scan equals the global running sum") {
+    val d = docs((1L to 200L).map(i => i -> ("w " * ((i % 17) + 1).toInt).trim): _*)
+    val dist = TextOps.shardAssignments(d, 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cum_before"), r.getAs[Long]("shard_id"))).toMap
+    // brute force: the single global window it must reproduce exactly
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+    val brute = TextOps.withTokens(d)
+      .select($"doc_id", size($"words").as("n"))
+      .withColumn("cum", sum($"n").over(w) - $"n")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum"), r.getAs[Long]("cum") / 50)).toMap
+    assert(dist === brute)
+    assert(dist.values.map(_._2).max > 0) // multiple shards exercised
+  }
+
   test("approx_count_distinct tracks the exact vocabulary within tolerance") {
     val d = (1 to 2000).map(i => s"w${i % 700}").toDF("word")
     val exact = d.agg(countDistinct($"word")).head.getLong(0)
