@@ -24,7 +24,7 @@ object Bench {
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // deterministic order + per-query session hygiene: drop any cached
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state
@@ -57,7 +57,24 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The JSON line must be un-losable: streaming state stores (RocksDB
+    // maintenance threads from the stream_* queries) can dump shutdown
+    // stack traces that flood a captured log tail. So: quiesce streams
+    // and state stores, stop the session, and only THEN print — the
+    // noise precedes the JSON instead of burying it. A file copy backs
+    // up the stdout line against any remaining tail race.
+    try {
+      spark.streams.active.foreach(_.stop())
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(json)
   }
 }

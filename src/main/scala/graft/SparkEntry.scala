@@ -56,7 +56,7 @@ object SparkEntry {
   private def embBits(s: SparkSession, d: String): Int = {
     val r = Tables.embeddings(s, d)
       .agg(count(lit(1)).as("n"), min(size(col("embedding"))).as("dim")).head()
-    Similarity.scaledBits(r.getLong(0), r.getInt(1))
+    Similarity.scaledBitsForDim(r.getLong(0), r.getInt(1))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -553,9 +553,13 @@ object SparkEntry {
     queue.write.mode("overwrite").parquet(s"$base/in/seed")
     graft.streaming.RetryLoop.run(s, queue.schema, s"$base/in",
       s"$base/delivered", s"$base/dlq", s"$base/ckpt", !col("is_valid"), maxAttempts = 3)
-    val del = s.read.schema(queue.schema).parquet(s"$base/delivered")
+    // batch_N subdirs (plain names, no partition inference) need the
+    // recursive lookup; a glob would trip FileStreamSink's metadata probe
+    val del = s.read.schema(queue.schema).option("recursiveFileLookup", "true")
+      .parquet(s"$base/delivered")
       .select(lit("delivered").as("outcome"), col("attempts"))
-    val dead = s.read.schema(queue.schema).parquet(s"$base/dlq")
+    val dead = s.read.schema(queue.schema).option("recursiveFileLookup", "true")
+      .parquet(s"$base/dlq")
       .select(lit("dead_letter").as("outcome"), col("attempts"))
     del.unionByName(dead)
       .groupBy(col("outcome"))

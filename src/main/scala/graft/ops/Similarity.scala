@@ -80,17 +80,20 @@ object Similarity {
     math.min(maxBits, math.max(minBits,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
-  /** As above, clamped to the embedding dimensionality `dim` — sign bits
-    * beyond the vector length carry no signal, so a knob that exceeds
-    * dim would only pretend to grow the bucket count. */
-  def scaledBits(n: Long, dim: Int): Int = math.min(dim, scaledBits(n))
+  /** As `scaledBits`, clamped to the embedding dimensionality `dim` —
+    * sign bits beyond the vector length carry no signal, so a knob that
+    * exceeds dim would only pretend to grow the bucket count. Named
+    * (not an overload): a second (Long, Int) signature would make a
+    * positional `scaledBits(n, 64)` meant as targetBucket silently
+    * resolve to a dim clamp. */
+  def scaledBitsForDim(n: Long, dim: Int): Int = math.min(dim, scaledBits(n))
 
   /** Deterministic sign-bit LSH bucket id from the first `bits` vector
     * components (axis-aligned random-hyperplane LSH). `get` (0-based,
     * null out of range under ANSI and non-ANSI alike) makes components
     * past the vector length contribute 0 instead of erroring, but
     * callers should still clamp bits to the dimensionality via
-    * `scaledBits(n, dim)` — see that doc. */
+    * `scaledBitsForDim(n, dim)` — see that doc. */
   def signBucket(emb: Column, bits: Int = 4): Column =
     (0 until bits).map { i =>
       when(get(emb, lit(i)) > 0f, lit(1 << (bits - 1 - i))).otherwise(lit(0))

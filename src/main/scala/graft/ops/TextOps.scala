@@ -138,10 +138,16 @@ object TextOps {
   def withTokens(docs: DataFrame): DataFrame = {
     // only repartition when the input is UNDER-parallel (single-file
     // corpus): at 100 TB the input splits already parallelize and an
-    // unconditional repartition would shuffle the whole raw corpus
+    // unconditional repartition would shuffle the whole raw corpus.
+    // inputFiles is a logical-plan probe — unlike .rdd.getNumPartitions
+    // it doesn't instantiate the physical RDD lineage on every call
+    // (this helper runs once per consumer). Non-file inputs (in-memory
+    // test frames) report 0 files and skip the spread: they are local
+    // and tiny by construction.
     val target = docs.sparkSession.sparkContext.defaultParallelism
+    val nFiles = docs.inputFiles.length
     val spread =
-      if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+      if (nFiles > 0 && nFiles < target) docs.repartition(target) else docs
     spread.select(col("doc_id"), tokens(col("text")).as("words"))
   }
 
@@ -248,10 +254,22 @@ object TextOps {
   def shardAssignments(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
+    // Materialize ONCE before branching: correctness requires the
+    // offsets branch and the join branch to observe the SAME physical
+    // partitioning (pid values). Two references to the same
+    // repartitionByRange subtree normally dedup into one reused
+    // exchange, but that reuse is best-effort (exchangeReuse off, AQE
+    // re-planning) and the range partitioner's sampling is seeded per
+    // RDD — two independent exchanges could disagree on bounds. The
+    // checkpoint pins one materialized partitioning both branches
+    // read. (Cluster note: localCheckpoint stores on executors — on a
+    // multi-node deployment with dynamic allocation use checkpoint(dir)
+    // on reliable storage instead.)
     val toks = withTokens(docs)
       .select(col("doc_id"), size(col("words")).as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val offsets = toks.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
       // ≤(shuffle partitions) rows: the unpartitioned window is deliberate
       .withColumn("offset",

@@ -58,7 +58,14 @@ object DedupIngest {
           .withColumn("content_hash", md5(col("text")))
           .withColumn("rn", row_number().over(keeper))
           .filter(col("rn") === 1).drop("rn")
-        val seenDirs = listStateDirs(stateDir)
+        // Only read state from batches strictly BEFORE this one: on a
+        // retried micro-batch, seen_$batchId from the failed attempt
+        // would otherwise anti-join the batch against its own output
+        // and silently admit nothing — violating exactly-once
+        // admission. Dirs keyed >= batchId belong to this attempt (or
+        // a failed future one after checkpoint rollback) and are about
+        // to be overwritten anyway.
+        val seenDirs = listStateDirs(stateDir, batchId)
         val fresh =
           if (seenDirs.isEmpty) inBatch
           else inBatch.join(
@@ -79,10 +86,17 @@ object DedupIngest {
     batches.get()
   }
 
-  private def listStateDirs(stateDir: String): Seq[String] = {
+  private def listStateDirs(stateDir: String, beforeBatch: Long): Seq[String] = {
     val d = new java.io.File(stateDir)
     Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("seen_"))
+      .filter { f =>
+        f.isDirectory && (f.getName match {
+          case s if s.startsWith("seen_") =>
+            scala.util.Try(s.stripPrefix("seen_").toLong).toOption
+              .exists(_ < beforeBatch)
+          case _ => false
+        })
+      }
       .map(_.getAbsolutePath).toSeq
   }
 }

@@ -60,10 +60,10 @@ object RetryLoop {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           val attempted = batch.withColumn("attempts", col("attempts") + 1)
           attempted.filter(!isPoison)
-            .write.mode("overwrite").parquet(s"$deliveredDir/batch_id=$batchId")
+            .write.mode("overwrite").parquet(s"$deliveredDir/batch_$batchId")
           val failed = attempted.filter(isPoison)
           failed.filter(col("attempts") >= maxAttempts)
-            .write.mode("overwrite").parquet(s"$dlqDir/batch_id=$batchId")
+            .write.mode("overwrite").parquet(s"$dlqDir/batch_$batchId")
           val retry = failed.filter(col("attempts") < maxAttempts)
           if (!retry.isEmpty) {
             retried.set(true)

@@ -44,9 +44,11 @@ class PropertiesSpec extends SparkSpec {
       val anyPoison = mask.contains(true)
       // a poison record burns exactly maxAttempts passes; a clean queue drains in one
       assert(passes === (if (anyPoison) maxA else 1))
-      val delivered = spark.read.schema(queue.schema).parquet(s"$base/delivered")
+      val delivered = spark.read.schema(queue.schema).option("recursiveFileLookup", "true")
+        .parquet(s"$base/delivered")
         .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-      val dead = spark.read.schema(queue.schema).parquet(s"$base/dlq")
+      val dead = spark.read.schema(queue.schema).option("recursiveFileLookup", "true")
+        .parquet(s"$base/dlq")
         .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       // the two sinks PARTITION the queue: nothing lost, nothing duplicated
       val expectDelivered = mask.zipWithIndex.collect { case (false, k) => s"k$k" -> 1 }.toMap

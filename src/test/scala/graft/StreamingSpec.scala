@@ -146,10 +146,12 @@ class StreamingSpec extends SparkSpec {
     val passes = RetryLoop.run(spark, queue.schema, s"$base/in",
       s"$base/delivered", s"$base/dlq", s"$base/ckpt", $"poison", maxAttempts = 3)
     assert(passes === 3) // poison burns exactly maxAttempts passes
-    val delivered = spark.read.schema(queue.schema).parquet(s"$base/delivered")
+    val delivered = spark.read.schema(queue.schema).option("recursiveFileLookup", "true")
+      .parquet(s"$base/delivered")
       .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(delivered === Map("ok-1" -> 1, "ok-2" -> 1))
-    val dead = spark.read.schema(queue.schema).parquet(s"$base/dlq")
+    val dead = spark.read.schema(queue.schema).option("recursiveFileLookup", "true")
+      .parquet(s"$base/dlq")
       .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(dead === Map("poison-1" -> 3)) // attempt count accumulated across redeliveries
   }
@@ -173,6 +175,23 @@ class StreamingSpec extends SparkSpec {
     assert(state.distinct().count() === 3)
   }
 
+  test("dedup ingest retry: a failed attempt's own seen_N dir cannot starve the batch") {
+    import graft.streaming.DedupIngest
+    val base = tmp("graft-ingest-retry")
+    val g0 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    g0.coalesce(1).write.parquet(s"$base/in/g0")
+    // simulate a first attempt that wrote seen_0 and died before the
+    // checkpoint committed: on retry the batch re-runs with batchId=0
+    // and must NOT anti-join against its own failed attempt's state
+    g0.select(md5($"text").as("content_hash"))
+      .write.parquet(s"$base/state/seen_0")
+    DedupIngest.run(spark, g0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    val admitted = spark.read.parquet(s"$base/out/*")
+      .select($"text").collect().map(_.getString(0)).sorted.toSeq
+    assert(admitted === Seq("alpha", "beta"))
+  }
+
   test("ST2: maxAttempts=1 dead-letters poison on first failure, no redelivery") {
     import graft.streaming.RetryLoop
     val base = tmp("graft-retry1")
@@ -181,7 +200,8 @@ class StreamingSpec extends SparkSpec {
     val passes = RetryLoop.run(spark, queue.schema, s"$base/in",
       s"$base/delivered", s"$base/dlq", s"$base/ckpt", $"poison", maxAttempts = 1)
     assert(passes === 1)
-    val dead = spark.read.schema(queue.schema).parquet(s"$base/dlq")
+    val dead = spark.read.schema(queue.schema).option("recursiveFileLookup", "true")
+      .parquet(s"$base/dlq")
       .select($"key", $"attempts").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(dead === Map("poison" -> 1))
   }
