@@ -203,6 +203,11 @@ object SparkEntry {
     // ----- text analysis (M4)
     "text_token_stats" -> ((s, d) =>
       TextOps.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // normalization ahead of tokenize/dedup: case fold, strip
+    // invisibles, collapse whitespace — certified via the stats+hash
+    // of the normalized text
+    "text_normalized_stats" -> ((s, d) =>
+      TextOps.normalizedStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_term_freq" -> ((s, d) =>
       TextOps.termFrequency(Tables.documents(s, d), 50)),
     "text_quality_by_lang" -> ((s, d) =>
@@ -363,13 +368,14 @@ object SparkEntry {
     // end-to-end dedup DECISION: LSH buckets → connected components →
     // keeper per component (what a training-data pipeline actually runs)
     "dedup_components" -> ((s, d) =>
-      Dedup.dedupComponents(Tables.documents(s, d), 4).orderBy(col("doc_id"))),
+      componentsFor(s, d).orderBy(col("doc_id"))),
     // the two-stage pipeline: LSH candidates, exact-Jaccard verification
     "dedup_minhash_verified" -> ((s, d) =>
       Dedup.minhashVerifiedPairs(Tables.documents(s, d), 20)),
-    // terminal op: the deduplicated corpus itself (keepers only)
+    // terminal op: the deduplicated corpus itself (keepers only),
+    // applying the PRECOMPUTED component decisions — a pure semi-join
     "dedup_kept_docs" -> ((s, d) =>
-      Dedup.deduplicate(Tables.documents(s, d))
+      Dedup.deduplicate(Tables.documents(s, d), componentsFor(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
     // bucket bits scale with corpus size AND are clamped to the embedding
@@ -391,6 +397,11 @@ object SparkEntry {
       Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
     "emb_ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), embQueries(s, d), 5, embBits(s, d))
+        .orderBy(col("q_id"), col("rank"))),
+    // multi-probe: own bucket + Hamming-1 neighbors — closes the
+    // boundary-vector recall cliff of the single-probe path
+    "emb_ann_multiprobe_topk" -> ((s, d) =>
+      Similarity.multiProbeTopK(Tables.embeddings(s, d), embQueries(s, d), 5, embBits(s, d))
         .orderBy(col("q_id"), col("rank"))),
     // two Lloyd iterations so the centroid UPDATE path (not just the
     // seeded assignment) runs under the oracle; the DuckDB SQL mirrors
@@ -465,15 +476,23 @@ object SparkEntry {
       graft.ops.Simhash.hammingPairs(Tables.documents(s, d), 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // ----- multimodal plumbing (binary column features; decode is stubbed
-    //       in graft.multimodal, the SQL-checkable surface is below)
+    // ----- multimodal plumbing (binary column features; image decode is
+    //       REAL via JDK ImageIO, audio/video stay stubbed)
     "mm_binary_features" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
         ascii(substring(col("text"), 1, 1)).as("first_code"),
         md5(col("text")).as("content_hash"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // the REAL decode certified end-to-end: deterministic two-band PNGs
+    // are encoded on the executors, ImageIO-decoded back, and the exact
+    // pixel sums must match the oracle's closed-form expectation
+    "mm_decode_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.decodeImageStats(
+        graft.multimodal.Multimodal.syntheticImages(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("media_id")))
   )
 
   /** Scratch space for the stream_* builders: run the pipeline in a temp
@@ -481,6 +500,28 @@ object SparkEntry {
     * localCheckpoint so its lineage no longer needs the files, then
     * delete the dir — repeated invocations in a long session leave no
     * litter. */
+  /** Dedup components materialized ONCE per (session, dataset) and read
+    * from parquet thereafter — the production shape: dedup decisions are
+    * persisted state, not recomputed per consumer (at 100 TB nobody
+    * re-runs connected components just to apply them). The first caller
+    * (dedup_components, alphabetically before dedup_kept_docs) pays the
+    * build; every later consumer is a plain parquet scan. */
+  private val componentsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def componentsFor(s: SparkSession, d: String): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$d"
+    val path = componentsCache.computeIfAbsent(key, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-components").toString
+      val comps = Dedup.dedupComponents(Tables.documents(s, d), 4)
+      comps.write.mode("overwrite").parquet(out)
+      // the decisions now live in parquet; release the contraction
+      // loop's final checkpoint blocks instead of stranding them
+      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(comps)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(prefix)
     try f(base.toString).localCheckpoint(true)
@@ -923,6 +964,17 @@ object SparkEntry {
         "CAST(length(text) AS INT) AS n_chars, " +
         "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len " +
         "FROM documents ORDER BY doc_id"),
+
+    // same normalization chain; RE2 spells the invisibles \x{200B},
+    // Java regex \\u200B; explicit whitespace class on both engines
+    // (bare \s membership differs between them); 'g' flag — DuckDB
+    // regexp_replace is first-match-only by default, Spark's is global
+    "text_normalized_stats" ->
+      ("SELECT doc_id, CAST(length(nt) AS INT) AS n_chars_norm, " +
+        "CAST(len(string_split(nt, ' ')) AS INT) AS n_tokens_norm, md5(nt) AS norm_hash " +
+        "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'), " +
+        "'[ \\t\\n\\r\\f]+', ' ', 'g')) AS nt FROM documents) ORDER BY doc_id"),
     "text_term_freq" ->
       ("SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
@@ -1271,6 +1323,21 @@ object SparkEntry {
         "FROM q JOIN bkt c ON q.bucket = c.bucket AND c.vec_id <> q.q_id) " +
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 5 ORDER BY q_id, rank"),
+    // candidate set = own bucket ∪ Hamming-1 buckets: xor of the two
+    // bucket ids is a power of two below 2^b (bucket is HUGEINT from
+    // list_sum — cast to BIGINT for xor)
+    "emb_ann_multiprobe_topk" ->
+      (s"WITH $bktSql, " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM bkt WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, c.vec_id, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*c.e[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(c.e, x -> x*x)))), 4) AS sim " +
+        "FROM q JOIN bkt c ON c.vec_id <> q.q_id CROSS JOIN prm " +
+        "WHERE q.bucket = c.bucket OR list_contains(" +
+        "list_transform(range(0, CAST(b AS BIGINT)), i -> CAST(power(2, i) AS BIGINT)), " +
+        "xor(CAST(q.bucket AS BIGINT), CAST(c.bucket AS BIGINT)))) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 5 ORDER BY q_id, rank"),
 
     "emb_ivf_assign" ->
       (s"WITH $ivfSql " +
@@ -1372,6 +1439,23 @@ object SparkEntry {
     "mm_binary_features" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
         "CAST(ascii(substr(text, 1, 1)) AS INT) AS first_code, md5(text) AS content_hash " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+
+    // closed-form pixel sums of the two-band synthetic PNGs: left wa
+    // columns in color A, the rest in color B, per-channel colors
+    // (doc_id·m) mod 256 — matches Multimodal.syntheticImages exactly;
+    // equality proves ImageIO returned the encoded pixels verbatim
+    "mm_decode_features" ->
+      ("WITH g AS (SELECT doc_id AS media_id, " +
+        "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, (8 + doc_id % 9) // 2 AS wa, " +
+        "doc_id*37 % 256 AS ra, doc_id*59 % 256 AS ga, doc_id*83 % 256 AS ba, " +
+        "doc_id*101 % 256 AS rb, doc_id*131 % 256 AS gb, doc_id*151 % 256 AS bb " +
+        "FROM documents) " +
+        "SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(w*h AS BIGINT) AS n_pixels, " +
+        "CAST(h*(wa*ra + (w-wa)*rb) AS BIGINT) AS sum_r, " +
+        "CAST(h*(wa*ga + (w-wa)*gb) AS BIGINT) AS sum_g, " +
+        "CAST(h*(wa*ba + (w-wa)*bb) AS BIGINT) AS sum_b " +
+        "FROM g ORDER BY media_id")
   )
 }

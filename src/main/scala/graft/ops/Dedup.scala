@@ -195,20 +195,61 @@ object Dedup {
       .limit(topN)
   }
 
+  /** One LARGE-STAR round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): every node attaches its strictly-GREATER
+    * neighbors to the minimum of its closed neighborhood. This is the
+    * distributed pointer-jumping step — a node's reach toward the
+    * component minimum roughly doubles per round — expressed as one
+    * min-aggregate plus one equi-join (both map-side combinable; no
+    * window, nothing collected). Output edges are oriented big→small
+    * and never outnumber the (undirected) input edges. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), first(col("src"))).as("m"))
+    sym.join(mins, Seq("src"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR round: orient every edge toward its larger
+    * endpoint, then each node relinks itself and ALL of its
+    * smaller-or-equal neighbors to the neighborhood minimum. Together
+    * with largeStar this contracts any graph to disjoint stars centered
+    * at each component's minimum id in O(log² n) rounds worst-case
+    * (O(log n) observed) — the giant-component-safe alternative to
+    * plain label propagation, whose round cost is bounded by the
+    * current (shrinking) edge count. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val or = edges.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = or.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    or.join(mins, Seq("src"))
+      .select(col("dst").as("v"), col("m"))
+      .unionByName(mins.select(col("src").as("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
   /** Dedup DECISIONS — the operator a training-data pipeline actually
     * runs end-to-end: candidate edges from the MinHash LSH buckets →
     * connected components → one keeper per component.
     *
     * Edges are the buckets' STARS (bucket-min doc ↔ each member), so a
     * bucket of n docs contributes n-1 edges, never n²/2. Components are
-    * resolved by iterative min-label propagation over the symmetric
-    * edge set — fully distributed (each round is one join + one min
-    * aggregation; NO driver-side union-find, nothing ever collected),
-    * converging in O(component diameter) rounds; star edges keep
-    * diameters small, and a production giant-component corpus would add
-    * large-star/small-star rounds to cut them further. The driver loop
-    * only checks a converged-count per round — an O(1) scalar action,
-    * not data movement.
+    * resolved by alternating large-star/small-star contraction
+    * ([[largeStar]]/[[smallStar]]) — the giant-component-safe
+    * distributed CC algorithm: each round is two tiny aggregates + two
+    * equi-joins over an edge set that only shrinks, NO driver-side
+    * union-find, nothing ever collected; at the fixpoint the edges ARE
+    * the component assignment (disjoint stars centered at each
+    * component's min doc_id). The driver loop checks one O(1) scalar
+    * per round (an anti-join emptiness probe), not data movement.
     *
     * Returns (doc_id, component_id, is_keeper): component_id = min
     * doc_id reachable, keeper = the doc equal to it. Docs with no
@@ -225,72 +266,83 @@ object Dedup {
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
       .distinct()
+    docs.select(col("doc_id"))
+      .join(
+        connectedComponents(edges, maxRounds).withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"))
+      .withColumn("is_keeper", col("doc_id") === col("component_id"))
+  }
+
+  /** Distributed connected components over an explicit (src, dst) edge
+    * list: alternate [[largeStar]]/[[smallStar]] until the edge set is
+    * a fixpoint — provably a disjoint union of stars centered at each
+    * component's minimum node. Returns (node, component_id) for every
+    * node INCIDENT to an edge (isolated nodes are the caller's to union
+    * in). Per-round cost is two aggregates + two equi-joins over a
+    * shrinking edge set; the driver sees only an O(1) convergence probe
+    * per round. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     // Eager localCheckpoint: materializes the edge set once AND cuts the
-    // logical plan, so each propagation round plans over a flat scan
+    // logical plan, so each contraction round plans over a flat scan
     // instead of a lineage that doubles per round (a persist-only
     // formulation re-analyzes the full history every round — measured
     // minutes at 20 rounds even on 500 docs). On a real cluster swap for
-    // reliable checkpoint(dir); blocks are freed by the ContextCleaner.
-    val sym = edges
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    // start each doc at its smallest DIRECT hub (one propagation round
-    // prepaid inside the initialization join)
-    val hubMin = sigs.join(hubs, Seq("band", "signature"))
-      .groupBy(col("doc_id")).agg(min(col("hub")).as("hub_min"))
-    var labels = docs.select(col("doc_id"))
-      .join(hubMin, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("hub_min"), col("doc_id"))).as("component_id"))
-      .localCheckpoint(true)
-    var changed = 1L
+    // reliable checkpoint(dir); blocks are freed per round below.
+    var stars = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var prevCnt = stars.count()
+    var converged = false
     var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val viaNeighbor = sym
-        .join(labels, sym("src") === labels("doc_id"))
-        .select(sym("dst").as("doc_id"), col("component_id"))
-      // pointer jumping: also adopt the label OF the current label
-      // (label doubling) — chains collapse in O(log diameter) rounds
-      // instead of O(diameter); fixpoint (= component min) is unchanged
-      val l1 = labels.toDF("doc_id", "component_id")
-      val l2 = labels.toDF("mid", "parent")
-      val viaLabel = l1.join(l2, l1("component_id") === l2("mid"))
-        .select(l1("doc_id"), col("parent").as("component_id"))
-      val next = labels.unionByName(viaNeighbor).unionByName(viaLabel)
-        .groupBy(col("doc_id"))
-        .agg(min(col("component_id")).as("component_id"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("component_id", "old_label"), Seq("doc_id"))
-        .filter(col("component_id") =!= col("old_label"))
-        .count()
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(stars)).localCheckpoint(true)
+      val cnt = next.count()
+      // fixpoint test: small∘large is deterministic, so an unchanged
+      // edge set means every further round is a no-op — and the only
+      // fixpoints of the alternation are disjoint min-centered stars.
+      // next ⊆ prev (anti-join empty) plus equal counts ⇒ set equality.
+      converged = cnt == prevCnt &&
+        next.join(stars, Seq("src", "dst"), "left_anti").isEmpty
       // free the previous round's checkpoint blocks NOW — leaving them
       // for driver GC strands rounds × partitions blocks per call and
       // measurably degrades later queries in the same session
-      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(labels)
-      labels = next
+      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(stars)
+      stars = next
+      prevCnt = cnt
       round += 1
     }
-    if (changed > 0)
+    if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"dedupComponents: label propagation did NOT converge after $maxRounds rounds " +
-          s"($changed labels still changing) — components may be split across keepers; raise maxRounds")
-    // sym's blocks are no longer needed (labels' checkpoint cut the
-    // lineage); only the final labels checkpoint stays alive, backing
-    // the returned frame
-    org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(sym)
-    labels.select(
-      col("doc_id"), col("component_id"),
-      (col("doc_id") === col("component_id")).as("is_keeper"))
+        .warn(s"connectedComponents: star contraction did NOT converge after $maxRounds rounds " +
+          "— components may be split; raise maxRounds")
+    // at the fixpoint every non-center node has exactly one outgoing
+    // edge to its component min (the min() is belt-and-braces for the
+    // non-converged warn path, where a node may still carry two
+    // candidate centers); centers appear only as dst and label
+    // themselves
+    val members = stars
+      .groupBy(col("src")).agg(min(col("dst")).as("component_id"))
+      .withColumnRenamed("src", "node")
+    val centers = stars.select(col("dst").as("node")).distinct()
+      .join(members, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component_id"))
+    members.unionByName(centers)
   }
 
-  /** Terminal dedup op: the corpus with only component KEEPERS retained —
-    * the frame a downstream training pipeline actually consumes. One
+  /** Terminal dedup op over PRECOMPUTED components (the
+    * [[dedupComponents]] output, typically materialized once and
+    * reused): the corpus with only component KEEPERS retained — the
+    * frame a downstream training pipeline actually consumes. One
     * left-semi join against the (tiny) keeper id set; all columns pass
-    * through untouched. */
-  def deduplicate(docs: DataFrame, bands: Int = 4): DataFrame =
+    * through untouched. At 100 TB nobody recomputes connected
+    * components to apply them — persist the decisions, then apply. */
+  def deduplicate(docs: DataFrame, components: DataFrame): DataFrame =
     docs.join(
-      dedupComponents(docs, bands).filter(col("is_keeper")).select(col("doc_id")),
+      components.filter(col("is_keeper")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+
+  /** Convenience form: compute the components inline, then apply. */
+  def deduplicate(docs: DataFrame, bands: Int = 4): DataFrame =
+    deduplicate(docs, dedupComponents(docs, bands))
 }

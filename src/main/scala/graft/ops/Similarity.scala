@@ -126,4 +126,32 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Multi-probe LSH top-k: each query probes its own bucket PLUS its
+    * `bits` Hamming-1 neighbor buckets — the standard fix for the
+    * single-probe recall cliff, where a vector near a hyperplane
+    * boundary loses its true neighbors to the adjacent bucket. Still a
+    * bucket equi-join: the probe set explodes to bits+1 rows per query
+    * (the query side is small by contract and stays broadcast), the
+    * corpus is never replicated, and a corpus vector lives in exactly
+    * one bucket so a (query, vector) candidate can only arise once —
+    * no dedup needed. Candidate volume ×(bits+1) is the recall/cost
+    * knob between single-probe and brute force. */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4): DataFrame = {
+    val c = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
+    val base = signBucket(col("q_emb"), bits)
+    val probes = array(base +: (0 until bits).map(i => base.bitwiseXOR(lit(1 << i))): _*)
+    val q = queries.select(col("q_id"), col("q_emb"), explode(probes).as("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id"),
+        round(graft.functions.VectorExpressions.cosineNative(col("q_emb"), col("embedding")), 4)
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

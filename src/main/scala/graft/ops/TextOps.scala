@@ -20,6 +20,33 @@ object TextOps {
     * BPE-ish regex tokenizer is `tokensRegex`). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Text normalization — run BEFORE tokens/shingles/fingerprints so
+    * byte-distinct but canonically-equal texts dedup as one document:
+    * case folding, zero-width/soft-hyphen strip (ZWSP/ZWNJ/ZWJ/BOM/SHY,
+    * the invisibles that defeat exact and near dedup), whitespace
+    * collapse, trim. Stays in codegen'd built-ins (lower /
+    * regexp_replace with explicit character classes — `\s` differs
+    * between regex engines) so every rule is oracle-expressible; full
+    * Unicode NFC (java.text.Normalizer) would need a custom Expression
+    * and is deliberately out of this subset. Thread it with
+    * `docs.withColumn("text", TextOps.normalize(col("text")))` ahead of
+    * any downstream op. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\u200B\\u200C\\u200D\\uFEFF\\u00AD]", ""),
+      "[ \t\n\r\f]+", " "))
+
+  /** Per-document stats over the normalized text: char/token counts and
+    * the content hash exact dedup would group on after normalization. */
+  def normalizedStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), normalize(col("text")).as("nt"))
+      .select(
+        col("doc_id"),
+        length(col("nt")).as("n_chars_norm"),
+        size(split(col("nt"), " ")).as("n_tokens_norm"),
+        md5(col("nt")).as("norm_hash"))
+
   /** Regex tokenizer: words / numbers / single punctuation, the shape a
     * BPE pre-tokenizer produces. */
   def tokensRegex(text: Column): Column =

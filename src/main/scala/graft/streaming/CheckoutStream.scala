@@ -108,15 +108,20 @@ object CheckoutStream {
   /** Single-writer parquet-backed inventory table — the engine-native
     * stand-in for the reference's MySQL `inventory` (db/init_schema.sql:2-6).
     * Writes go to a fresh versioned directory then the pointer swaps:
-    * readers never see a partial write (poor man's MVCC commit). */
+    * readers never see a partial write (poor man's MVCC commit).
+    * Directory listing goes through Hadoop's FileSystem (resolved from
+    * the table path's scheme), so this v1 parity path runs against any
+    * storage — local disk in tests, HDFS/object stores on a cluster —
+    * not just driver-local java.io. */
   final class InventoryTable(spark: SparkSession, dir: String) {
-    private val fs = new java.io.File(dir)
-    fs.mkdirs()
+    private val root = new org.apache.hadoop.fs.Path(dir)
+    private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
 
     private def versions: Seq[Long] =
-      Option(fs.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("v"))
-        .map(_.getName.drop(1).toLong).toSeq.sorted
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+        .map(_.getPath.getName.drop(1).toLong).sorted
 
     def initialize(seed: DataFrame): Unit =
       seed.write.mode("overwrite").parquet(s"$dir/v0")

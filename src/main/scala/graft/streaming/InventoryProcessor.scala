@@ -49,7 +49,12 @@ object InventoryProcessor {
         timerValues: TimerValues): Iterator[LineVerdict] = {
       var available = if (stock.exists()) stock.get() else 0L
       // compensation credits (quantity < 0) apply first, then requests in
-      // deterministic within-batch serialization by order_id (ST5)
+      // deterministic within-batch serialization by order_id (ST5).
+      // NOTE: toSeq materializes one product's batch slice on this
+      // task's heap to sort it — fine for checkout-shaped traffic
+      // (requests per product per batch is small); a pathologically hot
+      // key in a huge micro-batch would need a bounded/spilling sort
+      // here, or rate control upstream (maxFilesPerTrigger).
       val verdicts = rows.toSeq.sortBy(r => (r.quantity >= 0, r.order_id)).map { r =>
         if (r.quantity < 0) { // saga rollback credit: always applied
           available -= r.quantity

@@ -13,6 +13,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   * deterministically. Lives inside the org.apache.spark.sql package
   * tree for access, same pattern as [[ColumnBridge]]. */
 object RddBridge {
+  // Freeing a locally-checkpointed RDD makes org.apache.spark.rdd.RDD
+  // WARN that the lineage cannot be recomputed — dozens of lines per
+  // iterative-component run. Here the free is the deliberate protocol
+  // (the next round's checkpoint owns the data; the freed RDD is never
+  // read again), so that ONE logger is pinned above WARN once. Scoped
+  // to the RDD class only — nothing else logs through it in this
+  // engine's paths.
+  try org.apache.logging.log4j.core.config.Configurator.setLevel(
+    classOf[RDD[_]].getName, org.apache.logging.log4j.Level.ERROR)
+  catch { case scala.util.control.NonFatal(_) => () }
+
   def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[RDD[_]] =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
 

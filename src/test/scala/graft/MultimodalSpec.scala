@@ -2,10 +2,52 @@ package graft
 
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing: schema, batched per-partition decode (stubbed),
-  * metadata pruning. */
+/** Multimodal plumbing: schema, batched per-partition decode (REAL
+  * ImageIO for images, stub for the rest), metadata pruning. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  test("ImageIO decode recovers the exact pixels of an in-test PNG") {
+    // hand-built 3×2 PNG: red / green / blue columns, two rows
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2) {
+      img.setRGB(0, y, 0xff0000); img.setRGB(1, y, 0x00ff00); img.setRGB(2, y, 0x0000ff)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(Multimodal.MediaRecord(7L, "image", baos.toByteArray, 3, 2, 0L)).toDS()
+    val st = Multimodal.decodeImageStats(media).collect()
+    assert(st.length === 1)
+    assert(st(0) === Multimodal.ImageStats(7L, 3, 2, 6L, 510L, 510L, 510L))
+    // extractFeatures routes image payloads through the real decoder:
+    // features lead with true width/height, not stub byte-folds
+    val f = Multimodal.extractFeatures(media).collect()(0).features
+    assert(f(0) === 3f && f(1) === 2f)
+    assert(math.abs(f(2) - 1f / 3f) < 1e-6) // mean R: one full-red column of three
+  }
+
+  test("syntheticImages encode→decode round-trips the formula pixels") {
+    val docs = Seq(0L, 1L, 41L, 254L, 255L, 256L).toDF("doc_id")
+    val stats = Multimodal.decodeImageStats(Multimodal.syntheticImages(docs)).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(stats.size === 6)
+    docs.collect().map(_.getLong(0)).foreach { d =>
+      val w = (8 + d % 9).toInt; val h = (8 + d % 7).toInt; val wa = w / 2
+      def c(m: Long) = (d * m) % 256
+      val s = stats(d)
+      assert(s.width === w && s.height === h && s.n_pixels === w.toLong * h)
+      assert(s.sum_r === h * (wa * c(37) + (w - wa) * c(101)))
+      assert(s.sum_g === h * (wa * c(59) + (w - wa) * c(131)))
+      assert(s.sum_b === h * (wa * c(83) + (w - wa) * c(151)))
+    }
+  }
+
+  test("non-image payloads fall back to the stub decoder, never decode") {
+    val media = Seq(Multimodal.MediaRecord(1L, "audio", Array[Byte](1, 2, 3, 4), 0, 0, 9L)).toDS()
+    assert(Multimodal.decodeImageStats(media).isEmpty)
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.features === Multimodal.StubDecoder.decode(Array[Byte](1, 2, 3, 4)))
+  }
 
   test("extractFeatures runs the batched decode over partitions deterministically") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)

@@ -19,6 +19,17 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_token_len") - 2.0) < 1e-9)
   }
 
+  test("normalize folds case, strips invisibles, collapses whitespace") {
+    val raw = "Hello\u200B  WORLD\tand\u00AD more  "
+    val r = docs((1L, raw))
+      .select(TextOps.normalize($"text").as("nt")).collect()(0).getString(0)
+    assert(r === "hello world and more")
+    // canonically-equal variants now share one exact-dedup hash
+    val d = docs((1L, "Spark  Engine"), (2L, "spark engine\u200B"))
+      .withColumn("text", TextOps.normalize($"text"))
+    assert(Dedup.exactDedupGroups(d).count() === 1)
+  }
+
   test("shingles produce n-2 trigrams; short docs give empty set") {
     val r = docs((1L, "a b c d"), (2L, "a b"))
       .select($"doc_id", TextOps.shingles(TextOps.tokens($"text")).as("sh"))
@@ -81,6 +92,23 @@ class OpsSpec extends SparkSpec {
     val queries = Seq((1L, Seq(1f, 1f, 1f, 1f))).toDF("q_id", "q_emb")
     val res = Similarity.lshTopK(corpus, queries, 5, 4).collect()
     assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L)) // 2 pruned by bucket
+  }
+
+  test("multi-probe finds the boundary neighbor single-probe misses") {
+    // the query hugs the first hyperplane (x₁ ≈ 0⁺): its true nearest
+    // neighbor differs only in that sign bit and lands in the adjacent
+    // bucket. Single-probe is blind to it; the Hamming-1 expansion of
+    // multi-probe recovers it as rank 1.
+    val corpus = Seq(
+      (1L, Seq(-0.01f, 1f), 0), // bucket 01 — near-identical, across the boundary
+      (2L, Seq(1f, 0.2f), 0))   // bucket 11 — same bucket as q, far vector
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((9L, Seq(0.01f, 1f))).toDF("q_id", "q_emb") // bucket 11
+    val single = Similarity.lshTopK(corpus, queries, 1, 2).collect()
+    assert(single.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L)) // misses vec 1
+    val multi = Similarity.multiProbeTopK(corpus, queries, 1, 2).collect()
+    assert(multi.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L)) // recall restored
+    assert(multi(0).getAs[Double]("sim") > 0.99)
   }
 
   test("salted join returns exactly the plain join's result set") {
@@ -175,6 +203,27 @@ class OpsSpec extends SparkSpec {
     // NOTE: dedupComponents uses eager localCheckpoint (not persist), so
     // its blocks are ContextCleaner-managed — freed when the RDD refs go
     // out of scope and the driver GCs, with nothing for a caller to leak.
+  }
+
+  test("connectedComponents: a 200-node chain converges in log-rounds via star contraction") {
+    // a path graph is the giant-component worst case for plain label
+    // propagation (O(diameter) rounds); the large/small-star alternation
+    // must collapse it in O(log n). 12 rounds ≈ log2(200) + detection
+    // margin — a linear-round solver would hit the warn path here and
+    // leave the chain split, failing the all-labels-are-1 assertion.
+    val edges = spark.range(1L, 200L).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val labels = Dedup.connectedComponents(edges, maxRounds = 12).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component_id")).toMap
+    assert(labels.size === 200)
+    assert(labels.values.forall(_ === 1L))
+  }
+
+  test("deduplicate applies precomputed components as a pure semi-join") {
+    val d = docs((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "ii jj kk ll"))
+    val comps = Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
+      .toDF("doc_id", "component_id", "is_keeper")
+    val kept = Dedup.deduplicate(d, comps).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept === Array(1L, 3L))
   }
 
   test("simhash hammingPairs: banded candidates find all pairs within distance 3") {
