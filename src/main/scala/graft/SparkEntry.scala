@@ -674,18 +674,34 @@ object SparkEntry {
 
   /** ST6 under the oracle: watermarked tumbling-window aggregation in
     * APPEND mode — a window row is emitted exactly once, when the
-    * watermark passes its end. Two AvailableNow passes over the same
-    * checkpoint: pass 1 streams the real events; pass 2 streams one
-    * sentinel event 3 h past the horizon, advancing the watermark past
-    * every real window's end so all of them finalize (the sentinel's own
-    * window stays open and is filtered out). The emitted set then equals
-    * the batch tumbling aggregate — the events_tumbling_hourly oracle. */
+    * watermark passes its end. ONE AvailableNow run: the input dir holds
+    * the real events plus one sentinel event 3 h past the horizon, all
+    * of which land in the first micro-batch (the watermark is consulted
+    * only BETWEEN batches, so nothing is late-dropped); after that batch
+    * the watermark jumps past every real window's end and the engine's
+    * automatic watermark-flush batch emits them all. The sentinel's own
+    * window stays open (its end exceeds the final watermark) and is
+    * filtered out. The emitted set then equals the batch tumbling
+    * aggregate — the events_tumbling_hourly oracle. A prior two-pass
+    * formulation (real events, then the sentinel through the same
+    * checkpoint) proved the same semantics but paid query startup +
+    * state restore twice: 12.7 s → 3.0 s at sf0.1 with this shape.
+    * State partitions are sized to the window-group cardinality (8, not
+    * the session's 32) — same design rule as streamSagaCounts. */
   private def streamWindowCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-win") { base =>
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    ev.write.mode("overwrite").parquet(s"$base/in/batch0")
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    def runPass(): Unit = {
+    ev.coalesce(8).write.mode("overwrite").parquet(s"$base/in/batch0")
+    s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
+      lit("sentinel").as("event_type"),
+      lit(0.0).as("value"))
+      .write.mode("overwrite").parquet(s"$base/in/sentinel")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = s.readStream.schema(ev.schema).parquet(s"$base/in/*")
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
@@ -699,15 +715,7 @@ object SparkEntry {
         .format("parquet").option("path", s"$base/out")
         .start()
       q.awaitTermination()
-    }
-    runPass()
-    s.range(1).select(
-      lit(-1L).as("event_id"),
-      lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
-      lit("sentinel").as("event_type"),
-      lit(0.0).as("value"))
-      .write.mode("overwrite").parquet(s"$base/in/sentinel")
-    runPass()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(s"$base/out")
       .filter(col("event_type") =!= "sentinel")
       .orderBy(col("win_start"), col("event_type"))
