@@ -443,6 +443,10 @@ object SparkEntry {
     "stream_dedup_counts" -> ((s, d) => streamDedupCounts(s, d)),
     "stream_dlq_counts" -> ((s, d) => streamDlqCounts(s, d)),
     "stream_saga_counts" -> ((s, d) => streamSagaCounts(s, d)),
+    // the full saga under one driver (SagaLoop): a CONTENDED request set
+    // (up to two orders per product, greedy grant by zero-padded
+    // order_id), credits re-enqueued through the file queue and drained
+    "stream_saga_loop_counts" -> ((s, d) => streamSagaLoopCounts(s, d)),
     "stream_window_counts" -> ((s, d) => streamWindowCounts(s, d)),
     // streaming incremental-dedup ingest: 3 micro-batch files with
     // in-batch and cross-batch duplicates; content admitted exactly
@@ -669,6 +673,70 @@ object SparkEntry {
         when(col("all_granted"), "PROCESSED").otherwise("FAILED").as("status"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("status"))
+  }
+
+  /** The SELF-CONTAINED saga (verdict r4 #6): [[graft.streaming.SagaLoop]]
+    * drives reserve → order verdict → compensation → credit re-enqueue →
+    * drain as ONE callable, against a deliberately CONTENDED request set.
+    * Determinism under contention: at most two orders per product (ranked
+    * by zero-padded order_id, so the processor's lexicographic
+    * serialization equals the oracle's rank order), which makes the
+    * greedy grant SQL-expressible in two steps — rn=1 grants iff
+    * q1 <= stock, rn=2 iff q2 <= stock - (granted1 ? q1 : 0). Stock is
+    * p_size (1..50, same range as quantities) so denials and
+    * compensations actually occur; the output counts refund rows and
+    * refunded quantity per status, certifying the credits really flowed
+    * through the queue hop (all-zero refunds would hash-mismatch). */
+  private def streamSagaLoopCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-sagaloop") { base =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.{InventoryProcessor, SagaLoop}
+    import s.implicits._
+    val oneLine = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
+      .orderBy(col("l_linenumber"))
+    val perProduct = Window.partitionBy(col("product_id")).orderBy(col("order_id"))
+    val reqDf = Tables.lineitem(s, d).filter(col("l_orderkey") % 37 === 0)
+      .select(
+        lpad(col("l_orderkey").cast("string"), 12, "0").as("order_id"),
+        col("l_partkey").cast("string").as("product_id"),
+        col("l_quantity").cast("long").as("quantity"),
+        col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .withColumn("dn", row_number().over(oneLine)).filter(col("dn") === 1)
+      .withColumn("rn", row_number().over(perProduct)).filter(col("rn") <= 2)
+      .select(col("order_id"), col("product_id"), col("quantity"))
+    reqDf.write.mode("overwrite").parquet(s"$base/in/seed")
+    val seed = Tables.part(s, d)
+      .select(col("p_partkey").cast("string").as("product_id"),
+        col("p_size").cast("long").as("stock"))
+      .join(reqDf.select(col("product_id")).distinct(), Seq("product_id"), "left_semi")
+      .as[InventoryProcessor.ProductStock]
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // sized to key space, as streamSagaCounts
+      SagaLoop.run(s, s"$base/in", s"$base/verdicts", s"$base/ckpt", seed)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val verdicts = s.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/verdicts")
+      .as[InventoryProcessor.LineVerdict]
+    val orders = InventoryProcessor.orderVerdicts(verdicts)
+    val refunds = verdicts.toDF().filter(col("quantity") < 0)
+      .groupBy(col("order_id"))
+      .agg(count(lit(1)).as("n_refund_lines"), sum(-col("quantity")).as("refund_qty"))
+    orders.join(refunds, Seq("order_id"), "left")
+      .groupBy(when(col("all_granted"), "PROCESSED").otherwise("FAILED").as("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        coalesce(sum(col("n_refund_lines")), lit(0L)).cast("long").as("n_refund_lines"),
+        coalesce(sum(col("refund_qty")), lit(0L)).cast("long").as("refund_qty"))
       .orderBy(col("status"))
   }
 
@@ -1275,6 +1343,36 @@ object SparkEntry {
         "FROM r LEFT JOIN part ON l_partkey = p_partkey GROUP BY l_orderkey) " +
         "SELECT CASE WHEN ok THEN 'PROCESSED' ELSE 'FAILED' END AS status, " +
         "CAST(count(*) AS BIGINT) AS n_orders FROM v GROUP BY 1 ORDER BY status"),
+
+    // Contended saga under one driver: <=2 orders per product ranked by
+    // zero-padded order_id makes the engine's greedy within-batch grant
+    // expressible as two SQL steps; refunds = granted lines of FAILED
+    // orders, which the engine must have credited through the queue hop.
+    "stream_saga_loop_counts" ->
+      ("WITH base AS (SELECT lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS order_id, " +
+        "l_partkey, CAST(l_quantity AS BIGINT) AS q, l_linenumber FROM lineitem " +
+        "WHERE l_orderkey % 37 = 0 " +
+        "QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1), " +
+        "ranked AS (SELECT order_id, l_partkey, q, " +
+        "row_number() OVER (PARTITION BY l_partkey ORDER BY order_id) AS rn " +
+        "FROM base QUALIFY rn <= 2), " +
+        "seeded AS (SELECT r.order_id, r.l_partkey, r.q, r.rn, CAST(p.p_size AS BIGINT) AS stock " +
+        "FROM ranked r JOIN part p ON r.l_partkey = p.p_partkey), " +
+        "l1 AS (SELECT order_id, l_partkey, q, q <= stock AS granted FROM seeded WHERE rn = 1), " +
+        "l2 AS (SELECT s.order_id, s.l_partkey, s.q, " +
+        "s.q <= s.stock - CASE WHEN l1.granted THEN l1.q ELSE 0 END AS granted " +
+        "FROM seeded s JOIN l1 ON s.l_partkey = l1.l_partkey WHERE s.rn = 2), " +
+        "lines AS (SELECT order_id, q, granted FROM l1 UNION ALL SELECT order_id, q, granted FROM l2), " +
+        "orders AS (SELECT order_id, bool_and(granted) AS all_granted FROM lines GROUP BY order_id), " +
+        "refunds AS (SELECT l.order_id, count(*) AS n_refund_lines, sum(l.q) AS refund_qty " +
+        "FROM lines l JOIN orders o ON l.order_id = o.order_id " +
+        "WHERE l.granted AND NOT o.all_granted GROUP BY l.order_id) " +
+        "SELECT CASE WHEN o.all_granted THEN 'PROCESSED' ELSE 'FAILED' END AS status, " +
+        "CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(COALESCE(sum(r.n_refund_lines), 0) AS BIGINT) AS n_refund_lines, " +
+        "CAST(COALESCE(sum(r.refund_qty), 0) AS BIGINT) AS refund_qty " +
+        "FROM orders o LEFT JOIN refunds r ON o.order_id = r.order_id " +
+        "GROUP BY 1 ORDER BY status"),
 
     // Deterministic redrive policy: valid events deliver on attempt 1,
     // poison events burn exactly maxAttempts=3 attempts then dead-letter.

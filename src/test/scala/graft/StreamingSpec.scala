@@ -137,6 +137,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("SagaLoop: full reserve->compensate loop drains in 2 passes; conservation holds") {
+    import graft.streaming.InventoryProcessor._
+    import graft.streaming.SagaLoop
+    val base = tmp("graft-sagaloop")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same contention shape as StreamingSpec's in-query saga test:
+      // o-1 takes A:8; o-2 gets A:2 (exhausting A) but B:1 denied ->
+      // o-2 FAILED, its granted A:2 must come back as a credit
+      Seq(
+        LineRequest("o-1", "A", 8),
+        LineRequest("o-2", "A", 2),
+        LineRequest("o-2", "B", 1)).toDS()
+        .coalesce(1).write.parquet(s"$base/in/seed")
+      val seed = Seq(ProductStock("A", 10), ProductStock("B", 0)).toDS()
+      val passes = SagaLoop.run(
+        spark, s"$base/in", s"$base/verdicts", s"$base/ckpt", seed)
+      assert(passes === 2) // pass 1 emits the credit, pass 2 drains it
+      val verdicts = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$base/verdicts").as[LineVerdict].collect()
+      val ov = graft.streaming.InventoryProcessor
+        .orderVerdicts(spark.createDataset(verdicts.toIndexedSeq)).collect()
+        .map(r => r.getAs[String]("order_id") -> r.getAs[Boolean]("all_granted")).toMap
+      assert(ov === Map("o-1" -> true, "o-2" -> false))
+      // exactly one credit row: the refund of o-2's granted A:2
+      val credits = verdicts.filter(_.quantity < 0).toSeq
+      assert(credits === Seq(LineVerdict("o-2", "A", -2, granted = true)))
+      // conservation: net consumption (all granted rows, credits
+      // included) equals the PROCESSED order's demand alone — the
+      // failed order's net effect on every product is zero
+      val netByProduct = verdicts.filter(_.granted)
+        .groupBy(_.product_id).view.mapValues(_.map(_.quantity).sum).toMap
+      assert(netByProduct === Map("A" -> 8L)) // 8 (o-1) + 2 (o-2) - 2 (credit)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ST2/S4 end-to-end: poison rows redeliver, accumulate attempts, divert to DLQ") {
     import graft.streaming.RetryLoop
     val base = tmp("graft-retry")
