@@ -432,6 +432,28 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       EventWindows.sessions(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
+    // as-of join (ops.AsOf): each click joined to the user's latest
+    // purchase at-or-before it — single window pass, no range explosion;
+    // the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the operator's
+    // semantics (inclusive bound, left-outer nulls, per-(key,ts) right
+    // dedup) are certified against an independent implementation
+    "events_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val tieW = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(tieW)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ops.AsOf.asofJoinBackward(
+        clicks, purchases, "user_id", "ts", Seq("event_id", "value"))
+        .select(col("click_id"), col("user_id"),
+          col("asof_event_id").as("purchase_id"),
+          round(col("asof_value"), 2).as("purchase_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        .orderBy(col("click_id"))
+    }),
 
     // ----- streaming core (M3): the full pipeline — raw JSON stream →
     //       parse/validate → foreachBatch transactional inventory →
@@ -1496,6 +1518,16 @@ object SparkEntry {
         "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M') AS session_start, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value " +
         "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // DuckDB's native ASOF JOIN certifies ops.AsOf's window formulation
+    "events_asof_join" ->
+      ("WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase' " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) " +
+        "SELECT l.click_id, l.user_id, r.event_id AS purchase_id, " +
+        "round(r.value, 2) AS purchase_value, " +
+        "strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts " +
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts " +
+        "ORDER BY click_id"),
 
     // Streaming checkout, batch-equivalent final state: one micro-batch ⇒
     // admission = every line fits under cumulative demand charged in

@@ -403,4 +403,30 @@ class OpsSpec extends SparkSpec {
     assert(m(1L) === "en")
     assert(m(2L) === "de")
   }
+
+  test("asofJoinBackward: inclusive bound, left-outer nulls, no row explosion") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq(
+      (1L, "u1", ts(100)), // exactly at a right row: inclusive bound matches it
+      (2L, "u1", ts(150)), // between right rows: carries the latest earlier one
+      (3L, "u1", ts(50)),  // before every right row: null
+      (4L, "u2", ts(500))  // key with no right rows at all: null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts(100), 10L, 1.0),
+      ("u1", ts(140), 14L, 2.0),
+      ("u1", ts(200), 20L, 3.0)
+    ).toDF("k", "t", "rid", "v")
+    val out = graft.ops.AsOf
+      .asofJoinBackward(left, right, "k", "t", Seq("rid", "v"))
+      .orderBy($"id").collect()
+      .map(r => (r.getAs[Long]("id"),
+        Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      1L -> Some(10L), 2L -> Some(14L), 3L -> None, 4L -> None))
+    // every left row emitted exactly once — the window formulation never
+    // multiplies rows the way a range-join-then-prune would
+    assert(graft.ops.AsOf
+      .asofJoinBackward(left, right, "k", "t", Seq("rid", "v")).count() === left.count())
+  }
 }
