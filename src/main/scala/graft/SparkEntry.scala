@@ -454,6 +454,32 @@ object SparkEntry {
           date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
         .orderBy(col("click_id"))
     }),
+    // binned range join (ops.RangeJoin): each error event opens a 10-minute
+    // incident window; count click/view traffic inside it. The binned
+    // equi-join replaces the BroadcastNestedLoopJoin Catalyst would pick
+    // for the raw BETWEEN predicate (RangeJoinSpec asserts the plan);
+    // the oracle runs the plain inequality join in DuckDB
+    "events_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tenMinUs = 600L * 1000 * 1000
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("win_s"),
+          (unix_micros(col("ts")) + tenMinUs).as("win_e"))
+      val traffic = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("hit_id"),
+          unix_micros(col("ts")).as("hit_us"), col("value"))
+      val hits = graft.ops.RangeJoin
+        .binnedPointIntervalJoin(traffic, "hit_us", errs, "win_s", "win_e", tenMinUs)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_hits"), round(sum(col("value")), 2).as("total_value"))
+      errs.select(col("err_id"))
+        .join(hits, Seq("err_id"), "left")
+        .select(col("err_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("total_value"), lit(0.0)), 2).as("total_value"))
+        .orderBy(col("err_id"))
+    }),
 
     // ----- streaming core (M3): the full pipeline — raw JSON stream →
     //       parse/validate → foreachBatch transactional inventory →
@@ -1518,6 +1544,16 @@ object SparkEntry {
         "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M') AS session_start, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value " +
         "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // plain inequality join certifies the binned equi-join + residual
+    "events_range_join" ->
+      ("WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS win_s, " +
+        "epoch_us(ts) + 600000000 AS win_e FROM events WHERE event_type = 'error'), " +
+        "p AS (SELECT event_id, epoch_us(ts) AS pu, value FROM events " +
+        "WHERE event_type IN ('click', 'view')) " +
+        "SELECT e.err_id, CAST(count(p.event_id) AS BIGINT) AS n_hits, " +
+        "round(COALESCE(sum(p.value), 0), 2) AS total_value " +
+        "FROM e LEFT JOIN p ON p.pu BETWEEN e.win_s AND e.win_e " +
+        "GROUP BY e.err_id ORDER BY err_id"),
     // DuckDB's native ASOF JOIN certifies ops.AsOf's window formulation
     "events_asof_join" ->
       ("WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'), " +

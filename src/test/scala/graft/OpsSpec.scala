@@ -429,4 +429,27 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.AsOf
       .asofJoinBackward(left, right, "k", "t", Seq("rid", "v")).count() === left.count())
   }
+
+  test("binnedPointIntervalJoin: inclusive bounds, bin-spanning intervals, no nested loop") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L), (5L, -7L))
+      .toDF("pid", "p")
+    val intervals = Seq(
+      (100L, 5L, 10L),   // matches p=5 (start-inclusive) and p=10 (end-inclusive)
+      (200L, 8L, 27L),   // spans 3 bins at width 10; catches 10 and 25
+      (300L, 50L, 60L),  // empty
+      (400L, -10L, -1L)  // negative domain; catches -7
+    ).toDF("iid", "s", "e")
+    val joined = graft.ops.RangeJoin
+      .binnedPointIntervalJoin(points, "p", intervals, "s", "e", binWidth = 10L)
+    val pairs = joined.select($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set(
+      1L -> 100L, 2L -> 100L, 2L -> 200L, 3L -> 200L, 5L -> 400L))
+    // the point of the operator: the physical plan is an equi-join on
+    // the bin key, not the nested-loop scan the raw BETWEEN would plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected a binned equi-join, got:\n$plan")
+    assert(plan.contains("Join"), s"expected a join on the bin key, got:\n$plan")
+  }
 }
