@@ -208,6 +208,28 @@ object SparkEntry {
     // of the normalized text
     "text_normalized_stats" -> ((s, d) =>
       TextOps.normalizedStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // PII redaction: deterministic synthetic PII is injected per doc_id
+    // (documents.text itself carries none — without injection the scrub
+    // would certify trivially on all-zero counts), then scrubbed; the
+    // oracle re-runs the same injection + RE2-parity patterns in DuckDB
+    "text_pii_scrub" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" from 192.168.1.42")).otherwise(lit("")))
+          .as("text"))
+      seeded
+        .select(col("doc_id"),
+          TextOps.piiCounts(col("text")).as("c"),
+          md5(TextOps.scrubPii(col("text"))).as("scrub_hash"))
+        .select(col("doc_id"), col("c.n_emails").as("n_emails"),
+          col("c.n_phones").as("n_phones"), col("c.n_ips").as("n_ips"),
+          col("scrub_hash"))
+        .orderBy(col("doc_id"))
+    }),
     "text_term_freq" -> ((s, d) =>
       TextOps.termFrequency(Tables.documents(s, d), 50)),
     "text_quality_by_lang" -> ((s, d) =>
@@ -1099,6 +1121,23 @@ object SparkEntry {
         "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
         "'[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'), " +
         "'[ \\t\\n\\r\\f]+', ' ', 'g')) AS nt FROM documents) ORDER BY doc_id"),
+    // same injection, same patterns (Java regex == RE2 for this subset:
+    // explicit classes, bounded repeats, \b, no lookaround); 'g' flag as
+    // above; len() is BIGINT in DuckDB, Spark's size() is INT
+    "text_pii_scrub" ->
+      ("WITH seeded AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.42' ELSE '' END AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS scrub_hash " +
+        "FROM seeded ORDER BY doc_id"),
     "text_term_freq" ->
       ("SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +

@@ -47,6 +47,35 @@ object TextOps {
         size(split(col("nt"), " ")).as("n_tokens_norm"),
         md5(col("nt")).as("norm_hash"))
 
+  // PII scrubbing — every training-data pipeline redacts before it
+  // trains. Pattern subset chosen for cross-engine parity (Java regex ==
+  // RE2 semantics here: explicit classes, bounded repeats, \b word
+  // boundaries, no lookaround — RE2 has none) so the scrub is
+  // oracle-checkable. Replacement order is fixed (email → phone → IPv4);
+  // the patterns cannot overlap, so order is cosmetic, but fixing it
+  // keeps the composition deterministic. All codegen'd built-ins — at
+  // 100 TB this is a narrow map over the text column, no shuffle.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, NANP-style phone numbers, and IPv4 addresses with
+    * typed placeholder tokens. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-kind redaction counts for audit trails / filtering docs whose
+    * PII density is too high to salvage. */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("n_ips"))
+
   /** Regex tokenizer: words / numbers / single punctuation, the shape a
     * BPE pre-tokenizer produces. */
   def tokensRegex(text: Column): Column =

@@ -430,6 +430,19 @@ class OpsSpec extends SparkSpec {
       .asofJoinBackward(left, right, "k", "t", Seq("rid", "v")).count() === left.count())
   }
 
+  test("scrubPii redacts emails, phones, IPv4s and piiCounts tallies them") {
+    val d = docs((1L, "mail a.b+c@ex-ample.co.uk or 555-123-4567; host 10.0.0.1 then x@y.io"))
+      .select($"doc_id", TextOps.scrubPii($"text").as("t"), TextOps.piiCounts($"text").as("c"))
+      .collect()(0)
+    assert(d.getAs[String]("t") === "mail <EMAIL> or <PHONE>; host <IP> then <EMAIL>")
+    val c = d.getAs[org.apache.spark.sql.Row]("c")
+    assert((c.getAs[Int]("n_emails"), c.getAs[Int]("n_phones"), c.getAs[Int]("n_ips")) === ((2, 1, 1)))
+    // non-PII lookalikes survive: version strings, short digit runs
+    val clean = docs((2L, "v1.2.3 released; call 12-34"))
+      .select(TextOps.scrubPii($"text").as("t")).collect()(0).getString(0)
+    assert(clean === "v1.2.3 released; call 12-34")
+  }
+
   test("binnedPointIntervalJoin: inclusive bounds, bin-spanning intervals, no nested loop") {
     val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L), (5L, -7L))
       .toDF("pid", "p")
