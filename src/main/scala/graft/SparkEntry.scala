@@ -361,6 +361,18 @@ object SparkEntry {
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       }.orderBy(col("lang"))),
+    // Z-order layout round trip: cluster on (doc_id, n_chars), filter on
+    // BOTH dims after readback — the layout must be result-invisible
+    "store_zorder_scan" -> ((s, d) =>
+      withTempDir("graft-zorder") { base =>
+        graft.sources.Bucketing.writeZOrdered(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          s"$base/docs", "doc_id", "n_chars", numFiles = 8)
+        s.read.parquet(s"$base/docs")
+          .filter(col("doc_id") % 2 === 0 && col("n_chars").between(100, 500))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+      }.orderBy(col("lang"))),
     // typed JSON payload extraction over the events stream table
     "events_props_stats" -> ((s, d) =>
       EventWindows.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
@@ -1327,6 +1339,11 @@ object SparkEntry {
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents WHERE n_chars BETWEEN 200 AND 400 " +
+        "GROUP BY lang ORDER BY lang"),
+    "store_zorder_scan" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents WHERE doc_id % 2 = 0 AND n_chars BETWEEN 100 AND 500 " +
         "GROUP BY lang ORDER BY lang"),
 
     // floor() on both sides: DuckDB CAST(double AS INT) rounds while

@@ -61,6 +61,53 @@ object Bucketing {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** Z-value: interleave the low `bits` bits of two non-negative ints
+    * (a's bit i at position 2i, b's at 2i+1). Locality along the
+    * Z-curve preserves locality in BOTH dimensions — the building block
+    * of multi-dimensional clustering. Pure bit arithmetic, codegen'd,
+    * no UDF. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered compaction — [[writeSorted]] generalized to TWO
+    * range-predicate columns. A single-column sort gives perfect
+    * file-level min/max skipping on that column and NONE on any other;
+    * interleaving the bits of both (min-max scaled to `bits`-bit ints —
+    * one tiny 4-scalar aggregate up front) and range-clustering on the
+    * Z-value bounds every file's extent in BOTH dimensions, so parquet
+    * footer stats skip files for predicates on either column. That
+    * trade — slightly worse than a dedicated sort per dimension, vastly
+    * better than unsorted for each — is the standard layout for a
+    * 100 TB table queried along two axes (user×time, key×date).
+    * The Z column is write-time scaffolding: dropped before write,
+    * invisible to readers (the store_zorder_scan oracle certifies). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val Array(loA, hiA, loB, hiB) = df
+      .agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .head().toSeq.map(v => Option(v).fold(0.0)(_.asInstanceOf[Double])).toArray
+    val cap = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(cap), floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * cap).cast("long"))
+    df.withColumn("graft_z",
+        zValue(scaled(colA, loA, hiA), scaled(colB, loB, hiB), bits))
+      .repartitionByRange(numFiles, col("graft_z"))
+      .sortWithinPartitions("graft_z")
+      .drop("graft_z")
+      .write.mode("overwrite")
+      .parquet(path)
+  }
+
   /** Write `df` hive-partitioned on `partCol` — the other half of the
     * layout story: a predicate on the partition column prunes whole
     * directories at PLANNING time (PartitionFilters on the scan), so a

@@ -123,6 +123,45 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("Z-order clustering bounds every file's extent in BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-spec")
+    try {
+      // a 64x64 grid, scrambled: any row order the writer imposes is its own
+      val grid = (0 until 4096).map { i =>
+        val j = (i * 2654435761L) % 4096
+        (j % 64, j / 64, i)
+      }.toDF("x", "y", "v")
+      def fileSpans(path: String): Seq[(Long, Long)] =
+        new java.io.File(path).listFiles()
+          .filter(_.getName.startsWith("part-")).toSeq.map { f =>
+            val r = spark.read.parquet(f.getAbsolutePath)
+              .agg(max($"x") - min($"x"), max($"y") - min($"y")).head
+            (r.getLong(0), r.getLong(1))
+          }
+      Bucketing.writeZOrdered(grid, s"$dir/z", "x", "y", numFiles = 16, bits = 6)
+      Bucketing.writeSorted(grid, s"$dir/s", "x", numFiles = 16)
+      val zSpans = fileSpans(s"$dir/z")
+      val sSpans = fileSpans(s"$dir/s")
+      // single-column sort: x is tightly clustered but y spans the full
+      // 0..63 domain in every file — no skipping on y at all
+      assert(sSpans.forall(_._2 === 63L), s"expected full y span per x-sorted file: $sSpans")
+      // Z-order: BOTH dims bounded in (nearly) every file. An aligned
+      // 256-long Z-interval is a 16x16 tile; sampled range bounds shift
+      // the cuts, and a file straddling one of the 3 top-level curve
+      // boundaries (z=1024/2048/3072) can span a quadrant — so assert
+      // >=12 of 16 files fit in a half-domain box on BOTH dims, the
+      // property a single-column sort cannot deliver at all
+      assert(zSpans.count { case (xs, ys) => xs <= 31 && ys <= 31 } >= 12,
+        s"expected mostly-tight z tiles: $zSpans")
+      // layout is result-invisible
+      assert(spark.read.parquet(s"$dir/z").count() === 4096)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed groupBy on the bucket key aggregates without an exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bkt-agg")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
