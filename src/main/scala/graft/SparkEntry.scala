@@ -232,6 +232,10 @@ object SparkEntry {
     }),
     "text_term_freq" -> ((s, d) =>
       TextOps.termFrequency(Tables.documents(s, d), 50)),
+    // unigram-LM cross-entropy against the corpus's own distribution —
+    // the cheap perplexity stand-in for quality filtering
+    "text_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogProb(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_quality_by_lang" -> ((s, d) =>
       TextOps.qualityByLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "text_lang_id" -> ((s, d) =>
@@ -488,6 +492,10 @@ object SparkEntry {
           date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
         .orderBy(col("click_id"))
     }),
+    // trailing per-user event rate over a value-based RANGE frame
+    "events_rolling_rate" -> ((s, d) =>
+      EventWindows.rollingRate(Tables.events(s, d), windowSec = 3600)
+        .orderBy(col("event_id"))),
     // binned range join (ops.RangeJoin): each error event opens a 10-minute
     // incident window; count click/view traffic inside it. The binned
     // equi-join replaces the BroadcastNestedLoopJoin Catalyst would pick
@@ -577,6 +585,14 @@ object SparkEntry {
     "mm_decode_features" -> ((s, d) =>
       graft.multimodal.Multimodal.decodeImageStats(
         graft.multimodal.Multimodal.syntheticImages(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("media_id"))),
+    // the REAL audio path, same certification shape: deterministic
+    // square-wave WAVs encoded on the executors, AudioSystem-decoded
+    // back, exact PCM sums vs the oracle's closed forms
+    "mm_audio_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.decodeAudioStats(
+        graft.multimodal.Multimodal.syntheticAudio(Tables.documents(s, d)))
         .toDF()
         .orderBy(col("media_id")))
   )
@@ -1600,6 +1616,20 @@ object SparkEntry {
         "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M') AS session_start, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value " +
         "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // RANGE (value-based) frame → tie handling is deterministic on both
+    "events_rolling_rate" ->
+      ("SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS n_window FROM events ORDER BY event_id"),
+    // f/n is true division (DOUBLE) on both engines; ln natural log
+    "text_unigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "freq AS (SELECT word, count(*) AS f FROM tok GROUP BY word), " +
+        "tot AS (SELECT count(*) AS n FROM tok) " +
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, " +
+        "round(avg(-ln(f / n)), 4) AS avg_neg_logp " +
+        "FROM tok JOIN freq USING (word) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     // plain inequality join certifies the binned equi-join + residual
     "events_range_join" ->
       ("WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS win_s, " +
@@ -1686,6 +1716,17 @@ object SparkEntry {
         "CAST(h*(wa*ra + (w-wa)*rb) AS BIGINT) AS sum_r, " +
         "CAST(h*(wa*ga + (w-wa)*gb) AS BIGINT) AS sum_g, " +
         "CAST(h*(wa*ba + (w-wa)*bb) AS BIGINT) AS sum_b " +
-        "FROM g ORDER BY media_id")
+        "FROM g ORDER BY media_id"),
+
+    // closed-form PCM stats of the synthetic square-wave WAVs: every
+    // sample is exactly ±A, so sum_abs = n·A and peak = A — matches
+    // Multimodal.syntheticAudio; equality proves the AudioSystem
+    // round trip returned the encoded samples verbatim
+    "mm_audio_features" ->
+      ("WITH g AS (SELECT doc_id AS media_id, " +
+        "(doc_id*97) % 16384 + 1000 AS amp, 400 + doc_id % 50 AS n FROM documents) " +
+        "SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
+        "CAST(n AS BIGINT) AS n_frames, CAST(n * amp AS BIGINT) AS sum_abs, " +
+        "CAST(amp AS INT) AS peak FROM g ORDER BY media_id")
   )
 }

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   * `javax.imageio` codecs (PNG/JPEG/GIF/BMP — public, offline, zero
   * extra dependencies) and [[decodeImageStats]] emits exact per-channel
   * pixel sums, oracle-certified end-to-end against closed-form expected
-  * values (encode → PNG bytes → ImageIO decode → stats). Audio/video
-  * codecs don't ship with the JDK, so non-image payloads fall back to
+  * values (encode → PNG bytes → ImageIO decode → stats). AUDIO decode
+  * is REAL too: [[AudioDecoder]] parses WAV through the JDK's
+  * `javax.sound.sampled` and [[decodeAudioStats]] emits exact PCM
+  * sample statistics, oracle-certified the same way. Video codecs
+  * don't ship with the JDK, so those payloads fall back to
   * [[StubDecoder]]'s deterministic fake features — the schema contract,
   * partition sizing, batch shape, and the mapPartitions pipeline (the
   * JVM analog of a Pandas-UDF `mapInPandas` micro-batch loop) are the
@@ -117,6 +120,99 @@ object Multimodal {
       val (mr, mg, mb) = (sr.toFloat / (255f * n), sg.toFloat / (255f * n), sb.toFloat / (255f * n))
       Array(w.toFloat, h.toFloat, mr, mg, mb,
         0.299f * mr + 0.587f * mg + 0.114f * mb, nBytes.toFloat / n, 0f)
+    }
+  }
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (the WAV/
+    * AIFF/AU container parsers and PCM codec ship with the JDK — same
+    * zero-dependency story as ImageIO for images). A RIFF/WAVE
+    * magic-byte sniff gates the parse attempt. */
+  object AudioDecoder {
+    def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** Parse a WAV payload to (format, raw PCM bytes); None for
+      * non-WAV or corrupt payloads (the DLQ tail at scale). */
+    def read(content: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+      if (!looksLikeWav(content)) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(content))
+        try Some((ais.getFormat, ais.readAllBytes()))
+        finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Exact decoded-audio statistics — all integers (frame counts and
+    * 16-bit sample sums), hash-comparable against a closed-form oracle
+    * with zero float parity risk. */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      sum_abs: Long,
+      peak: Int)
+
+  /** Decode WAV payloads and emit exact PCM sample statistics
+    * (16-bit signed little-endian, the canonical WAV encoding).
+    * Non-decodable payloads are dropped — corrupt tails route to a
+    * DLQ at scale, not into features. */
+  def decodeAudioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioDecoder.read(r.content).collect {
+          case (fmt, pcm) if fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian =>
+            var (sumAbs, peak) = (0L, 0)
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
+              val a = math.abs(s)
+              sumAbs += a
+              if (a > peak) peak = a
+              i += 2
+            }
+            AudioStats(r.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
+              pcm.length / (2L * fmt.getChannels), sumAbs, peak)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic WAV corpus from doc ids — the test/oracle
+    * harness for the REAL audio path, mirroring [[syntheticImages]]:
+    * each doc becomes a mono 8 kHz 16-bit square wave with
+    * formula-derived amplitude and length. Square waves keep every
+    * sample at ±A exactly, so the decoded stats have closed forms the
+    * oracle can state in SQL (sum_abs = n·A, peak = A) — certifying
+    * the whole encode → WAV bytes → AudioSystem decode → PCM parse
+    * chain with integer-exact comparisons. */
+  def syntheticAudio(documents: DataFrame): Dataset[MediaRecord] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val amp = ((d * 97) % 16384 + 1000).toInt
+        val halfPeriod = (4 + d % 7).toInt
+        val n = (400 + d % 50).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = if ((i / halfPeriod) % 2 == 0) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        MediaRecord(d, "audio", baos.toByteArray, 0, 0, n * 1000L / 8000)
+      }
     }
   }
 

@@ -73,4 +73,23 @@ object EventWindows {
         round(avg(col("k")), 4).as("avg_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
+
+  /** Per-event trailing rate: how many events the same user produced in
+    * the preceding `windowSec` seconds (inclusive of this one) — the
+    * rate-limit / abuse-detection primitive. A RANGE frame over epoch
+    * micros, not a ROWS frame: the bound is value-based, so ties in the
+    * order column contribute deterministically on any engine. One
+    * shuffle on user_id; each partition is a single ordered sweep with
+    * a sliding frame — O(n) per key, the 100 TB shape for per-entity
+    * time-series features. */
+  def rollingRate(events: DataFrame, windowSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_window"))
+  }
 }

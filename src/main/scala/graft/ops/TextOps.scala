@@ -124,6 +124,28 @@ object TextOps {
       .orderBy(col("freq").desc, col("word"))
       .limit(topN)
 
+  /** Unigram language-model quality score: per-document cross-entropy
+    * against the corpus's own unigram distribution,
+    * avg over tokens of −ln(freq(w)/N). The cheap stand-in for
+    * perplexity-based quality filtering — documents full of rare or
+    * garbled tokens score high, boilerplate scores low — and a standard
+    * pre-training corpus signal. Plan shape at 100 TB: one explode +
+    * one vocabulary aggregate (map-side combined), then a token→freq
+    * equi-join (vocabulary is orders of magnitude smaller than the
+    * corpus — AQE broadcasts it) and a per-doc aggregate. No windows,
+    * no driver loops. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = withTokens(docs).select(col("doc_id"), explode(col("words")).as("word"))
+    val freq = tok.groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val total = tok.agg(count(lit(1)).as("n"))
+    tok.join(freq, Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        round(avg(-log(col("f").cast("double") / col("n"))), 4).as("avg_neg_logp"))
+  }
+
   private[ops] val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val deStop = Seq("der", "die", "das", "und", "ist", "ein")
   private val esStop = Seq("el", "la", "de", "y", "que", "un")

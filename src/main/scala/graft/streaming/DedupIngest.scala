@@ -86,6 +86,40 @@ object DedupIngest {
     batches.get()
   }
 
+  /** Compact the accumulated per-batch seen-digest dirs into one.
+    * After N micro-batches the state is N small dirs; every later
+    * batch's anti-join unions all of them, and at file-source batch
+    * counts in the thousands the listing/footer overhead dominates the
+    * (tiny) digest data. Folding them into a single `seen_0` keeps the
+    * read path O(1) dirs while preserving the set of digests exactly.
+    *
+    * MUST run between [[run]] invocations, never concurrently with one.
+    * Crash safety: digests are a SET — the anti-join is insensitive to
+    * duplicates across dirs — so the only dangerous window is the
+    * `seen_0` overwrite itself (mitigated by materializing the union
+    * before touching any dir; a transactional table format would close
+    * it entirely, as the class doc notes). A crash after the overwrite
+    * but mid-delete leaves stale dirs whose digests are already in
+    * `seen_0`: harmless, and the next compaction removes them.
+    *
+    * Returns the number of dirs folded away. */
+  def compactState(spark: SparkSession, stateDir: String): Int = {
+    val dirs = listStateDirs(stateDir, Long.MaxValue)
+    if (dirs.size <= 1) 0
+    else {
+      // materialize the distinct union BEFORE overwriting seen_0 — the
+      // union's lineage reads the very dirs the overwrite replaces
+      val digests = spark.read.schema(stateSchema).parquet(dirs: _*)
+        .distinct().localCheckpoint()
+      digests.write.mode("overwrite").parquet(s"$stateDir/seen_0")
+      dirs.filterNot(_.endsWith("seen_0")).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      dirs.size - 1
+    }
+  }
+
   private def listStateDirs(stateDir: String, beforeBatch: Long): Seq[String] = {
     val d = new java.io.File(stateDir)
     Option(d.listFiles()).toSeq.flatten

@@ -72,6 +72,33 @@ class MultimodalSpec extends SparkSpec {
     assert(r(3L) === Seq(500L, 1500L, 2500L))                // 1 fps cap: 3 frames
   }
 
+  test("syntheticAudio encode→decode round-trips the square-wave PCM exactly") {
+    import spark.implicits._
+    val docs = Seq(3L, 10L, 77L).toDF("doc_id")
+    val stats = Multimodal.decodeAudioStats(Multimodal.syntheticAudio(docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.keySet === Set(3L, 10L, 77L))
+    Seq(3L, 10L, 77L).foreach { d =>
+      val amp = ((d * 97) % 16384 + 1000).toInt
+      val n = (400 + d % 50).toInt
+      val s = stats(d)
+      assert(s.sample_rate === 8000)
+      assert(s.channels === 1)
+      assert(s.n_frames === n.toLong)
+      assert(s.sum_abs === n.toLong * amp) // every sample is exactly ±amp
+      assert(s.peak === amp)
+    }
+  }
+
+  test("non-WAV payloads are dropped by the audio decode, not mis-parsed") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.MediaRecord(1L, "audio", Array[Byte](1, 2, 3, 4), 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "audio", "RIFFxxxxJUNK".getBytes, 0, 0, 0L), // wrong form type
+      Multimodal.MediaRecord(3L, "audio", "RIFFxxxxWAVEgarbage".getBytes, 0, 0, 0L)).toDS() // corrupt chunks
+    assert(Multimodal.decodeAudioStats(junk).count() === 0)
+  }
+
   test("metadata pruning filters without touching payload bytes") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val media = Multimodal.mediaFromDocuments(spark, docs).toDF()

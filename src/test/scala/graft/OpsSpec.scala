@@ -430,6 +430,30 @@ class OpsSpec extends SparkSpec {
       .asofJoinBackward(left, right, "k", "t", Seq("rid", "v")).count() === left.count())
   }
 
+  test("unigramLogProb scores docs by corpus-relative token surprisal") {
+    // corpus tokens: a:2, b:2, N=4 -> every token costs -ln(1/2)
+    val r = TextOps.unigramLogProb(docs((1L, "a a b"), (2L, "b")))
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("n_tokens"), x.getAs[Double]("avg_neg_logp")))
+    val ln2 = math.rint(math.log(2) * 1e4) / 1e4
+    assert(r.toSeq === Seq((1L, 3, ln2), (2L, 1, ln2)))
+    // a doc of rarer tokens scores strictly higher than boilerplate
+    val s = TextOps.unigramLogProb(docs(
+      (1L, "x x x x x x x x"), (2L, "unique rare words")))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_neg_logp")).toMap
+    assert(s(2L) > s(1L))
+  }
+
+  test("rollingRate counts a value-based trailing window, bounds inclusive") {
+    val ev = Seq((1L, 150L, 0L), (2L, 150L, 1800L), (3L, 150L, 3600L), (4L, 150L, 7201L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_micros($"sec" * 1000000L)).drop("sec")
+    val r = graft.ops.EventWindows.rollingRate(ev, windowSec = 3600)
+      .orderBy($"event_id").collect().map(_.getAs[Long]("n_window")).toSeq
+    // t=3600 still sees t=0: the RANGE lower bound is inclusive
+    assert(r === Seq(1L, 2L, 3L, 1L))
+  }
+
   test("scrubPii redacts emails, phones, IPv4s and piiCounts tallies them") {
     val d = docs((1L, "mail a.b+c@ex-ample.co.uk or 555-123-4567; host 10.0.0.1 then x@y.io"))
       .select($"doc_id", TextOps.scrubPii($"text").as("t"), TextOps.piiCounts($"text").as("c"))

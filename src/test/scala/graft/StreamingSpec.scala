@@ -218,6 +218,34 @@ class StreamingSpec extends SparkSpec {
     assert(state.distinct().count() === 3)
   }
 
+  test("compactState folds seen dirs into one; exactly-once admission survives it") {
+    import graft.streaming.DedupIngest
+    val base = tmp("graft-ingest-compact")
+    val g0 = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")).toDF("doc_id", "text")
+    val g1 = Seq((10L, "gamma")).toDF("doc_id", "text")
+    g0.coalesce(1).write.parquet(s"$base/in/g0")
+    g1.coalesce(1).write.parquet(s"$base/in/g1")
+    DedupIngest.run(spark, g0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    assert(DedupIngest.compactState(spark, s"$base/state") === 1) // 2 dirs -> 1
+    val dirsAfter = new java.io.File(s"$base/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirsAfter === Seq("seen_0"))
+    // the stream continues from the same checkpoint: old content must
+    // still be rejected via the compacted state, new content admitted
+    Seq((20L, "alpha"), (21L, "delta")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/in/g2")
+    DedupIngest.run(spark, g0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    val admitted = spark.read.parquet(s"$base/out/*")
+      .select($"text").collect().map(_.getString(0)).sorted.toSeq
+    assert(admitted === Seq("alpha", "beta", "delta", "gamma"))
+    // idempotent: nothing left to fold (seen_0 + the new batch's dir)
+    assert(DedupIngest.compactState(spark, s"$base/state") === 1)
+    assert(spark.read.schema(DedupIngest.stateSchema)
+      .parquet(s"$base/state/*").distinct().count() === 4)
+  }
+
   test("dedup ingest retry: a failed attempt's own seen_N dir cannot starve the batch") {
     import graft.streaming.DedupIngest
     val base = tmp("graft-ingest-retry")
