@@ -496,6 +496,10 @@ object SparkEntry {
     "events_rolling_rate" -> ((s, d) =>
       EventWindows.rollingRate(Tables.events(s, d), windowSec = 3600)
         .orderBy(col("event_id"))),
+    // click → purchase conversion funnel per user
+    "events_funnel" -> ((s, d) =>
+      EventWindows.funnel(Tables.events(s, d), "click", "purchase")
+        .orderBy(col("user_id"))),
     // binned range join (ops.RangeJoin): each error event opens a 10-minute
     // incident window; count click/view traffic inside it. The binned
     // equi-join replaces the BroadcastNestedLoopJoin Catalyst would pick
@@ -538,6 +542,8 @@ object SparkEntry {
     // order_id), credits re-enqueued through the file queue and drained
     "stream_saga_loop_counts" -> ((s, d) => streamSagaLoopCounts(s, d)),
     "stream_window_counts" -> ((s, d) => streamWindowCounts(s, d)),
+    // stream-stream interval join under the oracle
+    "stream_join_counts" -> ((s, d) => streamJoinCounts(s, d)),
     // streaming incremental-dedup ingest: 3 micro-batch files with
     // in-batch and cross-batch duplicates; content admitted exactly
     // once stream-wide regardless of batch arrival order
@@ -836,6 +842,55 @@ object SparkEntry {
         coalesce(sum(col("n_refund_lines")), lit(0L)).cast("long").as("n_refund_lines"),
         coalesce(sum(col("refund_qty")), lit(0L)).cast("long").as("refund_qty"))
       .orderBy(col("status"))
+  }
+
+  /** Stream-STREAM interval join under the oracle: two watermarked file
+    * streams (clicks, purchases) joined on user_id with a ±time bound —
+    * the flagship Structured Streaming join, where BOTH sides buffer in
+    * keyed state and the watermark bounds how long a row waits for its
+    * match. Inner-join results are emitted as matches arrive regardless
+    * of watermark progress, so one AvailableNow pass over fully-seeded
+    * inputs yields exactly the batch join — which is the DuckDB oracle.
+    * The time bound is what makes this scale: without it both sides'
+    * state grows forever; with it the watermark evicts rows older than
+    * the bound every batch. State partitions sized to the key space (8),
+    * same design rule as the other stateful streams. */
+  private def streamJoinCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-ssjoin") { base =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.filter(col("event_type") === "click").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/in_clicks")
+    ev.filter(col("event_type") === "purchase").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/in_purch")
+    val schema = ev.schema
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val clicks = s.readStream.schema(schema).parquet(s"$base/in_clicks")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"))
+      val purchases = s.readStream.schema(schema).parquet(s"$base/in_purch")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user"))
+      val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("c_ts"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks_matched"))
+      .orderBy(col("user_id"))
   }
 
   /** ST6 under the oracle: watermarked tumbling-window aggregation in
@@ -1616,6 +1671,25 @@ object SparkEntry {
         "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M') AS session_start, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value " +
         "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // the stream-stream join's inner results equal the batch join
+    "stream_join_counts" ->
+      ("SELECT c.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks_matched " +
+        "FROM events c JOIN events p ON c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND c.user_id = p.user_id " +
+        "AND p.ts >= c.ts - INTERVAL '30 minutes' AND p.ts <= c.ts " +
+        "GROUP BY c.user_id ORDER BY c.user_id"),
+    // two-step conditional-min funnel; integer-floor gap on both engines
+    "events_funnel" ->
+      ("WITH f AS (SELECT user_id, min(ts) AS first_from FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "t AS (SELECT p.user_id, min(p.ts) AS first_to FROM events p " +
+        "JOIN f ON p.user_id = f.user_id " +
+        "WHERE p.event_type = 'purchase' AND p.ts >= f.first_from GROUP BY p.user_id) " +
+        "SELECT f.user_id, strftime(f.first_from, '%Y-%m-%d %H:%M') AS first_from, " +
+        "t.first_to IS NOT NULL AS converted, " +
+        "CAST((epoch_us(t.first_to) - epoch_us(f.first_from)) // 1000000 AS BIGINT) AS gap_sec " +
+        "FROM f LEFT JOIN t ON f.user_id = t.user_id ORDER BY f.user_id"),
     // RANGE (value-based) frame → tie handling is deterministic on both
     "events_rolling_rate" ->
       ("SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id " +

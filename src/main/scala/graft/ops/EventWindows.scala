@@ -82,6 +82,31 @@ object EventWindows {
     * shuffle on user_id; each partition is a single ordered sweep with
     * a sliding frame — O(n) per key, the 100 TB shape for per-entity
     * time-series features. */
+  /** Two-step funnel: for every user with a `fromType` event, the first
+    * `toType` event at-or-after their first `fromType` — conversion
+    * flag and gap. Two tiny per-user aggregates bracket one equi-join
+    * on user_id; the first aggregate's output is user-cardinality
+    * (orders of magnitude below event-cardinality), so the join
+    * broadcasts at any realistic scale. No windows over the raw event
+    * stream, no per-user sort. */
+  def funnel(events: DataFrame, fromType: String, toType: String): DataFrame = {
+    val first = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_from"))
+    val converted = events.filter(col("event_type") === toType)
+      .join(first, Seq("user_id"))
+      .filter(col("ts") >= col("first_from"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_to"))
+    first.join(converted, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        fmt(col("first_from")).as("first_from"),
+        col("first_to").isNotNull.as("converted"),
+        ((unix_micros(col("first_to")) - unix_micros(col("first_from")))
+          / lit(1000000L)).cast("long").as("gap_sec"))
+  }
+
   def rollingRate(events: DataFrame, windowSec: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
