@@ -526,6 +526,39 @@ object SparkEntry {
           round(coalesce(col("total_value"), lit(0.0)), 2).as("total_value"))
         .orderBy(col("err_id"))
     }),
+    // the SAME query written the natural way (raw BETWEEN join) with the
+    // Catalyst rule injected via experimental.extraOptimizations: the
+    // optimizer rewrites the nested-loop join to the binned plan and the
+    // result must stay identical (same oracle as events_range_join).
+    // localCheckpoint materializes while the rule is active — the rule
+    // list is restored before this function returns
+    "events_range_join_auto" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tenMinUs = 600L * 1000 * 1000
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("win_s"),
+          (unix_micros(col("ts")) + tenMinUs).as("win_e"))
+      val traffic = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("hit_id"),
+          unix_micros(col("ts")).as("hit_us"), col("value"))
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations =
+        prev :+ graft.plans.BinnedRangeJoinRule(tenMinUs)
+      val hits = try {
+        traffic
+          .join(errs, col("hit_us") >= col("win_s") && col("hit_us") <= col("win_e"))
+          .groupBy(col("err_id"))
+          .agg(count(lit(1)).as("n_hits"), round(sum(col("value")), 2).as("total_value"))
+          .localCheckpoint()
+      } finally s.experimental.extraOptimizations = prev
+      errs.select(col("err_id"))
+        .join(hits, Seq("err_id"), "left")
+        .select(col("err_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("total_value"), lit(0.0)), 2).as("total_value"))
+        .orderBy(col("err_id"))
+    }),
 
     // ----- streaming core (M3): the full pipeline — raw JSON stream →
     //       parse/validate → foreachBatch transactional inventory →
@@ -1706,6 +1739,16 @@ object SparkEntry {
         "GROUP BY doc_id ORDER BY doc_id"),
     // plain inequality join certifies the binned equi-join + residual
     "events_range_join" ->
+      ("WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS win_s, " +
+        "epoch_us(ts) + 600000000 AS win_e FROM events WHERE event_type = 'error'), " +
+        "p AS (SELECT event_id, epoch_us(ts) AS pu, value FROM events " +
+        "WHERE event_type IN ('click', 'view')) " +
+        "SELECT e.err_id, CAST(count(p.event_id) AS BIGINT) AS n_hits, " +
+        "round(COALESCE(sum(p.value), 0), 2) AS total_value " +
+        "FROM e LEFT JOIN p ON p.pu BETWEEN e.win_s AND e.win_e " +
+        "GROUP BY e.err_id ORDER BY err_id"),
+    // identical oracle: the Catalyst rewrite must be result-invisible
+    "events_range_join_auto" ->
       ("WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS win_s, " +
         "epoch_us(ts) + 600000000 AS win_e FROM events WHERE event_type = 'error'), " +
         "p AS (SELECT event_id, epoch_us(ts) AS pu, value FROM events " +

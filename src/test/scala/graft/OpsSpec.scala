@@ -489,4 +489,30 @@ class OpsSpec extends SparkSpec {
       s"expected a binned equi-join, got:\n$plan")
     assert(plan.contains("Join"), s"expected a join on the bin key, got:\n$plan")
   }
+
+  test("BinnedRangeJoinRule rewrites a raw BETWEEN join into the binned plan") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L), (5L, -7L))
+      .toDF("pid", "p")
+    val intervals = Seq(
+      (100L, 5L, 10L), (200L, 8L, 27L), (300L, 50L, 60L), (400L, -10L, -1L))
+      .toDF("iid", "s", "e")
+    def rawJoin() = points
+      .join(intervals, $"p" >= $"s" && $"p" <= $"e")
+      .select($"pid", $"iid")
+    val baseline = rawJoin().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawPlan = rawJoin().queryExecution.executedPlan.toString
+    assert(rawPlan.contains("BroadcastNestedLoopJoin"), // what users get today
+      s"expected the raw BETWEEN join to nested-loop, got:\n$rawPlan")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.BinnedRangeJoinRule(10L)
+    try {
+      val rewritten = rawJoin()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"expected the rule to remove the nested loop, got:\n$plan")
+      assert(plan.contains("Generate"), s"expected the interval explode, got:\n$plan")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === baseline) // rewrite is semantics-preserving
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
