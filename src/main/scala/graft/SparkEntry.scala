@@ -577,6 +577,8 @@ object SparkEntry {
     "stream_window_counts" -> ((s, d) => streamWindowCounts(s, d)),
     // stream-stream interval join under the oracle
     "stream_join_counts" -> ((s, d) => streamJoinCounts(s, d)),
+    // native streaming session_window ≡ the batch lag/gap sessionization
+    "stream_session_counts" -> ((s, d) => streamSessionCounts(s, d)),
     // streaming incremental-dedup ingest: 3 micro-batch files with
     // in-batch and cross-batch duplicates; content admitted exactly
     // once stream-wide regardless of batch arrival order
@@ -875,6 +877,52 @@ object SparkEntry {
         coalesce(sum(col("n_refund_lines")), lit(0L)).cast("long").as("n_refund_lines"),
         coalesce(sum(col("refund_qty")), lit(0L)).cast("long").as("refund_qty"))
       .orderBy(col("status"))
+  }
+
+  /** Spark's NATIVE gap-based `session_window` aggregation, streaming,
+    * in append mode — certified against the SAME oracle SQL as the
+    * batch `events_sessions` lag/gap formulation, proving the two
+    * sessionization semantics coincide (a session extends while
+    * consecutive events are < gap apart; an exact-gap arrival starts a
+    * new session). Same one-pass sentinel design as streamWindowCounts:
+    * everything lands in batch 0, the sentinel (3 h past the horizon,
+    * user_id −1, filtered after readback) drags the watermark past
+    * every real session's close, and the automatic flush batch emits
+    * them all. Session state is keyed (user, session) in RocksDB-ready
+    * keyed state — the 100 TB sessionization shape, no per-user sort of
+    * the whole history. */
+  private def streamSessionCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-sess") { base =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    ev.coalesce(8).write.mode("overwrite").parquet(s"$base/in/batch0")
+    s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit(0.0).as("value"))
+      .write.mode("overwrite").parquet(s"$base/in/sentinel")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = s.readStream.schema(ev.schema).parquet(s"$base/in/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm").as("session_start"),
+          col("n_events"), col("session_value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(s"$base/out")
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   /** Stream-STREAM interval join under the oracle: two watermarked file
@@ -1698,6 +1746,15 @@ object SparkEntry {
         "SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM x GROUP BY ws ORDER BY win_start"),
     "events_sessions" ->
+      ("WITH o AS (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+        "m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s FROM o), " +
+        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M') AS session_start, " +
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // IDENTICAL oracle to events_sessions: native session_window must
+    // reproduce the lag/gap sessionization exactly
+    "stream_session_counts" ->
       ("WITH o AS (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
         "m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s FROM o), " +
         "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
