@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-build-time injection point for graft's planner extensions —
+  * the `SparkSessionExtensions` path for deployments that configure
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or call
+  * `.withExtensions(new GraftExtensions)` on the builder) instead of
+  * mutating `experimental.extraOptimizations` at runtime the way the
+  * `events_range_join_auto` oracle query does. Both paths install the
+  * same rule; the runtime path exists because the driver owns the
+  * session in this harness, the config path because that is how a real
+  * cluster ships a library's rules.
+  *
+  * The bin width comes from `spark.graft.rangeJoin.binWidth` (bins in
+  * the point column's own units, default 1 h in micros), read once when
+  * the session builds its optimizer — per-query tuning goes through the
+  * runtime `extraOptimizations` path instead.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule { session =>
+      BinnedRangeJoinRule(
+        session.conf.getOption(GraftExtensions.BinWidthKey)
+          .map(_.toLong).getOrElse(3600L * 1000 * 1000))
+    }
+}
+
+object GraftExtensions {
+  val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+}

@@ -490,6 +490,23 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a join on the bin key, got:\n$plan")
   }
 
+  test("GraftExtensions wires the range-join rule with the configured bin width") {
+    import org.apache.spark.sql.graftbridge.ExtensionsBridge
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val prev = spark.conf.getOption(graft.plans.GraftExtensions.BinWidthKey)
+    try {
+      spark.conf.set(graft.plans.GraftExtensions.BinWidthKey, "12345")
+      val rules = ExtensionsBridge.optimizerRules(ext, spark)
+      assert(rules.collect {
+        case graft.plans.BinnedRangeJoinRule(w) => w
+      } === Seq(12345L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.plans.GraftExtensions.BinWidthKey, v)
+      case None => spark.conf.unset(graft.plans.GraftExtensions.BinWidthKey)
+    }
+  }
+
   test("BinnedRangeJoinRule rewrites a raw BETWEEN join into the binned plan") {
     val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L), (5L, -7L))
       .toDF("pid", "p")
