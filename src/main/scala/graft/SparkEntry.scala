@@ -635,7 +635,15 @@ object SparkEntry {
       graft.multimodal.Multimodal.decodeAudioStats(
         graft.multimodal.Multimodal.syntheticAudio(Tables.documents(s, d)))
         .toDF()
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+    // perceptual-hash near-dup over REAL decoded pixels: brightness-
+    // shifted variants of one gradient image hash identically (bytes
+    // differ — exact dedup misses them); banded Hamming join pairs them,
+    // and the brute-force DuckDB oracle re-derives every dHash in closed
+    // form, checking complete recall at Hamming ≤ 3
+    "mm_phash_pairs" -> ((s, d) =>
+      graft.multimodal.Phash.pairs(
+        graft.multimodal.Multimodal.syntheticGradientImages(Tables.documents(s, d)), 3))
   )
 
   /** Scratch space for the stream_* builders: run the pipeline in a temp
@@ -1901,6 +1909,32 @@ object SparkEntry {
         "(doc_id*97) % 16384 + 1000 AS amp, 400 + doc_id % 50 AS n FROM documents) " +
         "SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
         "CAST(n AS BIGINT) AS n_frames, CAST(n * amp AS BIGINT) AS sum_abs, " +
-        "CAST(amp AS INT) AS peak FROM g ORDER BY media_id")
+        "CAST(amp AS INT) AS peak FROM g ORDER BY media_id"),
+
+    // closed-form dHash of the synthetic gradient PNGs, brute-force
+    // paired: the 9×8 sampled luma grid is (base + 2x·k) % 252 + v
+    // (variant-3 bottom-row perturbation copies sampled x=3), the hash
+    // accumulates per-bit in HUGEINT and wraps to signed 64, and pairs
+    // are ALL-pairs Hamming ≤ 3 — deliberately not banded, so equality
+    // certifies the Spark side's decode → downsample → dHash → banded
+    // join loses nothing (same pigeonhole argument as dedup_simhash_pairs)
+    "mm_phash_pairs" ->
+      ("WITH p AS (SELECT doc_id AS media_id, (doc_id // 4) * 37 % 252 AS base, " +
+        "7 + (doc_id // 4) % 11 AS k, 3 + (doc_id // 4) % 5 AS j, doc_id % 4 AS v FROM documents), " +
+        "grid AS (SELECT media_id, x, y, CASE WHEN v = 3 AND y = 7 AND x = 4 " +
+        "THEN (base + 6 * k + 14 * j) % 252 + v ELSE (base + 2 * x * k + 2 * y * j) % 252 + v END AS gval " +
+        "FROM p, (SELECT unnest([0,1,2,3,4,5,6,7,8]) AS x), " +
+        "(SELECT unnest([0,1,2,3,4,5,6,7]) AS y)), " +
+        "bits AS (SELECT a.media_id, a.x, a.y, (b.gval > a.gval) AS bit " +
+        "FROM grid a JOIN grid b ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1 " +
+        "WHERE a.x < 8), " +
+        "h AS (SELECT media_id, SUM(CASE WHEN bit THEN 1::HUGEINT << (y*8 + x) " +
+        "ELSE 0::HUGEINT END) AS hh FROM bits GROUP BY media_id), " +
+        "sig AS (SELECT media_id, CAST(CASE WHEN hh >= 9223372036854775808 " +
+        "THEN hh - 18446744073709551616 ELSE hh END AS BIGINT) AS phash FROM h) " +
+        "SELECT a.media_id AS media_a, b.media_id AS media_b, " +
+        "CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY media_a, media_b")
   )
 }

@@ -307,6 +307,55 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic gradient-PNG corpus for the perceptual-hash
+    * path ([[Phash]]): docs come in groups of 4 (`doc_id / 4`) sharing a
+    * diagonal gray gradient (distinct column and row slopes, so the
+    * hash uses all 64 bits and cross-group collisions stay rare);
+    * within a group, variant `v = doc_id % 4`
+    * shifts EVERY pixel's gray by +v — a global brightness shift, the
+    * classic near-duplicate that byte/checksum dedup cannot see but
+    * dHash is invariant to. Variant 3 additionally perturbs one pixel
+    * of the bottom sampled row (copying its left sampled neighbor's
+    * gray), planting a genuine small-Hamming pair (≤ 2 bits) so the
+    * pairing exercises nonzero distances too.
+    *
+    * Gray pixels (r=g=b) plus the 299+587+114=1000 luma identity make
+    * the decoded 9×8 luma grid — and therefore the dHash — a closed-form
+    * function of doc_id the DuckDB oracle states in SQL. Gradient base
+    * stays in [0, 251] so +v never clamps or wraps. */
+  def syntheticGradientImages(documents: DataFrame): Dataset[MediaRecord] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val grp = d / 4
+        val v = (d % 4).toInt
+        val base = (grp * 37 % 252).toInt
+        val k = (7 + grp % 11).toInt
+        val j = (3 + grp % 5).toInt // per-row term: hashes use all 64 bits
+        val (w, h) = (18, 16)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // variant-3 perturbation at exactly the pixel the 9×8
+            // downsample reads for (x=4, y=7): copy sampled x=3's gray
+            val g =
+              if (v == 3 && x == 8 && y == 14) (base + 6 * k + 14 * j) % 252 + v
+              else (base + x * k + y * j) % 252 + v
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaRecord(d, "image", baos.toByteArray, w, h, 0L)
+      }
+    }
+  }
+
   /** Column-level variant for untyped pipelines: metadata-only pruning
     * (no decode) — the filter that must run BEFORE any codec touches
     * bytes at 100 TB. */

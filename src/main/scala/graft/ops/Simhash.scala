@@ -74,7 +74,7 @@ object Simhash {
   def simhash(word: Column): Column = udaf(agg).apply(word)
 
   /** Hamming distance between two SimHash columns. */
-  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  def hamming(a: Column, b: Column): Column = Hamming.hamming(a, b)
 
   /** Per-doc SimHash signatures over whitespace tokens. */
   def signatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -92,24 +92,6 @@ object Simhash {
     * (exactly how the DuckDB oracle cross-checks it). At scale the
     * chunk equi-join shuffles 8-byte keys and buckets the corpus;
     * the all-pairs comparison never materializes. */
-  def hammingPairs(docs: org.apache.spark.sql.DataFrame, maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
-    require(maxHamming <= 3,
-      s"maxHamming=$maxHamming > 3 breaks the 4-chunk pigeonhole recall guarantee")
-    val chunks = signatures(docs).select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(ci => struct(
-        lit(ci).as("chunk_idx"),
-        shiftrightunsigned(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
-      .select(col("doc_id"), col("simhash"),
-        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
-    val a = chunks.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = chunks.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        hamming(col("sig_a"), col("sig_b")).cast("int").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+  def hammingPairs(docs: org.apache.spark.sql.DataFrame, maxHamming: Int = 3): org.apache.spark.sql.DataFrame =
+    Hamming.bandedPairs(signatures(docs), "doc_id", "simhash", "doc", maxHamming)
 }

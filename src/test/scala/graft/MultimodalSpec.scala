@@ -99,6 +99,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudioStats(junk).count() === 0)
   }
 
+  test("dHash is brightness-invariant: shifted variants pair, bytes differ") {
+    import graft.multimodal.Phash
+    // one group of 4 (doc 0..3: variants v=0..3 of the same gradient)
+    // plus an unrelated group (doc 40..41, different gradient)
+    val docs = Seq(0L, 1L, 2L, 3L, 40L, 41L).toDF("doc_id")
+    val media = Multimodal.syntheticGradientImages(docs)
+    // brightness-shifted copies have DIFFERENT bytes (exact dedup blind)
+    val checksums = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.checksum).toMap
+    assert(checksums(0L) !== checksums(1L))
+    // ...but variants 0/1/2 hash IDENTICALLY (adjacent-pixel comparisons
+    // are invariant to a global +v shift), and variant 3's planted
+    // perturbation lands within Hamming <= 2
+    val sig = Phash.signatures(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) === sig(1L) && sig(1L) === sig(2L))
+    val d3 = java.lang.Long.bitCount(sig(0L) ^ sig(3L))
+    assert(d3 >= 1 && d3 <= 2)
+    // the banded pairing finds every within-group pair at threshold 3
+    val pairs = Phash.pairs(media, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (a <- 0L to 3L; b <- (a + 1) to 3L) assert(pairs.contains((a, b)))
+    assert(pairs.contains((40L, 41L)))
+  }
+
   test("metadata pruning filters without touching payload bytes") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val media = Multimodal.mediaFromDocuments(spark, docs).toDF()
