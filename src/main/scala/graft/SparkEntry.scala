@@ -579,6 +579,8 @@ object SparkEntry {
     "stream_join_counts" -> ((s, d) => streamJoinCounts(s, d)),
     // native streaming session_window ≡ the batch lag/gap sessionization
     "stream_session_counts" -> ((s, d) => streamSessionCounts(s, d)),
+    // watermark-bounded streaming dedup: admitted set ≡ batch DISTINCT
+    "stream_watermark_dedup_counts" -> ((s, d) => streamWatermarkDedupCounts(s, d)),
     // streaming incremental-dedup ingest: 3 micro-batch files with
     // in-batch and cross-batch duplicates; content admitted exactly
     // once stream-wide regardless of batch arrival order
@@ -1029,6 +1031,42 @@ object SparkEntry {
     s.read.parquet(s"$base/out")
       .filter(col("event_type") =!= "sentinel")
       .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`):
+    * the 100 TB answer to `dropDuplicates` on a stream, whose key state
+    * grows forever — here a key's state is EVICTED once the watermark
+    * passes its event time + delay, so state size tracks the dedup
+    * horizon, not stream history. Input plants exact-duplicate files
+    * (every %3 event twice, plus the %5 slice whose %15 overlap
+    * duplicates across files); with the delay exceeding the corpus time
+    * span nothing evicts mid-run, so the admitted set provably equals
+    * batch DISTINCT — the oracle. Eviction + re-admission semantics are
+    * certified separately in StreamingSpec (two runs over one
+    * checkpoint). */
+  private def streamWatermarkDedupCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-wmdedup") { base =>
+    val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("event_type"))
+    val third = ev.filter(col("event_id") % 3 === 0)
+    third.coalesce(4).write.parquet(s"$base/in/a")
+    third.coalesce(4).write.parquet(s"$base/in/b") // byte-identical duplicates
+    ev.filter(col("event_id") % 5 === 0).coalesce(4).write.parquet(s"$base/in/c")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = s.readStream.schema(ev.schema).parquet(s"$base/in/*")
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
   }
 
   // Shared SQL fragments for the checkout oracle (kept identical across
@@ -1777,6 +1815,13 @@ object SparkEntry {
         "AND c.user_id = p.user_id " +
         "AND p.ts >= c.ts - INTERVAL '30 minutes' AND p.ts <= c.ts " +
         "GROUP BY c.user_id ORDER BY c.user_id"),
+    // watermark-bounded dedup ≡ batch DISTINCT over the planted-dup
+    // input (no eviction mid-run: delay exceeds the corpus time span)
+    "stream_watermark_dedup_counts" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM (SELECT DISTINCT event_id, event_type FROM events " +
+        "WHERE event_id % 3 = 0 OR event_id % 5 = 0) " +
+        "GROUP BY event_type ORDER BY event_type"),
     // two-step conditional-min funnel; integer-floor gap on both engines
     "events_funnel" ->
       ("WITH f AS (SELECT user_id, min(ts) AS first_from FROM events " +

@@ -306,6 +306,50 @@ class StreamingSpec extends SparkSpec {
     assert(inv.current().collect()(0).getAs[Int]("stock") === 8)
   }
 
+  test("dropDuplicatesWithinWatermark evicts state; late re-duplicates re-admit") {
+    // the bounded-state contract: dedup is KEY-ONLY within the horizon
+    // (a redelivery with a different timestamp still drops — what
+    // dropDuplicates("id","ts") can't do), and a key's state lives only
+    // until the watermark passes its event time + delay. Two
+    // AvailableNow runs over ONE checkpoint control the batch boundary:
+    // run 1 admits X at t0, drops its in-run redelivery at t0+10min,
+    // and a sentinel 3 h ahead pushes the watermark to 2 h — past X's
+    // t0 + 1 h expiry, evicting X's state; run 2 re-delivers X with a
+    // fresh (non-late) timestamp, which is ADMITTED AGAIN — the price
+    // of bounded state, and exactly what unbounded dropDuplicates
+    // would never do.
+    val base = tmp("graft-wmttl")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t10m = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    val t3h = java.sql.Timestamp.valueOf("2024-01-01 03:00:00")
+    def run(label: String): Unit = {
+      val q = spark.readStream
+        .schema(Seq((1L, t0)).toDF("event_id", "ts").schema)
+        .parquet(s"$base/in/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: X at t0 + redelivery at t0+10min (different ts, SAME key:
+    // dropped) + watermark-advancing sentinel
+    Seq((7L, t0), (7L, t10m), (99L, t3h)).toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$base/in/r1")
+    run("r1")
+    val afterR1 = spark.read.parquet(s"$base/out").filter($"event_id" === 7L).count()
+    assert(afterR1 === 1L) // key-only dedup within the horizon
+    // run 2: the same key redelivered with a fresh timestamp, after its
+    // state expired (t0 + 1 h < watermark 2 h)
+    Seq((7L, t3h)).toDF("event_id", "ts").coalesce(1).write.parquet(s"$base/in/r2")
+    run("r2")
+    val afterR2 = spark.read.parquet(s"$base/out").filter($"event_id" === 7L).count()
+    assert(afterR2 === 2L) // state evicted: the fresh redelivery re-admits
+  }
+
   test("ST6: event-time windows run identically over a stream with watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
