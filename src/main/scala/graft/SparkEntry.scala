@@ -200,6 +200,23 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("total_price"))
         .orderBy(col("p_brand"))),
 
+    // bloom-pruned join certified against the PLAIN join's oracle: the
+    // probe-side prefilter may pass false positives (the join drops
+    // them) but never false negatives — the result is identical by
+    // construction, with the fact shuffle cut before it happens
+    "rel_join_bloom" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      val probe = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.ops.Bloom.prunedJoin(probe, dim, "o_custkey", dim.count())
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ----- text analysis (M4)
     "text_token_stats" -> ((s, d) =>
       TextOps.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -1306,6 +1323,13 @@ object SparkEntry {
         "round(sum(l_extendedprice), 2) AS total_price " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_brand ORDER BY p_brand"),
+    // the bloom-pruned join must produce exactly the plain join's result
+    "rel_join_bloom" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
     "rel_scalar_dates" ->
       ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +
