@@ -394,6 +394,21 @@ object SparkEntry {
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
       }.orderBy(col("lang"))),
+    // SCD2 history via the INCREMENTAL merge path: build on the early
+    // change slice, merge the late slice (touched keys replay, untouched
+    // pass through) — must equal the oracle's FULL rebuild over all
+    // changes, certifying merge(build(early), late) ≡ build(early ∪ late)
+    "store_scd2_merge" -> ((s, d) => {
+      val ch = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderdate").cast("date").as("valid_from"),
+        col("o_orderkey"), col("o_orderstatus").as("status"))
+      val early = ch.filter(col("valid_from") < lit("1997-01-01"))
+      val late = ch.filter(col("valid_from") >= lit("1997-01-01"))
+      graft.ops.Scd2.merge(
+        graft.ops.Scd2.build(early, "o_custkey", "valid_from", "o_orderkey"),
+        late, "o_custkey", "valid_from", "o_orderkey")
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
     // typed JSON payload extraction over the events stream table
     "events_props_stats" -> ((s, d) =>
       EventWindows.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
@@ -1567,6 +1582,16 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents WHERE doc_id % 2 = 0 AND n_chars BETWEEN 100 AND 500 " +
         "GROUP BY lang ORDER BY lang"),
+    // FULL rebuild over all changes — the incremental Spark path must
+    // reproduce it exactly
+    "store_scd2_merge" ->
+      ("SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from, o_orderkey, " +
+        "o_orderstatus AS status, " +
+        "lead(CAST(o_orderdate AS DATE)) OVER w AS valid_to, " +
+        "lead(o_orderdate) OVER w IS NULL AS is_current " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
+        "ORDER BY o_custkey, valid_from, o_orderkey"),
 
     // floor() on both sides: DuckDB CAST(double AS INT) rounds while
     // Spark's truncates, but floor-then-cast agrees everywhere

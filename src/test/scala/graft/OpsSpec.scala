@@ -532,4 +532,32 @@ class OpsSpec extends SparkSpec {
       assert(got === baseline) // rewrite is semantics-preserving
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("Scd2.merge at any split equals the full rebuild; pointInTime snapshots") {
+    import graft.ops.Scd2
+    // change log: keys with 1..4 changes, deliberate same-ts ties broken
+    // by the unique seq column
+    val changes = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "B"), (1L, 20L, 102L, "C"), (1L, 40L, 103L, "D"),
+      (2L, 15L, 200L, "X"),
+      (3L, 5L, 300L, "P"), (3L, 30L, 301L, "Q")).toDF("key", "ts", "seq", "attr")
+    val full = Scd2.build(changes, "key", "ts", "seq")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        Option(r.get(4)), r.getBoolean(5))).toSet
+    val expected = rows(full.select("key", "ts", "seq", "attr", "valid_to", "is_current"))
+    // the merge invariant must hold at EVERY batch boundary, including
+    // splits that leave a key entirely in one side or straddle its ties
+    for (split <- Seq(6L, 15L, 20L, 25L, 35L)) {
+      val merged = Scd2.merge(
+        Scd2.build(changes.filter($"ts" < split), "key", "ts", "seq"),
+        changes.filter($"ts" >= split), "key", "ts", "seq")
+      assert(rows(merged.select("key", "ts", "seq", "attr", "valid_to", "is_current"))
+        === expected, s"merge at split=$split diverged from full rebuild")
+    }
+    // snapshot at ts=25: key 1 -> C (the tie's last wins via seq), 2 -> X, 3 -> P
+    val snap = Scd2.pointInTime(full, "ts", lit(25L))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(snap === Map(1L -> "C", 2L -> "X", 3L -> "P"))
+  }
 }
