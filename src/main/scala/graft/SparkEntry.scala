@@ -433,6 +433,10 @@ object SparkEntry {
     }),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), 20)),
+    // directed doc-inside-doc containment — the asymmetric complement
+    // to Jaccard (short doc quoted in a long one scores ~1 here)
+    "dedup_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), 0.8)),
     "dedup_minhash_buckets" -> ((s, d) =>
       Dedup.minhashBuckets(Tables.documents(s, d), 4).orderBy(col("band"), col("signature"))),
     // end-to-end dedup DECISION: LSH buckets → connected components →
@@ -1623,6 +1627,19 @@ object SparkEntry {
         "SELECT doc_a, doc_b, round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard " +
         "FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id " +
         "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"),
+    // directed containment over the SAME df-capped shingle postings:
+    // C(a→b) = |Sa ∩ Sb| / |Sa|, only doc_a's size in the denominator
+    "dedup_containment_pairs" ->
+      (s"WITH sh0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "sh AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle, " +
+        "count(*) OVER (PARTITION BY shingle) AS df FROM sh0) WHERE df <= 100), " +
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id), " +
+        "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, round(CAST(n_common AS DOUBLE) / sa.n_shingles, 4) AS containment " +
+        "FROM common JOIN sz sa ON doc_a = sa.doc_id " +
+        "WHERE CAST(n_common AS DOUBLE) / sa.n_shingles >= 0.8 " +
+        "ORDER BY doc_a, doc_b"),
     // one md5 per shingle; band hash = 8-hex-char rotation of the digest.
     // Docs too short to shingle are dropped on BOTH sides (len > 0 filter
     // here; the lead-window filter in shinglePostings on the Spark side).

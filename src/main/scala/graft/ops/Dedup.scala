@@ -97,6 +97,40 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Asymmetric shingle containment: C(a→b) = |Sa ∩ Sb| / |Sa| — the
+    * doc-inside-doc detector Jaccard misses. When a short document is
+    * wholly quoted inside a long one (boilerplate headers, licence
+    * blocks, re-posted articles with commentary), the union is large so
+    * Jaccard stays low, but the SHORT side's containment is ~1. Emits
+    * DIRECTED pairs (doc_a's shingles covered by doc_b) at containment
+    * ≥ minC.
+    *
+    * Same scale shape as [[jaccardPairs]]: df-capped postings (tiny
+    * aggregate + left-semi join, no window), candidates from the
+    * posting-list equi-join — never all-pairs; the denominator joins a
+    * per-doc count, and only doc_a's size is needed so the asymmetry
+    * costs one join, not two. */
+  def containmentPairs(docs: DataFrame, minC: Double, maxDf: Int = 100): DataFrame = {
+    val rare = shingleSets(docs)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val sh = shingleSets(docs).join(rare, Seq("shingle"), "left_semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), Seq("doc_a"))
+      .filter(col("n_common").cast("double") / col("na") >= minC)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") / col("na"), 4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash band signatures: ONE md5 per shingle; band b's hash is a
     * fixed 8-hex-char rotation of the 32-hex digest, so each band orders
     * shingles by an independent-ish bit window of the same digest and

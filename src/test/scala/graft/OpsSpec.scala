@@ -533,6 +533,25 @@ class OpsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("containmentPairs: a doc quoted inside a longer one scores ~1 one-way") {
+    import graft.ops.Dedup
+    val short = "alpha beta gamma delta epsilon"
+    val long = ("intro words here " + short + " plus a tail of unrelated filler tokens " +
+      "going on for quite a while to keep jaccard low").trim
+    val docs = Seq((1L, short), (2L, long), (3L, "completely different text about other things entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the short doc's shingles are fully covered by the long doc...
+    assert(pairs((1L, 2L)) === 1.0)
+    // ...but NOT vice versa (the long doc has many uncovered shingles),
+    // and Jaccard misses the pair entirely at the same threshold
+    assert(!pairs.contains((2L, 1L)))
+    val jac = Dedup.jaccardPairs(docs, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac.getOrElse((1L, 2L), 0.0) < 0.8)
+  }
+
   test("Scd2.merge at any split equals the full rebuild; pointInTime snapshots") {
     import graft.ops.Scd2
     // change log: keys with 1..4 changes, deliberate same-ts ties broken
