@@ -496,6 +496,25 @@ object SparkEntry {
     // variant with learned (data-adaptive) buckets
     "dedup_embedding_ivf" -> ((s, d) =>
       graft.ops.Ivf.nearDupPairs(Tables.embeddings(s, d), 20, k = 8, iters = 2)),
+    // product quantization: per-subspace codebook occupancy (certifies
+    // the whole train+encode chain — seed, Lloyd update, re-assign)
+    "emb_pq_codes" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      val (codes, _) = graft.ops.Pq.encode(emb, 4, dsub, 8)
+      codes.groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("m"), col("code"))
+    }),
+    // ADC search over codes only: the corpus embeddings are never read
+    // at query time — approximate score = Σ_m table[m][code_m]
+    "emb_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      val (codes, books) = graft.ops.Pq.encode(emb, 4, dsub, 8)
+      graft.ops.Pq.adcTopK(codes, books, embQueries(s, d), 4, dsub, 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
 
     // ----- event-time windows (M4 / ST6 extensions)
     "events_tumbling_hourly" -> ((s, d) =>
@@ -1190,6 +1209,31 @@ object SparkEntry {
       s"s2 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM v CROSS JOIN c1), " +
       "a2 AS (SELECT vec_id, ve, centroid_id FROM s2 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1)"
 
+  /** PQ train+encode mirrored in SQL, one Lloyd schedule per subspace
+    * (the ivfSql skeleton with an `m` key): slice each vector into 4
+    * sub-vectors, seed each subspace's codebook from the 8 lowest ids,
+    * assign (argmax cosine, code tiebreak), per-dim float-quantized
+    * mean, re-assign. `pcodes` = final (vec_id, m, code), `pc1` = the
+    * codebooks that produced it. */
+  private val pqSql =
+    "pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
+      "pd AS (SELECT len(ve) // 4 AS dsub FROM pv LIMIT 1), " +
+      "psub AS (SELECT vec_id, m, ve[m*dsub+1:(m+1)*dsub] AS sub " +
+      "FROM pv CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) CROSS JOIN pd), " +
+      "pc0 AS (SELECT m, CAST(vec_id AS INT) AS code, sub AS ce FROM psub WHERE vec_id < 8), " +
+      s"ps1 AS (SELECT s.vec_id, s.m, s.sub, c.code, ${cosSql("s.sub", "c.ce")} AS sim " +
+      "FROM psub s JOIN pc0 c ON s.m = c.m), " +
+      "pa1 AS (SELECT vec_id, m, sub, code FROM ps1 " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sim DESC, code) = 1), " +
+      "pcell AS (SELECT m, code, unnest(range(0, len(sub))) AS dim, unnest(sub) AS val FROM pa1), " +
+      "pcm AS (SELECT m, code, dim, avg(val) AS mn FROM pcell GROUP BY m, code, dim), " +
+      "pc1 AS (SELECT m, code, list(CAST(CAST(mn AS FLOAT) AS DOUBLE) ORDER BY dim) AS ce " +
+      "FROM pcm GROUP BY m, code), " +
+      s"ps2 AS (SELECT s.vec_id, s.m, s.sub, c.code, ${cosSql("s.sub", "c.ce")} AS sim " +
+      "FROM psub s JOIN pc1 c ON s.m = c.m), " +
+      "pcodes AS (SELECT vec_id, m, code FROM ps2 " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sim DESC, code) = 1)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (streaming state machines — covered by ScalaTest instead). */
@@ -1825,6 +1869,28 @@ object SparkEntry {
         "FROM a2 x JOIN a2 y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id " +
         "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"),
 
+    "emb_pq_codes" ->
+      (s"WITH $pqSql " +
+        "SELECT m, code, CAST(count(*) AS BIGINT) AS n_vectors FROM pcodes " +
+        "GROUP BY m, code ORDER BY m, code"),
+    // ADC: per-query partial-dot table against the codebooks, candidate
+    // score = fixed-order sum of the 4 subspace parts (same addition
+    // order as the Spark side, so the doubles agree bit-for-bit)
+    "emb_pq_topk" ->
+      (s"WITH $pqSql, " +
+        "pq AS (SELECT vec_id AS q_id, m, sub AS qsub FROM psub WHERE vec_id < 5), " +
+        "ptab AS (SELECT q_id, pq.m, c.code, " +
+        "list_sum(list_transform(range(1, len(qsub)+1), i -> qsub[i]*c.ce[i])) AS part " +
+        "FROM pq JOIN pc1 c ON pq.m = c.m), " +
+        "psc AS (SELECT t.q_id, k.vec_id, " +
+        "round(max(CASE WHEN k.m = 0 THEN t.part END) + max(CASE WHEN k.m = 1 THEN t.part END) + " +
+        "max(CASE WHEN k.m = 2 THEN t.part END) + max(CASE WHEN k.m = 3 THEN t.part END), 4) AS score " +
+        "FROM pcodes k JOIN ptab t ON k.m = t.m AND k.code = t.code " +
+        "WHERE k.vec_id <> t.q_id GROUP BY t.q_id, k.vec_id) " +
+        "SELECT q_id, vec_id, score, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank " +
+        "FROM psc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 10 " +
+        "ORDER BY q_id, rank"),
     "emb_ivf_topk" ->
       (s"WITH $ivfSql, " +
         "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
