@@ -101,18 +101,25 @@ object Ivf {
     * centroids, score only vectors in those buckets. The candidate join
     * is an equi-join on centroid_id — the corpus fraction scanned is
     * ~nprobe/k, the recall/cost knob. */
-  def topK(
-      index: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int = 1): DataFrame = {
+  /** Query routing: each query's `nprobe` nearest centroids (max
+    * cosine, centroid-id tiebreak) — shared by [[topK]] and the IVF-PQ
+    * composition (Pq.adcTopKWithin). */
+  def route(centroids: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
-    val routed = queries
+    queries
       .join(broadcast(centroids))
       .select(col("q_id"), col("q_emb"), col("centroid_id"),
         cos(col("q_emb"), col("centroid")).as("csim"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("centroid_id"))
+  }
+
+  def topK(
+      index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val routed = route(centroids, queries, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     index
       .join(routed, Seq("centroid_id"))

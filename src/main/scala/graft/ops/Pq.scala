@@ -86,29 +86,57 @@ object Pq {
     (assigned.select(col("vec_id"), col("m"), col("code")), books)
   }
 
-  /** ADC top-k: approximate inner product = Σ_m dot(q_m, codebook[m,
-    * code_m]). The per-query lookup table (|q|·M·k partial dots) comes
-    * from broadcasting the codebooks; candidates join it on (m, code)
-    * and the M parts are summed in FIXED subspace order (m=0,1,…) so
-    * the double arithmetic is reproducible on any engine. */
-  def adcTopK(
-      codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
-      nSub: Int, dsub: Int, topK: Int): DataFrame = {
-    val qsubs = subVectors(queries.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), nSub, dsub)
+  /** The per-query ADC lookup table: (q_id, m, code) → partial dot of
+    * the query's m-th sub-vector with codebook entry (m, code). */
+  private def adcTable(codebooks: DataFrame, queries: DataFrame, nSub: Int, dsub: Int): DataFrame =
+    subVectors(queries.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), nSub, dsub)
       .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
-    val table = qsubs.join(broadcast(codebooks), Seq("m"))
+      .join(broadcast(codebooks), Seq("m"))
       .select(col("q_id"), col("m"), col("code"),
         dotD(col("qsub"), col("centroid")).as("part"))
+
+  /** Fixed-order part sum + per-query rank over scored (q_id, vec_id,
+    * m, part) rows — summing m=0,1,… in a pinned order keeps the double
+    * arithmetic reproducible on any engine. */
+  private def sumAndRank(scored: DataFrame, nSub: Int, topK: Int): DataFrame = {
     val parts = (0 until nSub).map(i =>
       max(when(col("m") === i, col("part"))).as(s"p$i"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    codes.join(table, Seq("m", "code"))
-      .filter(col("vec_id") =!= col("q_id"))
+    scored
       .groupBy(col("q_id"), col("vec_id"))
       .agg(parts.head, parts.tail: _*)
       .select(col("q_id"), col("vec_id"),
         round((0 until nSub).map(i => col(s"p$i")).reduce(_ + _), 4).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** ADC top-k over the WHOLE corpus: approximate inner product =
+    * Σ_m dot(q_m, codebook[m, code_m]), reached purely through the
+    * codes — the raw embeddings are never read. */
+  def adcTopK(
+      codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      nSub: Int, dsub: Int, topK: Int): DataFrame = {
+    val table = adcTable(codebooks, queries, nSub, dsub)
+    sumAndRank(
+      codes.join(table, Seq("m", "code")).filter(col("vec_id") =!= col("q_id")),
+      nSub, topK)
+  }
+
+  /** ADC top-k restricted to a candidate set (q_id, vec_id) — the
+    * IVF-PQ composition: an IVF routing layer picks the buckets
+    * ([[Ivf.route]] + the assignment equi-join), and only those
+    * candidates' codes are scored. At 100 TB this is the whole game:
+    * the scan is nprobe/k of the corpus and each candidate costs M
+    * table lookups instead of a D-dim dot product. */
+  def adcTopKWithin(
+      candidates: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, nSub: Int, dsub: Int, topK: Int): DataFrame = {
+    val table = adcTable(codebooks, queries, nSub, dsub)
+    sumAndRank(
+      candidates
+        .join(codes, Seq("vec_id"))
+        .join(table, Seq("q_id", "m", "code")),
+      nSub, topK)
   }
 }
