@@ -253,6 +253,10 @@ object SparkEntry {
     // the cheap perplexity stand-in for quality filtering
     "text_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // interpolated bigram LM — context-aware perplexity stand-in; λ/μ
+    // passed explicitly so both engines compute with literal 0.7/0.3
+    "text_bigram_logprob" -> ((s, d) =>
+      TextOps.bigramLogProb(Tables.documents(s, d), 0.7, 0.3).orderBy(col("doc_id"))),
     "text_quality_by_lang" -> ((s, d) =>
       TextOps.qualityByLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "text_lang_id" -> ((s, d) =>
@@ -517,12 +521,19 @@ object SparkEntry {
     }),
     // the composed IVF-PQ index: IVF routes each query to nprobe=2
     // centroid buckets, PQ's ADC scores ONLY those candidates through
-    // their codes — scan fraction nprobe/k, M lookups per candidate
+    // their codes — scan fraction nprobe/k, M lookups per candidate.
+    // The four index frames are MATERIALIZED before querying (eager
+    // localCheckpoint): in production an ANN index is built once and
+    // stored, never re-trained per query — without this each DataFrame
+    // reference re-executes the whole Lloyd chain (measured 11.9 s vs
+    // ~4 s at sf0.1; same design rule as the dedup-components cache)
     "emb_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
-      val (idx, cents) = graft.ops.Ivf.index(emb, k = 8, iters = 2)
-      val (codes, books) = graft.ops.Pq.encode(emb, 4, dsub, 8)
+      val (idxRaw, centsRaw) = graft.ops.Ivf.index(emb, k = 8, iters = 2)
+      val (codesRaw, booksRaw) = graft.ops.Pq.encode(emb, 4, dsub, 8)
+      val (idx, cents) = (idxRaw.localCheckpoint(true), centsRaw.localCheckpoint(true))
+      val (codes, books) = (codesRaw.localCheckpoint(true), booksRaw.localCheckpoint(true))
       val cands = graft.ops.Ivf.route(cents, embQueries(s, d), nprobe = 2)
         .join(idx, Seq("centroid_id"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -2018,6 +2029,22 @@ object SparkEntry {
         "SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, " +
         "round(avg(-ln(f / n)), 4) AS avg_neg_logp " +
         "FROM tok JOIN freq USING (word) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    // interpolated bigram LM: bigrams re-derived positionally from the
+    // token list (range(1, len) pairs ≡ the Spark lag window), both
+    // count tables joined back, fixed literals 0.7/0.3
+    "text_bigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "uni AS (SELECT word, count(*) AS uf FROM tok GROUP BY word), " +
+        "tot AS (SELECT count(*) AS n FROM tok), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
+        "bgp AS (SELECT doc_id, string_split(bigram, ' ')[1] AS prev, string_split(bigram, ' ')[2] AS word FROM bg), " +
+        "bf AS (SELECT prev, word, count(*) AS bf FROM bgp GROUP BY prev, word) " +
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, " +
+        "round(avg(-ln(0.7 * bf.bf / pf.uf + 0.3 * uni.uf / n)), 4) AS avg_neg_logp " +
+        "FROM bgp JOIN bf ON bgp.prev = bf.prev AND bgp.word = bf.word " +
+        "JOIN uni ON bgp.word = uni.word JOIN uni pf ON bgp.prev = pf.word CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
     // plain inequality join certifies the binned equi-join + residual
     "events_range_join" ->
