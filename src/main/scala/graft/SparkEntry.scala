@@ -257,6 +257,31 @@ object SparkEntry {
     // passed explicitly so both engines compute with literal 0.7/0.3
     "text_bigram_logprob" -> ((s, d) =>
       TextOps.bigramLogProb(Tables.documents(s, d), 0.7, 0.3).orderBy(col("doc_id"))),
+    // cross-doc duplicated n-gram span fraction — the substring-level
+    // dedup signal pair-joins can't see (copies spread across many
+    // partners); linear in postings, no pair explosion
+    "text_dup_span_fraction" -> ((s, d) =>
+      TextOps.dupSpanFraction(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // CCNet-style per-language perplexity terciles over the unigram-LM
+    // score (head = most fluent third of each language)
+    "text_ppl_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // token-share mixture rebalancing: per-source keep-rates derived
+    // from the corpus's own token totals (downsample-only; the tiny
+    // per-source aggregate is the same O(#strata) driver-side scalar
+    // exception as the corpus-scaled LSH bits) — the SAME share map
+    // and rate arithmetic generate the oracle SQL below
+    "text_mixture_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val totals = docs
+        .select(col("source"), size(TextOps.tokens(col("text"))).as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("toks"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+          totals, mixShares, "mixsalt")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "text_quality_by_lang" -> ((s, d) =>
       TextOps.qualityByLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "text_lang_id" -> ((s, d) =>
@@ -1167,6 +1192,18 @@ object SparkEntry {
     * holds by construction at any SF. */
   private val stratRates = Map("de" -> 0.9, "en" -> 0.4, "zh" -> 0.7)
 
+  /** Target token shares for `text_mixture_sample` — the SAME map
+    * generates the Spark rates and the oracle SQL's shares table, so
+    * the data-dependent keep-rates agree bit-for-bit: both engines
+    * compute c = min(tokens_s/share_s), rate = min(1, c·share_s/
+    * tokens_s) and the 8-hex threshold with identical double ops. */
+  private val mixShares: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 4 == 0) 0.10 else 0.03)).toMap
+
+  private def mixSharesValuesSql: String =
+    mixShares.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+
   private val shingleSql =
     "SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
       "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
@@ -2046,6 +2083,42 @@ object SparkEntry {
         "FROM bgp JOIN bf ON bgp.prev = bf.prev AND bgp.word = bf.word " +
         "JOIN uni ON bgp.word = uni.word JOIN uni pf ON bgp.prev = pf.word CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // distinct postings → shingle doc-frequency → per-doc share of
+    // shingles seen elsewhere
+    "text_dup_span_fraction" ->
+      (s"WITH sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "round(avg(CASE WHEN df.df > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_fraction " +
+        "FROM sh JOIN df USING (shingle) GROUP BY doc_id ORDER BY doc_id"),
+    // unigram-LM score joined back to lang, ntile(3) per language
+    // (ties split by doc_id — both engines distribute remainders to
+    // the leading tiles per the SQL standard)
+    "text_ppl_buckets" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "freq AS (SELECT word, count(*) AS f FROM tok GROUP BY word), " +
+        "tot AS (SELECT count(*) AS n FROM tok), " +
+        "u AS (SELECT doc_id, round(avg(-ln(f / n)), 4) AS avg_neg_logp " +
+        "FROM tok JOIN freq USING (word) CROSS JOIN tot GROUP BY doc_id), " +
+        "t AS (SELECT u.doc_id, d.lang, u.avg_neg_logp, " +
+        "ntile(3) OVER (PARTITION BY d.lang ORDER BY u.avg_neg_logp, u.doc_id) AS tc " +
+        "FROM u JOIN documents d ON u.doc_id = d.doc_id) " +
+        "SELECT doc_id, lang, avg_neg_logp, CASE WHEN tc = 1 THEN 'head' " +
+        "WHEN tc = 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
+        "FROM t ORDER BY doc_id"),
+    // mixture rebalancing: per-source token totals → c = min(toks/share)
+    // → rate = least(1, c*share/toks) → 8-hex threshold, all in the
+    // same double-op order as Sampling.mixtureRates/hexThreshold
+    "text_mixture_sample" ->
+      (s"WITH t AS (SELECT source, sum(len(string_split(text, ' '))) AS toks FROM documents GROUP BY source), " +
+        s"sh(source, share) AS (VALUES $mixSharesValuesSql), " +
+        "c AS (SELECT min(CAST(toks AS DOUBLE) / share) AS c FROM t JOIN sh USING (source) WHERE share > 0), " +
+        "r AS (SELECT source, least(CAST(1.0 AS DOUBLE), c.c * share / CAST(toks AS DOUBLE)) AS rate " +
+        "FROM t JOIN sh USING (source) CROSS JOIN c WHERE share > 0), " +
+        "thr AS (SELECT source, printf('%08x', least(CAST(trunc(rate * 4294967296.0) AS BIGINT), 4294967295)) AS thr FROM r) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN thr ON d.source = thr.source " +
+        "WHERE substr(md5('mixsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr " +
+        "ORDER BY d.doc_id"),
     // plain inequality join certifies the binned equi-join + residual
     "events_range_join" ->
       ("WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS win_s, " +

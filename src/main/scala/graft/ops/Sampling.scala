@@ -65,6 +65,44 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Per-source keep-rates that rebalance a corpus toward target TOKEN
+    * shares — the "data mixture" step of a pre-training pipeline
+    * (e.g. 30% web, 30% code, 40% books) executed as downsampling
+    * only, never upsampling: the scale factor c is chosen so the most
+    * over-asked-for source keeps rate 1.0 and every other source is
+    * downsampled proportionally (c = min over sources of
+    * tokens_s / share_s; rate_s = min(1, c·share_s / tokens_s)).
+    *
+    * `tokenTotals` is the per-source token-count aggregate — one tiny
+    * map-side-combined groupBy, collected to the driver as an
+    * O(#sources) rate table (the same scalar-aggregate exception as
+    * the corpus-scaled LSH bits). Sources absent from `shares` get no
+    * rate and are dropped by [[mixtureSample]]'s stratified predicate.
+    * The arithmetic is plain double ops in a fixed order so an oracle
+    * can reproduce the rates bit-for-bit from the same counts. */
+  def mixtureRates(tokenTotals: Map[String, Long],
+                   shares: Map[String, Double]): Map[String, Double] = {
+    require(shares.nonEmpty, "shares must be non-empty")
+    val both = shares.toSeq.sortBy(_._1).collect {
+      case (s, share) if share > 0.0 && tokenTotals.contains(s) =>
+        (s, share, tokenTotals(s))
+    }
+    require(both.nonEmpty, "no shared sources between corpus and shares")
+    val c = both.map { case (_, share, toks) => toks.toDouble / share }.min
+    both.map { case (s, share, toks) =>
+      s -> math.min(1.0, c * share / toks.toDouble)
+    }.toMap
+  }
+
+  /** Deterministic mixture rebalancing: downsample each source at the
+    * [[mixtureRates]] rate via the same (salt, key) hash predicate as
+    * [[stratifiedSample]] — map-only after the one tiny rate
+    * aggregate, retry-stable, engine-portable. */
+  def mixtureSample(df: DataFrame, key: Column, source: Column,
+                    tokenTotals: Map[String, Long],
+                    shares: Map[String, Double], salt: String): DataFrame =
+    stratifiedSample(df, key, source, mixtureRates(tokenTotals, shares), salt)
+
   /** Split-decontamination report: heldout docs whose content key also
     * appears on the train side of the same (salt, doc_id) split — the
     * leak check run before any eval set is trusted. Key-consistent

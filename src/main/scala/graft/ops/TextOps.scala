@@ -471,4 +471,65 @@ object TextOps {
         .groupBy(col("doc_id"))
         .agg(min(md5(col("shingle"))).as("fingerprint")),
       Seq("doc_id"), "left")
+
+  /** Cross-document duplicated-span fraction: for each document, the
+    * fraction of its distinct n-gram shingles that also occur in at
+    * least one OTHER document. The per-doc form of the "how much of the
+    * corpus is repeated substrings" signal substring-level dedup
+    * (suffix-array ExactSubstr in the literature) acts on — documents
+    * with a high fraction are mostly assembled from text that exists
+    * elsewhere, and span-level dedup would shrink them most; Jaccard /
+    * MinHash can't see this class because the copies are spread across
+    * MANY partners, no single pair exceeding any similarity threshold.
+    *
+    * Plan shape at 100 TB: distinct postings (shuffle on doc_id from
+    * tokenization, then on shingle), one shingle-frequency aggregate
+    * (map-side combined), an equi-join of postings back to that
+    * aggregate on the SAME shingle partitioning (no extra exchange),
+    * and a per-doc aggregate. No windows over the corpus, no pair
+    * explosion — cost is linear in total postings regardless of how
+    * duplicated the corpus is (unlike the pair joins, which a heavy
+    * span would blow up quadratically). At vocabulary scale the
+    * shingle string key becomes an md5 digest — same swap as the
+    * posting pipeline. Docs too short to shingle have no spans and
+    * drop out (same contract as the posting joins). */
+  def dupSpanFraction(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shinglePostings(docs, n).distinct()
+    val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(docFreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        round(avg(when(col("df") > 1, 1.0).otherwise(0.0)), 4).as("dup_fraction"))
+  }
+
+  /** CCNet-style per-language perplexity terciles: rank every document
+    * within its language by the unigram-LM score ([[unigramLogProb]] —
+    * low avg −ln P means fluent/common text) and split each language
+    * into equal-count thirds: `head` (most fluent), `middle`, `tail`.
+    * This is the bucketing CCNet filters Common Crawl with (keep
+    * head+middle, drop or downweight tail) — done per language so a
+    * low-resource language is never graded on another language's LM.
+    *
+    * ntile is a true rank statistic, so it needs a per-language sort —
+    * ONE window partitioned by lang (Spark sorts each language's
+    * partition in parallel; lang cardinality is small but each
+    * partition is corpus-scale/|langs|). At 100 TB replace the exact
+    * tercile with a histogram-derived threshold per language (the
+    * [[qualityFilter]] mechanism: scores are rounded to 4 decimals so
+    * the per-(lang, score) histogram is tiny) and bucket by comparison
+    * — same shape, no global sort; the ntile form is kept here because
+    * its semantics (equal counts, ties split by doc_id) are exactly
+    * portable to the oracle. */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_neg_logp"), col("doc_id"))
+    unigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_neg_logp"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
 }

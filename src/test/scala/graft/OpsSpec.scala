@@ -579,4 +579,57 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(snap === Map(1L -> "C", 2L -> "X", 3L -> "P"))
   }
+
+  test("dupSpanFraction measures cross-doc span reuse, not pairwise similarity") {
+    // doc 1 and 2 share the span "x y z w" (trigrams "x y z"/"y z w");
+    // doc 3 also quotes "x y z" from elsewhere but is mostly unique;
+    // doc 4 is entirely unique. No PAIR here is near-duplicate, yet
+    // span reuse is visible per doc.
+    val d = docs(
+      (1L, "x y z w a b"),   // shingles: xyz yzw zwa wab -> dup: xyz yzw = 2/4
+      (2L, "p q x y z w"),   // pqx qxy xyz yzw -> dup: xyz yzw = 2/4
+      (3L, "m n x y z o"),   // mnx nxy xyz yzo -> dup: xyz = 1/4
+      (4L, "c d e f g"))     // cde def efg -> 0/3
+    val r = TextOps.dupSpanFraction(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((4L, 0.5)))
+    assert(r(2L) === ((4L, 0.5)))
+    assert(r(3L) === ((4L, 0.25)))
+    assert(r(4L) === ((3L, 0.0)))
+  }
+
+  test("perplexityBuckets terciles each language by LM score") {
+    // 6 docs in one lang: common-word docs score low (fluent -> head),
+    // rare-word docs high (tail); ntile(3) -> 2 docs per bucket
+    val d = Seq(
+      (1L, "a a a a"), (2L, "a a a b"), (3L, "a a b b"),
+      (4L, "a b c d"), (5L, "e f g h"), (6L, "i j k l"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val r = TextOps.perplexityBuckets(d).collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) === "head" && r(2L) === "head")
+    assert(r(3L) === "middle" && r(4L) === "middle")
+    assert(r(5L) === "tail" && r(6L) === "tail")
+    // a second language terciles independently of the first
+    val two = d.union(Seq((7L, "q q q q"), (8L, "r s t u"), (9L, "v w x y"))
+      .toDF("doc_id", "text").withColumn("lang", lit("de")))
+    val de = TextOps.perplexityBuckets(two).filter($"lang" === "de").collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(de === Map(7L -> "head", 8L -> "middle", 9L -> "tail"))
+  }
+
+  test("mixtureRates downsamples toward target token shares, never upsamples") {
+    import graft.ops.Sampling
+    // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
+    // -> a keeps everything (rate 1.0), b keeps 1/3 of its tokens
+    val r = Sampling.mixtureRates(Map("a" -> 100L, "b" -> 300L),
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(r("a") === 1.0)
+    assert(math.abs(r("b") - 1.0 / 3.0) < 1e-12)
+    // sources without a share are dropped; zero shares are ignored
+    val r2 = Sampling.mixtureRates(Map("a" -> 10L, "b" -> 10L, "c" -> 10L),
+      Map("a" -> 0.8, "b" -> 0.2, "z" -> 0.0))
+    assert(r2.keySet === Set("a", "b"))
+    assert(r2("a") === 1.0 && math.abs(r2("b") - 0.25) < 1e-12)
+  }
 }
