@@ -566,6 +566,19 @@ object SparkEntry {
       graft.ops.Pq.adcTopKWithin(cands, codes, books, embQueries(s, d), 4, dsub, 10)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // the index-persistence contract: train → store four parquet
+    // frames → reload → probe, never touching the corpus table at
+    // query time; must answer bit-identically to emb_ivfpq_topk
+    // (shared oracle)
+    "store_ann_roundtrip" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      withTempDir("graft-annidx") { base =>
+        graft.ops.AnnIndex.writeIvfPq(emb, base, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+        graft.ops.AnnIndex.ivfPqTopK(s, base, embQueries(s, d), 4, dsub, 10, nprobe = 2)
+          .orderBy(col("q_id"), col("rank"))
+      }
+    }),
 
     // ----- event-time windows (M4 / ST6 extensions)
     "events_tumbling_hourly" -> ((s, d) =>
@@ -1300,6 +1313,35 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (streaming state machines — covered by ScalaTest instead). */
+  /** IVF routing (ir, from the ivfSql index) ∘ PQ scoring (pqSql codes
+    * + per-query table): candidates = routed buckets' members, score =
+    * fixed-order sum of the 4 subspace parts. Shared by
+    * `emb_ivfpq_topk` (in-memory index) and `store_ann_roundtrip`
+    * (parquet-persisted index) — the two paths must answer
+    * identically. */
+  private lazy val ivfPqTopkSql: String =
+    s"WITH $ivfSql, $pqSql, " +
+      "iq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+      s"ir AS (SELECT q_id, centroid_id FROM (SELECT q_id, centroid_id, ${cosSql("qe", "ce")} AS csim " +
+      "FROM iq CROSS JOIN c1) " +
+      "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
+      "icand AS (SELECT ir.q_id, a2.vec_id FROM ir JOIN a2 USING (centroid_id) " +
+      "WHERE a2.vec_id <> ir.q_id), " +
+      "pq2 AS (SELECT vec_id AS q_id, m, sub AS qsub FROM psub WHERE vec_id < 5), " +
+      "ptab2 AS (SELECT q_id, pq2.m, c.code, " +
+      "list_sum(list_transform(range(1, len(qsub)+1), i -> qsub[i]*c.ce[i])) AS part " +
+      "FROM pq2 JOIN pc1 c ON pq2.m = c.m), " +
+      "psc2 AS (SELECT cd.q_id, cd.vec_id, " +
+      "round(max(CASE WHEN k.m = 0 THEN t.part END) + max(CASE WHEN k.m = 1 THEN t.part END) + " +
+      "max(CASE WHEN k.m = 2 THEN t.part END) + max(CASE WHEN k.m = 3 THEN t.part END), 4) AS score " +
+      "FROM icand cd JOIN pcodes k ON cd.vec_id = k.vec_id " +
+      "JOIN ptab2 t ON t.q_id = cd.q_id AND t.m = k.m AND t.code = k.code " +
+      "GROUP BY cd.q_id, cd.vec_id) " +
+      "SELECT q_id, vec_id, score, " +
+      "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank " +
+      "FROM psc2 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 10 " +
+      "ORDER BY q_id, rank"
+
   def oracleSql: Map[String, String] = Map(
     "ingest_parse_validate" ->
       ("SELECT event_id, user_id, event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
@@ -1957,28 +1999,10 @@ object SparkEntry {
     // IVF routing (ir, from the ivfSql index) ∘ PQ scoring (pqSql codes
     // + per-query table): candidates = routed buckets' members, score =
     // fixed-order sum of the 4 subspace parts
-    "emb_ivfpq_topk" ->
-      (s"WITH $ivfSql, $pqSql, " +
-        "iq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
-        s"ir AS (SELECT q_id, centroid_id FROM (SELECT q_id, centroid_id, ${cosSql("qe", "ce")} AS csim " +
-        "FROM iq CROSS JOIN c1) " +
-        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
-        "icand AS (SELECT ir.q_id, a2.vec_id FROM ir JOIN a2 USING (centroid_id) " +
-        "WHERE a2.vec_id <> ir.q_id), " +
-        "pq2 AS (SELECT vec_id AS q_id, m, sub AS qsub FROM psub WHERE vec_id < 5), " +
-        "ptab2 AS (SELECT q_id, pq2.m, c.code, " +
-        "list_sum(list_transform(range(1, len(qsub)+1), i -> qsub[i]*c.ce[i])) AS part " +
-        "FROM pq2 JOIN pc1 c ON pq2.m = c.m), " +
-        "psc2 AS (SELECT cd.q_id, cd.vec_id, " +
-        "round(max(CASE WHEN k.m = 0 THEN t.part END) + max(CASE WHEN k.m = 1 THEN t.part END) + " +
-        "max(CASE WHEN k.m = 2 THEN t.part END) + max(CASE WHEN k.m = 3 THEN t.part END), 4) AS score " +
-        "FROM icand cd JOIN pcodes k ON cd.vec_id = k.vec_id " +
-        "JOIN ptab2 t ON t.q_id = cd.q_id AND t.m = k.m AND t.code = k.code " +
-        "GROUP BY cd.q_id, cd.vec_id) " +
-        "SELECT q_id, vec_id, score, " +
-        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank " +
-        "FROM psc2 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 10 " +
-        "ORDER BY q_id, rank"),
+    "emb_ivfpq_topk" -> ivfPqTopkSql,
+    // the stored-index roundtrip answers bit-identically to the
+    // in-memory IVF-PQ path, so it shares its oracle
+    "store_ann_roundtrip" -> ivfPqTopkSql,
     "emb_ivf_topk" ->
       (s"WITH $ivfSql, " +
         "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +

@@ -56,4 +56,27 @@ class PqSpec extends SparkSpec {
     val recall = (first & exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"ADC recall@10 = $recall")
   }
+
+  test("a stored-and-reloaded IVF-PQ index answers identically to in-memory") {
+    import graft.ops.{AnnIndex, Ivf}
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // in-memory composition: route on the trained centroids, ADC within
+    val (idx, cents) = Ivf.index(emb, 8, 2)
+    val (codes, books) = Pq.encode(emb, 4, dsub, 8)
+    val cands = Ivf.route(cents, queries, 2)
+      .join(idx, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val mem = Pq.adcTopKWithin(cands, codes, books, queries, 4, dsub, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("annidx-spec").toString
+    AnnIndex.writeIvfPq(emb, dir, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+    val stored = AnnIndex.ivfPqTopK(spark, dir, queries, 4, dsub, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(stored === mem)
+    // the persisted index never stores raw embeddings
+    val cols = spark.read.parquet(s"$dir/assignments").columns.toSet
+    assert(cols === Set("vec_id", "centroid_id"))
+  }
 }
