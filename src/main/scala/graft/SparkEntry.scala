@@ -721,6 +721,32 @@ object SparkEntry {
       Seq((admitted, total - admitted)).toDF("n_admitted", "n_rejected")
     }),
 
+    // streaming ONLINE near-dup admission: LSH band buckets are
+    // claimed by every document that flows past; a doc is admitted
+    // only if all its buckets are unclaimed. Input staged in three
+    // ascending-doc_id files (mtimes pinned so the file source drains
+    // them in order) — under that contract admission has a closed
+    // form: doc holds the min doc_id in every one of its buckets
+    "stream_neardup_docs" -> ((s, d) => withTempDir("graft-neardup") { base =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      val now = System.currentTimeMillis()
+      Seq(
+        ("f0", col("doc_id") <= t1, now - 60000),
+        ("f1", col("doc_id") > t1 && col("doc_id") <= t2, now - 40000),
+        ("f2", col("doc_id") > t2, now - 20000)
+      ).foreach { case (name, pred, mtime) =>
+        val dir = s"$base/in/$name"
+        docs.filter(pred).coalesce(1).write.parquet(dir)
+        new java.io.File(dir).listFiles().foreach(_.setLastModified(mtime))
+      }
+      graft.streaming.NearDupIngest.run(s, docs.schema,
+        s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ----- SimHash (custom typed Aggregator; md5-derived token hash, so
     //       the bit-vote aggregation IS oracle-checkable — see oracleSql)
     "dedup_simhash" -> ((s, d) =>
@@ -1800,6 +1826,20 @@ object SparkEntry {
         "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b) " +
         "SELECT band, signature, CAST(count(*) AS BIGINT) AS n_docs FROM sig " +
         "GROUP BY band, signature ORDER BY band, signature"),
+
+    // online admission ≡ min doc_id in every LSH band bucket (docs too
+    // short to shingle claim nothing and are always admitted)
+    "stream_neardup_docs" ->
+      (s"WITH sig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        s"FROM (SELECT * FROM ($shingleSql) WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+        "mn AS (SELECT band, signature, min(doc_id) AS min_doc FROM sig GROUP BY 1, 2), " +
+        "rej AS (SELECT DISTINCT s.doc_id FROM sig s JOIN mn USING (band, signature) " +
+        "WHERE mn.min_doc < s.doc_id) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM rej) " +
+        "ORDER BY doc_id"),
 
     // keepers = docs whose id equals their component min (same recursive
     // closure as dedup_components), semi-joined back onto the corpus

@@ -263,6 +263,54 @@ class StreamingSpec extends SparkSpec {
     assert(admitted === Seq("alpha", "beta"))
   }
 
+  test("near-dup ingest: bucket claims reject copies in-batch and cross-batch") {
+    import graft.streaming.NearDupIngest
+    val base = tmp("graft-neardup")
+    val f0 = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"), // exact copy: every band collides with doc 1
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val f1 = Seq(
+      (10L, "a b c d e f g h"), // cross-batch copy — rejected via state
+      (11L, "hi"),              // too short to shingle: claims nothing, admitted
+      (12L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    f0.coalesce(1).write.parquet(s"$base/in/f0")
+    f1.coalesce(1).write.parquet(s"$base/in/f1")
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$base/in/f0").listFiles().foreach(_.setLastModified(now - 60000))
+    new java.io.File(s"$base/in/f1").listFiles().foreach(_.setLastModified(now - 30000))
+    val n = NearDupIngest.run(spark, f0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    assert(n === 2)
+    val admitted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/out").select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted === Seq(1L, 3L, 11L, 12L))
+    // state holds claims from ALL seen docs (4 bands × 3 distinct texts)
+    val claims = spark.read.schema(NearDupIngest.stateSchema)
+      .parquet(s"$base/state/*").distinct().count()
+    assert(claims === 12)
+  }
+
+  test("near-dup ingest retry: a failed attempt's own claims cannot starve the batch") {
+    import graft.streaming.NearDupIngest
+    val base = tmp("graft-neardup-retry")
+    val f0 = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    f0.coalesce(1).write.parquet(s"$base/in/f0")
+    // a first attempt wrote claimed_0 and died pre-commit: the redo of
+    // batch 0 must not see its own claims or it would admit nothing
+    graft.ops.Dedup.minhashSignatures(f0, 4)
+      .select($"band", $"signature").distinct()
+      .write.parquet(s"$base/state/claimed_0")
+    NearDupIngest.run(spark, f0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    val admitted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/out").select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted === Seq(1L, 2L))
+  }
+
   test("ST2: maxAttempts=1 dead-letters poison on first failure, no redelivery") {
     import graft.streaming.RetryLoop
     val base = tmp("graft-retry1")
