@@ -282,6 +282,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // per-row importance sampling: keep probability = clamped
+    // n_chars/400 (longer docs weighted up) — the threshold is a
+    // row-local hex expression, not a literal, mirrored into the
+    // oracle with the same double-op order
+    "text_importance_sample" -> ((s, d) =>
+      Sampling.importanceSample(Tables.documents(s, d), col("doc_id"),
+          col("n_chars").cast("double") / lit(400.0), "impsalt")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+    // per-source cap: at most 15 docs per source, lowest doc_id first
+    // (the per-domain cap of a crawl pipeline)
+    "text_source_cap" -> ((s, d) =>
+      Sampling.stratumCap(Tables.documents(s, d), col("source"), col("doc_id"), 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     "text_quality_by_lang" -> ((s, d) =>
       TextOps.qualityByLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "text_lang_id" -> ((s, d) =>
@@ -2147,6 +2162,19 @@ object SparkEntry {
         "FROM bgp JOIN bf ON bgp.prev = bf.prev AND bgp.word = bf.word " +
         "JOIN uni ON bgp.word = uni.word JOIN uni pf ON bgp.prev = pf.word CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // per-row weight → floor(w·2^32) → zero-padded hex, compared
+    // lexicographically against the same 8-hex bucket hash
+    "text_importance_sample" ->
+      ("SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, " +
+        "printf('%08x', least(CAST(floor(least(CAST(1.0 AS DOUBLE), " +
+        "greatest(CAST(0.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / 400.0)) " +
+        "* 4294967296.0) AS BIGINT), 4294967295)) AS thr FROM documents) " +
+        "WHERE substr(md5('impsalt' || CAST(doc_id AS VARCHAR)), 1, 8) < thr " +
+        "ORDER BY doc_id"),
+    "text_source_cap" ->
+      ("SELECT doc_id, source FROM documents " +
+        "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15 " +
+        "ORDER BY doc_id"),
     // distinct postings → shingle doc-frequency → per-doc share of
     // shingles seen elsewhere
     "text_dup_span_fraction" ->

@@ -103,6 +103,41 @@ object Sampling {
                     shares: Map[String, Double], salt: String): DataFrame =
     stratifiedSample(df, key, source, mixtureRates(tokenTotals, shares), salt)
 
+  /** Importance sampling with a PER-ROW keep probability: keep a row
+    * iff its (salt, key) hash fraction falls below `weight` (clamped
+    * to [0,1]) — the DSIR-style "sample proportionally to a quality /
+    * domain-relevance weight" primitive. Deterministic like [[sample]],
+    * but the threshold is a row-local expression instead of a literal:
+    * the weight is converted to the same 8-hex-digit string space as
+    * the bucket hash (floor(w·2^32), zero-padded lowercase hex) and
+    * compared lexicographically, so the predicate is still map-only,
+    * codegen'd, and portable to any engine with md5 + printf. Rows
+    * with null weight are dropped (null threshold ⇒ null predicate). */
+  def importanceSample(df: DataFrame, key: Column, weight: Column,
+                       salt: String): DataFrame = {
+    val w = least(lit(1.0), greatest(lit(0.0), weight))
+    val thr = lower(lpad(hex(
+      least(floor(w * lit(4294967296.0)).cast("long"), lit(4294967295L))),
+      8, "0"))
+    df.filter(bucketHash(key, salt) < thr)
+  }
+
+  /** Per-stratum cap: keep at most `n` rows per stratum value, lowest
+    * `order` first — the per-domain document cap a crawl pipeline
+    * applies so no single site dominates the corpus. One window per
+    * stratum (rank, not a global sort); a skewed mega-stratum pays its
+    * own sort cost and nothing else's. At extreme skew swap in the
+    * histogram-threshold trick on the order key ([[graft.ops.TextOps
+    * .qualityFilter]]'s mechanism) to avoid ranking the whole
+    * stratum. */
+  def stratumCap(df: DataFrame, stratum: Column, order: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(order)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n).drop("rn")
+  }
+
   /** Split-decontamination report: heldout docs whose content key also
     * appears on the train side of the same (salt, doc_id) split — the
     * leak check run before any eval set is trusted. Key-consistent

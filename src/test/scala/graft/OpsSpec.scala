@@ -618,6 +618,39 @@ class OpsSpec extends SparkSpec {
     assert(de === Map(7L -> "head", 8L -> "middle", 9L -> "tail"))
   }
 
+  test("importanceSample: per-row weights gate membership; constant weight ≡ sample") {
+    import graft.ops.Sampling
+    val d = (0L until 400L).map(i => (i, if (i < 200) 0.0 else 1.0))
+      .toDF("doc_id", "w")
+    val kept = Sampling.importanceSample(d, $"doc_id", $"w", "s")
+      .collect().map(_.getLong(0)).toSet
+    // weight 0 rows can never win; weight 1 rows always do
+    assert(kept === (200L until 400L).toSet)
+    // a constant 0.5 weight reduces to plain rate-0.5 sampling — the
+    // hex threshold spaces must agree exactly
+    val const = d.withColumn("w", lit(0.5))
+    val viaImportance = Sampling.importanceSample(const, $"doc_id", $"w", "s")
+      .collect().map(_.getLong(0)).toSet
+    val viaRate = Sampling.sample(const, $"doc_id", 0.5, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaImportance === viaRate)
+    // weights outside [0,1] clamp instead of corrupting the threshold
+    val wild = d.withColumn("w", when($"doc_id" < 200, -3.0).otherwise(7.5))
+    assert(Sampling.importanceSample(wild, $"doc_id", $"w", "s")
+      .collect().map(_.getLong(0)).toSet === (200L until 400L).toSet)
+  }
+
+  test("stratumCap keeps the n lowest-ordered rows per stratum") {
+    import graft.ops.Sampling
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.stratumCap(d, $"source", $"doc_id", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L, 5L, 6L))
+    assert(Sampling.stratumCap(d, $"source", $"doc_id", 2).columns.toSeq
+      === Seq("doc_id", "source")) // helper column does not leak
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
