@@ -282,6 +282,10 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // BPE merge training: one corpus-scale vocab aggregate, then 6
+    // vocabulary-scale merge rounds — the tokenizer-training artifact
+    "text_bpe_merges" -> ((s, d) =>
+      graft.ops.Bpe.merges(Tables.documents(s, d), 6).orderBy(col("merge_rank"))),
     // per-row importance sampling: keep probability = clamped
     // n_chars/400 (longer docs weighted up) — the threshold is a
     // row-local hex expression, not a literal, mirrored into the
@@ -1258,6 +1262,34 @@ object SparkEntry {
     mixShares.toSeq.sortBy(_._1)
       .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
 
+  /** text_bpe_merges oracle: replays `n` BPE rounds — pair counts over
+    * the delimited symbol strings, deterministic winner, merge applied
+    * with exactly [[graft.ops.Bpe.mergePasses]] replace passes (the
+    * defined fixpoint semantics; see Bpe's scaladoc). Generated so the
+    * round structure and pass count can never drift from the Scala. */
+  private def bpeOracleSql(n: Int): String = {
+    val passes = graft.ops.Bpe.mergePasses
+    val base = "w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, " +
+      "'|' || array_to_string(string_split(word, ''), '|') || '|' AS seq " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word)"
+    val rounds = (1 to n).map { k =>
+      val nested = (1 to passes).foldLeft("seq")((c, _) => s"replace($c, p, r)")
+      s"p$k AS (SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b, " +
+        "CAST(sum(freq) AS BIGINT) AS cnt " +
+        "FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pr " +
+        s"FROM (SELECT freq, list_filter(string_split(seq, '|'), x -> x <> '') AS syms FROM w${k - 1})) " +
+        "GROUP BY 1, 2), " +
+        s"win$k AS (SELECT CAST($k AS INT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"a || b AS merged, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1), " +
+        s"w$k AS (SELECT word, freq, $nested AS seq " +
+        s"FROM (SELECT w.word, w.freq, w.seq, '|' || v.sym_a || '|' || v.sym_b || '|' AS p, " +
+        s"'|' || v.merged || '|' AS r FROM w${k - 1} w CROSS JOIN win$k v))"
+    }
+    s"WITH $base, ${rounds.mkString(", ")} " +
+      (1 to n).map(k => s"SELECT * FROM win$k").mkString(" UNION ALL ") +
+      " ORDER BY merge_rank"
+  }
+
   private val shingleSql =
     "SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
       "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
@@ -2162,6 +2194,7 @@ object SparkEntry {
         "FROM bgp JOIN bf ON bgp.prev = bf.prev AND bgp.word = bf.word " +
         "JOIN uni ON bgp.word = uni.word JOIN uni pf ON bgp.prev = pf.word CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "text_bpe_merges" -> bpeOracleSql(6),
     // per-row weight → floor(w·2^32) → zero-padded hex, compared
     // lexicographically against the same 8-hex bucket hash
     "text_importance_sample" ->

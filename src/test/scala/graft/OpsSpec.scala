@@ -651,6 +651,30 @@ class OpsSpec extends SparkSpec {
       === Seq("doc_id", "source")) // helper column does not leak
   }
 
+  test("Bpe.merges learns frequency-ordered merges; segment replays them") {
+    import graft.ops.Bpe
+    // corpus: "low" ×3, "lower" ×1 — classic BPE toy. Pair counts:
+    // (l,o):4  (o,w):4  (w,e):1  (e,r):1. Tie (l,o)/(o,w) → lexical
+    // order picks (l,o) first; after that merge (lo,w):4 wins; then
+    // (low,e):1 vs (e,r):1 → (e,r) lexically first.
+    val d = docs((1L, "low low low lower"))
+    val m = Bpe.merges(d, 4).orderBy($"merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m(0) === ((1, "l", "o", "lo", 4L)))
+    assert(m(1) === ((2, "lo", "w", "low", 4L)))
+    assert(m(2) === ((3, "e", "r", "er", 1L)))
+    assert(m(3) === ((4, "low", "er", "lower", 1L)))
+    // segment replays the table: both words collapse to one piece
+    val seg = Bpe.segment(d, Bpe.merges(d, 4)).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(seg("low") === Seq("low"))
+    assert(seg("lower") === Seq("lower"))
+    // a run of identical chars reaches the documented replace-pass
+    // fixpoint deterministically
+    val runs = Bpe.merges(docs((1L, "aaaa bb")), 1).collect()
+    assert(runs.head.getString(3) === "aa") // (a,a) wins with count 3
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
