@@ -286,6 +286,11 @@ object SparkEntry {
     // vocabulary-scale merge rounds — the tokenizer-training artifact
     "text_bpe_merges" -> ((s, d) =>
       graft.ops.Bpe.merges(Tables.documents(s, d), 6).orderBy(col("merge_rank"))),
+    // 5-gram collision decontamination across the 80/20 hash split —
+    // any shared n-gram flags the heldout doc (occurrence-counted)
+    "text_ngram_decontam" -> ((s, d) =>
+      Sampling.ngramContamination(Tables.documents(s, d), 0.8, "decontam", 5)
+        .orderBy(col("doc_id"))),
     // per-row importance sampling: keep probability = clamped
     // n_chars/400 (longer docs weighted up) — the threshold is a
     // row-local hex expression, not a literal, mirrored into the
@@ -2195,6 +2200,18 @@ object SparkEntry {
         "JOIN uni ON bgp.word = uni.word JOIN uni pf ON bgp.prev = pf.word CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "text_bpe_merges" -> bpeOracleSql(6),
+    // 5-gram postings; train side distinct, heldout occurrences counted
+    "text_ngram_decontam" ->
+      ("WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN " +
+        "list_transform(range(1, len(w)-3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS g " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
+        "tagged AS (SELECT doc_id, substr(md5('decontam' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+        s"< '${graft.ops.Sampling.hexThreshold(0.8)}' AS is_train FROM documents), " +
+        "tg AS (SELECT DISTINCT g FROM sh JOIN tagged USING (doc_id) WHERE is_train) " +
+        "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
+        "FROM sh JOIN tagged USING (doc_id) JOIN tg USING (g) " +
+        "WHERE NOT is_train GROUP BY sh.doc_id ORDER BY sh.doc_id"),
     // per-row weight → floor(w·2^32) → zero-padded hex, compared
     // lexicographically against the same 8-hex bucket hash
     "text_importance_sample" ->

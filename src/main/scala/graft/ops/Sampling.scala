@@ -138,6 +138,33 @@ object Sampling {
       .filter(col("rn") <= n).drop("rn")
   }
 
+  /** N-gram collision decontamination — the classic "report every eval
+    * document sharing any n-gram with the training side" check (the
+    * GPT-3-style 13-gram overlap test, here parameterized). Stricter
+    * than [[splitContamination]]'s fingerprint key: a single quoted
+    * span is enough to flag, no near-dup signature required. Returns
+    * (doc_id, n_shared_grams) for contaminated heldout docs —
+    * n_shared_grams counts gram OCCURRENCES (a doc repeating a
+    * training gram k times reports k).
+    *
+    * Scale shape: the training side reduces to DISTINCT grams before
+    * the join (at 100 TB the gram string becomes its md5 digest — the
+    * standard posting swap), the heldout side joins gram-to-gram
+    * (digest-width shuffle keys), and the report is one per-doc
+    * aggregate. Nothing is pairwise: cost is linear in postings. */
+  def ngramContamination(docs: DataFrame, trainFrac: Double, salt: String,
+                         n: Int = 5): DataFrame = {
+    val tagged = trainEvalSplit(docs.select(col("doc_id")), col("doc_id"), trainFrac, salt)
+      .select(col("doc_id"), col("split"))
+    val grams = TextOps.shinglePostings(docs, n).join(tagged, Seq("doc_id"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("shingle")).distinct()
+    grams.filter(col("split") === "heldout")
+      .join(trainGrams, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Split-decontamination report: heldout docs whose content key also
     * appears on the train side of the same (salt, doc_id) split — the
     * leak check run before any eval set is trusted. Key-consistent

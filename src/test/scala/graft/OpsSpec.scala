@@ -651,6 +651,34 @@ class OpsSpec extends SparkSpec {
       === Seq("doc_id", "source")) // helper column does not leak
   }
 
+  test("ngramContamination flags heldout docs sharing an n-gram with train") {
+    import graft.ops.Sampling
+    // recompute split membership independently of the op (md5 reference
+    // implementation) so the expectation isn't circular
+    def side(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dz" + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (hex < Sampling.hexThreshold(0.5)) "train" else "heldout"
+    }
+    // docs 1..4 all share the 5-gram "v w x y z"; doc 5 is clean
+    val d = docs(
+      (1L, "v w x y z a b"), (2L, "c d v w x y z"),
+      (3L, "v w x y z e f"), (4L, "g h v w x y z"),
+      (5L, "m n o p q r s"))
+    val sides = (1L to 5L).map(i => i -> side(i)).toMap
+    // need both sides populated among the sharers for a meaningful test
+    assume(sides.filter { case (k, _) => k <= 4 }.values.toSet.size === 2)
+    val expected = (1L to 4L)
+      .filter(i => sides(i) === "heldout")
+      .filter(_ => (1L to 4L).exists(j => sides(j) === "train")).toSet
+    val r = Sampling.ngramContamination(d, 0.5, "dz", 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet === expected)
+    // each contaminated doc shares exactly its one 5-gram occurrence
+    assert(r.values.forall(_ === 1L))
+  }
+
   test("Bpe.merges learns frequency-ordered merges; segment replays them") {
     import graft.ops.Bpe
     // corpus: "low" ×3, "lower" ×1 — classic BPE toy. Pair counts:
