@@ -249,6 +249,16 @@ object SparkEntry {
     }),
     "text_term_freq" -> ((s, d) =>
       TextOps.termFrequency(Tables.documents(s, d), 50)),
+    // count-min sketch (d=4, w=1024): the exact top-20 terms point-
+    // queried against the bounded-cardinality counter table; est ≥
+    // exact always, equality wherever no bucket collision landed
+    "text_cms_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Cms.estimate(
+          graft.ops.Cms.sketch(docs, 4, 1024),
+          TextOps.termFrequency(docs, 20), 4, 1024)
+        .orderBy(col("freq").desc, col("word"))
+    }),
     // unigram-LM cross-entropy against the corpus's own distribution —
     // the cheap perplexity stand-in for quality filtering
     "text_unigram_logprob" -> ((s, d) =>
@@ -2200,6 +2210,19 @@ object SparkEntry {
         "JOIN uni ON bgp.word = uni.word JOIN uni pf ON bgp.prev = pf.word CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "text_bpe_merges" -> bpeOracleSql(6),
+    // sketch cells = md5-derived (row, bucket) votes; estimate = min
+    // over the 4 rows' counters for each top-20 term
+    "text_cms_topk" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "sk AS (SELECT i AS row, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || word), 1, 8) AS BIGINT) % 1024 AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM tok CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2), " +
+        "top AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok " +
+        "GROUP BY word ORDER BY freq DESC, word LIMIT 20), " +
+        "probes AS (SELECT word, freq, i AS row, " +
+        "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || word), 1, 8) AS BIGINT) % 1024 AS bucket " +
+        "FROM top CROSS JOIN range(0, 4) t(i)) " +
+        "SELECT word, freq, min(cnt) AS n_est FROM probes JOIN sk USING (row, bucket) " +
+        "GROUP BY word, freq ORDER BY freq DESC, word"),
     // 5-gram postings; train side distinct, heldout occurrences counted
     "text_ngram_decontam" ->
       ("WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN " +

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch as a RELATIONAL frame — bounded-cardinality
+  * frequency estimation for heavy-hitter queries.
+  *
+  * The exact term-frequency aggregate shuffles one key per distinct
+  * term: at web-corpus scale that is billions of keys, most of them
+  * singletons nobody will ever query. The CMS bounds the aggregation
+  * cardinality at d·w cells REGARDLESS of vocabulary size: each token
+  * occurrence votes into d (row, bucket) cells, map-side combine
+  * collapses every partition to ≤ d·w rows, and the final shuffle
+  * carries at most d·w keys. Estimates carry the classic one-sided
+  * guarantee — est ≥ exact always, overshooting by collision mass
+  * ≈ N·d/w with probability decaying in d.
+  *
+  * Spark-first shape: the sketch IS a DataFrame ((row, bucket) → cnt),
+  * built from codegen'd builtins — no UDAF, no driver state, and
+  * mergeable across corpora by unioning frames and re-aggregating.
+  * The bucket hash is md5-derived (first 8 hex chars as a 32-bit
+  * value, mod w) so any engine with md5 reproduces it bit-for-bit —
+  * `text_cms_topk` replays sketch, point queries, and the estimate
+  * min in SQL.
+  */
+object Cms {
+
+  /** Bucket of `word` under hash row `i`: first 8 md5 hex chars of
+    * (i ++ word) as an unsigned 32-bit value, mod `w`. */
+  def bucket(word: Column, i: Column, w: Int): Column =
+    conv(substring(md5(concat(i.cast("string"), word)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** The d×w counter table over token occurrences: (row, bucket, cnt).
+    * Cells nothing hashed into are absent (semantically zero). */
+  def sketch(docs: DataFrame, d: Int, w: Int): DataFrame = {
+    val tok = TextOps.withTokens(docs)
+      .select(explode(col("words")).as("word"))
+    tok
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"), bucket(col("word"), lit(i), w).as("bucket"))): _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query `queries` (a frame with a `word` column) against a
+    * sketch: estimate = min over the d rows of the counter each hash
+    * lands in. Absent cells are zero, but a queried word that was
+    * sketched always finds its own votes, so the min never sees an
+    * absent cell for corpus words. */
+  def estimate(sk: DataFrame, queries: DataFrame, d: Int, w: Int): DataFrame =
+    queries
+      .select(col("*"), explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"), bucket(col("word"), lit(i), w).as("bucket"))): _*)).as("c"))
+      .join(sk, col("c.row") === sk("row") && col("c.bucket") === sk("bucket"))
+      .groupBy(queries.columns.map(col): _*)
+      .agg(min(col("cnt")).as("n_est"))
+}

@@ -651,6 +651,23 @@ class OpsSpec extends SparkSpec {
       === Seq("doc_id", "source")) // helper column does not leak
   }
 
+  test("count-min sketch: bounded cells, one-sided estimates, exact when wide") {
+    import graft.ops.Cms
+    val d = docs((1L, "a a a b b c"), (2L, "a b c d e f"))
+    val sk = Cms.sketch(d, 4, 16) // narrow: collisions likely
+    assert(sk.count() <= 4 * 16)
+    val exact = TextOps.termFrequency(d, 10)
+    Cms.estimate(sk, exact, 4, 16).collect().foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("freq"),
+        s"CMS must never underestimate: $r")
+    }
+    // wide sketch: this vocab cannot 4-row-collide in 4096 buckets, so
+    // every estimate is exact
+    Cms.estimate(Cms.sketch(d, 4, 4096), exact, 4, 4096).collect().foreach { r =>
+      assert(r.getAs[Long]("n_est") === r.getAs[Long]("freq"))
+    }
+  }
+
   test("ngramContamination flags heldout docs sharing an n-gram with train") {
     import graft.ops.Sampling
     // recompute split membership independently of the op (md5 reference
