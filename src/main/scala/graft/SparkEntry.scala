@@ -144,6 +144,9 @@ object SparkEntry {
     "rel_join_broadcast" -> ((s, d) =>
       StarQueries.customersPerRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
         .orderBy(col("r_name"), col("n_name"))),
+    "rel_join_full_outer" -> ((s, d) =>
+      StarQueries.nationActivityFullOuter(Tables.customer(s, d), Tables.supplier(s, d))
+        .orderBy(col("nationkey"))),
     "rel_agg_distinct" -> ((s, d) =>
       StarQueries.segmentStats(Tables.customer(s, d)).orderBy(col("c_mktsegment"))),
     "rel_agg_rollup" -> ((s, d) =>
@@ -296,6 +299,14 @@ object SparkEntry {
     // vocabulary-scale merge rounds — the tokenizer-training artifact
     "text_bpe_merges" -> ((s, d) =>
       graft.ops.Bpe.merges(Tables.documents(s, d), 6).orderBy(col("merge_rank"))),
+    // the trained merge table replayed into per-word segmentations —
+    // the tokenizer's encode step, certified end-to-end
+    "text_bpe_pieces" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Bpe.segment(docs, graft.ops.Bpe.merges(docs, 6))
+        .select(col("word"), col("freq"), array_join(col("pieces"), " ").as("pieces"))
+        .orderBy(col("word"))
+    }),
     // 5-gram collision decontamination across the 80/20 hash split —
     // any shared n-gram flags the heldout doc (occurrence-counted)
     "text_ngram_decontam" -> ((s, d) =>
@@ -308,6 +319,13 @@ object SparkEntry {
     "text_importance_sample" -> ((s, d) =>
       Sampling.importanceSample(Tables.documents(s, d), col("doc_id"),
           col("n_chars").cast("double") / lit(400.0), "impsalt")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+    // weighted sampling without replacement (Efraimidis–Spirakis with
+    // hash-derived u): 50 docs, weight = n_chars
+    "text_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), col("doc_id"),
+          col("n_chars").cast("double"), 50, "ws")
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
     // per-source cap: at most 15 docs per source, lowest doc_id first
@@ -1282,7 +1300,7 @@ object SparkEntry {
     * with exactly [[graft.ops.Bpe.mergePasses]] replace passes (the
     * defined fixpoint semantics; see Bpe's scaladoc). Generated so the
     * round structure and pass count can never drift from the Scala. */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeCtes(n: Int): String = {
     val passes = graft.ops.Bpe.mergePasses
     val base = "w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, " +
       "'|' || array_to_string(string_split(word, ''), '|') || '|' AS seq " +
@@ -1300,10 +1318,20 @@ object SparkEntry {
         s"FROM (SELECT w.word, w.freq, w.seq, '|' || v.sym_a || '|' || v.sym_b || '|' AS p, " +
         s"'|' || v.merged || '|' AS r FROM w${k - 1} w CROSS JOIN win$k v))"
     }
-    s"WITH $base, ${rounds.mkString(", ")} " +
+    s"WITH $base, ${rounds.mkString(", ")}"
+  }
+
+  private def bpeOracleSql(n: Int): String =
+    s"${bpeCtes(n)} " +
       (1 to n).map(k => s"SELECT * FROM win$k").mkString(" UNION ALL ") +
       " ORDER BY merge_rank"
-  }
+
+  /** text_bpe_pieces oracle: the segmentation state after the final
+    * round — pieces joined on one space (array hashing sidestepped). */
+  private def bpePiecesSql(n: Int): String =
+    s"${bpeCtes(n)} SELECT word, freq, " +
+      "array_to_string(list_filter(string_split(seq, '|'), x -> x <> ''), ' ') AS pieces " +
+      s"FROM w$n ORDER BY word"
 
   private val shingleSql =
     "SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
@@ -1533,6 +1561,15 @@ object SparkEntry {
         "round(sum(c_acctbal), 2) AS total_acctbal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "rel_join_full_outer" ->
+      ("WITH c AS (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_rich_customers " +
+        "FROM customer WHERE c_acctbal > 9900 GROUP BY 1), " +
+        "s AS (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_poor_suppliers " +
+        "FROM supplier WHERE s_acctbal < 0 GROUP BY 1) " +
+        "SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, " +
+        "coalesce(n_rich_customers, 0) AS n_rich_customers, " +
+        "coalesce(n_poor_suppliers, 0) AS n_poor_suppliers " +
+        "FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey ORDER BY nationkey"),
     "rel_agg_distinct" ->
       ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, " +
         "CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations, " +
@@ -2210,6 +2247,7 @@ object SparkEntry {
         "JOIN uni ON bgp.word = uni.word JOIN uni pf ON bgp.prev = pf.word CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "text_bpe_merges" -> bpeOracleSql(6),
+    "text_bpe_pieces" -> bpePiecesSql(6),
     // sketch cells = md5-derived (row, bucket) votes; estimate = min
     // over the 4 rows' counters for each top-20 term
     "text_cms_topk" ->
@@ -2248,6 +2286,12 @@ object SparkEntry {
       ("SELECT doc_id, source FROM documents " +
         "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15 " +
         "ORDER BY doc_id"),
+    // key = ln((hash32+1)/2^32) / weight, top-50 by key desc
+    "text_weighted_sample" ->
+      ("SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, " +
+        "ln((CAST('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0) / 4294967296.0) " +
+        "/ CAST(n_chars AS DOUBLE) AS es_key FROM documents " +
+        "ORDER BY es_key DESC, doc_id LIMIT 50) ORDER BY doc_id"),
     // distinct postings → shingle doc-frequency → per-doc share of
     // shingles seen elsewhere
     "text_dup_span_fraction" ->

@@ -138,6 +138,29 @@ object Sampling {
       .filter(col("rn") <= n).drop("rn")
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic — the
+    * Efraimidis–Spirakis exponential-key scheme with the RNG replaced
+    * by the (salt, key) hash: each row gets the key ln(u)/w where
+    * u = (hash32+1)/2^32 ∈ (0,1] and w its weight, and the top-k keys
+    * are the sample (equivalent to ranking by u^(1/w): a row with
+    * twice the weight is twice as likely to make the cut). One
+    * map-only key computation + a distributed top-k (per-partition
+    * heaps, k rows to the driver) — no global sort materializes, no
+    * sequential reservoir, and a retry can't change the sample. The
+    * oracle replays the identical arithmetic; keys of distinct rows
+    * are ~1e-16-separated doubles, so cross-engine libm differences
+    * cannot flip the selection. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    df.withColumn("es_key", log(u) / weight)
+      .orderBy(col("es_key").desc, key)
+      .limit(k)
+      .drop("es_key")
+  }
+
   /** N-gram collision decontamination — the classic "report every eval
     * document sharing any n-gram with the training side" check (the
     * GPT-3-style 13-gram overlap test, here parameterized). Stricter

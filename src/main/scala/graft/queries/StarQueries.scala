@@ -109,6 +109,23 @@ object StarQueries {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"))
 
+  /** full_outer — per-nation rich-customer vs cheap-supplier counts.
+    * The two filtered aggregates leave each side missing some nations,
+    * so both null-extension directions are genuinely exercised; the
+    * join key count is tiny (≤ nations) and AQE plans it local. */
+  def nationActivityFullOuter(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich_customers"))
+    val s = supplier.filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_poor_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+        coalesce(col("n_poor_suppliers"), lit(0L)).as("n_poor_suppliers"))
+  }
+
   /** Broadcast dimension enrichment: customer ⋈ nation ⋈ region with both
     * dims broadcast — zero shuffle before the aggregate. */
   def customersPerRegion(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =

@@ -651,6 +651,24 @@ class OpsSpec extends SparkSpec {
       === Seq("doc_id", "source")) // helper column does not leak
   }
 
+  test("weightedSample matches a reference Efraimidis–Spirakis ranking") {
+    import graft.ops.Sampling
+    def refKey(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("es" + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+      math.log(u) / w
+    }
+    val rows = (1L to 100L).map(i => (i, (i % 7 + 1).toDouble))
+    val expected = rows.sortBy { case (id, w) => (-refKey(id, w), id) }
+      .take(10).map(_._1).toSet
+    val d = rows.toDF("doc_id", "w")
+    val got = Sampling.weightedSample(d, $"doc_id", $"w", 10, "es")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
   test("count-min sketch: bounded cells, one-sided estimates, exact when wide") {
     import graft.ops.Cms
     val d = docs((1L, "a a a b b c"), (2L, "a b c d e f"))
