@@ -262,6 +262,18 @@ object SparkEntry {
           TextOps.termFrequency(docs, 20), 4, 1024)
         .orderBy(col("freq").desc, col("word"))
     }),
+    // HLL distinct-count sketch (p=9, 512 registers): per-lang
+    // vocabulary estimate from the bounded register frame — the
+    // estimate is bit-deterministic (all partial sums exact doubles),
+    // so the oracle replays sketch AND estimate and hash-matches
+    "text_hll_vocab" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      graft.ops.Hll.estimate(
+          graft.ops.Hll.sketch(tok, Seq("lang"), col("word"), 9),
+          Seq("lang"), 9)
+        .orderBy(col("lang"))
+    }),
     // unigram-LM cross-entropy against the corpus's own distribution —
     // the cheap perplexity stand-in for quality filtering
     "text_unigram_logprob" -> ((s, d) =>
@@ -2261,6 +2273,20 @@ object SparkEntry {
         "FROM top CROSS JOIN range(0, 4) t(i)) " +
         "SELECT word, freq, min(cnt) AS n_est FROM probes JOIN sk USING (row, bucket) " +
         "GROUP BY word, freq ORDER BY freq DESC, word"),
+    // HLL: register = top 9 bits of the 32-bit md5 hash, rho = first
+    // 1-bit position in the low 23 (ltrim-of-bin, integer-exact);
+    // estimate = bias-corrected harmonic mean + linear-counting branch,
+    // every double exact so the rounded value matches bit-for-bit
+    "text_hll_vocab" ->
+      ("WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "h AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM tok), " +
+        "r AS (SELECT lang, CAST(hv // 8388608 AS INT) AS register, " +
+        "max(24 - length(ltrim(bin(hv % 8388608), '0'))) AS max_rho FROM h GROUP BY 1, 2), " +
+        "e AS (SELECT lang, count(*) AS np, sum(power(2.0, -max_rho)) AS sp FROM r GROUP BY lang) " +
+        "SELECT lang, round(CASE WHEN raw <= 1280.0 AND (512.0 - np) > 0 " +
+        "THEN 512.0 * ln(512.0 / (512.0 - np)) ELSE raw END, 4) AS n_est " +
+        "FROM (SELECT lang, np, sp, (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / " +
+        "((512.0 - np) + sp) AS raw FROM e) ORDER BY lang"),
     // 5-gram postings; train side distinct, heldout occurrences counted
     "text_ngram_decontam" ->
       ("WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN " +

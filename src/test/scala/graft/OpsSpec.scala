@@ -738,6 +738,34 @@ class OpsSpec extends SparkSpec {
     assert(runs.head.getString(3) === "aa") // (a,a) wins with count 3
   }
 
+  test("Hll sketch merges exactly across shards and estimates within HLL error") {
+    import graft.ops.Hll
+    // 2000 distinct values split across 3 disjoint shards
+    val all = spark.range(2000L)
+      .select(lit("g").as("g"), concat(lit("v"), $"id").as("word"))
+    val shards = Seq(
+      all.filter($"word".substr(2, 10).cast("long") % 3 === 0),
+      all.filter($"word".substr(2, 10).cast("long") % 3 === 1),
+      all.filter($"word".substr(2, 10).cast("long") % 3 === 2))
+    val direct = Hll.sketch(all, Seq("g"), $"word", 9)
+    val merged = Hll.merge(shards.map(Hll.sketch(_, Seq("g"), $"word", 9)), Seq("g"))
+    // mergeability is EXACT (max is associative+idempotent): the merged
+    // register frame equals the direct one row-for-row
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+    val est = Hll.estimate(direct, Seq("g"), 9).collect()(0).getDouble(1)
+    // standard error at m=512 is 1.04/sqrt(512) ≈ 4.6%; 3σ bound
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.14, s"estimate $est")
+    // duplicate occurrences never move a register: the sketch of the
+    // corpus ×3 is identical to the sketch of the corpus
+    val tripled = Hll.sketch(all.union(all).union(all), Seq("g"), $"word", 9)
+    assert(tripled.except(direct).isEmpty && direct.except(tripled).isEmpty)
+    // small range exercises the linear-counting branch and stays tight
+    val small = all.limit(40)
+    val se = Hll.estimate(Hll.sketch(small, Seq("g"), $"word", 9), Seq("g"), 9)
+      .collect()(0).getDouble(1)
+    assert(math.abs(se - 40.0) < 4.0, s"small-range estimate $se")
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
