@@ -502,6 +502,28 @@ object SparkEntry {
         late, "o_custkey", "valid_from", "o_orderkey")
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     }),
+    // incrementally maintained aggregate view: base build + two delta
+    // merges (cost ∝ delta) must equal the oracle's one-shot GROUP BY
+    // over all orders. The measure is summed as integer CENTS — an
+    // incremental view adds in a different order than a rebuild, so the
+    // summed domain must be exact (float addition isn't associative)
+    "store_incr_agg" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val d1 = orders.filter(col("o_orderkey") % 8 === 0)
+      val d2 = orders.filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 8 =!= 0)
+      val merged = graft.ops.IncrView.merge(
+        graft.ops.IncrView.merge(
+          graft.ops.IncrView.build(base, Seq("o_custkey"), col("cents")),
+          d1, Seq("o_custkey"), col("cents")),
+        d2, Seq("o_custkey"), col("cents"))
+      merged.select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_v").as("sum_cents"), col("min_v").as("min_cents"),
+          col("max_v").as("max_cents"))
+        .orderBy(col("o_custkey"))
+    }),
     // typed JSON payload extraction over the events stream table
     "events_props_stats" -> ((s, d) =>
       EventWindows.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
@@ -1882,6 +1904,15 @@ object SparkEntry {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // one-shot full aggregate — the incremental base+delta+delta merge
+    // chain must reproduce it exactly (cents keep the sum associative)
+    "store_incr_agg" ->
+      ("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents, min(cents) AS min_cents, " +
+        "max(cents) AS max_cents " +
+        "FROM (SELECT o_custkey, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents FROM orders) " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
 
     // floor() on both sides: DuckDB CAST(double AS INT) rounds while
     // Spark's truncates, but floor-then-cast agrees everywhere

@@ -766,6 +766,31 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(se - 40.0) < 4.0, s"small-range estimate $se")
   }
 
+  test("IncrView merge equals full rebuild at every batch boundary") {
+    import graft.ops.IncrView
+    val rows = spark.range(200L)
+      .select(($"id" % 7).as("k"), ($"id" * 13 % 101).as("v"))
+    val batches = Seq(
+      rows.filter($"v" % 3 === 0), rows.filter($"v" % 3 === 1),
+      rows.filter($"v" % 3 === 2))
+    def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.except(b).isEmpty && b.except(a).isEmpty
+    var state = IncrView.build(batches.head, Seq("k"), $"v")
+    var seen = batches.head
+    for (delta <- batches.tail) {
+      state = IncrView.merge(state, delta, Seq("k"), $"v")
+      seen = seen.union(delta)
+      assert(eq(state, IncrView.build(seen, Seq("k"), $"v")))
+    }
+    // empty delta is the identity
+    assert(eq(IncrView.merge(state, rows.filter(lit(false)), Seq("k"), $"v"), state))
+    // a delta of only-new keys appends them without touching old rows
+    val novel = spark.range(3L).select(($"id" + 100).as("k"), lit(5L).as("v"))
+    val withNew = IncrView.merge(state, novel, Seq("k"), $"v")
+    assert(withNew.filter($"k" >= 100).count() === 3)
+    assert(eq(withNew.filter($"k" < 100), state))
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
