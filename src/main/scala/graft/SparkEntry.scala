@@ -220,6 +220,26 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // fuzzy join via the SymSpell deletion-neighborhood equi-join: the
+    // dirty side is a deterministic 1-char perturbation of unique part
+    // names; recall vs the oracle's QUADRATIC levenshtein join is
+    // complete by the pigeonhole argument in ops.Fuzzy
+    "rel_fuzzy_join" -> ((s, d) => {
+      val clean = Tables.part(s, d).select(
+        col("p_partkey").as("clean_key"),
+        concat(col("p_name"), lit("#"), col("p_partkey").cast("string")).as("cname"))
+      val pos = col("clean_key") % length(col("cname"))
+      val at = col("cname").substr(pos + 1, lit(1))
+      val dirty = clean.select(
+        col("clean_key").as("dirty_key"),
+        concat(col("cname").substr(lit(1), pos),
+          when(at === "q", lit("z")).otherwise(lit("q")),
+          col("cname").substr(pos + 2, length(col("cname")))).as("dname"))
+      graft.ops.Fuzzy.fuzzyJoin(dirty, clean, "dname", "cname", 1)
+        .select(col("dirty_key"), col("clean_key"), col("dist"))
+        .orderBy(col("dirty_key"), col("clean_key"))
+    }),
+
     // ----- text analysis (M4)
     "text_token_stats" -> ((s, d) =>
       TextOps.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -1657,6 +1677,19 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // the quadratic ground truth the blocked deletion-neighborhood join
+    // must reproduce exactly (same perturbation, same threshold)
+    "rel_fuzzy_join" ->
+      ("WITH clean AS (SELECT p_partkey AS clean_key, " +
+        "p_name || '#' || CAST(p_partkey AS VARCHAR) AS cname FROM part), " +
+        "dirty AS (SELECT clean_key AS dirty_key, " +
+        "substr(cname, 1, CAST(clean_key % length(cname) AS INT)) || " +
+        "CASE WHEN substr(cname, CAST(1 + clean_key % length(cname) AS INT), 1) = 'q' THEN 'z' ELSE 'q' END || " +
+        "substr(cname, CAST(2 + clean_key % length(cname) AS INT)) AS dname FROM clean) " +
+        "SELECT d.dirty_key, c.clean_key, CAST(levenshtein(d.dname, c.cname) AS INT) AS dist " +
+        "FROM dirty d JOIN clean c ON levenshtein(d.dname, c.cname) <= 1 " +
+        "ORDER BY dirty_key, clean_key"),
 
     "rel_scalar_dates" ->
       ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +

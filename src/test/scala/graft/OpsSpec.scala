@@ -791,6 +791,36 @@ class OpsSpec extends SparkSpec {
     assert(eq(withNew.filter($"k" < 100), state))
   }
 
+  test("Fuzzy deletion-neighborhood join has complete recall vs the quadratic join") {
+    import graft.ops.Fuzzy
+    // planted edit classes vs "spark engine": substitution, deletion,
+    // insertion, identity, distance-2, and a far decoy
+    val right = Seq((1L, "spark engine"), (2L, "flink runner")).toDF("rk", "rname")
+    val left = Seq(
+      (10L, "spark enginx"), // substitution (dist 1)
+      (11L, "spark engin"),  // deletion (dist 1)
+      (12L, "sparkk engine"), // insertion (dist 1)
+      (13L, "spark engine"), // identity (dist 0)
+      (14L, "spark enginxx"), // dist 2
+      (15L, "postgres")      // far
+    ).toDF("lk", "lname")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lk", $"rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quad1 = left.crossJoin(right)
+      .filter(levenshtein($"lname", $"rname") <= 1)
+    assert(pairs(Fuzzy.fuzzyJoin(left, right, "lname", "rname", 1)) === pairs(quad1))
+    assert(pairs(quad1) === Set((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L)))
+    // k=2 finds the distance-2 pair the k=1 neighborhood must not
+    val quad2 = left.crossJoin(right)
+      .filter(levenshtein($"lname", $"rname") <= 2)
+    assert(pairs(Fuzzy.fuzzyJoin(left, right, "lname", "rname", 2)) === pairs(quad2))
+    assert(pairs(quad2).contains((14L, 1L)))
+    // dist column is the true edit distance
+    val d = Fuzzy.fuzzyJoin(left, right, "lname", "rname", 1)
+      .filter($"lk" === 13L).select($"dist").collect()(0).getInt(0)
+    assert(d === 0)
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
