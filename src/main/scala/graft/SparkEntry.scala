@@ -631,6 +631,21 @@ object SparkEntry {
     // variant with learned (data-adaptive) buckets
     "dedup_embedding_ivf" -> ((s, d) =>
       graft.ops.Ivf.nearDupPairs(Tables.embeddings(s, d), 20, k = 8, iters = 2)),
+    // SemDeDup: semantic dedup DECISIONS over an augmented corpus with
+    // planted float-quantized near-copies (every 5th vector, dim-1
+    // ×1.01) — cluster (IVF), edge within-cluster pairs ≥ 0.99 cosine,
+    // connected components, keeper = min vec_id. The oracle replays
+    // augmentation, clustering, and the transitive closure
+    "dedup_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = emb.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + lit(100000L)).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.01)).cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      graft.ops.Ivf.semanticComponents(emb.unionByName(copies), 0.99, k = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
     // product quantization: per-subspace codebook occupancy (certifies
     // the whole train+encode chain — seed, Lloyd update, re-assign)
     "emb_pq_codes" -> ((s, d) => {
@@ -1444,16 +1459,22 @@ object SparkEntry {
     * both engines' aggregation-order double noise from leaking into the
     * comparison), re-assign. `a2` = final assignments, `c1` = the
     * centroids that produced them. */
-  private val ivfSql =
-    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
-      "c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 8), " +
-      s"s1 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM v CROSS JOIN c0), " +
+  /** The two-iteration Lloyd chain over a (vec_id, ve) CTE named `src`
+    * — shared by the embeddings-table index (ivfSql) and the augmented
+    * corpus of dedup_semantic. */
+  private def lloydSql(src: String): String =
+    s"c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, ve AS ce FROM $src WHERE vec_id < 8), " +
+      s"s1 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM $src CROSS JOIN c0), " +
       "a1 AS (SELECT vec_id, ve, centroid_id FROM s1 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1), " +
       "cell AS (SELECT centroid_id, unnest(range(0, len(ve))) AS dim, unnest(ve) AS val FROM a1), " +
       "cm AS (SELECT centroid_id, dim, avg(val) AS m FROM cell GROUP BY centroid_id, dim), " +
       "c1 AS (SELECT centroid_id, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS ce FROM cm GROUP BY centroid_id), " +
-      s"s2 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM v CROSS JOIN c1), " +
+      s"s2 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM $src CROSS JOIN c1), " +
       "a2 AS (SELECT vec_id, ve, centroid_id FROM s2 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1)"
+
+  private val ivfSql =
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
+      lloydSql("v")
 
   /** PQ train+encode mirrored in SQL, one Lloyd schedule per subspace
     * (the ivfSql skeleton with an `m` key): slice each vector into 4
@@ -2188,6 +2209,22 @@ object SparkEntry {
         s"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(${cosSql("x.ve", "y.ve")}, 4) AS sim " +
         "FROM a2 x JOIN a2 y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id " +
         "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"),
+    // augmented corpus (planted float-quantized copies) → the SAME
+    // Lloyd chain → within-cluster ≥0.99 edges → recursive-CTE closure
+    "dedup_semantic" ->
+      ("WITH RECURSIVE aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000, " +
+        "list_prepend(CAST(CAST(embedding[1] * 1.01 AS FLOAT) AS DOUBLE), CAST(embedding AS DOUBLE[])[2:]) " +
+        "FROM embeddings WHERE vec_id % 5 = 0), " +
+        lloydSql("aug") + ", " +
+        "sedges AS (SELECT x.vec_id AS src, y.vec_id AS dst FROM a2 x JOIN a2 y " +
+        "ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id " +
+        s"AND round(${cosSql("x.ve", "y.ve")}, 4) >= 0.99), " +
+        "sym AS (SELECT src, dst FROM sedges UNION SELECT dst, src FROM sedges), " +
+        "reach AS (SELECT vec_id, vec_id AS lbl FROM aug " +
+        "UNION SELECT e.dst, r.lbl FROM sym e JOIN reach r ON e.src = r.vec_id) " +
+        "SELECT vec_id, min(lbl) AS component_id, vec_id = min(lbl) AS is_keeper " +
+        "FROM reach GROUP BY vec_id ORDER BY vec_id"),
 
     "emb_pq_codes" ->
       (s"WITH $pqSql " +

@@ -129,4 +129,31 @@ object Ivf {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic dedup decisions: cluster the corpus (the
+    * IVF index), take within-cluster pairs with cosine ≥ `threshold`
+    * as edges, resolve connected components, keep the min vec_id per
+    * component. Candidate generation never leaves the centroid buckets
+    * — the SemDeDup premise that semantic duplicates land in the same
+    * cluster, which bounds pair cost at Σ bucket² instead of n²; the
+    * oracle replays the identical clustering, so recall-vs-bucketing is
+    * part of the certified semantics, not hidden approximation.
+    * Returns (vec_id, component_id, is_keeper) for the whole corpus
+    * (non-duplicated vectors are their own singleton component). */
+  def semanticComponents(corpus: DataFrame, threshold: Double, k: Int, iters: Int = 2): DataFrame = {
+    val (assigned, _) = index(corpus, k, iters)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("dst"), col("embedding").as("eb"))
+    val edges = a.join(b, Seq("centroid_id"))
+      .filter(col("src") < col("dst") &&
+        round(cos(col("ea"), col("eb")), 4) >= threshold)
+      .select(col("src"), col("dst"))
+    corpus.select(col("vec_id"))
+      .join(
+        Dedup.connectedComponents(edges).withColumnRenamed("node", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component_id"), col("vec_id")).as("component_id"))
+      .withColumn("is_keeper", col("vec_id") === col("component_id"))
+  }
 }

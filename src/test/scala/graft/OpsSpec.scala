@@ -821,6 +821,24 @@ class OpsSpec extends SparkSpec {
     assert(d === 0)
   }
 
+  test("Ivf.semanticComponents groups planted near-copies, keeps min id") {
+    import graft.ops.Ivf
+    // two well-separated base directions in 4-dim space; vectors 0,1,2
+    // are near-copies of each other, 3,4 of each other, 5 is alone
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(0.999, 0.001, 0, 0)), (2L, vec(0.998, 0.002, 0, 0)),
+      (3L, vec(0, 0, 1, 0)), (4L, vec(0, 0, 0.999, 0.001)),
+      (5L, vec(0.7, 0.7, 0.1, 0.1)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val r = Ivf.semanticComponents(corpus, 0.99, k = 2, iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(0L) === ((0L, true)) && r(1L) === ((0L, false)) && r(2L) === ((0L, false)))
+    assert(r(3L) === ((3L, true)) && r(4L) === ((3L, false)))
+    assert(r(5L) === ((5L, true))) // below threshold → singleton keeper
+    assert(r.size === 6)
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
