@@ -225,19 +225,27 @@ object SparkEntry {
     // names; recall vs the oracle's QUADRATIC levenshtein join is
     // complete by the pigeonhole argument in ops.Fuzzy
     "rel_fuzzy_join" -> ((s, d) => {
-      val clean = Tables.part(s, d).select(
-        col("p_partkey").as("clean_key"),
-        concat(col("p_name"), lit("#"), col("p_partkey").cast("string")).as("cname"))
-      val pos = col("clean_key") % length(col("cname"))
-      val at = col("cname").substr(pos + 1, lit(1))
-      val dirty = clean.select(
-        col("clean_key").as("dirty_key"),
-        concat(col("cname").substr(lit(1), pos),
-          when(at === "q", lit("z")).otherwise(lit("q")),
-          col("cname").substr(pos + 2, length(col("cname")))).as("dname"))
+      val (dirty, clean) = fuzzyNameParts(s, d)
       graft.ops.Fuzzy.fuzzyJoin(dirty, clean, "dname", "cname", 1)
         .select(col("dirty_key"), col("clean_key"), col("dist"))
         .orderBy(col("dirty_key"), col("clean_key"))
+    }),
+    // the SAME match written the natural way (raw levenshtein theta
+    // join) with FuzzyJoinRule injected: the optimizer rewrites the
+    // nested-loop join to the variant equi-join and the result must
+    // stay identical (same oracle as rel_fuzzy_join). localCheckpoint
+    // materializes while the rule is active
+    "rel_fuzzy_join_auto" -> ((s, d) => {
+      val (dirty, clean) = fuzzyNameParts(s, d)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ graft.plans.FuzzyJoinRule()
+      val pairs = try {
+        dirty.join(clean, levenshtein(col("dname"), col("cname")) <= 1)
+          .select(col("dirty_key"), col("clean_key"),
+            levenshtein(col("dname"), col("cname")).as("dist"))
+          .localCheckpoint()
+      } finally s.experimental.extraOptimizations = prev
+      pairs.orderBy(col("dirty_key"), col("clean_key"))
     }),
 
     // ----- text analysis (M4)
@@ -927,6 +935,23 @@ object SparkEntry {
     * build; every later consumer is a plain parquet scan. */
   private val componentsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The fuzzy-join fixture: unique part names and their deterministic
+    * 1-char perturbation (char at key % length → 'q', or 'z' if it was
+    * already 'q') — shared by rel_fuzzy_join and rel_fuzzy_join_auto. */
+  private def fuzzyNameParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val clean = Tables.part(s, d).select(
+      col("p_partkey").as("clean_key"),
+      concat(col("p_name"), lit("#"), col("p_partkey").cast("string")).as("cname"))
+    val pos = col("clean_key") % length(col("cname"))
+    val at = col("cname").substr(pos + 1, lit(1))
+    val dirty = clean.select(
+      col("clean_key").as("dirty_key"),
+      concat(col("cname").substr(lit(1), pos),
+        when(at === "q", lit("z")).otherwise(lit("q")),
+        col("cname").substr(pos + 2, length(col("cname")))).as("dname"))
+    (dirty, clean)
+  }
+
   private def componentsFor(s: SparkSession, d: String): DataFrame = {
     val key = s"${System.identityHashCode(s)}|$d"
     val path = componentsCache.computeIfAbsent(key, _ => {
@@ -1459,6 +1484,20 @@ object SparkEntry {
     * both engines' aggregation-order double noise from leaking into the
     * comparison), re-assign. `a2` = final assignments, `c1` = the
     * centroids that produced them. */
+  /** Quadratic levenshtein ground truth over the perturbed part names —
+    * shared by rel_fuzzy_join (DataFrame op) and rel_fuzzy_join_auto
+    * (Catalyst-rule rewrite of the raw theta join). */
+  private val fuzzyJoinSql =
+    "WITH clean AS (SELECT p_partkey AS clean_key, " +
+      "p_name || '#' || CAST(p_partkey AS VARCHAR) AS cname FROM part), " +
+      "dirty AS (SELECT clean_key AS dirty_key, " +
+      "substr(cname, 1, CAST(clean_key % length(cname) AS INT)) || " +
+      "CASE WHEN substr(cname, CAST(1 + clean_key % length(cname) AS INT), 1) = 'q' THEN 'z' ELSE 'q' END || " +
+      "substr(cname, CAST(2 + clean_key % length(cname) AS INT)) AS dname FROM clean) " +
+      "SELECT d.dirty_key, c.clean_key, CAST(levenshtein(d.dname, c.cname) AS INT) AS dist " +
+      "FROM dirty d JOIN clean c ON levenshtein(d.dname, c.cname) <= 1 " +
+      "ORDER BY dirty_key, clean_key"
+
   /** The two-iteration Lloyd chain over a (vec_id, ve) CTE named `src`
     * — shared by the embeddings-table index (ivfSql) and the augmented
     * corpus of dedup_semantic. */
@@ -1701,16 +1740,9 @@ object SparkEntry {
 
     // the quadratic ground truth the blocked deletion-neighborhood join
     // must reproduce exactly (same perturbation, same threshold)
-    "rel_fuzzy_join" ->
-      ("WITH clean AS (SELECT p_partkey AS clean_key, " +
-        "p_name || '#' || CAST(p_partkey AS VARCHAR) AS cname FROM part), " +
-        "dirty AS (SELECT clean_key AS dirty_key, " +
-        "substr(cname, 1, CAST(clean_key % length(cname) AS INT)) || " +
-        "CASE WHEN substr(cname, CAST(1 + clean_key % length(cname) AS INT), 1) = 'q' THEN 'z' ELSE 'q' END || " +
-        "substr(cname, CAST(2 + clean_key % length(cname) AS INT)) AS dname FROM clean) " +
-        "SELECT d.dirty_key, c.clean_key, CAST(levenshtein(d.dname, c.cname) AS INT) AS dist " +
-        "FROM dirty d JOIN clean c ON levenshtein(d.dname, c.cname) <= 1 " +
-        "ORDER BY dirty_key, clean_key"),
+    "rel_fuzzy_join" -> fuzzyJoinSql,
+    // the rule-rewritten theta join must land on the identical result
+    "rel_fuzzy_join_auto" -> fuzzyJoinSql,
 
     "rel_scalar_dates" ->
       ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +

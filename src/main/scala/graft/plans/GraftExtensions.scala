@@ -18,12 +18,16 @@ import org.apache.spark.sql.SparkSessionExtensions
   * runtime `extraOptimizations` path instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule { session =>
       BinnedRangeJoinRule(
         session.conf.getOption(GraftExtensions.BinWidthKey)
           .map(_.toLong).getOrElse(3600L * 1000 * 1000))
     }
+    // the edit-distance theta-join rewrite needs no tuning knob: the
+    // threshold k is read from the query's own literal
+    ext.injectOptimizerRule(_ => FuzzyJoinRule())
+  }
 }
 
 object GraftExtensions {

@@ -501,6 +501,7 @@ class OpsSpec extends SparkSpec {
       assert(rules.collect {
         case graft.plans.BinnedRangeJoinRule(w) => w
       } === Seq(12345L))
+      assert(rules.exists(_.isInstanceOf[graft.plans.FuzzyJoinRule]))
     } finally prev match {
       case Some(v) => spark.conf.set(graft.plans.GraftExtensions.BinWidthKey, v)
       case None => spark.conf.unset(graft.plans.GraftExtensions.BinWidthKey)
@@ -530,6 +531,42 @@ class OpsSpec extends SparkSpec {
       assert(plan.contains("Generate"), s"expected the interval explode, got:\n$plan")
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === baseline) // rewrite is semantics-preserving
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("FuzzyJoinRule rewrites a raw levenshtein join; multiplicity preserved") {
+    // duplicate left ROW (20 twice): the nested-loop baseline yields the
+    // pair twice, and so must the rewrite — the min-shared-variant dedup
+    // must not collapse genuine input duplicates, only multi-variant hits
+    val lefts = Seq(
+      (10L, "spark enginx"), (11L, "spark engin"), (15L, "postgres"),
+      (20L, "spark engine"), (20L, "spark engine")).toDF("lk", "lname")
+    val rights = Seq((1L, "spark engine"), (2L, "flink runner")).toDF("rk", "rname")
+    def rawJoin() = lefts
+      .join(rights, levenshtein($"lname", $"rname") <= 1)
+      .select($"lk", $"rk")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(identity)
+        .view.mapValues(_.length).toMap
+    val baseline = multiset(rawJoin())
+    assert(baseline((20L, 1L)) === 2) // the duplicate row really doubles
+    val rawPlan = rawJoin().queryExecution.executedPlan.toString
+    assert(rawPlan.contains("BroadcastNestedLoopJoin"),
+      s"expected the raw levenshtein join to nested-loop, got:\n$rawPlan")
+    def join2() = lefts
+      .join(rights, levenshtein($"lname", $"rname") <= 2).select($"lk", $"rk")
+    val base2 = multiset(join2()) // k=2 ground truth, rule NOT active
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.FuzzyJoinRule()
+    try {
+      val rewritten = rawJoin()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"expected the rule to remove the nested loop, got:\n$plan")
+      assert(plan.contains("Generate"), s"expected the variant explode, got:\n$plan")
+      assert(multiset(rewritten) === baseline)
+      // k=2 threshold routes through the two-deletion neighborhood
+      assert(multiset(join2()) === base2)
     } finally spark.experimental.extraOptimizations = prev
   }
 
