@@ -552,6 +552,24 @@ object SparkEntry {
           col("max_v").as("max_cents"))
         .orderBy(col("o_custkey"))
     }),
+    // CDC apply: a synthetic ops log (insert all, update k%3, delete
+    // k%7, re-insert k%21 — tombstone-then-reinsert exercised) collapsed
+    // to final table state in one window pass; the surviving seq shows
+    // which op won
+    "store_cdc_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("cents"))
+        .union(o.filter(col("k") % 3 === 0).select(col("k"), lit(2L).as("seq"),
+          lit("U").as("op"), (col("cents") + 100L).as("cents")))
+        .union(o.filter(col("k") % 7 === 0).select(col("k"), lit(3L).as("seq"),
+          lit("D").as("op"), lit(null).cast("long").as("cents")))
+        .union(o.filter(col("k") % 21 === 0).select(col("k"), lit(4L).as("seq"),
+          lit("I").as("op"), (col("cents") + 55L).as("cents")))
+      graft.ops.Cdc.apply(log, Seq("k"), "seq", "op")
+        .select(col("k").as("o_orderkey"), col("seq"), col("cents"))
+        .orderBy(col("o_orderkey"))
+    }),
     // typed JSON payload extraction over the events stream table
     "events_props_stats" -> ((s, d) =>
       EventWindows.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
@@ -1990,6 +2008,17 @@ object SparkEntry {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // newest op per key decides; deletes tombstone unless re-inserted
+    "store_cdc_apply" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS cents FROM orders), " +
+        "log AS (SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, cents FROM o " +
+        "UNION ALL SELECT k, 2, 'U', cents + 100 FROM o WHERE k % 3 = 0 " +
+        "UNION ALL SELECT k, 3, 'D', NULL FROM o WHERE k % 7 = 0 " +
+        "UNION ALL SELECT k, 4, 'I', cents + 55 FROM o WHERE k % 21 = 0), " +
+        "r AS (SELECT k, seq, op, cents, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) " +
+        "SELECT k AS o_orderkey, seq, cents FROM r WHERE rn = 1 AND op <> 'D' " +
+        "ORDER BY o_orderkey"),
 
     // one-shot full aggregate — the incremental base+delta+delta merge
     // chain must reproduce it exactly (cents keep the sum associative)

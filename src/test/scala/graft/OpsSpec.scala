@@ -876,6 +876,19 @@ class OpsSpec extends SparkSpec {
     assert(r.size === 6)
   }
 
+  test("Cdc.apply: newest op wins, deletes tombstone, re-insert revives") {
+    import graft.ops.Cdc
+    val log = Seq(
+      (1L, 1L, "I", 10L), (1L, 2L, "U", 20L),              // plain upsert
+      (2L, 1L, "I", 30L), (2L, 2L, "D", 0L),               // deleted
+      (3L, 1L, "I", 40L), (3L, 2L, "D", 0L), (3L, 3L, "I", 50L), // revived
+      (4L, 1L, "I", 60L)                                    // untouched
+    ).toDF("k", "seq", "op", "v")
+    val r = Cdc.apply(log, Seq("k"), "seq", "op")
+      .collect().map(x => x.getAs[Long]("k") -> (x.getAs[Long]("seq"), x.getAs[Long]("v"))).toMap
+    assert(r === Map(1L -> ((2L, 20L)), 3L -> ((3L, 50L)), 4L -> ((1L, 60L))))
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
