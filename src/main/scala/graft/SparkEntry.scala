@@ -290,6 +290,18 @@ object SparkEntry {
           TextOps.termFrequency(docs, 20), 4, 1024)
         .orderBy(col("freq").desc, col("word"))
     }),
+    // BM25 retrieval over the relational inverted index: five literal
+    // queries, postings restricted to query terms before any scoring,
+    // rounded-score ordering so rank ties resolve identically in both
+    // engines
+    "text_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "hash join"), (1L, "window scan fast"), (2L, "customer order batch"),
+        (3L, "vector merge slow"), (4L, "filter row")).toDF("q_id", "q_text")
+      graft.ops.Bm25.topK(Tables.documents(s, d), queries, 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     // HLL distinct-count sketch (p=9, 512 registers): per-lang
     // vocabulary estimate from the bounded register frame — the
     // estimate is bit-deterministic (all partial sums exact doubles),
@@ -2435,6 +2447,28 @@ object SparkEntry {
         "FROM top CROSS JOIN range(0, 4) t(i)) " +
         "SELECT word, freq, min(cnt) AS n_est FROM probes JOIN sk USING (row, bucket) " +
         "GROUP BY word, freq ORDER BY freq DESC, word"),
+    // BM25 replayed relationally: same idf form, same double-op order,
+    // the (k1+1) constant interpolated from the identical Scala double
+    "text_bm25_topk" ->
+      ("WITH q(q_id, q_text) AS (VALUES (0, 'hash join'), (1, 'window scan fast'), " +
+        "(2, 'customer order batch'), (3, 'vector merge slow'), (4, 'filter row')), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+        "st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n, " +
+        "(SELECT avg(dl) FROM dl) AS avgdl), " +
+        "qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q), " +
+        "post AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term), " +
+        "sc AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, " +
+        s"round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM qt JOIN post USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) " +
+        "CROSS JOIN st GROUP BY 1, 2) " +
+        "SELECT q_id, doc_id, score, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rank " +
+        "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) <= 10 " +
+        "ORDER BY q_id, rank"),
     // HLL: register = top 9 bits of the 32-bit md5 hash, rho = first
     // 1-bit position in the low 23 (ltrim-of-bin, integer-exact);
     // estimate = bias-corrected harmonic mean + linear-counting branch,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 retrieval over an inverted index built as relational
+  * frames — the lexical-search operator a data pipeline uses for
+  * query-based corpus exploration and decontamination-by-retrieval.
+  *
+  * The "index" is nothing exotic: a postings frame (term, doc_id, tf),
+  * a doc-length frame, and a document-frequency frame — all plain
+  * aggregates of the token explode, each shuffled on its natural key.
+  * Scoring joins the (tiny, broadcast) query-term list against the
+  * postings ON TERM — the corpus is touched only at the posting rows
+  * of query terms, never scanned per query; cost ∝ Σ df(query terms),
+  * the inverted-index contract. Per-(query, doc) scores sum the
+  * per-term parts; top-k resolves with a per-query window over only
+  * the scored candidates.
+  *
+  * Determinism: ordering uses the ROUNDED score (4 dp) with doc_id
+  * tiebreak, so the ≤1-ulp aggregation-order noise of the double sum
+  * cannot flip ranks between engines — near-ties become exact ties and
+  * the id decides (the same discipline as the cosine top-k paths).
+  * The BM25 constants are interpolated into the oracle SQL from the
+  * SAME Scala doubles (`k1 + 1` in Scala is 2.2000000000000002 — a
+  * hand-written 2.2 in SQL would silently disagree).
+  *
+  * idf uses the Lucene-style lower-bounded form
+  * ln(1 + (N - df + 0.5)/(df + 0.5)), never negative for df ≤ N.
+  */
+object Bm25 {
+
+  /** Top-`k` docs per query. `docs` must carry (doc_id, text); `queries`
+    * (q_id, q_text). Returns (q_id, doc_id, score, rank). */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // two O(1) corpus scalars (the embBits-style exception): the doc
+    // count and average length parameterize every score
+    val n = docs.count()
+    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
+    val qterms = queries
+      .select(col("q_id"), explode(TextOps.tokens(col("q_text"))).as("term"))
+      .distinct()
+    // postings restricted to query terms FIRST — df and scoring both
+    // derive from this query-proportional frame; the full vocabulary's
+    // document frequencies are never aggregated, let alone broadcast
+    val post = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+    val dfq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val part = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    broadcast(qterms)
+      .join(post, Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(part), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -889,6 +889,28 @@ class OpsSpec extends SparkSpec {
     assert(r === Map(1L -> ((2L, 20L)), 3L -> ((3L, 50L)), 4L -> ((1L, 60L))))
   }
 
+  test("Bm25.topK: rare terms outrank common, shorter docs outrank longer") {
+    import graft.ops.Bm25
+    val corpus = docs(
+      (1L, "spark rare"),                       // rare term, short doc
+      (2L, "spark rare filler filler filler filler filler filler"), // rare term, long doc
+      (3L, "spark common common"),
+      (4L, "common common common"),
+      (5L, "other text entirely"))
+    val qs = Seq((0L, "rare"), (1L, "spark rare")).toDF("q_id", "q_text")
+    val r = Bm25.topK(corpus, qs, 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getDouble(2), x.getInt(3))).toMap
+    // only docs containing a query term are scored at all
+    assert(!r.keys.exists(_._2 == 5L) && !r.keys.exists(k => k._1 == 0L && k._2 >= 3L))
+    // length normalization: same tf of 'rare', shorter doc wins
+    assert(r((0L, 1L))._2 === 1 && r((0L, 2L))._2 === 2)
+    // multi-term query: doc 1 matches both terms and stays on top
+    assert(r((1L, 1L))._2 === 1)
+    // 'rare' (df=2) must contribute more than 'spark' (df=3): doc 2
+    // (both terms, long) still outranks doc 3 (spark only, short)
+    assert(r((1L, 2L))._1 > r((1L, 3L))._1)
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
