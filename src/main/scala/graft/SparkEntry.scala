@@ -880,6 +880,25 @@ object SparkEntry {
       Seq((admitted, total - admitted)).toDF("n_admitted", "n_rejected")
     }),
 
+    // streaming incremental aggregate view: three micro-batches merge
+    // into snapshot state (retry-idempotent, predecessor kept until the
+    // checkpoint commits); the final snapshot must equal the one-shot
+    // GROUP BY over everything the stream saw (same oracle as the
+    // batch path store_incr_agg)
+    "stream_incr_agg" -> ((s, d) => withTempDir("graft-incr-agg") { base =>
+      val orders = Tables.orders(s, d).select(col("o_custkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      Seq(0, 1, 2).foreach(i => orders.filter(col("o_custkey") % 3 === i)
+        .coalesce(1).write.parquet(s"$base/in/g$i"))
+      graft.streaming.IncrAggIngest.run(s, orders.schema,
+        s"$base/in", s"$base/state", s"$base/ckpt", Seq("o_custkey"), "cents")
+      graft.streaming.IncrAggIngest.finalState(s, s"$base/state")
+        .select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_v").as("sum_cents"), col("min_v").as("min_cents"),
+          col("max_v").as("max_cents"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // streaming ONLINE near-dup admission: LSH band buckets are
     // claimed by every document that flows past; a doc is admitted
     // only if all its buckets are unclaimed. Input staged in three
@@ -1514,6 +1533,17 @@ object SparkEntry {
     * both engines' aggregation-order double noise from leaking into the
     * comparison), re-assign. `a2` = final assignments, `c1` = the
     * centroids that produced them. */
+  /** One-shot per-customer aggregate ground truth — shared by the
+    * batch incremental-merge path (store_incr_agg) and the streaming
+    * snapshot chain (stream_incr_agg): both must land on exactly this
+    * view. */
+  private val incrAggSql =
+    "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(cents) AS BIGINT) AS sum_cents, min(cents) AS min_cents, " +
+      "max(cents) AS max_cents " +
+      "FROM (SELECT o_custkey, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents FROM orders) " +
+      "GROUP BY o_custkey ORDER BY o_custkey"
+
   /** Quadratic levenshtein ground truth over the perturbed part names —
     * shared by rel_fuzzy_join (DataFrame op) and rel_fuzzy_join_auto
     * (Catalyst-rule rewrite of the raw theta join). */
@@ -2034,12 +2064,9 @@ object SparkEntry {
 
     // one-shot full aggregate — the incremental base+delta+delta merge
     // chain must reproduce it exactly (cents keep the sum associative)
-    "store_incr_agg" ->
-      ("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
-        "CAST(sum(cents) AS BIGINT) AS sum_cents, min(cents) AS min_cents, " +
-        "max(cents) AS max_cents " +
-        "FROM (SELECT o_custkey, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents FROM orders) " +
-        "GROUP BY o_custkey ORDER BY o_custkey"),
+    "store_incr_agg" -> incrAggSql,
+    // the streaming snapshot chain lands on the identical view
+    "stream_incr_agg" -> incrAggSql,
 
     // floor() on both sides: DuckDB CAST(double AS INT) rounds while
     // Spark's truncates, but floor-then-cast agrees everywhere

@@ -263,6 +263,38 @@ class StreamingSpec extends SparkSpec {
     assert(admitted === Seq("alpha", "beta"))
   }
 
+  test("streaming incremental aggregate: snapshots equal the full build; retry safe") {
+    import graft.streaming.IncrAggIngest
+    import graft.ops.IncrView
+    val base = tmp("graft-incr-agg")
+    val g0 = Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("k", "v")
+    val g1 = Seq((2L, 5L), (3L, 7L)).toDF("k", "v")
+    g0.coalesce(1).write.parquet(s"$base/in/g0")
+    g1.coalesce(1).write.parquet(s"$base/in/g1")
+    val n = IncrAggIngest.run(spark, g0.schema,
+      s"$base/in", s"$base/state", s"$base/ckpt", Seq("k"), "v")
+    assert(n === 2)
+    val got = IncrAggIngest.finalState(spark, s"$base/state")
+    val want = IncrView.build(g0.union(g1), Seq("k"), $"v")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // superseded snapshots pruned, predecessor retained for retry
+    val dirs = new java.io.File(s"$base/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs === Seq("state_0", "state_1"))
+    // retry simulation: a fresh stream whose first batch (id 0) finds a
+    // failed attempt's own state_0 — it must be ignored (strictly-before
+    // read), or history would double
+    val base2 = tmp("graft-incr-agg-retry")
+    g0.coalesce(1).write.parquet(s"$base2/in/g0")
+    IncrView.build(g0, Seq("k"), $"v")
+      .write.parquet(s"$base2/state/state_0")
+    IncrAggIngest.run(spark, g0.schema,
+      s"$base2/in", s"$base2/state", s"$base2/ckpt", Seq("k"), "v")
+    val got2 = IncrAggIngest.finalState(spark, s"$base2/state")
+    val want2 = IncrView.build(g0, Seq("k"), $"v")
+    assert(got2.except(want2).isEmpty && want2.except(got2).isEmpty)
+  }
+
   test("near-dup ingest: bucket claims reject copies in-batch and cross-batch") {
     import graft.streaming.NearDupIngest
     val base = tmp("graft-neardup")
