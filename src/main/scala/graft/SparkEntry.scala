@@ -748,6 +748,13 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       EventWindows.sessions(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
+    // k-step ordered-subsequence match (view → click → purchase) as one
+    // per-user string + one anchored regex — the funnel generalization
+    // without k-way self-joins
+    "events_sequence_match" -> ((s, d) =>
+      EventWindows.sequenceMatch(Tables.events(s, d),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
     // as-of join (ops.AsOf): each click joined to the user's latest
     // purchase at-or-before it — single window pass, no range explosion;
     // the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the operator's
@@ -2387,6 +2394,14 @@ object SparkEntry {
         "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws FROM events) " +
         "SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM x GROUP BY ws ORDER BY win_start"),
+    // same time-order path string (NULLs dropped before the sort — the
+    // engines' null ordering differs), same anchored subsequence regex
+    "events_sequence_match" ->
+      ("SELECT user_id, CAST(count(*) AS INT) AS n_events, " +
+        "regexp_matches(string_agg(event_type, ',' ORDER BY ts, event_id), " +
+        "'(^|,)view,(.*,)?click,(.*,)?purchase(,|$)') AS matched " +
+        "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL " +
+        "GROUP BY user_id ORDER BY user_id"),
     "events_sessions" ->
       ("WITH o AS (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
         "m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s FROM o), " +

@@ -117,4 +117,34 @@ object EventWindows {
       .withColumn("n_window", count(lit(1)).over(w))
       .select(col("event_id"), col("user_id"), col("n_window"))
   }
+
+  /** Ordered-subsequence match per user — the k-step generalization of
+    * [[funnel]]: did the user's event-type sequence (time order,
+    * event_id tiebreak) contain `pattern` as a subsequence? The
+    * per-user path reduces to ONE string and the subsequence test to
+    * ONE anchored regex over it — no k-way self-join, no per-step
+    * state; cost is the per-user aggregate everyone already pays.
+    * The regex anchors every step at a comma boundary, so event types
+    * that are substrings of others cannot false-match. Rows with null
+    * user/type/ts are dropped on BOTH engines up front (null ordering
+    * differs between them, so they must never reach the sort).
+    *
+    * Scale: one shuffle on user_id; a hot user's whole history
+    * materializes as one array — bound it upstream (per-user event
+    * caps, or a time-windowed slice) the same way sessions are. */
+  def sequenceMatch(events: DataFrame, pattern: Seq[String]): DataFrame = {
+    require(pattern.nonEmpty, "pattern must have at least one step")
+    val rx = pattern.mkString("(^|,)", ",(.*,)?", "(,|$)")
+    events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        col("user_id"),
+        size(col("evs")).as("n_events"),
+        array_join(transform(col("evs"), e => e.getField("event_type")), ",")
+          .rlike(rx).as("matched"))
+  }
 }

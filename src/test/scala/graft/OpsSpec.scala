@@ -911,6 +911,34 @@ class OpsSpec extends SparkSpec {
     assert(r((1L, 2L))._1 > r((1L, 3L))._1)
   }
 
+  test("sequenceMatch finds ordered subsequences, rejects out-of-order") {
+    import graft.ops.EventWindows
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: view .. click .. purchase with noise — matches
+      (1L, t(1), 1L, "view"), (2L, t(2), 1L, "error"), (3L, t(3), 1L, "click"),
+      (4L, t(4), 1L, "signup"), (5L, t(5), 1L, "purchase"),
+      // user 2: purchase BEFORE the view/click — out of order, no match
+      (6L, t(1), 2L, "purchase"), (7L, t(2), 2L, "view"), (8L, t(3), 2L, "click"),
+      // user 3: contiguous exact path — matches
+      (9L, t(1), 3L, "view"), (10L, t(2), 3L, "click"), (11L, t(3), 3L, "purchase"),
+      // user 4: missing the middle step
+      (12L, t(1), 4L, "view"), (13L, t(2), 4L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventWindows.sequenceMatch(ev, Seq("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // same-timestamp steps resolve by event_id: click(id 20) before
+    // purchase(id 21) at the same instant still matches
+    val tie = Seq(
+      (19L, t(1), 9L, "view"), (20L, t(2), 9L, "click"), (21L, t(2), 9L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r2 = EventWindows.sequenceMatch(tie, Seq("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r2(9L) === true)
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
