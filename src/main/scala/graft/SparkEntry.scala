@@ -640,6 +640,27 @@ object SparkEntry {
     "emb_cosine_topk_native" -> ((s, d) =>
       Similarity.bruteForceTopKNative(Tables.embeddings(s, d), embQueries(s, d), 10)
         .orderBy(col("q_id"), col("rank"))),
+    // the SAME top-k written as SQL TEXT through the injected
+    // cosine_similarity function (FunctionBridge registers it on the
+    // extension-less driver session) — third bit-identical path over
+    // one oracle: HOF fold, native Column API, and SQL surface
+    "emb_cosine_sql" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.FunctionBridge.registerFunction(
+        s, graft.functions.VectorExpressions.cosineFunction)
+      Tables.embeddings(s, d).createOrReplaceTempView("emb_sql_corpus")
+      embQueries(s, d).createOrReplaceTempView("emb_sql_queries")
+      s.sql(
+        """WITH scored AS (
+          |  SELECT q_id, vec_id, round(cosine_similarity(q_emb, embedding), 4) AS sim
+          |  FROM emb_sql_queries CROSS JOIN emb_sql_corpus WHERE vec_id <> q_id),
+          |ranked AS (
+          |  SELECT q_id, vec_id, sim,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+          |  FROM scored)
+          |SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+          |""".stripMargin)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     "emb_bucket_histogram" -> ((s, d) =>
       Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
     "emb_ann_lsh_topk" -> ((s, d) =>
@@ -2267,6 +2288,15 @@ object SparkEntry {
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
     "emb_cosine_topk_native" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+        "s AS (SELECT q_id, vec_id, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))), 4) AS sim " +
+        "FROM q CROSS JOIN c WHERE vec_id <> q_id) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    "emb_cosine_sql" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
         "s AS (SELECT q_id, vec_id, round(" +

@@ -88,4 +88,22 @@ object VectorExpressions {
   def cosineNative(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarityExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** SQL-surface descriptor for the same expression, so `SELECT
+    * cosine_similarity(a, b)` works in plain SQL text — injectable at
+    * session build (GraftExtensions) or registered at runtime
+    * (graftbridge.FunctionBridge). The builder IS the expression
+    * constructor: SQL callers get the identical fused codegen. */
+  val cosineFunction: (
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+    {
+      case Seq(a, b) => CosineSimilarityExpr(a, b)
+      case other => throw new IllegalArgumentException(
+        s"cosine_similarity expects 2 arguments, got ${other.length}")
+    })
 }

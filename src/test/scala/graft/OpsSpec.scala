@@ -939,6 +939,27 @@ class OpsSpec extends SparkSpec {
     assert(r2(9L) === true)
   }
 
+  test("cosine_similarity SQL function plans the same fused native expression") {
+    org.apache.spark.sql.graftbridge.FunctionBridge.registerFunction(
+      spark, graft.functions.VectorExpressions.cosineFunction)
+    val df = Seq(
+      (1L, Array(2f, 0f, 0f), Array(2f, 0f, 0f)), // exact norms → sim exactly 1.0
+      (2L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (3L, Array(0.3f, -0.7f, 0.1f), Array(-0.2f, 0.9f, 0.4f))
+    ).toDF("id", "a", "b")
+    df.createOrReplaceTempView("vecs_sql_fn")
+    val sql = spark.sql("SELECT id, cosine_similarity(a, b) AS sim FROM vecs_sql_fn")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sql(1L) === 1.0 && sql(2L) === 0.0)
+    // bit-identical to the Column-API path on arbitrary vectors
+    val api = df.select($"id",
+        graft.functions.VectorExpressions.cosineNative($"a", $"b").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sql === api)
+    // arity is enforced at plan time
+    intercept[Exception](spark.sql("SELECT cosine_similarity(a) FROM vecs_sql_fn").collect())
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
