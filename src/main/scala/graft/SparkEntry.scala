@@ -671,6 +671,25 @@ object SparkEntry {
     "emb_ann_multiprobe_topk" -> ((s, d) =>
       Similarity.multiProbeTopK(Tables.embeddings(s, d), embQueries(s, d), 5, embBits(s, d))
         .orderBy(col("q_id"), col("rank"))),
+    // ANN EVALUATION under the oracle: recall@5 of the single-probe and
+    // multi-probe LSH paths against exact brute force, per query — the
+    // quality metric an index pipeline reports, and the multi-probe ≥
+    // single-probe claim certified as data, not doc prose
+    "emb_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = embQueries(s, d)
+      val bits = embBits(s, d)
+      val bf = Similarity.bruteForceTopK(emb, q, 5).select(col("q_id"), col("vec_id"))
+      val single = Similarity.lshTopK(emb, q, 5, bits)
+        .select(col("q_id").as("sq"), col("vec_id").as("sv"))
+      val multi = Similarity.multiProbeTopK(emb, q, 5, bits)
+        .select(col("q_id").as("mq"), col("vec_id").as("mv"))
+      bf.join(single, col("q_id") === col("sq") && col("vec_id") === col("sv"), "left")
+        .join(multi, col("q_id") === col("mq") && col("vec_id") === col("mv"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("sv")).as("hits_single"), count(col("mv")).as("hits_multi"))
+        .orderBy(col("q_id"))
+    }),
     // two Lloyd iterations so the centroid UPDATE path (not just the
     // seeded assignment) runs under the oracle; the DuckDB SQL mirrors
     // the full assign → float-quantized mean → re-assign chain
@@ -2334,6 +2353,26 @@ object SparkEntry {
         "xor(CAST(q.bucket AS BIGINT), CAST(c.bucket AS BIGINT)))) " +
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 5 ORDER BY q_id, rank"),
+
+    // recall@5 per query: exact top-5 left-joined against each LSH
+    // path's top-5; count of non-null = hits
+    "emb_ann_recall" ->
+      (s"WITH $bktSql, " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM bkt WHERE vec_id < 5), " +
+        "bf AS (SELECT q_id, c.vec_id FROM q CROSS JOIN bkt c WHERE c.vec_id <> q.q_id " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY round(${cosSql("qe", "c.e")}, 4) DESC, c.vec_id) <= 5), " +
+        "ls AS (SELECT q_id, c.vec_id FROM q JOIN bkt c ON c.vec_id <> q.q_id AND q.bucket = c.bucket " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY round(${cosSql("qe", "c.e")}, 4) DESC, c.vec_id) <= 5), " +
+        "mp AS (SELECT q_id, c.vec_id FROM q JOIN bkt c ON c.vec_id <> q.q_id CROSS JOIN prm " +
+        "WHERE q.bucket = c.bucket OR list_contains(" +
+        "list_transform(range(0, CAST(b AS BIGINT)), i -> CAST(power(2, i) AS BIGINT)), " +
+        "xor(CAST(q.bucket AS BIGINT), CAST(c.bucket AS BIGINT))) " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY round(${cosSql("qe", "c.e")}, 4) DESC, c.vec_id) <= 5) " +
+        "SELECT b.q_id AS q_id, CAST(count(l.vec_id) AS BIGINT) AS hits_single, " +
+        "CAST(count(m.vec_id) AS BIGINT) AS hits_multi " +
+        "FROM bf b LEFT JOIN ls l ON b.q_id = l.q_id AND b.vec_id = l.vec_id " +
+        "LEFT JOIN mp m ON b.q_id = m.q_id AND b.vec_id = m.vec_id " +
+        "GROUP BY b.q_id ORDER BY b.q_id"),
 
     "emb_ivf_assign" ->
       (s"WITH $ivfSql " +
