@@ -564,6 +564,22 @@ object SparkEntry {
           col("max_v").as("max_cents"))
         .orderBy(col("o_custkey"))
     }),
+    // snapshot diff: recover the change set between two table versions
+    // (removed k%5, changed price on k%3 of the survivors, added
+    // shifted keys for k%11) — change-proportional output, null-safe
+    // compare
+    "store_table_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      val neu = o.filter(col("k") % 5 =!= 0)
+        .select(col("k"),
+          when(col("k") % 3 === 0, col("cents") + 7L).otherwise(col("cents")).as("cents"))
+        .union(o.filter(col("k") % 11 === 0)
+          .select((col("k") + 10000000L).as("k"), col("cents")))
+      graft.ops.Diff.snapshotDiff(o, neu, Seq("k"), Seq("cents"))
+        .select(col("k").as("o_orderkey"), col("change_type"))
+        .orderBy(col("o_orderkey"))
+    }),
     // CDC apply: a synthetic ops log (insert all, update k%3, delete
     // k%7, re-insert k%21 — tombstone-then-reinsert exercised) collapsed
     // to final table state in one window pass; the surviving seq shows
@@ -2097,6 +2113,19 @@ object SparkEntry {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // full-outer reconciliation: presence decides added/removed, the
+    // null-safe compare decides changed; unchanged keys drop out
+    "store_table_diff" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS cents FROM orders), " +
+        "n AS (SELECT k, CASE WHEN k % 3 = 0 THEN cents + 7 ELSE cents END AS cents FROM o WHERE k % 5 <> 0 " +
+        "UNION ALL SELECT k + 10000000, cents FROM o WHERE k % 11 = 0) " +
+        "SELECT coalesce(o.k, n.k) AS o_orderkey, " +
+        "CASE WHEN o.k IS NULL THEN 'added' WHEN n.k IS NULL THEN 'removed' " +
+        "WHEN o.cents IS DISTINCT FROM n.cents THEN 'changed' END AS change_type " +
+        "FROM o FULL OUTER JOIN n ON o.k = n.k " +
+        "WHERE o.k IS NULL OR n.k IS NULL OR o.cents IS DISTINCT FROM n.cents " +
+        "ORDER BY o_orderkey"),
 
     // newest op per key decides; deletes tombstone unless re-inserted
     "store_cdc_apply" ->

@@ -960,6 +960,23 @@ class OpsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT cosine_similarity(a) FROM vecs_sql_fn").collect())
   }
 
+  test("Diff.snapshotDiff classifies added/removed/changed with null-safe compare") {
+    import graft.ops.Diff
+    val o = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None: Option[Long]), (4L, Some(40L)))
+      .toDF("k", "v")
+    val n = Seq((2L, Some(21L)), (3L, None: Option[Long]), (4L, Some(40L)), (5L, Some(50L)),
+      (6L, None: Option[Long])).toDF("k", "v")
+    val r = Diff.snapshotDiff(o, n, Seq("k"), Seq("v"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    // 1 removed, 2 changed, 3 NULL→NULL unchanged (dropped), 4 equal
+    // (dropped), 5 added, 6 added with NULL payload
+    assert(r === Map(1L -> "removed", 2L -> "changed", 5L -> "added", 6L -> "added"))
+    // value→NULL is a change, not a removal
+    val r2 = Diff.snapshotDiff(o, Seq((1L, None: Option[Long])).toDF("k", "v"), Seq("k"), Seq("v"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r2(1L) === "changed")
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
