@@ -564,6 +564,12 @@ object SparkEntry {
           col("max_v").as("max_cents"))
         .orderBy(col("o_custkey"))
     }),
+    // one-pass column profile of the orders table (exact distincts;
+    // the Hll swap is the documented scale path)
+    "store_profile" -> ((s, d) =>
+      graft.ops.Profile.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))),
     // snapshot diff: recover the change set between two table versions
     // (removed k%5, changed price on k%3 of the survivors, added
     // shifted keys for k%11) — change-proportional output, null-safe
@@ -2113,6 +2119,23 @@ object SparkEntry {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // per-column statistics, one branch per profiled column
+    "store_profile" ->
+      ("WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(o_orderkey) AS BIGINT) AS c1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1, " +
+        "CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1, " +
+        "CAST(count(o_custkey) AS BIGINT) AS c2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2, " +
+        "CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2, " +
+        "CAST(count(o_orderstatus) AS BIGINT) AS c3, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d3, " +
+        "min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3, " +
+        "CAST(count(o_orderpriority) AS BIGINT) AS c4, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d4, " +
+        "min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4 FROM orders) " +
+        "SELECT 'o_orderkey' AS col_name, n_rows, n_rows - c1 AS n_nulls, d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM s " +
+        "UNION ALL SELECT 'o_custkey', n_rows, n_rows - c2, d2, mn2, mx2 FROM s " +
+        "UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - c3, d3, mn3, mx3 FROM s " +
+        "UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - c4, d4, mn4, mx4 FROM s " +
+        "ORDER BY col_name"),
 
     // full-outer reconciliation: presence decides added/removed, the
     // null-safe compare decides changed; unchanged keys drop out

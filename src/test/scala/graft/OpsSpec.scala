@@ -977,6 +977,18 @@ class OpsSpec extends SparkSpec {
     assert(r2(1L) === "changed")
   }
 
+  test("Profile.profile computes per-column stats in one pass, nulls counted") {
+    import graft.ops.Profile
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]), (4L, Some("a"))
+    ).toDF("id", "s")
+    val r = Profile.profile(df, Seq("id", "s"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4), x.getString(5)))).toMap
+    assert(r("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(r("s") === ((4L, 1L, 2L, "a", "b"))) // nulls excluded from distinct/min/max
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
