@@ -564,6 +564,24 @@ object SparkEntry {
           col("max_v").as("max_cents"))
         .orderBy(col("o_custkey"))
     }),
+    // declarative expectations over the star schema: two constraints
+    // that genuinely fail on this data (duplicate lineitem keys, price
+    // cap) and two that hold (not-null, referential) — the report
+    // certifies both directions
+    "store_constraints" -> ((s, d) => {
+      import graft.ops.Expect
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      Expect.report(Seq(
+        "lineitem_key_unique" ->
+          Expect.uniqueViolations(li, Seq("l_orderkey", "l_linenumber")),
+        "orders_custkey_not_null" -> Expect.notNullViolations(o, "o_custkey"),
+        "orders_price_cap" ->
+          Expect.predicateViolations(o, col("o_totalprice") <= 400000.0),
+        "orders_customer_fk" ->
+          Expect.fkViolations(o, Tables.customer(s, d), "o_custkey", "c_custkey")))
+        .orderBy(col("check_name"))
+    }),
     // one-pass column profile of the orders table (exact distincts;
     // the Hll swap is the documented scale path)
     "store_profile" -> ((s, d) =>
@@ -2119,6 +2137,19 @@ object SparkEntry {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // each constraint replayed as its defining query
+    "store_constraints" ->
+      ("SELECT 'lineitem_key_unique' AS check_name, CAST(count(*) AS BIGINT) AS n_violations " +
+        "FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1) " +
+        "UNION ALL SELECT 'orders_custkey_not_null', CAST(count(*) AS BIGINT) " +
+        "FROM orders WHERE o_custkey IS NULL " +
+        "UNION ALL SELECT 'orders_price_cap', CAST(count(*) AS BIGINT) " +
+        "FROM orders WHERE NOT coalesce(o_totalprice <= 400000.0, FALSE) " +
+        "UNION ALL SELECT 'orders_customer_fk', CAST(count(*) AS BIGINT) " +
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL " +
+        "ORDER BY check_name"),
 
     // per-column statistics, one branch per profiled column
     "store_profile" ->

@@ -989,6 +989,23 @@ class OpsSpec extends SparkSpec {
     assert(r("s") === ((4L, 1L, 2L, "a", "b"))) // nulls excluded from distinct/min/max
   }
 
+  test("Expect checks catch nulls, dups, orphans, and null-predicate rows") {
+    import graft.ops.Expect
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (2L, Some(99L)), (3L, None: Option[Long]))
+      .toDF("id", "fk")
+    val parent = Seq(10L).toDF("pk")
+    val rpt = Expect.report(Seq(
+      "fk_not_null" -> Expect.notNullViolations(child, "fk"),
+      "id_unique" -> Expect.uniqueViolations(child, Seq("id")),
+      "fk_valid" -> Expect.fkViolations(child, parent, "fk", "pk"),
+      "fk_small" -> Expect.predicateViolations(child, $"fk" < 50)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rpt("fk_not_null") === 1) // id 3
+    assert(rpt("id_unique") === 1)   // id 2 twice → one violated key
+    assert(rpt("fk_valid") === 1)    // fk 99 orphaned; null fk NOT an orphan
+    assert(rpt("fk_small") === 2)    // fk 99 fails, null fk counts as violation
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
