@@ -564,6 +564,22 @@ object SparkEntry {
           col("max_v").as("max_cents"))
         .orderBy(col("o_custkey"))
     }),
+    // schema evolution on the read path: files written before a column
+    // existed merge with later files, the missing column null-backfilled
+    // (mergeSchema reconciles footers at planning time — at 100 TB pin
+    // the merged schema explicitly instead of paying a footer read per
+    // file; semantics certified here are identical either way)
+    "store_schema_merge" -> ((s, d) => withTempDir("graft-schema-evo") { base =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.parquet(s"$base/t/v1")
+      o.filter(col("o_orderkey") % 2 =!= 0).write.parquet(s"$base/t/v2")
+      s.read.option("mergeSchema", "true").option("recursiveFileLookup", "true")
+        .parquet(s"$base/t")
+        .orderBy(col("o_orderkey"))
+    }),
     // declarative expectations over the star schema: two constraints
     // that genuinely fail on this data (duplicate lineitem keys, price
     // cap) and two that hold (not-null, referential) — the report
@@ -2137,6 +2153,13 @@ object SparkEntry {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // pre-evolution rows carry NULL in the later column
+    "store_schema_merge" ->
+      ("SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100.0, 0) AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 2 <> 0 ORDER BY o_orderkey"),
 
     // each constraint replayed as its defining query
     "store_constraints" ->
