@@ -290,6 +290,12 @@ object SparkEntry {
           TextOps.termFrequency(docs, 20), 4, 1024)
         .orderBy(col("freq").desc, col("word"))
     }),
+    // exact percentiles by histogram narrowing — no global sort, no
+    // approx sketch; certified against direct rank selection
+    "text_exact_percentiles" -> ((s, d) =>
+      graft.ops.Quantiles.exactPercentiles(
+          Tables.documents(s, d), "n_chars", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("p"))),
     // BM25 retrieval over the relational inverted index: five literal
     // queries, postings restricted to query terms before any scoring,
     // rounded-score ordering so rank ties resolve identically in both
@@ -2664,6 +2670,16 @@ object SparkEntry {
         "FROM top CROSS JOIN range(0, 4) t(i)) " +
         "SELECT word, freq, min(cnt) AS n_est FROM probes JOIN sk USING (row, bucket) " +
         "GROUP BY word, freq ORDER BY freq DESC, word"),
+    // ground truth = the rank element itself (value at ceil(p·n),
+    // 1-based ascending), selected directly
+    "text_exact_percentiles" ->
+      ("WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL), " +
+        "n AS (SELECT count(*) AS n FROM t), " +
+        "r AS (SELECT CAST(p AS DOUBLE) AS p, CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT) AS rk " +
+        "FROM (VALUES (0.5), (0.9), (0.99)) v(p) CROSS JOIN n), " +
+        "s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t) " +
+        "SELECT p, v AS value FROM r JOIN s ON s.rn = r.rk ORDER BY p"),
+
     // BM25 replayed relationally: same idf form, same double-op order,
     // the (k1+1) constant interpolated from the identical Scala double
     "text_bm25_topk" ->

@@ -1006,6 +1006,26 @@ class OpsSpec extends SparkSpec {
     assert(rpt("fk_small") === 2)    // fk 99 fails, null fk counts as violation
   }
 
+  test("Quantiles.exactPercentiles equals direct rank selection, no sort") {
+    import graft.ops.Quantiles
+    // scrambled values 1..1000: rank ceil(p*n) is closed-form
+    val df = spark.range(1L, 1001L)
+      .select((($"id" * 467) % 1000 + 1).as("x")) // bijection on 1..1000
+    def got(ps: Seq[Double], buckets: Int) =
+      Quantiles.exactPercentiles(df, "x", ps, buckets)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // with 8 buckets the 1..1000 domain needs 4 narrowing rounds — the
+    // loop, not a lucky single pass, produces these
+    val r = got(Seq(0.5, 0.9, 0.99, 1.0), 8)
+    assert(r === Map(0.5 -> 500L, 0.9 -> 900L, 0.99 -> 990L, 1.0 -> 1000L))
+    // all-equal corpus: converges without any within-bucket sort
+    val const = spark.range(100L).select(lit(7L).as("x"))
+    assert(Quantiles.exactPercentiles(const, "x", Seq(0.5)).collect()(0).getLong(1) === 7L)
+    // tiny n: p=0.5 of [10, 20] is rank ceil(1) = the first value
+    val two = Seq(10L, 20L).toDF("x")
+    assert(Quantiles.exactPercentiles(two, "x", Seq(0.5)).collect()(0).getLong(1) === 10L)
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
