@@ -570,6 +570,15 @@ object SparkEntry {
           col("max_v").as("max_cents"))
         .orderBy(col("o_custkey"))
     }),
+    // small-file compaction: a 40-fragment write folded to few files
+    // with coalesce (no shuffle); content must survive exactly
+    "store_compacted_scan" -> ((s, d) => withTempDir("graft-compact") { base =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      o.repartition(40).write.parquet(s"$base/frag")
+      graft.sources.Bucketing.compactFiles(s, s"$base/frag", s"$base/out", 1L << 20)
+      s.read.parquet(s"$base/out").orderBy(col("o_orderkey"))
+    }),
     // schema evolution on the read path: files written before a column
     // existed merge with later files, the missing column null-backfilled
     // (mergeSchema reconciles footers at planning time — at 100 TB pin
@@ -2159,6 +2168,10 @@ object SparkEntry {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // compaction is result-invisible
+    "store_compacted_scan" ->
+      ("SELECT o_orderkey, o_custkey, o_orderpriority FROM orders ORDER BY o_orderkey"),
 
     // pre-evolution rows carry NULL in the later column
     "store_schema_merge" ->

@@ -116,4 +116,35 @@ object Bucketing {
     * (lang, date, source); high-cardinality keys belong in buckets. */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Small-file compaction: rewrite a fragmented directory into
+    * ceil(totalBytes / targetBytes) files. Streaming sinks and
+    * per-batch overwrites (DedupIngest, RetryLoop) accrete thousands
+    * of small files whose listing + footer overhead eventually
+    * dominates scans; compaction restores the scan-friendly layout.
+    * Uses `coalesce`, NOT `repartition`: merging files needs no
+    * shuffle — each output task concatenates whole input partitions —
+    * and content is preserved exactly (certified by
+    * store_compacted_scan; the file-count bound is spec-asserted).
+    * Returns the target file count. Input sizing comes from the
+    * FileSystem listing, so the op works against any Hadoop-visible
+    * storage. For clustered layouts compact through [[writeSorted]] /
+    * [[writeZOrdered]] instead — coalesce preserves content, not
+    * ordering guarantees. */
+  def compactFiles(spark: SparkSession, inDir: String, outDir: String,
+                   targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

@@ -184,4 +184,20 @@ class BucketingSpec extends SparkSpec {
         .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("compactFiles bounds the file count and preserves content exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compactor").toString
+    val df = spark.range(10000L).select($"id", ($"id" % 97).as("g"))
+    df.repartition(25).write.parquet(s"$base/frag")
+    def parquets(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    assert(parquets(s"$base/frag").size === 25)
+    val totalBytes = parquets(s"$base/frag").map(_.length()).sum
+    val target = totalBytes / 4 + 1 // force ~4 output files
+    val n = Bucketing.compactFiles(spark, s"$base/frag", s"$base/out", target)
+    assert(n === 4 && parquets(s"$base/out").size <= 4)
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    assert(back.count() === 10000L)
+  }
 }
