@@ -141,7 +141,10 @@ object Ivf {
     * Returns (vec_id, component_id, is_keeper) for the whole corpus
     * (non-duplicated vectors are their own singleton component). */
   def semanticComponents(corpus: DataFrame, threshold: Double, k: Int, iters: Int = 2): DataFrame = {
-    val (assigned, _) = index(corpus, k, iters)
+    // materialize the assignments once: the pair join reads them as BOTH
+    // sides, and without the checkpoint each side re-runs the whole
+    // Lloyd chain (broadcast joins don't produce a reusable exchange)
+    val assigned = index(corpus, k, iters)._1.localCheckpoint()
     val a = assigned.select(col("centroid_id"), col("vec_id").as("src"), col("embedding").as("ea"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("dst"), col("embedding").as("eb"))
     val edges = a.join(b, Seq("centroid_id"))
