@@ -859,6 +859,11 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       EventWindows.sessions(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
+    // cohort retention curve: first-seen day × day offset → distinct
+    // users, within a week of activation
+    "events_retention" -> ((s, d) =>
+      EventWindows.retention(Tables.events(s, d), 7)
+        .orderBy(col("cohort_day"), col("day_offset"))),
     // k-step ordered-subsequence match (view → click → purchase) as one
     // per-user string + one anchored regex — the funnel generalization
     // without k-way self-joins
@@ -2588,6 +2593,16 @@ object SparkEntry {
         "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws FROM events) " +
         "SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM x GROUP BY ws ORDER BY win_start"),
+    // first-seen day per user, datediff offsets, distinct users
+    "events_retention" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) " +
+        "SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+        "FROM e JOIN f ON e.user_id = f.user_id " +
+        "WHERE date_diff('day', cohort_day, day) <= 7 " +
+        "GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"),
     // same time-order path string (NULLs dropped before the sort — the
     // engines' null ordering differs), same anchored subsequence regex
     "events_sequence_match" ->

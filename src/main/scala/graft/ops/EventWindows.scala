@@ -118,6 +118,27 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), col("n_window"))
   }
 
+  /** Cohort retention: users grouped by first-seen day, distinct-user
+    * counts at each day offset since — the activation/retention curve
+    * behind every growth dashboard. Two keyed aggregates and one join:
+    * first-seen is a per-user min (map-side combined), the join back is
+    * user-keyed (broadcastable while the user dimension fits, shuffled
+    * co-located otherwise), and the final (cohort, offset) aggregate
+    * has days² cardinality — tiny forever. No window functions, no
+    * per-user arrays, so a hot user costs one extra row, not a sort. */
+  def retention(events: DataFrame, maxOffset: Int): DataFrame = {
+    require(maxOffset >= 0, "maxOffset must be non-negative")
+    val e = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Ordered-subsequence match per user — the k-step generalization of
     * [[funnel]]: did the user's event-type sequence (time order,
     * event_id tiebreak) contain `pattern` as a subsequence? The

@@ -1026,6 +1026,25 @@ class OpsSpec extends SparkSpec {
     assert(Quantiles.exactPercentiles(two, "x", Seq(0.5)).collect()(0).getLong(1) === 10L)
   }
 
+  test("retention buckets users by first-seen day and offset") {
+    import graft.ops.EventWindows
+    import java.sql.Timestamp
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2026-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, t(1, 9)), (1L, t(1, 17)), (1L, t(2, 9)), (1L, t(9, 9)), // day-0 twice→once, day-1, day-8 (beyond 7)
+      (2L, t(1, 10)), (2L, t(3, 10)),                               // cohort 1: day 0, day 2
+      (3L, t(2, 8))                                                 // cohort 2: day 0 only
+    ).toDF("user_id", "ts")
+    val r = EventWindows.retention(ev, 7)
+      .collect().map(x => (x.getDate(0).toString, x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r === Map(
+      ("2026-01-01", 0) -> 2L, // users 1 and 2, day-0 dedup to one each
+      ("2026-01-01", 1) -> 1L, // user 1 next day
+      ("2026-01-01", 2) -> 1L, // user 2 two days later
+      ("2026-01-02", 0) -> 1L  // user 3's own cohort; user 1's day-2 visit is offset 1 of cohort 1
+    ))
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
