@@ -32,7 +32,13 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** Top-`k` docs per query. `docs` must carry (doc_id, text); `queries`
-    * (q_id, q_text). Returns (q_id, doc_id, score, rank). */
+    * (q_id, q_text). Returns (q_id, doc_id, score, rank).
+    *
+    * This one-shot form re-derives tf/dl from the text per call (the
+    * corpus is tokenized for the postings AND the lengths); a serving
+    * deployment materializes both frames once as stored index tables —
+    * the [[AnnIndex]] persistence pattern — and scoring then reads
+    * only the query terms' postings. */
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))

@@ -155,6 +155,10 @@ object EventWindows {
     * caps, or a time-windowed slice) the same way sessions are. */
   def sequenceMatch(events: DataFrame, pattern: Seq[String]): DataFrame = {
     require(pattern.nonEmpty, "pattern must have at least one step")
+    // steps are spliced into a regex: restrict to word characters so a
+    // metacharacter-bearing event type cannot change the semantics
+    require(pattern.forall(_.matches("[A-Za-z0-9_]+")),
+      s"pattern steps must be word characters, got $pattern")
     val rx = pattern.mkString("(^|,)", ",(.*,)?", "(,|$)")
     events
       .filter(col("user_id").isNotNull && col("event_type").isNotNull &&

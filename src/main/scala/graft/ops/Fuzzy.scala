@@ -56,7 +56,12 @@ object Fuzzy {
     * strings are within edit distance `maxDist`, carrying all other
     * columns plus `dist`. Column names must not collide across sides.
     * Candidate generation is the variant equi-join above; verification
-    * is one codegen'd `levenshtein` per DISTINCT candidate pair. */
+    * is one codegen'd `levenshtein` per DISTINCT candidate pair.
+    * SET semantics: duplicate input rows collapse (the distinct that
+    * dedups multi-variant candidate hits cannot tell them apart). For
+    * exact multiplicity preservation use the optimizer-rule path
+    * ([[graft.plans.FuzzyJoinRule]]), whose min-shared-variant filter
+    * keeps one row per qualifying input pair without a distinct. */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftName: String, rightName: String, maxDist: Int = 1): DataFrame = {
     val lv = left.withColumn("__variant", explode(variants(col(leftName), maxDist)))

@@ -66,10 +66,12 @@ object Hll {
 
   /** Merge shard sketches (same p): union the frames, re-take the max.
     * max is associative + idempotent ⇒ identical to the direct sketch. */
-  def merge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+  def merge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "merge needs at least one shard sketch")
     shards.reduce(_ unionByName _)
       .groupBy((groupCols :+ "register").map(col): _*)
       .agg(max(col("max_rho")).as("max_rho"))
+  }
 
   /** Cardinality estimate per group from a register frame: the standard
     * bias-corrected harmonic mean with the linear-counting branch for

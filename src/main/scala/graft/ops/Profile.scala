@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * agg; the result row pivots into per-column rows with a map-only
   * explode — the table is scanned once, never per column).
   *
-  * Distinct counts here are EXACT (`count(distinct)`; Spark plans the
-  * multi-distinct agg with one expand) so the profile is
-  * oracle-checkable bit-for-bit; at 100 TB swap the per-column exact
-  * distinct for the [[Hll]] register frame — same output shape, 2^p
-  * bounded state per column, and the estimate itself is certified by
-  * text_hll_vocab. Min/max surface as strings (a display contract like
+  * Distinct counts here are EXACT, and exactness has a named cost:
+  * Spark plans the multi-distinct agg with one Expand that multiplies
+  * scanned rows by (distinct columns + 1) before the shuffle. At
+  * 100 TB swap the per-column exact distinct for the [[Hll]] register
+  * frame — same output shape, 2^p bounded state per column, no
+  * Expand, and the estimate itself is certified by text_hll_vocab. Min/max surface as strings (a display contract like
   * EventWindows' window starts); profile numeric-or-string columns —
   * float columns would couple the contract to engine float-formatting.
   */

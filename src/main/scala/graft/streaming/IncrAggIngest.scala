@@ -77,7 +77,11 @@ object IncrAggIngest {
     batches.get()
   }
 
-  /** The queryable view: the newest state snapshot. */
+  /** The queryable view: the newest state snapshot. After a normal
+    * (AvailableNow) drain this is the last committed batch's view; if
+    * the writer crashed between snapshot write and checkpoint commit,
+    * the newest snapshot is the uncommitted attempt — identical in
+    * content to what the replay will rewrite, so reads stay correct. */
   def finalState(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(newestSnapshot(stateDir, Long.MaxValue).getOrElse(
       throw new IllegalStateException(s"no state snapshots in $stateDir")))
