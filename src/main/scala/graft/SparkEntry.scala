@@ -1003,6 +1003,29 @@ object SparkEntry {
       Seq((admitted, total - admitted)).toDF("n_admitted", "n_rejected")
     }),
 
+    // streaming CDC consumer: the store_cdc_apply ops log delivered as
+    // two micro-batch files (later seqs may land first — tombstones in
+    // state make batch order irrelevant); final table shares the batch
+    // path's oracle
+    "stream_cdc_apply" -> ((s, d) => withTempDir("graft-cdc-ingest") { base =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("cents"))
+        .union(o.filter(col("k") % 3 === 0).select(col("k"), lit(2L).as("seq"),
+          lit("U").as("op"), (col("cents") + 100L).as("cents")))
+        .union(o.filter(col("k") % 7 === 0).select(col("k"), lit(3L).as("seq"),
+          lit("D").as("op"), lit(null).cast("long").as("cents")))
+        .union(o.filter(col("k") % 21 === 0).select(col("k"), lit(4L).as("seq"),
+          lit("I").as("op"), (col("cents") + 55L).as("cents")))
+      // split by parity of the key — every batch carries a mix of ops
+      log.filter(col("k") % 2 === 0).coalesce(1).write.parquet(s"$base/in/g0")
+      log.filter(col("k") % 2 =!= 0).coalesce(1).write.parquet(s"$base/in/g1")
+      graft.streaming.CdcIngest.run(s, log.schema,
+        s"$base/in", s"$base/state", s"$base/ckpt", Seq("k"), "seq", "op")
+      graft.streaming.CdcIngest.finalTable(s, s"$base/state", "op")
+        .select(col("k").as("o_orderkey"), col("seq"), col("cents"))
+        .orderBy(col("o_orderkey"))
+    }),
     // streaming incremental aggregate view: three micro-batches merge
     // into snapshot state (retry-idempotent, predecessor kept until the
     // checkpoint commits); the final snapshot must equal the one-shot
@@ -1656,6 +1679,19 @@ object SparkEntry {
     * both engines' aggregation-order double noise from leaking into the
     * comparison), re-assign. `a2` = final assignments, `c1` = the
     * centroids that produced them. */
+  /** CDC ground truth: newest op per key over the whole log, deletes
+    * tombstoned — shared by the batch apply (store_cdc_apply) and the
+    * streaming consumer (stream_cdc_apply). */
+  private val cdcApplySql =
+    "WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS cents FROM orders), " +
+      "log AS (SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, cents FROM o " +
+      "UNION ALL SELECT k, 2, 'U', cents + 100 FROM o WHERE k % 3 = 0 " +
+      "UNION ALL SELECT k, 3, 'D', NULL FROM o WHERE k % 7 = 0 " +
+      "UNION ALL SELECT k, 4, 'I', cents + 55 FROM o WHERE k % 21 = 0), " +
+      "r AS (SELECT k, seq, op, cents, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) " +
+      "SELECT k AS o_orderkey, seq, cents FROM r WHERE rn = 1 AND op <> 'D' " +
+      "ORDER BY o_orderkey"
+
   /** One-shot per-customer aggregate ground truth — shared by the
     * batch incremental-merge path (store_incr_agg) and the streaming
     * snapshot chain (stream_incr_agg): both must land on exactly this
@@ -2229,15 +2265,9 @@ object SparkEntry {
         "ORDER BY o_orderkey"),
 
     // newest op per key decides; deletes tombstone unless re-inserted
-    "store_cdc_apply" ->
-      ("WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS cents FROM orders), " +
-        "log AS (SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, cents FROM o " +
-        "UNION ALL SELECT k, 2, 'U', cents + 100 FROM o WHERE k % 3 = 0 " +
-        "UNION ALL SELECT k, 3, 'D', NULL FROM o WHERE k % 7 = 0 " +
-        "UNION ALL SELECT k, 4, 'I', cents + 55 FROM o WHERE k % 21 = 0), " +
-        "r AS (SELECT k, seq, op, cents, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) " +
-        "SELECT k AS o_orderkey, seq, cents FROM r WHERE rn = 1 AND op <> 'D' " +
-        "ORDER BY o_orderkey"),
+    "store_cdc_apply" -> cdcApplySql,
+    // any micro-batch partition of the log converges to the same table
+    "stream_cdc_apply" -> cdcApplySql,
 
     // one-shot full aggregate — the incremental base+delta+delta merge
     // chain must reproduce it exactly (cents keep the sum associative)

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Generic snapshot-state streaming driver: each micro-batch folds into
+  * a COMPLETE state snapshot (`state_N` = the state after batch N) via
+  * a caller-supplied merge. The mechanics shared by every snapshot
+  * consumer ([[IncrAggIngest]], [[CdcIngest]]):
+  *
+  *  - a batch reads the newest snapshot STRICTLY before its own
+  *    batchId, so a retried batch ignores its failed attempt's output
+  *    (exactly-once merges, same contract as DedupIngest's seen dirs);
+  *  - superseded snapshots are pruned KEEPING the immediate
+  *    predecessor — the checkpoint commits after foreachBatch returns,
+  *    and a crash before the commit replays exactly this batch, which
+  *    must still find state_{N-1};
+  *  - [[finalState]] reads the newest snapshot: after a normal drain
+  *    that is the last committed batch's view; after a crash-before-
+  *    commit it is content-identical to what the replay rewrites.
+  */
+object SnapshotIngest {
+
+  /** Drain `inDir` with AvailableNow semantics, folding each batch into
+    * the snapshot chain with `merge(priorState, batch)`. Returns the
+    * micro-batch count. */
+  def run(
+      spark: SparkSession,
+      schema: StructType,
+      inDir: String,
+      stateDir: String,
+      checkpoint: String)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Int = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/*")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val prior = newestSnapshot(stateDir, batchId).map(ss.read.parquet(_))
+        merge(prior, batch)
+          .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
+        stateDirs(stateDir).filter(_._1 < batchId - 1).foreach { case (_, p) =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(ss.sparkContext.hadoopConfiguration).delete(hp, true)
+        }
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  /** The newest snapshot — the queryable state. */
+  def finalState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(newestSnapshot(stateDir, Long.MaxValue).getOrElse(
+      throw new IllegalStateException(s"no state snapshots in $stateDir")))
+
+  /** Newest `state_k` with k strictly below `beforeBatch`. */
+  private def newestSnapshot(stateDir: String, beforeBatch: Long): Option[String] =
+    stateDirs(stateDir).filter(_._1 < beforeBatch)
+      .sortBy(_._1).lastOption.map(_._2)
+
+  private def stateDirs(stateDir: String): Seq[(Long, String)] = {
+    val d = new java.io.File(stateDir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+      .flatMap { f =>
+        scala.util.Try(f.getName.stripPrefix("state_").toLong).toOption
+          .filter(_ => f.getName.startsWith("state_"))
+          .map(_ -> f.getAbsolutePath)
+      }
+  }
+}

@@ -295,6 +295,28 @@ class StreamingSpec extends SparkSpec {
     assert(got2.except(want2).isEmpty && want2.except(got2).isEmpty)
   }
 
+  test("CDC ingest: tombstones survive batches; out-of-order insert cannot resurrect") {
+    import graft.streaming.CdcIngest
+    val base = tmp("graft-cdc")
+    // file A (drained first): the DELETE of key 1 at seq 3, plus key 2's insert
+    // file B (drained second): key 1's ORIGINAL insert at seq 1 — stale
+    val a = Seq((1L, 3L, "D", 0L), (2L, 1L, "I", 20L)).toDF("k", "seq", "op", "v")
+    val b = Seq((1L, 1L, "I", 10L), (2L, 2L, "U", 25L)).toDF("k", "seq", "op", "v")
+    val now = System.currentTimeMillis()
+    a.coalesce(1).write.parquet(s"$base/in/f0")
+    b.coalesce(1).write.parquet(s"$base/in/f1")
+    new java.io.File(s"$base/in/f0").listFiles().foreach(_.setLastModified(now - 60000))
+    new java.io.File(s"$base/in/f1").listFiles().foreach(_.setLastModified(now - 20000))
+    val n = CdcIngest.run(spark, a.schema,
+      s"$base/in", s"$base/state", s"$base/ckpt", Seq("k"), "seq", "op")
+    assert(n === 2)
+    val table = CdcIngest.finalTable(spark, s"$base/state", "op")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // key 1 stays deleted despite its insert arriving AFTER the delete
+    // batch; key 2 lands on its newest update
+    assert(table === Map(2L -> ((2L, 25L))))
+  }
+
   test("near-dup ingest: bucket claims reject copies in-batch and cross-batch") {
     import graft.streaming.NearDupIngest
     val base = tmp("graft-neardup")
