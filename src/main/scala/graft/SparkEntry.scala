@@ -780,6 +780,11 @@ object SparkEntry {
     // variant with learned (data-adaptive) buckets
     "dedup_embedding_ivf" -> ((s, d) =>
       graft.ops.Ivf.nearDupPairs(Tables.embeddings(s, d), 20, k = 8, iters = 2)),
+    // dominant principal direction by power iteration — linear algebra
+    // as relational aggregates, float-quantized iterates for parity
+    "emb_pca_power" -> ((s, d) =>
+      graft.ops.Pca.powerIteration(Tables.embeddings(s, d), 2)
+        .orderBy(col("dim"))),
     // SemDeDup: semantic dedup DECISIONS over an augmented corpus with
     // planted float-quantized near-copies (every 5th vector, dim-1
     // ×1.01) — cluster (IVF), edge within-cluster pairs ≥ 0.99 cosine,
@@ -1717,6 +1722,27 @@ object SparkEntry {
       "FROM dirty d JOIN clean c ON levenshtein(d.dname, c.cname) <= 1 " +
       "ORDER BY dirty_key, clean_key"
 
+  /** Two power iterations from the e₁ seed mirrored in SQL: per-row
+    * sequential dot fold, per-dim sums float-quantized (the row-order
+    * noise absorber, same as the Lloyd centroid means), dim-ordered
+    * norm fold, re-quantized iterate. */
+  private val pcaSql = {
+    def iter(t: Int, prevV: String): String =
+      s"d$t AS (SELECT ve, list_sum(list_transform(range(1, len(ve)+1), i -> ve[i]*v[i])) AS dot " +
+        s"FROM pe CROSS JOIN $prevV), " +
+        s"s$t AS (SELECT dim, CAST(CAST(sum(val*dot) AS FLOAT) AS DOUBLE) AS s FROM " +
+        s"(SELECT unnest(range(1, len(ve)+1)) AS dim, unnest(ve) AS val, dot FROM d$t) GROUP BY dim), " +
+        s"l$t AS (SELECT list(s ORDER BY dim) AS l FROM s$t), " +
+        s"n$t AS (SELECT sqrt(list_sum(list_transform(l, x -> x*x))) AS nrm FROM l$t), " +
+        s"v$t AS (SELECT list_transform(l, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE)) AS v FROM l$t CROSS JOIN n$t)"
+    "WITH pe AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
+      "v0 AS (SELECT list_transform(range(1, (SELECT len(ve) FROM pe LIMIT 1) + 1), " +
+      "i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v), " +
+      iter(1, "v0") + ", " + iter(2, "v1") + " " +
+      "SELECT CAST(dim - 1 AS INT) AS dim, round(v[dim], 4) AS loading " +
+      "FROM (SELECT unnest(range(1, len(v)+1)) AS dim, v FROM v2) ORDER BY dim"
+  }
+
   /** The two-iteration Lloyd chain over a (vec_id, ve) CTE named `src`
     * — shared by the embeddings-table index (ivfSql) and the augmented
     * corpus of dedup_semantic. */
@@ -2533,6 +2559,8 @@ object SparkEntry {
         "FROM bf b LEFT JOIN ls l ON b.q_id = l.q_id AND b.vec_id = l.vec_id " +
         "LEFT JOIN mp m ON b.q_id = m.q_id AND b.vec_id = m.vec_id " +
         "GROUP BY b.q_id ORDER BY b.q_id"),
+
+    "emb_pca_power" -> pcaSql,
 
     "emb_ivf_assign" ->
       (s"WITH $ivfSql " +

@@ -1045,6 +1045,30 @@ class OpsSpec extends SparkSpec {
     ))
   }
 
+  test("Pca.powerIteration recovers a planted dominant direction") {
+    import graft.ops.Pca
+    // 40 vectors strongly aligned with (0.6, 0.8, 0) plus 4 small
+    // off-axis vectors: the dominant second-moment direction is the
+    // planted one (sign fixed by the e1 seed's positive projection)
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val planted = (1L to 40L).map { i =>
+      val s = if (i % 2 == 0) 1.0 else 0.9
+      (i, vec(0.6 * s, 0.8 * s, 0.0))
+    }
+    val noise = Seq(
+      (100L, vec(0.05, 0.0, 0.2)), (101L, vec(-0.03, 0.02, -0.15)),
+      (102L, vec(0.0, -0.04, 0.1)), (103L, vec(0.02, 0.01, 0.12)))
+    val corpus = (planted ++ noise).toDF("vec_id", "embedding")
+    val v = Pca.powerIteration(corpus, 5)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(v(0) - 0.6) < 0.02, s"dim0 ${v(0)}")
+    assert(math.abs(v(1) - 0.8) < 0.02, s"dim1 ${v(1)}")
+    assert(math.abs(v(2)) < 0.05, s"dim2 ${v(2)}")
+    // unit norm (up to rounding)
+    val nrm = math.sqrt(v.values.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-3)
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
