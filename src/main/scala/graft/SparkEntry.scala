@@ -785,6 +785,13 @@ object SparkEntry {
     "emb_pca_power" -> ((s, d) =>
       graft.ops.Pca.powerIteration(Tables.embeddings(s, d), 2)
         .orderBy(col("dim"))),
+    // common-component removal (SIF post-process): per-vector residual
+    // norm after projecting out the power-iteration direction
+    "emb_pca_residuals" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Pca.residualNorms(emb, graft.ops.Pca.direction(emb, 2))
+        .orderBy(col("vec_id"))
+    }),
     // SemDeDup: semantic dedup DECISIONS over an augmented corpus with
     // planted float-quantized near-copies (every 5th vector, dim-1
     // ×1.01) — cluster (IVF), edge within-cluster pairs ≥ 0.99 cosine,
@@ -1726,7 +1733,7 @@ object SparkEntry {
     * sequential dot fold, per-dim sums float-quantized (the row-order
     * noise absorber, same as the Lloyd centroid means), dim-ordered
     * norm fold, re-quantized iterate. */
-  private val pcaSql = {
+  private val pcaChainSql = {
     def iter(t: Int, prevV: String): String =
       s"d$t AS (SELECT ve, list_sum(list_transform(range(1, len(ve)+1), i -> ve[i]*v[i])) AS dot " +
         s"FROM pe CROSS JOIN $prevV), " +
@@ -1735,13 +1742,16 @@ object SparkEntry {
         s"l$t AS (SELECT list(s ORDER BY dim) AS l FROM s$t), " +
         s"n$t AS (SELECT sqrt(list_sum(list_transform(l, x -> x*x))) AS nrm FROM l$t), " +
         s"v$t AS (SELECT list_transform(l, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE)) AS v FROM l$t CROSS JOIN n$t)"
-    "WITH pe AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
+    "pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
       "v0 AS (SELECT list_transform(range(1, (SELECT len(ve) FROM pe LIMIT 1) + 1), " +
       "i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v), " +
-      iter(1, "v0") + ", " + iter(2, "v1") + " " +
+      iter(1, "v0") + ", " + iter(2, "v1")
+  }
+
+  private val pcaSql =
+    s"WITH $pcaChainSql " +
       "SELECT CAST(dim - 1 AS INT) AS dim, round(v[dim], 4) AS loading " +
       "FROM (SELECT unnest(range(1, len(v)+1)) AS dim, v FROM v2) ORDER BY dim"
-  }
 
   /** The two-iteration Lloyd chain over a (vec_id, ve) CTE named `src`
     * — shared by the embeddings-table index (ivfSql) and the augmented
@@ -2561,6 +2571,15 @@ object SparkEntry {
         "GROUP BY b.q_id ORDER BY b.q_id"),
 
     "emb_pca_power" -> pcaSql,
+    // residual after removing the dominant direction: same chain, one
+    // more map-only projection pass
+    "emb_pca_residuals" ->
+      (s"WITH $pcaChainSql, " +
+        "pr AS (SELECT vec_id, ve, v, list_sum(list_transform(range(1, len(ve)+1), i -> ve[i]*v[i])) AS dot " +
+        "FROM pe CROSS JOIN v2) " +
+        "SELECT vec_id, round(sqrt(list_sum(list_transform(" +
+        "list_transform(range(1, len(ve)+1), i -> ve[i] - dot * v[i]), x -> x*x))), 4) AS residual_norm " +
+        "FROM pr ORDER BY vec_id"),
 
     "emb_ivf_assign" ->
       (s"WITH $ivfSql " +

@@ -27,12 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  /** The dominant principal direction after `iters` power iterations
-    * from the e₁ seed: (dim, loading) rows, loadings rounded to 4 dp.
-    * Mean-centering is the caller's choice (append it upstream); the
-    * raw second-moment direction is what a dedup/whitening pipeline
-    * wants for scale normalization. */
-  def powerIteration(corpus: DataFrame, iters: Int = 2): DataFrame = {
+  /** The converged iterate itself — dim-indexed, unit norm, each cell
+    * a float-valued double (the quantization contract above). */
+  def direction(corpus: DataFrame, iters: Int = 2): Array[Double] = {
     require(iters >= 1, "need at least one iteration")
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     var v: Array[Double] = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
@@ -55,10 +52,41 @@ object Pca {
       val norm = math.sqrt(nsq)
       v = sf.map(x => (x / norm).toFloat.toDouble)
     }
+    v
+  }
+
+  /** The dominant principal direction after `iters` power iterations
+    * from the e₁ seed: (dim, loading) rows, loadings rounded to 4 dp.
+    * Mean-centering is the caller's choice (append it upstream); the
+    * raw second-moment direction is what a dedup/whitening pipeline
+    * wants for scale normalization. */
+  def powerIteration(corpus: DataFrame, iters: Int = 2): DataFrame = {
+    val v = direction(corpus, iters)
     val spark = corpus.sparkSession
     import spark.implicits._
     v.zipWithIndex.map { case (x, d) =>
       (d, BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toSeq.toDF("dim", "loading")
+  }
+
+  /** Common-component removal (the SIF embedding post-process): each
+    * vector minus its projection on `v`, reported as the residual
+    * norm — how much of a vector the dominant direction does NOT
+    * explain. Map-only over the corpus: `v` rides along as a literal
+    * array, the projection is one sequential fold per row. A vector
+    * parallel to `v` residualizes to ~0; orthogonal ones keep their
+    * full norm (spec-pinned). */
+  def residualNorms(corpus: DataFrame, v: Array[Double]): DataFrame = {
+    val vLit = array(v.map(lit): _*)
+    val dot = aggregate(
+      zip_with(col("embedding"), vLit, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    corpus
+      .withColumn("dot", dot)
+      .withColumn("res", zip_with(col("embedding"), vLit,
+        (x, y) => x - col("dot") * y))
+      .select(col("vec_id"),
+        round(sqrt(aggregate(col("res"), lit(0.0), (acc, x) => acc + x * x)), 4)
+          .as("residual_norm"))
   }
 }

@@ -1067,6 +1067,15 @@ class OpsSpec extends SparkSpec {
     // unit norm (up to rounding)
     val nrm = math.sqrt(v.values.map(x => x * x).sum)
     assert(math.abs(nrm - 1.0) < 1e-3)
+    // residual removal: a vector ON the direction residualizes to ~0,
+    // an orthogonal one keeps its norm
+    val dir = Pca.direction(corpus, 5)
+    val probe = Seq((200L, vec(0.6, 0.8, 0.0)), (201L, vec(0.0, 0.0, 0.5)))
+      .toDF("vec_id", "embedding")
+    val res = Pca.residualNorms(probe, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res(200L) < 0.03, s"aligned residual ${res(200L)}")
+    assert(math.abs(res(201L) - 0.5) < 0.02, s"orthogonal residual ${res(201L)}")
   }
 
   test("mixtureRates downsamples toward target token shares, never upsamples") {
