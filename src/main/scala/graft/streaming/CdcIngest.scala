@@ -31,7 +31,11 @@ object CdcIngest {
 
   /** Drain a CDC log from `inDir`. `schema` must carry `keys`, a
     * numeric `seqCol`, and `opCol` ∈ {I, U, D}. Returns micro-batch
-    * count. */
+    * count. Duplicate delivery of an op (same key, seq, payload —
+    * e.g. a file queued twice) is harmless: the newest-seq window
+    * picks between identical rows. Two DIFFERENT payloads at one
+    * (key, seq) is a malformed log — the sequence number is the
+    * order contract. */
   def run(
       spark: SparkSession,
       schema: StructType,
