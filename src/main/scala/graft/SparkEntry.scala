@@ -220,6 +220,20 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // join-size estimation from CMS inner products (d=4, w=4096): the
+    // estimate is one-sided (≥ exact, overshoot = collision mass) and
+    // never touches the tables again once the key sketches exist; the
+    // exact size rides along so the bound itself is certified
+    "rel_join_size_estimate" -> ((s, d) => {
+      import graft.ops.Cms
+      val est = Cms.joinSizeEstimate(
+        Cms.sketchValues(Tables.orders(s, d), col("o_custkey"), 4, 4096),
+        Cms.sketchValues(Tables.customer(s, d), col("c_custkey"), 4, 4096))
+      val exact = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.crossJoin(exact)
+    }),
     // fuzzy join via the SymSpell deletion-neighborhood equi-join: the
     // dirty side is a deterministic 1-char perturbation of unique part
     // names; recall vs the oracle's QUADRATIC levenshtein join is
@@ -1992,6 +2006,19 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // same md5-derived cells, same inner product, same min-over-rows
+    "rel_join_size_estimate" ->
+      ("WITH sa AS (SELECT i AS row, " +
+        "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt_a FROM orders CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2), " +
+        "sb AS (SELECT i AS row, " +
+        "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt_b FROM customer CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2), " +
+        "e AS (SELECT row, sum(cnt_a * cnt_b) AS est FROM sa JOIN sb USING (row, bucket) GROUP BY row) " +
+        "SELECT CAST(min(est) AS BIGINT) AS n_est, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey) AS n_exact " +
+        "FROM e"),
 
     // the quadratic ground truth the blocked deletion-neighborhood join
     // must reproduce exactly (same perturbation, same threshold)

@@ -34,15 +34,36 @@ object Cms {
 
   /** The d×w counter table over token occurrences: (row, bucket, cnt).
     * Cells nothing hashed into are absent (semantically zero). */
-  def sketch(docs: DataFrame, d: Int, w: Int): DataFrame = {
-    val tok = TextOps.withTokens(docs)
-      .select(explode(col("words")).as("word"))
-    tok
+  def sketch(docs: DataFrame, d: Int, w: Int): DataFrame =
+    sketchValues(
+      TextOps.withTokens(docs).select(explode(col("words")).as("word")),
+      col("word"), d, w)
+
+  /** The same counter table over an arbitrary value column — each row's
+    * value votes into d (row, bucket) cells. */
+  def sketchValues(df: DataFrame, value: Column, d: Int, w: Int): DataFrame =
+    df
       .select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("row"), bucket(col("word"), lit(i), w).as("bucket"))): _*)).as("c"))
+        struct(lit(i).as("row"),
+          bucket(value.cast("string"), lit(i), w).as("bucket"))): _*)).as("c"))
       .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
+
+  /** Equi-join cardinality estimate from two sketches over the join
+    * keys (the CMS inner product): per hash row, Σ_buckets cntA·cntB
+    * counts every true matching pair once PLUS collision mass, so each
+    * row overestimates |A ⋈ B| one-sidedly and the min over the d rows
+    * is the estimate — join-size estimation without touching either
+    * table again, the optimizer primitive behind join-order and
+    * broadcast decisions when stats are stale. Sketches are d·w cells
+    * regardless of table size and mergeable across partitions/shards,
+    * so the estimate costs two bounded aggregates, not a join. */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.withColumnRenamed("cnt", "cnt_a")
+      .join(skB.withColumnRenamed("cnt", "cnt_b"), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("est"))
+      .agg(min(col("est")).as("n_est"))
 
   /** Point-query `queries` (a frame with a `word` column) against a
     * sketch: estimate = min over the d rows of the counter each hash

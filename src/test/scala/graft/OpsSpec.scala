@@ -1078,6 +1078,22 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(res(201L) - 0.5) < 0.02, s"orthogonal residual ${res(201L)}")
   }
 
+  test("Cms.joinSizeEstimate is one-sided and exact without collisions") {
+    import graft.ops.Cms
+    // multiplicities: key 1 ×3 on A, ×2 on B → 6 pairs; key 2 ×1/×1 → 1;
+    // key 3 only on A → 0. Exact join size = 7.
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 2L, 9L).toDF("k")
+    val est = Cms.joinSizeEstimate(
+      Cms.sketchValues(a, $"k", 4, 1024),
+      Cms.sketchValues(b, $"k", 4, 1024)).collect()(0).getLong(0)
+    val exact = a.join(b, "k").count()
+    assert(exact === 7L)
+    assert(est >= exact)     // one-sided always
+    assert(est === exact,    // 4 keys in 1024 buckets: no collisions
+      s"estimate $est should be exact at this scale")
+  }
+
   test("mixtureRates downsamples toward target token shares, never upsamples") {
     import graft.ops.Sampling
     // a: 100 tokens, b: 300 — target 50/50. c = min(100/.5, 300/.5)=200
