@@ -334,6 +334,18 @@ object SparkEntry {
           Seq("lang"), 9)
         .orderBy(col("lang"))
     }),
+    // the SHARD-MERGE path under the oracle: per-(lang, source) partial
+    // sketches re-aggregated to per-lang registers must estimate
+    // identically to the direct sketch (max is associative+idempotent)
+    // — same oracle row as text_hll_vocab
+    "text_hll_merged" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+      val perShard = graft.ops.Hll.sketch(tok, Seq("lang", "source"), col("word"), 9)
+      val merged = perShard.groupBy(col("lang"), col("register"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      graft.ops.Hll.estimate(merged, Seq("lang"), 9).orderBy(col("lang"))
+    }),
     // unigram-LM cross-entropy against the corpus's own distribution —
     // the cheap perplexity stand-in for quality filtering
     "text_unigram_logprob" -> ((s, d) =>
@@ -1705,6 +1717,23 @@ object SparkEntry {
     * both engines' aggregation-order double noise from leaking into the
     * comparison), re-assign. `a2` = final assignments, `c1` = the
     * centroids that produced them. */
+  /** HLL ground truth — register = top 9 bits of the 32-bit md5 hash,
+    * rho via ltrim-of-bin (integer-exact), bias-corrected harmonic
+    * mean + linear-counting branch, every double exact. Shared by the
+    * direct sketch (text_hll_vocab) and the shard-merge path
+    * (text_hll_merged): max is associative+idempotent, so both must
+    * produce THIS estimate bit-for-bit. */
+  private val hllVocabSql =
+    "WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
+      "h AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM tok), " +
+      "r AS (SELECT lang, CAST(hv // 8388608 AS INT) AS register, " +
+      "max(24 - length(ltrim(bin(hv % 8388608), '0'))) AS max_rho FROM h GROUP BY 1, 2), " +
+      "e AS (SELECT lang, count(*) AS np, sum(power(2.0, -max_rho)) AS sp FROM r GROUP BY lang) " +
+      "SELECT lang, round(CASE WHEN raw <= 1280.0 AND (512.0 - np) > 0 " +
+      "THEN 512.0 * ln(512.0 / (512.0 - np)) ELSE raw END, 4) AS n_est " +
+      "FROM (SELECT lang, np, sp, (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / " +
+      "((512.0 - np) + sp) AS raw FROM e) ORDER BY lang"
+
   /** CDC ground truth: newest op per key over the whole log, deletes
     * tombstoned — shared by the batch apply (store_cdc_apply) and the
     * streaming consumer (stream_cdc_apply). */
@@ -2838,16 +2867,9 @@ object SparkEntry {
     // 1-bit position in the low 23 (ltrim-of-bin, integer-exact);
     // estimate = bias-corrected harmonic mean + linear-counting branch,
     // every double exact so the rounded value matches bit-for-bit
-    "text_hll_vocab" ->
-      ("WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
-        "h AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM tok), " +
-        "r AS (SELECT lang, CAST(hv // 8388608 AS INT) AS register, " +
-        "max(24 - length(ltrim(bin(hv % 8388608), '0'))) AS max_rho FROM h GROUP BY 1, 2), " +
-        "e AS (SELECT lang, count(*) AS np, sum(power(2.0, -max_rho)) AS sp FROM r GROUP BY lang) " +
-        "SELECT lang, round(CASE WHEN raw <= 1280.0 AND (512.0 - np) > 0 " +
-        "THEN 512.0 * ln(512.0 / (512.0 - np)) ELSE raw END, 4) AS n_est " +
-        "FROM (SELECT lang, np, sp, (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / " +
-        "((512.0 - np) + sp) AS raw FROM e) ORDER BY lang"),
+    "text_hll_vocab" -> hllVocabSql,
+    // shard-merge must land on the identical estimate
+    "text_hll_merged" -> hllVocabSql,
     // 5-gram postings; train side distinct, heldout occurrences counted
     "text_ngram_decontam" ->
       ("WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN " +
