@@ -39,12 +39,16 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * inferred by constraint propagation) stay in the residual filter.
   * Fires only on inner joins whose condition contains an integral
   * lower/upper pair over the same point expression with each side's
-  * references confined to one child; everything else is left alone.
-  * The rewritten join's condition is a plain equality, so the rule is
-  * idempotent under the optimizer's fixed-point batches.
+  * references confined to one child, and no existing equality conjunct
+  * between the children ([[JoinRewriteGuard]]) — the latter both skips
+  * joins that already plan as hash joins and keeps the rule from
+  * re-matching its own output (whose condition is `graft_p_bin =
+  * graft_i_bin`) after `PushDownPredicates` pushes the BETWEEN residual
+  * back into the join condition inside the fixed-point Operator
+  * Optimization batch; everything else is left alone.
   */
 case class BinnedRangeJoinRule(binWidth: Long)
-    extends Rule[LogicalPlan] with PredicateHelper {
+    extends Rule[LogicalPlan] with JoinRewriteGuard {
   require(binWidth > 0, s"binWidth must be positive, got $binWidth")
 
   private val integral = Set[org.apache.spark.sql.types.DataType](
@@ -88,6 +92,7 @@ case class BinnedRangeJoinRule(binWidth: Long)
       cond: Expression,
       left: LogicalPlan,
       right: LogicalPlan): Option[(Expression, Expression, Expression, Boolean)] = {
+    if (hasEquiConjunct(cond, left, right)) return None
     val preds = splitConjunctivePredicates(cond)
     val lowers = preds.collect { // p >= s
       case GreaterThanOrEqual(p, s) => (p, s)

@@ -39,13 +39,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * Fires only on inner joins whose conjuncts contain `levenshtein(l,
   * r) <= k` (either spelled direction, k a 1-or-2 literal, no
   * three-arg threshold form) with l's references confined to one child
-  * and r's to the other. The rewritten join's condition is a plain
-  * equality, so the rule is idempotent under the optimizer's
-  * fixed-point batches. NULL inputs: the variant expression of a NULL
+  * and r's to the other, and — critically — no existing equality
+  * conjunct between the children ([[JoinRewriteGuard]]): a join that
+  * already has an equi-key plans as a hash join with the levenshtein
+  * conjunct as a residual filter (already scalable), and the rewritten
+  * join itself carries `graft_l_var = graft_r_var`, which is what stops
+  * the rule re-matching its own output after `PushDownPredicates`
+  * pushes the levenshtein residual back into the join condition inside
+  * the fixed-point Operator Optimization batch (the
+  * `injectOptimizerRule` path). NULL inputs: the variant expression of a NULL
   * string is NULL, Generate(explode) drops the row — the same rows the
   * nested-loop join would drop (levenshtein(NULL, _) <= k is NULL).
   */
-case class FuzzyJoinRule() extends Rule[LogicalPlan] with PredicateHelper {
+case class FuzzyJoinRule() extends Rule[LogicalPlan] with JoinRewriteGuard {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -80,6 +86,7 @@ case class FuzzyJoinRule() extends Rule[LogicalPlan] with PredicateHelper {
       cond: Expression,
       left: LogicalPlan,
       right: LogicalPlan): Option[(Expression, Expression, Int)] = {
+    if (hasEquiConjunct(cond, left, right)) return None
     val ks = splitConjunctivePredicates(cond).collect {
       case LessThanOrEqual(Levenshtein(l, r, None), IntLit(k)) => (l, r, k)
       case GreaterThanOrEqual(IntLit(k), Levenshtein(l, r, None)) => (l, r, k)

@@ -570,6 +570,52 @@ class OpsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("GraftExtensions end-to-end: injected rules converge in the fixed-point batch") {
+    // injectOptimizerRule puts the rules INSIDE Spark's fixed-point
+    // Operator Optimization batch, interleaved with PushDownPredicates —
+    // the interleaving that re-fired the unguarded rules forever (each
+    // iteration pushed the residual theta conjunct back into the new
+    // join's condition, re-matching the pattern). This runs the REAL
+    // injection path on a second session sharing the test SparkContext.
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val s2 = SessionBridge.withExtensions(spark, new graft.plans.GraftExtensions().apply(_))
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set(graft.plans.GraftExtensions.BinWidthKey, "10")
+    import s2.implicits._
+    val lefts = Seq((10L, "spark enginx"), (15L, "postgres"), (20L, "spark engine"))
+      .toDF("lk", "lname")
+    val rights = Seq((1L, "spark engine"), (2L, "flink runner")).toDF("rk", "rname")
+    val fuzzy = lefts.join(rights, levenshtein($"lname", $"rname") <= 1)
+      .select($"lk", $"rk")
+    val fPlan = fuzzy.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("BroadcastNestedLoopJoin"),
+      s"expected the injected FuzzyJoinRule to fire, got:\n$fPlan")
+    assert(fuzzy.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((10L, 1L), (20L, 1L)))
+    // fired exactly ONCE: one variant explode per side, no nested pileup
+    val generates = fuzzy.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.size === 2,
+      s"expected exactly one rewrite (2 Generates), got ${generates.size}")
+    val points = Seq((1L, 5L), (3L, 25L), (5L, -7L)).toDF("pid", "p")
+    val intervals = Seq((100L, 5L, 10L), (200L, 8L, 27L)).toDF("iid", "s", "e")
+    val ranged = points.join(intervals, $"p" >= $"s" && $"p" <= $"e")
+      .select($"pid", $"iid")
+    val rPlan = ranged.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("BroadcastNestedLoopJoin"),
+      s"expected the injected BinnedRangeJoinRule to fire, got:\n$rPlan")
+    assert(ranged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 100L), (3L, 200L)))
+    // the guard: a join that already carries an equi-key is left alone
+    // (it plans as a hash join with the theta conjunct as residual)
+    val keyed = lefts.join(rights,
+      $"lk" === $"rk" && levenshtein($"lname", $"rname") <= 1)
+    val kPlan = keyed.queryExecution.optimizedPlan.toString
+    assert(!kPlan.contains("graft_l_var"), s"guard failed to bail:\n$kPlan")
+    assert(keyed.count() === 0)
+  }
+
   test("containmentPairs: a doc quoted inside a longer one scores ~1 one-way") {
     import graft.ops.Dedup
     val short = "alpha beta gamma delta epsilon"
