@@ -43,7 +43,7 @@ object DedupIngest {
       outDir: String,
       stateDir: String,
       checkpoint: String): Int = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    StateDirs.ensure(spark.sparkContext.hadoopConfiguration, stateDir)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -65,7 +65,8 @@ object DedupIngest {
         // admission. Dirs keyed >= batchId belong to this attempt (or
         // a failed future one after checkpoint rollback) and are about
         // to be overwritten anyway.
-        val seenDirs = listStateDirs(stateDir, batchId)
+        val seenDirs = listStateDirs(
+          ss.sparkContext.hadoopConfiguration, stateDir, batchId)
         val fresh =
           if (seenDirs.isEmpty) inBatch
           else inBatch.join(
@@ -104,7 +105,8 @@ object DedupIngest {
     *
     * Returns the number of dirs folded away. */
   def compactState(spark: SparkSession, stateDir: String): Int = {
-    val dirs = listStateDirs(stateDir, Long.MaxValue)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = listStateDirs(conf, stateDir, Long.MaxValue)
     if (dirs.size <= 1) 0
     else {
       // materialize the distinct union BEFORE overwriting seen_0 — the
@@ -112,25 +114,14 @@ object DedupIngest {
       val digests = spark.read.schema(stateSchema).parquet(dirs: _*)
         .distinct().localCheckpoint()
       digests.write.mode("overwrite").parquet(s"$stateDir/seen_0")
-      dirs.filterNot(_.endsWith("seen_0")).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      }
+      dirs.filterNot(_.endsWith("seen_0")).foreach(StateDirs.delete(conf, _))
       dirs.size - 1
     }
   }
 
-  private def listStateDirs(stateDir: String, beforeBatch: Long): Seq[String] = {
-    val d = new java.io.File(stateDir)
-    Option(d.listFiles()).toSeq.flatten
-      .filter { f =>
-        f.isDirectory && (f.getName match {
-          case s if s.startsWith("seen_") =>
-            scala.util.Try(s.stripPrefix("seen_").toLong).toOption
-              .exists(_ < beforeBatch)
-          case _ => false
-        })
-      }
-      .map(_.getAbsolutePath).toSeq
-  }
+  private def listStateDirs(
+      conf: org.apache.hadoop.conf.Configuration,
+      stateDir: String,
+      beforeBatch: Long): Seq[String] =
+    StateDirs.list(conf, stateDir, "seen_", beforeBatch).map(_._2)
 }

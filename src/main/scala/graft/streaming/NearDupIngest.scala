@@ -54,7 +54,7 @@ object NearDupIngest {
       stateDir: String,
       checkpoint: String,
       bands: Int = 4): Int = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    StateDirs.ensure(spark.sparkContext.hadoopConfiguration, stateDir)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -67,7 +67,8 @@ object NearDupIngest {
         val sigs = graft.ops.Dedup.minhashSignatures(batch, bands)
         // claims from batches strictly BEFORE this one (retry safety:
         // a failed attempt's own claimed_N must not reject its redo)
-        val claimedDirs = listStateDirs(stateDir, batchId)
+        val claimedDirs = listStateDirs(
+          ss.sparkContext.hadoopConfiguration, stateDir, batchId)
         val rejectedByState =
           if (claimedDirs.isEmpty) sigs.limit(0).select(col("doc_id"))
           else sigs.join(
@@ -93,17 +94,9 @@ object NearDupIngest {
     batches.get()
   }
 
-  private def listStateDirs(stateDir: String, beforeBatch: Long): Seq[String] = {
-    val d = new java.io.File(stateDir)
-    Option(d.listFiles()).toSeq.flatten
-      .filter { f =>
-        f.isDirectory && (f.getName match {
-          case s if s.startsWith("claimed_") =>
-            scala.util.Try(s.stripPrefix("claimed_").toLong).toOption
-              .exists(_ < beforeBatch)
-          case _ => false
-        })
-      }
-      .map(_.getAbsolutePath).toSeq
-  }
+  private def listStateDirs(
+      conf: org.apache.hadoop.conf.Configuration,
+      stateDir: String,
+      beforeBatch: Long): Seq[String] =
+    StateDirs.list(conf, stateDir, "claimed_", beforeBatch).map(_._2)
 }

@@ -32,7 +32,7 @@ object SnapshotIngest {
       stateDir: String,
       checkpoint: String)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Int = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    StateDirs.ensure(spark.sparkContext.hadoopConfiguration, stateDir)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -42,13 +42,12 @@ object SnapshotIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
-        val prior = newestSnapshot(stateDir, batchId).map(ss.read.parquet(_))
+        val conf = ss.sparkContext.hadoopConfiguration
+        val prior = newestSnapshot(conf, stateDir, batchId).map(ss.read.parquet(_))
         merge(prior, batch)
           .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
-        stateDirs(stateDir).filter(_._1 < batchId - 1).foreach { case (_, p) =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(ss.sparkContext.hadoopConfiguration).delete(hp, true)
-        }
+        StateDirs.list(conf, stateDir, "state_", batchId - 1)
+          .foreach { case (_, p) => StateDirs.delete(conf, p) }
         batches.incrementAndGet()
         ()
       }
@@ -59,22 +58,17 @@ object SnapshotIngest {
 
   /** The newest snapshot — the queryable state. */
   def finalState(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(newestSnapshot(stateDir, Long.MaxValue).getOrElse(
-      throw new IllegalStateException(s"no state snapshots in $stateDir")))
+    spark.read.parquet(
+      newestSnapshot(spark.sparkContext.hadoopConfiguration, stateDir, Long.MaxValue)
+        .getOrElse(throw new IllegalStateException(s"no state snapshots in $stateDir")))
 
-  /** Newest `state_k` with k strictly below `beforeBatch`. */
-  private def newestSnapshot(stateDir: String, beforeBatch: Long): Option[String] =
-    stateDirs(stateDir).filter(_._1 < beforeBatch)
+  /** Newest `state_k` with k strictly below `beforeBatch` — discovered
+    * through the path's own FileSystem ([[StateDirs]]), so the
+    * exactly-once contract holds on non-local stores too. */
+  private def newestSnapshot(
+      conf: org.apache.hadoop.conf.Configuration,
+      stateDir: String,
+      beforeBatch: Long): Option[String] =
+    StateDirs.list(conf, stateDir, "state_", beforeBatch)
       .sortBy(_._1).lastOption.map(_._2)
-
-  private def stateDirs(stateDir: String): Seq[(Long, String)] = {
-    val d = new java.io.File(stateDir)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(_.isDirectory)
-      .flatMap { f =>
-        scala.util.Try(f.getName.stripPrefix("state_").toLong).toOption
-          .filter(_ => f.getName.startsWith("state_"))
-          .map(_ -> f.getAbsolutePath)
-      }
-  }
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Hadoop-FS state-directory discovery shared by the snapshot-state
+  * streaming drivers ([[SnapshotIngest]], [[DedupIngest]],
+  * [[NearDupIngest]]).
+  *
+  * These drivers' exactly-once merge contract hinges on each batch
+  * SEEING the prior batches' state dirs ("newest strictly before my
+  * batchId"). A `java.io.File` listing sees only the driver-local
+  * filesystem: on HDFS/S3/abfs it silently returns nothing, every
+  * batch believes it is the first, and the contract breaks with no
+  * error. Routing discovery (and dir creation) through the path's own
+  * `FileSystem` — exactly like the drivers' delete/prune paths already
+  * do — makes `file:`, `hdfs:`, `s3a:` and plain local paths behave
+  * identically.
+  */
+object StateDirs {
+
+  /** `prefix`-keyed state dirs directly under `stateDir` whose numeric
+    * suffix is strictly below `beforeBatch`, as (key, qualified path),
+    * unsorted. Missing `stateDir` lists as empty (first batch ever). */
+  def list(
+      conf: Configuration,
+      stateDir: String,
+      prefix: String,
+      beforeBatch: Long): Seq[(Long, String)] = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(prefix))
+          scala.util.Try(name.stripPrefix(prefix).toLong).toOption
+            .filter(_ < beforeBatch)
+            .map(_ -> st.getPath.toString)
+        else None
+      }
+  }
+
+  /** mkdir -p through the path's FileSystem (idempotent). */
+  def ensure(conf: Configuration, stateDir: String): Unit = {
+    val p = new Path(stateDir)
+    p.getFileSystem(conf).mkdirs(p)
+    ()
+  }
+
+  /** Recursive delete through the path's FileSystem. */
+  def delete(conf: Configuration, dir: String): Unit = {
+    val p = new Path(dir)
+    p.getFileSystem(conf).delete(p, true)
+    ()
+  }
+}

@@ -263,6 +263,38 @@ class StreamingSpec extends SparkSpec {
     assert(admitted === Seq("alpha", "beta"))
   }
 
+  test("state discovery goes through Hadoop FS: file:-scheme state dirs keep exactly-once") {
+    // an explicit file: URI never resolves through java.io.File (which
+    // would treat "file:" as a relative path component and list
+    // nothing) — this forces the Hadoop FileSystem discovery path the
+    // drivers must use on HDFS/S3, and asserts the exactly-once
+    // admission contract still holds there
+    import graft.streaming.DedupIngest
+    val base = tmp("graft-ingest-fsuri")
+    val g0 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val g1 = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")
+    g0.coalesce(1).write.parquet(s"$base/in/g0")
+    g1.coalesce(1).write.parquet(s"$base/in/g1")
+    DedupIngest.run(spark, g0.schema,
+      s"$base/in", s"file:$base/out", s"file:$base/state", s"$base/ckpt")
+    val admitted = spark.read.parquet(s"$base/out/*")
+      .select($"text").collect().map(_.getString(0)).sorted.toSeq
+    assert(admitted === Seq("alpha", "beta", "gamma")) // cross-batch dup rejected
+    // snapshot driver too: the running sum must fold batch 0's state
+    // into batch 1 even when the state dir is a file: URI
+    import graft.streaming.IncrAggIngest
+    val h0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val h1 = Seq((1L, 5L)).toDF("k", "v")
+    h0.coalesce(1).write.parquet(s"$base/agg_in/g0")
+    h1.coalesce(1).write.parquet(s"$base/agg_in/g1")
+    IncrAggIngest.run(spark, h0.schema,
+      s"$base/agg_in", s"file:$base/agg_state", s"$base/agg_ckpt", Seq("k"), "v")
+    val sums = IncrAggIngest.finalState(spark, s"file:$base/agg_state")
+      .select($"k", $"sum_v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums === Map(1L -> 15L, 2L -> 20L))
+  }
+
   test("streaming incremental aggregate: snapshots equal the full build; retry safe") {
     import graft.streaming.IncrAggIngest
     import graft.ops.IncrView
