@@ -1058,9 +1058,12 @@ object SparkEntry {
       // split by parity of the key — every batch carries a mix of ops
       log.filter(col("k") % 2 === 0).coalesce(1).write.parquet(s"$base/in/g0")
       log.filter(col("k") % 2 =!= 0).coalesce(1).write.parquet(s"$base/in/g1")
-      graft.streaming.CdcIngest.run(s, log.schema,
-        s"$base/in", s"$base/state", s"$base/ckpt", Seq("k"), "seq", "op")
-      graft.streaming.CdcIngest.finalTable(s, s"$base/state", "op")
+      // the bucketed (incremental) state layout is the certified path:
+      // a batch rewrites only the key-buckets it touches, never the
+      // whole table — the shape that survives table-sized state
+      graft.streaming.CdcIngest.runBucketed(s, log.schema,
+        s"$base/in", s"$base/state", s"$base/ckpt", Seq("k"), "seq", "op", nBuckets = 8)
+      graft.streaming.CdcIngest.finalTableBucketed(s, s"$base/state", "op")
         .select(col("k").as("o_orderkey"), col("seq"), col("cents"))
         .orderBy(col("o_orderkey"))
     }),
@@ -1081,6 +1084,38 @@ object SparkEntry {
           col("sum_v").as("sum_cents"), col("min_v").as("min_cents"),
           col("max_v").as("max_cents"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // streaming observability (SURVEY "what's missing" #1): a
+    // StreamingQueryListener accumulates per-batch (batchId,
+    // inputRows, stateRows, watermark) into a DataFrame. Under
+    // AvailableNow + maxFilesPerTrigger=1 each batch is exactly one
+    // staged file, so the multiset of per-batch input-row counts is
+    // deterministic regardless of which order the source lists the
+    // files — certified by sorting on the distinct-by-construction
+    // counts (10% / 30% / 60% splits)
+    "stream_metrics_counts" -> ((s, d) => withTempDir("graft-metrics") { base =>
+      val orders = Tables.orders(s, d).select(col("o_orderkey"))
+      val m10 = pmod(col("o_orderkey"), lit(10))
+      Seq(("g0", m10 < 1), ("g1", m10 >= 1 && m10 < 4), ("g2", m10 >= 4))
+        .foreach { case (n, pred) =>
+          orders.filter(pred).coalesce(1).write.parquet(s"$base/in/$n")
+        }
+      val (_, metrics) = graft.streaming.Metrics.observe(s) {
+        val q = s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in/*")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$base/out/batch_$id")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      metrics.frame(s).filter(col("input_rows") > 0)
+        .select(col("input_rows")).orderBy(col("input_rows"))
     }),
 
     // streaming ONLINE near-dup admission: LSH band buckets are
@@ -2360,6 +2395,14 @@ object SparkEntry {
     "store_cdc_apply" -> cdcApplySql,
     // any micro-batch partition of the log converges to the same table
     "stream_cdc_apply" -> cdcApplySql,
+
+    // the listener's per-batch input-row counts are the staged file
+    // sizes — one file per batch under maxFilesPerTrigger=1
+    "stream_metrics_counts" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS input_rows FROM orders " +
+        "GROUP BY CASE WHEN o_orderkey % 10 < 1 THEN 0 " +
+        "WHEN o_orderkey % 10 < 4 THEN 1 ELSE 2 END " +
+        "ORDER BY input_rows"),
 
     // one-shot full aggregate — the incremental base+delta+delta merge
     // chain must reproduce it exactly (cents keep the sum associative)

@@ -45,17 +45,47 @@ object CdcIngest {
       keys: Seq[String],
       seqCol: String,
       opCol: String): Int =
-    SnapshotIngest.run(spark, schema, inDir, stateDir, checkpoint) { (prior, batch) =>
-      val all = prior.map(_.unionByName(batch)).getOrElse(batch)
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
-      all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
-    }
+    SnapshotIngest.run(spark, schema, inDir, stateDir, checkpoint)(
+      newestSeqWins(keys, seqCol))
+
+  /** The scale path: state hash-bucketed by key under
+    * [[BucketedSnapshotIngest]], so a micro-batch rewrites only the
+    * buckets its keys touch instead of the whole table — per-batch
+    * write volume ∝ touched buckets, not table size. The merge is the
+    * same newest-seq-wins fold (a key lives in exactly one bucket, so
+    * per-bucket merging is per-key merging); the plain [[run]] remains
+    * for view-sized state where one dir is simpler to operate. */
+  def runBucketed(
+      spark: SparkSession,
+      schema: StructType,
+      inDir: String,
+      stateDir: String,
+      checkpoint: String,
+      keys: Seq[String],
+      seqCol: String,
+      opCol: String,
+      nBuckets: Int): Int =
+    BucketedSnapshotIngest.run(spark, schema, inDir, stateDir, checkpoint, keys, nBuckets)(
+      newestSeqWins(keys, seqCol))
+
+  private def newestSeqWins(keys: Seq[String], seqCol: String)(
+      prior: Option[DataFrame], batch: DataFrame): DataFrame = {
+    val all = prior.map(_.unionByName(batch)).getOrElse(batch)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** The applied table: newest ops minus delete tombstones. */
   def finalTable(spark: SparkSession, stateDir: String, opCol: String): DataFrame =
     SnapshotIngest.finalState(spark, stateDir)
+      .filter(col(opCol) =!= "D")
+      .drop(opCol)
+
+  /** [[finalTable]] over a [[runBucketed]] state layout. */
+  def finalTableBucketed(spark: SparkSession, stateDir: String, opCol: String): DataFrame =
+    BucketedSnapshotIngest.finalState(spark, stateDir)
       .filter(col(opCol) =!= "D")
       .drop(opCol)
 }

@@ -295,6 +295,88 @@ class StreamingSpec extends SparkSpec {
     assert(sums === Map(1L -> 15L, 2L -> 20L))
   }
 
+  test("Metrics listener: per-batch input rows across retry passes; state rows and watermark") {
+    import graft.streaming.{Metrics, RetryLoop}
+    val base = tmp("graft-metrics-spec")
+    val queue = Seq(("ok-1", false, 0), ("poison-1", true, 0))
+      .toDF("key", "bad", "attempts")
+    queue.coalesce(1).write.parquet(s"$base/in/seed")
+    val (passes, m) = Metrics.observe(spark) {
+      RetryLoop.run(spark, queue.schema, s"$base/in",
+        s"$base/delivered", s"$base/dlq", s"$base/ckpt", $"bad", maxAttempts = 3)
+    }
+    assert(passes === 3)
+    val f = m.frame(spark).filter($"input_rows" > 0)
+    // pass 1 sees the 2-row seed; the poison re-enqueues burn 2 more
+    // batches before the DLQ divert. NOTE numInputRows is rows READ in
+    // the trigger: foreachBatch bodies that run several actions rescan
+    // the source per action, so the counts are upper bounds there —
+    // the per-batch EXACT counts are certified by the single-action
+    // stream_metrics_counts oracle query instead
+    assert(f.count() === 3)
+    assert(f.select($"batch_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 1L, 2L))
+    // a stateful watermarked aggregation surfaces state size + watermark
+    val ev = Seq(
+      (1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 00:20:00"),
+      (3L, "2024-01-01 02:30:00")).toDF("id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    ev.coalesce(1).write.parquet(s"$base/ev_in/g0")
+    val (_, m2) = Metrics.observe(spark) {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$base/ev_in/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour")).count()
+        .writeStream.outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ev_ckpt")
+        .format("noop").start()
+      q.awaitTermination()
+    }
+    val f2 = m2.frame(spark)
+    assert(f2.agg(max($"state_rows")).head().getLong(0) === 2) // two live windows
+    assert(f2.filter($"watermark" =!= "").count() >= 1)
+  }
+
+  test("bucketed CDC state: a batch rewrites only touched buckets; equals batch apply") {
+    import graft.streaming.{BucketedSnapshotIngest, CdcIngest}
+    val base = tmp("graft-cdc-bucketed")
+    // batch 0 inserts keys 0..15 (touches many buckets); batch 1
+    // updates/deletes ONLY key 3 — with 8 buckets, exactly one bucket
+    // may advance to state_1
+    val schema = Seq((0L, 1L, "I", 0L)).toDF("k", "seq", "op", "v").schema
+    (0L until 16L).map(k => (k, 1L, "I", k * 10))
+      .toDF("k", "seq", "op", "v").coalesce(1).write.parquet(s"$base/in/g0")
+    Seq((3L, 2L, "U", 999L), (3L, 3L, "D", 0L))
+      .toDF("k", "seq", "op", "v").coalesce(1).write.parquet(s"$base/in/g1")
+    CdcIngest.runBucketed(spark, schema,
+      s"$base/in", s"$base/state", s"$base/ckpt", Seq("k"), "seq", "op", nBuckets = 8)
+    // write-set assertion: only key 3's bucket carries a state_1 chain
+    // head — every other bucket still serves its untouched state_0
+    val heads = BucketedSnapshotIngest.bucketHeads(spark, s"$base/state")
+    assert(heads.nonEmpty)
+    val advanced = heads.filter(_.endsWith("state_1"))
+    assert(advanced.size === 1,
+      s"batch 1 touched one key but rewrote ${advanced.size} buckets:\n${heads.mkString("\n")}")
+    // semantics: final table == newest-seq-wins minus tombstones
+    val got = CdcIngest.finalTableBucketed(spark, s"$base/state", "op")
+      .select($"k", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 16L).filterNot(_ == 3L).map(k => k -> k * 10).toMap
+    assert(got === want) // key 3 deleted at seq 3, others untouched
+    // retry contract: a failed first attempt left a poisoned state_0 in
+    // key 3's bucket and died before the checkpoint committed; the
+    // replayed batch 0 reads newest STRICTLY before 0 (nothing) and
+    // must overwrite the poison, never merge with it
+    val b3 = spark.range(1)
+      .select(pmod(hash(lit(3L)), lit(8)).as("b")).collect()(0).getInt(0)
+    Seq((3L, 99L, "I", -1L)).toDF("k", "seq", "op", "v")
+      .write.parquet(s"$base/state2/bucket_$b3/state_0")
+    CdcIngest.runBucketed(spark, schema,
+      s"$base/in", s"$base/state2", s"$base/ckpt2", Seq("k"), "seq", "op", nBuckets = 8)
+    val again = CdcIngest.finalTableBucketed(spark, s"$base/state2", "op")
+      .select($"k", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === want) // the poisoned seq-99 row did not survive
+  }
+
   test("streaming incremental aggregate: snapshots equal the full build; retry safe") {
     import graft.streaming.IncrAggIngest
     import graft.ops.IncrView
