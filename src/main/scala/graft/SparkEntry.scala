@@ -1118,6 +1118,61 @@ object SparkEntry {
         .select(col("input_rows")).orderBy(col("input_rows"))
     }),
 
+    // late-data certification (ST6's negative path): batch 0 carries
+    // every event plus a far-future sentinel that advances the
+    // watermark beyond every real window; the %10 slice is then
+    // re-sent entirely BELOW the watermark, so the windowed aggregate
+    // must drop every one of those rows (the reference's "message too
+    // old -> retention expiry", iac/main.tf:17). Spark filters a
+    // stateful operator's late records with the PREVIOUS batch's
+    // watermark (one batch more lagged than eviction — determinism
+    // under batch retry), so a spacer batch sits between sentinel and
+    // late slice. Certified three ways in one row: output row count
+    // and event total equal the batch aggregate over the ON-TIME data
+    // alone, and the listener's numRowsDroppedByWatermark equals the
+    // late slice's (window, type) group count — the drop runs after
+    // map-side partial aggregation, so groups are the dropped unit
+    "stream_late_drop_counts" -> ((s, d) => withTempDir("graft-late") { base =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("event_type"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)).as("ts"),
+        lit("sentinel").as("event_type"))
+      ev.unionByName(sentinel).coalesce(1).write.parquet(s"$base/in/f0")
+      sentinel.withColumn("event_id", lit(-2L))
+        .coalesce(1).write.parquet(s"$base/in/f1")
+      ev.filter(col("event_id") % 10 === 0).coalesce(1).write.parquet(s"$base/in/f2")
+      // pin mtimes so the file source drains on-time, spacer, late
+      val now = System.currentTimeMillis()
+      Seq(("f0", now - 60000L), ("f1", now - 40000L), ("f2", now - 20000L))
+        .foreach { case (n, t) =>
+          new java.io.File(s"$base/in/$n").listFiles().foreach(_.setLastModified(t))
+        }
+      val schema = s.read.parquet(s"$base/in/f0").schema
+      val (_, metrics) = graft.streaming.Metrics.observe(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in/*")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", s"$base/out")
+          .start()
+        q.awaitTermination()
+      }
+      val out = s.read.parquet(s"$base/out").filter(col("event_type") =!= "sentinel")
+      val nWindowRows = out.count()
+      val nEvents = out.agg(sum(col("n_events"))).head().getLong(0)
+      val nDropped = metrics.frame(s)
+        .agg(sum(col("rows_dropped_late"))).head().getLong(0)
+      Seq((nWindowRows, nEvents, nDropped))
+        .toDF("n_window_rows", "n_events_counted", "n_dropped_late")
+    }),
+
     // streaming ONLINE near-dup admission: LSH band buckets are
     // claimed by every document that flows past; a doc is admitted
     // only if all its buckets are unclaimed. Input staged in three
@@ -2395,6 +2450,18 @@ object SparkEntry {
     "store_cdc_apply" -> cdcApplySql,
     // any micro-batch partition of the log converges to the same table
     "stream_cdc_apply" -> cdcApplySql,
+
+    // late rows (the re-sent %10 slice, arriving beyond the advanced
+    // watermark) contribute NOTHING to the windowed aggregate; the
+    // engine's drop counter ticks once per late (window, type) group
+    // (the drop runs post-partial-aggregation)
+    "stream_late_drop_counts" ->
+      ("SELECT (SELECT CAST(count(*) AS BIGINT) FROM " +
+        "(SELECT DISTINCT date_trunc('hour', ts), event_type FROM events) t) AS n_window_rows, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events_counted, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM " +
+        "(SELECT DISTINCT date_trunc('hour', ts), event_type FROM events " +
+        "WHERE event_id % 10 = 0) u) AS n_dropped_late"),
 
     // the listener's per-batch input-row counts are the staged file
     // sizes — one file per batch under maxFilesPerTrigger=1

@@ -35,6 +35,7 @@ final class Metrics extends StreamingQueryListener {
       inputRows: Long,
       stateRows: Long,
       stateRowsUpdated: Long,
+      rowsDroppedLate: Long,
       watermark: String)
 
   private val started = java.util.concurrent.ConcurrentHashMap.newKeySet[UUID]()
@@ -57,6 +58,7 @@ final class Metrics extends StreamingQueryListener {
         p.numInputRows,
         state.map(_.numRowsTotal).sum,
         state.map(_.numRowsUpdated).sum,
+        state.map(_.numRowsDroppedByWatermark).sum,
         Option(p.eventTime.get("watermark")).getOrElse("")))
       ()
     }
@@ -83,14 +85,14 @@ final class Metrics extends StreamingQueryListener {
 
   /** The accumulated per-batch metrics as a DataFrame:
     * (query_name, run_id, batch_id, input_rows, state_rows,
-    * state_rows_updated, watermark). */
+    * state_rows_updated, rows_dropped_late, watermark). */
   def frame(spark: SparkSession): DataFrame = {
     val rows = batches.toArray(Array.empty[BatchMetric]).toSeq
       .map(m => (m.name, m.runId, m.batchId, m.inputRows,
-        m.stateRows, m.stateRowsUpdated, m.watermark))
+        m.stateRows, m.stateRowsUpdated, m.rowsDroppedLate, m.watermark))
     import spark.implicits._
     rows.toDF("query_name", "run_id", "batch_id", "input_rows",
-      "state_rows", "state_rows_updated", "watermark")
+      "state_rows", "state_rows_updated", "rows_dropped_late", "watermark")
   }
 }
 
