@@ -75,24 +75,30 @@ object Bpe {
   /** Train `nMerges` BPE merges over the corpus's words. Returns the
     * merge table (merge_rank, sym_a, sym_b, merged, cnt) in training
     * order — the artifact a tokenizer applies at encode time. */
-  def merges(docs: DataFrame, nMerges: Int): DataFrame = {
+  def merges(docs: DataFrame, nMerges: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
-    var words = vocab(docs).localCheckpoint(true)
+    // per-round lineage cuts, cluster-safe when checkpointDir is set —
+    // same discipline as Dedup.connectedComponents (see Lineage)
+    Lineage.prepare(docs, checkpointDir)
+    val reliable = checkpointDir.isDefined
+    var words = Lineage.cut(vocab(docs), reliable)
     val winners = (1 to nMerges).map { k =>
-      val win = pairCounts(words)
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
-        .select(lit(k).as("merge_rank"), col("a").as("sym_a"),
-          col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
-          col("cnt"))
-        .localCheckpoint(true)
-      words = words
-        .crossJoin(broadcast(win))
-        .withColumn("seq", applyMerge(col("seq"),
-          concat(lit("|"), col("sym_a"), lit("|"), col("sym_b"), lit("|")),
-          concat(lit("|"), col("merged"), lit("|"))))
-        .select(col("word"), col("freq"), col("seq"))
-        .localCheckpoint(true)
+      val win = Lineage.cut(
+        pairCounts(words)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .select(lit(k).as("merge_rank"), col("a").as("sym_a"),
+            col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+            col("cnt")),
+        reliable)
+      words = Lineage.cut(
+        words
+          .crossJoin(broadcast(win))
+          .withColumn("seq", applyMerge(col("seq"),
+            concat(lit("|"), col("sym_a"), lit("|"), col("sym_b"), lit("|")),
+            concat(lit("|"), col("merged"), lit("|"))))
+          .select(col("word"), col("freq"), col("seq")),
+        reliable)
       win
     }
     winners.reduce(_ union _)

@@ -73,12 +73,18 @@ object Dedup {
     *    cluster-memory bomb at 100 TB).
     */
   def jaccardPairs(docs: DataFrame, topN: Int, maxDf: Int = 100): DataFrame = {
-    val rare = shingleSets(docs)
+    // materialize the postings ONCE (eager localCheckpoint — the repo's
+    // exchange-reuse discipline, see TextOps.shardAssignments): the
+    // df-cap aggregate and the capped posting join both read the
+    // materialized blocks instead of each re-running tokenize+explode,
+    // which at 100 TB is this operator's dominant cost
+    val posts = shingleSets(docs).localCheckpoint(true)
+    val rare = posts
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("shingle"))
-    val sh = shingleSets(docs).join(rare, Seq("shingle"), "left_semi")
+    val sh = posts.join(rare, Seq("shingle"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -111,12 +117,14 @@ object Dedup {
     * per-doc count, and only doc_a's size is needed so the asymmetry
     * costs one join, not two. */
   def containmentPairs(docs: DataFrame, minC: Double, maxDf: Int = 100): DataFrame = {
-    val rare = shingleSets(docs)
+    // postings materialized once — same reasoning as [[jaccardPairs]]
+    val posts = shingleSets(docs).localCheckpoint(true)
+    val rare = posts
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("shingle"))
-    val sh = shingleSets(docs).join(rare, Seq("shingle"), "left_semi")
+    val sh = posts.join(rare, Seq("shingle"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -288,7 +296,11 @@ object Dedup {
     * Returns (doc_id, component_id, is_keeper): component_id = min
     * doc_id reachable, keeper = the doc equal to it. Docs with no
     * shingles (or no collisions) are their own singleton component. */
-  def dedupComponents(docs: DataFrame, bands: Int = 4, maxRounds: Int = 20): DataFrame = {
+  def dedupComponents(
+      docs: DataFrame,
+      bands: Int = 4,
+      maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     // hub per bucket as a tiny aggregate joined back onto the signatures
     // (NOT a window over the full signature list — the aggregate avoids
     // the bucket-wide sort and stays broadcast-able under AQE, the same
@@ -302,7 +314,8 @@ object Dedup {
       .distinct()
     docs.select(col("doc_id"))
       .join(
-        connectedComponents(edges, maxRounds).withColumnRenamed("node", "doc_id"),
+        connectedComponents(edges, maxRounds, checkpointDir)
+          .withColumnRenamed("node", "doc_id"),
         Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -318,19 +331,25 @@ object Dedup {
     * in). Per-round cost is two aggregates + two equi-joins over a
     * shrinking edge set; the driver sees only an O(1) convergence probe
     * per round. */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // Eager localCheckpoint: materializes the edge set once AND cuts the
-    // logical plan, so each contraction round plans over a flat scan
-    // instead of a lineage that doubles per round (a persist-only
-    // formulation re-analyzes the full history every round — measured
-    // minutes at 20 rounds even on 500 docs). On a real cluster swap for
-    // reliable checkpoint(dir); blocks are freed per round below.
-    var stars = edges.select(col("src"), col("dst")).localCheckpoint(true)
+  def connectedComponents(
+      edges: DataFrame,
+      maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Each round materializes its edge set AND cuts the logical plan,
+    // so the next round plans over a flat scan instead of a lineage
+    // that doubles per round (a persist-only formulation re-analyzes
+    // the full history every round — measured minutes at 20 rounds even
+    // on 500 docs). `checkpointDir` picks the cluster-safe reliable
+    // checkpoint over executor-local blocks — see [[Lineage]]; blocks
+    // are freed per round below.
+    Lineage.prepare(edges, checkpointDir)
+    val reliable = checkpointDir.isDefined
+    var stars = Lineage.cut(edges.select(col("src"), col("dst")), reliable)
     var prevCnt = stars.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(stars)).localCheckpoint(true)
+      val next = Lineage.cut(smallStar(largeStar(stars)), reliable)
       val cnt = next.count()
       // fixpoint test: small∘large is deterministic, so an unchanged
       // edge set means every further round is a no-op — and the only
@@ -341,7 +360,7 @@ object Dedup {
       // free the previous round's checkpoint blocks NOW — leaving them
       // for driver GC strands rounds × partitions blocks per call and
       // measurably degrades later queries in the same session
-      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(stars)
+      Lineage.free(stars)
       stars = next
       prevCnt = cnt
       round += 1

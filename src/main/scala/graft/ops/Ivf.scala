@@ -140,11 +140,19 @@ object Ivf {
     * part of the certified semantics, not hidden approximation.
     * Returns (vec_id, component_id, is_keeper) for the whole corpus
     * (non-duplicated vectors are their own singleton component). */
-  def semanticComponents(corpus: DataFrame, threshold: Double, k: Int, iters: Int = 2): DataFrame = {
+  def semanticComponents(
+      corpus: DataFrame,
+      threshold: Double,
+      k: Int,
+      iters: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
     // materialize the assignments once: the pair join reads them as BOTH
     // sides, and without the checkpoint each side re-runs the whole
-    // Lloyd chain (broadcast joins don't produce a reusable exchange)
-    val assigned = index(corpus, k, iters)._1.localCheckpoint()
+    // Lloyd chain (broadcast joins don't produce a reusable exchange);
+    // checkpointDir upgrades this and the CC loop to reliable
+    // checkpoints (executor-loss-safe on a real cluster — see Lineage)
+    Lineage.prepare(corpus, checkpointDir)
+    val assigned = Lineage.cut(index(corpus, k, iters)._1, checkpointDir.isDefined)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("src"), col("embedding").as("ea"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("dst"), col("embedding").as("eb"))
     val edges = a.join(b, Seq("centroid_id"))
@@ -153,7 +161,8 @@ object Ivf {
       .select(col("src"), col("dst"))
     corpus.select(col("vec_id"))
       .join(
-        Dedup.connectedComponents(edges).withColumnRenamed("node", "vec_id"),
+        Dedup.connectedComponents(edges, checkpointDir = checkpointDir)
+          .withColumnRenamed("node", "vec_id"),
         Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("component_id"), col("vec_id")).as("component_id"))

@@ -218,6 +218,21 @@ class OpsSpec extends SparkSpec {
     assert(labels.values.forall(_ === 1L))
   }
 
+  test("connectedComponents with a reliable checkpoint dir: same labels, files written") {
+    // the cluster-safe path: per-round cuts go to a real checkpoint
+    // dir (survives executor loss) instead of executor-local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = spark.range(1L, 60L).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val labels = Dedup.connectedComponents(edges, maxRounds = 12, Some(dir)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component_id")).toMap
+    assert(labels.size === 60)
+    assert(labels.values.forall(_ === 1L))
+    // the rounds really went through the reliable checkpoint
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no checkpoint files under $dir")
+  }
+
   test("deduplicate applies precomputed components as a pure semi-join") {
     val d = docs((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "ii jj kk ll"))
     val comps = Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
