@@ -28,6 +28,37 @@ object Sinks {
       joined.filter(col("n_failures") >= maxAttempts))
   }
 
+  /** S5's optional external-DB half (SURVEY §2 S5): a generic upsert
+    * (MERGE) sink for `writeStream.foreachBatch` — each batch's rows
+    * REPLACE the table's same-key rows, all other rows pass through,
+    * mirroring the reference's per-order `INSERT ... / UPDATE orders
+    * SET status=...` transaction (reference src/order_processor/
+    * app.py:66-118). Engine-native target: a parquet snapshot chain
+    * with [[SnapshotIngest]]'s exactly-once retry contract (read
+    * newest-strictly-before, overwrite own batchId, prune keeping the
+    * predecessor); read it back with [[SnapshotIngest.finalState]].
+    *
+    * Against a live external DB, the swap is the fold body only:
+    * `(b, _) => b.write.mode("append").jdbc(url, table, props)` onto a
+    * PRIMARY-KEY table with an upsert handler (MySQL `ON DUPLICATE KEY
+    * UPDATE`, Postgres `ON CONFLICT DO UPDATE`), which is then
+    * idempotent under batch retry BY KEY the same way this chain is.
+    * No MySQL ships in this sandbox, so the parquet analog is the
+    * certified path.
+    *
+    * Rows are replaced per KEY; if one batch carries several rows of a
+    * key, all survive — pre-aggregate the batch (e.g. newest per key)
+    * when last-write-wins within a batch is wanted, exactly as a JDBC
+    * upsert loop would need. */
+  def upsertSink(stateDir: String, keys: Seq[String]): (DataFrame, Long) => Unit =
+    SnapshotIngest.foldBatch(stateDir) {
+      case (None, batch) => batch
+      case (Some(table), batch) =>
+        table
+          .join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(batch)
+    }
+
   /** ST3 — the notifier deliberately swallows per-record errors
     * (reference src/notification_sender/app.py:24-26): log-and-drop,
     * never fail the batch. */

@@ -34,6 +34,7 @@ object SnapshotIngest {
       merge: (Option[DataFrame], DataFrame) => DataFrame): Int = {
     StateDirs.ensure(spark.sparkContext.hadoopConfiguration, stateDir)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fold = foldBatch(stateDir)(merge)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$inDir/*")
@@ -41,13 +42,7 @@ object SnapshotIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val conf = ss.sparkContext.hadoopConfiguration
-        val prior = newestSnapshot(conf, stateDir, batchId).map(ss.read.parquet(_))
-        merge(prior, batch)
-          .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
-        StateDirs.list(conf, stateDir, "state_", batchId - 1)
-          .foreach { case (_, p) => StateDirs.delete(conf, p) }
+        fold(batch, batchId)
         batches.incrementAndGet()
         ()
       }
@@ -55,6 +50,25 @@ object SnapshotIngest {
     q.awaitTermination()
     batches.get()
   }
+
+  /** The per-batch snapshot fold as a plain `foreachBatch` function —
+    * the building block [[run]] drives, reusable by any writeStream
+    * (e.g. [[Sinks.upsertSink]]): read the newest snapshot strictly
+    * before this batchId, merge, write `state_batchId`, prune keeping
+    * the immediate predecessor. */
+  def foldBatch(stateDir: String)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val ss = batch.sparkSession
+      val conf = ss.sparkContext.hadoopConfiguration
+      StateDirs.ensure(conf, stateDir)
+      val prior = newestSnapshot(conf, stateDir, batchId).map(ss.read.parquet(_))
+      merge(prior, batch)
+        .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
+      StateDirs.list(conf, stateDir, "state_", batchId - 1)
+        .foreach { case (_, p) => StateDirs.delete(conf, p) }
+      ()
+    }
 
   /** The newest snapshot — the queryable state. */
   def finalState(spark: SparkSession, stateDir: String): DataFrame =

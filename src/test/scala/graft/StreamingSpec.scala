@@ -295,6 +295,31 @@ class StreamingSpec extends SparkSpec {
     assert(sums === Map(1L -> 15L, 2L -> 20L))
   }
 
+  test("upsertSink: batch rows replace same-key table rows; others pass through") {
+    import graft.streaming.{Sinks, SnapshotIngest}
+    val base = tmp("graft-upsert")
+    // f0 inserts k1,k2; f1 updates k2 and inserts k3 — MERGE semantics
+    val f0 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "status", "v")
+    val f1 = Seq((2L, "b2", 21L), (3L, "c", 30L)).toDF("k", "status", "v")
+    f0.coalesce(1).write.parquet(s"$base/in/f0")
+    f1.coalesce(1).write.parquet(s"$base/in/f1")
+    val now = System.currentTimeMillis()
+    Seq(("f0", now - 60000L), ("f1", now - 20000L)).foreach { case (n, t) =>
+      new java.io.File(s"$base/in/$n").listFiles().foreach(_.setLastModified(t))
+    }
+    val q = spark.readStream.schema(f0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/*")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(Sinks.upsertSink(s"$base/table", Seq("k")))
+      .start()
+    q.awaitTermination()
+    val table = SnapshotIngest.finalState(spark, s"$base/table")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(table === Set((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
+  }
+
   test("Metrics listener: per-batch input rows across retry passes; state rows and watermark") {
     import graft.streaming.{Metrics, RetryLoop}
     val base = tmp("graft-metrics-spec")
