@@ -2134,10 +2134,11 @@ object SparkEntry {
         "sb AS (SELECT i AS row, " +
         "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS bucket, " +
         "CAST(count(*) AS BIGINT) AS cnt_b FROM customer CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2), " +
-        "e AS (SELECT row, sum(cnt_a * cnt_b) AS est FROM sa JOIN sb USING (row, bucket) GROUP BY row) " +
-        "SELECT CAST(min(est) AS BIGINT) AS n_est, " +
+        "e AS (SELECT row, sum(cnt_a * cnt_b) AS est FROM sa JOIN sb USING (row, bucket) GROUP BY row), " +
+        "r AS (SELECT DISTINCT row FROM (SELECT row FROM sa UNION ALL SELECT row FROM sb) u) " +
+        "SELECT CAST(min(COALESCE(e.est, 0)) AS BIGINT) AS n_est, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey) AS n_exact " +
-        "FROM e"),
+        "FROM r LEFT JOIN e USING (row)"),
 
     // the quadratic ground truth the blocked deletion-neighborhood join
     // must reproduce exactly (same perturbation, same threshold)

@@ -58,12 +58,20 @@ object Cms {
     * broadcast decisions when stats are stale. Sketches are d·w cells
     * regardless of table size and mergeable across partitions/shards,
     * so the estimate costs two bounded aggregates, not a join. */
-  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
-    skA.withColumnRenamed("cnt", "cnt_a")
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame = {
+    // a hash row whose cell sets don't overlap at all has TRUE inner
+    // product 0 — it must stay in the min as 0, not vanish from the
+    // inner join's groupBy (disjoint key sets would otherwise return
+    // an empty frame, and partial overlap would inflate the min)
+    val rows = skA.select(col("row"))
+      .unionByName(skB.select(col("row"))).distinct()
+    val prod = skA.withColumnRenamed("cnt", "cnt_a")
       .join(skB.withColumnRenamed("cnt", "cnt_b"), Seq("row", "bucket"))
       .groupBy(col("row"))
       .agg(sum(col("cnt_a") * col("cnt_b")).as("est"))
-      .agg(min(col("est")).as("n_est"))
+    rows.join(prod, Seq("row"), "left")
+      .agg(coalesce(min(coalesce(col("est"), lit(0L))), lit(0L)).as("n_est"))
+  }
 
   /** Point-query `queries` (a frame with a `word` column) against a
     * sketch: estimate = min over the d rows of the counter each hash

@@ -20,24 +20,37 @@ import org.apache.spark.sql.functions._
 object Diff {
 
   /** (keys..., change_type) for every key whose presence or compared
-    * columns differ between `oldDf` and `newDf`. */
+    * columns differ between `oldDf` and `newDf`. Keys join NULL-SAFELY
+    * (`<=>` — still a hash-joinable equi-key), so a row whose key
+    * columns contain NULL matches its counterpart instead of being
+    * reported as both removed and added; working columns carry a
+    * `__graft_` prefix so user columns cannot collide with them. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keys: Seq[String], compareCols: Seq[String]): DataFrame = {
     val o = oldDf.select((keys ++ compareCols).map(col): _*)
-      .withColumn("__old", lit(1))
-      .withColumnsRenamed(compareCols.map(c => c -> s"__o_$c").toMap)
+      .withColumn("__graft_old", lit(1))
+      .withColumnsRenamed(
+        (keys.map(c => c -> s"__graft_ko_$c") ++
+          compareCols.map(c => c -> s"__graft_o_$c")).toMap)
     val n = newDf.select((keys ++ compareCols).map(col): _*)
-      .withColumn("__new", lit(1))
-      .withColumnsRenamed(compareCols.map(c => c -> s"__n_$c").toMap)
+      .withColumn("__graft_new", lit(1))
+      .withColumnsRenamed(
+        (keys.map(c => c -> s"__graft_kn_$c") ++
+          compareCols.map(c => c -> s"__graft_n_$c")).toMap)
+    val keyCond = keys
+      .map(k => col(s"__graft_ko_$k") <=> col(s"__graft_kn_$k"))
+      .reduce(_ && _)
     val changed = compareCols
-      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .map(c => !(col(s"__graft_o_$c") <=> col(s"__graft_n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    o.join(n, keys, "full_outer")
+    o.join(n, keyCond, "full_outer")
       .withColumn("change_type",
-        when(col("__old").isNull, lit("added"))
-          .when(col("__new").isNull, lit("removed"))
+        when(col("__graft_old").isNull, lit("added"))
+          .when(col("__graft_new").isNull, lit("removed"))
           .when(changed, lit("changed")))
       .filter(col("change_type").isNotNull)
-      .select(keys.map(col) :+ col("change_type"): _*)
+      .select(keys.map(k =>
+        coalesce(col(s"__graft_ko_$k"), col(s"__graft_kn_$k")).as(k))
+        :+ col("change_type"): _*)
   }
 }

@@ -145,8 +145,11 @@ object EventWindows {
     * per-user path reduces to ONE string and the subsequence test to
     * ONE anchored regex over it — no k-way self-join, no per-step
     * state; cost is the per-user aggregate everyone already pays.
-    * The regex anchors every step at a comma boundary, so event types
-    * that are substrings of others cannot false-match. Rows with null
+    * The regex anchors every step at a separator boundary (a U+0001
+    * field separator that, unlike a comma, cannot plausibly occur
+    * inside an event type — and rows containing it are dropped), so
+    * event types that are substrings or comma-joinings of others
+    * cannot false-match. Rows with null
     * user/type/ts are dropped on BOTH engines up front (null ordering
     * differs between them, so they must never reach the sort).
     *
@@ -159,17 +162,24 @@ object EventWindows {
     // metacharacter-bearing event type cannot change the semantics
     require(pattern.forall(_.matches("[A-Za-z0-9_]+")),
       s"pattern steps must be word characters, got $pattern")
-    val rx = pattern.mkString("(^|,)", ",(.*,)?", "(,|$)")
+    // the path string joins on \u0001, not ',' — an event_type
+    // containing the display delimiter (e.g. "view,click") must stay
+    // ONE opaque token, not inject false step boundaries; rows whose
+    // type contains the separator itself are dropped (they can never
+    // equal a word-character pattern step, and keeping them would
+    // corrupt the path)
+    val d = "\u0001"
+    val rx = pattern.mkString(s"(^|$d)", s"$d(.*$d)?", s"($d|$$)")
     events
       .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
-        col("ts").isNotNull)
+        col("ts").isNotNull && !col("event_type").contains(d))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
       .select(
         col("user_id"),
         size(col("evs")).as("n_events"),
-        array_join(transform(col("evs"), e => e.getField("event_type")), ",")
+        array_join(transform(col("evs"), e => e.getField("event_type")), d)
           .rlike(rx).as("matched"))
   }
 }

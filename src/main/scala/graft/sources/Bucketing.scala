@@ -136,6 +136,11 @@ object Bucketing {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(inDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mode(overwrite) deletes the target before the LAZY read executes —
+    // compacting in place would destroy the source mid-job
+    require(fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)) !=
+      fs.makeQualified(p),
+      s"outDir must differ from inDir ($inDir): overwrite would delete the source before the read runs")
     val it = fs.listFiles(p, true)
     var total = 0L
     while (it.hasNext) {
@@ -143,8 +148,14 @@ object Bucketing {
       if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
     }
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir).coalesce(n)
-      .write.mode("overwrite").parquet(outDir)
+    val df = spark.read.parquet(inDir)
+    // coalesce can only DECREASE partition count: a fragmented input
+    // that reads as fewer partitions than n (small files merged by
+    // maxPartitionBytes) must repartition up or the promised file
+    // count/sizes are silently not met
+    val sized =
+      if (df.rdd.getNumPartitions < n) df.repartition(n) else df.coalesce(n)
+    sized.write.mode("overwrite").parquet(outDir)
     n
   }
 }

@@ -199,5 +199,15 @@ class BucketingSpec extends SparkSpec {
     val back = spark.read.parquet(s"$base/out")
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
     assert(back.count() === 10000L)
+    // splitting UP: tiny fragments that read as fewer partitions than
+    // the promised file count must repartition, not silently under-split
+    val outBytes = parquets(s"$base/out").map(_.length()).sum
+    val n2 = Bucketing.compactFiles(spark, s"$base/out", s"$base/out2", outBytes / 10 + 1)
+    assert(n2 === 10 && parquets(s"$base/out2").size === 10)
+    assert(spark.read.parquet(s"$base/out2").count() === 10000L)
+    // in-place compaction would delete the source before the lazy read
+    intercept[IllegalArgumentException] {
+      Bucketing.compactFiles(spark, s"$base/out", s"$base/out", target)
+    }
   }
 }

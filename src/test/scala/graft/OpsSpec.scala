@@ -1000,6 +1000,48 @@ class OpsSpec extends SparkSpec {
     assert(r2(9L) === true)
   }
 
+  test("sequenceMatch: a delimiter-bearing event type cannot inject step boundaries") {
+    import graft.ops.EventWindows
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // user 5 has NO click event — "view,click" is one (malformed) type;
+    // with a comma-joined path it would falsely complete view→click
+    val ev = Seq(
+      (1L, t(1), 5L, "view"), (2L, t(2), 5L, "view,click"), (3L, t(3), 5L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventWindows.sequenceMatch(ev, Seq("view", "click"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r === Map(5L -> false))
+  }
+
+  test("joinSizeEstimate: disjoint key sets estimate 0, not an empty frame") {
+    import graft.ops.Cms
+    val a = Seq.tabulate(50)(i => s"a$i").toDF("k")
+    val b = Seq.tabulate(50)(i => s"b$i").toDF("k")
+    val ska = Cms.sketchValues(a, col("k"), 4, 64)
+    val skb = Cms.sketchValues(b, col("k"), 4, 64)
+    val est = Cms.joinSizeEstimate(ska, skb).collect()
+    assert(est.length === 1)
+    // one-sided: est >= exact (= 0); a row with zero cell overlap must
+    // pull the min toward 0 rather than vanish from it
+    assert(est(0).getLong(0) >= 0L)
+    // the self-join estimate stays exact-or-over, sanity anchor
+    val self = Cms.joinSizeEstimate(ska, ska).collect()(0).getLong(0)
+    assert(self >= 50L)
+  }
+
+  test("snapshotDiff: NULL keys match null-safely; __-prefixed user columns survive") {
+    import graft.ops.Diff
+    val old = Seq((Some(1L), "a"), (None, "n"), (Some(3L), "c"))
+      .toDF("k", "v")
+    val neu = Seq((Some(1L), "a"), (None, "n2"), (Some(4L), "d"))
+      .toDF("k", "v")
+    val d = Diff.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    // NULL key: matched pair, value changed — NOT removed+added
+    assert(d === Map(-1L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("cosine_similarity SQL function plans the same fused native expression") {
     org.apache.spark.sql.graftbridge.FunctionBridge.registerFunction(
       spark, graft.functions.VectorExpressions.cosineFunction)
