@@ -78,8 +78,16 @@ object Bench {
         java.nio.file.Paths.get("target/bench.json"),
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => () }
+    // a short total-only line FIRST: even if the capture window clips
+    // the front of the full line, the round's headline number exists on
+    // its own parseable line (r5 lost its total to exactly this)
+    println(s"""{"metric":"total","value":${renderTotal(results)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     println(json)
   }
+
+  private def renderTotal(results: Seq[(String, Double)]): String =
+    BigDecimal(results.map(_._2).filter(_ >= 0).sum)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
   /** The stdout timings line, guaranteed to fit the harness's captured
     * log tail. The capture window is a FIXED byte count from the end of

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** A constant-but-unfoldable window partition key for the DELIBERATE
+    * single-partition windows in this file (all over frames of at most
+    * a few dozen rows). A bare `lit(0)` is constant-folded OUT of the
+    * partition spec, which re-empties it and re-fires WindowExec's "No
+    * Partition Defined" WARN into every bench log — burying real
+    * single-partition regressions. `coalesce` short-circuits on the
+    * literal, so the non-deterministic branch never evaluates and the
+    * key is deterministically 0; its only job is to be unfoldable. */
+  private def onePartitionKey: Column = coalesce(lit(0), rand())
+
   /** Whitespace tokenizer (single-space contract of the corpus; a
     * BPE-ish regex tokenizer is `tokensRegex`). */
   def tokens(text: Column): Column = split(text, " ")
@@ -345,8 +355,12 @@ object TextOps {
     require(frac > 0.0 && frac <= 1.0, "frac must be in (0,1]")
     val scored = qualityScores(docs)
     val hist = scored.groupBy(col("quality_score")).agg(count(lit(1)).as("cnt"))
-    // ≤4-row frame: the unpartitioned window is deliberate and cheap
-    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score").desc)
+    // ≤4-row frame: the single-partition window is deliberate and
+    // cheap; partitioning on onePartitionKey keeps WindowExec's "No
+    // Partition Defined" WARN out of bench logs, where it would mask
+    // REAL single-partition regressions
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(onePartitionKey).orderBy(col("quality_score").desc)
     val thr = hist
       .withColumn("cum_ge", sum(col("cnt")).over(cumW))
       .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_total"))))
@@ -389,9 +403,11 @@ object TextOps {
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val offsets = toks.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
-      // ≤(shuffle partitions) rows: the unpartitioned window is deliberate
+      // ≤(shuffle partitions) rows: the single-partition window is
+      // deliberate; onePartitionKey silences the WindowExec WARN
+      // (same reasoning as qualityFilter's histogram scan)
       .withColumn("offset",
-        coalesce(sum(col("ptotal")).over(w.orderBy(col("pid"))) - col("ptotal"), lit(0L)))
+        coalesce(sum(col("ptotal")).over(w.partitionBy(onePartitionKey).orderBy(col("pid"))) - col("ptotal"), lit(0L)))
       .select(col("pid"), col("offset"))
     toks.join(broadcast(offsets), Seq("pid"))
       .withColumn("cum_before",

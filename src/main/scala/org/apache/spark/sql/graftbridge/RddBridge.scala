@@ -20,9 +20,15 @@ object RddBridge {
   // read again), so that ONE logger is pinned above WARN once. Scoped
   // to the RDD class only — nothing else logs through it in this
   // engine's paths.
-  try org.apache.logging.log4j.core.config.Configurator.setLevel(
-    classOf[RDD[_]].getName, org.apache.logging.log4j.Level.ERROR)
-  catch { case scala.util.control.NonFatal(_) => () }
+  // Spark's Logging trait logs through the CONCRETE class's logger, so
+  // the checkpointed frames' MapPartitionsRDD needs its own pin beside
+  // the RDD base class (still class-scoped, not the whole rdd package).
+  try {
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      classOf[RDD[_]].getName, org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[RDD[_]] =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
