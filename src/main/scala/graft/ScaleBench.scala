@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: synthesize an `N`×-documents/embeddings corpus from
+  * an existing SF dir and time the heavy-tail document/embedding
+  * queries on both, printing per-query scaling ratios — the empirical
+  * check that nothing in the dedup/text/ANN families is quietly
+  * super-linear before the 100 TB design claims are pressed.
+  *
+  * `runMain graft.ScaleBench [baseSfDir] [factor] [synthDir]`.
+  *
+  * Replicas are DIVERSIFIED, not copied: every (5k+r)-th token of
+  * replica r gets a replica-specific suffix, so 5-gram shingles break
+  * and the synthetic corpus scales the DISTINCT-content axis (the
+  * null hypothesis for scaling exponents) rather than planting a 10×
+  * duplicate pile-up; embeddings get a per-replica deterministic
+  * offset for the same reason. doc/vec ids are offset per replica to
+  * stay unique.
+  */
+object ScaleBench {
+
+  private val heavyTail = Seq(
+    "dedup_components", "dedup_minhash_verified", "dedup_minhash_buckets",
+    "dedup_jaccard_pairs", "dedup_containment_pairs", "dedup_semantic",
+    "dedup_exact_groups", "dedup_simhash",
+    "text_dup_span_fraction", "text_ngram_decontam", "text_tfidf",
+    "text_bm25_topk", "text_quality_filter", "text_shard_assignments",
+    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ivf_topk", "emb_ivfpq_topk")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val synthDir = if (args.length > 2) args(2)
+      else java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    synthesize(spark, baseDir, synthDir, factor)
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count() // warm plan/JIT
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
+    }
+
+    val rows = heavyTail.flatMap { name =>
+      try {
+        val base = time(name, baseDir)
+        val big = time(name, synthDir)
+        val ratio = big / base
+        println(f"SCALE $name%-28s base=$base%7.2fs x$factor%d=$big%7.2fs ratio=$ratio%5.2f")
+        Some((name, base, big, ratio))
+      } catch {
+        case e: Throwable =>
+          println(s"SCALE $name FAILED: ${e.toString.take(120)}")
+          None
+      }
+    }
+    val js = rows.map { case (n, b, g, r) =>
+      f"""\"$n\":{\"base\":$b%.2f,\"scaled\":$g%.2f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_rehearsal","factor":$factor,"queries":$js}""")
+    spark.stop()
+  }
+
+  /** Write factor× documents + embeddings (diversified replicas) into
+    * `synthDir`; all other tables are passed through by reference
+    * (symlink-free: re-written once) so registered queries that touch
+    * the star schema still run. */
+  def synthesize(spark: SparkSession, baseDir: String, synthDir: String, factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
+    val bigDocs = docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+        array_join(
+          zip_with(
+            split(col("text"), " "),
+            sequence(lit(0), size(split(col("text"), " ")) - 1),
+            (w, i) => when(pmod(i, lit(5)) === pmod(col("rep"), lit(5)),
+              concat(w, lit("x"), col("rep").cast("string"))).otherwise(w)),
+          " ").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    bigDocs.write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
+    val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    embs.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + (col("rep").cast("float") - lit(factor.toFloat) / 2) * lit(0.01f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
+    // star-schema passthrough for queries that also read orders etc.
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
+      .foreach { t =>
+        val src = s"$baseDir/$t.parquet"
+        if (new java.io.File(src).exists())
+          org.apache.hadoop.fs.FileUtil.copy(
+            org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+            new org.apache.hadoop.fs.Path(src),
+            org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+            new org.apache.hadoop.fs.Path(s"$synthDir/$t.parquet"),
+            false, spark.sparkContext.hadoopConfiguration)
+      }
+    ()
+  }
+}

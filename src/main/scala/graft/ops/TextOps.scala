@@ -22,10 +22,14 @@ object TextOps {
     * a few dozen rows). A bare `lit(0)` is constant-folded OUT of the
     * partition spec, which re-empties it and re-fires WindowExec's "No
     * Partition Defined" WARN into every bench log — burying real
-    * single-partition regressions. `coalesce` short-circuits on the
-    * literal, so the non-deterministic branch never evaluates and the
-    * key is deterministically 0; its only job is to be unfoldable. */
-  private def onePartitionKey: Column = coalesce(lit(0), rand())
+    * single-partition regressions (so is `coalesce(lit(0), rand())`:
+    * Catalyst's Coalesce simplification truncates at the first
+    * non-nullable child and the remaining literal folds away —
+    * verified against the optimized windowspecdefinition). `pmod(hash
+    * (c), 1)` is 0 for every row but anchored on a real column through
+    * an opaque hash, so no current rule can fold it; the per-row cost
+    * is one hash over a ≤few-dozen-row frame. */
+  private def onePartitionKey(c: Column): Column = pmod(hash(c), lit(1))
 
   /** Whitespace tokenizer (single-space contract of the corpus; a
     * BPE-ish regex tokenizer is `tokensRegex`). */
@@ -360,7 +364,8 @@ object TextOps {
     // Partition Defined" WARN out of bench logs, where it would mask
     // REAL single-partition regressions
     val cumW = org.apache.spark.sql.expressions.Window
-      .partitionBy(onePartitionKey).orderBy(col("quality_score").desc)
+      .partitionBy(onePartitionKey(col("quality_score")))
+      .orderBy(col("quality_score").desc)
     val thr = hist
       .withColumn("cum_ge", sum(col("cnt")).over(cumW))
       .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_total"))))
@@ -407,7 +412,7 @@ object TextOps {
       // deliberate; onePartitionKey silences the WindowExec WARN
       // (same reasoning as qualityFilter's histogram scan)
       .withColumn("offset",
-        coalesce(sum(col("ptotal")).over(w.partitionBy(onePartitionKey).orderBy(col("pid"))) - col("ptotal"), lit(0L)))
+        coalesce(sum(col("ptotal")).over(w.partitionBy(onePartitionKey(col("pid"))).orderBy(col("pid"))) - col("ptotal"), lit(0L)))
       .select(col("pid"), col("offset"))
     toks.join(broadcast(offsets), Seq("pid"))
       .withColumn("cum_before",
