@@ -605,6 +605,19 @@ object SparkEntry {
       graft.sources.Bucketing.compactFiles(s, s"$base/frag", s"$base/out", 1L << 20)
       s.read.parquet(s"$base/out").orderBy(col("o_orderkey"))
     }),
+    // file-level min/max data skipping: range-clustered write + one
+    // stats-build scan → a planning-time index probe reads ONLY the
+    // overlapping files; pruning must be result-invisible vs the
+    // oracle's full-table filter (the spec asserts the file list
+    // actually shrank)
+    "store_fileskip_scan" -> ((s, d) => withTempDir("graft-fileskip") { base =>
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+      graft.sources.Bucketing.writeSorted(o, s"$base/orders", "o_orderkey", numFiles = 16)
+      graft.sources.FileSkip.buildStats(s, s"$base/orders", Seq("o_orderkey"))
+      graft.sources.FileSkip.scanPruned(s, s"$base/orders", "o_orderkey", 1000L, 4000L)
+        .orderBy(col("o_orderkey"))
+    }),
     // schema evolution on the read path: files written before a column
     // existed merge with later files, the missing column null-backfilled
     // (mergeSchema reconciles footers at planning time — at 100 TB pin
@@ -818,6 +831,18 @@ object SparkEntry {
       graft.ops.Pca.residualNorms(emb, graft.ops.Pca.direction(emb, 2))
         .orderBy(col("vec_id"))
     }),
+    // PageRank over the 5-NN cosine graph: graph-centrality as a
+    // representativeness score (the link-graph quality prior of web
+    // curation, on the similarity graph). Certification edges are the
+    // quadratic brute-force kNN (oracle-replayable); at scale the edge
+    // source swaps to the ANN candidates. Five float-quantized damped
+    // iterations, replayed as a SQL CTE chain to hash equality
+    "emb_pagerank" -> ((s, d) =>
+      graft.ops.PageRank.ranks(
+        graft.ops.PageRank.knnEdges(Tables.embeddings(s, d), 5),
+        damping = 0.85, iters = 5)
+        .select(col("node").as("vec_id"), round(col("rank"), 8).as("pr"))
+        .orderBy(col("vec_id"))),
     // SemDeDup: semantic dedup DECISIONS over an augmented corpus with
     // planted float-quantized near-copies (every 5th vector, dim-1
     // ×1.01) — cluster (IVF), edge within-cluster pairs ≥ 0.99 cosine,
@@ -1801,6 +1826,20 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))"
 
+  /** One damped PageRank iteration as a CTE, mirroring
+    * [[graft.ops.PageRank.ranks]]'s update to the float-quantized bit
+    * (the Pca-chain discipline): contribution sum in double, update
+    * expression double throughout (decimal literals cast explicitly —
+    * DuckDB parses bare 0.85 as DECIMAL, whose exact arithmetic
+    * diverges from IEEE before quantization), then CAST to REAL. */
+  private def pagerankIterSql(i: Int): String =
+    s"r$i AS (SELECT nodes.node, CAST(CAST(" +
+      "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) + " +
+      "CAST(0.85 AS DOUBLE) * COALESCE(cb.contrib, 0) AS REAL) AS DOUBLE) AS rank " +
+      "FROM nodes LEFT JOIN (SELECT k.dst, sum(r.rank / d.outdeg) AS contrib " +
+      s"FROM knn k JOIN r${i - 1} r ON k.src = r.node JOIN deg d ON k.src = d.src " +
+      "GROUP BY k.dst) cb ON nodes.node = cb.dst)"
+
   /** Two Lloyd iterations mirrored in SQL: seed from the 8 lowest ids,
     * assign (argmax cosine, centroid-id tiebreak), per-dim mean cast to
     * FLOAT (the quantization updateCentroids applies — also what keeps
@@ -2397,6 +2436,11 @@ object SparkEntry {
     "store_compacted_scan" ->
       ("SELECT o_orderkey, o_custkey, o_orderpriority FROM orders ORDER BY o_orderkey"),
 
+    // the stats-index pruned scan must equal the full-table filter
+    "store_fileskip_scan" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders " +
+        "WHERE o_orderkey BETWEEN 1000 AND 4000 ORDER BY o_orderkey"),
+
     // pre-evolution rows carry NULL in the later column
     "store_schema_merge" ->
       ("SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS cents " +
@@ -2747,6 +2791,21 @@ object SparkEntry {
         "SELECT vec_id, round(sqrt(list_sum(list_transform(" +
         "list_transform(range(1, len(ve)+1), i -> ve[i] - dot * v[i]), x -> x*x))), 4) AS residual_norm " +
         "FROM pr ORDER BY vec_id"),
+
+    // the full PageRank chain replayed: brute-force 5-NN edges (the
+    // emb_cosine_topk scoring shape), degree/node frames, then five
+    // float-quantized damped iterations r1..r5
+    "emb_pagerank" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, round(${cosSql("a.e", "b.e")}, 4) AS sim " +
+        "FROM c a CROSS JOIN c b WHERE b.vec_id <> a.vec_id), " +
+        "knn AS (SELECT src, dst FROM sc QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 5), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM knn GROUP BY src), " +
+        "nodes AS (SELECT src AS node FROM knn UNION SELECT dst FROM knn), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "r0 AS (SELECT node, CAST(CAST(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS REAL) AS DOUBLE) AS rank FROM nodes), " +
+        (1 to 5).map(pagerankIterSql).mkString(", ") + " " +
+        "SELECT node AS vec_id, round(rank, 8) AS pr FROM r5 ORDER BY vec_id"),
 
     "emb_ivf_assign" ->
       (s"WITH $ivfSql " +

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge frame — the graph-importance score a
+  * web-scale curation pipeline ranks documents with (link-graph
+  * centrality is a standard quality prior for crawl corpora; over a
+  * k-NN similarity graph it scores REPRESENTATIVENESS — central
+  * documents anchor clusters, rank-starved ones are outliers).
+  *
+  * Everything is relational: the graph is an edge DataFrame, ranks
+  * are a node DataFrame, and one iteration is one equi-join on `src`
+  * plus one `groupBy(dst)` aggregate — both shuffle on graph keys, so
+  * at 100 TB the work distributes exactly like every other keyed agg
+  * in this engine (partial map-side combine, AQE skew handling for
+  * celebrity nodes). The driver holds ONE scalar (the node count);
+  * ranks never leave the cluster.
+  *
+  * Semantics: the damped random surfer WITHOUT dangling-mass
+  * redistribution — nodes with out-degree 0 leak their damped mass,
+  * the same contract GraphX's `staticPageRank` ships (redistributing
+  * requires an extra global sum per iteration; callers that need it
+  * can append sink self-loops to the edge frame). A k-NN graph has
+  * uniform out-degree k, so no mass leaks in the certified query.
+  *
+  * Cross-engine determinism is the Pca/Lloyd discipline: each
+  * iterate's per-node rank is quantized to FLOAT after the update —
+  * the in-neighbor contribution sum is row-order-dependent at double
+  * precision (~n·ulp), far below float resolution — so a SQL replay
+  * of the chain (emb_pagerank's oracle) reproduces every iterate
+  * bit-exactly. Fixed iteration count, not convergence-tested:
+  * iterations are the caller's budget knob, and a data-dependent stop
+  * would make the plan depth data-dependent.
+  *
+  * Iterative-loop hygiene matches connectedComponents: every round
+  * [[Lineage.cut]]s the new ranks frame (localCheckpoint on local[n],
+  * reliable `checkpoint(dir)` under `checkpointDir` on a cluster) and
+  * [[Lineage.free]]s the previous round's blocks.
+  */
+object PageRank {
+
+  /** Ranks after `iters` damped iterations over `edges` (columns
+    * `src`, `dst`; parallel edges count once per occurrence). Returns
+    * (node, rank) for every node appearing as a src or dst, each
+    * iterate float-quantized per the determinism contract. */
+  def ranks(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0,1)")
+    require(iters >= 1, "need at least one iteration")
+    Lineage.prepare(edges, checkpointDir)
+    val reliable = checkpointDir.isDefined
+    // materialize the degree-annotated edges ONCE: every iteration
+    // re-reads them, and the out-degree join must not replay per round
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = Lineage.cut(edges.join(outdeg, "src"), reliable)
+    val nodes = Lineage.cut(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct(), reliable)
+    // the ONE driver scalar: |V|, a bounded O(1) aggregate (the
+    // documented exception class — same as Bloom's m/64 words)
+    val n = nodes.count()
+    val seed = (1.0 / n).toFloat.toDouble
+    val base = (1.0 - damping) / n
+    var ranks = Lineage.cut(nodes.select(col("node"), lit(seed).as("rank")), reliable)
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      val next = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(
+          nodes("node"),
+          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
+            .cast("float").cast("double").as("rank"))
+      val prev = ranks
+      ranks = Lineage.cut(next, reliable)
+      Lineage.free(prev)
+    }
+    ranks
+  }
+
+  /** k-NN similarity-graph edges for [[ranks]]: each vector's top-k
+    * cosine neighbors, via the fused codegen scorer. Quadratic
+    * all-pairs by construction — the CERTIFICATION edge source. At
+    * scale swap in [[Similarity.lshTopK]]/[[Ivf]] candidates: ranks()
+    * only sees (src, dst) and the ANN families are this engine's
+    * sub-quadratic neighbor generators. */
+  def knnEdges(corpus: DataFrame, k: Int): DataFrame =
+    Similarity.bruteForceTopKNative(
+      corpus,
+      corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+}

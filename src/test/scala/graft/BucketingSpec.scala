@@ -210,4 +210,31 @@ class BucketingSpec extends SparkSpec {
       Bucketing.compactFiles(spark, s"$base/out", s"$base/out", target)
     }
   }
+
+  test("file-skipping index prunes to overlapping files only, result-invisibly") {
+    import graft.sources.FileSkip
+    val base = java.nio.file.Files.createTempDirectory("graft-fileskip-spec").toString
+    val df = spark.range(10000L).select($"id", ($"id" % 13).as("g"))
+    Bucketing.writeSorted(df, s"$base/t", "id", numFiles = 10)
+    val nData = spark.read.parquet(s"$base/t").count()
+    FileSkip.buildStats(spark, s"$base/t", Seq("id"))
+    // the _stats dir must be invisible to plain readers of the table
+    assert(spark.read.parquet(s"$base/t").count() === nData)
+    val all = new java.io.File(s"$base/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // a narrow range over the range-clustered layout prunes hard:
+    // 1000 of 10000 ids live in ~1-2 of the 10 disjoint-range files
+    val cand = FileSkip.candidateFiles(spark, s"$base/t", "id", 2000L, 2999L)
+    assert(cand.nonEmpty && cand.length < all,
+      s"expected a strict subset, got ${cand.length} of $all files")
+    // pruning must be result-invisible vs the full-scan filter
+    val pruned = FileSkip.scanPruned(spark, s"$base/t", "id", 2000L, 2999L)
+    val full = spark.read.parquet(s"$base/t").filter($"id".between(2000L, 2999L))
+    assert(pruned.count() === 1000L)
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    // a range outside every file's extent reads nothing, schema intact
+    val none = FileSkip.scanPruned(spark, s"$base/t", "id", 50000L, 60000L)
+    assert(none.count() === 0L)
+    assert(none.schema === pruned.schema)
+  }
 }

@@ -1211,4 +1211,54 @@ class OpsSpec extends SparkSpec {
     assert(r2.keySet === Set("a", "b"))
     assert(r2("a") === 1.0 && math.abs(r2("b") - 0.25) < 1e-12)
   }
+
+  test("pageRank: cycle is uniform, hubs outrank leaves, mass conserved") {
+    import graft.ops.PageRank
+    // 3-cycle: uniform 1/3 is the exact stationary distribution, and
+    // the float-quantized update maps it to itself — every iterate
+    // stays at the float of 1/3
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cr = PageRank.ranks(cycle, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val third = (1.0 / 3).toFloat.toDouble
+    assert(cr.size === 3)
+    cr.values.foreach(v => assert(math.abs(v - third) < 1e-7))
+    // hub graph: every node has out-degree ≥ 1 → no dangling mass,
+    // ranks sum to 1; the in-degree-3 hub outranks every leaf
+    val hub = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
+    val hr = PageRank.ranks(hub, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(hr.values.sum - 1.0) < 1e-6)
+    assert(hr(1L) > hr(2L) && hr(2L) > hr(3L) && hr(3L) === hr(4L))
+  }
+
+  test("pageRank: dangling nodes leak mass (documented contract); reliable checkpoint path agrees") {
+    import graft.ops.PageRank
+    // node 2 has no out-edges: its damped mass leaks each iteration
+    val dangling = Seq((1L, 2L)).toDF("src", "dst")
+    val dr = PageRank.ranks(dangling, iters = 5).collect().map(_.getDouble(1))
+    assert(dr.sum < 1.0 - 1e-3)
+    // the reliable-checkpoint loop (cluster path) is result-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val local = PageRank.ranks(cycle, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reliable = PageRank.ranks(cycle, iters = 3, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local === reliable)
+  }
+
+  test("knnEdges emits exactly k out-edges per vector toward its nearest neighbors") {
+    import graft.ops.PageRank
+    // 1 & 2 nearly parallel, 3 orthogonal-ish: each picks its closest
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e = PageRank.knnEdges(emb, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    val e2 = PageRank.knnEdges(emb, 2)
+    assert(e2.groupBy("src").count().collect().forall(_.getLong(1) === 2L))
+  }
 }
