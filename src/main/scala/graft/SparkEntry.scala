@@ -2797,7 +2797,9 @@ object SparkEntry {
     // float-quantized damped iterations r1..r5
     "emb_pagerank" ->
       ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-        s"sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, round(${cosSql("a.e", "b.e")}, 4) AS sim " +
+        // UNROUNDED sim: bit-identical dim-ordered folds in both
+        // engines (the Pca contract) — see PageRank.knnEdges
+        s"sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosSql("a.e", "b.e")} AS sim " +
         "FROM c a CROSS JOIN c b WHERE b.vec_id <> a.vec_id), " +
         "knn AS (SELECT src, dst FROM sc QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 5), " +
         "deg AS (SELECT src, count(*) AS outdeg FROM knn GROUP BY src), " +
