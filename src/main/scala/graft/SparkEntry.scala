@@ -843,6 +843,19 @@ object SparkEntry {
         damping = 0.85, iters = 5)
         .select(col("node").as("vec_id"), round(col("rank"), 8).as("pr"))
         .orderBy(col("vec_id"))),
+    // personalized PageRank from a trusted seed set (label-0 vectors):
+    // restart mass goes ONLY to seeds, so rank measures graph
+    // proximity to the curated subset — the expand-from-seeds
+    // selection primitive. Same chain discipline as emb_pagerank
+    "emb_pagerank_seeded" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.PageRank.personalizedRanks(
+        graft.ops.PageRank.knnEdges(emb, 5),
+        emb.filter(col("label") === 0).select(col("vec_id").as("node")),
+        damping = 0.85, iters = 5)
+        .select(col("node").as("vec_id"), round(col("rank"), 8).as("pr"))
+        .orderBy(col("vec_id"))
+    }),
     // SemDeDup: semantic dedup DECISIONS over an augmented corpus with
     // planted float-quantized near-copies (every 5th vector, dim-1
     // ×1.01) — cluster (IVF), edge within-cluster pairs ≥ 0.99 cosine,
@@ -1840,6 +1853,18 @@ object SparkEntry {
       s"FROM knn k JOIN r${i - 1} r ON k.src = r.node JOIN deg d ON k.src = d.src " +
       "GROUP BY k.dst) cb ON nodes.node = cb.dst)"
 
+  /** The personalized variant of [[pagerankIterSql]]: the restart term
+    * is seed-gated (nodesT carries is_seed), everything else mirrors
+    * PageRank.loop identically. */
+  private def pprIterSql(i: Int): String =
+    s"r$i AS (SELECT nodesT.node, CAST(CAST(" +
+      "CASE WHEN nodesT.is_seed THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM ns) " +
+      "ELSE CAST(0.0 AS DOUBLE) END + " +
+      "CAST(0.85 AS DOUBLE) * COALESCE(cb.contrib, 0) AS REAL) AS DOUBLE) AS rank " +
+      "FROM nodesT LEFT JOIN (SELECT k.dst, sum(r.rank / d.outdeg) AS contrib " +
+      s"FROM knn k JOIN r${i - 1} r ON k.src = r.node JOIN deg d ON k.src = d.src " +
+      "GROUP BY k.dst) cb ON nodesT.node = cb.dst)"
+
   /** Two Lloyd iterations mirrored in SQL: seed from the 8 lowest ids,
     * assign (argmax cosine, centroid-id tiebreak), per-dim mean cast to
     * FLOAT (the quantization updateCentroids applies — also what keeps
@@ -2807,6 +2832,25 @@ object SparkEntry {
         "nn AS (SELECT count(*) AS n FROM nodes), " +
         "r0 AS (SELECT node, CAST(CAST(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS REAL) AS DOUBLE) AS rank FROM nodes), " +
         (1 to 5).map(pagerankIterSql).mkString(", ") + " " +
+        "SELECT node AS vec_id, round(rank, 8) AS pr FROM r5 ORDER BY vec_id"),
+
+    // the personalized chain: seed-gated restart mass over the same
+    // 5-NN edges; seeds not in the graph join in as isolated nodes
+    "emb_pagerank_seeded" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosSql("a.e", "b.e")} AS sim " +
+        "FROM c a CROSS JOIN c b WHERE b.vec_id <> a.vec_id), " +
+        "knn AS (SELECT src, dst FROM sc QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 5), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM knn GROUP BY src), " +
+        "gnodes AS (SELECT src AS node FROM knn UNION SELECT dst FROM knn), " +
+        "seeds AS (SELECT DISTINCT vec_id AS node FROM embeddings WHERE label = 0), " +
+        "nodesT AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed " +
+        "FROM (SELECT node FROM gnodes UNION SELECT node FROM seeds) n " +
+        "LEFT JOIN seeds s ON n.node = s.node), " +
+        "ns AS (SELECT count(*) AS n FROM nodesT WHERE is_seed), " +
+        "r0 AS (SELECT node, CAST(CAST(CASE WHEN is_seed THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS REAL) AS DOUBLE) AS rank FROM nodesT), " +
+        (1 to 5).map(pprIterSql).mkString(", ") + " " +
         "SELECT node AS vec_id, round(rank, 8) AS pr FROM r5 ORDER BY vec_id"),
 
     "emb_ivf_assign" ->

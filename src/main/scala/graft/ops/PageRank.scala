@@ -53,10 +53,63 @@ object PageRank {
     require(iters >= 1, "need at least one iteration")
     Lineage.prepare(edges, checkpointDir)
     val reliable = checkpointDir.isDefined
-    // materialize the edge frame FIRST: degree agg, the degree join,
-    // and the node union all consume it, and an expensive edge source
-    // (the quadratic kNN build, an ANN candidate join) must run once,
-    // not once per consumer (measured 12 s → 4 s warm on emb_pagerank)
+    val (edgesDeg, nodes) = prepareGraph(edges, reliable)
+    // the ONE driver scalar: |V|, a bounded O(1) aggregate (the
+    // documented exception class — same as Bloom's m/64 words)
+    val n = nodes.count()
+    val seed = (1.0 / n).toFloat.toDouble
+    val base = (1.0 - damping) / n
+    loop(nodes, edgesDeg,
+      r0 = nodes.select(col("node"), lit(seed).as("rank")),
+      baseExpr = lit(base), damping = damping, iters = iters,
+      reliable = reliable)
+  }
+
+  /** Personalized PageRank: the damped walk restarts ONLY to `seeds`
+    * (a frame with a `node` column) — the "expand from a trusted set"
+    * selection primitive: rank mass measures proximity to the seeds
+    * through the graph, so high-PPR non-seeds are the natural
+    * candidates to promote into a curated corpus (and rank-starved
+    * nodes are unreachable from it). Same iteration shape, state, and
+    * float-quantization contract as [[ranks]]; seeds not present in
+    * the graph still receive restart mass (they are added as isolated
+    * nodes), rank mass leaks from dangling nodes identically. */
+  def personalizedRanks(
+      edges: DataFrame,
+      seeds: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0,1)")
+    require(iters >= 1, "need at least one iteration")
+    Lineage.prepare(edges, checkpointDir)
+    val reliable = checkpointDir.isDefined
+    val (edgesDeg, graphNodes) = prepareGraph(edges, reliable)
+    val seedSet = seeds.select(col("node")).distinct()
+    // seed membership rides WITH the node frame so the teleport term
+    // stays a per-row expression, never a second join in the loop
+    val nodes = Lineage.cut(
+      graphNodes.union(seedSet).distinct()
+        .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")),
+      reliable)
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds > 0, "need at least one seed node")
+    val seedRank = (1.0 / nSeeds).toFloat.toDouble
+    val base = (1.0 - damping) / nSeeds
+    loop(nodes, edgesDeg,
+      r0 = nodes.select(col("node"),
+        when(col("is_seed"), lit(seedRank)).otherwise(lit(0.0)).as("rank")),
+      baseExpr = when(col("is_seed"), lit(base)).otherwise(lit(0.0)),
+      damping = damping, iters = iters, reliable = reliable)
+  }
+
+  /** Materialize the edge frame ONCE (degree agg, degree join, and
+    * node union all consume it, and an expensive edge source — the
+    * quadratic kNN build, an ANN candidate join — must not replay per
+    * consumer; measured 12 s → 4 s warm on emb_pagerank), then derive
+    * the degree-annotated edges and the node set. */
+  private def prepareGraph(edges: DataFrame, reliable: Boolean): (DataFrame, DataFrame) = {
     val e0 = Lineage.cut(edges, reliable)
     val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = Lineage.cut(e0.join(outdeg, "src"), reliable)
@@ -64,12 +117,18 @@ object PageRank {
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct(), reliable)
     Lineage.free(e0)
-    // the ONE driver scalar: |V|, a bounded O(1) aggregate (the
-    // documented exception class — same as Bloom's m/64 words)
-    val n = nodes.count()
-    val seed = (1.0 / n).toFloat.toDouble
-    val base = (1.0 - damping) / n
-    var ranks = Lineage.cut(nodes.select(col("node"), lit(seed).as("rank")), reliable)
+    (edgesDeg, nodes)
+  }
+
+  /** The damped iteration loop: `baseExpr` is the per-node PRE-damped
+    * restart mass as an expression over `nodes`' columns (a scalar
+    * literal for uniform PageRank, a seed-gated conditional for PPR),
+    * so each variant's arithmetic mirrors its SQL oracle exactly. */
+  private def loop(
+      nodes: DataFrame, edgesDeg: DataFrame, r0: DataFrame,
+      baseExpr: org.apache.spark.sql.Column, damping: Double, iters: Int,
+      reliable: Boolean): DataFrame = {
+    var ranks = Lineage.cut(r0, reliable)
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("node"))
@@ -79,13 +138,13 @@ object PageRank {
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(
           nodes("node"),
-          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
+          (baseExpr + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .cast("float").cast("double").as("rank"))
       val prev = ranks
       ranks = Lineage.cut(next, reliable)
       Lineage.free(prev)
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** k-NN similarity-graph edges for [[ranks]]: each vector's top-k

@@ -1248,6 +1248,23 @@ class OpsSpec extends SparkSpec {
     assert(local === reliable)
   }
 
+  test("personalizedRanks restarts only to seeds; unreachable nodes get zero") {
+    import graft.ops.PageRank
+    // 1↔2 cycle plus 3→2: nothing reaches 3, restart goes to seed 1
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = PageRank.personalizedRanks(edges, seeds, iters = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(3L) === 0.0)                        // no restart, no in-mass
+    assert(r(1L) > r(2L) && r(2L) > 0.0)         // seed closest to itself
+    assert(math.abs(r(1L) + r(2L) - 1.0) < 1e-6) // no dangling → conserved
+    // a seed absent from the graph joins in isolated: restart mass
+    // only, nothing to pass on
+    val r2 = PageRank.personalizedRanks(edges, Seq(1L, 9L).toDF("node"), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r2.contains(9L) && math.abs(r2(9L) - 0.075) < 1e-6)
+  }
+
   test("knnEdges emits exactly k out-edges per vector toward its nearest neighbors") {
     import graft.ops.PageRank
     // 1 & 2 nearly parallel, 3 orthogonal-ish: each picks its closest
