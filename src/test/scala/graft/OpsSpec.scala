@@ -1265,6 +1265,39 @@ class OpsSpec extends SparkSpec {
     assert(r2.contains(9L) && math.abs(r2(9L) - 0.075) < 1e-6)
   }
 
+  test("BoundedTopK equals the window top-k, partial-aggregates map-side, handles edges") {
+    import graft.functions.TopK
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random scores over 40 keys × 500 rows,
+    // spread over 4 partitions so partial buffers genuinely merge
+    val df = spark.range(20000L).repartition(4)
+      .select(($"id" % 40).as("k"), ($"id" * 2654435761L % 1000003L).as("score"), $"id")
+      .localCheckpoint(true)
+    val viaAgg = df
+      .groupBy($"k")
+      .agg(TopK.topKSmallest(struct($"score", $"id"), 7).as("tk"))
+      .select($"k", posexplode($"tk").as(Seq("pos", "e")))
+      .select($"k", ($"pos" + 1).as("rank"), $"e.score".as("score"), $"e.id".as("id"))
+    val w = Window.partitionBy($"k").orderBy($"score", $"id")
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 7)
+      .select($"k", $"rank", $"score", $"id")
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+    assert(viaAgg.count() === 40L * 7)
+    // the aggregate must plan PARTIAL (map-side) before the exchange —
+    // the whole point vs the window's full-frame shuffle
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bounded_top_k"), plan.take(500))
+    // groups smaller than k return every row; a NULL child is skipped
+    // (struct-wrapped null FIELDS are kept — wrap only non-null keys)
+    val small = Seq((1L, java.lang.Long.valueOf(5L)), (1L, null), (2L, java.lang.Long.valueOf(9L)))
+      .toDF("k", "v")
+      .groupBy($"k").agg(TopK.topKSmallest($"v", 3).as("tk"))
+      .select($"k", size($"tk").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(small === Map(1L -> 1, 2L -> 1))
+  }
+
   test("knnEdges emits exactly k out-edges per vector toward its nearest neighbors") {
     import graft.ops.PageRank
     // 1 & 2 nearly parallel, 3 orthogonal-ish: each picks its closest
