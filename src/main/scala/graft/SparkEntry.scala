@@ -322,6 +322,23 @@ object SparkEntry {
       graft.ops.Bm25.topK(Tables.documents(s, d), queries, 10)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // hybrid retrieval: RRF-fuse the lexical (BM25) and vector
+    // (embedding-cosine) rankers over the shared 0..4 query-id space —
+    // score-calibration-free, each system contributes 1/(60+rank).
+    // Both inputs are k-bounded per query, so fusion cost is
+    // corpus-size-independent
+    "text_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "hash join"), (1L, "window scan fast"), (2L, "customer order batch"),
+        (3L, "vector merge slow"), (4L, "filter row")).toDF("q_id", "q_text")
+      val lexical = graft.ops.Bm25.topK(Tables.documents(s, d), queries, 10)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val vector = Similarity.bruteForceTopK(Tables.embeddings(s, d), embQueries(s, d), 10)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.ops.Fusion.rrf(Seq(lexical, vector), 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     // HLL distinct-count sketch (p=9, 512 registers): per-lang
     // vocabulary estimate from the bounded register frame — the
     // estimate is bit-deterministic (all partial sums exact doubles),
@@ -3078,6 +3095,41 @@ object SparkEntry {
         "SELECT q_id, doc_id, score, " +
         "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rank " +
         "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) <= 10 " +
+        "ORDER BY q_id, rank"),
+    // RRF fusion of the BM25 chain and the cosine chain: both rankers
+    // replayed to their (q_id, doc_id, rank) lists, fused as
+    // 1/(60+rank) terms summed in system order (bit-identical IEEE —
+    // ranks are ints, one division per term, fixed fold order)
+    "text_hybrid_rrf" ->
+      ("WITH q(q_id, q_text) AS (VALUES (0, 'hash join'), (1, 'window scan fast'), " +
+        "(2, 'customer order batch'), (3, 'vector merge slow'), (4, 'filter row')), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+        "st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n, " +
+        "(SELECT avg(dl) FROM dl) AS avgdl), " +
+        "qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q), " +
+        "post AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term), " +
+        "sc AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, " +
+        s"round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM qt JOIN post USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) " +
+        "CROSS JOIN st GROUP BY 1, 2), " +
+        "bm AS (SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rank " +
+        "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) <= 10), " +
+        "ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "qe AS (SELECT vec_id AS q_id, e AS qv FROM ce WHERE vec_id < 5), " +
+        s"ss AS (SELECT q_id, c.vec_id, round(${cosSql("qv", "c.e")}, 4) AS sim " +
+        "FROM qe CROSS JOIN ce c WHERE c.vec_id <> q_id), " +
+        "cs AS (SELECT q_id, vec_id AS doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM ss QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10), " +
+        "fused AS (SELECT COALESCE(bm.q_id, cs.q_id) AS q_id, COALESCE(bm.doc_id, cs.doc_id) AS doc_id, " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm.rank), 0) + COALESCE(CAST(1.0 AS DOUBLE) / (60 + cs.rank), 0) AS score " +
+        "FROM bm FULL JOIN cs ON bm.q_id = cs.q_id AND bm.doc_id = cs.doc_id) " +
+        "SELECT q_id, doc_id, round(score, 6) AS rrf, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rank " +
+        "FROM fused QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) <= 10 " +
         "ORDER BY q_id, rank"),
     // HLL: register = top 9 bits of the 32-bit md5 hash, rho = first
     // 1-bit position in the low 23 (ltrim-of-bin, integer-exact);

@@ -1265,6 +1265,26 @@ class OpsSpec extends SparkSpec {
     assert(r2.contains(9L) && math.abs(r2(9L) - 0.075) < 1e-6)
   }
 
+  test("RRF fusion: consensus items outrank single-system hits; absent systems contribute zero") {
+    import graft.ops.Fusion
+    // system A ranks docs 10,11,12; system B ranks 11,12,13.
+    // doc 11 (ranks 2+1) and 12 (3+2) appear in both; 10 and 13 in one
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((0L, 11L, 1), (0L, 12L, 2), (0L, 13L, 3)).toDF("q_id", "doc_id", "rank")
+    val fused = Fusion.rrf(Seq(a, b), 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = fused.map(t => t._1 -> t._2).toMap
+    def t(r: Int) = 1.0 / (60 + r)
+    assert(math.abs(byDoc(11L) - (t(2) + t(1))) < 1e-6) // rrf is rounded 6dp
+    assert(math.abs(byDoc(10L) - t(1)) < 1e-6)        // single-system term only
+    // consensus doc 11 beats the single-system rank-1 doc 10
+    val order = fused.sortBy(_._3).map(_._1)
+    assert(order.head === 11L && order.take(3).contains(12L))
+    assert(fused.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4))
+    // k bounds the fused list
+    assert(Fusion.rrf(Seq(a, b), 2).count() === 2)
+  }
+
   test("BoundedTopK equals the window top-k, partial-aggregates map-side, handles edges") {
     import graft.functions.TopK
     import org.apache.spark.sql.expressions.Window
