@@ -873,6 +873,16 @@ object SparkEntry {
         .select(col("node").as("vec_id"), round(col("rank"), 8).as("pr"))
         .orderBy(col("vec_id"))
     }),
+    // triangle counts + local clustering coefficient over the same
+    // 5-NN graph: the per-document redundancy metric (clustering ≈ 1 =
+    // dense near-duplicate pocket, ≈ 0 = bridge/outlier content).
+    // Degree-ordered orientation bounds the wedge frame by O(m^1.5)
+    "emb_graph_clustering" -> ((s, d) =>
+      graft.ops.Triangles.perNode(
+        graft.ops.PageRank.knnEdges(Tables.embeddings(s, d), 5))
+        .select(col("node").as("vec_id"), col("degree"),
+          col("n_triangles"), col("clustering"))
+        .orderBy(col("vec_id"))),
     // SemDeDup: semantic dedup DECISIONS over an augmented corpus with
     // planted float-quantized near-copies (every 5th vector, dim-1
     // ×1.01) — cluster (IVF), edge within-cluster pairs ≥ 0.99 cosine,
@@ -2869,6 +2879,27 @@ object SparkEntry {
         "ELSE CAST(0.0 AS DOUBLE) END AS REAL) AS DOUBLE) AS rank FROM nodesT), " +
         (1 to 5).map(pprIterSql).mkString(", ") + " " +
         "SELECT node AS vec_id, round(rank, 8) AS pr FROM r5 ORDER BY vec_id"),
+
+    // canonical a<b<c triple join counts each triangle once; corners
+    // UNION ALL recovers per-node participation; all-integer until
+    // the final coefficient division (explicit DOUBLE casts — bare
+    // 2.0 parses as DECIMAL in DuckDB)
+    "emb_graph_clustering" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosSql("a.e", "b.e")} AS sim " +
+        "FROM c a CROSS JOIN c b WHERE b.vec_id <> a.vec_id), " +
+        "knn AS (SELECT src, dst FROM sc QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 5), " +
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn WHERE src <> dst), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) GROUP BY node), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 " +
+        "JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "corners AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM " +
+        "(SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri UNION ALL SELECT z AS node FROM tri) GROUP BY node) " +
+        "SELECT deg.node AS vec_id, degree, COALESCE(n_triangles, 0) AS n_triangles, " +
+        "round(CASE WHEN degree >= 2 THEN CAST(2.0 AS DOUBLE) * COALESCE(n_triangles, 0) / (degree * (degree - 1)) " +
+        "ELSE CAST(0.0 AS DOUBLE) END, 6) AS clustering " +
+        "FROM deg LEFT JOIN corners USING (node) ORDER BY vec_id"),
 
     "emb_ivf_assign" ->
       (s"WITH $ivfSql " +

@@ -1265,6 +1265,26 @@ class OpsSpec extends SparkSpec {
     assert(r2.contains(9L) && math.abs(r2(9L) - 0.075) < 1e-6)
   }
 
+  test("Triangles: K4-minus-an-edge counts per corner; reversed duplicates collapse") {
+    import graft.ops.Triangles
+    // K4 without edge 3-4: triangles {1,2,3} and {1,2,4}; some edges
+    // appear in both directions and must collapse to one
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L), (2L, 4L))
+      .toDF("src", "dst")
+    val r = Triangles.perNode(edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((3L, 2L, 0.666667)))  // 2 triangles over C(3,2)=3 wedges
+    assert(r(2L) === ((3L, 2L, 0.666667)))
+    assert(r(3L) === ((2L, 1L, 1.0)))       // both neighbors adjacent
+    assert(r(4L) === ((2L, 1L, 1.0)))
+    assert(Triangles.globalCount(edges).collect()(0).getLong(0) === 2L)
+    // a path has wedges but no closures
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Triangles.globalCount(path).collect()(0).getLong(0) === 0L)
+    assert(Triangles.perNode(path).collect().forall(_.getLong(2) === 0L))
+  }
+
   test("RRF fusion: consensus items outrank single-system hits; absent systems contribute zero") {
     import graft.ops.Fusion
     // system A ranks docs 10,11,12; system B ranks 11,12,13.
