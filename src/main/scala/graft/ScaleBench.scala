@@ -27,7 +27,8 @@ object ScaleBench {
     "dedup_exact_groups", "dedup_simhash",
     "text_dup_span_fraction", "text_ngram_decontam", "text_tfidf",
     "text_bm25_topk", "text_quality_filter", "text_shard_assignments",
-    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ivf_topk", "emb_ivfpq_topk")
+    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ivf_topk", "emb_ivfpq_topk",
+    "emb_pagerank", "emb_graph_clustering", "text_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -363,6 +363,28 @@ object SparkEntry {
         .agg(max(col("max_rho")).as("max_rho"))
       graft.ops.Hll.estimate(merged, Seq("lang"), 9).orderBy(col("lang"))
     }),
+    // the SAME sketch as streaming state: three micro-batches fold
+    // their register tables into the snapshot chain by max re-agg —
+    // sketch state is ~2^p rows per group forever, the 100 TB shape
+    // for streaming cardinality (no key set ever stored), and the
+    // final estimate must be BIT-IDENTICAL to the one-shot sketch
+    // (max is associative/commutative over any row partition), so the
+    // oracle is text_hll_vocab's unchanged
+    "stream_hll_vocab" -> ((s, d) => withTempDir("graft-hll-stream") { base =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(s"$base/in/g0")
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1).write.parquet(s"$base/in/g1")
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1).write.parquet(s"$base/in/g2")
+      graft.streaming.SnapshotIngest.run(s, docs.schema,
+        s"$base/in", s"$base/state", s"$base/ckpt") { (prior, batch) =>
+        val sk = graft.ops.Hll.sketch(
+          batch.select(col("lang"), explode(TextOps.tokens(col("text"))).as("word")),
+          Seq("lang"), col("word"), 9)
+        prior.map(p => graft.ops.Hll.merge(Seq(p, sk), Seq("lang"))).getOrElse(sk)
+      }
+      graft.ops.Hll.estimate(
+        graft.streaming.SnapshotIngest.finalState(s, s"$base/state"), Seq("lang"), 9)
+    }.orderBy(col("lang"))),
     // unigram-LM cross-entropy against the corpus's own distribution —
     // the cheap perplexity stand-in for quality filtering
     "text_unigram_logprob" -> ((s, d) =>
@@ -3169,6 +3191,8 @@ object SparkEntry {
     "text_hll_vocab" -> hllVocabSql,
     // shard-merge must land on the identical estimate
     "text_hll_merged" -> hllVocabSql,
+    // micro-batch register folds must land on the identical estimate
+    "stream_hll_vocab" -> hllVocabSql,
     // 5-gram postings; train side distinct, heldout occurrences counted
     "text_ngram_decontam" ->
       ("WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN " +
