@@ -304,6 +304,27 @@ object SparkEntry {
           TextOps.termFrequency(docs, 20), 4, 1024)
         .orderBy(col("freq").desc, col("word"))
     }),
+    // the CMS twin of stream_hll_vocab: cell-wise SUM is associative
+    // and exact in integers, so the micro-batch-folded counter table
+    // IS the one-shot sketch and the point estimates are identical —
+    // together the pair certifies that both mergeable-sketch state
+    // disciplines (max-registers, sum-counters) survive micro-batching
+    "stream_cms_topk" -> ((s, d) => withTempDir("graft-cms-stream") { base =>
+      val docs = Tables.documents(s, d)
+      val slim = docs.select(col("doc_id"), col("text"))
+      slim.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(s"$base/in/g0")
+      slim.filter(col("doc_id") % 3 === 1).coalesce(1).write.parquet(s"$base/in/g1")
+      slim.filter(col("doc_id") % 3 === 2).coalesce(1).write.parquet(s"$base/in/g2")
+      graft.streaming.SnapshotIngest.run(s, slim.schema,
+        s"$base/in", s"$base/state", s"$base/ckpt") { (prior, batch) =>
+        val sk = graft.ops.Cms.sketch(batch, 4, 1024)
+        prior.map(_.unionByName(sk).groupBy(col("row"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))).getOrElse(sk)
+      }
+      graft.ops.Cms.estimate(
+        graft.streaming.SnapshotIngest.finalState(s, s"$base/state"),
+        TextOps.termFrequency(docs, 20), 4, 1024)
+    }.orderBy(col("freq").desc, col("word"))),
     // exact percentiles by histogram narrowing — no global sort, no
     // approx sketch; certified against direct rank selection
     "text_exact_percentiles" -> ((s, d) =>
@@ -1926,6 +1947,18 @@ object SparkEntry {
     * direct sketch (text_hll_vocab) and the shard-merge path
     * (text_hll_merged): max is associative+idempotent, so both must
     * produce THIS estimate bit-for-bit. */
+  private val cmsTopkSql =
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+      "sk AS (SELECT i AS row, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || word), 1, 8) AS BIGINT) % 1024 AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM tok CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2), " +
+      "top AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok " +
+      "GROUP BY word ORDER BY freq DESC, word LIMIT 20), " +
+      "probes AS (SELECT word, freq, i AS row, " +
+      "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || word), 1, 8) AS BIGINT) % 1024 AS bucket " +
+      "FROM top CROSS JOIN range(0, 4) t(i)) " +
+      "SELECT word, freq, min(cnt) AS n_est FROM probes JOIN sk USING (row, bucket) " +
+      "GROUP BY word, freq ORDER BY freq DESC, word"
+
   private val hllVocabSql =
     "WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
       "h AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM tok), " +
@@ -3106,17 +3139,9 @@ object SparkEntry {
     "text_bpe_pieces" -> bpePiecesSql(6),
     // sketch cells = md5-derived (row, bucket) votes; estimate = min
     // over the 4 rows' counters for each top-20 term
-    "text_cms_topk" ->
-      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
-        "sk AS (SELECT i AS row, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || word), 1, 8) AS BIGINT) % 1024 AS bucket, " +
-        "CAST(count(*) AS BIGINT) AS cnt FROM tok CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2), " +
-        "top AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok " +
-        "GROUP BY word ORDER BY freq DESC, word LIMIT 20), " +
-        "probes AS (SELECT word, freq, i AS row, " +
-        "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || word), 1, 8) AS BIGINT) % 1024 AS bucket " +
-        "FROM top CROSS JOIN range(0, 4) t(i)) " +
-        "SELECT word, freq, min(cnt) AS n_est FROM probes JOIN sk USING (row, bucket) " +
-        "GROUP BY word, freq ORDER BY freq DESC, word"),
+    "text_cms_topk" -> cmsTopkSql,
+    // micro-batch-summed counters are the one-shot sketch exactly
+    "stream_cms_topk" -> cmsTopkSql,
     // ground truth = the rank element itself (value at ceil(p·n),
     // 1-based ascending), selected directly
     "text_exact_percentiles" ->
