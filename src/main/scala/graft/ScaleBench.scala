@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * check that nothing in the dedup/text/ANN families is quietly
   * super-linear before the 100 TB design claims are pressed.
   *
-  * `runMain graft.ScaleBench [baseSfDir] [factor] [synthDir]`.
+  * `runMain graft.ScaleBench [baseSfDir] [factor] [synthDir] [only]` —
+  * `only` is an optional comma-separated query-name filter for
+  * re-measuring a subset after a fix.
   *
   * Replicas are DIVERSIFIED, not copied: every (5k+r)-th token of
   * replica r gets a replica-specific suffix, so 5-gram shingles break
@@ -39,6 +41,13 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // ObjectHashAggregateExec falls back to SORT-BASED aggregation at
+      // 128 distinct keys per partition (the default is sized for huge
+      // per-key state like collect_list) — BoundedTopK's per-group
+      // state is O(k), so the map is the cheap part; without this the
+      // partial top-k silently degrades into the full-partition sort
+      // it exists to avoid (measured 260x at the x10 kNN edge build)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 22).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
@@ -60,7 +69,9 @@ object ScaleBench {
       dt
     }
 
-    val rows = heavyTail.flatMap { name =>
+    val only = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
+    val selected = if (only.isEmpty) heavyTail else heavyTail.filter(only)
+    val rows = selected.flatMap { name =>
       try {
         val base = time(name, baseDir)
         val big = time(name, synthDir)

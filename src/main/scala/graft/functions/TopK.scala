@@ -35,7 +35,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   * round-trips each element through an UnsafeProjection, the standard
   * TypedImperativeAggregate contract, executed once per map task at
   * partial-output time — not per row.
-  */
+  *
+  * OPERATIONAL REQUIREMENT: raise
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` above
+  * the expected distinct keys per partition (the engine's entry
+  * points set 2^22). The default is 128 — sized for aggregates with
+  * unbounded per-key state — and past it ObjectHashAggregateExec
+  * silently falls back to SORT-BASED aggregation, i.e. the
+  * full-partition sort this aggregate exists to avoid (measured 260×
+  * on a ×10 kNN edge build before the config landed). BoundedTopK's
+  * per-key state is k small rows, so a large map is exactly what you
+  * want. */
 case class BoundedTopK(
     child: Expression,
     k: Int,
