@@ -776,6 +776,12 @@ object SparkEntry {
     }),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), 20)),
+    // per-doc top-5 similar docs by shared-shingle count (the
+    // retrieval flavor of the pair family), selected through the
+    // k-bounded partial aggregate
+    "text_similar_docs" -> ((s, d) =>
+      Dedup.similarDocsTopK(Tables.documents(s, d), 5)
+        .orderBy(col("doc_id"), col("rank"))),
     // directed doc-inside-doc containment — the asymmetric complement
     // to Jaccard (short doc quoted in a long one scores ~1 here)
     "dedup_containment_pairs" -> ((s, d) =>
@@ -2659,6 +2665,19 @@ object SparkEntry {
         "SELECT doc_a, doc_b, round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard " +
         "FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id " +
         "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"),
+    // per-doc top-k neighbors by shared-shingle count over the same
+    // df-capped postings — integer counts, (count DESC, id) order,
+    // selection through the k-bounded partial aggregate
+    "text_similar_docs" ->
+      (s"WITH sh0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "sh AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle, " +
+        "count(*) OVER (PARTITION BY shingle) AS df FROM sh0) WHERE df <= 100), " +
+        "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a AS doc_id, doc_b AS similar_doc_id, n_shared, " +
+        "CAST(row_number() OVER (PARTITION BY doc_a ORDER BY n_shared DESC, doc_b) AS INT) AS rank " +
+        "FROM common QUALIFY row_number() OVER (PARTITION BY doc_a ORDER BY n_shared DESC, doc_b) <= 5 " +
+        "ORDER BY doc_id, rank"),
     // directed containment over the SAME df-capped shingle postings:
     // C(a→b) = |Sa ∩ Sb| / |Sa|, only doc_a's size in the denominator
     "dedup_containment_pairs" ->

@@ -103,6 +103,43 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Per-document similar-document retrieval: each doc's top-k
+    * neighbors by shared df-capped shingle count — the RETRIEVAL
+    * flavor of the pair family (threshold pairs answer "is this a
+    * dup?"; this answers "what is this most like?", the shape a
+    * dedup-review or contamination-investigation UI needs).
+    *
+    * Same posting-list candidate generation as [[jaccardPairs]]
+    * (materialized once, df-capped, equi-join on shingle — never
+    * all-pairs), but per-doc selection runs through
+    * [[graft.functions.BoundedTopK]]: the k-bounded PARTIAL aggregate
+    * shuffles #docs × k rows where a row_number window would move the
+    * whole candidate-pair frame. Integer overlap counts, (count DESC,
+    * doc_id) total order — cross-engine deterministic with no
+    * quantization. */
+  def similarDocsTopK(docs: DataFrame, k: Int, maxDf: Int = 100): DataFrame = {
+    val posts = shingleSets(docs).localCheckpoint(true)
+    val rare = posts
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val sh = posts.join(rare, Seq("shingle"), "left_semi")
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_a"),
+        struct(negate(col("n_shared")).as("ns"), col("doc_b").as("d")).as("cand"))
+      .groupBy(col("doc_a"))
+      .agg(graft.functions.TopK.topKSmallest(col("cand"), k).as("tk"))
+      .select(col("doc_a").as("doc_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("doc_id"), col("e.d").as("similar_doc_id"),
+        negate(col("e.ns")).as("n_shared"), (col("pos") + 1).as("rank"))
+  }
+
   /** Asymmetric shingle containment: C(a→b) = |Sa ∩ Sb| / |Sa| — the
     * doc-inside-doc detector Jaccard misses. When a short document is
     * wholly quoted inside a long one (boilerplate headers, licence
