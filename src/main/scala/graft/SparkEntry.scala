@@ -922,6 +922,15 @@ object SparkEntry {
         .select(col("node").as("vec_id"), round(col("rank"), 8).as("pr"))
         .orderBy(col("vec_id"))
     }),
+    // similarity-WEIGHTED PageRank: the surfer follows out-edges in
+    // proportion to (1+cosine)/2, so strong near-duplicate ties
+    // transfer more importance than marginal neighbors
+    "emb_pagerank_weighted" -> ((s, d) =>
+      graft.ops.PageRank.weightedRanks(
+        graft.ops.PageRank.knnEdgesWeighted(Tables.embeddings(s, d), 5),
+        damping = 0.85, iters = 5)
+        .select(col("node").as("vec_id"), round(col("rank"), 8).as("pr"))
+        .orderBy(col("vec_id"))),
     // triangle counts + local clustering coefficient over the same
     // 5-NN graph: the per-document redundancy metric (clustering ≈ 1 =
     // dense near-duplicate pocket, ≈ 0 = bridge/outlier content).
@@ -1929,6 +1938,16 @@ object SparkEntry {
       s"FROM knn k JOIN r${i - 1} r ON k.src = r.node JOIN deg d ON k.src = d.src " +
       "GROUP BY k.dst) cb ON nodes.node = cb.dst)"
 
+  /** The weighted variant of [[pagerankIterSql]]: contribution is
+    * rank·w/wsum against the float-quantized per-src weight sums. */
+  private def wprIterSql(i: Int): String =
+    s"r$i AS (SELECT nodes.node, CAST(CAST(" +
+      "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) + " +
+      "CAST(0.85 AS DOUBLE) * COALESCE(cb.contrib, 0) AS REAL) AS DOUBLE) AS rank " +
+      "FROM nodes LEFT JOIN (SELECT k.dst, sum(r.rank * k.w / d.wsum) AS contrib " +
+      s"FROM knn k JOIN r${i - 1} r ON k.src = r.node JOIN ws d ON k.src = d.src " +
+      "GROUP BY k.dst) cb ON nodes.node = cb.dst)"
+
   /** The personalized variant of [[pagerankIterSql]]: the restart term
     * is seed-gated (nodesT carries is_seed), everything else mirrors
     * PageRank.loop identically. */
@@ -2933,6 +2952,21 @@ object SparkEntry {
         "nn AS (SELECT count(*) AS n FROM nodes), " +
         "r0 AS (SELECT node, CAST(CAST(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS REAL) AS DOUBLE) AS rank FROM nodes), " +
         (1 to 5).map(pagerankIterSql).mkString(", ") + " " +
+        "SELECT node AS vec_id, round(rank, 8) AS pr FROM r5 ORDER BY vec_id"),
+
+    // the weighted chain: (1+cosine)/2 edge weights, float-quantized
+    // per-src weight sums, contribution rank·w/wsum
+    "emb_pagerank_weighted" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosSql("a.e", "b.e")} AS sim " +
+        "FROM c a CROSS JOIN c b WHERE b.vec_id <> a.vec_id), " +
+        "knn AS (SELECT src, dst, (CAST(1.0 AS DOUBLE) + sim) / CAST(2.0 AS DOUBLE) AS w " +
+        "FROM sc QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 5), " +
+        "ws AS (SELECT src, CAST(CAST(sum(w) AS REAL) AS DOUBLE) AS wsum FROM knn GROUP BY src), " +
+        "nodes AS (SELECT src AS node FROM knn UNION SELECT dst AS node FROM knn), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "r0 AS (SELECT node, CAST(CAST(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS REAL) AS DOUBLE) AS rank FROM nodes), " +
+        (1 to 5).map(wprIterSql).mkString(", ") + " " +
         "SELECT node AS vec_id, round(rank, 8) AS pr FROM r5 ORDER BY vec_id"),
 
     // the personalized chain: seed-gated restart mass over the same

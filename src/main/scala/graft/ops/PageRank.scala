@@ -61,8 +61,46 @@ object PageRank {
     val base = (1.0 - damping) / n
     loop(nodes, edgesDeg,
       r0 = nodes.select(col("node"), lit(seed).as("rank")),
-      baseExpr = lit(base), damping = damping, iters = iters,
-      reliable = reliable)
+      baseExpr = lit(base),
+      contribAgg = sum(col("rank") / col("outdeg")),
+      damping = damping, iters = iters, reliable = reliable)
+  }
+
+  /** Similarity-WEIGHTED PageRank: the surfer follows out-edges in
+    * proportion to their weight (`edges` carries a positive `w`
+    * column) instead of uniformly — on a kNN graph this makes strong
+    * near-duplicate ties transfer more importance than marginal
+    * neighbors. Per-node out-weight sums are float-quantized (they
+    * are row-order-dependent aggregates; the per-edge `rank·w/wsum`
+    * terms are then bit-identical cross-engine), everything else
+    * follows [[ranks]]'s contract. Nodes whose out-weights sum to 0
+    * would divide to NaN — keep weights strictly positive (the
+    * `(1+cosine)/2` mapping of [[knnEdgesWeighted]] is). */
+  def weightedRanks(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0,1)")
+    require(iters >= 1, "need at least one iteration")
+    Lineage.prepare(edges, checkpointDir)
+    val reliable = checkpointDir.isDefined
+    val e0 = Lineage.cut(edges, reliable)
+    val wsum = e0.groupBy(col("src"))
+      .agg(sum(col("w")).cast("float").cast("double").as("wsum"))
+    val edgesW = Lineage.cut(e0.join(wsum, "src"), reliable)
+    val nodes = Lineage.cut(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct(), reliable)
+    Lineage.free(e0)
+    val n = nodes.count()
+    val seed = (1.0 / n).toFloat.toDouble
+    val base = (1.0 - damping) / n
+    loop(nodes, edgesW,
+      r0 = nodes.select(col("node"), lit(seed).as("rank")),
+      baseExpr = lit(base),
+      contribAgg = sum(col("rank") * col("w") / col("wsum")),
+      damping = damping, iters = iters, reliable = reliable)
   }
 
   /** Personalized PageRank: the damped walk restarts ONLY to `seeds`
@@ -101,6 +139,7 @@ object PageRank {
       r0 = nodes.select(col("node"),
         when(col("is_seed"), lit(seedRank)).otherwise(lit(0.0)).as("rank")),
       baseExpr = when(col("is_seed"), lit(base)).otherwise(lit(0.0)),
+      contribAgg = sum(col("rank") / col("outdeg")),
       damping = damping, iters = iters, reliable = reliable)
   }
 
@@ -122,18 +161,21 @@ object PageRank {
 
   /** The damped iteration loop: `baseExpr` is the per-node PRE-damped
     * restart mass as an expression over `nodes`' columns (a scalar
-    * literal for uniform PageRank, a seed-gated conditional for PPR),
-    * so each variant's arithmetic mirrors its SQL oracle exactly. */
+    * literal for uniform PageRank, a seed-gated conditional for PPR)
+    * and `contribAgg` the per-destination mass aggregate (uniform
+    * `rank/outdeg`, weighted `rank·w/wsum`), so each variant's
+    * arithmetic mirrors its SQL oracle exactly. */
   private def loop(
       nodes: DataFrame, edgesDeg: DataFrame, r0: DataFrame,
-      baseExpr: org.apache.spark.sql.Column, damping: Double, iters: Int,
+      baseExpr: org.apache.spark.sql.Column,
+      contribAgg: org.apache.spark.sql.Column, damping: Double, iters: Int,
       reliable: Boolean): DataFrame = {
     var ranks = Lineage.cut(r0, reliable)
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("node"))
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+        .agg(contribAgg.as("contrib"))
       val next = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(
@@ -170,7 +212,14 @@ object PageRank {
     * full-frame shuffle is the difference between feasible and not).
     * `(-sim, vec_id)` ascending ≡ `(sim DESC, vec_id)` — IEEE negation
     * is exact and order-reversing. */
-  def knnEdges(corpus: DataFrame, k: Int): DataFrame = {
+  def knnEdges(corpus: DataFrame, k: Int): DataFrame =
+    knnEdgesWeighted(corpus, k).select(col("src"), col("dst"))
+
+  /** [[knnEdges]] keeping a strictly positive edge weight for
+    * [[weightedRanks]]: `w = (1 + cosine)/2` ∈ (0, 1] maps the raw
+    * (bit-identical) similarity into random-walk-safe mass — cosine
+    * −1 would be weight 0, anything else positive. */
+  def knnEdgesWeighted(corpus: DataFrame, k: Int): DataFrame = {
     val queries = corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     corpus.join(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
@@ -181,6 +230,7 @@ object PageRank {
       .groupBy(col("q_id"))
       .agg(graft.functions.TopK.topKSmallest(col("cand"), k).as("tk"))
       .select(col("q_id").as("src"), explode(col("tk")).as("e"))
-      .select(col("src"), col("e.v").as("dst"))
+      .select(col("src"), col("e.v").as("dst"),
+        ((lit(1.0) + negate(col("e.ns"))) / lit(2.0)).as("w"))
   }
 }

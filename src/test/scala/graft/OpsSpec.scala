@@ -1338,6 +1338,26 @@ class OpsSpec extends SparkSpec {
     assert(small === Map(1L -> 1, 2L -> 1))
   }
 
+  test("weightedRanks favors heavy edges; equal weights reduce to uniform PageRank") {
+    import graft.ops.PageRank
+    // node 1 sends 3/4 of its mass to 2 and 1/4 to 3; uniform would tie
+    val skewed = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val r = PageRank.weightedRanks(skewed, iters = 8).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) > r(3L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6) // all nodes emit → conserved
+    // exact powers of two make w/wsum ≡ 1/outdeg bit-for-bit, so the
+    // weighted loop must reproduce the uniform ranks exactly
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val uniform = PageRank.ranks(cycle, iters = 4).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val viaWeights = PageRank.weightedRanks(
+      cycle.withColumn("w", lit(0.5)), iters = 4).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(uniform === viaWeights)
+  }
+
   test("knnEdges emits exactly k out-edges per vector toward its nearest neighbors") {
     import graft.ops.PageRank
     // 1 & 2 nearly parallel, 3 orthogonal-ish: each picks its closest
