@@ -423,6 +423,20 @@ object SparkEntry {
     // score (head = most fluent third of each language)
     "text_ppl_buckets" -> ((s, d) =>
       TextOps.perplexityBuckets(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // model-based quality filtering: logistic regression trained by
+    // full-batch GD as relational aggregates (rule distillation — the
+    // fastText-style quality model), float-quantized iteration chain
+    // replayed in SQL to hash equality
+    "text_lr_weights" -> ((s, d) =>
+      graft.ops.Classifier.weightsFrame(Tables.documents(s, d), 20, 10.0)
+        .orderBy(col("feature"))),
+    // map-only inference under the trained model: calibrated quality
+    // probability + hard prediction vs the rule label it distills
+    "text_lr_scores" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Classifier.scores(docs, graft.ops.Classifier.train(docs, 20, 10.0))
+        .orderBy(col("doc_id"))
+    }),
     // token-share mixture rebalancing: per-source keep-rates derived
     // from the corpus's own token totals (downsample-only; the tiny
     // per-source aggregate is the same O(#strata) driver-side scalar
@@ -2052,6 +2066,42 @@ object SparkEntry {
       iter(1, "v0") + ", " + iter(2, "v1")
   }
 
+  /** Full-batch logistic-regression GD mirrored in SQL (the Pca chain
+    * discipline): per-row float-quantized sigmoid (absorbing the
+    * engines' exp ulp noise), float-quantized gradient sums, exact
+    * fixed-order weight updates re-quantized per iteration. Mirrors
+    * Classifier.train(iters = 20, lr = 10.0). */
+  private val lrChainSql: String = {
+    // every per-iteration CTE is MATERIALIZED: lw(t-1) is referenced
+    // twice (gradient + update), so plain inlining would double the
+    // expression tree per iteration — a 2^20 planner blowup (the SQL
+    // twin of the Lineage-cut discipline)
+    def iter(t: Int): String = {
+      val p = s"lw${t - 1}"
+      s"lg$t AS MATERIALIZED (SELECT " +
+        (0 to 3).map(j => s"CAST(CAST(sum((s - y) * x$j) AS FLOAT) AS DOUBLE) AS g$j").mkString(", ") +
+        " FROM (SELECT y, x0, x1, x2, x3, " +
+        "CAST(CAST(1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) AS FLOAT) AS DOUBLE) AS s " +
+        s"FROM lrf CROSS JOIN $p w)), " +
+        s"lw$t AS MATERIALIZED (SELECT " +
+        (0 to 3).map(j => s"CAST(CAST(w.w$j - 10.0*g.g$j/n.n AS FLOAT) AS DOUBLE) AS w$j").mkString(", ") +
+        s" FROM $p w CROSS JOIN lg$t g CROSS JOIN lrn n)"
+    }
+    // MATERIALIZED: inlining the corpus scan into all 20 iteration
+    // CTEs would open the parquet once per reference (fd exhaustion)
+    "lrf AS MATERIALIZED (SELECT doc_id, " +
+      "CASE WHEN nt BETWEEN 20 AND 80 AND mtl BETWEEN 3.0 AND 9.0 AND sr > 0 " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y, " +
+      "CAST(1.0 AS DOUBLE) AS x0, abs(nt - 50.0)/50.0 AS x1, abs(mtl - 6.0)/6.0 AS x2, sr AS x3 " +
+      "FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt, " +
+      "CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mtl, " +
+      "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) AS sr " +
+      "FROM documents)), " +
+      "lrn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lrf), " +
+      "lw0 AS (SELECT " + (0 to 3).map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ") + "), " +
+      (1 to 20).map(iter).mkString(", ")
+  }
+
   private val pcaSql =
     s"WITH $pcaChainSql " +
       "SELECT CAST(dim - 1 AS INT) AS dim, round(v[dim], 4) AS loading " +
@@ -3325,6 +3375,22 @@ object SparkEntry {
         "SELECT doc_id, lang, avg_neg_logp, CASE WHEN tc = 1 THEN 'head' " +
         "WHEN tc = 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
         "FROM t ORDER BY doc_id"),
+    // logistic-regression GD replayed end-to-end; weights surfaced
+    // after 20 iterations, rounded at the output edge only
+    "text_lr_weights" ->
+      (s"WITH $lrChainSql " +
+        "SELECT CAST(f AS INT) AS feature, round(w, 4) AS weight " +
+        "FROM (SELECT unnest([0, 1, 2, 3]) AS f, unnest([w0, w1, w2, w3]) AS w FROM lw20) " +
+        "ORDER BY feature"),
+    // same chain + map-only scoring pass; probability float-quantized
+    // BEFORE the 0.5 threshold so the prediction is engine-stable
+    "text_lr_scores" ->
+      (s"WITH $lrChainSql " +
+        "SELECT doc_id, CAST(y AS INT) AS rule_label, round(p, 4) AS prob, " +
+        "CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred " +
+        "FROM (SELECT doc_id, y, " +
+        "CAST(CAST(1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) AS FLOAT) AS DOUBLE) AS p " +
+        "FROM lrf CROSS JOIN lw20 w) ORDER BY doc_id"),
     // mixture rebalancing: per-source token totals → c = min(toks/share)
     // → rate = least(1, c*share/toks) → 8-hex threshold, all in the
     // same double-op order as Sampling.mixtureRates/hexThreshold

@@ -1371,4 +1371,44 @@ class OpsSpec extends SparkSpec {
     val e2 = PageRank.knnEdges(emb, 2)
     assert(e2.groupBy("src").count().collect().forall(_.getLong(1) === 2L))
   }
+
+  // a clearly in-band document (48 tokens, mean length 4, stopwords
+  // present) and a clearly out-of-band one (150 single-char tokens,
+  // no stopwords) — the rule label and a linear boundary both separate
+  private def lrCorpus = {
+    val good = ("the table scan fast " * 12).trim
+    val bad = ("x " * 150).trim
+    (0 until 8).map(i =>
+      (i.toLong, if (i % 2 == 0) good else bad)).toDF("doc_id", "text")
+  }
+
+  test("Classifier.features: band rule labels, distance features") {
+    import graft.ops.Classifier
+    val f = Classifier.features(lrCorpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(0L).getAs[Double]("y") === 1.0) // in-band
+    assert(f(1L).getAs[Double]("y") === 0.0) // out-of-band
+    assert(f(0L).getAs[Double]("x0") === 1.0)
+    // good doc: 48 tokens → |48-50|/50; mean len 4 → |4-6|/6
+    assert(math.abs(f(0L).getAs[Double]("x1") - 0.04) < 1e-12)
+    assert(math.abs(f(0L).getAs[Double]("x2") - 2.0 / 6.0) < 1e-12)
+    assert(f(0L).getAs[Double]("x3") > 0) // stopwords present
+    assert(f(1L).getAs[Double]("x3") === 0.0)
+  }
+
+  test("Classifier learns to separate the rule classes; deterministic retrain") {
+    import graft.ops.Classifier
+    val w1 = Classifier.train(lrCorpus, iters = 30, lr = 10.0)
+    val w2 = Classifier.train(lrCorpus, iters = 30, lr = 10.0)
+    assert(w1.toSeq === w2.toSeq) // bit-identical retrain (quantized chain)
+    val s = Classifier.scores(lrCorpus, w1).collect()
+    s.foreach { r =>
+      val p = r.getAs[Double]("prob")
+      assert(p >= 0.0 && p <= 1.0)
+      // the learned model reproduces the rule on this separable corpus
+      assert(r.getAs[Int]("pred") === r.getAs[Int]("rule_label"))
+    }
+    // band-violation distance must push DOWN the quality probability
+    assert(w1(1) < 0)
+  }
 }
