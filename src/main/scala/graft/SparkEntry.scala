@@ -121,6 +121,18 @@ object SparkEntry {
         Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))
         .orderBy(col("n_name"))),
+    // correlated-subquery SQL surface: EXISTS / scalar-agg / NOT
+    // EXISTS written as SQL text — certifies Catalyst's subquery
+    // decorrelation (RewritePredicateSubquery, scalar-subquery
+    // rewrite), not just the equivalent hand-built joins
+    "rel_q4_priority_exists" -> ((s, d) =>
+      StarQueries.q4PriorityExists(s, Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy(col("o_orderpriority"))),
+    "rel_q17_small_quantity" -> ((s, d) =>
+      StarQueries.q17SmallQuantity(s, Tables.part(s, d), Tables.lineitem(s, d))),
+    "rel_q22_idle_customers" -> ((s, d) =>
+      StarQueries.q22IdleCustomers(s, Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("c_mktsegment"))),
     "rel_window_extras" -> ((s, d) =>
       StarQueries.windowExtras(Tables.customer(s, d))
         .orderBy(col("c_mktsegment"), col("c_custkey"))),
@@ -2254,6 +2266,24 @@ object SparkEntry {
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
         "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "rel_q4_priority_exists" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // l_quantity is integer-valued: sum/avg IEEE-exact, threshold stable
+    "rel_q17_small_quantity" ->
+      ("SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#1' " +
+        "AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"),
+    // the scalar avg threshold is float-quantized on both sides: a
+    // row-order-dependent double sum must not decide row membership
+    "rel_q22_idle_customers" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust, round(sum(c_acctbal), 2) AS total_bal " +
+        "FROM customer " +
+        "WHERE c_acctbal > (SELECT CAST(CAST(avg(c_acctbal) AS FLOAT) AS DOUBLE) FROM customer WHERE c_acctbal > 0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "rel_window_extras" ->
       ("SELECT c_mktsegment, c_custkey, CAST(ntile(4) OVER w AS INT) AS quartile, " +
         "round(percent_rank() OVER w, 4) AS pct_rank, " +

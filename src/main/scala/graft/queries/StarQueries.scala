@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,62 @@ object StarQueries {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** TPC-H Q4-shaped EXISTS through the SQL TEXT surface: the point is
+    * not the semi-join (rel_join_semi certifies that) but Catalyst's
+    * RewritePredicateSubquery — a correlated EXISTS written as SQL must
+    * decorrelate into the same left-semi plan a DataFrame author would
+    * hand-build. lineitem's correlated scan keeps its returnflag filter
+    * pushed below the semi-join. */
+  def q4PriorityExists(spark: SparkSession, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("q4_orders")
+    lineitem.createOrReplaceTempView("q4_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM q4_orders
+        |WHERE EXISTS (SELECT 1 FROM q4_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q17-shaped correlated SCALAR subquery: per-part average
+    * quantity threshold — Catalyst decorrelates the aggregate subquery
+    * into a per-key aggregate joined back (one extra shuffle on
+    * l_partkey, not one subquery execution per outer row, which at
+    * 100 TB is the difference between a plan and a timeout).
+    * l_quantity is integer-valued, so sum/avg are IEEE-exact and the
+    * threshold comparison is engine-stable with no quantization. */
+  def q17SmallQuantity(spark: SparkSession, part: DataFrame, lineitem: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("q17_part")
+    lineitem.createOrReplaceTempView("q17_lineitem")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM q17_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q22-shaped: uncorrelated scalar subquery (global average
+    * balance threshold) + correlated NOT EXISTS (never placed a large
+    * order — every customer has SOME order in this data, so the plain
+    * no-orders predicate would certify an empty result), both in one
+    * SQL text. The scalar average is float-quantized in BOTH engines'
+    * texts — a row-order-dependent double sum used as a comparison
+    * threshold is the one place aggregate noise could flip a row
+    * across engines. */
+  def q22IdleCustomers(spark: SparkSession, customer: DataFrame, orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("q22_customer")
+    orders.createOrReplaceTempView("q22_orders")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+        |FROM q22_customer
+        |WHERE c_acctbal > (SELECT CAST(CAST(avg(c_acctbal) AS FLOAT) AS DOUBLE)
+        |                   FROM q22_customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM q22_orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
 
   /** Extended window-function surface: ntile quartiles, percent_rank,
     * first_value over the default frame. */

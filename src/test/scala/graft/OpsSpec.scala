@@ -1372,6 +1372,28 @@ class OpsSpec extends SparkSpec {
     assert(e2.groupBy("src").count().collect().forall(_.getLong(1) === 2L))
   }
 
+  test("correlated subqueries decorrelate: EXISTS → semi join, scalar agg → join, not per-row") {
+    import graft.queries.StarQueries
+    val orders = Seq((1L, "1-URGENT", 10.0), (2L, "5-LOW", 20.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val li = Seq((1L, 5.0, 100.0, "R", 7L), (2L, 50.0, 200.0, "N", 7L))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_partkey")
+    val q4 = StarQueries.q4PriorityExists(spark, orders, li)
+    val plan = q4.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS should decorrelate to a semi join:\n$plan")
+    assert(q4.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === Map("1-URGENT" -> 1L))
+    // scalar correlated subquery: one per-key aggregate joined back —
+    // the optimized plan must contain NO subquery expression remnant
+    val part = Seq((7L, "Brand#1")).toDF("p_partkey", "p_brand")
+    val q17 = StarQueries.q17SmallQuantity(spark, part, li)
+    val p17 = q17.queryExecution.optimizedPlan.toString
+    assert(!p17.toLowerCase.contains("scalar-subquery"),
+      s"scalar subquery should decorrelate into a join:\n$p17")
+    // avg qty for part 7 = 27.5; threshold 5.5 admits only the 5.0 row
+    assert(q17.collect()(0).getDouble(0) === BigDecimal(100.0 / 7.0)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // a clearly in-band document (48 tokens, mean length 4, stopwords
   // present) and a clearly out-of-band one (150 single-char tokens,
   // no stopwords) — the rule label and a linear boundary both separate
