@@ -1391,7 +1391,15 @@ object SparkEntry {
     // form, checking complete recall at Hamming ≤ 3
     "mm_phash_pairs" -> ((s, d) =>
       graft.multimodal.Phash.pairs(
-        graft.multimodal.Multimodal.syntheticGradientImages(Tables.documents(s, d)), 3))
+        graft.multimodal.Multimodal.syntheticGradientImages(Tables.documents(s, d)), 3)),
+    // acoustic-fingerprint near-dup over REAL decoded PCM: volume-
+    // shifted copies of one amplitude envelope hash identically (their
+    // WAV bytes all differ — exact dedup misses them); the oracle
+    // re-derives every envelope hash in closed form and brute-forces
+    // pairs, certifying complete banded recall at Hamming ≤ 3
+    "mm_audio_dup_pairs" -> ((s, d) =>
+      graft.multimodal.AudioFp.pairs(
+        graft.multimodal.AudioFp.syntheticAmAudio(Tables.documents(s, d)), 3))
   )
 
   /** Scratch space for the stream_* builders: run the pipeline in a temp
@@ -3567,6 +3575,25 @@ object SparkEntry {
         "SELECT a.media_id AS media_a, b.media_id AS media_b, " +
         "CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming " +
         "FROM sig a JOIN sig b ON a.media_id < b.media_id " +
-        "WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY media_a, media_b")
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY media_a, media_b"),
+
+    // closed-form envelope hash of the AM synthetic WAVs, brute-force
+    // paired: window k's amplitude is 600 + ((c+7)(k+3)·13) % 900 + off
+    // with c = doc_id % 50 and the volume offset cancelling out of
+    // every rise/fall comparison, so bit k = base(k+1) > base(k); the
+    // 31-bit hash fits BIGINT directly. All-pairs ≤ 3 certifies the
+    // Spark side's decode → energy → hash → banded join loses nothing
+    "mm_audio_dup_pairs" ->
+      ("WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS c FROM documents), " +
+        "e AS (SELECT media_id, k, 600 + ((c+7)*(k+3)*13) % 900 AS base " +
+        "FROM p, (SELECT unnest(range(0, 32)) AS k)), " +
+        "bits AS (SELECT a.media_id, a.k, (b.base > a.base) AS bit " +
+        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.k = a.k + 1 WHERE a.k < 31), " +
+        "h AS (SELECT media_id, SUM(CASE WHEN bit THEN 1::BIGINT << k ELSE 0::BIGINT END) AS afp " +
+        "FROM bits GROUP BY media_id) " +
+        "SELECT a.media_id AS media_a, b.media_id AS media_b, " +
+        "CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming " +
+        "FROM h a JOIN h b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.afp, b.afp)) <= 3 ORDER BY media_a, media_b")
   )
 }

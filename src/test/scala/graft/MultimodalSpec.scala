@@ -124,6 +124,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((40L, 41L)))
   }
 
+  test("audio envelope fingerprint: gain-invariant, pairs volume-shifted copies") {
+    import graft.multimodal.AudioFp
+    // docs 0 and 50 share doc_id % 50 = 0 (same envelope pattern,
+    // different volume offset → different WAV bytes); doc 1 differs
+    val docs = Seq(0L, 50L, 100L, 1L).toDF("doc_id")
+    val media = AudioFp.syntheticAmAudio(docs)
+    // volume-shifted copies have different bytes (exact dedup blind)...
+    val bytes = media.collect().map(r => r.media_id -> r.content.toSeq).toMap
+    assert(bytes(0L) !== bytes(50L))
+    // ...but identical envelope fingerprints; the other class differs
+    val sig = AudioFp.fingerprints(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) === sig(50L) && sig(50L) === sig(100L))
+    assert(sig(0L) !== sig(1L))
+    val pairs = AudioFp.pairs(media, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 50L)).contains(0))
+    assert(pairs.get((0L, 100L)).contains(0))
+    assert(pairs.get((50L, 100L)).contains(0))
+  }
+
   test("metadata pruning filters without touching payload bytes") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val media = Multimodal.mediaFromDocuments(spark, docs).toDF()
