@@ -704,6 +704,19 @@ object SparkEntry {
       graft.sources.FileSkip.scanPruned(s, s"$base/orders", "o_orderkey", 1000L, 4000L)
         .orderBy(col("o_orderkey"))
     }),
+    // equality-predicate file skipping via the per-file bloom index:
+    // the layout is clustered by o_orderkey, so min/max stats on
+    // o_custkey span the domain per file — the bloom side table still
+    // prunes the point lookup to the files actually holding the key,
+    // and the exact filter after makes pruning result-invisible
+    "store_bloomskip_scan" -> ((s, d) => withTempDir("graft-bloomskip") { base =>
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+      graft.sources.Bucketing.writeSorted(o, s"$base/orders", "o_orderkey", numFiles = 32)
+      graft.sources.FileSkip.buildBloom(s, s"$base/orders", "o_custkey")
+      graft.sources.FileSkip.scanPrunedEq(s, s"$base/orders", "o_custkey", 42L)
+        .orderBy(col("o_orderkey"))
+    }),
     // schema evolution on the read path: files written before a column
     // existed merge with later files, the missing column null-backfilled
     // (mergeSchema reconciles footers at planning time — at 100 TB pin
@@ -2660,6 +2673,10 @@ object SparkEntry {
     "store_fileskip_scan" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders " +
         "WHERE o_orderkey BETWEEN 1000 AND 4000 ORDER BY o_orderkey"),
+
+    "store_bloomskip_scan" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders " +
+        "WHERE o_custkey = 42 ORDER BY o_orderkey"),
 
     // pre-evolution rows carry NULL in the later column
     "store_schema_merge" ->

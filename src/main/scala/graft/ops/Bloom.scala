@@ -45,10 +45,10 @@ object Bloom {
   def optimalK(m: Long, n: Long): Int =
     math.max(1, math.round(m.toDouble / n.toDouble * math.log(2)).toInt)
 
-  private def bitPos(key: Column, seed: Int, m: Long): Column =
+  private[graft] def bitPos(key: Column, seed: Int, m: Long): Column =
     pmod(xxhash64(lit(seed), key), lit(m))
 
-  private def bitMask(pos: Column): Column =
+  private[graft] def bitMask(pos: Column): Column =
     call_function("shiftleft", lit(1L), pmod(pos, lit(64L)).cast("int"))
 
   /** Distributed build over the DISTINCT values of `keyCol`.

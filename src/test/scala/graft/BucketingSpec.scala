@@ -237,4 +237,35 @@ class BucketingSpec extends SparkSpec {
     assert(none.count() === 0L)
     assert(none.schema === pruned.schema)
   }
+
+  test("bloom file index prunes equality lookups on an unclustered column, no false negatives") {
+    import graft.sources.FileSkip
+    val base = java.nio.file.Files.createTempDirectory("graft-bloomskip-spec").toString
+    // layout clustered by id; the probe column g is uncorrelated with
+    // it, so min/max stats on g are useless (every file spans 0..12)
+    val df = spark.range(10000L).select($"id", ($"id" % 997).as("g"))
+    Bucketing.writeSorted(df, s"$base/t", "id", numFiles = 20)
+    val nData = spark.read.parquet(s"$base/t").count()
+    FileSkip.buildBloom(spark, s"$base/t", "g")
+    // the _bloom_g dir must be invisible to plain readers
+    assert(spark.read.parquet(s"$base/t").count() === nData)
+    val all = new java.io.File(s"$base/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // key 123 lives in ~11 rows → at most 11 (expected fewer than all)
+    // of the 20 files can contain it; bloom must admit a strict subset
+    val cand = FileSkip.candidateFilesEq(spark, s"$base/t", "g", 123L)
+    assert(cand.nonEmpty && cand.length < all,
+      s"expected a strict subset, got ${cand.length} of $all files")
+    // no false negatives across many keys: pruned ≡ full-scan filter
+    for (key <- Seq(0L, 123L, 996L)) {
+      val pruned = FileSkip.scanPrunedEq(spark, s"$base/t", "g", key)
+      val full = spark.read.parquet(s"$base/t").filter($"g" === key)
+      assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+      assert(pruned.count() === full.count())
+    }
+    // a key absent from the table: the exact filter guarantees 0 rows
+    // even when bloom false-positives admit files
+    val none = FileSkip.scanPrunedEq(spark, s"$base/t", "g", 5000L)
+    assert(none.count() === 0L)
+  }
 }
