@@ -431,6 +431,10 @@ object SparkEntry {
     // partners); linear in postings, no pair explosion
     "text_dup_span_fraction" -> ((s, d) =>
       TextOps.dupSpanFraction(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // longest cross-doc duplicated token span (exact-substring-dedup
+    // signal): positional postings + gaps-and-islands, no suffix sort
+    "text_dup_max_span" -> ((s, d) =>
+      TextOps.dupMaxRun(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // CCNet-style per-language perplexity terciles over the unigram-LM
     // score (head = most fluent third of each language)
     "text_ppl_buckets" -> ((s, d) =>
@@ -3415,6 +3419,21 @@ object SparkEntry {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
         "round(avg(CASE WHEN df.df > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_fraction " +
         "FROM sh JOIN df USING (shingle) GROUP BY doc_id ORDER BY doc_id"),
+    // positional shingles (lockstep unnest = posexplode), df over
+    // distinct doc-shingle pairs, islands by pos - row_number; a run
+    // of L duplicated 3-gram positions covers L+2 tokens
+    "text_dup_max_span" ->
+      (s"WITH shp AS (SELECT doc_id, unnest(range(0, len(shingles))) AS pos, " +
+        s"unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "sdf AS (SELECT shingle, count(*) AS df FROM " +
+        "(SELECT DISTINCT doc_id, shingle FROM shp) GROUP BY shingle), " +
+        "dup AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn " +
+        "FROM shp JOIN sdf USING (shingle) WHERE sdf.df > 1), " +
+        "runs AS (SELECT doc_id, pos - rn AS island, count(*) AS len FROM dup GROUP BY doc_id, island), " +
+        "agg AS (SELECT doc_id, max(len) AS mx, count(*) AS nr FROM runs GROUP BY doc_id) " +
+        "SELECT d.doc_id AS doc_id, CAST(coalesce(agg.mx + 2, 0) AS INT) AS max_dup_span_tokens, " +
+        "CAST(coalesce(agg.nr, 0) AS INT) AS n_dup_spans " +
+        "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY doc_id"),
     // unigram-LM score joined back to lang, ntile(3) per language
     // (ties split by doc_id — both engines distribute remainders to
     // the leading tiles per the SQL standard)

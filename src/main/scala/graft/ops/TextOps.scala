@@ -524,6 +524,56 @@ object TextOps {
         round(avg(when(col("df") > 1, 1.0).otherwise(0.0)), 4).as("dup_fraction"))
   }
 
+  /** Longest cross-document duplicated token SPAN per document — the
+    * exact-substring-dedup signal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): [[dupSpanFraction]] says how
+    * MUCH of a doc is shared; this says how LONG its longest contiguous
+    * shared run is, which is what substring-removal policies threshold
+    * on (e.g. drop any 50+-token span that appears elsewhere).
+    *
+    * Suffix arrays are the sequential-world tool for this; the
+    * relational equivalent keeps shingle POSITIONS and reduces maximal
+    * runs with gaps-and-islands: a position is "duplicated" when its
+    * n-gram occurs in ≥2 distinct docs, and a maximal run of
+    * consecutive duplicated positions of length L covers L+n−1 tokens.
+    * Correct because a duplicated token span of length ≥ n makes every
+    * n-gram inside it duplicated (consecutive positions), and
+    * conversely consecutive duplicated n-grams chain back into one
+    * duplicated span — the pigeonhole that lets n-grams stand in for
+    * suffixes.
+    *
+    * Plan shape at 100 TB: positional postings (the tokenization
+    * shuffle's partitioning), one distinct + one keyed count for df,
+    * one posting-list equi-join, one per-doc window for islands —
+    * all linear in postings, no pair explosion, no suffix sort. String
+    * shingle keys become md5 digests at vocabulary scale (the
+    * fingerprints discipline). */
+  def dupMaxRun(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("word"), i).over(w).as(s"w$i"))
+    val posts = withTokens(docs)
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
+      .select((col("doc_id") +: col("pos") +: col("word") +: leads): _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("word") +: (1 until n).map(i => col(s"w$i")): _*).as("shingle"))
+    val docFreq = posts.select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // gaps-and-islands over the duplicated positions: consecutive pos
+    // values share (pos - row_number), one group per maximal run
+    val runs = posts.join(docFreq, Seq("shingle")).filter(col("df") > 1)
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("len")).as("mx"), count(lit(1)).as("nr"))
+    docs.select(col("doc_id"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mx") + (n - 1), lit(0)).cast("int").as("max_dup_span_tokens"),
+        coalesce(col("nr"), lit(0)).cast("int").as("n_dup_spans"))
+  }
+
   /** CCNet-style per-language perplexity terciles: rank every document
     * within its language by the unigram-LM score ([[unigramLogProb]] —
     * low avg −ln P means fluent/common text) and split each language

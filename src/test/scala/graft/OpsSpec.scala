@@ -1372,6 +1372,28 @@ class OpsSpec extends SparkSpec {
     assert(e2.groupBy("src").count().collect().forall(_.getLong(1) === 2L))
   }
 
+  test("dupMaxRun: maximal cross-doc duplicated spans via gaps-and-islands") {
+    import graft.ops.TextOps
+    val d = docs(
+      (1L, "aa bb p q r s t cc dd"),          // shares "p q r s t" with 2
+      (2L, "xx p q r s t yy zz ww"),
+      (3L, "mm nn oo pp qq rr"),               // nothing shared
+      (4L, "ll kk ll kk ll kk ll"),            // internal repetition only
+      (5L, "aa1 bb1 p q r s t cc1 u v w x y dd1"), // two spans with 6
+      (6L, "zz1 p q r s t qq1 u v w x y nn1"))
+    val r = TextOps.dupMaxRun(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("max_dup_span_tokens"), x.getAs[Int]("n_dup_spans")))).toMap
+    // a shared 5-token phrase = 3 consecutive duplicated 3-gram
+    // positions = span of 3 + 2 tokens
+    assert(r(1L) === ((5, 1)) && r(2L) === ((5, 1)))
+    assert(r(3L) === ((0, 0)))
+    // repetition within ONE doc is not cross-doc duplication (df = 1)
+    assert(r(4L) === ((0, 0)))
+    // two disjoint shared spans stay two islands
+    assert(r(5L) === ((5, 2)) && r(6L) === ((5, 2)))
+  }
+
   test("correlated subqueries decorrelate: EXISTS → semi join, scalar agg → join, not per-row") {
     import graft.queries.StarQueries
     val orders = Seq((1L, "1-URGENT", 10.0), (2L, "5-LOW", 20.0))
