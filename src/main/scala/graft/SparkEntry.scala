@@ -984,6 +984,25 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("degree"),
           col("n_triangles"), col("clustering"))
         .orderBy(col("vec_id"))),
+    // weighted k-core (s-core) peeling: dense near-duplicate pocket
+    // extraction — planted 7-cliques (6 near-copies of every 25th
+    // vector) keep ~6 of similarity mass per member and survive τ=4.5;
+    // the ~0.3-weight background cascades away. Fixpoint via O(1)
+    // driver probes; the oracle replays 5 monotone rounds (≥ depth)
+    "emb_weighted_core" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = (1 to 6).map { j =>
+        emb.filter(col("vec_id") % 25 === 0).select(
+          (col("vec_id") + lit(100000L * j)).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) * lit(1.0 + j / 100.0)).cast("float")),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      }.reduce(_ unionByName _)
+      graft.ops.KCore.weightedCore(
+        graft.ops.KCore.knnSimEdges(emb.unionByName(copies), 5), 4.5)
+        .select(col("node").as("vec_id"), round(col("wd"), 4).as("core_weight"))
+        .orderBy(col("vec_id"))
+    }),
     // SemDeDup: semantic dedup DECISIONS over an augmented corpus with
     // planted float-quantized near-copies (every 5th vector, dim-1
     // ×1.01) — cluster (IVF), edge within-cluster pairs ≥ 0.99 cosine,
@@ -3131,6 +3150,34 @@ object SparkEntry {
         "ORDER BY sim DESC, vec_a, vec_b LIMIT 20"),
     // augmented corpus (planted float-quantized copies) → the SAME
     // Lloyd chain → within-cluster ≥0.99 edges → recursive-CTE closure
+    // the s-core peel replayed for 5 fixed rounds (monotone → trailing
+    // no-ops equal the fixpoint); per-round CTEs MATERIALIZED (each is
+    // referenced twice — the lrChainSql lesson), weighted degrees
+    // float-quantized before every τ comparison, exactly as in Scala
+    "emb_weighted_core" -> {
+      def peel(t: Int): String = {
+        val p = s"ke${t - 1}"
+        s"kd$t AS MATERIALIZED (SELECT node FROM (SELECT node, CAST(CAST(sum(w) AS FLOAT) AS DOUBLE) AS wd " +
+          s"FROM (SELECT a AS node, w FROM $p UNION ALL SELECT b, w FROM $p) GROUP BY node) WHERE wd >= 4.5), " +
+          s"ke$t AS MATERIALIZED (SELECT e.a, e.b, e.w FROM $p e " +
+          s"JOIN kd$t ka ON e.a = ka.node JOIN kd$t kb ON e.b = kb.node)"
+      }
+      "WITH kaug AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000*j, " +
+        "list_prepend(CAST(CAST(embedding[1] * (1.0 + j/100.0) AS FLOAT) AS DOUBLE), CAST(embedding AS DOUBLE[])[2:]) " +
+        "FROM embeddings, (SELECT unnest([1,2,3,4,5,6]) AS j) WHERE vec_id % 25 = 0), " +
+        s"ksc AS (SELECT x.vec_id AS src, y.vec_id AS dst, ${cosSql("x.e", "y.e")} AS sim " +
+        "FROM kaug x CROSS JOIN kaug y WHERE y.vec_id <> x.vec_id), " +
+        "kknn AS (SELECT src, dst, sim FROM ksc " +
+        "QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 5), " +
+        "ke0 AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b, max(sim) AS w " +
+        "FROM kknn GROUP BY 1, 2), " +
+        (1 to 5).map(peel).mkString(", ") + " " +
+        "SELECT node AS vec_id, round(wd, 4) AS core_weight FROM " +
+        "(SELECT node, CAST(CAST(sum(w) AS FLOAT) AS DOUBLE) AS wd " +
+        "FROM (SELECT a AS node, w FROM ke5 UNION ALL SELECT b, w FROM ke5) GROUP BY node) " +
+        "ORDER BY vec_id"
+    },
     "dedup_semantic" ->
       ("WITH RECURSIVE aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings " +
         "UNION ALL SELECT vec_id + 100000, " +

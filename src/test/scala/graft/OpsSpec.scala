@@ -1372,6 +1372,26 @@ class OpsSpec extends SparkSpec {
     assert(e2.groupBy("src").count().collect().forall(_.getLong(1) === 2L))
   }
 
+  test("weightedCore: clique survives, pendant dies, cascades empty a chain") {
+    import graft.ops.KCore
+    // K4 at w=1.7 per edge (each member keeps 5.1 ≥ 4.5) + a pendant
+    // at w=1.0 (keeps 1.0 — peels without harming the clique)
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b, 1.7)) :+ ((1L, 5L, 1.0))
+    val core = KCore.weightedCore(k4.toDF("a", "b", "w"), 4.5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(core.keySet === Set(1L, 2L, 3L, 4L))
+    // node 1's pendant edge is gone: in-core degree is 3 × 1.7
+    assert(math.abs(core(1L) - 5.1) < 1e-6)
+    // a chain where every interior node is safe UNTIL an endpoint
+    // peels: the cascade must empty it, not stop after one round
+    val chain = Seq((1L, 2L, 5.0), (2L, 3L, 5.0), (3L, 4L, 5.0)).toDF("a", "b", "w")
+    assert(KCore.weightedCore(chain, 6.0).count() === 0L)
+    // unweighted k-core is the w ≡ 1 special case: τ=3 keeps only K4
+    val unw = k4.map { case (a, b, _) => (a, b, 1.0) }
+    assert(KCore.weightedCore(unw.toDF("a", "b", "w"), 3.0).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("dupMaxRun: maximal cross-doc duplicated spans via gaps-and-islands") {
     import graft.ops.TextOps
     val d = docs(
