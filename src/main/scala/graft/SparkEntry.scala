@@ -1073,6 +1073,28 @@ object SparkEntry {
       }
     }),
 
+    // incremental ANN maintenance: planted near-copies appended to the
+    // persisted index through the FROZEN centroids/codebooks (no
+    // retrain — FAISS's add vs train split); the probe then surfaces
+    // them, certifying appended vectors route/encode/score identically
+    // to base vectors. The oracle trains on the base corpus only and
+    // assigns/encodes the additions against those frozen tables
+    "store_ann_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      withTempDir("graft-annincr") { base =>
+        graft.ops.AnnIndex.writeIvfPq(emb, base, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+        val additions = emb.filter(col("vec_id") % 5 === 0).select(
+          (col("vec_id") + lit(100000L)).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) * lit(1.01)).cast("float")),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+        graft.ops.AnnIndex.appendVectors(s, base, additions, 4, dsub)
+        graft.ops.AnnIndex.ivfPqTopK(s, base, embQueries(s, d), 4, dsub, 10, nprobe = 2)
+          .orderBy(col("q_id"), col("rank"))
+      }
+    }),
+
     // ----- event-time windows (M4 / ST6 extensions)
     "events_tumbling_hourly" -> ((s, d) =>
       EventWindows.tumblingHourly(Tables.events(s, d))
@@ -3222,6 +3244,45 @@ object SparkEntry {
     // the stored-index roundtrip answers bit-identically to the
     // in-memory IVF-PQ path, so it shares its oracle
     "store_ann_roundtrip" -> ivfPqTopkSql,
+    // ivfSql/pqSql train on the BASE embeddings only (naturally frozen
+    // wrt the additions); the appended near-copies are then assigned
+    // (vs c1) and encoded (vs pc1) exactly as AnnIndex.appendVectors
+    // does, and the ADC probe runs over the unioned postings/codes
+    "store_ann_incremental" ->
+      (s"WITH $ivfSql, $pqSql, " +
+        "aad AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_prepend(CAST(CAST(embedding[1] * 1.01 AS FLOAT) AS DOUBLE), CAST(embedding AS DOUBLE[])[2:]) AS ve " +
+        "FROM embeddings WHERE vec_id % 5 = 0), " +
+        s"aas AS (SELECT vec_id, centroid_id FROM (SELECT a.vec_id, c.centroid_id, ${cosSql("a.ve", "c.ce")} AS sim " +
+        "FROM aad a CROSS JOIN c1 c) " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1), " +
+        "a2u AS (SELECT vec_id, centroid_id FROM a2 UNION ALL SELECT vec_id, centroid_id FROM aas), " +
+        "psubA AS (SELECT vec_id, m, ve[m*dsub+1:(m+1)*dsub] AS sub " +
+        "FROM aad CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) CROSS JOIN pd), " +
+        s"paA AS (SELECT vec_id, m, code FROM (SELECT s.vec_id, s.m, c.code, ${cosSql("s.sub", "c.ce")} AS sim " +
+        "FROM psubA s JOIN pc1 c ON s.m = c.m) " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sim DESC, code) = 1), " +
+        "pcu AS (SELECT vec_id, m, code FROM pcodes UNION ALL SELECT vec_id, m, code FROM paA), " +
+        "iq2 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        s"ir2 AS (SELECT q_id, centroid_id FROM (SELECT q_id, centroid_id, ${cosSql("qe", "ce")} AS csim " +
+        "FROM iq2 CROSS JOIN c1) " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
+        "icand2 AS (SELECT ir2.q_id, a2u.vec_id FROM ir2 JOIN a2u USING (centroid_id) " +
+        "WHERE a2u.vec_id <> ir2.q_id), " +
+        "pq2b AS (SELECT vec_id AS q_id, m, sub AS qsub FROM psub WHERE vec_id < 5), " +
+        "ptab2b AS (SELECT q_id, pq2b.m, c.code, " +
+        "list_sum(list_transform(range(1, len(qsub)+1), i -> qsub[i]*c.ce[i])) AS part " +
+        "FROM pq2b JOIN pc1 c ON pq2b.m = c.m), " +
+        "psc2b AS (SELECT cd.q_id, cd.vec_id, " +
+        "round(max(CASE WHEN k.m = 0 THEN t.part END) + max(CASE WHEN k.m = 1 THEN t.part END) + " +
+        "max(CASE WHEN k.m = 2 THEN t.part END) + max(CASE WHEN k.m = 3 THEN t.part END), 4) AS score " +
+        "FROM icand2 cd JOIN pcu k ON cd.vec_id = k.vec_id " +
+        "JOIN ptab2b t ON t.q_id = cd.q_id AND t.m = k.m AND t.code = k.code " +
+        "GROUP BY cd.q_id, cd.vec_id) " +
+        "SELECT q_id, vec_id, score, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank " +
+        "FROM psc2b QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 10 " +
+        "ORDER BY q_id, rank"),
     "emb_ivf_topk" ->
       (s"WITH $ivfSql, " +
         "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +

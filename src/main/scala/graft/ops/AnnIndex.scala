@@ -45,6 +45,28 @@ object AnnIndex {
     books.write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
+  /** Incremental index maintenance — the ingest path of a live ANN
+    * service: assign and encode `additions` against the FROZEN routing
+    * and codebook tables and append their posting/code rows. No
+    * retraining: centroids and codebooks are read-only here, so the
+    * append touches ~bytes ∝ additions while the existing index rows
+    * are never rewritten (at 100 TB a retrain is a scheduled rebuild,
+    * not an ingest operation — drift between frozen centroids and new
+    * data distribution is the documented trade, exactly as in FAISS's
+    * `add` vs `train` split). store_ann_incremental certifies that
+    * appended vectors are routed, encoded, and ADC-scored identically
+    * to base vectors under the same frozen tables. */
+  def appendVectors(spark: SparkSession, dir: String, additions: DataFrame,
+                    nSub: Int, dsub: Int): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val books = spark.read.parquet(s"$dir/codebooks")
+    Ivf.assign(additions, cents).select(col("vec_id"), col("centroid_id"))
+      .write.mode("append").parquet(s"$dir/assignments")
+    Pq.assignCodes(Pq.subVectors(additions, nSub, dsub), books)
+      .select(col("vec_id"), col("m"), col("code"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** IVF-PQ top-k served entirely from a stored index: route queries
     * with the persisted centroids (nprobe buckets), gather candidates
     * from the persisted posting lists, score with ADC over the

@@ -79,4 +79,30 @@ class PqSpec extends SparkSpec {
     val cols = spark.read.parquet(s"$dir/assignments").columns.toSet
     assert(cols === Set("vec_id", "centroid_id"))
   }
+
+  test("appendVectors: frozen-table adds route and encode exactly like their originals") {
+    import graft.ops.AnnIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dsub = emb.select(org.apache.spark.sql.functions.size(col("embedding"))).head().getInt(0) / 4
+    val dir = java.nio.file.Files.createTempDirectory("annincr-spec").toString
+    AnnIndex.writeIvfPq(emb, dir, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+    val nBase = spark.read.parquet(s"$dir/assignments").count()
+    // append EXACT duplicates under shifted ids: with frozen centroids
+    // and codebooks they must land in identical buckets with identical
+    // codes — the determinism contract of the no-retrain ingest path
+    val dupes = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    AnnIndex.appendVectors(spark, dir, dupes, 4, dsub)
+    val asg = spark.read.parquet(s"$dir/assignments")
+    assert(asg.count() === nBase + 20)
+    val byId = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val codes = spark.read.parquet(s"$dir/codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    for (v <- 0L until 20L) {
+      assert(byId(v + 500000L) === byId(v), s"bucket drift for $v")
+      for (m <- 0 until 4)
+        assert(codes((v + 500000L, m)) === codes((v, m)), s"code drift for $v/$m")
+    }
+  }
 }
