@@ -984,6 +984,11 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("degree"),
           col("n_triangles"), col("clustering"))
         .orderBy(col("vec_id"))),
+    // embedding outlier detection: cosine-to-own-centroid z-scored
+    // within each IVF cluster — the far-from-every-cluster junk filter
+    // (per-cluster normalization so diffuse topics aren't mass-flagged)
+    "emb_cluster_outliers" -> ((s, d) =>
+      graft.ops.Ivf.clusterOutliers(Tables.embeddings(s, d), k = 8, iters = 2, topN = 20)),
     // weighted k-core (s-core) peeling: dense near-duplicate pocket
     // extraction — planted 7-cliques (6 near-copies of every 25th
     // vector) keep ~6 of similarity mass per member and survive τ=4.5;
@@ -3159,6 +3164,18 @@ object SparkEntry {
         "ELSE CAST(0.0 AS DOUBLE) END, 6) AS clustering " +
         "FROM deg LEFT JOIN corners USING (node) ORDER BY vec_id"),
 
+    // same Lloyd chain; per-cluster float-quantized mean/second-moment,
+    // z from exact sims, variance-guarded, bounded top-20 by (z, id)
+    "emb_cluster_outliers" ->
+      (s"WITH $ivfSql, " +
+        s"oc AS (SELECT a2.vec_id, a2.centroid_id, ${cosSql("a2.ve", "c1.ce")} AS sim " +
+        "FROM a2 JOIN c1 USING (centroid_id)), " +
+        "ost AS (SELECT centroid_id, CAST(CAST(avg(sim) AS FLOAT) AS DOUBLE) AS mu, " +
+        "CAST(CAST(avg(sim*sim) AS FLOAT) AS DOUBLE) AS m2 FROM oc GROUP BY centroid_id), " +
+        "oz AS (SELECT vec_id, centroid_id, (sim - mu) / sqrt(m2 - mu*mu) AS z " +
+        "FROM oc JOIN ost USING (centroid_id) WHERE m2 - mu*mu > 0) " +
+        "SELECT vec_id, centroid_id, round(z, 4) AS z_score FROM oz " +
+        "ORDER BY z, vec_id LIMIT 20"),
     "emb_ivf_assign" ->
       (s"WITH $ivfSql " +
         "SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors FROM a2 " +

@@ -130,6 +130,40 @@ object Ivf {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-space outlier detection — the "far from every cluster"
+    * curation filter (OCR garbage, encoding corruption, off-domain
+    * content sits in low-density space): cluster the corpus (the IVF
+    * index), score each vector's cosine to ITS OWN centroid, and
+    * z-score that similarity within the cluster. The most negative z
+    * values are the vectors their own neighborhood least explains —
+    * the removal candidates. Per-cluster normalization matters: a
+    * naturally diffuse topic must not flag its whole membership the
+    * way a global threshold would.
+    *
+    * Plan shape at 100 TB: the Lloyd chain (k·dim driver state), one
+    * broadcast join for sims, one k-row stats aggregate broadcast
+    * back, map-only z — plus one bounded global top-N sort. Mean and
+    * second moment are float-quantized (row-order sums; the Lloyd
+    * discipline) so z and the resulting order are engine-stable; the
+    * variance guard drops degenerate all-equal clusters before sqrt
+    * can see a quantization-negative. */
+  def clusterOutliers(corpus: DataFrame, k: Int, iters: Int, topN: Int): DataFrame = {
+    val (assigned, cents) = index(corpus, k, iters)
+    val sims = assigned.join(broadcast(cents), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        cos(col("embedding"), col("centroid")).as("sim"))
+    val stats = sims.groupBy(col("centroid_id")).agg(
+      avg(col("sim")).cast("float").cast("double").as("mu"),
+      avg(col("sim") * col("sim")).cast("float").cast("double").as("m2"))
+    sims.join(broadcast(stats), Seq("centroid_id"))
+      .filter(col("m2") - col("mu") * col("mu") > 0)
+      .select(col("vec_id"), col("centroid_id"),
+        ((col("sim") - col("mu")) / sqrt(col("m2") - col("mu") * col("mu"))).as("z"))
+      .orderBy(col("z"), col("vec_id"))
+      .limit(topN)
+      .select(col("vec_id"), col("centroid_id"), round(col("z"), 4).as("z_score"))
+  }
+
   /** SemDeDup-style semantic dedup decisions: cluster the corpus (the
     * IVF index), take within-cluster pairs with cosine ≥ `threshold`
     * as edges, resolve connected components, keep the min vec_id per

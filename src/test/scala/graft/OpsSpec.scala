@@ -1372,6 +1372,21 @@ class OpsSpec extends SparkSpec {
     assert(e2.groupBy("src").count().collect().forall(_.getLong(1) === 2L))
   }
 
+  test("clusterOutliers: the planted stray is its cluster's most negative z") {
+    import graft.ops.Ivf
+    // seeds (ids 0, 1) anchor two clusters; id 7 sits between but
+    // lands in cluster 0 and is far from everything there
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.995f, 0.1f)), (3L, Array(0.99f, -0.1f)),
+      (4L, Array(0.9f, 0.2f)), (5L, Array(0.1f, 0.995f)),
+      (6L, Array(-0.1f, 0.99f)), (7L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val out = Ivf.clusterOutliers(emb, k = 2, iters = 2, topN = 3).collect()
+    assert(out.head.getLong(0) === 7L) // most negative z first
+    assert(out.head.getDouble(2) < 0)
+  }
+
   test("weightedCore: clique survives, pendant dies, cascades empty a chain") {
     import graft.ops.KCore
     // K4 at w=1.7 per edge (each member keeps 5.1 ≥ 4.5) + a pendant
