@@ -355,6 +355,20 @@ object SparkEntry {
       graft.ops.Bm25.topK(Tables.documents(s, d), queries, 10)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // the inverted index persisted once (postings/doclens/meta — no raw
+    // text, the AnnIndex rule) and served from the stored frames: must
+    // answer bit-identically to the one-shot path over one oracle
+    "store_bm25_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "hash join"), (1L, "window scan fast"), (2L, "customer order batch"),
+        (3L, "vector merge slow"), (4L, "filter row")).toDF("q_id", "q_text")
+      withTempDir("graft-bm25idx") { base =>
+        graft.ops.Bm25.writeIndex(Tables.documents(s, d), base)
+        graft.ops.Bm25.topKFromIndex(s, base, queries, 10)
+          .orderBy(col("q_id"), col("rank"))
+      }
+    }),
     // hybrid retrieval: RRF-fuse the lexical (BM25) and vector
     // (embedding-cosine) rankers over the shared 0..4 query-id space —
     // score-calibration-free, each system contributes 1/(60+rank).
@@ -662,6 +676,18 @@ object SparkEntry {
       graft.ops.Scd2.merge(
         graft.ops.Scd2.build(early, "o_custkey", "valid_from", "o_orderkey"),
         late, "o_custkey", "valid_from", "o_orderkey")
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+    // time travel over the SCD2 history: the snapshot at an as-of date
+    // is a pure interval-cover filter (partition-prunable at scale),
+    // not a window — zero-length same-day intervals excluded
+    "store_scd2_asof" -> ((s, d) => {
+      val ch = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderdate").cast("date").as("valid_from"),
+        col("o_orderkey"), col("o_orderstatus").as("status"))
+      graft.ops.Scd2.pointInTime(
+        graft.ops.Scd2.build(ch, "o_custkey", "valid_from", "o_orderkey"),
+        "valid_from", lit("1997-06-15").cast("date"))
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     }),
     // incrementally maintained aggregate view: base build + two delta
@@ -2264,6 +2290,30 @@ object SparkEntry {
       "FROM psc2 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 10 " +
       "ORDER BY q_id, rank"
 
+  /** BM25 chain over the five literal queries — shared by
+    * `text_bm25_topk` (one-shot) and `store_bm25_roundtrip` (persisted
+    * index), which must answer identically. */
+  private lazy val bm25TopkSql: String =
+    "WITH q(q_id, q_text) AS (VALUES (0, 'hash join'), (1, 'window scan fast'), " +
+      "(2, 'customer order batch'), (3, 'vector merge slow'), (4, 'filter row')), " +
+      "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+      "st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n, " +
+      "(SELECT avg(dl) FROM dl) AS avgdl), " +
+      "qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q), " +
+      "post AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)), " +
+      "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term), " +
+      "sc AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, " +
+      s"round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) / " +
+      "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM qt JOIN post USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) " +
+      "CROSS JOIN st GROUP BY 1, 2) " +
+      "SELECT q_id, doc_id, score, " +
+      "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rank " +
+      "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) <= 10 " +
+      "ORDER BY q_id, rank"
+
   def oracleSql: Map[String, String] = Map(
     "ingest_parse_validate" ->
       ("SELECT event_id, user_id, event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
@@ -2713,6 +2763,18 @@ object SparkEntry {
         "lead(o_orderdate) OVER w IS NULL AS is_current " +
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
+        "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // the full SCD2 chain filtered to intervals covering the as-of date
+    "store_scd2_asof" ->
+      ("SELECT * FROM (SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from, o_orderkey, " +
+        "o_orderstatus AS status, " +
+        "lead(CAST(o_orderdate AS DATE)) OVER w AS valid_to, " +
+        "lead(o_orderdate) OVER w IS NULL AS is_current " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)) " +
+        "WHERE valid_from <= DATE '1997-06-15' " +
+        "AND (valid_to IS NULL OR valid_to > DATE '1997-06-15') " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
 
     // compaction is result-invisible
@@ -3441,26 +3503,10 @@ object SparkEntry {
 
     // BM25 replayed relationally: same idf form, same double-op order,
     // the (k1+1) constant interpolated from the identical Scala double
-    "text_bm25_topk" ->
-      ("WITH q(q_id, q_text) AS (VALUES (0, 'hash join'), (1, 'window scan fast'), " +
-        "(2, 'customer order batch'), (3, 'vector merge slow'), (4, 'filter row')), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
-        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
-        "st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n, " +
-        "(SELECT avg(dl) FROM dl) AS avgdl), " +
-        "qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q), " +
-        "post AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)), " +
-        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term), " +
-        "sc AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, " +
-        s"round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) / " +
-        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
-        "FROM qt JOIN post USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) " +
-        "CROSS JOIN st GROUP BY 1, 2) " +
-        "SELECT q_id, doc_id, score, " +
-        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rank " +
-        "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) <= 10 " +
-        "ORDER BY q_id, rank"),
+    "text_bm25_topk" -> bm25TopkSql,
+    // the stored-index path must answer bit-identically — one oracle
+    // for both, the store_ann_roundtrip pattern
+    "store_bm25_roundtrip" -> bm25TopkSql,
     // RRF fusion of the BM25 chain and the cosine chain: both rankers
     // replayed to their (q_id, doc_id, rank) lists, fused as
     // 1/(60+rank) terms summed in system order (bit-identical IEEE —

@@ -69,4 +69,60 @@ object Bm25 {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Persist the inverted index — the serving deployment the [[topK]]
+    * scaladoc promises, mirroring [[AnnIndex]]: tokenize the corpus
+    * ONCE into three stored frames and answer every later query from
+    * them without re-reading a single document.
+    *   - `postings/` (term, doc_id, tf) — partitioned by term, the
+    *     only frame a query's joins touch beyond doc lengths
+    *   - `doclens/`  (doc_id, dl)
+    *   - `meta/`     (n, avgdl) — the two corpus scalars, stored as
+    *     the exact doubles scoring interpolates
+    * The raw text is deliberately not part of the index (the AnnIndex
+    * raw-vector rule): postings are integers keyed by term and doc id,
+    * a fraction of corpus bytes. */
+  def writeIndex(docs: DataFrame, dir: String): Unit = {
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.write.mode("overwrite").parquet(s"$dir/postings")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir/doclens")
+    val n = docs.count()
+    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, avgdl)).toDF("n", "avgdl")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Top-`k` served entirely from a stored index — identical arithmetic
+    * to [[topK]] (same joins, same rounded-score ordering), so the two
+    * paths answer bit-identically: store_bm25_roundtrip certifies this
+    * against text_bm25_topk's unchanged oracle. */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = spark.read.parquet(s"$dir/postings")
+    val dl = spark.read.parquet(s"$dir/doclens")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (n, avgdl) = (meta.getAs[Long]("n"), meta.getAs[Double]("avgdl"))
+    val qterms = queries
+      .select(col("q_id"), explode(TextOps.tokens(col("q_text"))).as("term"))
+      .distinct()
+    val post = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+    val dfq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val part = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    broadcast(qterms)
+      .join(post, Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(part), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
