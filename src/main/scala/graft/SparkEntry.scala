@@ -845,6 +845,13 @@ object SparkEntry {
     }),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), 20)),
+    // prefix-filtered set-similarity join (AllPairs/PPJoin): threshold
+    // Jaccard pairs with NO df cap — the rare-first prefix equi-join
+    // generates candidates, and the brute-force oracle certifies the
+    // pigeonhole completeness claim as data
+    "dedup_prefix_pairs" -> ((s, d) =>
+      Dedup.prefixFilteredPairs(Tables.documents(s, d), 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // per-doc top-5 similar docs by shared-shingle count (the
     // retrieval flavor of the pair family), selected through the
     // k-bounded partial aggregate
@@ -2901,6 +2908,17 @@ object SparkEntry {
         "SELECT doc_a, doc_b, round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard " +
         "FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id " +
         "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"),
+    // the BRUTE-FORCE exact threshold pairs (no prefix, no cap): a
+    // green row means the Spark side's prefix filter lost nothing
+    "dedup_prefix_pairs" ->
+      (s"WITH psh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "psz AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id), " +
+        "pov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter " +
+        "FROM psh x JOIN psh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 4) AS jaccard " +
+        "FROM pov JOIN psz za ON doc_a = za.doc_id JOIN psz zb ON doc_b = zb.doc_id " +
+        "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8 " +
+        "ORDER BY doc_a, doc_b"),
     // per-doc top-k neighbors by shared-shingle count over the same
     // df-capped postings — integer counts, (count DESC, id) order,
     // selection through the k-bounded partial aggregate

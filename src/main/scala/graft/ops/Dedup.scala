@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact
@@ -54,6 +55,56 @@ object Dedup {
     * parallelizes and shingle assembly stays O(n) per doc. */
   def shingleSets(docs: DataFrame): DataFrame =
     TextOps.shinglePostings(docs).distinct()
+
+  /** Prefix-filtered set-similarity join (the AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08) — threshold Jaccard
+    * pairs WITHOUT a df cap and without the full posting self-join:
+    * order every document's shingles by global rarity (df asc, shingle
+    * asc), keep only each document's first |S| − ⌈t·|S|⌉ + 1 shingles
+    * (its PREFIX), and equi-join prefixes. Two sets with Jaccard ≥ t
+    * overlap in ≥ ⌈t·max(|a|,|b|)⌉ elements, so disjoint prefixes
+    * would leave too few non-prefix slots to host the overlap —
+    * candidate recall is COMPLETE by pigeonhole, which the brute-force
+    * oracle certifies as data (dedup_prefix_pairs ≡ all exact pairs).
+    *
+    * Scale: rare-first ordering makes prefixes the LEAST collision-
+    * prone shingles, so the candidate join shuffles a sliver of the
+    * postings (the higher t, the shorter the prefix — at t=0.6 it is
+    * ~40% of postings, at t=0.9 ~10%); verification then touches only
+    * candidate pairs' postings, cost ∝ candidates × set size. This
+    * replaces [[jaccardPairs]]'s df-cap heuristic with an exact filter
+    * when completeness at a threshold is required (dedup DECISIONS
+    * rather than top-N exploration). All-integer until the final
+    * Jaccard division; ⌈t·|S|⌉ is the same IEEE product+ceil in both
+    * engines. */
+  def prefixFilteredPairs(docs: DataFrame, t: Double): DataFrame = {
+    val posts = shingleSets(docs).localCheckpoint(true)
+    val df = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val pref = posts.join(df, Seq("shingle"))
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(posts.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("za")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("zb")), Seq("doc_b"))
+      .filter(col("inter").cast("double") / (col("za") + col("zb") - col("inter")) >= t)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("za") + col("zb") - col("inter")), 4)
+          .as("jaccard"))
+  }
 
   /** n-gram Jaccard near-dup candidates: equi-join postings on shingle,
     * count common shingles per pair, Jaccard = |∩| / |∪|. Top-n pairs by

@@ -1372,6 +1372,29 @@ class OpsSpec extends SparkSpec {
     assert(e2.groupBy("src").count().collect().forall(_.getLong(1) === 2L))
   }
 
+  test("prefixFilteredPairs: complete at the threshold, silent below it") {
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog near the old barn"
+    val d = docs(
+      (1L, base),
+      (2L, base + " tonight"),                   // one extra trailing shingle
+      (3L, "a completely different text about spark shuffles and joins here"),
+      (4L, "the quick brown fox sleeps all day long under a warm porch roof"))
+    val pairs = Dedup.prefixFilteredPairs(d, 0.7).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // docs 1/2 differ by one trailing word → high-jaccard pair
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) >= 0.7)
+    // the shared-prefix pair 1/4 (jaccard ~0.2) must NOT pass
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+    // completeness vs brute force at a lower threshold
+    val bf = Dedup.jaccardPairs(d, 100, maxDf = 1000).collect()
+      .filter(_.getDouble(2) >= 0.3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = Dedup.prefixFilteredPairs(d, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === bf)
+  }
+
   test("clusterOutliers: the planted stray is its cluster's most negative z") {
     import graft.ops.Ivf
     // seeds (ids 0, 1) anchor two clusters; id 7 sits between but
