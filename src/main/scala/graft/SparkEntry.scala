@@ -678,6 +678,22 @@ object SparkEntry {
         late, "o_custkey", "valid_from", "o_orderkey")
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     }),
+    // dynamic partition overwrite: rewriting one partition's rows must
+    // replace EXACTLY the partitions the batch touches (static mode
+    // would clobber the whole table; append would duplicate) — the
+    // partition-level upsert every hive-layout pipeline relies on
+    "store_dynamic_overwrite" -> ((s, d) => withTempDir("graft-dynpart") { base =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"), col("o_orderstatus"))
+      o.write.partitionBy("o_orderstatus").parquet(s"$base/t")
+      o.filter(col("o_orderstatus") === "F")
+        .withColumn("cents", col("cents") + 7)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(s"$base/t")
+      s.read.parquet(s"$base/t")
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
     // time travel over the SCD2 history: the snapshot at an as-of date
     // is a pure interval-cover filter (partition-prunable at scale),
     // not a window — zero-length same-day intervals excluded
@@ -2771,6 +2787,13 @@ object SparkEntry {
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) " +
         "ORDER BY o_custkey, valid_from, o_orderkey"),
+
+    // untouched partitions keep their original rows; the F partition
+    // carries the patch — any clobber or duplicate breaks the hash
+    "store_dynamic_overwrite" ->
+      ("SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100.0, 0) AS BIGINT) + " +
+        "CASE WHEN o_orderstatus = 'F' THEN 7 ELSE 0 END AS cents, o_orderstatus " +
+        "FROM orders ORDER BY o_orderkey"),
 
     // the full SCD2 chain filtered to intervals covering the as-of date
     "store_scd2_asof" ->
