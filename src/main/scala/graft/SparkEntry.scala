@@ -139,6 +139,10 @@ object SparkEntry {
     "rel_q21_lone_fault_supplier" -> ((s, d) =>
       StarQueries.q21LoneFaultSupplier(s, Tables.supplier(s, d),
         Tables.lineitem(s, d), Tables.orders(s, d), Tables.nation(s, d))),
+    // WITH RECURSIVE union-loop: data-dependent-depth hierarchy walk
+    // with exact integer path sums (order-free per-depth totals)
+    "rel_recursive_path_sum" -> ((s, d) =>
+      StarQueries.recursivePathSum(s, Tables.customer(s, d))),
     "rel_window_extras" -> ((s, d) =>
       StarQueries.windowExtras(Tables.customer(s, d))
         .orderBy(col("c_mktsegment"), col("c_custkey"))),
@@ -965,6 +969,21 @@ object SparkEntry {
             col("label").as("q_label")),
         10)
         .orderBy(col("q_id"), col("rank"))),
+    // Matryoshka two-stage: coarse rank on the first 16 dims (1/4 of
+    // the vector bytes), exact full-dim rerank of the top-100 — both
+    // stages deterministic, the composition oracle-certified
+    "emb_prefix_rerank" -> ((s, d) =>
+      Similarity.prefixRerank(Tables.embeddings(s, d), embQueries(s, d), 16, 100, 10)
+        .orderBy(col("q_id"), col("rank"))),
+    // SQ8 scalar quantization: per-dim [min,max] affine codes (4x
+    // compression), asymmetric top-k over reconstructions — codes and
+    // scores bit-portable via floor(x+0.5) in fixed double order
+    "emb_sq8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val st = graft.ops.Sq.stats(emb)
+      graft.ops.Sq.adcTopK(graft.ops.Sq.encode(emb, st), st, embQueries(s, d), 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     "emb_bucket_histogram" -> ((s, d) =>
       Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
     "emb_ann_lsh_topk" -> ((s, d) =>
@@ -2475,6 +2494,19 @@ object SparkEntry {
         "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
         "AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7') " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"),
+    // integer-cents path sums along unique root paths: order-free,
+    // so the per-depth aggregate is engine-exact; `//` is DuckDB's
+    // integer division (Spark spells it `div`)
+    "rel_recursive_path_sum" ->
+      ("WITH RECURSIVE tree AS (" +
+        "SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS path_cents, 0 AS depth " +
+        "FROM customer WHERE c_custkey < 10 " +
+        "UNION ALL " +
+        "SELECT c.c_custkey, t.path_cents + CAST(round(c.c_acctbal * 100, 0) AS BIGINT), t.depth + 1 " +
+        "FROM customer c JOIN tree t ON c.c_custkey // 10 = t.c_custkey AND c.c_custkey >= 10) " +
+        "SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "CAST(sum(path_cents) AS BIGINT) AS total_path_cents " +
+        "FROM tree GROUP BY depth ORDER BY depth"),
     "rel_window_extras" ->
       ("SELECT c_mktsegment, c_custkey, CAST(ntile(4) OVER w AS INT) AS quartile, " +
         "round(percent_rank() OVER w, 4) AS pct_rank, " +
@@ -3208,6 +3240,43 @@ object SparkEntry {
         "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))), 4) AS sim " +
         "FROM q CROSS JOIN c WHERE vec_id <> q_id AND label <> q_label) " +
         "SELECT q_id, vec_id, label, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    // both stages replayed: coarse cosine on dims 1..16, QUALIFY
+    // top-100, exact full-dim rerank to 10
+    "emb_prefix_rerank" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+        "coarse AS (SELECT q_id, vec_id, qe, ce, round(" +
+        "list_sum(list_transform(range(1, 17), i -> qe[i]*ce[i])) / " +
+        "(sqrt(list_sum(list_transform(qe[1:16], x -> x*x))) * sqrt(list_sum(list_transform(ce[1:16], x -> x*x)))), 4) AS coarse_sim " +
+        "FROM q CROSS JOIN c WHERE vec_id <> q_id), " +
+        "cand AS (SELECT q_id, vec_id, qe, ce FROM coarse " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY coarse_sim DESC, vec_id) <= 100), " +
+        "s AS (SELECT q_id, vec_id, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))), 4) AS sim " +
+        "FROM cand) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    // the full SQ8 chain replayed: per-dim min/max, floor(x+0.5)
+    // codes, affine reconstruction, asymmetric cosine — identical
+    // double operation order end to end
+    "emb_sq8_topk" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "pd AS (SELECT t.i AS pos, e[t.i] AS v FROM c, unnest(range(1, len(e)+1)) AS t(i)), " +
+        "st0 AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM pd GROUP BY pos), " +
+        "st AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM st0), " +
+        "enc AS (SELECT vec_id, list_transform(range(1, len(e)+1), i -> " +
+        "CASE WHEN maxs[i] = mins[i] THEN 0 ELSE floor((e[i] - mins[i]) / (maxs[i] - mins[i]) * 255 + 0.5) END) AS codes " +
+        "FROM c CROSS JOIN st), " +
+        "rec AS (SELECT vec_id, list_transform(range(1, len(codes)+1), i -> " +
+        "mins[i] + codes[i] / 255.0 * (maxs[i] - mins[i])) AS re FROM enc CROSS JOIN st), " +
+        "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, rec.vec_id AS vec_id, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*re[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(re, x -> x*x)))), 4) AS sim " +
+        "FROM q CROSS JOIN rec WHERE rec.vec_id <> q_id) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
     "emb_bucket_histogram" ->
       ("SELECT ((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) + " +

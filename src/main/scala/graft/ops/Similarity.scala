@@ -170,6 +170,46 @@ object Similarity {
     * awareness. The query side broadcasts (queries are the small
     * side by contract); the corpus is never shuffled, and the
     * per-query rank window keys on q_id. */
+  /** Matryoshka-style two-stage retrieval: a COARSE pass ranks by
+    * cosine over only the first `prefixDims` dimensions, keeps the
+    * top `coarseK` candidates per query, and an exact full-dimension
+    * rerank picks the final top `k`. With MRL-trained embeddings the
+    * leading dimensions carry most of the signal, so the coarse pass
+    * reads prefixDims/d of the vector bytes — in a columnar store
+    * with the prefix materialized as its own column, that is a
+    * physical-scan reduction, not just fewer multiplies. Both stages
+    * are deterministic (ties by vec_id), so the composition is
+    * oracle-checkable end to end; the candidate set is the certified
+    * contract, unlike recall-based ANN. At 100 TB the coarse pass
+    * composes with the LSH/IVF generators above (prefix-dim scoring
+    * inside each probed bucket), keeping the full-width vectors
+    * touched only for coarseK rows per query. */
+  def prefixRerank(
+      corpus: DataFrame, queries: DataFrame,
+      prefixDims: Int, coarseK: Int, k: Int): DataFrame = {
+    val q = queries.select(col("q_id"), col("q_emb"),
+      slice(col("q_emb"), 1, prefixDims).as("q_prefix"))
+    val coarseW = Window.partitionBy(col("q_id"))
+      .orderBy(col("coarse_sim").desc, col("vec_id"))
+    val candidates = corpus
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, prefixDims).as("emb_prefix"))
+      .join(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"),
+        round(graft.functions.VectorExpressions.cosineNative(col("q_prefix"), col("emb_prefix")), 4)
+          .as("coarse_sim"))
+      .withColumn("coarse_rank", row_number().over(coarseW))
+      .filter(col("coarse_rank") <= coarseK)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorExpressions.cosineNative(col("q_emb"), col("embedding")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus
       .join(broadcast(queries))

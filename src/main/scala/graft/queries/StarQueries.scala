@@ -139,6 +139,39 @@ object StarQueries {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4.x `WITH RECURSIVE`): walk the synthetic
+    * management tree parent(k) = k div 10 rooted at custkeys < 10,
+    * accumulating the root-to-node balance along each path. The
+    * recursion is the one relational shape the engine's fixed
+    * DataFrame pipelines cannot express statically (depth is data-
+    * dependent); Catalyst plans it as an iterative union loop — each
+    * iteration is ONE equi-join of the frontier against the (small,
+    * broadcastable) customer dimension, so a D-level hierarchy costs
+    * D joins, not D scans of the fact side. Path sums accumulate in
+    * exact integer cents along the UNIQUE root path (one parent per
+    * node), so the per-depth totals are order-free and engine-
+    * portable. The `c_custkey >= 10` guard excludes key 0, whose
+    * div-10 parent is itself — without it the loop never converges
+    * (the recursive-CTE analog of the fuzzyPred re-fire hazard in
+    * plans/JoinRewriteGuard). */
+  def recursivePathSum(spark: SparkSession, customer: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("rec_customer")
+    spark.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS path_cents,
+        |         0 AS depth
+        |  FROM rec_customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey,
+        |         t.path_cents + CAST(round(c.c_acctbal * 100, 0) AS BIGINT),
+        |         t.depth + 1
+        |  FROM rec_customer c JOIN tree t
+        |    ON c.c_custkey div 10 = t.c_custkey AND c.c_custkey >= 10
+        |)
+        |SELECT depth, count(*) AS n_nodes, sum(path_cents) AS total_path_cents
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   /** TPC-H Q21-shaped: correlated EXISTS and NOT EXISTS against the
     * SAME fact table at once — suppliers in two nations who were the
     * SOLE at-fault supplier (l_returnflag = 'R', standing in for

@@ -1572,6 +1572,67 @@ class OpsSpec extends SparkSpec {
     assert(r.find(_.getAs[Int]("rank") === 1).get.getAs[Long]("vec_id") === 2L)
   }
 
+  test("recursivePathSum: depth is data-dependent, path sums accumulate exactly, key 0 cannot loop") {
+    import graft.queries.StarQueries
+    // tree: 1 (root) <- 15 <- 153; 2 (root); key 0 would be its own
+    // parent (0 div 10 = 0) — the >= 10 guard must keep it a root-less
+    // orphan rather than an infinite loop
+    val customer = Seq((0L, 1.00), (1L, 10.00), (2L, 20.00), (15L, 5.00), (153L, 2.50))
+      .toDF("c_custkey", "c_acctbal")
+    val r = StarQueries.recursivePathSum(spark, customer).collect()
+      .map(x => x.getAs[Int]("depth") ->
+        ((x.getAs[Long]("n_nodes"), x.getAs[Long]("total_path_cents")))).toMap
+    // depth 0: keys 0,1,2 → cents 100 + 1000 + 2000
+    assert(r(0) === ((3L, 3100L)))
+    // depth 1: key 15 via 1 → 1000 + 500
+    assert(r(1) === ((1L, 1500L)))
+    // depth 2: key 153 via 15 → 1500 + 250
+    assert(r(2) === ((1L, 1750L)))
+    assert(r.size === 3)
+  }
+
+  test("prefixRerank: coarse stage gates candidates; full-width coarseK recovers brute force") {
+    import graft.ops.Similarity
+    // v1 looks great in the 2-dim prefix but bad in full; v2 the
+    // reverse; v3 mediocre everywhere. With coarseK=1 only the prefix
+    // winner survives to the rerank — the approximation is the
+    // certified contract
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),        // prefix twin of q (coarse 1.0), full ~0.71
+      (2L, Array(0.4f, 0.3f, 0.86f, 0.0f)),       // coarse 0.8 < v1, full ~0.90 > v1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f, 1.0f, 0.0f))).toDF("q_id", "q_emb")
+    val top1 = Similarity.prefixRerank(corpus, q, prefixDims = 2, coarseK = 1, k = 1).collect()
+    assert(top1.head.getAs[Long]("vec_id") === 1L,
+      "coarseK=1 must keep only the prefix winner, even though v2 reranks higher on full dims")
+    // with coarseK covering the corpus, the composition IS brute force
+    val full = Similarity.prefixRerank(corpus, q, prefixDims = 2, coarseK = 3, k = 3)
+      .select("q_id", "vec_id", "sim", "rank").collect().map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(corpus, q, 3)
+      .select("q_id", "vec_id", "sim", "rank").collect().map(_.toSeq)
+    assert(full.sortBy(_.toString) === brute.sortBy(_.toString))
+  }
+
+  test("Sq: codes hit the [0,255] rails, constant dims code 0, ADC finds the twin first") {
+    import graft.ops.Sq
+    val corpus = Seq(
+      (1L, Array(0.0f, 7.0f, 1.0f)),
+      (2L, Array(10.0f, 7.0f, 0.0f)),
+      (3L, Array(5.0f, 7.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val st = Sq.stats(corpus)
+    val codes = Sq.encode(corpus, st).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Int]]("codes")).toMap
+    assert(codes(1L) === Seq(0, 0, 255))   // min rail, constant dim, max rail
+    assert(codes(2L) === Seq(255, 0, 0))
+    assert(codes(3L) === Seq(128, 0, 128)) // floor(0.5*255+0.5)
+    val q = Seq((0L, Array(10.0f, 7.0f, 0.0f))).toDF("q_id", "q_emb")
+    val top = Sq.adcTopK(Sq.encode(corpus, st), st, q, 3).collect()
+    assert(top.find(_.getAs[Int]("rank") === 1).get.getAs[Long]("vec_id") === 2L,
+      "the exact twin of the query must reconstruct to rank 1")
+  }
+
   test("Forget.cascade: FK closure is purged, survivors untouched, audit adds up") {
     import graft.ops.Forget
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
