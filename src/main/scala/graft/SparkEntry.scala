@@ -1489,6 +1489,48 @@ object SparkEntry {
         .toDF("n_window_rows", "n_events_counted", "n_dropped_late")
     }),
 
+    // event-time TIMERS (abandoned-checkout expiry): a click opens a
+    // pending entry; a purchase within 6 h completes it; otherwise
+    // the registered timer fires when the watermark passes the
+    // deadline and emits 'expired' — output produced by time passing,
+    // not by a row arriving. Files staged in ascending event-time
+    // thirds + a far-future sentinel (advances the watermark past
+    // every deadline so all surviving timers fire); under in-order
+    // staging the outcome is event-time pure, hence the batch oracle
+    "stream_timeout_expiry" -> ((s, d) => withTempDir("graft-timeout") { base =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // TWO trailing sentinels: timer eviction runs against the
+      // watermark derived from data seen through the PREVIOUS batch,
+      // so the first sentinel's advancement only takes effect in the
+      // batch after it — the second sentinel makes that batch exist
+      def sentinel(id: Long, plusHours: Long) = s.range(1).select(
+        lit(id).as("event_id"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(new java.sql.Timestamp(maxTs.getTime + plusHours * 3600 * 1000)).as("ts"))
+      // thirds by EVENT TIME (the staging contract): rank via ts order
+      val byTs = ev.withColumn("tr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(col("ts"), col("event_id"))))
+      val now = System.currentTimeMillis()
+      Seq(
+        ("f0", byTs.filter(col("tr") <= 0.33).drop("tr"), now - 80000L),
+        ("f1", byTs.filter(col("tr") > 0.33 && col("tr") <= 0.66).drop("tr"), now - 60000L),
+        ("f2", byTs.filter(col("tr") > 0.66).drop("tr"), now - 40000L),
+        ("f3", sentinel(-1L, 8L), now - 20000L),
+        ("f4", sentinel(-2L, 9L), now - 10000L)
+      ).foreach { case (name, df, mtime) =>
+        df.coalesce(1).write.parquet(s"$base/in/$name")
+        new java.io.File(s"$base/in/$name").listFiles().foreach(_.setLastModified(mtime))
+      }
+      graft.streaming.TimeoutExpiry.run(s, ev.schema, s"$base/in", s"$base/out",
+        s"$base/ckpt", "click", "purchase", 6L * 3600 * 1000)
+      s.read.parquet(s"$base/out")
+        .select(col("start_id"), col("user_id"), col("outcome"), col("latency_sec"))
+        .orderBy(col("start_id"))
+    }),
+
     // streaming ONLINE near-dup admission: LSH band buckets are
     // claimed by every document that flows past; a doc is admitted
     // only if all its buckets are unclaimed. Input staged in three
@@ -2981,6 +3023,23 @@ object SparkEntry {
         "(SELECT CAST(count(*) AS BIGINT) FROM " +
         "(SELECT DISTINCT date_trunc('hour', ts), event_type FROM events " +
         "WHERE event_id % 10 = 0) u) AS n_dropped_late"),
+
+    // event-time-pure timeout contract replayed as a batch join:
+    // completed iff a same-user purchase lands in [click, click+6h]
+    // at millisecond precision (both engines floor native resolution
+    // to ms — epoch_ms here, Timestamp.getTime in the processor);
+    // latency = floor-seconds difference; expired rows carry -1
+    "stream_timeout_expiry" ->
+      ("WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "m AS (SELECT s.event_id, min(epoch_ms(c.ts)) AS cms FROM s JOIN c " +
+        "ON c.user_id = s.user_id AND epoch_ms(c.ts) >= epoch_ms(s.ts) " +
+        "AND epoch_ms(c.ts) - epoch_ms(s.ts) <= 21600000 GROUP BY s.event_id) " +
+        "SELECT s.event_id AS start_id, s.user_id AS user_id, " +
+        "CASE WHEN m.cms IS NOT NULL THEN 'completed' ELSE 'expired' END AS outcome, " +
+        "CAST(CASE WHEN m.cms IS NOT NULL THEN m.cms // 1000 - epoch_ms(s.ts) // 1000 " +
+        "ELSE -1 END AS BIGINT) AS latency_sec " +
+        "FROM s LEFT JOIN m ON s.event_id = m.event_id ORDER BY start_id"),
 
     // the listener's per-batch input-row counts are the staged file
     // sizes — one file per batch under maxFilesPerTrigger=1

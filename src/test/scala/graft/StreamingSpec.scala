@@ -591,6 +591,47 @@ class StreamingSpec extends SparkSpec {
     assert(afterR2 === 2L) // state evicted: the fresh redelivery re-admits
   }
 
+  test("event-time timers: in-window completion wins, late completion expires, timers fire on watermark") {
+    import graft.streaming.TimeoutExpiry
+    val base = tmp("timeout-spec")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def stage(name: String, mtime: Long, rows: (Long, Long, String, java.sql.Timestamp)*): Unit = {
+      val dir = s"$base/in/$name"
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    // ts-ordered batches (the staging contract): clicks open, one
+    // purchase inside the 10-min window, one an hour late
+    stage("f0", now - 60000,
+      (1L, 1L, "click", ts("2024-01-01 00:00:00")),
+      (2L, 2L, "click", ts("2024-01-01 00:05:00")))
+    stage("f1", now - 50000,
+      (10L, 1L, "purchase", ts("2024-01-01 01:00:00")), // 60 min after id1: too late
+      (3L, 3L, "click", ts("2024-01-01 01:05:00")),
+      (4L, 1L, "click", ts("2024-01-01 01:06:00")),
+      (11L, 1L, "purchase", ts("2024-01-01 01:08:00")), // completes id4 in-batch
+      (5L, 5L, "click", ts("2024-01-01 01:07:00")))
+    stage("f2", now - 40000,
+      (12L, 5L, "purchase", ts("2024-01-01 01:12:00"))) // completes id5 across batches
+    stage("f3", now - 30000, (-1L, -1L, "sentinel", ts("2024-01-01 06:00:00")))
+    stage("f4", now - 20000, (-2L, -1L, "sentinel", ts("2024-01-01 07:00:00")))
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    TimeoutExpiry.run(spark, schema, s"$base/in", s"$base/out", s"$base/ckpt",
+      "click", "purchase", timeoutMs = 10L * 60 * 1000)
+    val out = spark.read.parquet(s"$base/out").collect()
+      .map(r => r.getAs[Long]("start_id") ->
+        ((r.getAs[String]("outcome"), r.getAs[Long]("latency_sec")))).toMap
+    assert(out === Map(
+      1L -> (("expired", -1L)),   // purchase came 60 min late
+      2L -> (("expired", -1L)),   // no purchase at all
+      3L -> (("expired", -1L)),
+      4L -> (("completed", 120L)),
+      5L -> (("completed", 300L)) // completion in a later micro-batch
+    ))
+  }
+
   test("ST6: event-time windows run identically over a stream with watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
