@@ -1251,6 +1251,12 @@ object SparkEntry {
     "events_rolling_rate" -> ((s, d) =>
       EventWindows.rollingRate(Tables.events(s, d), windowSec = 3600)
         .orderBy(col("event_id"))),
+    // gap-filled 6h grid per user, last observation carried forward —
+    // point-in-time materialization; first slot observes by
+    // construction, carry ranked at microsecond precision
+    "events_resample_ffill" -> ((s, d) =>
+      EventWindows.resampleFfill(Tables.events(s, d), stepMinutes = 360)
+        .orderBy(col("user_id"), col("slot_sec"))),
     // click → purchase conversion funnel per user
     "events_funnel" -> ((s, d) =>
       EventWindows.funnel(Tables.events(s, d), "click", "purchase")
@@ -3703,6 +3709,22 @@ object SparkEntry {
       ("SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
         "AS n_window FROM events ORDER BY event_id"),
+    // per-user 6h slot grid, last-in-slot at microsecond precision
+    // (ties by event_id), forward fill via IGNORE NULLS last_value
+    "events_resample_ffill" ->
+      ("WITH sl AS (SELECT user_id, event_id, value, " +
+        "epoch_us(ts) // 21600000000 AS slot, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE user_id IS NOT NULL AND value IS NOT NULL), " +
+        "lastv AS (SELECT user_id, slot, value FROM sl " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id, slot ORDER BY ts_us DESC, event_id DESC) = 1), " +
+        "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM " +
+        "(SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM sl GROUP BY user_id)) " +
+        "SELECT g.user_id AS user_id, CAST(g.slot * 21600 AS BIGINT) AS slot_sec, " +
+        "last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill, " +
+        "l.value IS NOT NULL AS is_observed " +
+        "FROM grid g LEFT JOIN lastv l ON g.user_id = l.user_id AND g.slot = l.slot " +
+        "ORDER BY user_id, slot_sec"),
     // f/n is true division (DOUBLE) on both engines; ln natural log
     "text_unigram_logprob" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +

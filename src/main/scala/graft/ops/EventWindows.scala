@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing over the `events` table — tumbling, sliding and
@@ -116,6 +117,52 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("n_window", count(lit(1)).over(w))
       .select(col("event_id"), col("user_id"), col("n_window"))
+  }
+
+  /** Time-series resample + forward fill: a fixed `stepMinutes` grid
+    * per user from their first to last event, each slot carrying the
+    * LAST observation on or before it — the gap-filling primitive
+    * behind sensor/metric rollups and feature-store point-in-time
+    * materialization (the batch analog of a KV lookup "latest value
+    * as of t"). Slots with no event of their own are filled from the
+    * previous slot's carry; the first slot always observes (the grid
+    * starts at the floor of the user's first event).
+    *
+    * Shape at 100 TB: slotting is a map-only floor-div; last-in-slot
+    * is a per-(user, slot) window ranked at MICROSECOND precision
+    * (ties by event_id) so the carry is deterministic; the grid
+    * explode generates (span/step) rows per user off a per-user
+    * min/max aggregate — output-proportional, no cross-user work —
+    * and the forward-fill window rides the same user partitioning
+    * the slot shuffle already established. A user's whole grid lives
+    * in one partition: the only skew bound is the longest single
+    * user's span, not the corpus. */
+  def resampleFfill(events: DataFrame, stepMinutes: Int): DataFrame = {
+    require(stepMinutes > 0, "stepMinutes must be positive")
+    val stepUs = stepMinutes * 60L * 1000000L
+    val stepSec = stepMinutes * 60L
+    val slotted = events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        floor(unix_micros(col("ts")) / stepUs).as("slot"),
+        unix_micros(col("ts")).as("ts_us"))
+    val inSlot = Window.partitionBy(col("user_id"), col("slot"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val lastInSlot = slotted
+      .withColumn("rn", row_number().over(inSlot))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("slot"), col("value"))
+    val grid = slotted
+      .groupBy(col("user_id"))
+      .agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val ffill = Window.partitionBy(col("user_id")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(lastInSlot, Seq("user_id", "slot"), "left")
+      .select(col("user_id"), (col("slot") * stepSec).as("slot_sec"),
+        last(col("value"), ignoreNulls = true).over(ffill).as("value_ffill"),
+        col("value").isNotNull.as("is_observed"))
   }
 
   /** Cohort retention: users grouped by first-seen day, distinct-user

@@ -1633,6 +1633,29 @@ class OpsSpec extends SparkSpec {
       "the exact twin of the query must reconstruct to rank 1")
   }
 
+  test("resampleFfill: gaps fill from the last observation, last-in-slot wins ties, grid spans first to last") {
+    import graft.ops.EventWindows
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 1h slots: u1 observes in slots 0 (twice — later event wins) and 3
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:10:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 00:40:00"), 20.0), // same slot, later → carries
+      (3L, 1L, ts("2024-01-01 03:30:00"), 30.0),
+      (4L, 2L, ts("2024-01-01 05:00:00"), 99.0)  // single-event user: 1-slot grid
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = EventWindows.resampleFfill(ev, stepMinutes = 60).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("slot_sec")) ->
+        ((x.getAs[Double]("value_ffill"), x.getAs[Boolean]("is_observed")))).toMap
+    val h = 3600L
+    val base = ts("2024-01-01 00:00:00").getTime / 1000
+    assert(r((1L, base)) === ((20.0, true)))          // last-in-slot, not first
+    assert(r((1L, base + h)) === ((20.0, false)))     // filled
+    assert(r((1L, base + 2 * h)) === ((20.0, false))) // still filled
+    assert(r((1L, base + 3 * h)) === ((30.0, true)))
+    assert(r((2L, base + 5 * h)) === ((99.0, true)))
+    assert(r.size === 5) // u1: slots 0..3; u2: slot 5 only
+  }
+
   test("Forget.cascade: FK closure is purged, survivors untouched, audit adds up") {
     import graft.ops.Forget
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
