@@ -468,6 +468,12 @@ object SparkEntry {
     // the word2phrase signal for multi-word-token discovery
     "text_pmi_bigrams" -> ((s, d) =>
       TextOps.pmiBigrams(Tables.documents(s, d), 5, 50).orderBy(col("rank"))),
+    // SentencePiece unigram-LM tokenizer (hard-EM): seed substring
+    // vocab → Viterbi segmentation → re-fit → second Viterbi; the
+    // whole two-pass chain replayed in SQL to hash equality
+    "text_unigram_lm" -> ((s, d) =>
+      graft.ops.UnigramLm.train(Tables.documents(s, d),
+        maxPieceLen = 4, topV = 32, maxWordLen = 8).orderBy(col("word"))),
     // CCNet-style per-language perplexity terciles over the unigram-LM
     // score (head = most fluent third of each language)
     "text_ppl_buckets" -> ((s, d) =>
@@ -2306,6 +2312,56 @@ object SparkEntry {
     * engines' exp ulp noise), float-quantized gradient sums, exact
     * fixed-order weight updates re-quantized per iteration. Mirrors
     * Classifier.train(iters = 20, lr = 10.0). */
+  /** The unigram-LM (SentencePiece hard-EM) chain replayed in SQL:
+    * seed vocab → Viterbi DP (one MATERIALIZED CTE per position, the
+    * Lineage-cut twin) → path recount → second Viterbi. Costs are
+    * float-quantized before every comparison; DP ties break
+    * (cost, piece length DESC, piece) exactly as the engine does. */
+  private val unigramLmSql: String = {
+    def dp(pre: String, cand: String, out: String, maxWordLen: Int): String = {
+      val d0 = s"${out}0 AS (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS cost, '' AS path FROM $pre)"
+      val steps = (1 to maxWordLen).map { j =>
+        val p = s"$out${j - 1}"
+        s"$out$j AS MATERIALIZED (SELECT word, pos, cost, path FROM (" +
+          s"SELECT d.word AS word, c.end_pos AS pos, d.cost + c.nlp AS cost, " +
+          "CASE WHEN d.path = '' THEN c.span ELSE d.path || '|' || c.span END AS path, " +
+          "row_number() OVER (PARTITION BY d.word " +
+          "ORDER BY d.cost + c.nlp, length(c.span) DESC, c.span) AS rn " +
+          s"FROM $p d JOIN $cand c ON c.word = d.word AND c.pred_pos = d.pos AND c.end_pos = $j) " +
+          s"WHERE rn = 1 UNION ALL SELECT word, pos, cost, path FROM $p)"
+      }
+      (d0 +: steps).mkString(", ")
+    }
+    "uw AS MATERIALIZED (SELECT word, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE length(word) <= 8 GROUP BY word), " +
+      "usp AS MATERIALIZED (SELECT word, e AS end_pos, e - l AS pred_pos, " +
+      "substr(word, e - l + 1, l) AS span " +
+      "FROM uw, unnest(range(1, least(4, length(word)) + 1)) AS t1(l), " +
+      "unnest(range(l, length(word) + 1)) AS t2(e)), " +
+      "useed AS (SELECT span, sum(freq) AS pfreq FROM usp JOIN uw USING (word) GROUP BY span), " +
+      "utop AS (SELECT span AS piece, pfreq FROM useed " +
+      "QUALIFY row_number() OVER (ORDER BY pfreq DESC, span) <= 32 OR length(span) = 1), " +
+      "up1 AS MATERIALIZED (SELECT piece, " +
+      "CAST(CAST(-ln(CAST(pfreq AS DOUBLE) / t) AS FLOAT) AS DOUBLE) AS nlp " +
+      "FROM utop CROSS JOIN (SELECT CAST(sum(pfreq) AS DOUBLE) AS t FROM utop) tt), " +
+      "uc1 AS MATERIALIZED (SELECT s.word, s.end_pos, s.pred_pos, s.span, p.nlp " +
+      "FROM usp s JOIN up1 p ON s.span = p.piece), " +
+      dp("uw", "uc1", "ud", 8) + ", " +
+      "uf1 AS MATERIALIZED (SELECT d.word, w.freq, d.path FROM ud8 d " +
+      "JOIN uw w USING (word) WHERE d.pos = length(d.word)), " +
+      "ucnt AS (SELECT piece, sum(freq) AS pfreq FROM " +
+      "(SELECT freq, unnest(string_split(path, '|')) AS piece FROM uf1) GROUP BY piece), " +
+      "up2 AS MATERIALIZED (SELECT piece, " +
+      "CAST(CAST(-ln(CAST(pfreq AS DOUBLE) / t) AS FLOAT) AS DOUBLE) AS nlp " +
+      "FROM ucnt CROSS JOIN (SELECT CAST(sum(pfreq) AS DOUBLE) AS t FROM ucnt) tt), " +
+      "uc2 AS MATERIALIZED (SELECT s.word, s.end_pos, s.pred_pos, s.span, p.nlp " +
+      "FROM usp s JOIN up2 p ON s.span = p.piece), " +
+      dp("uw", "uc2", "ue", 8) + ", " +
+      "uf2 AS (SELECT d.word, w.freq, d.path FROM ue8 d " +
+      "JOIN uw w USING (word) WHERE d.pos = length(d.word))"
+  }
+
   private val lrChainSql: String = {
     // every per-iteration CTE is MATERIALIZED: lw(t-1) is referenced
     // twice (gradient + update), so plain inlining would double the
@@ -3904,6 +3960,12 @@ object SparkEntry {
         "CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank " +
         "FROM scored QUALIFY row_number() OVER (ORDER BY pmi DESC, w1, w2) <= 50 " +
         "ORDER BY rank"),
+    // the full two-Viterbi hard-EM chain (see unigramLmSql)
+    "text_unigram_lm" ->
+      (s"WITH $unigramLmSql " +
+        "SELECT word, CAST(freq AS BIGINT) AS freq, path, " +
+        "CAST(len(string_split(path, '|')) AS INT) AS n_pieces " +
+        "FROM uf2 ORDER BY word"),
     // unigram-LM score joined back to lang, ntile(3) per language
     // (ties split by doc_id — both engines distribute remainders to
     // the leading tiles per the SQL standard)

@@ -1656,6 +1656,27 @@ class OpsSpec extends SparkSpec {
     assert(r.size === 5) // u1: slots 0..3; u2: slot 5 only
   }
 
+  test("UnigramLm: frequent substrings become pieces, DP ties prefer longer pieces, paths cover words") {
+    import graft.ops.UnigramLm
+    // piece freqs over {aaa x2, bb x2, cc x1}: a=6, aa=4, b=4, bb=2,
+    // c=2, cc=1 (total 19). 'bb' as one piece beats b|b (2.25 < 3.12),
+    // 'cc' beats c|c; 'aaa' has a|aa and aa|a at EXACTLY equal cost —
+    // the (len desc) tie-break picks the longer FINAL piece: a|aa
+    val d = Seq((1L, "aaa bb aaa bb cc")).toDF("doc_id", "text")
+    val r = UnigramLm.train(d, maxPieceLen = 2, topV = 32, maxWordLen = 8)
+      .collect().map(x => x.getAs[String]("word") ->
+        ((x.getAs[String]("path"), x.getAs[Int]("n_pieces")))).toMap
+    assert(r("bb") === (("bb", 1)))
+    assert(r("cc") === (("cc", 1)))
+    assert(r("aaa") === (("a|aa", 2)))
+    // segmentation is a COVER: pieces re-join to the word
+    r.foreach { case (w, (path, _)) => assert(path.replace("|", "") === w) }
+    // words beyond maxWordLen are excluded by contract
+    val long = Seq((1L, "abcdefghij ok")).toDF("doc_id", "text")
+    val r2 = UnigramLm.train(long, 2, 32, maxWordLen = 8).collect().map(_.getString(0))
+    assert(r2.toSeq === Seq("ok"))
+  }
+
   test("Forget.cascade: FK closure is purged, survivors untouched, audit adds up") {
     import graft.ops.Forget
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
