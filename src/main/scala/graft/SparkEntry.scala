@@ -474,6 +474,13 @@ object SparkEntry {
     "text_unigram_lm" -> ((s, d) =>
       graft.ops.UnigramLm.train(Tables.documents(s, d),
         maxPieceLen = 4, topV = 32, maxWordLen = 8).orderBy(col("word"))),
+    // the serving path: corpus tokenized against the trained table
+    // (map-only broadcast lookup), per-doc expansion stats
+    "text_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.UnigramLm.encode(docs,
+        graft.ops.UnigramLm.train(docs, 4, 32, 8)).orderBy(col("doc_id"))
+    }),
     // CCNet-style per-language perplexity terciles over the unigram-LM
     // score (head = most fluent third of each language)
     "text_ppl_buckets" -> ((s, d) =>
@@ -1262,6 +1269,11 @@ object SparkEntry {
     // construction, carry ranked at microsecond precision
     "events_resample_ffill" -> ((s, d) =>
       EventWindows.resampleFfill(Tables.events(s, d), stepMinutes = 360)
+        .orderBy(col("user_id"), col("slot_sec"))),
+    // rolling z-score over the resampled series, moments in exact
+    // integer cents so the |z| > 2 flag boundary is engine-exact
+    "events_anomalies" -> ((s, d) =>
+      EventWindows.anomalies(Tables.events(s, d), stepMinutes = 360)
         .orderBy(col("user_id"), col("slot_sec"))),
     // click → purchase conversion funnel per user
     "events_funnel" -> ((s, d) =>
@@ -2312,6 +2324,23 @@ object SparkEntry {
     * engines' exp ulp noise), float-quantized gradient sums, exact
     * fixed-order weight updates re-quantized per iteration. Mirrors
     * Classifier.train(iters = 20, lr = 10.0). */
+  /** Per-user 6h resample grid with forward fill, as a CTE chain
+    * ending in `rs(user_id, slot_sec, value_ffill, is_observed)` —
+    * shared by events_resample_ffill and events_anomalies. */
+  private val resampleChainSql: String =
+    "sl AS (SELECT user_id, event_id, value, " +
+      "epoch_us(ts) // 21600000000 AS slot, epoch_us(ts) AS ts_us FROM events " +
+      "WHERE user_id IS NOT NULL AND value IS NOT NULL), " +
+      "lastv AS (SELECT user_id, slot, value FROM sl " +
+      "QUALIFY row_number() OVER (PARTITION BY user_id, slot ORDER BY ts_us DESC, event_id DESC) = 1), " +
+      "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM " +
+      "(SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM sl GROUP BY user_id)), " +
+      "rs AS (SELECT g.user_id AS user_id, CAST(g.slot * 21600 AS BIGINT) AS slot_sec, " +
+      "last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill, " +
+      "l.value IS NOT NULL AS is_observed " +
+      "FROM grid g LEFT JOIN lastv l ON g.user_id = l.user_id AND g.slot = l.slot)"
+
   /** The unigram-LM (SentencePiece hard-EM) chain replayed in SQL:
     * seed vocab → Viterbi DP (one MATERIALIZED CTE per position, the
     * Lineage-cut twin) → path recount → second Viterbi. Costs are
@@ -3768,19 +3797,23 @@ object SparkEntry {
     // per-user 6h slot grid, last-in-slot at microsecond precision
     // (ties by event_id), forward fill via IGNORE NULLS last_value
     "events_resample_ffill" ->
-      ("WITH sl AS (SELECT user_id, event_id, value, " +
-        "epoch_us(ts) // 21600000000 AS slot, epoch_us(ts) AS ts_us FROM events " +
-        "WHERE user_id IS NOT NULL AND value IS NOT NULL), " +
-        "lastv AS (SELECT user_id, slot, value FROM sl " +
-        "QUALIFY row_number() OVER (PARTITION BY user_id, slot ORDER BY ts_us DESC, event_id DESC) = 1), " +
-        "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM " +
-        "(SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM sl GROUP BY user_id)) " +
-        "SELECT g.user_id AS user_id, CAST(g.slot * 21600 AS BIGINT) AS slot_sec, " +
-        "last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill, " +
-        "l.value IS NOT NULL AS is_observed " +
-        "FROM grid g LEFT JOIN lastv l ON g.user_id = l.user_id AND g.slot = l.slot " +
+      (s"WITH $resampleChainSql " +
+        "SELECT user_id, slot_sec, value_ffill, is_observed FROM rs " +
         "ORDER BY user_id, slot_sec"),
+    // trailing-8-slot z-score; moments in exact integer cents, the
+    // zero-variance guard an exact integer compare, |z| > 2 on
+    // bit-identical doubles
+    "events_anomalies" ->
+      (s"WITH $resampleChainSql, " +
+        "ac AS (SELECT user_id, slot_sec, CAST(round(value_ffill * 100.0, 0) AS BIGINT) AS cents FROM rs), " +
+        "aw AS (SELECT user_id, slot_sec, cents, count(*) OVER w AS wn, " +
+        "sum(cents) OVER w AS s1, sum(cents * cents) OVER w AS s2 FROM ac " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY slot_sec ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, slot_sec, cents, round(z, 4) AS z FROM " +
+        "(SELECT user_id, slot_sec, cents, " +
+        "(cents - s1 / 8.0) / sqrt((s2 - s1 * s1 / 8.0) / 8.0) AS z " +
+        "FROM aw WHERE wn = 8 AND s2 * 8 > s1 * s1) " +
+        "WHERE abs(z) > 2.0 ORDER BY user_id, slot_sec"),
     // f/n is true division (DOUBLE) on both engines; ln natural log
     "text_unigram_logprob" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
@@ -3966,6 +3999,15 @@ object SparkEntry {
         "SELECT word, CAST(freq AS BIGINT) AS freq, path, " +
         "CAST(len(string_split(path, '|')) AS INT) AS n_pieces " +
         "FROM uf2 ORDER BY word"),
+    // the trained table applied back to the corpus: per-doc token
+    // expansion from exact integer counts
+    "text_unigram_encode" ->
+      (s"WITH $unigramLmSql, " +
+        "utok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(string_split(f.path, '|'))) AS BIGINT) AS n_pieces_total, " +
+        "round(CAST(sum(len(string_split(f.path, '|'))) AS DOUBLE) / count(*), 4) AS pieces_per_word " +
+        "FROM utok t JOIN uf2 f USING (word) GROUP BY doc_id ORDER BY doc_id"),
     // unigram-LM score joined back to lang, ntile(3) per language
     // (ties split by doc_id — both engines distribute remainders to
     // the leading tiles per the SQL standard)

@@ -165,6 +165,39 @@ object EventWindows {
         col("value").isNotNull.as("is_observed"))
   }
 
+  /** Rolling z-score anomaly detection over the [[resampleFfill]]
+    * series: each slot scored against the trailing `windowSlots`
+    * slots' mean/std, flagged when |z| exceeds `threshold`. The
+    * windowed moments are computed in EXACT integer cents (the
+    * corpus's values are 2-decimal by contract), so sum and
+    * sum-of-squares are order-free BIGINTs and the final double
+    * z-score is bit-identical across engines — a windowed double sum
+    * would hand the flag boundary to each engine's summation tree.
+    * Only full windows score (n = windowSlots) and zero-variance
+    * windows are excluded by an exact integer comparison
+    * (n*s2 > s1²) before any sqrt. One per-user ordered window over
+    * the partitioning the resample already established. */
+  def anomalies(
+      events: DataFrame, stepMinutes: Int,
+      windowSlots: Int = 8, threshold: Double = 2.0): DataFrame = {
+    val n = windowSlots
+    val w = Window.partitionBy(col("user_id")).orderBy(col("slot_sec"))
+      .rowsBetween(-(n - 1), 0)
+    resampleFfill(events, stepMinutes)
+      .select(col("user_id"), col("slot_sec"),
+        round(col("value_ffill") * 100.0, 0).cast("long").as("cents"))
+      .select(col("user_id"), col("slot_sec"), col("cents"),
+        count(lit(1)).over(w).as("wn"),
+        sum(col("cents")).over(w).as("s1"),
+        sum(col("cents") * col("cents")).over(w).as("s2"))
+      .filter(col("wn") === n && col("s2") * n > col("s1") * col("s1"))
+      .withColumn("z",
+        (col("cents") - col("s1") / n.toDouble) /
+          sqrt((col("s2") - col("s1") * col("s1") / n.toDouble) / n.toDouble))
+      .filter(abs(col("z")) > threshold)
+      .select(col("user_id"), col("slot_sec"), col("cents"), round(col("z"), 4).as("z"))
+  }
+
   /** Cohort retention: users grouped by first-seen day, distinct-user
     * counts at each day offset since — the activation/retention curve
     * behind every growth dashboard. Two keyed aggregates and one join:

@@ -136,4 +136,19 @@ object UnigramLm {
     seg2.select(col("word"), col("freq"), col("path"),
       size(split(col("path"), "\\|")).as("n_pieces"))
   }
+
+  /** Serving path: tokenize the corpus with a trained segmentation
+    * table — a map-only broadcast lookup per word (the table is
+    * vocabulary-sized by construction), aggregated to per-document
+    * token-expansion stats. Words absent from the table (longer than
+    * the training maxWordLen) are excluded by the same contract that
+    * excluded them from training. */
+  def encode(docs: DataFrame, segmented: DataFrame): DataFrame =
+    TextOps.withTokens(docs)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .join(broadcast(segmented.select(col("word"), col("n_pieces"))), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces_total"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces_total").cast("double") / col("n_words"), 4))
 }

@@ -1677,6 +1677,20 @@ class OpsSpec extends SparkSpec {
     assert(r2.toSeq === Seq("ok"))
   }
 
+  test("anomalies: a planted spike flags once; flat windows are variance-excluded") {
+    import graft.ops.EventWindows
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // 11 flat hourly observations then a 10x spike at hour 11; flat
+    // trailing windows have zero variance (exact-integer excluded),
+    // only the spike's own window scores — and flags exactly once
+    val ev = (0 to 10).map(h => (h.toLong, 7L, ts(h), 10.0)) :+ (11L, 7L, ts(11), 100.0)
+    val r = EventWindows.anomalies(ev.toDF("event_id", "user_id", "ts", "value"),
+      stepMinutes = 60).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("cents") === 10000L)
+    assert(r.head.getAs[Double]("z") > 2.0)
+  }
+
   test("Forget.cascade: FK closure is purged, survivors untouched, audit adds up") {
     import graft.ops.Forget
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
