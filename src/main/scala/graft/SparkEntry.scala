@@ -851,6 +851,26 @@ object SparkEntry {
         .select(col("k").as("o_orderkey"), col("change_type"))
         .orderBy(col("o_orderkey"))
     }),
+    // temporal join: every order looks up the customer's price TIER
+    // version valid 30 days BEFORE the order — the event-time SCD2
+    // dimension lookup; key equi-conjunct carries the join, interval
+    // cover is residual, at most one version matches, facts before
+    // first version keep nulls ('none')
+    "store_temporal_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val tier = when(col("o_totalprice") < 100000, "bronze")
+        .when(col("o_totalprice") < 300000, "silver").otherwise("gold")
+      val changes = o.select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("date").as("vfrom"), tier.as("tier"),
+        col("o_orderkey").as("tie"))
+      val history = graft.ops.Scd2.build(changes, "k", "vfrom", "tie")
+      val facts = o.select(col("o_orderkey"), col("o_custkey").as("k"),
+        date_sub(col("o_orderdate").cast("date"), 30).as("lookup_date"))
+      graft.ops.Scd2.temporalJoin(facts, history, "k", "lookup_date", "vfrom")
+        .select(col("o_orderkey"), col("k"),
+          coalesce(col("tier"), lit("none")).as("prior_tier"))
+        .orderBy(col("o_orderkey"))
+    }),
     // right-to-be-forgotten cascade: erase customers k%97==0 and
     // everything FK-reachable (their orders, those orders' lineitems);
     // the audit summary certifies before/purged/after per table
@@ -3082,6 +3102,22 @@ object SparkEntry {
         "WHERE o.k IS NULL OR n.k IS NULL OR o.cents IS DISTINCT FROM n.cents " +
         "ORDER BY o_orderkey"),
 
+    // lead-built intervals partition time per key: at most one
+    // version covers each fact's lookup date
+    "store_temporal_join" ->
+      ("WITH ch AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS vfrom, " +
+        "CASE WHEN o_totalprice < 100000 THEN 'bronze' " +
+        "WHEN o_totalprice < 300000 THEN 'silver' ELSE 'gold' END AS tier, " +
+        "o_orderkey AS tie FROM orders), " +
+        "h AS (SELECT k, vfrom, tier, " +
+        "lead(vfrom) OVER (PARTITION BY k ORDER BY vfrom, tie) AS valid_to FROM ch), " +
+        "f AS (SELECT o_orderkey, o_custkey AS k, " +
+        "CAST(o_orderdate AS DATE) - 30 AS lookup_date FROM orders) " +
+        "SELECT f.o_orderkey AS o_orderkey, f.k AS k, " +
+        "coalesce(h.tier, 'none') AS prior_tier " +
+        "FROM f LEFT JOIN h ON h.k = f.k AND h.vfrom <= f.lookup_date " +
+        "AND (h.valid_to IS NULL OR h.valid_to > f.lookup_date) " +
+        "ORDER BY o_orderkey"),
     // cascade membership replayed as IN-subqueries; purged derived
     // before/after so the audit can't drift from the data
     "store_forget_cascade" ->

@@ -51,4 +51,27 @@ object Scd2 {
   /** Snapshot as of `asOf`: the one interval per key covering it. */
   def pointInTime(history: DataFrame, ts: String, asOf: org.apache.spark.sql.Column): DataFrame =
     history.filter(col(ts) <= asOf && (col("valid_to").isNull || col("valid_to") > asOf))
+
+  /** Temporal join: each FACT row picks the dimension version valid
+    * at its own timestamp — the event-time lookup every warehouse
+    * fact load performs against an SCD2 dimension ("what tier was
+    * this customer in WHEN the order happened", not now). The join
+    * carries the KEY as its equi conjunct — Catalyst plans a hash or
+    * sort-merge join on the key with the interval cover as residual
+    * condition, so the shuffle is the key shuffle a plain dimension
+    * join would pay; at 100 TB both sides co-locate when bucketed on
+    * the key (sources.Bucketing). Intervals per key partition time
+    * (lead-built, half-open), so at most ONE version matches each
+    * fact — no post-join dedup. Facts predating their key's first
+    * version survive with null dimension columns (left join):
+    * dropping them would silently shrink the fact table. */
+  def temporalJoin(
+      facts: DataFrame, history: DataFrame,
+      key: String, factTs: String, histTs: String): DataFrame =
+    facts.join(history,
+      facts(key) === history(key) &&
+        history(histTs) <= facts(factTs) &&
+        (history("valid_to").isNull || history("valid_to") > facts(factTs)),
+      "left")
+      .drop(history(key))
 }

@@ -676,6 +676,14 @@ class OpsSpec extends SparkSpec {
     val snap = Scd2.pointInTime(full, "ts", lit(25L))
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(snap === Map(1L -> "C", 2L -> "X", 3L -> "P"))
+    // temporal join: each fact picks the version valid AT ITS OWN ts —
+    // not the current one — and a fact predating the key's first
+    // version survives with a null attr
+    val facts = Seq((100L, 1L, 25L), (101L, 1L, 40L), (102L, 3L, 1L))
+      .toDF("fact_id", "key", "fts")
+    val tj = Scd2.temporalJoin(facts, full, "key", "fts", "ts")
+      .collect().map(r => r.getAs[Long]("fact_id") -> Option(r.getAs[String]("attr"))).toMap
+    assert(tj === Map(100L -> Some("C"), 101L -> Some("D"), 102L -> None))
   }
 
   test("dupSpanFraction measures cross-doc span reuse, not pairwise similarity") {
