@@ -1017,6 +1017,22 @@ object SparkEntry {
       graft.ops.Sq.adcTopK(graft.ops.Sq.encode(emb, st), st, embQueries(s, d), 10)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // IVF routing composed with SQ8 ADC (the third quantization tier
+    // next to IVF-flat and IVF-PQ): scan nprobe/k of the corpus, read
+    // 1/4 of the vector bytes per candidate
+    "emb_ivfsq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (idxRaw, centsRaw) = graft.ops.Ivf.index(emb, k = 8, iters = 2)
+      val (idx, cents) = (idxRaw.localCheckpoint(true), centsRaw.localCheckpoint(true))
+      val st = graft.ops.Sq.stats(emb).localCheckpoint(true)
+      val codes = graft.ops.Sq.encode(emb, st).localCheckpoint(true)
+      val cands = graft.ops.Ivf.route(cents, embQueries(s, d), nprobe = 2)
+        .join(idx, Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      graft.ops.Sq.adcTopKWithin(cands, codes, st, embQueries(s, d), 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     "emb_bucket_histogram" -> ((s, d) =>
       Similarity.bucketHistogram(Tables.embeddings(s, d), 4).orderBy(col("bucket"))),
     "emb_ann_lsh_topk" -> ((s, d) =>
@@ -2464,6 +2480,20 @@ object SparkEntry {
     "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), " +
       lloydSql("v")
 
+  /** SQ8 train + encode + reconstruct as a CTE chain ending in
+    * `sqrec(vec_id, re)` — shared by emb_sq8_topk (flat ADC) and
+    * emb_ivfsq_topk (IVF-routed ADC). */
+  private val sq8ChainSql: String =
+    "sqc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      "sqpd AS (SELECT t.i AS pos, e[t.i] AS v FROM sqc, unnest(range(1, len(e)+1)) AS t(i)), " +
+      "sqst0 AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM sqpd GROUP BY pos), " +
+      "sqst AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM sqst0), " +
+      "sqenc AS (SELECT vec_id, list_transform(range(1, len(e)+1), i -> " +
+      "CASE WHEN maxs[i] = mins[i] THEN 0 ELSE floor((e[i] - mins[i]) / (maxs[i] - mins[i]) * 255 + 0.5) END) AS codes " +
+      "FROM sqc CROSS JOIN sqst), " +
+      "sqrec AS (SELECT vec_id, list_transform(range(1, len(codes)+1), i -> " +
+      "mins[i] + codes[i] / 255.0 * (maxs[i] - mins[i])) AS re FROM sqenc CROSS JOIN sqst)"
+
   /** PQ train+encode mirrored in SQL, one Lloyd schedule per subspace
     * (the ivfSql skeleton with an `m` key): slice each vector into 4
     * sub-vectors, seed each subspace's codebook from the 8 lowest ids,
@@ -3448,22 +3478,29 @@ object SparkEntry {
     // codes, affine reconstruction, asymmetric cosine — identical
     // double operation order end to end
     "emb_sq8_topk" ->
-      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-        "pd AS (SELECT t.i AS pos, e[t.i] AS v FROM c, unnest(range(1, len(e)+1)) AS t(i)), " +
-        "st0 AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM pd GROUP BY pos), " +
-        "st AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM st0), " +
-        "enc AS (SELECT vec_id, list_transform(range(1, len(e)+1), i -> " +
-        "CASE WHEN maxs[i] = mins[i] THEN 0 ELSE floor((e[i] - mins[i]) / (maxs[i] - mins[i]) * 255 + 0.5) END) AS codes " +
-        "FROM c CROSS JOIN st), " +
-        "rec AS (SELECT vec_id, list_transform(range(1, len(codes)+1), i -> " +
-        "mins[i] + codes[i] / 255.0 * (maxs[i] - mins[i])) AS re FROM enc CROSS JOIN st), " +
-        "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
-        "s AS (SELECT q_id, rec.vec_id AS vec_id, round(" +
+      (s"WITH $sq8ChainSql, " +
+        "sqq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "sqs AS (SELECT q_id, sqrec.vec_id AS vec_id, round(" +
         "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*re[i])) / " +
         "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(re, x -> x*x)))), 4) AS sim " +
-        "FROM q CROSS JOIN rec WHERE rec.vec_id <> q_id) " +
+        "FROM sqq CROSS JOIN sqrec WHERE sqrec.vec_id <> q_id) " +
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
-        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+        "FROM sqs QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    // IVF routing (ivfSql's trained index) composed with SQ8 ADC —
+    // candidates from the probed buckets only, scored on affine
+    // reconstructions; the third ANN quantization tier
+    "emb_ivfsq_topk" ->
+      (s"WITH $ivfSql, $sq8ChainSql, " +
+        "iq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        s"ir AS (SELECT q_id, centroid_id FROM (SELECT q_id, centroid_id, ${cosSql("qe", "ce")} AS csim " +
+        "FROM iq CROSS JOIN c1) " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
+        "icand AS (SELECT ir.q_id, a2.vec_id FROM ir JOIN a2 USING (centroid_id) " +
+        "WHERE a2.vec_id <> ir.q_id), " +
+        s"sqs AS (SELECT cd.q_id, cd.vec_id, round(${cosSql("q.qe", "r.re")}, 4) AS sim " +
+        "FROM icand cd JOIN sqrec r ON cd.vec_id = r.vec_id JOIN iq q ON q.q_id = cd.q_id) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM sqs QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
     "emb_bucket_histogram" ->
       ("SELECT ((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END) + " +
         "(CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket, " +

@@ -55,19 +55,42 @@ object Sq {
             element_at(col("mins"), i), element_at(col("maxs"), i)).cast("int"))
           .as("codes"))
 
-  /** Asymmetric top-k: full-precision queries against per-dimension
-    * reconstructions mn + code/255*(mx-mn). Queries broadcast; the
-    * rank window keys on q_id; ties break by vec_id. */
-  def adcTopK(codes: DataFrame, statsRow: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val rec = transform(sequence(lit(1), size(col("codes"))),
+  /** Per-dimension affine reconstruction mn + code/255*(mx-mn). */
+  private def rec: Column =
+    transform(sequence(lit(1), size(col("codes"))),
       i => element_at(col("mins"), i) +
         element_at(col("codes"), i).cast("double") / 255.0 *
           (element_at(col("maxs"), i) - element_at(col("mins"), i)))
+
+  /** Asymmetric top-k: full-precision queries against per-dimension
+    * reconstructions. Queries broadcast; the rank window keys on
+    * q_id; ties break by vec_id. */
+  def adcTopK(codes: DataFrame, statsRow: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     codes
       .crossJoin(broadcast(statsRow))
       .join(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosine(col("q_emb"), rec), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** ADC top-k restricted to a candidate set (q_id, vec_id) — the
+    * IVF-SQ composition ([[Ivf.route]] picks the buckets, only those
+    * members' codes are scored): the scan is nprobe/k of the corpus
+    * and each candidate reads 1/4 of the vector bytes. The third cell
+    * of the ANN quantization matrix next to IVF-flat (Ivf.topK) and
+    * IVF-PQ (Pq.adcTopKWithin). */
+  def adcTopKWithin(
+      candidates: DataFrame, codes: DataFrame, statsRow: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .join(codes, Seq("vec_id"))
+      .crossJoin(broadcast(statsRow))
+      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(Similarity.cosine(col("q_emb"), rec), 4).as("sim"))
       .withColumn("rank", row_number().over(w))

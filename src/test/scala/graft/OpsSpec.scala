@@ -1639,6 +1639,15 @@ class OpsSpec extends SparkSpec {
     val top = Sq.adcTopK(Sq.encode(corpus, st), st, q, 3).collect()
     assert(top.find(_.getAs[Int]("rank") === 1).get.getAs[Long]("vec_id") === 2L,
       "the exact twin of the query must reconstruct to rank 1")
+    // the candidate-restricted path with an all-pairs candidate set IS
+    // the flat scan (the IVF composition only ever shrinks it)
+    val allCands = corpus.select(lit(0L).as("q_id"), $"vec_id")
+    val within = Sq.adcTopKWithin(allCands, Sq.encode(corpus, st), st, q, 3)
+      .filter($"vec_id" =!= 0L)
+      .select("q_id", "vec_id", "sim", "rank").collect().map(_.toSeq).sortBy(_.toString)
+    assert(within === top.map(r =>
+      Seq(r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rank"))).sortBy(_.toString))
   }
 
   test("resampleFfill: gaps fill from the last observation, last-in-slot wins ties, grid spans first to last") {
