@@ -284,6 +284,37 @@ object SparkEntry {
       pairs.orderBy(col("dirty_key"), col("clean_key"))
     }),
 
+    // materialized-view routing: the SAME aggregate written against
+    // the FACT table, answered from the IncrView-maintainable
+    // pre-aggregate by the injected MvRewriteRule — the fact scan
+    // never happens (spec asserts the plan; this row certifies the
+    // results are indistinguishable)
+    "rel_mv_rewrite_auto" -> ((s, d) => withTempDir("graft-mv") { base =>
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val fact = Tables.lineitem(s, d)
+      val factRoots = fact.queryExecution.analyzed.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten.toSet
+      fact.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("pre_qty"), count(lit(1)).as("pre_cnt"))
+        .write.mode("overwrite").parquet(s"$base/mv")
+      val rule = graft.plans.MvRewriteRule(factRoots,
+        s.read.parquet(s"$base/mv").queryExecution.analyzed,
+        Set("l_returnflag", "l_linestatus"),
+        Map("l_quantity" -> "pre_qty"), "pre_cnt")
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ rule
+      val out = try {
+        fact.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+          .localCheckpoint()
+      } finally s.experimental.extraOptimizations = prev
+      out.orderBy(col("l_returnflag"))
+    }),
+
     // ----- text analysis (M4)
     "text_token_stats" -> ((s, d) =>
       TextOps.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -3132,6 +3163,14 @@ object SparkEntry {
         "WHERE o.k IS NULL OR n.k IS NULL OR o.cents IS DISTINCT FROM n.cents " +
         "ORDER BY o_orderkey"),
 
+    // the MV-routed aggregate must be indistinguishable from the
+    // fact-table aggregate (sum/count are partition-decomposable;
+    // l_quantity is integer-valued so the regrouped double sum is
+    // IEEE-exact)
+    "rel_mv_rewrite_auto" ->
+      ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // lead-built intervals partition time per key: at most one
     // version covers each fact's lookup date
     "store_temporal_join" ->

@@ -505,6 +505,42 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a join on the bin key, got:\n$plan")
   }
 
+  test("MvRewriteRule routes subsumed aggregates to the MV; filters and foreign measures bail") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def roots(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] =
+      p.collect { case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }}.flatten.toSet
+    val base = java.nio.file.Files.createTempDirectory("mv-spec").toString
+    Seq(("a", "p", 1.0, 9L), ("a", "q", 2.0, 9L), ("b", "p", 4.0, 9L), ("b", "p", 8.0, 9L))
+      .toDF("g1", "g2", "x", "y").write.parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    fact.groupBy($"g1", $"g2")
+      .agg(sum($"x").as("pre_x"), count(lit(1)).as("pre_cnt"))
+      .write.parquet(s"$base/mv")
+    val rule = graft.plans.MvRewriteRule(roots(fact.queryExecution.analyzed),
+      spark.read.parquet(s"$base/mv").queryExecution.analyzed,
+      Set("g1", "g2"), Map("x" -> "pre_x"), "pre_cnt")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ rule
+    try {
+      val q = fact.groupBy($"g1").agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+      val optRoots = roots(q.queryExecution.optimizedPlan)
+      assert(optRoots.exists(_.contains("/mv")), s"plan must scan the MV: $optRoots")
+      assert(!optRoots.exists(_.contains("/fact")), s"fact scan must be gone: $optRoots")
+      // ...and the routed answer is the raw answer
+      val r = q.collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getLong(2)))).toMap
+      assert(r === Map("a" -> ((3.0, 2L)), "b" -> ((12.0, 2L))))
+      // a filter the MV cannot see → untouched
+      val filtered = fact.filter($"x" > 1.0).groupBy($"g1").agg(sum($"x"))
+      assert(roots(filtered.queryExecution.optimizedPlan).exists(_.contains("/fact")))
+      // a measure the MV does not carry → untouched
+      val foreign = fact.groupBy($"g1").agg(sum($"y"))
+      assert(roots(foreign.queryExecution.optimizedPlan).exists(_.contains("/fact")))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("GraftExtensions wires the range-join rule with the configured bin width") {
     import org.apache.spark.sql.graftbridge.ExtensionsBridge
     val ext = new org.apache.spark.sql.SparkSessionExtensions
