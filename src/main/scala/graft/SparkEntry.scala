@@ -932,6 +932,26 @@ object SparkEntry {
     // typed JSON payload extraction over the events stream table
     "events_props_stats" -> ((s, d) =>
       EventWindows.propsStats(Tables.events(s, d)).orderBy(col("event_type"))),
+    // Spark 4 VariantType over semi-structured props: the raw JSON is
+    // nested into a richer deterministic document, parsed ONCE to a
+    // variant (binary-encoded, no schema inference pass), then probed
+    // by path — nested object, array index, and a missing path
+    // through try_variant_get. At 100 TB variant parse is map-only
+    // and the binary encoding probes without re-tokenizing the text
+    "events_props_variant" -> ((s, d) => {
+      val j = concat(lit("{\"orig\": "), col("props"),
+        lit(", \"tag\": \"t"), (col("event_id") % 3).cast("string"),
+        lit("\", \"arr\": ["), (col("event_id") % 5).cast("string"),
+        lit(","), (col("event_id") % 7).cast("string"), lit("]}"))
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(j).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.orig.k", "bigint").as("k"),
+          variant_get(col("v"), "$.tag", "string").as("tag"),
+          variant_get(col("v"), "$.arr[1]", "bigint").as("arr1"),
+          coalesce(try_variant_get(col("v"), "$.missing", "bigint"), lit(-1L)).as("missing"))
+        .orderBy(col("event_id"))
+    }),
     // frame-sampling schedule over synthetic video durations (derived
     // deterministically from n_chars so the oracle shares the input)
     "mm_frame_schedule" -> ((s, d) =>
@@ -3268,6 +3288,17 @@ object SparkEntry {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, round(avg(k), 4) AS avg_k, " +
         "min(k) AS min_k, max(k) AS max_k " +
         "FROM e GROUP BY event_type ORDER BY event_type"),
+    // the variant probes replayed over DuckDB JSON paths (both
+    // engines' array indexes are 0-based JSONPath)
+    "events_props_variant" ->
+      ("WITH j AS (SELECT event_id, '{\"orig\": ' || props || ', \"tag\": \"t' || " +
+        "(event_id % 3) || '\", \"arr\": [' || (event_id % 5) || ',' || (event_id % 7) || ']}' AS js " +
+        "FROM events) " +
+        "SELECT event_id, CAST(json_extract(js, '$.orig.k') AS BIGINT) AS k, " +
+        "json_extract_string(js, '$.tag') AS tag, " +
+        "CAST(json_extract(js, '$.arr[1]') AS BIGINT) AS arr1, " +
+        "CAST(-1 AS BIGINT) AS missing " +
+        "FROM j ORDER BY event_id"),
     "dedup_exact_groups" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, " +
         "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"),
