@@ -284,6 +284,24 @@ object SparkEntry {
       pairs.orderBy(col("dirty_key"), col("clean_key"))
     }),
 
+    // exact DECIMAL money math: the 2-decimal price/discount columns
+    // lifted into DECIMAL so sums and the revenue product are
+    // ORDER-INDEPENDENT exact — the arithmetic regime a financial
+    // pipeline needs (double sums drift by partitioning; these don't,
+    // which is also why the cross-engine hash can match bit-for-bit
+    // with no rounding at the output edge)
+    "rel_decimal_exact" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(3,2)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(price).cast("decimal(38,2)").as("sum_price"),
+          sum(price * (one - disc)).cast("decimal(38,4)").as("sum_revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
     // materialized-view routing: the SAME aggregate written against
     // the FACT table, answered from the IncrView-maintainable
     // pre-aggregate by the injected MvRewriteRule — the fact scan
@@ -3183,6 +3201,15 @@ object SparkEntry {
         "WHERE o.k IS NULL OR n.k IS NULL OR o.cents IS DISTINCT FROM n.cents " +
         "ORDER BY o_orderkey"),
 
+    // decimal arithmetic is exact, so no rounding anywhere — the
+    // final CASTs only align the two engines' result precisions
+    "rel_decimal_exact" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_revenue, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the MV-routed aggregate must be indistinguishable from the
     // fact-table aggregate (sum/count are partition-decomposable;
     // l_quantity is integer-valued so the regrouped double sum is
