@@ -143,6 +143,16 @@ object SparkEntry {
     // with exact integer path sums (order-free per-depth totals)
     "rel_recursive_path_sum" -> ((s, d) =>
       StarQueries.recursivePathSum(s, Tables.customer(s, d))),
+    "rel_q7_nation_volume" -> ((s, d) =>
+      StarQueries.q7NationVolume(s, Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "rel_q10_returned_revenue" -> ((s, d) =>
+      StarQueries.q10ReturnedRevenue(s, Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
+    "rel_q13_order_histogram" -> ((s, d) =>
+      StarQueries.q13OrderHistogram(s, Tables.customer(s, d), Tables.orders(s, d))),
+    "rel_q14_promo_share" -> ((s, d) =>
+      StarQueries.q14PromoShare(s, Tables.lineitem(s, d), Tables.part(s, d))),
     "rel_window_extras" -> ((s, d) =>
       StarQueries.windowExtras(Tables.customer(s, d))
         .orderBy(col("c_mktsegment"), col("c_custkey"))),
@@ -2746,6 +2756,44 @@ object SparkEntry {
         "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
         "AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7') " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"),
+    "rel_q7_nation_volume" ->
+      ("SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue " +
+        "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INT) AS l_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume " +
+        "FROM supplier, lineitem, orders, customer, nation n1, nation n2 " +
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey " +
+        "AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey " +
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+        "AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year"),
+    "rel_q10_returned_revenue" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer, orders, lineitem, nation " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01' " +
+        "AND CAST(o_orderdate AS DATE) < DATE '1996-01-01' " +
+        "AND l_returnflag = 'R' AND c_nationkey = n_nationkey " +
+        "GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "rel_q13_order_histogram" ->
+      ("SELECT c_count, CAST(count(*) AS BIGINT) AS custdist " +
+        "FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+        "FROM customer LEFT JOIN orders " +
+        "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+        "GROUP BY c_custkey) " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "rel_q14_promo_share" ->
+      ("SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' " +
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) " +
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"),
     // integer-cents path sums along unique root paths: order-free,
     // so the per-depth aggregate is engine-exact; `//` is DuckDB's
     // integer division (Spark spells it `div`)

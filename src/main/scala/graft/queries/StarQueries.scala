@@ -139,6 +139,93 @@ object StarQueries {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** TPC-H Q7-shaped: bidirectional nation-pair volume by ship year —
+    * a five-way star join whose nation filter broadcasts through BOTH
+    * dimension arms before the fact joins, with the symmetric pair
+    * predicate as a residual OR. Revenue terms are 4-decimal exact in
+    * double (2-dec price x 2-dec discount), so the per-(pair, year)
+    * sums are order-independent and the output rounding is cosmetic. */
+  def q7NationVolume(
+      spark: SparkSession, supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("q7_supplier")
+    lineitem.createOrReplaceTempView("q7_lineitem")
+    orders.createOrReplaceTempView("q7_orders")
+    customer.createOrReplaceTempView("q7_customer")
+    nation.createOrReplaceTempView("q7_nation")
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l_shipdate) AS INT) AS l_year,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM q7_supplier, q7_lineitem, q7_orders, q7_customer,
+        |           q7_nation n1, q7_nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey
+        |        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** TPC-H Q10-shaped: top returned-revenue customers in a year — the
+    * classic fact-filtered star with a total-ordered top-k (rounded
+    * exact revenue desc, custkey tiebreak). */
+  def q10ReturnedRevenue(
+      spark: SparkSession, customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("q10_customer")
+    orders.createOrReplaceTempView("q10_orders")
+    lineitem.createOrReplaceTempView("q10_lineitem")
+    nation.createOrReplaceTempView("q10_nation")
+    spark.sql(
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM q10_customer, q10_orders, q10_lineitem, q10_nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q13-shaped: customer order-count distribution — LEFT join
+    * with an extra ON-clause predicate (zero-order customers must
+    * survive into the c_count = 0 bucket), then a histogram over the
+    * per-customer counts. */
+  def q13OrderHistogram(
+      spark: SparkSession, customer: DataFrame, orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("q13_customer")
+    orders.createOrReplaceTempView("q13_orders")
+    spark.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM q13_customer LEFT JOIN q13_orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** TPC-H Q14-shaped: promo revenue share in one ship month — the
+    * conditional-aggregate ratio; both sums are exact in double so
+    * the division is engine-identical before the output rounding. */
+  def q14PromoShare(
+      spark: SparkSession, lineitem: DataFrame, part: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("q14_lineitem")
+    part.createOrReplaceTempView("q14_part")
+    spark.sql(
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        |FROM q14_lineitem JOIN q14_part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin)
+  }
+
   /** Recursive CTE (Spark 4.x `WITH RECURSIVE`): walk the synthetic
     * management tree parent(k) = k div 10 rooted at custkeys < 10,
     * accumulating the root-to-node balance along each path. The
