@@ -153,6 +153,31 @@ object SparkEntry {
       StarQueries.q13OrderHistogram(s, Tables.customer(s, d), Tables.orders(s, d))),
     "rel_q14_promo_share" -> ((s, d) =>
       StarQueries.q14PromoShare(s, Tables.lineitem(s, d), Tables.part(s, d))),
+    // correlated LATERAL subquery with per-row ORDER BY LIMIT —
+    // Catalyst decorrelates to a partitioned rank, certified against
+    // the explicit-window oracle
+    "rel_lateral_topk" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("lat_customer")
+      Tables.orders(s, d).createOrReplaceTempView("lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM lat_customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM lat_orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_custkey < 100
+          |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+    }),
+    // SQL-standard inverse distribution functions (WITHIN GROUP)
+    "rel_percentiles" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("pct_customer")
+      s.sql(
+        """SELECT c_mktsegment,
+          |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4) AS p50,
+          |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal), 4) AS p90,
+          |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4) AS p50_disc
+          |FROM pct_customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
     "rel_window_extras" -> ((s, d) =>
       StarQueries.windowExtras(Tables.customer(s, d))
         .orderBy(col("c_mktsegment"), col("c_custkey"))),
@@ -527,6 +552,19 @@ object SparkEntry {
     // the word2phrase signal for multi-word-token discovery
     "text_pmi_bigrams" -> ((s, d) =>
       TextOps.pmiBigrams(Tables.documents(s, d), 5, 50).orderBy(col("rank"))),
+    // deterministic per-group reservoir: exactly k docs per language,
+    // membership a pure function of (salt, doc_id) — retry-stable,
+    // and k-exact where rate-based stratified sampling is not
+    "text_reservoir_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("seed7|"), col("doc_id").cast("string"))), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .orderBy(col("lang"), col("rank"))
+    }),
     // SentencePiece unigram-LM tokenizer (hard-EM): seed substring
     // vocab → Viterbi segmentation → re-fit → second Viterbi; the
     // whole two-pass chain replayed in SQL to hash equality
@@ -2794,6 +2832,18 @@ object SparkEntry {
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"),
+    // the lateral top-2 as an explicit partitioned rank
+    "rel_lateral_topk" ->
+      ("SELECT c_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders WHERE o_custkey < 100) WHERE rn <= 2 " +
+        "ORDER BY c_custkey, o_orderkey"),
+    "rel_percentiles" ->
+      ("SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5), 4) AS p50, " +
+        "round(quantile_cont(c_acctbal, 0.9), 4) AS p90, " +
+        "round(quantile_disc(c_acctbal, 0.5), 4) AS p50_disc " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // integer-cents path sums along unique root paths: order-free,
     // so the per-depth aggregate is engine-exact; `//` is DuckDB's
     // integer division (Spark spells it `div`)
@@ -4211,6 +4261,12 @@ object SparkEntry {
         "CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank " +
         "FROM scored QUALIFY row_number() OVER (ORDER BY pmi DESC, w1, w2) <= 50 " +
         "ORDER BY rank"),
+    // same md5 text on both engines; ties (none expected) by doc_id
+    "text_reservoir_sample" ->
+      ("SELECT doc_id, lang, CAST(rn AS INT) AS rank FROM " +
+        "(SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5('seed7|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 20 ORDER BY lang, rank"),
     // the full two-Viterbi hard-EM chain (see unigramLmSql)
     "text_unigram_lm" ->
       (s"WITH $unigramLmSql " +
