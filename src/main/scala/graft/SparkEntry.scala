@@ -1708,6 +1708,31 @@ object SparkEntry {
         .orderBy(col("start_id"))
     }),
 
+    // per-micro-batch dimension refresh: batch N must join dimension
+    // version N (staged v0/v1/v2, batches split by o_orderkey % 3) —
+    // a frozen-at-start static join would tag every row v0 and
+    // hash-mismatch; the version prefix in the output group key is
+    // the proof the refresh happened
+    "stream_dim_refresh_counts" -> ((s, d) => withTempDir("graft-dimref") { base =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val now = System.currentTimeMillis()
+      (0 to 2).foreach { k =>
+        o.filter(col("o_orderkey") % 3 === k)
+          .coalesce(1).write.parquet(s"$base/in/f$k")
+        new java.io.File(s"$base/in/f$k").listFiles().foreach(_.setLastModified(now - 60000L + k * 20000L))
+        Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"),
+            concat(lit(s"v$k-"), col("c_mktsegment")).as("seg_v"))
+          .write.parquet(s"$base/dim/v$k")
+      }
+      val schema = s.read.parquet(s"$base/in/f0").schema
+      graft.streaming.DimRefresh.run(s, schema, s"$base/in", s"$base/dim",
+        s"$base/out", s"$base/ckpt", "o_custkey")
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .groupBy(col("seg_v")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("seg_v"))
+    }),
+
     // streaming ONLINE near-dup admission: LSH band buckets are
     // claimed by every document that flows past; a doc is admitted
     // only if all its buckets are unclaimed. Input staged in three
@@ -3382,6 +3407,12 @@ object SparkEntry {
         "ELSE -1 END AS BIGINT) AS latency_sec " +
         "FROM s LEFT JOIN m ON s.event_id = m.event_id ORDER BY start_id"),
 
+    // batch k = orders with o_orderkey % 3 = k joined to dim version k
+    "stream_dim_refresh_counts" ->
+      ("SELECT 'v' || (o_orderkey % 3) || '-' || c_mktsegment AS seg_v, " +
+        "CAST(count(*) AS BIGINT) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY seg_v ORDER BY seg_v"),
     // the listener's per-batch input-row counts are the staged file
     // sizes — one file per batch under maxFilesPerTrigger=1
     "stream_metrics_counts" ->
