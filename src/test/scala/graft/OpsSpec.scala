@@ -717,9 +717,15 @@ class OpsSpec extends SparkSpec {
     // version survives with a null attr
     val facts = Seq((100L, 1L, 25L), (101L, 1L, 40L), (102L, 3L, 1L))
       .toDF("fact_id", "key", "fts")
-    val tj = Scd2.temporalJoin(facts, full, "key", "fts", "ts")
+    val tjDf = Scd2.temporalJoin(facts, full, "key", "fts", "ts")
+    val tj = tjDf
       .collect().map(r => r.getAs[Long]("fact_id") -> Option(r.getAs[String]("attr"))).toMap
     assert(tj === Map(100L -> Some("C"), 101L -> Some("D"), 102L -> None))
+    // the KEY must carry the join — an interval predicate that planned
+    // as a nested loop would collapse the 100 TB story
+    val plan = tjDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"temporal join must be an equi-join on the key:\n$plan")
   }
 
   test("dupSpanFraction measures cross-doc span reuse, not pairwise similarity") {
