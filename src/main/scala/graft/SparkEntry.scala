@@ -948,6 +948,16 @@ object SparkEntry {
         .select(col("k").as("o_orderkey"), col("change_type"))
         .orderBy(col("o_orderkey"))
     }),
+    // k-anonymity by suppression: quasi-identifier combinations
+    // (nation, balance band) shared by < 5 rows are NULLed — one
+    // window count + a conditional rewrite; the release-criterion
+    // privacy op next to forget-cascade and PII scrub
+    "store_k_anonymity" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      graft.ops.Anonymize.kAnonymize(c, Seq("c_nationkey", "bal_band"), 5)
+        .orderBy(col("c_custkey"))
+    }),
     // temporal join: every order looks up the customer's price TIER
     // version valid 30 days BEFORE the order — the event-time SCD2
     // dimension lookup; key equi-conjunct carries the join, interval
@@ -1259,6 +1269,14 @@ object SparkEntry {
     // (per-cluster normalization so diffuse topics aren't mass-flagged)
     "emb_cluster_outliers" -> ((s, d) =>
       graft.ops.Ivf.clusterOutliers(Tables.embeddings(s, d), k = 8, iters = 2, topN = 20)),
+    // synchronous label propagation over the same 5-NN graph: 5
+    // fixed min-label-tie-break rounds (integer counts only), the
+    // majority-structure community detector next to components/kcore
+    "emb_communities" -> ((s, d) =>
+      graft.ops.LabelProp.communities(
+        graft.ops.PageRank.knnEdges(Tables.embeddings(s, d), 5), rounds = 5)
+        .select(col("node").as("vec_id"), col("community"))
+        .orderBy(col("vec_id"))),
     // weighted k-core (s-core) peeling: dense near-duplicate pocket
     // extraction — planted 7-cliques (6 near-copies of every 25th
     // vector) keep ~6 of similarity mass per member and survive τ=4.5;
@@ -3341,6 +3359,13 @@ object SparkEntry {
       ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, " +
         "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "store_k_anonymity" ->
+      ("WITH q AS (SELECT c_custkey, c_nationkey, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer), " +
+        "n AS (SELECT q.*, count(*) OVER (PARTITION BY c_nationkey, bal_band) AS qi FROM q) " +
+        "SELECT c_custkey, CASE WHEN qi >= 5 THEN c_nationkey END AS c_nationkey, " +
+        "CASE WHEN qi >= 5 THEN bal_band END AS bal_band, qi < 5 AS suppressed " +
+        "FROM n ORDER BY c_custkey"),
     // lead-built intervals partition time per key: at most one
     // version covers each fact's lookup date
     "store_temporal_join" ->
@@ -3791,6 +3816,22 @@ object SparkEntry {
     // the full PageRank chain replayed: brute-force 5-NN edges (the
     // emb_cosine_topk scoring shape), degree/node frames, then five
     // float-quantized damped iterations r1..r5
+    // the same knn edge build, symmetrized; 5 synchronous LPA rounds
+    // with (count desc, label asc) argmax per node — integers only
+    "emb_communities" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosSql("a.e", "b.e")} AS sim " +
+        "FROM c a CROSS JOIN c b WHERE b.vec_id <> a.vec_id), " +
+        "knn AS (SELECT src, dst FROM sc QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 5), " +
+        "sym AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn), " +
+        "lp0 AS (SELECT DISTINCT src AS node, src AS label FROM sym), " +
+        (1 to 5).map { k =>
+          s"lp$k AS MATERIALIZED (SELECT src AS node, nbr_label AS label FROM (" +
+            "SELECT e.src, l.label AS nbr_label, count(*) AS n " +
+            s"FROM sym e JOIN lp${k - 1} l ON e.dst = l.node GROUP BY e.src, l.label) " +
+            "QUALIFY row_number() OVER (PARTITION BY src ORDER BY n DESC, nbr_label) = 1)"
+        }.mkString(", ") + " " +
+        "SELECT node AS vec_id, CAST(label AS BIGINT) AS community FROM lp5 ORDER BY vec_id"),
     "emb_pagerank" ->
       ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         // UNROUNDED sim: bit-identical dim-ordered folds in both

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-anonymity by suppression: rows whose QUASI-IDENTIFIER
+  * combination is shared by fewer than k rows get those identifiers
+  * NULLed, so every surviving combination describes at least k
+  * people — the release criterion that stops linkage attacks joining
+  * a "de-identified" table back to a voter roll on (zip, birthdate,
+  * sex). The privacy complement of [[graft.ops.Forget]] (erasure on
+  * request) and TextOps.scrubPii (direct identifiers): quasi-
+  * identifiers are the columns that are harmless alone and
+  * identifying TOGETHER.
+  *
+  * Suppression (NULL the cell) rather than generalization (coarsen
+  * until k holds) keeps the operator deterministic and single-pass:
+  * ONE window count over the quasi-identifier combination — the same
+  * shuffle a groupBy on those columns pays — and a conditional NULL.
+  * Generalization hierarchies compose on top by pre-bucketing the
+  * columns (the caller picks the coarsening; this operator enforces
+  * the k floor). At 100 TB the count and the conditional rewrite are
+  * one shuffle + one map pass; nothing is collected.
+  */
+object Anonymize {
+
+  /** NULL `quasiCols` on every row whose quasi-identifier combination
+    * has fewer than `k` rows. Non-quasi columns pass through. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    val counted = df.withColumn("graft_qi_n", count(lit(1)).over(w))
+    val out = quasiCols.foldLeft(counted) { (acc, c) =>
+      acc.withColumn(c, when(col("graft_qi_n") >= k, col(c)))
+    }
+    out.withColumn("suppressed", col("graft_qi_n") < k).drop("graft_qi_n")
+  }
+}

@@ -1750,6 +1750,34 @@ class OpsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("z") > 2.0)
   }
 
+  test("LabelProp: cliques converge to their min label; disjoint cliques stay apart") {
+    import graft.ops.LabelProp
+    // K4 {1..4} and a disjoint K3 {10..12}; directed input, the op
+    // symmetrizes. Round 1 sends everyone to the min neighbor, round 2
+    // reaches consensus on the clique minimum, rounds 3..5 are no-ops
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val r = LabelProp.communities(edges, rounds = 5).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("community")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_) === 1L), s"K4 must converge to 1: $r")
+    assert(Seq(10L, 11L, 12L).forall(r(_) === 10L), s"K3 must converge to 10: $r")
+    // deterministic rerun
+    val r2 = LabelProp.communities(edges, rounds = 5).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("community")).toMap
+    assert(r === r2)
+  }
+
+  test("Anonymize.kAnonymize: small quasi-groups are NULLed, large ones survive intact") {
+    import graft.ops.Anonymize
+    val df = Seq((1L, "a", 9), (2L, "a", 9), (3L, "a", 9), (4L, "b", 7), (5L, "a", 9))
+      .toDF("id", "city", "x")
+    val r = Anonymize.kAnonymize(df, Seq("city", "x"), k = 2).collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((Option(x.getAs[String]("city")), x.getAs[Boolean]("suppressed")))).toMap
+    assert(r(4L) === ((None, true)), "the lone (b,7) row must be suppressed")
+    Seq(1L, 2L, 3L, 5L).foreach(i => assert(r(i) === ((Some("a"), false))))
+  }
+
   test("Forget.cascade: FK closure is purged, survivors untouched, audit adds up") {
     import graft.ops.Forget
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
