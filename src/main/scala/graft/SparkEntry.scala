@@ -948,6 +948,17 @@ object SparkEntry {
         .select(col("k").as("o_orderkey"), col("change_type"))
         .orderBy(col("o_orderkey"))
     }),
+    // PSI drift between the store_table_diff versions: removed k%5
+    // rows + shifted k%3 prices move the banded totalprice shape;
+    // per-band terms on exact counts, add-one smoothed
+    "store_drift_psi" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val neu = o.filter(col("k") % 5 =!= 0)
+        .select(col("k"),
+          when(col("k") % 3 === 0, col("p") + 50000.0).otherwise(col("p")).as("p"))
+      graft.ops.Drift.psi(o, neu, "p", width = 50000.0, nBands = 10)
+        .orderBy(col("band"))
+    }),
     // k-anonymity by suppression: quasi-identifier combinations
     // (nation, balance band) shared by < 5 rows are NULLed — one
     // window count + a conditional rewrite; the release-criterion
@@ -3359,6 +3370,25 @@ object SparkEntry {
       ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, " +
         "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // same add-one-smoothed shares in the same expression order; the
+    // range(10) grid keeps empty bands present on both sides
+    "store_drift_psi" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders), " +
+        "neu AS (SELECT k, CASE WHEN k % 3 = 0 THEN p + 50000.0 ELSE p END AS p " +
+        "FROM o WHERE k % 5 <> 0), " +
+        "bo AS (SELECT CAST(least(greatest(floor(p / 50000.0), 0), 9) AS INT) AS band, " +
+        "count(*) AS n FROM o GROUP BY band), " +
+        "bn AS (SELECT CAST(least(greatest(floor(p / 50000.0), 0), 9) AS INT) AS band, " +
+        "count(*) AS n FROM neu GROUP BY band), " +
+        "g AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS band), " +
+        "j AS (SELECT g.band AS band, CAST(coalesce(bo.n, 0) AS BIGINT) AS n_old, " +
+        "CAST(coalesce(bn.n, 0) AS BIGINT) AS n_new " +
+        "FROM g LEFT JOIN bo ON g.band = bo.band LEFT JOIN bn ON g.band = bn.band), " +
+        "t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old, CAST(sum(n_new) AS BIGINT) AS t_new FROM j) " +
+        "SELECT band, n_old, n_new, " +
+        "round((((n_old + 1) / CAST(t_old + 10 AS DOUBLE)) - ((n_new + 1) / CAST(t_new + 10 AS DOUBLE))) * " +
+        "ln(((n_old + 1) / CAST(t_old + 10 AS DOUBLE)) / ((n_new + 1) / CAST(t_new + 10 AS DOUBLE))), 6) AS psi_term " +
+        "FROM j CROSS JOIN t ORDER BY band"),
     "store_k_anonymity" ->
       ("WITH q AS (SELECT c_custkey, c_nationkey, " +
         "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer), " +

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution drift between two table versions by Population
+  * Stability Index: band a numeric column into fixed-width buckets,
+  * compare the banded shares, PSI term per band
+  * `(p - q) * ln(p / q)` — the monitoring statistic every production
+  * scoring pipeline watches (rule of thumb: Σ < 0.1 stable, > 0.25
+  * investigate). The drift complement of [[Diff]]: Diff recovers
+  * WHICH rows changed, PSI says whether the SHAPE of the data moved.
+  *
+  * Two keyed aggregates (map-side combined, band-cardinality output)
+  * + one broadcast-sized outer join on the band id — at 100 TB each
+  * side is one scan; nothing about the comparison touches row pairs.
+  * Determinism: bands and counts are exact integers, add-one
+  * smoothing keeps empty bands finite (and is itself part of the
+  * certified contract), shares divide exact integers in one fixed
+  * expression order, and the per-band term is rounded only at the
+  * output edge — no cross-band float accumulation, so there is no
+  * summation-order hazard anywhere. */
+object Drift {
+
+  private def band(c: Column, width: Double, nBands: Int): Column =
+    least(greatest(floor(c / width), lit(0)), lit(nBands - 1)).cast("int")
+
+  /** Per-band PSI terms between `oldDf` and `newDf` on `valueCol`:
+    * (band, n_old, n_new, psi_term). */
+  def psi(
+      oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+      width: Double, nBands: Int): DataFrame = {
+    require(nBands >= 2, "need at least two bands")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(band(col(valueCol), width, nBands).as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as(as))
+    val bands = oldDf.sparkSession.range(nBands).select(col("id").cast("int").as("band"))
+    val joined = bands
+      .join(counts(oldDf, "n_old"), Seq("band"), "left")
+      .join(counts(newDf, "n_new"), Seq("band"), "left")
+      .select(col("band"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(
+      sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("band"), col("n_old"), col("n_new"),
+        round(
+          (((col("n_old") + 1).cast("double") / (col("t_old") + nBands)) -
+            ((col("n_new") + 1).cast("double") / (col("t_new") + nBands))) *
+            log(((col("n_old") + 1).cast("double") / (col("t_old") + nBands)) /
+              ((col("n_new") + 1).cast("double") / (col("t_new") + nBands))), 6)
+          .as("psi_term"))
+  }
+}
