@@ -368,6 +368,28 @@ object SparkEntry {
       out.orderBy(col("l_returnflag"))
     }),
 
+    // entity resolution end-to-end (the MDM pipeline): variant-blocked
+    // fuzzy matching over the unioned record pool → connected
+    // components → golden record per entity (min-id entity key,
+    // lexicographic-min canonical name). Components via large/small-
+    // star contraction; singleton records stay their own entity
+    "rel_entity_resolution" -> ((s, d) => {
+      val (dirty, clean) = fuzzyNameParts(s, d)
+      val records = clean.select((col("clean_key") * 2).as("rec_id"), col("cname").as("name"))
+        .unionByName(dirty.select((col("dirty_key") * 2 + 1).as("rec_id"), col("dname").as("name")))
+      val l = records.select(col("rec_id").as("lkey"), col("name").as("lname"))
+      val r = records.select(col("rec_id").as("rkey"), col("name").as("rname"))
+      val pairs = graft.ops.Fuzzy.fuzzyJoin(l, r, "lname", "rname", 1)
+        .filter(col("lkey") < col("rkey"))
+        .select(col("lkey").as("src"), col("rkey").as("dst"))
+      val comps = graft.ops.Dedup.connectedComponents(pairs)
+      records.join(comps.withColumnRenamed("node", "rec_id"), Seq("rec_id"), "left")
+        .withColumn("entity_id", coalesce(col("component_id"), col("rec_id")))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).cast("int").as("n_records"), min(col("name")).as("canonical_name"))
+        .orderBy(col("entity_id"))
+    }),
+
     // ----- text analysis (M4)
     "text_token_stats" -> ((s, d) =>
       TextOps.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -3362,6 +3384,25 @@ object SparkEntry {
         "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_revenue, " +
         "CAST(count(*) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // quadratic levenshtein matching + recursive closure + per-entity
+    // aggregates — entity_id = component min on both engines
+    "rel_entity_resolution" ->
+      ("WITH RECURSIVE clean AS (SELECT p_partkey AS clean_key, " +
+        "p_name || '#' || CAST(p_partkey AS VARCHAR) AS cname FROM part), " +
+        "dirty AS (SELECT clean_key AS dirty_key, " +
+        "substr(cname, 1, CAST(clean_key % length(cname) AS INT)) || " +
+        "CASE WHEN substr(cname, CAST(1 + clean_key % length(cname) AS INT), 1) = 'q' THEN 'z' ELSE 'q' END || " +
+        "substr(cname, CAST(2 + clean_key % length(cname) AS INT)) AS dname FROM clean), " +
+        "records AS (SELECT clean_key * 2 AS rec_id, cname AS name FROM clean " +
+        "UNION ALL SELECT dirty_key * 2 + 1, dname FROM dirty), " +
+        "pairs AS (SELECT a.rec_id AS src, b.rec_id AS dst FROM records a JOIN records b " +
+        "ON a.rec_id < b.rec_id AND levenshtein(a.name, b.name) <= 1), " +
+        "sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs), " +
+        "reach AS (SELECT rec_id, rec_id AS lbl FROM records " +
+        "UNION SELECT e.dst, r.lbl FROM sym e JOIN reach r ON e.src = r.rec_id), " +
+        "lab AS (SELECT rec_id, min(lbl) AS entity_id FROM reach GROUP BY rec_id) " +
+        "SELECT entity_id, CAST(count(*) AS INT) AS n_records, min(name) AS canonical_name " +
+        "FROM records JOIN lab USING (rec_id) GROUP BY entity_id ORDER BY entity_id"),
     // the MV-routed aggregate must be indistinguishable from the
     // fact-table aggregate (sum/count are partition-decomposable;
     // l_quantity is integer-valued so the regrouped double sum is
