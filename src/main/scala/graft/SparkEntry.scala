@@ -981,6 +981,12 @@ object SparkEntry {
       graft.ops.Drift.psi(o, neu, "p", width = 50000.0, nBands = 10)
         .orderBy(col("band"))
     }),
+    // Laplace-mechanism noisy counts (seeded-replay certification of
+    // the MECHANISM — production swaps the salt for true randomness)
+    "store_dp_counts" -> ((s, d) =>
+      graft.ops.Anonymize.noisyCounts(
+        Tables.customer(s, d), "c_nationkey", "dp", epsilon = 1.0)
+        .orderBy(col("c_nationkey"))),
     // k-anonymity by suppression: quasi-identifier combinations
     // (nation, balance band) shared by < 5 rows are NULLed — one
     // window count + a conditional rewrite; the release-criterion
@@ -3430,6 +3436,15 @@ object SparkEntry {
         "round((((n_old + 1) / CAST(t_old + 10 AS DOUBLE)) - ((n_new + 1) / CAST(t_new + 10 AS DOUBLE))) * " +
         "ln(((n_old + 1) / CAST(t_old + 10 AS DOUBLE)) / ((n_new + 1) / CAST(t_new + 10 AS DOUBLE))), 6) AS psi_term " +
         "FROM j CROSS JOIN t ORDER BY band"),
+    // same inverse-CDF in the same expression order over the same
+    // hash uniform; u strictly inside (0,1) by the +0.5 offset
+    "store_dp_counts" ->
+      ("WITH c AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey), " +
+        "u AS (SELECT c_nationkey, n, " +
+        "(CAST('0x' || substr(md5('dp' || CAST(c_nationkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS uu " +
+        "FROM c) " +
+        "SELECT c_nationkey, round(n + -1.0 * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS noisy_count " +
+        "FROM u ORDER BY c_nationkey"),
     "store_k_anonymity" ->
       ("WITH q AS (SELECT c_custkey, c_nationkey, " +
         "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer), " +

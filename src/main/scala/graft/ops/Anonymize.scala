@@ -36,4 +36,30 @@ object Anonymize {
     }
     out.withColumn("suppressed", col("graft_qi_n") < k).drop("graft_qi_n")
   }
+
+  /** Laplace-mechanism noisy counts: per-key count + Laplace(1/ε)
+    * noise via the inverse CDF over a SEEDED uniform (salted-md5, the
+    * repo's hash-uniform discipline; u = (h32 + 0.5)/2^32 is strictly
+    * inside (0,1), so the ln never sees 0). Sensitivity of a count is
+    * 1, so scale b = 1/ε is the textbook calibration.
+    *
+    * The honest caveat, stated plainly: REPLAYABLE noise is what
+    * makes the mechanism oracle-certifiable, and it is exactly what
+    * real differential privacy forbids (a key-derived seed leaks
+    * through repetition). Production swaps the salt for a
+    * non-replayable random source and keeps everything else — this
+    * certifies the MECHANISM (inverse-CDF shape, calibration,
+    * exact-count base), not a privacy guarantee. One map-side-
+    * combined count; noise is a map expression over key-cardinality
+    * rows. */
+  def noisyCounts(df: DataFrame, key: String, salt: String, epsilon: Double): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val u = (conv(substring(md5(concat(lit(salt), col(key).cast("string"))), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .select(col(key),
+        round(col("n") +
+          lit(-1.0 / epsilon) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 4)
+          .as("noisy_count"))
+  }
 }
