@@ -84,4 +84,29 @@ class PropertiesSpec extends SparkSpec {
       assert(verdicts.count() === lines.select($"order_id").distinct().count())
     }
   }
+
+  test("SQ8 property: reconstruction error bounded by half a quantization step per dimension") {
+    import graft.ops.Sq
+    val vecGen = Gen.listOfN(8, Gen.choose(-100.0f, 100.0f))
+    samples(Gen.listOfN(12, vecGen), 3).foreach { vecs =>
+      val corpus = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+      val st = Sq.stats(corpus)
+      val codes = Sq.encode(corpus, st)
+      // |reconstruction - original| <= (mx - mn)/255/2 per dimension:
+      // the defining guarantee of affine int8 quantization (floor(x+.5)
+      // rounds to the NEAREST code, so error is half a step + ulps)
+      val maxErr = corpus.join(codes, Seq("vec_id"))
+        .crossJoin(st)
+        .select(max(expr(
+          """aggregate(
+            |  zip_with(embedding, sequence(1, size(codes)), (v, i) ->
+            |    abs(cast(v as double) -
+            |        (mins[i-1] + cast(codes[i-1] as double) / 255.0 * (maxs[i-1] - mins[i-1]))) -
+            |    (maxs[i-1] - mins[i-1]) / 255.0 / 2.0 - 1e-9),
+            |  cast(0.0 as double), (acc, x) -> greatest(acc, x))""".stripMargin)))
+        .head().getDouble(0)
+      assert(maxErr <= 0.0, s"some dimension exceeded half a quantization step by $maxErr")
+    }
+  }
 }
