@@ -1765,6 +1765,31 @@ object SparkEntry {
         .orderBy(col("start_id"))
     }),
 
+    // per-user token-bucket rate limiting (cap 8h of credit, cost 4h
+    // per event → sustained 1 per 4h, burst 2): exact integer-ms
+    // credit chain in keyed state across ts-ordered batches; the
+    // oracle replays each user's chain with a recursive scan
+    "stream_rate_limit" -> ((s, d) => withTempDir("graft-ratelimit") { base =>
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val byTs = ev.withColumn("tr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(col("ts"), col("event_id"))))
+      val now = System.currentTimeMillis()
+      Seq(
+        ("f0", byTs.filter(col("tr") <= 0.33).drop("tr"), now - 60000L),
+        ("f1", byTs.filter(col("tr") > 0.33 && col("tr") <= 0.66).drop("tr"), now - 40000L),
+        ("f2", byTs.filter(col("tr") > 0.66).drop("tr"), now - 20000L)
+      ).foreach { case (name, df, mtime) =>
+        df.coalesce(1).write.parquet(s"$base/in/$name")
+        new java.io.File(s"$base/in/$name").listFiles().foreach(_.setLastModified(mtime))
+      }
+      graft.streaming.RateLimit.run(s, ev.schema, s"$base/in", s"$base/out",
+        s"$base/ckpt", capMs = 8L * 3600 * 1000, costMs = 4L * 3600 * 1000)
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"), col("user_id"), col("admitted"))
+        .orderBy(col("event_id"))
+    }),
+
     // per-micro-batch dimension refresh: batch N must join dimension
     // version N (staged v0/v1/v2, batches split by o_orderkey % 3) —
     // a frozen-at-start static join would tag every row v0 and
@@ -3518,6 +3543,21 @@ object SparkEntry {
         "ELSE -1 END AS BIGINT) AS latency_sec " +
         "FROM s LEFT JOIN m ON s.event_id = m.event_id ORDER BY start_id"),
 
+    // the integer credit chain replayed sequentially per user: first
+    // event starts at full cap; refill = elapsed ms capped, admit
+    // spends costMs, throttled events still advance the clock
+    "stream_rate_limit" ->
+      ("WITH RECURSIVE ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn FROM events), " +
+        "tb AS (SELECT user_id, rn, event_id, ms, " +
+        "true AS admitted, CAST(28800000 - 14400000 AS BIGINT) AS credit FROM ev WHERE rn = 1 " +
+        "UNION ALL SELECT e.user_id, e.rn, e.event_id, e.ms, " +
+        "least(28800000, t.credit + (e.ms - t.ms)) >= 14400000 AS admitted, " +
+        "CASE WHEN least(28800000, t.credit + (e.ms - t.ms)) >= 14400000 " +
+        "THEN least(28800000, t.credit + (e.ms - t.ms)) - 14400000 " +
+        "ELSE least(28800000, t.credit + (e.ms - t.ms)) END AS credit " +
+        "FROM ev e JOIN tb t ON e.user_id = t.user_id AND e.rn = t.rn + 1) " +
+        "SELECT event_id, user_id, admitted FROM tb ORDER BY event_id"),
     // batch k = orders with o_orderkey % 3 = k joined to dim version k
     "stream_dim_refresh_counts" ->
       ("SELECT 'v' || (o_orderkey % 3) || '-' || c_mktsegment AS seg_v, " +

@@ -632,6 +632,34 @@ class StreamingSpec extends SparkSpec {
     ))
   }
 
+  test("token bucket: burst spends down, throttled events keep the clock, credit survives batches") {
+    import graft.streaming.RateLimit
+    val base = tmp("ratelimit-spec")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def stage(name: String, mtime: Long, rows: (Long, Long, java.sql.Timestamp)*): Unit = {
+      val dir = s"$base/in/$name"
+      rows.toDF("event_id", "user_id", "ts").coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    // cap 20 min, cost 10 min → burst 2, sustained 1 per 10 min
+    stage("f0", now - 40000,
+      (1L, 1L, ts("2024-01-01 00:00:00")),  // admit: 20 -> 10
+      (2L, 1L, ts("2024-01-01 00:01:00")),  // admit: min(20,11)=11 -> 1
+      (3L, 1L, ts("2024-01-01 00:02:00")))  // throttle: min(20,2)=2 < 10
+    stage("f1", now - 20000,
+      (4L, 1L, ts("2024-01-01 00:20:00")),  // refill from 2 over 18min -> capped 20, admit -> 10
+      (5L, 1L, ts("2024-01-01 00:21:00")),  // admit: 11 -> 1
+      (6L, 1L, ts("2024-01-01 00:22:00")))  // throttle: 2 < 10
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    RateLimit.run(spark, schema, s"$base/in", s"$base/out", s"$base/ckpt",
+      capMs = 20L * 60 * 1000, costMs = 10L * 60 * 1000)
+    val r = spark.read.parquet(s"$base/out").collect()
+      .map(x => x.getAs[Long]("event_id") -> x.getAs[Boolean]("admitted")).toMap
+    assert(r === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> false))
+  }
+
   test("ST6: event-time windows run identically over a stream with watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
