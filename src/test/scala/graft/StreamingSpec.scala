@@ -660,6 +660,45 @@ class StreamingSpec extends SparkSpec {
       4L -> true, 5L -> true, 6L -> false))
   }
 
+  test("event-time timers resume across separate runs: state and timers restore from the checkpoint") {
+    import graft.streaming.TimeoutExpiry
+    val base = tmp("timeout-resume")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def stage(name: String, mtime: Long, rows: (Long, Long, String, java.sql.Timestamp)*): Unit = {
+      val dir = s"$base/in/$name"
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    stage("f0", now - 60000,
+      (1L, 1L, "click", ts("2024-01-01 00:00:00")),  // expires IN run 1 (f1's watermark passes 00:10)
+      (2L, 2L, "click", ts("2024-01-01 01:00:00")))  // deadline 01:10 > run-1 watermark: carries over
+    stage("f1", now - 50000,
+      (4L, 1L, "click", ts("2024-01-01 01:06:00")),
+      (11L, 1L, "purchase", ts("2024-01-01 01:08:00"))) // completes id4
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    // FIRST run drains f0+f1 and stops — id2 is still pending in
+    // RocksDB with its registered timer
+    TimeoutExpiry.run(spark, schema, s"$base/in", s"$base/out", s"$base/ckpt",
+      "click", "purchase", timeoutMs = 10L * 60 * 1000)
+    val afterFirst = spark.read.parquet(s"$base/out").collect()
+      .map(_.getAs[Long]("start_id")).toSet
+    assert(afterFirst === Set(1L, 4L),
+      s"run 1 settles the in-run expiry and the completion only: $afterFirst")
+    // SECOND run, same checkpoint: new files + sentinels — restored
+    // timers must fire for the pendings carried over from run one
+    stage("f2", now - 30000, (5L, 5L, "click", ts("2024-01-01 02:00:00")))
+    stage("f3", now - 20000, (-1L, -1L, "sentinel", ts("2024-01-01 06:00:00")))
+    stage("f4", now - 10000, (-2L, -1L, "sentinel", ts("2024-01-01 07:00:00")))
+    TimeoutExpiry.run(spark, schema, s"$base/in", s"$base/out", s"$base/ckpt",
+      "click", "purchase", timeoutMs = 10L * 60 * 1000)
+    val r = spark.read.parquet(s"$base/out").collect()
+      .map(x => x.getAs[Long]("start_id") -> x.getAs[String]("outcome")).toMap
+    assert(r === Map(1L -> "expired", 2L -> "expired", 4L -> "completed", 5L -> "expired"),
+      s"resumed run must settle every start exactly once: $r")
+  }
+
   test("ST6: event-time windows run identically over a stream with watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
