@@ -153,6 +153,39 @@ object SparkEntry {
       StarQueries.q13OrderHistogram(s, Tables.customer(s, d), Tables.orders(s, d))),
     "rel_q14_promo_share" -> ((s, d) =>
       StarQueries.q14PromoShare(s, Tables.lineitem(s, d), Tables.part(s, d))),
+    // the remaining TPC-H shapes — the full 22-query suite (partsupp
+    // absent from this schema is reconstructed from lineitem where a
+    // query needs it; see each method's scaladoc)
+    "rel_q6_forecast_revenue" -> ((s, d) =>
+      StarQueries.q6ForecastRevenue(Tables.lineitem(s, d))),
+    "rel_q8_market_share" -> ((s, d) =>
+      StarQueries.q8MarketShare(s, Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    "rel_q9_nation_profit" -> ((s, d) =>
+      StarQueries.q9ProfitByNation(s, Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.nation(s, d))),
+    "rel_q11_important_stock" -> ((s, d) =>
+      StarQueries.q11ImportantStock(s, Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
+    "rel_q12_late_priority" -> ((s, d) =>
+      StarQueries.q12LatePriorityCounts(s, Tables.orders(s, d), Tables.lineitem(s, d))),
+    "rel_q15_top_supplier" -> ((s, d) =>
+      StarQueries.q15TopSupplier(s, Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "rel_q16_supplier_counts" -> ((s, d) =>
+      StarQueries.q16SupplierCounts(s, Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    "rel_q18_large_orders" -> ((s, d) =>
+      StarQueries.q18LargeOrders(s, Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "rel_q19_disjunct_revenue" -> ((s, d) =>
+      StarQueries.q19DisjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "rel_q20_part_promotion" -> ((s, d) =>
+      StarQueries.q20PartPromotion(s, Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.lineitem(s, d), Tables.part(s, d))),
+    "rel_q2_min_cost_supplier" -> ((s, d) =>
+      StarQueries.q2MinCostSupplier(s, Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d), Tables.region(s, d))),
     // correlated LATERAL subquery with per-row ORDER BY LIMIT —
     // Catalyst decorrelates to a partitioned rank, certified against
     // the explicit-window oracle
@@ -2974,6 +3007,131 @@ object SparkEntry {
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"),
+    "rel_q6_forecast_revenue" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    // share numerator/denominator in exact integer cents (2-dec price
+    // x 2-dec discount factor), so the 4-dec ratio is order-free
+    "rel_q8_market_share" ->
+      ("SELECT o_year, round(CAST(sum(CASE WHEN nation = 'NATION_9' THEN volume_cents ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(sum(volume_cents) AS DOUBLE), 4) AS mkt_share " +
+        "FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) " +
+        "* CAST(round((1 - l_discount) * 100, 0) AS BIGINT) AS volume_cents, " +
+        "n2.n_name AS nation " +
+        "FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region " +
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+        "AND l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND p_type = 'ECONOMY') all_nations " +
+        "GROUP BY o_year ORDER BY o_year"),
+    // exact 1e-4-dollar integer profit units: the double-sum version
+    // diffed on a half-cent rounding boundary at sf0.01
+    "rel_q9_nation_profit" ->
+      ("SELECT nation, o_year, round(CAST(sum(amount_e4) AS DOUBLE) / 10000.0, 2) AS sum_profit " +
+        "FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) " +
+        "* CAST(round((1 - l_discount) * 100, 0) AS BIGINT) " +
+        "- CAST(round(p_retailprice * 100, 0) AS BIGINT) " +
+        "* CAST(l_quantity AS BIGINT) * 10 AS amount_e4 " +
+        "FROM part, supplier, lineitem, orders, nation " +
+        "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey " +
+        "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey " +
+        "AND p_name LIKE '%widget%') profit " +
+        "GROUP BY nation, o_year ORDER BY nation, o_year"),
+    // all-BIGINT stock values: the HAVING-above-fraction threshold is
+    // exact on both engines (DuckDB's HUGEINT sum cast back down)
+    "rel_q11_important_stock" ->
+      ("WITH supply AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS ps_availqty FROM lineitem GROUP BY l_partkey, l_suppkey), " +
+        "value AS (SELECT ps_partkey, " +
+        "CAST(sum(ps_availqty * CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM supply, part, supplier, nation " +
+        "WHERE ps_partkey = p_partkey AND ps_suppkey = s_suppkey " +
+        "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' GROUP BY ps_partkey) " +
+        "SELECT ps_partkey, value_cents FROM value " +
+        "WHERE value_cents > (SELECT CAST(sum(value_cents) AS DOUBLE) * 0.002 FROM value) " +
+        "ORDER BY value_cents DESC, ps_partkey"),
+    // DuckDB spells Spark's datediff(end, start) as date_diff('day', start, end)
+    "rel_q12_late_priority" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE date_diff('day', o_orderdate, l_shipdate) > 60 " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus"),
+    // revenue in exact cents ⇒ equality-with-max is engine-stable
+    "rel_q15_top_supplier" ->
+      ("WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) " +
+        "* CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, round(CAST(total_cents AS DOUBLE) / 10000.0, 2) AS total_revenue " +
+        "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+        "WHERE total_cents = (SELECT max(total_cents) FROM revenue) ORDER BY s_suppkey"),
+    "rel_q16_supplier_counts" ->
+      ("SELECT p_brand, p_type, p_size, CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) supply, part " +
+        "WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#1' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) " +
+        "AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    // integer-valued l_quantity ⇒ the HAVING threshold is exact
+    "rel_q18_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +
+        "o_totalprice, CAST(sum(l_quantity) AS BIGINT) AS total_qty " +
+        "FROM customer, orders, lineitem " +
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) " +
+        "AND c_custkey = o_custkey AND o_orderkey = l_orderkey " +
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "rel_q19_disjunct_revenue" ->
+      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN part ON " +
+        "(p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_partkey = l_partkey AND p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 " +
+        "AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 " +
+        "AND l_quantity BETWEEN 20 AND 30)"),
+    "rel_q20_part_promotion" ->
+      ("SELECT s_name, s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_2' AND s_suppkey IN (" +
+        "SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_name LIKE 'red%' " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 30) " +
+        "ORDER BY s_name"),
+    // unit price is one IEEE division over identical rows on both
+    // engines; min() is order-free, so min-equality membership is exact
+    "rel_q2_min_cost_supplier" ->
+      ("WITH offers AS (SELECT l_partkey, l_suppkey, " +
+        "min(l_extendedprice / l_quantity) AS unit_price " +
+        "FROM lineitem GROUP BY l_partkey, l_suppkey) " +
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, " +
+        "round(unit_price, 4) AS best_price " +
+        "FROM part, offers, supplier, nation, region " +
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+        "AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' " +
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'EUROPE' " +
+        "AND unit_price = (SELECT min(o2.unit_price) " +
+        "FROM offers o2, supplier s2, nation n2, region r2 " +
+        "WHERE o2.l_partkey = p_partkey AND s2.s_suppkey = o2.l_suppkey " +
+        "AND s2.s_nationkey = n2.n_nationkey " +
+        "AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE') " +
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
     // the lateral top-2 as an explicit partitioned rank
     "rel_lateral_topk" ->
       ("SELECT c_custkey, o_orderkey, o_totalprice FROM " +

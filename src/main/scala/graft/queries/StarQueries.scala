@@ -298,6 +298,308 @@ object StarQueries {
         |LIMIT 10""".stripMargin)
   }
 
+  /** TPC-H Q6-shaped forecast-revenue change: the canonical no-join
+    * scan-aggregate — every predicate (shipdate range, discount band,
+    * quantity cap) pushes into the parquet scan (PushedFilters), the
+    * ReadSchema is 4 columns, and the single global sum needs no
+    * shuffle at all (partial-agg → one-row final). At 100 TB this is
+    * the query whose cost IS the IO, so the only thing that matters
+    * is that nothing blocks pushdown — no casts or arithmetic on the
+    * filtered columns before the filter. */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q8-shaped national market share: the 8-way join (both
+    * nation arms + region) with a conditional-share aggregate. The
+    * share numerator/denominator are computed in EXACT integer cents
+    * (price is 2-dec, discount is a 2-dec fraction, so
+    * round(price*100) * round((1-disc)*100) is an exact BIGINT) —
+    * a ratio of two order-dependent double sums rounded to 4 decimals
+    * is precisely the place engine-noise could flip the last digit.
+    * All dimensions broadcast; lineitem shuffles once on o_year. */
+  def q8MarketShare(
+      spark: SparkSession, part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("q8_part")
+    supplier.createOrReplaceTempView("q8_supplier")
+    lineitem.createOrReplaceTempView("q8_lineitem")
+    orders.createOrReplaceTempView("q8_orders")
+    customer.createOrReplaceTempView("q8_customer")
+    nation.createOrReplaceTempView("q8_nation")
+    region.createOrReplaceTempView("q8_region")
+    spark.sql(
+      """SELECT o_year,
+        |       round(CAST(sum(CASE WHEN nation = 'NATION_9' THEN volume_cents ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(volume_cents) AS DOUBLE), 4) AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |               * CAST(round((1 - l_discount) * 100, 0) AS BIGINT) AS volume_cents,
+        |             n2.n_name AS nation
+        |      FROM q8_part, q8_supplier, q8_lineitem, q8_orders, q8_customer,
+        |           q8_nation n1, q8_nation n2, q8_region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |        AND p_type = 'ECONOMY') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  /** TPC-H Q9-shaped product-type profit. The reference schema has no
+    * partsupp, so ps_supplycost is proxied by 10% of p_retailprice per
+    * unit — the SHAPE (substring part filter, five-way join, per-
+    * (nation, year) profit rollup) is what's certified. Profit
+    * accumulates in EXACT 1e-4-dollar integer units (revenue =
+    * cents x cent-fraction; cost = retail-cents x qty x 10) — the
+    * first cut of this query summed doubles and the sf0.01 oracle
+    * diff landed EXACTLY on a half-cent boundary (…5.845 vs …5.85),
+    * the concrete demonstration of why per-group money sums are
+    * integers in this codebase. */
+  def q9ProfitByNation(
+      spark: SparkSession, part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("q9_part")
+    supplier.createOrReplaceTempView("q9_supplier")
+    lineitem.createOrReplaceTempView("q9_lineitem")
+    orders.createOrReplaceTempView("q9_orders")
+    nation.createOrReplaceTempView("q9_nation")
+    spark.sql(
+      """SELECT nation, o_year,
+        |       round(CAST(sum(amount_e4) AS DOUBLE) / 10000.0, 2) AS sum_profit
+        |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |               * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+        |               - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+        |                 * CAST(l_quantity AS BIGINT) * 10 AS amount_e4
+        |      FROM q9_part, q9_supplier, q9_lineitem, q9_orders, q9_nation
+        |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%widget%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin)
+  }
+
+  /** TPC-H Q11-shaped important stock. partsupp is reconstructed from
+    * the fact table itself (distinct (l_partkey, l_suppkey) with
+    * sum(l_quantity) as availqty — quantities are integer-valued so
+    * the sum is exact), and stock value is availqty x retail-cents —
+    * all-BIGINT arithmetic, so the HAVING-above-global-fraction
+    * threshold (the query's point: a grouped aggregate filtered by an
+    * uncorrelated scalar subquery over the SAME derived table) is an
+    * exact comparison both engines resolve identically. The derived
+    * supply table is built once in a CTE; Catalyst plans the two
+    * consumers as two scans of the same shuffle output. */
+  def q11ImportantStock(
+      spark: SparkSession, lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("q11_lineitem")
+    part.createOrReplaceTempView("q11_part")
+    supplier.createOrReplaceTempView("q11_supplier")
+    nation.createOrReplaceTempView("q11_nation")
+    spark.sql(
+      """WITH supply AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+        |  FROM q11_lineitem GROUP BY l_partkey, l_suppkey),
+        |value AS (
+        |  SELECT ps_partkey,
+        |         CAST(sum(ps_availqty * CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS value_cents
+        |  FROM supply, q11_part, q11_supplier, q11_nation
+        |  WHERE ps_partkey = p_partkey AND ps_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey, value_cents FROM value
+        |WHERE value_cents > (SELECT CAST(sum(value_cents) AS DOUBLE) * 0.002 FROM value)
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin)
+  }
+
+  /** TPC-H Q12-shaped shipping-priority audit. The reference lineitem
+    * carries no shipmode/commitdate/receiptdate, so "late" is proxied
+    * by ship-lag > 60 days and the mode axis by l_linestatus — the
+    * SHAPE (fact-fact equi-join, disjunction-free CASE-sum pivot on
+    * the priority class) is what's certified. Exact integer counts. */
+  def q12LatePriorityCounts(
+      spark: SparkSession, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("q12_orders")
+    lineitem.createOrReplaceTempView("q12_lineitem")
+    spark.sql(
+      """SELECT l_linestatus,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS low_line_count
+        |FROM q12_orders JOIN q12_lineitem ON o_orderkey = l_orderkey
+        |WHERE datediff(l_shipdate, o_orderdate) > 60
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q15 top supplier: the revenue view consumed twice — once
+    * grouped, once under max() — with equality-to-the-max membership.
+    * Revenue accumulates in EXACT integer cents (see q8) so the
+    * max-equality cannot be flipped by summation order on either
+    * engine; the display value divides back to currency at the edge.
+    * Catalyst evaluates the uncorrelated scalar max once (one extra
+    * reduction over the same shuffle), not per row. */
+  def q15TopSupplier(
+      spark: SparkSession, supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("q15_supplier")
+    lineitem.createOrReplaceTempView("q15_lineitem")
+    spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |                   * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS total_cents
+        |  FROM q15_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(CAST(total_cents AS DOUBLE) / 10000.0, 2) AS total_revenue
+        |FROM q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q16-shaped parts/supplier relationship: supplier counts per
+    * (brand, type, size) bucket with a NOT IN exclusion subquery
+    * (negative-balance suppliers standing in for Q16's complaint
+    * filter; supply pairs reconstructed from lineitem as in q11).
+    * Catalyst plans the NOT IN as a null-aware anti join — keys are
+    * non-null here so it degenerates to the plain anti join — and the
+    * count(DISTINCT) goes through the two-phase distinct expansion. */
+  def q16SupplierCounts(
+      spark: SparkSession, lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("q16_lineitem")
+    part.createOrReplaceTempView("q16_part")
+    supplier.createOrReplaceTempView("q16_supplier")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |      FROM q16_lineitem) supply, q16_part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H Q18 large-volume customers: the IN-subquery over a grouped
+    * HAVING (orders whose total quantity clears a threshold) joined
+    * back through customer — Catalyst decorrelates the IN into a
+    * left-semi join against the aggregated subquery, so the fact
+    * table is aggregated ONCE, not re-scanned per outer row.
+    * l_quantity is integer-valued ⇒ the HAVING threshold is exact. */
+  def q18LargeOrders(
+      spark: SparkSession, customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("q18_customer")
+    orders.createOrReplaceTempView("q18_orders")
+    lineitem.createOrReplaceTempView("q18_lineitem")
+    spark.sql(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+        |       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM q18_customer, q18_orders, q18_lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM q18_lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H Q19 discounted revenue: the disjunction-of-conjunctions
+    * join predicate, written faithfully with the p_partkey = l_partkey
+    * equality INSIDE each disjunct. The point is optimizer behavior:
+    * BooleanSimplification factors the common equality out of the OR
+    * (`(a && b) || (a && c)` → `a && (b || c)`), ExtractEquiJoinKeys
+    * then sees an equi-join and plans a broadcast/shuffle HASH join
+    * with the residual disjunction as its filter — NOT the O(n x m)
+    * nested-loop a literal reading would give, which at 100 TB is the
+    * difference between a scan and a non-plan. BenchSpec pins the
+    * factored plan shape. */
+  def q19DisjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def arm(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_partkey") === col("l_partkey") &&
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    lineitem
+      .join(broadcast(part),
+        arm("Brand#1", 15, 1, 11) || arm("Brand#2", 25, 10, 20) || arm("Brand#3", 35, 20, 30))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** TPC-H Q20-shaped part promotion: nested IN-subqueries — suppliers
+    * who shipped a meaningful volume (grouped HAVING over an exact
+    * integer quantity sum) of name-filtered parts in a year, cut to
+    * one nation. Decorrelates to a semi-join chain over ONE aggregate
+    * of the fact table. */
+  def q20PartPromotion(
+      spark: SparkSession, supplier: DataFrame, nation: DataFrame,
+      lineitem: DataFrame, part: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("q20_supplier")
+    nation.createOrReplaceTempView("q20_nation")
+    lineitem.createOrReplaceTempView("q20_lineitem")
+    part.createOrReplaceTempView("q20_part")
+    spark.sql(
+      """SELECT s_name, s_suppkey
+        |FROM q20_supplier JOIN q20_nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM q20_lineitem JOIN q20_part ON l_partkey = p_partkey
+        |    WHERE p_name LIKE 'red%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 30)
+        |ORDER BY s_name""".stripMargin)
+  }
+
+  /** TPC-H Q2-shaped minimum-cost supplier: the correlated scalar-min
+    * subquery over a derived offer table (unit price = extendedprice /
+    * quantity from lineitem — both engines evaluate the identical
+    * IEEE division over the identical rows, and min() is order-free,
+    * so equality-with-the-min membership is engine-exact without any
+    * quantization). Catalyst decorrelates the per-part min into one
+    * aggregate joined back (Q17's discipline); region/nation/supplier
+    * broadcast around it. */
+  def q2MinCostSupplier(
+      spark: SparkSession, part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("q2_part")
+    supplier.createOrReplaceTempView("q2_supplier")
+    lineitem.createOrReplaceTempView("q2_lineitem")
+    nation.createOrReplaceTempView("q2_nation")
+    region.createOrReplaceTempView("q2_region")
+    spark.sql(
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+        |  FROM q2_lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       round(unit_price, 4) AS best_price
+        |FROM q2_part, offers, q2_supplier, q2_nation, q2_region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND unit_price = (SELECT min(o2.unit_price)
+        |                    FROM offers o2, q2_supplier s2, q2_nation n2, q2_region r2
+        |                    WHERE o2.l_partkey = p_partkey AND s2.s_suppkey = o2.l_suppkey
+        |                      AND s2.s_nationkey = n2.n_nationkey
+        |                      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
+  }
+
   /** Extended window-function surface: ntile quartiles, percent_rank,
     * first_value over the default frame. */
   def windowExtras(customer: DataFrame): DataFrame = {

@@ -1799,4 +1799,31 @@ class OpsSpec extends SparkSpec {
     // the deletion audit is self-consistent by construction
     assert(s.values.forall { case (b, p, a) => b - p === a })
   }
+
+  test("Q19's disjunctive join predicate factors to a hash join, not a nested loop") {
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val q = graft.queries.StarQueries.q19DisjunctiveRevenue(lineitem, part)
+    // the claim in the scaladoc: BooleanSimplification factors the
+    // common p_partkey = l_partkey equality out of the OR-of-ANDs, so
+    // ExtractEquiJoinKeys plans a hash join with the disjunction as a
+    // residual filter — a literal reading would be an O(n x m) nested
+    // loop, which at 100 TB is not a plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected the common equality factored out of the OR, got:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash join, got:\n$plan")
+    // and the residual disjunction still filters: equivalent to the
+    // union-of-arms formulation
+    import org.apache.spark.sql.functions.{col, lit, round => rnd, sum => fsum}
+    def arm(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      lineitem.join(part,
+        col("p_partkey") === col("l_partkey") && col("p_brand") === brand &&
+          col("p_size").between(1, sizeHi) && col("l_quantity").between(qLo, qHi))
+    val expected = arm("Brand#1", 15, 1, 11)
+      .unionAll(arm("Brand#2", 25, 10, 20)).unionAll(arm("Brand#3", 35, 20, 30))
+      .agg(rnd(fsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .collect()(0).getDouble(0)
+    assert(q.collect()(0).getDouble(0) === expected)
+  }
 }
