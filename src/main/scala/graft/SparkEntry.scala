@@ -1899,6 +1899,15 @@ object SparkEntry {
         graft.multimodal.Multimodal.syntheticImages(Tables.documents(s, d)))
         .toDF()
         .orderBy(col("media_id"))),
+    // the REAL resize path: ImageIO decode + explicit nearest-neighbor
+    // resample to a fixed 16x12 thumbnail (the pinned src_x = x*w/16
+    // floor-division convention), per-channel sums of the RESIZED
+    // raster vs the oracle's generate_series count of band-A samples
+    "mm_resize_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.resizeImageStats(
+        graft.multimodal.Multimodal.syntheticImages(Tables.documents(s, d)), 16, 12)
+        .toDF()
+        .orderBy(col("media_id"))),
     // the REAL audio path, same certification shape: deterministic
     // square-wave WAVs encoded on the executors, AudioSystem-decoded
     // back, exact PCM sums vs the oracle's closed forms
@@ -4815,6 +4824,25 @@ object SparkEntry {
         "CAST(h*(wa*ba + (w-wa)*bb) AS BIGINT) AS sum_b " +
         "FROM g ORDER BY media_id"),
 
+    // closed-form resize oracle: the target row samples source column
+    // (x*w)//16, which lands in band A iff (x*w)//16 < wa — the count
+    // of band-A samples over x in 0..15 is a generate_series aggregate,
+    // and every target row repeats it (the source has no y-variation)
+    "mm_resize_features" ->
+      ("WITH g AS (SELECT doc_id AS media_id, " +
+        "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, (8 + doc_id % 9) // 2 AS wa, " +
+        "doc_id*37 % 256 AS ra, doc_id*59 % 256 AS ga, doc_id*83 % 256 AS ba, " +
+        "doc_id*101 % 256 AS rb, doc_id*131 % 256 AS gb, doc_id*151 % 256 AS bb " +
+        "FROM documents), " +
+        "cnt AS (SELECT *, " +
+        "(SELECT count(*) FROM generate_series(0, 15) t(x) WHERE (x * w) // 16 < wa) AS n_a " +
+        "FROM g) " +
+        "SELECT media_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h, " +
+        "CAST(16 AS INT) AS out_w, CAST(12 AS INT) AS out_h, " +
+        "CAST(12 * (n_a * ra + (16 - n_a) * rb) AS BIGINT) AS sum_r, " +
+        "CAST(12 * (n_a * ga + (16 - n_a) * gb) AS BIGINT) AS sum_g, " +
+        "CAST(12 * (n_a * ba + (16 - n_a) * bb) AS BIGINT) AS sum_b " +
+        "FROM cnt ORDER BY media_id"),
     // closed-form PCM stats of the synthetic square-wave WAVs: every
     // sample is exactly ±A, so sum_abs = n·A and peak = A — matches
     // Multimodal.syntheticAudio; equality proves the AudioSystem

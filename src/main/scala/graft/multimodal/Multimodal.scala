@@ -228,6 +228,60 @@ object Multimodal {
       sum_g: Long,
       sum_b: Long)
 
+  /** Exact statistics of a nearest-neighbor-resized decode — the resize
+    * half of the multimodal pipeline (SURVEY §"multimodal": decode /
+    * feature-extract / RESIZE / frame-sample), certified with the same
+    * closed-form-oracle shape as [[decodeImageStats]]. */
+  final case class ResizedStats(
+      media_id: Long,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL image resize to a fixed (outW x outH) thumbnail — the
+    * normalization step every vision-training pipeline runs before
+    * batching (models take fixed tensors; corpora don't). Decode is
+    * ImageIO; the resample is an explicit nearest-neighbor raster loop
+    * with the integer sampling convention `src_x = x * srcW / outW`
+    * (floor division) — pinned HERE rather than delegated to
+    * Graphics2D so the operator's output is a closed-form function of
+    * the input pixels that the DuckDB oracle can state in SQL
+    * (AffineTransformOp's rounding convention is an implementation
+    * detail no oracle should have to reverse-engineer). Per-channel
+    * sums over the resized raster are exact integers — zero float
+    * parity risk. Non-decodable payloads drop (DLQ at scale, as in
+    * [[decodeImageStats]]). Map-only: scales to any corpus with no
+    * shuffle; at 100 TB the cost is decode IO, exactly where it
+    * belongs. */
+  def resizeImageStats(
+      media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageDecoder.read(r.content).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val p = img.getRGB(x * w / outW, sy)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ResizedStats(r.media_id, w, h, outW, outH, sr, sg, sb)
+        }
+      }
+    }
+  }
+
   /** Batched per-partition decode — one decoder instance per partition,
     * rows processed in a streaming iterator (never materialize the
     * partition), the same batch shape `mapInPandas` gives Python.
