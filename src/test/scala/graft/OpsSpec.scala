@@ -1800,6 +1800,39 @@ class OpsSpec extends SparkSpec {
     assert(s.values.forall { case (b, p, a) => b - p === a })
   }
 
+  test("compression signals are deterministic, bounded, and discriminating") {
+    import graft.ops.Compress
+    val rnd = new scala.util.Random(42)
+    val noise = Iterator.continually(rnd.nextPrintableChar()).take(2000).mkString
+    val prose = ("The quick brown fox jumps over the lazy dog while seventeen " +
+      "sailors argue about the provenance of an antique compass. ") * 16
+    val docs = Seq(
+      (1L, "the cat sat on the mat. " * 80), // repetitive template
+      (2L, prose),                           // natural-ish prose
+      (3L, noise),                           // ~incompressible
+      (4L, "")
+    ).toDF("doc_id", "text")
+    def run() = Compress.compressionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    val a = run()
+    // (a) deterministic across plans/runs
+    assert(a === run())
+    // (b) bounds: positive output for non-empty input, empty → 1.0
+    assert(a(4) === ((0, 0, 1.0)))
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (nb, nd, r) = a(id)
+      assert(nb > 0 && nd > 0 && r > 0.0 && r < 1.5, s"doc $id out of bounds: $a")
+      assert(math.abs(r - nd.toDouble / nb) < 1e-12)
+    }
+    // (c) the discriminating property the signal exists for
+    assert(a(1)._3 < a(2)._3 && a(2)._3 < a(3)._3,
+      s"expected repetitive < prose < noise, got $a")
+    // the filter keeps exactly the mid-band docs
+    val kept = Compress.compressionFilter(docs, a(2)._3 - 1e-9, a(2)._3 + 1e-9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
   test("Q19's disjunctive join predicate factors to a hash join, not a nested loop") {
     val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
