@@ -30,7 +30,14 @@ object ScaleBench {
     "text_dup_span_fraction", "text_ngram_decontam", "text_tfidf",
     "text_bm25_topk", "text_quality_filter", "text_shard_assignments",
     "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ivf_topk", "emb_ivfpq_topk",
-    "emb_pagerank", "emb_graph_clustering", "text_hybrid_rrf")
+    "emb_pagerank", "emb_graph_clustering", "text_hybrid_rrf",
+    // the completed TPC-H suite's fact-heavy tail: lineitem/orders are
+    // replicated xN (key-offset replicas, consistent joins), so these
+    // probe the star-join/decorrelation shapes on a 10x fact side
+    "rel_q1_pricing_summary", "rel_q2_min_cost_supplier", "rel_q8_market_share",
+    "rel_q9_nation_profit", "rel_q11_important_stock", "rel_q15_top_supplier",
+    "rel_q18_large_orders", "rel_q19_disjunct_revenue",
+    "rel_q21_lone_fault_supplier", "rel_q13_order_histogram")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -120,8 +127,22 @@ object ScaleBench {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
-    // star-schema passthrough for queries that also read orders etc.
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
+    // fact tables replicate xfactor with per-replica key offsets —
+    // l_orderkey and o_orderkey shift together so the join graph stays
+    // consistent (each replica is a disjoint slab of orders); custkey/
+    // suppkey/partkey stay, so per-dimension fan-in grows xfactor,
+    // which is exactly the axis the star queries must absorb at scale
+    val keyOff = col("rep").cast("long") * 100000000L
+    spark.read.parquet(s"$baseDir/lineitem.parquet").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + keyOff)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$synthDir/lineitem.parquet")
+    spark.read.parquet(s"$baseDir/orders.parquet").crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + keyOff)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$synthDir/orders.parquet")
+    // dimension passthrough for everything else
+    Seq("region", "nation", "customer", "supplier", "part", "events")
       .foreach { t =>
         val src = s"$baseDir/$t.parquet"
         if (new java.io.File(src).exists())

@@ -228,8 +228,12 @@ object SparkEntry {
     "rel_join_semi" -> ((s, d) =>
       StarQueries.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))
         .orderBy(col("c_mktsegment"))),
+    // anti-join against the high-value order subset: every customer
+    // has SOME order in this data, so the unfiltered variant would
+    // certify only the empty result — the filter plants real survivors
     "rel_join_anti" -> ((s, d) =>
-      StarQueries.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))
+      StarQueries.customersWithoutOrders(Tables.customer(s, d),
+          Tables.orders(s, d).filter(col("o_totalprice") > 300000))
         .orderBy(col("c_nationkey"))),
     "rel_join_broadcast" -> ((s, d) =>
       StarQueries.customersPerRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
@@ -3189,7 +3193,8 @@ object SparkEntry {
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "rel_join_anti" ->
       ("SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers FROM customer " +
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 300000) " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
     "rel_join_broadcast" ->
       ("SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers, " +
