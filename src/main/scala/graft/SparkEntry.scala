@@ -1148,6 +1148,11 @@ object SparkEntry {
     // the two-stage pipeline: LSH candidates, exact-Jaccard verification
     "dedup_minhash_verified" -> ((s, d) =>
       Dedup.minhashVerifiedPairs(Tables.documents(s, d), 20)),
+    // LSH quality as certified data: complete exact truth at t=0.8
+    // (prefix-filter family), banded candidates under the production
+    // bucket cap, recall = captured/true — emb_ann_recall's discipline
+    "dedup_minhash_recall" -> ((s, d) =>
+      Dedup.minhashRecall(Tables.documents(s, d), 0.8)),
     // terminal op: the deduplicated corpus itself (keepers only),
     // applying the PRECOMPUTED component decisions — a pure semi-join
     "dedup_kept_docs" -> ((s, d) =>
@@ -3926,6 +3931,32 @@ object SparkEntry {
         "FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id " +
         "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"),
 
+    // recall of the banded candidate stage against the COMPLETE exact
+    // truth: truth = brute-force Jaccard >= 0.8 pairs (the prefix
+    // filter's oracle shape), candidates = the replayed sig/cap/bucket
+    // pipeline of dedup_minhash_verified — counts and their ratio
+    "dedup_minhash_recall" ->
+      (s"WITH psh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "psz AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id), " +
+        "pov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter " +
+        "FROM psh x JOIN psh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "truth AS (SELECT doc_a, doc_b FROM pov JOIN psz za ON doc_a = za.doc_id " +
+        "JOIN psz zb ON doc_b = zb.doc_id " +
+        "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8), " +
+        "sig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        s"FROM (SELECT * FROM ($shingleSql) WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+        "ok AS (SELECT band, signature FROM (SELECT band, signature, count(*) AS n " +
+        "FROM sig GROUP BY 1, 2) WHERE n <= 50), " +
+        "bucketed AS (SELECT sig.doc_id, sig.band, sig.signature FROM sig JOIN ok USING (band, signature)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bucketed x " +
+        "JOIN bucketed y ON x.band = y.band AND x.signature = y.signature AND x.doc_id < y.doc_id) " +
+        "SELECT CAST(t.n AS BIGINT) AS n_true, CAST(c.n AS BIGINT) AS n_captured, " +
+        "round(CAST(c.n AS DOUBLE) / t.n, 4) AS recall " +
+        "FROM (SELECT count(*) AS n FROM truth) t, " +
+        "(SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)) c"),
     "dedup_embedding_cosine" ->
       (s"WITH $bktSql " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(" +

@@ -325,6 +325,37 @@ object Dedup {
       .limit(topN)
   }
 
+  /** LSH recall certified as DATA: the fraction of TRUE Jaccard-≥t
+    * pairs that the banded-minhash candidate stage captures, under the
+    * SAME bucket cap production runs. Truth is COMPLETE — the prefix-
+    * filtered exact join ([[prefixFilteredPairs]], pigeonhole-complete
+    * at threshold t) — so the ratio is a real recall, not a sampled
+    * estimate. This is [[graft.ops.Similarity]]'s emb_ann_recall
+    * discipline applied to the text side: the banding parameter stops
+    * being folklore once the oracle re-derives the number. One row:
+    * (n_true, n_captured, recall); both counts are tiny aggregates, so
+    * the final crossJoin broadcasts two 1-row frames. */
+  def minhashRecall(
+      docs: DataFrame, t: Double, bands: Int = 4, maxBucket: Int = 50): DataFrame = {
+    val truth = prefixFilteredPairs(docs, t).select(col("doc_a"), col("doc_b"))
+    val sigs = minhashSignatures(docs, bands)
+    val ok = sigs.groupBy(col("band"), col("signature"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("band"), col("signature"))
+    val bucketed = sigs.join(ok, Seq("band", "signature"), "left_semi")
+    val cand = bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_a"))
+      .join(bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_b")),
+        Seq("band", "signature"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val captured = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
+      .select(col("n_true"), col("n_captured"),
+        round(col("n_captured").cast("double") / col("n_true"), 4).as("recall"))
+  }
+
   /** One LARGE-STAR round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"): every node attaches its strictly-GREATER
     * neighbors to the minimum of its closed neighborhood. This is the
