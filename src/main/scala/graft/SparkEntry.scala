@@ -1605,6 +1605,10 @@ object SparkEntry {
     "stream_window_counts" -> ((s, d) => streamWindowCounts(s, d)),
     // stream-stream interval join under the oracle
     "stream_join_counts" -> ((s, d) => streamJoinCounts(s, d)),
+    // LEFT OUTER stream-stream join: null-extension only after the
+    // min-watermark passes the join bound (state eviction), flushed in
+    // one AvailableNow run by per-input sentinels
+    "stream_join_outer_counts" -> ((s, d) => streamJoinOuterCounts(s, d)),
     // native streaming session_window ≡ the batch lag/gap sessionization
     "stream_session_counts" -> ((s, d) => streamSessionCounts(s, d)),
     // watermark-bounded streaming dedup: admitted set ≡ batch DISTINCT
@@ -2331,6 +2335,68 @@ object SparkEntry {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("click_id")).as("n_clicks_matched"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join — the state-EVICTION
+    * semantic the inner variant never exercises: an unmatched click's
+    * null-extended row may only emit once the min-watermark across
+    * both inputs passes its join bound (before that, a matching
+    * purchase could still arrive). One sentinel per INPUT (both — the
+    * join watermark is the minimum) jumps the watermark past every
+    * real bound, and the engine's trailing watermark-flush batch
+    * emits the whole unmatched set in the same single AvailableNow
+    * run (streamWindowCounts' mechanism, applied to join state).
+    * Sentinels pair only with each other (user -1) and are dropped at
+    * the read-back. The emitted multiset then equals the batch LEFT
+    * JOIN — matched rows per pair, one null row per unmatched click —
+    * which is exactly the oracle. */
+  private def streamJoinOuterCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-ssjoin-outer") { base =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(id: Long) = s.range(1).select(
+      lit(id).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 6L * 3600 * 1000)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("sentinel").as("event_type"))
+    ev.filter(col("event_type") === "click").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/in_clicks/data")
+    sentinel(-1L).write.mode("overwrite").parquet(s"$base/in_clicks/sentinel")
+    ev.filter(col("event_type") === "purchase").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/in_purch/data")
+    sentinel(-2L).write.mode("overwrite").parquet(s"$base/in_purch/sentinel")
+    val schema = ev.schema
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val clicks = s.readStream.schema(schema).parquet(s"$base/in_clicks/*")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"))
+      val purchases = s.readStream.schema(schema).parquet(s"$base/in_purch/*")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user"))
+      val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("c_ts"),
+        "leftOuter")
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(s"$base/out")
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
       .orderBy(col("user_id"))
   }
 
@@ -3967,6 +4033,17 @@ object SparkEntry {
     "stream_dedup_counts" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // the streamed outer join's emitted multiset == the batch LEFT
+    // JOIN: k rows per k-matched click, one null row per unmatched
+    "stream_join_outer_counts" ->
+      ("SELECT c.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(p.event_id) AS BIGINT) AS n_matched, " +
+        "CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND p.ts >= c.ts - INTERVAL '30 minutes' AND p.ts <= c.ts " +
+        "GROUP BY c.user_id ORDER BY c.user_id"),
 
     // One line per product (first order by (orderkey, linenumber) wins),
     // so the keyed sequential grant reduces to quantity <= stock and the
