@@ -1127,8 +1127,7 @@ object SparkEntry {
     // generates candidates, and the brute-force oracle certifies the
     // pigeonhole completeness claim as data
     "dedup_prefix_pairs" -> ((s, d) =>
-      Dedup.prefixFilteredPairs(Tables.documents(s, d), 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))),
+      prefixPairsFor(s, d).orderBy(col("doc_a"), col("doc_b"))),
     // per-doc top-5 similar docs by shared-shingle count (the
     // retrieval flavor of the pair family), selected through the
     // k-bounded partial aggregate
@@ -1149,10 +1148,12 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, d) =>
       Dedup.minhashVerifiedPairs(Tables.documents(s, d), 20)),
     // LSH quality as certified data: complete exact truth at t=0.8
-    // (prefix-filter family), banded candidates under the production
-    // bucket cap, recall = captured/true — emb_ann_recall's discipline
+    // (prefix-filter family, the SHARED persisted frame), banded
+    // candidates under the production bucket cap, recall =
+    // captured/true — emb_ann_recall's discipline
     "dedup_minhash_recall" -> ((s, d) =>
-      Dedup.minhashRecall(Tables.documents(s, d), 0.8)),
+      Dedup.minhashRecall(Tables.documents(s, d), 0.8,
+        truth = Some(prefixPairsFor(s, d)))),
     // terminal op: the deduplicated corpus itself (keepers only),
     // applying the PRECOMPUTED component decisions — a pure semi-join
     "dedup_kept_docs" -> ((s, d) =>
@@ -2009,6 +2010,23 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft-unigram").toString
       graft.ops.UnigramLm.train(Tables.documents(s, d),
         maxPieceLen = 4, topV = 32, maxWordLen = 8)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** The complete exact Jaccard-≥0.8 pair frame feeds both the pair
+    * query and the LSH-recall certification — the same persist-once
+    * discipline as componentsFor (a dedup truth set is an artifact,
+    * not a per-consumer rebuild). */
+  private val prefixPairsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def prefixPairsFor(s: SparkSession, d: String): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$d"
+    val path = prefixPairsCache.computeIfAbsent(key, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-prefix-pairs").toString
+      Dedup.prefixFilteredPairs(Tables.documents(s, d), 0.8)
         .write.mode("overwrite").parquet(out)
       out
     })

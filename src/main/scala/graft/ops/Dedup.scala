@@ -336,8 +336,12 @@ object Dedup {
     * (n_true, n_captured, recall); both counts are tiny aggregates, so
     * the final crossJoin broadcasts two 1-row frames. */
   def minhashRecall(
-      docs: DataFrame, t: Double, bands: Int = 4, maxBucket: Int = 50): DataFrame = {
-    val truth = prefixFilteredPairs(docs, t).select(col("doc_a"), col("doc_b"))
+      docs: DataFrame, t: Double, bands: Int = 4, maxBucket: Int = 50,
+      truth: Option[DataFrame] = None): DataFrame = {
+    // callers holding a persisted truth frame (the artifact discipline)
+    // pass it in; standalone use derives it from the corpus
+    val truthPairs = truth.getOrElse(prefixFilteredPairs(docs, t))
+      .select(col("doc_a"), col("doc_b"))
     val sigs = minhashSignatures(docs, bands)
     val ok = sigs.groupBy(col("band"), col("signature"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
@@ -349,8 +353,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val captured = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    truth.agg(count(lit(1)).as("n_true"))
+    val captured = truthPairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truthPairs.agg(count(lit(1)).as("n_true"))
       .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
       .select(col("n_true"), col("n_captured"),
         round(col("n_captured").cast("double") / col("n_true"), 4).as("recall"))
