@@ -225,6 +225,37 @@ object SparkEntry {
     }),
     "source_seed_loader" -> ((s, d) =>
       graft.sources.Seeds.referenceInventory(s).orderBy(col("product_id"))),
+    // schema-preserving CSV round trip: a lineitem slice written with
+    // headers + an explicit timestampFormat, read back with the
+    // DECLARED schema (never inference — SURVEY §1.3), aggregate must
+    // equal the parquet source of truth. Certifies the full
+    // text-serialization path: shortest-roundtrip doubles, timestamp
+    // formatting both directions
+    "source_csv_roundtrip" -> ((s, d) => withTempDir("graft-csv") { base =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      li.coalesce(2).write.option("header", "true").option("timestampFormat", fmt)
+        .csv(s"$base/csv")
+      s.read.schema(li.schema).option("header", "true").option("timestampFormat", fmt)
+        .csv(s"$base/csv")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          date_format(max(col("l_shipdate")), fmt).as("max_ship"))
+    }),
+    // same certification for the JSON-lines file source (the
+    // reference's wire format as a TABLE source rather than a stream)
+    "source_jsonl_roundtrip" -> ((s, d) => withTempDir("graft-jsonl") { base =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+      li.coalesce(2).write.json(s"$base/json")
+      s.read.schema(li.schema).json(s"$base/json")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+    }),
     "rel_join_semi" -> ((s, d) =>
       StarQueries.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))
         .orderBy(col("c_mktsegment"))),
@@ -3276,6 +3307,17 @@ object SparkEntry {
         "('prod-102', 'Mechanical Keyboard', 20), ('prod-103', 'Gaming Mouse', 35), " +
         "('prod-104', 'USB-C Monitor', 10), ('prod-105', 'Ergonomic Chair', 5)) " +
         "AS t(product_id, product_name, quantity_available) ORDER BY product_id"),
+    // both roundtrips must land exactly on the parquet source of truth
+    "source_csv_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0"),
+    "source_jsonl_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0"),
     "rel_join_semi" ->
       ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers FROM customer " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
