@@ -256,6 +256,20 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
     }),
+    // columnar-binary roundtrip through Spark's native ORC source: the
+    // file is SELF-DESCRIBING, so the read side deliberately declares
+    // no schema — types (decimal-free doubles, timestamp micros) must
+    // survive the format's own metadata, unlike the text formats above
+    "source_orc_roundtrip" -> ((s, d) => withTempDir("graft-orc") { base =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+      li.coalesce(2).write.orc(s"$base/orc")
+      s.read.orc(s"$base/orc")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+    }),
     "rel_join_semi" -> ((s, d) =>
       StarQueries.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))
         .orderBy(col("c_mktsegment"))),
@@ -1191,6 +1205,18 @@ object SparkEntry {
       Dedup.deduplicate(Tables.documents(s, d), componentsFor(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
+    // the whole curation recipe as ONE certified DAG: split → quality
+    // → exact dedup → LSH near-dedup → benchmark decontamination. The
+    // funnel counts certify every stage BOUNDARY at once (a wrong
+    // threshold, digest, band rotation or gram width moves some count)
+    "pipeline_curation_counts" -> ((s, d) =>
+      curationFor(s, d)._1.orderBy(col("stage_idx"))),
+    // ...and the curated corpus itself — the output manifest a trainer
+    // consumes, every stage's semantics replayed by the oracle chain
+    "pipeline_curation_docs" -> ((s, d) =>
+      curationFor(s, d)._2
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     // bucket bits scale with corpus size AND are clamped to the embedding
     // dim (500 vecs → 4 bits at sf0.01, 2000 vecs → 6 bits at sf0.1, 4×
     // fewer candidate pairs). The oracle derives the SAME bit count in
@@ -2078,6 +2104,29 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** The end-to-end curation run is ONE pipeline serving two queries
+    * (the funnel counts and the curated corpus) — built once per
+    * (session, dir), both outputs persisted, the components loop's
+    * checkpoint blocks freed once the parquet exists. At 100 TB a
+    * curation run IS an artifact: stage counts are its audit record
+    * and the kept-doc list its output manifest. */
+  private val curationCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def curationFor(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = s"${System.identityHashCode(s)}|$d"
+    val (countsPath, docsPath) = curationCache.computeIfAbsent(key, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-curation").toString
+      val st = graft.ops.Curation.stages(Tables.documents(s, d))
+      graft.ops.Curation.stageCounts(st)
+        .write.mode("overwrite").parquet(s"$base/counts")
+      st.fin.select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/docs")
+      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(st.components)
+      (s"$base/counts", s"$base/docs")
+    })
+    (s.read.parquet(countsPath), s.read.parquet(docsPath))
+  }
+
   private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(prefix)
     try f(base.toString).localCheckpoint(true)
@@ -2606,6 +2655,67 @@ object SparkEntry {
       "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
       "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+
+  /** 5-gram shingle list over a named doc CTE — the decontamination
+    * gram width (range is end-exclusive: i = 1 .. len-4). */
+  private def fiveGramSql(src: String, withId: Boolean) = {
+    val id = if (withId) "doc_id, " else ""
+    s"SELECT DISTINCT ${id}unnest(CASE WHEN len(w) >= 5 THEN " +
+      "list_transform(range(1, len(w)-3), i -> " +
+      "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS shingle " +
+      s"FROM (SELECT ${id}string_split(text, ' ') AS w FROM $src)"
+  }
+
+  /** The curation pipeline oracle: the standalone certified fragments
+    * (text_sample_split, text_quality_filter, dedup_exact_groups,
+    * dedup_kept_docs, text_ngram_decontam) composed into one CTE
+    * chain, each stage reading the previous stage's survivors. */
+  private val curationCtes =
+    "WITH RECURSIVE " +
+      // stage 1: deterministic md5-bucket split; heldout = benchmark
+      s"cur_split AS (SELECT doc_id, CASE WHEN substring(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+      s"< '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train' ELSE 'heldout' END AS split FROM documents), " +
+      "cur_train AS (SELECT d.* FROM documents d JOIN cur_split USING (doc_id) WHERE split = 'train'), " +
+      "cur_bench AS (SELECT d.* FROM documents d JOIN cur_split USING (doc_id) WHERE split = 'heldout'), " +
+      // stage 2: quality filter, histogram threshold over the TRAIN side
+      "cur_q AS (SELECT doc_id, " +
+      "((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 9.0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) > 0 THEN 1 ELSE 0 END)) AS quality_score " +
+      "FROM cur_train), " +
+      "cur_hist AS (SELECT quality_score, count(*) AS cnt FROM cur_q GROUP BY 1), " +
+      "cur_cum AS (SELECT quality_score, sum(cnt) OVER (ORDER BY quality_score DESC) AS cum_ge, " +
+      "sum(cnt) OVER () AS n_total FROM cur_hist), " +
+      "cur_thr AS (SELECT max(quality_score) AS q_threshold FROM cur_cum " +
+      "WHERE CAST(cum_ge AS DOUBLE) >= CAST(n_total AS DOUBLE) * 0.5), " +
+      "cur_qd AS (SELECT t.* FROM cur_train t JOIN cur_q USING (doc_id) CROSS JOIN cur_thr " +
+      "WHERE cur_q.quality_score >= cur_thr.q_threshold), " +
+      // stage 3: exact dedup — keeper = min doc_id per content digest
+      "cur_ek AS (SELECT min(doc_id) AS doc_id FROM cur_qd GROUP BY md5(text)), " +
+      "cur_ed AS (SELECT cur_qd.* FROM cur_qd JOIN cur_ek USING (doc_id)), " +
+      // stage 4: LSH banding + component closure over survivors
+      "cur_esh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
+      "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
+      "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM cur_ed)), " +
+      "cur_sig AS (SELECT doc_id, b.band, " +
+      "list_min(list_transform(shingles, s -> " +
+      "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+      "FROM (SELECT * FROM cur_esh WHERE len(shingles) > 0) " +
+      "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+      "cur_star AS (SELECT min(doc_id) OVER (PARTITION BY band, signature) AS src, doc_id AS dst FROM cur_sig), " +
+      "cur_edges AS (SELECT DISTINCT src, dst FROM cur_star WHERE src <> dst), " +
+      "cur_sym AS (SELECT src, dst FROM cur_edges UNION SELECT dst, src FROM cur_edges), " +
+      "cur_reach AS (SELECT doc_id, doc_id AS lbl FROM cur_ed " +
+      "UNION SELECT e.dst, r.lbl FROM cur_sym e JOIN cur_reach r ON e.src = r.doc_id), " +
+      "cur_keep AS (SELECT doc_id FROM cur_reach GROUP BY doc_id HAVING doc_id = min(lbl)), " +
+      "cur_nd AS (SELECT cur_ed.* FROM cur_ed JOIN cur_keep USING (doc_id)), " +
+      // stage 5: drop survivors sharing any 5-gram with the benchmark
+      s"cur_bg AS (${fiveGramSql("cur_bench", withId = false)}), " +
+      s"cur_ng AS (${fiveGramSql("cur_nd", withId = true)}), " +
+      "cur_contam AS (SELECT DISTINCT cur_ng.doc_id FROM cur_ng JOIN cur_bg USING (shingle)), " +
+      "cur_fin AS (SELECT * FROM cur_nd WHERE doc_id NOT IN (SELECT doc_id FROM cur_contam))"
 
   /** SimHash signatures in SQL — the token hash is the first 16 hex
     * chars of md5 as a big-endian 64-bit value, so bit i of the hash is
@@ -3314,6 +3424,11 @@ object SparkEntry {
         "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship " +
         "FROM lineitem WHERE l_orderkey % 100 = 0"),
     "source_jsonl_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0"),
+    "source_orc_roundtrip" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
         "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship " +
@@ -4035,6 +4150,22 @@ object SparkEntry {
         "UNION SELECT e.dst, r.lbl FROM sym e JOIN reach r ON e.src = r.doc_id), " +
         "keep AS (SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id = min(lbl)) " +
         "SELECT d.doc_id, lang, n_chars FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id"),
+
+    // the composed funnel: each stage count reads the previous stage's
+    // survivor CTE (the standalone oracles chained end-to-end)
+    "pipeline_curation_counts" ->
+      (s"$curationCtes " +
+        "SELECT * FROM (" +
+        "SELECT 0 AS stage_idx, 'corpus' AS stage, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs " +
+        "UNION ALL SELECT 1, 'train_split', CAST((SELECT count(*) FROM cur_train) AS BIGINT) " +
+        "UNION ALL SELECT 2, 'quality', CAST((SELECT count(*) FROM cur_qd) AS BIGINT) " +
+        "UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT count(*) FROM cur_ed) AS BIGINT) " +
+        "UNION ALL SELECT 4, 'near_dedup', CAST((SELECT count(*) FROM cur_nd) AS BIGINT) " +
+        "UNION ALL SELECT 5, 'decontaminated', CAST((SELECT count(*) FROM cur_fin) AS BIGINT)" +
+        ") ORDER BY stage_idx"),
+    "pipeline_curation_docs" ->
+      (s"$curationCtes " +
+        "SELECT doc_id, lang, n_chars FROM cur_fin ORDER BY doc_id"),
 
     // LSH-candidate generation mirrored exactly; exact Jaccard verify
     // over the FULL (uncapped) shingle sets restricted to candidates.

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end pre-training corpus curation — the pipeline a data team
+  * actually runs before a token ever reaches a trainer, composed from
+  * this engine's individually certified stages into ONE lazy DAG:
+  *
+  *   corpus → train/benchmark split → quality filter → exact dedup
+  *          → MinHash-LSH near-dedup → benchmark decontamination
+  *
+  * (the CCNet / RefinedWeb / Dolma recipe shape; each stage's
+  * semantics are identical to its standalone certified query, so the
+  * composed oracle is the composition of the standalone oracles).
+  *
+  * Stage semantics:
+  *  1. split      — deterministic md5-bucket split ([[Sampling.trainEvalSplit]]):
+  *                  the heldout side IS the benchmark; only the train
+  *                  side is curated. Key-consistent ⇒ rerun-stable.
+  *  2. quality    — [[TextOps.qualityFilter]] at `qualityFrac`, with
+  *                  the histogram threshold computed over the TRAIN
+  *                  side (the corpus being curated), not the benchmark.
+  *  3. exact      — keep min doc_id per md5(text) among survivors.
+  *  4. near       — [[Dedup.dedupComponents]] (LSH banding →
+  *                  large-star/small-star components) over survivors;
+  *                  keep component minima via [[Dedup.deduplicate]].
+  *  5. decontam   — drop any survivor sharing ONE `decontamN`-gram
+  *                  with the benchmark (the train-side n-gram
+  *                  decontamination of GPT-3/PaLM eval hygiene; the
+  *                  inverse direction of [[Sampling.ngramContamination]],
+  *                  which flags the heldout side).
+  *
+  * 100 TB shape: every stage is a semi/anti equi-join or map-side
+  * filter on `doc_id` or a 32-byte digest — document text never
+  * crosses a shuffle after its shingle/digest projection. The only
+  * iterative piece is the components loop, which materializes per
+  * round through [[Lineage]] (pass `checkpointDir` for the
+  * cluster-reliable cut). The benchmark n-gram set shuffles as an
+  * equi-join on the gram text (a web-scale benchmark set is itself
+  * too large to broadcast; AQE broadcasts it when it is not).
+  *
+  * Reference anchor: the reference validates, deduplicates and
+  * filters its order stream before acting on it
+  * (src/order_processor/app.py:24-63) — this is that
+  * validate-dedup-filter contract applied to a training corpus.
+  */
+object Curation {
+
+  /** Curation knobs. `salt` keys the split; same salt ⇒ same benchmark
+    * forever (the leak-proof property the split stage exists for). */
+  case class Params(
+      trainFrac: Double = 0.8,
+      salt: String = "cur",
+      qualityFrac: Double = 0.5,
+      bands: Int = 4,
+      decontamN: Int = 5)
+
+  /** Every stage's surviving frame, plus the component decisions (so
+    * callers can free the contraction loop's checkpoint blocks once
+    * the survivors are materialized — the [[Lineage.free]] discipline). */
+  case class Stages(
+      corpus: DataFrame,
+      train: DataFrame,
+      bench: DataFrame,
+      quality: DataFrame,
+      exact: DataFrame,
+      near: DataFrame,
+      fin: DataFrame,
+      components: DataFrame)
+
+  /** Build the full lazy pipeline. The components loop runs its
+    * (eager, driver-probed) contraction when this is CALLED; every
+    * returned frame is otherwise lazy and shares the chain. */
+  def stages(docs: DataFrame, p: Params = Params(),
+             checkpointDir: Option[String] = None): Stages = {
+    val tagged = Sampling
+      .trainEvalSplit(docs.select(col("doc_id")), col("doc_id"), p.trainFrac, p.salt)
+    val train = docs.join(
+      tagged.filter(col("split") === "train").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val bench = docs.join(
+      tagged.filter(col("split") === "heldout").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    // quality: the filter returns the SCORED frame; survivors semi-join
+    // back so text flows on (scores are a per-doc projection, cheap to
+    // recompute, not worth carrying through every later shuffle)
+    val quality = train.join(
+      TextOps.qualityFilter(train, p.qualityFrac).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    // exact dedup: keeper = min doc_id per content digest; the shuffle
+    // carries (32-byte digest, id), never text
+    val exact = quality.join(
+      quality.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    val components = Dedup.dedupComponents(exact, p.bands, checkpointDir = checkpointDir)
+    val near = Dedup.deduplicate(exact, components)
+
+    // decontamination: one shared n-gram is disqualifying. Survivors
+    // too short to carry an n-gram cannot collide and pass through.
+    val benchGrams = TextOps.shinglePostings(bench, p.decontamN)
+      .select(col("shingle")).distinct()
+    val contaminated = TextOps.shinglePostings(near, p.decontamN)
+      .join(benchGrams, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val fin = near.join(contaminated, Seq("doc_id"), "left_anti")
+
+    Stages(docs, train, bench, quality, exact, near, fin, components)
+  }
+
+  /** The curation funnel as data: one row per stage with its survivor
+    * count — the first dashboard a corpus owner builds, and the frame
+    * that certifies every stage boundary at once (a wrong threshold,
+    * digest, band rotation or gram width moves some count). */
+  def stageCounts(st: Stages): DataFrame = {
+    def one(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    one(0, "corpus", st.corpus)
+      .unionByName(one(1, "train_split", st.train))
+      .unionByName(one(2, "quality", st.quality))
+      .unionByName(one(3, "exact_dedup", st.exact))
+      .unionByName(one(4, "near_dedup", st.near))
+      .unionByName(one(5, "decontaminated", st.fin))
+  }
+
+  /** Convenience terminal form: the curated corpus itself. */
+  def curate(docs: DataFrame, p: Params = Params(),
+             checkpointDir: Option[String] = None): DataFrame =
+    stages(docs, p, checkpointDir).fin
+}

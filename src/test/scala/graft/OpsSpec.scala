@@ -1859,4 +1859,76 @@ class OpsSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(q.collect()(0).getDouble(0) === expected)
   }
+
+  test("Curation funnel: stage subsets, threshold split, exact/near dedup, brute-force decontam") {
+    import graft.ops.{Curation, Sampling}
+    // a corpus that exercises every stage: unique good docs (an
+    // id-specific token every 3rd position, so every 3-gram shingle is
+    // doc-specific and unrelated docs never share a minhash bucket),
+    // an exact-duplicate family, near-duplicate pairs (only the final
+    // token differs), docs carrying a distinctive 5-token phrase, and
+    // junk docs. 24 tokens, mean token length and stopword ratio all
+    // inside the quality bands → good docs score 3, junk scores 0.
+    def good(id: Long, k: Long, last: String) =
+      (id, s"the uu$k fox and dd$k dog the ww$k walk of qq$k field " +
+        s"the tt$k stars in bb$k light to pp$k night is zz$k $last")
+    val rows =
+      (1L to 30L).map(i => good(i, i, "again")) ++
+        (31L to 36L).map(i => good(i, 0L, "again")) ++ // exact dups of each other
+        (37L to 42L).map(i => good(i, i / 2 * 2, s"vv$i")) ++ // (38,39),(40,41) near pairs
+        (43L to 52L).map(i => good(i, i, s"qq ww ee rr tt p$i")) ++
+        (53L to 72L).map(i => (i, "zz yy xx"))
+    val corpus = docs(rows: _*)
+    val st = Curation.stages(corpus)
+    val counts = Curation.stageCounts(st).orderBy($"stage_idx").collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val (trainIds, qIds, eIds, nIds, fIds) =
+      (ids(st.train), ids(st.quality), ids(st.exact), ids(st.near), ids(st.fin))
+
+    // the funnel is a subset chain, and the counts frame reports it
+    assert(fIds.subsetOf(nIds) && nIds.subsetOf(eIds) &&
+      eIds.subsetOf(qIds) && qIds.subsetOf(trainIds))
+    assert(counts("corpus") === 72L && counts("train_split") === trainIds.size.toLong &&
+      counts("quality") === qIds.size.toLong && counts("exact_dedup") === eIds.size.toLong &&
+      counts("near_dedup") === nIds.size.toLong && counts("decontaminated") === fIds.size.toLong)
+    // split partitions the corpus; both sides are populated
+    val benchIds = ids(st.bench)
+    assert((trainIds ++ benchIds) === (1L to 72L).toSet && (trainIds & benchIds).isEmpty)
+
+    // quality is a pure threshold: every dropped doc scores strictly
+    // below every survivor
+    val scores = TextOps.qualityScores(st.train).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("quality_score")).toMap
+    val dropped = trainIds -- qIds
+    assert(dropped.nonEmpty && qIds.nonEmpty)
+    assert(dropped.map(scores).max < qIds.map(scores).min)
+
+    // exact dedup: survivor digests are unique, and every doc dropped
+    // here has a smaller-id survivor with identical text
+    val textOf = rows.toMap
+    val eTexts = eIds.toSeq.map(textOf)
+    assert(eTexts.distinct.size === eTexts.size)
+    for (d <- qIds -- eIds)
+      assert(eIds.exists(k => k < d && textOf(k) == textOf(d)), s"doc $d dropped without keeper")
+    assert((qIds -- eIds).nonEmpty, "exact-dup family never split into train — rebuild fixture")
+
+    // near dedup dropped at least one of the planted near-pairs, and
+    // every doc dropped here maps to a smaller keeper in its component
+    val comps = st.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (d <- eIds -- nIds) assert(comps(d) < d && nIds.contains(comps(d)))
+    assert((eIds -- nIds).nonEmpty, "no near-pair landed both-train — rebuild fixture")
+
+    // decontamination equals the brute-force 5-gram intersection with
+    // the benchmark side, computed independently in the driver
+    def grams(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    val benchGrams = benchIds.flatMap(i => grams(textOf(i)))
+    val expectContam = nIds.filter(i => (grams(textOf(i)) & benchGrams).nonEmpty)
+    assert(fIds === (nIds -- expectContam))
+    assert(expectContam.nonEmpty, "no phrase doc straddled the split — rebuild fixture")
+  }
 }
