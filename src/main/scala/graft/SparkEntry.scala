@@ -1109,17 +1109,19 @@ object SparkEntry {
     // k%7, re-insert k%21 — tombstone-then-reinsert exercised) collapsed
     // to final table state in one window pass; the surviving seq shows
     // which op won
-    "store_cdc_apply" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
-      val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("cents"))
-        .union(o.filter(col("k") % 3 === 0).select(col("k"), lit(2L).as("seq"),
-          lit("U").as("op"), (col("cents") + 100L).as("cents")))
-        .union(o.filter(col("k") % 7 === 0).select(col("k"), lit(3L).as("seq"),
-          lit("D").as("op"), lit(null).cast("long").as("cents")))
-        .union(o.filter(col("k") % 21 === 0).select(col("k"), lit(4L).as("seq"),
-          lit("I").as("op"), (col("cents") + 55L).as("cents")))
-      graft.ops.Cdc.apply(log, Seq("k"), "seq", "op")
+    "store_cdc_apply" -> ((s, d) =>
+      graft.ops.Cdc.apply(cdcLog(s, d), Seq("k"), "seq", "op")
+        .select(col("k").as("o_orderkey"), col("seq"), col("cents"))
+        .orderBy(col("o_orderkey"))),
+    // time travel: the table AS OF version 3 (deletes landed, the
+    // seq-4 re-inserts have not happened yet), read through the
+    // checkpoint-plus-delta-tail path — checkpoint at version 2 plus
+    // the (2,3] tail — while the oracle replays the FULL log to v3:
+    // a green row certifies the fast read path ≡ replay semantics
+    "store_time_travel" -> ((s, d) => {
+      val log = cdcLog(s, d)
+      val ckpt = graft.ops.Cdc.applyAt(log, Seq("k"), "seq", "op", 2L)
+      graft.ops.Cdc.applyAt(log, Seq("k"), "seq", "op", 3L, 2L, ckpt)
         .select(col("k").as("o_orderkey"), col("seq"), col("cents"))
         .orderBy(col("o_orderkey"))
     }),
@@ -1697,15 +1699,7 @@ object SparkEntry {
     // state make batch order irrelevant); final table shares the batch
     // path's oracle
     "stream_cdc_apply" -> ((s, d) => withTempDir("graft-cdc-ingest") { base =>
-      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
-      val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("cents"))
-        .union(o.filter(col("k") % 3 === 0).select(col("k"), lit(2L).as("seq"),
-          lit("U").as("op"), (col("cents") + 100L).as("cents")))
-        .union(o.filter(col("k") % 7 === 0).select(col("k"), lit(3L).as("seq"),
-          lit("D").as("op"), lit(null).cast("long").as("cents")))
-        .union(o.filter(col("k") % 21 === 0).select(col("k"), lit(4L).as("seq"),
-          lit("I").as("op"), (col("cents") + 55L).as("cents")))
+      val log = cdcLog(s, d)
       // split by parity of the key — every batch carries a mix of ops
       log.filter(col("k") % 2 === 0).coalesce(1).write.parquet(s"$base/in/g0")
       log.filter(col("k") % 2 =!= 0).coalesce(1).write.parquet(s"$base/in/g1")
@@ -1941,6 +1935,30 @@ object SparkEntry {
       s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // streaming incremental curation: quality gate → exact-dedup
+    // admission → near-dup admission chained in ONE driver against
+    // accumulated digest/claim state; admission is closed-form (three
+    // min-aggregates), so the oracle replays it without any notion of
+    // batches — the admitted set must be independent of batching
+    "stream_curation_docs" -> ((s, d) => withTempDir("graft-stream-cur") { base =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      val now = System.currentTimeMillis()
+      Seq(
+        ("f0", col("doc_id") <= t1, now - 60000),
+        ("f1", col("doc_id") > t1 && col("doc_id") <= t2, now - 40000),
+        ("f2", col("doc_id") > t2, now - 20000)
+      ).foreach { case (name, pred, mtime) =>
+        val dir = s"$base/in/$name"
+        docs.filter(pred).coalesce(1).write.parquet(dir)
+        new java.io.File(dir).listFiles().foreach(_.setLastModified(mtime))
+      }
+      graft.streaming.CurationIngest.run(s, docs.schema,
+        s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
 
     // ----- SimHash (custom typed Aggregator; md5-derived token hash, so
     //       the bit-vote aggregation IS oracle-checkable — see oracleSql)
@@ -2125,6 +2143,22 @@ object SparkEntry {
       (s"$base/counts", s"$base/docs")
     })
     (s.read.parquet(countsPath), s.read.parquet(docsPath))
+  }
+
+  /** The synthetic CDC ops log shared by the batch apply, the
+    * streaming bucketed consumer, and the time-travel read: insert
+    * all, update k%3, delete k%7, re-insert k%21 — so tombstone-then-
+    * reinsert is exercised and versions 2/3/4 are pairwise distinct. */
+  private def cdcLog(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+    o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("cents"))
+      .union(o.filter(col("k") % 3 === 0).select(col("k"), lit(2L).as("seq"),
+        lit("U").as("op"), (col("cents") + 100L).as("cents")))
+      .union(o.filter(col("k") % 7 === 0).select(col("k"), lit(3L).as("seq"),
+        lit("D").as("op"), lit(null).cast("long").as("cents")))
+      .union(o.filter(col("k") % 21 === 0).select(col("k"), lit(4L).as("seq"),
+        lit("I").as("op"), (col("cents") + 55L).as("cents")))
   }
 
   private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
@@ -2836,15 +2870,24 @@ object SparkEntry {
   /** CDC ground truth: newest op per key over the whole log, deletes
     * tombstoned — shared by the batch apply (store_cdc_apply) and the
     * streaming consumer (stream_cdc_apply). */
-  private val cdcApplySql =
+  private val cdcLogCtes =
     "WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS cents FROM orders), " +
       "log AS (SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, cents FROM o " +
       "UNION ALL SELECT k, 2, 'U', cents + 100 FROM o WHERE k % 3 = 0 " +
       "UNION ALL SELECT k, 3, 'D', NULL FROM o WHERE k % 7 = 0 " +
-      "UNION ALL SELECT k, 4, 'I', cents + 55 FROM o WHERE k % 21 = 0), " +
-      "r AS (SELECT k, seq, op, cents, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) " +
+      "UNION ALL SELECT k, 4, 'I', cents + 55 FROM o WHERE k % 21 = 0)"
+
+  /** Newest-op-wins collapse of the shared log, optionally cut at a
+    * version — the oracle always replays the FULL prefix, so the
+    * Spark side's checkpoint-plus-tail read is certified against
+    * replay semantics. */
+  private def cdcStateSql(versionCut: String) =
+    s"$cdcLogCtes, " +
+      s"r AS (SELECT k, seq, op, cents, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log$versionCut) " +
       "SELECT k AS o_orderkey, seq, cents FROM r WHERE rn = 1 AND op <> 'D' " +
       "ORDER BY o_orderkey"
+
+  private val cdcApplySql = cdcStateSql("")
 
   /** One-shot per-customer aggregate ground truth — shared by the
     * batch incremental-merge path (store_incr_agg) and the streaming
@@ -3964,6 +4007,7 @@ object SparkEntry {
 
     // newest op per key decides; deletes tombstone unless re-inserted
     "store_cdc_apply" -> cdcApplySql,
+    "store_time_travel" -> cdcStateSql(" WHERE seq <= 3"),
     // any micro-batch partition of the log converges to the same table
     "stream_cdc_apply" -> cdcApplySql,
 
@@ -4133,6 +4177,32 @@ object SparkEntry {
         "rej AS (SELECT DISTINCT s.doc_id FROM sig s JOIN mn USING (band, signature) " +
         "WHERE mn.min_doc < s.doc_id) " +
         "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM rej) " +
+        "ORDER BY doc_id"),
+
+    // closed-form admission replay: quality gate (fixed score ≥ 2),
+    // exact keeper = min doc_id per digest among quality survivors,
+    // near-dup keeper = bucket minimum among exact survivors — no
+    // notion of batches, certifying batching-independence
+    "stream_curation_docs" ->
+      ("WITH sq AS (SELECT doc_id, text FROM documents WHERE " +
+        "((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 9.0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) > 0 THEN 1 ELSE 0 END)) >= 2), " +
+        "sek AS (SELECT min(doc_id) AS doc_id FROM sq GROUP BY md5(text)), " +
+        "sed AS (SELECT sq.* FROM sq JOIN sek USING (doc_id)), " +
+        "ssh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
+        "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sed)), " +
+        "ssig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        "FROM (SELECT * FROM ssh WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+        "smn AS (SELECT band, signature, min(doc_id) AS min_doc FROM ssig GROUP BY 1, 2), " +
+        "srej AS (SELECT DISTINCT s.doc_id FROM ssig s JOIN smn USING (band, signature) " +
+        "WHERE smn.min_doc < s.doc_id) " +
+        "SELECT doc_id FROM sed WHERE doc_id NOT IN (SELECT doc_id FROM srej) " +
         "ORDER BY doc_id"),
 
     // keepers = docs whose id equals their component min (same recursive

@@ -40,4 +40,37 @@ object Cdc {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .drop("__rn", opCol)
   }
+
+  /** Time travel by log replay: the table as of `version` — ops with
+    * seq beyond it simply have not happened yet. The semantics
+    * contract for any faster read path. */
+  def applyAt(log: DataFrame, keyCols: Seq[String], seqCol: String,
+              opCol: String, version: Long): DataFrame =
+    apply(log.filter(col(seqCol) <= version), keyCols, seqCol, opCol)
+
+  /** Time travel the way a table format actually serves it: the
+    * nearest checkpoint at-or-before the requested version plus the
+    * delta tail in `(checkpointVersion, version]` — read cost is
+    * checkpoint size + tail size, never full history (the Delta/
+    * Iceberg snapshot-plus-log read shape; at 100 TB replaying a
+    * year's log to answer "last Tuesday" is not a plan). Checkpoint
+    * rows re-enter as inserts carrying their ORIGINAL seq (all
+    * strictly below the tail's), so newest-op-wins arbitration is
+    * unchanged — certified equal to full replay in OpsSpec and, end
+    * to end, by store_time_travel's full-replay oracle.
+    *
+    * `checkpointState` must be [[apply]]'s output at
+    * `checkpointVersion` (keys live, tombstones resolved, `seqCol`
+    * retained). Retention policy falls out for free: a log prefix may
+    * be dropped once a checkpoint at-or-after it exists.
+    */
+  def applyAt(log: DataFrame, keyCols: Seq[String], seqCol: String,
+              opCol: String, version: Long,
+              checkpointVersion: Long, checkpointState: DataFrame): DataFrame = {
+    require(checkpointVersion <= version,
+      s"checkpoint $checkpointVersion is past the requested version $version")
+    val tail = log.filter(col(seqCol) > checkpointVersion && col(seqCol) <= version)
+    val base = checkpointState.withColumn(opCol, lit("I"))
+    apply(base.unionByName(tail), keyCols, seqCol, opCol)
+  }
 }

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Streaming incremental curation: [[graft.ops.Curation]]'s recipe as
+  * a continuously-fed admission pipeline — each micro-batch runs
+  * quality filter → exact-dedup admission → LSH near-dup admission in
+  * one `foreachBatch`, against state accumulated across the stream.
+  *
+  * Differences from the batch pipeline, and why:
+  *  - The quality threshold is a FIXED score (`minScore`), not the
+  *    corpus-histogram fraction: an online filter cannot see the
+  *    final corpus distribution, so production streams run a
+  *    calibrated constant (or a model score — [[graft.ops.Classifier]])
+  *    and recalibrate out of band.
+  *  - No split/decontamination stage: a benchmark set is a static
+  *    artifact; streaming admission would just anti-join each batch
+  *    against its (precomputed) gram set — the batch op already
+  *    certifies that join shape.
+  *
+  * Admission is closed-form despite the statefulness (the
+  * [[NearDupIngest]] discipline): with input files in ascending
+  * doc_id order, a document is admitted iff
+  *   (a) its quality score ≥ `minScore`,
+  *   (b) its doc_id is the minimum among quality-passing docs with
+  *       its exact content digest, and
+  *   (c) for EVERY LSH band, its doc_id is the minimum among
+  *       exact-admission survivors claiming that (band, signature)
+  *       bucket
+  * — three plain aggregates over the whole corpus, which is exactly
+  * what the DuckDB oracle replays. Digest claims are written by
+  * exact-stage survivors and bucket claims by all of them (admitted
+  * to output or not), which is what keeps (b) and (c) independent of
+  * how the stream was batched.
+  *
+  * Scale/retry shape: both state tables are digest-width (32-hex md5
+  * rows; (band, signature) pairs) — orders of magnitude smaller than
+  * text, shuffled as equi-joins that AQE broadcasts when the batch
+  * side is small. All writes are per-batch overwrite dirs keyed by
+  * batchId, state reads see only batches strictly before their own
+  * (a retried batch ignores its failed attempt), and discovery runs
+  * through the path's Hadoop FileSystem ([[StateDirs]]) so HDFS/S3
+  * behave like local disk.
+  */
+object CurationIngest {
+
+  /** Drain `inDir` with AvailableNow semantics, writing admitted docs
+    * to `outDir/batch_N`. Returns the micro-batch count. */
+  def run(
+      spark: SparkSession,
+      schema: StructType,
+      inDir: String,
+      outDir: String,
+      stateDir: String,
+      checkpoint: String,
+      minScore: Int = 2,
+      bands: Int = 4): Int = {
+    StateDirs.ensure(spark.sparkContext.hadoopConfiguration, stateDir)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/*")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val conf = ss.sparkContext.hadoopConfiguration
+
+        // stage 1: fixed-threshold quality gate (stateless, map-only)
+        val scored = batch.join(
+          graft.ops.TextOps.qualityScores(batch)
+            .filter(col("quality_score") >= minScore).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+
+        // stage 2: exact-dedup admission — in-batch digest keeper,
+        // then anti-join against digests from batches strictly before
+        val keeper = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+        val inBatch = scored
+          .withColumn("content_hash", md5(col("text")))
+          .withColumn("__rn", row_number().over(keeper))
+          .filter(col("__rn") === 1).drop("__rn")
+        val seenDirs = StateDirs.list(conf, stateDir, "seen_", batchId).map(_._2)
+        val exactFresh0 =
+          if (seenDirs.isEmpty) inBatch
+          else inBatch.join(
+            ss.read.schema(DedupIngest.stateSchema).parquet(seenDirs: _*),
+            Seq("content_hash"), "left_anti")
+        // one materialization: three consumers below (sigs, output,
+        // state) must not re-run the quality+digest chain each
+        val exactFresh = exactFresh0.localCheckpoint()
+
+        // stage 3: near-dup admission over exact survivors
+        val sigs = graft.ops.Dedup.minhashSignatures(exactFresh, bands)
+        val claimedDirs = StateDirs.list(conf, stateDir, "claimed_", batchId).map(_._2)
+        val rejectedByState =
+          if (claimedDirs.isEmpty) sigs.limit(0).select(col("doc_id"))
+          else sigs.join(
+            ss.read.schema(NearDupIngest.stateSchema).parquet(claimedDirs: _*),
+            Seq("band", "signature"), "left_semi").select(col("doc_id"))
+        val bucketMin = sigs.groupBy(col("band"), col("signature"))
+          .agg(min(col("doc_id")).as("min_doc"))
+        val rejectedInBatch = sigs.join(bucketMin, Seq("band", "signature"))
+          .filter(col("min_doc") < col("doc_id")).select(col("doc_id"))
+        val rejected = rejectedByState.union(rejectedInBatch).distinct()
+
+        exactFresh.drop("content_hash").join(rejected, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        // claims derive from the batch input, so a retry rewrites
+        // byte-identical state
+        exactFresh.select(col("content_hash")).distinct()
+          .write.mode("overwrite").parquet(s"$stateDir/seen_$batchId")
+        sigs.select(col("band"), col("signature")).distinct()
+          .write.mode("overwrite").parquet(s"$stateDir/claimed_$batchId")
+        org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(exactFresh)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+}

@@ -1000,6 +1000,31 @@ class OpsSpec extends SparkSpec {
     assert(r === Map(1L -> ((2L, 20L)), 3L -> ((3L, 50L)), 4L -> ((1L, 60L))))
   }
 
+  test("Cdc.applyAt: checkpoint+tail read equals full replay at every version") {
+    import graft.ops.Cdc
+    val log = Seq(
+      (1L, 1L, "I", 10L), (1L, 2L, "U", 20L),
+      (2L, 1L, "I", 30L), (2L, 2L, "D", 0L),               // dies at v2
+      (3L, 1L, "I", 40L), (3L, 2L, "D", 0L), (3L, 3L, "I", 50L), // revived at v3
+      (4L, 1L, "I", 60L), (4L, 4L, "D", 0L)                // dies last
+    ).toDF("k", "seq", "op", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getAs[Long]("k") -> (x.getAs[Long]("seq"), x.getAs[Long]("v"))).toMap
+    // every (checkpoint c, version v ≥ c) pair must agree with replay;
+    // the checkpoint crosses tombstones (c=2 drops key 2) and revivals
+    for (v <- 1L to 4L; c <- 1L to v) {
+      val ckpt = Cdc.applyAt(log, Seq("k"), "seq", "op", c)
+      val fast = snap(Cdc.applyAt(log, Seq("k"), "seq", "op", v, c, ckpt))
+      assert(fast === snap(Cdc.applyAt(log, Seq("k"), "seq", "op", v)),
+        s"checkpoint $c, version $v diverged from replay")
+    }
+    // version sequence is the expected table history
+    assert(snap(Cdc.applyAt(log, Seq("k"), "seq", "op", 2)) ===
+      Map(1L -> ((2L, 20L)), 4L -> ((1L, 60L))))
+    assert(snap(Cdc.applyAt(log, Seq("k"), "seq", "op", 3)) ===
+      Map(1L -> ((2L, 20L)), 3L -> ((3L, 50L)), 4L -> ((1L, 60L))))
+  }
+
   test("Bm25.topK: rare terms outrank common, shorter docs outrank longer") {
     import graft.ops.Bm25
     val corpus = docs(

@@ -717,4 +717,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.map(_.getAs[Long]("n")).sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("curation ingest: quality gates, digest and bucket claims reject; admission is batching-independent") {
+    import graft.streaming.CurationIngest
+    // 24-token quality template (score 3); unique token every 3rd
+    // position keeps unrelated docs out of each other's buckets
+    def good(id: Long, k: Long, last: String) =
+      (id, s"the uu$k fox and dd$k dog the ww$k walk of qq$k field " +
+        s"the tt$k stars in bb$k light to pp$k night is zz$k $last")
+    val f0 = Seq(good(1, 1, "again"), good(2, 2, "again"),
+      good(3, 1, "again")).toDF("doc_id", "text")       // 3 = exact copy of 1
+    val f1 = Seq(good(4, 2, "vv4"),                      // near-dup of 2
+      (5L, "a b"),                                       // score 1: quality-dropped
+      good(6, 6, "again")).toDF("doc_id", "text")
+    def runWith(files: Seq[org.apache.spark.sql.DataFrame]): Seq[Long] = {
+      val base = tmp("graft-cur-ingest")
+      val now = System.currentTimeMillis()
+      files.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.parquet(s"$base/in/f$i")
+        new java.io.File(s"$base/in/f$i").listFiles()
+          .foreach(_.setLastModified(now - 60000 + i * 10000))
+      }
+      CurationIngest.run(spark, f0.schema,
+        s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val twoBatches = runWith(Seq(f0, f1))
+    assert(twoBatches === Seq(1L, 2L, 6L))
+    // the same corpus in ONE batch admits the identical set — the
+    // closed-form contract the oracle replays without batches
+    assert(runWith(Seq(f0.unionAll(f1))) === twoBatches)
+  }
 }
