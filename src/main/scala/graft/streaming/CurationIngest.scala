@@ -124,4 +124,11 @@ object CurationIngest {
     q.awaitTermination()
     batches.get()
   }
+
+  /** Fold both state families' per-batch dirs into one each — after N
+    * batches the probe unions N small dirs and listing overhead
+    * dominates the digest-width data. Run between [[run]] invocations. */
+  def compactState(spark: SparkSession, stateDir: String): Int =
+    StateDirs.compactPrefix(spark, stateDir, "seen_", DedupIngest.stateSchema) +
+      StateDirs.compactPrefix(spark, stateDir, "claimed_", NearDupIngest.stateSchema)
 }

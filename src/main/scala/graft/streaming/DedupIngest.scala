@@ -104,20 +104,8 @@ object DedupIngest {
     * `seen_0`: harmless, and the next compaction removes them.
     *
     * Returns the number of dirs folded away. */
-  def compactState(spark: SparkSession, stateDir: String): Int = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dirs = listStateDirs(conf, stateDir, Long.MaxValue)
-    if (dirs.size <= 1) 0
-    else {
-      // materialize the distinct union BEFORE overwriting seen_0 — the
-      // union's lineage reads the very dirs the overwrite replaces
-      val digests = spark.read.schema(stateSchema).parquet(dirs: _*)
-        .distinct().localCheckpoint()
-      digests.write.mode("overwrite").parquet(s"$stateDir/seen_0")
-      dirs.filterNot(_.endsWith("seen_0")).foreach(StateDirs.delete(conf, _))
-      dirs.size - 1
-    }
-  }
+  def compactState(spark: SparkSession, stateDir: String): Int =
+    StateDirs.compactPrefix(spark, stateDir, "seen_", stateSchema)
 
   private def listStateDirs(
       conf: org.apache.hadoop.conf.Configuration,

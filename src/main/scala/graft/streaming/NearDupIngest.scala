@@ -94,6 +94,11 @@ object NearDupIngest {
     batches.get()
   }
 
+  /** Fold the per-batch claim dirs into one ([[StateDirs.compactPrefix]]
+    * — claims are a set, the probe is a semi-join). */
+  def compactState(spark: SparkSession, stateDir: String): Int =
+    StateDirs.compactPrefix(spark, stateDir, "claimed_", stateSchema)
+
   private def listStateDirs(
       conf: org.apache.hadoop.conf.Configuration,
       stateDir: String,

@@ -749,4 +749,62 @@ class StreamingSpec extends SparkSpec {
     // closed-form contract the oracle replays without batches
     assert(runWith(Seq(f0.unionAll(f1))) === twoBatches)
   }
+
+  test("curation ingest compaction folds both state families; admission survives the fold") {
+    import graft.streaming.CurationIngest
+    def good(id: Long, k: Long, last: String) =
+      (id, s"the uu$k fox and dd$k dog the ww$k walk of qq$k field " +
+        s"the tt$k stars in bb$k light to pp$k night is zz$k $last")
+    val base = tmp("graft-cur-compact")
+    val f0 = Seq(good(1, 1, "again"), good(2, 2, "again")).toDF("doc_id", "text")
+    val f1 = Seq(good(3, 3, "again")).toDF("doc_id", "text")
+    val now = System.currentTimeMillis()
+    Seq(f0 -> "f0", f1 -> "f1").foreach { case (df, n) =>
+      df.coalesce(1).write.parquet(s"$base/in/$n")
+      new java.io.File(s"$base/in/$n").listFiles()
+        .foreach(_.setLastModified(now - 60000))
+    }
+    CurationIngest.run(spark, f0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    assert(CurationIngest.compactState(spark, s"$base/state") === 2) // seen: 2->1, claimed: 2->1
+    val dirs = new java.io.File(s"$base/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs === Seq("claimed_0", "seen_0"))
+    // continue the stream: an exact copy of 1 and a near-copy of 2
+    // must still be rejected via the COMPACTED state, novelty admitted
+    Seq(good(10, 1, "again"), good(11, 2, "vv11"), good(12, 12, "again"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/in/f2")
+    CurationIngest.run(spark, f0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    val admitted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/out").select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted === Seq(1L, 2L, 3L, 12L))
+  }
+
+  test("queue adapters: file transport feeds the certified parser; Kafka names its runtime dep") {
+    import graft.sources.Queues
+    val base = tmp("graft-queues")
+    val msgs = Seq(
+      """{"order_id":"o-1","customer_id":"c-1","items":[{"product_id":"p-1","quantity":1}]}""",
+      "not json at all")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/q.jsonl"),
+      msgs.mkString("\n").getBytes)
+    // the adapter's frame drops into the certified parse/validate
+    // split exactly like the inline text source the oracles run
+    val (valid, invalid) = CheckoutStream.parseOrderStream(
+      Queues.fileJson(spark, base), "value")
+    val vq = valid.writeStream.format("memory").queryName("qa_valid")
+      .trigger(Trigger.AvailableNow()).start()
+    val iq = invalid.writeStream.format("memory").queryName("qa_invalid")
+      .trigger(Trigger.AvailableNow()).start()
+    vq.awaitTermination(); iq.awaitTermination()
+    assert(spark.table("qa_valid").select($"order_id")
+      .collect().map(_.getString(0)).toSeq === Seq("o-1"))
+    assert(spark.table("qa_invalid").count() === 1)
+    // the Kafka form compiles against core Spark and fails fast,
+    // naming the missing connector — the documented deployment dep
+    val e = intercept[Exception](Queues.kafkaJson(spark, "broker:9092", "orders"))
+    assert(e.getMessage.toLowerCase.contains("kafka"))
+  }
 }
