@@ -1219,6 +1219,22 @@ object SparkEntry {
       curationFor(s, d)._2
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
+    // the curated ARTIFACT consumed by the next pipeline stage: chunk
+    // to 32-token windows, pack into ≤128-token sequences, roll up a
+    // per-language shard manifest (docs, sequences, tokens) — the
+    // corpus → curation → tokenization → manifest chain a pretrain
+    // data build actually ships, certified end-to-end in one oracle
+    "pipeline_pack_manifest" -> ((s, d) => {
+      val fin = curationFor(s, d)._2
+      TextOps.packChunks(TextOps.chunks(fin, 32, 32), 128)
+        .join(fin.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_seqs"),
+          sum(col("seq_tokens")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    }),
     // bucket bits scale with corpus size AND are clamped to the embedding
     // dim (500 vecs → 4 bits at sf0.01, 2000 vecs → 6 bits at sf0.1, 4×
     // fewer candidate pairs). The oracle derives the SAME bit count in
@@ -2137,8 +2153,9 @@ object SparkEntry {
       val st = graft.ops.Curation.stages(Tables.documents(s, d))
       graft.ops.Curation.stageCounts(st)
         .write.mode("overwrite").parquet(s"$base/counts")
-      st.fin.select(col("doc_id"), col("lang"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$base/docs")
+      // the full curated rows (text included): downstream pipeline
+      // stages (pipeline_pack_manifest) consume this artifact
+      st.fin.write.mode("overwrite").parquet(s"$base/docs")
       org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(st.components)
       (s"$base/counts", s"$base/docs")
     })
@@ -4236,6 +4253,23 @@ object SparkEntry {
     "pipeline_curation_docs" ->
       (s"$curationCtes " +
         "SELECT doc_id, lang, n_chars FROM cur_fin ORDER BY doc_id"),
+    // the packed-sequence manifest over the curated corpus — the
+    // text_packed_sequences chunk/pack CTEs re-rooted on cur_fin, then
+    // rolled up per language (window sum(INT) is HUGEINT in DuckDB:
+    // cast at every output edge)
+    "pipeline_pack_manifest" ->
+      (s"$curationCtes, " +
+        "pk_t AS (SELECT doc_id, string_split(text, ' ') AS w FROM cur_fin), " +
+        "pk_s AS (SELECT doc_id, w, unnest(range(0, len(w), 32)) AS cs FROM pk_t), " +
+        "pk_c AS (SELECT doc_id, CAST(cs AS INT) AS chunk_start, " +
+        "CAST(least(32, len(w) - cs) AS INT) AS n_chunk_tokens FROM pk_s WHERE least(32, len(w) - cs) > 0), " +
+        "pk_x AS (SELECT doc_id, n_chunk_tokens, " +
+        "sum(n_chunk_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_start) - n_chunk_tokens AS cum_before FROM pk_c), " +
+        "pk_p AS (SELECT doc_id, CAST(floor(CAST(cum_before AS DOUBLE) / 128.0) AS BIGINT) AS seq_id, " +
+        "CAST(sum(n_chunk_tokens) AS BIGINT) AS seq_tokens FROM pk_x GROUP BY 1, 2) " +
+        "SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_seqs, CAST(sum(seq_tokens) AS BIGINT) AS sum_tokens " +
+        "FROM pk_p JOIN cur_fin USING (doc_id) GROUP BY lang ORDER BY lang"),
 
     // LSH-candidate generation mirrored exactly; exact Jaccard verify
     // over the FULL (uncapped) shingle sets restricted to candidates.

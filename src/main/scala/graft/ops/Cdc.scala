@@ -73,4 +73,18 @@ object Cdc {
     val base = checkpointState.withColumn(opCol, lit("I"))
     apply(base.unionByName(tail), keyCols, seqCol, opCol)
   }
+
+  /** Log compaction — the retention operation time travel needs: the
+    * prefix at-or-before `checkpointVersion` collapses to the
+    * checkpoint state re-expressed as inserts (original seqs kept),
+    * the tail passes through untouched. Versions ≥ the checkpoint
+    * remain exactly readable (OpsSpec pins [[applyAt]] equality over
+    * the compacted log); versions before it are the retention
+    * casualty, by choice. The Kafka-compacted-topic / Delta-vacuum
+    * semantics, as one shuffle-free union. */
+  def compactLog(log: DataFrame, keyCols: Seq[String], seqCol: String,
+                 opCol: String, checkpointVersion: Long): DataFrame =
+    applyAt(log, keyCols, seqCol, opCol, checkpointVersion)
+      .withColumn(opCol, lit("I"))
+      .unionByName(log.filter(col(seqCol) > checkpointVersion))
 }

@@ -1023,6 +1023,19 @@ class OpsSpec extends SparkSpec {
       Map(1L -> ((2L, 20L)), 4L -> ((1L, 60L))))
     assert(snap(Cdc.applyAt(log, Seq("k"), "seq", "op", 3)) ===
       Map(1L -> ((2L, 20L)), 3L -> ((3L, 50L)), 4L -> ((1L, 60L))))
+    // log compaction: every version at-or-after the checkpoint reads
+    // identically from the compacted log; the prefix is gone
+    for (c <- 1L to 4L) {
+      val compacted = Cdc.compactLog(log, Seq("k"), "seq", "op", c)
+      assert(compacted.filter($"seq" < c && $"op" =!= "I").count() === 0)
+      for (v <- c to 4L)
+        assert(snap(Cdc.applyAt(compacted, Seq("k"), "seq", "op", v)) ===
+          snap(Cdc.applyAt(log, Seq("k"), "seq", "op", v)),
+          s"compacted at $c diverged at version $v")
+    }
+    // compacting at 2 drops key 2's insert+tombstone entirely
+    assert(Cdc.compactLog(log, Seq("k"), "seq", "op", 2)
+      .filter($"k" === 2L).count() === 0)
   }
 
   test("Bm25.topK: rare terms outrank common, shorter docs outrank longer") {
