@@ -37,7 +37,11 @@ object ScaleBench {
     "rel_q1_pricing_summary", "rel_q2_min_cost_supplier", "rel_q8_market_share",
     "rel_q9_nation_profit", "rel_q11_important_stock", "rel_q15_top_supplier",
     "rel_q18_large_orders", "rel_q19_disjunct_revenue",
-    "rel_q21_lone_fault_supplier", "rel_q13_order_histogram")
+    "rel_q21_lone_fault_supplier", "rel_q13_order_histogram",
+    // the composed curation DAG: every stage must inherit its
+    // standalone scaling (the components loop is the watch item)
+    "pipeline_curation_counts", "pipeline_pack_manifest",
+    "stream_curation_docs")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -756,6 +756,22 @@ object SparkEntry {
       TextOps.qualityByLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "text_lang_id" -> ((s, d) =>
       TextOps.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // markup extraction over a deterministic HTML wrapper exercising
+    // every rule: script block (with attrs + entity soup) dropped
+    // content-wise, tags stripped, entities decoded in safe order
+    // (&amp; last), whitespace collapsed. Certified via hash + length
+    "text_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;\nvar y;</script>" +
+          "<style>p { color: red }</style></head><body><h1>Doc</h1><p>"),
+        col("text"),
+        lit(" &amp; &lt;tail&gt; &quot;q&#39;</p></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.stripMarkup(html).as("extracted"))
+        .select(col("doc_id"), md5(col("extracted")).as("extract_hash"),
+          length(col("extracted")).as("n_extract_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "text_fingerprints" -> ((s, d) =>
       TextOps.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_quality_scores" -> ((s, d) =>
@@ -3654,6 +3670,20 @@ object SparkEntry {
     "text_fingerprints" ->
       (s"SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint " +
         s"FROM ($shingleSql) ORDER BY doc_id"),
+    // the same wrapper + strip chain; 'g' makes DuckDB's
+    // regexp_replace global (Spark's always is), patterns are RE2-safe
+    "text_html_extract" ->
+      ("WITH h AS (SELECT doc_id, " +
+        "'<html><head><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;' || chr(10) || " +
+        "'var y;</script><style>p { color: red }</style></head><body><h1>Doc</h1><p>' || " +
+        "text || ' &amp; &lt;tail&gt; &quot;q&#39;</p></body></html>' AS html FROM documents), " +
+        "s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h), " +
+        "s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1), " +
+        "s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(t, " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&') AS t FROM s2), " +
+        "s4 AS (SELECT doc_id, trim(regexp_replace(t, '[ \t' || chr(10) || chr(13) || chr(12) || ']+', ' ', 'g'), ' ') AS t FROM s3) " +
+        "SELECT doc_id, md5(t) AS extract_hash, CAST(length(t) AS INT) AS n_extract_chars " +
+        "FROM s4 ORDER BY doc_id"),
 
     "text_quality_scores" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +

@@ -51,6 +51,27 @@ object TextOps {
       regexp_replace(lower(text), "[\\u200B\\u200C\\u200D\\uFEFF\\u00AD]", ""),
       "[ \t\n\r\f]+", " "))
 
+  /** Markup extraction — the crawl-pipeline stage BEFORE any text
+    * analysis: container blocks whose content is never prose
+    * (script/style) go first, content-wise; then every remaining tag;
+    * then the four entities a text extractor must decode; then
+    * whitespace collapse. Map-only codegen'd built-ins, and every
+    * pattern is RE2-safe (non-greedy + inline (?s), no lookaround) so
+    * the oracle replays it verbatim — the certified subset of what
+    * trafilatura-class extractors do, not a DOM parser (block-level
+    * text-density scoring needs one and is out of this subset by
+    * design). */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // &amp; decodes LAST or "&amp;lt;" would double-decode to "<"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
+
   /** Per-document stats over the normalized text: char/token counts and
     * the content hash exact dedup would group on after normalization. */
   def normalizedStats(docs: DataFrame): DataFrame =

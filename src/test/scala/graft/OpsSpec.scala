@@ -19,6 +19,21 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_token_len") - 2.0) < 1e-9)
   }
 
+  test("stripMarkup: block content dies, tags strip, entities decode once, order-safe") {
+    def strip(s: String): String =
+      docs((1L, s)).select(TextOps.stripMarkup($"text").as("t"))
+        .collect()(0).getString(0)
+    // script/style CONTENT is removed; other tag content survives
+    assert(strip("<p>keep</p><script>drop();</script><style>p{}</style>done") === "keep done")
+    // multi-line script with attributes
+    assert(strip("a<script type=\"x\">\nline1\nline2</script>b") === "a b")
+    // entities decode exactly once: &amp;lt; is a LITERAL "&lt;"
+    assert(strip("1 &lt; 2 &amp;&amp; x &amp;lt; y") === "1 < 2 && x &lt; y")
+    assert(strip("say &quot;hi&#39;s&quot;") === "say \"hi's\"")
+    // tag soup + whitespace collapse + trim
+    assert(strip("  <div><b>bold</b>\n\ttext</div>  ") === "bold text")
+  }
+
   test("normalize folds case, strips invisibles, collapses whitespace") {
     val raw = "Hello\u200B  WORLD\tand\u00AD more  "
     val r = docs((1L, raw))
