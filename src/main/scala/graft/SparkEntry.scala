@@ -1380,6 +1380,15 @@ object SparkEntry {
       graft.ops.Ivf.nearDupPairs(Tables.embeddings(s, d), 20, k = 8, iters = 2)),
     // dominant principal direction by power iteration — linear algebra
     // as relational aggregates, float-quantized iterates for parity
+    // embedding drift between two corpus versions (disjoint halves by
+    // vec_id parity): cosine of the float-quantized per-dimension mean
+    // vectors + relative centroid shift — the encoder-change monitor
+    "emb_drift_shift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Drift.embeddingShift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0))
+    }),
     "emb_pca_power" -> ((s, d) =>
       graft.ops.Pca.powerIteration(Tables.embeddings(s, d), 2)
         .orderBy(col("dim"))),
@@ -4568,6 +4577,19 @@ object SparkEntry {
         "LEFT JOIN mp m ON b.q_id = m.q_id AND b.vec_id = m.vec_id " +
         "GROUP BY b.q_id ORDER BY b.q_id"),
 
+    // per-dimension means float-quantized before the d-row reduction,
+    // mirroring the Spark side exactly (the Pca iterate discipline)
+    "emb_drift_shift" ->
+      ("WITH deo AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id % 2 = 0), " +
+        "den AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id % 2 <> 0), " +
+        "dmo AS (SELECT dim, CAST(CAST(avg(val) AS REAL) AS DOUBLE) AS a FROM " +
+        "(SELECT unnest(range(1, len(ve)+1)) AS dim, unnest(ve) AS val FROM deo) GROUP BY dim), " +
+        "dmn AS (SELECT dim, CAST(CAST(avg(val) AS REAL) AS DOUBLE) AS b FROM " +
+        "(SELECT unnest(range(1, len(ve)+1)) AS dim, unnest(ve) AS val FROM den) GROUP BY dim) " +
+        "SELECT CAST(count(*) AS INT) AS n_dims, " +
+        "round(sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS cos_means, " +
+        "round(sqrt(sum((a-b)*(a-b))) / sqrt(sum(a*a)), 6) AS shift_ratio " +
+        "FROM dmo JOIN dmn USING (dim)"),
     "emb_pca_power" -> pcaSql,
     // residual after removing the dominant direction: same chain, one
     // more map-only projection pass

@@ -52,4 +52,33 @@ object Drift {
               ((col("n_new") + 1).cast("double") / (col("t_new") + nBands))), 6)
           .as("psi_term"))
   }
+
+  /** Embedding-distribution drift — the vector complement of [[psi]]:
+    * compare two corpus versions by their per-dimension MEAN vectors,
+    * reporting cosine-of-means and the relative L2 shift
+    * ‖m_old − m_new‖/‖m_old‖ (the centroid-shift monitor an embedding
+    * pipeline watches for encoder or upstream-distribution changes;
+    * per-dimension variances would extend the same shape).
+    *
+    * Scale: one narrow posexplode + per-dimension aggregate per side
+    * (map-side combined, d-row output), then a d-row join and a 1-row
+    * aggregate — corpus-size-linear scans, constant-size everything
+    * after. Determinism: the means are FLOAT-QUANTIZED before any
+    * cross-dimension arithmetic (the [[Pca]] iterate discipline), so
+    * partial-aggregation order cannot move the rounded outputs. */
+  def embeddingShift(oldE: DataFrame, newE: DataFrame,
+                     embCol: String = "embedding"): DataFrame = {
+    def dimMeans(df: DataFrame, as: String): DataFrame =
+      df.select(posexplode(col(embCol)).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(avg(col("v").cast("double")).cast("float").cast("double").as(as))
+    val j = dimMeans(oldE, "a").join(dimMeans(newE, "b"), Seq("dim"))
+    j.agg(
+      count(lit(1)).cast("int").as("n_dims"),
+      round(sum(col("a") * col("b")) /
+        (sqrt(sum(col("a") * col("a"))) * sqrt(sum(col("b") * col("b")))), 6)
+        .as("cos_means"),
+      round(sqrt(sum((col("a") - col("b")) * (col("a") - col("b")))) /
+        sqrt(sum(col("a") * col("a"))), 6).as("shift_ratio"))
+  }
 }
