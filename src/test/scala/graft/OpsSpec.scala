@@ -19,6 +19,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_token_len") - 2.0) < 1e-9)
   }
 
+  test("embeddingShift: identical corpora read cos 1 / shift 0; a planted offset moves both") {
+    import graft.ops.Drift
+    val vecs = (1L to 40L).map(i =>
+      (i, Array(1.0f + (i % 5), 2.0f - (i % 3), 0.5f * (i % 7), 1.0f)))
+      .toDF("vec_id", "embedding")
+    val same = Drift.embeddingShift(vecs, vecs).collect()(0)
+    assert(same.getAs[Int]("n_dims") === 4)
+    assert(same.getAs[Double]("cos_means") === 1.0)
+    assert(same.getAs[Double]("shift_ratio") === 0.0)
+    // shift every dimension by +1: centroid moves, cosine drops below 1
+    val shifted = vecs.select($"vec_id",
+      transform($"embedding", v => v + lit(1.0f)).as("embedding"))
+    val r = Drift.embeddingShift(vecs, shifted).collect()(0)
+    assert(r.getAs[Double]("shift_ratio") > 0.2)
+    assert(r.getAs[Double]("cos_means") < 1.0 && r.getAs[Double]("cos_means") > 0.8)
+  }
+
   test("stripMarkup: block content dies, tags strip, entities decode once, order-safe") {
     def strip(s: String): String =
       docs((1L, s)).select(TextOps.stripMarkup($"text").as("t"))
