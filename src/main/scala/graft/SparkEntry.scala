@@ -1240,6 +1240,11 @@ object SparkEntry {
     // per-language shard manifest (docs, sequences, tokens) — the
     // corpus → curation → tokenization → manifest chain a pretrain
     // data build actually ships, certified end-to-end in one oracle
+    // the explainability record behind the funnel: every corpus doc
+    // labeled kept / first-dropping-stage; the oracle re-derives the
+    // label by membership over the same stage CTEs
+    "pipeline_curation_audit" -> ((s, d) =>
+      curationFor(s, d)._3.orderBy(col("doc_id"))),
     "pipeline_pack_manifest" -> ((s, d) => {
       val fin = curationFor(s, d)._2
       TextOps.packChunks(TextOps.chunks(fin, 32, 32), 128)
@@ -2169,22 +2174,25 @@ object SparkEntry {
     * checkpoint blocks freed once the parquet exists. At 100 TB a
     * curation run IS an artifact: stage counts are its audit record
     * and the kept-doc list its output manifest. */
-  private val curationCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val curationCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def curationFor(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val key = s"${System.identityHashCode(s)}|$d"
-    val (countsPath, docsPath) = curationCache.computeIfAbsent(key, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-curation").toString
+  private def curationFor(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = curationCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-curation").toString
       val st = graft.ops.Curation.stages(Tables.documents(s, d))
       graft.ops.Curation.stageCounts(st)
-        .write.mode("overwrite").parquet(s"$base/counts")
+        .write.mode("overwrite").parquet(s"$out/counts")
       // the full curated rows (text included): downstream pipeline
       // stages (pipeline_pack_manifest) consume this artifact
-      st.fin.write.mode("overwrite").parquet(s"$base/docs")
+      st.fin.write.mode("overwrite").parquet(s"$out/docs")
+      // the per-doc disposition record (kept / first dropping stage)
+      graft.ops.Curation.audit(st)
+        .write.mode("overwrite").parquet(s"$out/audit")
       org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(st.components)
-      (s"$base/counts", s"$base/docs")
+      out
     })
-    (s.read.parquet(countsPath), s.read.parquet(docsPath))
+    (s.read.parquet(s"$base/counts"), s.read.parquet(s"$base/docs"),
+      s.read.parquet(s"$base/audit"))
   }
 
   /** The synthetic CDC ops log shared by the batch apply, the
@@ -4292,6 +4300,22 @@ object SparkEntry {
     "pipeline_curation_docs" ->
       (s"$curationCtes " +
         "SELECT doc_id, lang, n_chars FROM cur_fin ORDER BY doc_id"),
+    "pipeline_curation_audit" ->
+      (s"$curationCtes " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN f.doc_id IS NOT NULL THEN 'kept' " +
+        "WHEN t.doc_id IS NULL THEN 'benchmark' " +
+        "WHEN q.doc_id IS NULL THEN 'quality' " +
+        "WHEN e.doc_id IS NULL THEN 'exact_dup' " +
+        "WHEN n.doc_id IS NULL THEN 'near_dup' " +
+        "ELSE 'contaminated' END AS disposition " +
+        "FROM documents d " +
+        "LEFT JOIN cur_train t USING (doc_id) " +
+        "LEFT JOIN cur_qd q USING (doc_id) " +
+        "LEFT JOIN cur_ed e USING (doc_id) " +
+        "LEFT JOIN cur_nd n USING (doc_id) " +
+        "LEFT JOIN cur_fin f USING (doc_id) " +
+        "ORDER BY d.doc_id"),
     // the packed-sequence manifest over the curated corpus — the
     // text_packed_sequences chunk/pack CTEs re-rooted on cur_fin, then
     // rolled up per language (window sum(INT) is HUGEINT in DuckDB:

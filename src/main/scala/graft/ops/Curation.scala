@@ -133,4 +133,30 @@ object Curation {
   def curate(docs: DataFrame, p: Params = Params(),
              checkpointDir: Option[String] = None): DataFrame =
     stages(docs, p, checkpointDir).fin
+
+  /** Per-document disposition — the explainability record behind the
+    * funnel: every corpus doc labeled with where it ended up
+    * (`kept`, or the FIRST stage that dropped it: `benchmark` /
+    * `quality` / `exact_dup` / `near_dup` / `contaminated`). Pure
+    * membership arithmetic over the stage frames (left joins on
+    * doc_id + a chained conditional), so the audit costs five
+    * digest-width joins, not a recomputation — and `counts(stage)`
+    * must equal the funnel's deltas, which the spec pins. */
+  def audit(st: Stages): DataFrame = {
+    def flag(df: DataFrame, name: String) =
+      df.select(col("doc_id"), lit(true).as(name))
+    val joined = st.corpus.select(col("doc_id"))
+      .join(flag(st.train, "in_train"), Seq("doc_id"), "left")
+      .join(flag(st.quality, "in_quality"), Seq("doc_id"), "left")
+      .join(flag(st.exact, "in_exact"), Seq("doc_id"), "left")
+      .join(flag(st.near, "in_near"), Seq("doc_id"), "left")
+      .join(flag(st.fin, "in_fin"), Seq("doc_id"), "left")
+    joined.select(col("doc_id"),
+      when(col("in_fin"), "kept")
+        .when(col("in_train").isNull, "benchmark")
+        .when(col("in_quality").isNull, "quality")
+        .when(col("in_exact").isNull, "exact_dup")
+        .when(col("in_near").isNull, "near_dup")
+        .otherwise("contaminated").as("disposition"))
+  }
 }

@@ -2000,5 +2000,17 @@ class OpsSpec extends SparkSpec {
     val expectContam = nIds.filter(i => (grams(textOf(i)) & benchGrams).nonEmpty)
     assert(fIds === (nIds -- expectContam))
     assert(expectContam.nonEmpty, "no phrase doc straddled the split — rebuild fixture")
+
+    // the audit's disposition counts ARE the funnel deltas
+    val audit = Curation.audit(st).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(audit.size === 72)
+    def n(s: String) = audit.count(_._2 == s).toLong
+    assert(n("kept") === fIds.size.toLong)
+    assert(n("benchmark") === benchIds.size.toLong)
+    assert(n("quality") === (trainIds.size - qIds.size).toLong)
+    assert(n("exact_dup") === (qIds.size - eIds.size).toLong)
+    assert(n("near_dup") === (eIds.size - nIds.size).toLong)
+    assert(n("contaminated") === (nIds.size - fIds.size).toLong)
   }
 }
