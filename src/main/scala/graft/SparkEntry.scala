@@ -2188,7 +2188,9 @@ object SparkEntry {
       // the per-doc disposition record (kept / first dropping stage)
       graft.ops.Curation.audit(st)
         .write.mode("overwrite").parquet(s"$out/audit")
-      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(st.components)
+      // outputs live in parquet now — free every lineage-cut block
+      Seq(st.exact, st.near, st.components)
+        .foreach(graft.ops.Lineage.free)
       out
     })
     (s.read.parquet(s"$base/counts"), s.read.parquet(s"$base/docs"),

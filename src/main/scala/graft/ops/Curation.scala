@@ -69,9 +69,16 @@ object Curation {
       fin: DataFrame,
       components: DataFrame)
 
-  /** Build the full lazy pipeline. The components loop runs its
-    * (eager, driver-probed) contraction when this is CALLED; every
-    * returned frame is otherwise lazy and shares the chain. */
+  /** Build the full pipeline. The components loop runs its (eager,
+    * driver-probed) contraction when this is CALLED, and the two
+    * most-reused survivor frames (`exact`, `near`) are eagerly
+    * lineage-cut ([[Lineage.cut]]): every downstream consumer — the
+    * components edge build, the decontam postings, the funnel counts'
+    * six branches and the audit's five membership joins — otherwise
+    * re-evaluates the full quality+digest chain per reference
+    * (measured: the audit join alone re-ran it five times). Callers
+    * that persist the outputs should free the cut blocks afterwards
+    * ([[Lineage.free]] on `exact`/`near`/`components`). */
   def stages(docs: DataFrame, p: Params = Params(),
              checkpointDir: Option[String] = None): Stages = {
     val tagged = Sampling
@@ -92,14 +99,18 @@ object Curation {
 
     // exact dedup: keeper = min doc_id per content digest; the shuffle
     // carries (32-byte digest, id), never text
-    val exact = quality.join(
-      quality.groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    val reliable = checkpointDir.isDefined
+    Lineage.prepare(docs, checkpointDir)
+    val exact = Lineage.cut(
+      quality.join(
+        quality.groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      reliable)
 
     val components = Dedup.dedupComponents(exact, p.bands, checkpointDir = checkpointDir)
-    val near = Dedup.deduplicate(exact, components)
+    val near = Lineage.cut(Dedup.deduplicate(exact, components), reliable)
 
     // decontamination: one shared n-gram is disqualifying. Survivors
     // too short to carry an n-gram cannot collide and pass through.
