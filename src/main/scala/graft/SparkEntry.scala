@@ -1092,6 +1092,18 @@ object SparkEntry {
       graft.ops.Anonymize.kAnonymize(c, Seq("c_nationkey", "bal_band"), 5)
         .orderBy(col("c_custkey"))
     }),
+    // l-diversity audit over the k-anonymized release: per surviving
+    // group, its size and distinct sensitive values (homogeneity-
+    // attack check; the suppressed pool aggregates under NULLs)
+    "store_l_diversity" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      graft.ops.Anonymize.lDiversity(
+          graft.ops.Anonymize.kAnonymize(c, Seq("c_nationkey", "bal_band"), 5),
+          Seq("c_nationkey", "bal_band"), "c_mktsegment")
+        .orderBy(col("c_nationkey"), col("bal_band"))
+    }),
     // temporal join: every order looks up the customer's price TIER
     // version valid 30 days BEFORE the order — the event-time SCD2
     // dimension lookup; key equi-conjunct carries the join, interval
@@ -4039,6 +4051,17 @@ object SparkEntry {
         "SELECT c_custkey, CASE WHEN qi >= 5 THEN c_nationkey END AS c_nationkey, " +
         "CASE WHEN qi >= 5 THEN bal_band END AS bal_band, qi < 5 AS suppressed " +
         "FROM n ORDER BY c_custkey"),
+    // the same suppression replayed, then per-group size + distinct
+    // sensitive values (NULL-keyed suppressed pool groups as one)
+    "store_l_diversity" ->
+      ("WITH lq AS (SELECT c_custkey, c_nationkey, c_mktsegment, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer), " +
+        "ln AS (SELECT lq.*, count(*) OVER (PARTITION BY c_nationkey, bal_band) AS qi FROM lq), " +
+        "la AS (SELECT CASE WHEN qi >= 5 THEN c_nationkey END AS c_nationkey, " +
+        "CASE WHEN qi >= 5 THEN bal_band END AS bal_band, c_mktsegment FROM ln) " +
+        "SELECT c_nationkey, bal_band, CAST(count(*) AS BIGINT) AS group_n, " +
+        "CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct " +
+        "FROM la GROUP BY 1, 2 ORDER BY 1, 2"),
     // lead-built intervals partition time per key: at most one
     // version covers each fact's lookup date
     "store_temporal_join" ->

@@ -37,6 +37,27 @@ object Anonymize {
     out.withColumn("suppressed", col("graft_qi_n") < k).drop("graft_qi_n")
   }
 
+  /** l-diversity audit over an already-k-anonymous release: for each
+    * surviving quasi-identifier group, how many DISTINCT sensitive
+    * values it carries. k-anonymity alone is defeated by a uniform
+    * group (every member shares the sensitive value, so linkage
+    * learns it without identifying anyone — the homogeneity attack);
+    * distinct-l-diversity is the standard counter-criterion. Returns
+    * one row per group with its size and l; the caller's release
+    * gate is `min(l) >= threshold`. Same scale shape as
+    * [[kAnonymize]]: one groupBy on the quasi columns (map-side
+    * combined, group-cardinality output), nothing collected.
+    * Suppressed groups (NULLed identifiers) aggregate under the NULL
+    * combination like any other — their l is the diversity of the
+    * suppressed POOL, which is exactly what a release reviewer wants
+    * to see. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+
   /** Laplace-mechanism noisy counts: per-key count + Laplace(1/ε)
     * noise via the inverse CDF over a SEEDED uniform (salted-md5, the
     * repo's hash-uniform discipline; u = (h32 + 0.5)/2^32 is strictly

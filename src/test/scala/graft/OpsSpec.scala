@@ -19,6 +19,68 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_token_len") - 2.0) < 1e-9)
   }
 
+  test("AQE re-plans a static sort-merge join to broadcast once the filtered side proves small") {
+    // the 100 TB join-strategy contract this engine leans on: static
+    // stats cannot see post-filter sizes, so the planner starts with
+    // a shuffle join; AQE's runtime stats rewrite it to broadcast.
+    // Static broadcast is disabled to force the initial SMJ.
+    val c = spark.conf
+    val prevStatic = c.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = c.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      val facts = spark.range(100000).selectExpr("id", "id % 512 AS k")
+      val dim = spark.range(100000).selectExpr("id AS did", "id % 512 AS k")
+        .filter($"did" % 1009 === 0) // ~99 rows, invisible to static stats
+      val j = facts.join(dim, "k")
+      val initial = j.queryExecution.executedPlan.toString
+      assert(initial.contains("SortMergeJoin"),
+        s"static plan should be a shuffle join:\n$initial")
+      // execute THIS df's plan (count() would plan its own query)
+      assert(j.collect().length > 0)
+      val fin = j.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true") && fin.contains("BroadcastHashJoin"),
+        s"AQE should have re-planned to broadcast:\n$fin")
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAdaptive match {
+        case Some(v) => c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => c.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the other half of the runtime-re-plan contract: a hot key that
+    // would serialize one reducer is split into parallel sub-joins.
+    // Manual salting (rel_join_salted) remains for aggregation skew;
+    // for JOIN skew the engine leans on AQE, certified here.
+    val c = spark.conf
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> c.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        c.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        c.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        c.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // skew split applies to SMJ
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "131072")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      val left = spark.range(400000)
+        .selectExpr("id", "CASE WHEN id % 4 < 3 THEN 7 ELSE id END AS k") // 75% on key 7
+      val right = spark.range(1000).selectExpr("id AS rid", "id AS k")
+      val j = left.join(right, "k")
+      assert(j.collect().length > 0)
+      val fin = j.queryExecution.executedPlan.toString
+      assert(fin.contains("skew=true"),
+        s"expected the skewed partition split at runtime:\n$fin")
+    } finally prev.foreach { case (k, v) => c.set(k, v) }
+  }
+
   test("embeddingShift: identical corpora read cos 1 / shift 0; a planted offset moves both") {
     import graft.ops.Drift
     val vecs = (1L to 40L).map(i =>
