@@ -2017,6 +2017,35 @@ object SparkEntry {
       s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // the FULL batch recipe running incrementally: split routing
+    // (benchmark never admitted), quality, exact, near-dup, plus
+    // per-batch decontamination against the static benchmark-gram
+    // artifact — batch/stream parity for the whole curation pipeline
+    "stream_curation_full_docs" -> ((s, d) => withTempDir("graft-stream-curf") { base =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(
+        Sampling.bucketHash(col("doc_id"), "cur") >=
+          lit(Sampling.hexThreshold(0.8)))
+      val benchGrams = TextOps.shinglePostings(bench, 5)
+        .select(col("shingle")).distinct().localCheckpoint(true)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      val now = System.currentTimeMillis()
+      Seq(
+        ("f0", col("doc_id") <= t1, now - 60000),
+        ("f1", col("doc_id") > t1 && col("doc_id") <= t2, now - 40000),
+        ("f2", col("doc_id") > t2, now - 20000)
+      ).foreach { case (name, pred, mtime) =>
+        val dir = s"$base/in/$name"
+        docs.filter(pred).coalesce(1).write.parquet(dir)
+        new java.io.File(dir).listFiles().foreach(_.setLastModified(mtime))
+      }
+      graft.streaming.CurationIngest.run(s, docs.schema,
+        s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt",
+        split = Some((0.8, "cur")), benchGrams = Some(benchGrams))
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
 
     // ----- SimHash (custom typed Aggregator; md5-derived token hash, so
     //       the bit-vote aggregation IS oracle-checkable — see oracleSql)
@@ -4292,6 +4321,39 @@ object SparkEntry {
         "srej AS (SELECT DISTINCT s.doc_id FROM ssig s JOIN smn USING (band, signature) " +
         "WHERE smn.min_doc < s.doc_id) " +
         "SELECT doc_id FROM sed WHERE doc_id NOT IN (SELECT doc_id FROM srej) " +
+        "ORDER BY doc_id"),
+
+    // the full recipe replayed batch-free: split routing (fixed md5
+    // threshold), fixed-score quality, exact keeper, band-claim
+    // near-dup, then the static benchmark-gram anti-join
+    "stream_curation_full_docs" ->
+      (s"WITH fsp AS (SELECT doc_id, substring(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+        s"< '${graft.ops.Sampling.hexThreshold(0.8)}' AS is_train FROM documents), " +
+        "ftr AS (SELECT d.doc_id, d.text FROM documents d JOIN fsp USING (doc_id) WHERE is_train), " +
+        "fbe AS (SELECT d.doc_id, d.text FROM documents d JOIN fsp USING (doc_id) WHERE NOT is_train), " +
+        "fsq AS (SELECT doc_id, text FROM ftr WHERE " +
+        "((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 9.0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) > 0 THEN 1 ELSE 0 END)) >= 2), " +
+        "fek AS (SELECT min(doc_id) AS doc_id FROM fsq GROUP BY md5(text)), " +
+        "fed AS (SELECT fsq.* FROM fsq JOIN fek USING (doc_id)), " +
+        "fsh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
+        "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM fed)), " +
+        "fsig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        "FROM (SELECT * FROM fsh WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+        "fmn AS (SELECT band, signature, min(doc_id) AS min_doc FROM fsig GROUP BY 1, 2), " +
+        "frej AS (SELECT DISTINCT s.doc_id FROM fsig s JOIN fmn USING (band, signature) " +
+        "WHERE fmn.min_doc < s.doc_id), " +
+        "fad AS (SELECT doc_id, text FROM fed WHERE doc_id NOT IN (SELECT doc_id FROM frej)), " +
+        s"fbg AS (${fiveGramSql("fbe", withId = false)}), " +
+        s"fng AS (${fiveGramSql("fad", withId = true)}), " +
+        "fcon AS (SELECT DISTINCT fng.doc_id FROM fng JOIN fbg USING (shingle)) " +
+        "SELECT doc_id FROM fad WHERE doc_id NOT IN (SELECT doc_id FROM fcon) " +
         "ORDER BY doc_id"),
 
     // keepers = docs whose id equals their component min (same recursive

@@ -49,7 +49,16 @@ import org.apache.spark.sql.types.StructType
 object CurationIngest {
 
   /** Drain `inDir` with AvailableNow semantics, writing admitted docs
-    * to `outDir/batch_N`. Returns the micro-batch count. */
+    * to `outDir/batch_N`. Returns the micro-batch count.
+    *
+    * `split` = (trainFrac, salt) routes only the train side of the
+    * deterministic md5 split through curation (the benchmark side is
+    * someone else's artifact — a stream must never admit it);
+    * `benchGrams` is that artifact's precomputed `decontamN`-gram set
+    * (column `shingle`), anti-joined per batch — a STATIC frame, so
+    * decontamination adds no state, just one digest-width equi-join
+    * per batch. With both set, the driver is the full batch recipe
+    * ([[graft.ops.Curation]]) running incrementally. */
   def run(
       spark: SparkSession,
       schema: StructType,
@@ -58,7 +67,10 @@ object CurationIngest {
       stateDir: String,
       checkpoint: String,
       minScore: Int = 2,
-      bands: Int = 4): Int = {
+      bands: Int = 4,
+      split: Option[(Double, String)] = None,
+      benchGrams: Option[org.apache.spark.sql.DataFrame] = None,
+      decontamN: Int = 5): Int = {
     StateDirs.ensure(spark.sparkContext.hadoopConfiguration, stateDir)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = spark.readStream.schema(schema)
@@ -71,9 +83,17 @@ object CurationIngest {
         val ss = batch.sparkSession
         val conf = ss.sparkContext.hadoopConfiguration
 
+        // stage 0: route only the train side through curation
+        // (map-only deterministic hash predicate, no lookup)
+        val routed = split match {
+          case Some((frac, salt)) => batch.filter(
+            graft.ops.Sampling.bucketHash(col("doc_id"), salt) <
+              lit(graft.ops.Sampling.hexThreshold(frac)))
+          case None => batch
+        }
         // stage 1: fixed-threshold quality gate (stateless, map-only)
-        val scored = batch.join(
-          graft.ops.TextOps.qualityScores(batch)
+        val scored = routed.join(
+          graft.ops.TextOps.qualityScores(routed)
             .filter(col("quality_score") >= minScore).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
 
@@ -108,8 +128,20 @@ object CurationIngest {
           .filter(col("min_doc") < col("doc_id")).select(col("doc_id"))
         val rejected = rejectedByState.union(rejectedInBatch).distinct()
 
-        exactFresh.drop("content_hash").join(rejected, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        val admitted = exactFresh.drop("content_hash")
+          .join(rejected, Seq("doc_id"), "left_anti")
+        // stage 4: benchmark decontamination — static gram artifact,
+        // one stateless equi-join per batch
+        val clean = benchGrams match {
+          case Some(bg) =>
+            val contaminated = graft.ops.TextOps
+              .shinglePostings(admitted, decontamN)
+              .join(bg.select(col("shingle")), Seq("shingle"), "left_semi")
+              .select(col("doc_id")).distinct()
+            admitted.join(contaminated, Seq("doc_id"), "left_anti")
+          case None => admitted
+        }
+        clean.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
         // claims derive from the batch input, so a retry rewrites
         // byte-identical state
         exactFresh.select(col("content_hash")).distinct()
