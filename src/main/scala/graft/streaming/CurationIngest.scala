@@ -163,4 +163,42 @@ object CurationIngest {
   def compactState(spark: SparkSession, stateDir: String): Int =
     StateDirs.compactPrefix(spark, stateDir, "seen_", DedupIngest.stateSchema) +
       StateDirs.compactPrefix(spark, stateDir, "claimed_", NearDupIngest.stateSchema)
+
+  /** Backfill → streaming cutover: seed `stateDir` with exactly the
+    * state an equivalent stream would have accumulated having already
+    * seen `corpus` — the offline-built corpus keeps priority, and the
+    * stream continues incrementally from it (the operational handoff
+    * every "we curate nightly, now make it continuous" migration
+    * needs). Seen digests = distinct content digests of
+    * quality-passing docs; bucket claims = their band signatures
+    * (signatures are a function of text alone, so WHICH duplicate
+    * represents a content group cannot matter). Writes `seen_-1` /
+    * `claimed_-1`: state reads are strictly-before-batchId, and the
+    * first micro-batch is batchId 0 — a seed keyed 0 would be both
+    * invisible to it and clobbered by it. ([[StateDirs.compactPrefix]]
+    * folds into the MINIMUM key for the same reason.) */
+  def bootstrapState(
+      spark: SparkSession,
+      stateDir: String,
+      corpus: org.apache.spark.sql.DataFrame,
+      minScore: Int = 2,
+      bands: Int = 4): Unit = {
+    StateDirs.ensure(spark.sparkContext.hadoopConfiguration, stateDir)
+    val scored = corpus.join(
+      graft.ops.TextOps.qualityScores(corpus)
+        .filter(col("quality_score") >= minScore).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val keeper = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val exact = scored
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("__rn", row_number().over(keeper))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    exact.select(col("content_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/seen_-1")
+    graft.ops.Dedup.minhashSignatures(exact, bands)
+      .select(col("band"), col("signature")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/claimed_-1")
+    org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(exact)
+  }
 }

@@ -56,29 +56,36 @@ object StateDirs {
     ()
   }
 
-  /** Fold all `prefix`-keyed state dirs into a single `${prefix}0` —
-    * the claim/digest tables are SETS (their consumers are semi/anti
-    * joins insensitive to duplicates), so the union-distinct preserves
-    * semantics exactly while the read path drops from O(batches) dirs
-    * to one. MUST run between streaming runs, never concurrently with
-    * one; crash after the overwrite but mid-delete leaves stale dirs
-    * whose rows `${prefix}0` already holds — harmless, next compaction
-    * sweeps them. Returns the number of dirs folded away. */
+  /** Fold all `prefix`-keyed state dirs into ONE, keyed by the
+    * MINIMUM existing key — the claim/digest tables are SETS (their
+    * consumers are semi/anti joins insensitive to duplicates), so the
+    * union-distinct preserves semantics exactly while the read path
+    * drops from O(batches) dirs to one. The min key (not 0) keeps a
+    * bootstrap seed dir (`${prefix}-1`, strictly below every real
+    * batchId) visible to batch 0 after compaction. MUST run between
+    * streaming runs, never concurrently with one; crash after the
+    * overwrite but mid-delete leaves stale dirs whose rows the target
+    * already holds — harmless, next compaction sweeps them. Returns
+    * the number of dirs folded away. */
   def compactPrefix(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
       prefix: String,
       schema: org.apache.spark.sql.types.StructType): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val dirs = list(conf, stateDir, prefix, Long.MaxValue).map(_._2)
-    if (dirs.size <= 1) 0
+    val keyed = list(conf, stateDir, prefix, Long.MaxValue)
+    if (keyed.size <= 1) 0
     else {
+      val dirs = keyed.map(_._2)
+      val target = s"$stateDir/$prefix${keyed.map(_._1).min}"
       // materialize BEFORE overwriting — the union's lineage reads the
       // very dirs the overwrite replaces
       val rows = spark.read.schema(schema).parquet(dirs: _*)
         .distinct().localCheckpoint()
-      rows.write.mode("overwrite").parquet(s"$stateDir/${prefix}0")
-      dirs.filterNot(_.endsWith(s"${prefix}0")).foreach(delete(conf, _))
+      rows.write.mode("overwrite").parquet(target)
+      val targetPath = new Path(target)
+      dirs.filterNot(d => new Path(d).getName == targetPath.getName)
+        .foreach(delete(conf, _))
       org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(rows)
       dirs.size - 1
     }

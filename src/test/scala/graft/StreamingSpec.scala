@@ -782,6 +782,41 @@ class StreamingSpec extends SparkSpec {
     assert(admitted === Seq(1L, 2L, 3L, 12L))
   }
 
+  test("curation bootstrap: the offline corpus keeps priority from batch 0; compaction preserves the seed") {
+    import graft.streaming.CurationIngest
+    def good(id: Long, k: Long, last: String) =
+      (id, s"the uu$k fox and dd$k dog the ww$k walk of qq$k field " +
+        s"the tt$k stars in bb$k light to pp$k night is zz$k $last")
+    val base = tmp("graft-cur-boot")
+    // nightly batch build seeds the stream's state
+    CurationIngest.bootstrapState(spark,
+      s"$base/state", Seq(good(1, 1, "again"), good(2, 2, "again")).toDF("doc_id", "text"))
+    // batch 0 of the continuous stream: an exact copy of offline doc 1,
+    // a near copy of offline doc 2, and novel content — the seed must
+    // be visible to the FIRST micro-batch (strictly-before read at id 0)
+    val f0 = Seq(good(10, 1, "again"), good(11, 2, "vv11"),
+      good(12, 12, "again")).toDF("doc_id", "text")
+    f0.coalesce(1).write.parquet(s"$base/in/f0")
+    CurationIngest.run(spark, f0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    def admitted() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/out").select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted() === Seq(12L))
+    // compaction folds into the MINIMUM key, keeping the seed side
+    // visible to every later batch
+    assert(CurationIngest.compactState(spark, s"$base/state") === 2)
+    val dirs = new java.io.File(s"$base/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs === Seq("claimed_-1", "seen_-1"))
+    // the stream continues: offline content still rejected, novelty admitted
+    Seq(good(20, 1, "again"), good(21, 21, "again")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/in/f1")
+    CurationIngest.run(spark, f0.schema,
+      s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+    assert(admitted() === Seq(12L, 21L))
+  }
+
   test("queue adapters: file transport feeds the certified parser; Kafka names its runtime dep") {
     import graft.sources.Queues
     val base = tmp("graft-queues")
