@@ -1561,6 +1561,22 @@ object SparkEntry {
           .orderBy(col("q_id"), col("rank"))
       }
     }),
+    // right-to-be-forgotten on the live index: vec_id%7 posting+code
+    // rows physically deleted, then the same probe — deleted ids can
+    // never rank; routing/codebooks stay (aggregate artifacts, retrain
+    // is the scheduled path), which the oracle models as a candidate
+    // predicate over the unchanged training CTEs
+    "store_ann_forget" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      withTempDir("graft-annforget") { base =>
+        graft.ops.AnnIndex.writeIvfPq(emb, base, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+        graft.ops.AnnIndex.removeVectors(s, base,
+          emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+        graft.ops.AnnIndex.ivfPqTopK(s, base, embQueries(s, d), 4, dsub, 10, nprobe = 2)
+          .orderBy(col("q_id"), col("rank"))
+      }
+    }),
 
     // incremental ANN maintenance: planted near-copies appended to the
     // persisted index through the FROZEN centroids/codebooks (no
@@ -3199,14 +3215,20 @@ object SparkEntry {
     * `emb_ivfpq_topk` (in-memory index) and `store_ann_roundtrip`
     * (parquet-persisted index) — the two paths must answer
     * identically. */
-  private lazy val ivfPqTopkSql: String =
+  private lazy val ivfPqTopkSql: String = ivfPqTopkSqlFiltered("")
+
+  /** `candPred` narrows the candidate posting rows — the oracle form
+    * of index-row deletion (store_ann_forget): removed ids can never
+    * be candidates, and their codes are only ever joined THROUGH the
+    * candidate set, so one predicate models the physical delete. */
+  private def ivfPqTopkSqlFiltered(candPred: String): String =
     s"WITH $ivfSql, $pqSql, " +
       "iq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
       s"ir AS (SELECT q_id, centroid_id FROM (SELECT q_id, centroid_id, ${cosSql("qe", "ce")} AS csim " +
       "FROM iq CROSS JOIN c1) " +
       "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
       "icand AS (SELECT ir.q_id, a2.vec_id FROM ir JOIN a2 USING (centroid_id) " +
-      "WHERE a2.vec_id <> ir.q_id), " +
+      s"WHERE a2.vec_id <> ir.q_id$candPred), " +
       "pq2 AS (SELECT vec_id AS q_id, m, sub AS qsub FROM psub WHERE vec_id < 5), " +
       "ptab2 AS (SELECT q_id, pq2.m, c.code, " +
       "list_sum(list_transform(range(1, len(qsub)+1), i -> qsub[i]*c.ce[i])) AS part " +
@@ -4897,6 +4919,7 @@ object SparkEntry {
     // the stored-index roundtrip answers bit-identically to the
     // in-memory IVF-PQ path, so it shares its oracle
     "store_ann_roundtrip" -> ivfPqTopkSql,
+    "store_ann_forget" -> ivfPqTopkSqlFiltered(" AND a2.vec_id % 7 <> 0"),
     // ivfSql/pqSql train on the BASE embeddings only (naturally frozen
     // wrt the additions); the appended near-copies are then assigned
     // (vs c1) and encoded (vs pc1) exactly as AnnIndex.appendVectors

@@ -67,6 +67,26 @@ object AnnIndex {
       .write.mode("append").parquet(s"$dir/codes")
   }
 
+  /** Right-to-be-forgotten on a live index (FAISS `remove_ids`, the
+    * erasure half of [[appendVectors]]): physically delete the
+    * posting and code rows of `ids` — an anti-join rewrite of the two
+    * per-vector tables, materialized before the overwrite because the
+    * plan reads the very dirs it replaces. The routing and codebook
+    * tables are untouched: they are AGGREGATE training artifacts, not
+    * per-row data; erasing a vector's residual influence on them is a
+    * scheduled retrain, the same documented trade as frozen-routing
+    * appends. After removal the deleted ids can never be candidates
+    * (posting rows gone) nor scored (code rows gone). */
+  def removeVectors(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val gone = ids.select(col("vec_id"))
+    Seq("assignments", "codes").foreach { sub =>
+      val kept = spark.read.parquet(s"$dir/$sub")
+        .join(gone, Seq("vec_id"), "left_anti").localCheckpoint()
+      kept.write.mode("overwrite").parquet(s"$dir/$sub")
+      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(kept)
+    }
+  }
+
   /** IVF-PQ top-k served entirely from a stored index: route queries
     * with the persisted centroids (nprobe buckets), gather candidates
     * from the persisted posting lists, score with ADC over the
