@@ -567,6 +567,23 @@ object SparkEntry {
           .orderBy(col("q_id"), col("rank"))
       }
     }),
+    // document erasure on the text index: posting+doclen rows of
+    // doc_id%7 deleted AND the collection stats restated (n/avgdl are
+    // in every surviving score — no frozen-model escape hatch here);
+    // the oracle re-runs the whole chain over the filtered corpus
+    "store_bm25_forget" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "hash join"), (1L, "window scan fast"), (2L, "customer order batch"),
+        (3L, "vector merge slow"), (4L, "filter row")).toDF("q_id", "q_text")
+      withTempDir("graft-bm25fgt") { base =>
+        graft.ops.Bm25.writeIndex(Tables.documents(s, d), base)
+        graft.ops.Bm25.removeDocs(s, base,
+          Tables.documents(s, d).filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+        graft.ops.Bm25.topKFromIndex(s, base, queries, 10)
+          .orderBy(col("q_id"), col("rank"))
+      }
+    }),
     // hybrid retrieval: RRF-fuse the lexical (BM25) and vector
     // (embedding-cosine) rankers over the shared 0..4 query-id space —
     // score-calibration-free, each system contributes 1/(60+rank).
@@ -3247,13 +3264,18 @@ object SparkEntry {
   /** BM25 chain over the five literal queries — shared by
     * `text_bm25_topk` (one-shot) and `store_bm25_roundtrip` (persisted
     * index), which must answer identically. */
-  private lazy val bm25TopkSql: String =
+  private lazy val bm25TopkSql: String = bm25TopkSqlOver("documents")
+
+  /** `corpus` swaps the indexed collection — the oracle form of
+    * document erasure (store_bm25_forget): the whole chain, collection
+    * stats included, re-derives from the surviving corpus. */
+  private def bm25TopkSqlOver(corpus: String): String =
     "WITH q(q_id, q_text) AS (VALUES (0, 'hash join'), (1, 'window scan fast'), " +
       "(2, 'customer order batch'), (3, 'vector merge slow'), (4, 'filter row')), " +
-      "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      s"tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $corpus), " +
       "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
       "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
-      "st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n, " +
+      s"st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM $corpus) AS n, " +
       "(SELECT avg(dl) FROM dl) AS avgdl), " +
       "qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q), " +
       "post AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)), " +
@@ -5124,6 +5146,8 @@ object SparkEntry {
     // the stored-index path must answer bit-identically — one oracle
     // for both, the store_ann_roundtrip pattern
     "store_bm25_roundtrip" -> bm25TopkSql,
+    "store_bm25_forget" ->
+      bm25TopkSqlOver("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
     // RRF fusion of the BM25 chain and the cosine chain: both rankers
     // replayed to their (q_id, doc_id, rank) lists, fused as
     // 1/(60+rank) terms summed in system order (bit-identical IEEE —

@@ -96,6 +96,32 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Document erasure on the stored index: delete the posting and
+    * doc-length rows AND restate the collection stats (n, avgdl)
+    * from the remaining doc-length table. Unlike the ANN delete
+    * (frozen aggregate model, retrain scheduled), BM25 has no frozen-
+    * model escape hatch — idf's n and the length norm's avgdl are
+    * corpus-level terms in every surviving score, so stats must
+    * follow the corpus; df already does (computed at query time from
+    * postings). Assumes every indexed doc carries ≥1 token (the
+    * restatement counts doc-length rows where writeIndex counted
+    * docs). Anti-join rewrites materialized before the overwrite. */
+  def removeDocs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 ids: DataFrame): Unit = {
+    val gone = ids.select(col("doc_id"))
+    val posts = spark.read.parquet(s"$dir/postings")
+      .join(gone, Seq("doc_id"), "left_anti").localCheckpoint()
+    val dl = spark.read.parquet(s"$dir/doclens")
+      .join(gone, Seq("doc_id"), "left_anti").localCheckpoint()
+    posts.write.mode("overwrite").parquet(s"$dir/postings")
+    dl.write.mode("overwrite").parquet(s"$dir/doclens")
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    import spark.implicits._
+    Seq((stats.getLong(0), stats.getDouble(1))).toDF("n", "avgdl")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    Seq(posts, dl).foreach(org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint)
+  }
+
   /** Top-`k` served entirely from a stored index — identical arithmetic
     * to [[topK]] (same joins, same rounded-score ordering), so the two
     * paths answer bit-identically: store_bm25_roundtrip certifies this
