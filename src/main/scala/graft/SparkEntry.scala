@@ -584,6 +584,36 @@ object SparkEntry {
           .orderBy(col("q_id"), col("rank"))
       }
     }),
+    // chunk-level RAG retrieval with document attribution: the corpus
+    // chunked to overlapping 32-token windows, BM25 over CHUNKS (the
+    // retrieval unit that fits a context window), then per-(query,doc)
+    // best-chunk rollup and top-3 docs — the serve-chunks/attribute-
+    // docs shape every RAG stack runs. Chunk keys pack (doc, start)
+    // into one BIGINT so the ranker stays key-agnostic
+    "pipeline_rag_chunks" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "hash join"), (1L, "window scan fast"), (2L, "customer order batch"),
+        (3L, "vector merge slow"), (4L, "filter row")).toDF("q_id", "q_text")
+      val ch = TextOps.chunks(Tables.documents(s, d), 32, 24)
+        .select((col("doc_id") * 1000000L + col("chunk_start")).as("doc_id"),
+          col("chunk_text").as("text"))
+      val hits = graft.ops.Bm25.topK(ch, queries, 10)
+        .select(col("q_id"), expr("doc_id DIV 1000000").as("src_doc"),
+          pmod(col("doc_id"), lit(1000000L)).as("chunk_start"), col("score"))
+      val bestChunk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"), col("src_doc"))
+        .orderBy(col("score").desc, col("chunk_start"))
+      val docRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("score").desc, col("src_doc"))
+      hits.withColumn("__rn", row_number().over(bestChunk))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("rank", row_number().over(docRank))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("src_doc").as("doc_id"),
+          col("chunk_start"), col("score"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
     // hybrid retrieval: RRF-fuse the lexical (BM25) and vector
     // (embedding-cosine) rankers over the shared 0..4 query-id space —
     // score-calibration-free, each system contributes 1/(60+rank).
@@ -5148,6 +5178,37 @@ object SparkEntry {
     "store_bm25_roundtrip" -> bm25TopkSql,
     "store_bm25_forget" ->
       bm25TopkSqlOver("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
+    // the BM25 chain over the 32/24 chunk corpus (packed BIGINT chunk
+    // keys), then best-chunk-per-doc rollup and top-3 attribution
+    "pipeline_rag_chunks" ->
+      ("WITH rcq(q_id, q_text) AS (VALUES (0, 'hash join'), (1, 'window scan fast'), " +
+        "(2, 'customer order batch'), (3, 'vector merge slow'), (4, 'filter row')), " +
+        "rct AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "rcs AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS cs FROM rct), " +
+        "rcc AS (SELECT doc_id * 1000000 + cs AS doc_id, " +
+        "array_to_string(w[cs + 1 : cs + 32], ' ') AS text FROM rcs WHERE least(32, len(w) - cs) > 0), " +
+        "rtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM rcc), " +
+        "rtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM rtok GROUP BY 1, 2), " +
+        "rdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM rtf GROUP BY 1), " +
+        "rst AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM rcc) AS n, " +
+        "(SELECT avg(dl) FROM rdl) AS avgdl), " +
+        "rqt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM rcq), " +
+        "rpost AS (SELECT rtf.* FROM rtf JOIN (SELECT DISTINCT term FROM rqt) USING (term)), " +
+        "rdfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM rpost GROUP BY term), " +
+        "rsc AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, " +
+        s"round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM rqt JOIN rpost USING (term) JOIN rdfq USING (term) JOIN rdl USING (doc_id) " +
+        "CROSS JOIN rst GROUP BY 1, 2), " +
+        "rhits AS (SELECT q_id, doc_id, score FROM rsc " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) <= 10), " +
+        "ratt AS (SELECT q_id, doc_id // 1000000 AS src_doc, doc_id % 1000000 AS chunk_start, score FROM rhits), " +
+        "rbest AS (SELECT q_id, src_doc, chunk_start, score FROM ratt " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id, src_doc ORDER BY score DESC, chunk_start) = 1) " +
+        "SELECT q_id, src_doc AS doc_id, chunk_start, score, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, src_doc) AS INT) AS rank " +
+        "FROM rbest QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, src_doc) <= 3 " +
+        "ORDER BY q_id, rank"),
     // RRF fusion of the BM25 chain and the cosine chain: both rankers
     // replayed to their (q_id, doc_id, rank) lists, fused as
     // 1/(60+rank) terms summed in system order (bit-identical IEEE —
