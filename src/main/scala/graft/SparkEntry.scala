@@ -803,6 +803,14 @@ object SparkEntry {
       TextOps.qualityByLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "text_lang_id" -> ((s, d) =>
       TextOps.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // the stage's evaluation artifact: labeled-vs-guessed confusion
+    // matrix — the first table anyone asks for before trusting a
+    // classifier gate in the curation pipeline
+    "text_lang_confusion" -> ((s, d) =>
+      TextOps.langId(Tables.documents(s, d))
+        .groupBy(col("labeled_lang"), col("guessed_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("labeled_lang"), col("guessed_lang"))),
     // markup extraction over a deterministic HTML wrapper exercising
     // every rule: script block (with attrs + entity soup) dropped
     // content-wise, tags stripped, entities decoded in safe order
@@ -2080,6 +2088,32 @@ object SparkEntry {
       s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // the backfill→streaming cutover end-to-end: docs below 250 are
+    // the offline-built corpus seeding the state (claims counted,
+    // never emitted); the stream carries the rest and must reject
+    // everything the offline build already admitted — the oracle is
+    // the SAME closed form with an emit filter
+    "stream_curation_boot_docs" -> ((s, d) => withTempDir("graft-stream-curb") { base =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.streaming.CurationIngest.bootstrapState(s, s"$base/state",
+        docs.filter(col("doc_id") < 250))
+      val streamed = docs.filter(col("doc_id") >= 250)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val mid = (250 + maxId) / 2
+      val now = System.currentTimeMillis()
+      Seq(
+        ("f0", col("doc_id") <= mid, now - 60000),
+        ("f1", col("doc_id") > mid, now - 30000)
+      ).foreach { case (name, pred, mtime) =>
+        val dir = s"$base/in/$name"
+        streamed.filter(pred).coalesce(1).write.parquet(dir)
+        new java.io.File(dir).listFiles().foreach(_.setLastModified(mtime))
+      }
+      graft.streaming.CurationIngest.run(s, docs.schema,
+        s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // the FULL batch recipe running incrementally: split routing
     // (benchmark never admitted), quality, exact, near-dup, plus
     // per-batch decontamination against the static benchmark-gram
@@ -2845,6 +2879,32 @@ object SparkEntry {
       "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
       "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+
+  /** The streaming-curation closed-form admission chain (fixed-score
+    * quality → exact keeper → band-claim minimum); `emitPred` narrows
+    * which admitted docs the stream actually EMITS (the bootstrap
+    * corpus claims state but is never written to the output). */
+  private def streamCurationSql(emitPred: String): String =
+    "WITH sq AS (SELECT doc_id, text FROM documents WHERE " +
+      "((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 9.0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) > 0 THEN 1 ELSE 0 END)) >= 2), " +
+      "sek AS (SELECT min(doc_id) AS doc_id FROM sq GROUP BY md5(text)), " +
+      "sed AS (SELECT sq.* FROM sq JOIN sek USING (doc_id)), " +
+      "ssh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
+      "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
+      "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sed)), " +
+      "ssig AS (SELECT doc_id, b.band, " +
+      "list_min(list_transform(shingles, s -> " +
+      "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+      "FROM (SELECT * FROM ssh WHERE len(shingles) > 0) " +
+      "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+      "smn AS (SELECT band, signature, min(doc_id) AS min_doc FROM ssig GROUP BY 1, 2), " +
+      "srej AS (SELECT DISTINCT s.doc_id FROM ssig s JOIN smn USING (band, signature) " +
+      "WHERE smn.min_doc < s.doc_id) " +
+      "SELECT doc_id FROM sed WHERE doc_id NOT IN (SELECT doc_id FROM srej)" +
+      s"$emitPred ORDER BY doc_id"
 
   /** 5-gram shingle list over a named doc CTE — the decontamination
     * gram width (range is end-exclusive: i = 1 .. len-4). */
@@ -3801,6 +3861,15 @@ object SparkEntry {
         "len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','ein'))) AS de, " +
         "len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','y','que','un'))) AS es " +
         "FROM documents) ORDER BY doc_id"),
+    "text_lang_confusion" ->
+      ("SELECT labeled_lang, guessed_lang, CAST(count(*) AS BIGINT) AS n_docs FROM " +
+        "(SELECT lang AS labeled_lang, " +
+        "CASE WHEN en >= de AND en >= es THEN 'en' WHEN de >= es THEN 'de' ELSE 'es' END AS guessed_lang FROM " +
+        "(SELECT lang, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS en, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','ein'))) AS de, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','y','que','un'))) AS es " +
+        "FROM documents)) GROUP BY 1, 2 ORDER BY 1, 2"),
     "text_fingerprints" ->
       (s"SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint " +
         s"FROM ($shingleSql) ORDER BY doc_id"),
@@ -4375,27 +4444,10 @@ object SparkEntry {
     // exact keeper = min doc_id per digest among quality survivors,
     // near-dup keeper = bucket minimum among exact survivors — no
     // notion of batches, certifying batching-independence
-    "stream_curation_docs" ->
-      ("WITH sq AS (SELECT doc_id, text FROM documents WHERE " +
-        "((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 9.0 THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) > 0 THEN 1 ELSE 0 END)) >= 2), " +
-        "sek AS (SELECT min(doc_id) AS doc_id FROM sq GROUP BY md5(text)), " +
-        "sed AS (SELECT sq.* FROM sq JOIN sek USING (doc_id)), " +
-        "ssh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN " +
-        "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
-        "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
-        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sed)), " +
-        "ssig AS (SELECT doc_id, b.band, " +
-        "list_min(list_transform(shingles, s -> " +
-        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
-        "FROM (SELECT * FROM ssh WHERE len(shingles) > 0) " +
-        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
-        "smn AS (SELECT band, signature, min(doc_id) AS min_doc FROM ssig GROUP BY 1, 2), " +
-        "srej AS (SELECT DISTINCT s.doc_id FROM ssig s JOIN smn USING (band, signature) " +
-        "WHERE smn.min_doc < s.doc_id) " +
-        "SELECT doc_id FROM sed WHERE doc_id NOT IN (SELECT doc_id FROM srej) " +
-        "ORDER BY doc_id"),
+    "stream_curation_docs" -> streamCurationSql(""),
+    // identical closed form; the emit filter models the bootstrap
+    // corpus (claims counted, never emitted by the stream)
+    "stream_curation_boot_docs" -> streamCurationSql(" AND doc_id >= 250"),
 
     // the full recipe replayed batch-free: split routing (fixed md5
     // threshold), fixed-score quality, exact keeper, band-claim
