@@ -1654,6 +1654,29 @@ object SparkEntry {
           .orderBy(col("q_id"), col("rank"))
       }
     }),
+    // the SAME additions arriving as a stream: per-batch idempotent
+    // increment staging against the frozen tables, one post-drain
+    // merge — must land on the identical final index, so it shares
+    // the batch append's oracle verbatim
+    "stream_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      withTempDir("graft-annstream") { base =>
+        graft.ops.AnnIndex.writeIvfPq(emb, s"$base/idx", kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+        val additions = emb.filter(col("vec_id") % 5 === 0).select(
+          (col("vec_id") + lit(100000L)).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) * lit(1.01)).cast("float")),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+        Seq(0, 1).foreach(i => additions.filter(col("vec_id") % 2 === i)
+          .coalesce(1).write.parquet(s"$base/in/g$i"))
+        graft.streaming.AnnIngest.run(s, additions.schema,
+          s"$base/in", s"$base/idx", s"$base/ckpt", 4, dsub)
+        graft.streaming.AnnIngest.merge(s, s"$base/idx")
+        graft.ops.AnnIndex.ivfPqTopK(s, s"$base/idx", embQueries(s, d), 4, dsub, 10, nprobe = 2)
+          .orderBy(col("q_id"), col("rank"))
+      }
+    }),
 
     // ----- event-time windows (M4 / ST6 extensions)
     "events_tumbling_hourly" -> ((s, d) =>
@@ -2063,6 +2086,29 @@ object SparkEntry {
         s"$base/in", s"$base/out", s"$base/state", s"$base/ckpt")
       s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // data-contract enforcement at the ingest edge: row-local checks
+    // split every micro-batch into output vs quarantine-with-reason
+    // (first-failing-wins), the reference's 202/400 split generalized
+    // to named contracts; stateless, so the oracle is one CASE chain
+    "stream_contract_counts" -> ((s, d) => withTempDir("graft-contract") { base =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_totalprice"))
+      Seq(0, 1).foreach(i => o.filter(col("o_orderkey") % 2 === i)
+        .coalesce(1).write.parquet(s"$base/in/g$i"))
+      graft.streaming.ContractIngest.run(s, o.schema,
+        s"$base/in", s"$base/out", s"$base/quarantine", s"$base/ckpt", Seq(
+          "custkey_null" -> col("o_custkey").isNotNull,
+          "price_cap" -> (col("o_totalprice") <= 400000.0)))
+      val valid = s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .agg(count(lit(1)).as("n")).select(lit("valid").as("bucket"), col("n"))
+      val quarantined = s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$base/quarantine")
+        .groupBy(col("quarantine_reason").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      valid.unionByName(quarantined).orderBy(col("bucket"))
     }),
     // streaming incremental curation: quality gate → exact-dedup
     // admission → near-dup admission chained in ONE driver against
@@ -3380,6 +3426,46 @@ object SparkEntry {
       "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) <= 10 " +
       "ORDER BY q_id, rank"
 
+  /** Frozen-routing incremental index state probed after additions —
+    * shared by the batch append (store_ann_incremental) and the
+    * streaming ingest (stream_ann_topk), which must land on the
+    * identical final index. */
+  private lazy val annIncrementalSql: String =
+    s"WITH $ivfSql, $pqSql, " +
+        "aad AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_prepend(CAST(CAST(embedding[1] * 1.01 AS FLOAT) AS DOUBLE), CAST(embedding AS DOUBLE[])[2:]) AS ve " +
+        "FROM embeddings WHERE vec_id % 5 = 0), " +
+        s"aas AS (SELECT vec_id, centroid_id FROM (SELECT a.vec_id, c.centroid_id, ${cosSql("a.ve", "c.ce")} AS sim " +
+        "FROM aad a CROSS JOIN c1 c) " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1), " +
+        "a2u AS (SELECT vec_id, centroid_id FROM a2 UNION ALL SELECT vec_id, centroid_id FROM aas), " +
+        "psubA AS (SELECT vec_id, m, ve[m*dsub+1:(m+1)*dsub] AS sub " +
+        "FROM aad CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) CROSS JOIN pd), " +
+        s"paA AS (SELECT vec_id, m, code FROM (SELECT s.vec_id, s.m, c.code, ${cosSql("s.sub", "c.ce")} AS sim " +
+        "FROM psubA s JOIN pc1 c ON s.m = c.m) " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sim DESC, code) = 1), " +
+        "pcu AS (SELECT vec_id, m, code FROM pcodes UNION ALL SELECT vec_id, m, code FROM paA), " +
+        "iq2 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        s"ir2 AS (SELECT q_id, centroid_id FROM (SELECT q_id, centroid_id, ${cosSql("qe", "ce")} AS csim " +
+        "FROM iq2 CROSS JOIN c1) " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
+        "icand2 AS (SELECT ir2.q_id, a2u.vec_id FROM ir2 JOIN a2u USING (centroid_id) " +
+        "WHERE a2u.vec_id <> ir2.q_id), " +
+        "pq2b AS (SELECT vec_id AS q_id, m, sub AS qsub FROM psub WHERE vec_id < 5), " +
+        "ptab2b AS (SELECT q_id, pq2b.m, c.code, " +
+        "list_sum(list_transform(range(1, len(qsub)+1), i -> qsub[i]*c.ce[i])) AS part " +
+        "FROM pq2b JOIN pc1 c ON pq2b.m = c.m), " +
+        "psc2b AS (SELECT cd.q_id, cd.vec_id, " +
+        "round(max(CASE WHEN k.m = 0 THEN t.part END) + max(CASE WHEN k.m = 1 THEN t.part END) + " +
+        "max(CASE WHEN k.m = 2 THEN t.part END) + max(CASE WHEN k.m = 3 THEN t.part END), 4) AS score " +
+        "FROM icand2 cd JOIN pcu k ON cd.vec_id = k.vec_id " +
+        "JOIN ptab2b t ON t.q_id = cd.q_id AND t.m = k.m AND t.code = k.code " +
+        "GROUP BY cd.q_id, cd.vec_id) " +
+        "SELECT q_id, vec_id, score, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank " +
+        "FROM psc2b QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 10 " +
+        "ORDER BY q_id, rank"
+
   def oracleSql: Map[String, String] = Map(
     "ingest_parse_validate" ->
       ("SELECT event_id, user_id, event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
@@ -4444,6 +4530,14 @@ object SparkEntry {
     // exact keeper = min doc_id per digest among quality survivors,
     // near-dup keeper = bucket minimum among exact survivors — no
     // notion of batches, certifying batching-independence
+    // first-failing-wins tagging as one CASE chain
+    "stream_contract_counts" ->
+      ("WITH co AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS ck, " +
+        "o_totalprice AS p FROM orders) " +
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM " +
+        "(SELECT CASE WHEN ck IS NULL THEN 'custkey_null' " +
+        "WHEN NOT (p <= 400000.0) THEN 'price_cap' ELSE 'valid' END AS bucket FROM co) " +
+        "GROUP BY 1 ORDER BY 1"),
     "stream_curation_docs" -> streamCurationSql(""),
     // identical closed form; the emit filter models the bootstrap
     // corpus (claims counted, never emitted by the stream)
@@ -5028,41 +5122,8 @@ object SparkEntry {
     // wrt the additions); the appended near-copies are then assigned
     // (vs c1) and encoded (vs pc1) exactly as AnnIndex.appendVectors
     // does, and the ADC probe runs over the unioned postings/codes
-    "store_ann_incremental" ->
-      (s"WITH $ivfSql, $pqSql, " +
-        "aad AS (SELECT vec_id + 100000 AS vec_id, " +
-        "list_prepend(CAST(CAST(embedding[1] * 1.01 AS FLOAT) AS DOUBLE), CAST(embedding AS DOUBLE[])[2:]) AS ve " +
-        "FROM embeddings WHERE vec_id % 5 = 0), " +
-        s"aas AS (SELECT vec_id, centroid_id FROM (SELECT a.vec_id, c.centroid_id, ${cosSql("a.ve", "c.ce")} AS sim " +
-        "FROM aad a CROSS JOIN c1 c) " +
-        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1), " +
-        "a2u AS (SELECT vec_id, centroid_id FROM a2 UNION ALL SELECT vec_id, centroid_id FROM aas), " +
-        "psubA AS (SELECT vec_id, m, ve[m*dsub+1:(m+1)*dsub] AS sub " +
-        "FROM aad CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) CROSS JOIN pd), " +
-        s"paA AS (SELECT vec_id, m, code FROM (SELECT s.vec_id, s.m, c.code, ${cosSql("s.sub", "c.ce")} AS sim " +
-        "FROM psubA s JOIN pc1 c ON s.m = c.m) " +
-        "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY sim DESC, code) = 1), " +
-        "pcu AS (SELECT vec_id, m, code FROM pcodes UNION ALL SELECT vec_id, m, code FROM paA), " +
-        "iq2 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
-        s"ir2 AS (SELECT q_id, centroid_id FROM (SELECT q_id, centroid_id, ${cosSql("qe", "ce")} AS csim " +
-        "FROM iq2 CROSS JOIN c1) " +
-        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
-        "icand2 AS (SELECT ir2.q_id, a2u.vec_id FROM ir2 JOIN a2u USING (centroid_id) " +
-        "WHERE a2u.vec_id <> ir2.q_id), " +
-        "pq2b AS (SELECT vec_id AS q_id, m, sub AS qsub FROM psub WHERE vec_id < 5), " +
-        "ptab2b AS (SELECT q_id, pq2b.m, c.code, " +
-        "list_sum(list_transform(range(1, len(qsub)+1), i -> qsub[i]*c.ce[i])) AS part " +
-        "FROM pq2b JOIN pc1 c ON pq2b.m = c.m), " +
-        "psc2b AS (SELECT cd.q_id, cd.vec_id, " +
-        "round(max(CASE WHEN k.m = 0 THEN t.part END) + max(CASE WHEN k.m = 1 THEN t.part END) + " +
-        "max(CASE WHEN k.m = 2 THEN t.part END) + max(CASE WHEN k.m = 3 THEN t.part END), 4) AS score " +
-        "FROM icand2 cd JOIN pcu k ON cd.vec_id = k.vec_id " +
-        "JOIN ptab2b t ON t.q_id = cd.q_id AND t.m = k.m AND t.code = k.code " +
-        "GROUP BY cd.q_id, cd.vec_id) " +
-        "SELECT q_id, vec_id, score, " +
-        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank " +
-        "FROM psc2b QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 10 " +
-        "ORDER BY q_id, rank"),
+    "store_ann_incremental" -> annIncrementalSql,
+    "stream_ann_topk" -> annIncrementalSql,
     "emb_ivf_topk" ->
       (s"WITH $ivfSql, " +
         "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
