@@ -1290,6 +1290,19 @@ object SparkEntry {
       Dedup.deduplicate(Tables.documents(s, d), componentsFor(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
+    // dedup with a QUALITY policy: per near-dup component keep the
+    // highest-quality member (ties → min id) — "of these duplicates,
+    // keep the best copy", riding the SAME persisted component
+    // decisions as dedup_kept_docs
+    "dedup_best_kept_docs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val score = TextOps.qualityScores(docs)
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.deduplicateBest(
+          docs.join(score, Seq("doc_id")), componentsFor(s, d), col("quality_score"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
     // the whole curation recipe as ONE certified DAG: split → quality
     // → exact dedup → LSH near-dedup → benchmark decontamination. The
     // funnel counts certify every stage BOUNDARY at once (a wrong
@@ -4591,6 +4604,30 @@ object SparkEntry {
         "UNION SELECT e.dst, r.lbl FROM sym e JOIN reach r ON e.src = r.doc_id), " +
         "keep AS (SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id = min(lbl)) " +
         "SELECT d.doc_id, lang, n_chars FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id"),
+
+    // same recursive closure as dedup_kept_docs, but the keeper per
+    // component is the quality argmax (ties → min id)
+    "dedup_best_kept_docs" ->
+      (s"WITH RECURSIVE sig AS (SELECT doc_id, b.band, " +
+        "list_min(list_transform(shingles, s -> " +
+        "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+        s"FROM (SELECT * FROM ($shingleSql) WHERE len(shingles) > 0) " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b), " +
+        "star AS (SELECT min(doc_id) OVER (PARTITION BY band, signature) AS src, doc_id AS dst FROM sig), " +
+        "edges AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst), " +
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), " +
+        "reach AS (SELECT doc_id, doc_id AS lbl FROM documents " +
+        "UNION SELECT e.dst, r.lbl FROM sym e JOIN reach r ON e.src = r.doc_id), " +
+        "comp AS (SELECT doc_id, min(lbl) AS cid FROM reach GROUP BY doc_id), " +
+        "qsc AS (SELECT doc_id, " +
+        "((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3.0 AND 9.0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')) > 0 THEN 1 ELSE 0 END)) AS quality_score " +
+        "FROM documents) " +
+        "SELECT d.doc_id, lang, n_chars, quality_score " +
+        "FROM documents d JOIN comp USING (doc_id) JOIN qsc USING (doc_id) " +
+        "QUALIFY row_number() OVER (PARTITION BY cid ORDER BY quality_score DESC, d.doc_id) = 1 " +
+        "ORDER BY d.doc_id"),
 
     // the composed funnel: each stage count reads the previous stage's
     // survivor CTE (the standalone oracles chained end-to-end)

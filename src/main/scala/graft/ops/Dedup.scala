@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -521,4 +521,26 @@ object Dedup {
   /** Convenience form: compute the components inline, then apply. */
   def deduplicate(docs: DataFrame, bands: Int = 4): DataFrame =
     deduplicate(docs, dedupComponents(docs, bands))
+
+  /** Dedup with a QUALITY policy: keep each component's member
+    * maximizing `score` (ties → min doc_id) instead of the id
+    * minimum — "of these near-duplicates, keep the best copy", the
+    * refinement real curation runs once a quality signal exists
+    * (cleanest mirror of a boilerplate-mangled page wins). Same
+    * shape as [[deduplicate]] plus one per-component window whose
+    * partitions are component-sized; isolated docs (no component
+    * row) are their own keeper. */
+  def deduplicateBest(docs: DataFrame, components: DataFrame,
+                      score: Column): DataFrame = {
+    val labeled = docs
+      .withColumn("__score", score)
+      .join(components.select(col("doc_id"), col("component_id")),
+        Seq("doc_id"), "left")
+      .withColumn("__cid", coalesce(col("component_id"), col("doc_id")))
+    val w = Window.partitionBy(col("__cid"))
+      .orderBy(col("__score").desc, col("doc_id"))
+    labeled.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__score", "__cid", "component_id")
+  }
 }
