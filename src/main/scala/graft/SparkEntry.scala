@@ -1012,6 +1012,23 @@ object SparkEntry {
     // over all orders. The measure is summed as integer CENTS — an
     // incremental view adds in a different order than a rebuild, so the
     // summed domain must be exact (float addition isn't associative)
+    // incremental JOIN-view refresh: the stored pre-batch view plus
+    // the three-arm delta (dA⋈B ∪ A⋈dB ∪ dA⋈dB) must equal the full
+    // rebuild over the unioned sides — refresh cost ∝ delta, the rule
+    // that keeps a denormalized view refreshable at 100 TB
+    "store_incr_join" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+        col("o_orderkey"), round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      val b = Tables.customer(s, d).select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"))
+      val (aOld, aDelta) = (a.filter(col("o_orderkey") % 4 =!= 0),
+        a.filter(col("o_orderkey") % 4 === 0))
+      val (bOld, bDelta) = (b.filter(col("custkey") % 3 =!= 0),
+        b.filter(col("custkey") % 3 === 0))
+      aOld.join(bOld, Seq("custkey"))
+        .unionByName(graft.ops.IncrView.joinDelta(aOld, bOld, aDelta, bDelta, Seq("custkey")))
+        .orderBy(col("o_orderkey"))
+    }),
     "store_incr_agg" -> ((s, d) => {
       val orders = Tables.orders(s, d).select(
         col("o_custkey"), col("o_orderkey"),
@@ -1697,6 +1714,11 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))),
     "events_sliding_hourly" -> ((s, d) =>
       EventWindows.slidingHourly(Tables.events(s, d)).orderBy(col("win_start"))),
+    // negative space of sessionization: per-user silences above 6h —
+    // the heartbeat/SLA outage-candidate monitor
+    "events_gaps" -> ((s, d) =>
+      EventWindows.gaps(Tables.events(s, d), 21600)
+        .orderBy(col("user_id"), col("event_id"))),
     "events_sessions" -> ((s, d) =>
       EventWindows.sessions(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
@@ -3164,6 +3186,13 @@ object SparkEntry {
 
   private val cdcApplySql = cdcStateSql("")
 
+  /** The join-view full rebuild the three-arm delta must reconstruct. */
+  private val incrJoinSql =
+    "SELECT o_custkey AS custkey, o_orderkey, " +
+      "CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents, c_mktsegment " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "ORDER BY o_orderkey"
+
   /** One-shot per-customer aggregate ground truth — shared by the
     * batch incremental-merge path (store_incr_agg) and the streaming
     * snapshot chain (stream_incr_agg): both must land on exactly this
@@ -4432,6 +4461,7 @@ object SparkEntry {
     // one-shot full aggregate — the incremental base+delta+delta merge
     // chain must reproduce it exactly (cents keep the sum associative)
     "store_incr_agg" -> incrAggSql,
+    "store_incr_join" -> incrJoinSql,
     // the streaming snapshot chain lands on the identical view
     "stream_incr_agg" -> incrAggSql,
 
@@ -5258,6 +5288,16 @@ object SparkEntry {
       ("SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
         "AS n_window FROM events ORDER BY event_id"),
+    // consecutive-event silence above the threshold, µs-exact
+    "events_gaps" ->
+      ("WITH eg AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us, " +
+        "lag(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_event_id " +
+        "FROM events) " +
+        "SELECT user_id, prev_event_id, event_id, " +
+        "CAST((ts_us - prev_us) // 1000000 AS BIGINT) AS gap_sec FROM eg " +
+        "WHERE prev_us IS NOT NULL AND ts_us - prev_us > 21600000000 " +
+        "ORDER BY user_id, event_id"),
     // per-user 6h slot grid, last-in-slot at microsecond precision
     // (ties by event_id), forward fill via IGNORE NULLS last_value
     "events_resample_ffill" ->

@@ -108,6 +108,24 @@ object EventWindows {
           / lit(1000000L)).cast("long").as("gap_sec"))
   }
 
+  /** Per-user silence gaps above `thresholdSec` between consecutive
+    * events — the heartbeat/SLA monitor (a gap is an outage candidate,
+    * the negative-space complement of session windows). One lag window
+    * riding the per-user shuffle; microsecond-exact integer
+    * arithmetic, so the gap seconds hash-match any engine. */
+  def gaps(events: DataFrame, thresholdSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_us").isNotNull &&
+        col("ts_us") - col("prev_us") > thresholdSec * 1000000L)
+      .select(col("user_id"), col("prev_event_id"), col("event_id"),
+        ((col("ts_us") - col("prev_us")) / 1000000L).cast("long").as("gap_sec"))
+  }
+
   def rollingRate(events: DataFrame, windowSec: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))

@@ -49,6 +49,27 @@ object IncrView {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
 
+  /** Incremental maintenance of an equi-JOIN view — the other classic
+    * delta rule: with stored pre-batch sides A, B and insert-only
+    * deltas ΔA, ΔB,
+    *
+    *   Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * so a refresh appends rows at cost ∝ |Δ| × match-rate, never
+    * |A ⋈ B| — the reason a 100 TB denormalized view is refreshable
+    * at all. Insert-only, like [[merge]]: a retraction needs the
+    * keyed history ([[Scd2]]). Each arm is one equi-join whose delta
+    * side AQE broadcasts when small; store the big sides bucketed on
+    * the key ([[graft.sources.Bucketing]]) and the stored-side scans
+    * plan exchange-free. Certified by store_incr_join: stored view ∪
+    * this delta ≡ the full rebuild over the unioned sides. */
+  def joinDelta(aOld: DataFrame, bOld: DataFrame,
+                aDelta: DataFrame, bDelta: DataFrame,
+                keys: Seq[String]): DataFrame =
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+
   /** Merge an insert-only delta batch into existing state: the delta
     * reduces to its own tiny view first, then one full-outer equi-join
     * combines per key (count/sum add, min/max via null-skipping
