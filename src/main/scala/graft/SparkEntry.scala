@@ -1714,6 +1714,28 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))),
     "events_sliding_hourly" -> ((s, d) =>
       EventWindows.slidingHourly(Tables.events(s, d)).orderBy(col("win_start"))),
+    // interval×interval overlap join (binned, per-user): click and
+    // purchase attention windows that overlap — the temporal-conflict
+    // shape; pairs come from shared (user, bin) equi-joins, multi-bin
+    // duplicates suppressed arithmetically, never all-pairs
+    "events_overlap_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def side(t: String, idAs: String, sAs: String, eAs: String) =
+        ev.filter(col("event_type") === t).select(
+          col("user_id"), col("event_id").as(idAs),
+          unix_micros(col("ts")).as(sAs),
+          (unix_micros(col("ts")) + lit(3600L * 1000000L)).as(eAs))
+      graft.ops.RangeJoin.binnedOverlapJoin(
+          side("click", "click_id", "a_start", "a_end"),
+          "a_start", "a_end",
+          side("purchase", "purchase_id", "b_start", "b_end"),
+          "b_start", "b_end",
+          Seq("user_id"), binWidth = 3600L * 1000000L)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          ((least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
+            / lit(1000000L)).cast("long").as("overlap_sec"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
     // negative space of sessionization: per-user silences above 6h —
     // the heartbeat/SLA outage-candidate monitor
     "events_gaps" -> ((s, d) =>
@@ -5288,6 +5310,16 @@ object SparkEntry {
       ("SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
         "AS n_window FROM events ORDER BY event_id"),
+    // brute-force theta ground truth for the binned overlap join
+    "events_overlap_join" ->
+      ("WITH oa AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS a_start, " +
+        "epoch_us(ts) + 3600000000 AS a_end FROM events WHERE event_type = 'click'), " +
+        "ob AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS b_start, " +
+        "epoch_us(ts) + 3600000000 AS b_end FROM events WHERE event_type = 'purchase') " +
+        "SELECT user_id, click_id, purchase_id, " +
+        "CAST((least(a_end, b_end) - greatest(a_start, b_start)) // 1000000 AS BIGINT) AS overlap_sec " +
+        "FROM oa JOIN ob USING (user_id) WHERE a_start <= b_end AND b_start <= a_end " +
+        "ORDER BY user_id, click_id, purchase_id"),
     // consecutive-event silence above the threshold, µs-exact
     "events_gaps" ->
       ("WITH eg AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +

@@ -55,4 +55,40 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("graft_bin")
   }
+
+  /** Inner join of interval pairs that OVERLAP (inclusive bounds:
+    * aStart ≤ bEnd ∧ bStart ≤ aEnd) — the sibling of the point form
+    * for interval×interval workloads (temporal conflict detection,
+    * genomic region intersection). Both sides explode to the bins
+    * they touch and equi-join on (keys…, bin); a pair overlapping
+    * several shared bins would duplicate, so the join keeps only the
+    * FIRST shared bin (the larger of the two start bins — a pure
+    * function of the pair, no distinct pass needed). Candidate count
+    * is Σ per-bin |A||B| within each key group: `binWidth` trades
+    * explode factor against per-bin density exactly as in the point
+    * form, and the equi-keys keep it partitioned — never all-pairs
+    * across keys. */
+  def binnedOverlapJoin(
+      a: DataFrame,
+      aStart: String,
+      aEnd: String,
+      b: DataFrame,
+      bStart: String,
+      bEnd: String,
+      keys: Seq[String],
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(a.columns.toSet.intersect(b.columns.toSet) == keys.toSet,
+      "sides may share exactly the key columns")
+    def expand(df: DataFrame, s: String, e: String) = df.withColumn("graft_bin",
+      explode(sequence(expr(s"$s div ${binWidth}L"), expr(s"$e div ${binWidth}L"))))
+    expand(a, aStart, aEnd)
+      .join(expand(b, bStart, bEnd), keys :+ "graft_bin")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      // dedupe multi-bin pairs arithmetically: keep the first bin both
+      // touch = max of the two start bins
+      .filter(col("graft_bin") ===
+        greatest(expr(s"$aStart div ${binWidth}L"), expr(s"$bStart div ${binWidth}L")))
+      .drop("graft_bin")
+  }
 }

@@ -19,6 +19,19 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_token_len") - 2.0) < 1e-9)
   }
 
+  test("binnedOverlapJoin: inclusive bounds, multi-bin pairs emit once, keys isolate") {
+    import graft.ops.RangeJoin
+    val a = Seq((1L, 10L, 0L, 250L), (1L, 11L, 300L, 450L), (2L, 20L, 0L, 100L))
+      .toDF("k", "aid", "a_s", "a_e")
+    val b = Seq(
+      (1L, 90L, 250L, 500L), // touches aid=10 at exactly 250; shares bins 3 AND 4 with aid=11
+      (2L, 91L, 101L, 200L)) // adjacent to aid=20 but not overlapping (100 < 101)
+      .toDF("k", "bid", "b_s", "b_e")
+    val r = RangeJoin.binnedOverlapJoin(a, "a_s", "a_e", b, "b_s", "b_e", Seq("k"), 100L)
+      .select($"aid", $"bid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(r === Seq((10L, 90L), (11L, 90L))) // each pair exactly once, no cross-key rows
+  }
+
   test("AQE re-plans a static sort-merge join to broadcast once the filtered side proves small") {
     // the 100 TB join-strategy contract this engine leans on: static
     // stats cannot see post-filter sizes, so the planner starts with
