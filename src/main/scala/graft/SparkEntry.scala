@@ -1714,6 +1714,24 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))),
     "events_sliding_hourly" -> ((s, d) =>
       EventWindows.slidingHourly(Tables.events(s, d)).orderBy(col("win_start"))),
+    // nearest as-of: every click matched to its |Δt|-closest purchase
+    // on the key (ties → earlier) — backward-only alignment is wrong
+    // when the nearest reading sits just ahead; two window carries
+    // over ONE per-key sort, zero row explosion
+    "events_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("t"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.ops.AsOf.asofJoinNearest(clicks, purchases, "user_id", "t",
+          Seq("purchase_id"))
+        .select(col("user_id"), col("click_id"),
+          col("near_purchase_id").as("purchase_id"), col("near_t").as("purchase_t"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
     // interval×interval overlap join (binned, per-user): click and
     // purchase attention windows that overlap — the temporal-conflict
     // shape; pairs come from shared (user, bin) equi-joins, multi-bin
@@ -5310,6 +5328,19 @@ object SparkEntry {
       ("SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) " +
         "AS n_window FROM events ORDER BY event_id"),
+    // quadratic-per-key ground truth: rank every purchase by |Δt|
+    // then (earlier first) and keep the winner; clicks with no
+    // purchase on the key survive with nulls via the LEFT JOIN
+    "events_asof_nearest" ->
+      ("WITH nlc AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t " +
+        "FROM events WHERE event_type = 'click'), " +
+        "nrp AS (SELECT user_id, epoch_us(ts) AS t, max(event_id) AS purchase_id " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT user_id, click_id, purchase_id, rt AS purchase_t FROM " +
+        "(SELECT l.user_id, l.click_id, r.purchase_id, r.t AS rt, abs(l.t - r.t) AS dt " +
+        "FROM nlc l LEFT JOIN nrp r USING (user_id)) " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id, click_id ORDER BY dt, rt) = 1 " +
+        "ORDER BY user_id, click_id"),
     // brute-force theta ground truth for the binned overlap join
     "events_overlap_join" ->
       ("WITH oa AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS a_start, " +

@@ -74,4 +74,61 @@ object AsOf {
       .filter(col("graft_side") === 1)
       .drop("graft_side")
   }
+
+  /** NEAREST as-of join — for every left row, the right row minimizing
+    * |Δt| on the same key, ties to the EARLIER right row (sensor
+    * alignment, closest-quote matching; backward-only is wrong when
+    * the nearest reading sits just ahead). Same tagged-union shape,
+    * TWO window passes over the one per-key sort order: a backward
+    * carry (`last` ignoreNulls, ≤ bound) and a forward carry (`first`
+    * ignoreNulls over the following frame, ≥ bound), then a row-local
+    * arithmetic choice — still O(|L|+|R|) per key, zero row explosion.
+    * `time` must be NUMERIC (pass `unix_micros(ts)`): the choice
+    * subtracts it. Right side must be pre-deduped to one row per
+    * (key, time), as in [[asofJoinBackward]]. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payloadCols: Seq[String],
+      prefix: String = "near_"): DataFrame = {
+    val carried = (payloadCols :+ time).map(c => s"$prefix$c")
+    require(left.columns.toSet.intersect(carried.toSet).isEmpty,
+      s"left already defines ${carried.mkString(", ")}")
+    val rightTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lTagged = left
+      .withColumn("graft_side", lit(1))
+      .select(col("*") +: (payloadCols :+ time).map(c =>
+        lit(null).cast(rightTypes(c)).as(s"$prefix$c")): _*)
+    val rTagged = right
+      .select(
+        Seq(col(key), col(time), lit(0).as("graft_side")) ++
+          left.columns.filterNot(Set(key, time, "graft_side")).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+          (payloadCols :+ time).map(c => col(c).as(s"$prefix$c")): _*)
+    // at equal timestamps: the right row sorts before left in the
+    // backward pass (inclusive ≤) and after left in the forward pass
+    // (inclusive ≥) — side asc vs desc under one time ordering
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("graft_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = lTagged.unionByName(rTagged)
+      .select(
+        (left.columns.map(col).toSeq :+ col("graft_side")) ++
+          carried.map(c => last(col(c), ignoreNulls = true).over(wB).as(s"b_$c")) ++
+          carried.map(c => first(col(c), ignoreNulls = true).over(wF).as(s"f_$c")): _*)
+      .filter(col("graft_side") === 1)
+    val (bt, ft) = (col(s"b_$prefix$time"), col(s"f_$prefix$time"))
+    // backward wins on missing forward OR on distance (ties included:
+    // back is the earlier row)
+    val useBack = ft.isNull || (bt.isNotNull && (col(time) - bt) <= (ft - col(time)))
+    both.select(
+      left.columns.map(col).toSeq ++
+        carried.map(c => when(useBack, col(s"b_$c")).otherwise(col(s"f_$c")).as(c)): _*)
+  }
 }
