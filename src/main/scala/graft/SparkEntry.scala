@@ -1759,6 +1759,11 @@ object SparkEntry {
     "events_gaps" -> ((s, d) =>
       EventWindows.gaps(Tables.events(s, d), 21600)
         .orderBy(col("user_id"), col("event_id"))),
+    // both production session rules at once: 6h inactivity gap closes,
+    // 2h hard cap splits marathons (the rule session_window can't say)
+    "events_capped_sessions" -> ((s, d) =>
+      EventWindows.cappedSessions(Tables.events(s, d), 21600, 7200)
+        .orderBy(col("user_id"), col("session_start_us"))),
     "events_sessions" -> ((s, d) =>
       EventWindows.sessions(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
@@ -5351,6 +5356,17 @@ object SparkEntry {
         "CAST((least(a_end, b_end) - greatest(a_start, b_start)) // 1000000 AS BIGINT) AS overlap_sec " +
         "FROM oa JOIN ob USING (user_id) WHERE a_start <= b_end AND b_start <= a_end " +
         "ORDER BY user_id, click_id, purchase_id"),
+    // gap-islands by running flag sum, cap sub-slots from island start
+    "events_capped_sessions" ->
+      ("WITH cs0 AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events), " +
+        "cs1 AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id) > 21600000000 THEN 1 ELSE 0 END AS new_island FROM cs0), " +
+        "cs2 AS (SELECT *, sum(new_island) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS island FROM cs1), " +
+        "cs3 AS (SELECT *, CAST((ts_us - min(ts_us) OVER (PARTITION BY user_id, island)) // 7200000000 AS BIGINT) AS sub FROM cs2) " +
+        "SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us, " +
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value " +
+        "FROM cs3 GROUP BY user_id, island, sub ORDER BY user_id, session_start_us"),
     // consecutive-event silence above the threshold, µs-exact
     "events_gaps" ->
       ("WITH eg AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +

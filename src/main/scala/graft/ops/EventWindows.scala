@@ -108,6 +108,41 @@ object EventWindows {
           / lit(1000000L)).cast("long").as("gap_sec"))
   }
 
+  /** Sessionization with BOTH production rules: an inactivity gap
+    * closes a session (like `session_window`) AND a hard duration cap
+    * splits marathon sessions (the rule `session_window` cannot
+    * express — analytics stacks cap at 4 h so a left-open tab is not
+    * one infinite session). Pure window arithmetic on the per-user
+    * shuffle: gap-islands via a running sum of new-session flags,
+    * then fixed `capSec` sub-slots from each island's start — µs-exact
+    * integers end to end, so the oracle replays it verbatim. A capped
+    * sub-session inherits the island's clock (slots are aligned to
+    * island start, not wall time), which is the analytics convention. */
+  def cappedSessions(events: DataFrame, gapSec: Long, capSec: Long): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islandW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("island"))
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_island",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byTime) >
+          lit(gapSec * 1000000L), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .withColumn("sub",
+        ((col("ts_us") - min(col("ts_us")).over(islandW)) /
+          lit(capSec * 1000000L)).cast("long"))
+      .groupBy(col("user_id"), col("island"), col("sub"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .drop("island", "sub")
+  }
+
   /** Per-user silence gaps above `thresholdSec` between consecutive
     * events — the heartbeat/SLA monitor (a gap is an outage candidate,
     * the negative-space complement of session windows). One lag window
