@@ -1301,6 +1301,12 @@ object SparkEntry {
     "dedup_minhash_recall" -> ((s, d) =>
       Dedup.minhashRecall(Tables.documents(s, d), 0.8,
         truth = Some(prefixPairsFor(s, d)))),
+    // the banding S-curve as data: candidate volume vs recall at 1/2/4
+    // bands against the SAME persisted truth — the knob-picking table
+    "dedup_banding_tradeoff" -> ((s, d) =>
+      Dedup.bandingTradeoff(Tables.documents(s, d), 0.8, Seq(1, 2, 4),
+          truth = Some(prefixPairsFor(s, d)))
+        .orderBy(col("bands"))),
     // terminal op: the deduplicated corpus itself (keepers only),
     // applying the PRECOMPUTED component decisions — a pure semi-join
     "dedup_kept_docs" -> ((s, d) =>
@@ -3005,6 +3011,32 @@ object SparkEntry {
       "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) " +
       "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+
+  /** One banding arm: signatures at `b` bands, bucket cap, distinct
+    * candidate pairs — names suffixed so the arms coexist in one WITH. */
+  private def bandingArmCtes(b: Int): String = {
+    val bands = (0 until b).mkString(", ")
+    s"sig_b$b AS (SELECT doc_id, b.band, " +
+      "list_min(list_transform(shingles, s -> " +
+      "substr(md5(s), b.band*8 + 1, 32 - b.band*8) || substr(md5(s), 1, b.band*8))) AS signature " +
+      s"FROM (SELECT * FROM ($shingleSql) WHERE len(shingles) > 0) " +
+      s"CROSS JOIN (SELECT unnest([$bands]) AS band) b), " +
+      s"ok_b$b AS (SELECT band, signature FROM (SELECT band, signature, count(*) AS n " +
+      s"FROM sig_b$b GROUP BY 1, 2) WHERE n <= 50), " +
+      s"bk_b$b AS (SELECT sig_b$b.doc_id, sig_b$b.band, sig_b$b.signature " +
+      s"FROM sig_b$b JOIN ok_b$b USING (band, signature)), " +
+      s"cand_b$b AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk_b$b x " +
+      s"JOIN bk_b$b y ON x.band = y.band AND x.signature = y.signature AND x.doc_id < y.doc_id)"
+  }
+
+  private def bandingArmSelect(b: Int): String = {
+    val cap = s"(SELECT CAST(count(*) AS BIGINT) FROM bt_truth t WHERE EXISTS " +
+      s"(SELECT 1 FROM cand_b$b c WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))"
+    s"SELECT $b AS bands, (SELECT CAST(count(*) AS BIGINT) FROM cand_b$b) AS n_candidates, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM bt_truth) AS n_true, " +
+      s"$cap AS n_captured, " +
+      s"round(CAST($cap AS DOUBLE) / (SELECT count(*) FROM bt_truth), 4) AS recall"
+  }
 
   /** The streaming-curation closed-form admission chain (fixed-score
     * quality → exact keeper → band-claim minimum); `emitPred` narrows
@@ -4800,6 +4832,18 @@ object SparkEntry {
         "round(CAST(c.n AS DOUBLE) / t.n, 4) AS recall " +
         "FROM (SELECT count(*) AS n FROM truth) t, " +
         "(SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)) c"),
+    // three banding arms over the shared brute-force truth, one row each
+    "dedup_banding_tradeoff" ->
+      (s"WITH psh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ($shingleSql)), " +
+        "psz AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id), " +
+        "pov AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter " +
+        "FROM psh x JOIN psh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "bt_truth AS (SELECT doc_a, doc_b FROM pov JOIN psz za ON doc_a = za.doc_id " +
+        "JOIN psz zb ON doc_b = zb.doc_id " +
+        "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8), " +
+        Seq(1, 2, 4).map(bandingArmCtes).mkString(", ") + " " +
+        Seq(1, 2, 4).map(bandingArmSelect).mkString(" UNION ALL ") +
+        " ORDER BY bands"),
     "dedup_embedding_cosine" ->
       (s"WITH $bktSql " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(" +

@@ -360,6 +360,42 @@ object Dedup {
         round(col("n_captured").cast("double") / col("n_true"), 4).as("recall"))
   }
 
+  /** The banding S-curve as certified data: for each band count, the
+    * candidate volume (the COST axis) next to recall against the same
+    * exact truth (the QUALITY axis) — the table an engineer reads
+    * before picking the production knob, instead of trusting the
+    * 1-(1-s^r)^b formula sight unseen. Shares [[minhashRecall]]'s
+    * internals per arm; band counts are bounded by the md5 rotation
+    * width (≤ 4 with 8-hex-char bands). */
+  def bandingTradeoff(
+      docs: DataFrame, t: Double, bandCounts: Seq[Int], maxBucket: Int = 50,
+      truth: Option[DataFrame] = None): DataFrame = {
+    require(bandCounts.nonEmpty && bandCounts.forall(b => b >= 1 && b <= 4),
+      "band counts must be within the rotation width (1..4)")
+    val truthPairs = truth.getOrElse(prefixFilteredPairs(docs, t))
+      .select(col("doc_a"), col("doc_b"))
+    bandCounts.map { b =>
+      val sigs = minhashSignatures(docs, b)
+      val ok = sigs.groupBy(col("band"), col("signature"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+        .select(col("band"), col("signature"))
+      val bucketed = sigs.join(ok, Seq("band", "signature"), "left_semi")
+      val cand = bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_a"))
+        .join(bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_b")),
+          Seq("band", "signature"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val captured = truthPairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truthPairs.agg(count(lit(1)).as("n_true")))
+        .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
+        .select(lit(b).as("bands"), col("n_candidates"), col("n_true"),
+          col("n_captured"),
+          round(col("n_captured").cast("double") / col("n_true"), 4).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** One LARGE-STAR round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"): every node attaches its strictly-GREATER
     * neighbors to the minimum of its closed neighborhood. This is the
