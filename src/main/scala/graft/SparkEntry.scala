@@ -863,6 +863,26 @@ object SparkEntry {
       TextOps.repetitionScores(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_length_quantiles" -> ((s, d) =>
       TextOps.lengthQuantiles(Tables.documents(s, d)).orderBy(col("lang"))),
+    // the third sketch beside HLL/CMS: a mergeable equi-width
+    // histogram quantile sketch — one pass, O(keys × bins) state,
+    // bin-width-bounded error, interpolated estimates
+    "text_quantile_sketch" -> ((s, d) =>
+      graft.ops.Quantiles.estimateFromSketch(
+          graft.ops.Quantiles.histogramSketch(
+            Tables.documents(s, d), Seq("lang"), "n_chars", 0.0, 640.0, 64),
+          Seq("lang"), 0.0, 640.0, 64, Seq(0.5, 0.9, 0.99))
+        .orderBy(col("lang"), col("q"))),
+    // the shard-merge path: per-(lang, source) partial sketches summed
+    // to per-lang counts must estimate IDENTICALLY (integer addition
+    // is exact and associative) — same oracle row as the direct path
+    "text_quantile_sketch_merged" -> ((s, d) => {
+      val parts = graft.ops.Quantiles.histogramSketch(
+        Tables.documents(s, d), Seq("lang", "source"), "n_chars", 0.0, 640.0, 64)
+      graft.ops.Quantiles.estimateFromSketch(
+          parts.groupBy(col("lang"), col("bin")).agg(sum(col("cnt")).as("cnt")),
+          Seq("lang"), 0.0, 640.0, 64, Seq(0.5, 0.9, 0.99))
+        .orderBy(col("lang"), col("q"))
+    }),
     // distributed prefix scan (per-partition cumsum + broadcast
     // offsets) must equal the oracle's single global running sum
     "text_shard_assignments" -> ((s, d) =>
@@ -3012,6 +3032,20 @@ object SparkEntry {
       "ELSE CAST([] AS VARCHAR[]) END AS shingles " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
 
+  /** Histogram-sketch quantile replay (bin width 10 over [0, 640),
+    * interpolated) — shared by the direct and shard-merged paths,
+    * which must estimate identically. */
+  private val quantileSketchSql =
+    "WITH qsk AS (SELECT lang, CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 10.0), 0), 63) AS INT) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2), " +
+      "qcm AS (SELECT lang, bin, cnt, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum, " +
+      "sum(cnt) OVER (PARTITION BY lang) AS n_total FROM qsk), " +
+      "qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q) " +
+      "SELECT lang, q, round(0.0 + bin * 10.0 + 10.0 * (q * n_total - (cum - cnt)) / cnt, 4) AS q_est " +
+      "FROM qcm CROSS JOIN qq " +
+      "WHERE cum >= q * n_total AND CAST(cum - cnt AS DOUBLE) < q * n_total " +
+      "ORDER BY lang, q"
+
   /** One banding arm: signatures at `b` bands, bucket cap, distinct
     * candidate pairs — names suffixed so the arms coexist in one WITH. */
   private def bandingArmCtes(b: Int): String = {
@@ -4200,6 +4234,9 @@ object SparkEntry {
         "round(quantile_cont(n_chars, 0.75), 4) AS p75, " +
         "round(quantile_cont(n_chars, 0.95), 4) AS p95 " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "text_quantile_sketch" -> quantileSketchSql,
+    // shard-merge must estimate identically (exact integer addition)
+    "text_quantile_sketch_merged" -> quantileSketchSql,
 
     "dedup_incremental_new" ->
       ("WITH b AS (SELECT md5(text) AS content_hash, doc_id FROM documents WHERE doc_id % 5 = 0), " +

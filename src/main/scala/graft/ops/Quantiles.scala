@@ -71,4 +71,59 @@ object Quantiles {
     }
     lo
   }
+
+  /** MERGEABLE quantile sketch — the third sketch beside [[Hll]]
+    * (distinct counts) and [[Cms]] (frequencies): a per-key equi-width
+    * histogram over a declared [lo, hi) domain. Shards sketch
+    * independently and merge by ADDING bin counts (sum is associative
+    * and exact on integers), so the estimate after any merge tree is
+    * bit-identical to the one-shot sketch — certified by sharing one
+    * oracle between the direct and shard-merged paths, the Hll
+    * discipline. Unlike [[exactPercentiles]] (exact, but iterative),
+    * one pass and O(keys × nBins) state; error is bounded by the bin
+    * width — the declared-domain tradeoff every serving system takes
+    * for dashboard percentiles. Values outside [lo, hi) clamp into the
+    * edge bins, where they can shift the estimate by at most one bin. */
+  def histogramSketch(df: DataFrame, keys: Seq[String], value: String,
+                      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need hi > lo and at least 2 bins")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(value).cast("double") - lit(lo)) / lit(width)), lit(0)), lit(nBins - 1))
+      .cast("int")
+    df.select(keys.map(col) :+ bin.as("bin"): _*)
+      .groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a (possibly merged) sketch: for each
+    * requested q, the first bin whose cumulative count reaches
+    * q·n, linearly interpolated inside the bin. Integer cumulative
+    * counts and one fixed-order double expression per estimate, so
+    * every engine computes the identical rounded value. */
+  def estimateFromSketch(sketch: DataFrame, keys: Seq[String],
+                         lo: Double, hi: Double, nBins: Int,
+                         qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val width = (hi - lo) / nBins
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val qdf = qs.toDF("q")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bin"))
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_total",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)))
+    cum.crossJoin(qdf)
+      .withColumn("target", col("q") * col("n_total"))
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")).cast("double") < col("target"))
+      .select(keys.map(col) ++ Seq(col("q"),
+        round(lit(lo) + col("bin") * lit(width) +
+          lit(width) * (col("target") - (col("cum") - col("cnt"))) / col("cnt"), 4)
+          .as("q_est")): _*)
+  }
 }
