@@ -677,6 +677,25 @@ object SparkEntry {
       graft.ops.Hll.estimate(
         graft.streaming.SnapshotIngest.finalState(s, s"$base/state"), Seq("lang"), 9)
     }.orderBy(col("lang"))),
+    // the quantile sketch as STREAMING state: per-batch histograms
+    // fold into the snapshot chain by exact integer addition, so the
+    // final estimates are bit-identical to the one-shot sketch (third
+    // sketch streamed, beside stream_hll/stream_cms — same oracle row)
+    "stream_quantile_sketch" -> ((s, d) => withTempDir("graft-qsk-stream") { base =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(0, 1, 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$base/in/g$i"))
+      graft.streaming.SnapshotIngest.run(s, docs.schema,
+        s"$base/in", s"$base/state", s"$base/ckpt") { (prior, batch) =>
+        val sk = graft.ops.Quantiles.histogramSketch(
+          batch, Seq("lang"), "n_chars", 0.0, 640.0, 64)
+        prior.map(_.unionByName(sk).groupBy(col("lang"), col("bin"))
+          .agg(sum(col("cnt")).as("cnt"))).getOrElse(sk)
+      }
+      graft.ops.Quantiles.estimateFromSketch(
+        graft.streaming.SnapshotIngest.finalState(s, s"$base/state"),
+        Seq("lang"), 0.0, 640.0, 64, Seq(0.5, 0.9, 0.99))
+    }.orderBy(col("lang"), col("q"))),
     // unigram-LM cross-entropy against the corpus's own distribution —
     // the cheap perplexity stand-in for quality filtering
     "text_unigram_logprob" -> ((s, d) =>
@@ -4237,6 +4256,8 @@ object SparkEntry {
     "text_quantile_sketch" -> quantileSketchSql,
     // shard-merge must estimate identically (exact integer addition)
     "text_quantile_sketch_merged" -> quantileSketchSql,
+    // ...and so must the micro-batch snapshot folds
+    "stream_quantile_sketch" -> quantileSketchSql,
 
     "dedup_incremental_new" ->
       ("WITH b AS (SELECT md5(text) AS content_hash, doc_id FROM documents WHERE doc_id % 5 = 0), " +
