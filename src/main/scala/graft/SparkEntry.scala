@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Ingest
@@ -1387,6 +1387,29 @@ object SparkEntry {
     // label by membership over the same stage CTEs
     "pipeline_curation_audit" -> ((s, d) =>
       curationFor(s, d)._3.orderBy(col("doc_id"))),
+    // the funnel in TOKENS — the unit a training budget is written in;
+    // derived from the persisted audit (a doc survives stage k iff its
+    // first-dropping stage is later), no pipeline rebuild
+    "pipeline_curation_tokens" -> ((s, d) => {
+      val j = curationFor(s, d)._3.join(
+        Tables.documents(s, d).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      def stage(idx: Int, name: String, pred: Column) =
+        j.filter(pred)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("sum_tokens"))
+      stage(0, "corpus", lit(true))
+        .unionByName(stage(1, "train_split", col("disposition") =!= "benchmark"))
+        .unionByName(stage(2, "quality",
+          !col("disposition").isin("benchmark", "quality")))
+        .unionByName(stage(3, "exact_dedup",
+          !col("disposition").isin("benchmark", "quality", "exact_dup")))
+        .unionByName(stage(4, "near_dedup",
+          !col("disposition").isin("benchmark", "quality", "exact_dup", "near_dup")))
+        .unionByName(stage(5, "decontaminated", col("disposition") === "kept"))
+        .orderBy(col("stage_idx"))
+    }),
     "pipeline_pack_manifest" -> ((s, d) => {
       val fin = curationFor(s, d)._2
       TextOps.packChunks(TextOps.chunks(fin, 32, 32), 128)
@@ -2343,6 +2366,32 @@ object SparkEntry {
         graft.multimodal.Multimodal.syntheticImages(Tables.documents(s, d)))
         .toDF()
         .orderBy(col("media_id"))),
+    // the decode path under STREAMING delivery: binary media rows
+    // arrive in micro-batches, each batch runs the same per-row
+    // ImageIO decode (batch-independent, so the batch path's oracle
+    // certifies it verbatim) — the streaming multimodal ingest shape
+    "stream_mm_decode_features" -> ((s, d) => withTempDir("graft-mm-stream") { base =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .syntheticImages(Tables.documents(s, d)).toDF()
+      Seq(0, 1).foreach(i => media.filter(col("media_id") % 2 === i)
+        .coalesce(1).write.parquet(s"$base/in/g$i"))
+      val q = s.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/*")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          graft.multimodal.Multimodal
+            .decodeImageStats(b.as[graft.multimodal.Multimodal.MediaRecord])
+            .toDF().write.mode("overwrite").parquet(s"$base/out/batch_$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .orderBy(col("media_id"))
+    }),
     // the REAL resize path: ImageIO decode + explicit nearest-neighbor
     // resample to a fixed 16x12 thumbnail (the pinned src_x = x*w/16
     // floor-division convention), per-channel sums of the RESIZED
@@ -4809,6 +4858,17 @@ object SparkEntry {
     "pipeline_curation_docs" ->
       (s"$curationCtes " +
         "SELECT doc_id, lang, n_chars FROM cur_fin ORDER BY doc_id"),
+    // per-stage whitespace-token sums over the same survivor CTEs
+    "pipeline_curation_tokens" ->
+      (s"$curationCtes " +
+        "SELECT * FROM (" +
+        "SELECT 0 AS stage_idx, 'corpus' AS stage, CAST(coalesce((SELECT sum(len(string_split(text, ' '))) FROM documents), 0) AS BIGINT) AS sum_tokens " +
+        "UNION ALL SELECT 1, 'train_split', CAST(coalesce((SELECT sum(len(string_split(text, ' '))) FROM cur_train), 0) AS BIGINT) " +
+        "UNION ALL SELECT 2, 'quality', CAST(coalesce((SELECT sum(len(string_split(text, ' '))) FROM cur_qd), 0) AS BIGINT) " +
+        "UNION ALL SELECT 3, 'exact_dedup', CAST(coalesce((SELECT sum(len(string_split(text, ' '))) FROM cur_ed), 0) AS BIGINT) " +
+        "UNION ALL SELECT 4, 'near_dedup', CAST(coalesce((SELECT sum(len(string_split(text, ' '))) FROM cur_nd), 0) AS BIGINT) " +
+        "UNION ALL SELECT 5, 'decontaminated', CAST(coalesce((SELECT sum(len(string_split(text, ' '))) FROM cur_fin), 0) AS BIGINT)" +
+        ") ORDER BY stage_idx"),
     "pipeline_curation_audit" ->
       (s"$curationCtes " +
         "SELECT d.doc_id, " +
@@ -5862,6 +5922,18 @@ object SparkEntry {
     // (doc_id·m) mod 256 — matches Multimodal.syntheticImages exactly;
     // equality proves ImageIO returned the encoded pixels verbatim
     "mm_decode_features" ->
+      ("WITH g AS (SELECT doc_id AS media_id, " +
+        "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, (8 + doc_id % 9) // 2 AS wa, " +
+        "doc_id*37 % 256 AS ra, doc_id*59 % 256 AS ga, doc_id*83 % 256 AS ba, " +
+        "doc_id*101 % 256 AS rb, doc_id*131 % 256 AS gb, doc_id*151 % 256 AS bb " +
+        "FROM documents) " +
+        "SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(w*h AS BIGINT) AS n_pixels, " +
+        "CAST(h*(wa*ra + (w-wa)*rb) AS BIGINT) AS sum_r, " +
+        "CAST(h*(wa*ga + (w-wa)*gb) AS BIGINT) AS sum_g, " +
+        "CAST(h*(wa*ba + (w-wa)*bb) AS BIGINT) AS sum_b " +
+        "FROM g ORDER BY media_id"),
+    "stream_mm_decode_features" ->
       ("WITH g AS (SELECT doc_id AS media_id, " +
         "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, (8 + doc_id % 9) // 2 AS wa, " +
         "doc_id*37 % 256 AS ra, doc_id*59 % 256 AS ga, doc_id*83 % 256 AS ba, " +
