@@ -655,6 +655,40 @@ object SparkEntry {
         .agg(max(col("max_rho")).as("max_rho"))
       graft.ops.Hll.estimate(merged, Seq("lang"), 9).orderBy(col("lang"))
     }),
+    // KMV bottom-k sketch: per-lang vocabulary estimate — the
+    // SET-OPERATION sketch beside HLL (intersections, which registers
+    // cannot do); estimate = exact below k, (k−1)·2^32/h_k above
+    "text_kmv_vocab" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      graft.ops.Kmv.estimateDistinct(
+          graft.ops.Kmv.sketch(tok, Seq("lang"), col("word"), 256),
+          Seq("lang"), 256)
+        .orderBy(col("lang"))
+    }),
+    // the shard-merge path: per-(lang, source) partial KMV sketches
+    // re-minned to per-lang must estimate identically to the direct
+    // sketch (min-k is associative + idempotent) — same oracle row
+    "text_kmv_merged" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+      val perShard = graft.ops.Kmv.sketch(tok, Seq("lang", "source"), col("word"), 256)
+        .select(col("lang"), col("hv"))
+      graft.ops.Kmv.estimateDistinct(
+          graft.ops.Kmv.merge(Seq(perShard), Seq("lang"), 256), Seq("lang"), 256)
+        .orderBy(col("lang"))
+    }),
+    // pairwise vocabulary overlap between languages from the sketches
+    // ALONE: Jaccard + intersection estimates per unordered lang pair —
+    // the contamination/overlap telemetry between corpus shards at
+    // 100 TB, at 8 KiB per shard instead of the vocabularies
+    "text_kmv_overlap" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      graft.ops.Kmv.pairOverlap(
+          graft.ops.Kmv.sketch(tok, Seq("lang"), col("word"), 256), "lang", 256)
+        .orderBy(col("g_a"), col("g_b"))
+    }),
     // the SAME sketch as streaming state: three micro-batches fold
     // their register tables into the snapshot chain by max re-agg —
     // sketch state is ~2^p rows per group forever, the 100 TB shape
@@ -1213,6 +1247,17 @@ object SparkEntry {
       graft.ops.Anonymize.lDiversity(
           graft.ops.Anonymize.kAnonymize(c, Seq("c_nationkey", "bal_band"), 5),
           Seq("c_nationkey", "bal_band"), "c_mktsegment")
+        .orderBy(col("c_nationkey"), col("bal_band"))
+    }),
+    // t-closeness audit over the same release shape: per QI group,
+    // total-variation distance between the group's sensitive
+    // distribution and the global one (integer-exact numerators,
+    // single final division — see Anonymize.tCloseness)
+    "store_t_closeness" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      graft.ops.Anonymize.tCloseness(c, Seq("c_nationkey", "bal_band"), "c_mktsegment")
         .orderBy(col("c_nationkey"), col("bal_band"))
     }),
     // temporal join: every order looks up the customer's price TIER
@@ -1862,6 +1907,27 @@ object SparkEntry {
         .withColumn("rn", row_number().over(tieW)).filter(col("rn") === 1)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       graft.ops.AsOf.asofJoinBackward(
+        clicks, purchases, "user_id", "ts", Seq("event_id", "value"))
+        .select(col("click_id"), col("user_id"),
+          col("asof_event_id").as("purchase_id"),
+          round(col("asof_value"), 2).as("purchase_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        .orderBy(col("click_id"))
+    }),
+    // the NATIVE as-of join — custom LogicalPlan + SparkStrategy +
+    // merge-sweep SparkPlan (plans/AsOfJoinExec.scala) — must produce
+    // byte-identical output to the composed window formulation above:
+    // same query, same DuckDB ASOF JOIN oracle
+    "events_asof_native" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val tieW = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(tieW)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.plans.AsOfJoinNative.asofJoinBackward(
         clicks, purchases, "user_id", "ts", Seq("event_id", "value"))
         .select(col("click_id"), col("user_id"),
           col("asof_event_id").as("purchase_id"),
@@ -3332,6 +3398,48 @@ object SparkEntry {
       "SELECT word, freq, min(cnt) AS n_est FROM probes JOIN sk USING (row, bucket) " +
       "GROUP BY word, freq ORDER BY freq DESC, word"
 
+  /** DuckDB's native ASOF JOIN — the shared oracle for BOTH as-of
+    * formulations (composed window and native physical operator). */
+  private val asofBackwardSql =
+    "WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+      "r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase' " +
+      "QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) " +
+      "SELECT l.click_id, l.user_id, r.event_id AS purchase_id, " +
+      "round(r.value, 2) AS purchase_value, " +
+      "strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts " +
+      "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts " +
+      "ORDER BY click_id"
+
+  /** KMV bottom-k sketch replay (k = 256): distinct md5-32 hashes per
+    * lang, ranked ascending — shared by the vocab-estimate and
+    * pair-overlap oracles. */
+  private val kmvSketchCtes =
+    "WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
+      "h AS (SELECT DISTINCT lang, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM tok), " +
+      "r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h), " +
+      "sk AS (SELECT lang, hv FROM r WHERE rn <= 256)"
+
+  private val kmvVocabSql =
+    s"$kmvSketchCtes, " +
+      "e AS (SELECT lang, count(*) AS n_sk, max(hv) AS h_k FROM sk GROUP BY lang) " +
+      "SELECT lang, round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
+      "ELSE 255 * 4294967296.0 / h_k END, 4) AS n_est FROM e ORDER BY lang"
+
+  private val kmvOverlapSql =
+    s"$kmvSketchCtes, " +
+      "langs AS (SELECT DISTINCT lang FROM sk), " +
+      "u AS (SELECT a.lang AS g_a, b.lang AS g_b, a.hv, 1 AS in_a, 0 AS in_b " +
+      "FROM sk a JOIN langs b ON a.lang < b.lang " +
+      "UNION ALL SELECT a.lang, b.lang, b.hv, 0, 1 FROM langs a JOIN sk b ON a.lang < b.lang), " +
+      "g AS (SELECT g_a, g_b, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM u GROUP BY 1, 2, 3), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS rn FROM g), " +
+      "f AS (SELECT g_a, g_b, count(*) AS kp, max(hv) AS h_k, " +
+      "CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM rk WHERE rn <= 256 GROUP BY 1, 2) " +
+      "SELECT g_a, g_b, round(CAST(n_both AS DOUBLE) / kp, 4) AS jaccard_est, " +
+      "round((CAST(n_both AS DOUBLE) / kp) * (CASE WHEN kp < 256 THEN CAST(kp AS DOUBLE) " +
+      "ELSE 255 * 4294967296.0 / h_k END), 4) AS inter_est " +
+      "FROM f ORDER BY g_a, g_b"
+
   private val hllVocabSql =
     "WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
       "h AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM tok), " +
@@ -4546,6 +4654,25 @@ object SparkEntry {
         "SELECT c_nationkey, bal_band, CAST(count(*) AS BIGINT) AS group_n, " +
         "CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct " +
         "FROM la GROUP BY 1, 2 ORDER BY 1, 2"),
+    // t-closeness: integer-exact |n_gv·N − n_v·n_g| numerators, absent
+    // values via the closed form N·n_g − Σ_present n_v·n_g, ONE final
+    // float division — replayed token for token
+    "store_t_closeness" ->
+      ("WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer), " +
+        "gv AS (SELECT c_nationkey, bal_band, c_mktsegment, CAST(count(*) AS BIGINT) AS n_gv " +
+        "FROM c GROUP BY 1, 2, 3), " +
+        "v AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_v FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c), " +
+        "g AS (SELECT gv.*, n_v, n_total, " +
+        "CAST(sum(n_gv) OVER (PARTITION BY c_nationkey, bal_band) AS BIGINT) AS n_g " +
+        "FROM gv JOIN v USING (c_mktsegment) CROSS JOIN t), " +
+        "f AS (SELECT c_nationkey, bal_band, CAST(max(n_g) AS BIGINT) AS group_n, " +
+        "max(n_total) AS nn, CAST(sum(abs(n_gv * n_total - n_v * n_g)) AS BIGINT) AS pa, " +
+        "CAST(sum(n_v * n_g) AS BIGINT) AS pq FROM g GROUP BY 1, 2) " +
+        "SELECT c_nationkey, bal_band, group_n, " +
+        "round(CAST(pa + (nn * group_n - pq) AS DOUBLE) / (2.0 * group_n * nn), 4) AS t_closeness " +
+        "FROM f ORDER BY c_nationkey, bal_band"),
     // lead-built intervals partition time per key: at most one
     // version covers each fact's lookup date
     "store_temporal_join" ->
@@ -5680,6 +5807,10 @@ object SparkEntry {
     // estimate = bias-corrected harmonic mean + linear-counting branch,
     // every double exact so the rounded value matches bit-for-bit
     "text_hll_vocab" -> hllVocabSql,
+    "text_kmv_vocab" -> kmvVocabSql,
+    // min-k is associative + idempotent: shard-then-merge ≡ direct
+    "text_kmv_merged" -> kmvVocabSql,
+    "text_kmv_overlap" -> kmvOverlapSql,
     // shard-merge must land on the identical estimate
     "text_hll_merged" -> hllVocabSql,
     // micro-batch register folds must land on the identical estimate
@@ -5857,15 +5988,10 @@ object SparkEntry {
         "FROM e LEFT JOIN p ON p.pu BETWEEN e.win_s AND e.win_e " +
         "GROUP BY e.err_id ORDER BY err_id"),
     // DuckDB's native ASOF JOIN certifies ops.AsOf's window formulation
-    "events_asof_join" ->
-      ("WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'), " +
-        "r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase' " +
-        "QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) " +
-        "SELECT l.click_id, l.user_id, r.event_id AS purchase_id, " +
-        "round(r.value, 2) AS purchase_value, " +
-        "strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts " +
-        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts " +
-        "ORDER BY click_id"),
+    "events_asof_join" -> asofBackwardSql,
+    // ... and the SAME oracle certifies the custom physical operator
+    // (AsOfJoinExec merge sweep) byte-for-byte against it
+    "events_asof_native" -> asofBackwardSql,
 
     // Streaming checkout, batch-equivalent final state: one micro-batch ⇒
     // admission = every line fits under cumulative demand charged in

@@ -58,6 +58,58 @@ object Anonymize {
         count(lit(1)).as("group_n"),
         countDistinct(col(sensitiveCol)).as("l_distinct"))
 
+  /** t-closeness audit — the third rung of the release-criteria
+    * ladder (k-anonymity → l-diversity → t-closeness): per
+    * quasi-identifier group, the distance between the group's
+    * SENSITIVE-value distribution and the global one. l-diversity is
+    * defeated by skew (a group with values {flu:99, HIV:1} is
+    * 2-diverse yet discloses near-certain flu); t-closeness bounds
+    * what linkage to a group reveals BEYOND the public global
+    * distribution. For categorical sensitive values with uniform
+    * ground distance, the Earth-Mover's Distance reduces to total
+    * variation: t = ½ Σ_v |p_v − q_v|.
+    *
+    * Exactness discipline: float sums over |p−q| terms would make the
+    * result order-dependent; instead every term is the INTEGER
+    * |n_gv·N − n_v·n_g| over the common denominator n_g·N, values
+    * absent from the group contribute via the closed form
+    * N·n_g − Σ_present n_v·n_g (no dense group×value frame needed),
+    * and the single final division is the only float op —
+    * bit-deterministic under any aggregation order. Long products
+    * bound exactness at N·n_g < 2^63 (~3·10^9 rows either factor);
+    * past that, cast the products to DECIMAL(38,0) — same plan.
+    *
+    * Scale: one groupBy on (quasi, sensitive), a broadcast join
+    * against the value marginals (|V| rows) and the 1-row total —
+    * group-cardinality output, nothing collected. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String): DataFrame = {
+    val gv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n_gv"))
+    val v = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("n_v"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    // n_g via a window over the (group, value) cardinality frame —
+    // already group-scale rows, so the window is cheap and saves a
+    // second scan-side aggregate
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    gv.join(broadcast(v), Seq(sensitiveCol))
+      .crossJoin(broadcast(total))
+      .withColumn("n_g", sum(col("n_gv")).over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        max(col("n_g")).as("group_n"),
+        max(col("n_total")).as("nn"),
+        sum(abs(col("n_gv") * col("n_total") - col("n_v") * col("n_g")))
+          .as("present_abs"),
+        sum(col("n_v") * col("n_g")).as("present_q"))
+      .select(
+        quasiCols.map(col) :+ col("group_n") :+
+          round(
+            (col("present_abs") + (col("nn") * col("group_n") - col("present_q")))
+              .cast("double") /
+              (lit(2.0) * col("group_n") * col("nn")), 4).as("t_closeness"): _*)
+  }
+
   /** Laplace-mechanism noisy counts: per-key count + Laplace(1/ε)
     * noise via the inverse CDF over a SEEDED uniform (salted-md5, the
     * repo's hash-uniform discipline; u = (h32 + 0.5)/2^32 is strictly

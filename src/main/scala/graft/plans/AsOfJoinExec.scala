@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** The whole-operator extension rung: a NATIVE as-of join — custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan` — beside the composed
+  * window formulation in [[graft.ops.AsOf]] (reference behavior:
+  * point-in-time alignment of a click to the latest earlier purchase,
+  * the lookup src/order_processor/app.py:88-104 does per message
+  * against current state).
+  *
+  * Why a physical operator when the composed path is already
+  * O(|L|+|R|)? The union-window plan materializes |L|+|R| rows wide
+  * enough to carry BOTH sides' columns through ONE sort, and the
+  * window's `last(ignoreNulls)` runs per carried column per row. The
+  * native exec keeps each side its own width, sorts each side
+  * independently (smaller sort keys, tighter rows), and the merge sweep
+  * is a single forward pass holding ONE buffered right row — the same
+  * cost shape as SortMergeJoinExec, with no widened intermediate. At
+  * 100 TB the widened union is real shuffle bytes: left(+nulls) and
+  * right(+nulls) both shuffle at combined width, roughly doubling
+  * shuffle volume vs shuffling each side at its own width.
+  *
+  * Scale contract: both children hash-cluster on the key and sort
+  * within partitions by (key, time) — declared via
+  * `requiredChildDistribution`/`requiredChildOrdering`, so
+  * EnsureRequirements plans the exchanges and sorts, AQE can coalesce
+  * them, and a bucketed table on the key plans with NO exchange at
+  * all (the SortMergeJoin privilege, now extended to as-of). A
+  * pathologically hot key serializes into one partition's sweep — the
+  * bound every per-key ordered scan shares.
+  *
+  * Null contract: keys and times must be non-null on both sides (null
+  * keys would MATCH under sort-order semantics where SQL equality says
+  * no-match; the API wrapper documents and the oracle data satisfies
+  * it). Right side must be deduped to one row per (key, time) —
+  * same determinism contract as [[graft.ops.AsOf.asofJoinBackward]].
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    payload: Seq[NamedExpression],
+    carried: Seq[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ carried
+  // `carried` springs into existence here (the matched right payload,
+  // re-keyed to fresh nullable attributes): without producedAttributes
+  // the node would report them as missingInput and fail CheckAnalysis
+  override def producedAttributes: AttributeSet = AttributeSet(carried)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. Registered either at
+  * runtime (`spark.experimental.extraStrategies`) or at session build
+  * via [[GraftExtensions]] — the same two installation paths as the
+  * optimizer rules. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, carried) =>
+      AsOfJoinExec(lk, rk, lt, rt, payload, carried, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Per-partition merge sweep: both inputs arrive clustered on the key
+  * and sorted by (key, time); for each left row, consume right rows up
+  * to the left position, holding the latest admissible (same key,
+  * time ≤ left time) right payload. One buffered right row, two copied
+  * scratch rows — O(1) state regardless of partition size, no
+  * per-key buffering at all. */
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    payload: Seq[NamedExpression],
+    carried: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ carried
+  override def producedAttributes: AttributeSet = AttributeSet(carried)
+
+  // the SortMergeJoin contract: cluster both sides on the key (same
+  // number of clustering expressions → EnsureRequirements makes the
+  // exchanges co-partitioned), sort within partitions by (key, time)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // left rows pass through in order with columns appended — partitioning
+  // and ordering survive, so a downstream per-key op reuses both
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val numCarried = carried.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(leftKey), left.output)
+      val rKeyProj = UnsafeProjection.create(Seq(rightKey), right.output)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), left.output)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), right.output)
+      val carriedProj = UnsafeProjection.create(payload, right.output)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullCarried: InternalRow = new GenericInternalRow(numCarried)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+      // single buffered right row + the held (copied) latest admissible
+      // payload — the only per-partition state
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var held: InternalRow = null
+      var heldKey: InternalRow = null
+      lIter.map { l =>
+        var advancing = rHead != null
+        while (advancing) {
+          val rk = rKeyProj(rHead)
+          val c = keyOrd.compare(rk, lKeyProj(l))
+          if (c < 0) {
+            // right key entirely behind this left key: discard
+            rHead = if (rIter.hasNext) rIter.next() else null
+          } else if (c == 0 &&
+              timeOrd.compare(rTimeProj(rHead), lTimeProj(l)) <= 0) {
+            // admissible: later admissible rows overwrite (latest wins)
+            held = carriedProj(rHead).copy()
+            heldKey = rk.copy()
+            rHead = if (rIter.hasNext) rIter.next() else null
+          } else {
+            advancing = false
+          }
+          if (rHead == null) advancing = false
+        }
+        val matched = heldKey != null && keyOrd.compare(heldKey, lKeyProj(l)) == 0
+        resultProj(joined(l, if (matched) held else nullCarried))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing constructor for the native path — same signature and
+  * semantics as [[graft.ops.AsOf.asofJoinBackward]] (certified
+  * bit-identical by the shared DuckDB `ASOF JOIN` oracle). */
+object AsOfJoinNative {
+  def asofJoinBackward(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      key: String,
+      time: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val spark = leftDf.sparkSession
+    install(spark)
+    val lPlan = leftDf.queryExecution.analyzed
+    // both sides typically derive from the SAME scan (self-as-of on
+    // events), so the right child's attributes share exprIds with the
+    // left's — re-alias every right column to fresh exprIds, exactly
+    // what the analyzer's dedup does for self-joins
+    val rPlan = Project(
+      rightDf.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
+      rightDf.queryExecution.analyzed)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${p.output.map(_.name).mkString(", ")}"))
+    // Project output attrs: resolve against the aliased projection
+    val rOut: Seq[Attribute] = rPlan.output
+    def rAttr(name: String): Attribute = rOut.find(_.name == name).get
+    val lk = attr(lPlan, key)
+    val lt = attr(lPlan, time)
+    require(rAttr(time).dataType == lt.dataType,
+      s"time type mismatch: ${lt.dataType} vs ${rAttr(time).dataType}")
+    val payload: Seq[NamedExpression] =
+      (payloadCols :+ time).map(c => Alias(rAttr(c), s"$prefix$c")())
+    val carried: Seq[Attribute] =
+      payload.map(p => AttributeReference(p.name, p.dataType, nullable = true)())
+    PlanBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lk, rAttr(key), lt, rAttr(time), payload, carried))
+  }
+
+  /** Idempotently register the strategy on the session (runtime path;
+    * the build-time path is [[GraftExtensions]]). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+}

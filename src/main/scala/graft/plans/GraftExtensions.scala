@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the edit-distance theta-join rewrite needs no tuning knob: the
     // threshold k is read from the query's own literal
     ext.injectOptimizerRule(_ => FuzzyJoinRule())
+    // the whole-operator rung: plans AsOfJoinPlan as the merge-sweep
+    // AsOfJoinExec (runtime counterpart: AsOfJoinNative.install)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // SQL surface for the fused native cosine: SELECT
     // cosine_similarity(a, b) plans the same codegen'd expression the
     // Column API uses

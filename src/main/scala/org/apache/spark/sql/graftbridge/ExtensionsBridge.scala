@@ -13,4 +13,10 @@ object ExtensionsBridge {
       ext: SparkSessionExtensions,
       session: SparkSession): Seq[Rule[LogicalPlan]] =
     ext.buildOptimizerRules(session)
+
+  /** Same assertion surface for `injectPlannerStrategy` wiring. */
+  def plannerStrategies(
+      ext: SparkSessionExtensions,
+      session: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(session)
 }

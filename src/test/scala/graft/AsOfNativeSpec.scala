@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOfJoinExec, AsOfJoinNative, AsOfJoinStrategy, GraftExtensions}
+
+/** The native as-of join (custom LogicalPlan + SparkStrategy +
+  * merge-sweep SparkPlan) — semantics against the composed window
+  * formulation, plan shape, and both installation paths. */
+class AsOfNativeSpec extends SparkSpec {
+
+  private def mk() = {
+    import spark.implicits._
+    val left = Seq(
+      ("u1", 10L, "l_a"), ("u1", 20L, "l_b"), ("u1", 20L, "l_b2"),
+      ("u2", 5L, "l_c"),
+      ("u3", 50L, "l_d") // no right rows for u3 at or before 50
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      ("u1", 10L, "r_x"),  // equal timestamp: inclusive bound must match
+      ("u1", 15L, "r_y"),
+      ("u2", 9L, "r_z"),   // after u2's only left row: no match
+      ("u3", 60L, "r_w")   // after u3's left row
+    ).toDF("k", "t", "rv")
+    (left, right)
+  }
+
+  test("native as-of matches the composed window formulation row for row") {
+    val (left, right) = mk()
+    val native = AsOfJoinNative.asofJoinBackward(left, right, "k", "t", Seq("rv"))
+      .orderBy(col("k"), col("t"), col("lv"))
+    val composed = graft.ops.AsOf.asofJoinBackward(left, right, "k", "t", Seq("rv"))
+      .orderBy(col("k"), col("t"), col("lv"))
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(native.collect().toSeq == composed.collect().toSeq)
+    // spot-check the semantics directly: inclusive bound at equal ts,
+    // latest-wins, null where nothing is admissible
+    val rows = native.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSeq
+    assert(rows == Seq(
+      ("u1", 10L, "l_a", Some("r_x")),
+      ("u1", 20L, "l_b", Some("r_y")),
+      ("u1", 20L, "l_b2", Some("r_y")),
+      ("u2", 5L, "l_c", None),
+      ("u3", 50L, "l_d", None)))
+  }
+
+  test("plan contains AsOfJoinExec fed by exchanges + sorts on both sides") {
+    val (left, right) = mk()
+    // AQE wraps finished stages as leaf QueryStageExec nodes, so a
+    // plain collect can't see inside them — plan this one without AQE
+    // (the AQE run is covered by the row-equality test above, which
+    // exercises coalesced co-partitioned reads on both sides)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec =
+      try AsOfJoinNative.asofJoinBackward(left, right, "k", "t", Seq("rv"))
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val asofs = exec.collect { case e: AsOfJoinExec => e }
+    assert(asofs.size == 1, s"expected one AsOfJoinExec in:\n$exec")
+    // EnsureRequirements must have planned the SMJ shape: hash exchange
+    // + in-partition sort on each side (the local[4] plan has no
+    // pre-existing clustering to reuse)
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assert(exec.collect { case s: SortExec => s }.size >= 2)
+    assert(exec.collect { case s: ShuffleExchangeLike => s }.size >= 2)
+  }
+
+  test("self-as-of (both sides from one scan) dedups exprIds and runs") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 1L, "click", "e1"), ("u1", 3L, "click", "e3"),
+      ("u1", 2L, "buy", "e2"), ("u2", 4L, "click", "e4")
+    ).toDF("k", "t", "typ", "id")
+    val clicks = ev.filter(col("typ") === "click").select(col("k"), col("t"), col("id"))
+    val buys = ev.filter(col("typ") === "buy").select(col("k"), col("t"), col("id"))
+    val out = AsOfJoinNative.asofJoinBackward(clicks, buys, "k", "t", Seq("id"))
+      .orderBy(col("k"), col("t"))
+      .select(col("id"), col("asof_id")).collect().toSeq
+    assert(out == Seq(Row("e1", null), Row("e3", "e2"), Row("e4", null)))
+  }
+
+  test("build-time extensions path installs the strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies =
+      org.apache.spark.sql.graftbridge.ExtensionsBridge.plannerStrategies(ext, spark)
+    assert(strategies.contains(AsOfJoinStrategy))
+  }
+
+  test("empty right side yields all-null carries, not an error") {
+    val (left, right) = mk()
+    val out = AsOfJoinNative.asofJoinBackward(
+      left, right.filter(col("k") === "nope"), "k", "t", Seq("rv"))
+    assert(out.count() == left.count())
+    assert(out.filter(col("asof_rv").isNotNull).count() == 0)
+  }
+}
