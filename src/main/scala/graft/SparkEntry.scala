@@ -689,6 +689,26 @@ object SparkEntry {
           graft.ops.Kmv.sketch(tok, Seq("lang"), col("word"), 256), "lang", 256)
         .orderBy(col("g_a"), col("g_b"))
     }),
+    // the KMV sketch as STREAMING state: per-batch bottom-k frames fold
+    // into the snapshot chain by merge (union + re-min-k) — ≤ k rows
+    // per group forever, and min-k associativity makes the final
+    // estimate BIT-IDENTICAL to the one-shot sketch: text_kmv_vocab's
+    // oracle unchanged
+    "stream_kmv_vocab" -> ((s, d) => withTempDir("graft-kmv-stream") { base =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(s"$base/in/g0")
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1).write.parquet(s"$base/in/g1")
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1).write.parquet(s"$base/in/g2")
+      graft.streaming.SnapshotIngest.run(s, docs.schema,
+        s"$base/in", s"$base/state", s"$base/ckpt") { (prior, batch) =>
+        val sk = graft.ops.Kmv.sketch(
+          batch.select(col("lang"), explode(TextOps.tokens(col("text"))).as("word")),
+          Seq("lang"), col("word"), 256)
+        prior.map(p => graft.ops.Kmv.merge(Seq(p, sk), Seq("lang"), 256)).getOrElse(sk)
+      }
+      graft.ops.Kmv.estimateDistinct(
+        graft.streaming.SnapshotIngest.finalState(s, s"$base/state"), Seq("lang"), 256)
+    }.orderBy(col("lang"))),
     // the SAME sketch as streaming state: three micro-batches fold
     // their register tables into the snapshot chain by max re-agg —
     // sketch state is ~2^p rows per group forever, the 100 TB shape
@@ -756,6 +776,10 @@ object SparkEntry {
     // the word2phrase signal for multi-word-token discovery
     "text_pmi_bigrams" -> ((s, d) =>
       TextOps.pmiBigrams(Tables.documents(s, d), 5, 50).orderBy(col("rank"))),
+    // Dunning G² collocations beside PMI: full 2×2 contingency, so
+    // evidence mass counts and rare flukes sink (phrase-mining scorer)
+    "text_llr_bigrams" -> ((s, d) =>
+      TextOps.llrBigrams(Tables.documents(s, d), 5, 50).orderBy(col("rank"))),
     // deterministic per-group reservoir: exactly k docs per language,
     // membership a pure function of (salt, doc_id) — retry-stable,
     // and k-exact where rate-based stratified sampling is not
@@ -1892,6 +1916,11 @@ object SparkEntry {
       EventWindows.sequenceMatch(Tables.events(s, d),
           Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))),
+    // sequence mining: top-25 consecutive event-type trigrams — two
+    // leads over the per-user order, then a vocabulary-scale count
+    "events_frequent_paths" -> ((s, d) =>
+      EventWindows.frequentPaths(Tables.events(s, d), 25)
+        .orderBy(col("rank"))),
     // as-of join (ops.AsOf): each click joined to the user's latest
     // purchase at-or-before it — single window pass, no range explosion;
     // the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the operator's
@@ -5575,6 +5604,16 @@ object SparkEntry {
         "'(^|,)view,(.*,)?click,(.*,)?purchase(,|$)') AS matched " +
         "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL " +
         "GROUP BY user_id ORDER BY user_id"),
+    // same two leads over the same (ts, event_id) per-user order
+    "events_frequent_paths" ->
+      ("WITH l AS (SELECT user_id, event_type AS t0, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2 FROM events), " +
+        "p AS (SELECT t0 || '>' || t1 || '>' || t2 AS path FROM l " +
+        "WHERE t1 IS NOT NULL AND t2 IS NOT NULL), " +
+        "c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_paths FROM p GROUP BY path) " +
+        "SELECT path, n_paths, CAST(row_number() OVER (ORDER BY n_paths DESC, path) AS INT) AS rank " +
+        "FROM c QUALIFY row_number() OVER (ORDER BY n_paths DESC, path) <= 25 ORDER BY rank"),
     "events_sessions" ->
       ("WITH o AS (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
         "m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s FROM o), " +
@@ -5810,6 +5849,8 @@ object SparkEntry {
     "text_kmv_vocab" -> kmvVocabSql,
     // min-k is associative + idempotent: shard-then-merge ≡ direct
     "text_kmv_merged" -> kmvVocabSql,
+    // ... and the streaming snapshot-state fold is the same merge
+    "stream_kmv_vocab" -> kmvVocabSql,
     "text_kmv_overlap" -> kmvOverlapSql,
     // shard-merge must land on the identical estimate
     "text_hll_merged" -> hllVocabSql,
@@ -5902,6 +5943,29 @@ object SparkEntry {
         "CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank " +
         "FROM scored QUALIFY row_number() OVER (ORDER BY pmi DESC, w1, w2) <= 50 " +
         "ORDER BY rank"),
+    // G²: fixed-order 4-term expression replayed token for token;
+    // marginals are per-position re-aggregates of the pair counts
+    "text_llr_bigrams" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM w, unnest(range(1, len(w))) AS t(i)), " +
+        "pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bg GROUP BY w1, w2), " +
+        "fc AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_first FROM pc GROUP BY w1), " +
+        "sc AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_second FROM pc GROUP BY w2), " +
+        "tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS b_total FROM pc), " +
+        "j AS (SELECT w1, w2, n_pair, CAST(b_total AS DOUBLE) AS n, " +
+        "CAST(n_pair AS DOUBLE) AS ka, CAST(n_first - n_pair AS DOUBLE) AS kb, " +
+        "CAST(n_second - n_pair AS DOUBLE) AS kc, " +
+        "CAST(b_total - n_first - n_second + n_pair AS DOUBLE) AS kd, " +
+        "CAST(n_first AS DOUBLE) AS r1, CAST(n_second AS DOUBLE) AS c1 " +
+        "FROM pc JOIN fc USING (w1) JOIN sc USING (w2) CROSS JOIN tot WHERE n_pair >= 5), " +
+        "s AS (SELECT w1, w2, n_pair, round(2.0 * (((" +
+        "CASE WHEN ka > 0 THEN ka * ln(ka * n / (r1 * c1)) ELSE 0.0 END + " +
+        "CASE WHEN kb > 0 THEN kb * ln(kb * n / (r1 * (n - c1))) ELSE 0.0 END) + " +
+        "CASE WHEN kc > 0 THEN kc * ln(kc * n / ((n - r1) * c1)) ELSE 0.0 END) + " +
+        "CASE WHEN kd > 0 THEN kd * ln(kd * n / ((n - r1) * (n - c1))) ELSE 0.0 END), 4) AS llr " +
+        "FROM j) " +
+        "SELECT w1, w2, n_pair, llr, CAST(row_number() OVER (ORDER BY llr DESC, w1, w2) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (ORDER BY llr DESC, w1, w2) <= 50 ORDER BY rank"),
     // same md5 text on both engines; ties (none expected) by doc_id
     "text_reservoir_sample" ->
       ("SELECT doc_id, lang, CAST(rn AS INT) AS rank FROM " +

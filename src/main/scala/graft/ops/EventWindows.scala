@@ -315,4 +315,29 @@ object EventWindows {
         array_join(transform(col("evs"), e => e.getField("event_type")), d)
           .rlike(rx).as("matched"))
   }
+
+  /** Frequent behavioral paths: the top-k most common CONSECUTIVE
+    * event-type trigrams across all users — the sequence-mining
+    * staple behind "what do users do right before churning" and
+    * next-event-prediction training data. Two `lead`s over the
+    * per-user time order build each trigram locally (one shuffle on
+    * user_id, the ordering every per-user op here shares — no
+    * self-join, no explosion), then a vocabulary-scale count ranks
+    * them. Ties break on the path string; tied timestamps order by
+    * event_id, the table's unique tiebreak. */
+  def frequentPaths(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val rw = Window.partitionBy(lit(0))
+      .orderBy(col("n_paths").desc, col("path"))
+    events
+      .select(col("user_id"), col("event_type").as("t0"),
+        lead(col("event_type"), 1).over(w).as("t1"),
+        lead(col("event_type"), 2).over(w).as("t2"))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
 }

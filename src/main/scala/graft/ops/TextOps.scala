@@ -672,6 +672,58 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Dunning log-likelihood-ratio (G²) collocations — the
+    * sparse-count-honest test beside [[pmiBigrams]]. PMI explodes for
+    * rare pairs (a hapax bigram of two hapax words maxes the score);
+    * G² (Dunning 1993) weighs the full 2×2 contingency of bigram
+    * positions — (w1,w2), (w1,¬w2), (¬w1,w2), (¬w1,¬w2) — so evidence
+    * mass matters and rare flukes rank below genuinely frequent
+    * collocations. The standard phrase-mining scorer (word2vec's
+    * phrase pass, NSP's likelihood ratios).
+    *
+    * Same frame shape as PMI: ONE bigram aggregate; marginals are
+    * per-position re-aggregates of the pair counts (never a second
+    * corpus pass); the 4-term G² is a fixed-order row-local double
+    * expression (replayed token for token by the oracle — terms sum
+    * left-to-right, each `k·ln(k·N/(R·C))`, zero-celled terms 0), and
+    * ranking the minCount-filtered survivors runs through one bounded
+    * window. At 100 TB the bigram aggregate is the cost; everything
+    * after is vocabulary-scale. */
+  def llrBigrams(docs: DataFrame, minCount: Int, k: Int): DataFrame = {
+    val tok = withTokens(docs)
+    val pairs = tok
+      .select(explode(when(size(col("words")) >= 2,
+        transform(sequence(lit(1), size(col("words")) - 1),
+          i => struct(element_at(col("words"), i).as("w1"),
+            element_at(col("words"), i + 1).as("w2"))))
+        .otherwise(array())).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val first = pairs.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_first"))
+    val second = pairs.groupBy(col("w2")).agg(sum(col("n_pair")).as("n_second"))
+    val totals = pairs.agg(sum(col("n_pair")).as("b_total"))
+    val n = col("b_total").cast("double")
+    val ka = col("n_pair").cast("double")
+    val kb = (col("n_first") - col("n_pair")).cast("double")
+    val kc = (col("n_second") - col("n_pair")).cast("double")
+    val kd = (col("b_total") - col("n_first") - col("n_second") + col("n_pair"))
+      .cast("double")
+    val r1 = col("n_first").cast("double")
+    val c1 = col("n_second").cast("double")
+    def term(kk: Column, r: Column, c: Column): Column =
+      when(kk > 0, kk * log(kk * n / (r * c))).otherwise(lit(0.0))
+    val g2 = lit(2.0) * (((term(ka, r1, c1) + term(kb, r1, n - c1)) +
+      term(kc, n - r1, c1)) + term(kd, n - r1, n - c1))
+    val w = Window.partitionBy(onePartitionKey(col("llr")))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(first, Seq("w1")).join(second, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"), round(g2, 4).as("llr"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** CCNet-style boilerplate scrub: the corpus is cut into
     * non-overlapping `chunkTokens`-token spans (the newline-free
     * stand-in for CCNet's paragraph unit), a span whose normalized
