@@ -127,30 +127,44 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(output, output)
       // single buffered right row + the held (copied) latest admissible
-      // payload — the only per-partition state
-      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // payload — the only per-partition state. The head's key/time
+      // projections are cached while the head stands (each projection
+      // writes a distinct reusable buffer, overwritten only by its own
+      // next call — which happens exactly when the head advances), so
+      // a stalled head costs one comparison per left row, zero
+      // projections.
+      var rHead: InternalRow = null
+      var rHeadKey: InternalRow = null
+      var rHeadTime: InternalRow = null
+      def advanceRight(): Unit = {
+        if (rIter.hasNext) {
+          rHead = rIter.next()
+          rHeadKey = rKeyProj(rHead)
+          rHeadTime = rTimeProj(rHead)
+        } else rHead = null
+      }
+      advanceRight()
       var held: InternalRow = null
       var heldKey: InternalRow = null
       lIter.map { l =>
+        val lk = lKeyProj(l)
         var advancing = rHead != null
         while (advancing) {
-          val rk = rKeyProj(rHead)
-          val c = keyOrd.compare(rk, lKeyProj(l))
+          val c = keyOrd.compare(rHeadKey, lk)
           if (c < 0) {
             // right key entirely behind this left key: discard
-            rHead = if (rIter.hasNext) rIter.next() else null
-          } else if (c == 0 &&
-              timeOrd.compare(rTimeProj(rHead), lTimeProj(l)) <= 0) {
+            advanceRight()
+          } else if (c == 0 && timeOrd.compare(rHeadTime, lTimeProj(l)) <= 0) {
             // admissible: later admissible rows overwrite (latest wins)
             held = carriedProj(rHead).copy()
-            heldKey = rk.copy()
-            rHead = if (rIter.hasNext) rIter.next() else null
+            heldKey = rHeadKey.copy()
+            advanceRight()
           } else {
             advancing = false
           }
           if (rHead == null) advancing = false
         }
-        val matched = heldKey != null && keyOrd.compare(heldKey, lKeyProj(l)) == 0
+        val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
         resultProj(joined(l, if (matched) held else nullCarried))
       }
     }
