@@ -1245,6 +1245,21 @@ object SparkEntry {
       graft.ops.Drift.psi(o, neu, "p", width = 50000.0, nBands = 10)
         .orderBy(col("band"))
     }),
+    // exact two-sample KS statistic, banding-free beside PSI: the
+    // distributed prefix scan (range partitions + P-row offsets) keeps
+    // the CDF off a single-partition window; discrepancy compared as
+    // the integer |cumA·nB − cumB·nA|, ONE final division
+    "store_drift_ks" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      graft.ops.Drift.ksStatistic(
+        o.filter(col("o_orderkey") % 2 === 0), col("o_totalprice"),
+        o.filter(col("o_orderkey") % 2 === 1),
+        // +10000 shift below the threshold: exact in decimal AND double,
+        // so the group keys replay identically in the oracle (a float
+        // FACTOR would take different arithmetic paths in the engines)
+        when(col("o_totalprice") < 150000, col("o_totalprice") + 10000)
+          .otherwise(col("o_totalprice")))
+    }),
     // Laplace-mechanism noisy counts (seeded-replay certification of
     // the MECHANISM — production swaps the salt for true randomness)
     "store_dp_counts" -> ((s, d) =>
@@ -3463,11 +3478,17 @@ object SparkEntry {
       "g AS (SELECT g_a, g_b, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM u GROUP BY 1, 2, 3), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS rn FROM g), " +
       "f AS (SELECT g_a, g_b, count(*) AS kp, max(hv) AS h_k, " +
-      "CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM rk WHERE rn <= 256 GROUP BY 1, 2) " +
+      "CAST(sum(in_a * in_b) AS BIGINT) AS n_both, " +
+      "CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_a_only, " +
+      "CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_b_only " +
+      "FROM rk WHERE rn <= 256 GROUP BY 1, 2), " +
+      "fu AS (SELECT f.*, CASE WHEN kp < 256 THEN CAST(kp AS DOUBLE) " +
+      "ELSE 255 * 4294967296.0 / h_k END AS union_est FROM f) " +
       "SELECT g_a, g_b, round(CAST(n_both AS DOUBLE) / kp, 4) AS jaccard_est, " +
-      "round((CAST(n_both AS DOUBLE) / kp) * (CASE WHEN kp < 256 THEN CAST(kp AS DOUBLE) " +
-      "ELSE 255 * 4294967296.0 / h_k END), 4) AS inter_est " +
-      "FROM f ORDER BY g_a, g_b"
+      "round((CAST(n_both AS DOUBLE) / kp) * union_est, 4) AS inter_est, " +
+      "round((CAST(n_a_only AS DOUBLE) / kp) * union_est, 4) AS a_only_est, " +
+      "round((CAST(n_b_only AS DOUBLE) / kp) * union_est, 4) AS b_only_est " +
+      "FROM fu ORDER BY g_a, g_b"
 
   private val hllVocabSql =
     "WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
@@ -4639,6 +4660,22 @@ object SparkEntry {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // same add-one-smoothed shares in the same expression order; the
     // range(10) grid keeps empty bands present on both sides
+    // KS: same per-value counts; the oracle's global cum window is fine
+    // at its scale (the engine side distributes the prefix scan);
+    // integer |cumA·nB − cumB·nA| discrepancy, ONE final division
+    "store_drift_ks" ->
+      ("WITH t AS (SELECT CASE WHEN o_totalprice < 150000 AND o_orderkey % 2 = 1 " +
+        "THEN o_totalprice + 10000 ELSE o_totalprice END AS v, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_a FROM orders), " +
+        "pv AS (SELECT v, CAST(sum(is_a) AS BIGINT) AS n_a, " +
+        "CAST(sum(1 - is_a) AS BIGINT) AS n_b FROM t GROUP BY v), " +
+        "c AS (SELECT v, sum(n_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca, " +
+        "sum(n_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb FROM pv), " +
+        "tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb FROM pv) " +
+        "SELECT round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / " +
+        "CAST((max(na) * max(nb)) AS DOUBLE), 6) AS ks_d, " +
+        "CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b " +
+        "FROM c CROSS JOIN tot"),
     "store_drift_psi" ->
       ("WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders), " +
         "neu AS (SELECT k, CASE WHEN k % 3 = 0 THEN p + 50000.0 ELSE p END AS p " +

@@ -81,4 +81,58 @@ object Drift {
       round(sqrt(sum((col("a") - col("b")) * (col("a") - col("b")))) /
         sqrt(sum(col("a") * col("a"))), 6).as("shift_ratio"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the
+    * banding-free complement of [[psi]]: D = max_v |F_a(v) − F_b(v)|,
+    * the supremum CDF discrepancy, attained at a step point and so
+    * evaluated exactly over the distinct values of the union. PSI's
+    * verdict depends on the band width; KS has no knob, which is why
+    * it is the standard drift TEST (reject at D > c(α)·√((nA+nB)/nA·nB))
+    * where PSI is the drift MONITOR.
+    *
+    * The scale problem is the CDF: a global `ORDER BY v` cumulative
+    * window funnels the whole value set through ONE partition. Here
+    * the prefix sum is DISTRIBUTED: range-partition the per-value
+    * counts by v, take P per-partition subtotals (P rows), turn them
+    * into per-partition starting offsets with a P-row window, and add
+    * local in-partition cumsums — two cheap shuffles plus a broadcast
+    * of P offset rows, no single-partition stage anywhere. The range
+    * exchange is consumed twice (subtotals + local scan) and reused
+    * by Spark's exchange reuse.
+    *
+    * Determinism: counts are integers and the discrepancy is compared
+    * as the integer |cumA·nB − cumB·nA| (exact while nA·nB < 2^63 —
+    * past ~3·10^9 rows per side cast the products to DECIMAL(38,0));
+    * the single final division is the only float op. */
+  def ksStatistic(a: DataFrame, valueA: Column, b: DataFrame, valueB: Column,
+                  parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = a.select(valueA.as("v"), lit(1).as("is_a"))
+      .unionByName(b.select(valueB.as("v"), lit(0).as("is_a")))
+      .groupBy(col("v"))
+      .agg(sum(col("is_a")).as("n_a"), sum(lit(1) - col("is_a")).as("n_b"))
+    val ranged = perValue.repartitionByRange(parts, col("v"))
+      .withColumn("pid", spark_partition_id())
+    val offW = Window.partitionBy(lit(0)).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(sum(col("n_a")).as("pa"), sum(col("n_b")).as("pb"))
+      .select(col("pid"),
+        coalesce(sum(col("pa")).over(offW), lit(0L)).as("off_a"),
+        coalesce(sum(col("pb")).over(offW), lit(0L)).as("off_b"))
+    val localW = Window.partitionBy(col("pid")).orderBy(col("v"))
+    val totals = perValue.agg(sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"))
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .select(col("v"),
+        (sum(col("n_a")).over(localW) + col("off_a")).as("ca"),
+        (sum(col("n_b")).over(localW) + col("off_b")).as("cb"))
+      .crossJoin(broadcast(totals))
+      .agg(
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+      .select(
+        round(col("num").cast("double") / (col("n_a") * col("n_b")).cast("double"), 6)
+          .as("ks_d"),
+        col("n_a"), col("n_b"))
+  }
 }

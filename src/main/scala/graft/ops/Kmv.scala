@@ -116,18 +116,26 @@ object Kmv {
     val ranked = tagged
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+    val unionEst =
+      when(col("kp") < k, col("kp").cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("h_k"))
     ranked.groupBy(col("g_a"), col("g_b"))
       .agg(
         count(lit(1)).as("kp"),
         max(col("hv")).as("h_k"),
-        sum((col("in_a") * col("in_b")).cast("long")).as("n_both"))
+        sum((col("in_a") * col("in_b")).cast("long")).as("n_both"),
+        sum((col("in_a") * (lit(1) - col("in_b"))).cast("long")).as("n_a_only"),
+        sum(((lit(1) - col("in_a")) * col("in_b")).cast("long")).as("n_b_only"))
       .select(
         col("g_a"), col("g_b"),
         round(col("n_both").cast("double") / col("kp"), 4).as("jaccard_est"),
-        round(
-          (col("n_both").cast("double") / col("kp")) *
-            when(col("kp") < k, col("kp").cast("double"))
-              .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("h_k")),
-          4).as("inter_est"))
+        round((col("n_both").cast("double") / col("kp")) * unionEst, 4)
+          .as("inter_est"),
+        // full set algebra from the same union sample: the minima in
+        // exactly one sketch estimate the set differences
+        round((col("n_a_only").cast("double") / col("kp")) * unionEst, 4)
+          .as("a_only_est"),
+        round((col("n_b_only").cast("double") / col("kp")) * unionEst, 4)
+          .as("b_only_est"))
   }
 }

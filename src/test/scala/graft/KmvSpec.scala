@@ -51,11 +51,16 @@ class KmvSpec extends SparkSpec {
         (1 to 300).map(i => ("b", s"w$i")) ++          // b ≡ a
         (1 to 300).map(i => ("c", s"zzz$i")): _*)       // c disjoint
     val sk = Kmv.sketch(df, Seq("g"), col("v"), 64)
-    val out = Kmv.pairOverlap(sk, "g", 64).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    assert(out(("a", "b")) == 1.0)
-    assert(out(("a", "c")) == 0.0)
-    assert(out(("b", "c")) == 0.0)
+    val rows = Kmv.pairOverlap(sk, "g", 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (jAb, _, aOnlyAb, bOnlyAb) = rows(("a", "b"))
+    assert(jAb == 1.0 && aOnlyAb == 0.0 && bOnlyAb == 0.0)
+    val (jAc, interAc, aOnlyAc, _) = rows(("a", "c"))
+    assert(jAc == 0.0 && interAc == 0.0)
+    // disjoint: the a-side difference estimate recovers ~|A| = 300
+    assert(aOnlyAc > 150 && aOnlyAc < 600, s"a_only_est $aOnlyAc")
+    assert(rows(("b", "c"))._1 == 0.0)
   }
 
   test("t-closeness: uniform group → 0, single-valued group → hand-checked TVD") {
