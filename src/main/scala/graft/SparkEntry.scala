@@ -186,6 +186,12 @@ object SparkEntry {
     "rel_q2_min_cost_supplier" -> ((s, d) =>
       StarQueries.q2MinCostSupplier(s, Tables.part(s, d), Tables.supplier(s, d),
         Tables.lineitem(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // market-basket lift: pair generation by self-join ON THE ORDER
+    // KEY (basket-bounded, never catalog²), integer lift products,
+    // one division
+    "rel_basket_lift" -> ((s, d) =>
+      StarQueries.basketLift(Tables.lineitem(s, d), 3, 50)
+        .orderBy(col("rank"))),
     // correlated LATERAL subquery with per-row ORDER BY LIMIT —
     // Catalyst decorrelates to a partitioned rank, certified against
     // the explicit-window oracle
@@ -820,6 +826,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       graft.ops.Classifier.scores(docs, graft.ops.Classifier.train(docs, 20, 10.0))
         .orderBy(col("doc_id"))
+    }),
+    // threshold-free classifier evaluation: exact tie-averaged
+    // Mann–Whitney AUC over the score histogram (integer 2R, one
+    // division) — the eval closer beside the lang-ID confusion matrix
+    "text_lr_auc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Classifier.auc(
+        graft.ops.Classifier.scores(docs, graft.ops.Classifier.train(docs, 20, 10.0)))
     }),
     // token-share mixture rebalancing: per-source keep-rates derived
     // from the corpus's own token totals (downsample-only; the tiny
@@ -4110,6 +4124,20 @@ object SparkEntry {
         "AND s2.s_nationkey = n2.n_nationkey " +
         "AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE') " +
         "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+    // same basket-bounded pair join; lift = n_ab·N / (n_a·n_b)
+    "rel_basket_lift" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li), " +
+        "pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY pk), " +
+        "pr AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2), " +
+        "sc AS (SELECT pa, pb, n_ab, " +
+        "round(CAST(n_ab * n_orders AS DOUBLE) / CAST(ca.n_p * cb.n_p AS DOUBLE), 6) AS lift " +
+        "FROM pr JOIN pc ca ON pr.pa = ca.pk JOIN pc cb ON pr.pb = cb.pk " +
+        "CROSS JOIN n WHERE n_ab >= 3) " +
+        "SELECT pa, pb, n_ab, lift, " +
+        "CAST(row_number() OVER (ORDER BY lift DESC, pa, pb) AS INT) AS rank " +
+        "FROM sc QUALIFY row_number() OVER (ORDER BY lift DESC, pa, pb) <= 50 ORDER BY rank"),
     // the lateral top-2 as an explicit partitioned rank
     "rel_lateral_topk" ->
       ("SELECT c_custkey, o_orderkey, o_totalprice FROM " +
@@ -6055,6 +6083,18 @@ object SparkEntry {
         "FROM (SELECT doc_id, y, " +
         "CAST(CAST(1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) AS FLOAT) AS DOUBLE) AS p " +
         "FROM lrf CROSS JOIN lw20 w) ORDER BY doc_id"),
+    // tie-averaged Mann–Whitney over the rounded-score histogram:
+    // 2R⁺ = Σ np·(r0+r1) integer, one final division
+    "text_lr_auc" ->
+      (s"WITH $lrChainSql, " +
+        "sc AS (SELECT round(CAST(CAST(1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) AS FLOAT) AS DOUBLE), 4) AS prob, y " +
+        "FROM lrf CROSS JOIN lw20 w), " +
+        "g AS (SELECT prob, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np FROM sc GROUP BY prob), " +
+        "c AS (SELECT *, CAST(sum(n) OVER (ORDER BY prob ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1 FROM g), " +
+        "t AS (SELECT CAST(sum(np * (c1 - n + 1 + c1)) AS BIGINT) AS two_r, " +
+        "CAST(sum(np) AS BIGINT) AS npos, CAST(sum(n) - sum(np) AS BIGINT) AS nneg FROM c) " +
+        "SELECT npos AS n_pos, nneg AS n_neg, " +
+        "round(CAST(two_r - npos * (npos + 1) AS DOUBLE) / CAST(2 * npos * nneg AS DOUBLE), 6) AS auc FROM t"),
     // mixture rebalancing: per-source token totals → c = min(toks/share)
     // → rate = least(1, c*share/toks) → 8-hex threshold, all in the
     // same double-op order as Sampling.mixtureRates/hexThreshold

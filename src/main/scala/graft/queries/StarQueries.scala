@@ -744,6 +744,40 @@ object StarQueries {
       round(col("p_retailprice") * 1.1, 2).as("uplifted"),
       concat_ws(":", col("p_brand"), col("p_size")).as("brand_size"))
 
+  /** Market-basket association mining: top-k part pairs co-ordered
+    * more often than independence predicts (lift =
+    * P(a,b) / (P(a)·P(b)), the classic "beer and diapers" statistic).
+    * The pair generator is a SELF-JOIN ON THE ORDER KEY — candidate
+    * pairs share a basket, never the catalog² cross — so pair volume
+    * is Σ_orders C(items, 2), bounded by the basket-size cap (TPC-H:
+    * ≤ 7 lines), linear in orders at any scale. Lift is integer
+    * products (n_ab·N over n_a·n_b) with ONE final division; the
+    * support floor prunes before ranking, and the rank window runs on
+    * the surviving pair frame. */
+  def basketLift(lineitem: DataFrame, minSupport: Int, k: Int): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select(countDistinct(col("ok")).as("n_orders"))
+    val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val w = Window.partitionBy(pmod(hash(col("lift")), lit(1)))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+    pairs
+      .join(perPart.select(col("pk").as("pa"), col("n_p").as("n_a")), Seq("pa"))
+      .join(perPart.select(col("pk").as("pb"), col("n_p").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        round((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Scalar date expression surface over `orders`. */
   def scalarDates(orders: DataFrame): DataFrame = {
     val d = col("o_orderdate").cast("date")
