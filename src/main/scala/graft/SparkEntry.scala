@@ -2093,6 +2093,10 @@ object SparkEntry {
     // min-watermark passes the join bound (state eviction), flushed in
     // one AvailableNow run by per-input sentinels
     "stream_join_outer_counts" -> ((s, d) => streamJoinOuterCounts(s, d)),
+    // streaming as-of: interval join chained into a watermark-windowed
+    // latest-per-click aggregation — TWO stateful operators, one
+    // append-mode query; result ≡ batch as-of with a 6-hour lookback
+    "stream_asof_counts" -> ((s, d) => streamAsofCounts(s, d)),
     // native streaming session_window ≡ the batch lag/gap sessionization
     "stream_session_counts" -> ((s, d) => streamSessionCounts(s, d)),
     // watermark-bounded streaming dedup: admitted set ≡ batch DISTINCT
@@ -3064,6 +3068,69 @@ object SparkEntry {
         count(col("purchase_id")).as("n_matched"),
         sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
       .orderBy(col("user_id"))
+  }
+
+  /** Streaming AS-OF — the family's third leg (batch composed window,
+    * native physical operator, and now IN-FLIGHT): a watermarked
+    * interval join produces each click's candidate purchases, and a
+    * SECOND stateful operator — a watermark-windowed aggregation —
+    * picks the latest per click with `max(struct(p_ts, purchase_id))`
+    * (ties to the larger id, the deterministic tiebreak). Chained
+    * stateful operators in ONE append-mode query are the Spark-4
+    * semantics this certifies: the join's output still carries c_ts's
+    * event-time marker, so the downstream window evicts on the same
+    * watermark. Sentinels on BOTH inputs (the join watermark is the
+    * min) jump it past every real window end; the sentinels' own join
+    * row stays in the open sentinel window and never emits. Lookback
+    * is bounded (6 h), so join state and agg state are both
+    * watermark-bounded — the 100 TB/day shape for streaming feature
+    * lookup. */
+  private def streamAsofCounts(s: SparkSession, d: String): DataFrame = withTempDir("graft-asof-stream") { base =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(id: Long) = s.range(1).select(
+      lit(id).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 6L * 3600 * 1000)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("sentinel").as("event_type"))
+    ev.filter(col("event_type") === "click").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/in_clicks/data")
+    sentinel(-1L).write.mode("overwrite").parquet(s"$base/in_clicks/sentinel")
+    ev.filter(col("event_type") === "purchase").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/in_purch/data")
+    sentinel(-2L).write.mode("overwrite").parquet(s"$base/in_purch/sentinel")
+    val schema = ev.schema
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val clicks = s.readStream.schema(schema).parquet(s"$base/in_clicks/*")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"))
+      val purchases = s.readStream.schema(schema).parquet(s"$base/in_purch/*")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user"))
+      val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 6 HOURS") &&
+          col("p_ts") <= col("c_ts"))
+        .groupBy(window(col("c_ts"), "1 hour"), col("click_id"), col("c_user"))
+        .agg(max(struct(col("p_ts"), col("purchase_id"))).as("best"))
+        .select(col("click_id"), col("c_user").as("user_id"),
+          col("best.purchase_id").as("purchase_id"),
+          date_format(col("best.p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(s"$base/out")
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("click_id"))
   }
 
   /** ST6 under the oracle: watermarked tumbling-window aggregation in
@@ -6128,6 +6195,18 @@ object SparkEntry {
         "round(COALESCE(sum(p.value), 0), 2) AS total_value " +
         "FROM e LEFT JOIN p ON p.pu BETWEEN e.win_s AND e.win_e " +
         "GROUP BY e.err_id ORDER BY err_id"),
+    // streaming as-of ≡ batch: latest purchase per click within the
+    // 6-hour lookback, ties to the larger purchase id
+    "stream_asof_counts" ->
+      ("WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT l.click_id, l.user_id, r.event_id AS purchase_id, r.ts AS p_ts " +
+        "FROM l JOIN r ON l.user_id = r.user_id " +
+        "AND r.ts >= l.ts - INTERVAL '6 hours' AND r.ts <= l.ts) " +
+        "SELECT click_id, user_id, purchase_id, " +
+        "strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts FROM j " +
+        "QUALIFY row_number() OVER (PARTITION BY click_id ORDER BY p_ts DESC, purchase_id DESC) = 1 " +
+        "ORDER BY click_id"),
     // DuckDB's native ASOF JOIN certifies ops.AsOf's window formulation
     "events_asof_join" -> asofBackwardSql,
     // ... and the SAME oracle certifies the custom physical operator
