@@ -91,6 +91,32 @@ class AsOfNativeSpec extends SparkSpec {
     assert(strategies.contains(AsOfJoinStrategy))
   }
 
+  test("pre-partitioned children (mismatched counts, range-on-time) still co-partition") {
+    import spark.implicits._
+    val left = (1 to 500).map(i => (s"u${i % 37}", i.toLong, s"l$i")).toDF("k", "t", "lv")
+    val right = (1 to 300).map(i => (s"u${i % 37}", (i * 2).toLong, s"r$i")).toDF("k", "t", "rv")
+    val expected = graft.ops.AsOf.asofJoinBackward(left, right, "k", "t", Seq("rv"))
+      .orderBy(col("k"), col("t"), col("lv")).collect().toSeq
+    // hash-on-key with a DIFFERENT partition count than the session
+    // default: EnsureRequirements must reconcile the counts
+    val lHash = left.repartition(7, col("k"))
+    val out1 = AsOfJoinNative.asofJoinBackward(lHash, right, "k", "t", Seq("rv"))
+      .orderBy(col("k"), col("t"), col("lv")).collect().toSeq
+    assert(out1 == expected)
+    // RANGE partitioning on the TIME column satisfies no clustering on
+    // the key — the planner must reshuffle, not zip mismatched layouts
+    val lRange = left.repartitionByRange(3, col("t"))
+    val out2 = AsOfJoinNative.asofJoinBackward(lRange, right, "k", "t", Seq("rv"))
+      .orderBy(col("k"), col("t"), col("lv")).collect().toSeq
+    assert(out2 == expected)
+    // and range ON THE KEY: clustered-but-not-hash — whatever the
+    // planner decides (keep or reshuffle), rows must match
+    val lRangeKey = left.repartitionByRange(5, col("k"))
+    val out3 = AsOfJoinNative.asofJoinBackward(lRangeKey, right, "k", "t", Seq("rv"))
+      .orderBy(col("k"), col("t"), col("lv")).collect().toSeq
+    assert(out3 == expected)
+  }
+
   test("empty right side yields all-null carries, not an error") {
     val (left, right) = mk()
     val out = AsOfJoinNative.asofJoinBackward(
