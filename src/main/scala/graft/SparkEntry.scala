@@ -695,6 +695,22 @@ object SparkEntry {
           graft.ops.Kmv.sketch(tok, Seq("lang"), col("word"), 256), "lang", 256)
         .orderBy(col("g_a"), col("g_b"))
     }),
+    // sketch algebra composes with relational rollup: GROUPING SETS
+    // over the register frame (max is idempotent/associative, so every
+    // grouping level's registers ≡ its direct sketch) — per-lang AND
+    // corpus-total vocabulary from ONE sketch pass
+    "text_hll_rollup" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      val sk = graft.ops.Hll.sketch(tok, Seq("lang"), col("word"), 9)
+      val rolled = sk.groupingSets(
+          Seq(Seq(col("lang"), col("register")), Seq(col("register"))),
+          col("lang"), col("register"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      graft.ops.Hll.estimate(rolled, Seq("lang"), 9)
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"), col("n_est"))
+        .orderBy(col("lang"))
+    }),
     // the KMV sketch as STREAMING state: per-batch bottom-k frames fold
     // into the snapshot chain by merge (union + re-min-k) — ≤ k rows
     // per group forever, and min-k associativity makes the final
@@ -834,6 +850,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       graft.ops.Classifier.auc(
         graft.ops.Classifier.scores(docs, graft.ops.Classifier.train(docs, 20, 10.0)))
+    }),
+    // reliability diagram: decile bins, mean predicted probability vs
+    // empirical positive rate — integer sums, one division each
+    "text_lr_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Classifier.calibrationBins(
+        graft.ops.Classifier.scores(docs, graft.ops.Classifier.train(docs, 20, 10.0)))
+        .orderBy(col("bin"))
     }),
     // token-share mixture rebalancing: per-source keep-rates derived
     // from the corpus's own token totals (downsample-only; the tiny
@@ -5978,6 +6002,19 @@ object SparkEntry {
     // estimate = bias-corrected harmonic mean + linear-counting branch,
     // every double exact so the rounded value matches bit-for-bit
     "text_hll_vocab" -> hllVocabSql,
+    // GROUPING SETS pushed into the register build: max associativity
+    // makes each level ≡ its direct sketch
+    "text_hll_rollup" ->
+      ("WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "h AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM tok), " +
+        "r AS (SELECT lang, CAST(hv // 8388608 AS INT) AS register, " +
+        "max(24 - length(ltrim(bin(hv % 8388608), '0'))) AS max_rho FROM h " +
+        "GROUP BY GROUPING SETS ((lang, register), (register))), " +
+        "e AS (SELECT lang, count(*) AS np, sum(power(2.0, -max_rho)) AS sp FROM r GROUP BY lang) " +
+        "SELECT COALESCE(lang, 'ALL') AS lang, round(CASE WHEN raw <= 1280.0 AND (512.0 - np) > 0 " +
+        "THEN 512.0 * ln(512.0 / (512.0 - np)) ELSE raw END, 4) AS n_est " +
+        "FROM (SELECT lang, np, sp, (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / " +
+        "((512.0 - np) + sp) AS raw FROM e) ORDER BY lang"),
     "text_kmv_vocab" -> kmvVocabSql,
     // min-k is associative + idempotent: shard-then-merge ≡ direct
     "text_kmv_merged" -> kmvVocabSql,
@@ -6162,6 +6199,17 @@ object SparkEntry {
         "CAST(sum(np) AS BIGINT) AS npos, CAST(sum(n) - sum(np) AS BIGINT) AS nneg FROM c) " +
         "SELECT npos AS n_pos, nneg AS n_neg, " +
         "round(CAST(two_r - npos * (npos + 1) AS DOUBLE) / CAST(2 * npos * nneg AS DOUBLE), 6) AS auc FROM t"),
+    // calibration: same float-quantized score, exact ten-thousandths
+    "text_lr_calibration" ->
+      (s"WITH $lrChainSql, " +
+        "sc AS (SELECT round(CAST(CAST(1.0/(1.0 + exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3))) AS FLOAT) AS DOUBLE), 4) AS prob, y " +
+        "FROM lrf CROSS JOIN lw20 w), " +
+        "b AS (SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bin, " +
+        "CAST(round(prob * 10000) AS BIGINT) AS p4, y FROM sc) " +
+        "SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+        "round(CAST(sum(p4) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE), 4) AS mean_prob, " +
+        "round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS pos_rate " +
+        "FROM b GROUP BY bin ORDER BY bin"),
     // mixture rebalancing: per-source token totals → c = min(toks/share)
     // → rate = least(1, c*share/toks) → 8-hex threshold, all in the
     // same double-op order as Sampling.mixtureRates/hexThreshold

@@ -138,6 +138,31 @@ object Classifier {
     * qualityFilter discipline: deliberate bounded single partition,
     * keyed to dodge the WindowExec WARN) and a 1-row aggregate.
     * Nothing row-scale ever sorts globally. */
+  /** Calibration (reliability) bins: decile the score, compare each
+    * bin's MEAN predicted probability against its EMPIRICAL positive
+    * rate — the diagram that says whether "p = 0.9" means 90%. A
+    * well-calibrated model tracks the diagonal; distillation drift
+    * shows up here before it moves AUC (AUC is rank-only). Exactness:
+    * both ratios are INTEGER sums with one final division each — the
+    * 4-decimal score becomes exact ten-thousandths (round(p·10⁴)), so
+    * no float accumulates in any aggregation order. Bin floors ride
+    * the rounded score: engine-stable membership. One groupBy. */
+  def calibrationBins(scored: DataFrame, bins: Int = 10,
+                      labelCol: String = "rule_label",
+                      probCol: String = "prob"): DataFrame =
+    scored
+      .select(
+        least(floor(col(probCol) * bins), lit(bins - 1)).cast("int").as("bin"),
+        round(col(probCol) * 10000).cast("long").as("p4"),
+        col(labelCol))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("p4")).cast("double") /
+          (count(lit(1)) * 10000).cast("double"), 4).as("mean_prob"),
+        round(sum(col(labelCol)).cast("double") /
+          count(lit(1)).cast("double"), 4).as("pos_rate"))
+
   def auc(scored: DataFrame, labelCol: String = "rule_label",
           probCol: String = "prob"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
