@@ -41,7 +41,11 @@ object ScaleBench {
     // the composed curation DAG: every stage must inherit its
     // standalone scaling (the components loop is the watch item)
     "pipeline_curation_counts", "pipeline_pack_manifest",
-    "stream_curation_docs")
+    "stream_curation_docs",
+    // seventh-session additions over replicated tables: sketch set ops,
+    // collocations, eval stats, basket pairs, exact-KS prefix scan
+    "text_kmv_vocab", "text_kmv_overlap", "text_llr_bigrams",
+    "text_lr_auc", "text_hll_rollup", "rel_basket_lift", "store_drift_ks")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -111,7 +111,19 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  // the standard operator metrics: output cardinality (= left
+  // cardinality here, every left row emits exactly once) and how many
+  // of them matched — the first thing an operator of the pipeline
+  // checks when an enrichment rate drops
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
     val numCarried = carried.length
@@ -165,6 +177,8 @@ case class AsOfJoinExec(
           if (rHead == null) advancing = false
         }
         val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+        numOutputRows += 1
+        if (matched) numMatchedRows += 1
         resultProj(joined(l, if (matched) held else nullCarried))
       }
     }
