@@ -45,7 +45,11 @@ object ScaleBench {
     // seventh-session additions over replicated tables: sketch set ops,
     // collocations, eval stats, basket pairs, exact-KS prefix scan
     "text_kmv_vocab", "text_kmv_overlap", "text_llr_bigrams",
-    "text_lr_auc", "text_hll_rollup", "rel_basket_lift", "store_drift_ks")
+    "text_lr_auc", "text_hll_rollup", "rel_basket_lift", "store_drift_ks",
+    // the events family at x10 users (disjoint replica universes):
+    // both as-of formulations, sessions, paths, windows
+    "events_asof_join", "events_asof_native", "events_sessions",
+    "events_frequent_paths", "events_tumbling_hourly", "stream_asof_counts")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -149,8 +153,19 @@ object ScaleBench {
       .withColumn("o_orderkey", col("o_orderkey") + keyOff)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$synthDir/orders.parquet")
+    // events replicate xfactor with DISJOINT user universes per
+    // replica (event_id and user_id offset together, timestamps kept):
+    // per-user windows/sessions/as-of scale on the user axis — the
+    // honest 10x for the events family, with no cross-replica joins
+    // read through Tables.events (ts-layout dispatch), so the synth dir
+    // always carries the normalized TIMESTAMP layout
+    graft.sources.Tables.events(spark, baseDir).crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep").cast("long") * 1000000000L)
+      .withColumn("user_id", col("user_id") + col("rep").cast("long") * 10000000L)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$synthDir/events.parquet")
     // dimension passthrough for everything else
-    Seq("region", "nation", "customer", "supplier", "part", "events")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         val src = s"$baseDir/$t.parquet"
         if (new java.io.File(src).exists())

@@ -109,4 +109,40 @@ class PropertiesSpec extends SparkSpec {
       assert(maxErr <= 0.0, s"some dimension exceeded half a quantization step by $maxErr")
     }
   }
+
+  test("as-of property: native physical operator ≡ composed window on random keyed frames") {
+    // random key/time frames with heavy collision rates (few keys, few
+    // distinct times) so equal-timestamp bounds, missing keys and
+    // multi-match carries all occur; right side deduped to one row per
+    // (key, time) as both formulations require
+    val frameGen = for {
+      nl <- Gen.choose(0, 40)
+      nr <- Gen.choose(0, 40)
+      lrows <- Gen.listOfN(nl, for {
+        k <- Gen.choose(1, 6); t <- Gen.choose(1L, 20L)
+      } yield (s"k$k", t))
+      rrows <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1, 6); t <- Gen.choose(1L, 20L)
+      } yield (s"k$k", t))
+    } yield (lrows, rrows)
+    samples(frameGen, 8).foreach { case (lrows, rrows) =>
+      val left = lrows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"l$i") }.toDF("k", "t", "lv")
+      // deterministic dedup (max rv), NOT dropDuplicates — that keeps
+      // an arbitrary row per key and could differ between the two
+      // evaluations under comparison
+      val right = rrows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"r$i") }
+        .toDF("k", "t", "rv")
+        .groupBy(col("k"), col("t")).agg(max(col("rv")).as("rv"))
+      val native = graft.plans.AsOfJoinNative
+        .asofJoinBackward(left, right, "k", "t", Seq("rv"))
+        .orderBy(col("k"), col("t"), col("lv")).collect().toSeq
+      val composed = graft.ops.AsOf
+        .asofJoinBackward(left, right, "k", "t", Seq("rv"))
+        .orderBy(col("k"), col("t"), col("lv")).collect().toSeq
+      assert(native == composed,
+        s"diverged on |L|=${lrows.size} |R|=${rrows.size}")
+    }
+  }
 }
