@@ -192,6 +192,21 @@ object SparkEntry {
     "rel_basket_lift" -> ((s, d) =>
       StarQueries.basketLift(Tables.lineitem(s, d), 3, 50)
         .orderBy(col("rank"))),
+    // BFS blast radius: hop layers from recalled parts over the
+    // co-order graph (frontier-relaxation joins, first-touch = min
+    // hop); the oracle replays it as a RECURSIVE CTE with min-hop
+    // collapse — an independent traversal formulation
+    "rel_part_blast_radius" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      val seeds = li.select(col("pk").as("id")).filter(col("id") < 10)
+      graft.ops.Bfs.hopDistances(e, seeds, 3)
+        .groupBy(col("hop")).agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("hop"))
+    }),
     // correlated LATERAL subquery with per-row ORDER BY LIMIT —
     // Catalyst decorrelates to a partitioned rank, certified against
     // the explicit-window oracle
@@ -4229,6 +4244,16 @@ object SparkEntry {
         "SELECT pa, pb, n_ab, lift, " +
         "CAST(row_number() OVER (ORDER BY lift DESC, pa, pb) AS INT) AS rank " +
         "FROM sc QUALIFY row_number() OVER (ORDER BY lift DESC, pa, pb) <= 50 ORDER BY rank"),
+    // recursive-CTE BFS with hop cap + min-hop collapse ≡ the engine's
+    // frontier relaxation (first touch = min hop)
+    "rel_part_blast_radius" ->
+      ("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "ed AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
+        "bfs AS (SELECT DISTINCT pk AS id, 0 AS hop FROM li WHERE pk < 10 " +
+        "UNION SELECT ed.dst, b.hop + 1 FROM bfs b JOIN ed ON ed.src = b.id WHERE b.hop < 3), " +
+        "d AS (SELECT id, min(hop) AS hop FROM bfs GROUP BY id) " +
+        "SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_parts " +
+        "FROM d GROUP BY hop ORDER BY hop"),
     // the lateral top-2 as an explicit partitioned rank
     "rel_lateral_topk" ->
       ("SELECT c_custkey, o_orderkey, o_totalprice FROM " +

@@ -48,6 +48,23 @@ class EvalSpec extends SparkSpec {
       s"G² new york ${out(("new", "york"))} vs qq zz ${out(("qq", "zz"))}")
   }
 
+  test("BFS hop distances: chain graph layers, cap, unreachable absent") {
+    import spark.implicits._
+    // undirected chain a-b-c-d plus isolated e: seeds {a}, cap 2
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val out = graft.ops.Bfs.hopDistances(edges, seeds, 2).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    // min-hop on a diamond: two paths of different length, first touch wins
+    val dia = Seq(("s", "x"), ("s", "y"), ("x", "t"), ("y", "z"), ("z", "t"))
+      .toDF("src", "dst")
+    val out2 = graft.ops.Bfs.hopDistances(dia, Seq("s").toDF("id"), 4).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out2("t") == 2) // via x, not the 3-hop path via y,z
+  }
+
   test("frequentPaths counts consecutive trigrams per user in time order") {
     import spark.implicits._
     val ev = Seq(
