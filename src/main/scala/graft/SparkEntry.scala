@@ -1681,6 +1681,29 @@ object SparkEntry {
       graft.ops.Ivf.topK(idx, cents, embQueries(s, d), 10, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // the IVF knob sweep as certified data (the banding-tradeoff
+    // pattern applied to nprobe): recall-vs-truth at nprobe 1/2/4
+    // against the same trained index — monotone recall, paid in probed
+    // buckets; the tuning table an operator reads before sizing probes
+    "emb_ivf_nprobe_tradeoff" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = embQueries(s, d)
+      val (idx, cents) = graft.ops.Ivf.index(emb, k = 8, iters = 2)
+      val bf = Similarity.bruteForceTopK(emb, q, 5).select(col("q_id"), col("vec_id"))
+      def arm(np: Int, qa: String, va: String) =
+        graft.ops.Ivf.topK(idx, cents, q, 5, nprobe = np)
+          .select(col("q_id").as(qa), col("vec_id").as(va))
+      bf.join(arm(1, "q1", "v1"),
+          col("q_id") === col("q1") && col("vec_id") === col("v1"), "left")
+        .join(arm(2, "q2", "v2"),
+          col("q_id") === col("q2") && col("vec_id") === col("v2"), "left")
+        .join(arm(4, "q4", "v4"),
+          col("q_id") === col("q4") && col("vec_id") === col("v4"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("v1")).as("hits_np1"), count(col("v2")).as("hits_np2"),
+          count(col("v4")).as("hits_np4"))
+        .orderBy(col("q_id"))
+    }),
     // centroid-bucketed near-dup: same join shape as the sign-bucket
     // variant with learned (data-adaptive) buckets
     "dedup_embedding_ivf" -> ((s, d) =>
@@ -5744,6 +5767,35 @@ object SparkEntry {
         "FROM r JOIN a2 USING (centroid_id) WHERE vec_id <> q_id) " +
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    // three nprobe arms over the SAME trained index (r{np} = routed
+    // centroids, s{np} = bucket-restricted top-5), recall counted
+    // against the a2-corpus brute force
+    "emb_ivf_nprobe_tradeoff" ->
+      (s"WITH $ivfSql, " +
+        "npq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "npbf AS (SELECT q_id, c.vec_id FROM npq CROSS JOIN a2 c WHERE c.vec_id <> npq.q_id " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY round(${cosSql("qe", "c.ve")}, 4) DESC, c.vec_id) <= 5), " +
+        "npr1 AS (SELECT q_id, qe, centroid_id FROM (SELECT q_id, qe, centroid_id, " +
+        s"${cosSql("qe", "ce")} AS csim FROM npq CROSS JOIN c1) " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 1), " +
+        "nps1 AS (SELECT q_id, vec_id FROM npr1 JOIN a2 USING (centroid_id) WHERE vec_id <> q_id " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY round(${cosSql("qe", "ve")}, 4) DESC, vec_id) <= 5), " +
+        "npr2 AS (SELECT q_id, qe, centroid_id FROM (SELECT q_id, qe, centroid_id, " +
+        s"${cosSql("qe", "ce")} AS csim FROM npq CROSS JOIN c1) " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
+        "nps2 AS (SELECT q_id, vec_id FROM npr2 JOIN a2 USING (centroid_id) WHERE vec_id <> q_id " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY round(${cosSql("qe", "ve")}, 4) DESC, vec_id) <= 5), " +
+        "npr4 AS (SELECT q_id, qe, centroid_id FROM (SELECT q_id, qe, centroid_id, " +
+        s"${cosSql("qe", "ce")} AS csim FROM npq CROSS JOIN c1) " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 4), " +
+        "nps4 AS (SELECT q_id, vec_id FROM npr4 JOIN a2 USING (centroid_id) WHERE vec_id <> q_id " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY round(${cosSql("qe", "ve")}, 4) DESC, vec_id) <= 5) " +
+        "SELECT b.q_id AS q_id, CAST(count(a1.vec_id) AS BIGINT) AS hits_np1, " +
+        "CAST(count(a2j.vec_id) AS BIGINT) AS hits_np2, CAST(count(a4.vec_id) AS BIGINT) AS hits_np4 " +
+        "FROM npbf b LEFT JOIN nps1 a1 ON b.q_id = a1.q_id AND b.vec_id = a1.vec_id " +
+        "LEFT JOIN nps2 a2j ON b.q_id = a2j.q_id AND b.vec_id = a2j.vec_id " +
+        "LEFT JOIN nps4 a4 ON b.q_id = a4.q_id AND b.vec_id = a4.vec_id " +
+        "GROUP BY b.q_id ORDER BY b.q_id"),
     "events_tumbling_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value " +
