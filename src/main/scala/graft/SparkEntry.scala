@@ -676,6 +676,17 @@ object SparkEntry {
         .agg(max(col("max_rho")).as("max_rho"))
       graft.ops.Hll.estimate(merged, Seq("lang"), 9).orderBy(col("lang"))
     }),
+    // the custom GENERATOR rung (UDTF-shaped, §2.5): shingle rows
+    // emitted straight off one token split under GenerateExec — no
+    // materialized shingle array per document
+    "text_shingle_rows" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          graft.functions.ShingleGenerator.shingles(col("text"), 5).as("shingle"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("shingle")).as("n_distinct"))
+        .orderBy(col("lang"))),
     // KMV bottom-k sketch: per-lang vocabulary estimate — the
     // SET-OPERATION sketch beside HLL (intersections, which registers
     // cannot do); estimate = exact below k, (k−1)·2^32/h_k above
@@ -6079,6 +6090,15 @@ object SparkEntry {
     // estimate = bias-corrected harmonic mean + linear-counting branch,
     // every double exact so the rounded value matches bit-for-bit
     "text_hll_vocab" -> hllVocabSql,
+    // the generator ≡ the slice formulation: every 5-token window,
+    // single-space joined, trailing-empty tokenization on both sides
+    "text_shingle_rows" ->
+      ("WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT lang, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM w, unnest(range(1, len(w) - 3)) AS t(i)) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct " +
+        "FROM sh GROUP BY lang ORDER BY lang"),
     // GROUPING SETS pushed into the register build: max associativity
     // makes each level ≡ its direct sketch
     "text_hll_rollup" ->

@@ -48,6 +48,28 @@ class EvalSpec extends SparkSpec {
       s"G² new york ${out(("new", "york"))} vs qq zz ${out(("qq", "zz"))}")
   }
 
+  test("ShingleGenerator ≡ the composed array-explode shingles, plans as Generate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "one two"), (3L, "x y z w v"),
+      (4L, ""), (5L, "a a a a a a a")).toDF("doc_id", "text")
+    val gen = docs.select(col("doc_id"),
+      graft.functions.ShingleGenerator.shingles(col("text"), 5).as("shingle"))
+    val composed = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 5,
+        transform(sequence(lit(0), size(col("w")) - 5),
+          i => array_join(slice(col("w"), i + 1, lit(5)), " ")))
+        .otherwise(array())).as("shingle"))
+    val a = gen.orderBy("doc_id", "shingle").collect().toSeq
+    val b = composed.orderBy("doc_id", "shingle").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // and it plans through GenerateExec like any built-in generator
+    val hasGenerate = gen.queryExecution.executedPlan.toString.contains("Generate")
+    assert(hasGenerate, gen.queryExecution.executedPlan.toString)
+  }
+
   test("BFS hop distances: chain graph layers, cap, unreachable absent") {
     import spark.implicits._
     // undirected chain a-b-c-d plus isolated e: seeds {a}, cap 2
