@@ -682,7 +682,8 @@ object SparkEntry {
     "text_shingle_rows" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"),
-          graft.functions.ShingleGenerator.shingles(col("text"), 5).as("shingle"))
+          graft.functions.ShingleGenerator.shingles(col("text"), 5)
+            .as(Seq("pos", "shingle")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_shingles"),
           countDistinct(col("shingle")).as("n_distinct"))

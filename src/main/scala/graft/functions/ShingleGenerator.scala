@@ -11,7 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[VectorExpressions]]), the optimizer-rule rung and the
   * whole-operator rung ([[graft.plans.AsOfJoinExec]]).
   *
-  * Emits one row per word-level n-gram shingle of a text column. The
+  * Emits one (pos, shingle) row per word-level n-gram of a text
+  * column — the position comes free off the sweep, so positional
+  * consumers (dup-span islands) need no posexplode either. The
   * composed formulation (`split` → `transform`+`sequence` →
   * `explode`) MATERIALIZES the full shingle array per document before
   * exploding: a 10 kB document at n = 5 builds a ~50 kB array object
@@ -34,7 +36,9 @@ case class ShingleGenerator(child: Expression, n: Int)
   require(n >= 1, "shingle width must be at least 1")
 
   override def elementSchema: StructType =
-    StructType(StructField("shingle", StringType, nullable = false) :: Nil)
+    StructType(
+      StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false) ::
+        StructField("shingle", StringType, nullable = false) :: Nil)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -62,7 +66,7 @@ case class ShingleGenerator(child: Expression, n: Int)
         if (j < n - 1) parts(2 * j + 1) = space
         j += 1
       }
-      InternalRow(UTF8String.concat(parts: _*))
+      InternalRow(i, UTF8String.concat(parts: _*))
     }
   }
 

@@ -199,12 +199,15 @@ object TextOps {
     * same swap as the shingle pipeline's md5 postings. */
   def bigramLogProb(docs: DataFrame, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
     val tok = withTokens(docs)
-      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = tok
-      .withColumn("prev", lag(col("word"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("doc_id"), col("prev"), col("word"))
+      .select(col("doc_id"), explode(col("words")).as("word"))
+    // bigram pairs off the native 2-shingle generator (map-only; the
+    // lag-window formulation shuffled and sorted every token) — a
+    // token never contains the space it was split on, so the
+    // substring_index split-back is exact
+    val big = shinglePostingsWithPos(docs, 2)
+      .select(col("doc_id"),
+        substring_index(col("shingle"), " ", 1).as("prev"),
+        substring_index(col("shingle"), " ", -1).as("word"))
     val uni = tok.groupBy(col("word")).agg(count(lit(1)).as("uf"))
     val total = tok.agg(count(lit(1)).as("n"))
     val bi = big.groupBy(col("prev"), col("word")).agg(count(lit(1)).as("bf"))
@@ -491,22 +494,27 @@ object TextOps {
     * runs), one shuffle on doc_id, and already in the posting-list shape
     * the candidate joins consume. Multiset-identical to
     * `explode(shingles(words))`. */
-  def shinglePostings(docs: DataFrame, n: Int = 3): DataFrame = {
-    // native generator ([[graft.functions.ShingleGenerator]]): rows
-    // straight off one token split under GenerateExec — MAP-ONLY. The
-    // previous posexplode + per-doc lead-window formulation shuffled
-    // and SORTED the entire token-level frame just to pair neighbors;
-    // at sf0.1 that is a 33% warm win where the shingle build
-    // dominates (dedup_minhash_buckets 1.77 → 1.18 s) and neutral
-    // where the pair join does (dedup_jaccard_pairs) — at 100 TB the
-    // removed exchange is corpus-token-scale, the family's single
-    // largest avoidable shuffle.
+  def shinglePostings(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglePostingsWithPos(docs, n).select(col("doc_id"), col("shingle"))
+
+  /** Positional shingle postings (doc_id, pos, shingle) via the native
+    * generator ([[graft.functions.ShingleGenerator]]): rows straight
+    * off one token split under GenerateExec — MAP-ONLY. The previous
+    * posexplode + per-doc lead-window formulation shuffled and SORTED
+    * the entire token-level frame just to pair neighbors; at sf0.1
+    * that is a 33% warm win where the shingle build dominates
+    * (dedup_minhash_buckets 1.77 → 1.18 s) and neutral where the pair
+    * join does (dedup_jaccard_pairs) — at 100 TB the removed exchange
+    * is corpus-token-scale, the text family's single largest
+    * avoidable shuffle. */
+  def shinglePostingsWithPos(docs: DataFrame, n: Int): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     val nFiles = docs.inputFiles.length
     val spread =
       if (nFiles > 0 && nFiles < target) docs.repartition(target) else docs
     spread.select(col("doc_id"),
-      graft.functions.ShingleGenerator.shingles(col("text"), n).as("shingle"))
+      graft.functions.ShingleGenerator.shingles(col("text"), n)
+        .as(Seq("pos", "shingle")))
   }
 
   /** Document fingerprint: minimum md5 over the doc's 3-gram shingles —
@@ -577,13 +585,9 @@ object TextOps {
     * fingerprints discipline). */
   def dupMaxRun(docs: DataFrame, n: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("word"), i).over(w).as(s"w$i"))
-    val posts = withTokens(docs)
-      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
-      .select((col("doc_id") +: col("pos") +: col("word") +: leads): _*)
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("word") +: (1 until n).map(i => col(s"w$i")): _*).as("shingle"))
+    // positional postings off the native generator — map-only; the
+    // only windows left are the islands passes over the df>1 subset
+    val posts = shinglePostingsWithPos(docs, n)
     val docFreq = posts.select(col("doc_id"), col("shingle")).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // gaps-and-islands over the duplicated positions: consecutive pos

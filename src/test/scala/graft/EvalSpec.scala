@@ -54,7 +54,9 @@ class EvalSpec extends SparkSpec {
       (1L, "a b c d e f"), (2L, "one two"), (3L, "x y z w v"),
       (4L, ""), (5L, "a a a a a a a")).toDF("doc_id", "text")
     val gen = docs.select(col("doc_id"),
-      graft.functions.ShingleGenerator.shingles(col("text"), 5).as("shingle"))
+        graft.functions.ShingleGenerator.shingles(col("text"), 5)
+          .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("shingle"))
     val composed = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= 5,
