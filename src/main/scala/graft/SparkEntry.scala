@@ -676,6 +676,81 @@ object SparkEntry {
         .agg(max(col("max_rho")).as("max_rho"))
       graft.ops.Hll.estimate(merged, Seq("lang"), 9).orderBy(col("lang"))
     }),
+    // Zipf rank-frequency fit over the top-200 terms: log-log OLS with
+    // ln values quantized to integer ten-thousandths, so every sum is
+    // EXACT under any aggregation order (scaling cancels in the
+    // slope); r² as the product of two exact-integer ratios. Global
+    // top-k through BoundedTopK — vocabulary never crosses one window
+    "text_zipf_slope" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      val top = tf
+        .select(struct(negate(col("f")).as("nf"), col("word").as("w")).as("c"))
+        .agg(graft.functions.TopK.topKSmallest(col("c"), 200).as("tk"))
+        .select(posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(
+          round(log((col("pos") + 1).cast("double")) * 10000).cast("long").as("x4"),
+          round(log(negate(col("e.nf")).cast("double")) * 10000).cast("long").as("y4"))
+      top
+        .agg(count(lit(1)).as("n"), sum(col("x4")).as("sx"), sum(col("y4")).as("sy"),
+          sum(col("x4") * col("y4")).as("sxy"), sum(col("x4") * col("x4")).as("sxx"),
+          sum(col("y4") * col("y4")).as("syy"))
+        .select(
+          col("n").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+            .as("zipf_slope"),
+          round(
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+            .as("r2"))
+    }),
+    // Heaps' law: TYPE-growth exponent over 8 cumulative corpus
+    // prefixes (doc_id-bucket unions) — V(n) ≈ K·n^β, the statistic
+    // that predicts distinct-content volume (and sketch/dedup-state
+    // sizing) at 100 TB from a sample. Types are 3-gram shingles (the
+    // dedup unit; the synthetic corpus's WORD vocabulary saturates in
+    // one bucket, a degenerate fit). Cumulative type count via
+    // per-type MIN bucket — no prefix re-scan; same quantized-integer
+    // OLS as text_zipf_slope
+    "text_heaps_law" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select((col("doc_id") % 8).cast("int").as("b"),
+          graft.functions.ShingleGenerator.shingles(col("text"), 3)
+            .as(Seq("pos", "word")))
+        .select(col("b"), col("word"))
+      val perB = tok.groupBy(col("b")).agg(count(lit(1)).as("nt"))
+      val vocabB = tok.groupBy(col("word")).agg(min(col("b")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(hash(col("b")), lit(1))).orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val pts = perB.join(vocabB, Seq("b"), "left")
+        .select(col("b"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+        .select(col("b"), sum(col("nt")).over(w).as("ct"), sum(col("nv")).over(w).as("cv"))
+        .select(
+          round(log(col("ct").cast("double")) * 10000).cast("long").as("x4"),
+          round(log(col("cv").cast("double")) * 10000).cast("long").as("y4"))
+      pts
+        .agg(count(lit(1)).as("n"), sum(col("x4")).as("sx"), sum(col("y4")).as("sy"),
+          sum(col("x4") * col("y4")).as("sxy"), sum(col("x4") * col("x4")).as("sxx"),
+          sum(col("y4") * col("y4")).as("syy"))
+        .select(
+          col("n").as("n_points"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+            .as("heaps_beta"),
+          round(
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+            .as("r2"))
+    }),
     // the custom GENERATOR rung (UDTF-shaped, §2.5): shingle rows
     // emitted straight off one token split under GenerateExec — no
     // materialized shingle array per document
@@ -6091,6 +6166,44 @@ object SparkEntry {
     // estimate = bias-corrected harmonic mean + linear-counting branch,
     // every double exact so the rounded value matches bit-for-bit
     "text_hll_vocab" -> hllVocabSql,
+    // cumulative 3-gram type count by per-type min bucket; same
+    // exact-integer OLS
+    "text_heaps_law" ->
+      ("WITH wd AS (SELECT CAST(doc_id % 8 AS INT) AS b, string_split(text, ' ') AS w FROM documents), " +
+        "tok AS (SELECT b, array_to_string(w[i:i+2], ' ') AS word " +
+        "FROM wd, unnest(range(1, len(w) - 1)) AS t(i)), " +
+        "pb AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY b), " +
+        "vb AS (SELECT b, CAST(count(*) AS BIGINT) AS nv FROM " +
+        "(SELECT word, CAST(min(b) AS INT) AS b FROM tok GROUP BY word) GROUP BY b), " +
+        "cm AS (SELECT pb.b, CAST(sum(nt) OVER (ORDER BY pb.b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct, " +
+        "CAST(sum(COALESCE(nv, 0)) OVER (ORDER BY pb.b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cv " +
+        "FROM pb LEFT JOIN vb ON pb.b = vb.b), " +
+        "sc AS (SELECT CAST(round(ln(CAST(ct AS DOUBLE)) * 10000) AS BIGINT) AS x4, " +
+        "CAST(round(ln(CAST(cv AS DOUBLE)) * 10000) AS BIGINT) AS y4 FROM cm), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x4) AS BIGINT) AS sx, " +
+        "CAST(sum(y4) AS BIGINT) AS sy, CAST(sum(x4 * y4) AS BIGINT) AS sxy, " +
+        "CAST(sum(x4 * x4) AS BIGINT) AS sxx, CAST(sum(y4 * y4) AS BIGINT) AS syy FROM sc) " +
+        "SELECT n AS n_points, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS heaps_beta, " +
+        "round((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+        "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r2 " +
+        "FROM a"),
+    // quantized-integer OLS: every sum exact, two final divisions
+    "text_zipf_slope" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY word), " +
+        "top AS (SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rank FROM tf " +
+        "QUALIFY row_number() OVER (ORDER BY f DESC, word) <= 200), " +
+        "sc AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT) AS x4, " +
+        "CAST(round(ln(CAST(f AS DOUBLE)) * 10000) AS BIGINT) AS y4 FROM top), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x4) AS BIGINT) AS sx, " +
+        "CAST(sum(y4) AS BIGINT) AS sy, CAST(sum(x4 * y4) AS BIGINT) AS sxy, " +
+        "CAST(sum(x4 * x4) AS BIGINT) AS sxx, CAST(sum(y4 * y4) AS BIGINT) AS syy FROM sc) " +
+        "SELECT n AS n_terms, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope, " +
+        "round((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+        "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r2 " +
+        "FROM a"),
     // the generator ≡ the slice formulation: every 5-token window,
     // single-space joined, trailing-empty tokenization on both sides
     "text_shingle_rows" ->
