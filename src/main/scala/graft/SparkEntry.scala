@@ -763,6 +763,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shingles"),
           countDistinct(col("shingle")).as("n_distinct"))
         .orderBy(col("lang"))),
+    // ... and the generator's SQL surface: registered like
+    // cosine_similarity, `LATERAL VIEW`-free SELECT-position generator
+    // in plain SQL — same oracle as the Column-API path
+    "text_shingle_sql" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.FunctionBridge.registerFunction(
+        s, graft.functions.ShingleGenerator.shinglesFunction)
+      Tables.documents(s, d).createOrReplaceTempView("shingle_sql_docs")
+      s.sql(
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_shingles,
+          |       CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+          |FROM (SELECT lang, shingles(text, 5) FROM shingle_sql_docs)
+          |GROUP BY lang ORDER BY lang
+          |""".stripMargin)
+    }),
     // KMV bottom-k sketch: per-lang vocabulary estimate — the
     // SET-OPERATION sketch beside HLL (intersections, which registers
     // cannot do); estimate = exact below k, (k−1)·2^32/h_k above
@@ -6206,6 +6220,14 @@ object SparkEntry {
         "FROM a"),
     // the generator ≡ the slice formulation: every 5-token window,
     // single-space joined, trailing-empty tokenization on both sides
+    // (the SQL-function path must land on the identical frame)
+    "text_shingle_sql" ->
+      ("WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT lang, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM w, unnest(range(1, len(w) - 3)) AS t(i)) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct " +
+        "FROM sh GROUP BY lang ORDER BY lang"),
     "text_shingle_rows" ->
       ("WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT lang, array_to_string(w[i:i+4], ' ') AS shingle " +

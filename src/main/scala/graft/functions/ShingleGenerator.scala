@@ -82,4 +82,24 @@ object ShingleGenerator {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       ShingleGenerator(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
+  /** SQL surface: `SELECT shingles(text, 5) ...` plans the same
+    * generator — registered via GraftExtensions.injectFunction or
+    * FunctionBridge, the cosine_similarity split. The width must be a
+    * foldable integer literal (it shapes the operator). */
+  val shinglesFunction: (
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("shingles"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ShingleGenerator].getName, "shingles"),
+    {
+      case Seq(text, n) if n.foldable =>
+        ShingleGenerator(text,
+          n.eval(null).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        "shingles expects (text, <int literal width>), got " +
+          s"${other.length} argument(s)")
+    })
 }

@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // cosine_similarity(a, b) plans the same codegen'd expression the
     // Column API uses
     ext.injectFunction(graft.functions.VectorExpressions.cosineFunction)
+    // SQL surface for the native shingle generator: SELECT
+    // shingles(text, 5) plans the same GenerateExec the Column API does
+    ext.injectFunction(graft.functions.ShingleGenerator.shinglesFunction)
   }
 }
 
