@@ -2061,6 +2061,24 @@ object SparkEntry {
           col("near_purchase_id").as("purchase_id"), col("near_t").as("purchase_t"))
         .orderBy(col("user_id"), col("click_id"))
     }),
+    // ... and the NEAREST variant through the native operator: the
+    // stalled merge head IS the forward candidate, so min-|Δt| falls
+    // out of the same sweep — same query, same oracle as the composed
+    // events_asof_nearest
+    "events_asof_nearest_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("t"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.plans.AsOfJoinNative.asofJoinNearest(clicks, purchases, "user_id", "t",
+          Seq("purchase_id"))
+        .select(col("user_id"), col("click_id"),
+          col("near_purchase_id").as("purchase_id"), col("near_t").as("purchase_t"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
     // interval×interval overlap join (binned, per-user): click and
     // purchase attention windows that overlap — the temporal-conflict
     // shape; pairs come from shared (user, bin) equi-joins, multi-bin
@@ -3685,6 +3703,20 @@ object SparkEntry {
       "FROM top CROSS JOIN range(0, 4) t(i)) " +
       "SELECT word, freq, min(cnt) AS n_est FROM probes JOIN sk USING (row, bucket) " +
       "GROUP BY word, freq ORDER BY freq DESC, word"
+
+  /** min-|Δt| nearest as-of (ties: earlier right, then larger id via
+    * the pre-dedup) — shared by the composed two-window formulation
+    * and the native merge-sweep nearest. */
+  private val asofNearestSql =
+    "WITH nlc AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t " +
+      "FROM events WHERE event_type = 'click'), " +
+      "nrp AS (SELECT user_id, epoch_us(ts) AS t, max(event_id) AS purchase_id " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+      "SELECT user_id, click_id, purchase_id, rt AS purchase_t FROM " +
+      "(SELECT l.user_id, l.click_id, r.purchase_id, r.t AS rt, abs(l.t - r.t) AS dt " +
+      "FROM nlc l LEFT JOIN nrp r USING (user_id)) " +
+      "QUALIFY row_number() OVER (PARTITION BY user_id, click_id ORDER BY dt, rt) = 1 " +
+      "ORDER BY user_id, click_id"
 
   /** DuckDB's native ASOF JOIN — the shared oracle for BOTH as-of
     * formulations (composed window and native physical operator). */
@@ -5998,16 +6030,9 @@ object SparkEntry {
     // quadratic-per-key ground truth: rank every purchase by |Δt|
     // then (earlier first) and keep the winner; clicks with no
     // purchase on the key survive with nulls via the LEFT JOIN
-    "events_asof_nearest" ->
-      ("WITH nlc AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t " +
-        "FROM events WHERE event_type = 'click'), " +
-        "nrp AS (SELECT user_id, epoch_us(ts) AS t, max(event_id) AS purchase_id " +
-        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
-        "SELECT user_id, click_id, purchase_id, rt AS purchase_t FROM " +
-        "(SELECT l.user_id, l.click_id, r.purchase_id, r.t AS rt, abs(l.t - r.t) AS dt " +
-        "FROM nlc l LEFT JOIN nrp r USING (user_id)) " +
-        "QUALIFY row_number() OVER (PARTITION BY user_id, click_id ORDER BY dt, rt) = 1 " +
-        "ORDER BY user_id, click_id"),
+    "events_asof_nearest" -> asofNearestSql,
+    // the native merge-sweep nearest under the SAME oracle
+    "events_asof_nearest_native" -> asofNearestSql,
     // brute-force theta ground truth for the binned overlap join
     "events_overlap_join" ->
       ("WITH oa AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS a_start, " +

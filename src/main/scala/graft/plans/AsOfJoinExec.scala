@@ -51,7 +51,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[NamedExpression],
-    carried: Seq[Attribute])
+    carried: Seq[Attribute],
+    nearest: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ carried
   // `carried` springs into existence here (the matched right payload,
@@ -69,8 +70,9 @@ case class AsOfJoinPlan(
   * optimizer rules. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, carried) =>
-      AsOfJoinExec(lk, rk, lt, rt, payload, carried, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, carried, nearest) =>
+      AsOfJoinExec(lk, rk, lt, rt, payload, carried,
+        planLater(l), planLater(r), nearest) :: Nil
     case _ => Nil
   }
 }
@@ -89,7 +91,8 @@ case class AsOfJoinExec(
     payload: Seq[NamedExpression],
     carried: Seq[Attribute],
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    nearest: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ carried
@@ -176,10 +179,29 @@ case class AsOfJoinExec(
           }
           if (rHead == null) advancing = false
         }
-        val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+        val backMatch = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+        // NEAREST mode: the stalled head is by construction the FIRST
+        // right row strictly after the left time on this key — the
+        // forward candidate comes free out of the same sweep. Equal-
+        // timestamp rows were consumed into `held` with Δt = 0, which
+        // the ≤ tie-break below resolves to backward, exactly the
+        // composed asofJoinNearest contract. Time must be integral
+        // (the API wrapper enforces LongType) and the carried layout
+        // puts the right time LAST — both helper contracts.
+        val fwdMatch = nearest && rHead != null &&
+          keyOrd.compare(rHeadKey, lk) == 0
+        val chosen: InternalRow =
+          if (backMatch && fwdMatch) {
+            val lt = lTimeProj(l).getLong(0)
+            val bt = held.getLong(numCarried - 1)
+            val ft = rHeadTime.getLong(0)
+            if (lt - bt <= ft - lt) held else carriedProj(rHead)
+          } else if (backMatch) held
+          else if (fwdMatch) carriedProj(rHead)
+          else null
         numOutputRows += 1
-        if (matched) numMatchedRows += 1
-        resultProj(joined(l, if (matched) held else nullCarried))
+        if (chosen != null) numMatchedRows += 1
+        resultProj(joined(l, if (chosen != null) chosen else nullCarried))
       }
     }
   }
@@ -199,7 +221,35 @@ object AsOfJoinNative {
       key: String,
       time: String,
       payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    build(leftDf, rightDf, key, time, payloadCols, prefix, nearest = false)
+
+  /** NEAREST native as-of — same signature and semantics as
+    * [[graft.ops.AsOf.asofJoinNearest]] (min |Δt|, ties to the earlier
+    * right row). `time` must be LongType on both sides (the sweep
+    * subtracts it; pass `unix_micros(ts)`, exactly as the composed
+    * formulation requires numerics). */
+  def asofJoinNearest(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      key: String,
+      time: String,
+      payloadCols: Seq[String],
+      prefix: String = "near_"): DataFrame = {
+    require(leftDf.schema(time).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"nearest as-of needs a LongType time column, got ${leftDf.schema(time).dataType}")
+    build(leftDf, rightDf, key, time, payloadCols, prefix, nearest = true)
+  }
+
+  private def build(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      key: String,
+      time: String,
+      payloadCols: Seq[String],
+      prefix: String,
+      nearest: Boolean): DataFrame = {
     val spark = leftDf.sparkSession
     install(spark)
     val lPlan = leftDf.queryExecution.analyzed
@@ -226,7 +276,8 @@ object AsOfJoinNative {
     val carried: Seq[Attribute] =
       payload.map(p => AttributeReference(p.name, p.dataType, nullable = true)())
     PlanBridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lk, rAttr(key), lt, rAttr(time), payload, carried))
+      AsOfJoinPlan(lPlan, rPlan, lk, rAttr(key), lt, rAttr(time), payload,
+        carried, nearest))
   }
 
   /** Idempotently register the strategy on the session (runtime path;

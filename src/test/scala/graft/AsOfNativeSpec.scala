@@ -117,6 +117,31 @@ class AsOfNativeSpec extends SparkSpec {
     assert(out3 == expected)
   }
 
+  test("nearest native ≡ composed: forward-only, backward-only, equidistant tie") {
+    import spark.implicits._
+    val left = Seq(
+      ("u1", 10L, "la"),  // backward r@8 (d2) vs forward r@13 (d3) → backward
+      ("u1", 12L, "lb"),  // backward r@8 (d4) vs forward r@13 (d1) → forward
+      ("u2", 5L, "lc"),   // forward-only r@9
+      ("u3", 9L, "ld"),   // backward-only r@4
+      ("u4", 7L, "le"),   // equidistant r@5 / r@9 → earlier (backward)
+      ("u5", 1L, "lf")    // no right rows at all
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      ("u1", 8L, "r8"), ("u1", 13L, "r13"),
+      ("u2", 9L, "r9"), ("u3", 4L, "r4"),
+      ("u4", 5L, "r5"), ("u4", 9L, "r9b")
+    ).toDF("k", "t", "rv")
+    val native = AsOfJoinNative.asofJoinNearest(left, right, "k", "t", Seq("rv"))
+      .orderBy(col("k"), col("t")).collect().toSeq
+    val composed = graft.ops.AsOf.asofJoinNearest(left, right, "k", "t", Seq("rv"))
+      .orderBy(col("k"), col("t")).collect().toSeq
+    assert(native == composed)
+    val picks = native.map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(picks == Map("la" -> Some("r8"), "lb" -> Some("r13"),
+      "lc" -> Some("r9"), "ld" -> Some("r4"), "le" -> Some("r5"), "lf" -> None))
+  }
+
   test("empty right side yields all-null carries, not an error") {
     val (left, right) = mk()
     val out = AsOfJoinNative.asofJoinBackward(
