@@ -1042,6 +1042,27 @@ object SparkEntry {
         .groupBy(col("labeled_lang"), col("guessed_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("labeled_lang"), col("guessed_lang"))),
+    // chance-corrected agreement: Cohen's κ between the label and the
+    // guess — (N·Σn_ii − Σr_i·c_i) / (N² − Σr_i·c_i), every moment an
+    // exact integer, ONE final division. Accuracy alone overstates a
+    // gate whose classes are imbalanced; κ is the number reviewers ask
+    // for next to the confusion matrix
+    "text_lang_kappa" -> ((s, d) => {
+      val cm = TextOps.langId(Tables.documents(s, d))
+        .groupBy(col("labeled_lang"), col("guessed_lang"))
+        .agg(count(lit(1)).as("n"))
+      val agree = cm.filter(col("labeled_lang") === col("guessed_lang"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_agree"))
+      val marg = cm.groupBy(col("labeled_lang")).agg(sum(col("n")).as("r"))
+        .join(cm.groupBy(col("guessed_lang")).agg(sum(col("n")).as("c")),
+          col("labeled_lang") === col("guessed_lang"))
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("s_rc"))
+      val tot = cm.agg(sum(col("n")).as("nn"))
+      agree.crossJoin(marg).crossJoin(tot)
+        .select(col("nn").as("n_docs"),
+          round((col("nn") * col("n_agree") - col("s_rc")).cast("double") /
+            (col("nn") * col("nn") - col("s_rc")).cast("double"), 4).as("kappa"))
+    }),
     // markup extraction over a deterministic HTML wrapper exercising
     // every rule: script block (with attrs + entity soup) dropped
     // content-wise, tags stripped, entities decoded in safe order
@@ -4635,6 +4656,23 @@ object SparkEntry {
         "len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','ein'))) AS de, " +
         "len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','y','que','un'))) AS es " +
         "FROM documents)) GROUP BY 1, 2 ORDER BY 1, 2"),
+    // κ from the same confusion counts: integer moments, one division
+    "text_lang_kappa" ->
+      ("WITH cm AS (SELECT labeled_lang, guessed_lang, CAST(count(*) AS BIGINT) AS n FROM " +
+        "(SELECT lang AS labeled_lang, " +
+        "CASE WHEN en >= de AND en >= es THEN 'en' WHEN de >= es THEN 'de' ELSE 'es' END AS guessed_lang FROM " +
+        "(SELECT lang, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS en, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','ein'))) AS de, " +
+        "len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','y','que','un'))) AS es " +
+        "FROM documents)) GROUP BY 1, 2), " +
+        "ag AS (SELECT CAST(COALESCE(sum(CASE WHEN labeled_lang = guessed_lang THEN n END), 0) AS BIGINT) AS n_agree FROM cm), " +
+        "rr AS (SELECT labeled_lang AS k, CAST(sum(n) AS BIGINT) AS r FROM cm GROUP BY 1), " +
+        "cc AS (SELECT guessed_lang AS k, CAST(sum(n) AS BIGINT) AS c FROM cm GROUP BY 1), " +
+        "pp AS (SELECT CAST(COALESCE(sum(rr.r * cc.c), 0) AS BIGINT) AS s_rc FROM rr JOIN cc USING (k)), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cm) " +
+        "SELECT nn AS n_docs, round(CAST(nn * n_agree - s_rc AS DOUBLE) / " +
+        "CAST(nn * nn - s_rc AS DOUBLE), 4) AS kappa FROM ag CROSS JOIN pp CROSS JOIN tt"),
     "text_fingerprints" ->
       (s"SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint " +
         s"FROM ($shingleSql) ORDER BY doc_id"),
