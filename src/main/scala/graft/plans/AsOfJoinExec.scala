@@ -46,8 +46,8 @@ import org.apache.spark.sql.graftbridge.PlanBridge
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[NamedExpression],
@@ -70,8 +70,8 @@ case class AsOfJoinPlan(
   * optimizer rules. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, carried, nearest) =>
-      AsOfJoinExec(lk, rk, lt, rt, payload, carried,
+    case AsOfJoinPlan(l, r, lks, rks, lt, rt, payload, carried, nearest) =>
+      AsOfJoinExec(lks, rks, lt, rt, payload, carried,
         planLater(l), planLater(r), nearest) :: Nil
     case _ => Nil
   }
@@ -84,8 +84,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   * scratch rows — O(1) state regardless of partition size, no
   * per-key buffering at all. */
 case class AsOfJoinExec(
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[NamedExpression],
@@ -102,17 +102,17 @@ case class AsOfJoinExec(
   // number of clustering expressions → EnsureRequirements makes the
   // exchanges co-partitioned), sort within partitions by (key, time)
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) ::
-      ClusteredDistribution(rightKey :: Nil) :: Nil
+    ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   // left rows pass through in order with columns appended — partitioning
   // and ordering survive, so a downstream per-key op reuses both
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
   // the standard operator metrics: output cardinality (= left
   // cardinality here, every left row emits exactly once) and how many
@@ -127,16 +127,16 @@ case class AsOfJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val numMatchedRows = longMetric("numMatchedRows")
-    val keyType = leftKey.dataType
+    val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val numCarried = carried.length
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(Seq(leftKey), left.output)
-      val rKeyProj = UnsafeProjection.create(Seq(rightKey), right.output)
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
       val lTimeProj = UnsafeProjection.create(Seq(leftTime), left.output)
       val rTimeProj = UnsafeProjection.create(Seq(rightTime), right.output)
       val carriedProj = UnsafeProjection.create(payload, right.output)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val nullCarried: InternalRow = new GenericInternalRow(numCarried)
       val joined = new JoinedRow
@@ -222,7 +222,19 @@ object AsOfJoinNative {
       time: String,
       payloadCols: Seq[String],
       prefix: String = "asof_"): DataFrame =
-    build(leftDf, rightDf, key, time, payloadCols, prefix, nearest = false)
+    build(leftDf, rightDf, Seq(key), time, payloadCols, prefix, nearest = false)
+
+  /** COMPOSITE-key backward as-of — e.g. (tenant, user): the cluster
+    * distribution, child orderings and merge comparator all widen to
+    * the key list; the sweep is unchanged. */
+  def asofJoinBackwardKeys(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keys: Seq[String],
+      time: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    build(leftDf, rightDf, keys, time, payloadCols, prefix, nearest = false)
 
   /** NEAREST native as-of — same signature and semantics as
     * [[graft.ops.AsOf.asofJoinNearest]] (min |Δt|, ties to the earlier
@@ -239,17 +251,18 @@ object AsOfJoinNative {
     require(leftDf.schema(time).dataType ==
       org.apache.spark.sql.types.LongType,
       s"nearest as-of needs a LongType time column, got ${leftDf.schema(time).dataType}")
-    build(leftDf, rightDf, key, time, payloadCols, prefix, nearest = true)
+    build(leftDf, rightDf, Seq(key), time, payloadCols, prefix, nearest = true)
   }
 
   private def build(
       leftDf: DataFrame,
       rightDf: DataFrame,
-      key: String,
+      keys: Seq[String],
       time: String,
       payloadCols: Seq[String],
       prefix: String,
       nearest: Boolean): DataFrame = {
+    require(keys.nonEmpty, "as-of needs at least one key column")
     val spark = leftDf.sparkSession
     install(spark)
     val lPlan = leftDf.queryExecution.analyzed
@@ -267,7 +280,7 @@ object AsOfJoinNative {
     // Project output attrs: resolve against the aliased projection
     val rOut: Seq[Attribute] = rPlan.output
     def rAttr(name: String): Attribute = rOut.find(_.name == name).get
-    val lk = attr(lPlan, key)
+    val lks = keys.map(attr(lPlan, _))
     val lt = attr(lPlan, time)
     require(rAttr(time).dataType == lt.dataType,
       s"time type mismatch: ${lt.dataType} vs ${rAttr(time).dataType}")
@@ -276,7 +289,7 @@ object AsOfJoinNative {
     val carried: Seq[Attribute] =
       payload.map(p => AttributeReference(p.name, p.dataType, nullable = true)())
     PlanBridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lk, rAttr(key), lt, rAttr(time), payload,
+      AsOfJoinPlan(lPlan, rPlan, lks, keys.map(rAttr), lt, rAttr(time), payload,
         carried, nearest))
   }
 

@@ -142,6 +142,22 @@ class AsOfNativeSpec extends SparkSpec {
       "lc" -> Some("r9"), "ld" -> Some("r4"), "le" -> Some("r5"), "lf" -> None))
   }
 
+  test("composite keys: (tenant, user) clusters, matches only within both keys") {
+    import spark.implicits._
+    val left = Seq(
+      ("t1", "u1", 10L, "a"), ("t2", "u1", 10L, "b"), ("t1", "u2", 10L, "c")
+    ).toDF("tenant", "k", "t", "lv")
+    val right = Seq(
+      ("t1", "u1", 5L, "r_t1u1"), ("t2", "u1", 6L, "r_t2u1")
+    ).toDF("tenant", "k", "t", "rv")
+    val out = AsOfJoinNative
+      .asofJoinBackwardKeys(left, right, Seq("tenant", "k"), "t", Seq("rv"))
+      .orderBy(col("tenant"), col("k"))
+      .collect().map(r => r.getString(3) -> Option(r.getString(4))).toMap
+    // same user in two tenants must NOT cross-match; (t1, u2) has no row
+    assert(out == Map("a" -> Some("r_t1u1"), "b" -> Some("r_t2u1"), "c" -> None))
+  }
+
   test("bucketed layout plans the native as-of with ZERO exchanges") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
