@@ -1353,6 +1353,46 @@ object SparkEntry {
       graft.sources.FileSkip.scanPrunedEq(s, s"$base/orders", "o_custkey", 42L)
         .orderBy(col("o_orderkey"))
     }),
+    // the graft-segment DataSource V2 connector (sources/segment/): the
+    // FileSkip idea moved INSIDE the planner — orders written through
+    // the native table format with range clustering demanded by the
+    // write (RequiresDistributionAndOrdering), read back through the
+    // connector with the filter PUSHED (SupportsPushDownFilters) so
+    // whole segments prune against manifest zone maps before any task
+    // launches; every filter stays residual, so the answer is provably
+    // the plain relational one (skip counts asserted in
+    // SegmentSourceSpec, correctness certified here)
+    "store_segment_roundtrip" -> ((s, d) => withTempDir("graft-segrt") { base =>
+      val dir = s"$base/orders_seg"
+      Tables.orders(s, d).write.format("graft-segment")
+        .option("clusterBy", "o_orderkey").option("numPartitions", "16")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .filter(col("o_orderkey").between(1000L, 4000L) && col("o_orderstatus") =!= "P")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // timestamp zone maps on the DSv2 path: clustering by o_orderdate
+    // makes each segment a contiguous date slice, the pushed range
+    // predicate prunes to ~1/7 of the table, and the surviving rows
+    // aggregate to exact integer cents — pruning must be
+    // result-invisible under a GROUP BY, not just a row scan
+    "store_segment_dates" -> ((s, d) => withTempDir("graft-segdates") { base =>
+      val dir = s"$base/orders_seg"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate"), round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "o_orderdate").option("numPartitions", "16")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // schema evolution on the read path: files written before a column
     // existed merge with later files, the missing column null-backfilled
     // (mergeSchema reconciles footers at planning time — at 100 TB pin
@@ -2347,6 +2387,31 @@ object SparkEntry {
     // checkpoint commits); the final snapshot must equal the one-shot
     // GROUP BY over everything the stream saw (same oracle as the
     // batch path store_incr_agg)
+    // the graft-segment connector as a STREAMING source: three commits
+    // append three manifest versions; the micro-batch stream's offset
+    // is the committed-segment count, maxSegmentsPerTrigger=1 forces
+    // one batch per commit, and AvailableNow drains the frozen prefix.
+    // The sink sees every event exactly once — any redelivery or gap
+    // shifts n_events/min/max off the batch oracle (resume-after-
+    // restart is additionally spec-certified in SegmentSourceSpec)
+    "stream_segment_source_counts" -> ((s, d) => withTempDir("graft-segstream") { base =>
+      val dir = s"$base/events_seg"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      Seq(0, 1, 2).foreach(i => ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.format("graft-segment").mode("append").save(dir))
+      val q = s.readStream.format("graft-segment")
+        .option("maxSegmentsPerTrigger", "1").load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
     "stream_incr_agg" -> ((s, d) => withTempDir("graft-incr-agg") { base =>
       val orders = Tables.orders(s, d).select(col("o_custkey"),
         round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
@@ -4909,6 +4974,24 @@ object SparkEntry {
     "store_bloomskip_scan" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders " +
         "WHERE o_custkey = 42 ORDER BY o_orderkey"),
+
+    // DSv2 round-trip: segment pruning + residual filters ≡ the plain
+    // relational answer
+    "store_segment_roundtrip" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders " +
+        "WHERE o_orderkey BETWEEN 1000 AND 4000 AND o_orderstatus <> 'P' " +
+        "ORDER BY o_orderkey"),
+
+    "store_segment_dates" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    // the segment log drained as a stream must reconstruct the table
+    "stream_segment_source_counts" ->
+      ("SELECT event_type, count(*) AS n_events, min(event_id) AS min_id, " +
+        "max(event_id) AS max_id FROM events GROUP BY event_type ORDER BY event_type"),
 
     // pre-evolution rows carry NULL in the later column
     "store_schema_merge" ->

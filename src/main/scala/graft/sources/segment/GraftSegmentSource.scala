@@ -1,0 +1,408 @@
+package graft.sources.segment
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft-segment`: a complete DataSource V2 connector over the
+  * log-structured segment format of [[SegmentLog]] — the engine's
+  * native table format, built on the full V2 extension surface
+  * instead of wrapping a built-in reader:
+  *
+  *  - '''batch read''' with zone-map SEGMENT SKIPPING: pushed filters
+  *    ([[SupportsPushDownFilters]]) prune whole data files against
+  *    manifest min/max before any task launches — the same I/O-level
+  *    win as parquet row-group stats, but at the planning step, so
+  *    skipped segments cost zero tasks, zero opens. All filters are
+  *    returned as residual: Spark re-evaluates them row-level, so
+  *    pruning is provably semantics-free (see [[SegmentPruning]]).
+  *  - '''column pruning''' ([[SupportsPushDownRequiredColumns]]): the
+  *    reader materializes only requested columns (byte-skips the rest).
+  *  - '''reported statistics''' ([[SupportsReportStatistics]]): rows +
+  *    bytes of the SURVIVING segments, scaled by projection width, so
+  *    Catalyst auto-broadcasts a filtered segment table exactly like a
+  *    filtered parquet table — the join-planning contract at scale.
+  *  - '''batch write''' with per-task segment files, streaming stats
+  *    collection, and an optimistic-concurrency manifest commit
+  *    (exclusive-create version slots; see [[SegmentLog.commit]]).
+  *    `option("clusterBy", "c1,c2")` makes the WRITE demand a
+  *    clustered distribution + sort from Spark
+  *    ([[RequiresDistributionAndOrdering]]) — the layout step that
+  *    turns zone maps from decorative into selective, the same
+  *    discipline as [[graft.sources.Bucketing.writeSorted]].
+  *  - '''exactly-once micro-batch source'''
+  *    ([[SupportsTriggerAvailableNow]]): offset = count of committed
+  *    segments in manifest order; a crashed query resumes from the
+  *    offset log and re-plans precisely the unseen suffix.
+  *    `option("maxSegmentsPerTrigger", n)` bounds admission per batch.
+  *
+  * 100 TB: planning cost is manifest-proportional (one JSON read),
+  * scan parallelism is segment-proportional, skipping removes
+  * never-opened files at the driver, and the commit protocol gives
+  * concurrent writers append atomicity on any exclusive-create store.
+  * Reference behavior covered: the MySQL orders/inventory tables
+  * (Event-Stream-Checkout iac/database.tf:57-66, db/init_schema.sql)
+  * as a native scan/commit table abstraction — the durable-table leg
+  * of the reference re-expressed as a Spark table FORMAT (transactional
+  * appends, consistent snapshots, stats) instead of a row-store
+  * emulation.
+  */
+class GraftSegmentSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-segment"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-segment requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = root(options)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    SegmentLog.read(SegmentLog.fs(dir, conf), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no graft-segment table at $dir (no ${SegmentLog.LogDir}/ manifest)"))
+      .schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    SegmentCodec.validateSchema(schema)
+    new GraftSegmentTable(root(new CaseInsensitiveStringMap(properties)), schema)
+  }
+}
+
+object GraftSegmentSource {
+  /** Last batch-planning outcome, for plan-level spec assertions:
+    * (segments planned, segments in manifest). */
+  @volatile var lastScanEvent: Option[(Int, Int)] = None
+}
+
+/** Serializable Hadoop conf carrier (the standard Writable round-trip;
+  * Spark's own equivalent is `private[spark]`). */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = { out.defaultWriteObject(); value.write(out) }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+class GraftSegmentTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-segment `$root`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] = Set(
+    TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, schema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root, info)
+}
+
+class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept every filter for segment pruning, return every filter as
+    // residual: Spark keeps row-level evaluation, the source keeps the
+    // freedom to prune only when provable
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    new GraftScan(root, tableSchema, required, pushed,
+      new SerializableHadoopConf(conf),
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+  }
+}
+
+class GraftScan(root: String, tableSchema: StructType, required: StructType,
+    pushed: Array[Filter], conf: SerializableHadoopConf,
+    maxSegmentsPerTrigger: Option[Int])
+    extends Scan with SupportsReportStatistics {
+
+  // one manifest snapshot per scan: every consumer of this Scan sees
+  // the same table version regardless of concurrent commits
+  private lazy val manifest: Option[Manifest] =
+    SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+
+  private lazy val surviving: Seq[SegmentMeta] = {
+    val all = manifest.map(_.segments).getOrElse(Nil)
+    val kept = all.filterNot(seg => pushed.exists(f => SegmentPruning.prunes(f, tableSchema, seg)))
+    GraftSegmentSource.lastScanEvent = Some((kept.size, all.size))
+    kept
+  }
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-segment $root [${required.fieldNames.mkString(",")}] " +
+      s"pushed=${pushed.mkString(",")}"
+
+  override def estimateStatistics(): Statistics = {
+    val rows = surviving.map(_.rows).sum
+    val bytes = surviving.map(_.bytes).sum
+    // scale bytes by projection width so a narrow projection of a wide
+    // table still qualifies for broadcast, like parquet's column stats
+    val frac = math.max(1, required.length).toDouble / math.max(1, tableSchema.length)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, (bytes * frac).toLong))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      surviving.map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftReaderFactory(tableSchema, required, conf)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger)
+}
+
+case class GraftInputPartition(file: String) extends InputPartition
+
+class GraftReaderFactory(stored: StructType, required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftInputPartition].file
+    val p = new Path(file)
+    val in = new DataInputStream(new BufferedInputStream(
+      p.getFileSystem(conf.value).open(p), 1 << 16))
+    val it = new SegmentCodec.RowIterator(in, stored, required)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = it.hasNext
+      override def get(): InternalRow = it.next()
+      override def close(): Unit = it.close()
+    }
+  }
+}
+
+/** Streaming offset = number of manifest segments consumed. Segment
+  * order is append order (a [[SegmentLog]] invariant), so [start, end)
+  * index slices are stable across restarts and re-planning a committed
+  * range yields byte-identical input — the exactly-once contract. */
+case class GraftOffset(segments: Long) extends Offset {
+  override def json(): String = segments.toString
+}
+
+class GraftMicroBatchStream(root: String, stored: StructType, required: StructType,
+    conf: SerializableHadoopConf, maxSegmentsPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def currentCount(): Long =
+    SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+      .map(_.segments.size.toLong).getOrElse(0L)
+
+  // AvailableNow: freeze the target at query start so the run drains a
+  // fixed prefix even if writers keep committing
+  @volatile private var frozen: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = frozen = Some(currentCount())
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(Offset, ReadLimit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = frozen.getOrElse(currentCount())
+    val from = start.asInstanceOf[GraftOffset].segments
+    val capped = maxSegmentsPerTrigger match {
+      case Some(n) => math.min(avail, from + n)
+      case None => avail
+    }
+    GraftOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): Offset = GraftOffset(currentCount())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].segments.toInt
+    val to = end.asInstanceOf[GraftOffset].segments.toInt
+    val segs = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+      .map(_.segments).getOrElse(Nil)
+    require(to <= segs.size,
+      s"offset $to beyond manifest (${segs.size} segments): segment log truncated under a running stream?")
+    segs.slice(from, to)
+      .map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(stored, required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    SegmentCodec.validateSchema(info.schema())
+    val opts = info.options()
+    val clusterBy = Option(opts.get("clusterBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    clusterBy.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"clusterBy column $c not in write schema"))
+    new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
+      Option(opts.get("clusterMode")).getOrElse("range"),
+      Option(opts.get("numPartitions")).map(_.toInt),
+      Option(opts.get("maxRowsPerSegment")).map(_.toLong))
+  }
+}
+
+class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
+    clusterBy: Seq[String], clusterMode: String, numPartitions: Option[Int],
+    maxRows: Option[Long])
+    extends Write with RequiresDistributionAndOrdering {
+
+  private def sortOrders: Array[SortOrder] =
+    clusterBy.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  // layout-aware write: with clusterBy, ASK Spark for the shuffle+sort
+  // instead of hoping the upstream frame happens to be clustered.
+  // Default is RANGE distribution (Distributions.ordered): each segment
+  // covers a narrow contiguous key interval, which is what makes
+  // min/max zone maps selective for BOTH equality and range predicates.
+  // `clusterMode=hash` keeps hash clustering for co-location-shaped
+  // layouts (same key → same segment) where range order doesn't matter.
+  override def requiredDistribution(): Distribution =
+    if (clusterBy.isEmpty) Distributions.unspecified()
+    else if (clusterMode == "hash")
+      Distributions.clustered(clusterBy.map(c => Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else Distributions.ordered(sortOrders)
+
+  override def requiredOrdering(): Array[SortOrder] = sortOrders
+
+  override def requiredNumPartitions(): Int = numPartitions.getOrElse(0)
+
+  override def toBatch: BatchWrite = new GraftBatchWrite(root, schema, truncateFirst,
+    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows)
+}
+
+case class GraftCommitMessage(segments: Seq[SegmentMeta]) extends WriterCommitMessage
+
+class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
+    conf: SerializableHadoopConf, maxRows: Option[Long]) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+    SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs, truncateFirst)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SegmentLog.fs(root, conf.value)
+    messages.filter(_ != null).foreach {
+      case GraftCommitMessage(segs) =>
+        segs.foreach(s => fs.delete(new Path(s"$root/${s.path}"), false))
+      case _ =>
+    }
+  }
+}
+
+class GraftWriterFactory(root: String, schema: StructType,
+    conf: SerializableHadoopConf, maxRows: Long) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(root, schema, conf.value, maxRows)
+}
+
+/** Per-task segment writer: streams rows into uuid-named files under
+  * `data/` (invisible until a manifest references them), collecting
+  * zone-map stats as it goes; rolls to a new segment at `maxRows` so
+  * segment granularity — the unit of both parallelism and skipping —
+  * is a write-side knob, not an accident of input partitioning. */
+class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
+    maxRows: Long) extends DataWriter[InternalRow] {
+  private val fs = SegmentLog.fs(root, conf)
+  private val types = schema.fields.map(_.dataType)
+  private val done = Seq.newBuilder[SegmentMeta]
+
+  private var out: DataOutputStream = _
+  private var relPath: String = _
+  private var absPath: Path = _
+  private var rows = 0L
+  private var stats: Array[SegmentCodec.StatsCollector] = _
+
+  private def open(): Unit = {
+    relPath = s"${SegmentLog.DataDir}/seg-${UUID.randomUUID()}.bin"
+    absPath = new Path(s"$root/$relPath")
+    out = new DataOutputStream(new BufferedOutputStream(fs.create(absPath, false), 1 << 16))
+    SegmentCodec.writeHeader(out, schema.length)
+    rows = 0L
+    stats = types.map(new SegmentCodec.StatsCollector(_))
+  }
+
+  private def roll(): Unit = {
+    out.close()
+    val bytes = fs.getFileStatus(absPath).getLen
+    done += SegmentMeta(relPath, rows, bytes,
+      schema.fieldNames.zip(stats).map { case (n, c) => n -> ColumnStats(c.bounds, c.nullCount) }.toMap)
+    out = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) open()
+    var c = 0
+    while (c < types.length) {
+      if (row.isNullAt(c)) { out.writeBoolean(false); stats(c).addNull() }
+      else {
+        out.writeBoolean(true)
+        SegmentCodec.writeValue(out, types(c), row, c)
+        stats(c).add(row, c)
+      }
+      c += 1
+    }
+    rows += 1L
+    if (rows >= maxRows) roll()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) roll()
+    GraftCommitMessage(done.result())
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); fs.delete(absPath, false) }
+    done.result().foreach(s => fs.delete(new Path(s"$root/${s.path}"), false))
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}

@@ -1,0 +1,254 @@
+package graft.sources.segment
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row codec for the graft segment format — the byte layout under the
+  * [[GraftSegmentSource]] DataSource V2 connector.
+  *
+  * A segment is a self-describing stream of rows in the table schema's
+  * column order: per row, one marker byte per column (0 = null,
+  * 1 = present) followed by the non-null values — fixed width for
+  * numeric/boolean/timestamp columns, length-prefixed UTF-8 for
+  * strings, length-prefixed element runs for primitive arrays. The
+  * format is row-major ON PURPOSE: segments are the connector's unit
+  * of parallelism AND of skipping (one input partition each, zone-map
+  * pruned via the manifest), so the scan never seeks within a segment;
+  * it either streams the whole file or never opens it. Columnar
+  * encodings pay off via intra-file skipping, which zone-map pruning
+  * at segment granularity already provides a coarser version of.
+  *
+  * Column pruning still avoids per-value WORK at read time: [[skip]]
+  * advances the stream over an unneeded value without materializing a
+  * UTF8String / boxed value / array copy, so a 2-column projection of
+  * a 10-column table allocates 2 values per row, not 10. (The bytes
+  * still stream past — the honest limit of row-major storage; the
+  * 100 TB answer for projection-heavy workloads is the parquet path,
+  * which this connector deliberately does not replicate.)
+  *
+  * Supported Spark types (closed set, validated at write-build time):
+  * Int, Long, Double, Float, Boolean, String, Timestamp (stored as
+  * epoch micros), Date (stored as epoch days), and arrays of
+  * Int/Long/Float/Double. Everything the driver test tables use.
+  */
+object SegmentCodec {
+  val Magic: Int = 0x47524654 // "GRFT"
+  val Version: Int = 1
+
+  def supported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | FloatType | BooleanType |
+        StringType | TimestampType | TimestampNTZType | DateType => true
+    case ArrayType(IntegerType | LongType | FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  def validateSchema(schema: StructType): Unit = {
+    val bad = schema.fields.filterNot(f => supported(f.dataType))
+    require(bad.isEmpty,
+      s"graft-segment supports Int/Long/Double/Float/Boolean/String/Timestamp/Date " +
+        s"and primitive arrays; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
+  }
+
+  def writeHeader(out: DataOutputStream, nCols: Int): Unit = {
+    out.writeInt(Magic); out.writeInt(Version); out.writeInt(nCols)
+  }
+
+  def readHeader(in: DataInputStream, nCols: Int): Unit = {
+    val m = in.readInt(); val v = in.readInt(); val n = in.readInt()
+    require(m == Magic && v == Version && n == nCols,
+      s"bad segment header (magic=$m version=$v cols=$n, expected cols=$nCols)")
+  }
+
+  /** Write one value of `dt` from `row(ordinal)` (non-null). */
+  def writeValue(out: DataOutputStream, dt: DataType, row: InternalRow, ordinal: Int): Unit = dt match {
+    case IntegerType | DateType => out.writeInt(row.getInt(ordinal))
+    case LongType | TimestampType | TimestampNTZType => out.writeLong(row.getLong(ordinal))
+    case DoubleType => out.writeDouble(row.getDouble(ordinal))
+    case FloatType => out.writeFloat(row.getFloat(ordinal))
+    case BooleanType => out.writeBoolean(row.getBoolean(ordinal))
+    case StringType =>
+      val b = row.getUTF8String(ordinal).getBytes
+      out.writeInt(b.length); out.write(b)
+    case ArrayType(et, _) =>
+      val arr = row.getArray(ordinal)
+      out.writeInt(arr.numElements())
+      var i = 0
+      et match {
+        case IntegerType => while (i < arr.numElements()) { out.writeInt(arr.getInt(i)); i += 1 }
+        case LongType => while (i < arr.numElements()) { out.writeLong(arr.getLong(i)); i += 1 }
+        case FloatType => while (i < arr.numElements()) { out.writeFloat(arr.getFloat(i)); i += 1 }
+        case DoubleType => while (i < arr.numElements()) { out.writeDouble(arr.getDouble(i)); i += 1 }
+        case other => throw new IllegalArgumentException(s"unsupported array element $other")
+      }
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** Read one non-null value of `dt` as the catalyst-internal value. */
+  def readValue(in: DataInputStream, dt: DataType): Any = dt match {
+    case IntegerType | DateType => in.readInt()
+    case LongType | TimestampType | TimestampNTZType => in.readLong()
+    case DoubleType => in.readDouble()
+    case FloatType => in.readFloat()
+    case BooleanType => in.readBoolean()
+    case StringType =>
+      val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+      UTF8String.fromBytes(b)
+    case ArrayType(et, _) =>
+      val n = in.readInt()
+      val vals = new Array[Any](n)
+      var i = 0
+      et match {
+        case IntegerType => while (i < n) { vals(i) = in.readInt(); i += 1 }
+        case LongType => while (i < n) { vals(i) = in.readLong(); i += 1 }
+        case FloatType => while (i < n) { vals(i) = in.readFloat(); i += 1 }
+        case DoubleType => while (i < n) { vals(i) = in.readDouble(); i += 1 }
+        case other => throw new IllegalArgumentException(s"unsupported array element $other")
+      }
+      new GenericArrayData(vals)
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** Advance the stream past one non-null value WITHOUT materializing
+    * it — the column-pruning fast path. */
+  def skip(in: DataInputStream, dt: DataType): Unit = dt match {
+    case IntegerType | DateType | FloatType => skipFully(in, 4)
+    case LongType | TimestampType | TimestampNTZType | DoubleType => skipFully(in, 8)
+    case BooleanType => skipFully(in, 1)
+    case StringType => val n = in.readInt(); skipFully(in, n)
+    case ArrayType(et, _) =>
+      val n = in.readInt()
+      val w = et match {
+        case IntegerType | FloatType => 4
+        case LongType | DoubleType => 8
+        case other => throw new IllegalArgumentException(s"unsupported array element $other")
+      }
+      skipFully(in, n.toLong * w)
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  private def skipFully(in: DataInputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) { // skip() may return 0 at buffer boundaries; fall back to a read
+        if (in.read() < 0) throw new EOFException(s"segment truncated, $left bytes missing")
+        left -= 1
+      } else left -= s
+    }
+  }
+
+  /** Streaming min/max/null-count collector for one column — feeds the
+    * manifest zone maps. String stats are kept only while every value
+    * fits [[StatsCollector.MaxStatString]] bytes: a truncated min/max
+    * would be UNSOUND for pruning (a prefix underestimates max), so
+    * long-string columns simply carry no stats and are never pruned on.
+    */
+  final class StatsCollector(dt: DataType) {
+    import StatsCollector.MaxStatString
+    private var nulls = 0L
+    private var any = false
+    private var sound = dt match {
+      case IntegerType | LongType | DoubleType | FloatType | TimestampType |
+          TimestampNTZType | DateType | StringType => true
+      case _ => false // booleans/arrays: no zone maps
+    }
+    private var minL = 0L; private var maxL = 0L
+    private var minD = 0.0; private var maxD = 0.0
+    private var minS: UTF8String = _; private var maxS: UTF8String = _
+
+    def addNull(): Unit = nulls += 1
+
+    def add(row: InternalRow, ordinal: Int): Unit = if (sound) dt match {
+      case IntegerType | DateType => addLong(row.getInt(ordinal).toLong)
+      case LongType | TimestampType | TimestampNTZType => addLong(row.getLong(ordinal))
+      case FloatType => addDouble(row.getFloat(ordinal).toDouble)
+      case DoubleType => addDouble(row.getDouble(ordinal))
+      case StringType =>
+        val s = row.getUTF8String(ordinal)
+        if (s.numBytes() > MaxStatString) { sound = false; minS = null; maxS = null }
+        else {
+          // clone: the incoming UTF8String aliases the row's buffer
+          val c = s.clone()
+          if (!any || c.compareTo(minS) < 0) minS = c
+          if (!any || c.compareTo(maxS) > 0) maxS = c
+          any = true
+        }
+      case _ =>
+    }
+
+    private def addLong(v: Long): Unit = {
+      if (!any || v < minL) minL = v
+      if (!any || v > maxL) maxL = v
+      any = true
+    }
+    private def addDouble(v: Double): Unit = {
+      if (!any || v < minD) minD = v
+      if (!any || v > maxD) maxD = v
+      any = true
+    }
+
+    def nullCount: Long = nulls
+
+    /** (min, max) serialized as strings for the manifest, or None when
+      * the column carries no sound stats. */
+    def bounds: Option[(String, String)] =
+      if (!sound || !any) None
+      else dt match {
+        case IntegerType | LongType | TimestampType | TimestampNTZType | DateType =>
+          Some((minL.toString, maxL.toString))
+        case FloatType | DoubleType =>
+          if (minD.isNaN || maxD.isNaN) None else Some((minD.toString, maxD.toString))
+        case StringType => Some((minS.toString, maxS.toString))
+        case _ => None
+      }
+  }
+
+  object StatsCollector { val MaxStatString = 64 }
+
+  /** Decode rows from a segment stream, materializing only `required`
+    * columns (in required-field order). */
+  final class RowIterator(in: DataInputStream, stored: StructType, required: StructType)
+      extends Iterator[InternalRow] with java.io.Closeable {
+    private val outIdx: Array[Int] = stored.fields.map(f => required.fieldIndex2(f.name))
+    private val types: Array[DataType] = stored.fields.map(_.dataType)
+    private var nextRow: InternalRow = _
+    private var done = false
+    readHeader(in, stored.length)
+
+    private def advance(): Unit = {
+      if (done) return
+      val first = in.read() // marker of column 0, or EOF
+      if (first < 0) { done = true; nextRow = null; return }
+      val vals = new Array[Any](required.length)
+      var c = 0
+      while (c < types.length) {
+        val present = if (c == 0) first == 1 else in.readBoolean()
+        val o = outIdx(c)
+        if (present) {
+          if (o >= 0) vals(o) = readValue(in, types(c)) else skip(in, types(c))
+        } // null → vals(o) stays null
+        c += 1
+      }
+      nextRow = new GenericInternalRow(vals)
+    }
+
+    advance()
+    override def hasNext: Boolean = nextRow != null
+    override def next(): InternalRow = { val r = nextRow; advance(); r }
+    override def close(): Unit = in.close()
+  }
+
+  private implicit final class SchemaOps(val s: StructType) extends AnyVal {
+    /** fieldIndex that returns -1 instead of throwing. */
+    def fieldIndex2(name: String): Int = {
+      var i = 0
+      while (i < s.length) { if (s(i).name == name) return i; i += 1 }
+      -1
+    }
+  }
+}
