@@ -2412,6 +2412,28 @@ object SparkEntry {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // the connector as a STREAMING SINK: each micro-batch epoch is one
+    // manifest commit carrying a (queryId, epoch) transaction id, so
+    // retried epochs are no-ops — exactly-once INTO the table format
+    // (replay idempotence spec-certified in SegmentSourceSpec); the
+    // drained table must aggregate to the plain batch answer
+    "stream_segment_sink_counts" -> ((s, d) => withTempDir("graft-segsink") { base =>
+      val dir = s"$base/events_tbl"
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      Seq(0, 1, 2).foreach(i => ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(s"$base/in/f$i"))
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/*")
+        .writeStream.format("graft-segment")
+        .option("path", dir).option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("graft-segment").load(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100.0, 0).cast("long")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
     "stream_incr_agg" -> ((s, d) => withTempDir("graft-incr-agg") { base =>
       val orders = Tables.orders(s, d).select(col("o_custkey"),
         round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
@@ -4992,6 +5014,12 @@ object SparkEntry {
     "stream_segment_source_counts" ->
       ("SELECT event_type, count(*) AS n_events, min(event_id) AS min_id, " +
         "max(event_id) AS max_id FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // a stream drained INTO the segment table must reconstruct it too
+    "stream_segment_sink_counts" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
 
     // pre-evolution rows carry NULL in the later column
     "store_schema_merge" ->

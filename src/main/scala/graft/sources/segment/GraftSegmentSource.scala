@@ -109,7 +109,8 @@ class GraftSegmentTable(root: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-    TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+    TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+    TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, schema, options)
@@ -281,13 +282,14 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       Option(opts.get("clusterMode")).getOrElse("range"),
       Option(opts.get("numPartitions")).map(_.toInt),
-      Option(opts.get("maxRowsPerSegment")).map(_.toLong))
+      Option(opts.get("maxRowsPerSegment")).map(_.toLong),
+      info.queryId())
   }
 }
 
 class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Seq[String], clusterMode: String, numPartitions: Option[Int],
-    maxRows: Option[Long])
+    maxRows: Option[Long], queryId: String)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -312,6 +314,48 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
 
   override def toBatch: BatchWrite = new GraftBatchWrite(root, schema, truncateFirst,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows)
+
+  /** Micro-batch streaming sink: every epoch is one manifest commit
+    * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
+    * foreachBatch-style retry, restart from an older checkpoint — is a
+    * no-op instead of duplicate rows. Epoch commit + offset-log source
+    * = exactly-once through the table format end to end. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncateFirst, "graft-segment streaming sink is append-only")
+    new GraftStreamingWrite(root, schema,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      maxRows, queryId)
+  }
+}
+
+class GraftStreamingWrite(root: String, schema: StructType,
+    conf: SerializableHadoopConf, maxRows: Option[Long], queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      private val factory =
+        new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue))
+      override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+        factory.createWriter(partitionId, taskId)
+    }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+    SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs,
+      truncate = false, txn = Some((queryId, epochId)))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SegmentLog.fs(root, conf.value)
+    messages.filter(_ != null).foreach {
+      case GraftCommitMessage(segs) =>
+        segs.foreach(s => fs.delete(new Path(s"$root/${s.path}"), false))
+      case _ =>
+    }
+  }
 }
 
 case class GraftCommitMessage(segments: Seq[SegmentMeta]) extends WriterCommitMessage

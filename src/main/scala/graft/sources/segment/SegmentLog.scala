@@ -24,8 +24,16 @@ case class SegmentMeta(path: String, rows: Long, bytes: Long,
   * schema + the ordered list of live segments. Segment order is
   * append order and NEVER reshuffled by later commits, which is what
   * lets the streaming source use "count of segments" as its offset.
+  *
+  * `txns` records, per streaming query id, the highest epoch already
+  * committed into this table — the sink-side exactly-once ledger: a
+  * replayed epoch (task retry after a commit, or restart from an
+  * older checkpoint) finds its id already recorded and commits as a
+  * no-op instead of appending duplicates. The same idea as Delta's
+  * txn appId/version action.
   */
-case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta])
+case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta],
+    txns: Map[String, Long] = Map.empty)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -109,7 +117,15 @@ object SegmentLog {
       out += SegmentMeta(s.get("path").asText(), s.get("rows").asLong(),
         s.get("bytes").asLong(), stats.result())
     }
-    Manifest(node.get("version").asLong(), schema, out.result())
+    val txns = Map.newBuilder[String, Long]
+    if (node.hasNonNull("txns")) {
+      val names = node.get("txns").fieldNames()
+      while (names.hasNext) {
+        val q = names.next()
+        txns += q -> node.get("txns").get(q).asLong()
+      }
+    }
+    Manifest(node.get("version").asLong(), schema, out.result(), txns.result())
   }
 
   private def render(m: Manifest): String = {
@@ -130,18 +146,34 @@ object SegmentLog {
         c.put("nulls", cs.nullCount)
       }
     }
+    if (m.txns.nonEmpty) {
+      val t = root.putObject("txns")
+      m.txns.foreach { case (q, e) => t.put(q, e) }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
   /** Optimistically commit `newSegments` (append, or replace-all when
     * `truncate`). Returns the committed version. Retries version-slot
     * collisions; schema drift vs the live manifest is an error (names
-    * + types must match; nullability is not part of the contract). */
+    * + types must match; nullability is not part of the contract).
+    *
+    * `txn = Some((queryId, epoch))` makes the commit IDEMPOTENT for a
+    * streaming sink: if the live manifest already records this query
+    * at `epoch` or later, the replayed commit is a no-op (duplicate
+    * segment files stay unreferenced — [[vacuum]] fodder, never rows).
+    */
   def commit(fs: FileSystem, root: String, schema: StructType,
-      newSegments: Seq[SegmentMeta], truncate: Boolean, maxRetries: Int = 20): Long = {
+      newSegments: Seq[SegmentMeta], truncate: Boolean,
+      txn: Option[(String, Long)] = None, maxRetries: Int = 20): Long = {
     var attempt = 0
     while (true) {
       val current = read(fs, root)
+      txn.foreach { case (q, e) =>
+        current.foreach { m =>
+          if (m.txns.get(q).exists(_ >= e)) return m.version // replayed epoch
+        }
+      }
       current.foreach { m =>
         val same = m.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
           schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -153,7 +185,8 @@ object SegmentLog {
       val merged =
         if (truncate) newSegments
         else current.map(_.segments).getOrElse(Nil) ++ newSegments
-      val body = render(Manifest(v, schema, merged)).getBytes(StandardCharsets.UTF_8)
+      val txns = current.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+      val body = render(Manifest(v, schema, merged, txns)).getBytes(StandardCharsets.UTF_8)
       val p = manifestPath(root, v)
       fs.mkdirs(p.getParent)
       try {

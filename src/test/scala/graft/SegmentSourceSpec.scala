@@ -174,6 +174,43 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(all.select(countDistinct("id")).head().getLong(0) == 40)
   }
 
+  test("streaming sink: epoch commits land exactly once; replayed epoch is a no-op") {
+    val dir = tmp("graft-seg-sink")
+    val inDir = tmp("graft-seg-sink-in")
+    val ckpt = tmp("graft-seg-sink-ckpt")
+    import spark.implicits._
+    (0 until 3).foreach(i =>
+      (i * 10 until i * 10 + 10).toDF("id").select(col("id").cast("long").as("id"))
+        .coalesce(1).write.parquet(s"$inDir/f$i"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+      .writeStream.format(Fmt)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.count() == 30)
+    assert(back.select(countDistinct("id")).head().getLong(0) == 30)
+
+    // the exactly-once ledger: the sink's queryId is recorded at its
+    // last epoch, and a manual replay of an already-committed epoch
+    // must change nothing
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).get
+    assert(m.txns.size == 1, s"expected one streaming txn entry, got ${m.txns}")
+    val (qid, lastEpoch) = m.txns.head
+    assert(lastEpoch >= 2, s"three one-file triggers → epochs 0..2+, got $lastEpoch")
+    val vBefore = m.version
+    val replayed = SegmentLog.commit(fs, dir, m.schema,
+      Seq(m.segments.head), truncate = false, txn = Some((qid, lastEpoch)))
+    assert(replayed == vBefore, "replayed epoch must not create a new version")
+    assert(spark.read.format(Fmt).load(dir).count() == 30)
+  }
+
   test("optimistic commit: interleaved writers both land; vacuum removes orphans") {
     val dir = tmp("graft-seg-occ")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
