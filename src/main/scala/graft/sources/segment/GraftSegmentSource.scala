@@ -92,6 +92,8 @@ object GraftSegmentSource {
   /** Last batch-planning outcome, for plan-level spec assertions:
     * (segments planned, segments in manifest). */
   @volatile var lastScanEvent: Option[(Int, Int)] = None
+  /** Last runtime-filtering outcome: (kept, before). */
+  @volatile var lastRuntimeEvent: Option[(Int, Int)] = None
 }
 
 /** Serializable Hadoop conf carrier (the standard Writable round-trip;
@@ -146,7 +148,7 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
 class GraftScan(root: String, tableSchema: StructType, required: StructType,
     pushed: Array[Filter], conf: SerializableHadoopConf,
     maxSegmentsPerTrigger: Option[Int])
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   // one manifest snapshot per scan: every consumer of this Scan sees
   // the same table version regardless of concurrent commits
@@ -158,6 +160,32 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     val kept = all.filterNot(seg => pushed.exists(f => SegmentPruning.prunes(f, tableSchema, seg)))
     GraftSegmentSource.lastScanEvent = Some((kept.size, all.size))
     kept
+  }
+
+  // runtime filtering (the DSv2 face of dynamic partition pruning):
+  // after a join's build side executes, Spark hands the scan the keys
+  // it actually needs as V2 predicates (typically IN over the build
+  // side's values); zone maps then drop whole segments at EXECUTION
+  // time — skipping the planner could not prove statically. Runtime
+  // filters are join-semantics redundant, so pruning here is safe even
+  // when conservative conversion drops a predicate.
+  @volatile private var runtimeSurviving: Option[Seq[SegmentMeta]] = None
+
+  // advertise only columns in the PRUNED read schema: Spark resolves
+  // these against the scan relation's output, which column pruning has
+  // already narrowed
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.collect {
+      case f if SegmentCodec.supported(f.dataType) && !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        Expressions.column(f.name)
+    }
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = org.apache.spark.sql.graftbridge.FilterBridge.toV1(predicates)
+    val base = runtimeSurviving.getOrElse(surviving)
+    val kept = base.filterNot(seg => v1.exists(f => SegmentPruning.prunes(f, tableSchema, seg)))
+    GraftSegmentSource.lastRuntimeEvent = Some((kept.size, base.size))
+    runtimeSurviving = Some(kept)
   }
 
   override def readSchema(): StructType = required
@@ -180,7 +208,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      surviving.map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
+      runtimeSurviving.getOrElse(surviving)
+        .map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(tableSchema, required, conf)
   }

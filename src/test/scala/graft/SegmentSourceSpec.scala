@@ -174,6 +174,33 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(all.select(countDistinct("id")).head().getLong(0) == 40)
   }
 
+  test("runtime filtering: a broadcast join's build-side keys prune segments at execution") {
+    val dir = tmp("graft-seg-dpp")
+    sample().write.format(Fmt)
+      .option("clusterBy", "bucket").option("numPartitions", "10")
+      .mode("append").save(dir)
+    import spark.implicits._
+    // dynamic pruning needs (a) a selective build-side predicate that
+    // survives to the optimized plan — a filtered local Seq constant-
+    // folds away, taking the selectivity evidence with it — and (b) a
+    // predicate the optimizer CANNOT transpose onto the join key
+    // statically (a key-equality filter gets constraint-propagated and
+    // pushed as a plain static filter, leaving DPP nothing to do). A
+    // range-derived dim filtered on a non-key column is the honest
+    // DPP shape: only executing the build side reveals the keys.
+    val dim = spark.range(0, 100)
+      .select((col("id") % 50).cast("int").as("d_bucket"), col("id").as("tag"))
+      .filter(col("tag") % 97 === 3) // id=3 survives → d_bucket=3, invisible statically
+    val fact = spark.read.format(Fmt).load(dir)
+    GraftSegmentSource.lastRuntimeEvent = None
+    val joined = fact.join(broadcast(dim), col("bucket") === col("d_bucket"))
+    assert(joined.count() == 100) // 100 fact rows with bucket=3 × 1 dim row
+    val (kept, before) = GraftSegmentSource.lastRuntimeEvent.getOrElse(
+      fail("planner did not inject a runtime filter into the DSv2 scan"))
+    assert(kept < before, s"runtime filter should prune: kept $kept of $before")
+    info(s"runtime filter pruned to $kept of $before segments")
+  }
+
   test("streaming sink: epoch commits land exactly once; replayed epoch is a no-op") {
     val dir = tmp("graft-seg-sink")
     val inDir = tmp("graft-seg-sink-in")
