@@ -664,6 +664,19 @@ object SparkEntry {
           Seq("lang"), 9)
         .orderBy(col("lang"))
     }),
+    // the NATIVE HLL aggregate (TypedImperativeAggregate, §2.7 UDAF
+    // rung): one pass, 512 bytes of state per group, composable inside
+    // any groupBy — must answer bit-identically to the register-frame
+    // formulation above, so it shares text_hll_vocab's oracle verbatim
+    // (same md5 hash, same rho, same estimate arithmetic, same
+    // rounding; cross-certified in SketchAggSpec)
+    "text_hll_native" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      tok.groupBy(col("lang"))
+        .agg(graft.functions.HllDistinct.hllDistinct(col("word"), 9).as("n_est"))
+        .orderBy(col("lang"))
+    }),
     // the SHARD-MERGE path under the oracle: per-(lang, source) partial
     // sketches re-aggregated to per-lang registers must estimate
     // identically to the direct sketch (max is associative+idempotent)
@@ -6354,6 +6367,9 @@ object SparkEntry {
     // estimate = bias-corrected harmonic mean + linear-counting branch,
     // every double exact so the rounded value matches bit-for-bit
     "text_hll_vocab" -> hllVocabSql,
+    // the native TypedImperativeAggregate must land on the identical
+    // estimate — shared oracle, strongest possible cross-check
+    "text_hll_native" -> hllVocabSql,
     // cumulative 3-gram type count by per-type min bucket; same
     // exact-integer OLS
     "text_heaps_law" ->

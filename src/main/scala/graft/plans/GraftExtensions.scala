@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL surface for the native shingle generator: SELECT
     // shingles(text, 5) plans the same GenerateExec the Column API does
     ext.injectFunction(graft.functions.ShingleGenerator.shinglesFunction)
+    ext.injectFunction(graft.functions.HllDistinct.sqlFunction)
   }
 }
 

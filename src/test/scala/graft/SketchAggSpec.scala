@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HllDistinct
+import graft.ops.Hll
+
+/** The native HLL aggregate (TypedImperativeAggregate) against the
+  * relational register-frame formulation: the two must agree EXACTLY —
+  * same hash, same registers, same estimate arithmetic, same rounding.
+  */
+class SketchAggSpec extends SparkSpec {
+
+  private def words(n: Int, langs: Int) = {
+    import spark.implicits._
+    spark.range(0, n).select(
+      concat(lit("l"), (col("id") % langs).cast("string")).as("lang"),
+      // ~n/3 distinct words per lang, multiplicities 1..3
+      concat(lit("w"), ((col("id") * 2654435761L) % (n / 3)).cast("string")).as("word"))
+  }
+
+  test("native hll_distinct equals the register-frame estimate exactly, per group") {
+    val df = words(30000, 4).repartition(7) // force partial + final aggregation
+    val native = df.groupBy("lang")
+      .agg(HllDistinct.hllDistinct(col("word"), 9).as("n_est"))
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val frame = Hll.estimate(Hll.sketch(df, Seq("lang"), col("word"), 9), Seq("lang"), 9)
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(native.toSeq == frame.toSeq) // exact, not tolerance
+  }
+
+  test("estimate is in a sane band and multiplicity-invariant") {
+    import spark.implicits._
+    val base = (0 until 5000).map(i => s"tok$i").toDF("word").select(lit("g").as("g"), col("word"))
+    val tripled = base.union(base).union(base).repartition(5)
+    val est1 = base.groupBy("g").agg(HllDistinct.hllDistinct(col("word"), 11)).head().getDouble(1)
+    val est3 = tripled.groupBy("g").agg(HllDistinct.hllDistinct(col("word"), 11)).head().getDouble(1)
+    assert(est1 == est3, "duplicate occurrences must not move any register")
+    assert(math.abs(est1 - 5000) / 5000.0 < 0.1, s"estimate $est1 too far from 5000")
+  }
+
+  test("shard-merge through partial aggregation equals the one-shot sketch") {
+    val df = words(20000, 3)
+    val whole = df.coalesce(1).groupBy("lang")
+      .agg(HllDistinct.hllDistinct(col("word"), 9).as("e"))
+      .orderBy("lang").collect().toSeq
+    val sharded = df.repartition(13).groupBy("lang")
+      .agg(HllDistinct.hllDistinct(col("word"), 9).as("e"))
+      .orderBy("lang").collect().toSeq
+    assert(whole.map(_.getDouble(1)) == sharded.map(_.getDouble(1)))
+  }
+
+  test("SQL registration: SELECT hll_distinct(word) matches the Column API") {
+    org.apache.spark.sql.graftbridge.FunctionBridge.registerFunction(
+      spark, HllDistinct.sqlFunction)
+    val df = words(10000, 2)
+    df.createOrReplaceTempView("hll_words")
+    val viaSql = spark.sql(
+      "SELECT lang, hll_distinct(word) AS n_est FROM hll_words GROUP BY lang ORDER BY lang")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val viaApi = df.groupBy("lang")
+      .agg(HllDistinct.hllDistinct(col("word"), 9).as("n_est"))
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    val viaSqlP = spark.sql(
+      "SELECT lang, hll_distinct(word, 11) AS n_est FROM hll_words GROUP BY lang ORDER BY lang")
+      .collect().map(_.getDouble(1))
+    assert(viaSqlP.length == 2) // precision arg accepted
+  }
+
+  test("nulls are ignored, empty group estimates 0") {
+    import spark.implicits._
+    val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")), ("b", None))
+      .toDF("g", "word")
+    val out = df.groupBy("g").agg(HllDistinct.hllDistinct(col("word"), 9).as("e"))
+      .orderBy("g").collect()
+    assert(math.round(out(0).getDouble(1)) == 2L)
+    assert(out(1).getDouble(1) == 0.0)
+  }
+}
