@@ -1406,6 +1406,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+    // metadata-only aggregates on the DSv2 path: global COUNT(*) /
+    // COUNT(col) / MIN / MAX pushed into the connector
+    // (SupportsPushDownAggregates + LocalScan) are answered from the
+    // manifest on the DRIVER — zero data files opened, zero tasks.
+    // The oracle computes the same aggregates from the rows, so this
+    // row certifies the manifest stats are EXACT, not estimates
+    "store_segment_agg_meta" -> ((s, d) => withTempDir("graft-segagg") { base =>
+      val dir = s"$base/orders_seg"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "o_orderkey").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .agg(count(lit(1)).as("n_rows"), count(col("o_custkey")).as("n_cust"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+          min(col("o_orderstatus")).as("min_status"), max(col("o_orderstatus")).as("max_status"))
+    }),
+    // table-format time travel: every committed version stays readable
+    // (`versionAsOf`), so the same query replays against v0 after an
+    // append created v1 — the audit/debug primitive of the log design.
+    // Certified as data: per-version count+sum must equal the oracle's
+    // reconstruction of each snapshot
+    "store_segment_time_travel" -> ((s, d) => withTempDir("graft-segtt") { base =>
+      val dir = s"$base/orders_seg"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      o.filter(col("o_orderkey") % 3 === 0).write.format("graft-segment")
+        .mode("append").save(dir) // version 0
+      o.filter(col("o_orderkey") % 3 =!= 0).write.format("graft-segment")
+        .mode("append").save(dir) // version 1
+      Seq(0, 1).map { v =>
+        s.read.format("graft-segment").option("versionAsOf", v.toString).load(dir)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    }),
     // schema evolution on the read path: files written before a column
     // existed merge with later files, the missing column null-backfilled
     // (mergeSchema reconciles footers at planning time — at 100 TB pin
@@ -5022,6 +5061,25 @@ object SparkEntry {
         "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    // manifest-answered aggregates must be EXACT vs the row-level truth
+    "store_segment_agg_meta" ->
+      ("SELECT count(*) AS n_rows, count(o_custkey) AS n_cust, " +
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+        "min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_cents, " +
+        "max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_cents, " +
+        "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status " +
+        "FROM orders"),
+
+    // each log version replays to its snapshot's aggregate
+    "store_segment_time_travel" ->
+      ("SELECT 0 AS version, count(*) AS n_rows, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders WHERE o_orderkey % 3 = 0 " +
+        "UNION ALL " +
+        "SELECT 1 AS version, count(*) AS n_rows, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders ORDER BY version"),
 
     // the segment log drained as a stream must reconstruct the table
     "stream_segment_source_counts" ->

@@ -122,9 +122,25 @@ class GraftSegmentTable(root: String, tableSchema: StructType)
 }
 
 class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var limit: Option[Int] = None
+  private var aggResult: Option[(StructType, InternalRow)] = None
+
+  private val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+
+  // one manifest snapshot per scan build: every consumer sees the same
+  // table version regardless of concurrent commits. `versionAsOf`
+  // time-travels to any committed version — the log keeps them all.
+  private lazy val manifest: Option[Manifest] = {
+    val fs = SegmentLog.fs(root, conf.value)
+    Option(options.get("versionAsOf")) match {
+      case Some(v) => Some(SegmentLog.readVersion(fs, root, v.toLong))
+      case None => SegmentLog.read(fs, root)
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept every filter for segment pruning, return every filter as
@@ -137,23 +153,126 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    new GraftScan(root, tableSchema, required, pushed,
-      new SerializableHadoopConf(conf),
-      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+  // LIMIT pushdown: planning stops adding segments once the cumulative
+  // row count covers the limit — a `.limit(5)` preview on a million-
+  // segment table opens one file. Partial by contract (a segment holds
+  // more rows than the limit); Spark keeps its own Limit on top.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  // metadata-only aggregates: global COUNT(*) / COUNT(col) / MIN / MAX
+  // answered ENTIRELY from the manifest — zero data files opened, zero
+  // tasks launched (LocalScan executes on the driver). Accepted only
+  // when exactness is provable: no filters (ours are residual — rows
+  // would still need scanning), no GROUP BY, and for MIN/MAX sound
+  // zone-map bounds in EVERY segment. Spark only offers complete
+  // pushdown shapes we accept, and rewrites the plan to read our one
+  // answer row.
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPlanAggregation(agg).isDefined
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    tryPlanAggregation(agg) match {
+      case Some(result) => aggResult = Some(result); true
+      case None => false
+    }
   }
+
+  private def tryPlanAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val segs = manifest.map(_.segments).getOrElse(Nil)
+    val totalRows = segs.map(_.rows).sum
+
+    def fieldType(name: String): Option[org.apache.spark.sql.types.DataType] =
+      tableSchema.fields.find(_.name == name).map(_.dataType)
+
+    def boundValue(name: String, takeMin: Boolean): Option[Any] = {
+      val dt = fieldType(name).getOrElse(return None)
+      if (segs.isEmpty) return Some(null) // SQL MIN/MAX over empty = NULL
+      // every segment must carry sound bounds, else unprovable
+      val bounds = segs.map(_.stats.get(name).flatMap(_.bounds).getOrElse(return None))
+      import org.apache.spark.sql.types._
+      dt match {
+        case IntegerType | DateType =>
+          val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toInt)
+          Some(if (takeMin) vs.min else vs.max)
+        case LongType | TimestampType | TimestampNTZType =>
+          val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toLong)
+          Some(if (takeMin) vs.min else vs.max)
+        case FloatType =>
+          val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toFloat)
+          Some(if (takeMin) vs.min else vs.max)
+        case DoubleType =>
+          val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toDouble)
+          Some(if (takeMin) vs.min else vs.max)
+        case StringType =>
+          val vs = bounds.map(b => if (takeMin) b._1 else b._2)
+          val v = if (takeMin) vs.min else vs.max
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        case _ => None
+      }
+    }
+
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+    val planned = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType,
+          totalRows: Any, false))
+      case c: Count if !c.isDistinct =>
+        refName(c.column).flatMap { n =>
+          // COUNT(col) = rows - nulls; nullCount is recorded for every
+          // column, bounds or not
+          val nulls = segs.map(_.stats.get(n).map(_.nullCount).getOrElse(return None)).sum
+          Some((org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType,
+            (totalRows - nulls): Any, false))
+        }
+      case mn: Min =>
+        refName(mn.column).flatMap(n => boundValue(n, takeMin = true)
+          .map(v => (fieldType(n).get, v: Any, true)))
+      case mx: Max =>
+        refName(mx.column).flatMap(n => boundValue(n, takeMin = false)
+          .map(v => (fieldType(n).get, v: Any, true)))
+      case _ => None
+    }
+    if (planned.exists(_.isEmpty)) return None
+    val cols = planned.map(_.get)
+    val schema = StructType(cols.zipWithIndex.map { case ((dt, _, nullable), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable)
+    })
+    Some((schema, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      cols.map(_._2).toArray)))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new GraftLocalAggScan(root, schema, row)
+    case None =>
+      new GraftScan(root, tableSchema, required, pushed, conf,
+        Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
+        manifest, limit)
+  }
+}
+
+/** Metadata-only aggregate answer: one row, computed on the DRIVER from
+  * the manifest — no tasks, no file opens. */
+class GraftLocalAggScan(root: String, schema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String = s"graft-segment $root metadata-only aggregate"
 }
 
 class GraftScan(root: String, tableSchema: StructType, required: StructType,
     pushed: Array[Filter], conf: SerializableHadoopConf,
-    maxSegmentsPerTrigger: Option[Int])
+    maxSegmentsPerTrigger: Option[Int],
+    manifest: Option[Manifest], limit: Option[Int])
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering {
-
-  // one manifest snapshot per scan: every consumer of this Scan sees
-  // the same table version regardless of concurrent commits
-  private lazy val manifest: Option[Manifest] =
-    SegmentLog.read(SegmentLog.fs(root, conf.value), root)
 
   private lazy val surviving: Seq[SegmentMeta] = {
     val all = manifest.map(_.segments).getOrElse(Nil)
@@ -207,9 +326,18 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
   }
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      runtimeSurviving.getOrElse(surviving)
-        .map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
+    override def planInputPartitions(): Array[InputPartition] = {
+      val segs = runtimeSurviving.getOrElse(surviving)
+      // pushed LIMIT: stop planning once cumulative rows cover it (a
+      // preview read opens one file, not the table)
+      val take = limit match {
+        case Some(n) =>
+          var acc = 0L
+          segs.takeWhile { s => val need = acc < n; acc += s.rows; need }
+        case None => segs
+      }
+      take.map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(tableSchema, required, conf)
   }

@@ -238,6 +238,70 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.read.format(Fmt).load(dir).count() == 30)
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX answered from the manifest, zero file reads") {
+    val dir = tmp("graft-seg-agg")
+    sample().write.format(Fmt)
+      .option("clusterBy", "bucket").option("numPartitions", "10")
+      .mode("append").save(dir)
+    val t = spark.read.format(Fmt).load(dir)
+    val agg = t.agg(
+      count(lit(1)).as("n"), count(col("tag")).as("n_tag"),
+      min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+      min(col("name")).as("min_name"), max(col("score")).as("max_score"))
+    // the plan must be a LocalTableScan-shaped scan, not a file scan
+    val hasLocal = agg.queryExecution.executedPlan.toString.contains("LocalTableScan") ||
+      collectFirst(agg.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.isEmpty
+    val r = agg.head()
+    assert(r.getLong(0) == 1000)
+    assert(r.getLong(1) == 1000 - 11) // ids ≡ 0 (mod 97) in [0,1000): 11 nulls
+    assert(r.getLong(2) == 0 && r.getLong(3) == 999)
+    assert(r.getString(4) == "name-0000")
+    assert(r.getDouble(5) == 999 * 2.5)
+    assert(hasLocal, s"expected metadata-only plan:\n${agg.queryExecution.executedPlan}")
+
+    // with a filter the pushdown must NOT engage (filters are residual)
+    val filtered = t.filter(col("bucket") === 3).agg(count(lit(1)))
+    assert(filtered.head().getLong(0) == 100)
+  }
+
+  test("limit pushdown plans a row-covering prefix of segments") {
+    val dir = tmp("graft-seg-limit")
+    sample().write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "10")
+      .mode("append").save(dir)
+    GraftSegmentSource.lastScanEvent = None
+    val few = spark.read.format(Fmt).load(dir).limit(5).collect()
+    assert(few.length == 5)
+    // planning event reports what the scan planned vs manifest total
+    // (the limit cut happens after pruning; with no filters pruning
+    // keeps all, so the cut is visible as planned < total)
+    // NOTE: lastScanEvent records the PRUNING outcome; assert the
+    // physical partition count instead via a fresh scan
+    val t = spark.read.format(Fmt).load(dir).limit(5)
+    val scanExec = collectFirst(t.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scanExec.isDefined)
+    assert(scanExec.get.inputRDD.getNumPartitions == 1,
+      "limit 5 over ~100-row segments should plan exactly one segment")
+  }
+
+  test("versionAsOf time-travels to any committed version") {
+    val dir = tmp("graft-seg-tt")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode("append").save(dir)       // v0
+    Seq(3L).toDF("id").write.format(Fmt).mode("append").save(dir)           // v1
+    Seq(9L).toDF("id").write.format(Fmt).mode("overwrite").save(dir)        // v2
+    def at(v: Int) = spark.read.format(Fmt).option("versionAsOf", v.toString)
+      .load(dir).as[Long].collect().sorted.toSeq
+    assert(at(0) == Seq(1L, 2L))
+    assert(at(1) == Seq(1L, 2L, 3L))
+    assert(at(2) == Seq(9L))
+    assert(spark.read.format(Fmt).load(dir).as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("optimistic commit: interleaved writers both land; vacuum removes orphans") {
     val dir = tmp("graft-seg-occ")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
