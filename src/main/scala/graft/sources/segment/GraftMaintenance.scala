@@ -1,0 +1,68 @@
+package graft.sources.segment
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Maintenance operations for graft-segment tables. Log-structured
+  * storage makes these pure COMPOSITIONS of the read/write/commit
+  * primitives — no special-cased file surgery:
+  *
+  *  - [[compact]]: a fragmented table (many small segments from
+  *    micro-batch appends) is rewritten in place as `read → overwrite`.
+  *    The scan pins the pre-compaction manifest, the overwrite's
+  *    truncate commit only REFERENCES new segments (old files stay on
+  *    disk), so reading the table you are rewriting is safe by
+  *    construction — and the pre-compaction version remains readable
+  *    via `versionAsOf` until expired.
+  *  - [[expire]] + [[SegmentLog.vacuum]]: history retention. Expiry
+  *    deletes manifest versions older than the retained window; vacuum
+  *    then deletes data files no surviving version references.
+  *
+  * Streaming caveat (by design, loudly): the micro-batch source's
+  * offset is the committed-segment COUNT, so compaction invalidates
+  * checkpoints of streams reading this table — they fail fast with the
+  * "segment log truncated" error rather than silently re-reading.
+  * Compact queue-tables between stream deployments, or never (the
+  * reference's SQS retention model, iac/main.tf:17, expires messages
+  * instead of rewriting them).
+  *
+  * 100 TB: compaction cost is one clustered rewrite of LIVE bytes;
+  * expiry/vacuum are manifest-sized driver ops + unreferenced-file
+  * deletes. Both are incremental-friendly (compact a partition-range
+  * predicate at a time by filtering before overwrite).
+  */
+object GraftMaintenance {
+  val Fmt = "graft-segment"
+
+  /** Rewrite the table's live data as `numPartitions` range-clustered
+    * segments. Returns (segments before, segments after). */
+  def compact(spark: SparkSession, dir: String, clusterBy: String,
+      numPartitions: Int): (Int, Int) = {
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val before = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    spark.read.format(Fmt).load(dir)
+      .write.format(Fmt)
+      .option("clusterBy", clusterBy).option("numPartitions", numPartitions.toString)
+      .mode("overwrite").save(dir)
+    val after = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    (before, after)
+  }
+
+  /** Delete manifest versions older than the last `keepLast`. Time
+    * travel reaches only retained versions afterwards; run
+    * [[SegmentLog.vacuum]] next to drop newly-unreferenced data files.
+    * Returns the number of manifest versions removed. */
+  def expire(spark: SparkSession, dir: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val latest = SegmentLog.latestVersion(fs, dir)
+    if (latest < 0) return 0
+    val cutoff = latest - keepLast + 1
+    var n = 0
+    (0L until cutoff).foreach { v =>
+      val p = new Path(new Path(dir, SegmentLog.LogDir), f"manifest-$v%012d.json")
+      if (fs.exists(p)) { fs.delete(p, false); n += 1 }
+    }
+    n
+  }
+}

@@ -201,14 +201,25 @@ object SegmentLog {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Delete data files referenced by NO manifest version (aborted or
-    * pre-truncation segments). Driver-side maintenance, listing cost
-    * ∝ file count in this table's data dir only. */
+  /** All manifest versions still present in the log (after [[
+    * GraftMaintenance.expire]] the low end is gone). */
+  def liveVersions(fs: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(root, LogDir)
+    if (!fs.exists(dir)) return Nil
+    val re = "manifest-(\\d{12})\\.json".r
+    fs.listStatus(dir).toSeq
+      .flatMap(st => re.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+      .sorted
+  }
+
+  /** Delete data files referenced by NO LIVE manifest version (aborted
+    * segments, or pre-compaction files after version expiry).
+    * Driver-side maintenance, listing cost ∝ file count in this
+    * table's data dir only. */
   def vacuum(fs: FileSystem, root: String): Int = {
     val dataDir = new Path(root, DataDir)
     if (!fs.exists(dataDir)) return 0
-    val latest = latestVersion(fs, root)
-    val referenced: Set[String] = (0L to latest)
+    val referenced: Set[String] = liveVersions(fs, root)
       .flatMap(v => readVersion(fs, root, v).segments.map(_.path)).toSet
     var n = 0
     fs.listStatus(dataDir).foreach { st =>

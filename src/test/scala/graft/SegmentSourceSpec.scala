@@ -302,6 +302,37 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.read.format(Fmt).load(dir).as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("compaction rewrites fragments in place; expiry + vacuum reclaim history") {
+    val dir = tmp("graft-seg-compact")
+    import spark.implicits._
+    // 12 tiny appends = 12 segments (micro-batch fragmentation)
+    (0 until 12).foreach(i =>
+      Seq.range(i * 10L, i * 10L + 10L).toDF("id")
+        .coalesce(1).write.format(Fmt).mode("append").save(dir))
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val (before, after) = graft.sources.segment.GraftMaintenance
+      .compact(spark, dir, clusterBy = "id", numPartitions = 2)
+    assert(before == 12 && after <= 2, s"compact 12 → ≤2, got $before → $after")
+    val live = spark.read.format(Fmt).load(dir).as[Long].collect().sorted.toSeq
+    assert(live == (0L until 120L).toSeq)
+    // pre-compaction version still time-travels...
+    val v11 = spark.read.format(Fmt).option("versionAsOf", "11").load(dir).count()
+    assert(v11 == 120)
+    // ...until expired; then vacuum reclaims the fragment files
+    val dataFiles0 = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data")).length
+    val expired = graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 1)
+    assert(expired == 12, s"12 old versions expired, got $expired")
+    val removed = SegmentLog.vacuum(fs, dir)
+    assert(removed == 12, s"12 fragment files reclaimed, got $removed")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data")).length ==
+      dataFiles0 - removed)
+    assert(spark.read.format(Fmt).load(dir).as[Long].collect().sorted.toSeq == live)
+    // expired version is gone, loudly
+    intercept[Exception] {
+      spark.read.format(Fmt).option("versionAsOf", "3").load(dir).count()
+    }
+  }
+
   test("optimistic commit: interleaved writers both land; vacuum removes orphans") {
     val dir = tmp("graft-seg-occ")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
