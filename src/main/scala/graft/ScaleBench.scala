@@ -49,7 +49,12 @@ object ScaleBench {
     // the events family at x10 users (disjoint replica universes):
     // both as-of formulations, sessions, paths, windows
     "events_asof_join", "events_asof_native", "events_sessions",
-    "events_frequent_paths", "events_tumbling_hourly", "stream_asof_counts")
+    "events_frequent_paths", "events_tumbling_hourly", "stream_asof_counts",
+    // eighth session: the DSv2 connector — write cost is the clustered
+    // rewrite (linear), skip-read cost tracks SURVIVING segments, the
+    // metadata aggregate is manifest-sized (should be ~flat at x10)
+    "store_segment_roundtrip", "store_segment_dates", "store_segment_agg_meta",
+    "text_hll_native")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
