@@ -1426,6 +1426,43 @@ object SparkEntry {
           min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
           min(col("o_orderstatus")).as("min_status"), max(col("o_orderstatus")).as("max_status"))
     }),
+    // the storage-partitioned join through the graft CATALOG: orders
+    // and customer land in co-bucketed segment tables (declared layout
+    // `bucket(8, custkey)`, preserved by plain INSERTs), and the join
+    // plans with ZERO exchanges — both sides' KeyGroupedPartitioning
+    // matches, so Spark aligns buckets instead of shuffling 100 TB
+    // (exchange-free plan asserted in GraftCatalogSpec; this row
+    // certifies the aligned join's RESULTS against the plain oracle)
+    "store_segment_spj_join" -> ((s, d) => withTempDir("graft-spj") { base =>
+      s.conf.set("spark.sql.catalog.graft_spj",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_spj.warehouse", s"$base/wh")
+      val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+      try {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_spj.db")
+        Tables.orders(s, d).createOrReplaceTempView("graft_spj_orders_src")
+        Tables.customer(s, d).createOrReplaceTempView("graft_spj_customer_src")
+        s.sql("CREATE TABLE graft_spj.db.o (o_custkey BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (bucket(8, o_custkey))")
+        s.sql("INSERT INTO graft_spj.db.o SELECT o_custkey, " +
+          "CAST(round(o_totalprice * 100, 0) AS BIGINT) FROM graft_spj_orders_src")
+        s.sql("CREATE TABLE graft_spj.db.c (c_custkey BIGINT, c_mktsegment STRING) " +
+          "PARTITIONED BY (bucket(8, c_custkey))")
+        s.sql("INSERT INTO graft_spj.db.c SELECT c_custkey, c_mktsegment " +
+          "FROM graft_spj_customer_src")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.sql(
+          """SELECT c.c_mktsegment, count(*) AS n_orders, sum(o.cents) AS sum_cents
+            |FROM graft_spj.db.o o JOIN graft_spj.db.c c ON o.o_custkey = c.c_custkey
+            |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+          .localCheckpoint(true)
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     // table-format time travel: every committed version stays readable
     // (`versionAsOf`), so the same query replays against v0 after an
     // append created v1 — the audit/debug primitive of the log design.
@@ -5070,6 +5107,13 @@ object SparkEntry {
         "max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_cents, " +
         "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status " +
         "FROM orders"),
+
+    // the exchange-free bucket-aligned join must equal the plain join
+    "store_segment_spj_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     // each log version replays to its snapshot's aggregate
     "store_segment_time_travel" ->

@@ -1,0 +1,215 @@
+package graft.sources.segment
+
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark catalog plugin for graft-segment tables — the CATALOG rung
+  * of the connector: named tables under a warehouse directory with SQL
+  * DDL/DML surface (`CREATE TABLE graft.db.t ... PARTITIONED BY
+  * (bucket(8, k))`, `INSERT INTO`, `SELECT`), plus the piece that
+  * path-based loads cannot provide: a [[FunctionCatalog]] serving the
+  * `bucket` function, which is what lets Spark RESOLVE a scan's
+  * reported `KeyGroupedPartitioning(bucket(n, k))` and plan
+  * storage-partitioned joins/aggregations over co-bucketed tables with
+  * NO exchange.
+  *
+  * The bucket function is Spark's own shuffle hash —
+  * `pmod(murmur3(key, seed=42), n)` — because that is exactly how the
+  * write side placed rows (a hash-clustered write's bucket id IS the
+  * shuffle partition index under `Distributions.clustered`). One
+  * definition of bucket placement, shared by writer, manifest, scan
+  * report, and (under `v2.bucketing.shuffle.enabled`) the shuffle
+  * Spark may plan for the un-bucketed side of a join.
+  *
+  * Config:
+  * {{{
+  * spark.sql.catalog.graft = graft.sources.segment.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * Identifier `graft.db.t` maps to `<warehouse>/db/t`.
+  *
+  * 100 TB note: the catalog is metadata-only (directory resolution +
+  * manifest reads); nothing here scales with data volume.
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  private def fs = SegmentLog.fs(warehouse,
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace).mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .filter(st => fs.exists(new Path(st.getPath, SegmentLog.LogDir)))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    val m = SegmentLog.read(fs, path).getOrElse(throw new NoSuchTableException(ident))
+    new GraftSegmentTable(path, m.schema, m.bucketing)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    SegmentLog.read(fs, tablePath(ident)).isDefined
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    SegmentCodec.validateSchema(schema)
+    val bucketing = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) =>
+        // accept exactly `bucket(n, cols...)`; other transforms have no
+        // segment-layout meaning here
+        val (n, cols) = parseBucket(t).getOrElse(throw new IllegalArgumentException(
+          s"graft-segment supports PARTITIONED BY (bucket(n, col, ...)) only, got $t"))
+        Some(BucketSpec(cols, n))
+      case other => throw new IllegalArgumentException(
+        s"graft-segment supports a single bucket(...) transform, got ${other.mkString(", ")}")
+    }
+    bucketing.foreach(b => b.cols.foreach(c =>
+      require(schema.fieldNames.contains(c), s"bucket column $c not in schema")))
+    val path = tablePath(ident)
+    require(SegmentLog.read(fs, path).isEmpty,
+      s"table $ident already exists at $path")
+    SegmentLog.commit(fs, path,
+      StructType(schema.fields.map(_.copy(nullable = true))),
+      Nil, truncate = true, bucketing = bucketing)
+    new GraftSegmentTable(path, schema, bucketing)
+  }
+
+  private def parseBucket(t: Transform): Option[(Int, Seq[String])] =
+    if (t.name() != "bucket") None
+    else {
+      val args = t.arguments()
+      val n = args.headOption.collect {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          lit.value().asInstanceOf[Number].intValue()
+      }
+      val cols = args.tail.toSeq.map {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
+          ref.fieldNames().mkString(".")
+        case other => return None
+      }
+      n.filter(_ > 0).map(v => (v, cols))
+    }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft-segment tables are not alterable")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tablePath(ident))
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(tablePath(oldIdent)); val to = new Path(tablePath(newIdent))
+    if (!fs.exists(from)) throw new NoSuchTableException(oldIdent)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces: directories under the warehouse
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory).map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    val dir = new Path((warehouse +: namespace).mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    fs.mkdirs(new Path((warehouse +: namespace).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new Path((warehouse +: namespace).mkString("/"))
+    fs.exists(dir) && fs.delete(dir, cascade)
+  }
+
+  // ---- functions: the bucket placement function
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** `bucket(n, key...)` — row placement under hash clustering, defined
+  * ONCE as Spark's shuffle hash (`pmod(murmur3(keys, 42), n)`) so the
+  * function's answer always agrees with where a hash-clustered write
+  * physically put the row. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key...): pmod(murmur3(key...), n) — graft-segment hash placement"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length >= 2, "bucket(n, key...) needs numBuckets + at least one key")
+    require(inputType.head.dataType == IntegerType, "numBuckets must be INT")
+    new GraftBoundBucket(inputType.fields.drop(1).map(_.dataType).toSeq)
+  }
+}
+
+final class GraftBoundBucket(keyTypes: Seq[DataType]) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = (IntegerType +: keyTypes).toArray
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String =
+    s"graft.bucket(${keyTypes.map(_.catalogString).mkString(",")})"
+  override def isResultNullable: Boolean = false
+
+  @transient private lazy val hashExprs = {
+    // evaluate catalyst's Murmur3Hash over the key slice of the input
+    // row — identical to HashPartitioning's placement hash (seed 42)
+    val refs = keyTypes.zipWithIndex.map { case (dt, i) =>
+      org.apache.spark.sql.catalyst.expressions.BoundReference(i + 1, dt, nullable = true)
+    }
+    org.apache.spark.sql.catalyst.expressions.Murmur3Hash(refs, 42)
+  }
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val h = hashExprs.eval(input).asInstanceOf[Int]
+    val m = h % n
+    if (m < 0) m + n else m
+  }
+}

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
@@ -105,7 +106,8 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
   }
 }
 
-class GraftSegmentTable(root: String, tableSchema: StructType)
+class GraftSegmentTable(root: String, tableSchema: StructType,
+    bucketing: Option[BucketSpec] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-segment `$root`"
   override def schema(): StructType = tableSchema
@@ -114,11 +116,14 @@ class GraftSegmentTable(root: String, tableSchema: StructType)
     TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
     TableCapability.STREAMING_WRITE).asJava
 
+  override def partitioning(): Array[Transform] =
+    bucketing.map(b => Expressions.bucket(b.n, b.cols: _*)).toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, schema, options)
+    new GraftScanBuilder(root, tableSchema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root, info)
+    new GraftWriteBuilder(root, info, bucketing)
 }
 
 class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
@@ -272,7 +277,30 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     pushed: Array[Filter], conf: SerializableHadoopConf,
     maxSegmentsPerTrigger: Option[Int],
     manifest: Option[Manifest], limit: Option[Int])
-    extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
+
+  // report KeyGroupedPartitioning only when every planned segment
+  // carries its hash-bucket label and no limit cut distorts coverage —
+  // then co-bucketed segment tables join/aggregate with NO exchange
+  // (storage-partitioned join; needs the graft catalog to resolve the
+  // bucket transform and spark.sql.sources.v2.bucketing.enabled)
+  private def reportableBucketing: Option[BucketSpec] =
+    manifest.flatMap(_.bucketing).filter { _ =>
+      limit.isEmpty && surviving.nonEmpty && surviving.forall(_.bucket.isDefined)
+    }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    reportableBucketing match {
+      case Some(b) =>
+        val segs = runtimeSurviving.getOrElse(surviving)
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(b.n, b.cols: _*)),
+          segs.flatMap(_.bucket).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          runtimeSurviving.getOrElse(surviving).size)
+    }
 
   private lazy val surviving: Seq[SegmentMeta] = {
     val all = manifest.map(_.segments).getOrElse(Nil)
@@ -336,7 +364,11 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
           segs.takeWhile { s => val need = acc < n; acc += s.rows; need }
         case None => segs
       }
-      take.map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
+      if (reportableBucketing.isDefined)
+        take.map(seg =>
+          GraftKeyedInputPartition(s"$root/${seg.path}", seg.bucket.get): InputPartition).toArray
+      else
+        take.map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(tableSchema, required, conf)
@@ -346,12 +378,24 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger)
 }
 
-case class GraftInputPartition(file: String) extends InputPartition
+sealed trait GraftPartition extends InputPartition { def file: String }
+
+case class GraftInputPartition(file: String) extends GraftPartition
+
+/** A segment under a hash-bucketed layout: its partition key is the
+  * bucket id, which is what BatchScanExec groups on for
+  * storage-partitioned joins. */
+case class GraftKeyedInputPartition(file: String, bucket: Int)
+    extends GraftPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 class GraftReaderFactory(stored: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftInputPartition].file
+    val file = partition.asInstanceOf[GraftPartition].file
     val p = new Path(file)
     val in = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(conf.value).open(p), 1 << 16))
@@ -424,7 +468,8 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
   override def stop(): Unit = ()
 }
 
-class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
+class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
+    tableBucketing: Option[BucketSpec] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -432,13 +477,22 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   override def build(): Write = {
     SegmentCodec.validateSchema(info.schema())
     val opts = info.options()
-    val clusterBy = Option(opts.get("clusterBy"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val optCluster = Option(opts.get("clusterBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // a catalog table's declared bucket layout is the default: plain
+    // INSERTs preserve it without the writer re-stating options
+    val (clusterBy, clusterMode, numPartitions) = optCluster match {
+      case Some(cols) => (cols, Option(opts.get("clusterMode")).getOrElse("range"),
+        Option(opts.get("numPartitions")).map(_.toInt))
+      case None => tableBucketing match {
+        case Some(b) => (b.cols, "hash", Some(b.n))
+        case None => (Nil, "range", Option(opts.get("numPartitions")).map(_.toInt))
+      }
+    }
     clusterBy.foreach(c => require(info.schema().fieldNames.contains(c),
       s"clusterBy column $c not in write schema"))
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
-      Option(opts.get("clusterMode")).getOrElse("range"),
-      Option(opts.get("numPartitions")).map(_.toInt),
+      clusterMode, numPartitions,
       Option(opts.get("maxRowsPerSegment")).map(_.toLong),
       info.queryId())
   }
@@ -470,7 +524,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
   override def requiredNumPartitions(): Int = numPartitions.getOrElse(0)
 
   override def toBatch: BatchWrite = new GraftBatchWrite(root, schema, truncateFirst,
-    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows)
+    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows,
+    hashClusterBy = if (clusterMode == "hash") clusterBy else Nil)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -518,15 +573,27 @@ class GraftStreamingWrite(root: String, schema: StructType,
 case class GraftCommitMessage(segments: Seq[SegmentMeta]) extends WriterCommitMessage
 
 class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
-    conf: SerializableHadoopConf, maxRows: Option[Long]) extends BatchWrite {
+    conf: SerializableHadoopConf, maxRows: Option[Long],
+    hashClusterBy: Seq[String]) extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue))
+  // a hash-clustered write's shuffle partition index IS the bucket id
+  // (pmod(murmur3(keys), n)) — record it so the table can report
+  // KeyGroupedPartitioning and joins/aggs between co-bucketed segment
+  // tables plan WITHOUT an exchange (storage-partitioned join)
+  @volatile private var bucketSpec: Option[BucketSpec] = None
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (hashClusterBy.nonEmpty)
+      bucketSpec = Some(BucketSpec(hashClusterBy, info.numPartitions()))
+    new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
+      labelBuckets = hashClusterBy.nonEmpty)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
-    SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs, truncateFirst)
+    SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs,
+      truncateFirst, bucketing = bucketSpec)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -540,9 +607,11 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
 }
 
 class GraftWriterFactory(root: String, schema: StructType,
-    conf: SerializableHadoopConf, maxRows: Long) extends DataWriterFactory {
+    conf: SerializableHadoopConf, maxRows: Long,
+    labelBuckets: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(root, schema, conf.value, maxRows)
+    new GraftDataWriter(root, schema, conf.value, maxRows,
+      bucket = if (labelBuckets) Some(partitionId) else None)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -551,7 +620,7 @@ class GraftWriterFactory(root: String, schema: StructType,
   * segment granularity — the unit of both parallelism and skipping —
   * is a write-side knob, not an accident of input partitioning. */
 class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
-    maxRows: Long) extends DataWriter[InternalRow] {
+    maxRows: Long, bucket: Option[Int] = None) extends DataWriter[InternalRow] {
   private val fs = SegmentLog.fs(root, conf)
   private val types = schema.fields.map(_.dataType)
   private val done = Seq.newBuilder[SegmentMeta]
@@ -575,7 +644,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     out.close()
     val bytes = fs.getFileStatus(absPath).getLen
     done += SegmentMeta(relPath, rows, bytes,
-      schema.fieldNames.zip(stats).map { case (n, c) => n -> ColumnStats(c.bounds, c.nullCount) }.toMap)
+      schema.fieldNames.zip(stats).map { case (n, c) => n -> ColumnStats(c.bounds, c.nullCount) }.toMap,
+      bucket)
     out = null
   }
 

@@ -16,9 +16,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 case class ColumnStats(bounds: Option[(String, String)], nullCount: Long)
 
-/** One committed data file. `path` is relative to the table root. */
+/** One committed data file. `path` is relative to the table root.
+  * `bucket` is the hash-bucket index this segment belongs to when it
+  * was written under a hash-clustered layout (the write task's shuffle
+  * partition index, i.e. `pmod(murmur3(keys), n)`), else None. */
 case class SegmentMeta(path: String, rows: Long, bytes: Long,
-    stats: Map[String, ColumnStats])
+    stats: Map[String, ColumnStats], bucket: Option[Int] = None)
+
+/** A hash-bucketed table layout: every committed segment is labeled
+  * with `pmod(murmur3(cols), n)`. Consistent across commits because the
+  * bucket function is Spark's own shuffle hash — the invariant behind
+  * reporting KeyGroupedPartitioning for storage-partitioned joins. */
+case class BucketSpec(cols: Seq[String], n: Int)
 
 /** A manifest version: the complete table state at version `version` —
   * schema + the ordered list of live segments. Segment order is
@@ -33,7 +42,7 @@ case class SegmentMeta(path: String, rows: Long, bytes: Long,
   * txn appId/version action.
   */
 case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta],
-    txns: Map[String, Long] = Map.empty)
+    txns: Map[String, Long] = Map.empty, bucketing: Option[BucketSpec] = None)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -115,7 +124,8 @@ object SegmentLog {
         stats += n -> ColumnStats(bounds, c.get("nulls").asLong())
       }
       out += SegmentMeta(s.get("path").asText(), s.get("rows").asLong(),
-        s.get("bytes").asLong(), stats.result())
+        s.get("bytes").asLong(), stats.result(),
+        if (s.hasNonNull("bucket")) Some(s.get("bucket").asInt()) else None)
     }
     val txns = Map.newBuilder[String, Long]
     if (node.hasNonNull("txns")) {
@@ -125,7 +135,15 @@ object SegmentLog {
         txns += q -> node.get("txns").get(q).asLong()
       }
     }
-    Manifest(node.get("version").asLong(), schema, out.result(), txns.result())
+    val bucketing =
+      if (node.hasNonNull("bucketing")) {
+        val b = node.get("bucketing")
+        val cols = Seq.newBuilder[String]
+        val it = b.get("cols").elements()
+        while (it.hasNext) cols += it.next().asText()
+        Some(BucketSpec(cols.result(), b.get("n").asInt()))
+      } else None
+    Manifest(node.get("version").asLong(), schema, out.result(), txns.result(), bucketing)
   }
 
   private def render(m: Manifest): String = {
@@ -136,6 +154,7 @@ object SegmentLog {
     m.segments.foreach { s =>
       val o = arr.addObject()
       o.put("path", s.path); o.put("rows", s.rows); o.put("bytes", s.bytes)
+      s.bucket.foreach(b => o.put("bucket", b))
       val st = o.putObject("stats")
       s.stats.foreach { case (name, cs) =>
         val c = st.putObject(name)
@@ -149,6 +168,12 @@ object SegmentLog {
     if (m.txns.nonEmpty) {
       val t = root.putObject("txns")
       m.txns.foreach { case (q, e) => t.put(q, e) }
+    }
+    m.bucketing.foreach { b =>
+      val o = root.putObject("bucketing")
+      val cs = o.putArray("cols")
+      b.cols.foreach(cs.add)
+      o.put("n", b.n)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -165,7 +190,8 @@ object SegmentLog {
     */
   def commit(fs: FileSystem, root: String, schema: StructType,
       newSegments: Seq[SegmentMeta], truncate: Boolean,
-      txn: Option[(String, Long)] = None, maxRetries: Int = 20): Long = {
+      txn: Option[(String, Long)] = None,
+      bucketing: Option[BucketSpec] = None, maxRetries: Int = 20): Long = {
     var attempt = 0
     while (true) {
       val current = read(fs, root)
@@ -186,7 +212,14 @@ object SegmentLog {
         if (truncate) newSegments
         else current.map(_.segments).getOrElse(Nil) ++ newSegments
       val txns = current.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-      val body = render(Manifest(v, schema, merged, txns)).getBytes(StandardCharsets.UTF_8)
+      // the layout survives only while every commit agrees on it: a
+      // truncate installs the writer's spec; an append keeps the live
+      // spec only if the writer used the identical one (else the table
+      // is mixed-layout and reports no partitioning)
+      val spec =
+        if (truncate || current.isEmpty) bucketing
+        else current.flatMap(_.bucketing).filter(live => bucketing.contains(live))
+      val body = render(Manifest(v, schema, merged, txns, spec)).getBytes(StandardCharsets.UTF_8)
       val p = manifestPath(root, v)
       fs.mkdirs(p.getParent)
       try {
