@@ -801,6 +801,19 @@ object SparkEntry {
           Seq("lang"), 256)
         .orderBy(col("lang"))
     }),
+    // the NATIVE KMV aggregate (TypedImperativeAggregate): dedup folds
+    // INTO the k-bounded TreeSet buffer — one pass, no corpus-wide
+    // (group, hash) distinct stage — and must answer bit-identically
+    // to the frame path above (same hash, same n_sk<k exact branch,
+    // same (k−1)·2^32/h_k single division, same rounding), so it
+    // shares text_kmv_vocab's oracle verbatim
+    "text_kmv_native" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      tok.groupBy(col("lang"))
+        .agg(graft.functions.KmvDistinct.kmvDistinct(col("word"), 256).as("n_est"))
+        .orderBy(col("lang"))
+    }),
     // the shard-merge path: per-(lang, source) partial KMV sketches
     // re-minned to per-lang must estimate identically to the direct
     // sketch (min-k is associative + idempotent) — same oracle row
@@ -6541,6 +6554,9 @@ object SparkEntry {
         "FROM (SELECT lang, np, sp, (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / " +
         "((512.0 - np) + sp) AS raw FROM e) ORDER BY lang"),
     "text_kmv_vocab" -> kmvVocabSql,
+    // the native bounded-buffer aggregate lands on the identical
+    // estimate — shared oracle
+    "text_kmv_native" -> kmvVocabSql,
     // min-k is associative + idempotent: shard-then-merge ≡ direct
     "text_kmv_merged" -> kmvVocabSql,
     // ... and the streaming snapshot-state fold is the same merge

@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shingles(text, 5) plans the same GenerateExec the Column API does
     ext.injectFunction(graft.functions.ShingleGenerator.shinglesFunction)
     ext.injectFunction(graft.functions.HllDistinct.sqlFunction)
+    ext.injectFunction(graft.functions.KmvDistinct.sqlFunction)
   }
 }
 

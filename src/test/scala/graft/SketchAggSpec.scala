@@ -68,6 +68,27 @@ class SketchAggSpec extends SparkSpec {
     assert(viaSqlP.length == 2) // precision arg accepted
   }
 
+  test("native kmv_distinct equals the frame sketch+estimate exactly, per group") {
+    val df = words(30000, 4).repartition(7)
+    val native = df.groupBy("lang")
+      .agg(graft.functions.KmvDistinct.kmvDistinct(col("word"), 256).as("n_est"))
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val frame = graft.ops.Kmv.estimateDistinct(
+        graft.ops.Kmv.sketch(df, Seq("lang"), col("word"), 256), Seq("lang"), 256)
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(native.toSeq == frame.toSeq)
+  }
+
+  test("kmv under-fill branch is exact; duplicates never occupy two slots") {
+    import spark.implicits._
+    val df = (0 until 100).flatMap(i => Seq(s"t$i", s"t$i"))
+      .toDF("word").select(lit("g").as("g"), col("word")).repartition(5)
+    val est = df.groupBy("g")
+      .agg(graft.functions.KmvDistinct.kmvDistinct(col("word"), 256).as("e"))
+      .head().getDouble(1)
+    assert(est == 100.0, "sketch not filled (100 < 256): estimate must be exactly the distinct count")
+  }
+
   test("nulls are ignored, empty group estimates 0") {
     import spark.implicits._
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")), ("b", None))
