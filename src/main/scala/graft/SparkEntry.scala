@@ -1476,6 +1476,38 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    // additive schema evolution on the table format: a first commit
+    // without `cents`, a mergeSchema append WITH it — the widened
+    // table null-backfills the pre-evolution segments (per-segment
+    // column lists in the manifest; readers map by name). Same
+    // contract as store_schema_merge, native to the connector
+    "store_segment_evolve" -> ((s, d) => withTempDir("graft-segevo") { base =>
+      val dir = s"$base/orders_seg"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      o.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey"), col("o_custkey"))
+        .write.format("graft-segment").mode("append").save(dir)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .write.format("graft-segment").option("mergeSchema", "true")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
+    }),
+    // DELETE on the table format (the rewrite path: row-exact with SQL
+    // semantics — null-condition rows survive; the metadata-only
+    // whole-segment path is spec-certified with boundary-aligned
+    // predicates in SegmentSourceSpec)
+    "store_segment_delete" -> ((s, d) => withTempDir("graft-segdel") { base =>
+      val dir = s"$base/orders_seg"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "o_orderkey").option("numPartitions", "8")
+        .mode("append").save(dir)
+      graft.sources.segment.GraftMaintenance.deleteRows(s, dir,
+        col("o_orderkey") % 7 === 0 || col("cents") > 20000000L)
+      s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
+    }),
     // table-format time travel: every committed version stays readable
     // (`versionAsOf`), so the same query replays against v0 after an
     // append created v1 — the audit/debug primitive of the log design.
@@ -5127,6 +5159,21 @@ object SparkEntry {
         "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    // pre-evolution rows carry NULL in the later column
+    "store_segment_evolve" ->
+      ("SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS cents FROM orders " +
+        "WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey % 2 <> 0 ORDER BY o_orderkey"),
+
+    // DELETE keeps exactly the rows where the condition is not true
+    "store_segment_delete" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders " +
+        "WHERE NOT (o_orderkey % 7 = 0 OR CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000) " +
+        "ORDER BY o_orderkey"),
 
     // each log version replays to its snapshot's aggregate
     "store_segment_time_travel" ->

@@ -82,7 +82,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     SegmentCodec.validateSchema(schema)
     val bucketing = partitions.toSeq match {
-      case Nil => None
+      case Nil =>
+        // range layout via TBLPROPERTIES('clusterBy'='k', 'numPartitions'='8'):
+        // the zone-map-decidable complement of bucket(...) hash layout
+        Option(properties.get("clusterBy")).map { cs =>
+          val cols = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val n = Option(properties.get("numPartitions")).map(_.toInt).getOrElse(8)
+          BucketSpec(cols, n, "range")
+        }
       case Seq(t) =>
         // accept exactly `bucket(n, cols...)`; other transforms have no
         // segment-layout meaning here

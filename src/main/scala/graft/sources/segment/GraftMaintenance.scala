@@ -48,6 +48,20 @@ object GraftMaintenance {
     (before, after)
   }
 
+  /** The rewrite half of DELETE: keep every row where `condition` is
+    * not TRUE (SQL DELETE semantics — null-condition rows survive),
+    * rewritten in place. Use when the predicate does not decide whole
+    * segments (the metadata-only path on [[GraftSegmentTable]] handles
+    * the case where it does). Returns rows remaining. */
+  def deleteRows(spark: SparkSession, dir: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val kept = spark.read.format(Fmt).load(dir)
+      .filter(not(coalesce(condition, lit(false))))
+    kept.write.format(Fmt).mode("overwrite").save(dir)
+    spark.read.format(Fmt).load(dir).count()
+  }
+
   /** Delete manifest versions older than the last `keepLast`. Time
     * travel reaches only retained versions afterwards; run
     * [[SegmentLog.vacuum]] next to drop newly-unreferenced data files.

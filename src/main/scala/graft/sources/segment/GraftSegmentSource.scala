@@ -108,7 +108,8 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
 
 class GraftSegmentTable(root: String, tableSchema: StructType,
     bucketing: Option[BucketSpec] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-segment `$root`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = Set(
@@ -117,13 +118,65 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
     TableCapability.STREAMING_WRITE).asJava
 
   override def partitioning(): Array[Transform] =
-    bucketing.map(b => Expressions.bucket(b.n, b.cols: _*)).toArray
+    bucketing.filter(_.mode == "hash")
+      .map(b => Expressions.bucket(b.n, b.cols: _*)).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, tableSchema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info, bucketing)
+
+  // ---- metadata-only DELETE: a predicate that DECIDES every live
+  // segment (all rows provably match → drop; no row can match → keep)
+  // executes as one manifest commit — zero data files read or written.
+  // The GDPR-shaped fast path when erasure keys align with the
+  // clustered layout. Undecided segments → canDeleteWhere = false and
+  // Spark reports the rewrite is required (GraftMaintenance.deleteRows
+  // is the rewrite fallback). Like overwrite, a concurrent append can
+  // be lost to the truncating commit: last-writer-wins, by design.
+
+  private def fsAndManifest() = {
+    val fs = SegmentLog.fs(root,
+      SparkSession.active.sessionState.newHadoopConf())
+    (fs, SegmentLog.read(fs, root))
+  }
+
+  private def decide(filters: Array[Filter], segs: Seq[SegmentMeta]): Option[Seq[SegmentMeta]] = {
+    val kept = Seq.newBuilder[SegmentMeta]
+    segs.foreach { seg =>
+      val drop = filters.nonEmpty && filters.forall(f => SegmentPruning.allMatch(f, tableSchema, seg))
+      val keep = filters.exists(f => SegmentPruning.prunes(f, tableSchema, seg))
+      if (drop) () // provably all rows match the conjunction: drop whole file
+      else if (keep) kept += seg // provably no row matches: untouched
+      else return None // undecidable without reading rows
+    }
+    Some(kept.result())
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val (_, m) = fsAndManifest()
+    m.forall(mm => decide(filters, mm.segments).isDefined)
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (fs, m) = fsAndManifest()
+    m.foreach { mm =>
+      val kept = decide(filters, mm.segments).getOrElse(
+        throw new UnsupportedOperationException(
+          "DELETE requires a rewrite for segments the zone maps cannot decide; " +
+            "use GraftMaintenance.deleteRows"))
+      SegmentLog.commit(fs, root, mm.schema, kept, truncate = true,
+        bucketing = mm.bucketing)
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    val (fs, m) = fsAndManifest()
+    m.foreach(mm => SegmentLog.commit(fs, root, mm.schema, Nil, truncate = true,
+      bucketing = mm.bucketing))
+    m.isDefined
+  }
 }
 
 class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
@@ -364,11 +417,13 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
           segs.takeWhile { s => val need = acc < n; acc += s.rows; need }
         case None => segs
       }
+      def segCols(seg: SegmentMeta): Seq[String] =
+        if (seg.cols.nonEmpty) seg.cols else tableSchema.fieldNames.toSeq
       if (reportableBucketing.isDefined)
         take.map(seg =>
-          GraftKeyedInputPartition(s"$root/${seg.path}", seg.bucket.get): InputPartition).toArray
+          GraftKeyedInputPartition(s"$root/${seg.path}", segCols(seg), seg.bucket.get): InputPartition).toArray
       else
-        take.map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
+        take.map(seg => GraftInputPartition(s"$root/${seg.path}", segCols(seg)): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(tableSchema, required, conf)
@@ -378,24 +433,35 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger)
 }
 
-sealed trait GraftPartition extends InputPartition { def file: String }
+sealed trait GraftPartition extends InputPartition {
+  def file: String
+  /** Ordered columns the segment file physically stores (schema
+    * evolution: may be a prefix-subset of the table schema). */
+  def cols: Seq[String]
+}
 
-case class GraftInputPartition(file: String) extends GraftPartition
+case class GraftInputPartition(file: String, cols: Seq[String]) extends GraftPartition
 
 /** A segment under a hash-bucketed layout: its partition key is the
   * bucket id, which is what BatchScanExec groups on for
   * storage-partitioned joins. */
-case class GraftKeyedInputPartition(file: String, bucket: Int)
+case class GraftKeyedInputPartition(file: String, cols: Seq[String], bucket: Int)
     extends GraftPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bucket))
 }
 
-class GraftReaderFactory(stored: StructType, required: StructType,
+class GraftReaderFactory(tableSchema: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftPartition].file
+    val gp = partition.asInstanceOf[GraftPartition]
+    val file = gp.file
+    // the segment's physical layout: its own column list, typed from
+    // the table schema (additive evolution never retypes a column);
+    // required columns the segment lacks stay null in the output row
+    val stored = StructType(gp.cols.map(n => tableSchema.fields.find(_.name == n).getOrElse(
+      throw new IllegalStateException(s"segment column $n missing from table schema"))))
     val p = new Path(file)
     val in = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(conf.value).open(p), 1 << 16))
@@ -458,7 +524,8 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     require(to <= segs.size,
       s"offset $to beyond manifest (${segs.size} segments): segment log truncated under a running stream?")
     segs.slice(from, to)
-      .map(seg => GraftInputPartition(s"$root/${seg.path}"): InputPartition).toArray
+      .map(seg => GraftInputPartition(s"$root/${seg.path}",
+        if (seg.cols.nonEmpty) seg.cols else stored.fieldNames.toSeq): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -485,7 +552,7 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       case Some(cols) => (cols, Option(opts.get("clusterMode")).getOrElse("range"),
         Option(opts.get("numPartitions")).map(_.toInt))
       case None => tableBucketing match {
-        case Some(b) => (b.cols, "hash", Some(b.n))
+        case Some(b) => (b.cols, b.mode, Some(b.n))
         case None => (Nil, "range", Option(opts.get("numPartitions")).map(_.toInt))
       }
     }
@@ -494,13 +561,14 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       clusterMode, numPartitions,
       Option(opts.get("maxRowsPerSegment")).map(_.toLong),
-      info.queryId())
+      info.queryId(),
+      Option(opts.get("mergeSchema")).exists(_.toBoolean))
   }
 }
 
 class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Seq[String], clusterMode: String, numPartitions: Option[Int],
-    maxRows: Option[Long], queryId: String)
+    maxRows: Option[Long], queryId: String, mergeSchema: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -525,7 +593,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
 
   override def toBatch: BatchWrite = new GraftBatchWrite(root, schema, truncateFirst,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows,
-    hashClusterBy = if (clusterMode == "hash") clusterBy else Nil)
+    clusterBy = clusterBy, clusterMode = clusterMode,
+    mergeSchema = mergeSchema)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -574,26 +643,29 @@ case class GraftCommitMessage(segments: Seq[SegmentMeta]) extends WriterCommitMe
 
 class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     conf: SerializableHadoopConf, maxRows: Option[Long],
-    hashClusterBy: Seq[String]) extends BatchWrite {
+    clusterBy: Seq[String], clusterMode: String,
+    mergeSchema: Boolean = false) extends BatchWrite {
 
-  // a hash-clustered write's shuffle partition index IS the bucket id
-  // (pmod(murmur3(keys), n)) — record it so the table can report
-  // KeyGroupedPartitioning and joins/aggs between co-bucketed segment
-  // tables plan WITHOUT an exchange (storage-partitioned join)
+  // the declared layout is persisted with the commit. Hash mode: the
+  // shuffle partition index IS the bucket id (pmod(murmur3(keys), n)) —
+  // recorded per segment so the table reports KeyGroupedPartitioning
+  // and co-bucketed joins/aggs plan WITHOUT an exchange. Range mode:
+  // segments cover non-overlapping sorted ranges, making zone maps
+  // decide value predicates (selective reads, metadata-only DELETEs).
   @volatile private var bucketSpec: Option[BucketSpec] = None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    if (hashClusterBy.nonEmpty)
-      bucketSpec = Some(BucketSpec(hashClusterBy, info.numPartitions()))
+    if (clusterBy.nonEmpty)
+      bucketSpec = Some(BucketSpec(clusterBy, info.numPartitions(), clusterMode))
     new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
-      labelBuckets = hashClusterBy.nonEmpty)
+      labelBuckets = clusterBy.nonEmpty && clusterMode == "hash")
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs,
-      truncateFirst, bucketing = bucketSpec)
+      truncateFirst, bucketing = bucketSpec, mergeSchema = mergeSchema)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -645,7 +717,7 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     val bytes = fs.getFileStatus(absPath).getLen
     done += SegmentMeta(relPath, rows, bytes,
       schema.fieldNames.zip(stats).map { case (n, c) => n -> ColumnStats(c.bounds, c.nullCount) }.toMap,
-      bucket)
+      bucket, cols = schema.fieldNames.toSeq)
     out = null
   }
 

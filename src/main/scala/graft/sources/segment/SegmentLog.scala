@@ -19,15 +19,24 @@ case class ColumnStats(bounds: Option[(String, String)], nullCount: Long)
 /** One committed data file. `path` is relative to the table root.
   * `bucket` is the hash-bucket index this segment belongs to when it
   * was written under a hash-clustered layout (the write task's shuffle
-  * partition index, i.e. `pmod(murmur3(keys), n)`), else None. */
+  * partition index, i.e. `pmod(murmur3(keys), n)`), else None.
+  * `cols` is the ordered column list the segment was WRITTEN with —
+  * under additive schema evolution a pre-evolution segment simply
+  * lacks the later columns, and readers null-backfill them; empty
+  * means "the table schema at read time" (pre-evolution manifests). */
 case class SegmentMeta(path: String, rows: Long, bytes: Long,
-    stats: Map[String, ColumnStats], bucket: Option[Int] = None)
+    stats: Map[String, ColumnStats], bucket: Option[Int] = None,
+    cols: Seq[String] = Nil)
 
-/** A hash-bucketed table layout: every committed segment is labeled
-  * with `pmod(murmur3(cols), n)`. Consistent across commits because the
-  * bucket function is Spark's own shuffle hash — the invariant behind
-  * reporting KeyGroupedPartitioning for storage-partitioned joins. */
-case class BucketSpec(cols: Seq[String], n: Int)
+/** A declared table layout. `mode = "hash"`: every committed segment
+  * is labeled with `pmod(murmur3(cols), n)` — consistent across
+  * commits because the bucket function is Spark's own shuffle hash,
+  * the invariant behind reporting KeyGroupedPartitioning for
+  * storage-partitioned joins. `mode = "range"`: segments cover
+  * non-overlapping sorted ranges of `cols` — the zone-map-selective
+  * layout, which is what makes value predicates (reads AND
+  * metadata-only DELETEs) decide whole segments. */
+case class BucketSpec(cols: Seq[String], n: Int, mode: String = "hash")
 
 /** A manifest version: the complete table state at version `version` —
   * schema + the ordered list of live segments. Segment order is
@@ -123,9 +132,17 @@ object SegmentLog {
           else None
         stats += n -> ColumnStats(bounds, c.get("nulls").asLong())
       }
+      val segCols =
+        if (s.hasNonNull("cols")) {
+          val b = Seq.newBuilder[String]
+          val it = s.get("cols").elements()
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        } else Nil
       out += SegmentMeta(s.get("path").asText(), s.get("rows").asLong(),
         s.get("bytes").asLong(), stats.result(),
-        if (s.hasNonNull("bucket")) Some(s.get("bucket").asInt()) else None)
+        if (s.hasNonNull("bucket")) Some(s.get("bucket").asInt()) else None,
+        segCols)
     }
     val txns = Map.newBuilder[String, Long]
     if (node.hasNonNull("txns")) {
@@ -141,7 +158,8 @@ object SegmentLog {
         val cols = Seq.newBuilder[String]
         val it = b.get("cols").elements()
         while (it.hasNext) cols += it.next().asText()
-        Some(BucketSpec(cols.result(), b.get("n").asInt()))
+        Some(BucketSpec(cols.result(), b.get("n").asInt(),
+          if (b.hasNonNull("mode")) b.get("mode").asText() else "hash"))
       } else None
     Manifest(node.get("version").asLong(), schema, out.result(), txns.result(), bucketing)
   }
@@ -155,6 +173,7 @@ object SegmentLog {
       val o = arr.addObject()
       o.put("path", s.path); o.put("rows", s.rows); o.put("bytes", s.bytes)
       s.bucket.foreach(b => o.put("bucket", b))
+      if (s.cols.nonEmpty) { val ca = o.putArray("cols"); s.cols.foreach(ca.add) }
       val st = o.putObject("stats")
       s.stats.foreach { case (name, cs) =>
         val c = st.putObject(name)
@@ -174,6 +193,7 @@ object SegmentLog {
       val cs = o.putArray("cols")
       b.cols.foreach(cs.add)
       o.put("n", b.n)
+      o.put("mode", b.mode)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -191,7 +211,8 @@ object SegmentLog {
   def commit(fs: FileSystem, root: String, schema: StructType,
       newSegments: Seq[SegmentMeta], truncate: Boolean,
       txn: Option[(String, Long)] = None,
-      bucketing: Option[BucketSpec] = None, maxRetries: Int = 20): Long = {
+      bucketing: Option[BucketSpec] = None,
+      mergeSchema: Boolean = false, maxRetries: Int = 20): Long = {
     var attempt = 0
     while (true) {
       val current = read(fs, root)
@@ -200,12 +221,28 @@ object SegmentLog {
           if (m.txns.get(q).exists(_ >= e)) return m.version // replayed epoch
         }
       }
-      current.foreach { m =>
-        val same = m.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-          schema.fields.map(f => (f.name, f.dataType)).toSeq
-        require(truncate || same,
-          s"schema mismatch appending to $root: table has ${m.schema.simpleString}, " +
-            s"write has ${schema.simpleString}")
+      // additive evolution under mergeSchema: every existing column
+      // must keep its type; columns the table does not have yet are
+      // appended (nullable — old segments null-backfill them). Without
+      // mergeSchema an append must match exactly.
+      val tableSchema: StructType = current match {
+        case None => schema
+        case Some(m) if truncate => schema
+        case Some(m) =>
+          val live = m.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          val write = schema.fields.map(f => (f.name, f.dataType)).toSeq
+          if (live == write) m.schema
+          else if (mergeSchema) {
+            val liveTypes = live.toMap
+            write.foreach { case (n, dt) =>
+              require(!liveTypes.contains(n) || liveTypes(n) == dt,
+                s"mergeSchema cannot change column $n from ${liveTypes(n).sql} to ${dt.sql}")
+            }
+            val newCols = schema.fields.filterNot(f => liveTypes.contains(f.name))
+            StructType(m.schema.fields ++ newCols.map(_.copy(nullable = true)))
+          } else throw new IllegalArgumentException(
+            s"schema mismatch appending to $root: table has ${m.schema.simpleString}, " +
+              s"write has ${schema.simpleString} (use mergeSchema for additive evolution)")
       }
       val v = current.map(_.version).getOrElse(-1L) + 1
       val merged =
@@ -219,7 +256,7 @@ object SegmentLog {
       val spec =
         if (truncate || current.isEmpty) bucketing
         else current.flatMap(_.bucketing).filter(live => bucketing.contains(live))
-      val body = render(Manifest(v, schema, merged, txns, spec)).getBytes(StandardCharsets.UTF_8)
+      val body = render(Manifest(v, tableSchema, merged, txns, spec)).getBytes(StandardCharsets.UTF_8)
       val p = manifestPath(root, v)
       fs.mkdirs(p.getParent)
       try {

@@ -41,6 +41,30 @@ object SegmentPruning {
     case _ => false
   }
 
+  /** The dual of [[prunes]]: true only when EVERY row of the segment
+    * provably satisfies the filter — the metadata-only DELETE
+    * decision (a segment where all rows match can be dropped from the
+    * manifest without being read). Null rows fail every predicate
+    * except IS NULL, so each value rule also requires zero nulls.
+    * Conservative by the same contract: uncertain → false. */
+  def allMatch(filter: Filter, schema: StructType, seg: SegmentMeta): Boolean = {
+    def noNulls(c: String) = seg.stats.get(c).exists(_.nullCount == 0L)
+    filter match {
+      case And(l, r) => allMatch(l, schema, seg) && allMatch(r, schema, seg)
+      case Or(l, r) => allMatch(l, schema, seg) || allMatch(r, schema, seg)
+      case EqualTo(c, v) => noNulls(c) &&
+        cmpMin(c, v, schema, seg).contains(0) && cmpMax(c, v, schema, seg).contains(0)
+      case GreaterThan(c, v) => noNulls(c) && cmpMin(c, v, schema, seg).exists(_ > 0)
+      case GreaterThanOrEqual(c, v) => noNulls(c) && cmpMin(c, v, schema, seg).exists(_ >= 0)
+      case LessThan(c, v) => noNulls(c) && cmpMax(c, v, schema, seg).exists(_ < 0)
+      case LessThanOrEqual(c, v) => noNulls(c) && cmpMax(c, v, schema, seg).exists(_ <= 0)
+      case In(c, vs) => vs.exists(v => v != null && allMatch(EqualTo(c, v), schema, seg))
+      case IsNull(c) => seg.stats.get(c).exists(_.nullCount == seg.rows)
+      case IsNotNull(c) => noNulls(c)
+      case _ => false
+    }
+  }
+
   /** compare(max(col), v): Some(sign) when provable, None otherwise. */
   private def cmpMax(c: String, v: Any, schema: StructType, seg: SegmentMeta): Option[Int] =
     bound(c, schema, seg, min = false).flatMap(mx => compare(schema, c, mx, v))

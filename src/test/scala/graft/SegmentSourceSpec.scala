@@ -302,6 +302,87 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.read.format(Fmt).load(dir).as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("additive schema evolution: mergeSchema widens; old segments null-backfill") {
+    val dir = tmp("graft-seg-evo")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format(Fmt).mode("append").save(dir)
+    // new column arrives; plain append refuses, mergeSchema widens
+    val withExtra = Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "v", "score")
+    intercept[Exception] { withExtra.write.format(Fmt).mode("append").save(dir) }
+    withExtra.write.format(Fmt).option("mergeSchema", "true").mode("append").save(dir)
+    val t = spark.read.format(Fmt).load(dir).orderBy("id")
+    assert(t.columns.toSeq == Seq("id", "v", "score"))
+    val rows = t.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30)), (4L, "d", Some(40))))
+    // type changes stay rejected even under mergeSchema
+    intercept[Exception] {
+      Seq((5L, 9.0, 50)).toDF("id", "v", "score")
+        .write.format(Fmt).option("mergeSchema", "true").mode("append").save(dir)
+    }
+  }
+
+  test("metadata-only DELETE drops decided segments; undecided demands the rewrite") {
+    val dir = tmp("graft-seg-del")
+    sample().write.format(Fmt)
+      .option("clusterBy", "bucket").option("numPartitions", "10")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val table = new graft.sources.segment.GraftSegmentTable(
+      dir, spark.read.format(Fmt).load(dir).schema)
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+
+    // bucket = 3: every segment is decided by its zone maps (range-
+    // clustered by bucket), so this is a pure manifest commit
+    assert(table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("bucket", 3))))
+    val before = SegmentLog.read(fs, dir).get.segments.size
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](EqualTo("bucket", 3)))
+    val after = SegmentLog.read(fs, dir).get
+    assert(after.segments.size < before)
+    val left = spark.read.format(Fmt).load(dir)
+    assert(left.count() == 900)
+    assert(left.filter(col("bucket") === 3).count() == 0)
+
+    // id >= 17 cuts through a segment: undecidable → refused, the
+    // rewrite helper finishes the job with row-level semantics
+    assert(!table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("id", 17L))))
+    val remaining = graft.sources.segment.GraftMaintenance
+      .deleteRows(spark, dir, col("id") >= 17L)
+    assert(remaining == spark.read.format(Fmt).load(dir).count())
+    assert(spark.read.format(Fmt).load(dir).filter(col("id") >= 17L).count() == 0)
+  }
+
+  test("SQL DELETE through the catalog takes the metadata-only path") {
+    val warehouse = tmp("graft-seg-delwh")
+    spark.conf.set("spark.sql.catalog.graft_del",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_del.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_del.db")
+    // RANGE layout (declared via table properties): segments cover
+    // non-overlapping sorted k ranges, so a boundary-aligned range
+    // predicate decides every segment — the metadata-only DELETE shape
+    spark.sql("CREATE TABLE graft_del.db.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4')")
+    spark.sql("INSERT INTO graft_del.db.t SELECT id AS k, id * 10 FROM range(0, 400)")
+    val fs = SegmentLog.fs(warehouse, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, s"$warehouse/db/t").get
+    assert(m.bucketing.exists(b => b.mode == "range" && b.cols == Seq("k")))
+    assert(m.segments.size >= 3)
+    // pick a real segment boundary: the minimum k of some middle segment
+    val boundary = m.segments.map(_.stats("k").bounds.get._1.toLong).sorted.apply(2)
+    spark.sql(s"DELETE FROM graft_del.db.t WHERE k >= $boundary")
+    val after = SegmentLog.read(fs, s"$warehouse/db/t").get
+    assert(after.segments.size < m.segments.size, "whole segments dropped from the manifest")
+    assert(spark.sql("SELECT count(*) FROM graft_del.db.t").head().getLong(0) == boundary)
+    assert(spark.sql(s"SELECT count(*) FROM graft_del.db.t WHERE k >= $boundary")
+      .head().getLong(0) == 0)
+    spark.sql("TRUNCATE TABLE graft_del.db.t")
+    assert(spark.sql("SELECT count(*) FROM graft_del.db.t").head().getLong(0) == 0)
+  }
+
   test("compaction rewrites fragments in place; expiry + vacuum reclaim history") {
     val dir = tmp("graft-seg-compact")
     import spark.implicits._
