@@ -97,6 +97,24 @@ object GraftSegmentSource {
   @volatile var lastRuntimeEvent: Option[(Int, Int)] = None
 }
 
+/** Scan metrics surfaced into the Spark SQL UI node (the operator's
+  * observability contract): how many segments the manifest held and
+  * how many survived zone-map pruning — the skip ratio an operator
+  * reads to see whether the layout is earning its keep. */
+class SegmentsTotalMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "segmentsTotal"
+  override def description(): String = "segments in manifest"
+}
+class SegmentsPlannedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "segmentsPlanned"
+  override def description(): String = "segments planned after zone-map pruning"
+}
+case class GraftDriverMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
+}
+
 /** Serializable Hadoop conf carrier (the standard Writable round-trip;
   * Spark's own equivalent is `private[spark]`). */
 final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
@@ -392,6 +410,16 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
   override def description(): String =
     s"graft-segment $root [${required.fieldNames.mkString(",")}] " +
       s"pushed=${pushed.mkString(",")}"
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new SegmentsTotalMetric, new SegmentsPlannedMetric)
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val total = manifest.map(_.segments.size).getOrElse(0)
+    val planned = runtimeSurviving.getOrElse(surviving).size
+    Array(GraftDriverMetric("segmentsTotal", total.toLong),
+      GraftDriverMetric("segmentsPlanned", planned.toLong))
+  }
 
   override def estimateStatistics(): Statistics = {
     val rows = surviving.map(_.rows).sum

@@ -414,6 +414,23 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("scan reports segmentsTotal/segmentsPlanned custom metrics to the SQL UI") {
+    val dir = tmp("graft-seg-metrics")
+    sample().write.format(Fmt)
+      .option("clusterBy", "bucket").option("numPartitions", "10")
+      .mode("append").save(dir)
+    val df = spark.read.format(Fmt).load(dir).filter(col("bucket") === 3)
+    df.collect()
+    val scanExec = collectFirst(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val names = scanExec.scan.supportedCustomMetrics().map(_.name()).toSet
+    assert(names == Set("segmentsTotal", "segmentsPlanned"))
+    val reported = scanExec.scan.reportDriverMetrics().map(m => m.name() -> m.value()).toMap
+    assert(reported("segmentsTotal") > reported("segmentsPlanned"),
+      s"pruning should be visible in the metrics: $reported")
+  }
+
   test("optimistic commit: interleaved writers both land; vacuum removes orphans") {
     val dir = tmp("graft-seg-occ")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
