@@ -1508,6 +1508,35 @@ object SparkEntry {
         col("o_orderkey") % 7 === 0 || col("cents") > 20000000L)
       s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
     }),
+    // MERGE INTO on the table format (group-based copy-on-write): a
+    // delta of updates/deletes/inserts lands through Spark's row-level
+    // framework — the scan runtime-filters to segments holding matched
+    // rows via the _segment metadata column, untouched segments pass
+    // by reference, one manifest commit swaps the rest. Oracle = the
+    // three-branch relational reconstruction over the same inputs
+    "store_segment_merge" -> ((s, d) => withTempDir("graft-segmrg") { base =>
+      s.conf.set("spark.sql.catalog.graft_mrg",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mrg.warehouse", s"$base/wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mrg.db")
+      Tables.orders(s, d).createOrReplaceTempView("graft_mrg_orders_src")
+      s.sql("CREATE TABLE graft_mrg.db.t (k BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='8')")
+      s.sql("INSERT INTO graft_mrg.db.t SELECT o_orderkey, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) FROM graft_mrg_orders_src " +
+        "WHERE o_orderkey % 3 = 0")
+      s.sql("CREATE OR REPLACE TEMP VIEW graft_mrg_delta AS " +
+        "SELECT o_orderkey AS k, CAST(round(o_totalprice * 100, 0) AS BIGINT) + 11 AS cents, " +
+        "CASE WHEN o_orderkey % 4 = 0 THEN 'D' ELSE 'U' END AS op " +
+        "FROM graft_mrg_orders_src WHERE o_orderkey % 2 = 0")
+      s.sql(
+        """MERGE INTO graft_mrg.db.t t USING graft_mrg_delta s ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET cents = s.cents
+          |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, cents) VALUES (s.k, s.cents)
+          |""".stripMargin)
+      s.sql("SELECT k, cents FROM graft_mrg.db.t ORDER BY k").localCheckpoint(true)
+    }),
     // table-format time travel: every committed version stays readable
     // (`versionAsOf`), so the same query replays against v0 after an
     // append created v1 — the audit/debug primitive of the log design.
@@ -5174,6 +5203,18 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders " +
         "WHERE NOT (o_orderkey % 7 = 0 OR CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000) " +
         "ORDER BY o_orderkey"),
+
+    // MERGE ≡ unmatched-target ∪ updated-matches ∪ inserted-source
+    "store_segment_merge" ->
+      ("WITH t AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey % 3 = 0), " +
+        "s AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100, 0) AS BIGINT) + 11 AS cents, " +
+        "CASE WHEN o_orderkey % 4 = 0 THEN 'D' ELSE 'U' END AS op " +
+        "FROM orders WHERE o_orderkey % 2 = 0) " +
+        "SELECT k, cents FROM t WHERE k NOT IN (SELECT k FROM s) " +
+        "UNION ALL SELECT t.k, s.cents FROM t JOIN s ON t.k = s.k WHERE s.op <> 'D' " +
+        "UNION ALL SELECT s.k, s.cents FROM s WHERE s.op <> 'D' AND s.k NOT IN (SELECT k FROM t) " +
+        "ORDER BY k"),
 
     // each log version replays to its snapshot's aggregate
     "store_segment_time_travel" ->

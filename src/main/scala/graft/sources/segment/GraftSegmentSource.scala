@@ -89,6 +89,11 @@ class GraftSegmentSource extends TableProvider with DataSourceRegister {
   }
 }
 
+object GraftSegmentTable {
+  /** Name of the per-row metadata column carrying the source segment. */
+  val SegmentCol = "_segment"
+}
+
 object GraftSegmentSource {
   /** Last batch-planning outcome, for plan-level spec assertions:
     * (segments planned, segments in manifest). */
@@ -127,7 +132,39 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
 class GraftSegmentTable(root: String, tableSchema: StructType,
     bucketing: Option[BucketSpec] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  // the `_segment` metadata column (SELECT _segment FROM t): each
+  // row's source file, and the GROUP handle the row-level-operation
+  // framework filters on to find which segments an UPDATE/MERGE must
+  // rewrite
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftSegmentTable.SegmentCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source segment file of this row"
+    })
+
+  // group-based (copy-on-write) UPDATE / MERGE / row-level DELETE:
+  // Spark filters the operation's scan down to the segments holding
+  // matched rows (a runtime IN filter over `_segment`), streams the
+  // surviving content of exactly those segments through the rewrite,
+  // and this table swaps the rewritten segments in ONE manifest
+  // commit. If the planner skips group filtering the scan covers the
+  // whole table and the commit degrades to a full copy-on-write —
+  // slower, never wrong. The replacing commit drops a declared bucket
+  // layout (replacement segments are not layout-labeled): honesty over
+  // optimism; re-cluster with GraftMaintenance.compact.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(root, tableSchema, info.command())
+    }
   override def name(): String = s"graft-segment `$root`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = Set(
@@ -373,12 +410,32 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
           runtimeSurviving.getOrElse(surviving).size)
     }
 
+  private def segPath(seg: SegmentMeta): String = s"$root/${seg.path}"
+
+  /** Predicates over the `_segment` metadata column decide segments
+    * EXACTLY (the value IS the segment identity) — the group handle of
+    * the row-level-operation framework's runtime filter. */
+  private def metaExcludes(f: Filter, path: String): Boolean = f match {
+    case org.apache.spark.sql.sources.EqualTo(GraftSegmentTable.SegmentCol, v: String) => v != path
+    case org.apache.spark.sql.sources.In(GraftSegmentTable.SegmentCol, vs) =>
+      !vs.exists(_ == path)
+    case org.apache.spark.sql.sources.And(l, r) => metaExcludes(l, path) || metaExcludes(r, path)
+    case org.apache.spark.sql.sources.Or(l, r) => metaExcludes(l, path) && metaExcludes(r, path)
+    case _ => false
+  }
+
   private lazy val surviving: Seq[SegmentMeta] = {
     val all = manifest.map(_.segments).getOrElse(Nil)
-    val kept = all.filterNot(seg => pushed.exists(f => SegmentPruning.prunes(f, tableSchema, seg)))
+    val kept = all.filterNot(seg =>
+      pushed.exists(f => SegmentPruning.prunes(f, tableSchema, seg) || metaExcludes(f, segPath(seg))))
     GraftSegmentSource.lastScanEvent = Some((kept.size, all.size))
     kept
   }
+
+  /** Files this scan will read after all pruning — the replaced-group
+    * set a row-level operation's commit swaps out. */
+  private[segment] def plannedFiles: Seq[String] =
+    runtimeSurviving.getOrElse(surviving).map(segPath)
 
   // runtime filtering (the DSv2 face of dynamic partition pruning):
   // after a join's build side executes, Spark hands the scan the keys
@@ -394,14 +451,16 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
   // already narrowed
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     required.fields.collect {
-      case f if SegmentCodec.supported(f.dataType) && !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+      case f if f.name == GraftSegmentTable.SegmentCol ||
+          (SegmentCodec.supported(f.dataType) && !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
         Expressions.column(f.name)
     }
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val v1 = org.apache.spark.sql.graftbridge.FilterBridge.toV1(predicates)
     val base = runtimeSurviving.getOrElse(surviving)
-    val kept = base.filterNot(seg => v1.exists(f => SegmentPruning.prunes(f, tableSchema, seg)))
+    val kept = base.filterNot(seg => v1.exists(f =>
+      SegmentPruning.prunes(f, tableSchema, seg) || metaExcludes(f, segPath(seg))))
     GraftSegmentSource.lastRuntimeEvent = Some((kept.size, base.size))
     runtimeSurviving = Some(kept)
   }
@@ -494,9 +553,19 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     val in = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(conf.value).open(p), 1 << 16))
     val it = new SegmentCodec.RowIterator(in, stored, required)
+    // `_segment` metadata column: constant per partition, filled after
+    // decode (the codec never stores it)
+    val segIdx = required.fieldNames.indexOf(GraftSegmentTable.SegmentCol)
+    val segVal = org.apache.spark.unsafe.types.UTF8String.fromString(file)
     new PartitionReader[InternalRow] {
       override def next(): Boolean = it.hasNext
-      override def get(): InternalRow = it.next()
+      override def get(): InternalRow = {
+        val r = it.next()
+        if (segIdx >= 0)
+          r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+            .update(segIdx, segVal)
+        r
+      }
       override def close(): Unit = it.close()
     }
   }
@@ -776,4 +845,85 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
   }
 
   override def close(): Unit = if (out != null) { out.close(); out = null }
+}
+
+/** Group-based (copy-on-write) row-level operation: UPDATE / MERGE /
+  * rewrite-path DELETE. Spark plans `ReplaceData(scan, write)`: the
+  * scan — runtime-filtered down to segments holding matched rows via
+  * an IN subquery over `_segment` — streams the COMPLETE surviving
+  * content of exactly those segments through the rewrite expressions,
+  * and [[GraftReplaceBatchWrite.commit]] swaps replaced-for-rewritten
+  * in one manifest version. Untouched segments pass through by
+  * reference (the Scd2.merge discipline at file granularity).
+  *
+  * Degradation property: if the planner skips group filtering, the
+  * scan covers every segment and the commit is a full copy-on-write —
+  * strictly slower, never wrong. Like overwrite/delete, the replacing
+  * commit is last-writer-wins against concurrent appends.
+  */
+class GraftRowLevelOperation(root: String, tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  // the operation's own scan instance: its post-runtime-filter file
+  // set IS the replaced-group set the write commits against
+  @volatile private[segment] var opScan: GraftScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, tableSchema, options) {
+      override def build(): Scan = {
+        val built = super.build()
+        built match {
+          case g: GraftScan => opScan = g
+          case _ =>
+        }
+        built
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
+          root, info.schema(),
+          new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+          () => Option(opScan).map(_.plannedFiles).getOrElse(Nil))
+      }
+    }
+
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftSegmentTable.SegmentCol))
+
+  override def description(): String = s"graft-segment $cmd (copy-on-write)"
+}
+
+class GraftReplaceBatchWrite(root: String, schema: StructType,
+    conf: SerializableHadoopConf, replacedFiles: () => Seq[String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(root, schema, conf, Long.MaxValue)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newSegs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
+    val replaced = replacedFiles().toSet
+    val fs = SegmentLog.fs(root, conf.value)
+    val live = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
+    val kept = live.filterNot(seg => replaced.contains(s"$root/${seg.path}"))
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+    // truncate-style commit with kept ++ new: replaced segments drop
+    // out of the manifest (their files remain for time travel until
+    // expiry); the declared layout is dropped — replacement segments
+    // carry no bucket labels
+    SegmentLog.commit(fs, root, nullable, kept ++ newSegs, truncate = true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SegmentLog.fs(root, conf.value)
+    messages.filter(_ != null).foreach {
+      case GraftCommitMessage(segs) =>
+        segs.foreach(s => fs.delete(new Path(s"$root/${s.path}"), false))
+      case _ =>
+    }
+  }
 }

@@ -83,6 +83,73 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("SQL UPDATE is group-based copy-on-write: only matched segments rewrite") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.upd (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4')")
+    spark.sql("INSERT INTO graft.db.upd SELECT id, id * 10 FROM range(0, 400)")
+    val fs = SegmentLog.fs(warehouse, spark.sessionState.newHadoopConf())
+    val before = SegmentLog.read(fs, s"$warehouse/db/upd").get.segments.map(_.path)
+    assert(before.size >= 3)
+
+    spark.sql("UPDATE graft.db.upd SET v = v + 1000000 WHERE k < 50")
+    val t = spark.sql("SELECT k, v FROM graft.db.upd ORDER BY k").collect()
+    assert(t.length == 400)
+    assert(t(10).getLong(1) == 100 + 1000000)
+    assert(t(399).getLong(1) == 3990)
+    // range layout: k < 50 touches only the first segment(s); the rest
+    // must survive BY REFERENCE (same file paths in the new manifest)
+    val after = SegmentLog.read(fs, s"$warehouse/db/upd").get.segments.map(_.path)
+    val keptOriginals = before.toSet.intersect(after.toSet)
+    assert(keptOriginals.nonEmpty,
+      s"untouched segments must pass through by reference: before=$before after=$after")
+    assert(!after.toSet.subsetOf(before.toSet), "matched segments must be rewritten")
+  }
+
+  test("SQL MERGE INTO applies delete/update/insert branches") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.mrg (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4')")
+    spark.sql("INSERT INTO graft.db.mrg SELECT id, id FROM range(0, 100)")
+    // source: delete evens < 10, update 10..19 to v=-1, insert 100..109
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW mrg_src AS
+        |SELECT id AS k, CAST(-1 AS BIGINT) AS v, 'D' AS op FROM range(0, 10) WHERE id % 2 = 0
+        |UNION ALL SELECT id, -1L, 'U' FROM range(10, 20)
+        |UNION ALL SELECT id, -1L, 'I' FROM range(100, 110)
+        |""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft.db.mrg t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    val rows = spark.sql("SELECT k, v FROM graft.db.mrg ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 100 - 5 deleted + 10 inserted
+    assert(rows.length == 105)
+    assert(!rows.exists(r => r._1 < 10 && r._1 % 2 == 0), "evens < 10 deleted")
+    assert((10L until 20L).forall(k => rows.contains((k, -1L))), "10..19 updated")
+    assert((100L until 110L).forall(k => rows.contains((k, -1L))), "100..109 inserted")
+    assert(rows.contains((25L, 25L)), "unmatched target rows untouched")
+  }
+
+  test("SELECT _segment metadata column attributes each row to its file") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.meta_t (k BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='3')")
+    spark.sql("INSERT INTO graft.db.meta_t SELECT id FROM range(0, 300)")
+    val segs = spark.sql("SELECT DISTINCT _segment FROM graft.db.meta_t").collect()
+    assert(segs.length >= 2, "several segments, each attributed")
+    assert(segs.forall(_.getString(0).contains("data/seg-")))
+    val one = spark.sql(
+      "SELECT count(DISTINCT _segment) FROM graft.db.meta_t WHERE k < 5").head().getLong(0)
+    assert(one == 1, "a narrow range lives in one segment under range clustering")
+  }
+
   test("catalog maintenance: drop and rename") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tmpns")
