@@ -801,6 +801,30 @@ object SparkEntry {
           Seq("lang"), 256)
         .orderBy(col("lang"))
     }),
+    // the two-pass heavy-hitter query over the Misra–Gries native
+    // aggregate: pass 1 = MG candidates under 200 counters (one pass,
+    // 200 counters per map task on the wire — never the vocabulary);
+    // pass 2 = EXACT counts of the ≤200 candidates via broadcast
+    // semi-join, filtered on the integer-exact threshold
+    // cnt·200 > n_total. The MG guarantee (freq > n/201 ⇒ candidate,
+    // spec-certified) makes candidates ⊇ true heavy hitters, so the
+    // final set is deterministic although the sketch itself is
+    // order-dependent — the production shape for "top tokens without
+    // a vocabulary shuffle"
+    "text_heavy_hitters" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+      val cands = tok
+        .agg(graft.functions.TopFreq.topFreq(col("word"), 200).as("cand"))
+        .select(explode(col("cand")).as("word"))
+      val counts = tok.join(broadcast(cands), "word")
+        .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      counts.crossJoin(broadcast(tot))
+        .filter(col("n_occurrences") * 200 > col("n_total"))
+        .select(col("word"), col("n_occurrences"))
+        .orderBy(col("word"))
+    }),
     // the NATIVE KMV aggregate (TypedImperativeAggregate): dedup folds
     // INTO the k-bounded TreeSet buffer — one pass, no corpus-wide
     // (group, hash) distinct stage — and must answer bit-identically
@@ -6645,6 +6669,16 @@ object SparkEntry {
     // the native bounded-buffer aggregate lands on the identical
     // estimate — shared oracle
     "text_kmv_native" -> kmvVocabSql,
+
+    // exact heavy hitters: every token holding > 1/200 of all
+    // occurrences (the MG guarantee makes the sketch's candidate set a
+    // superset, so the exact-threshold answer is deterministic)
+    "text_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "tot AS (SELECT count(*) AS n_total FROM tok) " +
+        "SELECT word, count(*) AS n_occurrences FROM tok, tot " +
+        "GROUP BY word, tot.n_total HAVING count(*) * 200 > tot.n_total " +
+        "ORDER BY word"),
     // min-k is associative + idempotent: shard-then-merge ≡ direct
     "text_kmv_merged" -> kmvVocabSql,
     // ... and the streaming snapshot-state fold is the same merge

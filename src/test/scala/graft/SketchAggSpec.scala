@@ -89,6 +89,46 @@ class SketchAggSpec extends SparkSpec {
     assert(est == 100.0, "sketch not filled (100 < 256): estimate must be exactly the distinct count")
   }
 
+  test("Misra-Gries guarantee: every item above n/(k+1) frequency survives as a candidate") {
+    import spark.implicits._
+    // skewed stream: item "hot_i" appears (20-i)*100 times for i<10,
+    // plus 10000 singleton tails → n = 15500+10000... compute exactly
+    val heavy = (0 until 10).flatMap(i => Seq.fill((20 - i) * 100)(s"hot_$i"))
+    val tail = (0 until 10000).map(i => s"tail_$i")
+    val all = heavy ++ tail
+    val n = all.size
+    val k = 50
+    val df = all.toDF("word").repartition(13) // adversarial partitioning
+    val cands = df.agg(graft.functions.TopFreq.topFreq(col("word"), k).as("c"))
+      .select(explode(col("c")).as("word")).as[String].collect().toSet
+    assert(cands.size <= k)
+    val guaranteed = (heavy ++ tail).groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > n / (k + 1)).keySet
+    assert(guaranteed.nonEmpty)
+    assert(guaranteed.subsetOf(cands),
+      s"missing guaranteed heavy hitters: ${guaranteed -- cands}")
+  }
+
+  test("two-pass heavy hitters: sketch candidates + exact recount equal the exact answer") {
+    import spark.implicits._
+    val words = (0 until 30000).map { i =>
+      if (i % 3 == 0) s"common_${i % 7}" else s"rare_$i"
+    }
+    val df = words.toDF("word").repartition(9)
+    val cands = df.agg(graft.functions.TopFreq.topFreq(col("word"), 100).as("c"))
+      .select(explode(col("c")).as("word"))
+    val tot = df.count()
+    val twoPass = df.join(broadcast(cands), "word")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 100 > tot)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = df.groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 100 > tot)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(twoPass == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("nulls are ignored, empty group estimates 0") {
     import spark.implicits._
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")), ("b", None))
