@@ -1174,6 +1174,20 @@ object SparkEntry {
             Tables.documents(s, d), Seq("lang"), "n_chars", 0.0, 640.0, 64),
           Seq("lang"), 0.0, 640.0, 64, Seq(0.5, 0.9, 0.99))
         .orderBy(col("lang"), col("q"))),
+    // the NATIVE histogram-quantile aggregate (third native sketch
+    // beside hll_distinct/kmv_distinct): nBins longs of state per
+    // group, exact-integer merges, the identical clamp/select/
+    // interpolate arithmetic — shares the frame path's oracle verbatim
+    "text_quantile_native" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(graft.functions.HistQuantiles.histQuantiles(
+          col("n_chars").cast("double"), 0.0, 640.0, 64, Seq(0.5, 0.9, 0.99)).as("ests"))
+        .select(col("lang"), posexplode(col("ests")).as(Seq("pos", "q_est")))
+        .select(col("lang"),
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("q"),
+          col("q_est"))
+        .orderBy(col("lang"), col("q"))),
     // the shard-merge path: per-(lang, source) partial sketches summed
     // to per-lang counts must estimate IDENTICALLY (integer addition
     // is exact and associative) — same oracle row as the direct path
@@ -5073,6 +5087,9 @@ object SparkEntry {
         "round(quantile_cont(n_chars, 0.95), 4) AS p95 " +
         "FROM documents GROUP BY lang ORDER BY lang"),
     "text_quantile_sketch" -> quantileSketchSql,
+    // the native aggregate's interpolation is the same fixed-order
+    // expression — shared oracle
+    "text_quantile_native" -> quantileSketchSql,
     // shard-merge must estimate identically (exact integer addition)
     "text_quantile_sketch_merged" -> quantileSketchSql,
     // ...and so must the micro-batch snapshot folds

@@ -18,6 +18,86 @@ class PropertiesSpec extends SparkSpec {
   private def samples[A](gen: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("segment codec property: arbitrary rows round-trip bit-exactly, pruned or full") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.segment.SegmentCodec
+
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("ts", TimestampType),
+      StructField("v", ArrayType(FloatType))))
+    val genVal: Gen[Seq[Any]] = for {
+      l <- Gen.oneOf(Gen.const(null), Gen.choose(Long.MinValue, Long.MaxValue).map(x => x: Any))
+      i <- Gen.oneOf(Gen.const(null), Gen.choose(Int.MinValue, Int.MaxValue).map(x => x: Any))
+      d <- Gen.oneOf(Gen.const(null), Gen.oneOf[Any](0.0, -0.0, Double.NaN,
+        Double.PositiveInfinity, Double.MinPositiveValue, 3.14))
+      s <- Gen.oneOf(Gen.const(null), Gen.oneOf("", "plain", "uniçodé ❤",
+        "tabs\tand\nnewlines", "x" * 200).map(x => UTF8String.fromString(x): Any))
+      b <- Gen.oneOf(Gen.const(null), Gen.oneOf(true, false).map(x => x: Any))
+      ts <- Gen.oneOf(Gen.const(null), Gen.choose(-62135596800000000L, 253402300799000000L).map(x => x: Any))
+      v <- Gen.oneOf(Gen.const(null), Gen.listOf(Gen.choose(-1e10f, 1e10f))
+        .map(fs => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          fs.map(x => x: Any).toArray): Any))
+    } yield Seq(l, i, d, s, b, ts, v)
+
+    val rows = samples(Gen.listOfN(20, genVal), 10).flatten
+    assert(rows.size >= 150)
+
+    def writeAll(rs: Seq[Seq[Any]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      SegmentCodec.writeHeader(out, schema.length)
+      rs.foreach { vals =>
+        val row = InternalRow.fromSeq(vals)
+        schema.fields.zipWithIndex.foreach { case (f, c) =>
+          if (row.isNullAt(c)) out.writeBoolean(false)
+          else { out.writeBoolean(true); SegmentCodec.writeValue(out, f.dataType, row, c) }
+        }
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    def readAll(bytes: Array[Byte], required: StructType): Seq[Seq[Any]] = {
+      val it = new SegmentCodec.RowIterator(
+        new DataInputStream(new ByteArrayInputStream(bytes)), schema, required)
+      val out = Seq.newBuilder[Seq[Any]]
+      while (it.hasNext) {
+        val r = it.next()
+        out += required.fields.indices.map(i =>
+          if (r.isNullAt(i)) null else r.get(i, required.fields(i).dataType))
+      }
+      out.result()
+    }
+
+    def cmp(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Double, y: Double) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+      case (x: org.apache.spark.sql.catalyst.util.ArrayData,
+            y: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        x.toFloatArray().toSeq == y.toFloatArray().toSeq
+      case (x, y) => x == y
+    }
+
+    val bytes = writeAll(rows)
+    val full = readAll(bytes, schema)
+    assert(full.size == rows.size)
+    full.zip(rows).foreach { case (got, want) =>
+      got.zip(want).foreach { case (g, w) => assert(cmp(g, w), s"$g != $w") }
+    }
+    // pruned read: only (s, l), in swapped order — byte-skip path for
+    // every other column
+    val pruned = StructType(Seq(schema("s"), schema("l")))
+    val narrow = readAll(bytes, pruned)
+    narrow.zip(rows).foreach { case (got, want) =>
+      assert(cmp(got(0), want(3)) && cmp(got(1), want(0)))
+    }
+  }
+
   test("K1 idempotency: duplicated payload stream yields exactly one key per payload") {
     samples(Gen.listOfN(8, Gen.choose(1, 4)), 5).foreach { custIds =>
       val df = (custIds ++ custIds).map(c => (s"cust-$c", s"payload-$c"))

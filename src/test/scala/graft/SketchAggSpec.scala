@@ -129,6 +129,36 @@ class SketchAggSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("native hist_quantiles equals the frame sketch+estimate exactly, per group") {
+    import spark.implicits._
+    val df = spark.range(0, 20000).select(
+      concat(lit("g"), (col("id") % 3).cast("string")).as("g"),
+      ((col("id") * 7919) % 640).cast("double").as("v")).repartition(11)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val native = df.groupBy("g")
+      .agg(graft.functions.HistQuantiles.histQuantiles(col("v"), 0.0, 640.0, 64, qs).as("e"))
+      .select(col("g"), posexplode(col("e")).as(Seq("pos", "est")))
+      .orderBy("g", "pos").collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val frame = graft.ops.Quantiles.estimateFromSketch(
+        graft.ops.Quantiles.histogramSketch(df, Seq("g"), "v", 0.0, 640.0, 64),
+        Seq("g"), 0.0, 640.0, 64, qs)
+      .orderBy(col("g"), col("q")).collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(native.length == frame.length)
+    native.zip(frame).foreach { case ((g1, _, e1), (g2, e2)) =>
+      assert(g1 == g2 && e1 == e2, s"$g1 $e1 vs $g2 $e2")
+    }
+    // out-of-domain values clamp into edge bins on both paths
+    val clamped = df.withColumn("v", col("v") - 1000.0)
+    val n1 = clamped.groupBy("g")
+      .agg(graft.functions.HistQuantiles.histQuantiles(col("v"), 0.0, 640.0, 64, Seq(0.5)).as("e"))
+      .select(explode(col("e"))).orderBy(col("col")).collect().map(_.getDouble(0)).toSeq
+    val f1 = graft.ops.Quantiles.estimateFromSketch(
+        graft.ops.Quantiles.histogramSketch(clamped, Seq("g"), "v", 0.0, 640.0, 64),
+        Seq("g"), 0.0, 640.0, 64, Seq(0.5))
+      .orderBy(col("q_est")).collect().map(_.getDouble(2)).toSeq
+    assert(n1 == f1)
+  }
+
   test("nulls are ignored, empty group estimates 0") {
     import spark.implicits._
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")), ("b", None))
