@@ -541,6 +541,59 @@ case class GraftKeyedInputPartition(file: String, cols: Seq[String], bucket: Int
 
 class GraftReaderFactory(tableSchema: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
+
+  // vectorized when every required column has a columnar decode path
+  // (the `_segment` metadata constant is filled per batch) — one
+  // virtual call per value instead of a row allocation per row, and
+  // downstream whole-stage codegen runs its columnar loop
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    required.fields.forall(f =>
+      f.name == GraftSegmentTable.SegmentCol || SegmentCodec.vectorizable(f.dataType))
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val gp = partition.asInstanceOf[GraftPartition]
+    val stored = StructType(gp.cols.map(n => tableSchema.fields.find(_.name == n).getOrElse(
+      throw new IllegalStateException(s"segment column $n missing from table schema"))))
+    val p = new Path(gp.file)
+    val in = new DataInputStream(new BufferedInputStream(
+      p.getFileSystem(conf.value).open(p), 1 << 16))
+    SegmentCodec.readHeader(in, stored.length)
+    val batchSize = 4096
+    val vectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector] =
+      org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+        .allocateColumns(batchSize, required)
+        .map(v => v: org.apache.spark.sql.execution.vectorized.WritableColumnVector)
+    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+      vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+    val segIdx = required.fieldNames.indexOf(GraftSegmentTable.SegmentCol)
+    val segBytes = gp.file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // columns the segment stores; everything else required (evolution
+    // holes) stays null via putNulls
+    val storedNames = gp.cols.toSet
+    val holeIdx = required.fields.zipWithIndex.collect {
+      case (f, i) if i != segIdx && !storedNames.contains(f.name) => i
+    }
+
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var rows = -1
+      override def next(): Boolean = {
+        vectors.foreach(_.reset())
+        rows = SegmentCodec.readBatch(in, stored, required, vectors, batchSize)
+        if (rows > 0) {
+          var r = 0
+          if (segIdx >= 0) while (r < rows) {
+            vectors(segIdx).putByteArray(r, segBytes, 0, segBytes.length); r += 1
+          }
+          holeIdx.foreach(i => vectors(i).putNulls(0, rows))
+          batch.setNumRows(rows)
+        }
+        rows > 0
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = { batch.close(); in.close() }
+    }
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val gp = partition.asInstanceOf[GraftPartition]
     val file = gp.file

@@ -243,6 +243,68 @@ object SegmentCodec {
     override def close(): Unit = in.close()
   }
 
+  /** True when `dt` has a vectorized decode path ([[readBatch]]). */
+  def vectorizable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | FloatType | BooleanType |
+        StringType | TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  /** Decode up to `maxRows` rows into writable column vectors — the
+    * vectorized read path: one virtual call per VALUE instead of a
+    * GenericInternalRow allocation plus boxing per ROW, and the
+    * downstream operators run Spark's columnar-to-row codegen instead
+    * of the row iterator. Same byte layout, same skip discipline for
+    * unrequested columns. Returns rows decoded (0 = exhausted).
+    *
+    * `vectors` is indexed by REQUIRED column position; `fill` columns
+    * (e.g. the `_segment` metadata constant) are written by the caller.
+    */
+  def readBatch(in: DataInputStream, stored: StructType, required: StructType,
+      vectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      maxRows: Int): Int = {
+    val outIdx: Array[Int] = stored.fields.map(f => {
+      var i = 0; var found = -1
+      while (i < required.length && found < 0) {
+        if (required(i).name == f.name) found = i; i += 1
+      }
+      found
+    })
+    val types: Array[DataType] = stored.fields.map(_.dataType)
+    var r = 0
+    var exhausted = false
+    while (r < maxRows && !exhausted) {
+      val first = in.read()
+      if (first < 0) exhausted = true
+      else {
+        var c = 0
+        while (c < types.length) {
+          val present = if (c == 0) first == 1 else in.readBoolean()
+          val o = outIdx(c)
+          if (o < 0) { if (present) skip(in, types(c)) }
+          else if (!present) vectors(o).putNull(r)
+          else {
+            val v = vectors(o)
+            types(c) match {
+              case IntegerType | DateType => v.putInt(r, in.readInt())
+              case LongType | TimestampType | TimestampNTZType => v.putLong(r, in.readLong())
+              case DoubleType => v.putDouble(r, in.readDouble())
+              case FloatType => v.putFloat(r, in.readFloat())
+              case BooleanType => v.putBoolean(r, in.readBoolean())
+              case StringType =>
+                val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+                v.putByteArray(r, b, 0, n)
+              case other => throw new IllegalArgumentException(s"not vectorizable: $other")
+            }
+          }
+          c += 1
+        }
+        r += 1
+      }
+    }
+    r
+  }
+
   private implicit final class SchemaOps(val s: StructType) extends AnyVal {
     /** fieldIndex that returns -1 instead of throwing. */
     def fieldIndex2(name: String): Int = {
