@@ -54,7 +54,8 @@ object ScaleBench {
     // rewrite (linear), skip-read cost tracks SURVIVING segments, the
     // metadata aggregate is manifest-sized (should be ~flat at x10)
     "store_segment_roundtrip", "store_segment_dates", "store_segment_agg_meta",
-    "text_hll_native")
+    "text_hll_native", "text_kmv_native", "text_quantile_native",
+    "text_heavy_hitters", "store_segment_merge")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1575,6 +1575,32 @@ object SparkEntry {
           |""".stripMargin)
       s.sql("SELECT k, cents FROM graft_mrg.db.t ORDER BY k").localCheckpoint(true)
     }),
+    // TPC-H Q3 run END-TO-END ON the native table format: the three
+    // star tables loaded into range-clustered segment tables, the
+    // shipped query executed against the connector — scan pruning,
+    // residual filters, broadcast planning and codegen all compose
+    // under a real multi-join plan, and the answer must hash-match the
+    // same oracle the parquet-path rel_q3_top_revenue certifies
+    // against. "A user could run their queries on the native format",
+    // stated as a gate row
+    "store_segment_q3" -> ((s, d) => withTempDir("graft-segq3") { base =>
+      def toSeg(df: DataFrame, name: String, key: String): DataFrame = {
+        val dir = s"$base/$name"
+        df.write.format("graft-segment")
+          .option("clusterBy", key).option("numPartitions", "8")
+          .mode("append").save(dir)
+        s.read.format("graft-segment").load(dir)
+      }
+      StarQueries.q3TopRevenue(
+        toSeg(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          "customer", "c_custkey"),
+        toSeg(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate")),
+          "orders", "o_orderkey"),
+        toSeg(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")), "lineitem", "l_orderkey"),
+        10)
+    }),
     // table-format time travel: every committed version stays readable
     // (`versionAsOf`), so the same query replays against v0 after an
     // append created v1 — the audit/debug primitive of the log design.
@@ -5244,6 +5270,14 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders " +
         "WHERE NOT (o_orderkey % 7 = 0 OR CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000) " +
         "ORDER BY o_orderkey"),
+
+    // Q3 on the native format ≡ Q3 on parquet (rel_q3's oracle text)
+    "store_segment_q3" ->
+      ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +
+        "round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
 
     // MERGE ≡ unmatched-target ∪ updated-matches ∪ inserted-source
     "store_segment_merge" ->
