@@ -1485,28 +1485,32 @@ object SparkEntry {
     // (exchange-free plan asserted in GraftCatalogSpec; this row
     // certifies the aligned join's RESULTS against the plain oracle)
     "store_segment_spj_join" -> ((s, d) => withTempDir("graft-spj") { base =>
-      s.conf.set("spark.sql.catalog.graft_spj",
+      // a FRESH catalog name per invocation: Spark instantiates catalog
+      // plugins once per name, so re-running in one session (bench
+      // warm-up, scale probes) must not reuse a stale warehouse
+      val cat = s"graft_spj_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.segment.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_spj.warehouse", s"$base/wh")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
       val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
         "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
       try {
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_spj.db")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
         Tables.orders(s, d).createOrReplaceTempView("graft_spj_orders_src")
         Tables.customer(s, d).createOrReplaceTempView("graft_spj_customer_src")
-        s.sql("CREATE TABLE graft_spj.db.o (o_custkey BIGINT, cents BIGINT) " +
+        s.sql(s"CREATE TABLE $cat.db.o (o_custkey BIGINT, cents BIGINT) " +
           "PARTITIONED BY (bucket(8, o_custkey))")
-        s.sql("INSERT INTO graft_spj.db.o SELECT o_custkey, " +
+        s.sql(s"INSERT INTO $cat.db.o SELECT o_custkey, " +
           "CAST(round(o_totalprice * 100, 0) AS BIGINT) FROM graft_spj_orders_src")
-        s.sql("CREATE TABLE graft_spj.db.c (c_custkey BIGINT, c_mktsegment STRING) " +
+        s.sql(s"CREATE TABLE $cat.db.c (c_custkey BIGINT, c_mktsegment STRING) " +
           "PARTITIONED BY (bucket(8, c_custkey))")
-        s.sql("INSERT INTO graft_spj.db.c SELECT c_custkey, c_mktsegment " +
+        s.sql(s"INSERT INTO $cat.db.c SELECT c_custkey, c_mktsegment " +
           "FROM graft_spj_customer_src")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         s.sql(
-          """SELECT c.c_mktsegment, count(*) AS n_orders, sum(o.cents) AS sum_cents
-            |FROM graft_spj.db.o o JOIN graft_spj.db.c c ON o.o_custkey = c.c_custkey
+          s"""SELECT c.c_mktsegment, count(*) AS n_orders, sum(o.cents) AS sum_cents
+            |FROM $cat.db.o o JOIN $cat.db.c c ON o.o_custkey = c.c_custkey
             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
           .localCheckpoint(true)
       } finally olds.foreach {
@@ -1553,14 +1557,15 @@ object SparkEntry {
     // by reference, one manifest commit swaps the rest. Oracle = the
     // three-branch relational reconstruction over the same inputs
     "store_segment_merge" -> ((s, d) => withTempDir("graft-segmrg") { base =>
-      s.conf.set("spark.sql.catalog.graft_mrg",
+      val cat = s"graft_mrg_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.segment.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_mrg.warehouse", s"$base/wh")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mrg.db")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
       Tables.orders(s, d).createOrReplaceTempView("graft_mrg_orders_src")
-      s.sql("CREATE TABLE graft_mrg.db.t (k BIGINT, cents BIGINT) " +
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, cents BIGINT) " +
         "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='8')")
-      s.sql("INSERT INTO graft_mrg.db.t SELECT o_orderkey, " +
+      s.sql(s"INSERT INTO $cat.db.t SELECT o_orderkey, " +
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) FROM graft_mrg_orders_src " +
         "WHERE o_orderkey % 3 = 0")
       s.sql("CREATE OR REPLACE TEMP VIEW graft_mrg_delta AS " +
@@ -1568,12 +1573,12 @@ object SparkEntry {
         "CASE WHEN o_orderkey % 4 = 0 THEN 'D' ELSE 'U' END AS op " +
         "FROM graft_mrg_orders_src WHERE o_orderkey % 2 = 0")
       s.sql(
-        """MERGE INTO graft_mrg.db.t t USING graft_mrg_delta s ON t.k = s.k
+        s"""MERGE INTO $cat.db.t t USING graft_mrg_delta s ON t.k = s.k
           |WHEN MATCHED AND s.op = 'D' THEN DELETE
           |WHEN MATCHED THEN UPDATE SET cents = s.cents
           |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, cents) VALUES (s.k, s.cents)
           |""".stripMargin)
-      s.sql("SELECT k, cents FROM graft_mrg.db.t ORDER BY k").localCheckpoint(true)
+      s.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k").localCheckpoint(true)
     }),
     // TPC-H Q3 run END-TO-END ON the native table format: the three
     // star tables loaded into range-clustered segment tables, the
@@ -3214,6 +3219,11 @@ object SparkEntry {
       .union(o.filter(col("k") % 21 === 0).select(col("k"), lit(4L).as("seq"),
         lit("I").as("op"), (col("cents") + 55L).as("cents")))
   }
+
+  /** Catalog plugins are instantiated once per NAME and keep their
+    * init-time warehouse; queries that mount a temp-dir catalog must
+    * mint a fresh name per invocation to stay re-runnable. */
+  private val segCatalogSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(prefix)

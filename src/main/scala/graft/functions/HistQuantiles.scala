@@ -117,4 +117,32 @@ object HistQuantiles {
   def histQuantiles(c: Column, lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): Column =
     ColumnBridge.column(
       HistQuantiles(ColumnBridge.expression(c), lo, hi, nBins, qs).toAggregateExpression())
+
+  /** SQL registration triple:
+    * `hist_quantiles(v, lo, hi, nBins, q1[, q2, ...])` — every
+    * parameter after the column a DOUBLE/INT literal. */
+  val sqlFunction: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("hist_quantiles"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[HistQuantiles].getName, "hist_quantiles"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      def numLit(e: Expression): Double = e match {
+        case Literal(d: Double, DoubleType) => d
+        case Literal(i: Int, IntegerType) => i.toDouble
+        // SQL decimal literals (`0.9`) arrive as catalyst Decimal
+        case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"hist_quantiles parameters must be numeric literals, got $other")
+      }
+      args match {
+        case c +: lo +: hi +: bins +: qs if qs.nonEmpty =>
+          HistQuantiles(c, numLit(lo), numLit(hi), numLit(bins).toInt, qs.map(numLit))
+        case _ => throw new IllegalArgumentException(
+          "hist_quantiles(col, lo, hi, nBins, q1[, q2, ...])")
+      }
+    })
 }

@@ -135,4 +135,18 @@ object TopFreq {
   /** Column API: candidate heavy hitters of `c` under ≤ k counters. */
   def topFreq(c: Column, k: Int): Column =
     ColumnBridge.column(TopFreq(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** SQL registration triple: `top_freq(word, 200)`. */
+  val sqlFunction: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("top_freq"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TopFreq].getName, "top_freq"),
+    (args: Seq[Expression]) => args match {
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+          org.apache.spark.sql.types.IntegerType)) => TopFreq(c, k)
+      case _ => throw new IllegalArgumentException(
+        "top_freq(col, k) — k must be an INT literal")
+    })
 }

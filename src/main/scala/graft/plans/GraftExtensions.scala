@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.ShingleGenerator.shinglesFunction)
     ext.injectFunction(graft.functions.HllDistinct.sqlFunction)
     ext.injectFunction(graft.functions.KmvDistinct.sqlFunction)
+    ext.injectFunction(graft.functions.TopFreq.sqlFunction)
+    ext.injectFunction(graft.functions.HistQuantiles.sqlFunction)
   }
 }
 

@@ -159,6 +159,28 @@ class SketchAggSpec extends SparkSpec {
     assert(n1 == f1)
   }
 
+  test("SQL registration: kmv_distinct / top_freq / hist_quantiles resolve and agree") {
+    Seq(graft.functions.KmvDistinct.sqlFunction, graft.functions.TopFreq.sqlFunction,
+      graft.functions.HistQuantiles.sqlFunction).foreach(
+      org.apache.spark.sql.graftbridge.FunctionBridge.registerFunction(spark, _))
+    val df = words(8000, 2)
+    df.createOrReplaceTempView("sketch_sql_words")
+    val kmv = spark.sql(
+      "SELECT lang, kmv_distinct(word, 256) AS e FROM sketch_sql_words GROUP BY lang ORDER BY lang")
+      .collect().map(_.getDouble(1)).toSeq
+    val kmvApi = df.groupBy("lang")
+      .agg(graft.functions.KmvDistinct.kmvDistinct(col("word"), 256).as("e"))
+      .orderBy("lang").collect().map(_.getDouble(1)).toSeq
+    assert(kmv == kmvApi)
+    val hh = spark.sql(
+      "SELECT top_freq(word, 50) FROM sketch_sql_words").head().getSeq[String](0)
+    assert(hh.nonEmpty && hh.size <= 50)
+    val q = spark.sql(
+      "SELECT lang, hist_quantiles(CAST(length(word) AS DOUBLE), 0.0, 20.0, 20, 0.5, 0.9) AS e " +
+        "FROM sketch_sql_words GROUP BY lang ORDER BY lang").collect()
+    assert(q.length == 2 && q.forall(_.getSeq[Double](1).size == 2))
+  }
+
   test("nulls are ignored, empty group estimates 0") {
     import spark.implicits._
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")), ("b", None))
