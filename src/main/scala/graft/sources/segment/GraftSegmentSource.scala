@@ -321,9 +321,15 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
           val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toDouble)
           Some(if (takeMin) vs.min else vs.max)
         case StringType =>
-          val vs = bounds.map(b => if (takeMin) b._1 else b._2)
-          val v = if (takeMin) vs.min else vs.max
-          Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+          // reduce in UTF8String BINARY order — Spark's string
+          // ordering and the order the per-segment bounds were
+          // recorded in; java.lang.String UTF-16 order disagrees for
+          // supplementary-plane code points
+          val vs = bounds.map(b =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(if (takeMin) b._1 else b._2))
+          val ord = Ordering.fromLessThan[org.apache.spark.unsafe.types.UTF8String](
+            (a, b) => a.compareTo(b) < 0)
+          Some(if (takeMin) vs.min(ord) else vs.max(ord))
         case _ => None
       }
     }
@@ -601,7 +607,9 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     // the table schema (additive evolution never retypes a column);
     // required columns the segment lacks stay null in the output row
     val stored = StructType(gp.cols.map(n => tableSchema.fields.find(_.name == n).getOrElse(
-      throw new IllegalStateException(s"segment column $n missing from table schema"))))
+      throw new IllegalStateException(
+        s"segment column $n is not in this reader's table schema — the table " +
+          "evolved under a running stream; restart the stream to pick up the new schema"))))
     val p = new Path(file)
     val in = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(conf.value).open(p), 1 << 16))

@@ -266,6 +266,25 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(filtered.head().getLong(0) == 100)
   }
 
+  test("metadata MIN/MAX on strings uses binary order (supplementary-plane regression)") {
+    val dir = tmp("graft-seg-utf")
+    import spark.implicits._
+    // U+FFFD sorts ABOVE the surrogate pair U+10400 in UTF-16 code
+    // units but BELOW it in UTF-8 binary order — the case where the
+    // two orderings disagree
+    val tricky = Seq("�", new String(Character.toChars(0x10400)), "plain", "zz")
+    // several single-row segments so the metadata answer must reduce
+    // ACROSS segment bounds
+    tricky.foreach(s0 =>
+      Seq(s0).toDF("s").coalesce(1).write.format(Fmt).mode("append").save(dir))
+    val seg = spark.read.format(Fmt).load(dir)
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx")).head()
+    val truth = tricky.toDF("s")
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx")).head()
+    assert(seg.getString(0) == truth.getString(0), "metadata MIN must match Spark's ordering")
+    assert(seg.getString(1) == truth.getString(1), "metadata MAX must match Spark's ordering")
+  }
+
   test("limit pushdown plans a row-covering prefix of segments") {
     val dir = tmp("graft-seg-limit")
     sample().write.format(Fmt)
