@@ -2666,6 +2666,30 @@ object SparkEntry {
           sum(round(col("value") * 100.0, 0).cast("long")).as("sum_cents"))
         .orderBy(col("event_type"))
     }),
+    // the snapshot-state discipline REBUILT on the table format:
+    // SegmentStateIngest folds each micro-batch into a graft-segment
+    // state TABLE via one transactional overwrite per epoch under
+    // (txnAppId, batchId) — the manifest log replaces the hand-rolled
+    // state_N chains, the txn ledger replaces batchId-keyed write
+    // idempotence, and a replayed batch commits as a no-op. Must land
+    // on the same one-shot GROUP BY as stream_incr_agg (shared oracle)
+    "stream_incr_agg_segment" -> ((s, d) => withTempDir("graft-incr-seg") { base =>
+      val orders = Tables.orders(s, d).select(col("o_custkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      Seq(0, 1, 2).foreach(i => orders.filter(col("o_custkey") % 3 === i)
+        .coalesce(1).write.parquet(s"$base/in/g$i"))
+      graft.streaming.SegmentStateIngest.run(s, orders.schema,
+        s"$base/in", s"$base/state_tbl", s"$base/ckpt", "incr-agg-seg") {
+        case (None, batch) => graft.ops.IncrView.build(batch, Seq("o_custkey"), col("cents"))
+        case (Some(prior), batch) =>
+          graft.ops.IncrView.merge(prior, batch, Seq("o_custkey"), col("cents"))
+      }
+      graft.streaming.SegmentStateIngest.finalState(s, s"$base/state_tbl")
+        .select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_v").as("sum_cents"), col("min_v").as("min_cents"),
+          col("max_v").as("max_cents"))
+        .orderBy(col("o_custkey"))
+    }),
     "stream_incr_agg" -> ((s, d) => withTempDir("graft-incr-agg") { base =>
       val orders = Tables.orders(s, d).select(col("o_custkey"),
         round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
@@ -5591,6 +5615,8 @@ object SparkEntry {
     "store_incr_join" -> incrJoinSql,
     // the streaming snapshot chain lands on the identical view
     "stream_incr_agg" -> incrAggSql,
+    // the table-format state backend must reach the identical view
+    "stream_incr_agg_segment" -> incrAggSql,
 
     // floor() on both sides: DuckDB CAST(double AS INT) rounds while
     // Spark's truncates, but floor-then-cast agrees everywhere

@@ -716,17 +716,29 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
     }
     clusterBy.foreach(c => require(info.schema().fieldNames.contains(c),
       s"clusterBy column $c not in write schema"))
+    // batch-write idempotency ledger (the Delta txnAppId/txnVersion
+    // pattern): a foreachBatch writer passes its (appId, batchId) and a
+    // REPLAYED batch commits as a no-op — exactly-once state updates
+    // on top of plain DataFrame writes
+    val txn = (Option(opts.get("txnAppId")), Option(opts.get("txnVersion"))) match {
+      case (Some(a), Some(v)) => Some((a, v.toLong))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together")
+    }
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       clusterMode, numPartitions,
       Option(opts.get("maxRowsPerSegment")).map(_.toLong),
       info.queryId(),
-      Option(opts.get("mergeSchema")).exists(_.toBoolean))
+      Option(opts.get("mergeSchema")).exists(_.toBoolean),
+      txn)
   }
 }
 
 class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Seq[String], clusterMode: String, numPartitions: Option[Int],
-    maxRows: Option[Long], queryId: String, mergeSchema: Boolean = false)
+    maxRows: Option[Long], queryId: String, mergeSchema: Boolean = false,
+    txn: Option[(String, Long)] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -752,7 +764,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
   override def toBatch: BatchWrite = new GraftBatchWrite(root, schema, truncateFirst,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows,
     clusterBy = clusterBy, clusterMode = clusterMode,
-    mergeSchema = mergeSchema)
+    mergeSchema = mergeSchema, txn = txn)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -802,7 +814,8 @@ case class GraftCommitMessage(segments: Seq[SegmentMeta]) extends WriterCommitMe
 class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     conf: SerializableHadoopConf, maxRows: Option[Long],
     clusterBy: Seq[String], clusterMode: String,
-    mergeSchema: Boolean = false) extends BatchWrite {
+    mergeSchema: Boolean = false,
+    txn: Option[(String, Long)] = None) extends BatchWrite {
 
   // the declared layout is persisted with the commit. Hash mode: the
   // shuffle partition index IS the bucket id (pmod(murmur3(keys), n)) —
@@ -823,7 +836,7 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs,
-      truncateFirst, bucketing = bucketSpec, mergeSchema = mergeSchema)
+      truncateFirst, txn = txn, bucketing = bucketSpec, mergeSchema = mergeSchema)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -450,6 +450,28 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"pruning should be visible in the metrics: $reported")
   }
 
+  test("txnAppId/txnVersion batch writes: replayed versions are no-ops") {
+    val dir = tmp("graft-seg-txn")
+    import spark.implicits._
+    def put(ids: Seq[Long], app: String, v: Long): Unit =
+      ids.toDF("id").write.format(Fmt)
+        .option("txnAppId", app).option("txnVersion", v.toString)
+        .mode("overwrite").save(dir)
+    put(Seq(1L, 2L), "job", 0L)
+    put(Seq(1L, 2L, 3L), "job", 1L)
+    assert(spark.read.format(Fmt).load(dir).count() == 3)
+    // replay of version 1 with DIFFERENT (corrupt) content: ignored
+    put(Seq(99L), "job", 1L)
+    assert(spark.read.format(Fmt).load(dir).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // an older version replayed: also ignored
+    put(Seq(98L), "job", 0L)
+    assert(spark.read.format(Fmt).load(dir).count() == 3)
+    // a DIFFERENT app's version counter is independent
+    put(Seq(7L), "other-job", 0L)
+    assert(spark.read.format(Fmt).load(dir).as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("optimistic commit: interleaved writers both land; vacuum removes orphans") {
     val dir = tmp("graft-seg-occ")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
