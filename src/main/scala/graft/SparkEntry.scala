@@ -1606,6 +1606,22 @@ object SparkEntry {
           col("l_discount")), "lineitem", "l_orderkey"),
         10)
     }),
+    // incremental consumption (the batch face of the streaming
+    // source's offset): `sinceVersion` reads exactly the rows
+    // committed after a version over an append-only range — the
+    // downstream-ETL "what's new since my last run" primitive,
+    // composed here with a metadata-free aggregate over the increment
+    "store_segment_incremental" -> ((s, d) => withTempDir("graft-seginc") { base =>
+      val dir = s"$base/orders_seg"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      Seq(0, 1, 2).foreach(i => o.filter(col("o_orderkey") % 3 === i)
+        .write.format("graft-segment").mode("append").save(dir)) // v0, v1, v2
+      s.read.format("graft-segment").option("sinceVersion", "0").load(dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_new"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("o_custkey"))
+    }),
     // table-format time travel: every committed version stays readable
     // (`versionAsOf`), so the same query replays against v0 after an
     // append created v1 — the audit/debug primitive of the log design.
@@ -5324,6 +5340,13 @@ object SparkEntry {
         "UNION ALL SELECT t.k, s.cents FROM t JOIN s ON t.k = s.k WHERE s.op <> 'D' " +
         "UNION ALL SELECT s.k, s.cents FROM s WHERE s.op <> 'D' AND s.k NOT IN (SELECT k FROM t) " +
         "ORDER BY k"),
+
+    // the increment past v0 is exactly the non-(k%3=0) rows
+    "store_segment_incremental" ->
+      ("SELECT o_custkey, count(*) AS n_new, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders WHERE o_orderkey % 3 <> 0 " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
 
     // each log version replays to its snapshot's aggregate
     "store_segment_time_travel" ->

@@ -247,11 +247,25 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   // one manifest snapshot per scan build: every consumer sees the same
   // table version regardless of concurrent commits. `versionAsOf`
   // time-travels to any committed version — the log keeps them all.
+  // `sinceVersion` reads the INCREMENT: only rows committed after
+  // version v (batch CDC consumption over an append-only range — the
+  // batch face of the streaming source's offset; a truncate/replace in
+  // the range fails fast rather than inventing delete semantics).
   private lazy val manifest: Option[Manifest] = {
     val fs = SegmentLog.fs(root, conf.value)
-    Option(options.get("versionAsOf")) match {
-      case Some(v) => Some(SegmentLog.readVersion(fs, root, v.toLong))
-      case None => SegmentLog.read(fs, root)
+    (Option(options.get("versionAsOf")), Option(options.get("sinceVersion"))) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException("versionAsOf and sinceVersion are exclusive")
+      case (Some(v), None) => Some(SegmentLog.readVersion(fs, root, v.toLong))
+      case (None, Some(v)) =>
+        val base = SegmentLog.readVersion(fs, root, v.toLong)
+        val cur = SegmentLog.read(fs, root).getOrElse(base)
+        val basePaths = base.segments.map(_.path)
+        require(cur.segments.take(basePaths.size).map(_.path) == basePaths,
+          s"sinceVersion $v: history is not append-only past that version " +
+            "(a truncate/replace intervened) — incremental reads need the append prefix intact")
+        Some(cur.copy(segments = cur.segments.drop(basePaths.size)))
+      case (None, None) => SegmentLog.read(fs, root)
     }
   }
 

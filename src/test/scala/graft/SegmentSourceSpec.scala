@@ -450,6 +450,28 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"pruning should be visible in the metrics: $reported")
   }
 
+  test("sinceVersion reads exactly the appended increment; non-append history fails fast") {
+    val dir = tmp("graft-seg-since")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode("append").save(dir)   // v0
+    Seq(3L).toDF("id").write.format(Fmt).mode("append").save(dir)       // v1
+    Seq(4L, 5L).toDF("id").write.format(Fmt).mode("append").save(dir)   // v2
+    def since(v: Int) = spark.read.format(Fmt)
+      .option("sinceVersion", v.toString).load(dir).as[Long].collect().sorted.toSeq
+    assert(since(0) == Seq(3L, 4L, 5L))
+    assert(since(1) == Seq(4L, 5L))
+    assert(since(2) == Seq.empty)
+    // metadata count over the increment works too
+    val n = spark.read.format(Fmt).option("sinceVersion", "0").load(dir)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(n == 3)
+    Seq(9L).toDF("id").write.format(Fmt).mode("overwrite").save(dir)    // v3: truncate
+    val e = intercept[Exception] {
+      spark.read.format(Fmt).option("sinceVersion", "1").load(dir).collect()
+    }
+    assert(e.getMessage.contains("append"), s"got: ${e.getMessage}")
+  }
+
   test("txnAppId/txnVersion batch writes: replayed versions are no-ops") {
     val dir = tmp("graft-seg-txn")
     import spark.implicits._
