@@ -34,15 +34,18 @@ import org.apache.spark.sql.SparkSession
 object GraftMaintenance {
   val Fmt = "graft-segment"
 
-  /** Rewrite the table's live data as `numPartitions` range-clustered
-    * segments. Returns (segments before, segments after). */
+  /** Rewrite the table's live data as `numPartitions` clustered
+    * segments — `mode = "range"` (zone-map-selective) or `"hash"`
+    * (restores a bucket layout for storage-partitioned joins).
+    * Returns (segments before, segments after). */
   def compact(spark: SparkSession, dir: String, clusterBy: String,
-      numPartitions: Int): (Int, Int) = {
+      numPartitions: Int, mode: String = "range"): (Int, Int) = {
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val before = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
     spark.read.format(Fmt).load(dir)
       .write.format(Fmt)
       .option("clusterBy", clusterBy).option("numPartitions", numPartitions.toString)
+      .option("clusterMode", mode)
       .mode("overwrite").save(dir)
     val after = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
     (before, after)
@@ -56,9 +59,18 @@ object GraftMaintenance {
   def deleteRows(spark: SparkSession, dir: String,
       condition: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val spec = SegmentLog.read(fs, dir).flatMap(_.bucketing)
     val kept = spark.read.format(Fmt).load(dir)
       .filter(not(coalesce(condition, lit(false))))
-    kept.write.format(Fmt).mode("overwrite").save(dir)
+    // the rewrite preserves a declared layout instead of flattening it
+    val w0 = kept.write.format(Fmt).mode("overwrite")
+    val w = spec match {
+      case Some(b) => w0.option("clusterBy", b.cols.mkString(","))
+        .option("numPartitions", b.n.toString).option("clusterMode", b.mode)
+      case None => w0
+    }
+    w.save(dir)
     spark.read.format(Fmt).load(dir).count()
   }
 
