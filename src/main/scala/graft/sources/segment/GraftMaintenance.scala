@@ -1,7 +1,7 @@
 package graft.sources.segment
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Maintenance operations for graft-segment tables. Log-structured
   * storage makes these pure COMPOSITIONS of the read/write/commit
@@ -72,6 +72,24 @@ object GraftMaintenance {
     }
     w.save(dir)
     spark.read.format(Fmt).load(dir).count()
+  }
+
+  /** Table introspection as a one-row DataFrame (DESCRIBE DETAIL):
+    * live version, segment/row/byte totals, declared layout, columns,
+    * retained history depth, streaming txn apps. Driver-side manifest
+    * reads only. */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+    val live = SegmentLog.liveVersions(fs, dir)
+    Seq((m.version, m.segments.size.toLong, m.segments.map(_.rows).sum,
+      m.segments.map(_.bytes).sum,
+      m.bucketing.map(b => s"${b.mode}(${b.cols.mkString(",")}, ${b.n})").getOrElse("none"),
+      m.schema.fieldNames.mkString(","), live.size.toLong, m.txns.size.toLong))
+      .toDF("version", "n_segments", "n_rows", "n_bytes",
+        "layout", "columns", "n_versions_retained", "n_txn_apps")
   }
 
   /** Delete manifest versions older than the last `keepLast`. Time

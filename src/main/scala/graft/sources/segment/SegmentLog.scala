@@ -112,8 +112,30 @@ object SegmentLog {
   }
 
   def readVersion(fs: FileSystem, root: String, v: Long): Manifest = {
-    val in = fs.open(manifestPath(root, v))
-    val bytes = try in.readAllBytes() finally in.close()
+    // a manifest file becomes VISIBLE at create() but its content lands
+    // at close(): a reader racing a cross-process committer can observe
+    // a torn (empty/partial) file. The claim itself is owned by the
+    // committer (exclusive create on HDFS; the JVM-wide [[commitLock]]
+    // within one driver) — the reader's job is only to wait out the
+    // small create-to-close window, so retry briefly on parse failure.
+    var attempt = 0
+    while (true) {
+      val in = fs.open(manifestPath(root, v))
+      val bytes = try in.readAllBytes() finally in.close()
+      try return parseManifest(bytes)
+      catch {
+        case NonFatal(e) =>
+          if (attempt >= 100) throw new IllegalStateException(
+            s"manifest $v of $root unreadable after ${attempt} retries — " +
+              "torn or corrupt commit", e)
+          attempt += 1
+          Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def parseManifest(bytes: Array[Byte]): Manifest = {
     val node = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
     val schema = DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType]
     val segs = node.get("segments").elements()
@@ -208,11 +230,20 @@ object SegmentLog {
     * at `epoch` or later, the replayed commit is a no-op (duplicate
     * segment files stay unreferenced — [[vacuum]] fodder, never rows).
     */
+  /** All commits from THIS driver serialize on one lock: local
+    * filesystems give `create(overwrite = false)` a check-then-create
+    * race window, and a same-process race is both the common case
+    * (multi-threaded drivers, parallel tests) and the one we can close
+    * for free. CROSS-driver writers rely on the store's exclusive
+    * create being atomic (HDFS: yes; plain local FS: single driver per
+    * table is the documented deployment). */
+  private val commitLock = new Object
+
   def commit(fs: FileSystem, root: String, schema: StructType,
       newSegments: Seq[SegmentMeta], truncate: Boolean,
       txn: Option[(String, Long)] = None,
       bucketing: Option[BucketSpec] = None,
-      mergeSchema: Boolean = false, maxRetries: Int = 20): Long = {
+      mergeSchema: Boolean = false, maxRetries: Int = 20): Long = commitLock.synchronized {
     var attempt = 0
     while (true) {
       val current = read(fs, root)

@@ -494,6 +494,47 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.read.format(Fmt).load(dir).as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("detail reports version, totals, layout, retention, txn apps") {
+    val dir = tmp("graft-seg-detail")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "2")
+      .mode("append").save(dir)
+    Seq(3L).toDF("id").write.format(Fmt)
+      .option("txnAppId", "etl").option("txnVersion", "0")
+      .option("mergeSchema", "true").mode("append").save(dir)
+    val r = graft.sources.segment.GraftMaintenance.detail(spark, dir).head()
+    assert(r.getAs[Long]("version") == 1L)
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[String]("columns") == "id")
+    assert(r.getAs[Long]("n_versions_retained") == 2L)
+    assert(r.getAs[Long]("n_txn_apps") == 1L)
+  }
+
+  test("optimistic commit under real contention: 8 concurrent appenders, no lost rows") {
+    val dir = tmp("graft-seg-race")
+    import spark.implicits._
+    // seed the table so every thread appends (no first-commit special case)
+    Seq(-1L).toDF("id").write.format(Fmt).mode("append").save(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writers = (0 until 8).map { w =>
+      Future {
+        (w * 100L until w * 100L + 100L).toDF("id")
+          .coalesce(1).write.format(Fmt).mode("append").save(dir)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).get
+    assert(m.version == 8, s"8 contended commits → versions 1..8, got ${m.version}")
+    val got = spark.read.format(Fmt).load(dir).as[Long].collect().sorted.toSeq
+    val want = (-1L +: (0 until 8).flatMap(w => w * 100L until w * 100L + 100L)).sorted
+    assert(got == want, "every contended append must land exactly once")
+  }
+
   test("optimistic commit: interleaved writers both land; vacuum removes orphans") {
     val dir = tmp("graft-seg-occ")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
