@@ -150,6 +150,34 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(one == 1, "a narrow range lives in one segment under range clustering")
   }
 
+  test("bucket function agrees with physical placement for every row (the SPJ invariant)") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.place_t (k BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.db.place_t SELECT id * 7919 FROM range(0, 500)")
+    // physical placement: which segment (→ manifest bucket label) holds each row
+    val fs = SegmentLog.fs(warehouse, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, s"$warehouse/db/place_t").get
+    val bucketByFile = m.segments.map(s => s"$warehouse/db/place_t/${s.path}" -> s.bucket.get).toMap
+    val rows = spark.sql("SELECT k, _segment FROM graft.db.place_t").collect()
+    assert(rows.length == 500)
+    // the function the catalog serves for SPJ shuffles must compute the
+    // SAME bucket the write physically placed the row in
+    val bound = graft.sources.segment.GraftBucketFunction
+      .bind(new org.apache.spark.sql.types.StructType()
+        .add("n", org.apache.spark.sql.types.IntegerType)
+        .add("k", org.apache.spark.sql.types.LongType))
+      .asInstanceOf[graft.sources.segment.GraftBoundBucket]
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val placed = bucketByFile(r.getString(1))
+      val computed = bound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(4, k))
+      assert(computed == placed,
+        s"k=$k placed in bucket $placed but bucket(4, k) computes $computed")
+    }
+  }
+
   test("catalog maintenance: drop and rename") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tmpns")
