@@ -1606,6 +1606,22 @@ object SparkEntry {
           col("l_discount")), "lineitem", "l_orderkey"),
         10)
     }),
+    // ORDER BY cluster-key LIMIT pushed into the connector
+    // (SupportsPushDownTopN): strict non-overlapping range segments
+    // mean the key-ordered covering prefix provably CONTAINS the true
+    // top-N — one segment planned for a tail probe (plan cut asserted
+    // in spec; exactness certified here against the plain oracle)
+    "store_segment_topn" -> ((s, d) => withTempDir("graft-segtopn") { base =>
+      val dir = s"$base/orders_seg"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "o_orderkey").option("numPartitions", "16")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .orderBy(col("o_orderkey").desc).limit(25)
+    }),
     // incremental consumption (the batch face of the streaming
     // source's offset): `sinceVersion` reads exactly the rows
     // committed after a version over an append-only range — the
@@ -5340,6 +5356,11 @@ object SparkEntry {
         "UNION ALL SELECT t.k, s.cents FROM t JOIN s ON t.k = s.k WHERE s.op <> 'D' " +
         "UNION ALL SELECT s.k, s.cents FROM s WHERE s.op <> 'D' AND s.k NOT IN (SELECT k FROM t) " +
         "ORDER BY k"),
+
+    // the segment-cut top-N must be the plain top-N
+    "store_segment_topn" ->
+      ("SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM orders ORDER BY o_orderkey DESC LIMIT 25"),
 
     // the increment past v0 is exactly the non-(k%3=0) rows
     "store_segment_incremental" ->

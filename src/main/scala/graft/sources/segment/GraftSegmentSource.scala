@@ -236,10 +236,12 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
 
 class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownAggregates
+    with SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None // (key, ascending, n)
   private var aggResult: Option[(StructType, InternalRow)] = None
 
   private val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
@@ -286,6 +288,48 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   // more rows than the limit); Spark keeps its own Limit on top.
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
+
+  // ORDER BY <cluster-key> LIMIT n over a range-clustered table:
+  // segments cover strictly non-overlapping sorted key ranges, so the
+  // first segments in key order (from whichever end the direction
+  // asks) that cover n rows provably CONTAIN the true top-N — plan
+  // only those; Spark's retained Sort+Limit finishes the job
+  // (partial pushdown). Accepted only when provable: the declared
+  // range layout is exactly the sort key, an integer-family type,
+  // zero nulls, sound bounds everywhere, and strict non-overlap.
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.types._
+    if (pushed.nonEmpty || orders.length != 1) return false
+    val o = orders(0)
+    val key = o.expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    val intFamily = tableSchema.fields.find(_.name == key).map(_.dataType).exists {
+      case IntegerType | LongType | TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    if (!intFamily) return false
+    val ok = manifest.exists { m =>
+      m.bucketing.exists(b => b.mode == "range" && b.cols == Seq(key)) && {
+        val segs = m.segments
+        segs.nonEmpty &&
+        segs.forall(sg => sg.stats.get(key).exists(cs => cs.nullCount == 0 && cs.bounds.isDefined)) && {
+          val sorted = segs.sortBy(_.stats(key).bounds.get._1.toLong)
+          sorted.sliding(2).forall {
+            case Seq(a, b) => a.stats(key).bounds.get._2.toLong < b.stats(key).bounds.get._1.toLong
+            case _ => true
+          }
+        }
+      }
+    }
+    if (ok) {
+      topN = Some((key,
+        o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING, n))
+      true
+    } else false
+  }
 
   // metadata-only aggregates: global COUNT(*) / COUNT(col) / MIN / MAX
   // answered ENTIRELY from the manifest — zero data files opened, zero
@@ -388,7 +432,7 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
     case None =>
       new GraftScan(root, tableSchema, required, pushed, conf,
         Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
-        manifest, limit)
+        manifest, limit, topN)
   }
 }
 
@@ -404,7 +448,8 @@ class GraftLocalAggScan(root: String, schema: StructType, row: InternalRow)
 class GraftScan(root: String, tableSchema: StructType, required: StructType,
     pushed: Array[Filter], conf: SerializableHadoopConf,
     maxSegmentsPerTrigger: Option[Int],
-    manifest: Option[Manifest], limit: Option[Int])
+    manifest: Option[Manifest], limit: Option[Int],
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -518,11 +563,18 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       val segs = runtimeSurviving.getOrElse(surviving)
       // pushed LIMIT: stop planning once cumulative rows cover it (a
       // preview read opens one file, not the table)
-      val take = limit match {
-        case Some(n) =>
+      val take = (topN, limit) match {
+        case (Some((key, asc, n)), _) =>
+          // key-ordered prefix (or suffix) covering n rows: provably a
+          // superset of the true top-N under strict range non-overlap
+          val sorted = segs.sortBy(_.stats(key).bounds.get._1.toLong)
+          val ordered = if (asc) sorted else sorted.reverse
+          var acc = 0L
+          ordered.takeWhile { s => val need = acc < n; acc += s.rows; need }
+        case (None, Some(n)) =>
           var acc = 0L
           segs.takeWhile { s => val need = acc < n; acc += s.rows; need }
-        case None => segs
+        case (None, None) => segs
       }
       def segCols(seg: SegmentMeta): Seq[String] =
         if (seg.cols.nonEmpty) seg.cols else tableSchema.fieldNames.toSeq

@@ -285,6 +285,37 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(seg.getString(1) == truth.getString(1), "metadata MAX must match Spark's ordering")
   }
 
+  test("ORDER BY cluster-key LIMIT plans only the covering key-range segments") {
+    val dir = tmp("graft-seg-topn")
+    import spark.implicits._
+    spark.range(0, 1000).select(col("id"))
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "10")
+      .mode("append").save(dir)
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      collectFirst(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get.inputRDD.getNumPartitions
+    val t = spark.read.format(Fmt).load(dir)
+
+    val top = t.orderBy(col("id").desc).limit(5)
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
+    assert(planned(top) == 1, "top-5 desc should plan ONE tail segment")
+
+    val bottom = t.orderBy(col("id")).limit(150)
+    assert(bottom.collect().map(_.getLong(0)).toSeq == (0L until 150L))
+    assert(planned(bottom) == 2, "bottom-150 asc should plan two head segments")
+
+    // a second append makes key ranges overlap → pushdown must refuse
+    // (the planner keeps the full sort) but the answer stays exact
+    spark.range(500, 520).select(col("id")).coalesce(1)
+      .write.format(Fmt).mode("append").save(dir)
+    val t2 = spark.read.format(Fmt).load(dir)
+    val again = t2.orderBy(col("id").desc).limit(3)
+    assert(again.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L))
+    assert(planned(again) == 11, "overlapping ranges: all segments planned, no unsound cut")
+  }
+
   test("limit pushdown plans a row-covering prefix of segments") {
     val dir = tmp("graft-seg-limit")
     sample().write.format(Fmt)
