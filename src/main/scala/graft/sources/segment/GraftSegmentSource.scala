@@ -589,7 +589,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger)
+    new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger,
+      pushed)
 }
 
 sealed trait GraftPartition extends InputPartition {
@@ -698,6 +699,11 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
   }
 }
 
+object GraftMicroBatchStream {
+  /** Last micro-batch planning outcome: (kept, in slice). */
+  @volatile var lastBatchEvent: Option[(Int, Int)] = None
+}
+
 /** Streaming offset = number of manifest segments consumed. Segment
   * order is append order (a [[SegmentLog]] invariant), so [start, end)
   * index slices are stable across restarts and re-planning a committed
@@ -707,7 +713,8 @@ case class GraftOffset(segments: Long) extends Offset {
 }
 
 class GraftMicroBatchStream(root: String, stored: StructType, required: StructType,
-    conf: SerializableHadoopConf, maxSegmentsPerTrigger: Option[Int])
+    conf: SerializableHadoopConf, maxSegmentsPerTrigger: Option[Int],
+    pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def currentCount(): Long =
@@ -747,7 +754,15 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
       .map(_.segments).getOrElse(Nil)
     require(to <= segs.size,
       s"offset $to beyond manifest (${segs.size} segments): segment log truncated under a running stream?")
-    segs.slice(from, to)
+    // zone-map pruning applies WITHIN the offset slice too: offsets
+    // still advance over pruned segments (they are consumed — their
+    // rows just provably fail the stream's pushed filters), so a
+    // filtered stream skips whole files per micro-batch
+    val slice = segs.slice(from, to)
+    val kept = slice.filterNot(seg =>
+      pushed.exists(f => SegmentPruning.prunes(f, stored, seg)))
+    GraftMicroBatchStream.lastBatchEvent = Some((kept.size, slice.size))
+    kept
       .map(seg => GraftInputPartition(s"$root/${seg.path}",
         if (seg.cols.nonEmpty) seg.cols else stored.fieldNames.toSeq): InputPartition).toArray
   }

@@ -201,6 +201,41 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     info(s"runtime filter pruned to $kept of $before segments")
   }
 
+  test("streaming source prunes segments by zone maps within each micro-batch") {
+    val dir = tmp("graft-seg-streamprune")
+    val ckpt = tmp("graft-seg-sp-ckpt")
+    val outDir = tmp("graft-seg-sp-out")
+    import spark.implicits._
+    // three commits, each range-disjoint in k: only one can match k<10
+    Seq(0L until 10L, 100L until 110L, 200L until 210L).foreach(r =>
+      r.toDF("k").coalesce(1).write.format(Fmt).mode("append").save(dir))
+    // the streaming result stays exact regardless of pruning
+    val q = spark.readStream.format(Fmt).load(dir)
+      .filter(col("k") < 10)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(outDir).as[Long].collect().sorted.toSeq
+    assert(rows == (0L until 10L))
+
+    // Spark's planner does not (yet) push filters into micro-batch
+    // scans, so certify the source's pruning contract at the API
+    // level: a stream built from a filter-pushed ScanBuilder prunes
+    // in-slice segments by zone maps while offsets still advance
+    val schema = spark.read.format(Fmt).load(dir).schema
+    val builder = new graft.sources.segment.GraftScanBuilder(dir, schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    builder.pushFilters(Array(org.apache.spark.sql.sources.LessThan("k", 10L)))
+    val stream = builder.build().toMicroBatchStream(ckpt)
+    graft.sources.segment.GraftMicroBatchStream.lastBatchEvent = None
+    val parts = stream.planInputPartitions(
+      graft.sources.segment.GraftOffset(0L), graft.sources.segment.GraftOffset(3L))
+    assert(parts.length == 1, "one of three segments can match k<10")
+    val (kept, total) = graft.sources.segment.GraftMicroBatchStream.lastBatchEvent.get
+    assert(total == 3 && kept == 1)
+  }
+
   test("streaming sink: epoch commits land exactly once; replayed epoch is a no-op") {
     val dir = tmp("graft-seg-sink")
     val inDir = tmp("graft-seg-sink-in")
