@@ -23,39 +23,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** `graft-segment`: a complete DataSource V2 connector over the
   * log-structured segment format of [[SegmentLog]] — the engine's
   * native table format, built on the full V2 extension surface
-  * instead of wrapping a built-in reader:
+  * instead of wrapping a built-in reader. The user guide is
+  * docs/SEGMENT.md; the map of what lives where:
   *
-  *  - '''batch read''' with zone-map SEGMENT SKIPPING: pushed filters
-  *    ([[SupportsPushDownFilters]]) prune whole data files against
-  *    manifest min/max before any task launches — the same I/O-level
-  *    win as parquet row-group stats, but at the planning step, so
-  *    skipped segments cost zero tasks, zero opens. All filters are
-  *    returned as residual: Spark re-evaluates them row-level, so
-  *    pruning is provably semantics-free (see [[SegmentPruning]]).
-  *  - '''column pruning''' ([[SupportsPushDownRequiredColumns]]): the
-  *    reader materializes only requested columns (byte-skips the rest).
-  *  - '''reported statistics''' ([[SupportsReportStatistics]]): rows +
-  *    bytes of the SURVIVING segments, scaled by projection width, so
-  *    Catalyst auto-broadcasts a filtered segment table exactly like a
-  *    filtered parquet table — the join-planning contract at scale.
-  *  - '''batch write''' with per-task segment files, streaming stats
-  *    collection, and an optimistic-concurrency manifest commit
-  *    (exclusive-create version slots; see [[SegmentLog.commit]]).
-  *    `option("clusterBy", "c1,c2")` makes the WRITE demand a
-  *    clustered distribution + sort from Spark
-  *    ([[RequiresDistributionAndOrdering]]) — the layout step that
-  *    turns zone maps from decorative into selective, the same
-  *    discipline as [[graft.sources.Bucketing.writeSorted]].
-  *  - '''exactly-once micro-batch source'''
-  *    ([[SupportsTriggerAvailableNow]]): offset = count of committed
-  *    segments in manifest order; a crashed query resumes from the
-  *    offset log and re-plans precisely the unseen suffix.
-  *    `option("maxSegmentsPerTrigger", n)` bounds admission per batch.
+  *  - '''reads''': zone-map SEGMENT SKIPPING on pushed filters (all
+  *    residual — provably semantics-free, [[SegmentPruning]]), column
+  *    pruning, VECTORIZED decode ([[GraftReaderFactory]], arrays fall
+  *    back to rows), reported statistics (auto-broadcast), runtime
+  *    filtering (DPP — [[GraftScan.filter]]), metadata-only
+  *    COUNT/MIN/MAX ([[GraftLocalAggScan]]), limit pushdown, ORDER BY
+  *    cluster-key LIMIT pushdown ([[GraftScanBuilder.pushTopN]]),
+  *    `versionAsOf` time travel, `sinceVersion` incremental reads,
+  *    and KeyGroupedPartitioning for storage-partitioned joins
+  *    (hash-bucketed layouts + [[GraftCatalog]]'s bucket function).
+  *  - '''writes''': per-task segment files with streaming stats
+  *    collection; `clusterBy` demands a range or hash distribution
+  *    from Spark ([[RequiresDistributionAndOrdering]]); additive
+  *    schema evolution (`mergeSchema`); idempotent batch writes
+  *    (`txnAppId`/`txnVersion`); optimistic-concurrency manifest
+  *    commits (JVM-serialized per driver, exclusive-create across
+  *    drivers — [[SegmentLog.commit]]).
+  *  - '''DML''': metadata-only DELETE where zone maps decide whole
+  *    segments, group-based copy-on-write UPDATE/MERGE through the
+  *    row-level-operation framework with the `_segment` metadata
+  *    column as the group handle ([[GraftRowLevelOperation]]),
+  *    TRUNCATE.
+  *  - '''streaming''': exactly-once micro-batch source (offset =
+  *    committed-segment count, AvailableNow + admission control,
+  *    in-slice zone-map pruning) and an exactly-once epoch-
+  *    transactional sink ([[GraftStreamingWrite]]).
+  *  - '''ops''': [[GraftMaintenance]] (compact/deleteRows/expire/
+  *    detail), [[SegmentLog.vacuum]], SQL-UI skip metrics.
   *
   * 100 TB: planning cost is manifest-proportional (one JSON read),
   * scan parallelism is segment-proportional, skipping removes
-  * never-opened files at the driver, and the commit protocol gives
-  * concurrent writers append atomicity on any exclusive-create store.
+  * never-opened files at the driver, and co-location is a table
+  * property that deletes the big-big join shuffle outright.
   * Reference behavior covered: the MySQL orders/inventory tables
   * (Event-Stream-Checkout iac/database.tf:57-66, db/init_schema.sql)
   * as a native scan/commit table abstraction — the durable-table leg
