@@ -425,9 +425,13 @@ object SparkEntry {
     // exact DECIMAL money math: the 2-decimal price/discount columns
     // lifted into DECIMAL so sums and the revenue product are
     // ORDER-INDEPENDENT exact — the arithmetic regime a financial
-    // pipeline needs (double sums drift by partitioning; these don't,
-    // which is also why the cross-engine hash can match bit-for-bit
-    // with no rounding at the output edge)
+    // pipeline needs (double sums drift by partitioning; these don't).
+    // The OUTPUT edge is scaled BIGINT (cents / 10^-4 units): the
+    // decimal sums have fixed scale 2 and 4, so multiplying by 10^scale
+    // is an exact integer — no rounding anywhere — while the driver's
+    // cross-engine hash canonicalizes BIGINT identically on both
+    // engines (DECIMAL output was the one hash-unstable type in r7,
+    // VERDICT r7 #1)
     "rel_decimal_exact" -> ((s, d) => {
       val price = col("l_extendedprice").cast("decimal(12,2)")
       val disc = col("l_discount").cast("decimal(12,2)")
@@ -435,8 +439,8 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(price).cast("decimal(38,2)").as("sum_price"),
-          sum(price * (one - disc)).cast("decimal(38,4)").as("sum_revenue"),
+          (sum(price) * lit(100)).cast("long").as("sum_price_cents"),
+          (sum(price * (one - disc)) * lit(10000)).cast("long").as("sum_revenue_x10000"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
@@ -5441,12 +5445,13 @@ object SparkEntry {
         "ORDER BY o_orderkey"),
 
     // decimal arithmetic is exact, so no rounding anywhere — the
-    // final CASTs only align the two engines' result precisions
+    // sums have fixed scale (2 and 4) and the *10^scale output edge is
+    // an exact integer, emitted as BIGINT on both engines
     "rel_decimal_exact" ->
       ("SELECT l_returnflag, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_price_cents, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
-        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_revenue, " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS sum_revenue_x10000, " +
         "CAST(count(*) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     // quadratic levenshtein matching + recursive closure + per-entity

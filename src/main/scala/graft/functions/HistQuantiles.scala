@@ -49,8 +49,14 @@ case class HistQuantiles(
     val v = child.eval(input)
     if (v != null) {
       val d = v.asInstanceOf[Double]
-      val raw = math.floor((d - lo) / width)
-      val bin = math.min(math.max(raw, 0.0), (nBins - 1).toDouble).toInt
+      // NaN policy: top bin, replicating the frame twin exactly —
+      // there `least(greatest(floor(NaN), 0), nBins-1)` resolves to
+      // nBins-1 under Spark's NaN-is-largest ordering, while Java's
+      // Math.max(NaN, 0).toInt would land it in bin 0 and break the
+      // bit-identical/shared-oracle contract on NaN-bearing data
+      val bin =
+        if (d.isNaN) nBins - 1
+        else math.min(math.max(math.floor((d - lo) / width), 0.0), (nBins - 1).toDouble).toInt
       buffer(bin) += 1L
     }
     buffer

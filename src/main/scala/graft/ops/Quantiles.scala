@@ -88,8 +88,14 @@ object Quantiles {
                       lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins >= 2 && hi > lo, "need hi > lo and at least 2 bins")
     val width = (hi - lo) / nBins
-    val bin = least(greatest(
-      floor((col(value).cast("double") - lit(lo)) / lit(width)), lit(0)), lit(nBins - 1))
+    // NaN policy, explicit: top bin, per Spark's NaN-is-largest
+    // ordering. Without the guard NaN PROPAGATES through
+    // least/greatest and the int cast lands it at bin 0 — an
+    // incidental artifact, not a policy. The native twin
+    // [[graft.functions.HistQuantiles]] bins NaN identically.
+    val v = col(value).cast("double")
+    val bin = when(isnan(v), lit(nBins - 1)).otherwise(
+        least(greatest(floor((v - lit(lo)) / lit(width)), lit(0)), lit(nBins - 1)))
       .cast("int")
     df.select(keys.map(col) :+ bin.as("bin"): _*)
       .groupBy(keys.map(col) :+ col("bin"): _*)

@@ -91,14 +91,18 @@ object UnigramLm {
     var dp = words.select(col("word"), lit(0).as("pos"),
       lit(0.0).as("cost"), lit("").as("path"))
     (1 to maxWordLen).foreach { j =>
-      val step = dp
-        .join(cand.filter(col("end_pos") === j), // only spans ending at j
-          dp("word") === cand("word") && dp("pos") === cand("pred_pos"))
-        .select(dp("word"), col("end_pos").as("npos"),
-          (col("cost") + col("nlp")).as("ncost"),
-          when(col("path") === "", col("span"))
-            .otherwise(concat(col("path"), lit("|"), col("span"))).as("npath"),
-          length(col("span")).as("plen"), col("span"))
+      // both sides descend from `words`, so qualify the join columns
+      // through explicit subquery aliases — positional attribute
+      // disambiguation (the `word == word` WARN) is fragile across
+      // Catalyst versions
+      val step = dp.as("dp")
+        .join(cand.filter(col("end_pos") === j).as("cand"), // only spans ending at j
+          col("dp.word") === col("cand.word") && col("dp.pos") === col("cand.pred_pos"))
+        .select(col("dp.word").as("word"), col("cand.end_pos").as("npos"),
+          (col("dp.cost") + col("cand.nlp")).as("ncost"),
+          when(col("dp.path") === "", col("cand.span"))
+            .otherwise(concat(col("dp.path"), lit("|"), col("cand.span"))).as("npath"),
+          length(col("cand.span")).as("plen"), col("cand.span").as("span"))
       val win = Window.partitionBy(col("word"), col("npos"))
         .orderBy(col("ncost"), col("plen").desc, col("span"))
       val best = step.withColumn("rn", row_number().over(win))

@@ -187,9 +187,19 @@ object SegmentCodec {
       any = true
     }
     private def addDouble(v: Double): Unit = {
-      if (!any || v < minD) minD = v
-      if (!any || v > maxD) maxD = v
-      any = true
+      // any NaN poisons the column's bounds: Spark orders NaN above
+      // every double, so a (min, max) that silently excluded an
+      // observed NaN would let zone-map pruning drop segments whose
+      // NaN rows match `col > x`, and metadata-only MAX/DELETE would
+      // act on the wrong extreme. NaN min/max renders as unbounded
+      // (bounds = None) below — matching SegmentPruning's refusal to
+      // compare NaN literals.
+      if (v.isNaN) { minD = Double.NaN; maxD = Double.NaN; any = true }
+      else {
+        if (!any || v < minD) minD = v
+        if (!any || v > maxD) maxD = v
+        any = true
+      }
     }
 
     def nullCount: Long = nulls

@@ -190,4 +190,25 @@ class SketchAggSpec extends SparkSpec {
     assert(math.round(out(0).getDouble(1)) == 2L)
     assert(out(1).getDouble(1) == 0.0)
   }
+
+  test("hist_quantiles NaN policy: top bin on both native and frame paths") {
+    import spark.implicits._
+    // the frame twin's least(greatest(floor(NaN),0),nBins-1) resolves
+    // to the TOP bin under Spark's NaN-is-largest ordering; the native
+    // aggregate must bin identically or the shared-oracle contract
+    // breaks on NaN-bearing data
+    val df = Seq(1.0, 2.0, 3.0, Double.NaN, Double.NaN)
+      .toDF("v").withColumn("g", lit("g0")).repartition(3)
+    val native = df.groupBy("g")
+      .agg(graft.functions.HistQuantiles.histQuantiles(col("v"), 0.0, 10.0, 10, Seq(0.9)).as("e"))
+      .select(explode(col("e"))).collect().map(_.getDouble(0)).toSeq
+    val frame = graft.ops.Quantiles.estimateFromSketch(
+        graft.ops.Quantiles.histogramSketch(df, Seq("g"), "v", 0.0, 10.0, 10),
+        Seq("g"), 0.0, 10.0, 10, Seq(0.9))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(native == frame, s"native $native vs frame $frame")
+    // and the q=0.9 estimate falls in the top bin [9, 10): the two
+    // NaNs are 40% of the mass at the top of the order
+    assert(native.head >= 9.0 && native.head < 10.0)
+  }
 }
