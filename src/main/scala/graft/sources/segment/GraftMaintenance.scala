@@ -18,13 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    deletes manifest versions older than the retained window; vacuum
   *    then deletes data files no surviving version references.
   *
-  * Streaming caveat (by design, loudly): the micro-batch source's
-  * offset is the committed-segment COUNT, so compaction invalidates
-  * checkpoints of streams reading this table — they fail fast with the
-  * "segment log truncated" error rather than silently re-reading.
-  * Compact queue-tables between stream deployments, or never (the
-  * reference's SQS retention model, iac/main.tf:17, expires messages
-  * instead of rewriting them).
+  * Streaming: [[compact]] commits with `dataChange = false`, so the
+  * micro-batch source — whose offset is a segment-ID watermark, not a
+  * position ([[GraftOffset]]) — keeps running checkpoints valid: a
+  * caught-up stream skips the compaction output (its rows were already
+  * delivered under their original ids) and a LAGGING stream re-reads
+  * the replaced originals from retained manifest versions. The honest
+  * boundary: `expire` past a lagging stream's offset (or past id 0 for
+  * a not-yet-started one) makes that history unreachable and the
+  * stream fails fast with "history was expired past this stream's
+  * offset" — retention must cover your slowest stream's lag, the same
+  * contract Delta's log retention imposes.
   *
   * 100 TB: compaction cost is one clustered rewrite of LIVE bytes;
   * expiry/vacuum are manifest-sized driver ops + unreferenced-file
@@ -46,6 +50,8 @@ object GraftMaintenance {
       .write.format(Fmt)
       .option("clusterBy", clusterBy).option("numPartitions", numPartitions.toString)
       .option("clusterMode", mode)
+      // rows are REORGANIZED, not changed: streams must not re-consume
+      .option("dataChange", "false")
       .mode("overwrite").save(dir)
     val after = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
     (before, after)

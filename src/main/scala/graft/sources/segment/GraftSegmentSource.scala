@@ -48,10 +48,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    row-level-operation framework with the `_segment` metadata
   *    column as the group handle ([[GraftRowLevelOperation]]),
   *    TRUNCATE.
-  *  - '''streaming''': exactly-once micro-batch source (offset =
-  *    committed-segment count, AvailableNow + admission control,
-  *    in-slice zone-map pruning) and an exactly-once epoch-
-  *    transactional sink ([[GraftStreamingWrite]]).
+  *  - '''streaming''': exactly-once micro-batch source (offset = a
+  *    SEGMENT-ID watermark that survives compaction — [[GraftOffset]];
+  *    AvailableNow + admission control, in-slice zone-map pruning) and
+  *    an exactly-once epoch-transactional sink ([[GraftStreamingWrite]]).
   *  - '''ops''': [[GraftMaintenance]] (compact/deleteRows/expire/
   *    detail), [[SegmentLog.vacuum]], SQL-UI skip metrics.
   *
@@ -707,12 +707,43 @@ object GraftMicroBatchStream {
   @volatile var lastBatchEvent: Option[(Int, Int)] = None
 }
 
-/** Streaming offset = number of manifest segments consumed. Segment
-  * order is append order (a [[SegmentLog]] invariant), so [start, end)
-  * index slices are stable across restarts and re-planning a committed
-  * range yields byte-identical input — the exactly-once contract. */
-case class GraftOffset(segments: Long) extends Offset {
-  override def json(): String = segments.toString
+/** Streaming offset = the next SEGMENT ID to consume, plus the
+  * truncate watermark the stream ACKNOWLEDGED when it started. Ids are
+  * table-lifetime-unique, dense, and assigned in commit order
+  * ([[SegmentLog.commit]]), so [start, end) id ranges are stable
+  * across restarts AND across compaction: re-planning a committed
+  * range yields the same rows — the exactly-once contract — and a
+  * `compact()` (dataChange=false truncate) neither re-delivers rows
+  * nor invalidates a checkpoint.
+  *
+  * `ack` pins stream identity against DATA-CHANGING truncates: a
+  * fresh stream acknowledges the table's truncate history at init
+  * (dead ids ≤ ack are a generation that predates it — skipped), while
+  * a truncate that POSTDATES the stream (watermark > ack) deleted
+  * rows out from under it and fails fast. Without ack in the offset,
+  * "fresh stream over an overwritten table" and "running stream whose
+  * input was overwritten" are indistinguishable once admission
+  * control advances the offset into the dead range.
+  *
+  * JSON: a bare long for append-era streams (byte-compatible with
+  * pre-id checkpoints, where the offset was the segment COUNT — equal
+  * to nextId on the append-only tables those checkpoints can be
+  * valid for), `{"nextId":n,"ack":a}` once a truncate has been
+  * acknowledged. */
+case class GraftOffset(nextId: Long, ack: Long = -1L) extends Offset {
+  override def json(): String =
+    if (ack < 0) nextId.toString else s"""{"nextId":$nextId,"ack":$ack}"""
+}
+
+object GraftOffset {
+  def parse(json: String): GraftOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      GraftOffset(node.get("nextId").asLong(),
+        if (node.hasNonNull("ack")) node.get("ack").asLong() else -1L)
+    } else GraftOffset(t.toLong)
+  }
 }
 
 class GraftMicroBatchStream(root: String, stored: StructType, required: StructType,
@@ -720,17 +751,25 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private def currentCount(): Long =
-    SegmentLog.read(SegmentLog.fs(root, conf.value), root)
-      .map(_.segments.size.toLong).getOrElse(0L)
+  private def fs = SegmentLog.fs(root, conf.value)
+
+  /** One past the table's id high-water mark — ids below are all
+    * assigned and committed. */
+  private def currentEnd(): Long =
+    SegmentLog.read(fs, root).map(_.maxSegmentId + 1).getOrElse(0L)
 
   // AvailableNow: freeze the target at query start so the run drains a
   // fixed prefix even if writers keep committing
   @volatile private var frozen: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit = frozen = Some(currentCount())
+  override def prepareForTriggerAvailableNow(): Unit = frozen = Some(currentEnd())
 
-  override def initialOffset(): Offset = GraftOffset(0L)
-  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+  override def initialOffset(): Offset =
+    // a fresh stream acknowledges every truncate that PRECEDES it:
+    // the dead id generations are history, the live table is its
+    // starting snapshot
+    GraftOffset(0L, SegmentLog.read(fs, root).map(_.truncateWatermark).getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset = GraftOffset.parse(json)
 
   override def getDefaultReadLimit: ReadLimit =
     maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
@@ -739,32 +778,83 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     throw new UnsupportedOperationException("use latestOffset(Offset, ReadLimit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = frozen.getOrElse(currentCount())
-    val from = start.asInstanceOf[GraftOffset].segments
+    val avail = frozen.getOrElse(currentEnd())
+    val s = start.asInstanceOf[GraftOffset]
+    // ids are dense, so an id-range cap IS a segment-count cap (a
+    // batch may deliver fewer when the range holds compaction output
+    // or pruned segments — admission control bounds work per trigger,
+    // it does not promise full triggers)
     val capped = maxSegmentsPerTrigger match {
-      case Some(n) => math.min(avail, from + n)
+      case Some(n) => math.min(avail, s.nextId + n)
       case None => avail
     }
-    GraftOffset(math.max(from, capped))
+    GraftOffset(math.max(s.nextId, capped), s.ack)
   }
 
-  override def reportLatestOffset(): Offset = GraftOffset(currentCount())
+  override def reportLatestOffset(): Offset = GraftOffset(currentEnd())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GraftOffset].segments.toInt
-    val to = end.asInstanceOf[GraftOffset].segments.toInt
-    val segs = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
-      .map(_.segments).getOrElse(Nil)
-    require(to <= segs.size,
-      s"offset $to beyond manifest (${segs.size} segments): segment log truncated under a running stream?")
+    val so = start.asInstanceOf[GraftOffset]
+    val from = so.nextId
+    val to = end.asInstanceOf[GraftOffset].nextId
+    val m = SegmentLog.read(fs, root).getOrElse(
+      throw new IllegalStateException(s"no graft-segment table at $root"))
+    // Delta's default contract, strictly: ANY data-changing truncate
+    // (overwrite / DELETE / MERGE rewrite) after this stream started —
+    // detected as a truncate watermark past the one acknowledged at
+    // init — fails the stream, whether or not the touched segments
+    // were already delivered. Rows this stream has emitted may now be
+    // deleted or replaced; an append-only downstream cannot be
+    // repaired by continuing, so alert instead. Compaction
+    // (dataChange = false) deliberately does NOT move this watermark.
+    if (m.truncateWatermark > so.ack)
+      throw new IllegalStateException(
+        s"table $root was overwritten/deleted-from under this running stream " +
+          s"(truncateWatermark=${m.truncateWatermark} > acknowledged=${so.ack}) — " +
+          "rows already emitted may be stale; restart with a fresh checkpoint " +
+          "to adopt the new table contents")
+    val live: Map[Long, SegmentMeta] = m.segments.map(s => s.id -> s).toMap
+    // resolve every id in [from, to) exactly once:
+    //  - live + dataChange        → deliver;
+    //  - live + !dataChange       → skip (compaction output: rows were
+    //    already delivered under their original ids);
+    //  - absent, id ≤ truncate watermark (≤ ack here) → a dead
+    //    generation that predates this stream: skip;
+    //  - absent, id > truncate watermark → compacted away with rows
+    //    preserved: re-read the original segment from a RETAINED
+    //    manifest version (vacuum keeps every file a live version
+    //    references), so a LAGGING stream survives compaction too.
+    lazy val historical: Map[Long, SegmentMeta] = {
+      val b = scala.collection.mutable.HashMap[Long, SegmentMeta]()
+      SegmentLog.liveVersions(fs, root).sorted.reverse.foreach { v =>
+        try SegmentLog.readVersion(fs, root, v).segments.foreach { s =>
+          if (!b.contains(s.id)) b += s.id -> s
+        } catch { case _: IllegalArgumentException => () } // expired mid-listing
+      }
+      b.toMap
+    }
+    val resolved = (from until to).flatMap { id =>
+      live.get(id) match {
+        case Some(s) => if (s.dataChange) Some(s) else None
+        case None if id <= m.truncateWatermark =>
+          None // generation predates the stream (tw ≤ ack, checked above)
+        case None =>
+          historical.get(id) match {
+            case Some(s) => if (s.dataChange) Some(s) else None
+            case None => throw new IllegalStateException(
+              s"segment id $id in [$from, $to) is in no retained manifest version of " +
+                s"$root: history was expired past this stream's offset — retain versions " +
+                "at least as long as your slowest stream's lag")
+          }
+      }
+    }
     // zone-map pruning applies WITHIN the offset slice too: offsets
     // still advance over pruned segments (they are consumed — their
     // rows just provably fail the stream's pushed filters), so a
     // filtered stream skips whole files per micro-batch
-    val slice = segs.slice(from, to)
-    val kept = slice.filterNot(seg =>
+    val kept = resolved.filterNot(seg =>
       pushed.exists(f => SegmentPruning.prunes(f, stored, seg)))
-    GraftMicroBatchStream.lastBatchEvent = Some((kept.size, slice.size))
+    GraftMicroBatchStream.lastBatchEvent = Some((kept.size, resolved.size))
     kept
       .map(seg => GraftInputPartition(s"$root/${seg.path}",
         if (seg.cols.nonEmpty) seg.cols else stored.fieldNames.toSeq): InputPartition).toArray
@@ -815,14 +905,18 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       Option(opts.get("maxRowsPerSegment")).map(_.toLong),
       info.queryId(),
       Option(opts.get("mergeSchema")).exists(_.toBoolean),
-      txn)
+      txn,
+      // dataChange=false (maintenance rewrites only): the commit's
+      // segments carry rows already committed under earlier ids, so
+      // streams skip them — Delta's OPTIMIZE contract
+      dataChange = !Option(opts.get("dataChange")).exists(_.toBoolean == false))
   }
 }
 
 class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Seq[String], clusterMode: String, numPartitions: Option[Int],
     maxRows: Option[Long], queryId: String, mergeSchema: Boolean = false,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None, dataChange: Boolean = true)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -848,7 +942,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
   override def toBatch: BatchWrite = new GraftBatchWrite(root, schema, truncateFirst,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows,
     clusterBy = clusterBy, clusterMode = clusterMode,
-    mergeSchema = mergeSchema, txn = txn)
+    mergeSchema = mergeSchema, txn = txn, dataChange = dataChange)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -899,7 +993,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     conf: SerializableHadoopConf, maxRows: Option[Long],
     clusterBy: Seq[String], clusterMode: String,
     mergeSchema: Boolean = false,
-    txn: Option[(String, Long)] = None) extends BatchWrite {
+    txn: Option[(String, Long)] = None,
+    dataChange: Boolean = true) extends BatchWrite {
 
   // the declared layout is persisted with the commit. Hash mode: the
   // shuffle partition index IS the bucket id (pmod(murmur3(keys), n)) —
@@ -920,7 +1015,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs,
-      truncateFirst, txn = txn, bucketing = bucketSpec, mergeSchema = mergeSchema)
+      truncateFirst, txn = txn, bucketing = bucketSpec, mergeSchema = mergeSchema,
+      dataChange = dataChange)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

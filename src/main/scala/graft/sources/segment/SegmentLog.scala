@@ -23,10 +23,19 @@ case class ColumnStats(bounds: Option[(String, String)], nullCount: Long)
   * `cols` is the ordered column list the segment was WRITTEN with —
   * under additive schema evolution a pre-evolution segment simply
   * lacks the later columns, and readers null-backfill them; empty
-  * means "the table schema at read time" (pre-evolution manifests). */
+  * means "the table schema at read time" (pre-evolution manifests).
+  *
+  * `id` is a table-lifetime-unique, monotonically-increasing segment
+  * id, assigned at commit (−1 = "assign me") and NEVER reused — the
+  * identity the streaming source's offsets are defined over, which is
+  * what lets `compact()` rewrite the table without invalidating
+  * running streams' checkpoints. `dataChange = false` marks a segment
+  * whose ROWS were already committed under earlier ids (compaction
+  * output): the streaming source skips it, exactly Delta's
+  * `dataChange=false` AddFile contract. */
 case class SegmentMeta(path: String, rows: Long, bytes: Long,
     stats: Map[String, ColumnStats], bucket: Option[Int] = None,
-    cols: Seq[String] = Nil)
+    cols: Seq[String] = Nil, id: Long = -1L, dataChange: Boolean = true)
 
 /** A declared table layout. `mode = "hash"`: every committed segment
   * is labeled with `pmod(murmur3(cols), n)` — consistent across
@@ -39,9 +48,7 @@ case class SegmentMeta(path: String, rows: Long, bytes: Long,
 case class BucketSpec(cols: Seq[String], n: Int, mode: String = "hash")
 
 /** A manifest version: the complete table state at version `version` —
-  * schema + the ordered list of live segments. Segment order is
-  * append order and NEVER reshuffled by later commits, which is what
-  * lets the streaming source use "count of segments" as its offset.
+  * schema + the list of live segments (append order; ids ascend).
   *
   * `txns` records, per streaming query id, the highest epoch already
   * committed into this table — the sink-side exactly-once ledger: a
@@ -49,9 +56,27 @@ case class BucketSpec(cols: Seq[String], n: Int, mode: String = "hash")
   * older checkpoint) finds its id already recorded and commits as a
   * no-op instead of appending duplicates. The same idea as Delta's
   * txn appId/version action.
+  *
+  * Stream-facing watermarks, maintained by [[SegmentLog.commit]]:
+  *  - `maxSegmentId`: the id high-water mark — ids [0, maxSegmentId]
+  *    have all been assigned exactly once (dense, never reused), even
+  *    when the segments carrying them are no longer live.
+  *  - `truncateWatermark`: highest id replaced by a DATA-CHANGING
+  *    truncate (overwrite / DELETE / MERGE rewrite). A stream that
+  *    still needed ids at or below it fails fast — its input was
+  *    deleted from under it.
+  *  - `compactedThrough`: highest id rewritten by a dataChange=false
+  *    truncate (compaction). Ids at or below it that are no longer
+  *    live had their rows preserved verbatim under higher
+  *    dataChange=false ids; a lagging stream re-reads them from
+  *    RETAINED manifest versions (vacuum keeps every file a live
+  *    version references), so compaction never breaks a checkpoint
+  *    while history is retained.
   */
 case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta],
-    txns: Map[String, Long] = Map.empty, bucketing: Option[BucketSpec] = None)
+    txns: Map[String, Long] = Map.empty, bucketing: Option[BucketSpec] = None,
+    maxSegmentId: Long = -1L, truncateWatermark: Long = -1L,
+    compactedThrough: Long = -1L)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -120,7 +145,17 @@ object SegmentLog {
     // small create-to-close window, so retry briefly on parse failure.
     var attempt = 0
     while (true) {
-      val in = fs.open(manifestPath(root, v))
+      // a MISSING manifest is not a torn one: the version was expired
+      // (or never existed) — surface that immediately instead of
+      // spinning the torn-read retry on a file that will never appear
+      val in =
+        try fs.open(manifestPath(root, v))
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(
+              s"manifest version $v of $root does not exist (expired by " +
+                "retention, or never committed)", e)
+        }
       val bytes = try in.readAllBytes() finally in.close()
       try return parseManifest(bytes)
       catch {
@@ -164,7 +199,9 @@ object SegmentLog {
       out += SegmentMeta(s.get("path").asText(), s.get("rows").asLong(),
         s.get("bytes").asLong(), stats.result(),
         if (s.hasNonNull("bucket")) Some(s.get("bucket").asInt()) else None,
-        segCols)
+        segCols,
+        id = if (s.hasNonNull("id")) s.get("id").asLong() else -1L,
+        dataChange = !s.hasNonNull("dataChange") || s.get("dataChange").asBoolean())
     }
     val txns = Map.newBuilder[String, Long]
     if (node.hasNonNull("txns")) {
@@ -183,7 +220,23 @@ object SegmentLog {
         Some(BucketSpec(cols.result(), b.get("n").asInt(),
           if (b.hasNonNull("mode")) b.get("mode").asText() else "hash"))
       } else None
-    Manifest(node.get("version").asLong(), schema, out.result(), txns.result(), bucketing)
+    // legacy manifests (pre-id format): position IS append order, so
+    // positional backfill reproduces the ids the new commit path would
+    // have assigned
+    val withIds = {
+      val parsed = out.result()
+      if (parsed.forall(_.id >= 0)) parsed
+      else parsed.zipWithIndex.map { case (s, i) => if (s.id >= 0) s else s.copy(id = i.toLong) }
+    }
+    val maxId =
+      if (node.hasNonNull("maxSegmentId")) node.get("maxSegmentId").asLong()
+      else withIds.map(_.id).foldLeft(-1L)(_ max _)
+    Manifest(node.get("version").asLong(), schema, withIds, txns.result(), bucketing,
+      maxSegmentId = maxId,
+      truncateWatermark =
+        if (node.hasNonNull("truncateWatermark")) node.get("truncateWatermark").asLong() else -1L,
+      compactedThrough =
+        if (node.hasNonNull("compactedThrough")) node.get("compactedThrough").asLong() else -1L)
   }
 
   private def render(m: Manifest): String = {
@@ -191,9 +244,14 @@ object SegmentLog {
     root.put("version", m.version)
     root.put("schema", m.schema.json)
     val arr: ArrayNode = root.putArray("segments")
+    root.put("maxSegmentId", m.maxSegmentId)
+    if (m.truncateWatermark >= 0) root.put("truncateWatermark", m.truncateWatermark)
+    if (m.compactedThrough >= 0) root.put("compactedThrough", m.compactedThrough)
     m.segments.foreach { s =>
       val o = arr.addObject()
       o.put("path", s.path); o.put("rows", s.rows); o.put("bytes", s.bytes)
+      o.put("id", s.id)
+      if (!s.dataChange) o.put("dataChange", false)
       s.bucket.foreach(b => o.put("bucket", b))
       if (s.cols.nonEmpty) { val ca = o.putArray("cols"); s.cols.foreach(ca.add) }
       val st = o.putObject("stats")
@@ -239,11 +297,35 @@ object SegmentLog {
     * table is the documented deployment). */
   private val commitLock = new Object
 
+  /** Stores whose exclusive-create is known atomic. Plain S3A is NOT
+    * (HEAD-then-PUT race): commits there must opt in explicitly via
+    * `graft.segment.commit.assumeAtomicCreate=true` in the Hadoop conf
+    * — e.g. when the bucket is fronted by a consistency layer, or the
+    * S3A connector version in use implements create(overwrite=false)
+    * with S3 conditional writes (If-None-Match). Failing loudly beats
+    * silently racing two writers onto one version slot. */
+  private val NonAtomicCreateSchemes = Set("s3", "s3a", "s3n")
+  private[graft] def requireAtomicCreate(scheme: String, conf: Configuration): Unit =
+    if (scheme != null && NonAtomicCreateSchemes.contains(scheme.toLowerCase) &&
+        !conf.getBoolean("graft.segment.commit.assumeAtomicCreate", false))
+      throw new UnsupportedOperationException(
+        s"graft-segment commits need ATOMIC exclusive create, and $scheme:// does not " +
+          "guarantee it (HEAD-then-PUT race): two writers can both claim one version " +
+          "slot and silently lose a commit. Set graft.segment.commit.assumeAtomicCreate=true " +
+          "only if the store provides it (S3 conditional writes / a consistency layer).")
+
   def commit(fs: FileSystem, root: String, schema: StructType,
       newSegments: Seq[SegmentMeta], truncate: Boolean,
       txn: Option[(String, Long)] = None,
       bucketing: Option[BucketSpec] = None,
-      mergeSchema: Boolean = false, maxRetries: Int = 20): Long = commitLock.synchronized {
+      mergeSchema: Boolean = false, maxRetries: Int = 20,
+      dataChange: Boolean = true): Long = commitLock.synchronized {
+    // getScheme is optional FileSystem API (FilterFileSystem wrappers
+    // throw); an unknown scheme gets the benefit of the doubt — the
+    // guard targets the KNOWN-non-atomic object stores
+    requireAtomicCreate(
+      try fs.getScheme catch { case _: UnsupportedOperationException => null },
+      fs.getConf)
     var attempt = 0
     while (true) {
       val current = read(fs, root)
@@ -276,9 +358,21 @@ object SegmentLog {
               s"write has ${schema.simpleString} (use mergeSchema for additive evolution)")
       }
       val v = current.map(_.version).getOrElse(-1L) + 1
+      // id assignment: fresh segments (id = −1) take the next ids past
+      // the table's high-water mark, in list order; carried-over
+      // segments (metadata-only DELETE keeps, replace-commit keeps)
+      // retain the ids they were first committed under — segment
+      // identity is immutable for the stream-offset contract above
+      val prevMax = current.map(_.maxSegmentId).getOrElse(-1L)
+      var nextId = prevMax + 1
+      val assigned = newSegments.map { s =>
+        if (s.id >= 0) s
+        else { val i = nextId; nextId += 1; s.copy(id = i, dataChange = dataChange) }
+      }
+      val newMax = assigned.map(_.id).foldLeft(prevMax)(_ max _)
       val merged =
-        if (truncate) newSegments
-        else current.map(_.segments).getOrElse(Nil) ++ newSegments
+        if (truncate) assigned
+        else current.map(_.segments).getOrElse(Nil) ++ assigned
       val txns = current.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       // the layout survives only while every commit agrees on it: a
       // truncate installs the writer's spec; an append keeps the live
@@ -287,16 +381,40 @@ object SegmentLog {
       val spec =
         if (truncate || current.isEmpty) bucketing
         else current.flatMap(_.bucketing).filter(live => bucketing.contains(live))
-      val body = render(Manifest(v, tableSchema, merged, txns, spec)).getBytes(StandardCharsets.UTF_8)
+      // watermark maintenance: a data-changing truncate invalidates
+      // unconsumed stream positions at or below the previous high-water
+      // mark; a dataChange=false truncate (compaction) marks the same
+      // range as safely re-readable from retained history
+      val tw = current.map(_.truncateWatermark).getOrElse(-1L)
+      val ct = current.map(_.compactedThrough).getOrElse(-1L)
+      val (newTw, newCt) =
+        if (truncate && current.exists(_.segments.nonEmpty)) {
+          if (dataChange) (prevMax, ct) else (tw, prevMax)
+        } else (tw, ct)
+      val body = render(Manifest(v, tableSchema, merged, txns, spec,
+        maxSegmentId = newMax, truncateWatermark = newTw,
+        compactedThrough = newCt)).getBytes(StandardCharsets.UTF_8)
       val p = manifestPath(root, v)
       fs.mkdirs(p.getParent)
-      try {
-        val out = fs.create(p, false) // exclusive create = the atomic claim
-        try out.write(body) finally out.close()
-        return v
-      } catch {
-        case NonFatal(_) if fs.exists(p) && attempt < maxRetries =>
-          attempt += 1 // lost the slot to a concurrent writer; re-read and retry
+      val out =
+        try Some(fs.create(p, false)) // exclusive create = the atomic claim
+        catch {
+          case NonFatal(_) if fs.exists(p) && attempt < maxRetries =>
+            attempt += 1 // lost the slot to a concurrent writer; re-read and retry
+            None
+        }
+      out.foreach { o =>
+        // the slot is OURS from here: a failed write/close (disk full,
+        // transient IO) must not leave a torn manifest squatting on the
+        // claimed version — delete it so this retry (or any other
+        // writer) can take the slot cleanly, then surface the error
+        try { o.write(body); o.close(); return v }
+        catch {
+          case NonFatal(e) =>
+            try o.close() catch { case NonFatal(_) => () }
+            try fs.delete(p, false) catch { case NonFatal(_) => () }
+            throw e
+        }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -313,19 +431,39 @@ object SegmentLog {
       .sorted
   }
 
+  /** Default vacuum retention: 7 days, Delta's default. Segment files
+    * are written BEFORE the manifest commit that makes them visible
+    * ("invisible until referenced"), so an unreferenced file may be an
+    * in-flight write, not garbage — deleting it would let the imminent
+    * commit reference a missing file and brick the table. The horizon
+    * must exceed the longest plausible write/epoch duration. */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Delete data files referenced by NO LIVE manifest version (aborted
-    * segments, or pre-compaction files after version expiry).
-    * Driver-side maintenance, listing cost ∝ file count in this
-    * table's data dir only. */
-  def vacuum(fs: FileSystem, root: String): Int = {
+    * segments, or pre-compaction files after version expiry) whose
+    * modification time is older than `retentionMs`. Driver-side
+    * maintenance, listing cost ∝ file count in this table's data dir
+    * only. `retentionMs = 0` (tests, or a table with provably no
+    * in-flight writers) disables the in-flight-write guard. */
+  def vacuum(fs: FileSystem, root: String,
+      retentionMs: Long = DefaultVacuumRetentionMs): Int = {
     val dataDir = new Path(root, DataDir)
     if (!fs.exists(dataDir)) return 0
     val referenced: Set[String] = liveVersions(fs, root)
-      .flatMap(v => readVersion(fs, root, v).segments.map(_.path)).toSet
+      .flatMap { v =>
+        // a concurrent expire may delete a version between the listing
+        // and the read — that only SHRINKS the referenced set's
+        // requirement, so skip it rather than crash the maintenance op
+        try readVersion(fs, root, v).segments.map(_.path)
+        catch { case _: IllegalArgumentException => Nil }
+      }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
     var n = 0
     fs.listStatus(dataDir).foreach { st =>
       val rel = s"$DataDir/${st.getPath.getName}"
-      if (!referenced.contains(rel)) { fs.delete(st.getPath, false); n += 1 }
+      if (!referenced.contains(rel) && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false); n += 1
+      }
     }
     n
   }

@@ -488,7 +488,10 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val dataFiles0 = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data")).length
     val expired = graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 1)
     assert(expired == 12, s"12 old versions expired, got $expired")
-    val removed = SegmentLog.vacuum(fs, dir)
+    // retentionMs = 0: the default 7-day horizon guards against
+    // deleting an in-flight writer's not-yet-committed files; this
+    // test has no concurrent writers and wants immediate reclaim
+    val removed = SegmentLog.vacuum(fs, dir, retentionMs = 0L)
     assert(removed == 12, s"12 fragment files reclaimed, got $removed")
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data")).length ==
       dataFiles0 - removed)
@@ -612,8 +615,207 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // truncate, then vacuum the now-unreferenced first-generation files
     Seq(9L).toDF("id").write.format(Fmt).mode("overwrite").save(dir)
     assert(spark.read.format(Fmt).load(dir).as[Long].collect().toSeq == Seq(9L))
-    val removed = SegmentLog.vacuum(fs, dir)
+    val removed = SegmentLog.vacuum(fs, dir, retentionMs = 0L)
     assert(removed == 0, "truncate keeps history; nothing unreferenced yet")
     assert(spark.read.format(Fmt).load(dir).as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("compaction mid-stream: checkpoint stays valid, lagging rows re-read from history") {
+    val dir = tmp("graft-seg-compstream")
+    val ckpt = tmp("graft-seg-compstream-ckpt")
+    val outDir = tmp("graft-seg-compstream-out")
+    import spark.implicits._
+
+    def append(ids: Range): Unit =
+      ids.toDF("id").select(col("id").cast("long").as("id"))
+        .coalesce(1).write.format(Fmt).mode("append").save(dir)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+
+    append(0 until 10); append(10 until 20); append(20 until 30)
+    drain()
+    assert(spark.read.parquet(outDir).count() == 30)
+
+    // the stream now LAGS: two more appends land (ids 3, 4), then the
+    // whole table is compacted (dataChange=false truncate) BEFORE the
+    // stream sees them — their original segments leave the live
+    // manifest but stay reachable through retained versions
+    append(30 until 40); append(40 until 50)
+    val (before, after) = graft.sources.segment.GraftMaintenance
+      .compact(spark, dir, clusterBy = "id", numPartitions = 1)
+    assert(before == 5 && after == 1, s"compacted $before → $after")
+
+    drain()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() == 50, "lagging rows re-read from history exactly once")
+    assert(all.select(countDistinct("id")).head().getLong(0) == 50,
+      "compaction output (dataChange=false) must not re-deliver consumed rows")
+
+    // a CAUGHT-UP stream keeps running across a second compaction plus
+    // history expiry — nothing in its future range needs resurrection
+    append(50 until 60)
+    drain() // catch up first: expiry only breaks streams that lag past it
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1)
+    graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 1)
+    append(60 until 70)
+    drain()
+    val fin = spark.read.parquet(outDir)
+    assert(fin.count() == 70 &&
+      fin.select(countDistinct("id")).head().getLong(0) == 70)
+
+    // the inverse is the documented failure: a stream LAGGING behind a
+    // compaction whose pre-images were expired has lost its history
+    append(70 until 80) // unconsumed
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1)
+    graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 1)
+    val q = spark.readStream.format(Fmt).load(dir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("history was expired"))
+  }
+
+  test("data-changing overwrite mid-stream fails fast; a fresh stream adopts the new table") {
+    val dir = tmp("graft-seg-ovwstream")
+    val ckpt = tmp("graft-seg-ovwstream-ckpt")
+    val outDir = tmp("graft-seg-ovwstream-out")
+    import spark.implicits._
+
+    def run(cp: String, out: String): Option[Throwable] = {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(120000); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+
+    (0L until 10L).toDF("id").write.format(Fmt).mode("append").save(dir)
+    assert(run(ckpt, outDir).isEmpty)
+    assert(spark.read.parquet(outDir).count() == 10)
+
+    // the overwrite replaces rows the stream ALREADY EMITTED — its
+    // output is now stale and cannot be repaired by appending more, so
+    // the stream must fail loudly (Delta's default on any data-changing
+    // commit), even though its unconsumed range holds only fresh ids
+    (100L until 105L).toDF("id").write.format(Fmt).mode("overwrite").save(dir)
+    (200L until 205L).toDF("id").write.format(Fmt).mode("append").save(dir)
+    val err = run(ckpt, outDir)
+    assert(err.isDefined, "overwrite under a running stream must fail the stream")
+    assert(err.exists(e =>
+      (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("under this running stream")))
+
+    // a FRESH stream acknowledges the pre-existing truncate and reads
+    // the current table cleanly
+    val out2 = tmp("graft-seg-ovwstream-out2")
+    assert(run(tmp("graft-seg-ovwstream-ckpt2"), out2).isEmpty)
+    val got = spark.read.parquet(out2).as[Long].collect().sorted.toSeq
+    assert(got == ((100L until 105L) ++ (200L until 205L)).sorted)
+  }
+
+  test("commit refuses non-atomic-create stores unless explicitly opted in") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    intercept[UnsupportedOperationException] {
+      SegmentLog.requireAtomicCreate("s3a", conf)
+    }
+    conf.setBoolean("graft.segment.commit.assumeAtomicCreate", true)
+    SegmentLog.requireAtomicCreate("s3a", conf) // opted in: no throw
+    SegmentLog.requireAtomicCreate("hdfs", new org.apache.hadoop.conf.Configuration(false))
+    SegmentLog.requireAtomicCreate("file", new org.apache.hadoop.conf.Configuration(false))
+  }
+
+  test("a failed manifest write releases its claimed version slot instead of bricking the table") {
+    val dir = tmp("graft-seg-torn")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").write.format(Fmt).mode("append").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val good = SegmentLog.fs(dir, conf)
+    // a FileSystem whose next manifest create() yields a stream that
+    // dies mid-write — the disk-full / transient-IO shape
+    val bad = new org.apache.hadoop.fs.FilterFileSystem(good) {
+      override def create(p: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+        val real = super.create(p, overwrite)
+        if (!p.getName.contains("manifest-")) real
+        else new org.apache.hadoop.fs.FSDataOutputStream(
+          new java.io.OutputStream {
+            override def write(b: Int): Unit = throw new java.io.IOException("disk full")
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              throw new java.io.IOException("disk full")
+          }, null)
+      }
+    }
+    val m = SegmentLog.read(good, dir).get
+    val orphanMeta = m.segments.head.copy(id = -1L) // re-commit the same file as a new segment
+    intercept[java.io.IOException] {
+      SegmentLog.commit(bad, dir, m.schema, Seq(orphanMeta), truncate = false)
+    }
+    // the torn file must NOT squat on version slot 1: readers still see
+    // version 0 and the next commit takes slot 1 cleanly
+    assert(SegmentLog.latestVersion(good, dir) == 0L)
+    val v = SegmentLog.commit(good, dir, m.schema, Seq(orphanMeta), truncate = false)
+    assert(v == 1L)
+    assert(spark.read.format(Fmt).load(dir).count() == 2 + m.segments.head.rows)
+  }
+
+  test("non-additive schema evolution is refused with a clear error; additive subsets pass") {
+    val dir = tmp("graft-seg-evolve-neg")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "tag").write.format(Fmt).mode("append").save(dir)
+    // type change: refused, with and without mergeSchema
+    val e1 = intercept[Exception] {
+      Seq((2, "b")).toDF("id", "tag") // id now INT
+        .write.format(Fmt).option("mergeSchema", "true").mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("cannot change column"))
+    val e2 = intercept[Exception] {
+      Seq((2, "b")).toDF("id", "tag").write.format(Fmt).mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("schema mismatch") || e2.getMessage.contains("mismatch"))
+    // a WRITE missing a live column (the "drop"/"rename" shape) is an
+    // additive-semantics partial append under mergeSchema: the table
+    // keeps the column, old rows keep values, new rows null-backfill —
+    // never a silent drop of the column or its data
+    Seq(3L).toDF("id").write.format(Fmt)
+      .option("mergeSchema", "true").mode("append").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("a")), (3L, None)))
+    // ...but NOT without mergeSchema
+    intercept[Exception] {
+      Seq(4L).toDF("id").write.format(Fmt).mode("append").save(dir)
+    }
+  }
+
+  test("a NaN anywhere in a double column poisons its zone-map bounds") {
+    val dir = tmp("graft-seg-nan")
+    import spark.implicits._
+    // NaN arrives AFTER non-NaN values: naive Java min/max comparisons
+    // silently swallow it (NaN < x and NaN > x are both false) and the
+    // segment would advertise bounds (1.0, 2.0) that exclude a row
+    // Spark orders ABOVE every double — zone maps must refuse instead
+    Seq(1.0, 2.0, Double.NaN).toDF("v").coalesce(1)
+      .write.format(Fmt).mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).get
+    assert(m.segments.forall(_.stats("v").bounds.isEmpty),
+      "NaN-bearing segment must carry no double bounds")
+    // behavioral: under Spark semantics NaN > 100.0 is TRUE, and with
+    // unsound bounds this segment would have been pruned away
+    val hits = spark.read.format(Fmt).load(dir).filter(col("v") > 100.0).count()
+    assert(hits == 1, "the NaN row matches v > 100 and must survive pruning")
   }
 }
