@@ -173,13 +173,12 @@ object ScaleBench {
     // dimension passthrough for everything else
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
-        val src = s"$baseDir/$t.parquet"
-        if (new java.io.File(src).exists())
+        val src = new org.apache.hadoop.fs.Path(s"$baseDir/$t.parquet")
+        val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(src))
           org.apache.hadoop.fs.FileUtil.copy(
-            org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
-            new org.apache.hadoop.fs.Path(src),
-            org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
-            new org.apache.hadoop.fs.Path(s"$synthDir/$t.parquet"),
+            fs, src,
+            fs, new org.apache.hadoop.fs.Path(s"$synthDir/$t.parquet"),
             false, spark.sparkContext.hadoopConfiguration)
       }
     ()

@@ -199,8 +199,19 @@ object SparkEntry {
     "rel_part_blast_radius" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      // per-order pair guard (the Dedup df-cap discipline): the
+      // co-occurrence self-join squares each order's item count, so a
+      // single 10k-item "order" in arbitrary data would mint 10^8
+      // edges. Orders above the cap are excluded CONSISTENTLY on both
+      // engines (oracle mirrors the HAVING); TPC-H bounds orders at 7
+      // items, so at any SF the cap drops nothing and only certifies
+      // the guard is in the plan
+      val bounded = li.join(
+        li.groupBy(col("ok")).agg(count(lit(1)).as("n_items"))
+          .filter(col("n_items") <= 64).select(col("ok")),
+        Seq("ok"), "left_semi")
+      val e = bounded.as("a")
+        .join(bounded.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
       val seeds = li.select(col("pk").as("id")).filter(col("id") < 10)
       graft.ops.Bfs.hopDistances(e, seeds, 3)
@@ -2247,7 +2258,12 @@ object SparkEntry {
         concat(
           array((element_at(col("embedding"), 1) * lit(1.01)).cast("float")),
           slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
-      graft.ops.Ivf.semanticComponents(emb.unionByName(copies), 0.99, k = 8, iters = 2)
+      // materialize the augmented corpus ONCE: the Lloyd chain and the
+      // final left join would otherwise re-run the union + array
+      // surgery per pass (measured ~15% of warm runtime; the
+      // emb_ivfpq_topk build-once discipline)
+      val aug = emb.unionByName(copies).localCheckpoint(true)
+      graft.ops.Ivf.semanticComponents(aug, 0.99, k = 8, iters = 2)
         .orderBy(col("vec_id"))
     }),
     // product quantization: per-subspace codebook occupancy (certifies
@@ -4809,7 +4825,9 @@ object SparkEntry {
     // frontier relaxation (first touch = min hop)
     "rel_part_blast_radius" ->
       ("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-        "ed AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
+        "bounded AS (SELECT * FROM li WHERE ok IN " +
+        "(SELECT ok FROM li GROUP BY ok HAVING count(*) <= 64)), " +
+        "ed AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk <> b.pk), " +
         "bfs AS (SELECT DISTINCT pk AS id, 0 AS hop FROM li WHERE pk < 10 " +
         "UNION SELECT ed.dst, b.hop + 1 FROM bfs b JOIN ed ON ed.src = b.id WHERE b.hop < 3), " +
         "d AS (SELECT id, min(hop) AS hop FROM bfs GROUP BY id) " +
