@@ -55,7 +55,19 @@ object ScaleBench {
     // metadata aggregate is manifest-sized (should be ~flat at x10)
     "store_segment_roundtrip", "store_segment_dates", "store_segment_agg_meta",
     "text_hll_native", "text_kmv_native", "text_quantile_native",
-    "text_heavy_hitters", "store_segment_merge")
+    "text_heavy_hitters", "store_segment_merge",
+    // round-8 additions — the rest of the round-7 tranche: the
+    // connector as query substrate (Q3 on segments, top-N pushdown,
+    // SPJ DDL+join), both streaming directions + the segment-backed
+    // state driver, the remaining curation cutovers, and the graph
+    // family (communities/weighted-core/BFS loops must track edges,
+    // not rounds × table)
+    "store_segment_q3", "store_segment_topn", "store_segment_spj_join",
+    "stream_segment_sink_counts", "stream_segment_source_counts",
+    "stream_incr_agg_segment",
+    "stream_curation_boot_docs", "stream_curation_full_docs",
+    "emb_communities", "emb_weighted_core", "emb_weighted_core_bucketed",
+    "rel_entity_resolution", "rel_part_blast_radius")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

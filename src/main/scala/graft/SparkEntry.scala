@@ -1565,6 +1565,57 @@ object SparkEntry {
         col("o_orderkey") % 7 === 0 || col("cents") > 20000000L)
       s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
     }),
+    // non-additive schema evolution via COLUMN MAPPING (physical names
+    // frozen at first commit): RENAME and DROP are metadata-only
+    // manifest commits — no data rewrite at any table size — and a
+    // re-added name never collides with its retired physical. Old rows
+    // read under the new names; the dropped-then-readded column
+    // null-backfills for them. The oracle replays the LOGICAL outcome
+    "store_segment_rename" -> ((s, d) => withTempDir("graft-segren") { base =>
+      val dir = s"$base/t"
+      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"),
+          col("o_orderstatus").as("status"))
+        .write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "4")
+        .mode("append").save(dir)
+      graft.sources.segment.SegmentLog.renameColumn(fs, dir, "cents", "price_cents")
+      graft.sources.segment.SegmentLog.dropColumn(fs, dir, "status")
+      graft.sources.segment.SegmentLog.addColumn(fs, dir,
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType))
+      Tables.orders(s, d)
+        .select((col("o_orderkey") + 10000000L).as("k"),
+          (round(col("o_totalprice") * 100.0, 0).cast("long") + 1L).as("price_cents"),
+          lit("NEW").as("status"))
+        .filter(col("k") % 3 === 0)
+        .write.format("graft-segment").mode("append").save(dir)
+      s.read.format("graft-segment").load(dir).orderBy(col("k"))
+    }),
+    // row-level CHANGE FEED from manifest diffs (the batch CDC face of
+    // the format): appends are inserts, a rewrite's replaced segments
+    // are deletes + its output inserts (copy-on-write granularity —
+    // unchanged rows in rewritten segments appear as equal-valued
+    // delete+insert pairs), compaction contributes nothing. The oracle
+    // replays every commit's closed form; the mid-sequence compact
+    // must be INVISIBLE in the feed for the hashes to match
+    "store_segment_changes" -> ((s, d) => withTempDir("graft-segchg") { base =>
+      val dir = s"$base/t"
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      def put(pred: org.apache.spark.sql.Column): Unit =
+        src.filter(pred).write.format("graft-segment")
+          .option("clusterBy", "k").option("numPartitions", "4")
+          .mode("append").save(dir)
+      put(col("k") % 3 === 0)                                             // v0
+      put(col("k") % 3 === 1)                                             // v1
+      graft.sources.segment.GraftMaintenance.deleteRows(s, dir, col("k") % 5 === 0) // v2
+      graft.sources.segment.GraftMaintenance.compact(s, dir, "k", 2)      // v3: no feed rows
+      put(col("k") % 3 === 2)                                             // v4
+      graft.sources.segment.GraftMaintenance.changes(s, dir, 0)
+        .orderBy(col("_commit_version"), col("_change_type"), col("k"))
+    }),
     // MERGE INTO on the table format (group-based copy-on-write): a
     // delta of updates/deletes/inserts lands through Spark's row-level
     // framework — the scan runtime-filters to segments holding matched
@@ -2243,6 +2294,26 @@ object SparkEntry {
       }.reduce(_ unionByName _)
       graft.ops.KCore.weightedCore(
         graft.ops.KCore.knnSimEdges(emb.unionByName(copies), 5), 4.5)
+        .select(col("node").as("vec_id"), round(col("wd"), 4).as("core_weight"))
+        .orderBy(col("vec_id"))
+    }),
+    // the AT-SCALE form of the same pipeline: the kNN graph is built
+    // from IVF-cluster-local pairs instead of the n² cross join (the
+    // ×10 probe measured 206 s brute-force vs seconds bucketed at 24k
+    // vectors). The oracle replays Lloyd + within-cluster top-k, so
+    // the approximation itself is certified, not hidden
+    "emb_weighted_core_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val copies = (1 to 6).map { j =>
+        emb.filter(col("vec_id") % 25 === 0).select(
+          (col("vec_id") + lit(100000L * j)).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) * lit(1.0 + j / 100.0)).cast("float")),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      }.reduce(_ unionByName _)
+      graft.ops.KCore.weightedCore(
+        graft.ops.KCore.knnSimEdgesBucketed(
+          emb.unionByName(copies).localCheckpoint(true), 5, kClusters = 8), 4.5)
         .select(col("node").as("vec_id"), round(col("wd"), 4).as("core_weight"))
         .orderBy(col("vec_id"))
     }),
@@ -5359,6 +5430,34 @@ object SparkEntry {
         "WHERE NOT (o_orderkey % 7 = 0 OR CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000) " +
         "ORDER BY o_orderkey"),
 
+    // the logical outcome of rename→drop→re-add→append: old rows carry
+    // the renamed money column and a NULL re-added status; shifted-key
+    // rows carry both
+    "store_segment_rename" ->
+      ("WITH src AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT k, cents AS price_cents, CAST(NULL AS VARCHAR) AS status FROM src " +
+        "UNION ALL SELECT o_orderkey + 10000000, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) + 1, 'NEW' FROM orders " +
+        "WHERE (o_orderkey + 10000000) % 3 = 0) " +
+        "ORDER BY k"),
+
+    // the change feed's closed form, commit by commit: v1 appends
+    // k%3=1; v2 (the deleteRows rewrite) deletes everything live and
+    // re-inserts the survivors; v3 (compact) is absent; v4 appends
+    // k%3=2. Keys are unique within each (version, change) slice
+    "store_segment_changes" ->
+      ("WITH src AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT k, cents, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version " +
+        "FROM src WHERE k % 3 = 1 " +
+        "UNION ALL SELECT k, cents, 'delete', 2 FROM src WHERE k % 3 IN (0, 1) " +
+        "UNION ALL SELECT k, cents, 'insert', 2 FROM src WHERE k % 3 IN (0, 1) AND NOT k % 5 = 0 " +
+        "UNION ALL SELECT k, cents, 'insert', 4 FROM src WHERE k % 3 = 2) " +
+        "ORDER BY _commit_version, _change_type, k"),
+
     // Q3 on the native format ≡ Q3 on parquet (rel_q3's oracle text)
     "store_segment_q3" ->
       ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, " +
@@ -6381,6 +6480,37 @@ object SparkEntry {
         "SELECT node AS vec_id, round(wd, 4) AS core_weight FROM " +
         "(SELECT node, CAST(CAST(sum(w) AS FLOAT) AS DOUBLE) AS wd " +
         "FROM (SELECT a AS node, w FROM ke5 UNION ALL SELECT b, w FROM ke5) GROUP BY node) " +
+        "ORDER BY vec_id"
+    },
+    // the bucketed kNN graph's closed form: Lloyd (the shared
+    // lloydSql replay, k=8 × 2 iters) restricts candidate pairs to
+    // shared clusters; everything after (top-5, max-weight edge fold,
+    // τ-core peeling to fixpoint) is identical to emb_weighted_core.
+    // 8 peel rounds ≥ the engine's observed fixpoint; peeling a
+    // fixpoint is idempotent, so extra rounds are harmless
+    "emb_weighted_core_bucketed" -> {
+      def peel(t: Int): String = {
+        val p = s"be${t - 1}"
+        s"bd$t AS MATERIALIZED (SELECT node FROM (SELECT node, CAST(CAST(sum(w) AS FLOAT) AS DOUBLE) AS wd " +
+          s"FROM (SELECT a AS node, w FROM $p UNION ALL SELECT b, w FROM $p) GROUP BY node) WHERE wd >= 4.5), " +
+          s"be$t AS MATERIALIZED (SELECT e.a, e.b, e.w FROM $p e " +
+          s"JOIN bd$t ka ON e.a = ka.node JOIN bd$t kb ON e.b = kb.node)"
+      }
+      "WITH baug AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000*j, " +
+        "list_prepend(CAST(CAST(embedding[1] * (1.0 + j/100.0) AS FLOAT) AS DOUBLE), CAST(embedding AS DOUBLE[])[2:]) " +
+        "FROM embeddings, (SELECT unnest([1,2,3,4,5,6]) AS j) WHERE vec_id % 25 = 0), " +
+        lloydSql("baug") + ", " +
+        s"bsc AS (SELECT x.vec_id AS src, y.vec_id AS dst, ${cosSql("x.ve", "y.ve")} AS sim " +
+        "FROM a2 x JOIN a2 y ON x.centroid_id = y.centroid_id AND y.vec_id <> x.vec_id), " +
+        "bknn AS (SELECT src, dst, sim FROM bsc " +
+        "QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 5), " +
+        "be0 AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b, max(sim) AS w " +
+        "FROM bknn GROUP BY 1, 2), " +
+        (1 to 8).map(peel).mkString(", ") + " " +
+        "SELECT node AS vec_id, round(wd, 4) AS core_weight FROM " +
+        "(SELECT node, CAST(CAST(sum(w) AS FLOAT) AS DOUBLE) AS wd " +
+        "FROM (SELECT a AS node, w FROM be8 UNION ALL SELECT b, w FROM be8) GROUP BY node) " +
         "ORDER BY vec_id"
     },
     "dedup_semantic" ->

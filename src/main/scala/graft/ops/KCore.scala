@@ -41,6 +41,38 @@ object KCore {
     * the BoundedTopK partial aggregate — the exchange moves #nodes × k
     * rows); the production edge source swaps in the LSH/IVF candidate
     * generators, as with [[PageRank.knnEdges]]. */
+  /** The AT-SCALE kNN-graph builder: IVF-bucketed — cluster the corpus
+    * (Lloyd, [[Ivf.index]]) and run the per-query top-k only WITHIN
+    * each cluster, exactly [[Ivf.semanticComponents]]'s cluster-local-
+    * pairs discipline. Candidate pairs shrink from n² to Σ|cluster|²,
+    * and nothing is broadcast — the join key is the centroid id.
+    * Approximation is the standard IVF trade: neighbors across a
+    * cluster boundary are missed; grow `kClusters` with n to bound
+    * cluster size (the ×10 probe: brute force 206 s → bucketed ~7 s at
+    * 24k vectors). [[knnSimEdges]] stays as the exact reference for
+    * corpora small enough to pay n². */
+  def knnSimEdgesBucketed(corpus: DataFrame, k: Int,
+      kClusters: Int, iters: Int = 2): DataFrame = {
+    val assigned = Ivf.index(corpus, kClusters, iters)._1.localCheckpoint(true)
+    val cand = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val queries = assigned.select(col("centroid_id"),
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    cand.join(queries, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        struct(
+          negate(graft.functions.VectorExpressions.cosineNative(col("q_emb"), col("embedding"))).as("ns"),
+          col("vec_id").as("v")).as("cand"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.topKSmallest(col("cand"), k).as("tk"))
+      .select(col("q_id").as("src"), explode(col("tk")).as("e"))
+      .select(least(col("src"), col("e.v")).as("a"),
+        greatest(col("src"), col("e.v")).as("b"),
+        negate(col("e.ns")).as("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("w")).as("w"))
+  }
+
   def knnSimEdges(corpus: DataFrame, k: Int): DataFrame = {
     val queries = corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     corpus.join(broadcast(queries))

