@@ -1565,6 +1565,45 @@ object SparkEntry {
         col("o_orderkey") % 7 === 0 || col("cents") > 20000000L)
       s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
     }),
+    // Z-ORDER compaction on the native format (OPTIMIZE ZORDER BY):
+    // interleaved-bit clustering keeps zone maps selective for
+    // predicates on EITHER dimension — here the two-sided filter on
+    // (doc_id, n_chars) after a rewrite that lexicographic clustering
+    // could only serve for its leading key. dataChange=false: the
+    // rewrite is invisible to streams and the change feed
+    "store_segment_zorder" -> ((s, d) => withTempDir("graft-segzorder") { base =>
+      val dir = s"$base/t"
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.format("graft-segment")
+        .option("clusterBy", "doc_id").option("numPartitions", "8")
+        .mode("append").save(dir)
+      graft.sources.segment.GraftMaintenance
+        .compactZOrder(s, dir, Seq("doc_id", "n_chars"), numPartitions = 8)
+      s.read.format("graft-segment").load(dir)
+        .filter(col("doc_id") % 2 === 0 && col("n_chars").between(100, 500))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+    // per-segment BLOOM pruning on the native format: o_custkey is
+    // scattered relative to the o_orderkey clustering, so zone maps
+    // see full-range bounds in every segment — the manifest bloom is
+    // what lets a customer point-lookup skip segments at the driver.
+    // Pruning is semantics-free (all filters residual); this row
+    // certifies the answer, SegmentSourceSpec certifies the skipping
+    "store_segment_bloom" -> ((s, d) => withTempDir("graft-segbloom") { base =>
+      val dir = s"$base/t"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "o_orderkey").option("numPartitions", "16")
+        .option("bloomFor", "o_custkey,o_orderstatus")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .filter(col("o_custkey").isin(7L, 731L, 1301L))
+        .orderBy(col("o_orderkey"))
+    }),
     // non-additive schema evolution via COLUMN MAPPING (physical names
     // frozen at first commit): RENAME and DROP are metadata-only
     // manifest commits — no data rewrite at any table size — and a
@@ -5429,6 +5468,17 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders " +
         "WHERE NOT (o_orderkey % 7 = 0 OR CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000) " +
         "ORDER BY o_orderkey"),
+
+    "store_segment_zorder" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents " +
+        "WHERE doc_id % 2 = 0 AND n_chars BETWEEN 100 AND 500 " +
+        "GROUP BY lang ORDER BY lang"),
+
+    "store_segment_bloom" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders " +
+        "WHERE o_custkey IN (7, 731, 1301) ORDER BY o_orderkey"),
 
     // the logical outcome of rename→drop→re-add→append: old rows carry
     // the renamed money column and a NULL re-added status; shifted-key

@@ -57,6 +57,56 @@ object GraftMaintenance {
     (before, after)
   }
 
+  /** Z-ORDER compaction (Delta's OPTIMIZE ZORDER BY): rewrite the
+    * table clustered on the INTERLEAVED BITS of several columns, so
+    * each segment covers a small hyper-rectangle of the key space and
+    * min/max zone maps stay selective for predicates on ANY of the
+    * columns — lexicographic range clustering serves only its leading
+    * key. Per column: an 8-bit rank against the global (min, max)
+    * (two tiny aggregates — fully distributed), then the classic bit
+    * interleave; the rewrite range-partitions + sorts on the z-value
+    * and commits `dataChange = false`, so running streams are
+    * untouched. Columns must be numeric/date/timestamp; the z-value
+    * is internal and never stored.
+    *
+    * No declared BucketSpec results (z-order is multi-dim — no single
+    * column's ranges are disjoint, so range-layout guarantees like
+    * top-N pushdown and metadata DELETE decidability do NOT transfer);
+    * what transfers is the zone-map selectivity this exists for.
+    * Returns (segments before, after). */
+  def compactZOrder(spark: SparkSession, dir: String, cols: Seq[String],
+      numPartitions: Int): (Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
+    require(cols.size >= 2, "z-order needs at least 2 columns (use clusterBy for 1)")
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val before = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    val df = spark.read.format(Fmt).load(dir)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(greatest(floor((col(c).cast("double") - lit(lo)) / lit(span) * 256), lit(0)),
+        lit(255)).cast("long")
+    }
+    // interleave: bit b of column i lands at position b*k + i — nulls
+    // sort first (rank coalesced to 0)
+    val k = cols.size
+    val z = (0 until 8).flatMap(b => ranks.zipWithIndex.map { case (r, i) =>
+      shiftleft(shiftright(coalesce(r, lit(0L)), b).bitwiseAND(lit(1L)), b * k + i)
+    }).reduce(_ bitwiseOR _)
+    df.withColumn("_graft_z", z)
+      .repartitionByRange(numPartitions, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.format(Fmt)
+      .option("dataChange", "false")
+      .mode("overwrite").save(dir)
+    val after = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    (before, after)
+  }
+
   /** The rewrite half of DELETE: keep every row where `condition` is
     * not TRUE (SQL DELETE semantics — null-condition rows survive),
     * rewritten in place. Use when the predicate does not decide whole

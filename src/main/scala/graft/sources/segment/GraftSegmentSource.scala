@@ -965,6 +965,10 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       case _ => throw new IllegalArgumentException(
         "txnAppId and txnVersion must be set together")
     }
+    val bloomFor = Option(opts.get("bloomFor"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    bloomFor.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"bloomFor column $c not in write schema"))
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       clusterMode, numPartitions,
       Option(opts.get("maxRowsPerSegment")).map(_.toLong),
@@ -974,14 +978,19 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       // dataChange=false (maintenance rewrites only): the commit's
       // segments carry rows already committed under earlier ids, so
       // streams skip them — Delta's OPTIMIZE contract
-      dataChange = !Option(opts.get("dataChange")).exists(_.toBoolean == false))
+      dataChange = !Option(opts.get("dataChange")).exists(_.toBoolean == false),
+      bloomFor = bloomFor,
+      bloomBits = Option(opts.get("bloomBits")).map(_.toInt)
+        .getOrElse(SegmentBloom.DefaultBits))
   }
 }
 
 class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Seq[String], clusterMode: String, numPartitions: Option[Int],
     maxRows: Option[Long], queryId: String, mergeSchema: Boolean = false,
-    txn: Option[(String, Long)] = None, dataChange: Boolean = true)
+    txn: Option[(String, Long)] = None, dataChange: Boolean = true,
+    bloomFor: Set[String] = Set.empty,
+    bloomBits: Int = SegmentBloom.DefaultBits)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -1007,7 +1016,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
   override def toBatch: BatchWrite = new GraftBatchWrite(root, schema, truncateFirst,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows,
     clusterBy = clusterBy, clusterMode = clusterMode,
-    mergeSchema = mergeSchema, txn = txn, dataChange = dataChange)
+    mergeSchema = mergeSchema, txn = txn, dataChange = dataChange,
+    bloomFor = bloomFor, bloomBits = bloomBits)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -1061,7 +1071,9 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Seq[String], clusterMode: String,
     mergeSchema: Boolean = false,
     txn: Option[(String, Long)] = None,
-    dataChange: Boolean = true) extends BatchWrite {
+    dataChange: Boolean = true,
+    bloomFor: Set[String] = Set.empty,
+    bloomBits: Int = SegmentBloom.DefaultBits) extends BatchWrite {
 
   // the declared layout is persisted with the commit. Hash mode: the
   // shuffle partition index IS the bucket id (pmod(murmur3(keys), n)) —
@@ -1077,7 +1089,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
       labelBuckets = clusterBy.nonEmpty && clusterMode == "hash",
       physNames = SegmentLog.physicalNames(
-        SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema))
+        SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema),
+      bloomFor = bloomFor, bloomBits = bloomBits)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1101,11 +1114,14 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
 class GraftWriterFactory(root: String, schema: StructType,
     conf: SerializableHadoopConf, maxRows: Long,
     labelBuckets: Boolean = false,
-    physNames: Seq[String] = Nil) extends DataWriterFactory {
+    physNames: Seq[String] = Nil,
+    bloomFor: Set[String] = Set.empty,
+    bloomBits: Int = SegmentBloom.DefaultBits) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, conf.value, maxRows,
       bucket = if (labelBuckets) Some(partitionId) else None,
-      physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq)
+      physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
+      bloomFor = bloomFor, bloomBits = bloomBits)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -1115,7 +1131,9 @@ class GraftWriterFactory(root: String, schema: StructType,
   * is a write-side knob, not an accident of input partitioning. */
 class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     maxRows: Long, bucket: Option[Int] = None,
-    physNames: Seq[String] = Nil) extends DataWriter[InternalRow] {
+    physNames: Seq[String] = Nil,
+    bloomFor: Set[String] = Set.empty, bloomBits: Int = SegmentBloom.DefaultBits)
+    extends DataWriter[InternalRow] {
   // segments record PHYSICAL column names (frozen at a column's first
   // commit — the column-mapping contract); identity when unset
   private val colNames: Seq[String] =
@@ -1136,14 +1154,16 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     out = new DataOutputStream(new BufferedOutputStream(fs.create(absPath, false), 1 << 16))
     SegmentCodec.writeHeader(out, schema.length)
     rows = 0L
-    stats = types.map(new SegmentCodec.StatsCollector(_))
+    stats = schema.fields.map(f => new SegmentCodec.StatsCollector(f.dataType,
+      if (bloomFor.contains(f.name)) bloomBits else 0))
   }
 
   private def roll(): Unit = {
     out.close()
     val bytes = fs.getFileStatus(absPath).getLen
     done += SegmentMeta(relPath, rows, bytes,
-      colNames.zip(stats).map { case (n, c) => n -> ColumnStats(c.bounds, c.nullCount) }.toMap,
+      colNames.zip(stats).map { case (n, c) =>
+        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64) }.toMap,
       bucket, cols = colNames)
     out = null
   }

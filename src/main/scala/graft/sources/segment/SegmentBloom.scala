@@ -1,0 +1,116 @@
+package graft.sources.segment
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Per-segment bloom filters for POINT-LOOKUP pruning — the
+  * complement to zone maps: min/max decides range predicates on the
+  * CLUSTERED column, a bloom decides equality on columns the layout
+  * does not order (the "find this customer on an orderkey-clustered
+  * table" shape). Requested per write with
+  * `option("bloomFor", "c1,c2")` (+ `bloomBits`, default 8192 ≈ 1 KB
+  * per column per segment in the manifest); tested at planning by
+  * [[SegmentPruning]] for `EqualTo`/`In`/`EqualNullSafe`.
+  *
+  * Soundness is one-sided by construction: a bloom answers "value
+  * definitely absent" or "maybe present" — false positives keep a
+  * segment (pure I/O cost), false negatives cannot occur, and every
+  * pushed filter stays residual anyway. The write side hashes decoded
+  * [[InternalRow]] values, the pruning side hashes pushed java
+  * literals; [[hashRow]] and [[hashValue]] canonicalize both to the
+  * same key (long for the integer family, UTF-8 bytes for strings) —
+  * spec-certified, since a silent mismatch would disable pruning
+  * without failing anything. Floats/doubles carry no bloom (equality
+  * on them is a smell; NaN/−0.0 canonicalization is a trap).
+  *
+  * 100 TB: the bloom lives in the MANIFEST, so a point lookup prunes
+  * at the driver before any task launches — same altitude as the zone
+  * maps, ~1 KB × segments × bloomed columns of metadata. k = 6
+  * double-hashed probes gives ~1% fpp at m/n ≈ 10 bits/distinct;
+  * oversized segments degrade toward "keep everything", never toward
+  * wrong answers.
+  */
+object SegmentBloom {
+  val DefaultBits = 8192
+  private val K = 6
+
+  def bloomable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
+        StringType => true
+    case _ => false
+  }
+
+  /** splitmix64 — the long-key mixer. */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64 over bytes — the string-key hash. */
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Write-side canonical hash of a decoded row value. */
+  def hashRow(dt: DataType, row: InternalRow, ordinal: Int): Long = dt match {
+    case IntegerType | DateType => mix64(row.getInt(ordinal).toLong)
+    case LongType | TimestampType | TimestampNTZType => mix64(row.getLong(ordinal))
+    case StringType => mix64(fnv64(row.getUTF8String(ordinal).getBytes))
+    case _ => 0L
+  }
+
+  /** Pruning-side canonical hash of a pushed literal; None when the
+    * literal cannot be soundly mapped into the column's key domain
+    * (then the bloom simply does not engage). */
+  def hashValue(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+    case (IntegerType, i: Int) => Some(mix64(i.toLong))
+    case (LongType, l: Long) => Some(mix64(l))
+    case (LongType, i: Int) => Some(mix64(i.toLong))
+    case (DateType, d: java.sql.Date) => Some(mix64(d.toLocalDate.toEpochDay))
+    case (DateType, d: java.time.LocalDate) => Some(mix64(d.toEpochDay))
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(mix64(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L))
+    case (TimestampType, i: java.time.Instant) =>
+      Some(mix64(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+    case (TimestampNTZType, dt2: java.time.LocalDateTime) =>
+      Some(mix64(dt2.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt2.getNano / 1000L))
+    case (StringType, s: String) =>
+      Some(mix64(fnv64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    case _ => None
+  }
+
+  /** Set the K probe bits for `h` in the bit array. */
+  def put(bits: Array[Long], h: Long): Unit = {
+    val m = bits.length * 64
+    val h2 = mix64(h) | 1L
+    var i = 0
+    while (i < K) {
+      val pos = java.lang.Long.remainderUnsigned(h + i * h2, m).toInt
+      bits(pos >>> 6) |= (1L << (pos & 63))
+      i += 1
+    }
+  }
+
+  /** Membership probe over a base64-decoded filter. */
+  def mightContain(b64: String, h: Long): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bits = new Array[Long](bytes.length / 8)
+    var j = 0
+    while (j < bits.length) { bits(j) = bb.getLong(); j += 1 }
+    val m = bits.length * 64
+    val h2 = mix64(h) | 1L
+    var i = 0
+    while (i < K) {
+      val pos = java.lang.Long.remainderUnsigned(h + i * h2, m).toInt
+      if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}

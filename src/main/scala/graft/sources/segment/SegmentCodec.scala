@@ -147,8 +147,21 @@ object SegmentCodec {
     * fits [[StatsCollector.MaxStatString]] bytes: a truncated min/max
     * would be UNSOUND for pruning (a prefix underestimates max), so
     * long-string columns simply carry no stats and are never pruned on.
-    */
-  final class StatsCollector(dt: DataType) {
+    *
+    * With `bloomBits > 0` the collector also builds a per-segment
+    * BLOOM FILTER over the column's values — the point-lookup
+    * complement to min/max: an equality predicate on a column the
+    * layout does NOT cluster (custkey lookups on an orderkey-clustered
+    * table) sees full-range zone maps everywhere, but a bloom answers
+    * "this segment definitely lacks the value" for every segment the
+    * key never touched. k = 6 double-hashed probes; soundness is
+    * one-sided by construction (false positives only → a kept segment,
+    * never a wrongly pruned one). Value hashing must agree with
+    * [[SegmentBloom.hashValue]]'s literal-side canonicalization. */
+  final class StatsCollector(dt: DataType, bloomBits: Int = 0) {
+    private val bloom: Array[Long] =
+      if (bloomBits > 0 && SegmentBloom.bloomable(dt)) new Array[Long](bloomBits / 64)
+      else null
     import StatsCollector.MaxStatString
     private var nulls = 0L
     private var any = false
@@ -163,7 +176,12 @@ object SegmentCodec {
 
     def addNull(): Unit = nulls += 1
 
-    def add(row: InternalRow, ordinal: Int): Unit = if (sound) dt match {
+    def add(row: InternalRow, ordinal: Int): Unit = {
+      if (bloom != null) SegmentBloom.put(bloom, SegmentBloom.hashRow(dt, row, ordinal))
+      if (sound) addBounds(row, ordinal)
+    }
+
+    private def addBounds(row: InternalRow, ordinal: Int): Unit = dt match {
       case IntegerType | DateType => addLong(row.getInt(ordinal).toLong)
       case LongType | TimestampType | TimestampNTZType => addLong(row.getLong(ordinal))
       case FloatType => addDouble(row.getFloat(ordinal).toDouble)
@@ -203,6 +221,13 @@ object SegmentCodec {
     }
 
     def nullCount: Long = nulls
+
+    /** Base64 bloom bits, None when not collected for this column. */
+    def bloomBase64: Option[String] = Option(bloom).map { b =>
+      val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+      b.foreach(bb.putLong)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
 
     /** (min, max) serialized as strings for the manifest, or None when
       * the column carries no sound stats. */

@@ -13,8 +13,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
 /** Zone-map stats for one column of one segment: `bounds` is None when
   * the writer could not produce SOUND min/max for the column (long
   * strings, NaNs, unsupported type) — such columns are never pruned on.
-  */
-case class ColumnStats(bounds: Option[(String, String)], nullCount: Long)
+  * `bloom` is an optional base64 per-segment bloom filter over the
+  * column's values ([[SegmentBloom]]) for point-lookup pruning on
+  * columns the layout does not cluster. */
+case class ColumnStats(bounds: Option[(String, String)], nullCount: Long,
+    bloom: Option[String] = None)
 
 /** One committed data file. `path` is relative to the table root.
   * `bucket` is the hash-bucket index this segment belongs to when it
@@ -201,7 +204,8 @@ object SegmentLog {
           if (c.hasNonNull("min") && c.hasNonNull("max"))
             Some((c.get("min").asText(), c.get("max").asText()))
           else None
-        stats += n -> ColumnStats(bounds, c.get("nulls").asLong())
+        stats += n -> ColumnStats(bounds, c.get("nulls").asLong(),
+          if (c.hasNonNull("bloom")) Some(c.get("bloom").asText()) else None)
       }
       val segCols =
         if (s.hasNonNull("cols")) {
@@ -295,6 +299,7 @@ object SegmentLog {
           case None => c.putNull("min"); c.putNull("max")
         }
         c.put("nulls", cs.nullCount)
+        cs.bloom.foreach(b => c.put("bloom", b))
       }
     }
     if (m.txns.nonEmpty) {

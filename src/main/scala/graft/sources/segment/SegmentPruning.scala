@@ -25,16 +25,21 @@ object SegmentPruning {
   def prunes(filter: Filter, schema: StructType, seg: SegmentMeta): Boolean = filter match {
     case And(l, r) => prunes(l, schema, seg) || prunes(r, schema, seg)
     case Or(l, r) => prunes(l, schema, seg) && prunes(r, schema, seg)
-    case EqualTo(c, v) => outsideBounds(c, v, schema, seg, lo = true, hi = true)
+    case EqualTo(c, v) =>
+      outsideBounds(c, v, schema, seg, lo = true, hi = true) ||
+        bloomExcludes(c, v, schema, seg)
     case EqualNullSafe(c, null) => seg.stats.get(c).exists(_.nullCount == 0L)
-    case EqualNullSafe(c, v) => outsideBounds(c, v, schema, seg, lo = true, hi = true)
+    case EqualNullSafe(c, v) =>
+      outsideBounds(c, v, schema, seg, lo = true, hi = true) ||
+        bloomExcludes(c, v, schema, seg)
     case GreaterThan(c, v) => cmpMax(c, v, schema, seg).exists(_ <= 0) // max <= v
     case GreaterThanOrEqual(c, v) => cmpMax(c, v, schema, seg).exists(_ < 0) // max < v
     case LessThan(c, v) => cmpMin(c, v, schema, seg).exists(_ >= 0) // min >= v
     case LessThanOrEqual(c, v) => cmpMin(c, v, schema, seg).exists(_ > 0) // min > v
     case In(c, vs) =>
       vs.nonEmpty && vs.forall(v =>
-        v != null && outsideBounds(c, v, schema, seg, lo = true, hi = true))
+        v != null && (outsideBounds(c, v, schema, seg, lo = true, hi = true) ||
+          bloomExcludes(c, v, schema, seg)))
     case IsNull(c) => seg.stats.get(c).exists(_.nullCount == 0L)
     case IsNotNull(c) => seg.stats.get(c).exists(_.nullCount == seg.rows)
     case StringStartsWith(c, p) => prefixPrunes(c, p, seg)
@@ -77,6 +82,23 @@ object SegmentPruning {
       lo: Boolean, hi: Boolean): Boolean =
     (lo && cmpMin(c, v, schema, seg).exists(_ > 0)) ||
       (hi && cmpMax(c, v, schema, seg).exists(_ < 0))
+
+  /** Bloom point-lookup pruning: the segment carries a bloom for the
+    * column and it PROVES the value absent. One-sided by the bloom
+    * contract (false positives keep the segment); engages only when
+    * the pushed literal canonicalizes into the column's key domain
+    * exactly as the write side hashed it ([[SegmentBloom.hashValue]]).
+    * This is what decides equality on columns the layout does not
+    * cluster — full-range zone maps everywhere, but most segments
+    * never saw the key. */
+  private def bloomExcludes(c: String, v: Any, schema: StructType, seg: SegmentMeta): Boolean = {
+    val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return false)
+    seg.stats.get(c).flatMap(_.bloom) match {
+      case Some(b64) =>
+        SegmentBloom.hashValue(dt, v).exists(h => !SegmentBloom.mightContain(b64, h))
+      case None => false
+    }
+  }
 
   /** The segment's serialized min or max for the column. */
   private def bound(c: String, schema: StructType, seg: SegmentMeta, min: Boolean): Option[String] =

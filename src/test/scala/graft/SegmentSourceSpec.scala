@@ -951,6 +951,111 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e.getMessage.contains("RENAME/DROP/ADD") || e.getMessage != null)
   }
 
+  test("per-segment blooms prune point lookups on unclustered columns; hash contract holds per type") {
+    val dir = tmp("graft-seg-bloom")
+    import spark.implicits._
+    // v is SCATTERED relative to the id clustering: every segment's
+    // (min, max) spans nearly the full v domain, so zone maps prune
+    // nothing — exactly the shape blooms exist for
+    spark.range(0, 4000).select(col("id"),
+        ((col("id") * 7919) % 100000).as("v"),
+        concat(lit("u"), (col("id") * 131) % 10000).as("name"))
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "16")
+      .option("bloomFor", "v,name")
+      .mode("append").save(dir)
+
+    // present value: found (blooms have no false negatives)
+    val hit = (513L * 7919) % 100000
+    GraftSegmentSource.lastScanEvent = None
+    val rows = spark.read.format(Fmt).load(dir).filter(col("v") === hit).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(513L))
+    val (p1, t1) = GraftSegmentSource.lastScanEvent.get
+    assert(p1 < t1, s"bloom should prune segments lacking the value: $p1 of $t1")
+
+    // absent value: zero rows, and nearly every segment pruned at the
+    // driver (a couple of 1%-fpp false positives are tolerated)
+    GraftSegmentSource.lastScanEvent = None
+    assert(spark.read.format(Fmt).load(dir).filter(col("v") === 99999L).count() == 0)
+    val (p2, t2) = GraftSegmentSource.lastScanEvent.get
+    assert(p2 * 2 < t2, s"absent point lookup should prune most segments: $p2 of $t2")
+
+    // string bloom engages through the same path (513 * 131 % 10000)
+    GraftSegmentSource.lastScanEvent = None
+    assert(spark.read.format(Fmt).load(dir)
+      .filter(col("name") === "u7203").count() == 1)
+    val (p3, t3) = GraftSegmentSource.lastScanEvent.get
+    assert(p3 < t3, s"string bloom should prune: $p3 of $t3")
+  }
+
+  test("bloom hash contract: write-side row hashing equals literal-side hashing, per type") {
+    import graft.sources.segment.SegmentBloom
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // a silent write/literal hash mismatch would DISABLE pruning
+    // without failing any query — certify equality directly
+    def rowOf(v: Any): org.apache.spark.sql.catalyst.InternalRow =
+      new GenericInternalRow(Array[Any](v))
+    val cases: Seq[(DataType, Any, Any)] = Seq(
+      (IntegerType, 42, 42),
+      (LongType, 42L, 42L),
+      (DateType, 19000, java.time.LocalDate.ofEpochDay(19000)),
+      (TimestampType, 1700000000123456L,
+        java.time.Instant.ofEpochSecond(1700000000L, 123456000L)),
+      (TimestampNTZType,
+        java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5, 678000000)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 678000L,
+        java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5, 678000000)),
+      (StringType, UTF8String.fromString("héllo✓"), "héllo✓"))
+    cases.foreach { case (dt, rowVal, lit) =>
+      val rh = SegmentBloom.hashRow(dt, rowOf(rowVal), 0)
+      val lh = SegmentBloom.hashValue(dt, lit)
+      assert(lh.contains(rh), s"$dt: row hash $rh vs literal hash $lh")
+    }
+    // java.sql mirror types agree too
+    assert(SegmentBloom.hashValue(DateType, java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(19000).toString)) ==
+      SegmentBloom.hashValue(DateType, java.time.LocalDate.ofEpochDay(19000)))
+  }
+
+  test("z-order compaction makes zone maps selective on BOTH dimensions") {
+    val dir = tmp("graft-seg-zorder")
+    import spark.implicits._
+    // x and y are independent — lexicographic clustering by x leaves
+    // every segment spanning the full y range
+    spark.range(0, 10000).select(
+        (col("id") % 100).as("x"), ((col("id") * 37) % 100).as("y"), col("id").as("v"))
+      .write.format(Fmt)
+      .option("clusterBy", "x").option("numPartitions", "16")
+      .mode("append").save(dir)
+
+    GraftSegmentSource.lastScanEvent = None
+    spark.read.format(Fmt).load(dir).filter(col("y").between(10, 19)).count()
+    val (py0, ty0) = GraftSegmentSource.lastScanEvent.get
+    assert(py0 * 2 > ty0, s"x-clustered layout should barely prune on y: $py0 of $ty0")
+
+    val (before, after) = graft.sources.segment.GraftMaintenance
+      .compactZOrder(spark, dir, Seq("x", "y"), numPartitions = 16)
+    assert(before == 16 && after >= 8, s"z rewrite $before → $after")
+
+    // both single-dimension range predicates now prune whole segments
+    GraftSegmentSource.lastScanEvent = None
+    val nx = spark.read.format(Fmt).load(dir).filter(col("x").between(10, 19)).count()
+    val (px, tx) = GraftSegmentSource.lastScanEvent.get
+    GraftSegmentSource.lastScanEvent = None
+    val ny = spark.read.format(Fmt).load(dir).filter(col("y").between(10, 19)).count()
+    val (py, ty) = GraftSegmentSource.lastScanEvent.get
+    assert(nx == 1000 && ny == 1000, "pruning must not change answers")
+    assert(px * 2 <= tx, s"z-order should prune on x: $px of $tx")
+    assert(py * 2 <= ty, s"z-order should prune on y: $py of $ty")
+
+    // dataChange=false: a z-rewrite is invisible to the change feed
+    val feed = graft.sources.segment.GraftMaintenance
+      .changes(spark, dir, 0).filter(col("_commit_version") === 1).count()
+    assert(feed == 0, "z-order compaction must contribute nothing to the feed")
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
