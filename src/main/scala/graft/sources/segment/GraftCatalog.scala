@@ -126,29 +126,33 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       n.filter(_ > 0).map(v => (v, cols))
     }
 
-  /** Schema DDL — each change is one metadata-only manifest commit
-    * (column mapping: physical names frozen, no data rewrite):
+  /** Schema DDL — the whole statement is ONE metadata-only manifest
+    * commit (column mapping: physical names frozen, no data rewrite):
     * `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN a` /
     * `ADD COLUMN c TYPE`. Everything else (type changes, nested
     * fields, properties) is refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     require(SegmentLog.read(fs, path).isDefined, s"no graft-segment table at $path")
-    changes.foreach {
+    // fold the whole statement into ONE manifest commit: a failing
+    // validation in any change aborts the statement with the table
+    // untouched, never half-altered
+    val transforms = changes.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1, "nested columns are not supported")
-        SegmentLog.renameColumn(fs, path, r.fieldNames()(0), r.newName())
+        SegmentLog.renameTransform(r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1, "nested columns are not supported")
-        SegmentLog.dropColumn(fs, path, d.fieldNames()(0))
+        SegmentLog.dropTransform(d.fieldNames()(0))
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1, "nested columns are not supported")
-        SegmentLog.addColumn(fs, path,
+        SegmentLog.addTransform(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(),
             nullable = true))
       case other => throw new UnsupportedOperationException(
         s"graft-segment supports RENAME/DROP/ADD COLUMN only, got $other")
     }
+    SegmentLog.alterSchema(fs, path, transforms)
     val m = SegmentLog.read(fs, path).get
     new GraftSegmentTable(path, m.schema, m.bucketing)
   }

@@ -80,15 +80,30 @@ object GraftMaintenance {
     require(cols.size >= 2, "z-order needs at least 2 columns (use clusterBy for 1)")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val before = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    if (before == 0) return (0, 0) // nothing live to reorganize
     val df = spark.read.format(Fmt).load(dir)
+    cols.foreach { c =>
+      val dt = df.schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"z-order column $c not in table schema"))
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          dt == org.apache.spark.sql.types.DateType ||
+          dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType,
+        s"z-order column $c must be numeric/date/timestamp, got ${dt.sql}")
+    }
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    // an all-null column (or an empty live row set) has no domain to
+    // rank — rank it as constant 0 rather than NPE mid-maintenance
     val ranks = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(greatest(floor((col(c).cast("double") - lit(lo)) / lit(span) * 256), lit(0)),
-        lit(255)).cast("long")
+      if (mm.isNullAt(2 * i)) lit(0L)
+      else {
+        val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        least(greatest(floor((col(c).cast("double") - lit(lo)) / lit(span) * 256), lit(0)),
+          lit(255)).cast("long")
+      }
     }
     // interleave: bit b of column i lands at position b*k + i — nulls
     // sort first (rank coalesced to 0)
@@ -181,7 +196,12 @@ object GraftMaintenance {
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val to = if (toVersion >= 0) toVersion else SegmentLog.latestVersion(fs, dir)
     require(fromVersion <= to, s"changes: fromVersion $fromVersion > toVersion $to")
-    val schema = SegmentLog.readVersion(fs, dir, to).schema
+    // the CURRENT logical schema, not the to-version's: versionAsOf
+    // slice reads always resolve under the live mapping (renames after
+    // `to` would otherwise make historical ranges unreadable); columns
+    // added since a slice's version null-backfill, like any old read
+    val schema = SegmentLog.read(fs, dir)
+      .getOrElse(SegmentLog.readVersion(fs, dir, to)).schema
     def slice(version: Long, segs: Seq[SegmentMeta], change: String, at: Long): DataFrame =
       spark.read.format(Fmt).option("versionAsOf", version.toString).load(dir)
         .filter(col(GraftSegmentTable.SegmentCol)

@@ -290,36 +290,23 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
       case (None, Some(v)) =>
         val base = SegmentLog.readVersion(fs, root, v.toLong)
         val cur = SegmentLog.read(fs, root).getOrElse(base)
-        require(cur.truncateWatermark <= base.maxSegmentId,
+        // version-based, not id-based: two truncates can tie at one
+        // watermark id when no ids were allocated between them
+        require(cur.truncateVersion <= v.toLong,
           s"sinceVersion $v: history is not append-only past that version " +
-            s"(a data-changing truncate intervened: truncateWatermark=" +
-            s"${cur.truncateWatermark} > base max id ${base.maxSegmentId}) — " +
-            "an increment cannot express deleted rows")
-        val liveInc = cur.segments.filter(s => s.id > base.maxSegmentId && s.dataChange)
-        val liveIds = liveInc.map(_.id).toSet
+            s"(a data-changing truncate committed at version " +
+            s"${cur.truncateVersion}) — an increment cannot express deleted rows")
+        val liveView = SegmentLog.logicalView(cur)
+        val liveInc = liveView.segments.filter(s => s.id > base.maxSegmentId && s.dataChange)
         // ids past the base that are neither live-dataChange nor
         // compaction output were compacted away: resurrect from
-        // retained versions (the streaming source's discipline)
+        // retained versions (shared with the streaming source)
+        val accounted = cur.segments.map(_.id).toSet
         val compactedIds = (base.maxSegmentId + 1 to cur.maxSegmentId)
-          .filterNot(liveIds.contains)
-          .filterNot(id => cur.segments.exists(s => s.id == id)) // live !dataChange
-        val resurrected =
-          if (compactedIds.isEmpty) Nil
-          else {
-            val b = scala.collection.mutable.HashMap[Long, SegmentMeta]()
-            SegmentLog.liveVersions(fs, root).sorted.reverse.foreach { ver =>
-              try SegmentLog.readVersion(fs, root, ver).segments.foreach { s =>
-                if (!b.contains(s.id)) b += s.id -> s
-              } catch { case _: IllegalArgumentException => () }
-            }
-            compactedIds.map { id =>
-              b.get(id).filter(_.dataChange).getOrElse(throw new IllegalStateException(
-                s"sinceVersion $v: segment id $id was compacted away and its history " +
-                  "expired — retain versions across your incremental-read cadence"))
-            }
-          }
-        Some(SegmentLog.logicalView(
-          cur.copy(segments = (liveInc ++ resurrected).sortBy(_.id))))
+          .filterNot(accounted.contains)
+        val resurrected = SegmentLog.resolveHistorical(fs, root, cur, compactedIds,
+          s"sinceVersion $v")
+        Some(liveView.copy(segments = (liveInc ++ resurrected).sortBy(_.id)))
       case (None, None) => SegmentLog.read(fs, root).map(SegmentLog.logicalView)
     }
   }
@@ -824,10 +811,11 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
   override def prepareForTriggerAvailableNow(): Unit = frozen = Some(currentEnd())
 
   override def initialOffset(): Offset =
-    // a fresh stream acknowledges every truncate that PRECEDES it:
-    // the dead id generations are history, the live table is its
-    // starting snapshot
-    GraftOffset(0L, SegmentLog.read(fs, root).map(_.truncateWatermark).getOrElse(-1L))
+    // a fresh stream acknowledges every truncate that PRECEDES it (by
+    // COMMIT VERSION — watermark ids can tie across truncates): the
+    // dead id generations are history, the live table is its starting
+    // snapshot
+    GraftOffset(0L, SegmentLog.read(fs, root).map(_.truncateVersion).getOrElse(-1L))
 
   override def deserializeOffset(json: String): Offset = GraftOffset.parse(json)
 
@@ -867,12 +855,12 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     // deleted or replaced; an append-only downstream cannot be
     // repaired by continuing, so alert instead. Compaction
     // (dataChange = false) deliberately does NOT move this watermark.
-    if (m.truncateWatermark > so.ack)
+    if (m.truncateVersion > so.ack)
       throw new IllegalStateException(
         s"table $root was overwritten/deleted-from under this running stream " +
-          s"(truncateWatermark=${m.truncateWatermark} > acknowledged=${so.ack}) — " +
-          "rows already emitted may be stale; restart with a fresh checkpoint " +
-          "to adopt the new table contents")
+          s"(truncate committed at version ${m.truncateVersion}, stream acknowledged " +
+          s"version ${so.ack}) — rows already emitted may be stale; restart with a " +
+          "fresh checkpoint to adopt the new table contents")
     val live: Map[Long, SegmentMeta] = m.segments.map(s => s.id -> s).toMap
     // resolve every id in [from, to) exactly once:
     //  - live + dataChange        → deliver;
@@ -884,32 +872,17 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     //    preserved: re-read the original segment from a RETAINED
     //    manifest version (vacuum keeps every file a live version
     //    references), so a LAGGING stream survives compaction too.
-    lazy val historical: Map[Long, SegmentMeta] = {
-      val b = scala.collection.mutable.HashMap[Long, SegmentMeta]()
-      SegmentLog.liveVersions(fs, root).sorted.reverse.foreach { v =>
-        // translate resurrected segments through the CURRENT mapping:
-        // the stream's schema is current-logical, physical names frozen
-        try SegmentLog.logicalView(SegmentLog.readVersion(fs, root, v).copy(
-            physicalOf = m.physicalOf, retiredSchema = m.retiredSchema))
-          .segments.foreach { s =>
-            if (!b.contains(s.id)) b += s.id -> s
-          } catch { case _: IllegalArgumentException => () } // expired mid-listing
-      }
-      b.toMap
-    }
+    val needHistory = (from until to).filter(id =>
+      !live.contains(id) && id > m.truncateWatermark)
+    val resurrected: Map[Long, SegmentMeta] =
+      SegmentLog.resolveHistorical(fs, root, m, needHistory,
+        s"this stream's offset range [$from, $to)").map(s => s.id -> s).toMap
     val resolved = (from until to).flatMap { id =>
       live.get(id) match {
         case Some(s) => if (s.dataChange) Some(s) else None
         case None if id <= m.truncateWatermark =>
-          None // generation predates the stream (tw ≤ ack, checked above)
-        case None =>
-          historical.get(id) match {
-            case Some(s) => if (s.dataChange) Some(s) else None
-            case None => throw new IllegalStateException(
-              s"segment id $id in [$from, $to) is in no retained manifest version of " +
-                s"$root: history was expired past this stream's offset — retain versions " +
-                "at least as long as your slowest stream's lag")
-          }
+          None // generation predates the stream (truncate version acknowledged above)
+        case None => resurrected.get(id) // absent = historical dataChange=false: skip
       }
     }
     // zone-map pruning applies WITHIN the offset slice too: offsets

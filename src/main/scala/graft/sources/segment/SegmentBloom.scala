@@ -96,13 +96,28 @@ object SegmentBloom {
     }
   }
 
-  /** Membership probe over a base64-decoded filter. */
-  def mightContain(b64: String, h: Long): Boolean = {
+  // decoded-filter cache: planning tests one segment-column's bloom
+  // against several literals (every In value, every query over the
+  // same snapshot) — decode each base64 payload once, not per probe.
+  // Bounded by wholesale clear: blooms are ~1 KB, 10k entries ≈ 10 MB.
+  private val decoded = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private val MaxCached = 10000
+
+  def decode(b64: String): Array[Long] = {
+    val hit = decoded.get(b64)
+    if (hit != null) return hit
     val bytes = java.util.Base64.getDecoder.decode(b64)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val bits = new Array[Long](bytes.length / 8)
     var j = 0
     while (j < bits.length) { bits(j) = bb.getLong(); j += 1 }
+    if (decoded.size() >= MaxCached) decoded.clear()
+    decoded.put(b64, bits)
+    bits
+  }
+
+  /** Membership probe over a decoded filter. */
+  def mightContain(bits: Array[Long], h: Long): Boolean = {
     val m = bits.length * 64
     val h2 = mix64(h) | 1L
     var i = 0
@@ -113,4 +128,7 @@ object SegmentBloom {
     }
     true
   }
+
+  /** Membership probe from the manifest's base64 payload (cached). */
+  def mightContain(b64: String, h: Long): Boolean = mightContain(decode(b64), h)
 }

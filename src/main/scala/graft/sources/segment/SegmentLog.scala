@@ -67,7 +67,12 @@ case class BucketSpec(cols: Seq[String], n: Int, mode: String = "hash")
   *  - `truncateWatermark`: highest id replaced by a DATA-CHANGING
   *    truncate (overwrite / DELETE / MERGE rewrite). A stream that
   *    still needed ids at or below it fails fast — its input was
-  *    deleted from under it.
+  *    deleted from under it. `truncateVersion` records the COMMIT
+  *    VERSION of the latest such truncate: two truncates can tie at
+  *    the same watermark (no ids allocated between them), so "did a
+  *    truncate happen after X" must compare versions, not ids —
+  *    streams acknowledge a truncateVersion, sinceVersion compares it
+  *    against the base version.
   *  - `compactedThrough`: highest id rewritten by a dataChange=false
   *    truncate (compaction). Ids at or below it that are no longer
   *    live had their rows preserved verbatim under higher
@@ -91,6 +96,7 @@ case class BucketSpec(cols: Seq[String], n: Int, mode: String = "hash")
 case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta],
     txns: Map[String, Long] = Map.empty, bucketing: Option[BucketSpec] = None,
     maxSegmentId: Long = -1L, truncateWatermark: Long = -1L,
+    truncateVersion: Long = -1L,
     compactedThrough: Long = -1L,
     physicalOf: Map[String, String] = Map.empty,
     retiredSchema: StructType = new StructType())
@@ -266,6 +272,8 @@ object SegmentLog {
       maxSegmentId = maxId,
       truncateWatermark =
         if (node.hasNonNull("truncateWatermark")) node.get("truncateWatermark").asLong() else -1L,
+      truncateVersion =
+        if (node.hasNonNull("truncateVersion")) node.get("truncateVersion").asLong() else -1L,
       compactedThrough =
         if (node.hasNonNull("compactedThrough")) node.get("compactedThrough").asLong() else -1L,
       physicalOf = physicalOf, retiredSchema = retired)
@@ -278,6 +286,7 @@ object SegmentLog {
     val arr: ArrayNode = root.putArray("segments")
     root.put("maxSegmentId", m.maxSegmentId)
     if (m.truncateWatermark >= 0) root.put("truncateWatermark", m.truncateWatermark)
+    if (m.truncateVersion >= 0) root.put("truncateVersion", m.truncateVersion)
     if (m.compactedThrough >= 0) root.put("compactedThrough", m.compactedThrough)
     if (m.physicalOf.nonEmpty) {
       val o = root.putObject("physicalOf")
@@ -424,11 +433,12 @@ object SegmentLog {
       // mark; a dataChange=false truncate (compaction) marks the same
       // range as safely re-readable from retained history
       val tw = current.map(_.truncateWatermark).getOrElse(-1L)
+      val tv = current.map(_.truncateVersion).getOrElse(-1L)
       val ct = current.map(_.compactedThrough).getOrElse(-1L)
-      val (newTw, newCt) =
+      val (newTw, newTv, newCt) =
         if (truncate && current.exists(_.segments.nonEmpty)) {
-          if (dataChange) (prevMax, ct) else (tw, prevMax)
-        } else (tw, ct)
+          if (dataChange) (prevMax, v, ct) else (tw, tv, prevMax)
+        } else (tw, tv, ct)
       // column mapping: rebuild logical → physical for the committed
       // schema (frozen names for existing columns, collision-avoided
       // fresh ones for additions — same deterministic rule the write
@@ -439,32 +449,68 @@ object SegmentLog {
       val retired = current.map(_.retiredSchema).getOrElse(new StructType())
       val body = render(Manifest(v, tableSchema, merged, txns, spec,
         maxSegmentId = newMax, truncateWatermark = newTw,
+        truncateVersion = newTv,
         compactedThrough = newCt,
         physicalOf = physicalOf, retiredSchema = retired)).getBytes(StandardCharsets.UTF_8)
-      val p = manifestPath(root, v)
-      fs.mkdirs(p.getParent)
-      val out =
-        try Some(fs.create(p, false)) // exclusive create = the atomic claim
-        catch {
-          case NonFatal(_) if fs.exists(p) && attempt < maxRetries =>
-            attempt += 1 // lost the slot to a concurrent writer; re-read and retry
-            None
-        }
-      out.foreach { o =>
-        // the slot is OURS from here: a failed write/close (disk full,
-        // transient IO) must not leave a torn manifest squatting on the
-        // claimed version — delete it so this retry (or any other
-        // writer) can take the slot cleanly, then surface the error
-        try { o.write(body); o.close(); return v }
-        catch {
-          case NonFatal(e) =>
-            try o.close() catch { case NonFatal(_) => () }
-            try fs.delete(p, false) catch { case NonFatal(_) => () }
-            throw e
-        }
-      }
+      if (claimSlot(fs, root, v, body, canRetry = attempt < maxRetries)) return v
+      attempt += 1 // lost the slot to a concurrent writer; re-read and retry
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Claim version slot `v` by exclusive create and write `body`.
+    * False = a rival owns the slot (caller re-reads and retries, while
+    * `canRetry`). A failed write/close of an OWN claim (disk full,
+    * transient IO) must not leave a torn manifest squatting on the
+    * version: the partial file is deleted so any writer can take the
+    * slot cleanly, then the error surfaces. ONE implementation for
+    * every manifest-writing path — the protocol must not fork. */
+  private def claimSlot(fs: FileSystem, root: String, v: Long,
+      body: Array[Byte], canRetry: Boolean): Boolean = {
+    val p = manifestPath(root, v)
+    fs.mkdirs(p.getParent)
+    val out =
+      try fs.create(p, false) // exclusive create = the atomic claim
+      catch { case NonFatal(_) if fs.exists(p) && canRetry => return false }
+    try { out.write(body); out.close(); true }
+    catch {
+      case NonFatal(e) =>
+        try out.close() catch { case NonFatal(_) => () }
+        try fs.delete(p, false) catch { case NonFatal(_) => () }
+        throw e
+    }
+  }
+
+  /** Resolve segment metas for `ids` from RETAINED manifest history,
+    * newest version first, translated through `current`'s column
+    * mapping (physical names are frozen, so the translation is
+    * well-defined for any age) — the ONE resurrection rule behind
+    * both faces of the id-watermark contract: the streaming source's
+    * planInputPartitions and batch `sinceVersion` reads. Ids whose
+    * rows live on under later dataChange=false output (compaction)
+    * resolve and are DELIVERED; ids found only as dataChange=false
+    * entries are skipped (their rows were already consumed under
+    * earlier ids); ids in no retained version throw — history was
+    * expired past the consumer. */
+  def resolveHistorical(fs: FileSystem, root: String, current: Manifest,
+      ids: Seq[Long], context: String): Seq[SegmentMeta] = {
+    if (ids.isEmpty) return Nil
+    val b = scala.collection.mutable.HashMap[Long, SegmentMeta]()
+    liveVersions(fs, root).sorted.reverse.foreach { v =>
+      try logicalView(readVersion(fs, root, v).copy(
+          physicalOf = current.physicalOf, retiredSchema = current.retiredSchema))
+        .segments.foreach { sg => if (!b.contains(sg.id)) b += sg.id -> sg }
+      catch { case _: IllegalArgumentException => () } // expired mid-listing
+    }
+    ids.flatMap { id =>
+      b.get(id) match {
+        case Some(sg) => if (sg.dataChange) Some(sg) else None
+        case None => throw new IllegalStateException(
+          s"segment id $id is in no retained manifest version of $root: history " +
+            s"was expired past $context — retain versions at least as long as " +
+            "your slowest consumer's lag")
+      }
+    }
   }
 
   /** Prefix marking a dropped physical column in a logical-view
@@ -522,52 +568,67 @@ object SegmentLog {
     * column names are logical and are renamed along. */
   def renameColumn(fs: FileSystem, root: String, from: String, to: String,
       maxRetries: Int = 20): Long =
-    alter(fs, root, maxRetries) { m =>
-      require(m.schema.fieldNames.contains(from), s"no column $from to rename")
-      require(!m.schema.fieldNames.contains(to), s"column $to already exists")
-      val phys = m.physicalOf.getOrElse(from, from)
-      m.copy(
-        schema = StructType(m.schema.fields.map(f =>
-          if (f.name == from) f.copy(name = to) else f)),
-        physicalOf = m.physicalOf - from + (to -> phys),
-        bucketing = m.bucketing.map(b =>
-          b.copy(cols = b.cols.map(c => if (c == from) to else c))))
-    }
+    alterSchema(fs, root, Seq(renameTransform(from, to)), maxRetries)
+
+  /** The pure manifest transform behind [[renameColumn]] — composable
+    * so a multi-change ALTER TABLE lands as ONE commit. */
+  def renameTransform(from: String, to: String): Manifest => Manifest = { m =>
+    require(m.schema.fieldNames.contains(from), s"no column $from to rename")
+    require(!m.schema.fieldNames.contains(to), s"column $to already exists")
+    val phys = m.physicalOf.getOrElse(from, from)
+    m.copy(
+      schema = StructType(m.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+      physicalOf = m.physicalOf - from + (to -> phys),
+      bucketing = m.bucketing.map(b =>
+        b.copy(cols = b.cols.map(c => if (c == from) to else c))))
+  }
 
   /** Metadata-only DROP: the physical column's bytes stay in old
     * segments (skipped by readers via `retiredSchema`); the name is
     * retired forever so a later add never collides. */
   def dropColumn(fs: FileSystem, root: String, name: String,
       maxRetries: Int = 20): Long =
-    alter(fs, root, maxRetries) { m =>
-      require(m.schema.fieldNames.contains(name), s"no column $name to drop")
-      require(!m.bucketing.exists(_.cols.contains(name)),
-        s"column $name is a clustering column of the live layout — " +
-          "re-cluster (compact) before dropping it")
-      require(m.schema.length > 1, "cannot drop the last column")
-      val phys = m.physicalOf.getOrElse(name, name)
-      val dt = m.schema.fields.find(_.name == name).get.dataType
-      m.copy(
-        schema = StructType(m.schema.fields.filterNot(_.name == name)),
-        physicalOf = m.physicalOf - name,
-        retiredSchema = StructType(
-          m.retiredSchema.fields :+ org.apache.spark.sql.types.StructField(phys, dt)))
-    }
+    alterSchema(fs, root, Seq(dropTransform(name)), maxRetries)
+
+  def dropTransform(name: String): Manifest => Manifest = { m =>
+    require(m.schema.fieldNames.contains(name), s"no column $name to drop")
+    require(!m.bucketing.exists(_.cols.contains(name)),
+      s"column $name is a clustering column of the live layout — " +
+        "re-cluster (compact) before dropping it")
+    require(m.schema.length > 1, "cannot drop the last column")
+    val phys = m.physicalOf.getOrElse(name, name)
+    val dt = m.schema.fields.find(_.name == name).get.dataType
+    m.copy(
+      schema = StructType(m.schema.fields.filterNot(_.name == name)),
+      physicalOf = m.physicalOf - name,
+      retiredSchema = StructType(
+        m.retiredSchema.fields :+ org.apache.spark.sql.types.StructField(phys, dt)))
+  }
 
   /** Metadata-only ADD of a nullable column (old segments
     * null-backfill); the physical name avoids every retired name. */
   def addColumn(fs: FileSystem, root: String, field: org.apache.spark.sql.types.StructField,
       maxRetries: Int = 20): Long =
-    alter(fs, root, maxRetries) { m =>
-      require(!m.schema.fieldNames.contains(field.name),
-        s"column ${field.name} already exists")
-      val phys = physicalNames(Some(m),
-        StructType(Seq(field))).head
-      m.copy(
-        schema = StructType(m.schema.fields :+ field.copy(nullable = true)),
-        physicalOf =
-          if (phys == field.name) m.physicalOf else m.physicalOf + (field.name -> phys))
-    }
+    alterSchema(fs, root, Seq(addTransform(field)), maxRetries)
+
+  def addTransform(field: org.apache.spark.sql.types.StructField): Manifest => Manifest = { m =>
+    require(!m.schema.fieldNames.contains(field.name),
+      s"column ${field.name} already exists")
+    val phys = physicalNames(Some(m), StructType(Seq(field))).head
+    m.copy(
+      schema = StructType(m.schema.fields :+ field.copy(nullable = true)),
+      physicalOf =
+        if (phys == field.name) m.physicalOf else m.physicalOf + (field.name -> phys))
+  }
+
+  /** Apply several schema transforms as ONE optimistic commit — a
+    * multi-change `ALTER TABLE` either lands whole or not at all (a
+    * failing validation in any transform aborts before the version
+    * slot is touched). */
+  def alterSchema(fs: FileSystem, root: String,
+      transforms: Seq[Manifest => Manifest], maxRetries: Int = 20): Long =
+    alter(fs, root, maxRetries)(m => transforms.foldLeft(m)((acc, t) => t(acc)))
 
   /** Optimistic schema-metadata commit: transform the live manifest,
     * bump the version, claim the slot; segments/ids/watermarks pass
@@ -582,24 +643,10 @@ object SegmentLog {
       val current = read(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no graft-segment table at $root"))
       val next = f(current).copy(version = current.version + 1)
-      val p = manifestPath(root, next.version)
-      fs.mkdirs(p.getParent)
       val body = render(next).getBytes(StandardCharsets.UTF_8)
-      val out =
-        try Some(fs.create(p, false))
-        catch {
-          case NonFatal(_) if fs.exists(p) && attempt < maxRetries =>
-            attempt += 1; None
-        }
-      out.foreach { o =>
-        try { o.write(body); o.close(); return next.version }
-        catch {
-          case NonFatal(e) =>
-            try o.close() catch { case NonFatal(_) => () }
-            try fs.delete(p, false) catch { case NonFatal(_) => () }
-            throw e
-        }
-      }
+      if (claimSlot(fs, root, next.version, body, canRetry = attempt < maxRetries))
+        return next.version
+      attempt += 1
     }
     throw new IllegalStateException("unreachable")
   }

@@ -1056,6 +1056,111 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(feed == 0, "z-order compaction must contribute nothing to the feed")
   }
 
+  test("truncate detection is VERSION-based: watermark ties cannot hide deletions") {
+    val dir = tmp("graft-seg-twtie")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    put(0 until 10); put(10 until 20); put(20 until 30) // v0..v2, ids 0..2
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val table = new graft.sources.segment.GraftSegmentTable(dir,
+      SegmentLog.read(fs, dir).get.schema)
+    // metadata-only DELETE allocates NO ids: truncateWatermark ties at
+    // the pre-delete max, and only the truncate VERSION reveals it
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 20L))) // v3
+    val m = SegmentLog.read(fs, dir).get
+    assert(m.truncateWatermark == m.maxSegmentId, "the tie under test")
+    assert(m.truncateVersion == 3)
+    // an id-based guard would pass tw <= base.maxId and silently hide
+    // the deletion; the version guard fails fast
+    val e = intercept[Exception] {
+      spark.read.format(Fmt).option("sinceVersion", "0").load(dir).collect()
+    }
+    assert(e.getMessage.contains("append"))
+    // from AFTER the truncate, increments work again
+    put(30 until 40) // v4
+    assert(spark.read.format(Fmt).option("sinceVersion", "3").load(dir)
+      .as[Long].collect().sorted.toSeq == (30L until 40L))
+  }
+
+  test("a SECOND metadata-only delete under a running stream fails fast (version ack)") {
+    val dir = tmp("graft-seg-twtie2")
+    val ckpt = tmp("graft-seg-twtie2-ckpt")
+    val outDir = tmp("graft-seg-twtie2-out")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    def drain(): Option[Throwable] = {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(120000); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    put(0 until 10); put(10 until 20); put(20 until 30)
+    def table = new graft.sources.segment.GraftSegmentTable(dir,
+      SegmentLog.read(fs, dir).get.schema)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 20L)))
+    // fresh stream acknowledges the first delete's truncate version
+    assert(drain().isEmpty)
+    assert(spark.read.parquet(outDir).count() == 20)
+    // a SECOND delete allocates no ids either — the watermark does not
+    // move, only the version does; the running stream must fail, not
+    // classify the newly-dead ids as a pre-stream generation
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L)))
+    put(40 until 50) // give the stream a next batch to trip on
+    val err = drain()
+    assert(err.isDefined, "second delete under the stream must fail it")
+    assert(err.exists(e =>
+      (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("under this running stream")))
+  }
+
+  test("two compactions between incremental reads neither fail nor duplicate") {
+    val dir = tmp("graft-seg-dblcompact")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    put(0 until 10) // v0 = the base version
+    put(10 until 20) // v1
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // v2
+    // the second compaction replaces the FIRST compaction's own
+    // dataChange=false output — historical dc=false entries must be
+    // skipped, not reported as expired history
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // v3
+    val inc = spark.read.format(Fmt).option("sinceVersion", "0").load(dir)
+      .as[Long].collect().sorted.toSeq
+    assert(inc == (10L until 20L), s"increment must be exactly the post-base rows, got ${inc.size}")
+  }
+
+  test("a multi-change ALTER TABLE lands whole or not at all") {
+    val wh = tmp("graft-atomicddl-wh")
+    val cat = s"graft_addl_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT)")
+    // second column collides → the whole statement must abort with the
+    // first column NOT added (one manifest commit per statement)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMNS (extra BIGINT, v BIGINT)")
+    }
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").schema.fieldNames.toSeq ==
+      Seq("k", "v"), "failed multi-change DDL must leave the table untouched")
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
