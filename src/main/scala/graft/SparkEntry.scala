@@ -2806,6 +2806,38 @@ object SparkEntry {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // the STREAMING face of the change feed (readChangeFeed=true):
+    // offsets are manifest VERSIONS, each micro-batch a closed version
+    // range diffed by segment identity — inserts from appends and the
+    // rewrite half of DML, deletes from the replaced half, compaction
+    // invisible. Same commit sequence as store_segment_changes, one
+    // version per trigger, so the SAME closed-form oracle certifies
+    // the streamed feed row-for-row
+    "stream_segment_cdf" -> ((s, d) => withTempDir("graft-segcdf") { base =>
+      val dir = s"$base/t"
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      def put(pred: org.apache.spark.sql.Column): Unit =
+        src.filter(pred).write.format("graft-segment")
+          .option("clusterBy", "k").option("numPartitions", "4")
+          .mode("append").save(dir)
+      put(col("k") % 3 === 0)                                             // v0
+      put(col("k") % 3 === 1)                                             // v1
+      graft.sources.segment.GraftMaintenance.deleteRows(s, dir, col("k") % 5 === 0) // v2
+      graft.sources.segment.GraftMaintenance.compact(s, dir, "k", 2)      // v3: silent
+      put(col("k") % 3 === 2)                                             // v4
+      val q = s.readStream.format("graft-segment")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .orderBy(col("_commit_version"), col("_change_type"), col("k"))
+    }),
     // the connector as a STREAMING SINK: each micro-batch epoch is one
     // manifest commit carrying a (queryId, epoch) transaction id, so
     // retried epochs are no-ops — exactly-once INTO the table format
@@ -4492,6 +4524,22 @@ object SparkEntry {
   /** The two-iteration Lloyd chain over a (vec_id, ve) CTE named `src`
     * — shared by the embeddings-table index (ivfSql) and the augmented
     * corpus of dedup_semantic. */
+  /** The change feed's closed form, commit by commit, shared by the
+    * batch (store_segment_changes) and streaming (stream_segment_cdf)
+    * consumption modes: v1 appends k%3=1; v2 (the deleteRows rewrite)
+    * deletes everything live and re-inserts survivors; v3 (compact) is
+    * absent; v4 appends k%3=2. Keys unique per (version, change). */
+  private val segmentChangesOracleSql: String =
+    "WITH src AS (SELECT o_orderkey AS k, " +
+      "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders) " +
+      "SELECT * FROM (" +
+      "SELECT k, cents, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version " +
+      "FROM src WHERE k % 3 = 1 " +
+      "UNION ALL SELECT k, cents, 'delete', 2 FROM src WHERE k % 3 IN (0, 1) " +
+      "UNION ALL SELECT k, cents, 'insert', 2 FROM src WHERE k % 3 IN (0, 1) AND NOT k % 5 = 0 " +
+      "UNION ALL SELECT k, cents, 'insert', 4 FROM src WHERE k % 3 = 2) " +
+      "ORDER BY _commit_version, _change_type, k"
+
   private def lloydSql(src: String): String =
     s"c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, ve AS ce FROM $src WHERE vec_id < 8), " +
       s"s1 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM $src CROSS JOIN c0), " +
@@ -5497,16 +5545,10 @@ object SparkEntry {
     // k%3=1; v2 (the deleteRows rewrite) deletes everything live and
     // re-inserts the survivors; v3 (compact) is absent; v4 appends
     // k%3=2. Keys are unique within each (version, change) slice
-    "store_segment_changes" ->
-      ("WITH src AS (SELECT o_orderkey AS k, " +
-        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders) " +
-        "SELECT * FROM (" +
-        "SELECT k, cents, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version " +
-        "FROM src WHERE k % 3 = 1 " +
-        "UNION ALL SELECT k, cents, 'delete', 2 FROM src WHERE k % 3 IN (0, 1) " +
-        "UNION ALL SELECT k, cents, 'insert', 2 FROM src WHERE k % 3 IN (0, 1) AND NOT k % 5 = 0 " +
-        "UNION ALL SELECT k, cents, 'insert', 4 FROM src WHERE k % 3 = 2) " +
-        "ORDER BY _commit_version, _change_type, k"),
+    "store_segment_changes" -> segmentChangesOracleSql,
+    // the STREAMED feed over the identical commit sequence must land
+    // on the identical closed form — one oracle, two consumption modes
+    "stream_segment_cdf" -> segmentChangesOracleSql,
 
     // Q3 on the native format ≡ Q3 on parquet (rel_q3's oracle text)
     "store_segment_q3" ->

@@ -1,0 +1,226 @@
+package graft.sources.segment
+
+import java.io.{BufferedInputStream, DataInputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGE DATA FEED reads over a graft-segment table — the streaming
+  * (and batch) face of [[GraftMaintenance.changes]]'s manifest-diff
+  * CDC: every row of the table plus `_change_type` (insert | delete)
+  * and `_commit_version`, computed by diffing adjacent manifest
+  * versions BY SEGMENT IDENTITY — no change files are ever written.
+  *
+  * {{{
+  * spark.readStream.format("graft-segment")
+  *   .option("readChangeFeed", "true")
+  *   .option("startingVersion", "0")   // default: now (future commits only)
+  *   .load(dir)
+  * }}}
+  *
+  * Offsets are MANIFEST VERSIONS (highest fully consumed), so a batch
+  * is a closed version range and replanning a committed range yields
+  * identical rows — exactly-once, even across compaction (a
+  * dataChange = false step diffs to nothing). Deletes read the
+  * REMOVED segment's file, which stays on disk while any retained
+  * version references it: retention must cover the feed's lag, the
+  * same contract as the append source's resurrection path. Rewritten
+  * segments show copy-on-write granularity honestly (unchanged rows =
+  * equal-valued delete+insert pairs), as documented on
+  * [[GraftMaintenance.changes]].
+  *
+  * 100 TB: per-batch planning reads two manifests per version step and
+  * plans ONLY changed segments; feed cost tracks changed bytes, never
+  * table size.
+  */
+object GraftChangeFeed {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def feedSchema(table: StructType): StructType =
+    StructType(table.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false)))
+
+  /** The changed segments in version range (from, to]: (meta, type,
+    * commit version), metas translated to the CURRENT logical view so
+    * readers resolve columns across renames. Deletes are emitted for
+    * data-changing truncates only; compaction steps diff to nothing. */
+  def changedSegments(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      current: Manifest, from: Long, to: Long): Seq[(SegmentMeta, String, Long)] = {
+    def view(v: Long): Manifest =
+      SegmentLog.logicalView(SegmentLog.readVersion(fs, root, v).copy(
+        physicalOf = current.physicalOf, retiredSchema = current.retiredSchema))
+    val out = Seq.newBuilder[(SegmentMeta, String, Long)]
+    // from < 0 = "from before the table existed": the empty base
+    var prev = if (from < 0) Manifest(-1L, current.schema, Nil) else view(from)
+    (from + 1 to to).foreach { v =>
+      val cur = view(v)
+      val prevIds = prev.segments.map(_.id).toSet
+      val curIds = cur.segments.map(_.id).toSet
+      cur.segments.filter(s => !prevIds.contains(s.id) && s.dataChange)
+        .foreach(s => out += ((s, "insert", v)))
+      val isCompaction = cur.compactedThrough > prev.compactedThrough
+      if (!isCompaction)
+        prev.segments.filterNot(s => curIds.contains(s.id))
+          .foreach(s => out += ((s, "delete", v)))
+      prev = cur
+    }
+    out.result()
+  }
+}
+
+case class GraftCdfInputPartition(file: String, cols: Seq[String],
+    changeType: String, version: Long) extends InputPartition
+
+/** Row reader wrapping the segment codec: decodes the table columns
+  * (null-backfilling evolution holes, skipping dropped markers) and
+  * appends the two constant feed columns. */
+class GraftCdfReaderFactory(tableSchema: StructType,
+    conf: SerializableHadoopConf,
+    retired: Map[String, org.apache.spark.sql.types.DataType])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdfInputPartition]
+    val stored = StructType(p.cols.map(n =>
+      tableSchema.fields.find(_.name == n).getOrElse(
+        retired.get(n).map(dt => StructField(n, dt)).getOrElse(
+          throw new IllegalStateException(s"segment column $n unresolvable in feed")))))
+    val path = new Path(p.file)
+    val in = new DataInputStream(new BufferedInputStream(
+      path.getFileSystem(conf.value).open(path), 1 << 16))
+    val it = new SegmentCodec.RowIterator(in, stored, tableSchema)
+    val n = tableSchema.length
+    val ct = UTF8String.fromString(p.changeType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = it.hasNext
+      override def get(): InternalRow = {
+        val r = it.next()
+        val out = new GenericInternalRow(n + 2)
+        var i = 0
+        while (i < n) { out.update(i, r.get(i, tableSchema.fields(i).dataType)); i += 1 }
+        out.update(n, ct)
+        out.update(n + 1, p.version)
+        out
+      }
+      override def close(): Unit = it.close()
+    }
+  }
+}
+
+/** The CDF table: batch reads serve a closed version range, streaming
+  * reads page through versions with exactly-once offsets. */
+class GraftChangeFeedTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-segment-cdf $root"
+  override def schema(): StructType = GraftChangeFeed.feedSchema(tableSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val conf =
+          new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+        private def fs = SegmentLog.fs(root, conf.value)
+
+        override def readSchema(): StructType = GraftChangeFeed.feedSchema(tableSchema)
+        override def description(): String = s"graft-segment change feed $root"
+        override def toBatch: Batch = this
+
+        override def planInputPartitions(): Array[InputPartition] = {
+          val cur = SegmentLog.read(fs, root).getOrElse(
+            throw new IllegalArgumentException(s"no graft-segment table at $root"))
+          val from = Option(options.get("startingVersion")).map(_.toLong - 1).getOrElse(
+            throw new IllegalArgumentException(
+              "batch change-feed reads need startingVersion (streaming defaults to 'now')"))
+          val to = Option(options.get("endingVersion")).map(_.toLong).getOrElse(cur.version)
+          GraftChangeFeed.changedSegments(fs, root, cur, math.max(from, -1L), to)
+            .map { case (s, ct, v) =>
+              GraftCdfInputPartition(s"$root/${s.path}",
+                if (s.cols.nonEmpty) s.cols else tableSchema.fieldNames.toSeq,
+                ct, v): InputPartition
+            }.toArray
+        }
+
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GraftCdfReaderFactory(tableSchema, conf,
+            SegmentLog.read(fs, root).map(SegmentLog.markerTypes).getOrElse(Map.empty))
+
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftChangeFeedStream(root, tableSchema, conf,
+            Option(options.get("startingVersion")).map(_.toLong),
+            Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      }
+    }
+}
+
+/** Offset = highest manifest version fully consumed. */
+case class GraftCdfOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+class GraftChangeFeedStream(root: String, tableSchema: StructType,
+    conf: SerializableHadoopConf, startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def fs = SegmentLog.fs(root, conf.value)
+  private def latest(): Long = SegmentLog.latestVersion(fs, root)
+
+  @volatile private var frozen: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = frozen = Some(latest())
+
+  override def initialOffset(): Offset =
+    // default = "changes from now": the snapshot is the append
+    // source's job, the feed's is the delta
+    GraftCdfOffset(startingVersion.map(_ - 1).getOrElse(latest()))
+
+  override def deserializeOffset(json: String): Offset = GraftCdfOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(Offset, ReadLimit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = frozen.getOrElse(latest())
+    val from = start.asInstanceOf[GraftCdfOffset].version
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(avail, from + n)
+      case None => avail
+    }
+    GraftCdfOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): Offset = GraftCdfOffset(latest())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftCdfOffset].version
+    val to = end.asInstanceOf[GraftCdfOffset].version
+    val cur = SegmentLog.read(fs, root).getOrElse(
+      throw new IllegalStateException(s"no graft-segment table at $root"))
+    GraftChangeFeed.changedSegments(fs, root, cur, from, to).map { case (s, ct, v) =>
+      GraftCdfInputPartition(s"$root/${s.path}",
+        if (s.cols.nonEmpty) s.cols else tableSchema.fieldNames.toSeq,
+        ct, v): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdfReaderFactory(tableSchema, conf,
+      SegmentLog.read(fs, root).map(SegmentLog.markerTypes).getOrElse(Map.empty))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

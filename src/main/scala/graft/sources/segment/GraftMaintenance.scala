@@ -192,47 +192,14 @@ object GraftMaintenance {
     * diffing snapshots (store_table_diff's O(table) shape). */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
-    val to = if (toVersion >= 0) toVersion else SegmentLog.latestVersion(fs, dir)
-    require(fromVersion <= to, s"changes: fromVersion $fromVersion > toVersion $to")
-    // the CURRENT logical schema, not the to-version's: versionAsOf
-    // slice reads always resolve under the live mapping (renames after
-    // `to` would otherwise make historical ranges unreadable); columns
-    // added since a slice's version null-backfill, like any old read
-    val schema = SegmentLog.read(fs, dir)
-      .getOrElse(SegmentLog.readVersion(fs, dir, to)).schema
-    def slice(version: Long, segs: Seq[SegmentMeta], change: String, at: Long): DataFrame =
-      spark.read.format(Fmt).option("versionAsOf", version.toString).load(dir)
-        .filter(col(GraftSegmentTable.SegmentCol)
-          .isin(segs.map(s => s"$dir/${s.path}"): _*))
-        .select(schema.fieldNames.map(col).toSeq: _*)
-        .withColumn("_change_type", lit(change))
-        .withColumn("_commit_version", lit(at))
-    var prev = SegmentLog.readVersion(fs, dir, fromVersion)
-    val parts = Seq.newBuilder[DataFrame]
-    (fromVersion + 1 to to).foreach { v =>
-      val cur = SegmentLog.readVersion(fs, dir, v)
-      val prevIds = prev.segments.map(_.id).toSet
-      val curIds = cur.segments.map(_.id).toSet
-      val added = cur.segments.filter(s => !prevIds.contains(s.id) && s.dataChange)
-      val isCompaction = cur.compactedThrough > prev.compactedThrough
-      val removed =
-        if (isCompaction) Nil // layout change only; rows live on
-        else prev.segments.filterNot(s => curIds.contains(s.id))
-      if (added.nonEmpty) parts += slice(v, added, "insert", v)
-      if (removed.nonEmpty) parts += slice(v - 1, removed, "delete", v)
-      prev = cur
-    }
-    parts.result().reduceOption(_ unionByName _).getOrElse {
-      import org.apache.spark.sql.Row
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-    }
+    // one implementation: the CDF read path ([[GraftChangeFeed]] —
+    // also reachable as option("readChangeFeed","true") on batch and
+    // streaming reads); this wrapper keeps the maintenance-API face
+    val df = spark.read.format(Fmt)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (fromVersion + 1).toString)
+    (if (toVersion >= 0) df.option("endingVersion", toVersion.toString) else df)
+      .load(dir)
   }
 
   /** Delete manifest versions older than the last `keepLast`. Time

@@ -85,16 +85,29 @@ class GraftSegmentSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = root(options)
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    SegmentLog.read(SegmentLog.fs(dir, conf), dir)
+    val table = SegmentLog.read(SegmentLog.fs(dir, conf), dir)
       .getOrElse(throw new IllegalArgumentException(
         s"no graft-segment table at $dir (no ${SegmentLog.LogDir}/ manifest)"))
       .schema
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      GraftChangeFeed.feedSchema(table)
+    else table
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    SegmentCodec.validateSchema(schema)
-    new GraftSegmentTable(root(new CaseInsensitiveStringMap(properties)), schema)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val dir = root(opts)
+    if (Option(opts.get("readChangeFeed")).exists(_.toBoolean)) {
+      // the CDF face: same table, rows + (_change_type, _commit_version)
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val m = SegmentLog.read(SegmentLog.fs(dir, conf), dir).getOrElse(
+        throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+      new GraftChangeFeedTable(dir, m.schema)
+    } else {
+      SegmentCodec.validateSchema(schema)
+      new GraftSegmentTable(dir, schema)
+    }
   }
 }
 

@@ -1161,6 +1161,55 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Seq("k", "v"), "failed multi-change DDL must leave the table untouched")
   }
 
+  test("streaming change feed: version offsets resume exactly-once; compaction stays invisible") {
+    val dir = tmp("graft-seg-cdfstream")
+    val ckpt = tmp("graft-seg-cdfstream-ckpt")
+    val outDir = tmp("graft-seg-cdfstream-out")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    put(0 until 10) // v0
+    put(10 until 20) // v1
+    drain()
+    def feed() = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(feed() == ((0L until 20L).map(i => (i, "insert", if (i < 10) 0L else 1L))).sorted)
+
+    // new commits stream in as their version's delta; the compaction
+    // version contributes nothing; restart replays nothing
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    new graft.sources.segment.GraftSegmentTable(dir, SegmentLog.read(fs, dir).get.schema)
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L))) // v2: delete seg 1
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // v3: silent
+    put(20 until 25) // v4
+    drain()
+    val want = ((0L until 20L).map(i => (i, "insert", if (i < 10) 0L else 1L)) ++
+      (10L until 20L).map(i => (i, "delete", 2L)) ++
+      (20L until 25L).map(i => (i, "insert", 4L))).sorted
+    assert(feed() == want, "incremental feed must append exactly the new versions' changes")
+
+    // the batch CDF face over the same range agrees
+    val batch = spark.read.format(Fmt)
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(batch == want)
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
