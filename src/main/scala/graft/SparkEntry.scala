@@ -4521,9 +4521,6 @@ object SparkEntry {
       "SELECT CAST(dim - 1 AS INT) AS dim, round(v[dim], 4) AS loading " +
       "FROM (SELECT unnest(range(1, len(v)+1)) AS dim, v FROM v2) ORDER BY dim"
 
-  /** The two-iteration Lloyd chain over a (vec_id, ve) CTE named `src`
-    * — shared by the embeddings-table index (ivfSql) and the augmented
-    * corpus of dedup_semantic. */
   /** The change feed's closed form, commit by commit, shared by the
     * batch (store_segment_changes) and streaming (stream_segment_cdf)
     * consumption modes: v1 appends k%3=1; v2 (the deleteRows rewrite)
@@ -4540,6 +4537,9 @@ object SparkEntry {
       "UNION ALL SELECT k, cents, 'insert', 4 FROM src WHERE k % 3 = 2) " +
       "ORDER BY _commit_version, _change_type, k"
 
+  /** The two-iteration Lloyd chain over a (vec_id, ve) CTE named `src`
+    * — shared by the embeddings-table index (ivfSql) and the augmented
+    * corpus of dedup_semantic. */
   private def lloydSql(src: String): String =
     s"c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, ve AS ce FROM $src WHERE vec_id < 8), " +
       s"s1 AS (SELECT vec_id, ve, centroid_id, ${cosSql("ve", "ce")} AS sim FROM $src CROSS JOIN c0), " +

@@ -79,32 +79,27 @@ object GraftChangeFeed {
 }
 
 case class GraftCdfInputPartition(file: String, cols: Seq[String],
-    changeType: String, version: Long) extends InputPartition
+    changeType: String, version: Long) extends GraftPartition
 
-/** Row reader wrapping the segment codec: decodes the table columns
-  * (null-backfilling evolution holes, skipping dropped markers) and
-  * appends the two constant feed columns. */
+/** The plain segment row reader ([[GraftReaderFactory]] — ONE home for
+  * the column-mapping/evolution resolution rules) wrapped to append
+  * the two constant feed columns. */
 class GraftCdfReaderFactory(tableSchema: StructType,
     conf: SerializableHadoopConf,
     retired: Map[String, org.apache.spark.sql.types.DataType])
     extends PartitionReaderFactory {
 
+  private val inner = new GraftReaderFactory(tableSchema, tableSchema, conf, retired)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdfInputPartition]
-    val stored = StructType(p.cols.map(n =>
-      tableSchema.fields.find(_.name == n).getOrElse(
-        retired.get(n).map(dt => StructField(n, dt)).getOrElse(
-          throw new IllegalStateException(s"segment column $n unresolvable in feed")))))
-    val path = new Path(p.file)
-    val in = new DataInputStream(new BufferedInputStream(
-      path.getFileSystem(conf.value).open(path), 1 << 16))
-    val it = new SegmentCodec.RowIterator(in, stored, tableSchema)
+    val it = inner.createReader(p)
     val n = tableSchema.length
     val ct = UTF8String.fromString(p.changeType)
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = it.hasNext
+      override def next(): Boolean = it.next()
       override def get(): InternalRow = {
-        val r = it.next()
+        val r = it.get()
         val out = new GenericInternalRow(n + 2)
         var i = 0
         while (i < n) { out.update(i, r.get(i, tableSchema.fields(i).dataType)); i += 1 }

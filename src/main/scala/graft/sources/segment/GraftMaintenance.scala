@@ -79,20 +79,30 @@ object GraftMaintenance {
     import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
     require(cols.size >= 2, "z-order needs at least 2 columns (use clusterBy for 1)")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
-    val before = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    val m = SegmentLog.read(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+    val before = m.segments.size
     if (before == 0) return (0, 0) // nothing live to reorganize
     val df = spark.read.format(Fmt).load(dir)
-    cols.foreach { c =>
+    // per-type numeric projection: date/timestamp columns go through
+    // unix_date/unix_micros — Spark 4's default ANSI mode refuses the
+    // direct DATE/TIMESTAMP_NTZ → DOUBLE cast
+    def numeric(c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
       val dt = df.schema.fields.find(_.name == c).map(_.dataType).getOrElse(
         throw new IllegalArgumentException(s"z-order column $c not in table schema"))
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-          dt == org.apache.spark.sql.types.DateType ||
-          dt == org.apache.spark.sql.types.TimestampType ||
-          dt == org.apache.spark.sql.types.TimestampNTZType,
-        s"z-order column $c must be numeric/date/timestamp, got ${dt.sql}")
+      dt match {
+        case DateType => org.apache.spark.sql.functions.unix_date(col(c)).cast("double")
+        case TimestampType =>
+          org.apache.spark.sql.functions.unix_micros(col(c)).cast("double")
+        case TimestampNTZType =>
+          org.apache.spark.sql.functions.unix_micros(col(c).cast("timestamp")).cast("double")
+        case _: NumericType => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"z-order column $c must be numeric/date/timestamp, got ${other.sql}")
+      }
     }
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val aggs = cols.flatMap(c => Seq(min(numeric(c)), max(numeric(c))))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
     // an all-null column (or an empty live row set) has no domain to
     // rank — rank it as constant 0 rather than NPE mid-maintenance
@@ -101,7 +111,7 @@ object GraftMaintenance {
       else {
         val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
         val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-        least(greatest(floor((col(c).cast("double") - lit(lo)) / lit(span) * 256), lit(0)),
+        least(greatest(floor((numeric(c) - lit(lo)) / lit(span) * 256), lit(0)),
           lit(255)).cast("long")
       }
     }
@@ -195,6 +205,8 @@ object GraftMaintenance {
     // one implementation: the CDF read path ([[GraftChangeFeed]] —
     // also reachable as option("readChangeFeed","true") on batch and
     // streaming reads); this wrapper keeps the maintenance-API face
+    require(toVersion < 0 || fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val df = spark.read.format(Fmt)
       .option("readChangeFeed", "true")
       .option("startingVersion", (fromVersion + 1).toString)

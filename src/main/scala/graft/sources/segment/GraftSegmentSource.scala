@@ -647,7 +647,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       pushed)
 }
 
-sealed trait GraftPartition extends InputPartition {
+// not sealed: the change feed's partition type lives in its own file
+trait GraftPartition extends InputPartition {
   def file: String
   /** Ordered columns the segment file physically stores (schema
     * evolution: may be a prefix-subset of the table schema). */
@@ -768,7 +769,7 @@ object GraftMicroBatchStream {
 }
 
 /** Streaming offset = the next SEGMENT ID to consume, plus the
-  * truncate watermark the stream ACKNOWLEDGED when it started. Ids are
+  * truncate COMMIT VERSION the stream ACKNOWLEDGED when it started. Ids are
   * table-lifetime-unique, dense, and assigned in commit order
   * ([[SegmentLog.commit]]), so [start, end) id ranges are stable
   * across restarts AND across compaction: re-planning a committed
@@ -777,13 +778,16 @@ object GraftMicroBatchStream {
   * nor invalidates a checkpoint.
   *
   * `ack` pins stream identity against DATA-CHANGING truncates: a
-  * fresh stream acknowledges the table's truncate history at init
-  * (dead ids ≤ ack are a generation that predates it — skipped), while
-  * a truncate that POSTDATES the stream (watermark > ack) deleted
-  * rows out from under it and fails fast. Without ack in the offset,
-  * "fresh stream over an overwritten table" and "running stream whose
-  * input was overwritten" are indistinguishable once admission
-  * control advances the offset into the dead range.
+  * fresh stream acknowledges the table's latest truncate VERSION at
+  * init (dead ids from acknowledged truncates are a generation that
+  * predates it — skipped), while a truncate that POSTDATES the stream
+  * (truncateVersion > ack) deleted rows out from under it and fails
+  * fast. A VERSION, not an id watermark: metadata-only DELETEs
+  * allocate no ids, so two truncates can tie at one watermark — only
+  * the commit version orders them. Without ack in the offset, "fresh
+  * stream over an overwritten table" and "running stream whose input
+  * was overwritten" are indistinguishable once admission control
+  * advances the offset into the dead range.
   *
   * JSON: a bare long for append-era streams (byte-compatible with
   * pre-id checkpoints, where the offset was the segment COUNT — equal

@@ -273,7 +273,12 @@ object SegmentLog {
       truncateWatermark =
         if (node.hasNonNull("truncateWatermark")) node.get("truncateWatermark").asLong() else -1L,
       truncateVersion =
-        if (node.hasNonNull("truncateVersion")) node.get("truncateVersion").asLong() else -1L,
+        if (node.hasNonNull("truncateVersion")) node.get("truncateVersion").asLong()
+        // legacy manifest with a truncate on record but no version:
+        // take the manifest's own version as a conservative upper
+        // bound — may fail a consumer spuriously, never hides a delete
+        else if (node.hasNonNull("truncateWatermark")) node.get("version").asLong()
+        else -1L,
       compactedThrough =
         if (node.hasNonNull("compactedThrough")) node.get("compactedThrough").asLong() else -1L,
       physicalOf = physicalOf, retiredSchema = retired)

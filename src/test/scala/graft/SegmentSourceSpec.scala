@@ -1054,6 +1054,29 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val feed = graft.sources.segment.GraftMaintenance
       .changes(spark, dir, 0).filter(col("_commit_version") === 1).count()
     assert(feed == 0, "z-order compaction must contribute nothing to the feed")
+
+    // DATE/TIMESTAMP z-order columns go through unix_date/unix_micros:
+    // Spark 4's default ANSI mode refuses the direct DOUBLE cast, so a
+    // naive cast would crash this exact call
+    val dir2 = tmp("graft-seg-zorder-date")
+    spark.range(0, 1000).select(
+        date_add(lit("2024-01-01").cast("date"), (col("id") % 60).cast("int")).as("d"),
+        ((col("id") * 37) % 100).as("y"), col("id").as("v"))
+      .write.format(Fmt).option("clusterBy", "v").option("numPartitions", "8")
+      .mode("append").save(dir2)
+    val (b2, a2) = graft.sources.segment.GraftMaintenance
+      .compactZOrder(spark, dir2, Seq("d", "y"), numPartitions = 8)
+    assert(b2 == 8 && a2 >= 4)
+    assert(spark.read.format(Fmt).load(dir2)
+      .filter(col("d") === lit("2024-01-15").cast("date")).count() ==
+      (0 until 1000).count(i => i % 60 == 14))
+    // non-numeric z column refused loudly; missing table errors
+    intercept[IllegalArgumentException] {
+      graft.sources.segment.GraftMaintenance.compactZOrder(spark, dir2, Seq("d", "nope"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.segment.GraftMaintenance.compactZOrder(spark, tmp("no-table"), Seq("a", "b"), 4)
+    }
   }
 
   test("truncate detection is VERSION-based: watermark ties cannot hide deletions") {
