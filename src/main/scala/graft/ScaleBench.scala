@@ -67,7 +67,13 @@ object ScaleBench {
     "stream_incr_agg_segment",
     "stream_curation_boot_docs", "stream_curation_full_docs",
     "emb_communities", "emb_weighted_core", "emb_weighted_core_bucketed",
-    "rel_entity_resolution", "rel_part_blast_radius")
+    "rel_entity_resolution", "rel_part_blast_radius",
+    // round-8 second tranche: bloom point lookups (write amortizes the
+    // filters; the lookup itself is manifest-sized), z-order rewrite
+    // (one clustered pass over live bytes), both change-feed faces
+    // (cost ∝ changed segments, compaction invisible), DDL round-trip
+    "store_segment_bloom", "store_segment_zorder",
+    "store_segment_changes", "stream_segment_cdf", "store_segment_rename")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
