@@ -104,9 +104,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val path = tablePath(ident)
     require(SegmentLog.read(fs, path).isEmpty,
       s"table $ident already exists at $path")
+    // persisted table properties: declared bloom columns apply to
+    // every future INSERT without the writer re-stating them
+    val props = Seq("bloomFor", "bloomBits")
+      .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
+    props.get("bloomFor").foreach(_.split(",").map(_.trim).filter(_.nonEmpty)
+      .foreach(c => require(schema.fieldNames.contains(c),
+        s"bloomFor column $c not in schema")))
     SegmentLog.commit(fs, path,
       StructType(schema.fields.map(_.copy(nullable = true))),
-      Nil, truncate = true, bucketing = bucketing)
+      Nil, truncate = true, bucketing = bucketing, props = props)
     new GraftSegmentTable(path, schema, bucketing)
   }
 

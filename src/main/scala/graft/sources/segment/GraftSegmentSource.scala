@@ -922,6 +922,23 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
   override def stop(): Unit = ()
 }
 
+object GraftWriteBuilder {
+  /** Bloom config for a write: explicit options win; otherwise the
+    * table's persisted `bloomFor`/`bloomBits` properties apply. */
+  def effectiveBloom(m: Option[Manifest], optFor: Set[String],
+      optBits: Int): (Set[String], Int) = {
+    val props = m.map(_.props).getOrElse(Map.empty)
+    val bf =
+      if (optFor.nonEmpty) optFor
+      else props.get("bloomFor")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val bb =
+      if (optBits != SegmentBloom.DefaultBits) optBits
+      else props.get("bloomBits").map(_.toInt).getOrElse(SegmentBloom.DefaultBits)
+    (bf, bb)
+  }
+}
+
 class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
     tableBucketing: Option[BucketSpec] = None)
     extends WriteBuilder with SupportsTruncate {
@@ -1029,10 +1046,13 @@ class GraftStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
-      private val factory =
+      private val factory = {
+        val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+        val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, Set.empty, SegmentBloom.DefaultBits)
         new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
-          physNames = SegmentLog.physicalNames(
-            SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema))
+          physNames = SegmentLog.physicalNames(m, schema),
+          bloomFor = ebf, bloomBits = ebb)
+      }
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)
     }
@@ -1076,11 +1096,15 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (clusterBy.nonEmpty)
       bucketSpec = Some(BucketSpec(clusterBy, info.numPartitions(), clusterMode))
+    val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+    // a table's declared bloom columns (TBLPROPERTIES or the creating
+    // write) are the default for every later INSERT — the same
+    // declare-once shape as the bucket layout
+    val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, bloomFor, bloomBits)
     new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
       labelBuckets = clusterBy.nonEmpty && clusterMode == "hash",
-      physNames = SegmentLog.physicalNames(
-        SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema),
-      bloomFor = bloomFor, bloomBits = bloomBits)
+      physNames = SegmentLog.physicalNames(m, schema),
+      bloomFor = ebf, bloomBits = ebb)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -99,7 +99,8 @@ case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta
     truncateVersion: Long = -1L,
     compactedThrough: Long = -1L,
     physicalOf: Map[String, String] = Map.empty,
-    retiredSchema: StructType = new StructType())
+    retiredSchema: StructType = new StructType(),
+    props: Map[String, String] = Map.empty)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -268,6 +269,15 @@ object SegmentLog {
       if (node.hasNonNull("retiredSchema"))
         DataType.fromJson(node.get("retiredSchema").asText()).asInstanceOf[StructType]
       else new StructType()
+    val props =
+      if (node.hasNonNull("props")) {
+        val b = Map.newBuilder[String, String]
+        val names = node.get("props").fieldNames()
+        while (names.hasNext) {
+          val k = names.next(); b += k -> node.get("props").get(k).asText()
+        }
+        b.result()
+      } else Map.empty[String, String]
     Manifest(node.get("version").asLong(), schema, withIds, txns.result(), bucketing,
       maxSegmentId = maxId,
       truncateWatermark =
@@ -281,7 +291,7 @@ object SegmentLog {
         else -1L,
       compactedThrough =
         if (node.hasNonNull("compactedThrough")) node.get("compactedThrough").asLong() else -1L,
-      physicalOf = physicalOf, retiredSchema = retired)
+      physicalOf = physicalOf, retiredSchema = retired, props = props)
   }
 
   private def render(m: Manifest): String = {
@@ -298,6 +308,10 @@ object SegmentLog {
       m.physicalOf.foreach { case (l, p) => o.put(l, p) }
     }
     if (m.retiredSchema.nonEmpty) root.put("retiredSchema", m.retiredSchema.json)
+    if (m.props.nonEmpty) {
+      val o = root.putObject("props")
+      m.props.foreach { case (k, v2) => o.put(k, v2) }
+    }
     m.segments.foreach { s =>
       val o = arr.addObject()
       o.put("path", s.path); o.put("rows", s.rows); o.put("bytes", s.bytes)
@@ -371,7 +385,8 @@ object SegmentLog {
       txn: Option[(String, Long)] = None,
       bucketing: Option[BucketSpec] = None,
       mergeSchema: Boolean = false, maxRetries: Int = 20,
-      dataChange: Boolean = true): Long = commitLock.synchronized {
+      dataChange: Boolean = true,
+      props: Map[String, String] = Map.empty): Long = commitLock.synchronized {
     // getScheme is optional FileSystem API (FilterFileSystem wrappers
     // throw); an unknown scheme gets the benefit of the doubt — the
     // guard targets the KNOWN-non-atomic object stores
@@ -452,11 +467,15 @@ object SegmentLog {
       val physicalOf = tableSchema.fieldNames.toSeq.zip(phys)
         .collect { case (l, p) if l != p => l -> p }.toMap
       val retired = current.map(_.retiredSchema).getOrElse(new StructType())
+      // table properties persist across commits; a commit may only ADD
+      // (declared once at creation is the normal shape)
+      val liveProps = current.map(_.props).getOrElse(Map.empty) ++ props
       val body = render(Manifest(v, tableSchema, merged, txns, spec,
         maxSegmentId = newMax, truncateWatermark = newTw,
         truncateVersion = newTv,
         compactedThrough = newCt,
-        physicalOf = physicalOf, retiredSchema = retired)).getBytes(StandardCharsets.UTF_8)
+        physicalOf = physicalOf, retiredSchema = retired,
+        props = liveProps)).getBytes(StandardCharsets.UTF_8)
       if (claimSlot(fs, root, v, body, canRetry = attempt < maxRetries)) return v
       attempt += 1 // lost the slot to a concurrent writer; re-read and retry
     }

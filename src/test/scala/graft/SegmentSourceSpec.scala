@@ -988,6 +988,30 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p3 < t3, s"string bloom should prune: $p3 of $t3")
   }
 
+  test("TBLPROPERTIES bloomFor: plain INSERTs build blooms without restating options") {
+    val wh = tmp("graft-bloomprop-wh")
+    val cat = s"graft_bp_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='8', 'bloomFor'='v')")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT id, (id * 7919) % 100000 FROM range(0, 2000)")
+    val fs = SegmentLog.fs(wh, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, s"$wh/db/t").get
+    assert(m.props.get("bloomFor").contains("v"))
+    assert(m.segments.forall(_.stats("v").bloom.isDefined),
+      "every INSERT's segments must carry the declared bloom")
+    // and the bloom engages: a point lookup on the unclustered column
+    GraftSegmentSource.lastScanEvent = None
+    assert(spark.sql(s"SELECT k FROM $cat.db.t WHERE v = ${513L * 7919 % 100000}")
+      .collect().map(_.getLong(0)).toSeq == Seq(513L))
+    val (p, t) = GraftSegmentSource.lastScanEvent.get
+    assert(p < t, s"declared bloom should prune: $p of $t")
+  }
+
   test("bloom hash contract: write-side row hashing equals literal-side hashing, per type") {
     import graft.sources.segment.SegmentBloom
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
