@@ -2809,6 +2809,27 @@ object SparkEntry {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // DESCRIBE HISTORY over the same commit sequence: every lifecycle
+    // kind classified from manifest diffs alone (append / replace /
+    // compact / append), per-version segment and row totals exact.
+    // Deliberately no wall-clock column — deterministic, so the whole
+    // introspection surface is oracle-checkable, not just eyeballed
+    "store_segment_history" -> ((s, d) => withTempDir("graft-seghist") { base =>
+      val dir = s"$base/t"
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      def put(pred: org.apache.spark.sql.Column): Unit =
+        src.filter(pred).write.format("graft-segment")
+          .option("clusterBy", "k").option("numPartitions", "4")
+          .mode("append").save(dir)
+      put(col("k") % 3 === 0)                                             // v0
+      put(col("k") % 3 === 1)                                             // v1
+      graft.sources.segment.GraftMaintenance.deleteRows(s, dir, col("k") % 5 === 0) // v2
+      graft.sources.segment.GraftMaintenance.compact(s, dir, "k", 2)      // v3
+      put(col("k") % 3 === 2)                                             // v4
+      graft.sources.segment.GraftMaintenance.history(s, dir)
+        .orderBy(col("version"))
+    }),
     // the STREAMING face of the change feed (readChangeFeed=true):
     // offsets are manifest VERSIONS, each micro-batch a closed version
     // range diffed by segment identity — inserts from appends and the
@@ -5549,6 +5570,24 @@ object SparkEntry {
     // re-inserts the survivors; v3 (compact) is absent; v4 appends
     // k%3=2. Keys are unique within each (version, change) slice
     "store_segment_changes" -> segmentChangesOracleSql,
+    // the same commit sequence's lifecycle ledger in closed form:
+    // counts from the predicates, segment totals from the declared
+    // layouts (4-way clustered writes, the 2-way compact)
+    "store_segment_history" ->
+      ("WITH src AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +
+        "n0 AS (SELECT count(*) AS c FROM src WHERE k % 3 = 0), " +
+        "n01 AS (SELECT count(*) AS c FROM src WHERE k % 3 IN (0, 1)), " +
+        "nk AS (SELECT count(*) AS c FROM src WHERE k % 3 IN (0, 1) AND NOT k % 5 = 0), " +
+        "nf AS (SELECT count(*) AS c FROM src WHERE k % 3 = 2) " +
+        "SELECT * FROM (" +
+        "SELECT CAST(0 AS BIGINT) AS version, 'append' AS kind, 4 AS n_segments, " +
+        "CAST((SELECT c FROM n0) AS BIGINT) AS n_rows " +
+        "UNION ALL SELECT 1, 'append', 8, (SELECT c FROM n01) " +
+        "UNION ALL SELECT 2, 'replace', 4, (SELECT c FROM nk) " +
+        "UNION ALL SELECT 3, 'compact', 2, (SELECT c FROM nk) " +
+        "UNION ALL SELECT 4, 'append', 6, (SELECT c FROM nk) + (SELECT c FROM nf)) " +
+        "ORDER BY version"),
     // the STREAMED feed over the identical commit sequence must land
     // on the identical closed form — one oracle, two consumption modes
     "stream_segment_cdf" -> segmentChangesOracleSql,

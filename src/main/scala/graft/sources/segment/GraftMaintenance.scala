@@ -214,6 +214,41 @@ object GraftMaintenance {
       .load(dir)
   }
 
+  /** DESCRIBE HISTORY: one row per RETAINED manifest version with the
+    * commit's classified kind — `create` (empty first commit),
+    * `append`, `replace` (data-changing truncate: overwrite /
+    * DELETE / MERGE rewrite), `compact` (dataChange=false rewrite),
+    * `ddl` (schema-only), `metadata` (txn ledger only), or
+    * `expired-base` (the oldest retained version when its
+    * predecessors are gone — its own kind is unknowable). Driver-side
+    * manifest reads only; deliberately NO wall-clock column, so the
+    * result is deterministic and oracle-checkable. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val versions = SegmentLog.liveVersions(fs, dir).sorted
+    require(versions.nonEmpty, s"no graft-segment table at $dir")
+    var prev: Option[Manifest] = None
+    val rows = versions.map { v =>
+      val m = SegmentLog.readVersion(fs, dir, v)
+      val kind = prev match {
+        case None if v == 0 && m.segments.isEmpty => "create"
+        case None if v == 0 => "append"
+        case None => "expired-base"
+        case Some(p) =>
+          if (m.truncateVersion == m.version) "replace"
+          else if (m.compactedThrough > p.compactedThrough) "compact"
+          else if (m.schema != p.schema && m.maxSegmentId == p.maxSegmentId) "ddl"
+          else if (m.maxSegmentId > p.maxSegmentId ||
+            m.segments.size != p.segments.size) "append"
+          else "metadata"
+      }
+      prev = Some(m)
+      (v, kind, m.segments.size, m.segments.map(_.rows).sum)
+    }
+    rows.toDF("version", "kind", "n_segments", "n_rows")
+  }
+
   /** Delete manifest versions older than the last `keepLast`. Time
     * travel reaches only retained versions afterwards; run
     * [[SegmentLog.vacuum]] next to drop newly-unreferenced data files.

@@ -485,7 +485,13 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
     case None =>
       new GraftScan(root, tableSchema, required, pushed, conf,
         Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
-        manifest, limit, topN)
+        manifest, limit, topN,
+        startLatest = Option(options.get("startingOffsets")).exists {
+          case "latest" => true
+          case "earliest" => false
+          case other => throw new IllegalArgumentException(
+            s"startingOffsets must be earliest|latest, got $other")
+        })
   }
 }
 
@@ -502,7 +508,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     pushed: Array[Filter], conf: SerializableHadoopConf,
     maxSegmentsPerTrigger: Option[Int],
     manifest: Option[Manifest], limit: Option[Int],
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None,
+    startLatest: Boolean = false)
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -644,7 +651,7 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger,
-      pushed)
+      pushed, startLatest)
 }
 
 // not sealed: the change feed's partition type lives in its own file
@@ -812,7 +819,8 @@ object GraftOffset {
 
 class GraftMicroBatchStream(root: String, stored: StructType, required: StructType,
     conf: SerializableHadoopConf, maxSegmentsPerTrigger: Option[Int],
-    pushed: Array[Filter] = Array.empty)
+    pushed: Array[Filter] = Array.empty,
+    startLatest: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def fs = SegmentLog.fs(root, conf.value)
@@ -827,12 +835,17 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
   @volatile private var frozen: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit = frozen = Some(currentEnd())
 
-  override def initialOffset(): Offset =
+  override def initialOffset(): Offset = {
     // a fresh stream acknowledges every truncate that PRECEDES it (by
     // COMMIT VERSION — watermark ids can tie across truncates): the
     // dead id generations are history, the live table is its starting
-    // snapshot
-    GraftOffset(0L, SegmentLog.read(fs, root).map(_.truncateVersion).getOrElse(-1L))
+    // snapshot. startingOffsets=latest skips the snapshot entirely —
+    // only appends after query start flow (the Kafka `latest` shape)
+    val m = SegmentLog.read(fs, root)
+    GraftOffset(
+      if (startLatest) m.map(_.maxSegmentId + 1).getOrElse(0L) else 0L,
+      m.map(_.truncateVersion).getOrElse(-1L))
+  }
 
   override def deserializeOffset(json: String): Offset = GraftOffset.parse(json)
 

@@ -988,6 +988,50 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p3 < t3, s"string bloom should prune: $p3 of $t3")
   }
 
+  test("startingOffsets=latest: only appends after query start flow; earliest is the default") {
+    val dir = tmp("graft-seg-latest")
+    val ckpt = tmp("graft-seg-latest-ckpt")
+    val outDir = tmp("graft-seg-latest-out")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    def drain(opts: Map[String, String]): Unit = {
+      var r = spark.readStream.format(Fmt)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(dir).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    put(0 until 10) // pre-existing data the latest-stream must SKIP
+    drain(Map("startingOffsets" -> "latest"))
+    assert(spark.read.parquet(outDir).count() == 0,
+      "latest skips the starting snapshot")
+    put(10 until 20) // lands after the checkpointed start
+    drain(Map("startingOffsets" -> "latest"))
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      (10L until 20L), "appends after start flow exactly once")
+    // default (earliest) on a fresh checkpoint reads everything
+    val ckpt2 = tmp("graft-seg-latest-ckpt2")
+    val out2 = tmp("graft-seg-latest-out2")
+    val q2 = spark.readStream.format(Fmt).load(dir)
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out2).count() == 20)
+    // a bogus mode fails the query (async — surfaces at termination)
+    val qBad = spark.readStream.format(Fmt).option("startingOffsets", "bogus").load(dir)
+      .writeStream.format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.awaitTermination(60000)
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("earliest|latest"))
+  }
+
   test("TBLPROPERTIES bloomFor: plain INSERTs build blooms without restating options") {
     val wh = tmp("graft-bloomprop-wh")
     val cat = s"graft_bp_${System.nanoTime()}"
