@@ -2830,6 +2830,28 @@ object SparkEntry {
       graft.sources.segment.GraftMaintenance.history(s, dir)
         .orderBy(col("version"))
     }),
+    // the ENTIRE lifecycle through SQL only — DDL, INSERTs, CALL
+    // compact, CALL history (Spark 4 stored procedures on the graft
+    // catalog): the ledger the procedure returns is the closed form
+    // the oracle states. Nothing in this query touches the Scala
+    // maintenance API directly
+    "store_segment_call" -> ((s, d) => withTempDir("graft-segcall") { base =>
+      val cat = s"graft_call_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4')")
+      Tables.orders(s, d).createOrReplaceTempView("graft_call_orders")
+      def ins(r: Int): Unit = s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        s"FROM graft_call_orders WHERE o_orderkey % 3 = $r")
+      ins(0); ins(1)                                      // v1, v2
+      s.sql(s"CALL $cat.system.compact('db.t', 'k', 2)")  // v3
+      ins(2)                                              // v4
+      s.sql(s"CALL $cat.system.history('db.t')").orderBy(col("version"))
+    }),
     // the STREAMING face of the change feed (readChangeFeed=true):
     // offsets are manifest VERSIONS, each micro-batch a closed version
     // range diffed by segment identity — inserts from appends and the
@@ -5570,6 +5592,23 @@ object SparkEntry {
     // re-inserts the survivors; v3 (compact) is absent; v4 appends
     // k%3=2. Keys are unique within each (version, change) slice
     "store_segment_changes" -> segmentChangesOracleSql,
+    // the CALL-driven lifecycle's ledger: create (empty), two 4-way
+    // clustered inserts, the 2-way compact, one more insert
+    "store_segment_call" ->
+      ("WITH src AS (SELECT o_orderkey AS k FROM orders), " +
+        "n0 AS (SELECT count(*) AS c FROM src WHERE k % 3 = 0), " +
+        "n01 AS (SELECT count(*) AS c FROM src WHERE k % 3 IN (0, 1)), " +
+        "nall AS (SELECT count(*) AS c FROM src) " +
+        "SELECT * FROM (" +
+        "SELECT CAST(0 AS BIGINT) AS version, 'create' AS kind, 0 AS n_segments, " +
+        "CAST(0 AS BIGINT) AS n_rows " +
+        "UNION ALL SELECT 1, 'append', 4, (SELECT c FROM n0) " +
+        "UNION ALL SELECT 2, 'append', 8, (SELECT c FROM n01) " +
+        "UNION ALL SELECT 3, 'compact', 2, (SELECT c FROM n01) " +
+        // the compact RE-DECLARED the layout (k, 2), and the catalog's
+        // plain INSERT inherits the live layout: 2 new segments, not 4
+        "UNION ALL SELECT 4, 'append', 4, (SELECT c FROM nall)) " +
+        "ORDER BY version"),
     // the same commit sequence's lifecycle ledger in closed form:
     // counts from the predicates, segment totals from the declared
     // layouts (4-way clustered writes, the 2-way compact)

@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * 100 TB note: the catalog is metadata-only (directory resolution +
   * manifest reads); nothing here scales with data volume.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -163,6 +164,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val m = SegmentLog.read(fs, path).get
     new GraftSegmentTable(path, m.schema, m.bucketing)
   }
+
+  /** Maintenance as SQL stored procedures (Spark 4 CALL):
+    * `CALL <cat>.system.compact/zorder/expire/vacuum/history(...)` —
+    * see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.All.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tablePath(ident))

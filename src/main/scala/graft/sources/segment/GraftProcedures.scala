@@ -1,0 +1,140 @@
+package graft.sources.segment
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for graft-segment maintenance — the DSv2
+  * `ProcedureCatalog` face (Spark 4's CALL statement), so an operator
+  * never leaves SQL for the table lifecycle:
+  *
+  * {{{
+  * CALL graft.system.compact('db.t', 'k', 16);            -- + optional mode
+  * CALL graft.system.zorder('db.t', 'x,y', 16);
+  * CALL graft.system.expire('db.t', 3);
+  * CALL graft.system.vacuum('db.t');                      -- + retention_ms
+  * CALL graft.system.history('db.t');
+  * }}}
+  *
+  * Each is a thin SQL binding over the [[GraftMaintenance]] /
+  * [[SegmentLog]] primitive it names; results come back as one
+  * driver-computed row set (a `LocalScan` — these are manifest-sized
+  * answers, the data work happens in the underlying rewrite job).
+  * The table argument is a `db.t` identifier under this catalog's
+  * warehouse, or an absolute path.
+  */
+object GraftProcedures {
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def paramDefault(name: String, dt: DataType, dflt: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  private class ResultScan(resultSchema: StructType, out: Seq[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = resultSchema
+    override def rows(): Array[InternalRow] = out.toArray
+    override def description(): String = "graft procedure result"
+  }
+
+  /** One procedure: fixed parameters, a result schema, and a
+    * driver-side body from the (already-validated) argument row. */
+  private def procedure(procName: String, params: Seq[ProcedureParameter],
+      resultSchema: StructType)(
+      body: (SparkSession, InternalRow) => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false // mutates table state
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = SparkSession.active
+          java.util.List.of[Scan](
+            new ResultScan(resultSchema, body(spark, input))).iterator()
+        }
+      }
+    }
+
+  private def row(vs: Any*): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs.toArray)
+
+  /** Resolve `db.t` under the warehouse, or pass an absolute path. */
+  private def tableDir(warehouse: String, arg: String): String =
+    if (arg.startsWith("/") || arg.contains("://")) arg
+    else s"$warehouse/${arg.split('.').mkString("/")}"
+
+  private val beforeAfter = StructType(Seq(
+    StructField("segments_before", IntegerType, nullable = false),
+    StructField("segments_after", IntegerType, nullable = false)))
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"procedures live under the system namespace, got ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "compact" =>
+        procedure("compact",
+          Seq(param("table", StringType), param("cluster_by", StringType),
+            param("num_partitions", IntegerType),
+            paramDefault("mode", StringType, "'range'")),
+          beforeAfter) { (spark, in) =>
+          val (b, a) = GraftMaintenance.compact(spark,
+            tableDir(warehouse, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString, in.getInt(2), in.getUTF8String(3).toString)
+          Seq(row(b, a))
+        }
+      case "zorder" =>
+        procedure("zorder",
+          Seq(param("table", StringType), param("columns", StringType),
+            param("num_partitions", IntegerType)),
+          beforeAfter) { (spark, in) =>
+          val (b, a) = GraftMaintenance.compactZOrder(spark,
+            tableDir(warehouse, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            in.getInt(2))
+          Seq(row(b, a))
+        }
+      case "expire" =>
+        procedure("expire",
+          Seq(param("table", StringType), param("keep_last", IntegerType)),
+          StructType(Seq(StructField("versions_removed", IntegerType, nullable = false)))) {
+          (spark, in) =>
+            Seq(row(GraftMaintenance.expire(spark,
+              tableDir(warehouse, in.getUTF8String(0).toString), in.getInt(1))))
+        }
+      case "vacuum" =>
+        procedure("vacuum",
+          Seq(param("table", StringType),
+            paramDefault("retention_ms", LongType,
+              SegmentLog.DefaultVacuumRetentionMs.toString)),
+          StructType(Seq(StructField("files_removed", IntegerType, nullable = false)))) {
+          (spark, in) =>
+            val dir = tableDir(warehouse, in.getUTF8String(0).toString)
+            Seq(row(SegmentLog.vacuum(
+              SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir, in.getLong(1))))
+        }
+      case "history" =>
+        procedure("history",
+          Seq(param("table", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("kind", StringType, nullable = false),
+            StructField("n_segments", IntegerType, nullable = false),
+            StructField("n_rows", LongType, nullable = false)))) { (spark, in) =>
+          GraftMaintenance.history(spark,
+              tableDir(warehouse, in.getUTF8String(0).toString))
+            .collect().toSeq.map(r =>
+              row(r.getLong(0), UTF8String.fromString(r.getString(1)),
+                r.getInt(2), r.getLong(3)))
+        }
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $other (have: compact, zorder, expire, vacuum, history)")
+    }
+  }
+
+  val All: Seq[String] = Seq("compact", "zorder", "expire", "vacuum", "history")
+}

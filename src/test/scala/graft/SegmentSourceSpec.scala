@@ -1032,6 +1032,38 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .contains("earliest|latest"))
   }
 
+  test("CALL procedures: the whole maintenance lifecycle without leaving SQL") {
+    val wh = tmp("graft-proc-wh")
+    val cat = s"graft_proc_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, x BIGINT, y BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.t SELECT id, id % 100, (id * 37) % 100 " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 1000})"))
+
+    val c = spark.sql(s"CALL $cat.system.compact('db.t', 'k', 2)").collect()(0)
+    assert(c.getInt(0) >= 4 && c.getInt(1) <= 2, s"compact ${c.getInt(0)} → ${c.getInt(1)}")
+
+    val z = spark.sql(s"CALL $cat.system.zorder('db.t', 'x,y', 4)").collect()(0)
+    assert(z.getInt(0) <= 2 && z.getInt(1) >= 2)
+
+    val h = spark.sql(s"CALL $cat.system.history('db.t')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(h.map(_._2) == Seq("create", "append", "append", "append", "append",
+      "compact", "compact"), s"got $h")
+
+    val e = spark.sql(s"CALL $cat.system.expire('db.t', 1)").collect()(0)
+    assert(e.getInt(0) == 6, s"6 old versions expired, got ${e.getInt(0)}")
+    val v = spark.sql(s"CALL $cat.system.vacuum('db.t', 0L)").collect()(0)
+    assert(v.getInt(0) > 0, "pre-rewrite files reclaimed")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 4000)
+
+    intercept[Exception] { spark.sql(s"CALL $cat.system.nonsense('db.t')") }
+  }
+
   test("TBLPROPERTIES bloomFor: plain INSERTs build blooms without restating options") {
     val wh = tmp("graft-bloomprop-wh")
     val cat = s"graft_bp_${System.nanoTime()}"
