@@ -2830,6 +2830,29 @@ object SparkEntry {
       graft.sources.segment.GraftMaintenance.history(s, dir)
         .orderBy(col("version"))
     }),
+    // the change feed ACROSS a rename: pre-rename rows come back under
+    // the CURRENT logical name (physical names frozen — the
+    // column-mapping contract), and the DDL commit itself contributes
+    // no feed rows. Read through the readChangeFeed option directly
+    "store_segment_changes_rename" -> ((s, d) => withTempDir("graft-segchgren") { base =>
+      val dir = s"$base/t"
+      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      src.filter(col("k") % 2 === 0).write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "4")
+        .mode("append").save(dir)                                        // v0
+      graft.sources.segment.SegmentLog.renameColumn(fs, dir, "cents", "price_cents") // v1
+      src.filter(col("k") % 2 === 1)
+        .select(col("k"), col("cents").as("price_cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "4")
+        .mode("append").save(dir)                                        // v2
+      s.read.format("graft-segment")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(dir)
+        .orderBy(col("_commit_version"), col("k"))
+    }),
     // the ENTIRE lifecycle through SQL only — DDL, INSERTs, CALL
     // compact, CALL history (Spark 4 stored procedures on the graft
     // catalog): the ledger the procedure returns is the closed form
@@ -5592,6 +5615,16 @@ object SparkEntry {
     // re-inserts the survivors; v3 (compact) is absent; v4 appends
     // k%3=2. Keys are unique within each (version, change) slice
     "store_segment_changes" -> segmentChangesOracleSql,
+    // pre-rename rows surface under the renamed column; the DDL commit
+    // (v1) is feed-silent
+    "store_segment_changes_rename" ->
+      ("WITH src AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT k, price_cents, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version " +
+        "FROM src WHERE k % 2 = 0 " +
+        "UNION ALL SELECT k, price_cents, 'insert', 2 FROM src WHERE k % 2 = 1) " +
+        "ORDER BY _commit_version, k"),
     // the CALL-driven lifecycle's ledger: create (empty), two 4-way
     // clustered inserts, the 2-way compact, one more insert
     "store_segment_call" ->

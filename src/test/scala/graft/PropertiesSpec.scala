@@ -225,4 +225,57 @@ class PropertiesSpec extends SparkSpec {
         s"diverged on |L|=${lrows.size} |R|=${rrows.size}")
     }
   }
+
+  test("bloom property: no false negatives for arbitrary values, across every bloomable type") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.segment.SegmentBloom
+
+    // longs, ints, and adversarial strings (empty, unicode, long)
+    val longs = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 300)
+    val ints = samples(Gen.chooseNum(Int.MinValue, Int.MaxValue), 300)
+    val strs = samples(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""), Gen.const("héllo✓𐐷"),
+      Gen.listOfN(200, Gen.alphaChar).map(_.mkString)), 300)
+
+    def check[A](dt: DataType, values: Seq[A], toRow: A => Any, toLit: A => Any): Unit = {
+      val bits = new Array[Long](SegmentBloom.DefaultBits / 64)
+      values.foreach(v =>
+        SegmentBloom.put(bits, SegmentBloom.hashRow(dt, new GenericInternalRow(Array(toRow(v))), 0)))
+      val b64 = {
+        val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+        bits.foreach(bb.putLong)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+      // the bloom contract half that must be EXACT: every written value
+      // answers "maybe present" through the literal-side hash
+      values.foreach { v =>
+        val h = SegmentBloom.hashValue(dt, toLit(v))
+        assert(h.isDefined && SegmentBloom.mightContain(b64, h.get),
+          s"false negative for $dt value $v")
+      }
+    }
+    check[Long](LongType, longs, identity, identity)
+    check[Int](IntegerType, ints, identity, identity)
+    check[String](StringType, strs.distinct, UTF8String.fromString, identity)
+
+    // and the probabilistic half stays useful: mostly-absent values are
+    // mostly excluded (fpp ~1% at 300 entries / 8192 bits; allow 5%)
+    val bits = new Array[Long](SegmentBloom.DefaultBits / 64)
+    longs.foreach(v =>
+      SegmentBloom.put(bits, SegmentBloom.hashRow(LongType, new GenericInternalRow(Array(v: Any)), 0)))
+    val b64 = {
+      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(bb.putLong)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    val present = longs.toSet
+    val probes = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 2000)
+      .filterNot(present)
+    val fp = probes.count(v =>
+      SegmentBloom.mightContain(b64, SegmentBloom.hashValue(LongType, v).get))
+    assert(fp.toDouble / probes.size < 0.05,
+      s"false-positive rate ${fp.toDouble / probes.size} too high to prune anything")
+  }
 }
