@@ -197,11 +197,13 @@ object SparkEntry {
     // hop); the oracle replays it as a RECURSIVE CTE with min-hop
     // collapse — an independent traversal formulation
     "rel_part_blast_radius" -> ((s, d) => {
-      // materialized once: the cap guard, both self-join sides and the
-      // seed projection otherwise each recompute the distinct scan
+      // materialized once (the cap guard, both self-join sides and the
+      // seed projection otherwise each recompute the distinct scan) —
+      // persist, not localCheckpoint: the lineage stays analyzable, so
+      // PlanAudit still sees the parquet scan under this query
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
+        .persist()
       // per-order pair guard (the Dedup df-cap discipline): the
       // co-occurrence self-join squares each order's item count, so a
       // single 10k-item "order" in arbitrary data would mint 10^8

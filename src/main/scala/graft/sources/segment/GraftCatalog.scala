@@ -109,9 +109,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     // every future INSERT without the writer re-stating them
     val props = Seq("bloomFor", "bloomBits")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
-    props.get("bloomFor").foreach(_.split(",").map(_.trim).filter(_.nonEmpty)
-      .foreach(c => require(schema.fieldNames.contains(c),
-        s"bloomFor column $c not in schema")))
+    props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
+    props.get("bloomBits").foreach(b => require(
+      scala.util.Try(b.toInt).toOption.exists(_ >= 64),
+      s"bloomBits must be an integer >= 64, got '$b'"))
     SegmentLog.commit(fs, path,
       StructType(schema.fields.map(_.copy(nullable = true))),
       Nil, truncate = true, bucketing = bucketing, props = props)

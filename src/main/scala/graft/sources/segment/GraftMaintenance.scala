@@ -225,28 +225,38 @@ object GraftMaintenance {
     * result is deterministic and oracle-checkable. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    historyRows(spark, dir).toDF("version", "kind", "n_segments", "n_rows")
+  }
+
+  /** [[history]]'s driver-side rows (the CALL procedure consumes these
+    * directly — the ledger never needs a plan). Kinds are classified
+    * from the SEGMENT DIFF against the previous retained version, not
+    * from the truncateVersion field: legacy manifests backfill that
+    * field conservatively (their own version), which would mislabel
+    * every legacy commit as a replace. */
+  def historyRows(spark: SparkSession, dir: String): Seq[(Long, String, Int, Long)] = {
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val versions = SegmentLog.liveVersions(fs, dir).sorted
     require(versions.nonEmpty, s"no graft-segment table at $dir")
     var prev: Option[Manifest] = None
-    val rows = versions.map { v =>
+    versions.map { v =>
       val m = SegmentLog.readVersion(fs, dir, v)
       val kind = prev match {
         case None if v == 0 && m.segments.isEmpty => "create"
         case None if v == 0 => "append"
         case None => "expired-base"
         case Some(p) =>
-          if (m.truncateVersion == m.version) "replace"
-          else if (m.compactedThrough > p.compactedThrough) "compact"
-          else if (m.schema != p.schema && m.maxSegmentId == p.maxSegmentId) "ddl"
-          else if (m.maxSegmentId > p.maxSegmentId ||
-            m.segments.size != p.segments.size) "append"
+          val prevIds = p.segments.map(_.id).toSet
+          val curIds = m.segments.map(_.id).toSet
+          if (m.compactedThrough > p.compactedThrough) "compact"
+          else if (prevIds.diff(curIds).nonEmpty) "replace"
+          else if (curIds.diff(prevIds).nonEmpty) "append"
+          else if (m.schema != p.schema) "ddl"
           else "metadata"
       }
       prev = Some(m)
       (v, kind, m.segments.size, m.segments.map(_.rows).sum)
     }
-    rows.toDF("version", "kind", "n_segments", "n_rows")
   }
 
   /** Delete manifest versions older than the last `keepLast`. Time

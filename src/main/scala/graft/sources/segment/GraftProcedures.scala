@@ -125,11 +125,10 @@ object GraftProcedures {
             StructField("kind", StringType, nullable = false),
             StructField("n_segments", IntegerType, nullable = false),
             StructField("n_rows", LongType, nullable = false)))) { (spark, in) =>
-          GraftMaintenance.history(spark,
+          GraftMaintenance.historyRows(spark,
               tableDir(warehouse, in.getUTF8String(0).toString))
-            .collect().toSeq.map(r =>
-              row(r.getLong(0), UTF8String.fromString(r.getString(1)),
-                r.getInt(2), r.getLong(3)))
+            .map { case (v, kind, nSeg, nRows) =>
+              row(v, UTF8String.fromString(kind), nSeg, nRows) }
         }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (have: compact, zorder, expire, vacuum, history)")

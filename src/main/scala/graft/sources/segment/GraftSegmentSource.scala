@@ -620,6 +620,11 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
+      // validated-but-unhonored options mislead: this knob shapes
+      // STREAM starts only
+      require(!startLatest,
+        "startingOffsets applies to streaming reads only; a batch read " +
+          "always serves the current snapshot")
       val segs = runtimeSurviving.getOrElse(surviving)
       // pushed LIMIT: stop planning once cumulative rows cover it (a
       // preview read opens one file, not the table)
@@ -936,18 +941,19 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
 }
 
 object GraftWriteBuilder {
-  /** Bloom config for a write: explicit options win; otherwise the
-    * table's persisted `bloomFor`/`bloomBits` properties apply. */
-  def effectiveBloom(m: Option[Manifest], optFor: Set[String],
-      optBits: Int): (Set[String], Int) = {
+  /** Bloom config for a write: an EXPLICIT option always wins —
+    * including `bloomFor=""`, the off-switch for one bulk write —
+    * otherwise the table's persisted `bloomFor`/`bloomBits`
+    * properties apply. Prop-declared columns absent from this write's
+    * schema are skipped (a mergeSchema partial append simply has
+    * nothing to index there). */
+  def effectiveBloom(m: Option[Manifest], optFor: Option[Set[String]],
+      optBits: Option[Int]): (Set[String], Int) = {
     val props = m.map(_.props).getOrElse(Map.empty)
-    val bf =
-      if (optFor.nonEmpty) optFor
-      else props.get("bloomFor")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
-    val bb =
-      if (optBits != SegmentBloom.DefaultBits) optBits
-      else props.get("bloomBits").map(_.toInt).getOrElse(SegmentBloom.DefaultBits)
+    val bf = optFor.getOrElse(
+      props.get("bloomFor").map(SegmentBloom.parseCols(_)).getOrElse(Set.empty))
+    val bb = optBits.getOrElse(
+      props.get("bloomBits").map(_.toInt).getOrElse(SegmentBloom.DefaultBits))
     (bf, bb)
   }
 }
@@ -986,9 +992,7 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
         "txnAppId and txnVersion must be set together")
     }
     val bloomFor = Option(opts.get("bloomFor"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
-    bloomFor.foreach(c => require(info.schema().fieldNames.contains(c),
-      s"bloomFor column $c not in write schema"))
+      .map(SegmentBloom.parseCols(_, Some(info.schema())))
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       clusterMode, numPartitions,
       Option(opts.get("maxRowsPerSegment")).map(_.toLong),
@@ -1000,8 +1004,7 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       // streams skip them — Delta's OPTIMIZE contract
       dataChange = !Option(opts.get("dataChange")).exists(_.toBoolean == false),
       bloomFor = bloomFor,
-      bloomBits = Option(opts.get("bloomBits")).map(_.toInt)
-        .getOrElse(SegmentBloom.DefaultBits))
+      bloomBits = Option(opts.get("bloomBits")).map(_.toInt))
   }
 }
 
@@ -1009,8 +1012,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Seq[String], clusterMode: String, numPartitions: Option[Int],
     maxRows: Option[Long], queryId: String, mergeSchema: Boolean = false,
     txn: Option[(String, Long)] = None, dataChange: Boolean = true,
-    bloomFor: Set[String] = Set.empty,
-    bloomBits: Int = SegmentBloom.DefaultBits)
+    bloomFor: Option[Set[String]] = None,
+    bloomBits: Option[Int] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -1061,7 +1064,7 @@ class GraftStreamingWrite(root: String, schema: StructType,
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       private val factory = {
         val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
-        val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, Set.empty, SegmentBloom.DefaultBits)
+        val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, None, None)
         new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
           physNames = SegmentLog.physicalNames(m, schema),
           bloomFor = ebf, bloomBits = ebb)
@@ -1095,8 +1098,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     mergeSchema: Boolean = false,
     txn: Option[(String, Long)] = None,
     dataChange: Boolean = true,
-    bloomFor: Set[String] = Set.empty,
-    bloomBits: Int = SegmentBloom.DefaultBits) extends BatchWrite {
+    bloomFor: Option[Set[String]] = None,
+    bloomBits: Option[Int] = None) extends BatchWrite {
 
   // the declared layout is persisted with the commit. Hash mode: the
   // shuffle partition index IS the bucket id (pmod(murmur3(keys), n)) —
@@ -1112,7 +1115,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
     // a table's declared bloom columns (TBLPROPERTIES or the creating
     // write) are the default for every later INSERT — the same
-    // declare-once shape as the bucket layout
+    // declare-once shape as the bucket layout; an explicit option
+    // (including an empty one) overrides per write
     val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, bloomFor, bloomBits)
     new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
       labelBuckets = clusterBy.nonEmpty && clusterMode == "hash",

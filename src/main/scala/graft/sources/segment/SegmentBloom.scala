@@ -34,6 +34,16 @@ object SegmentBloom {
   val DefaultBits = 8192
   private val K = 6
 
+  /** The ONE parser for bloom-column CSVs (write options, table
+    * properties, catalog DDL); validates against a schema when given. */
+  def parseCols(csv: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Set[String] = {
+    val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    schema.foreach(sc => cols.foreach(c =>
+      require(sc.fieldNames.contains(c), s"bloomFor column $c not in schema")))
+    cols
+  }
+
   def bloomable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
         StringType => true

@@ -605,7 +605,15 @@ object SegmentLog {
         if (f.name == from) f.copy(name = to) else f)),
       physicalOf = m.physicalOf - from + (to -> phys),
       bucketing = m.bucketing.map(b =>
-        b.copy(cols = b.cols.map(c => if (c == from) to else c))))
+        b.copy(cols = b.cols.map(c => if (c == from) to else c))),
+      // declared properties name LOGICAL columns: they follow the rename
+      // or future INSERTs silently stop building the declared blooms
+      props = m.props.get("bloomFor") match {
+        case Some(csv) => m.props + ("bloomFor" ->
+          csv.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(c => if (c == from) to else c).mkString(","))
+        case None => m.props
+      })
   }
 
   /** Metadata-only DROP: the physical column's bytes stay in old
@@ -627,7 +635,16 @@ object SegmentLog {
       schema = StructType(m.schema.fields.filterNot(_.name == name)),
       physicalOf = m.physicalOf - name,
       retiredSchema = StructType(
-        m.retiredSchema.fields :+ org.apache.spark.sql.types.StructField(phys, dt)))
+        m.retiredSchema.fields :+ org.apache.spark.sql.types.StructField(phys, dt)),
+      // a stale declared-bloom entry would silently re-attach to a
+      // later re-added column of the same name
+      props = m.props.get("bloomFor") match {
+        case Some(csv) =>
+          val kept = csv.split(",").map(_.trim).filter(c => c.nonEmpty && c != name)
+          if (kept.isEmpty) m.props - "bloomFor"
+          else m.props + ("bloomFor" -> kept.mkString(","))
+        case None => m.props
+      })
   }
 
   /** Metadata-only ADD of a nullable column (old segments

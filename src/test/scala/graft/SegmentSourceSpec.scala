@@ -1088,6 +1088,49 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p < t, s"declared bloom should prune: $p of $t")
   }
 
+  test("declared blooms follow renames and drops; explicit options override per write") {
+    val dir = tmp("graft-seg-bloomren")
+    import spark.implicits._
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    // declare via the creating write's option, persisted as a property
+    // by the catalog path — here set the property directly through a
+    // catalog-created table to exercise the full chain
+    val wh = tmp("graft-seg-bloomren-wh")
+    val cat = s"graft_br_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('bloomFor'='v')")
+    val tdir = s"$wh/db/t"
+    val tfs = SegmentLog.fs(tdir, spark.sessionState.newHadoopConf())
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10)")
+    // RENAME: the declared bloom column follows, and the next INSERT
+    // still builds blooms (under the frozen physical stats key)
+    spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN v TO w")
+    assert(SegmentLog.read(tfs, tdir).get.props("bloomFor") == "w")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (2, 20)")
+    val m = SegmentLog.read(tfs, tdir).get
+    assert(m.segments.forall(s =>
+      s.stats.exists { case (n, cs) => cs.bloom.isDefined }),
+      "blooms must keep being built after the rename")
+    // DROP: the stale declaration is removed, never re-attaching to a
+    // later re-added column of the same name
+    spark.sql(s"ALTER TABLE $cat.db.t DROP COLUMN w")
+    assert(!SegmentLog.read(tfs, tdir).get.props.contains("bloomFor"))
+
+    // explicit off-switch for one write: bloomFor="" beats the property
+    Seq((1L, 10L)).toDF("k", "v").write.format(Fmt)
+      .option("bloomFor", "v").mode("append").save(dir)
+    Seq((2L, 20L)).toDF("k", "v").write.format(Fmt)
+      .option("bloomFor", "").mode("append").save(dir)
+    val segs = SegmentLog.read(fs, dir).get.segments.sortBy(_.id)
+    assert(segs.head.stats("v").bloom.isDefined)
+    assert(segs.last.stats("v").bloom.isEmpty,
+      "an explicit empty bloomFor must disable blooms for that write")
+  }
+
   test("bloom hash contract: write-side row hashing equals literal-side hashing, per type") {
     import graft.sources.segment.SegmentBloom
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
