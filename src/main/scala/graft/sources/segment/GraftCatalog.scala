@@ -158,8 +158,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         SegmentLog.addTransform(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(),
             nullable = true))
+      // SET/UNSET TBLPROPERTIES: declare (or retire) bloom columns on
+      // an existing table — the validated keys only
+      case sp: TableChange.SetProperty =>
+        require(Set("bloomFor", "bloomBits").contains(sp.property()),
+          s"only bloomFor/bloomBits are settable, got ${sp.property()}")
+        (m: Manifest) => {
+          if (sp.property() == "bloomFor")
+            SegmentBloom.parseCols(sp.value(), Some(m.schema))
+          else require(scala.util.Try(sp.value().toInt).toOption.exists(_ >= 64),
+            s"bloomBits must be an integer >= 64, got '${sp.value()}'")
+          m.copy(props = m.props + (sp.property() -> sp.value()))
+        }
+      case rp: TableChange.RemoveProperty =>
+        (m: Manifest) => m.copy(props = m.props - rp.property())
       case other => throw new UnsupportedOperationException(
-        s"graft-segment supports RENAME/DROP/ADD COLUMN only, got $other")
+        s"graft-segment supports RENAME/DROP/ADD COLUMN and SET/UNSET " +
+          s"TBLPROPERTIES(bloomFor|bloomBits) only, got $other")
     }
     SegmentLog.alterSchema(fs, path, transforms)
     val m = SegmentLog.read(fs, path).get

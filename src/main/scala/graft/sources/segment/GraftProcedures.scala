@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.expire('db.t', 3);
   * CALL graft.system.vacuum('db.t');                      -- + retention_ms
   * CALL graft.system.history('db.t');
+  * CALL graft.system.delete_where('db.t', 'k % 7 = 0');   -- rewrite-path DELETE
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -117,6 +118,19 @@ object GraftProcedures {
             Seq(row(SegmentLog.vacuum(
               SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir, in.getLong(1))))
         }
+      case "delete_where" =>
+        procedure("delete_where",
+          Seq(param("table", StringType), param("predicate", StringType)),
+          StructType(Seq(StructField("rows_remaining", LongType, nullable = false)))) {
+          (spark, in) =>
+            // the rewrite-path DELETE with a SQL predicate string —
+            // rows matching the predicate are removed (SQL DELETE
+            // null semantics); zone-decidable deletes go through the
+            // plain DELETE statement instead
+            Seq(row(GraftMaintenance.deleteRows(spark,
+              tableDir(warehouse, in.getUTF8String(0).toString),
+              org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))))
+        }
       case "history" =>
         procedure("history",
           Seq(param("table", StringType)),
@@ -131,9 +145,10 @@ object GraftProcedures {
               row(v, UTF8String.fromString(kind), nSeg, nRows) }
         }
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure $other (have: compact, zorder, expire, vacuum, history)")
+        s"unknown procedure $other (have: ${All.mkString(", ")})")
     }
   }
 
-  val All: Seq[String] = Seq("compact", "zorder", "expire", "vacuum", "history")
+  val All: Seq[String] =
+    Seq("compact", "zorder", "expire", "vacuum", "history", "delete_where")
 }

@@ -1062,6 +1062,27 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 4000)
 
     intercept[Exception] { spark.sql(s"CALL $cat.system.nonsense('db.t')") }
+
+    // rewrite-path DELETE through CALL, and late bloom declaration
+    // through SET TBLPROPERTIES
+    val del = spark.sql(s"CALL $cat.system.delete_where('db.t', 'k % 2 = 0')").collect()(0)
+    assert(del.getLong(0) == 2000)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 2000)
+    spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('bloomFor'='y')")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9999, 1, 2)")
+    val fsp = SegmentLog.fs(wh, spark.sessionState.newHadoopConf())
+    val mp = SegmentLog.read(fsp, s"$wh/db/t").get
+    assert(mp.props("bloomFor") == "y")
+    assert(mp.segments.maxBy(_.id).stats("y").bloom.isDefined,
+      "the post-declaration INSERT must build the bloom")
+    spark.sql(s"ALTER TABLE $cat.db.t UNSET TBLPROPERTIES ('bloomFor')")
+    assert(!SegmentLog.read(fsp, s"$wh/db/t").get.props.contains("bloomFor"))
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('bloomFor'='nope')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('whatever'='x')")
+    }
   }
 
   test("TBLPROPERTIES bloomFor: plain INSERTs build blooms without restating options") {
