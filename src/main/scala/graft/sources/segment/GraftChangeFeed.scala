@@ -191,7 +191,9 @@ class GraftChangeFeedStream(root: String, tableSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val avail = frozen.getOrElse(latest())
     val from = start.asInstanceOf[GraftCdfOffset].version
-    val capped = maxVersionsPerTrigger match {
+    // the cap comes from the ReadLimit ARGUMENT (the engine may wrap or
+    // compose what getDefaultReadLimit returned), not the option
+    val capped = GraftSegmentSource.maxFilesOf(limit) match {
       case Some(n) => math.min(avail, from + n)
       case None => avail
     }

@@ -122,6 +122,19 @@ object GraftSegmentSource {
   @volatile var lastScanEvent: Option[(Int, Int)] = None
   /** Last runtime-filtering outcome: (kept, before). */
   @volatile var lastRuntimeEvent: Option[(Int, Int)] = None
+
+  /** The per-trigger unit cap a [[ReadLimit]] carries, if any — the
+    * ONE unwrapping both streaming faces (segments for the append
+    * source, versions for the change feed) honor in
+    * `latestOffset(start, limit)`. Composites take their tightest
+    * file cap; row-based and all-available limits carry none. */
+  def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+      Some(m.maxFiles())
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxFilesOf).reduceOption(math.min)
+    case _ => None
+  }
 }
 
 /** Scan metrics surfaced into the Spark SQL UI node (the operator's
@@ -791,8 +804,11 @@ object GraftMicroBatchStream {
   *
   * `ack` pins stream identity against DATA-CHANGING truncates: a
   * fresh stream acknowledges the table's latest truncate VERSION at
-  * init (dead ids from acknowledged truncates are a generation that
-  * predates it — skipped), while a truncate that POSTDATES the stream
+  * init — ids the acknowledged truncates actually removed are a dead
+  * generation that predates it (skipped; ids they KEPT are resolved
+  * against the manifest at version `ack`, never blanket-skipped, so a
+  * later compact() cannot hide them) — while a truncate that POSTDATES
+  * the stream
   * (truncateVersion > ack) deleted rows out from under it and fails
   * fast. A VERSION, not an id watermark: metadata-only DELETEs
   * allocate no ids, so two truncates can tie at one watermark — only
@@ -866,8 +882,12 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     // ids are dense, so an id-range cap IS a segment-count cap (a
     // batch may deliver fewer when the range holds compaction output
     // or pruned segments — admission control bounds work per trigger,
-    // it does not promise full triggers)
-    val capped = maxSegmentsPerTrigger match {
+    // it does not promise full triggers). The cap comes from the
+    // ReadLimit ARGUMENT, not the constructor option: today the only
+    // limit Spark passes back is getDefaultReadLimit, but available-now
+    // wrapping and composite limits are the engine's prerogative —
+    // re-deriving from the option would silently diverge from them.
+    val capped = GraftSegmentSource.maxFilesOf(limit) match {
       case Some(n) => math.min(avail, s.nextId + n)
       case None => avail
     }
@@ -875,6 +895,32 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
   }
 
   override def reportLatestOffset(): Offset = GraftOffset(currentEnd())
+
+  // manifest at the stream's acknowledged truncate version, as a
+  // logical view under the CURRENT column mapping, keyed by segment
+  // id. Read lazily — only a batch holding absent ids at/below the
+  // truncate watermark (delete history in the slice) needs it — and
+  // cached: every batch of this stream acknowledges the same version.
+  @volatile private var ackViewCache: Option[(Long, Map[Long, SegmentMeta])] = None
+  private def liveAtAck(ack: Long, cur: Manifest): Map[Long, SegmentMeta] =
+    ackViewCache match {
+      case Some((a, view)) if a == ack => view
+      case _ =>
+        val base =
+          try SegmentLog.readVersion(fs, root, ack)
+          catch {
+            case e: IllegalArgumentException => throw new IllegalStateException(
+              s"manifest version $ack (the truncate this stream acknowledged) is no " +
+                s"longer retained at $root: history was expired past this stream's " +
+                "snapshot — retain versions at least as long as your slowest " +
+                "consumer's lag", e)
+          }
+        val view = SegmentLog.logicalView(base.copy(
+            physicalOf = cur.physicalOf, retiredSchema = cur.retiredSchema))
+          .segments.map(s => s.id -> s).toMap
+        ackViewCache = Some((ack, view))
+        view
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[GraftOffset]
@@ -897,16 +943,31 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
           s"version ${so.ack}) — rows already emitted may be stale; restart with a " +
           "fresh checkpoint to adopt the new table contents")
     val live: Map[Long, SegmentMeta] = m.segments.map(s => s.id -> s).toMap
-    // resolve every id in [from, to) exactly once:
-    //  - live + dataChange        → deliver;
-    //  - live + !dataChange       → skip (compaction output: rows were
-    //    already delivered under their original ids);
-    //  - absent, id ≤ truncate watermark (≤ ack here) → a dead
-    //    generation that predates this stream: skip;
-    //  - absent, id > truncate watermark → compacted away with rows
-    //    preserved: re-read the original segment from a RETAINED
-    //    manifest version (vacuum keeps every file a live version
-    //    references), so a LAGGING stream survives compaction too.
+    // resolve every id in [from, to) exactly once. W = the truncate
+    // watermark: ids at or below it are the SNAPSHOT GENERATION the
+    // acknowledged truncate defined (the fail-fast above guarantees the
+    // live watermark IS the acknowledged one); ids above W are the
+    // append-only tail.
+    //  - live + dataChange → deliver;
+    //  - live + !dataChange, id > W → skip (post-snapshot compaction
+    //    output: rows already delivered under their original ids);
+    //  - live + !dataChange, id ≤ W → DELIVER: compaction output the
+    //    acknowledged DELETE kept. Its input segments died before the
+    //    truncate — skipped below as dead@ack — so this segment is the
+    //    snapshot's only carrier of those rows;
+    //  - absent, id > W → compacted away with rows preserved (a
+    //    data-changing truncate would have failed the stream above):
+    //    re-read the original segment from a RETAINED manifest version
+    //    (vacuum keeps every file a live version references), so a
+    //    LAGGING stream survives compaction too;
+    //  - absent, id ≤ W → not all dead: a metadata-only DELETE raises
+    //    W over the ids it KEPT, and a later compact() moves those out
+    //    of the live manifest. Ask the manifest AT the acknowledged
+    //    truncate version: live there = kept by the delete and only
+    //    reorganized afterwards → deliver from that retained version;
+    //    absent there = a generation the acknowledged truncates
+    //    actually removed → skip. (A blanket skip here silently lost
+    //    the kept-then-compacted rows — the delete-then-compact hole.)
     val needHistory = (from until to).filter(id =>
       !live.contains(id) && id > m.truncateWatermark)
     val resurrected: Map[Long, SegmentMeta] =
@@ -914,9 +975,9 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
         s"this stream's offset range [$from, $to)").map(s => s.id -> s).toMap
     val resolved = (from until to).flatMap { id =>
       live.get(id) match {
-        case Some(s) => if (s.dataChange) Some(s) else None
-        case None if id <= m.truncateWatermark =>
-          None // generation predates the stream (truncate version acknowledged above)
+        case Some(s) =>
+          if (s.dataChange || id <= m.truncateWatermark) Some(s) else None
+        case None if id <= m.truncateWatermark => liveAtAck(so.ack, m).get(id)
         case None => resurrected.get(id) // absent = historical dataChange=false: skip
       }
     }
@@ -952,8 +1013,8 @@ object GraftWriteBuilder {
     val props = m.map(_.props).getOrElse(Map.empty)
     val bf = optFor.getOrElse(
       props.get("bloomFor").map(SegmentBloom.parseCols(_)).getOrElse(Set.empty))
-    val bb = optBits.getOrElse(
-      props.get("bloomBits").map(_.toInt).getOrElse(SegmentBloom.DefaultBits))
+    val bb = SegmentBloom.validateBits(optBits.getOrElse(
+      props.get("bloomBits").map(_.toInt).getOrElse(SegmentBloom.DefaultBits)))
     (bf, bb)
   }
 }

@@ -44,6 +44,18 @@ object SegmentBloom {
     cols
   }
 
+  /** The ONE bloomBits guard, applied where the effective config
+    * resolves ([[GraftWriteBuilder.effectiveBloom]]) so write options
+    * and table properties get the same validation as catalog DDL:
+    * at least 64, rounded UP to a whole number of 64-bit words.
+    * Unguarded, 1..63 allocates a ZERO-length filter (`bloomBits/64 ==
+    * 0`) and every write task dies in [[put]] with a division by zero;
+    * a non-multiple of 64 silently truncates the requested size. */
+  def validateBits(bits: Int): Int = {
+    require(bits >= 64, s"bloomBits must be >= 64, got $bits")
+    ((bits + 63) / 64) * 64
+  }
+
   def bloomable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
         StringType => true

@@ -519,11 +519,17 @@ object SegmentLog {
   def resolveHistorical(fs: FileSystem, root: String, current: Manifest,
       ids: Seq[Long], context: String): Seq[SegmentMeta] = {
     if (ids.isEmpty) return Nil
+    // newest-first so each id resolves to its newest occurrence, and
+    // STOP once every requested id is found — a consumer lagging one
+    // compaction behind must not pay O(retained versions) JSON reads
+    val want = scala.collection.mutable.HashSet[Long](ids: _*)
     val b = scala.collection.mutable.HashMap[Long, SegmentMeta]()
-    liveVersions(fs, root).sorted.reverse.foreach { v =>
+    val versions = liveVersions(fs, root).sorted.reverse.iterator
+    while (versions.hasNext && want.nonEmpty) {
+      val v = versions.next()
       try logicalView(readVersion(fs, root, v).copy(
           physicalOf = current.physicalOf, retiredSchema = current.retiredSchema))
-        .segments.foreach { sg => if (!b.contains(sg.id)) b += sg.id -> sg }
+        .segments.foreach { sg => if (want.remove(sg.id)) b += sg.id -> sg }
       catch { case _: IllegalArgumentException => () } // expired mid-listing
     }
     ids.flatMap { id =>

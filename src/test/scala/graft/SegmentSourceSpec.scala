@@ -1397,6 +1397,155 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(batch == want)
   }
 
+  test("metadata-only DELETE then compact: streams still deliver every surviving row") {
+    val dir = tmp("graft-seg-delcompact")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    def drainTo(out: String, cp: String): Unit = {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    def table = new graft.sources.segment.GraftSegmentTable(dir,
+      SegmentLog.read(fs, dir).get.schema)
+
+    put(0 until 10) // v0, id 0
+    put(10 until 20) // v1, id 1
+    // the DELETE drops id 1 but raises the truncate watermark over the
+    // KEPT id 0 too; the compact then moves id 0 out of the live
+    // manifest — id 0 is now absent AND at/below the watermark, yet its
+    // rows survive in the table
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L))) // v2
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // v3
+    val out1 = tmp("graft-seg-delcompact-out1")
+    val cp1 = tmp("graft-seg-delcompact-cp1")
+    drainTo(out1, cp1)
+    assert(spark.read.parquet(out1).as[Long].collect().sorted.toSeq == (0L until 10L),
+      "a fresh stream after delete-then-compact must deliver the kept rows " +
+        "(a blanket skip of absent ids at/below the watermark emits nothing)")
+
+    // the SAME stream keeps exactly-once across further appends and
+    // compactions: no re-delivery of the snapshot, no loss of the tail
+    put(20 until 30) // v4, id 3
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // v5
+    drainTo(out1, cp1)
+    val all = spark.read.parquet(out1).as[Long].collect().sorted.toSeq
+    assert(all == ((0L until 10L) ++ (20L until 30L)),
+      s"exactly-once across delete+compact history, got ${all.size} rows")
+
+    // delete-keeps-all over an already-compacted table: the ONLY live
+    // segment is dataChange=false at/below the watermark — it is the
+    // snapshot's sole carrier and must be delivered, not skipped as
+    // already-consumed compaction output
+    val dir2 = tmp("graft-seg-delcompact2")
+    (0L until 10L).toDF("id").coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir2) // v0, id 0
+    graft.sources.segment.GraftMaintenance.compact(spark, dir2, "id", 1) // v1, id 1
+    new graft.sources.segment.GraftSegmentTable(dir2,
+      SegmentLog.read(SegmentLog.fs(dir2, spark.sessionState.newHadoopConf()), dir2).get.schema)
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 1000L))) // v2: keeps all
+    val out2 = tmp("graft-seg-delcompact2-out")
+    val q2 = spark.readStream.format(Fmt).load(dir2)
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", tmp("graft-seg-delcompact2-cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out2).as[Long].collect().sorted.toSeq == (0L until 10L),
+      "the kept dataChange=false carrier below the watermark IS the snapshot")
+
+    // honesty boundary: expiring the acknowledged truncate version out
+    // of the log makes the snapshot unresolvable — fail fast, never
+    // silently skip
+    graft.sources.segment.GraftMaintenance.compact(spark, dir2, "id", 1) // v3
+    graft.sources.segment.GraftMaintenance.expire(spark, dir2, keepLast = 1)
+    val q3 = spark.readStream.format(Fmt).load(dir2)
+      .writeStream.format("parquet")
+      .option("path", tmp("graft-seg-delcompact3-out"))
+      .option("checkpointLocation", tmp("graft-seg-delcompact3-cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.awaitTermination(120000)
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("history was expired"))
+  }
+
+  test("bloomBits is validated centrally: write options get the DDL guard too") {
+    import spark.implicits._
+    import graft.sources.segment.SegmentBloom
+    // the one guard: too small fails, non-multiples of 64 round UP
+    intercept[IllegalArgumentException](SegmentBloom.validateBits(32))
+    intercept[IllegalArgumentException](SegmentBloom.validateBits(0))
+    assert(SegmentBloom.validateBits(64) == 64)
+    assert(SegmentBloom.validateBits(100) == 128)
+    assert(SegmentBloom.validateBits(8192) == 8192)
+    // the write-option path used to bypass the DDL-only check: 1..63
+    // allocated a ZERO-length filter and every write task died with a
+    // division by zero inside SegmentBloom.put
+    val dir = tmp("graft-seg-bloombits")
+    val e = intercept[Exception] {
+      (0L until 10L).toDF("id").write.format(Fmt)
+        .option("bloomFor", "id").option("bloomBits", "32")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("bloomBits"), s"got: ${e.getMessage}")
+    assert(SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir).isEmpty,
+      "the refused write must not commit")
+    // a rounded-up request lands as whole 64-bit words in the manifest
+    (0L until 10L).toDF("id").coalesce(1).write.format(Fmt)
+      .option("bloomFor", "id").option("bloomBits", "100")
+      .mode("append").save(dir)
+    val bloom = SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir)
+      .get.segments.head.stats("id").bloom
+    assert(bloom.isDefined, "the bloom must be built")
+    assert(java.util.Base64.getDecoder.decode(bloom.get).length == 128 / 8,
+      "bloomBits=100 must round up to 128 bits = 16 bytes")
+  }
+
+  test("latestOffset honors the ReadLimit argument over the constructor option") {
+    val dir = tmp("graft-seg-readlimit")
+    import spark.implicits._
+    (0 until 4).foreach(i => Seq(i.toLong).toDF("id").coalesce(1)
+      .write.format(Fmt).mode("append").save(dir))
+    val schema = spark.read.format(Fmt).load(dir).schema
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // the engine may wrap or compose what getDefaultReadLimit returned
+    // (available-now, composite limits): the ARGUMENT is authoritative,
+    // the constructor option only seeds the default
+    val stream = new graft.sources.segment.GraftMicroBatchStream(dir, schema, schema,
+      new graft.sources.segment.SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      maxSegmentsPerTrigger = Some(1))
+    def next(limit: ReadLimit): Long =
+      stream.latestOffset(graft.sources.segment.GraftOffset(0L), limit)
+        .asInstanceOf[graft.sources.segment.GraftOffset].nextId
+    assert(next(ReadLimit.maxFiles(2)) == 2L, "the passed cap wins over the option")
+    assert(next(ReadLimit.allAvailable()) == 4L)
+    assert(next(ReadLimit.compositeLimit(Array(
+      ReadLimit.maxRows(100L), ReadLimit.maxFiles(3)))) == 3L,
+      "composites take their tightest file cap")
+    // same contract on the change-feed face (version units)
+    val cdf = new graft.sources.segment.GraftChangeFeedStream(dir, schema,
+      new graft.sources.segment.SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      startingVersion = Some(0L), maxVersionsPerTrigger = Some(1))
+    def nextV(limit: ReadLimit): Long =
+      cdf.latestOffset(graft.sources.segment.GraftCdfOffset(-1L), limit)
+        .asInstanceOf[graft.sources.segment.GraftCdfOffset].version
+    assert(nextV(ReadLimit.maxFiles(2)) == 1L)
+    assert(nextV(ReadLimit.allAvailable()) == 3L)
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
