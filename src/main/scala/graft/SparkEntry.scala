@@ -1570,6 +1570,26 @@ object SparkEntry {
         col("o_orderkey") % 7 === 0 || col("cents") > 20000000L)
       s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
     }),
+    // DELETION VECTORS (merge-on-read DELETE): the same shape as
+    // store_segment_delete but via position bitmaps — no segment file
+    // is rewritten; two successive DELETEs certify the bitmap union.
+    // At 100 TB this is the GDPR tier: write cost ∝ matched rows, the
+    // read-side filter runs inside the vectorized decode loop, and the
+    // next compact() materializes the vectors away
+    "store_segment_dv" -> ((s, d) => withTempDir("graft-segdv") { base =>
+      val dir = s"$base/orders_seg"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "o_orderkey").option("numPartitions", "8")
+        .mode("append").save(dir)
+      graft.sources.segment.GraftMaintenance.deleteMark(s, dir,
+        col("o_orderkey") % 7 === 0)
+      graft.sources.segment.GraftMaintenance.deleteMark(s, dir,
+        col("cents") > 20000000L)
+      s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
+    }),
     // Z-ORDER compaction on the native format (OPTIMIZE ZORDER BY):
     // interleaved-bit clustering keeps zone maps selective for
     // predicates on EITHER dimension — here the two-sided filter on
@@ -5586,6 +5606,13 @@ object SparkEntry {
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders " +
         "WHERE NOT (o_orderkey % 7 = 0 OR CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000) " +
+        "ORDER BY o_orderkey"),
+
+    "store_segment_dv" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders " +
+        "WHERE NOT (o_orderkey % 7 = 0) " +
+        "AND NOT (CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000) " +
         "ORDER BY o_orderkey"),
 
     "store_segment_zorder" ->

@@ -1,0 +1,100 @@
+package graft.sources.segment
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Per-segment DELETION VECTORS — merge-on-read row-level deletes,
+  * the Delta/Iceberg-v3 shape: a DELETE whose predicate does not
+  * decide whole segments marks the matched PHYSICAL ROW POSITIONS in
+  * a small sidecar bitmap instead of rewriting the segment. At 100 TB
+  * this is the difference between a GDPR erasure touching kilobytes
+  * of bitmaps and one rewriting terabytes of row data: write cost ∝
+  * deleted-row count, read cost ∝ one bitmap probe per row in DV'd
+  * segments only, and compaction (or any copy-on-write rewrite that
+  * touches the segment) materializes the vector away.
+  *
+  * Semantics and soundness:
+  *  - positions are PHYSICAL ordinals in the segment file (the
+  *    `_pos` metadata column), so vectors stay aligned no matter how
+  *    many earlier deletes already hide rows;
+  *  - zone maps and blooms remain one-sided over the SUPERSET of live
+  *    rows — pruning and metadata-only DELETE decisions stay sound;
+  *  - exact metadata answers that deleted rows could distort
+  *    (COUNT(col), MIN/MAX, top-N planning) either account for
+  *    `dvRows` or refuse ([[GraftScanBuilder]]);
+  *  - a DV commit is a DATA-CHANGING truncate (rows disappeared):
+  *    running streams fail fast, the change feed emits the newly
+  *    deleted rows as a bitmap DELTA (new ∖ old), and time travel
+  *    serves each version with the vector it committed.
+  *
+  * File format: `[rows deleted: long][words: int][bitset longs]`,
+  * committed under `data/` like segments (invisible until a manifest
+  * references it; [[SegmentLog.vacuum]] protects referenced vectors).
+  * A bitmap over a million-row segment is ~128 KB; decoded vectors
+  * are cached like blooms ([[SegmentBloom.decode]]'s discipline).
+  */
+object DeletionVector {
+
+  /** Bitmap from SORTED physical positions. */
+  def fromPositions(positions: Seq[Long]): Array[Long] = {
+    if (positions.isEmpty) return Array.empty
+    val max = positions.last
+    require(max >= 0 && max < Int.MaxValue.toLong * 64, s"position $max out of range")
+    val bits = new Array[Long]((max >>> 6).toInt + 1)
+    positions.foreach { p => bits((p >>> 6).toInt) |= (1L << (p & 63)) }
+    bits
+  }
+
+  /** OR of two bitmaps (a second DELETE unions with the first). */
+  def union(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.max(a.length, b.length))
+    System.arraycopy(a, 0, out, 0, a.length)
+    var i = 0
+    while (i < b.length) { out(i) |= b(i); i += 1 }
+    out
+  }
+
+  def contains(bits: Array[Long], pos: Long): Boolean = {
+    val w = (pos >>> 6).toInt
+    w < bits.length && (bits(w) & (1L << (pos & 63))) != 0L
+  }
+
+  def cardinality(bits: Array[Long]): Long =
+    bits.foldLeft(0L)((acc, w) => acc + java.lang.Long.bitCount(w))
+
+  def write(fs: FileSystem, path: Path, bits: Array[Long]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(path, false), 1 << 16))
+    try {
+      out.writeLong(cardinality(bits))
+      out.writeInt(bits.length)
+      bits.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  // decoded-vector cache: every task reading a DV'd segment (and every
+  // query over the same snapshot) probes the same bitmap — decode each
+  // file once per JVM. Bounded by wholesale clear, like the bloom
+  // cache: ~128 KB × 1k entries ≈ 128 MB worst case, typical far less.
+  private val decoded = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private val MaxCached = 1000
+
+  def read(fs: FileSystem, path: Path): Array[Long] = {
+    val key = path.toString
+    val hit = decoded.get(key)
+    if (hit != null) return hit
+    val in = new DataInputStream(new BufferedInputStream(fs.open(path), 1 << 16))
+    val bits =
+      try {
+        in.readLong() // cardinality header (readable without the bitmap)
+        val words = in.readInt()
+        val b = new Array[Long](words)
+        var i = 0
+        while (i < words) { b(i) = in.readLong(); i += 1 }
+        b
+      } finally in.close()
+    if (decoded.size() >= MaxCached) decoded.clear()
+    decoded.put(key, bits)
+    bits
+  }
+}

@@ -50,16 +50,42 @@ object GraftChangeFeed {
       StructField(ChangeTypeCol, StringType, nullable = false),
       StructField(CommitVersionCol, LongType, nullable = false)))
 
-  /** The changed segments in version range (from, to]: (meta, type,
-    * commit version), metas translated to the CURRENT logical view so
-    * readers resolve columns across renames. Deletes are emitted for
-    * data-changing truncates only; compaction steps diff to nothing. */
+  /** One changed segment in a feed range. `dvDeltaBase = Some(oldDv)`
+    * marks a BITMAP-DELTA delete: the segment survived the commit but
+    * its deletion vector grew — the deleted rows are `meta.dv ∖ oldDv`,
+    * read from the same file. Otherwise reads emit the meta's live
+    * rows (its own dv filters rows already dead before the change). */
+  case class SegmentChange(meta: SegmentMeta, changeType: String, version: Long,
+      dvDeltaBase: Option[Option[String]] = None)
+
+  /** The ONE change → partition mapping all three feed faces use
+    * (batch, streaming, [[GraftMaintenance.changes]]). */
+  def toPartition(root: String, tableSchema: StructType)(
+      c: SegmentChange): InputPartition = {
+    val cols =
+      if (c.meta.cols.nonEmpty) c.meta.cols else tableSchema.fieldNames.toSeq
+    c.dvDeltaBase match {
+      case None => GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
+        c.changeType, c.version, dv = c.meta.dv.map(d => s"$root/$d"))
+      case Some(oldDv) => GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
+        c.changeType, c.version,
+        dv = oldDv.map(d => s"$root/$d"), // rows dead BEFORE the commit
+        emitOnlyDv = c.meta.dv.map(d => s"$root/$d")) // new ∖ old
+    }
+  }
+
+  /** The changed segments in version range (from, to], metas
+    * translated to the CURRENT logical view so readers resolve columns
+    * across renames. Deletes are emitted for data-changing truncates
+    * only — including DELETION-VECTOR growth on surviving segments
+    * (merge-on-read deletes, emitted as the bitmap delta); compaction
+    * steps diff to nothing. */
   def changedSegments(fs: org.apache.hadoop.fs.FileSystem, root: String,
-      current: Manifest, from: Long, to: Long): Seq[(SegmentMeta, String, Long)] = {
+      current: Manifest, from: Long, to: Long): Seq[SegmentChange] = {
     def view(v: Long): Manifest =
       SegmentLog.logicalView(SegmentLog.readVersion(fs, root, v).copy(
         physicalOf = current.physicalOf, retiredSchema = current.retiredSchema))
-    val out = Seq.newBuilder[(SegmentMeta, String, Long)]
+    val out = Seq.newBuilder[SegmentChange]
     // from < 0 = "from before the table existed": the empty base
     var prev = if (from < 0) Manifest(-1L, current.schema, Nil) else view(from)
     (from + 1 to to).foreach { v =>
@@ -67,11 +93,17 @@ object GraftChangeFeed {
       val prevIds = prev.segments.map(_.id).toSet
       val curIds = cur.segments.map(_.id).toSet
       cur.segments.filter(s => !prevIds.contains(s.id) && s.dataChange)
-        .foreach(s => out += ((s, "insert", v)))
+        .foreach(s => out += SegmentChange(s, "insert", v))
       val isCompaction = cur.compactedThrough > prev.compactedThrough
-      if (!isCompaction)
+      if (!isCompaction) {
         prev.segments.filterNot(s => curIds.contains(s.id))
-          .foreach(s => out += ((s, "delete", v)))
+          .foreach(s => out += SegmentChange(s, "delete", v))
+        val prevById = prev.segments.map(s => s.id -> s).toMap
+        cur.segments.foreach(s => prevById.get(s.id).foreach { p =>
+          if (s.dv != p.dv)
+            out += SegmentChange(s, "delete", v, dvDeltaBase = Some(p.dv))
+        })
+      }
       prev = cur
     }
     out.result()
@@ -79,7 +111,9 @@ object GraftChangeFeed {
 }
 
 case class GraftCdfInputPartition(file: String, cols: Seq[String],
-    changeType: String, version: Long) extends GraftPartition
+    changeType: String, version: Long,
+    dv: Option[String] = None, emitOnlyDv: Option[String] = None)
+    extends GraftPartition
 
 /** The plain segment row reader ([[GraftReaderFactory]] — ONE home for
   * the column-mapping/evolution resolution rules) wrapped to append
@@ -140,11 +174,7 @@ class GraftChangeFeedTable(root: String, tableSchema: StructType)
               "batch change-feed reads need startingVersion (streaming defaults to 'now')"))
           val to = Option(options.get("endingVersion")).map(_.toLong).getOrElse(cur.version)
           GraftChangeFeed.changedSegments(fs, root, cur, math.max(from, -1L), to)
-            .map { case (s, ct, v) =>
-              GraftCdfInputPartition(s"$root/${s.path}",
-                if (s.cols.nonEmpty) s.cols else tableSchema.fieldNames.toSeq,
-                ct, v): InputPartition
-            }.toArray
+            .map(GraftChangeFeed.toPartition(root, tableSchema)).toArray
         }
 
         override def createReaderFactory(): PartitionReaderFactory =
@@ -207,11 +237,8 @@ class GraftChangeFeedStream(root: String, tableSchema: StructType,
     val to = end.asInstanceOf[GraftCdfOffset].version
     val cur = SegmentLog.read(fs, root).getOrElse(
       throw new IllegalStateException(s"no graft-segment table at $root"))
-    GraftChangeFeed.changedSegments(fs, root, cur, from, to).map { case (s, ct, v) =>
-      GraftCdfInputPartition(s"$root/${s.path}",
-        if (s.cols.nonEmpty) s.cols else tableSchema.fieldNames.toSeq,
-        ct, v): InputPartition
-    }.toArray
+    GraftChangeFeed.changedSegments(fs, root, cur, from, to)
+      .map(GraftChangeFeed.toPartition(root, tableSchema)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

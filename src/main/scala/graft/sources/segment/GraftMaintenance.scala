@@ -132,11 +132,87 @@ object GraftMaintenance {
     (before, after)
   }
 
+  /** Merge-on-read DELETE via DELETION VECTORS ([[DeletionVector]]):
+    * mark every row where `condition` IS TRUE (SQL DELETE semantics —
+    * null-condition rows survive) as deleted in per-segment position
+    * bitmaps, without rewriting any row data. The third DELETE tier,
+    * between the metadata-only segment drop (predicate decides whole
+    * segments) and [[deleteRows]]' full rewrite:
+    *
+    *  1. scan `(_segment, _pos)` of matching rows — zone maps/blooms
+    *     prune unaffected segments, the projection reads no payload
+    *     columns;
+    *  2. per touched segment, union the positions into its (possibly
+    *     pre-existing) bitmap and write a NEW dv file under `data/`
+    *     (copy-on-write sidecars — old versions keep the old vector,
+    *     so time travel and the change feed stay exact). Executor-side;
+    *     the driver collects only (segment, dvPath, count) — O(touched
+    *     segments);
+    *  3. one truncating manifest commit: touched segments get the new
+    *     dv (fully-deleted segments drop outright), untouched segments
+    *     carry over, the declared layout survives (no rows moved).
+    *
+    * The commit is DATA-CHANGING (running streams fail fast, the feed
+    * emits the bitmap delta as deletes). 100 TB: cost ∝ matched rows +
+    * touched-segment bitmaps — a GDPR erasure of a few thousand rows
+    * writes kilobytes, not a table rewrite; the read-side toll (bitmap
+    * probe per row, row-path decode) lasts until the next compact of
+    * those segments materializes the vectors away. Returns rows
+    * marked deleted. */
+  def deleteMark(spark: SparkSession,
+      dir: String, condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit, sort_array}
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = SegmentLog.fs(dir, conf)
+    val m = SegmentLog.read(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+    val hits = spark.read.format(Fmt).load(dir)
+      .filter(coalesce(condition, lit(false)))
+      .select(col(GraftSegmentTable.SegmentCol).as("seg"),
+        col(GraftSegmentTable.PosCol).as("pos"))
+      .groupBy("seg").agg(sort_array(collect_list("pos")).as("pos"))
+    // prior vectors, keyed by the absolute segment path the scan emits
+    val priorDv: Map[String, String] =
+      m.segments.flatMap(s => s.dv.map(d => s"$dir/${s.path}" -> s"$dir/$d")).toMap
+    val sconf = new SerializableHadoopConf(conf)
+    val entries: Map[String, (String, Long)] = hits.as[(String, Seq[Long])]
+      .map { case (seg, positions) =>
+        val taskFs = new Path(seg).getFileSystem(sconf.value)
+        val prior = priorDv.get(seg)
+          .map(p => DeletionVector.read(taskFs, new Path(p)))
+          .getOrElse(Array.empty[Long])
+        val bits = DeletionVector.union(prior, DeletionVector.fromPositions(positions))
+        val rel = s"${SegmentLog.DataDir}/${java.util.UUID.randomUUID()}.dv"
+        DeletionVector.write(taskFs, new Path(s"$dir/$rel"), bits)
+        (seg, rel, DeletionVector.cardinality(bits))
+      }.collect().map { case (seg, rel, n) => seg -> ((rel, n)) }.toMap
+    if (entries.isEmpty) return 0L
+    val updated = m.segments.flatMap { s =>
+      entries.get(s"$dir/${s.path}") match {
+        case Some((rel, n)) if n >= s.rows => None // every row dead: drop the segment
+        case Some((rel, n)) => Some(s.copy(dv = Some(rel), dvRows = n))
+        case None => Some(s)
+      }
+    }
+    val marked = {
+      val before = m.segments.map(_.dvRows).sum
+      val after = m.segments.flatMap(s =>
+        entries.get(s"$dir/${s.path}").map(_._2).orElse(Some(s.dvRows))).sum
+      after - before
+    }
+    SegmentLog.commit(fs, dir, m.schema, updated, truncate = true,
+      bucketing = m.bucketing)
+    marked
+  }
+
   /** The rewrite half of DELETE: keep every row where `condition` is
     * not TRUE (SQL DELETE semantics — null-condition rows survive),
     * rewritten in place. Use when the predicate does not decide whole
     * segments (the metadata-only path on [[GraftSegmentTable]] handles
-    * the case where it does). Returns rows remaining. */
+    * the case where it does) and the deleted fraction is large enough
+    * that [[deleteMark]]'s read-side bitmap toll is worse than a
+    * rewrite. Returns rows remaining. */
   def deleteRows(spark: SparkSession, dir: String,
       condition: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
@@ -165,7 +241,7 @@ object GraftMaintenance {
     val m = SegmentLog.read(fs, dir).getOrElse(
       throw new IllegalArgumentException(s"no graft-segment table at $dir"))
     val live = SegmentLog.liveVersions(fs, dir)
-    Seq((m.version, m.segments.size.toLong, m.segments.map(_.rows).sum,
+    Seq((m.version, m.segments.size.toLong, m.segments.map(_.liveRows).sum,
       m.segments.map(_.bytes).sum,
       m.bucketing.map(b => s"${b.mode}(${b.cols.mkString(",")}, ${b.n})").getOrElse("none"),
       m.schema.fieldNames.mkString(","), live.size.toLong, m.txns.size.toLong))
@@ -248,14 +324,20 @@ object GraftMaintenance {
         case Some(p) =>
           val prevIds = p.segments.map(_.id).toSet
           val curIds = m.segments.map(_.id).toSet
+          val prevById = p.segments.map(s => s.id -> s).toMap
           if (m.compactedThrough > p.compactedThrough) "compact"
           else if (prevIds.diff(curIds).nonEmpty) "replace"
+          // deletion-vector growth on surviving segments: rows were
+          // deleted without any segment leaving — a replace, not
+          // metadata
+          else if (m.segments.exists(s => prevById.get(s.id).exists(_.dv != s.dv)))
+            "replace"
           else if (curIds.diff(prevIds).nonEmpty) "append"
           else if (m.schema != p.schema) "ddl"
           else "metadata"
       }
       prev = Some(m)
-      (v, kind, m.segments.size, m.segments.map(_.rows).sum)
+      (v, kind, m.segments.size, m.segments.map(_.liveRows).sum)
     }
   }
 

@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.vacuum('db.t');                      -- + retention_ms
   * CALL graft.system.history('db.t');
   * CALL graft.system.delete_where('db.t', 'k % 7 = 0');   -- rewrite-path DELETE
+  * CALL graft.system.delete_mark('db.t', 'k % 7 = 0');    -- deletion-vector DELETE
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -118,6 +119,18 @@ object GraftProcedures {
             Seq(row(SegmentLog.vacuum(
               SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir, in.getLong(1))))
         }
+      case "delete_mark" =>
+        procedure("delete_mark",
+          Seq(param("table", StringType), param("predicate", StringType)),
+          StructType(Seq(StructField("rows_marked", LongType, nullable = false)))) {
+          (spark, in) =>
+            // merge-on-read DELETE: matched rows are marked in
+            // per-segment deletion vectors — no row data rewritten
+            // (compaction later materializes the vectors away)
+            Seq(row(GraftMaintenance.deleteMark(spark,
+              tableDir(warehouse, in.getUTF8String(0).toString),
+              org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))))
+        }
       case "delete_where" =>
         procedure("delete_where",
           Seq(param("table", StringType), param("predicate", StringType)),
@@ -150,5 +163,6 @@ object GraftProcedures {
   }
 
   val All: Seq[String] =
-    Seq("compact", "zorder", "expire", "vacuum", "history", "delete_where")
+    Seq("compact", "zorder", "expire", "vacuum", "history", "delete_where",
+      "delete_mark")
 }

@@ -114,6 +114,11 @@ class GraftSegmentSource extends TableProvider with DataSourceRegister {
 object GraftSegmentTable {
   /** Name of the per-row metadata column carrying the source segment. */
   val SegmentCol = "_segment"
+  /** Name of the per-row metadata column carrying the row's PHYSICAL
+    * ordinal within its segment — the position domain deletion vectors
+    * are defined over ([[DeletionVector]]). Stable across reads and
+    * across earlier deletes (assigned before dv filtering). */
+  val PosCol = "_pos"
 }
 
 object GraftSegmentSource {
@@ -171,18 +176,27 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  // the `_segment` metadata column (SELECT _segment FROM t): each
-  // row's source file, and the GROUP handle the row-level-operation
-  // framework filters on to find which segments an UPDATE/MERGE must
-  // rewrite
+  // metadata columns (SELECT _segment, _pos FROM t): each row's source
+  // file — the GROUP handle the row-level-operation framework filters
+  // on to find which segments an UPDATE/MERGE must rewrite — and its
+  // physical ordinal within that file, the position deletion vectors
+  // mark ([[GraftMaintenance.deleteMark]])
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftSegmentTable.SegmentCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "source segment file of this row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftSegmentTable.SegmentCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "source segment file of this row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftSegmentTable.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row ordinal within the segment"
+      })
 
   // group-based (copy-on-write) UPDATE / MERGE / row-level DELETE:
   // Spark filters the operation's scan down to the segments holding
@@ -420,12 +434,17 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     val segs = manifest.map(_.segments).getOrElse(Nil)
-    val totalRows = segs.map(_.rows).sum
+    // deletion vectors: COUNT(*) stays exact via rows − dvRows; every
+    // other metadata answer could name a DELETED row's value (the min
+    // may be gone, nullCount counts dead nulls) — refuse, scan instead
+    val totalRows = segs.map(_.liveRows).sum
+    val hasDv = segs.exists(_.dvRows > 0)
 
     def fieldType(name: String): Option[org.apache.spark.sql.types.DataType] =
       tableSchema.fields.find(_.name == name).map(_.dataType)
 
     def boundValue(name: String, takeMin: Boolean): Option[Any] = {
+      if (hasDv) return None // bounds may describe deleted rows only
       val dt = fieldType(name).getOrElse(return None)
       if (segs.isEmpty) return Some(null) // SQL MIN/MAX over empty = NULL
       // every segment must carry sound bounds, else unprovable
@@ -471,7 +490,9 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
       case c: Count if !c.isDistinct =>
         refName(c.column).flatMap { n =>
           // COUNT(col) = rows - nulls; nullCount is recorded for every
-          // column, bounds or not
+          // column, bounds or not — but counts DELETED nulls too, so a
+          // dv makes it unprovable
+          if (hasDv) return None
           val nulls = segs.map(_.stats.get(n).map(_.nullCount).getOrElse(return None)).sum
           Some((org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType,
             (totalRows - nulls): Any, false))
@@ -619,7 +640,7 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
   }
 
   override def estimateStatistics(): Statistics = {
-    val rows = surviving.map(_.rows).sum
+    val rows = surviving.map(_.liveRows).sum
     val bytes = surviving.map(_.bytes).sum
     // scale bytes by projection width so a narrow projection of a wide
     // table still qualifies for broadcast, like parquet's column stats
@@ -643,24 +664,29 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       // preview read opens one file, not the table)
       val take = (topN, limit) match {
         case (Some((key, asc, n)), _) =>
-          // key-ordered prefix (or suffix) covering n rows: provably a
-          // superset of the true top-N under strict range non-overlap
+          // key-ordered prefix (or suffix) covering n LIVE rows:
+          // provably a superset of the true top-N under strict range
+          // non-overlap (physical rows would over-count under dvs and
+          // cut the prefix short)
           val sorted = segs.sortBy(_.stats(key).bounds.get._1.toLong)
           val ordered = if (asc) sorted else sorted.reverse
           var acc = 0L
-          ordered.takeWhile { s => val need = acc < n; acc += s.rows; need }
+          ordered.takeWhile { s => val need = acc < n; acc += s.liveRows; need }
         case (None, Some(n)) =>
           var acc = 0L
-          segs.takeWhile { s => val need = acc < n; acc += s.rows; need }
+          segs.takeWhile { s => val need = acc < n; acc += s.liveRows; need }
         case (None, None) => segs
       }
       def segCols(seg: SegmentMeta): Seq[String] =
         if (seg.cols.nonEmpty) seg.cols else tableSchema.fieldNames.toSeq
+      def segDv(seg: SegmentMeta): Option[String] = seg.dv.map(d => s"$root/$d")
       if (reportableBucketing.isDefined)
         take.map(seg =>
-          GraftKeyedInputPartition(s"$root/${seg.path}", segCols(seg), seg.bucket.get): InputPartition).toArray
+          GraftKeyedInputPartition(s"$root/${seg.path}", segCols(seg), seg.bucket.get,
+            segDv(seg)): InputPartition).toArray
       else
-        take.map(seg => GraftInputPartition(s"$root/${seg.path}", segCols(seg)): InputPartition).toArray
+        take.map(seg => GraftInputPartition(s"$root/${seg.path}", segCols(seg),
+          segDv(seg)): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(tableSchema, required, conf,
@@ -678,15 +704,27 @@ trait GraftPartition extends InputPartition {
   /** Ordered columns the segment file physically stores (schema
     * evolution: may be a prefix-subset of the table schema). */
   def cols: Seq[String]
+  /** Deletion vector (absolute path): physical row positions to SKIP —
+    * merge-on-read row-level deletes ([[DeletionVector]]). */
+  def dv: Option[String]
+  /** When set (absolute path), emit ONLY rows in this bitmap (after
+    * `dv` skipping) — the change feed's bitmap-delta face: deletes
+    * between two versions are `new ∖ old`. */
+  def emitOnlyDv: Option[String]
 }
 
-case class GraftInputPartition(file: String, cols: Seq[String]) extends GraftPartition
+case class GraftInputPartition(file: String, cols: Seq[String],
+    dv: Option[String] = None) extends GraftPartition {
+  override def emitOnlyDv: Option[String] = None
+}
 
 /** A segment under a hash-bucketed layout: its partition key is the
   * bucket id, which is what BatchScanExec groups on for
   * storage-partitioned joins. */
-case class GraftKeyedInputPartition(file: String, cols: Seq[String], bucket: Int)
+case class GraftKeyedInputPartition(file: String, cols: Seq[String], bucket: Int,
+    dv: Option[String] = None)
     extends GraftPartition with HasPartitionKey {
+  override def emitOnlyDv: Option[String] = None
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bucket))
@@ -708,9 +746,13 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
             "evolved under a running stream; restart the stream to pick up the new schema")))
 
   // vectorized when every required column has a columnar decode path
-  // (the `_segment` metadata constant is filled per batch) — one
-  // virtual call per value instead of a row allocation per row, and
-  // downstream whole-stage codegen runs its columnar loop
+  // (the `_segment` metadata constant and `_pos` ordinals are filled
+  // per batch) — one virtual call per value instead of a row
+  // allocation per row, and downstream whole-stage codegen runs its
+  // columnar loop. Deletion vectors filter INSIDE the decode loop
+  // ([[SegmentCodec.readBatchLive]]): Spark forbids mixing row and
+  // columnar partitions in one scan, so the answer must not depend on
+  // the partition — and dv'd segments keep the fast path anyway.
   override def supportColumnarReads(partition: InputPartition): Boolean =
     required.fields.forall(f =>
       f.name == GraftSegmentTable.SegmentCol || SegmentCodec.vectorizable(f.dataType))
@@ -720,8 +762,12 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     val gp = partition.asInstanceOf[GraftPartition]
     val stored = StructType(gp.cols.map(storedField))
     val p = new Path(gp.file)
-    val in = new DataInputStream(new BufferedInputStream(
-      p.getFileSystem(conf.value).open(p), 1 << 16))
+    val pfs = p.getFileSystem(conf.value)
+    val skipBits: Array[Long] =
+      gp.dv.map(d => DeletionVector.read(pfs, new Path(d))).orNull
+    val onlyBits: Array[Long] =
+      gp.emitOnlyDv.map(d => DeletionVector.read(pfs, new Path(d))).orNull
+    val in = new DataInputStream(new BufferedInputStream(pfs.open(p), 1 << 16))
     SegmentCodec.readHeader(in, stored.length)
     val batchSize = 4096
     val vectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector] =
@@ -731,19 +777,23 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
       vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
     val segIdx = required.fieldNames.indexOf(GraftSegmentTable.SegmentCol)
+    val posIdx = required.fieldNames.indexOf(GraftSegmentTable.PosCol)
     val segBytes = gp.file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // columns the segment stores; everything else required (evolution
     // holes) stays null via putNulls
     val storedNames = gp.cols.toSet
     val holeIdx = required.fields.zipWithIndex.collect {
-      case (f, i) if i != segIdx && !storedNames.contains(f.name) => i
+      case (f, i) if i != segIdx && i != posIdx && !storedNames.contains(f.name) => i
     }
 
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var rows = -1
+      private var pos = 0L // physical ordinal of the next undecoded row
       override def next(): Boolean = {
         vectors.foreach(_.reset())
-        rows = SegmentCodec.readBatch(in, stored, required, vectors, batchSize)
+        val (r0, p0) = SegmentCodec.readBatchLive(in, stored, required, vectors,
+          batchSize, pos, skipBits, onlyBits, posIdx)
+        rows = r0; pos = p0
         if (rows > 0) {
           var r = 0
           if (segIdx >= 0) while (r < rows) {
@@ -767,21 +817,40 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     // the segment lacks stay null in the output row
     val stored = StructType(gp.cols.map(storedField))
     val p = new Path(file)
-    val in = new DataInputStream(new BufferedInputStream(
-      p.getFileSystem(conf.value).open(p), 1 << 16))
+    val fs = p.getFileSystem(conf.value)
+    val in = new DataInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
     val it = new SegmentCodec.RowIterator(in, stored, required)
-    // `_segment` metadata column: constant per partition, filled after
-    // decode (the codec never stores it)
+    // `_segment`/`_pos` metadata columns: filled after decode (the
+    // codec never stores them); `_pos` is the PHYSICAL ordinal — dv
+    // skipping happens after assignment, so positions stay stable
+    // under any number of earlier deletes
     val segIdx = required.fieldNames.indexOf(GraftSegmentTable.SegmentCol)
+    val posIdx = required.fieldNames.indexOf(GraftSegmentTable.PosCol)
     val segVal = org.apache.spark.unsafe.types.UTF8String.fromString(file)
+    // deletion-vector filtering: skip deleted positions; the change
+    // feed's delta face additionally restricts to `emitOnly` (new ∖
+    // old = emitOnly minus skip)
+    val skip: Array[Long] =
+      gp.dv.map(d => DeletionVector.read(fs, new Path(d))).orNull
+    val only: Array[Long] =
+      gp.emitOnlyDv.map(d => DeletionVector.read(fs, new Path(d))).orNull
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = it.hasNext
+      private var pos = -1L
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val r = it.next(); pos += 1
+          val dead = skip != null && DeletionVector.contains(skip, pos)
+          val wanted = only == null || DeletionVector.contains(only, pos)
+          if (!dead && wanted) { cur = r; return true }
+        }
+        false
+      }
       override def get(): InternalRow = {
-        val r = it.next()
-        if (segIdx >= 0)
-          r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
-            .update(segIdx, segVal)
-        r
+        val g = cur.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        if (segIdx >= 0) g.update(segIdx, segVal)
+        if (posIdx >= 0) g.update(posIdx, pos)
+        cur
       }
       override def close(): Unit = it.close()
     }
@@ -990,7 +1059,8 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     GraftMicroBatchStream.lastBatchEvent = Some((kept.size, resolved.size))
     kept
       .map(seg => GraftInputPartition(s"$root/${seg.path}",
-        if (seg.cols.nonEmpty) seg.cols else stored.fieldNames.toSeq): InputPartition).toArray
+        if (seg.cols.nonEmpty) seg.cols else stored.fieldNames.toSeq,
+        seg.dv.map(d => s"$root/$d")): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -297,7 +297,22 @@ object SegmentCodec {
     */
   def readBatch(in: DataInputStream, stored: StructType, required: StructType,
       vectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
-      maxRows: Int): Int = {
+      maxRows: Int): Int =
+    readBatchLive(in, stored, required, vectors, maxRows, 0L, null, null, -1)._1
+
+  /** [[readBatch]] with DELETION-VECTOR filtering in the decode loop —
+    * the columnar path stays columnar for dv'd segments (Spark forbids
+    * mixing row and columnar partitions within one scan, so a
+    * per-partition fallback is not an option). A dead physical row's
+    * bytes are CONSUMED without touching a vector slot; `posIdx >= 0`
+    * fills that required column with the live rows' PHYSICAL ordinals.
+    * `pos0` is the physical position of the next row in the stream;
+    * returns (live rows decoded, next physical position) so the caller
+    * threads positions across batches. */
+  def readBatchLive(in: DataInputStream, stored: StructType, required: StructType,
+      vectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      maxRows: Int, pos0: Long, skipBits: Array[Long], onlyBits: Array[Long],
+      posIdx: Int): (Int, Long) = {
     val outIdx: Array[Int] = stored.fields.map(f => {
       var i = 0; var found = -1
       while (i < required.length && found < 0) {
@@ -307,15 +322,18 @@ object SegmentCodec {
     })
     val types: Array[DataType] = stored.fields.map(_.dataType)
     var r = 0
+    var pos = pos0
     var exhausted = false
     while (r < maxRows && !exhausted) {
       val first = in.read()
       if (first < 0) exhausted = true
       else {
+        val dead = (skipBits != null && DeletionVector.contains(skipBits, pos)) ||
+          (onlyBits != null && !DeletionVector.contains(onlyBits, pos))
         var c = 0
         while (c < types.length) {
           val present = if (c == 0) first == 1 else in.readBoolean()
-          val o = outIdx(c)
+          val o = if (dead) -1 else outIdx(c)
           if (o < 0) { if (present) skip(in, types(c)) }
           else if (!present) vectors(o).putNull(r)
           else {
@@ -334,10 +352,14 @@ object SegmentCodec {
           }
           c += 1
         }
-        r += 1
+        if (!dead) {
+          if (posIdx >= 0) vectors(posIdx).putLong(r, pos)
+          r += 1
+        }
+        pos += 1
       }
     }
-    r
+    (r, pos)
   }
 
   private implicit final class SchemaOps(val s: StructType) extends AnyVal {

@@ -35,10 +35,20 @@ case class ColumnStats(bounds: Option[(String, String)], nullCount: Long,
   * running streams' checkpoints. `dataChange = false` marks a segment
   * whose ROWS were already committed under earlier ids (compaction
   * output): the streaming source skips it, exactly Delta's
-  * `dataChange=false` AddFile contract. */
+  * `dataChange=false` AddFile contract.
+  *
+  * `dv` is the segment's DELETION VECTOR ([[DeletionVector]]) — a
+  * root-relative bitmap file marking deleted physical row positions;
+  * `dvRows` its cardinality. `rows`/`bytes`/`stats` always describe
+  * the PHYSICAL file (live rows = `rows - dvRows`); stats stay sound
+  * as a superset, exact consumers account or refuse. */
 case class SegmentMeta(path: String, rows: Long, bytes: Long,
     stats: Map[String, ColumnStats], bucket: Option[Int] = None,
-    cols: Seq[String] = Nil, id: Long = -1L, dataChange: Boolean = true)
+    cols: Seq[String] = Nil, id: Long = -1L, dataChange: Boolean = true,
+    dv: Option[String] = None, dvRows: Long = 0L) {
+  /** Rows a reader actually delivers from this segment. */
+  def liveRows: Long = rows - dvRows
+}
 
 /** A declared table layout. `mode = "hash"`: every committed segment
   * is labeled with `pmod(murmur3(cols), n)` — consistent across
@@ -226,7 +236,9 @@ object SegmentLog {
         if (s.hasNonNull("bucket")) Some(s.get("bucket").asInt()) else None,
         segCols,
         id = if (s.hasNonNull("id")) s.get("id").asLong() else -1L,
-        dataChange = !s.hasNonNull("dataChange") || s.get("dataChange").asBoolean())
+        dataChange = !s.hasNonNull("dataChange") || s.get("dataChange").asBoolean(),
+        dv = if (s.hasNonNull("dv")) Some(s.get("dv").asText()) else None,
+        dvRows = if (s.hasNonNull("dvRows")) s.get("dvRows").asLong() else 0L)
     }
     val txns = Map.newBuilder[String, Long]
     if (node.hasNonNull("txns")) {
@@ -317,6 +329,7 @@ object SegmentLog {
       o.put("path", s.path); o.put("rows", s.rows); o.put("bytes", s.bytes)
       o.put("id", s.id)
       if (!s.dataChange) o.put("dataChange", false)
+      s.dv.foreach { d => o.put("dv", d); o.put("dvRows", s.dvRows) }
       s.bucket.foreach(b => o.put("bucket", b))
       if (s.cols.nonEmpty) { val ca = o.putArray("cols"); s.cols.foreach(ca.add) }
       val st = o.putObject("stats")
@@ -732,7 +745,8 @@ object SegmentLog {
         // a concurrent expire may delete a version between the listing
         // and the read — that only SHRINKS the referenced set's
         // requirement, so skip it rather than crash the maintenance op
-        try readVersion(fs, root, v).segments.map(_.path)
+        try readVersion(fs, root, v).segments
+          .flatMap(s => s.path +: s.dv.toSeq) // deletion vectors are referenced files too
         catch { case _: IllegalArgumentException => Nil }
       }.toSet
     val cutoff = System.currentTimeMillis() - retentionMs

@@ -1068,6 +1068,11 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val del = spark.sql(s"CALL $cat.system.delete_where('db.t', 'k % 2 = 0')").collect()(0)
     assert(del.getLong(0) == 2000)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 2000)
+    // deletion-vector DELETE through CALL: rows marked, files untouched
+    val dvDel = spark.sql(s"CALL $cat.system.delete_mark('db.t', 'k % 3 = 0')").collect()(0)
+    assert(dvDel.getLong(0) > 0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) ==
+      2000 - dvDel.getLong(0))
     spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('bloomFor'='y')")
     spark.sql(s"INSERT INTO $cat.db.t VALUES (9999, 1, 2)")
     val fsp = SegmentLog.fs(wh, spark.sessionState.newHadoopConf())
@@ -1544,6 +1549,173 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .asInstanceOf[graft.sources.segment.GraftCdfOffset].version
     assert(nextV(ReadLimit.maxFiles(2)) == 1L)
     assert(nextV(ReadLimit.allAvailable()) == 3L)
+  }
+
+  test("deletion vectors: DELETE marks rows in bitmaps; no row data rewritten") {
+    val dir = tmp("graft-seg-dv")
+    import spark.implicits._
+    sample().write.format(Fmt)
+      .option("clusterBy", "bucket").option("numPartitions", "10")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val filesBefore = SegmentLog.read(fs, dir).get.segments.map(_.path).toSet
+
+    // the predicate decides NO segment (every bucket holds multiples
+    // of 7): the metadata-only path can't take this, the rewrite path
+    // would copy 10 segments — the dv path writes 10 small bitmaps
+    val marked = graft.sources.segment.GraftMaintenance
+      .deleteMark(spark, dir, col("id") % 7 === 0)
+    assert(marked == 143, s"ids 0,7,...,994 = 143 rows, got $marked")
+
+    val m1 = SegmentLog.read(fs, dir).get
+    assert(m1.segments.map(_.path).toSet == filesBefore,
+      "merge-on-read: the segment FILES must be untouched")
+    assert(m1.segments.forall(s => s.dv.isDefined && s.dvRows > 0),
+      "every segment holds multiples of 7 → every segment gets a vector")
+    assert(m1.segments.map(_.dvRows).sum == 143)
+
+    val t = spark.read.format(Fmt).load(dir)
+    assert(t.count() == 857)
+    assert(t.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 1000L).filter(_ % 7 != 0))
+    // non-id columns decode correctly through the row-path dv filter
+    assert(t.filter(col("id") === 8).select("name").as[String].head() == "name-0008")
+
+    // a second DELETE unions into fresh vectors (copy-on-write
+    // sidecars: the old version keeps the old bitmap)
+    val marked2 = graft.sources.segment.GraftMaintenance
+      .deleteMark(spark, dir, col("id") % 11 === 0)
+    assert(marked2 == 91 - 13, s"91 multiples of 11, 13 already dead (77s), got $marked2")
+    assert(t.count() == 1000 - 143 - 91 + 13)
+    assert(spark.read.format(Fmt).load(dir).select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 1000L).filter(i => i % 7 != 0 && i % 11 != 0))
+
+    // time travel reads each version with ITS vector
+    val vNow = SegmentLog.read(fs, dir).get.version
+    assert(spark.read.format(Fmt).option("versionAsOf", (vNow - 2).toString)
+      .load(dir).count() == 1000, "pre-delete version: all rows")
+    assert(spark.read.format(Fmt).option("versionAsOf", (vNow - 1).toString)
+      .load(dir).count() == 857, "first-delete version: its own vector")
+
+    // `_pos` metadata column: physical ordinals, stable under deletes
+    // (the surviving positions are exactly the not-deleted ones)
+    val posOk = spark.read.format(Fmt).load(dir)
+      .select(col(graft.sources.segment.GraftSegmentTable.SegmentCol),
+        col(graft.sources.segment.GraftSegmentTable.PosCol))
+      .distinct().count()
+    assert(posOk == 779, "(_segment, _pos) must stay unique over live rows")
+
+    // a DELETE covering every row of a segment drops the segment
+    // outright instead of carrying a full bitmap
+    val dir2 = tmp("graft-seg-dv-full")
+    (0L until 100L).toDF("id").write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "2")
+      .mode("append").save(dir2)
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir2, col("id") < 50)
+    val fs2 = SegmentLog.fs(dir2, spark.sessionState.newHadoopConf())
+    val m2 = SegmentLog.read(fs2, dir2).get
+    assert(m2.segments.size == 1 && m2.segments.head.dv.isEmpty,
+      s"fully-deleted segment must drop, got ${m2.segments}")
+    assert(spark.read.format(Fmt).load(dir2).count() == 50)
+  }
+
+  test("deletion vectors: exact metadata answers account or refuse; feed and compaction stay exact") {
+    val dir = tmp("graft-seg-dv2")
+    import spark.implicits._
+    spark.range(0, 1000).select(col("id"), (col("id") % 10).cast("int").as("bucket"))
+      .write.format(Fmt)
+      .option("clusterBy", "bucket").option("numPartitions", "10")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    // delete the rows holding the global min and max: metadata MIN/MAX
+    // from zone maps would name DELETED values
+    graft.sources.segment.GraftMaintenance
+      .deleteMark(spark, dir, col("id") === 0 || col("id") === 999)
+    val vDel = SegmentLog.read(fs, dir).get.version
+    val t = spark.read.format(Fmt).load(dir)
+
+    // COUNT(*) stays metadata-only AND exact (rows − dvRows)
+    val cnt = t.agg(count(lit(1)).as("n"))
+    val cntLocal = cnt.queryExecution.executedPlan.toString.contains("LocalTableScan") ||
+      collectFirst(cnt.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.isEmpty
+    assert(cnt.head().getLong(0) == 998)
+    assert(cntLocal, s"COUNT(*) must stay metadata-only:\n${cnt.queryExecution.executedPlan}")
+
+    // MIN/MAX must fall back to a real scan — and be right
+    val mm = t.agg(min(col("id")), max(col("id")))
+    val mmScans = collectFirst(mm.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isDefined
+    assert(mmScans, "MIN/MAX over a dv'd table must refuse the metadata answer")
+    assert(mm.head().toSeq == Seq(1L, 998L))
+
+    // the change feed emits the bitmap delta as deletes — exactly the
+    // two rows, with their values
+    val delta = graft.sources.segment.GraftMaintenance.changes(spark, dir, vDel - 1, vDel)
+    assert(delta.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((0L, "delete"), (999L, "delete")))
+    // history classifies the dv commit as a replace (rows changed)
+    val kinds = graft.sources.segment.GraftMaintenance.historyRows(spark, dir)
+    assert(kinds.find(_._1 == vDel).get._2 == "replace", s"got $kinds")
+
+    // a second dv on the SAME segment feeds only the new rows
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") === 990)
+    val vDel2 = SegmentLog.read(fs, dir).get.version
+    val delta2 = graft.sources.segment.GraftMaintenance.changes(spark, dir, vDel2 - 1, vDel2)
+    assert(delta2.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((990L, "delete")))
+
+    // compaction materializes the vectors away: same rows, no dv, and
+    // the compact step is invisible to the feed
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 2)
+    val mAfter = SegmentLog.read(fs, dir).get
+    assert(mAfter.segments.forall(_.dv.isEmpty), "compact must materialize vectors")
+    assert(spark.read.format(Fmt).load(dir).count() == 997)
+    assert(graft.sources.segment.GraftMaintenance
+      .changes(spark, dir, mAfter.version - 1, mAfter.version).count() == 0)
+    // vacuum now reclaims nothing (old segments + vectors still
+    // referenced by retained versions) until history expires
+    assert(SegmentLog.vacuum(fs, dir, retentionMs = 0) == 0)
+    graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 1)
+    assert(SegmentLog.vacuum(fs, dir, retentionMs = 0) > 0,
+      "expired vectors and pre-compaction segments become vacuum fodder")
+    assert(spark.read.format(Fmt).load(dir).count() == 997, "live reads unaffected")
+  }
+
+  test("deletion vectors: running streams fail fast, fresh streams read live rows") {
+    val dir = tmp("graft-seg-dv3")
+    val ckpt = tmp("graft-seg-dv3-ckpt")
+    val outDir = tmp("graft-seg-dv3-out")
+    import spark.implicits._
+    def drain(cp: String, out: String): Option[Throwable] = {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(120000); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+    (0L until 100L).toDF("id").coalesce(1).write.format(Fmt).mode("append").save(dir)
+    assert(drain(ckpt, outDir).isEmpty)
+    assert(spark.read.parquet(outDir).count() == 100)
+
+    // rows this stream already emitted just disappeared — fail fast
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") % 2 === 0)
+    (100L until 110L).toDF("id").coalesce(1).write.format(Fmt).mode("append").save(dir)
+    val err = drain(ckpt, outDir)
+    assert(err.isDefined, "a dv DELETE under a running stream must fail it")
+    assert(err.exists(e =>
+      (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("under this running stream")))
+
+    // a fresh stream adopts the current snapshot: dv-filtered rows
+    val out2 = tmp("graft-seg-dv3-out2")
+    assert(drain(tmp("graft-seg-dv3-ckpt2"), out2).isEmpty)
+    assert(spark.read.parquet(out2).as[Long].collect().sorted.toSeq ==
+      ((0L until 100L).filter(_ % 2 == 1) ++ (100L until 110L)))
   }
 
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
