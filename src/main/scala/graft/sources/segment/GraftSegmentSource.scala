@@ -525,7 +525,8 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
           case "earliest" => false
           case other => throw new IllegalArgumentException(
             s"startingOffsets must be earliest|latest, got $other")
-        })
+        },
+        skipChangeCommits = Option(options.get("skipChangeCommits")).exists(_.toBoolean))
   }
 }
 
@@ -543,7 +544,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     maxSegmentsPerTrigger: Option[Int],
     manifest: Option[Manifest], limit: Option[Int],
     topN: Option[(String, Boolean, Int)] = None,
-    startLatest: Boolean = false)
+    startLatest: Boolean = false,
+    skipChangeCommits: Boolean = false)
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -695,7 +697,7 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger,
-      pushed, startLatest)
+      pushed, startLatest, skipChangeCommits)
 }
 
 // not sealed: the change feed's partition type lives in its own file
@@ -910,7 +912,8 @@ object GraftOffset {
 class GraftMicroBatchStream(root: String, stored: StructType, required: StructType,
     conf: SerializableHadoopConf, maxSegmentsPerTrigger: Option[Int],
     pushed: Array[Filter] = Array.empty,
-    startLatest: Boolean = false)
+    startLatest: Boolean = false,
+    skipChangeCommits: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def fs = SegmentLog.fs(root, conf.value)
@@ -965,31 +968,34 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
 
   override def reportLatestOffset(): Offset = GraftOffset(currentEnd())
 
-  // manifest at the stream's acknowledged truncate version, as a
-  // logical view under the CURRENT column mapping, keyed by segment
-  // id. Read lazily — only a batch holding absent ids at/below the
-  // truncate watermark (delete history in the slice) needs it — and
-  // cached: every batch of this stream acknowledges the same version.
-  @volatile private var ackViewCache: Option[(Long, Map[Long, SegmentMeta])] = None
-  private def liveAtAck(ack: Long, cur: Manifest): Map[Long, SegmentMeta] =
-    ackViewCache match {
-      case Some((a, view)) if a == ack => view
-      case _ =>
-        val base =
-          try SegmentLog.readVersion(fs, root, ack)
-          catch {
-            case e: IllegalArgumentException => throw new IllegalStateException(
-              s"manifest version $ack (the truncate this stream acknowledged) is no " +
-                s"longer retained at $root: history was expired past this stream's " +
-                "snapshot — retain versions at least as long as your slowest " +
-                "consumer's lag", e)
-          }
-        val view = SegmentLog.logicalView(base.copy(
-            physicalOf = cur.physicalOf, retiredSchema = cur.retiredSchema))
-          .segments.map(s => s.id -> s).toMap
-        ackViewCache = Some((ack, view))
-        view
-    }
+  // manifests at acknowledged truncate versions, as logical views
+  // under the CURRENT column mapping: (id high-water mark, segments by
+  // id). Read lazily — only a batch holding delete history in its
+  // slice needs one — and cached (a plain-contract stream ever needs
+  // one version; skipChangeCommits advances through more, hence the
+  // small map with a wholesale-clear bound).
+  private val ackViewCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Long, Map[Long, SegmentMeta])]()
+  private def viewAt(ack: Long, cur: Manifest): (Long, Map[Long, SegmentMeta]) = {
+    val hit = ackViewCache.get(ack)
+    if (hit != null) return hit
+    val base =
+      try SegmentLog.readVersion(fs, root, ack)
+      catch {
+        case e: IllegalArgumentException => throw new IllegalStateException(
+          s"manifest version $ack (the truncate this stream acknowledged) is no " +
+            s"longer retained at $root: history was expired past this stream's " +
+            "snapshot — retain versions at least as long as your slowest " +
+            "consumer's lag", e)
+      }
+    val view = (base.maxSegmentId,
+      SegmentLog.logicalView(base.copy(
+          physicalOf = cur.physicalOf, retiredSchema = cur.retiredSchema))
+        .segments.map(s => s.id -> s).toMap)
+    if (ackViewCache.size() >= 8) ackViewCache.clear()
+    ackViewCache.put(ack, view)
+    view
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[GraftOffset]
@@ -1005,12 +1011,22 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     // deleted or replaced; an append-only downstream cannot be
     // repaired by continuing, so alert instead. Compaction
     // (dataChange = false) deliberately does NOT move this watermark.
-    if (m.truncateVersion > so.ack)
+    //
+    // option("skipChangeCommits","true") opts OUT (Delta's name and
+    // semantics): the stream acknowledges every truncate as it appears
+    // — appends keep flowing, deletions are simply never reflected in
+    // what was already emitted, and unconsumed rows a truncate removed
+    // are skipped. The ack used for snapshot resolution advances to
+    // the LATEST truncate version, so "kept then compacted" still
+    // resolves and post-ack-deleted generations are never resurrected.
+    if (m.truncateVersion > so.ack && !skipChangeCommits)
       throw new IllegalStateException(
         s"table $root was overwritten/deleted-from under this running stream " +
           s"(truncate committed at version ${m.truncateVersion}, stream acknowledged " +
           s"version ${so.ack}) — rows already emitted may be stale; restart with a " +
-          "fresh checkpoint to adopt the new table contents")
+          "fresh checkpoint to adopt the new table contents, or accept unreflected " +
+          "deletes with option(\"skipChangeCommits\", \"true\")")
+    val ackV = if (skipChangeCommits) math.max(so.ack, m.truncateVersion) else so.ack
     val live: Map[Long, SegmentMeta] = m.segments.map(s => s.id -> s).toMap
     // resolve every id in [from, to) exactly once. W = the truncate
     // watermark: ids at or below it are the SNAPSHOT GENERATION the
@@ -1042,11 +1058,27 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     val resurrected: Map[Long, SegmentMeta] =
       SegmentLog.resolveHistorical(fs, root, m, needHistory,
         s"this stream's offset range [$from, $to)").map(s => s.id -> s).toMap
+    // skipChangeCommits double-delivery guard: a carrier CREATED
+    // MID-STREAM (after this stream's own init snapshot at so.ack)
+    // holds rows the stream may already have emitted under their
+    // original ids — a plain-contract stream would have failed on the
+    // delete that raised W over it, but a skipChangeCommits stream
+    // sails past, so deliver a dataChange=false carrier only if it
+    // already existed at init (id ≤ the init snapshot's high-water
+    // mark; an expired init manifest degrades to skip, the flag's
+    // documented deletes-unreflected caveat, never to duplicates).
+    lazy val initSnapMax: Long =
+      if (so.ack < 0) -1L
+      else try viewAt(so.ack, m)._1
+      catch { case _: IllegalStateException => -1L }
+    def carrierOk(id: Long): Boolean = !skipChangeCommits || id <= initSnapMax
     val resolved = (from until to).flatMap { id =>
       live.get(id) match {
         case Some(s) =>
-          if (s.dataChange || id <= m.truncateWatermark) Some(s) else None
-        case None if id <= m.truncateWatermark => liveAtAck(so.ack, m).get(id)
+          if (s.dataChange || (id <= m.truncateWatermark && carrierOk(id))) Some(s)
+          else None
+        case None if id <= m.truncateWatermark =>
+          viewAt(ackV, m)._2.get(id).filter(s => s.dataChange || carrierOk(id))
         case None => resurrected.get(id) // absent = historical dataChange=false: skip
       }
     }

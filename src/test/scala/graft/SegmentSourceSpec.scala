@@ -1718,6 +1718,73 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       ((0L until 100L).filter(_ % 2 == 1) ++ (100L until 110L)))
   }
 
+  test("skipChangeCommits: streams survive deletes with no duplicates ever") {
+    val dir = tmp("graft-seg-skipcc")
+    val ckpt = tmp("graft-seg-skipcc-ckpt")
+    val outDir = tmp("graft-seg-skipcc-out")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    def drain(cp: String = ckpt, out: String = outDir): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("skipChangeCommits", "true").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    def table = new graft.sources.segment.GraftSegmentTable(dir,
+      SegmentLog.read(fs, dir).get.schema)
+
+    put(0 until 10) // id 0
+    put(10 until 20) // id 1
+    drain()
+    assert(spark.read.parquet(outDir).count() == 20)
+
+    // a mid-stream DELETE (drops the already-consumed id 1) plus a
+    // compact (carrier id 2 for id 0's rows): the plain contract kills
+    // the stream here; skipChangeCommits keeps flowing — and must NOT
+    // re-deliver 0..9 through the mid-stream carrier
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L)))
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1)
+    put(20 until 30) // id 3
+    drain()
+    val got1 = spark.read.parquet(outDir).as[Long].collect().sorted.toSeq
+    assert(got1 == (0L until 30L), s"appends flow, no dups, got ${got1.size} rows")
+
+    // a DELETE that removes a segment the stream has NOT consumed yet:
+    // its rows are skipped (deletes reflected going forward)
+    put(30 until 40) // id 4
+    put(40 until 50) // id 5, deleted before consumption
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 40L)))
+    drain()
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      (0L until 40L), "unconsumed-then-deleted rows are skipped, not resurrected")
+
+    // a deletion-vector DELETE on an unconsumed segment: delivered
+    // dv-filtered (forward deletes ARE reflected)
+    put(50 until 60) // id 6
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") >= 52L)
+    drain()
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      ((0L until 40L) ++ Seq(50L, 51L)))
+
+    // a FRESH skipChangeCommits stream over the table's delete history
+    // delivers exactly the current snapshot — including the kept
+    // carrier (it predates this stream's init, so it is safe)
+    val out2 = tmp("graft-seg-skipcc-out2")
+    drain(tmp("graft-seg-skipcc-ckpt2"), out2)
+    val snapshot = spark.read.format(Fmt).load(dir).as[Long].collect().sorted.toSeq
+    assert(spark.read.parquet(out2).as[Long].collect().sorted.toSeq == snapshot)
+    assert(snapshot == ((0L until 40L).filterNot(i => i >= 10 && i < 20) ++ Seq(50L, 51L)))
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
