@@ -73,7 +73,11 @@ object ScaleBench {
     // (one clustered pass over live bytes), both change-feed faces
     // (cost ∝ changed segments, compaction invisible), DDL round-trip
     "store_segment_bloom", "store_segment_zorder",
-    "store_segment_changes", "stream_segment_cdf", "store_segment_rename")
+    "store_segment_changes", "stream_segment_cdf", "store_segment_rename",
+    // round-9: deletion vectors — write cost ∝ matched rows (two
+    // bitmap-delete passes), read-back pays one bitmap probe per row
+    // in the vectorized loop; must track the table write, never n²
+    "store_segment_dv")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
