@@ -132,6 +132,67 @@ object GraftMaintenance {
     (before, after)
   }
 
+  /** PARTIAL compaction: rewrite ONLY the live segments whose
+    * root-relative paths are in `targets`, as one `dataChange = false`
+    * replace commit — untouched segments carry over by reference with
+    * their ids, stats and vectors. The incremental-maintenance
+    * primitive a 100 TB table actually runs: cost ∝ targeted bytes,
+    * not table size, and running streams stay valid exactly as under
+    * full [[compact]] (output skipped, replaced originals re-readable
+    * from retained history). The declared layout is dropped (a subset
+    * rewrite cannot prove the global range/bucket invariant) — run a
+    * full clustered [[compact]] to restore it. Returns (segments
+    * rewritten, segments written). */
+  def compactSegments(spark: SparkSession, dir: String,
+      targets: Seq[String]): (Int, Int) = {
+    if (targets.isEmpty) return (0, 0)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val before = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    // `_segment` planning filter prunes the scan to exactly the
+    // targeted files — nothing else is opened
+    val abs = targets.map(t => s"$dir/$t")
+    spark.read.format(Fmt).load(dir)
+      .filter(org.apache.spark.sql.functions
+        .col(GraftSegmentTable.SegmentCol).isin(abs: _*))
+      .write.format(Fmt)
+      .option("replaceSegments", targets.mkString(","))
+      .option("dataChange", "false")
+      .mode("append").save(dir)
+    val after = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    (targets.size, after - (before - targets.size))
+  }
+
+  /** Compact exactly the segments whose zone maps say they MIGHT hold
+    * rows matching `condition` — "OPTIMIZE WHERE": re-cluster the hot
+    * key range after a burst of appends without touching the cold
+    * 99%. Returns (segments rewritten, total live segments before). */
+  def compactWhere(spark: SparkSession, dir: String,
+      condition: org.apache.spark.sql.sources.Filter): (Int, Int) = {
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+    val view = SegmentLog.logicalView(m)
+    val targets = view.segments
+      .filterNot(seg => SegmentPruning.prunes(condition, m.schema, seg))
+      .map(_.path)
+    compactSegments(spark, dir, targets)
+    (targets.size, m.segments.size)
+  }
+
+  /** Materialize DELETION VECTORS away: rewrite only the segments
+    * carrying one ([[deleteMark]]'s output), restoring their
+    * vectorized stat-exact shape. The dv'd fraction of a table is
+    * transient by design — run this at compaction cadence. Returns
+    * (segments materialized, dv rows dropped). */
+  def compactDeletes(spark: SparkSession, dir: String): (Int, Long) = {
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+    val targets = m.segments.filter(_.dv.isDefined)
+    compactSegments(spark, dir, targets.map(_.path))
+    (targets.size, targets.map(_.dvRows).sum)
+  }
+
   /** Merge-on-read DELETE via DELETION VECTORS ([[DeletionVector]]):
     * mark every row where `condition` IS TRUE (SQL DELETE semantics —
     * null-condition rows survive) as deleted in per-segment position

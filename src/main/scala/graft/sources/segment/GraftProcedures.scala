@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.history('db.t');
   * CALL graft.system.delete_where('db.t', 'k % 7 = 0');   -- rewrite-path DELETE
   * CALL graft.system.delete_mark('db.t', 'k % 7 = 0');    -- deletion-vector DELETE
+  * CALL graft.system.compact_deletes('db.t');             -- materialize the vectors
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -119,6 +120,19 @@ object GraftProcedures {
             Seq(row(SegmentLog.vacuum(
               SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir, in.getLong(1))))
         }
+      case "compact_deletes" =>
+        procedure("compact_deletes",
+          Seq(param("table", StringType)),
+          StructType(Seq(
+            StructField("segments_materialized", IntegerType, nullable = false),
+            StructField("dv_rows_dropped", LongType, nullable = false)))) {
+          (spark, in) =>
+            // partial compaction: rewrite ONLY the segments carrying a
+            // deletion vector; the rest of the table is untouched
+            val (n, dv) = GraftMaintenance.compactDeletes(spark,
+              tableDir(warehouse, in.getUTF8String(0).toString))
+            Seq(row(n, dv))
+        }
       case "delete_mark" =>
         procedure("delete_mark",
           Seq(param("table", StringType), param("predicate", StringType)),
@@ -164,5 +178,5 @@ object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "zorder", "expire", "vacuum", "history", "delete_where",
-      "delete_mark")
+      "delete_mark", "compact_deletes")
 }

@@ -1167,7 +1167,12 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       // streams skip them — Delta's OPTIMIZE contract
       dataChange = !Option(opts.get("dataChange")).exists(_.toBoolean == false),
       bloomFor = bloomFor,
-      bloomBits = Option(opts.get("bloomBits")).map(_.toInt))
+      bloomBits = Option(opts.get("bloomBits")).map(_.toInt),
+      // PARTIAL replace (incremental compaction): the commit swaps
+      // exactly these root-relative segment paths for the write's
+      // output; everything else carries over by reference
+      replaceSegments = Option(opts.get("replaceSegments"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
   }
 }
 
@@ -1176,7 +1181,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     maxRows: Option[Long], queryId: String, mergeSchema: Boolean = false,
     txn: Option[(String, Long)] = None, dataChange: Boolean = true,
     bloomFor: Option[Set[String]] = None,
-    bloomBits: Option[Int] = None)
+    bloomBits: Option[Int] = None,
+    replaceSegments: Option[Set[String]] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -1203,7 +1209,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows,
     clusterBy = clusterBy, clusterMode = clusterMode,
     mergeSchema = mergeSchema, txn = txn, dataChange = dataChange,
-    bloomFor = bloomFor, bloomBits = bloomBits)
+    bloomFor = bloomFor, bloomBits = bloomBits,
+    replaceSegments = replaceSegments)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -1262,7 +1269,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     txn: Option[(String, Long)] = None,
     dataChange: Boolean = true,
     bloomFor: Option[Set[String]] = None,
-    bloomBits: Option[Int] = None) extends BatchWrite {
+    bloomBits: Option[Int] = None,
+    replaceSegments: Option[Set[String]] = None) extends BatchWrite {
 
   // the declared layout is persisted with the commit. Hash mode: the
   // shuffle partition index IS the bucket id (pmod(murmur3(keys), n)) —
@@ -1290,9 +1298,28 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
-    SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs,
-      truncateFirst, txn = txn, bucketing = bucketSpec, mergeSchema = mergeSchema,
-      dataChange = dataChange)
+    val fs = SegmentLog.fs(root, conf.value)
+    replaceSegments match {
+      case Some(targets) =>
+        // PARTIAL replace (incremental compaction): one truncate-style
+        // commit of (live minus targets) ++ output — untouched segments
+        // carry over by reference with their ids, dvs and stats. Like
+        // every truncating commit, last-writer-wins against concurrent
+        // appends; the declared layout is dropped (a subset rewrite
+        // cannot prove the global range/bucket invariant).
+        val live = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
+        val kept = live.filterNot(s => targets.contains(s.path))
+        require(live.size - kept.size == targets.size,
+          s"replaceSegments names ${targets.size - (live.size - kept.size)} " +
+            "paths not live in the manifest")
+        SegmentLog.commit(fs, root, nullable, kept ++ segs,
+          truncate = true, txn = txn, mergeSchema = mergeSchema,
+          dataChange = dataChange)
+      case None =>
+        SegmentLog.commit(fs, root, nullable, segs,
+          truncateFirst, txn = txn, bucketing = bucketSpec, mergeSchema = mergeSchema,
+          dataChange = dataChange)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

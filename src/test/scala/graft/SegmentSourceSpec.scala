@@ -1785,6 +1785,74 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(snapshot == ((0L until 40L).filterNot(i => i >= 10 && i < 20) ++ Seq(50L, 51L)))
   }
 
+  test("partial compaction: compactDeletes rewrites only dv'd segments; streams and feed unaffected") {
+    val dir = tmp("graft-seg-pcompact")
+    val ckpt = tmp("graft-seg-pcompact-ckpt")
+    val outDir = tmp("graft-seg-pcompact-out")
+    import spark.implicits._
+    (0L until 400L).toDF("id").write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "4")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    // dv only the low half: 2 of 4 segments carry vectors
+    graft.sources.segment.GraftMaintenance
+      .deleteMark(spark, dir, col("id") < 150 && col("id") % 3 === 0)
+    val m1 = SegmentLog.read(fs, dir).get
+    val dvPaths = m1.segments.filter(_.dv.isDefined).map(_.path).toSet
+    val coldPaths = m1.segments.filterNot(_.dv.isDefined).map(_.path).toSet
+    assert(dvPaths.size == 2 && coldPaths.size == 2, s"got ${m1.segments}")
+
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    drain() // fresh stream adopts the post-delete snapshot
+    val expected1 = (0L until 400L).filterNot(i => i < 150 && i % 3 == 0)
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq == expected1)
+
+    // materialize ONLY the dv'd segments; the cold half is untouched
+    val (nSegs, nDvRows) = graft.sources.segment.GraftMaintenance
+      .compactDeletes(spark, dir)
+    assert(nSegs == 2 && nDvRows == 50, s"got ($nSegs, $nDvRows)")
+    val m2 = SegmentLog.read(fs, dir).get
+    assert(m2.segments.forall(_.dv.isEmpty), "vectors materialized away")
+    assert(coldPaths.subsetOf(m2.segments.map(_.path).toSet),
+      "untouched segments must carry over by reference")
+    assert(m2.segments.map(_.path).toSet.intersect(dvPaths).isEmpty,
+      "dv'd segments must be replaced")
+    assert(spark.read.format(Fmt).load(dir).as[Long].collect().sorted.toSeq == expected1)
+    // stat exactness restored: metadata MIN works again (and is right)
+    val mm = spark.read.format(Fmt).load(dir).agg(min(col("id"))).head()
+    assert(mm.getLong(0) == 1L)
+
+    // the partial compact is a compact to history and silent to the
+    // feed, and a running checkpoint sails across it
+    val kinds = graft.sources.segment.GraftMaintenance.historyRows(spark, dir)
+    assert(kinds.last._2 == "compact", s"got $kinds")
+    assert(graft.sources.segment.GraftMaintenance
+      .changes(spark, dir, m2.version - 1, m2.version).count() == 0)
+    drain() // nothing new, no failure, no re-delivery
+    assert(spark.read.parquet(outDir).count() == expected1.size)
+    (400L until 420L).toDF("id").coalesce(1).write.format(Fmt).mode("append").save(dir)
+    drain()
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      expected1 ++ (400L until 420L))
+
+    // compactWhere: only the key range the predicate touches
+    val dir2 = tmp("graft-seg-pcompact2")
+    (0L until 400L).toDF("id").write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "4")
+      .mode("append").save(dir2)
+    val (hit, total) = graft.sources.segment.GraftMaintenance.compactWhere(spark, dir2,
+      org.apache.spark.sql.sources.LessThan("id", 100L))
+    assert(hit == 1 && total == 4, s"one of four range segments can hold id<100, got ($hit, $total)")
+    assert(spark.read.format(Fmt).load(dir2).count() == 400)
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
