@@ -1590,6 +1590,22 @@ object SparkEntry {
         col("cents") > 20000000L)
       s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
     }),
+    // merge-on-read UPDATE (updateMark): scattered point updates mark
+    // old row versions in deletion vectors and append the new versions
+    // in ONE commit — cost ∝ matched ROWS, not matched segments (the
+    // group-based copy-on-write UPDATE rewrites whole segments)
+    "store_segment_dv_update" -> ((s, d) => withTempDir("graft-segdvu") { base =>
+      val dir = s"$base/orders_seg"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "o_orderkey").option("numPartitions", "8")
+        .mode("append").save(dir)
+      graft.sources.segment.GraftMaintenance.updateMark(s, dir,
+        col("o_orderkey") % 5 === 0, Map("cents" -> (col("cents") + 7L)))
+      s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
+    }),
     // Z-ORDER compaction on the native format (OPTIMIZE ZORDER BY):
     // interleaved-bit clustering keeps zone maps selective for
     // predicates on EITHER dimension — here the two-sided filter on
@@ -5614,6 +5630,12 @@ object SparkEntry {
         "WHERE NOT (o_orderkey % 7 = 0) " +
         "AND NOT (CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000) " +
         "ORDER BY o_orderkey"),
+
+    "store_segment_dv_update" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) + " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END AS cents " +
+        "FROM orders ORDER BY o_orderkey"),
 
     "store_segment_zorder" ->
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +

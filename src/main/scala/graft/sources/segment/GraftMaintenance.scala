@@ -222,22 +222,47 @@ object GraftMaintenance {
     * marked deleted. */
   def deleteMark(spark: SparkSession,
       dir: String, condition: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit, sort_array}
-    import spark.implicits._
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = SegmentLog.fs(dir, conf)
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val m = SegmentLog.read(fs, dir).getOrElse(
       throw new IllegalArgumentException(s"no graft-segment table at $dir"))
-    val hits = spark.read.format(Fmt).load(dir)
+    val matched = spark.read.format(Fmt).load(dir)
       .filter(coalesce(condition, lit(false)))
+    val entries = writeDvSidecars(spark, dir, m, matched)
+    if (entries.isEmpty) return 0L
+    val updated = m.segments.flatMap { s =>
+      entries.get(s.path) match {
+        case Some((rel, n)) if n >= s.rows => None // every row dead: drop the segment
+        case Some((rel, n)) => Some(s.copy(dv = Some(rel), dvRows = n))
+        case None => Some(s)
+      }
+    }
+    SegmentLog.commit(fs, dir, m.schema, updated, truncate = true,
+      bucketing = m.bucketing)
+    newlyMarked(m, entries)
+  }
+
+  /** Compute and WRITE (no commit) per-segment deletion-vector
+    * sidecars covering `matched`'s rows, each unioned with the
+    * segment's prior vector — the shared core of [[deleteMark]] and
+    * [[updateMark]]. Executor-side; the driver collects only
+    * (segment, dvPath, cardinality) — O(touched segments). The files
+    * are unreferenced until a commit names them, so an abort leaves
+    * vacuum fodder, never data. Returns root-relative segment path →
+    * (new dv relative path, CUMULATIVE cardinality). */
+  private def writeDvSidecars(spark: SparkSession, dir: String, m: Manifest,
+      matched: org.apache.spark.sql.DataFrame): Map[String, (String, Long)] = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    import spark.implicits._
+    val hits = matched
       .select(col(GraftSegmentTable.SegmentCol).as("seg"),
         col(GraftSegmentTable.PosCol).as("pos"))
       .groupBy("seg").agg(sort_array(collect_list("pos")).as("pos"))
     // prior vectors, keyed by the absolute segment path the scan emits
     val priorDv: Map[String, String] =
       m.segments.flatMap(s => s.dv.map(d => s"$dir/${s.path}" -> s"$dir/$d")).toMap
-    val sconf = new SerializableHadoopConf(conf)
-    val entries: Map[String, (String, Long)] = hits.as[(String, Seq[Long])]
+    val sconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    hits.as[(String, Seq[Long])]
       .map { case (seg, positions) =>
         val taskFs = new Path(seg).getFileSystem(sconf.value)
         val prior = priorDv.get(seg)
@@ -247,24 +272,59 @@ object GraftMaintenance {
         val rel = s"${SegmentLog.DataDir}/${java.util.UUID.randomUUID()}.dv"
         DeletionVector.write(taskFs, new Path(s"$dir/$rel"), bits)
         (seg, rel, DeletionVector.cardinality(bits))
-      }.collect().map { case (seg, rel, n) => seg -> ((rel, n)) }.toMap
+      }.collect()
+      .map { case (seg, rel, n) => seg.stripPrefix(s"$dir/") -> ((rel, n)) }.toMap
+  }
+
+  /** Rows the sidecars newly marked: cumulative cardinalities minus
+    * the segments' prior dvRows. */
+  private def newlyMarked(m: Manifest, entries: Map[String, (String, Long)]): Long =
+    m.segments.flatMap(s => entries.get(s.path).map(_._2 - s.dvRows)).sum
+
+  /** Merge-on-read UPDATE: mark every matched row's OLD version in
+    * per-segment deletion vectors and append the NEW versions — ONE
+    * atomic manifest commit via the write path's `applyDvs` option,
+    * cost ∝ matched ROWS, never matched segments. The point-update
+    * complement to the group-based copy-on-write UPDATE (SQL `UPDATE`
+    * through [[GraftRowLevelOperation]]), which rewrites every row of
+    * every touched segment: updating 1k rows scattered across 1k
+    * segments of a 100 TB table writes kilobytes of bitmaps + one
+    * small appended segment instead of re-copying the segments.
+    *
+    * `assignments` maps column name → new-value expression (evaluated
+    * over the matched rows; other columns carry over). The change feed
+    * shows the update at ROW granularity — bitmap-delta deletes of the
+    * old versions plus inserts of the new — tighter than the rewrite
+    * path's whole-segment delete+insert pairs. Like the DELETE tiers,
+    * the commit is data-changing: running streams fail fast unless
+    * they opted into `skipChangeCommits`. The appended new-version
+    * segments carry no layout label, so a declared layout is dropped
+    * (as with the rewrite path) — a later clustered [[compact]]
+    * restores it. Returns rows updated. */
+  def updateMark(spark: SparkSession, dir: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(assignments.nonEmpty, "updateMark needs at least one assignment")
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+    assignments.keys.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"assignment column $c not in table schema"))
+    val matched = spark.read.format(Fmt).load(dir)
+      .filter(coalesce(condition, lit(false)))
+    // 1. sidecars for the old versions (written, not yet committed)
+    val entries = writeDvSidecars(spark, dir, m, matched)
     if (entries.isEmpty) return 0L
-    val updated = m.segments.flatMap { s =>
-      entries.get(s"$dir/${s.path}") match {
-        case Some((rel, n)) if n >= s.rows => None // every row dead: drop the segment
-        case Some((rel, n)) => Some(s.copy(dv = Some(rel), dvRows = n))
-        case None => Some(s)
-      }
-    }
-    val marked = {
-      val before = m.segments.map(_.dvRows).sum
-      val after = m.segments.flatMap(s =>
-        entries.get(s"$dir/${s.path}").map(_._2).orElse(Some(s.dvRows))).sum
-      after - before
-    }
-    SegmentLog.commit(fs, dir, m.schema, updated, truncate = true,
-      bucketing = m.bucketing)
-    marked
+    // 2. the new versions, appended with the dv patch riding the SAME
+    //    commit (applyDvs) — no reader ever sees old and new together
+    val updated = matched.select(m.schema.fieldNames.map(n =>
+      assignments.get(n).map(_.as(n)).getOrElse(col(n))): _*)
+    updated.write.format(Fmt)
+      .option("applyDvs", entries.toSeq.sortBy(_._1)
+        .map { case (p, (d, n)) => s"$p|$d|$n" }.mkString(","))
+      .mode("append").save(dir)
+    newlyMarked(m, entries)
   }
 
   /** The rewrite half of DELETE: keep every row where `condition` is

@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.delete_where('db.t', 'k % 7 = 0');   -- rewrite-path DELETE
   * CALL graft.system.delete_mark('db.t', 'k % 7 = 0');    -- deletion-vector DELETE
   * CALL graft.system.compact_deletes('db.t');             -- materialize the vectors
+  * CALL graft.system.update_mark('db.t', 'k = 7', 'v', 'v + 1'); -- merge-on-read UPDATE
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -120,6 +121,21 @@ object GraftProcedures {
             Seq(row(SegmentLog.vacuum(
               SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir, in.getLong(1))))
         }
+      case "update_mark" =>
+        procedure("update_mark",
+          Seq(param("table", StringType), param("predicate", StringType),
+            param("set_column", StringType), param("set_expr", StringType)),
+          StructType(Seq(StructField("rows_updated", LongType, nullable = false)))) {
+          (spark, in) =>
+            // merge-on-read UPDATE: old versions marked in deletion
+            // vectors, new versions appended — one atomic commit,
+            // cost ∝ matched rows
+            Seq(row(GraftMaintenance.updateMark(spark,
+              tableDir(warehouse, in.getUTF8String(0).toString),
+              org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
+              Map(in.getUTF8String(2).toString ->
+                org.apache.spark.sql.functions.expr(in.getUTF8String(3).toString)))))
+        }
       case "compact_deletes" =>
         procedure("compact_deletes",
           Seq(param("table", StringType)),
@@ -178,5 +194,5 @@ object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "zorder", "expire", "vacuum", "history", "delete_where",
-      "delete_mark", "compact_deletes")
+      "delete_mark", "compact_deletes", "update_mark")
 }

@@ -1172,7 +1172,16 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       // exactly these root-relative segment paths for the write's
       // output; everything else carries over by reference
       replaceSegments = Option(opts.get("replaceSegments"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      // merge-on-read UPDATE rider: `segPath|dvRelPath|cardinality`
+      // triples (uuid paths never contain the separators) — the commit
+      // patches these segments' deletion vectors while appending the
+      // write's output, one atomic version (updateMark's mechanism)
+      applyDvs = Option(opts.get("applyDvs")).map(_.split(",").map { e =>
+        val f = e.split("\\|")
+        require(f.length == 3, s"malformed applyDvs entry: $e")
+        f(0) -> ((f(1), f(2).toLong))
+      }.toMap))
   }
 }
 
@@ -1182,7 +1191,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     txn: Option[(String, Long)] = None, dataChange: Boolean = true,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
-    replaceSegments: Option[Set[String]] = None)
+    replaceSegments: Option[Set[String]] = None,
+    applyDvs: Option[Map[String, (String, Long)]] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -1210,7 +1220,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy = clusterBy, clusterMode = clusterMode,
     mergeSchema = mergeSchema, txn = txn, dataChange = dataChange,
     bloomFor = bloomFor, bloomBits = bloomBits,
-    replaceSegments = replaceSegments)
+    replaceSegments = replaceSegments, applyDvs = applyDvs)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -1270,7 +1280,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     dataChange: Boolean = true,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
-    replaceSegments: Option[Set[String]] = None) extends BatchWrite {
+    replaceSegments: Option[Set[String]] = None,
+    applyDvs: Option[Map[String, (String, Long)]] = None) extends BatchWrite {
 
   // the declared layout is persisted with the commit. Hash mode: the
   // shuffle partition index IS the bucket id (pmod(murmur3(keys), n)) —
@@ -1299,8 +1310,10 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     val fs = SegmentLog.fs(root, conf.value)
-    replaceSegments match {
-      case Some(targets) =>
+    require(replaceSegments.isEmpty || applyDvs.isEmpty,
+      "replaceSegments and applyDvs are exclusive")
+    (replaceSegments, applyDvs) match {
+      case (Some(targets), _) =>
         // PARTIAL replace (incremental compaction): one truncate-style
         // commit of (live minus targets) ++ output — untouched segments
         // carry over by reference with their ids, dvs and stats. Like
@@ -1315,7 +1328,25 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
         SegmentLog.commit(fs, root, nullable, kept ++ segs,
           truncate = true, txn = txn, mergeSchema = mergeSchema,
           dataChange = dataChange)
-      case None =>
+      case (None, Some(patch)) =>
+        // merge-on-read UPDATE: patch the named segments' deletion
+        // vectors (old row versions disappear) while the write's
+        // output appends the new versions — ONE manifest version, no
+        // reader ever sees both. Fully-superseded segments drop.
+        val live = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
+        require(patch.keySet.subsetOf(live.map(_.path).toSet),
+          "applyDvs names segments not live in the manifest")
+        val patched = live.flatMap { s =>
+          patch.get(s.path) match {
+            case Some((_, n)) if n >= s.rows => None
+            case Some((dvRel, n)) => Some(s.copy(dv = Some(dvRel), dvRows = n))
+            case None => Some(s)
+          }
+        }
+        SegmentLog.commit(fs, root, nullable, patched ++ segs,
+          truncate = true, txn = txn, mergeSchema = mergeSchema,
+          dataChange = true)
+      case (None, None) =>
         SegmentLog.commit(fs, root, nullable, segs,
           truncateFirst, txn = txn, bucketing = bucketSpec, mergeSchema = mergeSchema,
           dataChange = dataChange)

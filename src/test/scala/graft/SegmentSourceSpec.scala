@@ -1853,6 +1853,69 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.read.format(Fmt).load(dir2).count() == 400)
   }
 
+  test("updateMark: merge-on-read UPDATE — old versions vanish and new versions appear in ONE version") {
+    val dir = tmp("graft-seg-updmark")
+    import spark.implicits._
+    spark.range(0, 400).select(col("id"), (col("id") * 10).as("v"))
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "4")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val filesBefore = SegmentLog.read(fs, dir).get.segments.map(_.path).toSet
+    val vBefore = SegmentLog.read(fs, dir).get.version
+
+    // scattered point update: every segment holds multiples of 100
+    val n = graft.sources.segment.GraftMaintenance.updateMark(spark, dir,
+      col("id") % 100 === 0, Map("v" -> (col("v") + 1)))
+    assert(n == 4, s"ids 0,100,200,300, got $n")
+    val m1 = SegmentLog.read(fs, dir).get
+    assert(m1.version == vBefore + 1, "old-version delete and new-version insert are ONE commit")
+    assert(filesBefore.subsetOf(m1.segments.map(_.path).toSet),
+      "merge-on-read: original segment files stay referenced (dv-patched, not rewritten)")
+    val back = spark.read.format(Fmt).load(dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(back == (0L until 400L).map(i =>
+      (i, if (i % 100 == 0) i * 10 + 1 else i * 10)))
+    assert(back.size == 400, "no duplicates: each old version is dv-dead")
+
+    // the feed shows the update at ROW granularity
+    val delta = graft.sources.segment.GraftMaintenance.changes(spark, dir, vBefore, m1.version)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(delta == Seq(0L, 100L, 200L, 300L).flatMap(i =>
+      Seq((i, i * 10, "delete"), (i, i * 10 + 1, "insert"))).sorted,
+      s"got $delta")
+
+    // a second update of the SAME rows unions vectors and supersedes
+    // the appended versions via their own dvs
+    val n2 = graft.sources.segment.GraftMaintenance.updateMark(spark, dir,
+      col("id") === 100L, Map("v" -> lit(-1L)))
+    assert(n2 == 1)
+    assert(spark.read.format(Fmt).load(dir).filter(col("id") === 100L)
+      .select("v").as[Long].collect().toSeq == Seq(-1L))
+    assert(spark.read.format(Fmt).load(dir).count() == 400)
+
+    // updating every row of a segment drops it outright
+    val n3 = graft.sources.segment.GraftMaintenance.updateMark(spark, dir,
+      col("id") < 100L, Map("v" -> lit(0L)))
+    assert(n3 == 100)
+    val m3 = SegmentLog.read(fs, dir).get
+    assert(!m3.segments.map(_.path).contains(filesBefore.toSeq.sorted.head) ||
+      m3.segments.count(s => filesBefore.contains(s.path)) < filesBefore.size,
+      "a fully-superseded segment must drop from the manifest")
+    assert(spark.read.format(Fmt).load(dir).count() == 400)
+
+    // time travel: the pre-update version still serves the old values
+    assert(spark.read.format(Fmt).option("versionAsOf", vBefore.toString).load(dir)
+      .filter(col("id") === 0L).select("v").as[Long].head() == 0L)
+
+    // assignment validation
+    intercept[IllegalArgumentException] {
+      graft.sources.segment.GraftMaintenance.updateMark(spark, dir,
+        col("id") === 1L, Map("nope" -> lit(1L)))
+    }
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
