@@ -2847,6 +2847,66 @@ object SparkEntry {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // a FRESH stream over a dv'd table serves exactly the live
+    // snapshot: deletion vectors filter inside the streaming read too
+    "stream_segment_dv_counts" -> ((s, d) => withTempDir("graft-segstrdv") { base =>
+      val dir = s"$base/events_seg"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      Seq(0, 1, 2).foreach(i => ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.format("graft-segment").mode("append").save(dir))
+      graft.sources.segment.GraftMaintenance.deleteMark(s, dir,
+        pmod(col("event_id"), lit(7)) === 0)
+      val q = s.readStream.format("graft-segment").load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+    // skipChangeCommits end-to-end: a checkpointed stream sails across
+    // a metadata-only DELETE — the deleted UNCONSUMED segment is
+    // skipped, appends keep flowing; the oracle is the closed form
+    // "first third plus last third" of the id space
+    "stream_segment_skipcc_counts" -> ((s, d) => withTempDir("graft-segskipcc") { base =>
+      val dir = s"$base/events_seg"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      def put(p: org.apache.spark.sql.Column): Unit =
+        ev.filter(p).coalesce(1).write.format("graft-segment")
+          .option("clusterBy", "event_id").option("numPartitions", "1")
+          .mode("append").save(dir)
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-segment")
+          .option("skipChangeCommits", "true").load(dir)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      put(col("event_id") <= t1) // consumed by the first drain
+      drain()
+      put(col("event_id") > t1 && col("event_id") <= t2) // never consumed
+      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
+      new graft.sources.segment.GraftSegmentTable(dir,
+        graft.sources.segment.SegmentLog.read(fs, dir).get.schema)
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.GreaterThan("event_id", t1),
+          org.apache.spark.sql.sources.LessThanOrEqual("event_id", t2)))
+      put(col("event_id") > t2) // appended after the delete
+      drain() // survives the truncate, skips the dead middle third
+      s.read.parquet(s"$base/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
     // DESCRIBE HISTORY over the same commit sequence: every lifecycle
     // kind classified from manifest diffs alone (append / replace /
     // compact / append), per-version segment and row totals exact.
@@ -5761,6 +5821,21 @@ object SparkEntry {
     "stream_segment_source_counts" ->
       ("SELECT event_type, count(*) AS n_events, min(event_id) AS min_id, " +
         "max(event_id) AS max_id FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // dv-deleted rows never reach the stream
+    "stream_segment_dv_counts" ->
+      ("SELECT event_type, count(*) AS n_events, min(event_id) AS min_id, " +
+        "max(event_id) AS max_id FROM events WHERE event_id % 7 <> 0 " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    // first third consumed before the delete + last third appended
+    // after it; the deleted middle third is skipped
+    "stream_segment_skipcc_counts" ->
+      ("SELECT event_type, count(*) AS n_events, min(event_id) AS min_id, " +
+        "max(event_id) AS max_id FROM events " +
+        "WHERE event_id <= (SELECT max(event_id) FROM events) // 3 " +
+        "OR event_id > 2 * (SELECT max(event_id) FROM events) // 3 " +
+        "GROUP BY event_type ORDER BY event_type"),
 
     // a stream drained INTO the segment table must reconstruct it too
     "stream_segment_sink_counts" ->
