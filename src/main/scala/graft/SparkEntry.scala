@@ -2973,6 +2973,34 @@ object SparkEntry {
       ins(2)                                              // v4
       s.sql(s"CALL $cat.system.history('db.t')").orderBy(col("version"))
     }),
+    // SQL DML running MERGE-ON-READ (TBLPROPERTIES rowLevelMode=mor,
+    // the Delta enableDeletionVectors shape): DELETE marks positions
+    // in deletion vectors, UPDATE marks old versions and appends new,
+    // MERGE does both plus inserts — all through the DSv2 delta
+    // framework with (_segment, _pos) as the row identity; cost ∝
+    // matched rows, never matched segments. The oracle replays the
+    // whole DML sequence as closed-form SQL
+    "store_segment_mor_sql" -> ((s, d) => withTempDir("graft-segmor") { base =>
+      val cat = s"graft_mor_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='8', 'rowLevelMode'='mor')")
+      Tables.orders(s, d).createOrReplaceTempView("graft_mor_orders")
+      s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        "FROM graft_mor_orders")
+      s.sql(s"DELETE FROM $cat.db.t WHERE k % 7 = 0")
+      s.sql(s"UPDATE $cat.db.t SET cents = cents + 3 WHERE k % 5 = 0")
+      s.sql(s"MERGE INTO $cat.db.t t USING " +
+        "(SELECT o_orderkey AS k, CAST(-1 AS BIGINT) AS cents " +
+        "FROM graft_mor_orders WHERE o_orderkey % 11 = 0) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET cents = s.cents " +
+        "WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)")
+      s.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k")
+    }),
     // the STREAMING face of the change feed (readChangeFeed=true):
     // offsets are manifest VERSIONS, each micro-batch a closed version
     // range diffed by segment identity — inserts from appends and the
@@ -5738,6 +5766,17 @@ object SparkEntry {
         "ORDER BY _commit_version, k"),
     // the CALL-driven lifecycle's ledger: create (empty), two 4-way
     // clustered inserts, the 2-way compact, one more insert
+    // the whole MoR DML sequence replayed as closed-form SQL: k%11=0
+    // always ends at -1 (matched update, or re-insert of a deleted
+    // key); other k%7=0 stay deleted; other k%5=0 carry the +3 update
+    "store_segment_mor_sql" ->
+      ("SELECT o_orderkey AS k, " +
+        "CASE WHEN o_orderkey % 11 = 0 THEN CAST(-1 AS BIGINT) " +
+        "WHEN o_orderkey % 5 = 0 THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) + 3 " +
+        "ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents " +
+        "FROM orders WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 <> 0 " +
+        "ORDER BY k"),
+
     "store_segment_call" ->
       ("WITH src AS (SELECT o_orderkey AS k FROM orders), " +
         "n0 AS (SELECT count(*) AS c FROM src WHERE k % 3 = 0), " +

@@ -36,11 +36,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object DeletionVector {
 
-  /** Bitmap from SORTED physical positions. */
+  /** Bitmap from physical positions (any order). */
   def fromPositions(positions: Seq[Long]): Array[Long] = {
     if (positions.isEmpty) return Array.empty
-    val max = positions.last
-    require(max >= 0 && max < Int.MaxValue.toLong * 64, s"position $max out of range")
+    val max = positions.max
+    require(positions.forall(_ >= 0) && max < Int.MaxValue.toLong * 64,
+      s"position out of range (max $max)")
     val bits = new Array[Long]((max >>> 6).toInt + 1)
     positions.foreach { p => bits((p >>> 6).toInt) |= (1L << (p & 63)) }
     bits

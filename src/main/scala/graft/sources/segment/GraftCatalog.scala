@@ -106,13 +106,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     require(SegmentLog.read(fs, path).isEmpty,
       s"table $ident already exists at $path")
     // persisted table properties: declared bloom columns apply to
-    // every future INSERT without the writer re-stating them
-    val props = Seq("bloomFor", "bloomBits")
+    // every future INSERT without the writer re-stating them;
+    // rowLevelMode picks the DML tier (cow | mor)
+    val props = Seq("bloomFor", "bloomBits", "rowLevelMode")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
     props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
     props.get("bloomBits").foreach(b => require(
       scala.util.Try(b.toInt).toOption.exists(_ >= 64),
       s"bloomBits must be an integer >= 64, got '$b'"))
+    props.get("rowLevelMode").foreach(v => require(Set("cow", "mor").contains(v),
+      s"rowLevelMode must be cow|mor, got '$v'"))
     SegmentLog.commit(fs, path,
       StructType(schema.fields.map(_.copy(nullable = true))),
       Nil, truncate = true, bucketing = bucketing, props = props)
@@ -161,20 +164,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       // SET/UNSET TBLPROPERTIES: declare (or retire) bloom columns on
       // an existing table — the validated keys only
       case sp: TableChange.SetProperty =>
-        require(Set("bloomFor", "bloomBits").contains(sp.property()),
-          s"only bloomFor/bloomBits are settable, got ${sp.property()}")
+        require(Set("bloomFor", "bloomBits", "rowLevelMode").contains(sp.property()),
+          s"only bloomFor/bloomBits/rowLevelMode are settable, got ${sp.property()}")
         (m: Manifest) => {
-          if (sp.property() == "bloomFor")
-            SegmentBloom.parseCols(sp.value(), Some(m.schema))
-          else require(scala.util.Try(sp.value().toInt).toOption.exists(_ >= 64),
-            s"bloomBits must be an integer >= 64, got '${sp.value()}'")
+          sp.property() match {
+            case "bloomFor" => SegmentBloom.parseCols(sp.value(), Some(m.schema))
+            case "bloomBits" =>
+              require(scala.util.Try(sp.value().toInt).toOption.exists(_ >= 64),
+                s"bloomBits must be an integer >= 64, got '${sp.value()}'")
+            case "rowLevelMode" =>
+              require(Set("cow", "mor").contains(sp.value()),
+                s"rowLevelMode must be cow|mor, got '${sp.value()}'")
+          }
           m.copy(props = m.props + (sp.property() -> sp.value()))
         }
       case rp: TableChange.RemoveProperty =>
         (m: Manifest) => m.copy(props = m.props - rp.property())
       case other => throw new UnsupportedOperationException(
         s"graft-segment supports RENAME/DROP/ADD COLUMN and SET/UNSET " +
-          s"TBLPROPERTIES(bloomFor|bloomBits) only, got $other")
+          s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode) only, got $other")
     }
     SegmentLog.alterSchema(fs, path, transforms)
     val m = SegmentLog.read(fs, path).get

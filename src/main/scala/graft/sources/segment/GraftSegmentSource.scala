@@ -198,21 +198,29 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
         override def comment(): String = "physical row ordinal within the segment"
       })
 
-  // group-based (copy-on-write) UPDATE / MERGE / row-level DELETE:
-  // Spark filters the operation's scan down to the segments holding
-  // matched rows (a runtime IN filter over `_segment`), streams the
-  // surviving content of exactly those segments through the rewrite,
-  // and this table swaps the rewritten segments in ONE manifest
-  // commit. If the planner skips group filtering the scan covers the
-  // whole table and the commit degrades to a full copy-on-write —
-  // slower, never wrong. The replacing commit drops a declared bucket
-  // layout (replacement segments are not layout-labeled): honesty over
-  // optimism; re-cluster with GraftMaintenance.compact.
+  // row-level UPDATE / MERGE / DELETE, two execution tiers chosen by
+  // the persisted `rowLevelMode` table property:
+  //  - "cow" (default): group-based copy-on-write — Spark filters the
+  //    operation's scan down to the segments holding matched rows (a
+  //    runtime IN filter over `_segment`), streams the surviving
+  //    content of exactly those segments through the rewrite, and this
+  //    table swaps the rewritten segments in ONE manifest commit. If
+  //    the planner skips group filtering the commit degrades to a full
+  //    copy-on-write — slower, never wrong. The replacing commit drops
+  //    a declared bucket layout: honesty over optimism.
+  //  - "mor": merge-on-read through the DSv2 delta framework —
+  //    matched rows' (_segment, _pos) coordinates land in deletion
+  //    vectors and new versions append; cost ∝ matched rows
+  //    ([[GraftDeltaRowLevelOperation]]).
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(root, tableSchema, info.command())
+      override def build(): RowLevelOperation = {
+        val mor = fsAndManifest()._2
+          .flatMap(_.props.get("rowLevelMode")).contains("mor")
+        if (mor) new GraftDeltaRowLevelOperation(root, tableSchema, info.command())
+        else new GraftRowLevelOperation(root, tableSchema, info.command())
+      }
     }
   override def name(): String = s"graft-segment `$root`"
   override def schema(): StructType = tableSchema
@@ -1498,6 +1506,152 @@ class GraftRowLevelOperation(root: String, tableSchema: StructType,
     Array(Expressions.column(GraftSegmentTable.SegmentCol))
 
   override def description(): String = s"graft-segment $cmd (copy-on-write)"
+}
+
+/** MERGE-ON-READ row-level operations — SQL DELETE / UPDATE / MERGE
+  * through the DSv2 delta framework ([[org.apache.spark.sql.connector
+  * .write.SupportsDelta]]), selected by
+  * `TBLPROPERTIES('rowLevelMode'='mor')` (the Delta-Lake
+  * enableDeletionVectors shape; copy-on-write stays the default).
+  * The row identity is `(_segment, _pos)` — exactly the deletion-
+  * vector position domain — so Spark's rewrite plans hand each
+  * matched row's coordinates to the writer: deletes buffer positions
+  * per segment, updates buffer the old coordinates and append the new
+  * version, inserts append. The commit patches the touched segments'
+  * vectors and adds the appended segments in ONE manifest version —
+  * cost ∝ matched ROWS, never matched segments, the point-DML
+  * complement to [[GraftRowLevelOperation]]'s group rewrite (which
+  * remains the right tier for bulk mutations: the driver unions
+  * position bitmaps, so a mutation touching most of the table should
+  * rewrite instead). */
+class GraftDeltaRowLevelOperation(root: String, tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, tableSchema, options)
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(root, info.schema(),
+              new SerializableHadoopConf(
+                SparkSession.active.sessionState.newHadoopConf()))
+        }
+    }
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftSegmentTable.SegmentCol),
+      Expressions.column(GraftSegmentTable.PosCol))
+
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def description(): String = s"graft-segment $cmd (merge-on-read)"
+}
+
+case class GraftDeltaCommitMessage(segments: Seq[SegmentMeta],
+    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+
+class GraftDeltaWriterFactory(root: String, schema: StructType,
+    conf: SerializableHadoopConf, physNames: Seq[String])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(new GraftDataWriter(root, schema, conf.value, Long.MaxValue,
+      physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq))
+}
+
+/** Task-side delta writer: deletes and updated-away old versions
+  * buffer (segment → positions) — O(matched rows in this task) longs —
+  * while inserts and new versions stream through the plain segment
+  * writer. The id row carries `(_segment, _pos)` in [[
+  * GraftDeltaRowLevelOperation.rowId]] order. */
+class GraftDeltaWriter(inner: GraftDataWriter)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val deletes =
+    scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes.getOrElseUpdate(id.getUTF8String(0).toString,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val segs = inner.commit() match { case GraftCommitMessage(s) => s }
+    GraftDeltaCommitMessage(segs, deletes.map { case (k, v) => k -> v.toArray }.toMap)
+  }
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
+class GraftDeltaBatchWrite(root: String, schema: StructType,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftDeltaWriterFactory(root, schema, conf,
+      SegmentLog.physicalNames(
+        SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[GraftDeltaCommitMessage])
+    val newSegs = msgs.flatMap(_.segments).toSeq
+    val fs = SegmentLog.fs(root, conf.value)
+    val m = SegmentLog.read(fs, root).getOrElse(
+      throw new IllegalStateException(s"no graft-segment table at $root"))
+    // union every task's deleted positions per segment (absolute
+    // `_segment` values → root-relative paths). Driver memory is one
+    // bitmap per touched segment — the MoR tier targets point DML;
+    // table-scale mutations belong to the rewrite tiers.
+    val bySeg = scala.collection.mutable.HashMap[String, Array[Long]]()
+    msgs.foreach(_.deletes.foreach { case (seg, pos) =>
+      val rel = seg.stripPrefix(s"$root/")
+      val bits = DeletionVector.fromPositions(pos.toSeq)
+      bySeg(rel) = bySeg.get(rel).map(DeletionVector.union(_, bits)).getOrElse(bits)
+    })
+    val patched = m.segments.flatMap { s =>
+      bySeg.get(s.path) match {
+        case Some(newBits) =>
+          val prior = s.dv
+            .map(d => DeletionVector.read(fs, new Path(s"$root/$d")))
+            .getOrElse(Array.empty[Long])
+          val bits = DeletionVector.union(prior, newBits)
+          val n = DeletionVector.cardinality(bits)
+          if (n >= s.rows) None // fully dead or fully superseded: drop
+          else {
+            val rel = s"${SegmentLog.DataDir}/${UUID.randomUUID()}.dv"
+            DeletionVector.write(fs, new Path(s"$root/$rel"), bits)
+            Some(s.copy(dv = Some(rel), dvRows = n))
+          }
+        case None => Some(s)
+      }
+    }
+    // commit under the TABLE's schema, not the write's: a pure DELETE
+    // plans with an EMPTY data schema (nothing to insert), and a
+    // truncate-style commit would otherwise install it as the table's
+    SegmentLog.commit(fs, root, m.schema, patched ++ newSegs, truncate = true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SegmentLog.fs(root, conf.value)
+    messages.filter(_ != null).foreach {
+      case GraftDeltaCommitMessage(segs, _) =>
+        segs.foreach(s => fs.delete(new Path(s"$root/${s.path}"), false))
+      case _ =>
+    }
+  }
 }
 
 class GraftReplaceBatchWrite(root: String, schema: StructType,

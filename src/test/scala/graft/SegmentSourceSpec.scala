@@ -1916,6 +1916,77 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("rowLevelMode=mor: SQL DELETE/UPDATE/MERGE run merge-on-read through deletion vectors") {
+    val wh = tmp("graft-mor-wh")
+    val cat = s"graft_mor_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('rowLevelMode'='mor')")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.t SELECT id, id * 10 FROM range(${i * 100}, ${i * 100 + 100})"))
+    val dir = s"$wh/db/t"
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val filesBefore = SegmentLog.read(fs, dir).get.segments.map(_.path).toSet
+
+    // DELETE with a predicate zone maps cannot decide: merge-on-read —
+    // no segment file rewritten, positions land in vectors
+    spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+    val m1 = SegmentLog.read(fs, dir).get
+    assert(m1.segments.map(_.path).toSet == filesBefore,
+      "MoR DELETE must not rewrite segment files")
+    assert(m1.segments.map(_.dvRows).sum == 40)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 360)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE k % 10 = 3")
+      .head().getLong(0) == 0)
+
+    // UPDATE: old versions dv-marked, new versions appended — file set
+    // grows by the appended segments only
+    spark.sql(s"UPDATE $cat.db.t SET v = v + 1 WHERE k % 10 = 7")
+    val m2 = SegmentLog.read(fs, dir).get
+    assert(filesBefore.subsetOf(m2.segments.map(_.path).toSet),
+      "MoR UPDATE keeps the original files")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 360)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.t WHERE k % 10 = 7")
+      .head().getLong(0) == (0 until 400).filter(_ % 10 == 7).map(_ * 10L + 1).sum)
+
+    // MERGE: matched updates + unmatched inserts, all row-granular
+    spark.sql(s"CREATE TABLE $cat.db.src (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.src SELECT id, -id FROM range(395, 405)")
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t USING $cat.db.src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 365,
+      "360 live + 5 inserted (400..404)")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.t WHERE k >= 395").head().getLong(0) ==
+      (395 until 405).map(-_.toLong).sum,
+      "matched rows updated to -k; the dv-deleted 403 is NOT MATCHED and re-inserts")
+
+    // final full-content check against the closed form
+    val got = spark.sql(s"SELECT k, v FROM $cat.db.t ORDER BY k, v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = ((0 until 400).filterNot(_ % 10 == 3).map { k =>
+      (k.toLong,
+        if (k >= 395) -k.toLong
+        else if (k % 10 == 7) k * 10L + 1
+        else k * 10L)
+    } ++ (400 until 405).map(k => (k.toLong, -k.toLong))).sortBy(identity)
+    assert(got == want)
+
+    // property validation
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('rowLevelMode'='nope')")
+    }
+    // flipping back to cow works and the next DELETE rewrites instead
+    spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('rowLevelMode'='cow')")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 9")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 325,
+      "365 - 40 rows with k%10=9")
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
