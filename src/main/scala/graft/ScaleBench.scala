@@ -76,8 +76,10 @@ object ScaleBench {
     "store_segment_changes", "stream_segment_cdf", "store_segment_rename",
     // round-9: deletion vectors — write cost ∝ matched rows (two
     // bitmap-delete passes), read-back pays one bitmap probe per row
-    // in the vectorized loop; must track the table write, never n²
-    "store_segment_dv")
+    // in the vectorized loop; must track the table write, never n² —
+    // and the SQL MoR DML sequence (DELETE/UPDATE/MERGE through the
+    // delta framework) which must track matched rows
+    "store_segment_dv", "store_segment_mor_sql")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
