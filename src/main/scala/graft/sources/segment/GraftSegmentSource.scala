@@ -1640,8 +1640,13 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
     }
     // commit under the TABLE's schema, not the write's: a pure DELETE
     // plans with an EMPTY data schema (nothing to insert), and a
-    // truncate-style commit would otherwise install it as the table's
-    SegmentLog.commit(fs, root, m.schema, patched ++ newSegs, truncate = true)
+    // truncate-style commit would otherwise install it as the table's.
+    // A pure DELETE also moves no rows and appends no segments, so a
+    // declared layout SURVIVES it (dv patches keep range disjointness
+    // and bucket labels); UPDATE/MERGE append unlabeled segments and
+    // drop it, like every other appending rewrite.
+    SegmentLog.commit(fs, root, m.schema, patched ++ newSegs, truncate = true,
+      bucketing = if (newSegs.isEmpty) m.bucketing else None)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

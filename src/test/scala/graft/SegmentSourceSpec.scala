@@ -1924,20 +1924,22 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
-      "TBLPROPERTIES ('rowLevelMode'='mor')")
-    (0 until 4).foreach(i => spark.sql(
-      s"INSERT INTO $cat.db.t SELECT id, id * 10 FROM range(${i * 100}, ${i * 100 + 100})"))
+      "TBLPROPERTIES ('rowLevelMode'='mor', 'clusterBy'='k', 'numPartitions'='4')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id * 10 FROM range(0, 400)")
     val dir = s"$wh/db/t"
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val filesBefore = SegmentLog.read(fs, dir).get.segments.map(_.path).toSet
+    assert(SegmentLog.read(fs, dir).get.bucketing.isDefined, "declared range layout")
 
     // DELETE with a predicate zone maps cannot decide: merge-on-read —
-    // no segment file rewritten, positions land in vectors
+    // no segment file rewritten, positions land in vectors, and the
+    // declared layout SURVIVES (no rows moved, nothing appended)
     spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
     val m1 = SegmentLog.read(fs, dir).get
     assert(m1.segments.map(_.path).toSet == filesBefore,
       "MoR DELETE must not rewrite segment files")
     assert(m1.segments.map(_.dvRows).sum == 40)
+    assert(m1.bucketing.isDefined, "a pure MoR DELETE preserves the declared layout")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 360)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE k % 10 = 3")
       .head().getLong(0) == 0)
@@ -1948,6 +1950,8 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val m2 = SegmentLog.read(fs, dir).get
     assert(filesBefore.subsetOf(m2.segments.map(_.path).toSet),
       "MoR UPDATE keeps the original files")
+    assert(m2.bucketing.isEmpty,
+      "the appended new versions carry no layout label — the layout drops honestly")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 360)
     assert(spark.sql(s"SELECT sum(v) FROM $cat.db.t WHERE k % 10 = 7")
       .head().getLong(0) == (0 until 400).filter(_ % 10 == 7).map(_ * 10L + 1).sum)
