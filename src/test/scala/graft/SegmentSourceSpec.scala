@@ -1991,6 +1991,37 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "365 - 40 rows with k%10=9")
   }
 
+  test("admission-capped streams page through delete history one id at a time") {
+    val dir = tmp("graft-seg-admdel")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    put(0 until 10) // id 0
+    put(10 until 20) // id 1 — deleted below
+    put(20 until 30) // id 2
+    new graft.sources.segment.GraftSegmentTable(dir,
+      SegmentLog.read(fs, dir).get.schema)
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L),
+        org.apache.spark.sql.sources.LessThan("id", 20L)))
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // id 3
+    // one-id batches: every classification branch gets its own trigger
+    // (kept-from-ack, dead-at-ack, kept-live, post-snapshot carrier)
+    val outDir = tmp("graft-seg-admdel-out")
+    val q = spark.readStream.format(Fmt)
+      .option("maxSegmentsPerTrigger", "1").load(dir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", tmp("graft-seg-admdel-cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      ((0L until 10L) ++ (20L until 30L)),
+      "paged resolution must deliver exactly the surviving rows once")
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
