@@ -278,4 +278,112 @@ class PropertiesSpec extends SparkSpec {
     assert(fp.toDouble / probes.size < 0.05,
       s"false-positive rate ${fp.toDouble / probes.size} too high to prune anything")
   }
+
+  test("deletion-vector property: bitmap ops match a Set reference; files round-trip") {
+    import graft.sources.segment.DeletionVector
+    val posSets: Seq[Seq[Long]] = samples(
+      Gen.listOf(Gen.chooseNum(0L, 5000L)), 50).filter(_.nonEmpty)
+    posSets.sliding(2).foreach { case Seq(a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val (ba, bb) = (DeletionVector.fromPositions(a), DeletionVector.fromPositions(b))
+      assert(DeletionVector.cardinality(ba) == sa.size)
+      (0L to 5100L).foreach(p =>
+        assert(DeletionVector.contains(ba, p) == sa.contains(p), s"contains($p)"))
+      val u = DeletionVector.union(ba, bb)
+      assert(DeletionVector.cardinality(u) == (sa ++ sb).size)
+      (0L to 5100L).foreach(p =>
+        assert(DeletionVector.contains(u, p) == (sa ++ sb).contains(p), s"union($p)"))
+      case _ => ()
+    }
+    // file round-trip through the Hadoop FS face (what tasks do)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dv-prop").toString
+    val fs = graft.sources.segment.SegmentLog.fs(dir,
+      spark.sessionState.newHadoopConf())
+    val bits = DeletionVector.fromPositions(posSets.head)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/t.dv")
+    DeletionVector.write(fs, p, bits)
+    assert(DeletionVector.read(fs, p).toSeq == bits.toSeq)
+  }
+
+  test("deletion-vector property: filtered columnar decode ≡ reference filter, positions exact") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.segment.{DeletionVector, SegmentCodec}
+
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("s", StringType)))
+    val genVal: Gen[Seq[Any]] = for {
+      l <- Gen.oneOf(Gen.const(null), Gen.chooseNum(Long.MinValue, Long.MaxValue).map(x => x: Any))
+      i <- Gen.oneOf(Gen.const(null), Gen.chooseNum(Int.MinValue, Int.MaxValue).map(x => x: Any))
+      s <- Gen.oneOf(Gen.const(null), Gen.oneOf("", "plain", "uniçodé ❤", "x" * 50)
+        .map(x => UTF8String.fromString(x): Any))
+    } yield Seq(l, i, s)
+    val rows: Seq[Seq[Any]] = samples(Gen.listOfN(40, genVal), 5).flatten
+    val n = rows.size
+
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    SegmentCodec.writeHeader(out, schema.length)
+    rows.foreach { vals =>
+      val row = InternalRow.fromSeq(vals)
+      schema.fields.zipWithIndex.foreach { case (f, c) =>
+        if (row.isNullAt(c)) out.writeBoolean(false)
+        else { out.writeBoolean(true); SegmentCodec.writeValue(out, f.dataType, row, c) }
+      }
+    }
+    out.close()
+    val bytes = bos.toByteArray
+
+    val deleted = samples(Gen.chooseNum(0, n - 1), 120).map(_.toLong).distinct
+    val onlySet = samples(Gen.chooseNum(0, n - 1), 150).map(_.toLong).distinct
+    val required = StructType(schema.fields :+ StructField("_pos", LongType))
+
+    def decode(skip: Seq[Long], only: Option[Seq[Long]]): Seq[(Any, Any, Any, Long)] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      SegmentCodec.readHeader(in, schema.length)
+      val skipBits = if (skip.isEmpty) null else DeletionVector.fromPositions(skip)
+      val onlyBits = only.map(DeletionVector.fromPositions).orNull
+      val acc = Seq.newBuilder[(Any, Any, Any, Long)]
+      var pos = 0L
+      var r = -1
+      // deliberately tiny batches: batch boundaries and position
+      // threading are exactly what this certifies
+      while (r != 0) {
+        val vectors = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+          .allocateColumns(7, required)
+          .map(v => v: org.apache.spark.sql.execution.vectorized.WritableColumnVector)
+        val (r0, p0) = SegmentCodec.readBatchLive(in, schema, required, vectors, 7,
+          pos, skipBits, onlyBits, 3)
+        r = r0; pos = p0
+        (0 until r).foreach { k =>
+          acc += ((
+            if (vectors(0).isNullAt(k)) null else vectors(0).getLong(k),
+            if (vectors(1).isNullAt(k)) null else vectors(1).getInt(k),
+            if (vectors(2).isNullAt(k)) null else vectors(2).getUTF8String(k).toString,
+            vectors(3).getLong(k)))
+        }
+        vectors.foreach(_.close())
+      }
+      in.close()
+      acc.result()
+    }
+
+    def reference(skip: Seq[Long], only: Option[Seq[Long]]): Seq[(Any, Any, Any, Long)] =
+      rows.zipWithIndex.collect {
+        case (vals, idx)
+            if !skip.contains(idx.toLong) && only.forall(_.contains(idx.toLong)) =>
+          (vals(0), vals(1),
+            Option(vals(2)).map(_.asInstanceOf[UTF8String].toString).orNull,
+            idx.toLong)
+      }
+
+    assert(decode(Nil, None) == reference(Nil, None), "unfiltered decode drifted")
+    assert(decode(deleted, None) == reference(deleted, None), "skip-filtered decode drifted")
+    assert(decode(deleted, Some(onlySet)) == reference(deleted, Some(onlySet)),
+      "skip+emitOnly decode drifted (the change feed's delta face)")
+    assert(decode(deleted, None).size == n - deleted.size)
+  }
 }
