@@ -2022,6 +2022,41 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "paged resolution must deliver exactly the surviving rows once")
   }
 
+  test("streaming change feed emits dv-delta deletes exactly once") {
+    val dir = tmp("graft-seg-cdfdv")
+    val ckpt = tmp("graft-seg-cdfdv-ckpt")
+    val outDir = tmp("graft-seg-cdfdv-out")
+    import spark.implicits._
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    (0L until 20L).toDF("id").coalesce(1).write.format(Fmt).mode("append").save(dir) // v0
+    drain()
+    // two successive dv deletes: each version's feed rows are its
+    // bitmap DELTA, streamed one version per trigger
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") < 5) // v1
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") < 8) // v2
+    drain()
+    def feed() = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = ((0L until 20L).map(i => (i, "insert", 0L)) ++
+      (0L until 5L).map(i => (i, "delete", 1L)) ++
+      (5L until 8L).map(i => (i, "delete", 2L))).sorted
+    assert(feed() == want, s"got ${feed()}")
+    // restart replays nothing
+    drain()
+    assert(feed() == want)
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
