@@ -282,9 +282,13 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
           "DELETE requires a rewrite for segments the zone maps cannot decide; " +
             "use GraftMaintenance.deleteRows"))
       val keptIds = kept.map(_.id).toSet
-      SegmentLog.commit(fs, root, mm.schema,
-        mm.segments.filter(sg => keptIds.contains(sg.id)), truncate = true,
-        bucketing = mm.bucketing)
+      // a DELETE that provably matched NOTHING is a no-op, not a
+      // data-changing truncate — committing one would fail every
+      // running stream over rows that never changed
+      if (keptIds.size < mm.segments.size)
+        SegmentLog.commit(fs, root, mm.schema,
+          mm.segments.filter(sg => keptIds.contains(sg.id)), truncate = true,
+          bucketing = mm.bucketing)
     }
   }
 

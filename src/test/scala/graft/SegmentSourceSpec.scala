@@ -1446,19 +1446,31 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(all == ((0L until 10L) ++ (20L until 30L)),
       s"exactly-once across delete+compact history, got ${all.size} rows")
 
-    // delete-keeps-all over an already-compacted table: the ONLY live
-    // segment is dataChange=false at/below the watermark — it is the
-    // snapshot's sole carrier and must be delivered, not skipped as
-    // already-consumed compaction output
+    // a DELETE that provably matches nothing is a NO-OP (no truncate
+    // commit — a running stream must survive it untouched)
     val dir2 = tmp("graft-seg-delcompact2")
     (0L until 10L).toDF("id").coalesce(1).write.format(Fmt)
       .option("clusterBy", "id").option("numPartitions", "1")
       .mode("append").save(dir2) // v0, id 0
     graft.sources.segment.GraftMaintenance.compact(spark, dir2, "id", 1) // v1, id 1
-    new graft.sources.segment.GraftSegmentTable(dir2,
-      SegmentLog.read(SegmentLog.fs(dir2, spark.sessionState.newHadoopConf()), dir2).get.schema)
-      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
-        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 1000L))) // v2: keeps all
+    val fs2 = SegmentLog.fs(dir2, spark.sessionState.newHadoopConf())
+    def table2 = new graft.sources.segment.GraftSegmentTable(dir2,
+      SegmentLog.read(fs2, dir2).get.schema)
+    table2.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 1000L))) // matches nothing
+    assert(SegmentLog.read(fs2, dir2).get.version == 1,
+      "a provably-no-match DELETE must not commit a truncate")
+    // a DELETE that drops a LATER segment raises the watermark over the
+    // kept carrier: the dataChange=false segment at/below the watermark
+    // is the snapshot's sole carrier and must be delivered, not skipped
+    // as already-consumed compaction output
+    (100L until 110L).toDF("id").coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir2) // v2, id 2
+    table2.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 100L))) // v3: drops id 2
+    val m2b = SegmentLog.read(fs2, dir2).get
+    assert(m2b.truncateWatermark >= 1, "the watermark covers the kept carrier")
     val out2 = tmp("graft-seg-delcompact2-out")
     val q2 = spark.readStream.format(Fmt).load(dir2)
       .writeStream.format("parquet")
