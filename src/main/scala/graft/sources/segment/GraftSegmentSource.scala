@@ -1612,6 +1612,9 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftDeltaCommitMessage])
     val newSegs = msgs.flatMap(_.segments).toSeq
+    // nothing matched and nothing inserted: a no-op, not a truncate —
+    // committing one would fail running streams over unchanged rows
+    if (newSegs.isEmpty && msgs.forall(_.deletes.isEmpty)) return
     val fs = SegmentLog.fs(root, conf.value)
     val m = SegmentLog.read(fs, root).getOrElse(
       throw new IllegalStateException(s"no graft-segment table at $root"))
@@ -1674,6 +1677,9 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newSegs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
     val replaced = replacedFiles().toSet
+    // the runtime group filter pruned the operation to ZERO segments:
+    // nothing matched, nothing to replace — a no-op, not a truncate
+    if (replaced.isEmpty && newSegs.isEmpty) return
     val fs = SegmentLog.fs(root, conf.value)
     val live = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
     val kept = live.filterNot(seg => replaced.contains(s"$root/${seg.path}"))

@@ -1992,6 +1992,19 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } ++ (400 until 405).map(k => (k.toLong, -k.toLong))).sortBy(identity)
     assert(got == want)
 
+    // DML matching NOTHING is a no-op commit-wise on every tier: a
+    // running stream must never die over rows that did not change
+    val vQuiet = SegmentLog.read(fs, dir).get.version
+    spark.sql(s"DELETE FROM $cat.db.t WHERE k > 99999")
+    spark.sql(s"UPDATE $cat.db.t SET v = 0 WHERE k > 99999")
+    assert(SegmentLog.read(fs, dir).get.version == vQuiet,
+      "no-match MoR DML must not commit")
+    spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('rowLevelMode'='cow')")
+    spark.sql(s"UPDATE $cat.db.t SET v = 0 WHERE k > 99999")
+    assert(SegmentLog.read(fs, dir).get.version == vQuiet + 1,
+      "no-match CoW DML must not commit past the property change")
+    spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('rowLevelMode'='mor')")
+
     // property validation
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('rowLevelMode'='nope')")
