@@ -365,9 +365,11 @@ object GraftMaintenance {
     Seq((m.version, m.segments.size.toLong, m.segments.map(_.liveRows).sum,
       m.segments.map(_.bytes).sum,
       m.bucketing.map(b => s"${b.mode}(${b.cols.mkString(",")}, ${b.n})").getOrElse("none"),
-      m.schema.fieldNames.mkString(","), live.size.toLong, m.txns.size.toLong))
+      m.schema.fieldNames.mkString(","), live.size.toLong, m.txns.size.toLong,
+      m.segments.count(_.dv.isDefined).toLong, m.segments.map(_.dvRows).sum))
       .toDF("version", "n_segments", "n_rows", "n_bytes",
-        "layout", "columns", "n_versions_retained", "n_txn_apps")
+        "layout", "columns", "n_versions_retained", "n_txn_apps",
+        "n_dv_segments", "n_dv_rows")
   }
 
   /** Row-level CHANGE FEED between two committed versions, computed

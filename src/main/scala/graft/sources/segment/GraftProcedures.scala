@@ -174,6 +174,27 @@ object GraftProcedures {
               tableDir(warehouse, in.getUTF8String(0).toString),
               org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))))
         }
+      case "detail" =>
+        procedure("detail",
+          Seq(param("table", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("n_segments", LongType, nullable = false),
+            StructField("n_rows", LongType, nullable = false),
+            StructField("n_bytes", LongType, nullable = false),
+            StructField("layout", StringType, nullable = false),
+            StructField("columns", StringType, nullable = false),
+            StructField("n_versions_retained", LongType, nullable = false),
+            StructField("n_txn_apps", LongType, nullable = false),
+            StructField("n_dv_segments", LongType, nullable = false),
+            StructField("n_dv_rows", LongType, nullable = false)))) { (spark, in) =>
+          GraftMaintenance.detail(spark,
+              tableDir(warehouse, in.getUTF8String(0).toString))
+            .collect().toSeq.map(r => row(r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), UTF8String.fromString(r.getString(4)),
+              UTF8String.fromString(r.getString(5)), r.getLong(6), r.getLong(7),
+              r.getLong(8), r.getLong(9)))
+        }
       case "history" =>
         procedure("history",
           Seq(param("table", StringType)),
@@ -193,6 +214,6 @@ object GraftProcedures {
   }
 
   val All: Seq[String] =
-    Seq("compact", "zorder", "expire", "vacuum", "history", "delete_where",
-      "delete_mark", "compact_deletes", "update_mark")
+    Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
+      "delete_where", "delete_mark", "compact_deletes", "update_mark")
 }

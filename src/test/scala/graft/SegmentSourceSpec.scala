@@ -587,6 +587,13 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r.getAs[String]("columns") == "id")
     assert(r.getAs[Long]("n_versions_retained") == 2L)
     assert(r.getAs[Long]("n_txn_apps") == 1L)
+    assert(r.getAs[Long]("n_dv_segments") == 0L && r.getAs[Long]("n_dv_rows") == 0L)
+    // a dv delete of a single-row segment drops it outright (no
+    // vector to carry); detail reports the live totals either way
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") === 2L)
+    val r2 = graft.sources.segment.GraftMaintenance.detail(spark, dir).head()
+    assert(r2.getAs[Long]("n_rows") == 2L && r2.getAs[Long]("n_segments") == 2L)
+    assert(r2.getAs[Long]("n_dv_segments") == 0L && r2.getAs[Long]("n_dv_rows") == 0L)
   }
 
   test("optimistic commit under real contention: 8 concurrent appenders, no lost rows") {
@@ -1073,6 +1080,16 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(dvDel.getLong(0) > 0)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) ==
       2000 - dvDel.getLong(0))
+    // DESCRIBE DETAIL through CALL shows the dv state and live totals
+    val det = spark.sql(s"CALL $cat.system.detail('db.t')").collect()(0)
+    assert(det.getAs[Long]("n_rows") == 2000 - dvDel.getLong(0))
+    assert(det.getAs[Long]("n_dv_rows") == dvDel.getLong(0))
+    // materialize the vectors through CALL, detail goes clean again
+    val cd = spark.sql(s"CALL $cat.system.compact_deletes('db.t')").collect()(0)
+    assert(cd.getAs[Long]("dv_rows_dropped") == dvDel.getLong(0))
+    val det2 = spark.sql(s"CALL $cat.system.detail('db.t')").collect()(0)
+    assert(det2.getAs[Long]("n_dv_segments") == 0L)
+    assert(det2.getAs[Long]("n_rows") == 2000 - dvDel.getLong(0))
     spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('bloomFor'='y')")
     spark.sql(s"INSERT INTO $cat.db.t VALUES (9999, 1, 2)")
     val fsp = SegmentLog.fs(wh, spark.sessionState.newHadoopConf())
