@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * Standard HLL (Flajolet et al. 2007): hash to 32 bits (md5's first 8
   * hex chars), register = top p bits, rho = position of the first 1-bit
   * in the remaining w = 32-p bits (w+1 if zero). rho is computed with
-  * INTEGER string ops — `w + 1 - length(ltrim(bin(rem), '0'))` — never
+  * INTEGER string ops — `w + 1 - length(bin(rem))` (0 for rem=0) — never
   * floor(log2(x)), whose float rounding at exact powers of two would
   * silently disagree between engines.
   *
@@ -57,9 +57,12 @@ object Hll {
       .select(
         groupCols.map(col) :+
           floor(h / lit(1L << w)).cast("int").as("register") :+
-          // first-1-bit position in the w-bit remainder; ltrim-of-bin is
-          // integer-exact and yields 0 digits for rem = 0, giving w+1
-          (lit(w + 1) - length(ltrim(bin(rem), "0"))).cast("int").as("rho"): _*)
+          // first-1-bit position in the w-bit remainder: bin() emits no
+          // leading zeros, so its length IS 1 + floor(log2(rem)) for
+          // rem > 0, and rem = 0 contributes 0 digits, giving w+1 —
+          // integer-exact, and avoids the deprecated two-arg ltrim
+          (lit(w + 1) - when(rem === 0, lit(0)).otherwise(length(bin(rem))))
+            .cast("int").as("rho"): _*)
       .groupBy((groupCols :+ "register").map(col): _*)
       .agg(max(col("rho")).as("max_rho"))
   }
