@@ -184,7 +184,9 @@ class GraftChangeFeedTable(root: String, tableSchema: StructType)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangeFeedStream(root, tableSchema, conf,
             Option(options.get("startingVersion")).map(_.toLong),
-            Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+            Option(options.get("maxVersionsPerTrigger")).map(_.toInt).map { n =>
+              require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"); n
+            })
       }
     }
 }

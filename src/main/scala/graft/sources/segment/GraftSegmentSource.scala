@@ -530,7 +530,11 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
     case Some((schema, row)) => new GraftLocalAggScan(root, schema, row)
     case None =>
       new GraftScan(root, tableSchema, required, pushed, conf,
-        Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
+        Option(options.get("maxSegmentsPerTrigger")).map(_.toInt).map { n =>
+          // 0 or negative would stall the stream silently (offsets
+          // never advance) — refuse at build time
+          require(n > 0, s"maxSegmentsPerTrigger must be positive, got $n"); n
+        },
         manifest, limit, topN,
         startLatest = Option(options.get("startingOffsets")).exists {
           case "latest" => true

@@ -1548,6 +1548,28 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "bloomBits=100 must round up to 128 bits = 16 bytes")
   }
 
+  test("non-positive per-trigger caps are refused, not silent stalls") {
+    val dir = tmp("graft-seg-badcap")
+    import spark.implicits._
+    Seq(1L).toDF("id").write.format(Fmt).mode("append").save(dir)
+    def failsWith(msg: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = df.writeStream.format("noop")
+          .option("checkpointLocation", tmp("graft-seg-badcap-cp"))
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      }
+      assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+        .contains(msg), err.getMessage)
+    }
+    failsWith("maxSegmentsPerTrigger")(
+      spark.readStream.format(Fmt).option("maxSegmentsPerTrigger", "0").load(dir))
+    failsWith("maxVersionsPerTrigger")(
+      spark.readStream.format(Fmt)
+        .option("readChangeFeed", "true").option("maxVersionsPerTrigger", "-1")
+        .load(dir))
+  }
+
   test("latestOffset honors the ReadLimit argument over the constructor option") {
     val dir = tmp("graft-seg-readlimit")
     import spark.implicits._
