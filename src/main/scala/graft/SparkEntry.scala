@@ -2973,6 +2973,25 @@ object SparkEntry {
       ins(2)                                              // v4
       s.sql(s"CALL $cat.system.history('db.t')").orderBy(col("version"))
     }),
+    // CTAS / RTAS through the catalog: CREATE TABLE AS SELECT installs
+    // schema + declared layout + data in one statement; REPLACE TABLE
+    // AS SELECT swaps the definition. The oracle replays the final
+    // SELECT's closed form
+    "store_segment_ctas" -> ((s, d) => withTempDir("graft-segctas") { base =>
+      val cat = s"graft_ctas_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ctas_orders")
+      s.sql(s"CREATE TABLE $cat.db.t TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='8') " +
+        "AS SELECT o_orderkey AS k, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM graft_ctas_orders")
+      s.sql(s"REPLACE TABLE $cat.db.t " +
+        "AS SELECT o_orderkey AS k, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM graft_ctas_orders WHERE o_orderkey % 3 = 0")
+      s.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k")
+    }),
     // SQL DML running MERGE-ON-READ (TBLPROPERTIES rowLevelMode=mor,
     // the Delta enableDeletionVectors shape): DELETE marks positions
     // in deletion vectors, UPDATE marks old versions and appends new,
@@ -5772,6 +5791,11 @@ object SparkEntry {
         "ORDER BY _commit_version, k"),
     // the CALL-driven lifecycle's ledger: create (empty), two 4-way
     // clustered inserts, the 2-way compact, one more insert
+    "store_segment_ctas" ->
+      ("SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY k"),
+
     // the whole MoR DML sequence replayed as closed-form SQL: k%11=0
     // always ends at -1 (matched update, or re-insert of a deleted
     // key); other k%7=0 stay deleted; other k%5=0 carry the +3 update

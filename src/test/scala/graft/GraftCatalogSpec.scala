@@ -190,6 +190,34 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.sql("SHOW TABLES IN graft.tmpns").collect().isEmpty)
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT work through the catalog") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctasns")
+    spark.sql("CREATE TABLE graft.ctasns.t AS SELECT id AS k, id * 2 AS v FROM range(100)")
+    assert(spark.sql("SELECT sum(v) FROM graft.ctasns.t").head().getLong(0) ==
+      (0L until 100L).map(_ * 2).sum)
+    // CTAS onto an existing table refuses; REPLACE swaps atomically at
+    // the manifest level (drop + recreate under one statement)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ctasns.t AS SELECT id FROM range(5)")
+    }
+    spark.sql("REPLACE TABLE graft.ctasns.t AS SELECT id AS k FROM range(5)")
+    assert(spark.sql("SELECT * FROM graft.ctasns.t").schema.fieldNames.toSeq == Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM graft.ctasns.t").head().getLong(0) == 5)
+    // CTAS carries TBLPROPERTIES: a declared layout lands in the
+    // manifest and labels the written segments
+    spark.sql("CREATE TABLE graft.ctasns.t2 " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4') " +
+      "AS SELECT id AS k FROM range(1000)")
+    val fs = SegmentLog.fs(warehouse, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, s"$warehouse/ctasns/t2").get
+    assert(m.bucketing.exists(b => b.cols == Seq("k") && b.mode == "range"),
+      s"CTAS must install the declared layout, got ${m.bucketing}")
+    assert(spark.sql("SELECT count(*) FROM graft.ctasns.t2").head().getLong(0) == 1000)
+    spark.sql("DROP TABLE graft.ctasns.t")
+    spark.sql("DROP TABLE graft.ctasns.t2")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
