@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest reads); nothing here scales with data volume.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -79,8 +80,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   override def tableExists(ident: Identifier): Boolean =
     SegmentLog.read(fs, tablePath(ident)).isDefined
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+  /** Parse + validate a CREATE's declared layout and persisted
+    * properties — shared by [[createTable]] and the atomic staging
+    * faces ([[stageCreate]]/[[stageReplace]]). */
+  private def parseCreation(schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): (Option[BucketSpec], Map[String, String]) = {
     SegmentCodec.validateSchema(schema)
     val bucketing = partitions.toSeq match {
       case Nil =>
@@ -102,9 +106,6 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     }
     bucketing.foreach(b => b.cols.foreach(c =>
       require(schema.fieldNames.contains(c), s"bucket column $c not in schema")))
-    val path = tablePath(ident)
-    require(SegmentLog.read(fs, path).isEmpty,
-      s"table $ident already exists at $path")
     // persisted table properties: declared bloom columns apply to
     // every future INSERT without the writer re-stating them;
     // rowLevelMode picks the DML tier (cow | mor)
@@ -116,6 +117,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       s"bloomBits must be an integer >= 64, got '$b'"))
     props.get("rowLevelMode").foreach(v => require(Set("cow", "mor").contains(v),
       s"rowLevelMode must be cow|mor, got '$v'"))
+    (bucketing, props)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val (bucketing, props) = parseCreation(schema, partitions, properties)
+    val path = tablePath(ident)
+    require(SegmentLog.read(fs, path).isEmpty,
+      s"table $ident already exists at $path")
     SegmentLog.commit(fs, path,
       StructType(schema.fields.map(_.copy(nullable = true))),
       Nil, truncate = true, bucketing = bucketing, props = props)
@@ -137,6 +147,35 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       }
       n.filter(_ > 0).map(v => (v, cols))
     }
+
+  // ---- ATOMIC CTAS / RTAS (StagingTableCatalog): the versioned
+  // manifest makes staging natural — the staged write lands segment
+  // FILES only (invisible until referenced), and commitStagedChanges
+  // is ONE manifest commit installing schema + layout + properties +
+  // data together. REPLACE is therefore genuinely atomic: readers see
+  // the old table until the single commit, and a crash mid-statement
+  // leaves it untouched — no drop-then-recreate window. Properties
+  // RESET on replace (a redefinition must not inherit the old
+  // declaration's blooms or DML mode).
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, mode = "create")
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (SegmentLog.read(fs, tablePath(ident)).isEmpty)
+      throw new NoSuchTableException(ident)
+    staged(ident, info, mode = "replace")
+  }
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, mode = "createOrReplace")
+
+  private def staged(ident: Identifier, info: TableInfo, mode: String): StagedTable = {
+    val schema = info.schema()
+    val (bucketing, props) = parseCreation(schema, info.partitions(), info.properties())
+    val path = tablePath(ident)
+    if (mode == "create" && SegmentLog.read(fs, path).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    new GraftStagedTable(ident, path, schema, bucketing, props, mode)
+  }
 
   /** Schema DDL — the whole statement is ONE metadata-only manifest
     * commit (column mapping: physical names frozen, no data rewrite):
@@ -290,5 +329,102 @@ final class GraftBoundBucket(keyTypes: Seq[DataType]) extends ScalarFunction[Int
     val h = hashExprs.eval(input).asInstanceOf[Int]
     val m = h % n
     if (m < 0) m + n else m
+  }
+}
+
+/** A staged CTAS/RTAS table ([[StagingTableCatalog]]): its write lands
+  * segment files under the table path (unreferenced — invisible), and
+  * `commitStagedChanges` performs the ONE manifest commit that makes
+  * schema, layout, properties and data appear together. `abort`
+  * deletes the files; a replaced table is untouched until the commit.
+  *
+  * The clustered-write machinery is the normal one: the staged write
+  * demands the declared layout's distribution from Spark
+  * ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]),
+  * so a CTAS with `clusterBy`/`bucket(...)` lands labeled, range- or
+  * hash-clustered segments exactly like an INSERT into a pre-created
+  * table. */
+private[segment] class GraftStagedTable(ident: Identifier, path: String,
+    tableSchema: StructType, bucketing: Option[BucketSpec],
+    props: Map[String, String], mode: String)
+    extends StagedTable with SupportsWrite {
+
+  private val staged =
+    new java.util.concurrent.atomic.AtomicReference[Seq[SegmentMeta]](Nil)
+  private def hconf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def name(): String = s"graft-segment `$path` (staged $mode)"
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    bucketing.filter(_.mode == "hash")
+      .map(b => Expressions.bucket(b.n, b.cols: _*)).toArray
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // the atomic exec may signal overwrite; staging IS the overwrite
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          private def sortOrders = bucketing.toSeq.flatMap(_.cols).map(c =>
+            Expressions.sort(Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+          override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+            bucketing match {
+              case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+              case Some(b) if b.mode == "hash" =>
+                org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                  b.cols.map(c => Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+              case Some(_) =>
+                org.apache.spark.sql.connector.distributions.Distributions.ordered(sortOrders)
+            }
+          override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            sortOrders
+          override def requiredNumPartitions(): Int = bucketing.map(_.n).getOrElse(0)
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new org.apache.spark.sql.connector.write.BatchWrite {
+              private val conf = new SerializableHadoopConf(hconf)
+              override def createBatchWriterFactory(
+                  pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo): org.apache.spark.sql.connector.write.DataWriterFactory =
+                new GraftWriterFactory(path, info.schema(), conf, Long.MaxValue,
+                  labelBuckets = bucketing.exists(_.mode == "hash"),
+                  physNames = SegmentLog.physicalNames(
+                    SegmentLog.read(SegmentLog.fs(path, conf.value), path), info.schema()))
+              override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+                staged.set(messages.flatMap(
+                  _.asInstanceOf[GraftCommitMessage].segments).toSeq)
+              override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                val f = SegmentLog.fs(path, conf.value)
+                messages.filter(_ != null).foreach {
+                  case GraftCommitMessage(segs) =>
+                    segs.foreach(s => f.delete(new Path(s"$path/${s.path}"), false))
+                  case _ =>
+                }
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val f = SegmentLog.fs(path, hconf)
+    val nullable = StructType(tableSchema.fields.map(_.copy(nullable = true)))
+    if (mode == "create")
+      // exclusive create: a rival table appearing since stageCreate
+      // must fail the statement, never silently append into it
+      require(SegmentLog.read(f, path).isEmpty,
+        s"table $ident was created concurrently")
+    SegmentLog.commit(f, path, nullable, staged.get(), truncate = true,
+      bucketing = bucketing, props = props,
+      resetProps = true,
+      maxRetries = if (mode == "create") 0 else 20)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val f = SegmentLog.fs(path, hconf)
+    staged.get().foreach(s => f.delete(new Path(s"$path/${s.path}"), false))
   }
 }

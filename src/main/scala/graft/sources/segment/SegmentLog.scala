@@ -399,7 +399,8 @@ object SegmentLog {
       bucketing: Option[BucketSpec] = None,
       mergeSchema: Boolean = false, maxRetries: Int = 20,
       dataChange: Boolean = true,
-      props: Map[String, String] = Map.empty): Long = commitLock.synchronized {
+      props: Map[String, String] = Map.empty,
+      resetProps: Boolean = false): Long = commitLock.synchronized {
     // getScheme is optional FileSystem API (FilterFileSystem wrappers
     // throw); an unknown scheme gets the benefit of the doubt — the
     // guard targets the KNOWN-non-atomic object stores
@@ -481,8 +482,12 @@ object SegmentLog {
         .collect { case (l, p) if l != p => l -> p }.toMap
       val retired = current.map(_.retiredSchema).getOrElse(new StructType())
       // table properties persist across commits; a commit may only ADD
-      // (declared once at creation is the normal shape)
-      val liveProps = current.map(_.props).getOrElse(Map.empty) ++ props
+      // (declared once at creation is the normal shape) — except an
+      // atomic REPLACE TABLE, which redefines the table and must not
+      // inherit the old definition's declarations
+      val liveProps =
+        (if (resetProps) Map.empty[String, String]
+         else current.map(_.props).getOrElse(Map.empty)) ++ props
       val body = render(Manifest(v, tableSchema, merged, txns, spec,
         maxSegmentId = newMax, truncateWatermark = newTw,
         truncateVersion = newTv,

@@ -196,14 +196,24 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     spark.sql("CREATE TABLE graft.ctasns.t AS SELECT id AS k, id * 2 AS v FROM range(100)")
     assert(spark.sql("SELECT sum(v) FROM graft.ctasns.t").head().getLong(0) ==
       (0L until 100L).map(_ * 2).sum)
-    // CTAS onto an existing table refuses; REPLACE swaps atomically at
-    // the manifest level (drop + recreate under one statement)
+    // CTAS onto an existing table refuses; REPLACE is ATOMIC — one
+    // manifest commit on the SAME log (StagingTableCatalog), so the
+    // pre-replace definition stays time-travelable
     intercept[Exception] {
       spark.sql("CREATE TABLE graft.ctasns.t AS SELECT id FROM range(5)")
     }
+    val fsA = SegmentLog.fs(warehouse, spark.sessionState.newHadoopConf())
+    val vBefore = SegmentLog.read(fsA, s"$warehouse/ctasns/t").get.version
     spark.sql("REPLACE TABLE graft.ctasns.t AS SELECT id AS k FROM range(5)")
     assert(spark.sql("SELECT * FROM graft.ctasns.t").schema.fieldNames.toSeq == Seq("k"))
     assert(spark.sql("SELECT count(*) FROM graft.ctasns.t").head().getLong(0) == 5)
+    val mR = SegmentLog.read(fsA, s"$warehouse/ctasns/t").get
+    assert(mR.version == vBefore + 1,
+      "atomic REPLACE is ONE commit on the same log, not drop+recreate")
+    assert(spark.read.format("graft-segment")
+      .option("versionAsOf", vBefore.toString)
+      .load(s"$warehouse/ctasns/t").count() == 100,
+      "the pre-replace definition stays time-travelable")
     // CTAS carries TBLPROPERTIES: a declared layout lands in the
     // manifest and labels the written segments
     spark.sql("CREATE TABLE graft.ctasns.t2 " +
