@@ -224,6 +224,18 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
     }
   override def name(): String = s"graft-segment `$root`"
   override def schema(): StructType = tableSchema
+
+  // SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the persisted declarations
+  // plus the declared layout, straight from the manifest
+  override def properties(): java.util.Map[String, String] = {
+    val m = fsAndManifest()._2
+    val declared = m.map(_.props).getOrElse(Map.empty)
+    val layout = m.flatMap(_.bucketing).map(b => Map(
+      "clusterBy" -> b.cols.mkString(","),
+      "numPartitions" -> b.n.toString,
+      "clusterMode" -> b.mode)).getOrElse(Map.empty)
+    (declared ++ layout).asJava
+  }
   override def capabilities(): java.util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
     TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,

@@ -224,6 +224,11 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(m.bucketing.exists(b => b.cols == Seq("k") && b.mode == "range"),
       s"CTAS must install the declared layout, got ${m.bucketing}")
     assert(spark.sql("SELECT count(*) FROM graft.ctasns.t2").head().getLong(0) == 1000)
+    // SHOW TBLPROPERTIES surfaces declarations and the layout
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.ctasns.t2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("clusterBy").contains("k") &&
+      shown.get("clusterMode").contains("range"), s"got $shown")
     spark.sql("DROP TABLE graft.ctasns.t")
     spark.sql("DROP TABLE graft.ctasns.t2")
   }
