@@ -77,6 +77,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     new GraftSegmentTable(path, m.schema, m.bucketing)
   }
 
+  /** SQL time travel: `SELECT ... FROM graft.db.t VERSION AS OF 3` —
+    * the catalog face of the `versionAsOf` read option (old data under
+    * the CURRENT logical schema; the one time-travel implementation).
+    * The pinned table is read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    val m = SegmentLog.read(fs, path).getOrElse(throw new NoSuchTableException(ident))
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-segment versions are manifest numbers, got '$version'")
+      }
+    new GraftSegmentTable(path, m.schema, m.bucketing, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` has nothing to bind to: the log records no
+    * wall-clock (deliberately — the whole introspection surface stays
+    * deterministic and oracle-checkable). Refuse loudly. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft-segment records no commit wall-clock (deterministic log); " +
+        "use VERSION AS OF <manifest version> instead of TIMESTAMP AS OF")
+
   override def tableExists(ident: Identifier): Boolean =
     SegmentLog.read(fs, tablePath(ident)).isDefined
 

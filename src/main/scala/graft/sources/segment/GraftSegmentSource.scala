@@ -170,7 +170,8 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
 }
 
 class GraftSegmentTable(root: String, tableSchema: StructType,
-    bucketing: Option[BucketSpec] = None)
+    bucketing: Option[BucketSpec] = None,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -245,11 +246,25 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
     bucketing.filter(_.mode == "hash")
       .map(b => Expressions.bucket(b.n, b.cols: _*)).toArray
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, tableSchema, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // SQL `VERSION AS OF v` arrives as a catalog-pinned table
+    // (loadTable(ident, version)); route it through the one
+    // time-travel implementation, the versionAsOf read option
+    val opts = pinnedVersion match {
+      case Some(v) =>
+        val m2 = new java.util.HashMap[String, String](options)
+        m2.put("versionAsOf", v.toString)
+        new CaseInsensitiveStringMap(m2)
+      case None => options
+    }
+    new GraftScanBuilder(root, tableSchema, opts)
+  }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      "cannot write to a VERSION AS OF snapshot — load the current table")
     new GraftWriteBuilder(root, info, bucketing)
+  }
 
   // ---- metadata-only DELETE: a predicate that DECIDES every live
   // segment (all rows provably match → drop; no row can match → keep)

@@ -229,6 +229,17 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(shown.get("clusterBy").contains("k") &&
       shown.get("clusterMode").contains("range"), s"got $shown")
+    // SQL time travel across the atomic REPLACE: VERSION AS OF binds
+    // through the catalog to the versionAsOf read path
+    assert(spark.sql(s"SELECT count(*) FROM graft.ctasns.t VERSION AS OF $vBefore")
+      .head().getLong(0) == 100)
+    assert(spark.sql("SELECT count(*) FROM graft.ctasns.t").head().getLong(0) == 5)
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.ctasns.t VERSION AS OF 0 VALUES (1)")
+    }
+    intercept[Exception] { // no wall-clock in the log, by design
+      spark.sql("SELECT * FROM graft.ctasns.t TIMESTAMP AS OF '2026-01-01'").collect()
+    }
     spark.sql("DROP TABLE graft.ctasns.t")
     spark.sql("DROP TABLE graft.ctasns.t2")
   }
