@@ -685,15 +685,63 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
   }
 
   override def estimateStatistics(): Statistics = {
-    val rows = surviving.map(_.liveRows).sum
-    val bytes = surviving.map(_.bytes).sum
+    val segs = surviving
+    val rows = segs.map(_.liveRows).sum
+    val bytes = segs.map(_.bytes).sum
     // scale bytes by projection width so a narrow projection of a wide
     // table still qualifies for broadcast, like parquet's column stats
     val frac = math.max(1, required.length).toDouble / math.max(1, tableSchema.length)
+    // COLUMN stats for cost-based optimization (spark.sql.cbo.*):
+    // min/max reduced from the zone maps when every surviving segment
+    // carries sound bounds, nullCount always. These are ESTIMATES by
+    // contract, so deletion-vector over-approximation (a deleted row
+    // may hold the bound; physical nulls bound live nulls) is fine
+    // here — unlike the metadata-only AGGREGATES, which must refuse.
+    val cstats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (segs.nonEmpty) tableSchema.fields.foreach { f =>
+      import org.apache.spark.sql.types._
+      val per = segs.map(_.stats.get(f.name))
+      if (per.forall(_.isDefined)) {
+        val nulls = per.map(_.get.nullCount).sum
+        val bounds = per.map(_.get.bounds)
+        val mm: Option[(AnyRef, AnyRef)] =
+          if (bounds.forall(_.isDefined)) f.dataType match {
+            case IntegerType | DateType => Some((
+              Int.box(bounds.map(_.get._1.toInt).min),
+              Int.box(bounds.map(_.get._2.toInt).max)))
+            case LongType | TimestampType | TimestampNTZType => Some((
+              Long.box(bounds.map(_.get._1.toLong).min),
+              Long.box(bounds.map(_.get._2.toLong).max)))
+            case DoubleType => Some((
+              Double.box(bounds.map(_.get._1.toDouble).min),
+              Double.box(bounds.map(_.get._2.toDouble).max)))
+            case FloatType => Some((
+              Float.box(bounds.map(_.get._1.toFloat).min),
+              Float.box(bounds.map(_.get._2.toFloat).max)))
+            case _ => None // strings: binary-order bounds are not CBO literals
+          } else None
+        cstats.put(Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nulls)
+            override def min(): java.util.Optional[Object] =
+              mm.map(v => java.util.Optional.of(v._1: Object))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              mm.map(v => java.util.Optional.of(v._2: Object))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
+      }
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, (bytes * frac).toLong))
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cstats
     }
   }
 

@@ -2121,6 +2121,39 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(feed() == want)
   }
 
+  test("column statistics for CBO: zone maps reduce to min/max/nullCount estimates") {
+    val dir = tmp("graft-seg-colstats")
+    sample().write.format(Fmt)
+      .option("clusterBy", "bucket").option("numPartitions", "10")
+      .mode("append").save(dir)
+    val schema = spark.read.format(Fmt).load(dir).schema
+    val builder = new graft.sources.segment.GraftScanBuilder(dir, schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    val stats = builder.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 1000)
+    val cs = stats.columnStats()
+    def of(n: String) = cs.get(org.apache.spark.sql.connector.expressions.Expressions.column(n))
+    assert(of("id").min().get() == Long.box(0L) && of("id").max().get() == Long.box(999L))
+    assert(of("id").nullCount().getAsLong == 0L)
+    assert(of("tag").nullCount().getAsLong == 11L, "11 ids ≡ 0 (mod 97) in [0,1000)")
+    assert(!of("tag").min().isPresent, "string bounds are not CBO literals")
+    assert(of("score").max().get() == Double.box(999 * 2.5))
+    // deletion vectors: stats stay ESTIMATES (physical bounds) — still
+    // reported, never poisoned into refusal like the exact aggregates
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") === 999L)
+    val builder2 = new graft.sources.segment.GraftScanBuilder(dir, schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    val stats2 = builder2.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats2.numRows().getAsLong == 999, "numRows is live")
+    assert(stats2.columnStats()
+      .get(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+      .max().get() == Long.box(999L), "bounds stay physical (an over-estimate)")
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
