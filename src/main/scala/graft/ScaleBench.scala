@@ -79,7 +79,11 @@ object ScaleBench {
     // in the vectorized loop; must track the table write, never n² —
     // and the SQL MoR DML sequence (DELETE/UPDATE/MERGE through the
     // delta framework) which must track matched rows
-    "store_segment_dv", "store_segment_mor_sql")
+    "store_segment_dv", "store_segment_mor_sql",
+    // atomic CTAS+RTAS (two staged writes of the table) and the
+    // partial-compaction chain (dv mark → materialize dv'd segments →
+    // re-cluster one key range) — both must track table bytes
+    "store_segment_ctas", "store_segment_compact_where")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

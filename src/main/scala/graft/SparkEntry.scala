@@ -2973,6 +2973,25 @@ object SparkEntry {
       ins(2)                                              // v4
       s.sql(s"CALL $cat.system.history('db.t')").orderBy(col("version"))
     }),
+    // PARTIAL compaction end-to-end: deleteMark leaves vectors,
+    // compactDeletes materializes ONLY the dv'd segments, compactWhere
+    // re-clusters only the hot key range — and the table's content is
+    // invariant under both (compaction is reorganization, not change)
+    "store_segment_compact_where" -> ((s, d) => withTempDir("graft-segcw") { base =>
+      val dir = s"$base/orders_seg"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "o_orderkey").option("numPartitions", "8")
+        .mode("append").save(dir)
+      graft.sources.segment.GraftMaintenance.deleteMark(s, dir,
+        col("cents") % 10 === 3)
+      graft.sources.segment.GraftMaintenance.compactDeletes(s, dir)
+      graft.sources.segment.GraftMaintenance.compactWhere(s, dir,
+        org.apache.spark.sql.sources.LessThan("o_orderkey", 1000L))
+      s.read.format("graft-segment").load(dir).orderBy(col("o_orderkey"))
+    }),
     // CTAS / RTAS through the catalog: CREATE TABLE AS SELECT installs
     // schema + declared layout + data in one statement; REPLACE TABLE
     // AS SELECT swaps the definition. The oracle replays the final
@@ -5795,6 +5814,12 @@ object SparkEntry {
       ("SELECT o_orderkey AS k, " +
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
         "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY k"),
+
+    "store_segment_compact_where" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders " +
+        "WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) % 10 <> 3 " +
+        "ORDER BY o_orderkey"),
 
     // the whole MoR DML sequence replayed as closed-form SQL: k%11=0
     // always ends at -1 (matched update, or re-insert of a deleted
