@@ -230,15 +230,22 @@ object GraftMaintenance {
       .filter(coalesce(condition, lit(false)))
     val entries = writeDvSidecars(spark, dir, m, matched)
     if (entries.isEmpty) return 0L
-    val updated = m.segments.flatMap { s =>
-      entries.get(s.path) match {
-        case Some((rel, n)) if n >= s.rows => None // every row dead: drop the segment
-        case Some((rel, n)) => Some(s.copy(dv = Some(rel), dvRows = n))
-        case None => Some(s)
+    // the sidecars were unioned against `m`'s visibility — REBASE the
+    // commit so concurrent appends survive, and conflict loudly if a
+    // rival row-level change landed on a touched segment meanwhile
+    val expect = SegmentLog.visibilityOf(m.segments, entries.keySet)
+    SegmentLog.commitRebase(fs, dir) { mOpt =>
+      SegmentLog.requireTargetsUnchanged(mOpt, expect, "deleteMark")
+      val updated = mOpt.map(_.segments).getOrElse(Nil).flatMap { s =>
+        entries.get(s.path) match {
+          case Some((rel, n)) if n >= s.rows => None // every row dead: drop the segment
+          case Some((rel, n)) => Some(s.copy(dv = Some(rel), dvRows = n))
+          case None => Some(s)
+        }
       }
+      Some(SegmentLog.CommitPlan(mOpt.map(_.schema).getOrElse(m.schema),
+        updated, truncate = true, bucketing = mOpt.flatMap(_.bucketing)))
     }
-    SegmentLog.commit(fs, dir, m.schema, updated, truncate = true,
-      bucketing = m.bucketing)
     newlyMarked(m, entries)
   }
 

@@ -300,22 +300,27 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val (fs, m) = fsAndManifest()
-    m.foreach { mm =>
-      // decide against the LOGICAL view (filters name logical columns;
-      // stats keys translate), commit the RAW metas — carried-over
-      // segments must keep physical column names
-      val kept = decide(filters, SegmentLog.logicalView(mm).segments).getOrElse(
-        throw new UnsupportedOperationException(
-          "DELETE requires a rewrite for segments the zone maps cannot decide; " +
-            "use GraftMaintenance.deleteRows"))
-      val keptIds = kept.map(_.id).toSet
-      // a DELETE that provably matched NOTHING is a no-op, not a
-      // data-changing truncate — committing one would fail every
-      // running stream over rows that never changed
-      if (keptIds.size < mm.segments.size)
-        SegmentLog.commit(fs, root, mm.schema,
+    // the whole derivation is metadata-only, so it REBASES exactly: on
+    // a lost commit race the predicate is re-decided against the fresh
+    // manifest (concurrent appends included), never re-submitted stale
+    if (m.isDefined) SegmentLog.commitRebase(fs, root) { mOpt =>
+      mOpt.flatMap { mm =>
+        // decide against the LOGICAL view (filters name logical columns;
+        // stats keys translate), commit the RAW metas — carried-over
+        // segments must keep physical column names
+        val kept = decide(filters, SegmentLog.logicalView(mm).segments).getOrElse(
+          throw new UnsupportedOperationException(
+            "DELETE requires a rewrite for segments the zone maps cannot decide; " +
+              "use GraftMaintenance.deleteRows"))
+        val keptIds = kept.map(_.id).toSet
+        // a DELETE that provably matched NOTHING is a no-op, not a
+        // data-changing truncate — committing one would fail every
+        // running stream over rows that never changed
+        if (keptIds.size == mm.segments.size) None
+        else Some(SegmentLog.CommitPlan(mm.schema,
           mm.segments.filter(sg => keptIds.contains(sg.id)), truncate = true,
-          bucketing = mm.bucketing)
+          bucketing = mm.bucketing))
+      }
     }
   }
 
@@ -1381,11 +1386,22 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
   // segments cover non-overlapping sorted ranges, making zone maps
   // decide value predicates (selective reads, metadata-only DELETEs).
   @volatile private var bucketSpec: Option[BucketSpec] = None
+  // the manifest the write PLANNED against (factory creation precedes
+  // task execution): replace-style commits fingerprint their targets
+  // here and re-check at commit, so a concurrent row-level change to a
+  // rewritten segment conflicts loudly instead of being resurrected
+  @volatile private var planned: Option[Manifest] = null
+
+  private def plannedOrNow(fs: org.apache.hadoop.fs.FileSystem): Option[Manifest] = {
+    val p = planned
+    if (p != null) p else SegmentLog.read(fs, root)
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (clusterBy.nonEmpty)
       bucketSpec = Some(BucketSpec(clusterBy, info.numPartitions(), clusterMode))
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+    planned = m
     // a table's declared bloom columns (TBLPROPERTIES or the creating
     // write) are the default for every later INSERT — the same
     // declare-once shape as the bucket layout; an explicit option
@@ -1407,36 +1423,49 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
       case (Some(targets), _) =>
         // PARTIAL replace (incremental compaction): one truncate-style
         // commit of (live minus targets) ++ output — untouched segments
-        // carry over by reference with their ids, dvs and stats. Like
-        // every truncating commit, last-writer-wins against concurrent
-        // appends; the declared layout is dropped (a subset rewrite
-        // cannot prove the global range/bucket invariant).
-        val live = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
-        val kept = live.filterNot(s => targets.contains(s.path))
-        require(live.size - kept.size == targets.size,
-          s"replaceSegments names ${targets.size - (live.size - kept.size)} " +
+        // carry over by reference with their ids, dvs and stats.
+        // REBASED: the kept set derives from the manifest each commit
+        // attempt races against, so concurrent appends survive; a
+        // concurrent row-level change to a TARGET conflicts loudly
+        // (the rewrite's output no longer reflects its visible rows).
+        // The declared layout is dropped (a subset rewrite cannot
+        // prove the global range/bucket invariant).
+        val base = plannedOrNow(fs).map(_.segments).getOrElse(Nil)
+        val expect = SegmentLog.visibilityOf(base, targets)
+        require(expect.size == targets.size,
+          s"replaceSegments names ${targets.size - expect.size} " +
             "paths not live in the manifest")
-        SegmentLog.commit(fs, root, nullable, kept ++ segs,
-          truncate = true, txn = txn, mergeSchema = mergeSchema,
-          dataChange = dataChange)
+        SegmentLog.commitRebase(fs, root, txn = txn, mergeSchema = mergeSchema) { mOpt =>
+          SegmentLog.requireTargetsUnchanged(mOpt, expect, "replaceSegments compaction")
+          val kept = mOpt.map(_.segments).getOrElse(Nil)
+            .filterNot(s => targets.contains(s.path))
+          Some(SegmentLog.CommitPlan(mOpt.map(_.schema).getOrElse(nullable),
+            kept ++ segs, truncate = true, dataChange = dataChange))
+        }
       case (None, Some(patch)) =>
         // merge-on-read UPDATE: patch the named segments' deletion
         // vectors (old row versions disappear) while the write's
         // output appends the new versions — ONE manifest version, no
         // reader ever sees both. Fully-superseded segments drop.
-        val live = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
-        require(patch.keySet.subsetOf(live.map(_.path).toSet),
+        // REBASED like the partial replace: appends survive, a rival
+        // dv on a patched segment conflicts (this write's vectors were
+        // unioned against the planned base, not the rival's).
+        val base = plannedOrNow(fs).map(_.segments).getOrElse(Nil)
+        val expect = SegmentLog.visibilityOf(base, patch.keySet)
+        require(expect.size == patch.size,
           "applyDvs names segments not live in the manifest")
-        val patched = live.flatMap { s =>
-          patch.get(s.path) match {
-            case Some((_, n)) if n >= s.rows => None
-            case Some((dvRel, n)) => Some(s.copy(dv = Some(dvRel), dvRows = n))
-            case None => Some(s)
+        SegmentLog.commitRebase(fs, root, txn = txn, mergeSchema = mergeSchema) { mOpt =>
+          SegmentLog.requireTargetsUnchanged(mOpt, expect, "merge-on-read update")
+          val patched = mOpt.map(_.segments).getOrElse(Nil).flatMap { s =>
+            patch.get(s.path) match {
+              case Some((_, n)) if n >= s.rows => None
+              case Some((dvRel, n)) => Some(s.copy(dv = Some(dvRel), dvRows = n))
+              case None => Some(s)
+            }
           }
+          Some(SegmentLog.CommitPlan(mOpt.map(_.schema).getOrElse(nullable),
+            patched ++ segs, truncate = true, dataChange = true))
         }
-        SegmentLog.commit(fs, root, nullable, patched ++ segs,
-          truncate = true, txn = txn, mergeSchema = mergeSchema,
-          dataChange = true)
       case (None, None) =>
         SegmentLog.commit(fs, root, nullable, segs,
           truncateFirst, txn = txn, bucketing = bucketSpec, mergeSchema = mergeSchema,
@@ -1682,11 +1711,17 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
     conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
+  // planning-time manifest for the commit-time conflict check — see
+  // GraftBatchWrite.planned
+  @volatile private var planned: Option[Manifest] = null
+
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+    planned = m
     new GraftDeltaWriterFactory(root, schema, conf,
-      SegmentLog.physicalNames(
-        SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema))
+      SegmentLog.physicalNames(m, schema))
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftDeltaCommitMessage])
@@ -1695,8 +1730,10 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
     // committing one would fail running streams over unchanged rows
     if (newSegs.isEmpty && msgs.forall(_.deletes.isEmpty)) return
     val fs = SegmentLog.fs(root, conf.value)
-    val m = SegmentLog.read(fs, root).getOrElse(
-      throw new IllegalStateException(s"no graft-segment table at $root"))
+    val base = {
+      val p = planned
+      if (p != null) p else SegmentLog.read(fs, root)
+    }.getOrElse(throw new IllegalStateException(s"no graft-segment table at $root"))
     // union every task's deleted positions per segment (absolute
     // `_segment` values → root-relative paths). Driver memory is one
     // bitmap per touched segment — the MoR tier targets point DML;
@@ -1707,32 +1744,47 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
       val bits = DeletionVector.fromPositions(pos.toSeq)
       bySeg(rel) = bySeg.get(rel).map(DeletionVector.union(_, bits)).getOrElse(bits)
     })
-    val patched = m.segments.flatMap { s =>
-      bySeg.get(s.path) match {
-        case Some(newBits) =>
-          val prior = s.dv
-            .map(d => DeletionVector.read(fs, new Path(s"$root/$d")))
-            .getOrElse(Array.empty[Long])
-          val bits = DeletionVector.union(prior, newBits)
-          val n = DeletionVector.cardinality(bits)
-          if (n >= s.rows) None // fully dead or fully superseded: drop
-          else {
-            val rel = s"${SegmentLog.DataDir}/${UUID.randomUUID()}.dv"
-            DeletionVector.write(fs, new Path(s"$root/$rel"), bits)
-            Some(s.copy(dv = Some(rel), dvRows = n))
-          }
-        case None => Some(s)
-      }
-    }
+    // the positions were computed against the PLANNED snapshot's
+    // visibility — a rival dv landing on a touched segment means the
+    // union below would build on rows the rival already changed, so
+    // the rebase conflicts instead (requireTargetsUnchanged inside).
+    val expect = SegmentLog.visibilityOf(base.segments, bySeg.keySet.toSet)
+    require(expect.size == bySeg.size,
+      "row-level DML touched segments not live in the planned manifest")
     // commit under the TABLE's schema, not the write's: a pure DELETE
     // plans with an EMPTY data schema (nothing to insert), and a
     // truncate-style commit would otherwise install it as the table's.
     // A pure DELETE also moves no rows and appends no segments, so a
     // declared layout SURVIVES it (dv patches keep range disjointness
     // and bucket labels); UPDATE/MERGE append unlabeled segments and
-    // drop it, like every other appending rewrite.
-    SegmentLog.commit(fs, root, m.schema, patched ++ newSegs, truncate = true,
-      bucketing = if (newSegs.isEmpty) m.bucketing else None)
+    // drop it, like every other appending rewrite. REBASED: concurrent
+    // appends carry over from the manifest each attempt races against.
+    SegmentLog.commitRebase(fs, root) { mOpt =>
+      SegmentLog.requireTargetsUnchanged(mOpt, expect, "row-level DML")
+      val live = mOpt.map(_.segments).getOrElse(Nil)
+      val patched = live.flatMap { s =>
+        bySeg.get(s.path) match {
+          case Some(newBits) =>
+            val prior = s.dv
+              .map(d => DeletionVector.read(fs, new Path(s"$root/$d")))
+              .getOrElse(Array.empty[Long])
+            val bits = DeletionVector.union(prior, newBits)
+            val n = DeletionVector.cardinality(bits)
+            if (n >= s.rows) None // fully dead or fully superseded: drop
+            else {
+              // a retry leaves the prior attempt's sidecar as vacuum
+              // fodder — unreferenced files are never data
+              val rel = s"${SegmentLog.DataDir}/${UUID.randomUUID()}.dv"
+              DeletionVector.write(fs, new Path(s"$root/$rel"), bits)
+              Some(s.copy(dv = Some(rel), dvRows = n))
+            }
+          case None => Some(s)
+        }
+      }
+      Some(SegmentLog.CommitPlan(mOpt.map(_.schema).getOrElse(base.schema),
+        patched ++ newSegs, truncate = true,
+        bucketing = if (newSegs.isEmpty) mOpt.flatMap(_.bucketing) else None))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1748,10 +1800,16 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
 class GraftReplaceBatchWrite(root: String, schema: StructType,
     conf: SerializableHadoopConf, replacedFiles: () => Seq[String]) extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  // planning-time manifest for the commit-time conflict check — see
+  // GraftBatchWrite.planned
+  @volatile private var planned: Option[Manifest] = null
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+    planned = m
     new GraftWriterFactory(root, schema, conf, Long.MaxValue,
-      physNames = SegmentLog.physicalNames(
-        SegmentLog.read(SegmentLog.fs(root, conf.value), root), schema))
+      physNames = SegmentLog.physicalNames(m, schema))
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newSegs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
@@ -1760,14 +1818,27 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
     // nothing matched, nothing to replace — a no-op, not a truncate
     if (replaced.isEmpty && newSegs.isEmpty) return
     val fs = SegmentLog.fs(root, conf.value)
-    val live = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
-    val kept = live.filterNot(seg => replaced.contains(s"$root/${seg.path}"))
+    val relTargets = replaced.map(_.stripPrefix(s"$root/"))
+    val base = {
+      val p = planned
+      if (p != null) p else SegmentLog.read(fs, root)
+    }.map(_.segments).getOrElse(Nil)
+    val expect = SegmentLog.visibilityOf(base, relTargets)
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     // truncate-style commit with kept ++ new: replaced segments drop
     // out of the manifest (their files remain for time travel until
     // expiry); the declared layout is dropped — replacement segments
-    // carry no bucket labels
-    SegmentLog.commit(fs, root, nullable, kept ++ newSegs, truncate = true)
+    // carry no bucket labels. REBASED: concurrent appends survive; a
+    // rival row-level change to a rewritten segment conflicts (the
+    // rewrite's output reflects the planned visibility, not the
+    // rival's).
+    SegmentLog.commitRebase(fs, root) { mOpt =>
+      SegmentLog.requireTargetsUnchanged(mOpt, expect, "copy-on-write rewrite")
+      val kept = mOpt.map(_.segments).getOrElse(Nil)
+        .filterNot(seg => relTargets.contains(seg.path))
+      Some(SegmentLog.CommitPlan(mOpt.map(_.schema).getOrElse(nullable),
+        kept ++ newSegs, truncate = true))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

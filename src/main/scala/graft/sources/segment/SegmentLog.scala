@@ -123,8 +123,16 @@ case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta
   *     `fs.create(manifest-(N+1), overwrite = false)` — an ATOMIC
   *     claim of the version slot on any store with exclusive create;
   *  3. on `FileAlreadyExistsException` a concurrent writer won the
-  *     slot: re-read, re-apply (appends commute; truncation is
-  *     last-writer-wins), retry.
+  *     slot: re-read, re-apply, retry. Appends commute; replace-style
+  *     commits (compaction, merge-on-read patches, copy-on-write
+  *     rewrites, metadata DELETE) go through [[commitRebase]], which
+  *     re-derives their carried-over segment list from the fresh
+  *     manifest on every attempt — a concurrent append survives the
+  *     rewrite, and a conflicting row-level change to a planned target
+  *     fails the commit loudly ([[requireTargetsUnchanged]]) instead of
+  *     resurrecting deleted rows. Only an explicit user truncate
+  *     (INSERT OVERWRITE / TRUNCATE TABLE) stays last-writer-wins, by
+  *     definition of the operation.
   *
   * Readers resolve the max manifest version and see either N or N+1,
   * never a torn state — a reader never lists `data/` (uncommitted or
@@ -400,7 +408,75 @@ object SegmentLog {
       mergeSchema: Boolean = false, maxRetries: Int = 20,
       dataChange: Boolean = true,
       props: Map[String, String] = Map.empty,
-      resetProps: Boolean = false): Long = commitLock.synchronized {
+      resetProps: Boolean = false): Long =
+    commitPlanned(fs, root, txn, mergeSchema, maxRetries, resetProps)(
+      _ => Some(CommitPlan(schema, newSegments, truncate, bucketing, dataChange, props)))
+
+  /** One commit attempt's content, derived (for [[commitRebase]]) from
+    * the manifest the attempt actually races against. `schema` is the
+    * table schema this commit installs when truncating (rebase callers
+    * pass the FRESH manifest's schema so a concurrent additive
+    * evolution survives the rewrite); `segments` with `id = -1` are
+    * assigned fresh ids, `id >= 0` carry over by reference. */
+  case class CommitPlan(schema: StructType, segments: Seq[SegmentMeta],
+      truncate: Boolean, bucketing: Option[BucketSpec] = None,
+      dataChange: Boolean = true, props: Map[String, String] = Map.empty)
+
+  /** Rebase commit: `plan` is (re-)evaluated against the freshly read
+    * manifest on EVERY claim attempt, so a replace-style commit
+    * (compaction, merge-on-read patch, copy-on-write rewrite) that
+    * loses the version slot to a concurrent writer re-derives its
+    * carried-over segment list instead of re-submitting a stale one —
+    * the concurrent append SURVIVES the rewrite rather than silently
+    * vanishing (the Delta conflict-rebase shape). `plan` may throw
+    * [[java.util.ConcurrentModificationException]] when its
+    * preconditions no longer hold under the fresh manifest (a target
+    * segment's row visibility changed — [[requireTargetsUnchanged]]),
+    * or return None to declare the whole commit a no-op (returns the
+    * current version, -1 if the table does not exist). */
+  def commitRebase(fs: FileSystem, root: String,
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false, maxRetries: Int = 20)(
+      plan: Option[Manifest] => Option[CommitPlan]): Long =
+    commitPlanned(fs, root, txn, mergeSchema, maxRetries, resetProps = false)(plan)
+
+  /** The row-visibility fingerprint of the segments an operation drops
+    * or rewrites: root-relative path → (deletion vector, dv cardinality).
+    * Captured against the manifest the operation PLANNED from and
+    * re-checked at commit ([[requireTargetsUnchanged]]). */
+  def visibilityOf(segments: Seq[SegmentMeta],
+      paths: Set[String]): Map[String, (Option[String], Long)] =
+    segments.filter(s => paths.contains(s.path))
+      .map(s => s.path -> ((s.dv, s.dvRows))).toMap
+
+  /** Require every planned target live in `m` with an UNCHANGED
+    * row-visibility fingerprint. A target whose deletion vector moved
+    * (or that vanished) means `op` computed its output against rows a
+    * concurrent commit has since changed — committing anyway would
+    * resurrect deleted rows or drop live ones, so fail loudly; the
+    * caller re-runs against the new snapshot. */
+  def requireTargetsUnchanged(m: Option[Manifest],
+      expected: Map[String, (Option[String], Long)], op: String): Unit = {
+    val live = m.map(_.segments).getOrElse(Nil).map(s => s.path -> ((s.dv, s.dvRows))).toMap
+    expected.foreach { case (path, fp) =>
+      live.get(path) match {
+        case Some(now) if now == fp => ()
+        case Some(_) => throw new java.util.ConcurrentModificationException(
+          s"$op planned against segment $path, whose row visibility (deletion " +
+            "vector) was changed by a concurrent commit — re-run against the " +
+            "current snapshot")
+        case None => throw new java.util.ConcurrentModificationException(
+          s"$op planned against segment $path, which a concurrent commit removed " +
+            "or rewrote — re-run against the current snapshot")
+      }
+    }
+  }
+
+  private def commitPlanned(fs: FileSystem, root: String,
+      txn: Option[(String, Long)],
+      mergeSchema: Boolean, maxRetries: Int,
+      resetProps: Boolean)(
+      plan: Option[Manifest] => Option[CommitPlan]): Long = commitLock.synchronized {
     // getScheme is optional FileSystem API (FilterFileSystem wrappers
     // throw); an unknown scheme gets the benefit of the doubt — the
     // guard targets the KNOWN-non-atomic object stores
@@ -415,6 +491,16 @@ object SegmentLog {
           if (m.txns.get(q).exists(_ >= e)) return m.version // replayed epoch
         }
       }
+      val p = plan(current) match {
+        case Some(cp) => cp
+        case None => return current.map(_.version).getOrElse(-1L) // planned no-op
+      }
+      val schema = p.schema
+      val newSegments = p.segments
+      val truncate = p.truncate
+      val bucketing = p.bucketing
+      val dataChange = p.dataChange
+      val props = p.props
       // additive evolution under mergeSchema: every existing column
       // must keep its type; columns the table does not have yet are
       // appended (nullable — old segments null-backfill them). Without
