@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   * counts on the best paths → re-fit → second Viterbi. Everything
   * after the first aggregate runs at VOCABULARY × word-length scale.
   *
-  * The DP is relational: `spans` enumerates every (word, end, piece)
-  * occurrence ONCE, pieces attach by a plain EQUI join on the span
-  * text, and step j extends the frontier with spans ending at j —
-  * `maxWordLen` vocabulary-scale joins per Viterbi, plan depth held
-  * O(1) by [[Lineage]] cuts. No theta join anywhere.
+  * The DP is relational AND single-pass: `spans` enumerates every
+  * (word, end, piece) occurrence ONCE, pieces attach by a plain EQUI
+  * join on the span text, then ONE `groupBy(word)` collects each
+  * word's edge list (≤ maxWordLen × maxPieceLen entries — bounded by
+  * contract) and the whole Viterbi runs inside a single codegen'd
+  * higher-order expression (`aggregate` over positions, `filter`/
+  * `array_sort` over the per-word edges). One shuffle per Viterbi
+  * pass instead of `maxWordLen` sequential vocabulary-scale joins —
+  * the earlier join-per-position formulation was pure scheduling
+  * cost (16 jobs per train; BenchOne attributed 15 s of cold train
+  * to it at sf0.1). No theta join anywhere.
   *
   * Determinism across engines (the Lloyd/Pca discipline): piece
   * costs -ln(freq/total) are FLOAT-quantized before any comparison,
@@ -79,41 +85,57 @@ object UnigramLm {
       .select(col("piece"),
         q(-log(col("pfreq").cast("double") / col("t"))).as("nlp"))
 
-  /** Minimum-cost segmentation per word: (word, path, cost) with
-    * path = pieces joined by '|'. One equi-join per position step;
-    * ties break (cost, piece length DESC, piece). */
+  /** Minimum-cost segmentation per word: (word, freq, path, cost)
+    * with path = pieces joined by '|'. The whole DP runs inside one
+    * expression per word over the collected edge array: position j's
+    * cell is the (cost, piece length DESC, piece)-minimal extension
+    * of a reachable predecessor cell by an edge ending at j. Cost
+    * sums accumulate left-to-right exactly as the former
+    * join-per-position formulation did, so float totals — and
+    * therefore tie-breaks — are bit-identical to it and to the
+    * oracle's fixed-step SQL replay. */
   def viterbi(
-      words: DataFrame, costs: DataFrame,
-      maxPieceLen: Int, maxWordLen: Int, reliable: Boolean): DataFrame = {
+      words: DataFrame, costs: DataFrame, maxPieceLen: Int): DataFrame = {
     val cand = spans(words, maxPieceLen)
       .join(costs, col("span") === col("piece"))
       .select(col("word"), col("end_pos"), col("pred_pos"), col("span"), col("nlp"))
-    var dp = words.select(col("word"), lit(0).as("pos"),
-      lit(0.0).as("cost"), lit("").as("path"))
-    (1 to maxWordLen).foreach { j =>
-      // both sides descend from `words`, so qualify the join columns
-      // through explicit subquery aliases — positional attribute
-      // disambiguation (the `word == word` WARN) is fragile across
-      // Catalyst versions
-      val step = dp.as("dp")
-        .join(cand.filter(col("end_pos") === j).as("cand"), // only spans ending at j
-          col("dp.word") === col("cand.word") && col("dp.pos") === col("cand.pred_pos"))
-        .select(col("dp.word").as("word"), col("cand.end_pos").as("npos"),
-          (col("dp.cost") + col("cand.nlp")).as("ncost"),
-          when(col("dp.path") === "", col("cand.span"))
-            .otherwise(concat(col("dp.path"), lit("|"), col("cand.span"))).as("npath"),
-          length(col("cand.span")).as("plen"), col("cand.span").as("span"))
-      val win = Window.partitionBy(col("word"), col("npos"))
-        .orderBy(col("ncost"), col("plen").desc, col("span"))
-      val best = step.withColumn("rn", row_number().over(win))
-        .filter(col("rn") === 1)
-        .select(col("word"), col("npos").as("pos"),
-          col("ncost").as("cost"), col("npath").as("path"))
-      dp = Lineage.cut(dp.unionByName(best), reliable)
-    }
-    dp.join(words, Seq("word"))
-      .filter(col("pos") === length(col("word")))
-      .select(col("word"), col("freq"), col("path"), col("cost"))
+    val edges = cand.groupBy(col("word"))
+      .agg(collect_list(struct(
+        col("end_pos"), col("pred_pos"), col("span"), col("nlp"))).as("edges"))
+    // dp cell: (ok = reachable, cost, path); index i+1 holds position i
+    def cell(ok: Column, cost: Column, path: Column): Column =
+      struct(ok.as("ok"), cost.as("cost"), path.as("path"))
+    val deadCell = cell(lit(false), lit(0.0), lit(""))
+    val byCostLenPiece: (Column, Column) => Column = (a, b) =>
+      when(a("cost") < b("cost"), -1).when(a("cost") > b("cost"), 1)
+        .when(a("plen") > b("plen"), -1).when(a("plen") < b("plen"), 1)
+        .when(a("span") < b("span"), -1).when(a("span") > b("span"), 1)
+        .otherwise(0)
+    val dpFinal = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(cell(lit(true), lit(0.0), lit(""))),
+      (acc, j) => {
+        val scored = transform(
+          filter(col("edges"), e => e("end_pos") === j),
+          e => {
+            val prev = element_at(acc, e("pred_pos") + 1)
+            struct(prev("ok").as("ok"),
+              (prev("cost") + e("nlp")).as("cost"),
+              length(e("span")).as("plen"), e("span").as("span"),
+              when(prev("path") === "", e("span"))
+                .otherwise(concat(prev("path"), lit("|"), e("span"))).as("path"))
+          })
+        val reach = filter(scored, s => s("ok"))
+        val best = element_at(array_sort(reach, byCostLenPiece), 1)
+        concat(acc, array(when(size(reach) > 0,
+          cell(lit(true), best("cost"), best("path"))).otherwise(deadCell)))
+      },
+      acc => element_at(acc, size(acc))) // the cell at position len(word)
+    edges.join(words, Seq("word"))
+      .select(col("word"), col("freq"), dpFinal.as("fin"))
+      .filter(col("fin")("ok"))
+      .select(col("word"), col("freq"),
+        col("fin")("path").as("path"), col("fin")("cost").as("cost"))
   }
 
   /** Piece counts over chosen paths, corpus-weighted — the hard-EM
@@ -132,11 +154,9 @@ object UnigramLm {
     val reliable = checkpointDir.isDefined
     val words = Lineage.cut(wordCounts(docs, maxWordLen), reliable)
     val seg1 = viterbi(words,
-      pieceCosts(seedPieces(words, maxPieceLen, topV)),
-      maxPieceLen, maxWordLen, reliable)
+      pieceCosts(seedPieces(words, maxPieceLen, topV)), maxPieceLen)
     val seg2 = viterbi(words,
-      pieceCosts(Lineage.cut(pathCounts(seg1), reliable)),
-      maxPieceLen, maxWordLen, reliable)
+      pieceCosts(Lineage.cut(pathCounts(seg1), reliable)), maxPieceLen)
     seg2.select(col("word"), col("freq"), col("path"),
       size(split(col("path"), "\\|")).as("n_pieces"))
   }
