@@ -147,20 +147,43 @@ object GraftMaintenance {
       targets: Seq[String]): (Int, Int) = {
     if (targets.isEmpty) return (0, 0)
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
-    val before = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    val m = SegmentLog.read(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+    val before = m.segments.size
+    // the planned snapshot, end to end: the scan PINS to m's version
+    // (versionAsOf) and the commit verifies each target's visibility
+    // against m's fingerprint (expectVisibility) — a rival row-level
+    // change landing anywhere in this window conflicts loudly instead
+    // of being resurrected by the rewrite
+    val expect = SegmentLog.visibilityOf(m.segments, targets.toSet)
+    require(expect.size == targets.size,
+      s"compactSegments targets not live in the manifest: " +
+        targets.filterNot(expect.contains).mkString(", "))
     // `_segment` planning filter prunes the scan to exactly the
     // targeted files — nothing else is opened
     val abs = targets.map(t => s"$dir/$t")
-    spark.read.format(Fmt).load(dir)
+    spark.read.format(Fmt)
+      .option("versionAsOf", m.version.toString)
+      .load(dir)
       .filter(org.apache.spark.sql.functions
         .col(GraftSegmentTable.SegmentCol).isin(abs: _*))
       .write.format(Fmt)
       .option("replaceSegments", targets.mkString(","))
+      .option("expectVisibility", encodeVisibility(expect))
       .option("dataChange", "false")
       .mode("append").save(dir)
     val after = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
     (targets.size, after - (before - targets.size))
   }
+
+  /** `segPath|dvRelOrEmpty|dvRows` triples for the write path's
+    * `expectVisibility` option (uuid-based paths never contain the
+    * separators), sorted for a deterministic option value. */
+  private def encodeVisibility(
+      expect: Map[String, (Option[String], Long)]): String =
+    expect.toSeq.sortBy(_._1)
+      .map { case (p, (dv, n)) => s"$p|${dv.getOrElse("")}|$n" }
+      .mkString(",")
 
   /** Compact exactly the segments whose zone maps say they MIGHT hold
     * rows matching `condition` — "OPTIMIZE WHERE": re-cluster the hot
@@ -226,7 +249,11 @@ object GraftMaintenance {
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val m = SegmentLog.read(fs, dir).getOrElse(
       throw new IllegalArgumentException(s"no graft-segment table at $dir"))
-    val matched = spark.read.format(Fmt).load(dir)
+    // scan pinned to `m`'s version: the matched positions, the prior-dv
+    // unions AND the commit fingerprint below all reflect ONE snapshot —
+    // no window for a rival commit to slip between them unnoticed
+    val matched = spark.read.format(Fmt)
+      .option("versionAsOf", m.version.toString).load(dir)
       .filter(coalesce(condition, lit(false)))
     val entries = writeDvSidecars(spark, dir, m, matched)
     if (entries.isEmpty) return 0L
@@ -318,18 +345,28 @@ object GraftMaintenance {
       throw new IllegalArgumentException(s"no graft-segment table at $dir"))
     assignments.keys.foreach(c => require(m.schema.fieldNames.contains(c),
       s"assignment column $c not in table schema"))
-    val matched = spark.read.format(Fmt).load(dir)
+    // scan pinned to `m`'s version (see deleteMark): positions, prior-dv
+    // unions, the new row versions and the commit fingerprint all
+    // reflect the SAME snapshot
+    val matched = spark.read.format(Fmt)
+      .option("versionAsOf", m.version.toString).load(dir)
       .filter(coalesce(condition, lit(false)))
     // 1. sidecars for the old versions (written, not yet committed)
     val entries = writeDvSidecars(spark, dir, m, matched)
     if (entries.isEmpty) return 0L
     // 2. the new versions, appended with the dv patch riding the SAME
-    //    commit (applyDvs) — no reader ever sees old and new together
+    //    commit (applyDvs) — no reader ever sees old and new together.
+    //    expectVisibility carries `m`'s fingerprint of the touched
+    //    segments, so the commit races against `m`, not against
+    //    whatever manifest the write factory happens to see (the
+    //    r9-advice TOCTOU)
     val updated = matched.select(m.schema.fieldNames.map(n =>
       assignments.get(n).map(_.as(n)).getOrElse(col(n))): _*)
     updated.write.format(Fmt)
       .option("applyDvs", entries.toSeq.sortBy(_._1)
         .map { case (p, (d, n)) => s"$p|$d|$n" }.mkString(","))
+      .option("expectVisibility",
+        encodeVisibility(SegmentLog.visibilityOf(m.segments, entries.keySet)))
       .mode("append").save(dir)
     newlyMarked(m, entries)
   }

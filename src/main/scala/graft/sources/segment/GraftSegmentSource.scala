@@ -646,6 +646,14 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
   private[segment] def plannedFiles: Seq[String] =
     runtimeSurviving.getOrElse(surviving).map(segPath)
 
+  /** The manifest snapshot this scan was BUILT against — the one its
+    * rows' visibility reflects. Row-level operations fingerprint their
+    * conflict checks from THIS, not from a fresh read at write-factory
+    * time: a rival deletion-vector commit landing between scan build
+    * and write creation must conflict, not get silently baked into
+    * the expectation (the TOCTOU the r9 advice flagged). */
+  private[segment] def plannedManifest: Option[Manifest] = manifest
+
   // runtime filtering (the DSv2 face of dynamic partition pruning):
   // after a join's build side executes, Spark hands the scan the keys
   // it actually needs as V2 predicates (typically IN over the build
@@ -1277,7 +1285,20 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
         val f = e.split("\\|")
         require(f.length == 3, s"malformed applyDvs entry: $e")
         f(0) -> ((f(1), f(2).toLong))
-      }.toMap))
+      }.toMap),
+      // the row-visibility fingerprint of the SNAPSHOT the caller
+      // computed its rewrite/sidecars against: `segPath|dvRel|dvRows`
+      // triples (empty dvRel = no vector). When present, replace-style
+      // commits verify targets against THIS instead of a manifest read
+      // at write time — a rival dv commit in the caller's plan-to-write
+      // window then conflicts loudly instead of being silently adopted
+      // as the expectation (the r9-advice TOCTOU)
+      expectVisibility = Option(opts.get("expectVisibility"))
+        .map(_.split(",").map { e =>
+          val f = e.split("\\|", -1)
+          require(f.length == 3, s"malformed expectVisibility entry: $e")
+          f(0) -> ((Option(f(1)).filter(_.nonEmpty), f(2).toLong))
+        }.toMap))
   }
 }
 
@@ -1288,7 +1309,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
     replaceSegments: Option[Set[String]] = None,
-    applyDvs: Option[Map[String, (String, Long)]] = None)
+    applyDvs: Option[Map[String, (String, Long)]] = None,
+    expectVisibility: Option[Map[String, (Option[String], Long)]] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -1316,7 +1338,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy = clusterBy, clusterMode = clusterMode,
     mergeSchema = mergeSchema, txn = txn, dataChange = dataChange,
     bloomFor = bloomFor, bloomBits = bloomBits,
-    replaceSegments = replaceSegments, applyDvs = applyDvs)
+    replaceSegments = replaceSegments, applyDvs = applyDvs,
+    expectVisibility = expectVisibility)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -1377,7 +1400,9 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
     replaceSegments: Option[Set[String]] = None,
-    applyDvs: Option[Map[String, (String, Long)]] = None) extends BatchWrite {
+    applyDvs: Option[Map[String, (String, Long)]] = None,
+    expectVisibility: Option[Map[String, (Option[String], Long)]] = None)
+    extends BatchWrite {
 
   // the declared layout is persisted with the commit. Hash mode: the
   // shuffle partition index IS the bucket id (pmod(murmur3(keys), n)) —
@@ -1430,11 +1455,16 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
         // (the rewrite's output no longer reflects its visible rows).
         // The declared layout is dropped (a subset rewrite cannot
         // prove the global range/bucket invariant).
-        val base = plannedOrNow(fs).map(_.segments).getOrElse(Nil)
-        val expect = SegmentLog.visibilityOf(base, targets)
-        require(expect.size == targets.size,
-          s"replaceSegments names ${targets.size - expect.size} " +
-            "paths not live in the manifest")
+        // fingerprint preference: the caller's declared snapshot
+        // (expectVisibility — closes the plan-to-write TOCTOU window),
+        // else the manifest seen at write-factory creation
+        val expect = expectVisibility.getOrElse(
+          SegmentLog.visibilityOf(
+            plannedOrNow(fs).map(_.segments).getOrElse(Nil), targets))
+        require(expect.keySet == targets,
+          "replaceSegments targets without a visibility fingerprint (not " +
+            "live in the planned manifest, or absent from expectVisibility): " +
+            (targets -- expect.keySet).mkString(", "))
         SegmentLog.commitRebase(fs, root, txn = txn, mergeSchema = mergeSchema) { mOpt =>
           SegmentLog.requireTargetsUnchanged(mOpt, expect, "replaceSegments compaction")
           val kept = mOpt.map(_.segments).getOrElse(Nil)
@@ -1450,10 +1480,13 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
         // REBASED like the partial replace: appends survive, a rival
         // dv on a patched segment conflicts (this write's vectors were
         // unioned against the planned base, not the rival's).
-        val base = plannedOrNow(fs).map(_.segments).getOrElse(Nil)
-        val expect = SegmentLog.visibilityOf(base, patch.keySet)
-        require(expect.size == patch.size,
-          "applyDvs names segments not live in the manifest")
+        val expect = expectVisibility.getOrElse(
+          SegmentLog.visibilityOf(
+            plannedOrNow(fs).map(_.segments).getOrElse(Nil), patch.keySet))
+        require(expect.keySet == patch.keySet,
+          "applyDvs targets without a visibility fingerprint (not live in " +
+            "the planned manifest, or absent from expectVisibility): " +
+            (patch.keySet -- expect.keySet).mkString(", "))
         SegmentLog.commitRebase(fs, root, txn = txn, mergeSchema = mergeSchema) { mOpt =>
           SegmentLog.requireTargetsUnchanged(mOpt, expect, "merge-on-read update")
           val patched = mOpt.map(_.segments).getOrElse(Nil).flatMap { s =>
@@ -1610,7 +1643,8 @@ class GraftRowLevelOperation(root: String, tableSchema: StructType,
         override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
           root, info.schema(),
           new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-          () => Option(opScan).map(_.plannedFiles).getOrElse(Nil))
+          () => Option(opScan).map(_.plannedFiles).getOrElse(Nil),
+          () => Option(opScan).flatMap(_.plannedManifest))
       }
     }
 
@@ -1642,8 +1676,23 @@ class GraftDeltaRowLevelOperation(root: String, tableSchema: StructType,
 
   override def command(): RowLevelOperation.Command = cmd
 
+  // the operation's own scan instance: its build-time manifest snapshot
+  // is the visibility every buffered (_segment, _pos) coordinate was
+  // computed against — the commit fingerprints from IT (see
+  // GraftScan.plannedManifest)
+  @volatile private[segment] var opScan: GraftScan = _
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, tableSchema, options)
+    new GraftScanBuilder(root, tableSchema, options) {
+      override def build(): Scan = {
+        val built = super.build()
+        built match {
+          case g: GraftScan => opScan = g
+          case _ =>
+        }
+        built
+      }
+    }
 
   override def newWriteBuilder(
       info: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
@@ -1653,7 +1702,8 @@ class GraftDeltaRowLevelOperation(root: String, tableSchema: StructType,
           override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new GraftDeltaBatchWrite(root, info.schema(),
               new SerializableHadoopConf(
-                SparkSession.active.sessionState.newHadoopConf()))
+                SparkSession.active.sessionState.newHadoopConf()),
+              () => Option(opScan).flatMap(_.plannedManifest))
         }
     }
 
@@ -1708,17 +1758,13 @@ class GraftDeltaWriter(inner: GraftDataWriter)
 }
 
 class GraftDeltaBatchWrite(root: String, schema: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    scanSnapshot: () => Option[Manifest])
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
-
-  // planning-time manifest for the commit-time conflict check — see
-  // GraftBatchWrite.planned
-  @volatile private var planned: Option[Manifest] = null
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory = {
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
-    planned = m
     new GraftDeltaWriterFactory(root, schema, conf,
       SegmentLog.physicalNames(m, schema))
   }
@@ -1730,10 +1776,13 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
     // committing one would fail running streams over unchanged rows
     if (newSegs.isEmpty && msgs.forall(_.deletes.isEmpty)) return
     val fs = SegmentLog.fs(root, conf.value)
-    val base = {
-      val p = planned
-      if (p != null) p else SegmentLog.read(fs, root)
-    }.getOrElse(throw new IllegalStateException(s"no graft-segment table at $root"))
+    // the SCAN's snapshot, not a fresh read: every buffered coordinate
+    // reflects the visibility the scan was built against, and a rival
+    // dv commit in the window since then must conflict below instead of
+    // silently becoming the expectation
+    val base = scanSnapshot()
+      .orElse(SegmentLog.read(fs, root))
+      .getOrElse(throw new IllegalStateException(s"no graft-segment table at $root"))
     // union every task's deleted positions per segment (absolute
     // `_segment` values → root-relative paths). Driver memory is one
     // bitmap per touched segment — the MoR tier targets point DML;
@@ -1798,15 +1847,11 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
 }
 
 class GraftReplaceBatchWrite(root: String, schema: StructType,
-    conf: SerializableHadoopConf, replacedFiles: () => Seq[String]) extends BatchWrite {
-
-  // planning-time manifest for the commit-time conflict check — see
-  // GraftBatchWrite.planned
-  @volatile private var planned: Option[Manifest] = null
+    conf: SerializableHadoopConf, replacedFiles: () => Seq[String],
+    scanSnapshot: () => Option[Manifest]) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
-    planned = m
     new GraftWriterFactory(root, schema, conf, Long.MaxValue,
       physNames = SegmentLog.physicalNames(m, schema))
   }
@@ -1819,10 +1864,13 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
     if (replaced.isEmpty && newSegs.isEmpty) return
     val fs = SegmentLog.fs(root, conf.value)
     val relTargets = replaced.map(_.stripPrefix(s"$root/"))
-    val base = {
-      val p = planned
-      if (p != null) p else SegmentLog.read(fs, root)
-    }.map(_.segments).getOrElse(Nil)
+    // fingerprint from the SCAN's snapshot — the visibility the rewrite
+    // actually read — never from a fresh read that a rival commit may
+    // already have moved past (the TOCTOU window between scan build and
+    // write creation)
+    val base = scanSnapshot()
+      .orElse(SegmentLog.read(fs, root))
+      .map(_.segments).getOrElse(Nil)
     val expect = SegmentLog.visibilityOf(base, relTargets)
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     // truncate-style commit with kept ++ new: replaced segments drop

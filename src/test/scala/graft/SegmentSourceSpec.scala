@@ -2172,4 +2172,75 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val hits = spark.read.format(Fmt).load(dir).filter(col("v") > 100.0).count()
     assert(hits == 1, "the NaN row matches v > 100 and must survive pruning")
   }
+
+  test("replace-style commits fingerprint the PLANNED snapshot: a rival dv " +
+      "landing before the write still conflicts (TOCTOU)") {
+    import graft.sources.segment.GraftMaintenance
+    val dir = tmp("graft-seg-toctou")
+    import spark.implicits._
+    (0L until 100L).toDF("id").write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "2")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m0 = SegmentLog.read(fs, dir).get
+    // a maintenance job plans against m0: fingerprint = no vectors yet
+    val planned = m0.segments.map(s => s"${s.path}||0").mkString(",")
+    val targets = m0.segments.map(_.path)
+    // rival row-level change lands in the job's plan-to-write window
+    GraftMaintenance.deleteMark(spark, dir, col("id") === 1L)
+    // the planned job's rewrite reflects m0's visibility (versionAsOf),
+    // not the rival's — committing it would resurrect the deleted row,
+    // so the expectVisibility check must fail loudly...
+    val ex = intercept[Exception] {
+      spark.read.format(Fmt).option("versionAsOf", m0.version.toString)
+        .load(dir)
+        .write.format(Fmt)
+        .option("replaceSegments", targets.mkString(","))
+        .option("expectVisibility", planned)
+        .option("dataChange", "false")
+        .mode("append").save(dir)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a ConcurrentModificationException in the cause chain, got $ex")
+    assert(spark.read.format(Fmt).load(dir).count() == 99,
+      "the stale rewrite must NOT have resurrected the rival's delete")
+    // ...while a job re-planned against the CURRENT snapshot succeeds
+    // (compactSegments pins its scan and fingerprint to one fresh read)
+    val m1 = SegmentLog.read(fs, dir).get
+    GraftMaintenance.compactSegments(spark, dir, m1.segments.map(_.path))
+    assert(spark.read.format(Fmt).load(dir).count() == 99)
+    assert(SegmentLog.read(fs, dir).get.segments.forall(_.dv.isEmpty),
+      "compaction materializes the vectors away")
+  }
+
+  test("merge-on-read SQL DML fingerprints from its scan's snapshot " +
+      "(plannedManifest), and applyDvs verifies expectVisibility") {
+    import graft.sources.segment.GraftMaintenance
+    val dir = tmp("graft-seg-toctou-mor")
+    import spark.implicits._
+    (0L until 50L).toDF("id").write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m0 = SegmentLog.read(fs, dir).get
+    val seg = m0.segments.head.path
+    // an updateMark-shaped write planned against m0 (no dv), racing a
+    // rival that vectors the same segment first
+    GraftMaintenance.deleteMark(spark, dir, col("id") === 7L)
+    val rivalDv = SegmentLog.read(fs, dir).get.segments.head.dv.get
+    val ex = intercept[Exception] {
+      Seq(1000L).toDF("id").write.format(Fmt)
+        .option("applyDvs", s"$seg|$rivalDv|1")
+        .option("expectVisibility", s"$seg||0") // m0's fingerprint
+        .mode("append").save(dir)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a ConcurrentModificationException in the cause chain, got $ex")
+    // no phantom append: the failed commit left the table unchanged
+    assert(spark.read.format(Fmt).load(dir).count() == 49)
+  }
 }
