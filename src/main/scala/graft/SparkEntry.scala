@@ -4696,7 +4696,7 @@ object SparkEntry {
     }
     "uw AS MATERIALIZED (SELECT word, count(*) AS freq FROM " +
       "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
-      "WHERE length(word) <= 8 GROUP BY word), " +
+      "WHERE length(word) <= 8 AND length(word) >= 1 GROUP BY word), " +
       "usp AS MATERIALIZED (SELECT word, e AS end_pos, e - l AS pred_pos, " +
       "substr(word, e - l + 1, l) AS span " +
       "FROM uw, unnest(range(1, least(4, length(word)) + 1)) AS t1(l), " +

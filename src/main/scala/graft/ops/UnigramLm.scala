@@ -42,11 +42,16 @@ object UnigramLm {
 
   private def q(c: Column): Column = c.cast("float").cast("double")
 
-  /** (word, freq) — corpus reduced to its vocabulary. */
+  /** (word, freq) — corpus reduced to its vocabulary. Zero-length
+    * tokens (split artifacts of leading/double spaces) are OUT OF
+    * CONTRACT, like over-length words: an empty word has no spans, so
+    * the DP could only ever emit it with an empty path and cost 0 —
+    * a degenerate row no tokenizer consumer wants. Excluded here (and
+    * in the oracle's replay) rather than special-cased downstream. */
   def wordCounts(docs: DataFrame, maxWordLen: Int): DataFrame =
     TextOps.withTokens(docs)
       .select(explode(col("words")).as("word"))
-      .filter(length(col("word")) <= maxWordLen)
+      .filter(length(col("word")) <= maxWordLen && length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Every (word, end_pos, pred_pos, piece-text) occurrence of a

@@ -144,7 +144,11 @@ object GraftMaintenance {
     * full clustered [[compact]] to restore it. Returns (segments
     * rewritten, segments written). */
   def compactSegments(spark: SparkSession, dir: String,
-      targets: Seq[String]): (Int, Int) = {
+      rawTargets: Seq[String]): (Int, Int) = {
+    // dedup up front: a duplicated path would otherwise fail the
+    // liveness check below with an EMPTY "not live" list (the
+    // visibility map has one entry per distinct path)
+    val targets = rawTargets.distinct
     if (targets.isEmpty) return (0, 0)
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val m = SegmentLog.read(fs, dir).getOrElse(

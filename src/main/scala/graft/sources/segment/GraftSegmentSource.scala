@@ -1462,9 +1462,12 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
           SegmentLog.visibilityOf(
             plannedOrNow(fs).map(_.segments).getOrElse(Nil), targets))
         require(expect.keySet == targets,
-          "replaceSegments targets without a visibility fingerprint (not " +
-            "live in the planned manifest, or absent from expectVisibility): " +
-            (targets -- expect.keySet).mkString(", "))
+          "replaceSegments targets and visibility fingerprints disagree — " +
+            "targets without a fingerprint (not live in the planned manifest, " +
+            "or absent from expectVisibility): " +
+            (targets -- expect.keySet).mkString(", ") +
+            "; fingerprinted paths that are not targets: " +
+            (expect.keySet -- targets).mkString(", "))
         SegmentLog.commitRebase(fs, root, txn = txn, mergeSchema = mergeSchema) { mOpt =>
           SegmentLog.requireTargetsUnchanged(mOpt, expect, "replaceSegments compaction")
           val kept = mOpt.map(_.segments).getOrElse(Nil)
@@ -1484,9 +1487,12 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
           SegmentLog.visibilityOf(
             plannedOrNow(fs).map(_.segments).getOrElse(Nil), patch.keySet))
         require(expect.keySet == patch.keySet,
-          "applyDvs targets without a visibility fingerprint (not live in " +
-            "the planned manifest, or absent from expectVisibility): " +
-            (patch.keySet -- expect.keySet).mkString(", "))
+          "applyDvs targets and visibility fingerprints disagree — targets " +
+            "without a fingerprint (not live in the planned manifest, or " +
+            "absent from expectVisibility): " +
+            (patch.keySet -- expect.keySet).mkString(", ") +
+            "; fingerprinted paths that are not targets: " +
+            (expect.keySet -- patch.keySet).mkString(", "))
         SegmentLog.commitRebase(fs, root, txn = txn, mergeSchema = mergeSchema) { mOpt =>
           SegmentLog.requireTargetsUnchanged(mOpt, expect, "merge-on-read update")
           val patched = mOpt.map(_.segments).getOrElse(Nil).flatMap { s =>
@@ -1620,7 +1626,11 @@ class GraftRowLevelOperation(root: String, tableSchema: StructType,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   // the operation's own scan instance: its post-runtime-filter file
-  // set IS the replaced-group set the write commits against
+  // set IS the replaced-group set the write commits against.
+  // FIRST-build-wins: should Spark ever build a second scan from this
+  // operation (replanning), the commit must fingerprint from the scan
+  // the rewrite actually executed — the first one bound into the plan —
+  // not whichever happened to build last
   @volatile private[segment] var opScan: GraftScan = _
 
   override def command(): RowLevelOperation.Command = cmd
@@ -1630,7 +1640,7 @@ class GraftRowLevelOperation(root: String, tableSchema: StructType,
       override def build(): Scan = {
         val built = super.build()
         built match {
-          case g: GraftScan => opScan = g
+          case g: GraftScan => if (opScan == null) opScan = g
           case _ =>
         }
         built
@@ -1679,7 +1689,9 @@ class GraftDeltaRowLevelOperation(root: String, tableSchema: StructType,
   // the operation's own scan instance: its build-time manifest snapshot
   // is the visibility every buffered (_segment, _pos) coordinate was
   // computed against — the commit fingerprints from IT (see
-  // GraftScan.plannedManifest)
+  // GraftScan.plannedManifest). First-build-wins, as in
+  // [[GraftRowLevelOperation]]: the fingerprint must match the scan
+  // the plan executes, not a later re-build
   @volatile private[segment] var opScan: GraftScan = _
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1687,7 +1699,7 @@ class GraftDeltaRowLevelOperation(root: String, tableSchema: StructType,
       override def build(): Scan = {
         val built = super.build()
         built match {
-          case g: GraftScan => opScan = g
+          case g: GraftScan => if (opScan == null) opScan = g
           case _ =>
         }
         built
@@ -1762,9 +1774,17 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
     scanSnapshot: () => Option[Manifest])
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
+  // factory-time manifest: the INTERMEDIATE fingerprint fallback when
+  // the operation's scan was never captured (scanSnapshot empty) — an
+  // earlier read than a fresh one at commit time, so the conflict
+  // window only ever SHRINKS relative to the scan snapshot, never
+  // silently reopens to the full plan-to-commit TOCTOU
+  @volatile private var factoryManifest: Option[Manifest] = None
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory = {
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+    factoryManifest = m
     new GraftDeltaWriterFactory(root, schema, conf,
       SegmentLog.physicalNames(m, schema))
   }
@@ -1779,8 +1799,11 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
     // the SCAN's snapshot, not a fresh read: every buffered coordinate
     // reflects the visibility the scan was built against, and a rival
     // dv commit in the window since then must conflict below instead of
-    // silently becoming the expectation
+    // silently becoming the expectation. Fallback chain when no scan
+    // was captured: the factory-time manifest (still earlier than
+    // commit time), and only then a fresh read
     val base = scanSnapshot()
+      .orElse(factoryManifest)
       .orElse(SegmentLog.read(fs, root))
       .getOrElse(throw new IllegalStateException(s"no graft-segment table at $root"))
     // union every task's deleted positions per segment (absolute
@@ -1850,8 +1873,13 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
     conf: SerializableHadoopConf, replacedFiles: () => Seq[String],
     scanSnapshot: () => Option[Manifest]) extends BatchWrite {
 
+  // intermediate fingerprint fallback when the scan was never captured
+  // (see GraftDeltaBatchWrite.factoryManifest)
+  @volatile private var factoryManifest: Option[Manifest] = None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+    factoryManifest = m
     new GraftWriterFactory(root, schema, conf, Long.MaxValue,
       physNames = SegmentLog.physicalNames(m, schema))
   }
@@ -1867,8 +1895,10 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
     // fingerprint from the SCAN's snapshot — the visibility the rewrite
     // actually read — never from a fresh read that a rival commit may
     // already have moved past (the TOCTOU window between scan build and
-    // write creation)
+    // write creation); factory-time manifest as the intermediate
+    // fallback when no scan was captured
     val base = scanSnapshot()
+      .orElse(factoryManifest)
       .orElse(SegmentLog.read(fs, root))
       .map(_.segments).getOrElse(Nil)
     val expect = SegmentLog.visibilityOf(base, relTargets)
