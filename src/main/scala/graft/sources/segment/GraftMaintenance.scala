@@ -287,26 +287,33 @@ object GraftMaintenance {
     * (segment, dvPath, cardinality) — O(touched segments). The files
     * are unreferenced until a commit names them, so an abort leaves
     * vacuum fodder, never data. Returns root-relative segment path →
-    * (new dv relative path, CUMULATIVE cardinality). */
+    * (new dv relative path, CUMULATIVE cardinality).
+    *
+    * Positions aggregate as a BITMAP ([[graft.functions.PosBitmap]]),
+    * never a per-row list: per-segment aggregation state is bounded by
+    * segment ROW COUNT / 8 bytes (a predicate matching ~all of a
+    * 100M-row segment holds 12.5 MB, not an 800 MB positions array),
+    * partial aggregation merges bitmaps map-side, and the shuffle
+    * ships one bitmap per (map task × touched segment). */
   private def writeDvSidecars(spark: SparkSession, dir: String, m: Manifest,
       matched: org.apache.spark.sql.DataFrame): Map[String, (String, Long)] = {
-    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
     val hits = matched
       .select(col(GraftSegmentTable.SegmentCol).as("seg"),
         col(GraftSegmentTable.PosCol).as("pos"))
-      .groupBy("seg").agg(sort_array(collect_list("pos")).as("pos"))
+      .groupBy("seg").agg(graft.functions.PosBitmap.posBitmap(col("pos")).as("bits"))
     // prior vectors, keyed by the absolute segment path the scan emits
     val priorDv: Map[String, String] =
       m.segments.flatMap(s => s.dv.map(d => s"$dir/${s.path}" -> s"$dir/$d")).toMap
     val sconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    hits.as[(String, Seq[Long])]
-      .map { case (seg, positions) =>
+    hits.as[(String, Array[Byte])]
+      .map { case (seg, bytes) =>
         val taskFs = new Path(seg).getFileSystem(sconf.value)
         val prior = priorDv.get(seg)
           .map(p => DeletionVector.read(taskFs, new Path(p)))
           .getOrElse(Array.empty[Long])
-        val bits = DeletionVector.union(prior, DeletionVector.fromPositions(positions))
+        val bits = DeletionVector.union(prior, graft.functions.PosBitmap.decode(bytes))
         val rel = s"${SegmentLog.DataDir}/${java.util.UUID.randomUUID()}.dv"
         DeletionVector.write(taskFs, new Path(s"$dir/$rel"), bits)
         (seg, rel, DeletionVector.cardinality(bits))

@@ -1602,6 +1602,28 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nextV(ReadLimit.allAvailable()) == 3L)
   }
 
+  test("deleteMark with a segment-spanning predicate aggregates bitmaps, drops dead segments") {
+    val dir = tmp("graft-seg-dv-span")
+    import spark.implicits._
+    sample().write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "5")
+      .mode("append").save(dir)
+    // the predicate matches EVERY row of the low segments and most of
+    // one more: the write path folds positions into per-segment
+    // bitmaps (state ∝ segment rows / 8 — PosBitmap), so a ~full-
+    // segment match never builds a per-row positions array; segments
+    // whose every row died drop from the manifest outright
+    val marked = graft.sources.segment.GraftMaintenance
+      .deleteMark(spark, dir, col("id") < 777)
+    assert(marked == 777)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).get
+    assert(m.segments.map(_.liveRows).sum == 223)
+    assert(m.segments.size < 5, "fully-dead segments must drop, not carry empty dvs")
+    assert(spark.read.format(Fmt).load(dir).select("id").as[Long]
+      .collect().sorted.toSeq == (777L until 1000L))
+  }
+
   test("deletion vectors: DELETE marks rows in bitmaps; no row data rewritten") {
     val dir = tmp("graft-seg-dv")
     import spark.implicits._

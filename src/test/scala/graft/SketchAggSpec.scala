@@ -211,4 +211,31 @@ class SketchAggSpec extends SparkSpec {
     // NaNs are 40% of the mass at the top of the order
     assert(native.head >= 9.0 && native.head < 10.0)
   }
+
+  test("pos_bitmap equals DeletionVector.fromPositions across partial/final merges") {
+    import spark.implicits._
+    import graft.functions.PosBitmap
+    import graft.sources.segment.DeletionVector
+    // several groups, scattered positions with duplicates, position 0,
+    // and wide gaps (the bitmap must trim to the max set bit, and the
+    // OR-merge across map partials must not lose or invent bits)
+    val rows = (0 until 5000).map(i =>
+      (s"seg${i % 7}", math.abs((i.toLong * 2654435761L) % 100000L))) ++
+      Seq(("seg0", 0L), ("seg1", 0L), ("seg0", 0L))
+    val df = rows.toDF("seg", "pos").repartition(9) // force partial + final
+    val got = df.groupBy("seg").agg(PosBitmap.posBitmap(col("pos")).as("bits"))
+      .as[(String, Array[Byte])].collect().toMap
+    val want = rows.groupBy(_._1).map { case (s, ps) =>
+      s -> DeletionVector.fromPositions(ps.map(_._2).distinct)
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (s, bytes) =>
+      val w = PosBitmap.decode(bytes)
+      // fromPositions sizes by the max position's word; toBytes trims
+      // trailing zeros — identical extents by construction
+      assert(w.toSeq == want(s).toSeq, s"bitmap mismatch for $s")
+      assert(DeletionVector.cardinality(w) ==
+        rows.filter(_._1 == s).map(_._2).distinct.size)
+    }
+  }
 }
