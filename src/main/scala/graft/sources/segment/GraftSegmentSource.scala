@@ -1182,7 +1182,31 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
           if (s.dataChange || (id <= m.truncateWatermark && carrierOk(id))) Some(s)
           else None
         case None if id <= m.truncateWatermark =>
-          viewAt(ackV, m)._2.get(id).filter(s => s.dataChange || carrierOk(id))
+          // the manifest AT the acknowledged truncate decides
+          // kept-vs-removed exactly. When retention has EXPIRED that
+          // manifest, decide from watermark algebra instead of failing
+          // a stream with zero lag: every removal of a segment from
+          // the live manifest is a truncate, and a dataChange=false
+          // truncate (compaction) always raises compactedThrough to
+          // its pre-commit high-water mark — so `id >
+          // m.compactedThrough` proves NO compaction ever rewrote this
+          // id, leaving an ACKNOWLEDGED data-changing truncate (the
+          // fail-fast above pins truncateVersion ≤ ack) as the only
+          // possible remover: provably dead, skip. Ids within
+          // compacted history stay the hard failure — their rows may
+          // live on in a carrier this stream would otherwise skip, and
+          // only the expired manifest could tell.
+          try viewAt(ackV, m)._2.get(id).filter(s => s.dataChange || carrierOk(id))
+          catch {
+            case _: IllegalStateException if id > m.compactedThrough => None
+            case e: IllegalStateException => throw new IllegalStateException(
+              s"segment id $id predates the acknowledged truncate of $root, and " +
+                s"history was expired past this stream's snapshot (manifest " +
+                s"version $ackV is gone); the id falls within compacted history " +
+                s"(compactedThrough = ${m.compactedThrough}), so kept-vs-removed " +
+                "is undecidable — retain history at least as long as your " +
+                "slowest consumer's lag", e)
+          }
         case None => resurrected.get(id) // absent = historical dataChange=false: skip
       }
     }

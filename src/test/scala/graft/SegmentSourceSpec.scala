@@ -702,6 +702,59 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .contains("history was expired"))
   }
 
+  test("fresh earliest-offset stream survives expiry of the acknowledged truncate's manifest") {
+    val dir = tmp("graft-seg-expired-ack")
+    val ckpt = tmp("graft-seg-expired-ack-ckpt")
+    val outDir = tmp("graft-seg-expired-ack-out")
+    import spark.implicits._
+    (0L until 10L).toDF("id").write.format(Fmt).mode("append").save(dir) // v0: id 0
+    (100L until 110L).toDF("id").write.format(Fmt)
+      .mode("overwrite").save(dir) // v1: data-changing truncate, id 1
+    (200L until 210L).toDF("id").write.format(Fmt).mode("append").save(dir) // v2: id 2
+    // the manifest at the acknowledged truncate (v1) is expired: a
+    // fresh zero-lag stream must NOT fail permanently — the truncated
+    // generation (id 0) is provably dead (id > compactedThrough, so no
+    // compaction ever rewrote it; only the acknowledged truncate could
+    // have removed it) and degrades to skip
+    graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 1)
+    val q = spark.readStream.format(Fmt).load(dir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    assert(spark.read.parquet(outDir).select("id").as[Long].collect().sorted.toSeq ==
+      ((100L until 110L) ++ (200L until 210L)).toSeq,
+      "live rows delivered; the truncated generation skipped, not failed")
+  }
+
+  test("expired ack manifest with COMPACTED pre-truncate history stays the hard failure") {
+    val dir = tmp("graft-seg-expired-undec")
+    val ckpt = tmp("graft-seg-expired-undec-ckpt")
+    val outDir = tmp("graft-seg-expired-undec-out")
+    import spark.implicits._
+    (0L until 10L).toDF("id").write.format(Fmt).mode("append").save(dir) // v0: id 0
+    (10L until 20L).toDF("id").write.format(Fmt).mode("append").save(dir) // v1: id 1
+    graft.sources.segment.GraftMaintenance
+      .compact(spark, dir, "id", 1) // v2: carrier id 2, compactedThrough = 1
+    (100L until 105L).toDF("id").write.format(Fmt)
+      .mode("overwrite").save(dir) // v3: truncate (W = 2)
+    (200L until 205L).toDF("id").write.format(Fmt).mode("append").save(dir) // v4
+    graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 1)
+    // ids 0 and 1 sit within compacted history (≤ compactedThrough):
+    // without the expired manifest, kept-then-compacted cannot be told
+    // apart from removed — the stream must fail loudly, not guess
+    val q = spark.readStream.format(Fmt).load(dir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("undecidable"))
+  }
+
   test("data-changing overwrite mid-stream fails fast; a fresh stream adopts the new table") {
     val dir = tmp("graft-seg-ovwstream")
     val ckpt = tmp("graft-seg-ovwstream-ckpt")
