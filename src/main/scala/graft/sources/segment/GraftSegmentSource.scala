@@ -992,14 +992,32 @@ object GraftMicroBatchStream {
   * was overwritten" are indistinguishable once admission control
   * advances the offset into the dead range.
   *
+  * `initMax` pins the stream's INIT-TIME snapshot high-water mark —
+  * the exact boundary of "existed when this stream started". The
+  * skipChangeCommits carrier guard needs it: a dataChange=false
+  * carrier created AFTER the acknowledged truncate but BEFORE stream
+  * init holds snapshot rows this stream has not emitted, while one
+  * created mid-stream holds rows it may have. Deriving the boundary
+  * from the ack-version manifest (the pre-r11 behavior, kept as the
+  * legacy-checkpoint fallback) under-approximated it by exactly that
+  * ack-to-init window, skipping such carriers and losing their rows
+  * once a later truncate raised the watermark over them.
+  *
   * JSON: a bare long for append-era streams (byte-compatible with
   * pre-id checkpoints, where the offset was the segment COUNT — equal
   * to nextId on the append-only tables those checkpoints can be
-  * valid for), `{"nextId":n,"ack":a}` once a truncate has been
-  * acknowledged. */
-case class GraftOffset(nextId: Long, ack: Long = -1L) extends Offset {
+  * valid for), `{"nextId":n,"ack":a,"initMax":i}` once a truncate has
+  * been acknowledged (fields with their -1 sentinel are omitted). */
+case class GraftOffset(nextId: Long, ack: Long = -1L,
+    initMax: Long = -1L) extends Offset {
   override def json(): String =
-    if (ack < 0) nextId.toString else s"""{"nextId":$nextId,"ack":$ack}"""
+    if (ack < 0 && initMax < 0) nextId.toString
+    else {
+      val fields = Seq(s""""nextId":$nextId""") ++
+        (if (ack >= 0) Seq(s""""ack":$ack""") else Nil) ++
+        (if (initMax >= 0) Seq(s""""initMax":$initMax""") else Nil)
+      fields.mkString("{", ",", "}")
+    }
 }
 
 object GraftOffset {
@@ -1008,7 +1026,8 @@ object GraftOffset {
     if (t.startsWith("{")) {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
       GraftOffset(node.get("nextId").asLong(),
-        if (node.hasNonNull("ack")) node.get("ack").asLong() else -1L)
+        if (node.hasNonNull("ack")) node.get("ack").asLong() else -1L,
+        if (node.hasNonNull("initMax")) node.get("initMax").asLong() else -1L)
     } else GraftOffset(t.toLong)
   }
 }
@@ -1041,7 +1060,11 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     val m = SegmentLog.read(fs, root)
     GraftOffset(
       if (startLatest) m.map(_.maxSegmentId + 1).getOrElse(0L) else 0L,
-      m.map(_.truncateVersion).getOrElse(-1L))
+      m.map(_.truncateVersion).getOrElse(-1L),
+      // the init snapshot's high-water mark, recorded EXACTLY (not
+      // re-derived later from the ack version, which misses carriers
+      // created in the ack-to-init window)
+      m.map(_.maxSegmentId).getOrElse(-1L))
   }
 
   override def deserializeOffset(json: String): Offset = GraftOffset.parse(json)
@@ -1067,7 +1090,7 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
       case Some(n) => math.min(avail, s.nextId + n)
       case None => avail
     }
-    GraftOffset(math.max(s.nextId, capped), s.ack)
+    GraftOffset(math.max(s.nextId, capped), s.ack, s.initMax)
   }
 
   override def reportLatestOffset(): Offset = GraftOffset(currentEnd())
@@ -1163,16 +1186,21 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
       SegmentLog.resolveHistorical(fs, root, m, needHistory,
         s"this stream's offset range [$from, $to)").map(s => s.id -> s).toMap
     // skipChangeCommits double-delivery guard: a carrier CREATED
-    // MID-STREAM (after this stream's own init snapshot at so.ack)
-    // holds rows the stream may already have emitted under their
-    // original ids — a plain-contract stream would have failed on the
-    // delete that raised W over it, but a skipChangeCommits stream
-    // sails past, so deliver a dataChange=false carrier only if it
-    // already existed at init (id ≤ the init snapshot's high-water
-    // mark; an expired init manifest degrades to skip, the flag's
-    // documented deletes-unreflected caveat, never to duplicates).
+    // MID-STREAM (after this stream's own init snapshot) holds rows
+    // the stream may already have emitted under their original ids —
+    // a plain-contract stream would have failed on the delete that
+    // raised W over it, but a skipChangeCommits stream sails past, so
+    // deliver a dataChange=false carrier only if it already existed at
+    // init (id ≤ the init snapshot's high-water mark). The boundary is
+    // the offset's PERSISTED initMax — exact, recorded at
+    // initialOffset. Legacy checkpoints (pre-initMax) fall back to the
+    // ack-version manifest's high-water mark, which under-approximates
+    // by the ack-to-init window (carriers created in it are skipped —
+    // the flag's documented deletes-unreflected caveat, never
+    // duplicates); an expired ack manifest degrades to skip likewise.
     lazy val initSnapMax: Long =
-      if (so.ack < 0) -1L
+      if (so.initMax >= 0) so.initMax
+      else if (so.ack < 0) -1L
       else try viewAt(so.ack, m)._1
       catch { case _: IllegalStateException => -1L }
     def carrierOk(id: Long): Boolean = !skipChangeCommits || id <= initSnapMax

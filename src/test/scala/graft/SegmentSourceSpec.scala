@@ -1623,6 +1623,51 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .load(dir))
   }
 
+  test("skipChangeCommits: carrier created post-truncate/pre-init survives a later truncate") {
+    val dir = tmp("graft-seg-initmax")
+    import spark.implicits._
+    import graft.sources.segment.{GraftMicroBatchStream, GraftOffset}
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    def table = new graft.sources.segment.GraftSegmentTable(dir,
+      SegmentLog.read(fs, dir).get.schema)
+    put(0 until 10) // v0: seg id 0 (the snapshot rows)
+    put(100 until 110) // v1: seg id 1
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 100L))) // v2: drops id 1, W=1
+    graft.sources.segment.GraftMaintenance
+      .compact(spark, dir, "id", 1) // v3: carrier id 2 — created AFTER the truncate
+    val schema = spark.read.format(Fmt).load(dir).schema
+    val stream = new GraftMicroBatchStream(dir, schema, schema,
+      new graft.sources.segment.SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      None, skipChangeCommits = true)
+    // init records the snapshot's EXACT high-water mark (the carrier's
+    // id), not the ack-version manifest's (which predates the carrier)
+    val init = stream.initialOffset().asInstanceOf[GraftOffset]
+    assert(init.ack == 2 && init.initMax == 2, s"unexpected init offset $init")
+    assert(GraftOffset.parse(init.json()) == init,
+      "initMax must survive the checkpoint JSON roundtrip")
+    // mid-stream, BEFORE the carrier is consumed: a later delete raises
+    // the watermark over it
+    put(200 until 210) // v4: seg id 3
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 200L))) // v5: drops id 3, W=3
+    val end = stream.latestOffset(init,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[GraftOffset]
+    assert(end.initMax == init.initMax, "latestOffset must carry initMax through")
+    val files = stream.planInputPartitions(init, end)
+      .map(_.asInstanceOf[graft.sources.segment.GraftPartition].file)
+    val carrier = SegmentLog.read(fs, dir).get.segments.find(s => !s.dataChange).get
+    assert(files.contains(s"$dir/${carrier.path}"),
+      "the pre-init carrier is the snapshot's only holder of its rows — " +
+        "skipping it (the ack-derived boundary) silently loses them")
+    assert(files.size == 1, "every acknowledged-deleted id in range must skip")
+  }
+
   test("latestOffset honors the ReadLimit argument over the constructor option") {
     val dir = tmp("graft-seg-readlimit")
     import spark.implicits._
