@@ -1803,6 +1803,30 @@ object SparkEntry {
           .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
       }.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // TIMESTAMP AS OF: manifests carry a monotonized commit wall-clock
+    // (SegmentLog.commitTimestamp), and binding picks the newest
+    // retained version committed at or before t — each commit's own
+    // stamp must therefore replay that commit's snapshot exactly (the
+    // Delta/Iceberg time-denominated audit query). The SQL face is
+    // loadTable(ident, timestamp) via the graft catalog; this row
+    // certifies the read-option face on the same binder
+    "store_segment_time_travel_ts" -> ((s, d) => withTempDir("graft-segttts") { base =>
+      val dir = s"$base/orders_seg"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      o.filter(col("o_orderkey") % 3 === 0).write.format("graft-segment")
+        .mode("append").save(dir) // version 0
+      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
+      val ts0 = graft.sources.segment.SegmentLog.read(fs, dir).get.ts
+      o.filter(col("o_orderkey") % 3 =!= 0).write.format("graft-segment")
+        .mode("append").save(dir) // version 1 (strictly later stamp)
+      val ts1 = graft.sources.segment.SegmentLog.read(fs, dir).get.ts
+      Seq((0, ts0), (1, ts1)).map { case (snap, t) =>
+        s.read.format("graft-segment").option("timestampAsOf", t.toString).load(dir)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_cents"))
+      }.reduce(_ unionByName _).orderBy(col("snap"))
+    }),
     // schema evolution on the read path: files written before a column
     // existed merge with later files, the missing column null-backfilled
     // (mergeSchema reconciles footers at planning time — at 100 TB pin
@@ -5910,6 +5934,16 @@ object SparkEntry {
         "SELECT 1 AS version, count(*) AS n_rows, " +
         "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM orders ORDER BY version"),
+
+    // each commit's own timestamp binds back to that commit's snapshot
+    "store_segment_time_travel_ts" ->
+      ("SELECT 0 AS snap, count(*) AS n_rows, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders WHERE o_orderkey % 3 = 0 " +
+        "UNION ALL " +
+        "SELECT 1 AS snap, count(*) AS n_rows, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders ORDER BY snap"),
 
     // the segment log drained as a stream must reconstruct the table
     "stream_segment_source_counts" ->

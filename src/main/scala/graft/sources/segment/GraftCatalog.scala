@@ -93,13 +93,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     new GraftSegmentTable(path, m.schema, m.bucketing, pinnedVersion = Some(v))
   }
 
-  /** `TIMESTAMP AS OF` has nothing to bind to: the log records no
-    * wall-clock (deliberately — the whole introspection surface stays
-    * deterministic and oracle-checkable). Refuse loudly. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft-segment records no commit wall-clock (deterministic log); " +
-        "use VERSION AS OF <manifest version> instead of TIMESTAMP AS OF")
+  /** SQL time travel by wall-clock: `TIMESTAMP AS OF t` binds to the
+    * newest retained version whose commit timestamp is ≤ t
+    * ([[SegmentLog.versionAtTimestamp]] — manifests are stamped with a
+    * monotonized commit wall-clock), then routes through the ONE
+    * time-travel implementation (the pinned-version table). Spark
+    * passes the timestamp in MICROseconds. Pre-timestamp manifests
+    * refuse with the VERSION AS OF fallback; the deterministic
+    * introspection surface (history/detail) still exposes no
+    * wall-clock column. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    val m = SegmentLog.read(fs, path).getOrElse(throw new NoSuchTableException(ident))
+    val v = SegmentLog.versionAtTimestamp(fs, path, Math.floorDiv(timestamp, 1000L))
+    new GraftSegmentTable(path, m.schema, m.bucketing, pinnedVersion = Some(v))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     SegmentLog.read(fs, tablePath(ident)).isDefined

@@ -357,7 +357,18 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   // that.
   private lazy val manifest: Option[Manifest] = {
     val fs = SegmentLog.fs(root, conf.value)
-    (Option(options.get("versionAsOf")), Option(options.get("sinceVersion"))) match {
+    // `timestampAsOf` (epoch millis) is the wall-clock face of
+    // versionAsOf: bind to the newest retained version committed at or
+    // before t, then reuse the one time-travel path
+    val versionAsOf = (Option(options.get("versionAsOf")),
+        Option(options.get("timestampAsOf"))) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException("versionAsOf and timestampAsOf are exclusive")
+      case (v, None) => v
+      case (None, Some(t)) =>
+        Some(SegmentLog.versionAtTimestamp(fs, root, t.toLong).toString)
+    }
+    (versionAsOf, Option(options.get("sinceVersion"))) match {
       case (Some(_), Some(_)) =>
         throw new IllegalArgumentException("versionAsOf and sinceVersion are exclusive")
       case (Some(v), None) =>

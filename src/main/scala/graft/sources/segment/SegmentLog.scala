@@ -110,7 +110,8 @@ case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta
     compactedThrough: Long = -1L,
     physicalOf: Map[String, String] = Map.empty,
     retiredSchema: StructType = new StructType(),
-    props: Map[String, String] = Map.empty)
+    props: Map[String, String] = Map.empty,
+    ts: Long = -1L)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -299,6 +300,7 @@ object SegmentLog {
         b.result()
       } else Map.empty[String, String]
     Manifest(node.get("version").asLong(), schema, withIds, txns.result(), bucketing,
+      ts = if (node.hasNonNull("ts")) node.get("ts").asLong() else -1L,
       maxSegmentId = maxId,
       truncateWatermark =
         if (node.hasNonNull("truncateWatermark")) node.get("truncateWatermark").asLong() else -1L,
@@ -317,6 +319,7 @@ object SegmentLog {
   private def render(m: Manifest): String = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("version", m.version)
+    if (m.ts >= 0) root.put("ts", m.ts)
     root.put("schema", m.schema.json)
     val arr: ArrayNode = root.putArray("segments")
     root.put("maxSegmentId", m.maxSegmentId)
@@ -579,7 +582,8 @@ object SegmentLog {
         truncateVersion = newTv,
         compactedThrough = newCt,
         physicalOf = physicalOf, retiredSchema = retired,
-        props = liveProps)).getBytes(StandardCharsets.UTF_8)
+        props = liveProps,
+        ts = commitTimestamp(current))).getBytes(StandardCharsets.UTF_8)
       if (claimSlot(fs, root, v, body, canRetry = attempt < maxRetries)) return v
       attempt += 1 // lost the slot to a concurrent writer; re-read and retry
     }
@@ -793,13 +797,58 @@ object SegmentLog {
     while (true) {
       val current = read(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no graft-segment table at $root"))
-      val next = f(current).copy(version = current.version + 1)
+      val next = f(current).copy(version = current.version + 1,
+        ts = commitTimestamp(Some(current)))
       val body = render(next).getBytes(StandardCharsets.UTF_8)
       if (claimSlot(fs, root, next.version, body, canRetry = attempt < maxRetries))
         return next.version
       attempt += 1
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Commit wall-clock for the manifest being written: now, MONOTONIZED
+    * against the predecessor (the Delta commit-timestamp discipline) so
+    * `TIMESTAMP AS OF` binding — newest version with ts ≤ t — is
+    * well-defined even when two commits land within one clock tick or
+    * the clock steps backwards. The stamp feeds time travel ONLY; the
+    * deterministic introspection surface (history/detail) deliberately
+    * exposes no wall-clock column. */
+  private def commitTimestamp(current: Option[Manifest]): Long =
+    math.max(System.currentTimeMillis(), current.map(_.ts).getOrElse(-1L) + 1)
+
+  /** `TIMESTAMP AS OF` binding: the newest RETAINED version whose
+    * commit timestamp is ≤ `tsMillis`. Driver-side, O(retained
+    * versions) manifest reads — the price of binding time, paid once
+    * per query at planning. A timestamp older than the oldest retained
+    * stamped commit fails (that history is expired or never stamped);
+    * a table whose retained manifests all predate commit timestamps
+    * refuses with the VERSION AS OF fallback. A future timestamp binds
+    * to the latest version (the table as of then IS the latest). */
+  def versionAtTimestamp(fs: FileSystem, root: String, tsMillis: Long): Long = {
+    val versions = liveVersions(fs, root).sorted
+    require(versions.nonEmpty, s"no graft-segment table at $root")
+    var best = -1L
+    var oldestStamped = -1L
+    versions.foreach { v =>
+      // a concurrent expire can remove a version mid-scan: skip it —
+      // that only shrinks the candidate set
+      try {
+        val m = readVersion(fs, root, v)
+        if (m.ts >= 0) {
+          if (oldestStamped < 0) oldestStamped = m.ts
+          if (m.ts <= tsMillis) best = v // ts ascends with version
+        }
+      } catch { case _: IllegalArgumentException => () }
+    }
+    if (best >= 0) best
+    else if (oldestStamped >= 0) throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF $tsMillis precedes the oldest retained commit of $root " +
+        s"(timestamp $oldestStamped) — that history is expired; use a later " +
+        "timestamp or VERSION AS OF a retained version")
+    else throw new UnsupportedOperationException(
+      s"the retained manifests of $root predate commit timestamps — " +
+        "use VERSION AS OF <manifest version>; new commits are stamped")
   }
 
   /** All manifest versions still present in the log (after [[

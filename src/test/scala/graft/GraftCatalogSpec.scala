@@ -237,11 +237,46 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     intercept[Exception] {
       spark.sql("INSERT INTO graft.ctasns.t VERSION AS OF 0 VALUES (1)")
     }
-    intercept[Exception] { // no wall-clock in the log, by design
+    intercept[Exception] { // predates every stamped commit: loud error
       spark.sql("SELECT * FROM graft.ctasns.t TIMESTAMP AS OF '2026-01-01'").collect()
     }
     spark.sql("DROP TABLE graft.ctasns.t")
     spark.sql("DROP TABLE graft.ctasns.t2")
+  }
+
+  test("TIMESTAMP AS OF binds each commit's stamp to its snapshot") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ttns")
+    spark.sql("CREATE TABLE graft.ttns.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.ttns.t SELECT id FROM range(0, 10)")
+    val fs = SegmentLog.fs(warehouse, spark.sessionState.newHadoopConf())
+    val ts0 = SegmentLog.read(fs, s"$warehouse/ttns/t").get.ts
+    assert(ts0 > 0, "commits must carry a wall-clock stamp")
+    spark.sql("INSERT INTO graft.ttns.t SELECT id FROM range(100, 105)")
+    val ts1 = SegmentLog.read(fs, s"$warehouse/ttns/t").get.ts
+    assert(ts1 > ts0, "stamps are monotonized across commits")
+    def litOf(ms: Long): String = {
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochMilli(ms), zone)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    }
+    def countAt(ms: Long): Long =
+      spark.sql(s"SELECT count(*) FROM graft.ttns.t TIMESTAMP AS OF '${litOf(ms)}'")
+        .head().getLong(0)
+    assert(countAt(ts0) == 10, "a commit's own stamp replays its snapshot")
+    assert(countAt(ts1) == 15)
+    // between commits: binds DOWN to the newest version at or before t
+    assert(countAt(ts1 - 1) == 10)
+    // a future timestamp IS the latest table
+    assert(countAt(ts1 + 60000) == 15)
+    // before the oldest stamped commit: loud error, never a guess
+    val e = intercept[Exception] { countAt(ts0 - 3600000) }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("precedes the oldest retained commit"))
+    // the read-option face shares the binder
+    assert(spark.read.format("graft-segment")
+      .option("timestampAsOf", ts0.toString).load(s"$warehouse/ttns/t").count() == 10)
+    spark.sql("DROP TABLE graft.ttns.t")
   }
 
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
