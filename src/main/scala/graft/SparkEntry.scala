@@ -2169,6 +2169,21 @@ object SparkEntry {
     "emb_cosine_topk_native" -> ((s, d) =>
       Similarity.bruteForceTopKNative(Tables.embeddings(s, d), embQueries(s, d), 10)
         .orderBy(col("q_id"), col("rank"))),
+    // the SAME top-k with the corpus routed through a graft-segment
+    // table: array<float> decodes on the VECTORIZED path (child-vector
+    // arrays, SegmentCodec.readBatchLive) — the scan must not drop to
+    // the row reader for the LLM pipeline's hottest column shape, and
+    // the answer must stay bit-identical to the parquet route
+    "emb_cosine_topk_segment" -> ((s, d) => withTempDir("graft-segemb") { base =>
+      val dir = s"$base/emb_seg"
+      Tables.embeddings(s, d).write.format("graft-segment")
+        .option("clusterBy", "vec_id").option("numPartitions", "8")
+        .mode("append").save(dir)
+      val emb = s.read.format("graft-segment").load(dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(emb, queries, 10).orderBy(col("q_id"), col("rank"))
+    }),
     // the SAME top-k written as SQL TEXT through the injected
     // cosine_similarity function (FunctionBridge registers it on the
     // extension-less driver session) — third bit-identical path over
@@ -6654,6 +6669,17 @@ object SparkEntry {
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
     "emb_cosine_topk_native" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+        "s AS (SELECT q_id, vec_id, round(" +
+        "list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) / " +
+        "(sqrt(list_sum(list_transform(qe, x -> x*x))) * sqrt(list_sum(list_transform(ce, x -> x*x)))), 4) AS sim " +
+        "FROM q CROSS JOIN c WHERE vec_id <> q_id) " +
+        "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
+        "FROM s QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    // same oracle as emb_cosine_topk: the segment-table route must be
+    // value-identical to the parquet route
+    "emb_cosine_topk_segment" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
         "s AS (SELECT q_id, vec_id, round(" +

@@ -28,8 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   *  - '''reads''': zone-map SEGMENT SKIPPING on pushed filters (all
   *    residual — provably semantics-free, [[SegmentPruning]]), column
-  *    pruning, VECTORIZED decode ([[GraftReaderFactory]], arrays fall
-  *    back to rows), reported statistics (auto-broadcast), runtime
+  *    pruning, VECTORIZED decode including primitive arrays
+  *    ([[GraftReaderFactory]]), reported statistics (auto-broadcast), runtime
   *    filtering (DPP — [[GraftScan.filter]]), metadata-only
   *    COUNT/MIN/MAX ([[GraftLocalAggScan]]), limit pushdown, ORDER BY
   *    cluster-key LIMIT pushdown ([[GraftScanBuilder.pushTopN]]),

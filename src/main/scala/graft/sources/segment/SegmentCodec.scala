@@ -278,10 +278,15 @@ object SegmentCodec {
     override def close(): Unit = in.close()
   }
 
-  /** True when `dt` has a vectorized decode path ([[readBatch]]). */
+  /** True when `dt` has a vectorized decode path ([[readBatch]]).
+    * Primitive arrays decode into the vector's CHILD array (offsets +
+    * appended elements), so `array<float>` embedding scans — the
+    * hottest LLM-pipeline shape — stay columnar instead of dropping
+    * the whole scan to the row reader. */
   def vectorizable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DoubleType | FloatType | BooleanType |
         StringType | TimestampType | TimestampNTZType | DateType => true
+    case ArrayType(IntegerType | LongType | FloatType | DoubleType, _) => true
     case _ => false
   }
 
@@ -347,6 +352,28 @@ object SegmentCodec {
               case StringType =>
                 val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
                 v.putByteArray(r, b, 0, n)
+              case ArrayType(et, _) =>
+                // elements APPEND into the child vector (it grows and
+                // resets with the parent); the row slot records the
+                // (offset, length) window. The format stores array
+                // elements densely non-null, so no child null marks.
+                val n = in.readInt()
+                val child = v.arrayData()
+                val start = child.getElementsAppended
+                var i = 0
+                et match {
+                  case IntegerType =>
+                    while (i < n) { child.appendInt(in.readInt()); i += 1 }
+                  case LongType =>
+                    while (i < n) { child.appendLong(in.readLong()); i += 1 }
+                  case FloatType =>
+                    while (i < n) { child.appendFloat(in.readFloat()); i += 1 }
+                  case DoubleType =>
+                    while (i < n) { child.appendDouble(in.readDouble()); i += 1 }
+                  case other =>
+                    throw new IllegalArgumentException(s"not vectorizable: array<$other>")
+                }
+                v.putArray(r, start, n)
               case other => throw new IllegalArgumentException(s"not vectorizable: $other")
             }
           }

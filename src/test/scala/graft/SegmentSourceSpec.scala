@@ -1700,6 +1700,33 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nextV(ReadLimit.allAvailable()) == 3L)
   }
 
+  test("vectorized decode covers primitive arrays; dv filtering stays columnar") {
+    val dir = tmp("graft-seg-vecarr")
+    import spark.implicits._
+    sample().write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "2")
+      .mode("append").save(dir)
+    val schema = spark.read.format(Fmt).load(dir).schema
+    // the columnar gate: an array-bearing projection must NOT drop the
+    // scan to the row reader (the embeddings tables are exactly this)
+    val factory = new graft.sources.segment.GraftReaderFactory(schema, schema,
+      new graft.sources.segment.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    assert(factory.supportColumnarReads(null),
+      "array<float> must have a vectorized decode path")
+    // deletion vectors filter INSIDE the columnar decode loop: mark a
+    // third of the rows dead, then read ids + arrays back exactly
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") % 3 === 0)
+    val df = spark.read.format(Fmt).load(dir).select(col("id"), col("vec"))
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "the plan must read this scan columnar")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 666)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 1000L).filter(_ % 3 != 0))
+    val r = rows.find(_.getLong(0) == 100L).get
+    assert(r.getSeq[Float](1) == Seq(100f, 101f),
+      "array values must decode exactly through the child-vector path")
+  }
+
   test("deleteMark with a segment-spanning predicate aggregates bitmaps, drops dead segments") {
     val dir = tmp("graft-seg-dv-span")
     import spark.implicits._
