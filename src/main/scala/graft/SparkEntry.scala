@@ -3076,6 +3076,16 @@ object SparkEntry {
         "FROM graft_mor_orders WHERE o_orderkey % 11 = 0) s ON t.k = s.k " +
         "WHEN MATCHED THEN UPDATE SET cents = s.cents " +
         "WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)")
+      // the third MERGE face: NOT MATCHED BY SOURCE acts on TARGET
+      // rows the source lacks — the full sync shape (matched update +
+      // conditional by-source delete/update in clause order), still
+      // cost ∝ matched rows through the same delta write
+      s.sql(s"MERGE INTO $cat.db.t t USING " +
+        "(SELECT o_orderkey AS k FROM graft_mor_orders " +
+        "WHERE o_orderkey % 13 = 0) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET cents = t.cents + 1000 " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 17 = 0 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 19 = 0 THEN UPDATE SET cents = 0")
       s.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k")
     }),
     // the STREAMING face of the change feed (readChangeFeed=true):
@@ -5864,12 +5874,17 @@ object SparkEntry {
     // always ends at -1 (matched update, or re-insert of a deleted
     // key); other k%7=0 stay deleted; other k%5=0 carry the +3 update
     "store_segment_mor_sql" ->
-      ("SELECT o_orderkey AS k, " +
+      ("WITH t1 AS (SELECT o_orderkey AS k, " +
         "CASE WHEN o_orderkey % 11 = 0 THEN CAST(-1 AS BIGINT) " +
         "WHEN o_orderkey % 5 = 0 THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) + 3 " +
         "ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents " +
-        "FROM orders WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 <> 0 " +
-        "ORDER BY k"),
+        "FROM orders WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 <> 0) " +
+        // the second MERGE in closed form: matched (k%13=0) update;
+        // unmatched-by-source delete (k%17=0) then update (k%19=0),
+        // first clause wins
+        "SELECT k, CASE WHEN k % 13 = 0 THEN cents + 1000 " +
+        "WHEN k % 19 = 0 THEN CAST(0 AS BIGINT) ELSE cents END AS cents " +
+        "FROM t1 WHERE k % 13 = 0 OR k % 17 <> 0 ORDER BY k"),
 
     "store_segment_call" ->
       ("WITH src AS (SELECT o_orderkey AS k FROM orders), " +
