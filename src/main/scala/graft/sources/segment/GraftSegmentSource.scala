@@ -213,11 +213,21 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
   //    matched rows' (_segment, _pos) coordinates land in deletion
   //    vectors and new versions append; cost ∝ matched rows
   //    ([[GraftDeltaRowLevelOperation]]).
+  // ANALYSIS-TIME manifest, read once per table instance: Spark calls
+  // properties() (and may build row-level operations) repeatedly while
+  // resolving a single query — on an object store each uncached
+  // SegmentLog.read is a round trip. An instance is born per
+  // loadTable/getTable resolution, so this cache's lifetime is one
+  // query's analysis; every DECISION or MUTATION path (deleteWhere,
+  // truncate, commits) still reads fresh — staleness here could only
+  // serve yesterday's TBLPROPERTIES to DESCRIBE, never lose data.
+  private lazy val analysisManifest: Option[Manifest] = fsAndManifest()._2
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = {
-        val mor = fsAndManifest()._2
+        val mor = analysisManifest
           .flatMap(_.props.get("rowLevelMode")).contains("mor")
         if (mor) new GraftDeltaRowLevelOperation(root, tableSchema, info.command())
         else new GraftRowLevelOperation(root, tableSchema, info.command())
@@ -227,9 +237,10 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
 
   // SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the persisted declarations
-  // plus the declared layout, straight from the manifest
+  // plus the declared layout, straight from the (instance-cached)
+  // manifest
   override def properties(): java.util.Map[String, String] = {
-    val m = fsAndManifest()._2
+    val m = analysisManifest
     val declared = m.map(_.props).getOrElse(Map.empty)
     val layout = m.flatMap(_.bucketing).map(b => Map(
       "clusterBy" -> b.cols.mkString(","),

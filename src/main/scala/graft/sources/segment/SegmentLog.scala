@@ -179,7 +179,12 @@ object SegmentLog {
     if (v < 0) None else Some(readVersion(fs, root, v))
   }
 
+  /** Manifest reads this JVM has performed — observability for specs
+    * asserting read-amplification bounds (e.g. properties() caching). */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def readVersion(fs: FileSystem, root: String, v: Long): Manifest = {
+    manifestReads.incrementAndGet()
     // a manifest file becomes VISIBLE at create() but its content lands
     // at close(): a reader racing a cross-process committer can observe
     // a torn (empty/partial) file. The claim itself is owned by the

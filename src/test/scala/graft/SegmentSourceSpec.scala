@@ -1700,6 +1700,23 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nextV(ReadLimit.allAvailable()) == 3L)
   }
 
+  test("properties() reads the manifest once per table instance") {
+    val dir = tmp("graft-seg-propcache")
+    sample().limit(10).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val t = new graft.sources.segment.GraftSegmentTable(dir,
+      SegmentLog.read(fs, dir).get.schema)
+    val before = SegmentLog.manifestReads.get()
+    // Spark calls properties() repeatedly during analysis: on an object
+    // store each uncached call was a manifest round trip per call
+    (1 to 5).foreach(_ => t.properties())
+    val reads = SegmentLog.manifestReads.get() - before
+    assert(reads <= 1, s"5 properties() calls cost $reads manifest reads, want <= 1")
+    assert(t.properties().get("clusterBy") == "id")
+  }
+
   test("vectorized decode covers primitive arrays; dv filtering stays columnar") {
     val dir = tmp("graft-seg-vecarr")
     import spark.implicits._
