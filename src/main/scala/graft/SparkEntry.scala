@@ -2907,6 +2907,33 @@ object SparkEntry {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // startingTimestamp (Delta's inclusive contract): the stream
+    // starts at the id watermark of the newest version stamped before
+    // t, so binding the SECOND commit's own stamp delivers exactly
+    // that commit's rows — time-denominated stream start on the same
+    // monotonized stamps TIMESTAMP AS OF binds
+    "stream_segment_ts_counts" -> ((s, d) => withTempDir("graft-segstrts") { base =>
+      val dir = s"$base/events_seg"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .coalesce(1).write.format("graft-segment").mode("append").save(dir) // v0
+      ev.filter(pmod(col("event_id"), lit(3)) =!= 0)
+        .coalesce(1).write.format("graft-segment").mode("append").save(dir) // v1
+      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
+      val ts1 = graft.sources.segment.SegmentLog.read(fs, dir).get.ts
+      val q = s.readStream.format("graft-segment")
+        .option("startingTimestamp", ts1.toString).load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
     // skipChangeCommits end-to-end: a checkpointed stream sails across
     // a metadata-only DELETE — the deleted UNCONSUMED segment is
     // skipped, appends keep flowing; the oracle is the closed form
@@ -5979,6 +6006,12 @@ object SparkEntry {
     "stream_segment_source_counts" ->
       ("SELECT event_type, count(*) AS n_events, min(event_id) AS min_id, " +
         "max(event_id) AS max_id FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // starting at the second commit's stamp delivers its rows only
+    "stream_segment_ts_counts" ->
+      ("SELECT event_type, count(*) AS n_events, min(event_id) AS min_id, " +
+        "max(event_id) AS max_id FROM events WHERE event_id % 3 <> 0 " +
+        "GROUP BY event_type ORDER BY event_type"),
 
     // dv-deleted rows never reach the stream
     "stream_segment_dv_counts" ->

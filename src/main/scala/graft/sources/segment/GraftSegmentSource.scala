@@ -596,7 +596,13 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
           case other => throw new IllegalArgumentException(
             s"startingOffsets must be earliest|latest, got $other")
         },
-        skipChangeCommits = Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+        skipChangeCommits = Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+        startTimestamp = {
+          val t = Option(options.get("startingTimestamp")).map(_.toLong)
+          require(t.isEmpty || options.get("startingOffsets") == null,
+            "startingOffsets and startingTimestamp are exclusive")
+          t
+        })
   }
 }
 
@@ -615,7 +621,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     manifest: Option[Manifest], limit: Option[Int],
     topN: Option[(String, Boolean, Int)] = None,
     startLatest: Boolean = false,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    startTimestamp: Option[Long] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -823,7 +830,7 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger,
-      pushed, startLatest, skipChangeCommits)
+      pushed, startLatest, skipChangeCommits, startTimestamp)
 }
 
 // not sealed: the change feed's partition type lives in its own file
@@ -1058,7 +1065,8 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     conf: SerializableHadoopConf, maxSegmentsPerTrigger: Option[Int],
     pushed: Array[Filter] = Array.empty,
     startLatest: Boolean = false,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    startTimestamp: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def fs = SegmentLog.fs(root, conf.value)
@@ -1078,10 +1086,16 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     // COMMIT VERSION — watermark ids can tie across truncates): the
     // dead id generations are history, the live table is its starting
     // snapshot. startingOffsets=latest skips the snapshot entirely —
-    // only appends after query start flow (the Kafka `latest` shape)
+    // only appends after query start flow (the Kafka `latest` shape);
+    // startingTimestamp=t starts at the id watermark of the newest
+    // version stamped before t, so ids committed at or after t flow
+    // (Delta's inclusive startingTimestamp)
     val m = SegmentLog.read(fs, root)
     GraftOffset(
-      if (startLatest) m.map(_.maxSegmentId + 1).getOrElse(0L) else 0L,
+      startTimestamp match {
+        case Some(t) => SegmentLog.idStartAtTimestamp(fs, root, t)
+        case None => if (startLatest) m.map(_.maxSegmentId + 1).getOrElse(0L) else 0L
+      },
       m.map(_.truncateVersion).getOrElse(-1L),
       // the init snapshot's high-water mark, recorded EXACTLY (not
       // re-derived later from the ack version, which misses carriers

@@ -856,6 +856,33 @@ object SegmentLog {
         "use VERSION AS OF <manifest version>; new commits are stamped")
   }
 
+  /** Streaming `startingTimestamp` binding: one past the id high-water
+    * mark of the newest retained version stamped BEFORE `tsMillis`, so
+    * ids committed at versions with ts ≥ t flow (Delta's inclusive
+    * startingTimestamp contract). t before every stamped retained
+    * version → 0 (the whole retained table — the best-effort superset
+    * when t predates retention); t after the newest → its high-water
+    * mark + 1 (the startingOffsets=latest shape). Driver-side,
+    * O(retained versions), once at stream init. */
+  def idStartAtTimestamp(fs: FileSystem, root: String, tsMillis: Long): Long = {
+    val versions = liveVersions(fs, root).sorted
+    var hwm = -1L
+    var anyStamped = false
+    versions.foreach { v =>
+      try {
+        val m = readVersion(fs, root, v)
+        if (m.ts >= 0) {
+          anyStamped = true
+          if (m.ts < tsMillis) hwm = m.maxSegmentId
+        }
+      } catch { case _: IllegalArgumentException => () } // expired mid-scan
+    }
+    require(anyStamped,
+      s"the retained manifests of $root predate commit timestamps — " +
+        "use startingOffsets (earliest|latest); new commits are stamped")
+    hwm + 1
+  }
+
   /** All manifest versions still present in the log (after [[
     * GraftMaintenance.expire]] the low end is gone). */
   def liveVersions(fs: FileSystem, root: String): Seq[Long] = {

@@ -1668,6 +1668,43 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(files.size == 1, "every acknowledged-deleted id in range must skip")
   }
 
+  test("startingTimestamp binds the stream start; exclusive with startingOffsets") {
+    val dir = tmp("graft-seg-startts")
+    import spark.implicits._
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.format(Fmt).mode("append").save(dir) // v0
+    (10L until 20L).toDF("id").coalesce(1)
+      .write.format(Fmt).mode("append").save(dir) // v1
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val ts1 = SegmentLog.read(fs, dir).get.ts
+    val out = tmp("graft-seg-startts-out")
+    val q = spark.readStream.format(Fmt)
+      .option("startingTimestamp", ts1.toString).load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", tmp("graft-seg-startts-cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == (10L until 20L),
+      "v1's own stamp must deliver exactly v1's rows (inclusive contract)")
+    // a timestamp before every commit replays the whole retained table
+    val out2 = tmp("graft-seg-startts-out2")
+    val q2 = spark.readStream.format(Fmt)
+      .option("startingTimestamp", (ts1 - 3600000).toString).load(dir)
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", tmp("graft-seg-startts-cp2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out2).count() == 20)
+    // the two start knobs contradict: refuse at build
+    val qBad = spark.readStream.format(Fmt)
+      .option("startingOffsets", "latest")
+      .option("startingTimestamp", ts1.toString).load(dir)
+      .writeStream.format("noop").start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.awaitTermination(120000)
+    }
+  }
+
   test("latestOffset honors the ReadLimit argument over the constructor option") {
     val dir = tmp("graft-seg-readlimit")
     import spark.implicits._
