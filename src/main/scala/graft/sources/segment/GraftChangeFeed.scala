@@ -166,12 +166,25 @@ class GraftChangeFeedTable(root: String, tableSchema: StructType)
         override def description(): String = s"graft-segment change feed $root"
         override def toBatch: Batch = this
 
+        // startingVersion, or its wall-clock twin startingTimestamp
+        // (epoch millis, inclusive — bound against the same monotonized
+        // commit stamps as TIMESTAMP AS OF); exclusive
+        private def startFrom(): Option[Long] = {
+          val sv = Option(options.get("startingVersion")).map(_.toLong - 1)
+          val st = Option(options.get("startingTimestamp"))
+            .map(t => SegmentLog.versionStartAtTimestamp(fs, root, t.toLong))
+          require(sv.isEmpty || st.isEmpty,
+            "startingVersion and startingTimestamp are exclusive")
+          sv.orElse(st)
+        }
+
         override def planInputPartitions(): Array[InputPartition] = {
           val cur = SegmentLog.read(fs, root).getOrElse(
             throw new IllegalArgumentException(s"no graft-segment table at $root"))
-          val from = Option(options.get("startingVersion")).map(_.toLong - 1).getOrElse(
+          val from = startFrom().getOrElse(
             throw new IllegalArgumentException(
-              "batch change-feed reads need startingVersion (streaming defaults to 'now')"))
+              "batch change-feed reads need startingVersion or startingTimestamp " +
+                "(streaming defaults to 'now')"))
           val to = Option(options.get("endingVersion")).map(_.toLong).getOrElse(cur.version)
           GraftChangeFeed.changedSegments(fs, root, cur, math.max(from, -1L), to)
             .map(GraftChangeFeed.toPartition(root, tableSchema)).toArray
@@ -183,7 +196,7 @@ class GraftChangeFeedTable(root: String, tableSchema: StructType)
 
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangeFeedStream(root, tableSchema, conf,
-            Option(options.get("startingVersion")).map(_.toLong),
+            startFrom().map(_ + 1),
             Option(options.get("maxVersionsPerTrigger")).map(_.toInt).map { n =>
               require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"); n
             })

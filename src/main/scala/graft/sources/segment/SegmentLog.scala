@@ -856,6 +856,32 @@ object SegmentLog {
         "use VERSION AS OF <manifest version>; new commits are stamped")
   }
 
+  /** CHANGE-FEED `startingTimestamp` binding: the version BEFORE the
+    * earliest retained version stamped at or after `tsMillis` — feed
+    * offsets are highest-version-consumed, so consuming from here
+    * yields every change committed at or after t (inclusive, Delta's
+    * CDF contract). No retained version qualifies → the latest version
+    * (only future commits can be ≥ t). */
+  def versionStartAtTimestamp(fs: FileSystem, root: String, tsMillis: Long): Long = {
+    val versions = liveVersions(fs, root).sorted
+    require(versions.nonEmpty, s"no graft-segment table at $root")
+    var bind = -2L
+    var anyStamped = false
+    versions.foreach { v =>
+      try {
+        val m = readVersion(fs, root, v)
+        if (m.ts >= 0) {
+          anyStamped = true
+          if (bind == -2L && m.ts >= tsMillis) bind = v
+        }
+      } catch { case _: IllegalArgumentException => () }
+    }
+    require(anyStamped,
+      s"the retained manifests of $root predate commit timestamps — " +
+        "use startingVersion; new commits are stamped")
+    if (bind == -2L) latestVersion(fs, root) else bind - 1
+  }
+
   /** Streaming `startingTimestamp` binding: one past the id high-water
     * mark of the newest retained version stamped BEFORE `tsMillis`, so
     * ids committed at versions with ts ≥ t flow (Delta's inclusive

@@ -1668,6 +1668,36 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(files.size == 1, "every acknowledged-deleted id in range must skip")
   }
 
+  test("change feed startingTimestamp binds inclusively on commit stamps") {
+    val dir = tmp("graft-seg-cdfts")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    put(0 until 10) // v0
+    put(10 until 20) // v1
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val ts1 = SegmentLog.read(fs, dir).get.ts
+    new graft.sources.segment.GraftSegmentTable(dir, SegmentLog.read(fs, dir).get.schema)
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L))) // v2: drops v1's segment
+    val feed = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .option("startingTimestamp", ts1.toString).load(dir)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    // changes at or after v1's stamp: v1's inserts and v2's deletes —
+    // v0 predates t and is excluded
+    assert(feed.toSeq ==
+      ((10L until 20L).map(i => (i, "delete", 2L)) ++
+        (10L until 20L).map(i => (i, "insert", 1L))).sorted)
+    intercept[Exception] {
+      spark.read.format(Fmt).option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", ts1.toString).load(dir).collect()
+    }
+  }
+
   test("startingTimestamp binds the stream start; exclusive with startingOffsets") {
     val dir = tmp("graft-seg-startts")
     import spark.implicits._
