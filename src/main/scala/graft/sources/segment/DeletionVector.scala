@@ -75,17 +75,14 @@ object DeletionVector {
 
   // decoded-vector cache: every task reading a DV'd segment (and every
   // query over the same snapshot) probes the same bitmap — decode each
-  // file once per JVM. Bounded by wholesale clear, like the bloom
-  // cache: ~128 KB × 1k entries ≈ 128 MB worst case, typical far less.
-  private val decoded = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-  private val MaxCached = 1000
+  // file once per JVM. LRU-bounded ([[DecodeCache]]): ~128 KB × 1k
+  // entries ≈ 128 MB worst case, typical far less, and a scan over
+  // cap+1 segments evicts one entry, not the whole working set.
+  private val decoded = new DecodeCache[Array[Long]](1000)
 
-  def read(fs: FileSystem, path: Path): Array[Long] = {
-    val key = path.toString
-    val hit = decoded.get(key)
-    if (hit != null) return hit
-    val in = new DataInputStream(new BufferedInputStream(fs.open(path), 1 << 16))
-    val bits =
+  def read(fs: FileSystem, path: Path): Array[Long] =
+    decoded.getOrElseUpdate(path.toString) {
+      val in = new DataInputStream(new BufferedInputStream(fs.open(path), 1 << 16))
       try {
         in.readLong() // cardinality header (readable without the bitmap)
         val words = in.readInt()
@@ -94,8 +91,5 @@ object DeletionVector {
         while (i < words) { b(i) = in.readLong(); i += 1 }
         b
       } finally in.close()
-    if (decoded.size() >= MaxCached) decoded.clear()
-    decoded.put(key, bits)
-    bits
-  }
+    }
 }

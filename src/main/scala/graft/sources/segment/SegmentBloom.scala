@@ -121,20 +121,16 @@ object SegmentBloom {
   // decoded-filter cache: planning tests one segment-column's bloom
   // against several literals (every In value, every query over the
   // same snapshot) — decode each base64 payload once, not per probe.
-  // Bounded by wholesale clear: blooms are ~1 KB, 10k entries ≈ 10 MB.
-  private val decoded = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-  private val MaxCached = 10000
+  // LRU-bounded ([[DecodeCache]]): blooms are ~1 KB, 10k entries ≈
+  // 10 MB, eviction is per-entry rather than wholesale.
+  private val decoded = new DecodeCache[Array[Long]](10000)
 
-  def decode(b64: String): Array[Long] = {
-    val hit = decoded.get(b64)
-    if (hit != null) return hit
+  def decode(b64: String): Array[Long] = decoded.getOrElseUpdate(b64) {
     val bytes = java.util.Base64.getDecoder.decode(b64)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val bits = new Array[Long](bytes.length / 8)
     var j = 0
     while (j < bits.length) { bits(j) = bb.getLong(); j += 1 }
-    if (decoded.size() >= MaxCached) decoded.clear()
-    decoded.put(b64, bits)
     bits
   }
 
