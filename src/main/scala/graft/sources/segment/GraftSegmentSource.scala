@@ -140,6 +140,18 @@ object GraftSegmentSource {
       c.getReadLimits.toSeq.flatMap(maxFilesOf).reduceOption(math.min)
     case _ => None
   }
+
+  /** The per-trigger ROW cap a [[ReadLimit]] carries, if any — the
+    * append source sizes its id range so admitted segments' live rows
+    * fit (best-effort: at least one segment always admits, Spark's
+    * admission-control progress contract). */
+  def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      Some(r.maxRows(): Long)
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxRowsOf).reduceOption((a, b) => math.min(a, b))
+    case _ => None
+  }
 }
 
 /** Scan metrics surfaced into the Spark SQL UI node (the operator's
@@ -602,6 +614,9 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
           require(t.isEmpty || options.get("startingOffsets") == null,
             "startingOffsets and startingTimestamp are exclusive")
           t
+        },
+        maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong).map { n =>
+          require(n > 0, s"maxRowsPerTrigger must be positive, got $n"); n
         })
   }
 }
@@ -622,7 +637,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     topN: Option[(String, Boolean, Int)] = None,
     startLatest: Boolean = false,
     skipChangeCommits: Boolean = false,
-    startTimestamp: Option[Long] = None)
+    startTimestamp: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -830,7 +846,7 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger,
-      pushed, startLatest, skipChangeCommits, startTimestamp)
+      pushed, startLatest, skipChangeCommits, startTimestamp, maxRowsPerTrigger)
 }
 
 // not sealed: the change feed's partition type lives in its own file
@@ -1066,7 +1082,8 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     pushed: Array[Filter] = Array.empty,
     startLatest: Boolean = false,
     skipChangeCommits: Boolean = false,
-    startTimestamp: Option[Long] = None)
+    startTimestamp: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def fs = SegmentLog.fs(root, conf.value)
@@ -1105,8 +1122,15 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
 
   override def deserializeOffset(json: String): Offset = GraftOffset.parse(json)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(Offset, ReadLimit)")
@@ -1122,9 +1146,32 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     // limit Spark passes back is getDefaultReadLimit, but available-now
     // wrapping and composite limits are the engine's prerogative —
     // re-deriving from the option would silently diverge from them.
-    val capped = GraftSegmentSource.maxFilesOf(limit) match {
+    val fileCapped = GraftSegmentSource.maxFilesOf(limit) match {
       case Some(n) => math.min(avail, s.nextId + n)
       case None => avail
+    }
+    // ROW cap: size the id range so admitted LIVE dataChange segments'
+    // rows fit the budget — manifest-only and best-effort (historical
+    // resurrection in the range is not pre-counted; at least one
+    // segment always admits, the progress contract). Stops AT the
+    // first over-budget segment's id so it heads the next trigger.
+    val capped = GraftSegmentSource.maxRowsOf(limit) match {
+      case Some(mr) =>
+        val inRange = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
+          .filter(seg => seg.dataChange && seg.id >= s.nextId && seg.id < fileCapped)
+          .sortBy(_.id)
+        var end = fileCapped
+        var acc = 0L
+        var admitted = 0
+        val it = inRange.iterator
+        var stop = false
+        while (it.hasNext && !stop) {
+          val seg = it.next()
+          if (admitted > 0 && acc + seg.liveRows > mr) { end = seg.id; stop = true }
+          else { acc += seg.liveRows; admitted += 1 }
+        }
+        end
+      case None => fileCapped
     }
     GraftOffset(math.max(s.nextId, capped), s.ack, s.initMax)
   }

@@ -76,13 +76,26 @@ object SegmentCodec {
       out.writeInt(b.length); out.write(b)
     case ArrayType(et, _) =>
       val arr = row.getArray(ordinal)
-      out.writeInt(arr.numElements())
+      val n = arr.numElements()
+      // elements store DENSELY non-null: an UnsafeArrayData null slot
+      // reads as 0 on the primitive getters, so writing one through
+      // would be SILENT corruption — refuse loudly instead (whole-array
+      // null is fine; it takes the column's null marker)
       var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"graft-segment stores array elements densely non-null; " +
+            s"null element at index $i — filter or coalesce array " +
+            "elements before writing (a NULL array as a whole is fine)")
+        i += 1
+      }
+      out.writeInt(n)
+      i = 0
       et match {
-        case IntegerType => while (i < arr.numElements()) { out.writeInt(arr.getInt(i)); i += 1 }
-        case LongType => while (i < arr.numElements()) { out.writeLong(arr.getLong(i)); i += 1 }
-        case FloatType => while (i < arr.numElements()) { out.writeFloat(arr.getFloat(i)); i += 1 }
-        case DoubleType => while (i < arr.numElements()) { out.writeDouble(arr.getDouble(i)); i += 1 }
+        case IntegerType => while (i < n) { out.writeInt(arr.getInt(i)); i += 1 }
+        case LongType => while (i < n) { out.writeLong(arr.getLong(i)); i += 1 }
+        case FloatType => while (i < n) { out.writeFloat(arr.getFloat(i)); i += 1 }
+        case DoubleType => while (i < n) { out.writeDouble(arr.getDouble(i)); i += 1 }
         case other => throw new IllegalArgumentException(s"unsupported array element $other")
       }
     case other => throw new IllegalArgumentException(s"unsupported type $other")

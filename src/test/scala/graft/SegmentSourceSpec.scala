@@ -1735,6 +1735,41 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("maxRowsPerTrigger sizes batches by live rows with the progress guarantee") {
+    val dir = tmp("graft-seg-maxrows")
+    import spark.implicits._
+    (0 until 4).foreach(i => (i * 10 until (i + 1) * 10).map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir))
+    val schema = spark.read.format(Fmt).load(dir).schema
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val conf = new graft.sources.segment.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val stream = new graft.sources.segment.GraftMicroBatchStream(dir, schema, schema,
+      conf, None)
+    def next(limit: ReadLimit): Long =
+      stream.latestOffset(graft.sources.segment.GraftOffset(0L), limit)
+        .asInstanceOf[graft.sources.segment.GraftOffset].nextId
+    assert(next(ReadLimit.maxRows(25L)) == 2, "two 10-row segments fit 25, a third doesn't")
+    assert(next(ReadLimit.maxRows(5L)) == 1, "an over-budget FIRST segment still admits")
+    assert(next(ReadLimit.maxRows(100L)) == 4)
+    assert(next(ReadLimit.compositeLimit(Array(
+      ReadLimit.maxRows(100L), ReadLimit.maxFiles(3)))) == 3,
+      "the tighter leg of a composite wins")
+    // the option seeds getDefaultReadLimit
+    val s2 = new graft.sources.segment.GraftMicroBatchStream(dir, schema, schema,
+      conf, None, maxRowsPerTrigger = Some(15L))
+    assert(s2.latestOffset(graft.sources.segment.GraftOffset(0L), s2.getDefaultReadLimit)
+      .asInstanceOf[graft.sources.segment.GraftOffset].nextId == 1)
+    // end-to-end: the capped stream still drains everything
+    val out = tmp("graft-seg-maxrows-out")
+    val q = spark.readStream.format(Fmt).option("maxRowsPerTrigger", "15").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", tmp("graft-seg-maxrows-cp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 40)
+  }
+
   test("latestOffset honors the ReadLimit argument over the constructor option") {
     val dir = tmp("graft-seg-readlimit")
     import spark.implicits._
@@ -1765,6 +1800,27 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .asInstanceOf[graft.sources.segment.GraftCdfOffset].version
     assert(nextV(ReadLimit.maxFiles(2)) == 1L)
     assert(nextV(ReadLimit.allAvailable()) == 3L)
+  }
+
+  test("a null ARRAY ELEMENT is refused loudly, never silently written as 0") {
+    val dir = tmp("graft-seg-nullarr")
+    import spark.implicits._
+    val bad = spark.range(0, 5).select(col("id"),
+      array(col("id").cast("float"),
+        when(col("id") === 3, lit(null).cast("float"))
+          .otherwise((col("id") + 1).cast("float"))).as("vec"))
+    val e = intercept[Exception] { bad.write.format(Fmt).mode("append").save(dir) }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(e).contains("densely non-null"),
+      s"want the dense-non-null refusal, got: ${messages(e).take(300)}")
+    // a whole-array NULL rides the column's null marker as before
+    val ok = spark.range(0, 5).select(col("id"),
+      when(col("id") === 3, lit(null).cast("array<float>"))
+        .otherwise(array(col("id").cast("float"))).as("vec"))
+    ok.write.format(Fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(Fmt).load(dir).orderBy("id").collect()
+    assert(back(3).isNullAt(1) && back(2).getSeq[Float](1) == Seq(2f))
   }
 
   test("properties() reads the manifest once per table instance") {
