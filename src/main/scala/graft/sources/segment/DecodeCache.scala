@@ -12,7 +12,7 @@ package graft.sources.segment
   * must not serialize every other task's cache hit); a racing
   * duplicate load is benign (identical value, last put wins).
   */
-private[segment] final class DecodeCache[V <: AnyRef](maxEntries: Int) {
+private[graft] final class DecodeCache[V <: AnyRef](maxEntries: Int) {
   private val map = new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
       size() > maxEntries
@@ -31,5 +31,5 @@ private[segment] final class DecodeCache[V <: AnyRef](maxEntries: Int) {
     }
   }
 
-  private[segment] def size: Int = map.synchronized(map.size())
+  private[graft] def size: Int = map.synchronized(map.size())
 }

@@ -1150,15 +1150,22 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
       case Some(n) => math.min(avail, s.nextId + n)
       case None => avail
     }
-    // ROW cap: size the id range so admitted LIVE dataChange segments'
-    // rows fit the budget — manifest-only and best-effort (historical
+    // ROW cap: size the id range so admitted LIVE segments' rows fit
+    // the budget — manifest-only and best-effort (historical
     // resurrection in the range is not pre-counted; at least one
     // segment always admits, the progress contract). Stops AT the
     // first over-budget segment's id so it heads the next trigger.
+    // Counted: dataChange segments AND snapshot carriers (live
+    // dataChange=false at/below the truncate watermark — they deliver
+    // to fresh streams); post-snapshot compaction output is skipped at
+    // delivery and costs nothing here either.
     val capped = GraftSegmentSource.maxRowsOf(limit) match {
       case Some(mr) =>
-        val inRange = SegmentLog.read(fs, root).map(_.segments).getOrElse(Nil)
-          .filter(seg => seg.dataChange && seg.id >= s.nextId && seg.id < fileCapped)
+        val mOpt = SegmentLog.read(fs, root)
+        val tw = mOpt.map(_.truncateWatermark).getOrElse(-1L)
+        val inRange = mOpt.map(_.segments).getOrElse(Nil)
+          .filter(seg => (seg.dataChange || seg.id <= tw) &&
+            seg.id >= s.nextId && seg.id < fileCapped)
           .sortBy(_.id)
         var end = fileCapped
         var acc = 0L

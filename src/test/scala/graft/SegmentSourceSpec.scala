@@ -1802,6 +1802,21 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nextV(ReadLimit.allAvailable()) == 3L)
   }
 
+  test("DecodeCache evicts the least-recently-used entry, not the working set") {
+    val c = new graft.sources.segment.DecodeCache[String](2)
+    var loads = 0
+    def get(k: String): String = c.getOrElseUpdate(k) { loads += 1; k.toUpperCase }
+    assert(get("a") == "A" && get("b") == "B" && loads == 2)
+    get("a") // refresh a's recency
+    get("c") // at capacity: evicts b (LRU), never clears wholesale
+    assert(loads == 3)
+    get("a") // still cached
+    assert(loads == 3)
+    get("b") // evicted → reloads
+    assert(loads == 4)
+    assert(c.size == 2)
+  }
+
   test("a null ARRAY ELEMENT is refused loudly, never silently written as 0") {
     val dir = tmp("graft-seg-nullarr")
     import spark.implicits._
