@@ -1136,7 +1136,12 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     throw new UnsupportedOperationException("use latestOffset(Offset, ReadLimit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = frozen.getOrElse(currentEnd())
+    // ONE manifest read per trigger, shared by the availability probe
+    // and the row-cap budget below — two reads would both double the
+    // per-trigger round trips and let the admitted range derive from
+    // mixed snapshots
+    lazy val mNow = SegmentLog.read(fs, root)
+    val avail = frozen.getOrElse(mNow.map(_.maxSegmentId + 1).getOrElse(0L))
     val s = start.asInstanceOf[GraftOffset]
     // ids are dense, so an id-range cap IS a segment-count cap (a
     // batch may deliver fewer when the range holds compaction output
@@ -1161,7 +1166,7 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     // delivery and costs nothing here either.
     val capped = GraftSegmentSource.maxRowsOf(limit) match {
       case Some(mr) =>
-        val mOpt = SegmentLog.read(fs, root)
+        val mOpt = mNow
         val tw = mOpt.map(_.truncateWatermark).getOrElse(-1L)
         val inRange = mOpt.map(_.segments).getOrElse(Nil)
           .filter(seg => (seg.dataChange || seg.id <= tw) &&
@@ -1294,6 +1299,12 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
       else try viewAt(so.ack, m)._1
       catch { case _: IllegalStateException => -1L }
     def carrierOk(id: Long): Boolean = !skipChangeCommits || id <= initSnapMax
+    // the ack view — or its expiry — resolved ONCE per batch: a range
+    // holding thousands of absent pre-watermark ids must not re-open
+    // the missing manifest file per id
+    lazy val ackView: Either[IllegalStateException, Map[Long, SegmentMeta]] =
+      try Right(viewAt(ackV, m)._2)
+      catch { case e: IllegalStateException => Left(e) }
     val resolved = (from until to).flatMap { id =>
       live.get(id) match {
         case Some(s) =>
@@ -1314,10 +1325,10 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
           // compacted history stay the hard failure — their rows may
           // live on in a carrier this stream would otherwise skip, and
           // only the expired manifest could tell.
-          try viewAt(ackV, m)._2.get(id).filter(s => s.dataChange || carrierOk(id))
-          catch {
-            case _: IllegalStateException if id > m.compactedThrough => None
-            case e: IllegalStateException => throw new IllegalStateException(
+          ackView match {
+            case Right(view) => view.get(id).filter(s => s.dataChange || carrierOk(id))
+            case Left(_) if id > m.compactedThrough => None
+            case Left(e) => throw new IllegalStateException(
               s"segment id $id predates the acknowledged truncate of $root, and " +
                 s"history was expired past this stream's snapshot (manifest " +
                 s"version $ackV is gone); the id falls within compacted history " +

@@ -80,22 +80,25 @@ object SegmentCodec {
       // elements store DENSELY non-null: an UnsafeArrayData null slot
       // reads as 0 on the primitive getters, so writing one through
       // would be SILENT corruption — refuse loudly instead (whole-array
-      // null is fine; it takes the column's null marker)
-      var i = 0
-      while (i < n) {
-        if (arr.isNullAt(i)) throw new IllegalArgumentException(
-          s"graft-segment stores array elements densely non-null; " +
-            s"null element at index $i — filter or coalesce array " +
-            "elements before writing (a NULL array as a whole is fine)")
-        i += 1
-      }
+      // null is fine; it takes the column's null marker). Checked
+      // inside the write loop: an exception mid-file aborts the
+      // uncommitted segment either way (invisible until the manifest
+      // references it), so no pre-pass is needed.
+      def nullElement(i: Int): Nothing = throw new IllegalArgumentException(
+        s"graft-segment stores array elements densely non-null; " +
+          s"null element at index $i — filter or coalesce array " +
+          "elements before writing (a NULL array as a whole is fine)")
       out.writeInt(n)
-      i = 0
+      var i = 0
       et match {
-        case IntegerType => while (i < n) { out.writeInt(arr.getInt(i)); i += 1 }
-        case LongType => while (i < n) { out.writeLong(arr.getLong(i)); i += 1 }
-        case FloatType => while (i < n) { out.writeFloat(arr.getFloat(i)); i += 1 }
-        case DoubleType => while (i < n) { out.writeDouble(arr.getDouble(i)); i += 1 }
+        case IntegerType => while (i < n) {
+          if (arr.isNullAt(i)) nullElement(i); out.writeInt(arr.getInt(i)); i += 1 }
+        case LongType => while (i < n) {
+          if (arr.isNullAt(i)) nullElement(i); out.writeLong(arr.getLong(i)); i += 1 }
+        case FloatType => while (i < n) {
+          if (arr.isNullAt(i)) nullElement(i); out.writeFloat(arr.getFloat(i)); i += 1 }
+        case DoubleType => while (i < n) {
+          if (arr.isNullAt(i)) nullElement(i); out.writeDouble(arr.getDouble(i)); i += 1 }
         case other => throw new IllegalArgumentException(s"unsupported array element $other")
       }
     case other => throw new IllegalArgumentException(s"unsupported type $other")

@@ -822,32 +822,50 @@ object SegmentLog {
   private def commitTimestamp(current: Option[Manifest]): Long =
     math.max(System.currentTimeMillis(), current.map(_.ts).getOrElse(-1L) + 1)
 
-  /** `TIMESTAMP AS OF` binding: the newest RETAINED version whose
-    * commit timestamp is ≤ `tsMillis`. Driver-side, O(retained
-    * versions) manifest reads — the price of binding time, paid once
-    * per query at planning. A timestamp older than the oldest retained
-    * stamped commit fails (that history is expired or never stamped);
-    * a table whose retained manifests all predate commit timestamps
-    * refuses with the VERSION AS OF fallback. A future timestamp binds
-    * to the latest version (the table as of then IS the latest). */
-  def versionAtTimestamp(fs: FileSystem, root: String, tsMillis: Long): Long = {
+  /** Ascending scan over retained STAMPED manifests; `visit` returns
+    * false to stop (commit stamps ascend with version — the
+    * monotonization invariant — so every timestamp binder stops at its
+    * boundary instead of parsing the whole retained log). A version a
+    * concurrent expire removes mid-scan is skipped — that only shrinks
+    * the candidate set. Returns whether any stamped manifest was seen
+    * before stopping; requires a live table (the binders' shared
+    * no-table guard — a `startingTimestamp` over a not-yet-created
+    * table must say so, not misdiagnose missing stamps). */
+  private def scanStamped(fs: FileSystem, root: String)(
+      visit: Manifest => Boolean): Boolean = {
     val versions = liveVersions(fs, root).sorted
     require(versions.nonEmpty, s"no graft-segment table at $root")
-    var best = -1L
-    var oldestStamped = -1L
-    versions.foreach { v =>
-      // a concurrent expire can remove a version mid-scan: skip it —
-      // that only shrinks the candidate set
+    var any = false
+    var go = true
+    val it = versions.iterator
+    while (go && it.hasNext) {
+      val v = it.next()
       try {
         val m = readVersion(fs, root, v)
-        if (m.ts >= 0) {
-          if (oldestStamped < 0) oldestStamped = m.ts
-          if (m.ts <= tsMillis) best = v // ts ascends with version
-        }
+        if (m.ts >= 0) { any = true; go = visit(m) }
       } catch { case _: IllegalArgumentException => () }
     }
+    any
+  }
+
+  /** `TIMESTAMP AS OF` binding: the newest RETAINED version whose
+    * commit timestamp is ≤ `tsMillis`. Driver-side, at most one
+    * manifest read past the boundary — the price of binding time, paid
+    * once per query at planning. A timestamp older than the oldest
+    * retained stamped commit fails (that history is expired or never
+    * stamped); a table whose retained manifests all predate commit
+    * timestamps refuses with the VERSION AS OF fallback. A future
+    * timestamp binds to the latest version (the table as of then IS
+    * the latest). */
+  def versionAtTimestamp(fs: FileSystem, root: String, tsMillis: Long): Long = {
+    var best = -1L
+    var oldestStamped = -1L
+    val any = scanStamped(fs, root) { m =>
+      if (oldestStamped < 0) oldestStamped = m.ts
+      if (m.ts <= tsMillis) { best = m.version; true } else false
+    }
     if (best >= 0) best
-    else if (oldestStamped >= 0) throw new IllegalArgumentException(
+    else if (any) throw new IllegalArgumentException(
       s"TIMESTAMP AS OF $tsMillis precedes the oldest retained commit of $root " +
         s"(timestamp $oldestStamped) — that history is expired; use a later " +
         "timestamp or VERSION AS OF a retained version")
@@ -856,29 +874,24 @@ object SegmentLog {
         "use VERSION AS OF <manifest version>; new commits are stamped")
   }
 
+  private def requireStamped(any: Boolean, root: String, fallback: String): Unit =
+    require(any,
+      s"the retained manifests of $root predate commit timestamps — " +
+        s"use $fallback; new commits are stamped")
+
   /** CHANGE-FEED `startingTimestamp` binding: the version BEFORE the
     * earliest retained version stamped at or after `tsMillis` — feed
     * offsets are highest-version-consumed, so consuming from here
     * yields every change committed at or after t (inclusive, Delta's
     * CDF contract). No retained version qualifies → the latest version
-    * (only future commits can be ≥ t). */
+    * (only future commits can be ≥ t). Stops at the first qualifying
+    * stamp. */
   def versionStartAtTimestamp(fs: FileSystem, root: String, tsMillis: Long): Long = {
-    val versions = liveVersions(fs, root).sorted
-    require(versions.nonEmpty, s"no graft-segment table at $root")
     var bind = -2L
-    var anyStamped = false
-    versions.foreach { v =>
-      try {
-        val m = readVersion(fs, root, v)
-        if (m.ts >= 0) {
-          anyStamped = true
-          if (bind == -2L && m.ts >= tsMillis) bind = v
-        }
-      } catch { case _: IllegalArgumentException => () }
+    val any = scanStamped(fs, root) { m =>
+      if (m.ts >= tsMillis) { bind = m.version; false } else true
     }
-    require(anyStamped,
-      s"the retained manifests of $root predate commit timestamps — " +
-        "use startingVersion; new commits are stamped")
+    requireStamped(any, root, "startingVersion")
     if (bind == -2L) latestVersion(fs, root) else bind - 1
   }
 
@@ -888,24 +901,14 @@ object SegmentLog {
     * startingTimestamp contract). t before every stamped retained
     * version → 0 (the whole retained table — the best-effort superset
     * when t predates retention); t after the newest → its high-water
-    * mark + 1 (the startingOffsets=latest shape). Driver-side,
-    * O(retained versions), once at stream init. */
+    * mark + 1 (the startingOffsets=latest shape). Driver-side, once at
+    * stream init; stops at the first stamp ≥ t. */
   def idStartAtTimestamp(fs: FileSystem, root: String, tsMillis: Long): Long = {
-    val versions = liveVersions(fs, root).sorted
     var hwm = -1L
-    var anyStamped = false
-    versions.foreach { v =>
-      try {
-        val m = readVersion(fs, root, v)
-        if (m.ts >= 0) {
-          anyStamped = true
-          if (m.ts < tsMillis) hwm = m.maxSegmentId
-        }
-      } catch { case _: IllegalArgumentException => () } // expired mid-scan
+    val any = scanStamped(fs, root) { m =>
+      if (m.ts < tsMillis) { hwm = m.maxSegmentId; true } else false
     }
-    require(anyStamped,
-      s"the retained manifests of $root predate commit timestamps — " +
-        "use startingOffsets (earliest|latest); new commits are stamped")
+    requireStamped(any, root, "startingOffsets (earliest|latest)")
     hwm + 1
   }
 
