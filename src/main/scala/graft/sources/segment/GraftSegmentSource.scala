@@ -152,6 +152,17 @@ object GraftSegmentSource {
       c.getReadLimits.toSeq.flatMap(maxRowsOf).reduceOption((a, b) => math.min(a, b))
     case _ => None
   }
+
+  /** The per-trigger BYTE cap a [[ReadLimit]] carries, if any — sized
+    * against segment FILE bytes from the manifest (same best-effort +
+    * progress contract as the row cap). */
+  def maxBytesOf(limit: ReadLimit): Option[Long] = limit match {
+    case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      Some(b.maxBytes(): Long)
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxBytesOf).reduceOption((a, b) => math.min(a, b))
+    case _ => None
+  }
 }
 
 /** Scan metrics surfaced into the Spark SQL UI node (the operator's
@@ -617,6 +628,9 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
         },
         maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong).map { n =>
           require(n > 0, s"maxRowsPerTrigger must be positive, got $n"); n
+        },
+        maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong).map { n =>
+          require(n > 0, s"maxBytesPerTrigger must be positive, got $n"); n
         })
   }
 }
@@ -638,7 +652,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     startLatest: Boolean = false,
     skipChangeCommits: Boolean = false,
     startTimestamp: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -846,7 +861,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger,
-      pushed, startLatest, skipChangeCommits, startTimestamp, maxRowsPerTrigger)
+      pushed, startLatest, skipChangeCommits, startTimestamp, maxRowsPerTrigger,
+      maxBytesPerTrigger)
 }
 
 // not sealed: the change feed's partition type lives in its own file
@@ -1083,7 +1099,8 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     startLatest: Boolean = false,
     skipChangeCommits: Boolean = false,
     startTimestamp: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def fs = SegmentLog.fs(root, conf.value)
@@ -1124,7 +1141,9 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
-      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
+      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq ++
+      maxBytesPerTrigger.map(n =>
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxBytes(n)).toSeq
     limits match {
       case Nil => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -1155,17 +1174,21 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
       case Some(n) => math.min(avail, s.nextId + n)
       case None => avail
     }
-    // ROW cap: size the id range so admitted LIVE segments' rows fit
-    // the budget — manifest-only and best-effort (historical
-    // resurrection in the range is not pre-counted; at least one
-    // segment always admits, the progress contract). Stops AT the
-    // first over-budget segment's id so it heads the next trigger.
-    // Counted: dataChange segments AND snapshot carriers (live
-    // dataChange=false at/below the truncate watermark — they deliver
-    // to fresh streams); post-snapshot compaction output is skipped at
-    // delivery and costs nothing here either.
-    val capped = GraftSegmentSource.maxRowsOf(limit) match {
-      case Some(mr) =>
+    // ROW / BYTE caps: size the id range so admitted LIVE segments'
+    // live rows and file bytes fit the budgets — manifest-only and
+    // best-effort (historical resurrection in the range is not
+    // pre-counted; at least one segment always admits, the progress
+    // contract). Stops AT the first over-budget segment's id so it
+    // heads the next trigger. Counted: dataChange segments AND
+    // snapshot carriers (live dataChange=false at/below the truncate
+    // watermark — they deliver to fresh streams); post-snapshot
+    // compaction output is skipped at delivery and costs nothing here
+    // either.
+    val rowCap = GraftSegmentSource.maxRowsOf(limit)
+    val byteCap = GraftSegmentSource.maxBytesOf(limit)
+    val capped =
+      if (rowCap.isEmpty && byteCap.isEmpty) fileCapped
+      else {
         val mOpt = mNow
         val tw = mOpt.map(_.truncateWatermark).getOrElse(-1L)
         val inRange = mOpt.map(_.segments).getOrElse(Nil)
@@ -1173,18 +1196,21 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
             seg.id >= s.nextId && seg.id < fileCapped)
           .sortBy(_.id)
         var end = fileCapped
-        var acc = 0L
+        var accRows = 0L
+        var accBytes = 0L
         var admitted = 0
         val it = inRange.iterator
         var stop = false
         while (it.hasNext && !stop) {
           val seg = it.next()
-          if (admitted > 0 && acc + seg.liveRows > mr) { end = seg.id; stop = true }
-          else { acc += seg.liveRows; admitted += 1 }
+          val over = admitted > 0 &&
+            (rowCap.exists(m => accRows + seg.liveRows > m) ||
+              byteCap.exists(m => accBytes + seg.bytes > m))
+          if (over) { end = seg.id; stop = true }
+          else { accRows += seg.liveRows; accBytes += seg.bytes; admitted += 1 }
         }
         end
-      case None => fileCapped
-    }
+      }
     GraftOffset(math.max(s.nextId, capped), s.ack, s.initMax)
   }
 

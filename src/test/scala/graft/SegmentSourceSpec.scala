@@ -1760,9 +1760,21 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       conf, None, maxRowsPerTrigger = Some(15L))
     assert(s2.latestOffset(graft.sources.segment.GraftOffset(0L), s2.getDefaultReadLimit)
       .asInstanceOf[graft.sources.segment.GraftOffset].nextId == 1)
+    // byte cap: each segment's manifest bytes bound the trigger the
+    // same way (2.5 segments' worth of budget admits exactly 2)
+    val segBytes = SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir)
+      .get.segments.map(_.bytes).max
+    assert(next(org.apache.spark.sql.connector.read.streaming.ReadLimit
+      .maxBytes(segBytes * 5 / 2)) == 2)
+    val s3 = new graft.sources.segment.GraftMicroBatchStream(dir, schema, schema,
+      conf, None, maxBytesPerTrigger = Some(1L)) // under one segment: progress
+    assert(s3.latestOffset(graft.sources.segment.GraftOffset(0L), s3.getDefaultReadLimit)
+      .asInstanceOf[graft.sources.segment.GraftOffset].nextId == 1)
     // end-to-end: the capped stream still drains everything
     val out = tmp("graft-seg-maxrows-out")
-    val q = spark.readStream.format(Fmt).option("maxRowsPerTrigger", "15").load(dir)
+    val q = spark.readStream.format(Fmt).option("maxRowsPerTrigger", "15")
+      .option("maxBytesPerTrigger", (segBytes * 10).toString).load(dir)
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", tmp("graft-seg-maxrows-cp"))
       .trigger(Trigger.AvailableNow()).start()
