@@ -1827,6 +1827,32 @@ object SparkEntry {
           .select(lit(snap).as("snap"), col("n_rows"), col("sum_cents"))
       }.reduce(_ unionByName _).orderBy(col("snap"))
     }),
+    // RESTORE / rollback recovery: build v0 (partial) → v1 (full) →
+    // v2 (merge-on-read DELETE), then CALL-style rollback to v1. The
+    // latest read must replay the FULL pre-delete table (phase 1), and
+    // history stays forward — `versionAsOf 2` still reads the deleted
+    // state across the rollback (phase 0). One metadata commit, no
+    // data rewritten at any table size (SegmentLog.rollback)
+    "store_segment_rollback" -> ((s, d) => withTempDir("graft-segrb") { base =>
+      val dir = s"$base/orders_seg"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      o.filter(col("o_orderkey") % 3 === 0).write.format("graft-segment")
+        .mode("append").save(dir) // version 0
+      o.filter(col("o_orderkey") % 3 =!= 0).write.format("graft-segment")
+        .mode("append").save(dir) // version 1
+      graft.sources.segment.GraftMaintenance.deleteMark(s, dir,
+        col("o_orderkey") % 5 === 0) // version 2: DV-marked DELETE
+      val (v, _, _) = graft.sources.segment.GraftMaintenance.rollback(s, dir, 1L)
+      assert(v == 3L, s"rollback committed version $v, expected 3")
+      val atV2 = s.read.format("graft-segment").option("versionAsOf", "2").load(dir)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(0).as("phase"), col("n_rows"), col("sum_cents"))
+      val restored = s.read.format("graft-segment").load(dir)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(1).as("phase"), col("n_rows"), col("sum_cents"))
+      atV2.unionByName(restored).orderBy(col("phase"))
+    }),
     // schema evolution on the read path: files written before a column
     // existed merge with later files, the missing column null-backfilled
     // (mergeSchema reconciles footers at planning time — at 100 TB pin
@@ -6001,6 +6027,17 @@ object SparkEntry {
         "SELECT 1 AS snap, count(*) AS n_rows, " +
         "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM orders ORDER BY snap"),
+
+    // phase 0: the rolled-back (deleted) snapshot, still readable via
+    // time travel; phase 1: the restored full table after rollback
+    "store_segment_rollback" ->
+      ("SELECT 0 AS phase, count(*) AS n_rows, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders WHERE o_orderkey % 5 <> 0 " +
+        "UNION ALL " +
+        "SELECT 1 AS phase, count(*) AS n_rows, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders ORDER BY phase"),
 
     // the segment log drained as a stream must reconstruct the table
     "stream_segment_source_counts" ->

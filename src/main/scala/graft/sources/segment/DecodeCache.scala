@@ -15,7 +15,7 @@ package graft.sources.segment
 private[graft] final class DecodeCache[V <: AnyRef](maxEntries: Int) {
   private val map = new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
-      size() > maxEntries
+      this.size() > maxEntries // the map's size, not the outer cache's accessor
   }
 
   def getOrElseUpdate(key: String)(load: => V): V = {

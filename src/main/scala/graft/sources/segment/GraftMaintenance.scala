@@ -536,4 +536,25 @@ object GraftMaintenance {
     }
     n
   }
+
+  /** [[SegmentLog.rollback]] plus the post-restore summary the CALL
+    * procedure reports: (new version, live segments, live rows). */
+  def rollback(spark: SparkSession, dir: String, toVersion: Long): (Long, Int, Long) = {
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val v = SegmentLog.rollback(fs, dir, toVersion)
+    val m = SegmentLog.readVersion(fs, dir, v)
+    (v, m.segments.size, m.segments.map(_.liveRows).sum)
+  }
+
+  /** Time-denominated [[rollback]]: restore the newest version
+    * committed at or before `tsMillis` ([[SegmentLog.versionAtTimestamp]]
+    * — the "undo everything since 14:00" recovery query). Returns the
+    * bound version alongside the summary. */
+  def rollbackToTimestamp(spark: SparkSession, dir: String,
+      tsMillis: Long): (Long, Long, Int, Long) = {
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val bound = SegmentLog.versionAtTimestamp(fs, dir, tsMillis)
+    val (v, nSeg, nRows) = rollback(spark, dir, bound)
+    (bound, v, nSeg, nRows)
+  }
 }

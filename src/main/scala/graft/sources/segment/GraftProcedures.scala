@@ -22,6 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.delete_mark('db.t', 'k % 7 = 0');    -- deletion-vector DELETE
   * CALL graft.system.compact_deletes('db.t');             -- materialize the vectors
   * CALL graft.system.update_mark('db.t', 'k = 7', 'v', 'v + 1'); -- merge-on-read UPDATE
+  * CALL graft.system.rollback('db.t', 3);                 -- RESTORE to version 3
+  * CALL graft.system.rollback_to_timestamp('db.t', 1755216000000); -- undo since t
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -195,6 +197,36 @@ object GraftProcedures {
               UTF8String.fromString(r.getString(5)), r.getLong(6), r.getLong(7),
               r.getLong(8), r.getLong(9)))
         }
+      case "rollback" =>
+        procedure("rollback",
+          Seq(param("table", StringType), param("version", LongType)),
+          StructType(Seq(
+            StructField("restored_version", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false),
+            StructField("n_segments", IntegerType, nullable = false),
+            StructField("n_rows", LongType, nullable = false)))) { (spark, in) =>
+          // RESTORE: one metadata commit re-installing the named
+          // version's state; history stays forward (time travel still
+          // reaches the rolled-back versions until expire)
+          val to = in.getLong(1)
+          val (v, nSeg, nRows) = GraftMaintenance.rollback(spark,
+            tableDir(warehouse, in.getUTF8String(0).toString), to)
+          Seq(row(to, v, nSeg, nRows))
+        }
+      case "rollback_to_timestamp" =>
+        procedure("rollback_to_timestamp",
+          Seq(param("table", StringType), param("ts_millis", LongType)),
+          StructType(Seq(
+            StructField("restored_version", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false),
+            StructField("n_segments", IntegerType, nullable = false),
+            StructField("n_rows", LongType, nullable = false)))) { (spark, in) =>
+          // "undo everything since t": bind t to the newest commit at
+          // or before it, then restore that version
+          val (bound, v, nSeg, nRows) = GraftMaintenance.rollbackToTimestamp(spark,
+            tableDir(warehouse, in.getUTF8String(0).toString), in.getLong(1))
+          Seq(row(bound, v, nSeg, nRows))
+        }
       case "history" =>
         procedure("history",
           Seq(param("table", StringType)),
@@ -215,5 +247,6 @@ object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
-      "delete_where", "delete_mark", "compact_deletes", "update_mark")
+      "delete_where", "delete_mark", "compact_deletes", "update_mark",
+      "rollback", "rollback_to_timestamp")
 }

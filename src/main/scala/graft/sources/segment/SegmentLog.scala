@@ -790,9 +790,10 @@ object SegmentLog {
       transforms: Seq[Manifest => Manifest], maxRetries: Int = 20): Long =
     alter(fs, root, maxRetries)(m => transforms.foldLeft(m)((acc, t) => t(acc)))
 
-  /** Optimistic schema-metadata commit: transform the live manifest,
-    * bump the version, claim the slot; segments/ids/watermarks pass
-    * through untouched. */
+  /** Optimistic manifest-transform commit: transform the live
+    * manifest, bump the version, claim the slot. Schema DDL passes
+    * segments/ids/watermarks through untouched; [[rollback]] restores
+    * them wholesale — each transform owns its own invariants. */
   private def alter(fs: FileSystem, root: String, maxRetries: Int)(
       f: Manifest => Manifest): Long = commitLock.synchronized {
     requireAtomicCreate(
@@ -810,6 +811,71 @@ object SegmentLog {
       attempt += 1
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** RESTORE / rollback (the Delta `RESTORE TABLE … TO VERSION AS OF` /
+    * Iceberg `rollback_to_snapshot` recovery primitive): commit a NEW
+    * version whose TABLE STATE — schema, live segments (with their
+    * deletion vectors), layout, column mapping, properties, and the
+    * streaming-sink txn ledger — is `toVersion`'s, verbatim. History
+    * stays forward-only: the rolled-back versions remain readable via
+    * `VERSION AS OF` until [[expire]]d, and the restore is itself just
+    * another commit (re-rollback "undoes" a rollback). Metadata-only at
+    * any table size — no data file is read, copied, or rewritten; the
+    * restored segments are the retained files `toVersion` already
+    * references (which [[vacuum]] keeps again once they are live).
+    *
+    * Monotonic fields are deliberately NOT restored: the version
+    * number advances and `maxSegmentId` keeps the current high-water
+    * mark, so segment ids are never reused — the stream-offset
+    * identity contract survives recovery. When the restore changes row
+    * visibility in any way (segments appear/vanish or a deletion
+    * vector moves) it is a DATA-CHANGING TRUNCATE to running streams:
+    * `truncateWatermark`/`truncateVersion` bump exactly as an
+    * overwrite's would, so a stream mid-way through rolled-back rows
+    * fails fast instead of delivering rows the table no longer has
+    * (and `txns` reverting with the data means a sink replaying from
+    * its checkpoint re-commits the rolled-back epochs instead of
+    * treating them as already applied). A pure metadata rollback
+    * (schema/props only) leaves stream watermarks untouched.
+    *
+    * Rolling back TO `latest` is a no-op (returns `latest`); a target
+    * above `latest` or below the oldest retained version fails loudly
+    * ([[readVersion]]'s expired-manifest error names the retention
+    * boundary). Reference recovery story: checkout's ops runbook is
+    * redrive-from-history (DLQ redrive + 24 h retention,
+    * reference iac/main.tf:15-25) — here the same "undo a bad deploy's
+    * writes" lands as one metadata commit. */
+  def rollback(fs: FileSystem, root: String, toVersion: Long,
+      maxRetries: Int = 20): Long = {
+    val latest = latestVersion(fs, root)
+    require(latest >= 0, s"no graft-segment table at $root")
+    require(toVersion >= 0 && toVersion <= latest,
+      s"rollback target $toVersion out of range: $root has versions [0, $latest]")
+    if (toVersion == latest) return latest // restoring the present: no-op
+    val target = readVersion(fs, root, toVersion) // expired target fails loudly here
+    alter(fs, root, maxRetries) { cur =>
+      // re-derived against the FRESH manifest on every claim attempt —
+      // a concurrent commit changes what the restore truncates over
+      val dataChanged =
+        cur.segments.map(s => (s.id, s.dv, s.dvRows)) !=
+          target.segments.map(s => (s.id, s.dv, s.dvRows))
+      cur.copy(
+        schema = target.schema,
+        segments = target.segments,
+        bucketing = target.bucketing,
+        physicalOf = target.physicalOf,
+        retiredSchema = target.retiredSchema,
+        props = target.props,
+        txns = target.txns,
+        compactedThrough =
+          if (dataChanged) target.compactedThrough else cur.compactedThrough,
+        truncateWatermark =
+          if (dataChanged) cur.maxSegmentId else cur.truncateWatermark,
+        truncateVersion =
+          if (dataChanged) cur.version + 1 else cur.truncateVersion)
+      // maxSegmentId inherited from `cur` via copy: ids are never reused
+    }
   }
 
   /** Commit wall-clock for the manifest being written: now, MONOTONIZED

@@ -1160,6 +1160,132 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("rollback restores a prior version's state wholesale; history stays forward") {
+    val dir = tmp("graft-seg-rollback")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    put(0 until 10) // v0, id 0
+    put(10 until 20) // v1, id 1
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir,
+      col("id") >= 15) // v2: DV-marked DELETE
+    assert(spark.read.format(Fmt).load(dir).count() == 15)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val (v, nSeg, nRows) = graft.sources.segment.GraftMaintenance.rollback(spark, dir, 1L)
+    assert((v, nSeg, nRows) == ((3L, 2, 20L)), s"got ($v, $nSeg, $nRows)")
+    // latest replays v1: the delete undone, no data file touched
+    assert(spark.read.format(Fmt).load(dir).as[Long].collect().sorted.toSeq ==
+      (0L until 20L))
+    // history stays FORWARD: the rolled-back snapshot is still reachable
+    assert(spark.read.format(Fmt).option("versionAsOf", "2").load(dir).count() == 15)
+    val m = SegmentLog.read(fs, dir).get
+    assert(m.version == 3 && m.maxSegmentId == 1, "ids are never reused")
+    assert(m.truncateVersion == 3 && m.truncateWatermark == 1,
+      "a visibility-changing restore is a data-changing truncate to streams")
+    // restoring the present is a no-op (no new commit)
+    assert(SegmentLog.rollback(fs, dir, 3L) == 3L)
+    assert(SegmentLog.latestVersion(fs, dir) == 3L)
+    // post-rollback appends take FRESH ids above the preserved high-water mark
+    put(20 until 30) // v4
+    assert(SegmentLog.read(fs, dir).get.segments.map(_.id).max == 2L)
+    // out-of-range targets fail loudly
+    val e = intercept[IllegalArgumentException] { SegmentLog.rollback(fs, dir, 99L) }
+    assert(e.getMessage.contains("out of range"))
+    // a rollback TARGET that was expired fails loudly, naming the boundary
+    graft.sources.segment.GraftMaintenance.expire(spark, dir, 2) // keeps v3, v4
+    val e2 = intercept[Exception] { SegmentLog.rollback(fs, dir, 0L) }
+    assert(e2.getMessage.contains("expired") || e2.getMessage.contains("manifest"),
+      s"got: ${e2.getMessage}")
+  }
+
+  test("rollback is a data-changing truncate to running streams; restart recovers") {
+    val dir = tmp("graft-seg-rbstream")
+    val ckpt = tmp("graft-seg-rbstream-ckpt")
+    val outDir = tmp("graft-seg-rbstream-out")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    def drain(ck: String, out: String): Option[Throwable] = {
+      val q = spark.readStream.format(Fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(120000); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+    put(0 until 10); put(10 until 20) // v0, v1
+    assert(drain(ckpt, outDir).isEmpty)
+    assert(spark.read.parquet(outDir).count() == 20)
+    // the stream DELIVERED ids rolled back below the new watermark —
+    // resuming must fail fast, not pretend those rows still exist
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    assert(SegmentLog.rollback(fs, dir, 0L) == 2L)
+    put(20 until 30) // v3: a next batch to trip on
+    val err = drain(ckpt, outDir)
+    assert(err.isDefined, "resuming across a rollback must fail the stream")
+    // a FRESH stream acknowledges the restore and reads the live state
+    val ckpt2 = tmp("graft-seg-rbstream-ckpt2")
+    val out2 = tmp("graft-seg-rbstream-out2")
+    assert(drain(ckpt2, out2).isEmpty)
+    assert(spark.read.parquet(out2).as[Long].collect().sorted.toSeq ==
+      ((0L until 10L) ++ (20L until 30L)))
+  }
+
+  test("rollback across a rename restores the old schema AND its column mapping") {
+    val dir = tmp("graft-seg-rbrename")
+    import spark.implicits._
+    (0L until 10L).map(i => (i, i * 3)).toDF("id", "v")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir) // v0
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    SegmentLog.renameColumn(fs, dir, "v", "w") // v1: metadata-only
+    assert(spark.read.format(Fmt).load(dir).columns.toSeq == Seq("id", "w"))
+    assert(SegmentLog.rollback(fs, dir, 0L) == 2L)
+    val m = SegmentLog.read(fs, dir).get
+    assert(m.truncateVersion == -1L,
+      "a pure metadata rollback must not truncate running streams")
+    // the restored logical name still maps to the frozen physical bytes
+    assert(spark.read.format(Fmt).load(dir).select("id", "v")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      (0L until 10L).map(i => (i, i * 3)))
+  }
+
+  test("CALL rollback / rollback_to_timestamp: RESTORE without leaving SQL") {
+    val wh = tmp("graft-rb-wh")
+    val cat = s"graft_rb_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT)") // v0
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id * 2 FROM range(0, 100)") // v1
+    val fs = SegmentLog.fs(wh, spark.sessionState.newHadoopConf())
+    val ts1 = SegmentLog.read(fs, s"$wh/db/t").get.ts
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id * 2 FROM range(100, 150)") // v2
+    spark.sql(s"DELETE FROM $cat.db.t WHERE k < 100") // v3
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 50)
+    // RESTORE to the pre-delete version by number
+    val r = spark.sql(s"CALL $cat.system.rollback('db.t', 2)").collect()(0)
+    assert(r.getAs[Long]("restored_version") == 2L)
+    assert(r.getAs[Long]("new_version") == 4L)
+    assert(r.getAs[Long]("n_rows") == 150L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 150)
+    // then "undo everything since t": binds to v1's stamp and restores it
+    val rt = spark.sql(
+      s"CALL $cat.system.rollback_to_timestamp('db.t', ${ts1}L)").collect()(0)
+    assert(rt.getAs[Long]("restored_version") == 1L)
+    assert(rt.getAs[Long]("new_version") == 5L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 100)
+    // the lifecycle composes: history shows the restores as commits
+    val kinds = spark.sql(s"CALL $cat.system.history('db.t')")
+      .collect().map(_.getString(1)).toSeq
+    assert(kinds.take(4) == Seq("create", "append", "append", "replace"))
+    assert(kinds.length == 6, s"two restore commits appended, got $kinds")
+  }
+
   test("TBLPROPERTIES bloomFor: plain INSERTs build blooms without restating options") {
     val wh = tmp("graft-bloomprop-wh")
     val cat = s"graft_bp_${System.nanoTime()}"
