@@ -51,10 +51,13 @@ object GraftChangeFeed {
       StructField(CommitVersionCol, LongType, nullable = false)))
 
   /** One changed segment in a feed range. `dvDeltaBase = Some(oldDv)`
-    * marks a BITMAP-DELTA delete: the segment survived the commit but
-    * its deletion vector grew — the deleted rows are `meta.dv ∖ oldDv`,
-    * read from the same file. Otherwise reads emit the meta's live
-    * rows (its own dv filters rows already dead before the change). */
+    * marks a BITMAP DELTA on a segment that survived the commit with a
+    * changed deletion vector: as a "delete" the emitted rows are
+    * `meta.dv ∖ oldDv` (merge-on-read deletes), as an "insert" they
+    * are `oldDv ∖ meta.dv` (rows RESURRECTED by a [[SegmentLog
+    * .rollback]] restoring an older, smaller vector) — both read from
+    * the same data file. Otherwise reads emit the meta's live rows
+    * (its own dv filters rows already dead before the change). */
   case class SegmentChange(meta: SegmentMeta, changeType: String, version: Long,
       dvDeltaBase: Option[Option[String]] = None)
 
@@ -67,6 +70,12 @@ object GraftChangeFeed {
     c.dvDeltaBase match {
       case None => GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
         c.changeType, c.version, dv = c.meta.dv.map(d => s"$root/$d"))
+      case Some(oldDv) if c.changeType == "insert" =>
+        // rollback resurrection: emit rows dead BEFORE but live AFTER
+        GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
+          c.changeType, c.version,
+          dv = c.meta.dv.map(d => s"$root/$d"), // rows STILL dead after
+          emitOnlyDv = oldDv.map(d => s"$root/$d")) // old ∖ new
       case Some(oldDv) => GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
         c.changeType, c.version,
         dv = oldDv.map(d => s"$root/$d"), // rows dead BEFORE the commit
@@ -79,7 +88,9 @@ object GraftChangeFeed {
     * across renames. Deletes are emitted for data-changing truncates
     * only — including DELETION-VECTOR growth on surviving segments
     * (merge-on-read deletes, emitted as the bitmap delta); compaction
-    * steps diff to nothing. */
+    * steps diff to nothing. A [[SegmentLog.rollback]] step emits its
+    * restores honestly: segments re-appearing under old ids and
+    * vector SHRINK both surface as inserts of the resurrected rows. */
   def changedSegments(fs: org.apache.hadoop.fs.FileSystem, root: String,
       current: Manifest, from: Long, to: Long): Seq[SegmentChange] = {
     def view(v: Long): Manifest =
@@ -92,7 +103,14 @@ object GraftChangeFeed {
       val cur = view(v)
       val prevIds = prev.segments.map(_.id).toSet
       val curIds = cur.segments.map(_.id).toSet
-      cur.segments.filter(s => !prevIds.contains(s.id) && s.dataChange)
+      // a dataChange=false segment appearing under a FRESH id is a
+      // compaction output (rows already emitted under its inputs —
+      // suppress); one re-appearing under an OLD id is a rollback
+      // resurrection of previously-removed rows — emit. Ids are dense
+      // and never reused, so `id ≤ prev.maxSegmentId` is exactly
+      // "existed before this step".
+      cur.segments.filter(s => !prevIds.contains(s.id) &&
+          (s.dataChange || s.id <= prev.maxSegmentId))
         .foreach(s => out += SegmentChange(s, "insert", v))
       val isCompaction = cur.compactedThrough > prev.compactedThrough
       if (!isCompaction) {
@@ -100,8 +118,17 @@ object GraftChangeFeed {
           .foreach(s => out += SegmentChange(s, "delete", v))
         val prevById = prev.segments.map(s => s.id -> s).toMap
         cur.segments.foreach(s => prevById.get(s.id).foreach { p =>
-          if (s.dv != p.dv)
-            out += SegmentChange(s, "delete", v, dvDeltaBase = Some(p.dv))
+          if (s.dv != p.dv) {
+            // within one segment id's lineage vectors only GROW; a
+            // rollback restores an ancestor (⊆). Cardinality picks the
+            // nonempty direction so the common merge-on-read delete
+            // never plans a provably-empty resurrection scan (and
+            // vice versa); on a tie both sides run, each sound.
+            if (s.dvRows >= p.dvRows)
+              out += SegmentChange(s, "delete", v, dvDeltaBase = Some(p.dv))
+            if (p.dv.nonEmpty && s.dvRows <= p.dvRows)
+              out += SegmentChange(s, "insert", v, dvDeltaBase = Some(p.dv))
+          }
         })
       }
       prev = cur

@@ -1253,6 +1253,49 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (0L until 10L).map(i => (i, i * 3)))
   }
 
+  test("change feed across a rollback emits the resurrections, not silence") {
+    val dir = tmp("graft-seg-rbcdc")
+    import spark.implicits._
+    def put(ids: Range): Unit = ids.map(_.toLong).toDF("id")
+      .coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir)
+    def feed(from: Long, to: Long): Seq[(Long, String, Long)] =
+      graft.sources.segment.GraftMaintenance.changes(spark, dir, from, to)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    put(0 until 10) // v0, id 0
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir,
+      col("id") >= 5) // v1: dv {5..9}
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    // DV SHRINK: rollback to v0 resurrects 5..9 — the feed must say so
+    assert(SegmentLog.rollback(fs, dir, 0L) == 2L)
+    assert(feed(1, 2) == (5L until 10L).map(i => (i, "insert", 2L)))
+    // and the whole range still reconstructs the table: v0 inserts,
+    // v1 dv-delta deletes, v2 dv-delta inserts
+    assert(feed(-1, 2) == ((0L until 10L).map(i => (i, "insert", 0L)) ++
+      (5L until 10L).map(i => (i, "delete", 1L)) ++
+      (5L until 10L).map(i => (i, "insert", 2L))).sorted)
+    // RE-APPEARING dataChange=false segment: compact (v3), rewrite-path
+    // DELETE replaces the compaction output (v4), rollback to v3 (v5)
+    // — the restored segment carries an OLD id, so its rows re-enter
+    // the feed even though the segment is dataChange=false
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "id", 1) // v3
+    graft.sources.segment.GraftMaintenance.deleteRows(spark, dir,
+      col("id") < 8) // v4: copy-on-write rewrite, only 8,9 remain
+    assert(spark.read.format(Fmt).load(dir).count() == 2)
+    assert(SegmentLog.rollback(fs, dir, 3L) == 5L)
+    assert(spark.read.format(Fmt).load(dir).count() == 10)
+    val rb = feed(4, 5)
+    assert(rb.filter(_._2 == "insert").map(_._1) == (0L until 10L),
+      s"the restored dc=false segment's rows must re-enter the feed: $rb")
+    assert(rb.filter(_._2 == "delete").map(_._1) == Seq(8L, 9L),
+      "the rolled-back rewrite's survivors leave honestly")
+    // the common merge-on-read delete still plans NO resurrection scan
+    val grow = graft.sources.segment.GraftChangeFeed.changedSegments(
+      fs, dir, SegmentLog.read(fs, dir).get, 0L, 1L)
+    assert(grow.map(_.changeType) == Seq("delete"))
+  }
+
   test("CALL rollback / rollback_to_timestamp: RESTORE without leaving SQL") {
     val wh = tmp("graft-rb-wh")
     val cat = s"graft_rb_${System.nanoTime()}"
