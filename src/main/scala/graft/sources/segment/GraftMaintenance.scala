@@ -472,8 +472,11 @@ object GraftMaintenance {
     * commit's classified kind — `create` (empty first commit),
     * `append`, `replace` (data-changing truncate: overwrite /
     * DELETE / MERGE rewrite), `compact` (dataChange=false rewrite),
-    * `ddl` (schema-only), `metadata` (txn ledger only), or
-    * `expired-base` (the oldest retained version when its
+    * `restore` (a [[SegmentLog.rollback]]: an old segment id
+    * re-appears or a deletion vector shrinks — a rollback that only
+    * drops trailing appends is indistinguishable from `replace` and
+    * labels as such), `ddl` (schema-only), `metadata` (txn ledger
+    * only), or `expired-base` (the oldest retained version when its
     * predecessors are gone — its own kind is unknowable). Driver-side
     * manifest reads only; deliberately NO wall-clock column, so the
     * result is deterministic and oracle-checkable. */
@@ -504,6 +507,12 @@ object GraftMaintenance {
           val curIds = m.segments.map(_.id).toSet
           val prevById = p.segments.map(s => s.id -> s).toMap
           if (m.compactedThrough > p.compactedThrough) "compact"
+          // resurrection signals — an old id re-appearing (ids are
+          // never reused, so this only rollback does) or a deletion
+          // vector SHRINKING — label the commit as the RESTORE it is
+          else if (curIds.diff(prevIds).exists(_ <= p.maxSegmentId) ||
+              m.segments.exists(s => prevById.get(s.id).exists(_.dvRows > s.dvRows)))
+            "restore"
           else if (prevIds.diff(curIds).nonEmpty) "replace"
           // deletion-vector growth on surviving segments: rows were
           // deleted without any segment leaving — a replace, not

@@ -1322,11 +1322,13 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rt.getAs[Long]("restored_version") == 1L)
     assert(rt.getAs[Long]("new_version") == 5L)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 100)
-    // the lifecycle composes: history shows the restores as commits
+    // the lifecycle composes: history classifies the first restore
+    // (old segment id re-appears) as `restore`; the second only drops
+    // the v2 append, which is indistinguishable from a replace
     val kinds = spark.sql(s"CALL $cat.system.history('db.t')")
       .collect().map(_.getString(1)).toSeq
-    assert(kinds.take(4) == Seq("create", "append", "append", "replace"))
-    assert(kinds.length == 6, s"two restore commits appended, got $kinds")
+    assert(kinds == Seq("create", "append", "append", "replace",
+      "restore", "replace"), s"got $kinds")
   }
 
   test("TBLPROPERTIES bloomFor: plain INSERTs build blooms without restating options") {
