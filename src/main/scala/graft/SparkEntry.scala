@@ -3065,6 +3065,31 @@ object SparkEntry {
       ins(2)                                              // v4
       s.sql(s"CALL $cat.system.history('db.t')").orderBy(col("version"))
     }),
+    // CHECK constraints (the Delta ADD CONSTRAINT shape as validated
+    // check.* TBLPROPERTIES): a declared predicate gates EVERY write —
+    // the violating INSERT below fails atomically (nothing lands), so
+    // the table holds exactly the rows that satisfy the constraint.
+    // The oracle replays the surviving inserts' closed form
+    "store_segment_check_constraint" -> ((s, d) => withTempDir("graft-segck") { base =>
+      val cat = s"graft_check_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('check.cents_positive'='cents > 0')")
+      Tables.orders(s, d).createOrReplaceTempView("graft_check_orders")
+      s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        "FROM graft_check_orders WHERE o_orderkey % 3 = 0")
+      // the violating batch (negated prices) must fail whole: the
+      // enforcement is write-side, the commit atomic
+      val rejected = scala.util.Try(s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT o_orderkey, -CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        "FROM graft_check_orders WHERE o_orderkey % 3 = 1")).isFailure
+      assert(rejected, "the violating INSERT must be rejected")
+      s.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k")
+    }),
     // PARTIAL compaction end-to-end: deleteMark leaves vectors,
     // compactDeletes materializes ONLY the dv'd segments, compactWhere
     // re-clusters only the hot key range — and the table's content is
@@ -5957,6 +5982,13 @@ object SparkEntry {
     // the same commit sequence's lifecycle ledger in closed form:
     // counts from the predicates, segment totals from the declared
     // layouts (4-way clustered writes, the 2-way compact)
+    // only the constraint-satisfying insert survives; the violating
+    // batch failed whole (write-side enforcement, atomic commit)
+    "store_segment_check_constraint" ->
+      ("SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY k"),
+
     "store_segment_history" ->
       ("WITH src AS (SELECT o_orderkey AS k, " +
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +

@@ -140,15 +140,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       require(schema.fieldNames.contains(c), s"bucket column $c not in schema")))
     // persisted table properties: declared bloom columns apply to
     // every future INSERT without the writer re-stating them;
-    // rowLevelMode picks the DML tier (cow | mor)
+    // rowLevelMode picks the DML tier (cow | mor); check.<name> are
+    // CHECK constraints enforced on every write (SegmentChecks)
+    val checkProps = properties.asScala.toMap
+      .filter { case (k, _) => k.startsWith(SegmentChecks.Prefix) }
     val props = Seq("bloomFor", "bloomBits", "rowLevelMode")
-      .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
+      .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++ checkProps
     props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
     props.get("bloomBits").foreach(b => require(
       scala.util.Try(b.toInt).toOption.exists(_ >= 64),
       s"bloomBits must be an integer >= 64, got '$b'"))
     props.get("rowLevelMode").foreach(v => require(Set("cow", "mor").contains(v),
       s"rowLevelMode must be cow|mor, got '$v'"))
+    SegmentChecks.declared(checkProps).foreach { case (n, sql) =>
+      SegmentChecks.requireAnalyzable(SparkSession.active, schema, n, sql) }
     (bucketing, props)
   }
 
@@ -232,11 +237,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         SegmentLog.addTransform(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(),
             nullable = true))
-      // SET/UNSET TBLPROPERTIES: declare (or retire) bloom columns on
-      // an existing table — the validated keys only
+      // SET/UNSET TBLPROPERTIES: declare (or retire) bloom columns,
+      // the DML tier, or a CHECK constraint on an existing table —
+      // the validated keys only
       case sp: TableChange.SetProperty =>
-        require(Set("bloomFor", "bloomBits", "rowLevelMode").contains(sp.property()),
-          s"only bloomFor/bloomBits/rowLevelMode are settable, got ${sp.property()}")
+        require(sp.property().startsWith(SegmentChecks.Prefix) ||
+            Set("bloomFor", "bloomBits", "rowLevelMode").contains(sp.property()),
+          s"only bloomFor/bloomBits/rowLevelMode/check.<name> are settable, " +
+            s"got ${sp.property()}")
+        if (sp.property().startsWith(SegmentChecks.Prefix)) {
+          // ADD CONSTRAINT: the expression must analyze (checked first,
+          // so a malformed declaration gets the constraint error, not a
+          // raw scan failure), then EXISTING rows must satisfy it (the
+          // Delta contract) — both once here, outside the optimistic
+          // commit loop
+          val name = sp.property().substring(SegmentChecks.Prefix.length)
+          val liveSchema = SegmentLog.read(fs, path).get.schema
+          SegmentChecks.requireAnalyzable(SparkSession.active, liveSchema,
+            name, sp.value())
+          SegmentChecks.requireClean(SparkSession.active, path, name, sp.value())
+        }
         (m: Manifest) => {
           sp.property() match {
             case "bloomFor" => SegmentBloom.parseCols(sp.value(), Some(m.schema))
@@ -246,6 +266,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
             case "rowLevelMode" =>
               require(Set("cow", "mor").contains(sp.value()),
                 s"rowLevelMode must be cow|mor, got '${sp.value()}'")
+            case check if check.startsWith(SegmentChecks.Prefix) =>
+              SegmentChecks.requireAnalyzable(SparkSession.active, m.schema,
+                check.substring(SegmentChecks.Prefix.length), sp.value())
           }
           m.copy(props = m.props + (sp.property() -> sp.value()))
         }
@@ -253,9 +276,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         (m: Manifest) => m.copy(props = m.props - rp.property())
       case other => throw new UnsupportedOperationException(
         s"graft-segment supports RENAME/DROP/ADD COLUMN and SET/UNSET " +
-          s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode) only, got $other")
+          s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode|check.<name>) only, " +
+          s"got $other")
     }
-    SegmentLog.alterSchema(fs, path, transforms)
+    // every surviving CHECK constraint must still analyze against the
+    // POST-statement schema: dropping or renaming a column a
+    // constraint references is refused until the constraint is
+    // dropped (in the same statement or before)
+    val checkGuard = (m: Manifest) => {
+      SegmentChecks.declared(m.props).foreach { case (n, sql) =>
+        try SegmentChecks.requireAnalyzable(SparkSession.active, m.schema, n, sql)
+        catch { case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"this ALTER would break CHECK constraint $n ($sql) — drop the " +
+            s"constraint first (UNSET TBLPROPERTIES('check.$n')): ${e.getMessage}") }
+      }
+      m
+    }
+    SegmentLog.alterSchema(fs, path, transforms :+ checkGuard)
     val m = SegmentLog.read(fs, path).get
     new GraftSegmentTable(path, m.schema, m.bucketing)
   }
@@ -425,7 +462,12 @@ private[segment] class GraftStagedTable(ident: Identifier, path: String,
                 new GraftWriterFactory(path, info.schema(), conf, Long.MaxValue,
                   labelBuckets = bucketing.exists(_.mode == "hash"),
                   physNames = SegmentLog.physicalNames(
-                    SegmentLog.read(SegmentLog.fs(path, conf.value), path), info.schema()))
+                    SegmentLog.read(SegmentLog.fs(path, conf.value), path), info.schema()),
+                  // CTAS/RTAS with declared CHECK constraints: the
+                  // staged data itself must pass them — there is no
+                  // manifest yet, so compile from the staged props
+                  checks = SegmentChecks.compileAll(SparkSession.active,
+                    props, tableSchema, info.schema()))
               override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
                 staged.set(messages.flatMap(
                   _.asInstanceOf[GraftCommitMessage].segments).toSeq)

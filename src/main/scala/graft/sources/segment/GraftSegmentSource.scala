@@ -1538,18 +1538,23 @@ class GraftStreamingWrite(root: String, schema: StructType,
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    // built in METHOD scope so the anonymous factory below captures
+    // only the serializable GraftWriterFactory value, never an $outer
+    // reference to this (non-serializable) StreamingWrite
+    val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+    val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, None, None)
+    val factory = new GraftWriterFactory(root, schema, conf,
+      maxRows.getOrElse(Long.MaxValue),
+      physNames = SegmentLog.physicalNames(m, schema),
+      bloomFor = ebf, bloomBits = ebb,
+      checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
+        mf.props, mf.schema, schema)).getOrElse(Nil))
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
-      private val factory = {
-        val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
-        val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, None, None)
-        new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
-          physNames = SegmentLog.physicalNames(m, schema),
-          bloomFor = ebf, bloomBits = ebb)
-      }
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)
     }
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.flatMap(_.asInstanceOf[GraftCommitMessage].segments).toSeq
@@ -1614,7 +1619,9 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     new GraftWriterFactory(root, schema, conf, maxRows.getOrElse(Long.MaxValue),
       labelBuckets = clusterBy.nonEmpty && clusterMode == "hash",
       physNames = SegmentLog.physicalNames(m, schema),
-      bloomFor = ebf, bloomBits = ebb)
+      bloomFor = ebf, bloomBits = ebb,
+      checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
+        mf.props, mf.schema, schema)).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1706,12 +1713,13 @@ class GraftWriterFactory(root: String, schema: StructType,
     labelBuckets: Boolean = false,
     physNames: Seq[String] = Nil,
     bloomFor: Set[String] = Set.empty,
-    bloomBits: Int = SegmentBloom.DefaultBits) extends DataWriterFactory {
+    bloomBits: Int = SegmentBloom.DefaultBits,
+    checks: Seq[SegmentChecks.CheckSpec] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, conf.value, maxRows,
       bucket = if (labelBuckets) Some(partitionId) else None,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
-      bloomFor = bloomFor, bloomBits = bloomBits)
+      bloomFor = bloomFor, bloomBits = bloomBits, checks = checks)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -1722,8 +1730,13 @@ class GraftWriterFactory(root: String, schema: StructType,
 class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     maxRows: Long, bucket: Option[Int] = None,
     physNames: Seq[String] = Nil,
-    bloomFor: Set[String] = Set.empty, bloomBits: Int = SegmentBloom.DefaultBits)
+    bloomFor: Set[String] = Set.empty, bloomBits: Int = SegmentBloom.DefaultBits,
+    checks: Seq[SegmentChecks.CheckSpec] = Nil)
     extends DataWriter[InternalRow] {
+  // CHECK constraints: compiled on the driver, codegen'd here; null
+  // when none are declared so the hot loop pays nothing
+  private val enforcer: SegmentChecks.Enforcer =
+    if (checks.isEmpty) null else new SegmentChecks.Enforcer(checks, schema)
   // segments record PHYSICAL column names (frozen at a column's first
   // commit — the column-mapping contract); identity when unset
   private val colNames: Seq[String] =
@@ -1759,6 +1772,7 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
   }
 
   override def write(row: InternalRow): Unit = {
+    if (enforcer != null) enforcer.enforce(row)
     if (out == null) open()
     var c = 0
     while (c < types.length) {
@@ -1912,12 +1926,14 @@ case class GraftDeltaCommitMessage(segments: Seq[SegmentMeta],
     deletes: Map[String, Array[Long]]) extends WriterCommitMessage
 
 class GraftDeltaWriterFactory(root: String, schema: StructType,
-    conf: SerializableHadoopConf, physNames: Seq[String])
+    conf: SerializableHadoopConf, physNames: Seq[String],
+    checks: Seq[SegmentChecks.CheckSpec] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(new GraftDataWriter(root, schema, conf.value, Long.MaxValue,
-      physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq))
+      physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
+      checks = checks))
 }
 
 /** Task-side delta writer: deletes and updated-away old versions
@@ -1964,8 +1980,13 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory = {
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
     factoryManifest = m
+    // inserted row versions (UPDATE/MERGE) pass the declared CHECK
+    // constraints like any other write; a pure DELETE has an empty
+    // write schema and every constraint binds to NULL → passes
     new GraftDeltaWriterFactory(root, schema, conf,
-      SegmentLog.physicalNames(m, schema))
+      SegmentLog.physicalNames(m, schema),
+      checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
+        mf.props, mf.schema, schema)).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2059,8 +2080,13 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
     factoryManifest = m
+    // copy-on-write rewrites re-encode survivors (validated when their
+    // constraint was declared) and UPDATEd/MERGEd row versions, which
+    // must pass the declared CHECK constraints like any fresh insert
     new GraftWriterFactory(root, schema, conf, Long.MaxValue,
-      physNames = SegmentLog.physicalNames(m, schema))
+      physNames = SegmentLog.physicalNames(m, schema),
+      checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
+        mf.props, mf.schema, schema)).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
