@@ -5979,9 +5979,6 @@ object SparkEntry {
         // plain INSERT inherits the live layout: 2 new segments, not 4
         "UNION ALL SELECT 4, 'append', 4, (SELECT c FROM nall)) " +
         "ORDER BY version"),
-    // the same commit sequence's lifecycle ledger in closed form:
-    // counts from the predicates, segment totals from the declared
-    // layouts (4-way clustered writes, the 2-way compact)
     // only the constraint-satisfying insert survives; the violating
     // batch failed whole (write-side enforcement, atomic commit)
     "store_segment_check_constraint" ->
@@ -5989,6 +5986,9 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents " +
         "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY k"),
 
+    // the same commit sequence's lifecycle ledger in closed form:
+    // counts from the predicates, segment totals from the declared
+    // layouts (4-way clustered writes, the 2-way compact)
     "store_segment_history" ->
       ("WITH src AS (SELECT o_orderkey AS k, " +
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +

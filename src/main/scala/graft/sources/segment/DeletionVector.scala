@@ -56,6 +56,20 @@ object DeletionVector {
     out
   }
 
+  /** Does `a` carry any bit NOT in `b` (a ∖ b ≠ ∅)? The change feed's
+    * exact delta-direction probe: sound for ANY pair of vectors —
+    * cardinality comparisons are not, because a double rollback can
+    * restore a vector DISJOINT from the current one. */
+  def diffNonEmpty(a: Array[Long], b: Array[Long]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val bw = if (i < b.length) b(i) else 0L
+      if ((a(i) & ~bw) != 0L) return true
+      i += 1
+    }
+    false
+  }
+
   def contains(bits: Array[Long], pos: Long): Boolean = {
     val w = (pos >>> 6).toInt
     w < bits.length && (bits(w) & (1L << (pos & 63))) != 0L

@@ -293,6 +293,32 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       m
     }
     SegmentLog.alterSchema(fs, path, transforms :+ checkGuard)
+    // ADD CONSTRAINT's validation scan ran BEFORE the commit: a
+    // concurrent writer (whose factory predates the constraint and so
+    // never enforced it) can land violating rows in the window.
+    // Re-validate now that the constraint is visible and SELF-REVOKE
+    // on violation — the user gets a loud failure instead of a
+    // constraint standing over data that violates it. Residual window:
+    // a pre-constraint write factory committing AFTER this recheck;
+    // without central transaction conflict detection that window is
+    // irreducible, and rewrites of such rows fail loudly rather than
+    // silently (the honest degradation).
+    changes.foreach {
+      case sp: TableChange.SetProperty
+          if sp.property().startsWith(SegmentChecks.Prefix) =>
+        val name = sp.property().substring(SegmentChecks.Prefix.length)
+        try SegmentChecks.requireClean(SparkSession.active, path, name, sp.value())
+        catch {
+          case e: IllegalArgumentException =>
+            SegmentLog.alterSchema(fs, path,
+              Seq(m => m.copy(props = m.props - sp.property())))
+            throw new IllegalArgumentException(
+              s"a concurrent write landed rows violating CHECK constraint " +
+                s"$name while it was being declared — the constraint was " +
+                s"REVOKED, re-run the ALTER: ${e.getMessage}", e)
+        }
+      case _ =>
+    }
     val m = SegmentLog.read(fs, path).get
     new GraftSegmentTable(path, m.schema, m.bucketing)
   }

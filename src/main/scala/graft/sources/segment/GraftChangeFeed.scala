@@ -119,14 +119,21 @@ object GraftChangeFeed {
         val prevById = prev.segments.map(s => s.id -> s).toMap
         cur.segments.foreach(s => prevById.get(s.id).foreach { p =>
           if (s.dv != p.dv) {
-            // within one segment id's lineage vectors only GROW; a
-            // rollback restores an ancestor (⊆). Cardinality picks the
-            // nonempty direction so the common merge-on-read delete
-            // never plans a provably-empty resurrection scan (and
-            // vice versa); on a tie both sides run, each sound.
-            if (s.dvRows >= p.dvRows)
+            // EXACT delta directions from the bitmaps themselves (two
+            // LRU-cached sidecar reads at planning): a cardinality
+            // comparison is unsound — a double rollback can restore a
+            // vector DISJOINT from the current one, where BOTH
+            // directions are nonempty yet one cardinality dominates.
+            // The common merge-on-read delete (pure growth) still
+            // plans exactly one delete change and no empty scans.
+            def bits(dv: Option[String]): Array[Long] = dv
+              .map(d => DeletionVector.read(fs, new org.apache.hadoop.fs.Path(s"$root/$d")))
+              .getOrElse(Array.empty)
+            val newB = bits(s.dv)
+            val oldB = bits(p.dv)
+            if (DeletionVector.diffNonEmpty(newB, oldB))
               out += SegmentChange(s, "delete", v, dvDeltaBase = Some(p.dv))
-            if (p.dv.nonEmpty && s.dvRows <= p.dvRows)
+            if (DeletionVector.diffNonEmpty(oldB, newB))
               out += SegmentChange(s, "insert", v, dvDeltaBase = Some(p.dv))
           }
         })

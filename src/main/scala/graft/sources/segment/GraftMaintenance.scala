@@ -508,10 +508,17 @@ object GraftMaintenance {
           val prevById = p.segments.map(s => s.id -> s).toMap
           if (m.compactedThrough > p.compactedThrough) "compact"
           // resurrection signals — an old id re-appearing (ids are
-          // never reused, so this only rollback does) or a deletion
-          // vector SHRINKING — label the commit as the RESTORE it is
+          // never reused, so this only rollback does) or previously-
+          // dead positions coming back to life (exact bitmap probe:
+          // cardinality would miss a restored DISJOINT vector) —
+          // label the commit as the RESTORE it is
           else if (curIds.diff(prevIds).exists(_ <= p.maxSegmentId) ||
-              m.segments.exists(s => prevById.get(s.id).exists(_.dvRows > s.dvRows)))
+              m.segments.exists(s => prevById.get(s.id).exists(pp => pp.dv != s.dv &&
+                DeletionVector.diffNonEmpty(
+                  pp.dv.map(d => DeletionVector.read(fs, new Path(s"$dir/$d")))
+                    .getOrElse(Array.empty),
+                  s.dv.map(d => DeletionVector.read(fs, new Path(s"$dir/$d")))
+                    .getOrElse(Array.empty)))))
             "restore"
           else if (prevIds.diff(curIds).nonEmpty) "replace"
           // deletion-vector growth on surviving segments: rows were

@@ -1537,6 +1537,13 @@ class GraftStreamingWrite(root: String, schema: StructType,
     conf: SerializableHadoopConf, maxRows: Option[Long], queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
+  // compiled-constraint cache across epochs: the factory is rebuilt
+  // per micro-batch, but each constraint's analyzer pass is driver
+  // work a sub-second-trigger stream should pay only when the
+  // declarations (or the schema they bind against) actually changed
+  @volatile private var checkCache
+      : (Map[String, String], StructType, Seq[SegmentChecks.CheckSpec]) = null
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     // built in METHOD scope so the anonymous factory below captures
@@ -1544,12 +1551,23 @@ class GraftStreamingWrite(root: String, schema: StructType,
     // reference to this (non-serializable) StreamingWrite
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
     val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, None, None)
+    val checks = m.map { mf =>
+      val declaredNow = mf.props.filter(_._1.startsWith(SegmentChecks.Prefix))
+      val cached = checkCache
+      if (cached != null && cached._1 == declaredNow && cached._2 == mf.schema)
+        cached._3
+      else {
+        val compiled =
+          SegmentChecks.compileAll(SparkSession.active, mf.props, mf.schema, schema)
+        checkCache = (declaredNow, mf.schema, compiled)
+        compiled
+      }
+    }.getOrElse(Nil)
     val factory = new GraftWriterFactory(root, schema, conf,
       maxRows.getOrElse(Long.MaxValue),
       physNames = SegmentLog.physicalNames(m, schema),
       bloomFor = ebf, bloomBits = ebb,
-      checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
-        mf.props, mf.schema, schema)).getOrElse(Nil))
+      checks = checks)
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)

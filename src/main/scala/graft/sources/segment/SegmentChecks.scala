@@ -2,7 +2,7 @@ package graft.sources.segment
 
 import org.apache.spark.sql.{functions => F, AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, EqualNullSafe, Expression, Literal, PlanExpression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, CurrentDate, CurrentTimestampLike, EqualNullSafe, Expression, Literal, LocalTimestamp, PlanExpression, Predicate, Unevaluable}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -52,10 +52,16 @@ object SegmentChecks {
     * schema's ordinals and ready for executor-side codegen. */
   case class CheckSpec(name: String, sql: String, violation: Expression)
 
-  /** The `check.*` declarations of `props`, name-sorted. */
+  /** The `check.*` declarations of `props`, name-sorted. An EMPTY
+    * constraint name fails here rather than being skipped: a property
+    * that looks declared but never enforces is the worst outcome, so
+    * a malformed key poisons writes loudly (declaration-time
+    * validation rejects it before it can ever be committed). */
   def declared(props: Map[String, String]): Seq[(String, String)] =
     props.toSeq
-      .collect { case (k, v) if k.startsWith(Prefix) && k.length > Prefix.length =>
+      .collect { case (k, v) if k.startsWith(Prefix) =>
+        require(k.length > Prefix.length,
+          s"CHECK constraint property '$k' has an empty name")
         k.substring(Prefix.length) -> v }
       .sortBy(_._1)
 
@@ -79,10 +85,25 @@ object SegmentChecks {
           s"CHECK constraint $name ($sql) does not analyze against " +
             s"${schema.simpleString}: ${e.getMessage}")
       }
+    require(name.nonEmpty, s"CHECK constraint name must not be empty")
     require(cond.deterministic,
       s"CHECK constraint $name ($sql) must be deterministic")
     require(!cond.exists(_.isInstanceOf[PlanExpression[_]]),
       s"CHECK constraint $name ($sql) must not contain a subquery")
+    // current_timestamp()/current_date() and friends count as
+    // deterministic to Catalyst (the optimizer pins them per query),
+    // but a TIME-DEPENDENT gate is wrong for a constraint: the same
+    // row would pass today and fail in the compaction that re-encodes
+    // it years later. Refuse the family by class; anything else
+    // Unevaluable (beyond the attributes compileAll binds) is refused
+    // too — it would declare cleanly and then crash every write.
+    require(!cond.exists {
+        case _: CurrentTimestampLike | _: CurrentDate | _: LocalTimestamp => true
+        case e => e.isInstanceOf[Unevaluable] && !e.isInstanceOf[AttributeReference]
+      },
+      s"CHECK constraint $name ($sql) must be evaluable at write time — " +
+        "time-dependent functions (current_timestamp, current_date, ...) " +
+        "are not allowed")
     cond
   }
 

@@ -170,6 +170,15 @@ class SegmentChecksSpec extends SparkSpec {
     refuse("k + 1", "does not analyze")          // non-boolean
     refuse("nope > 0", "does not analyze")       // unknown column
     refuse("rand() > 0.5", "deterministic")      // nondeterministic
+    // time-dependent: deterministic to Catalyst but Unevaluable as
+    // written — would declare cleanly, then crash every write
+    refuse("k < unix_millis(current_timestamp())", "evaluable at write time")
+    // an EMPTY constraint name would look declared yet never enforce
+    val en = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('check.' = 'k > 0')")
+    }
+    assert(messageChain(en).toLowerCase.contains("empty"),
+      s"got: ${messageChain(en)}")
     // CREATE TABLE validates declarations the same way
     val e = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.db.bad (k BIGINT) " +

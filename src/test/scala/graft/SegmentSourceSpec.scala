@@ -1296,6 +1296,42 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(grow.map(_.changeType) == Seq("delete"))
   }
 
+  test("double rollback restoring a DISJOINT deletion vector: both feed directions emit") {
+    // a cardinality gate would be unsound here: the restored vector
+    // is disjoint from (and larger than) the current one, so ONE
+    // version step both deletes rows and resurrects others
+    val dir = tmp("graft-seg-rbdisj")
+    import spark.implicits._
+    (0L until 10L).toDF("id").coalesce(1).write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "1")
+      .mode("append").save(dir) // v0
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir,
+      col("id") < 5) // v1: dv {0..4}
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    assert(SegmentLog.rollback(fs, dir, 0L) == 2L) // v2: dv None
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir,
+      col("id") >= 7) // v3: dv {7,8,9} — disjoint from v1's, smaller
+    assert(SegmentLog.rollback(fs, dir, 1L) == 4L) // v4: dv {0..4} again
+    assert(spark.read.format(Fmt).load(dir).as[Long].collect().sorted.toSeq ==
+      (5L until 10L))
+    // the v3→v4 step must say BOTH things: {0..4} died, {7,8,9} revived
+    val step = graft.sources.segment.GraftMaintenance.changes(spark, dir, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(step == ((0L until 5L).map(i => (i, "delete")) ++
+      Seq(7L, 8L, 9L).map(i => (i, "insert"))).sorted, s"got $step")
+    // and the cumulative feed still reconstructs the live table
+    val net = graft.sources.segment.GraftMaintenance.changes(spark, dir, -1, 4)
+      .groupBy(col("id"))
+      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+      .where(col("n") > 0).select(col("id")).as[Long].collect().sorted.toSeq
+    assert(net == (5L until 10L))
+    // DESCRIBE HISTORY classifies the disjoint-restore commit too
+    val kinds = graft.sources.segment.GraftMaintenance.historyRows(spark, dir)
+      .map(_._2)
+    assert(kinds == Seq("append", "replace", "restore", "replace", "restore"),
+      s"got $kinds")
+  }
+
   test("CALL rollback / rollback_to_timestamp: RESTORE without leaving SQL") {
     val wh = tmp("graft-rb-wh")
     val cat = s"graft_rb_${System.nanoTime()}"
