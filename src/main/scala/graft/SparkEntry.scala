@@ -3166,6 +3166,36 @@ object SparkEntry {
         "WHEN NOT MATCHED BY SOURCE AND t.k % 19 = 0 THEN UPDATE SET cents = 0")
       s.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k")
     }),
+    // metadata-only TYPE WIDENING (ALTER COLUMN … TYPE, the
+    // Iceberg/Delta type-promotion shape): int→bigint and float→double
+    // land as ONE manifest commit — no segment read or rewritten at
+    // any table size. Pre-widen segments decode as written and up-cast
+    // at read (the manifest's widen registry keys stored types by
+    // segment id); post-widen appends encode natively wide; zone maps
+    // keep pruning long-typed literals over int-written bounds. The
+    // oracle replays both generations in one closed form
+    "store_segment_widen" -> ((s, d) => withTempDir("graft-segwiden") { base =>
+      val cat = s"graft_widen_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, qty INT, price FLOAT) " +
+        "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4')")
+      Tables.orders(s, d).createOrReplaceTempView("graft_widen_orders")
+      s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT o_orderkey, CAST(o_orderkey % 50 AS INT), " +
+        "CAST(o_totalprice AS FLOAT) " +
+        "FROM graft_widen_orders WHERE o_orderkey % 2 = 0")
+      s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN qty TYPE BIGINT")
+      s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN price TYPE DOUBLE")
+      s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT o_orderkey, CAST(o_orderkey % 50 AS BIGINT), " +
+        "CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) " +
+        "FROM graft_widen_orders WHERE o_orderkey % 2 = 1")
+      // the filter's BIGINT literal prunes int-written zone maps
+      s.sql(s"SELECT k, qty, price FROM $cat.db.t WHERE qty >= 10 ORDER BY k")
+    }),
     // the STREAMING face of the change feed (readChangeFeed=true):
     // offsets are manifest VERSIONS, each micro-batch a closed version
     // range diffed by segment identity — inserts from appends and the
@@ -5963,6 +5993,14 @@ object SparkEntry {
         "SELECT k, CASE WHEN k % 13 = 0 THEN cents + 1000 " +
         "WHEN k % 19 = 0 THEN CAST(0 AS BIGINT) ELSE cents END AS cents " +
         "FROM t1 WHERE k % 13 = 0 OR k % 17 <> 0 ORDER BY k"),
+
+    // both generations in one closed form: pre-widen rows were written
+    // int/float, post-widen rows bigint/float-rounded-double — the
+    // values coincide by construction, so the replay is ONE select
+    "store_segment_widen" ->
+      ("SELECT o_orderkey AS k, CAST(o_orderkey % 50 AS BIGINT) AS qty, " +
+        "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price " +
+        "FROM orders WHERE o_orderkey % 50 >= 10 ORDER BY k"),
 
     "store_segment_call" ->
       ("WITH src AS (SELECT o_orderkey AS k FROM orders), " +

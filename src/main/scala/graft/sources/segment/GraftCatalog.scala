@@ -217,8 +217,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   /** Schema DDL — the whole statement is ONE metadata-only manifest
     * commit (column mapping: physical names frozen, no data rewrite):
     * `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN a` /
-    * `ADD COLUMN c TYPE`. Everything else (type changes, nested
-    * fields, properties) is refused loudly. */
+    * `ADD COLUMN c TYPE` / `ALTER COLUMN c TYPE <wider>` (the lossless
+    * widenings only — [[SegmentLog.widenTransform]]). Everything else
+    * (lossy retypes, nested fields, unknown properties) is refused
+    * loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     require(SegmentLog.read(fs, path).isDefined, s"no graft-segment table at $path")
@@ -237,6 +239,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         SegmentLog.addTransform(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(),
             nullable = true))
+      // ALTER COLUMN … TYPE: metadata-only type WIDENING (int->bigint,
+      // float->double, array element forms) — old segments decode as
+      // written and up-cast at read; anything lossy is refused inside
+      // the transform with the rewrite recipe
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1, "nested columns are not supported")
+        SegmentLog.widenTransform(u.fieldNames()(0), u.newDataType())
       // SET/UNSET TBLPROPERTIES: declare (or retire) bloom columns,
       // the DML tier, or a CHECK constraint on an existing table —
       // the validated keys only
@@ -275,7 +284,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case rp: TableChange.RemoveProperty =>
         (m: Manifest) => m.copy(props = m.props - rp.property())
       case other => throw new UnsupportedOperationException(
-        s"graft-segment supports RENAME/DROP/ADD COLUMN and SET/UNSET " +
+        s"graft-segment supports RENAME/DROP/ADD COLUMN, ALTER COLUMN " +
+          s"TYPE (widening), and SET/UNSET " +
           s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode|check.<name>) only, " +
           s"got $other")
     }

@@ -59,7 +59,8 @@ object GraftChangeFeed {
     * the same data file. Otherwise reads emit the meta's live rows
     * (its own dv filters rows already dead before the change). */
   case class SegmentChange(meta: SegmentMeta, changeType: String, version: Long,
-      dvDeltaBase: Option[Option[String]] = None)
+      dvDeltaBase: Option[Option[String]] = None,
+      widen: Map[String, String] = Map.empty)
 
   /** The ONE change → partition mapping all three feed faces use
     * (batch, streaming, [[GraftMaintenance.changes]]). */
@@ -69,17 +70,20 @@ object GraftChangeFeed {
       if (c.meta.cols.nonEmpty) c.meta.cols else tableSchema.fieldNames.toSeq
     c.dvDeltaBase match {
       case None => GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
-        c.changeType, c.version, dv = c.meta.dv.map(d => s"$root/$d"))
+        c.changeType, c.version, dv = c.meta.dv.map(d => s"$root/$d"),
+        widen = c.widen)
       case Some(oldDv) if c.changeType == "insert" =>
         // rollback resurrection: emit rows dead BEFORE but live AFTER
         GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
           c.changeType, c.version,
           dv = c.meta.dv.map(d => s"$root/$d"), // rows STILL dead after
-          emitOnlyDv = oldDv.map(d => s"$root/$d")) // old ∖ new
+          emitOnlyDv = oldDv.map(d => s"$root/$d"), // old ∖ new
+          widen = c.widen)
       case Some(oldDv) => GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
         c.changeType, c.version,
         dv = oldDv.map(d => s"$root/$d"), // rows dead BEFORE the commit
-        emitOnlyDv = c.meta.dv.map(d => s"$root/$d")) // new ∖ old
+        emitOnlyDv = c.meta.dv.map(d => s"$root/$d"), // new ∖ old
+        widen = c.widen)
     }
   }
 
@@ -94,8 +98,14 @@ object GraftChangeFeed {
   def changedSegments(fs: org.apache.hadoop.fs.FileSystem, root: String,
       current: Manifest, from: Long, to: Long): Seq[SegmentChange] = {
     def view(v: Long): Manifest =
-      SegmentLog.logicalView(SegmentLog.readVersion(fs, root, v).copy(
-        physicalOf = current.physicalOf, retiredSchema = current.retiredSchema))
+      SegmentLog.logicalView(
+        SegmentLog.currentView(SegmentLog.readVersion(fs, root, v), current))
+    // stored-type overrides from the view that OWNS the segment (each
+    // version self-describes its lineage — exact across widen,
+    // rollback, and rollback-across-widen); rows emit under the
+    // CURRENT schema, up-cast in the reader
+    def wid(owner: Manifest, s: SegmentMeta): Map[String, String] =
+      SegmentLog.widenOverridesFor(owner, current.schema, s.id)
     val out = Seq.newBuilder[SegmentChange]
     // from < 0 = "from before the table existed": the empty base
     var prev = if (from < 0) Manifest(-1L, current.schema, Nil) else view(from)
@@ -111,11 +121,11 @@ object GraftChangeFeed {
       // "existed before this step".
       cur.segments.filter(s => !prevIds.contains(s.id) &&
           (s.dataChange || s.id <= prev.maxSegmentId))
-        .foreach(s => out += SegmentChange(s, "insert", v))
+        .foreach(s => out += SegmentChange(s, "insert", v, widen = wid(cur, s)))
       val isCompaction = cur.compactedThrough > prev.compactedThrough
       if (!isCompaction) {
         prev.segments.filterNot(s => curIds.contains(s.id))
-          .foreach(s => out += SegmentChange(s, "delete", v))
+          .foreach(s => out += SegmentChange(s, "delete", v, widen = wid(prev, s)))
         val prevById = prev.segments.map(s => s.id -> s).toMap
         cur.segments.foreach(s => prevById.get(s.id).foreach { p =>
           if (s.dv != p.dv) {
@@ -132,9 +142,11 @@ object GraftChangeFeed {
             val newB = bits(s.dv)
             val oldB = bits(p.dv)
             if (DeletionVector.diffNonEmpty(newB, oldB))
-              out += SegmentChange(s, "delete", v, dvDeltaBase = Some(p.dv))
+              out += SegmentChange(s, "delete", v, dvDeltaBase = Some(p.dv),
+                widen = wid(cur, s))
             if (DeletionVector.diffNonEmpty(oldB, newB))
-              out += SegmentChange(s, "insert", v, dvDeltaBase = Some(p.dv))
+              out += SegmentChange(s, "insert", v, dvDeltaBase = Some(p.dv),
+                widen = wid(cur, s))
           }
         })
       }
@@ -146,7 +158,8 @@ object GraftChangeFeed {
 
 case class GraftCdfInputPartition(file: String, cols: Seq[String],
     changeType: String, version: Long,
-    dv: Option[String] = None, emitOnlyDv: Option[String] = None)
+    dv: Option[String] = None, emitOnlyDv: Option[String] = None,
+    widen: Map[String, String] = Map.empty)
     extends GraftPartition
 
 /** The plain segment row reader ([[GraftReaderFactory]] — ONE home for

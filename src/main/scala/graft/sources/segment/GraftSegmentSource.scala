@@ -410,12 +410,13 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
         // (DSv2 resolves the table schema from the latest manifest), so
         // old segments translate through the CURRENT mapping — physical
         // names are frozen, making this well-defined across renames;
-        // columns dropped since then read as null
+        // columns dropped since then read as null, columns widened
+        // since then up-cast (currentView keeps the version's own
+        // stored-type registry authoritative)
         val cur = SegmentLog.read(fs, root)
         val base = SegmentLog.readVersion(fs, root, v.toLong)
-        Some(SegmentLog.logicalView(base.copy(
-          physicalOf = cur.map(_.physicalOf).getOrElse(base.physicalOf),
-          retiredSchema = cur.map(_.retiredSchema).getOrElse(base.retiredSchema))))
+        Some(SegmentLog.logicalView(
+          SegmentLog.currentView(base, cur.getOrElse(base))))
       case (None, Some(v)) =>
         val base = SegmentLog.readVersion(fs, root, v.toLong)
         val cur = SegmentLog.read(fs, root).getOrElse(base)
@@ -846,13 +847,16 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       def segCols(seg: SegmentMeta): Seq[String] =
         if (seg.cols.nonEmpty) seg.cols else tableSchema.fieldNames.toSeq
       def segDv(seg: SegmentMeta): Option[String] = seg.dv.map(d => s"$root/$d")
+      def segWiden(seg: SegmentMeta): Map[String, String] = manifest
+        .map(SegmentLog.widenOverridesFor(_, tableSchema, seg.id))
+        .getOrElse(Map.empty)
       if (reportableBucketing.isDefined)
         take.map(seg =>
           GraftKeyedInputPartition(s"$root/${seg.path}", segCols(seg), seg.bucket.get,
-            segDv(seg)): InputPartition).toArray
+            segDv(seg), segWiden(seg)): InputPartition).toArray
       else
         take.map(seg => GraftInputPartition(s"$root/${seg.path}", segCols(seg),
-          segDv(seg)): InputPartition).toArray
+          segDv(seg), segWiden(seg)): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(tableSchema, required, conf,
@@ -878,10 +882,16 @@ trait GraftPartition extends InputPartition {
     * `dv` skipping) — the change feed's bitmap-delta face: deletes
     * between two versions are `new ∖ old`. */
   def emitOnlyDv: Option[String]
+  /** Stored-type overrides (column name → encoded type json) for
+    * columns whose bytes pre-date a type widening
+    * ([[SegmentLog.widenOverridesFor]]): decode as written, up-cast
+    * into the table type. Empty for never-widened tables. */
+  def widen: Map[String, String]
 }
 
 case class GraftInputPartition(file: String, cols: Seq[String],
-    dv: Option[String] = None) extends GraftPartition {
+    dv: Option[String] = None, widen: Map[String, String] = Map.empty)
+    extends GraftPartition {
   override def emitOnlyDv: Option[String] = None
 }
 
@@ -889,7 +899,7 @@ case class GraftInputPartition(file: String, cols: Seq[String],
   * bucket id, which is what BatchScanExec groups on for
   * storage-partitioned joins. */
 case class GraftKeyedInputPartition(file: String, cols: Seq[String], bucket: Int,
-    dv: Option[String] = None)
+    dv: Option[String] = None, widen: Map[String, String] = Map.empty)
     extends GraftPartition with HasPartitionKey {
   override def emitOnlyDv: Option[String] = None
   override def partitionKey(): InternalRow =
@@ -902,15 +912,33 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     retired: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
     extends PartitionReaderFactory {
 
-  // a segment column resolves to its (logical-view) table field, or —
-  // for a DROPPED column's `#dropped:` marker — to a skip-only field
-  // typed from the retired schema so the codec can pass its bytes
-  private def storedField(n: String): org.apache.spark.sql.types.StructField =
+  // a segment column resolves to its ENCODED type: a per-partition
+  // widen override first (bytes pre-dating an ALTER COLUMN TYPE — the
+  // codec up-casts them into the table type), then its (logical-view)
+  // table field, then — for a DROPPED column's `#dropped:` marker — a
+  // skip-only field typed from the retired schema
+  private def storedField(gp: GraftPartition)(
+      n: String): org.apache.spark.sql.types.StructField = {
+    gp.widen.get(n).foreach { json =>
+      val dt = org.apache.spark.sql.types.DataType.fromJson(json)
+      val target = tableSchema.fields.find(_.name == n).map(_.dataType)
+        .orElse(retired.get(n))
+      // up-castable (or byte-identical for skip-only retired columns):
+      // decode with the truth; anything else would mis-decode — refuse
+      if (target.forall(t => t == dt || SegmentLog.canWiden(dt, t)))
+        return org.apache.spark.sql.types.StructField(n, dt)
+      throw new IllegalStateException(
+        s"segment stores column $n as ${dt.simpleString} but the table now " +
+          s"types it ${target.get.simpleString} — this version was orphaned " +
+          "by a rollback across a type change; read it before the rollback " +
+          "target, or re-apply the widening")
+    }
     tableSchema.fields.find(_.name == n).getOrElse(
       retired.get(n).map(dt => org.apache.spark.sql.types.StructField(n, dt)).getOrElse(
         throw new IllegalStateException(
           s"segment column $n is not in this reader's table schema — the table " +
             "evolved under a running stream; restart the stream to pick up the new schema")))
+  }
 
   // vectorized when every required column has a columnar decode path
   // (the `_segment` metadata constant and `_pos` ordinals are filled
@@ -927,7 +955,7 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val gp = partition.asInstanceOf[GraftPartition]
-    val stored = StructType(gp.cols.map(storedField))
+    val stored = StructType(gp.cols.map(storedField(gp)))
     val p = new Path(gp.file)
     val pfs = p.getFileSystem(conf.value)
     val skipBits: Array[Long] =
@@ -982,7 +1010,7 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     // the table schema (additive evolution never retypes a column;
     // dropped columns skip via their retired types); required columns
     // the segment lacks stay null in the output row
-    val stored = StructType(gp.cols.map(storedField))
+    val stored = StructType(gp.cols.map(storedField(gp)))
     val p = new Path(file)
     val fs = p.getFileSystem(conf.value)
     val in = new DataInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
@@ -1372,10 +1400,24 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
     val kept = resolved.filterNot(seg =>
       pushed.exists(f => SegmentPruning.prunes(f, stored, seg)))
     GraftMicroBatchStream.lastBatchEvent = Some((kept.size, resolved.size))
+    // TYPE drift under a running stream: this stream decodes with its
+    // init-time schema, so a widen committed after init (or a rollback
+    // across one) would mis-type new bytes — refuse loudly. Pre-init
+    // widens are fine: the registry override below decodes old
+    // segments as written and up-casts.
+    m.schema.fields.foreach { f =>
+      stored.fields.find(_.name == f.name).foreach { s =>
+        if (s.dataType != f.dataType) throw new IllegalStateException(
+          s"column ${f.name} changed type ${s.dataType.simpleString} -> " +
+            s"${f.dataType.simpleString} under this running stream — restart " +
+            "the stream to pick up the new schema")
+      }
+    }
     kept
       .map(seg => GraftInputPartition(s"$root/${seg.path}",
         if (seg.cols.nonEmpty) seg.cols else stored.fieldNames.toSeq,
-        seg.dv.map(d => s"$root/$d")): InputPartition).toArray
+        seg.dv.map(d => s"$root/$d"),
+        SegmentLog.widenOverridesFor(m, stored, seg.id)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -104,6 +104,33 @@ object SegmentCodec {
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 
+  /** Up-cast discipline for decoding a column whose STORED type
+    * pre-dates a type widening ([[SegmentLog.widenTransform]]) into
+    * the current REQUIRED type: 0 = identical, 1 = int→long,
+    * 2 = float→double, 3/4 = the array element forms. Any other pair
+    * is a decode-time contract violation (the read path refuses it
+    * before the codec runs) — fail loudly, never mis-read bytes. */
+  def upcast(stored: DataType, required: DataType): Int = (stored, required) match {
+    case (s, r) if s == r => 0
+    case (IntegerType, LongType) => 1
+    case (FloatType, DoubleType) => 2
+    case (ArrayType(IntegerType, a), ArrayType(LongType, b)) if a == b => 3
+    case (ArrayType(FloatType, a), ArrayType(DoubleType, b)) if a == b => 4
+    case _ => throw new IllegalArgumentException(
+      s"cannot decode a ${stored.simpleString} column as ${required.simpleString}")
+  }
+
+  /** Apply an [[upcast]] code to a decoded catalyst value. */
+  def promote(v: Any, code: Int): Any = code match {
+    case 0 => v
+    case 1 => v.asInstanceOf[Int].toLong
+    case 2 => v.asInstanceOf[Float].toDouble
+    case 3 => new GenericArrayData(
+      v.asInstanceOf[GenericArrayData].array.map(x => x.asInstanceOf[Int].toLong: Any))
+    case 4 => new GenericArrayData(
+      v.asInstanceOf[GenericArrayData].array.map(x => x.asInstanceOf[Float].toDouble: Any))
+  }
+
   /** Read one non-null value of `dt` as the catalyst-internal value. */
   def readValue(in: DataInputStream, dt: DataType): Any = dt match {
     case IntegerType | DateType => in.readInt()
@@ -267,6 +294,11 @@ object SegmentCodec {
       extends Iterator[InternalRow] with java.io.Closeable {
     private val outIdx: Array[Int] = stored.fields.map(f => required.fieldIndex2(f.name))
     private val types: Array[DataType] = stored.fields.map(_.dataType)
+    // widened columns decode as written, then promote into the
+    // required (current) type — stored != required only after an
+    // ALTER COLUMN TYPE, and only for pre-widen segments
+    private val up: Array[Int] = Array.tabulate(types.length)(c =>
+      if (outIdx(c) < 0) 0 else upcast(types(c), required(outIdx(c)).dataType))
     private var nextRow: InternalRow = _
     private var done = false
     readHeader(in, stored.length)
@@ -281,7 +313,8 @@ object SegmentCodec {
         val present = if (c == 0) first == 1 else in.readBoolean()
         val o = outIdx(c)
         if (present) {
-          if (o >= 0) vals(o) = readValue(in, types(c)) else skip(in, types(c))
+          if (o >= 0) vals(o) = promote(readValue(in, types(c)), up(c))
+          else skip(in, types(c))
         } // null → vals(o) stays null
         c += 1
       }
@@ -342,6 +375,9 @@ object SegmentCodec {
       found
     })
     val types: Array[DataType] = stored.fields.map(_.dataType)
+    // widened columns: decode as written, put into the (wider) vector
+    val up: Array[Int] = Array.tabulate(types.length)(c =>
+      if (outIdx(c) < 0) 0 else upcast(types(c), required(outIdx(c)).dataType))
     var r = 0
     var pos = pos0
     var exhausted = false
@@ -360,10 +396,14 @@ object SegmentCodec {
           else {
             val v = vectors(o)
             types(c) match {
-              case IntegerType | DateType => v.putInt(r, in.readInt())
+              case IntegerType | DateType =>
+                if (up(c) == 1) v.putLong(r, in.readInt().toLong)
+                else v.putInt(r, in.readInt())
               case LongType | TimestampType | TimestampNTZType => v.putLong(r, in.readLong())
               case DoubleType => v.putDouble(r, in.readDouble())
-              case FloatType => v.putFloat(r, in.readFloat())
+              case FloatType =>
+                if (up(c) == 2) v.putDouble(r, in.readFloat().toDouble)
+                else v.putFloat(r, in.readFloat())
               case BooleanType => v.putBoolean(r, in.readBoolean())
               case StringType =>
                 val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
@@ -379,11 +419,15 @@ object SegmentCodec {
                 var i = 0
                 et match {
                   case IntegerType =>
-                    while (i < n) { child.appendInt(in.readInt()); i += 1 }
+                    if (up(c) == 3)
+                      while (i < n) { child.appendLong(in.readInt().toLong); i += 1 }
+                    else while (i < n) { child.appendInt(in.readInt()); i += 1 }
                   case LongType =>
                     while (i < n) { child.appendLong(in.readLong()); i += 1 }
                   case FloatType =>
-                    while (i < n) { child.appendFloat(in.readFloat()); i += 1 }
+                    if (up(c) == 4)
+                      while (i < n) { child.appendDouble(in.readFloat().toDouble); i += 1 }
+                    else while (i < n) { child.appendFloat(in.readFloat()); i += 1 }
                   case DoubleType =>
                     while (i < n) { child.appendDouble(in.readDouble()); i += 1 }
                   case other =>

@@ -102,6 +102,18 @@ case class BucketSpec(cols: Seq[String], n: Int, mode: String = "hash")
   * RENAME and DROP are therefore metadata-only commits
   * ([[SegmentLog.renameColumn]]/[[SegmentLog.dropColumn]]) — no data
   * rewrite at any table size.
+  *
+  * Type WIDENING (`ALTER COLUMN … TYPE`, the Iceberg/Delta
+  * type-promotion shape) is metadata-only too: `widened` maps a
+  * PHYSICAL column name to `(maxSegmentId at the widen, pre-widen
+  * type json)`. Segment ids are table-lifetime monotonic, so
+  * `id <= maxSegmentId` identifies exactly the segments encoded with
+  * the old type; readers decode them as written and UP-CAST into the
+  * current type ([[SegmentCodec]]). Each manifest version
+  * self-describes its own segments — time travel and the change feed
+  * resolve stored types from the manifest that OWNS the segment, so
+  * the registry stays exact across rename, drop, rollback, and
+  * re-widen ([[SegmentLog.widenOverridesFor]]).
   */
 case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta],
     txns: Map[String, Long] = Map.empty, bucketing: Option[BucketSpec] = None,
@@ -111,7 +123,8 @@ case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta
     physicalOf: Map[String, String] = Map.empty,
     retiredSchema: StructType = new StructType(),
     props: Map[String, String] = Map.empty,
-    ts: Long = -1L)
+    ts: Long = -1L,
+    widened: Map[String, Seq[(Long, String)]] = Map.empty)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -304,6 +317,22 @@ object SegmentLog {
         }
         b.result()
       } else Map.empty[String, String]
+    val widened =
+      if (node.hasNonNull("widened")) {
+        val b = Map.newBuilder[String, Seq[(Long, String)]]
+        val names = node.get("widened").fieldNames()
+        while (names.hasNext) {
+          val p = names.next()
+          val entries = Seq.newBuilder[(Long, String)]
+          val it = node.get("widened").get(p).elements()
+          while (it.hasNext) {
+            val w = it.next()
+            entries += ((w.get("maxId").asLong(), w.get("was").asText()))
+          }
+          b += p -> entries.result()
+        }
+        b.result()
+      } else Map.empty[String, Seq[(Long, String)]]
     Manifest(node.get("version").asLong(), schema, withIds, txns.result(), bucketing,
       ts = if (node.hasNonNull("ts")) node.get("ts").asLong() else -1L,
       maxSegmentId = maxId,
@@ -318,7 +347,8 @@ object SegmentLog {
         else -1L,
       compactedThrough =
         if (node.hasNonNull("compactedThrough")) node.get("compactedThrough").asLong() else -1L,
-      physicalOf = physicalOf, retiredSchema = retired, props = props)
+      physicalOf = physicalOf, retiredSchema = retired, props = props,
+      widened = widened)
   }
 
   private def render(m: Manifest): String = {
@@ -336,6 +366,15 @@ object SegmentLog {
       m.physicalOf.foreach { case (l, p) => o.put(l, p) }
     }
     if (m.retiredSchema.nonEmpty) root.put("retiredSchema", m.retiredSchema.json)
+    if (m.widened.nonEmpty) {
+      val o = root.putObject("widened")
+      m.widened.foreach { case (p, entries) =>
+        val a = o.putArray(p)
+        entries.foreach { case (maxId, was) =>
+          val w = a.addObject(); w.put("maxId", maxId); w.put("was", was)
+        }
+      }
+    }
     if (m.props.nonEmpty) {
       val o = root.putObject("props")
       m.props.foreach { case (k, v2) => o.put(k, v2) }
@@ -582,12 +621,20 @@ object SegmentLog {
       val liveProps =
         (if (resetProps) Map.empty[String, String]
          else current.map(_.props).getOrElse(Map.empty)) ++ props
+      // the type-widening registry rides every data commit untouched —
+      // segment ids are monotonic, so entries can never mis-apply to
+      // fresh segments; an atomic REPLACE redefines the table (and
+      // truncates its segments), so the registry resets with it
+      val widened =
+        if (resetProps) Map.empty[String, Seq[(Long, String)]]
+        else current.map(_.widened).getOrElse(Map.empty)
       val body = render(Manifest(v, tableSchema, merged, txns, spec,
         maxSegmentId = newMax, truncateWatermark = newTw,
         truncateVersion = newTv,
         compactedThrough = newCt,
         physicalOf = physicalOf, retiredSchema = retired,
         props = liveProps,
+        widened = widened,
         ts = commitTimestamp(current))).getBytes(StandardCharsets.UTF_8)
       if (claimSlot(fs, root, v, body, canRetry = attempt < maxRetries)) return v
       attempt += 1 // lost the slot to a concurrent writer; re-read and retry
@@ -782,6 +829,138 @@ object SegmentLog {
         if (phys == field.name) m.physicalOf else m.physicalOf + (field.name -> phys))
   }
 
+  /** The widening lattice: pre-type → allowed post-types. Exactly the
+    * promotions whose VALUE SPACE embeds losslessly AND whose segment
+    * metadata stays sound as-is: int/long zone-map bounds are decimal
+    * strings parsed in long domain either way; float bounds were
+    * always collected as exact `(double) f` ([[SegmentCodec
+    * .StatsCollector]]); int and long bloom hashes coincide by
+    * construction (`mix64(i.toLong)`, [[SegmentBloom.hashRow]]).
+    * date→timestamp is deliberately absent (different semantics, not
+    * a representation widening), as is anything decimal (the codec
+    * does not store decimals). */
+  private val widenable: Map[DataType, Set[DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(IntegerType -> Set[DataType](LongType),
+      FloatType -> Set[DataType](DoubleType))
+  }
+
+  /** Is `from` → `to` a supported metadata-only widening? Top-level
+    * primitives and one-level arrays (element widening, matching the
+    * codec's vectorized array decode). */
+  def canWiden(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ArrayType(fe, fn), ArrayType(te, tn)) =>
+        fn == tn && widenable.get(fe).exists(_.contains(te))
+      case _ => widenable.get(from).exists(_.contains(to))
+    }
+  }
+
+  /** Metadata-only `ALTER COLUMN … TYPE` (type widening): no segment
+    * is read or rewritten at any table size. The manifest records
+    * `(maxSegmentId, old type)` under the column's PHYSICAL name;
+    * readers decode `id <= maxSegmentId` segments with the old type
+    * and up-cast ([[SegmentCodec]]). Refused on a hash-layout
+    * clustering column — `murmur3(int) != murmur3(long)`, so the
+    * frozen bucket labels (and the storage-partitioned joins they
+    * power) would silently go stale; re-cluster first. Range layouts
+    * survive: widening is order-preserving, so range non-overlap and
+    * the topN prefix argument hold verbatim. */
+  def widenColumn(fs: FileSystem, root: String, name: String, to: DataType,
+      maxRetries: Int = 20): Long =
+    alterSchema(fs, root, Seq(widenTransform(name, to)), maxRetries)
+
+  def widenTransform(name: String, to: DataType): Manifest => Manifest = { m =>
+    val f = m.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name to widen"))
+    if (f.dataType == to)
+      throw new IllegalArgumentException(
+        s"column $name already has type ${to.simpleString}")
+    require(canWiden(f.dataType, to),
+      s"cannot change column $name from ${f.dataType.simpleString} to " +
+        s"${to.simpleString}: only the lossless widenings int->bigint, " +
+        "float->double (and their array element forms) are metadata-only; " +
+        "anything else needs an explicit rewrite " +
+        "(CREATE TABLE … AS SELECT CAST(...))")
+    require(!m.bucketing.exists(b => b.mode == "hash" && b.cols.contains(name)),
+      s"column $name is a hash-clustering column of the live layout — " +
+        "its frozen bucket labels hash the OLD type; re-cluster (compact " +
+        "with the new layout) before widening it")
+    val phys = m.physicalOf.getOrElse(name, name)
+    // entries ascend by maxId (each widen's high-water mark is above
+    // every earlier one's); resolution takes the FIRST entry covering
+    // a segment id, so re-widening after a rollback across an earlier
+    // widen of the same column stays exact — the restored narrow
+    // segments match the old entry, post-rollback narrow appends the
+    // new one
+    m.copy(
+      schema = StructType(m.schema.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x)),
+      widened = m.widened + (phys ->
+        (m.widened.getOrElse(phys, Nil) :+ (m.maxSegmentId -> f.dataType.json))))
+  }
+
+  /** Physical column name → data type for a manifest's OWN lineage:
+    * the live schema through its mapping, plus its retired columns. */
+  private def typesByPhys(mf: Manifest): Map[String, DataType] =
+    mf.schema.fields.map(f =>
+      mf.physicalOf.getOrElse(f.name, f.name) -> f.dataType).toMap ++
+      mf.retiredSchema.fields.map(f => f.name -> f.dataType)
+
+  /** Overlay `current`'s column mapping onto the historical `base`
+    * (time travel / change feed / stream resolution all serve old
+    * segments under the CURRENT logical names) and keep the view
+    * SELF-DESCRIBING for stored types: `base`'s own widen registry
+    * rides along, plus a whole-version entry for every physical
+    * column whose base-lineage type disagrees with its current type —
+    * a branch orphaned by a rollback across a type change. Readers
+    * up-cast where the disagreement is widenable and refuse loudly
+    * where it is not, instead of mis-decoding bytes. */
+  def currentView(base: Manifest, current: Manifest): Manifest = {
+    val baseT = typesByPhys(base)
+    val curT = typesByPhys(current)
+    val orphan = baseT.flatMap { case (p, bt) =>
+      curT.get(p) match {
+        case Some(ct) if ct != bt =>
+          Some(p -> (base.widened.getOrElse(p, Nil) :+
+            (base.maxSegmentId -> bt.json)))
+        case _ => None
+      }
+    }
+    base.copy(physicalOf = current.physicalOf,
+      retiredSchema = current.retiredSchema,
+      widened = base.widened ++ orphan)
+  }
+
+  /** The stored-type overrides a reader needs for segment `segId` of
+    * the (logical-view) manifest `view`, keyed by the segment's
+    * column names as its `cols` list spells them and valued with the
+    * true ENCODED type's json. `currentSchema` is the table schema
+    * the scan serves (current logical names/types). Resolution per
+    * physical column: the first registry entry with
+    * `segId <= maxSegmentId` (the segment pre-dates that widen) wins;
+    * no entry means the bytes already match the view's lineage type.
+    * Only DISAGREEING columns emit an override — the common
+    * never-widened table pays nothing per partition. */
+  def widenOverridesFor(view: Manifest, currentSchema: StructType,
+      segId: Long): Map[String, String] = {
+    if (view.widened.isEmpty) return Map.empty
+    val logicalOf = view.physicalOf.map(_.swap)
+    val dead = view.retiredSchema.fieldNames.toSet
+    val b = Map.newBuilder[String, String]
+    view.widened.foreach { case (p, entries) =>
+      entries.find(segId <= _._1).foreach { case (_, was) =>
+        val name = logicalOf.getOrElse(p,
+          if (dead.contains(p)) s"$DroppedPrefix$p" else p)
+        val currentT = currentSchema.fields.find(_.name == name).map(_.dataType)
+          .orElse(view.retiredSchema.fields.find(_.name == p).map(_.dataType))
+        if (!currentT.contains(DataType.fromJson(was))) b += name -> was
+      }
+    }
+    b.result()
+  }
+
   /** Apply several schema transforms as ONE optimistic commit — a
     * multi-change `ALTER TABLE` either lands whole or not at all (a
     * failing validation in any transform aborts before the version
@@ -866,6 +1045,7 @@ object SegmentLog {
         bucketing = target.bucketing,
         physicalOf = target.physicalOf,
         retiredSchema = target.retiredSchema,
+        widened = target.widened,
         props = target.props,
         txns = target.txns,
         compactedThrough =
