@@ -299,6 +299,19 @@ class GraftChangeFeedStream(root: String, tableSchema: StructType,
     val to = end.asInstanceOf[GraftCdfOffset].version
     val cur = SegmentLog.read(fs, root).getOrElse(
       throw new IllegalStateException(s"no graft-segment table at $root"))
+    // TYPE drift under a running feed: this stream decodes with its
+    // init-time schema, so a widen committed after init (or a rollback
+    // across one) would mis-type the new generation's bytes — refuse
+    // loudly, same contract as the plain streaming source. Pre-init
+    // widens are fine: per-partition registry overrides up-cast them.
+    cur.schema.fields.foreach { f =>
+      tableSchema.fields.find(_.name == f.name).foreach { s =>
+        if (s.dataType != f.dataType) throw new IllegalStateException(
+          s"column ${f.name} changed type ${s.dataType.simpleString} -> " +
+            s"${f.dataType.simpleString} under this running change feed — " +
+            "restart the stream to pick up the new schema")
+      }
+    }
     GraftChangeFeed.changedSegments(fs, root, cur, from, to)
       .map(GraftChangeFeed.toPartition(root, tableSchema)).toArray
   }

@@ -251,6 +251,35 @@ class SegmentWidenSpec extends SparkSpec {
       (0 until 10).map(_.toLong))
   }
 
+  test("a widen under a RUNNING change-feed stream fails fast too") {
+    val dir = tmp("graft-widen-cdcstream")
+    import spark.implicits._
+    (0 until 5).map(i => (i.toLong, i)).toDF("id", "n")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    val q = spark.readStream.format(Fmt)
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+      .writeStream.format("memory").queryName("widen_cdf_guard").start()
+    q.processAllAvailable()
+    assert(spark.table("widen_cdf_guard").count() == 5)
+    SegmentLog.widenColumn(fs(dir), dir, "n", LongType)
+    (5 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "n")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    def rootMsgs(t: Throwable): String =
+      if (t == null) "" else String.valueOf(t.getMessage) + rootMsgs(t.getCause)
+    val e = intercept[Exception] { q.processAllAvailable(); q.awaitTermination() }
+    assert(rootMsgs(e).contains("restart the stream"), rootMsgs(e))
+    // the fresh feed from the start serves BOTH generations long —
+    // registry up-cast for the int segment, native for the new one
+    val q2 = spark.readStream.format(Fmt)
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+      .writeStream.format("memory").queryName("widen_cdf_fresh").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("widen_cdf_fresh").select("n").as[Long]
+      .collect().sorted.toSeq == (0 until 10).map(_.toLong))
+  }
+
   test("merge-on-read DELETE + compaction keep up-cast fidelity on pre-widen segments") {
     val dir = tmp("graft-widen-mor")
     import spark.implicits._
