@@ -3196,6 +3196,37 @@ object SparkEntry {
       // the filter's BIGINT literal prunes int-written zone maps
       s.sql(s"SELECT k, qty, price FROM $cat.db.t WHERE qty >= 10 ORDER BY k")
     }),
+    // DEFAULT column values (SUPPORT_COLUMN_DEFAULT_VALUE): CREATE/ADD
+    // COLUMN defaults are ONE metadata-only manifest commit — rows
+    // written BEFORE the column existed read the folded EXISTS_DEFAULT
+    // constant (no segment rewritten at any table size), INSERTs that
+    // omit the column take CURRENT_DEFAULT, and SET DEFAULT repaints
+    // the future only (the SQL-standard split). The oracle replays the
+    // generations in one closed form keyed by the insert boundaries
+    "store_segment_defaults" -> ((s, d) => withTempDir("graft-segdef") { base =>
+      val cat = s"graft_def_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, cents BIGINT, " +
+        "status STRING DEFAULT 'PENDING') " +
+        "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4')")
+      Tables.orders(s, d).createOrReplaceTempView("graft_def_orders")
+      // generation 1: status omitted -> CURRENT default fills 'PENDING'
+      s.sql(s"INSERT INTO $cat.db.t (k, cents) " +
+        "SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        "FROM graft_def_orders WHERE o_orderkey % 3 = 0")
+      // ADD COLUMN with DEFAULT: generation-1 rows read 7 with no rewrite
+      s.sql(s"ALTER TABLE $cat.db.t ADD COLUMN retries BIGINT DEFAULT 7")
+      // SET DEFAULT is future-only: later omitted statuses say 'QUEUED'
+      s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN status SET DEFAULT 'QUEUED'")
+      // generation 2: retries explicit, status defaulted to 'QUEUED'
+      s.sql(s"INSERT INTO $cat.db.t (k, cents, retries) " +
+        "SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT), " +
+        "o_orderkey % 5 FROM graft_def_orders WHERE o_orderkey % 3 = 1")
+      s.sql(s"SELECT k, cents, status, retries FROM $cat.db.t ORDER BY k")
+    }),
     // the STREAMING face of the change feed (readChangeFeed=true):
     // offsets are manifest VERSIONS, each micro-batch a closed version
     // range diffed by segment identity — inserts from appends and the
@@ -5993,6 +6024,17 @@ object SparkEntry {
         "SELECT k, CASE WHEN k % 13 = 0 THEN cents + 1000 " +
         "WHEN k % 19 = 0 THEN CAST(0 AS BIGINT) ELSE cents END AS cents " +
         "FROM t1 WHERE k % 13 = 0 OR k % 17 <> 0 ORDER BY k"),
+
+    // generation 1 (k%3=0): status filled by the CREATE-time default,
+    // retries by the ADD-time existence default; generation 2 (k%3=1):
+    // status by the post-SET default, retries explicit
+    "store_segment_defaults" ->
+      ("SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'PENDING' ELSE 'QUEUED' END AS status, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN CAST(7 AS BIGINT) " +
+        "ELSE o_orderkey % 5 END AS retries " +
+        "FROM orders WHERE o_orderkey % 3 IN (0, 1) ORDER BY k"),
 
     // both generations in one closed form: pre-widen rows were written
     // int/float, post-widen rows bigint/float-rounded-double — the

@@ -50,6 +50,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
 
   override def name(): String = catalogName
 
+  // opt IN to column DEFAULT values: Spark's analyzer then accepts
+  // `DEFAULT v` in CREATE/ADD COLUMN DDL (encoding the CURRENT/EXISTS
+  // metadata pair into the schema we persist) and substitutes
+  // CURRENT_DEFAULT into INSERTs that omit the column; the read-side
+  // EXISTS_DEFAULT fill is ours ([[SegmentDefaults]])
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
@@ -118,6 +126,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   private def parseCreation(schema: StructType, partitions: Array[Transform],
       properties: java.util.Map[String, String]): (Option[BucketSpec], Map[String, String]) = {
     SegmentCodec.validateSchema(schema)
+    SegmentDefaults.validate(schema)
     val bucketing = partitions.toSeq match {
       case Nil =>
         // range layout via TBLPROPERTIES('clusterBy'='k', 'numPartitions'='8'):
@@ -236,9 +245,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         SegmentLog.dropTransform(d.fieldNames()(0))
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1, "nested columns are not supported")
-        SegmentLog.addTransform(
-          org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(),
-            nullable = true))
+        val bare = org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+        // ADD COLUMN … DEFAULT v: encode Spark's CURRENT/EXISTS default
+        // metadata pair — existing rows read the folded constant, no
+        // segment is rewritten ([[SegmentDefaults]])
+        SegmentLog.addTransform(Option(a.defaultValue())
+          .map(d => SegmentDefaults.withDefault(bare, d)).getOrElse(bare))
+      // ALTER COLUMN … SET DEFAULT v / DROP DEFAULT: CURRENT_DEFAULT
+      // only — future inserts change, existing rows keep the add-time
+      // EXISTS_DEFAULT (the SQL-standard split)
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames().length == 1, "nested columns are not supported")
+        SegmentDefaults.setCurrentTransform(ud.fieldNames()(0),
+          Option(ud.newCurrentDefault()).flatMap(d => Option(d.getSql))
+            .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty)))
       // ALTER COLUMN … TYPE: metadata-only type WIDENING (int->bigint,
       // float->double, array element forms) — old segments decode as
       // written and up-cast at read; anything lossy is refused inside
@@ -285,7 +306,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         (m: Manifest) => m.copy(props = m.props - rp.property())
       case other => throw new UnsupportedOperationException(
         s"graft-segment supports RENAME/DROP/ADD COLUMN, ALTER COLUMN " +
-          s"TYPE (widening), and SET/UNSET " +
+          s"TYPE (widening), ALTER COLUMN SET/DROP DEFAULT, and SET/UNSET " +
           s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode|check.<name>) only, " +
           s"got $other")
     }

@@ -912,6 +912,13 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     retired: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
     extends PartitionReaderFactory {
 
+  // existence defaults (ADD COLUMN … DEFAULT v), aligned to `required`
+  // and evaluated ONCE here on the driver — null for the common
+  // no-defaults table ([[SegmentDefaults.existenceDefaults]]). Served
+  // ONLY for columns a segment does not store; stored NULLs stay null.
+  private val existsDefault: Array[Any] =
+    SegmentDefaults.existenceDefaults(tableSchema, required)
+
   // a segment column resolves to its ENCODED type: a per-partition
   // widen override first (bytes pre-dating an ALTER COLUMN TYPE — the
   // codec up-casts them into the table type), then its (logical-view)
@@ -994,7 +1001,12 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
           if (segIdx >= 0) while (r < rows) {
             vectors(segIdx).putByteArray(r, segBytes, 0, segBytes.length); r += 1
           }
-          holeIdx.foreach(i => vectors(i).putNulls(0, rows))
+          holeIdx.foreach { i =>
+            if (existsDefault == null || existsDefault(i) == null)
+              vectors(i).putNulls(0, rows)
+            else SegmentCodec.fillConstant(vectors(i), required(i).dataType,
+              existsDefault(i), rows)
+          }
           batch.setNumRows(rows)
         }
         rows > 0
@@ -1014,7 +1026,24 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
     val p = new Path(file)
     val fs = p.getFileSystem(conf.value)
     val in = new DataInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
-    val it = new SegmentCodec.RowIterator(in, stored, required)
+    // existence-default template: seeds only columns this segment does
+    // NOT store (stored slots stay null in it, so stored NULLs survive)
+    val template: Array[Any] =
+      if (existsDefault == null) null
+      else {
+        val storedNames = gp.cols.toSet
+        val t = new Array[Any](required.length)
+        var any = false
+        var i = 0
+        while (i < required.length) {
+          if (existsDefault(i) != null && !storedNames.contains(required(i).name)) {
+            t(i) = existsDefault(i); any = true
+          }
+          i += 1
+        }
+        if (any) t else null
+      }
+    val it = new SegmentCodec.RowIterator(in, stored, required, template)
     // `_segment`/`_pos` metadata columns: filled after decode (the
     // codec never stores them); `_pos` is the PHYSICAL ordinal — dv
     // skipping happens after assignment, so positions stay stable

@@ -288,9 +288,39 @@ object SegmentCodec {
 
   object StatsCollector { val MaxStatString = 64 }
 
+  /** Fill `rows` slots of a vector with one constant (the catalyst
+    * value of an EXISTS_DEFAULT — [[SegmentDefaults]]): served for
+    * required columns a segment does not store. Atomic types only,
+    * enforced at DDL time. */
+  def fillConstant(v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      dt: DataType, value: Any, rows: Int): Unit = {
+    var r = 0
+    dt match {
+      case IntegerType | DateType =>
+        val x = value.asInstanceOf[Int]; while (r < rows) { v.putInt(r, x); r += 1 }
+      case LongType | TimestampType | TimestampNTZType =>
+        val x = value.asInstanceOf[Long]; while (r < rows) { v.putLong(r, x); r += 1 }
+      case FloatType =>
+        val x = value.asInstanceOf[Float]; while (r < rows) { v.putFloat(r, x); r += 1 }
+      case DoubleType =>
+        val x = value.asInstanceOf[Double]; while (r < rows) { v.putDouble(r, x); r += 1 }
+      case BooleanType =>
+        val x = value.asInstanceOf[Boolean]; while (r < rows) { v.putBoolean(r, x); r += 1 }
+      case StringType =>
+        val b = value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        while (r < rows) { v.putByteArray(r, b, 0, b.length); r += 1 }
+      case other => throw new IllegalArgumentException(
+        s"no constant fill for ${other.simpleString}")
+    }
+  }
+
   /** Decode rows from a segment stream, materializing only `required`
-    * columns (in required-field order). */
-  final class RowIterator(in: DataInputStream, stored: StructType, required: StructType)
+    * columns (in required-field order). `template`, when non-null,
+    * seeds each output row (existence defaults for columns this
+    * segment does not store — stored positions are always null in it,
+    * so stored NULLs stay null). */
+  final class RowIterator(in: DataInputStream, stored: StructType, required: StructType,
+      template: Array[Any] = null)
       extends Iterator[InternalRow] with java.io.Closeable {
     private val outIdx: Array[Int] = stored.fields.map(f => required.fieldIndex2(f.name))
     private val types: Array[DataType] = stored.fields.map(_.dataType)
@@ -307,7 +337,8 @@ object SegmentCodec {
       if (done) return
       val first = in.read() // marker of column 0, or EOF
       if (first < 0) { done = true; nextRow = null; return }
-      val vals = new Array[Any](required.length)
+      val vals =
+        if (template == null) new Array[Any](required.length) else template.clone()
       var c = 0
       while (c < types.length) {
         val present = if (c == 0) first == 1 else in.readBoolean()

@@ -552,12 +552,23 @@ object SegmentLog {
       // must keep its type; columns the table does not have yet are
       // appended (nullable — old segments null-backfill them). Without
       // mergeSchema an append must match exactly.
+      // nullability is NOT part of the byte contract (the codec writes
+      // per-value present markers and refuses null array elements
+      // outright), so an `array<float>` write appends into an
+      // `ARRAY<FLOAT>` DDL column (containsNull=true) without a
+      // phantom "schema mismatch" — the TABLE's declared form stays
+      // authoritative when shapes agree modulo nullability
+      def loose(dt: DataType): DataType = dt match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          org.apache.spark.sql.types.ArrayType(loose(et), containsNull = true)
+        case other => other
+      }
       val tableSchema: StructType = current match {
         case None => schema
         case Some(m) if truncate => schema
         case Some(m) =>
-          val live = m.schema.fields.map(f => (f.name, f.dataType)).toSeq
-          val write = schema.fields.map(f => (f.name, f.dataType)).toSeq
+          val live = m.schema.fields.map(f => (f.name, loose(f.dataType))).toSeq
+          val write = schema.fields.map(f => (f.name, loose(f.dataType))).toSeq
           if (live == write) m.schema
           else if (mergeSchema) {
             val liveTypes = live.toMap
