@@ -69,20 +69,20 @@ object GraftChangeFeed {
     val cols =
       if (c.meta.cols.nonEmpty) c.meta.cols else tableSchema.fieldNames.toSeq
     c.dvDeltaBase match {
-      case None => GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
-        c.changeType, c.version, dv = c.meta.dv.map(d => s"$root/$d"),
+      case None => GraftCdfInputPartition(SegmentLog.abs(root, c.meta.path), cols,
+        c.changeType, c.version, dv = c.meta.dv.map(SegmentLog.abs(root, _)),
         widen = c.widen)
       case Some(oldDv) if c.changeType == "insert" =>
         // rollback resurrection: emit rows dead BEFORE but live AFTER
-        GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
+        GraftCdfInputPartition(SegmentLog.abs(root, c.meta.path), cols,
           c.changeType, c.version,
-          dv = c.meta.dv.map(d => s"$root/$d"), // rows STILL dead after
-          emitOnlyDv = oldDv.map(d => s"$root/$d"), // old ∖ new
+          dv = c.meta.dv.map(SegmentLog.abs(root, _)), // rows STILL dead after
+          emitOnlyDv = oldDv.map(SegmentLog.abs(root, _)), // old ∖ new
           widen = c.widen)
-      case Some(oldDv) => GraftCdfInputPartition(s"$root/${c.meta.path}", cols,
+      case Some(oldDv) => GraftCdfInputPartition(SegmentLog.abs(root, c.meta.path), cols,
         c.changeType, c.version,
-        dv = oldDv.map(d => s"$root/$d"), // rows dead BEFORE the commit
-        emitOnlyDv = c.meta.dv.map(d => s"$root/$d"), // new ∖ old
+        dv = oldDv.map(SegmentLog.abs(root, _)), // rows dead BEFORE the commit
+        emitOnlyDv = c.meta.dv.map(SegmentLog.abs(root, _)), // new ∖ old
         widen = c.widen)
     }
   }
@@ -137,7 +137,7 @@ object GraftChangeFeed {
             // The common merge-on-read delete (pure growth) still
             // plans exactly one delete change and no empty scans.
             def bits(dv: Option[String]): Array[Long] = dv
-              .map(d => DeletionVector.read(fs, new org.apache.hadoop.fs.Path(s"$root/$d")))
+              .map(d => DeletionVector.read(fs, new org.apache.hadoop.fs.Path(SegmentLog.abs(root, d))))
               .getOrElse(Array.empty)
             val newB = bits(s.dv)
             val oldB = bits(p.dv)

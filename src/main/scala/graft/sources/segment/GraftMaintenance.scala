@@ -165,7 +165,7 @@ object GraftMaintenance {
         targets.filterNot(expect.contains).mkString(", "))
     // `_segment` planning filter prunes the scan to exactly the
     // targeted files — nothing else is opened
-    val abs = targets.map(t => s"$dir/$t")
+    val abs = targets.map(SegmentLog.abs(dir, _))
     spark.read.format(Fmt)
       .option("versionAsOf", m.version.toString)
       .load(dir)
@@ -305,7 +305,8 @@ object GraftMaintenance {
       .groupBy("seg").agg(graft.functions.PosBitmap.posBitmap(col("pos")).as("bits"))
     // prior vectors, keyed by the absolute segment path the scan emits
     val priorDv: Map[String, String] =
-      m.segments.flatMap(s => s.dv.map(d => s"$dir/${s.path}" -> s"$dir/$d")).toMap
+      m.segments.flatMap(s => s.dv.map(d =>
+        SegmentLog.abs(dir, s.path) -> SegmentLog.abs(dir, d))).toMap
     val sconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     hits.as[(String, Array[Byte])]
       .map { case (seg, bytes) =>
@@ -515,9 +516,9 @@ object GraftMaintenance {
           else if (curIds.diff(prevIds).exists(_ <= p.maxSegmentId) ||
               m.segments.exists(s => prevById.get(s.id).exists(pp => pp.dv != s.dv &&
                 DeletionVector.diffNonEmpty(
-                  pp.dv.map(d => DeletionVector.read(fs, new Path(s"$dir/$d")))
+                  pp.dv.map(d => DeletionVector.read(fs, new Path(SegmentLog.abs(dir, d))))
                     .getOrElse(Array.empty),
-                  s.dv.map(d => DeletionVector.read(fs, new Path(s"$dir/$d")))
+                  s.dv.map(d => DeletionVector.read(fs, new Path(SegmentLog.abs(dir, d))))
                     .getOrElse(Array.empty)))))
             "restore"
           else if (prevIds.diff(curIds).nonEmpty) "replace"

@@ -680,7 +680,7 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
           runtimeSurviving.getOrElse(surviving).size)
     }
 
-  private def segPath(seg: SegmentMeta): String = s"$root/${seg.path}"
+  private def segPath(seg: SegmentMeta): String = SegmentLog.abs(root, seg.path)
 
   /** Predicates over the `_segment` metadata column decide segments
     * EXACTLY (the value IS the segment identity) — the group handle of
@@ -846,16 +846,16 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       }
       def segCols(seg: SegmentMeta): Seq[String] =
         if (seg.cols.nonEmpty) seg.cols else tableSchema.fieldNames.toSeq
-      def segDv(seg: SegmentMeta): Option[String] = seg.dv.map(d => s"$root/$d")
+      def segDv(seg: SegmentMeta): Option[String] = seg.dv.map(SegmentLog.abs(root, _))
       def segWiden(seg: SegmentMeta): Map[String, String] = manifest
         .map(SegmentLog.widenOverridesFor(_, tableSchema, seg.id))
         .getOrElse(Map.empty)
       if (reportableBucketing.isDefined)
         take.map(seg =>
-          GraftKeyedInputPartition(s"$root/${seg.path}", segCols(seg), seg.bucket.get,
+          GraftKeyedInputPartition(SegmentLog.abs(root, seg.path), segCols(seg), seg.bucket.get,
             segDv(seg), segWiden(seg)): InputPartition).toArray
       else
-        take.map(seg => GraftInputPartition(s"$root/${seg.path}", segCols(seg),
+        take.map(seg => GraftInputPartition(SegmentLog.abs(root, seg.path), segCols(seg),
           segDv(seg), segWiden(seg)): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -1443,9 +1443,9 @@ class GraftMicroBatchStream(root: String, stored: StructType, required: StructTy
       }
     }
     kept
-      .map(seg => GraftInputPartition(s"$root/${seg.path}",
+      .map(seg => GraftInputPartition(SegmentLog.abs(root, seg.path),
         if (seg.cols.nonEmpty) seg.cols else stored.fieldNames.toSeq,
-        seg.dv.map(d => s"$root/$d"),
+        seg.dv.map(SegmentLog.abs(root, _)),
         SegmentLog.widenOverridesFor(m, stored, seg.id)): InputPartition).toArray
   }
 
@@ -2127,7 +2127,7 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
         bySeg.get(s.path) match {
           case Some(newBits) =>
             val prior = s.dv
-              .map(d => DeletionVector.read(fs, new Path(s"$root/$d")))
+              .map(d => DeletionVector.read(fs, new Path(SegmentLog.abs(root, d))))
               .getOrElse(Array.empty[Long])
             val bits = DeletionVector.union(prior, newBits)
             val n = DeletionVector.cardinality(bits)

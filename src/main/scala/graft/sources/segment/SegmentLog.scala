@@ -168,6 +168,15 @@ case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta
 object SegmentLog {
   val LogDir = "_graft_log"
   val DataDir = "data"
+
+  /** Resolve a manifest-recorded file path against the table root.
+    * Paths are normally root-relative; a SHALLOW CLONE
+    * ([[shallowClone]]) records ABSOLUTE paths into the source
+    * table's files (scheme-qualified or leading slash), which pass
+    * through untouched — the clone reads the source's bytes in place
+    * and writes its own under its own root. */
+  def abs(root: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
   private val mapper = new ObjectMapper()
 
   def fs(root: String, conf: Configuration): FileSystem =
