@@ -153,7 +153,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     // CHECK constraints enforced on every write (SegmentChecks)
     val checkProps = properties.asScala.toMap
       .filter { case (k, _) => k.startsWith(SegmentChecks.Prefix) }
-    val props = Seq("bloomFor", "bloomBits", "rowLevelMode")
+    val props = Seq("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++ checkProps
     props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
     props.get("bloomBits").foreach(b => require(
@@ -161,6 +161,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       s"bloomBits must be an integer >= 64, got '$b'"))
     props.get("rowLevelMode").foreach(v => require(Set("cow", "mor").contains(v),
       s"rowLevelMode must be cow|mor, got '$v'"))
+    props.get("morRewriteThreshold").foreach(v => require(
+      scala.util.Try(v.toDouble).toOption.exists(t => t > 0.0 && t <= 1.0),
+      s"morRewriteThreshold must be a fraction in (0, 1], got '$v'"))
     SegmentChecks.declared(checkProps).foreach { case (n, sql) =>
       SegmentChecks.requireAnalyzable(SparkSession.active, schema, n, sql) }
     (bucketing, props)
@@ -272,9 +275,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       // the validated keys only
       case sp: TableChange.SetProperty =>
         require(sp.property().startsWith(SegmentChecks.Prefix) ||
-            Set("bloomFor", "bloomBits", "rowLevelMode").contains(sp.property()),
-          s"only bloomFor/bloomBits/rowLevelMode/check.<name> are settable, " +
-            s"got ${sp.property()}")
+            Set("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold")
+              .contains(sp.property()),
+          s"only bloomFor/bloomBits/rowLevelMode/morRewriteThreshold/" +
+            s"check.<name> are settable, got ${sp.property()}")
         if (sp.property().startsWith(SegmentChecks.Prefix)) {
           // ADD CONSTRAINT: the expression must analyze (checked first,
           // so a malformed declaration gets the constraint error, not a
@@ -296,6 +300,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
             case "rowLevelMode" =>
               require(Set("cow", "mor").contains(sp.value()),
                 s"rowLevelMode must be cow|mor, got '${sp.value()}'")
+            case "morRewriteThreshold" =>
+              require(scala.util.Try(sp.value().toDouble).toOption
+                  .exists(t => t > 0.0 && t <= 1.0),
+                s"morRewriteThreshold must be a fraction in (0, 1], " +
+                  s"got '${sp.value()}'")
             case check if check.startsWith(SegmentChecks.Prefix) =>
               SegmentChecks.requireAnalyzable(SparkSession.active, m.schema,
                 check.substring(SegmentChecks.Prefix.length), sp.value())
@@ -307,7 +316,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case other => throw new UnsupportedOperationException(
         s"graft-segment supports RENAME/DROP/ADD COLUMN, ALTER COLUMN " +
           s"TYPE (widening), ALTER COLUMN SET/DROP DEFAULT, and SET/UNSET " +
-          s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode|check.<name>) only, " +
+          s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode|" +
+          s"morRewriteThreshold|check.<name>) only, " +
           s"got $other")
     }
     // every surviving CHECK constraint must still analyze against the

@@ -2011,8 +2011,15 @@ class GraftDeltaRowLevelOperation(root: String, tableSchema: StructType,
   override def description(): String = s"graft-segment $cmd (merge-on-read)"
 }
 
+/** `deletes` carries TRIMMED BITMAP BYTES per touched segment
+  * ([[graft.functions.PosBitmap.Bits.toBytes]]'s layout — big-endian
+  * 8-byte words, [[DeletionVector]]-compatible), never raw positions:
+  * commit-message traffic is bounded by segment-rows/8 bytes per
+  * touched segment no matter how many rows the DML matched. A MoR
+  * MERGE matching 1B rows ships megabytes of bitmaps, not 8 GB of
+  * longs, through the driver. */
 case class GraftDeltaCommitMessage(segments: Seq[SegmentMeta],
-    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+    deletes: Map[String, Array[Byte]]) extends WriterCommitMessage
 
 class GraftDeltaWriterFactory(root: String, schema: StructType,
     conf: SerializableHadoopConf, physNames: Seq[String],
@@ -2025,19 +2032,22 @@ class GraftDeltaWriterFactory(root: String, schema: StructType,
       checks = checks))
 }
 
-/** Task-side delta writer: deletes and updated-away old versions
-  * buffer (segment → positions) — O(matched rows in this task) longs —
-  * while inserts and new versions stream through the plain segment
-  * writer. The id row carries `(_segment, _pos)` in [[
-  * GraftDeltaRowLevelOperation.rowId]] order. */
+/** Task-side delta writer: deletes and updated-away old versions fold
+  * directly into a per-segment BITMAP ([[graft.functions.PosBitmap
+  * .Bits]] — the same state the DV write aggregate uses) — task memory
+  * is bounded by highest-matched-position/8 bytes per touched segment,
+  * not 8 bytes per matched row — while inserts and new versions stream
+  * through the plain segment writer. The id row carries `(_segment,
+  * _pos)` in [[GraftDeltaRowLevelOperation.rowId]] order. */
 class GraftDeltaWriter(inner: GraftDataWriter)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   private val deletes =
-    scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+    scala.collection.mutable.HashMap[String, graft.functions.PosBitmap.Bits]()
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     deletes.getOrElseUpdate(id.getUTF8String(0).toString,
-      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+      new graft.functions.PosBitmap.Bits(new Array[Long](4)))
+      .set(id.getLong(1))
 
   override def insert(row: InternalRow): Unit = inner.write(row)
 
@@ -2047,7 +2057,7 @@ class GraftDeltaWriter(inner: GraftDataWriter)
 
   override def commit(): WriterCommitMessage = {
     val segs = inner.commit() match { case GraftCommitMessage(s) => s }
-    GraftDeltaCommitMessage(segs, deletes.map { case (k, v) => k -> v.toArray }.toMap)
+    GraftDeltaCommitMessage(segs, deletes.map { case (k, v) => k -> v.toBytes }.toMap)
   }
   override def abort(): Unit = inner.abort()
   override def close(): Unit = inner.close()
@@ -2095,14 +2105,17 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
       .orElse(factoryManifest)
       .orElse(SegmentLog.read(fs, root))
       .getOrElse(throw new IllegalStateException(s"no graft-segment table at $root"))
-    // union every task's deleted positions per segment (absolute
-    // `_segment` values → root-relative paths). Driver memory is one
-    // bitmap per touched segment — the MoR tier targets point DML;
-    // table-scale mutations belong to the rewrite tiers.
+    // union every task's deleted-position BITMAP per segment (absolute
+    // `_segment` values → root-relative paths). Inbound traffic and
+    // driver memory are both bounded by one bitmap per (task × touched
+    // segment) — segment-rows/8 bytes each — regardless of matched-row
+    // count; positions never materialize as arrays anywhere on this
+    // path. Past-threshold segments auto-rewrite after the commit
+    // (see morRewriteThreshold below).
     val bySeg = scala.collection.mutable.HashMap[String, Array[Long]]()
-    msgs.foreach(_.deletes.foreach { case (seg, pos) =>
+    msgs.foreach(_.deletes.foreach { case (seg, bytes) =>
       val rel = seg.stripPrefix(s"$root/")
-      val bits = DeletionVector.fromPositions(pos.toSeq)
+      val bits = graft.functions.PosBitmap.decode(bytes)
       bySeg(rel) = bySeg.get(rel).map(DeletionVector.union(_, bits)).getOrElse(bits)
     })
     // the positions were computed against the PLANNED snapshot's
@@ -2120,8 +2133,22 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
     // and bucket labels); UPDATE/MERGE append unlabeled segments and
     // drop it, like every other appending rewrite. REBASED: concurrent
     // appends carry over from the manifest each attempt races against.
+    // past-threshold auto-rewrite (the Delta DV-purge shape): a
+    // segment whose unioned vector now hides ≥ `morRewriteThreshold`
+    // of its rows (default 0.5, declared per table, 1.0 disables —
+    // a FULLY dead segment already drops in the patch below) is
+    // queued for an immediate copy-on-write rewrite after this
+    // commit. This is what keeps the MoR tier honest about its
+    // point-DML intent by construction, not by comment: write cost
+    // stays ∝ matched rows, but read amplification (a bitmap probe
+    // over mostly-dead rows) can never accumulate past the declared
+    // fraction before the segment is materialized clean.
+    var pastThreshold: Seq[String] = Nil
     SegmentLog.commitRebase(fs, root) { mOpt =>
       SegmentLog.requireTargetsUnchanged(mOpt, expect, "row-level DML")
+      val thr = mOpt.map(_.props).getOrElse(base.props)
+        .getOrElse("morRewriteThreshold", "0.5").toDouble
+      val heavy = Seq.newBuilder[String]
       val live = mOpt.map(_.segments).getOrElse(Nil)
       val patched = live.flatMap { s =>
         bySeg.get(s.path) match {
@@ -2133,6 +2160,7 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
             val n = DeletionVector.cardinality(bits)
             if (n >= s.rows) None // fully dead or fully superseded: drop
             else {
+              if (n.toDouble >= thr * s.rows) heavy += s.path
               // a retry leaves the prior attempt's sidecar as vacuum
               // fodder — unreferenced files are never data
               val rel = s"${SegmentLog.DataDir}/${UUID.randomUUID()}.dv"
@@ -2142,9 +2170,18 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
           case None => Some(s)
         }
       }
+      pastThreshold = heavy.result()
       Some(SegmentLog.CommitPlan(mOpt.map(_.schema).getOrElse(base.schema),
         patched ++ newSegs, truncate = true,
         bucketing = if (newSegs.isEmpty) mOpt.flatMap(_.bucketing) else None))
+    }
+    if (pastThreshold.nonEmpty) {
+      // best-effort: the DML itself is committed; a rival commit
+      // racing this rewrite merely postpones the purge to the next
+      // DML on the segment or a manual compactDeletes
+      try GraftMaintenance.compactSegments(
+        SparkSession.active, root, pastThreshold)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -2764,4 +2764,94 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // no phantom append: the failed commit left the table unchanged
     assert(spark.read.format(Fmt).load(dir).count() == 49)
   }
+
+  test("delta commit messages carry trimmed bitmaps: payload bounded by " +
+      "segment-rows/8 at a full-segment match, never 8B per matched row") {
+    import graft.sources.segment.{GraftDataWriter, GraftDeltaWriter,
+      GraftDeltaCommitMessage, DeletionVector}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val dir = tmp("graft-seg-dmsg")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val writer = new GraftDeltaWriter(new GraftDataWriter(dir, schema,
+      spark.sessionState.newHadoopConf(), Long.MaxValue))
+    val seg = s"$dir/data/seg-test.bin"
+    val matched = 100000
+    var p = 0
+    while (p < matched) {
+      writer.delete(null, InternalRow(UTF8String.fromString(seg), p.toLong))
+      p += 1
+    }
+    val msg = writer.commit().asInstanceOf[GraftDeltaCommitMessage]
+    writer.close()
+    val payload = msg.deletes(seg)
+    // the hazard bound: 8 bytes per matched row would be 800 KB; the
+    // bitmap is ceil(matched/64) words = ~12.5 KB
+    val bitmapBound = ((matched + 63) / 64) * 8
+    assert(payload.length <= bitmapBound,
+      s"payload ${payload.length} B exceeds the bitmap bound $bitmapBound B")
+    assert(payload.length < matched, "payload must not scale 8B-per-row")
+    // and it decodes to exactly the matched positions
+    val bits = graft.functions.PosBitmap.decode(payload)
+    assert(DeletionVector.cardinality(bits) == matched)
+    assert(DeletionVector.contains(bits, 0L) &&
+      DeletionVector.contains(bits, (matched - 1).toLong) &&
+      !DeletionVector.contains(bits, matched.toLong))
+  }
+
+  test("morRewriteThreshold: past-threshold row-level DML auto-rewrites the " +
+      "segment (DV purged); below-threshold and threshold=1 keep vectors") {
+    val wh = tmp("graft-mor-thr-wh")
+    val cat = s"graft_morthr_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+
+    // threshold=1 disables the purge: a 70% delete keeps its vectors
+    spark.sql(s"CREATE TABLE $cat.db.keep (k BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('rowLevelMode'='mor', 'clusterBy'='k', 'numPartitions'='4', " +
+      "'morRewriteThreshold'='1')")
+    spark.sql(s"INSERT INTO $cat.db.keep SELECT id, id * 10 FROM range(0, 400)")
+    spark.sql(s"DELETE FROM $cat.db.keep WHERE k % 10 < 7")
+    val fsK = SegmentLog.fs(s"$wh/db/keep", spark.sessionState.newHadoopConf())
+    val mKeep = SegmentLog.read(fsK, s"$wh/db/keep").get
+    assert(mKeep.segments.map(_.dvRows).sum == 280,
+      "threshold=1 must keep the deletion vectors")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.keep").head().getLong(0) == 120)
+
+    // default threshold (0.5): the same 70% delete triggers the purge —
+    // vectors are materialized away by an immediate rewrite
+    spark.sql(s"CREATE TABLE $cat.db.purge (k BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('rowLevelMode'='mor', 'clusterBy'='k', 'numPartitions'='4')")
+    spark.sql(s"INSERT INTO $cat.db.purge SELECT id, id * 10 FROM range(0, 400)")
+    val fsP = SegmentLog.fs(s"$wh/db/purge", spark.sessionState.newHadoopConf())
+    val before = SegmentLog.read(fsP, s"$wh/db/purge").get.segments.map(_.path).toSet
+    spark.sql(s"DELETE FROM $cat.db.purge WHERE k % 10 < 7")
+    val mPurge = SegmentLog.read(fsP, s"$wh/db/purge").get
+    assert(mPurge.segments.forall(_.dv.isEmpty),
+      "past-threshold DML must rewrite the touched segments clean")
+    assert(mPurge.segments.map(_.path).toSet.intersect(before).isEmpty,
+      "the original segment files were replaced")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.purge").head().getLong(0) == 120)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.purge").head().getLong(0) ==
+      (0 until 400).filter(_ % 10 >= 7).map(_ * 10L).sum)
+
+    // below-threshold point DML on the SAME default table stays MoR
+    spark.sql(s"DELETE FROM $cat.db.purge WHERE k = 9")
+    val mPoint = SegmentLog.read(fsP, s"$wh/db/purge").get
+    assert(mPoint.segments.map(_.dvRows).sum == 1,
+      "a point delete below the threshold keeps merge-on-read vectors")
+
+    // property validation
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.purge SET TBLPROPERTIES " +
+        "('morRewriteThreshold'='1.5')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.purge SET TBLPROPERTIES " +
+        "('morRewriteThreshold'='nope')")
+    }
+  }
 }
