@@ -81,6 +81,12 @@ object ScaleBench {
     // and the SQL MoR DML sequence (DELETE/UPDATE/MERGE through the
     // delta framework) which must track matched rows
     "store_segment_dv", "store_segment_mor_sql",
+    // round-12: the LARGE-MATCH MoR MERGE (80% of every segment) —
+    // bitmap commit messages + the threshold purge; must track
+    // matched rows (table-linear), never ship positions driver-side —
+    // and the full-type-surface scan (binary blobs + decimal zone
+    // maps + token arrays), which must track table bytes
+    "store_segment_mor_bulk", "store_segment_typed",
     // atomic CTAS+RTAS (two staged writes of the table) and the
     // partial-compaction chain (dv mark → materialize dv'd segments →
     // re-cluster one key range) — both must track table bytes

@@ -3017,7 +3017,11 @@ object SparkEntry {
       graft.sources.segment.GraftMaintenance.deleteRows(s, dir, col("k") % 5 === 0) // v2
       graft.sources.segment.GraftMaintenance.compact(s, dir, "k", 2)      // v3
       put(col("k") % 3 === 2)                                             // v4
+      // commit_ts (the manifest wall-clock) is projected away here —
+      // the E4 exclusion: the certificate hashes the deterministic
+      // ledger, the spec certifies the timestamp face
       graft.sources.segment.GraftMaintenance.history(s, dir)
+        .select("version", "kind", "n_segments", "n_rows")
         .orderBy(col("version"))
     }),
     // the change feed ACROSS a rename: pre-rename rows come back under
@@ -3063,7 +3067,11 @@ object SparkEntry {
       ins(0); ins(1)                                      // v1, v2
       s.sql(s"CALL $cat.system.compact('db.t', 'k', 2)")  // v3
       ins(2)                                              // v4
-      s.sql(s"CALL $cat.system.history('db.t')").orderBy(col("version"))
+      // commit_ts projected away — the E4 exclusion (see
+      // store_segment_history); the spec certifies the timestamp face
+      s.sql(s"CALL $cat.system.history('db.t')")
+        .select("version", "kind", "n_segments", "n_rows")
+        .orderBy(col("version"))
     }),
     // CHECK constraints (the Delta ADD CONSTRAINT shape as validated
     // check.* TBLPROPERTIES): a declared predicate gates EVERY write —
@@ -3166,6 +3174,32 @@ object SparkEntry {
         "WHEN NOT MATCHED BY SOURCE AND t.k % 19 = 0 THEN UPDATE SET cents = 0")
       s.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k")
     }),
+    // LARGE-MATCH merge-on-read MERGE (the shape the point-DML probes
+    // don't cover): one MERGE updates 80% of every segment — task-side
+    // bitmaps bound the commit messages (segment-rows/8 bytes per
+    // touched segment, never 8 B per matched row), and the
+    // morRewriteThreshold purge (default 0.5) rewrites the
+    // mostly-dead segments clean right after the commit, so the table
+    // never serves a scan through 80%-dead vectors. The oracle is the
+    // closed form of the post-MERGE table
+    "store_segment_mor_bulk" -> ((s, d) => withTempDir("graft-segmorbulk") { base =>
+      val cat = s"graft_morbulk_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='8', 'rowLevelMode'='mor')")
+      Tables.orders(s, d).createOrReplaceTempView("graft_morbulk_orders")
+      s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        "FROM graft_morbulk_orders")
+      s.sql(s"MERGE INTO $cat.db.t t USING " +
+        "(SELECT o_orderkey AS k FROM graft_morbulk_orders " +
+        "WHERE o_orderkey % 5 <> 0) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET cents = t.cents + 7")
+      s.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k")
+    }),
     // metadata-only TYPE WIDENING (ALTER COLUMN … TYPE, the
     // Iceberg/Delta type-promotion shape): int→bigint and float→double
     // land as ONE manifest commit — no segment read or rewritten at
@@ -3180,21 +3214,61 @@ object SparkEntry {
         classOf[graft.sources.segment.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
       s.sql(s"CREATE NAMESPACE $cat.db")
-      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, qty INT, price FLOAT) " +
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, qty INT, price FLOAT, " +
+        "ratio INT, money DECIMAL(10,2)) " +
         "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4')")
       Tables.orders(s, d).createOrReplaceTempView("graft_widen_orders")
       s.sql(s"INSERT INTO $cat.db.t " +
         "SELECT o_orderkey, CAST(o_orderkey % 50 AS INT), " +
-        "CAST(o_totalprice AS FLOAT) " +
+        "CAST(o_totalprice AS FLOAT), CAST(o_orderkey % 7 AS INT), " +
+        "CAST(o_orderkey % 1000 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) " +
         "FROM graft_widen_orders WHERE o_orderkey % 2 = 0")
       s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN qty TYPE BIGINT")
       s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN price TYPE DOUBLE")
+      // the full widening matrix: int→double and decimal precision
+      // growth (same scale) are metadata-only commits too — pre-widen
+      // compact-long decimals re-container at the grown precision,
+      // post-widen values may need the big-integer byte form
+      s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN ratio TYPE DOUBLE")
+      s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN money TYPE DECIMAL(20,2)")
       s.sql(s"INSERT INTO $cat.db.t " +
         "SELECT o_orderkey, CAST(o_orderkey % 50 AS BIGINT), " +
-        "CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) " +
+        "CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE), " +
+        "CAST(o_orderkey % 7 AS DOUBLE), " +
+        "CAST('123456789012345000.25' AS DECIMAL(20,2)) + " +
+        "CAST(o_orderkey % 1000 AS DECIMAL(20,2)) " +
         "FROM graft_widen_orders WHERE o_orderkey % 2 = 1")
       // the filter's BIGINT literal prunes int-written zone maps
-      s.sql(s"SELECT k, qty, price FROM $cat.db.t WHERE qty >= 10 ORDER BY k")
+      s.sql(s"SELECT k, qty, price, ratio, money FROM $cat.db.t " +
+        "WHERE qty >= 10 ORDER BY k")
+    }),
+    // the FULL TYPE SURFACE on the native format: BINARY (the
+    // multimodal blob column — bytes round-trip through the segment
+    // codec and decode back to the exact source text), DECIMAL exact
+    // money (with zone maps: the score predicate prunes on per-segment
+    // BigDecimal bounds), and array<string> tokenized text (columnar
+    // child-vector decode, same as the embeddings arrays). At 100 TB
+    // these are the three columns an LLM training-data table adds to
+    // the relational core: raw media bytes, exact accounting, tokens
+    "store_segment_typed" -> ((s, d) => withTempDir("graft-segtyped") { base =>
+      val dir = s"$base/t"
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        expr("CAST(n_chars + 0.25 AS DECIMAL(12,2))").as("score"),
+        split(col("text"), " ").as("tokens"))
+        .write.format("graft-segment")
+        .option("clusterBy", "doc_id").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .filter(col("score") >= expr("CAST(100.25 AS DECIMAL(12,2))"))
+        .select(
+          col("doc_id"),
+          decode(col("payload"), "UTF-8").as("text_back"),
+          col("score"),
+          size(col("tokens")).as("n_tokens"),
+          element_at(col("tokens"), 1).as("first_token"))
+        .orderBy(col("doc_id"))
     }),
     // DEFAULT column values (SUPPORT_COLUMN_DEFAULT_VALUE): CREATE/ADD
     // COLUMN defaults are ONE metadata-only manifest commit — rows
@@ -6041,8 +6115,26 @@ object SparkEntry {
     // values coincide by construction, so the replay is ONE select
     "store_segment_widen" ->
       ("SELECT o_orderkey AS k, CAST(o_orderkey % 50 AS BIGINT) AS qty, " +
-        "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price " +
+        "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price, " +
+        "CAST(o_orderkey % 7 AS DOUBLE) AS ratio, " +
+        "CASE WHEN o_orderkey % 2 = 0 " +
+        "THEN CAST(o_orderkey % 1000 + 0.25 AS DECIMAL(20,2)) " +
+        "ELSE CAST(123456789012345000.25 + (o_orderkey % 1000) AS DECIMAL(20,2)) " +
+        "END AS money " +
         "FROM orders WHERE o_orderkey % 50 >= 10 ORDER BY k"),
+
+    "store_segment_mor_bulk" ->
+      ("SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) + " +
+        "CASE WHEN o_orderkey % 5 <> 0 THEN 7 ELSE 0 END AS cents " +
+        "FROM orders ORDER BY k"),
+
+    "store_segment_typed" ->
+      ("SELECT doc_id, text AS text_back, " +
+        "CAST(n_chars + 0.25 AS DECIMAL(12,2)) AS score, " +
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "string_split(text, ' ')[1] AS first_token " +
+        "FROM documents WHERE n_chars + 0.25 >= 100.25 ORDER BY doc_id"),
 
     "store_segment_call" ->
       ("WITH src AS (SELECT o_orderkey AS k FROM orders), " +

@@ -483,7 +483,19 @@ object GraftMaintenance {
     * result is deterministic and oracle-checkable. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    historyRows(spark, dir).toDF("version", "kind", "n_segments", "n_rows")
+    // commit_ts is the manifest's recorded wall-clock (what TIMESTAMP
+    // AS OF binds to) — a TIMESTAMP column, null for legacy manifests
+    // that pre-date the field. Deterministic certificates project it
+    // away (the E4 exclusion pattern); the introspection face exposes
+    // what the log stores.
+    historyRows(spark, dir)
+      .toDF("version", "kind", "n_segments", "n_rows", "commit_ms")
+      .withColumn("commit_ts",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("commit_ms") >= 0L,
+          org.apache.spark.sql.functions.timestamp_millis(
+            org.apache.spark.sql.functions.col("commit_ms"))))
+      .drop("commit_ms")
   }
 
   /** [[history]]'s driver-side rows (the CALL procedure consumes these
@@ -491,8 +503,10 @@ object GraftMaintenance {
     * from the SEGMENT DIFF against the previous retained version, not
     * from the truncateVersion field: legacy manifests backfill that
     * field conservatively (their own version), which would mislabel
-    * every legacy commit as a replace. */
-  def historyRows(spark: SparkSession, dir: String): Seq[(Long, String, Int, Long)] = {
+    * every legacy commit as a replace. The fifth element is the
+    * manifest's commit wall-clock in millis (-1 when unrecorded). */
+  def historyRows(spark: SparkSession,
+      dir: String): Seq[(Long, String, Int, Long, Long)] = {
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val versions = SegmentLog.liveVersions(fs, dir).sorted
     require(versions.nonEmpty, s"no graft-segment table at $dir")
@@ -532,7 +546,7 @@ object GraftMaintenance {
           else "metadata"
       }
       prev = Some(m)
-      (v, kind, m.segments.size, m.segments.map(_.liveRows).sum)
+      (v, kind, m.segments.size, m.segments.map(_.liveRows).sum, m.ts)
     }
   }
 

@@ -234,11 +234,15 @@ object GraftProcedures {
             StructField("version", LongType, nullable = false),
             StructField("kind", StringType, nullable = false),
             StructField("n_segments", IntegerType, nullable = false),
-            StructField("n_rows", LongType, nullable = false)))) { (spark, in) =>
+            StructField("n_rows", LongType, nullable = false),
+            // the manifest's commit wall-clock (what TIMESTAMP AS OF
+            // binds to); null for legacy manifests without the field
+            StructField("commit_ts", TimestampType, nullable = true)))) { (spark, in) =>
           GraftMaintenance.historyRows(spark,
               tableDir(warehouse, in.getUTF8String(0).toString))
-            .map { case (v, kind, nSeg, nRows) =>
-              row(v, UTF8String.fromString(kind), nSeg, nRows) }
+            .map { case (v, kind, nSeg, nRows, ms) =>
+              row(v, UTF8String.fromString(kind), nSeg, nRows,
+                if (ms >= 0L) java.lang.Long.valueOf(ms * 1000L) else null) }
         }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (have: ${All.mkString(", ")})")

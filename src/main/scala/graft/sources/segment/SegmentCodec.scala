@@ -32,26 +32,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * which this connector deliberately does not replicate.)
   *
   * Supported Spark types (closed set, validated at write-build time):
-  * Int, Long, Double, Float, Boolean, String, Timestamp (stored as
-  * epoch micros), Date (stored as epoch days), and arrays of
-  * Int/Long/Float/Double. Everything the driver test tables use.
+  * Int, Long, Double, Float, Boolean, String, Binary (length-prefixed
+  * bytes — the multimodal blob column), Decimal (unscaled long for
+  * precision ≤ 18, length-prefixed unscaled big-integer bytes above —
+  * the exact-money column), Timestamp (stored as epoch micros), Date
+  * (stored as epoch days), and arrays of Int/Long/Float/Double/String
+  * (embeddings and tokenized text). Everything the driver test tables
+  * use, plus the format's own multimodal and money stories.
   */
 object SegmentCodec {
   val Magic: Int = 0x47524654 // "GRFT"
   val Version: Int = 1
 
+  /** Decimals at or below this precision store as one unscaled long
+    * (Spark's own compact-decimal boundary); wider ones store
+    * length-prefixed unscaled big-integer bytes. */
+  val MaxCompactDecimal: Int = 18
+
   def supported(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DoubleType | FloatType | BooleanType |
-        StringType | TimestampType | TimestampNTZType | DateType => true
-    case ArrayType(IntegerType | LongType | FloatType | DoubleType, _) => true
+        StringType | BinaryType | TimestampType | TimestampNTZType | DateType => true
+    case _: DecimalType => true
+    case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
     case _ => false
   }
 
   def validateSchema(schema: StructType): Unit = {
     val bad = schema.fields.filterNot(f => supported(f.dataType))
     require(bad.isEmpty,
-      s"graft-segment supports Int/Long/Double/Float/Boolean/String/Timestamp/Date " +
-        s"and primitive arrays; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
+      s"graft-segment supports Int/Long/Double/Float/Boolean/String/Binary/" +
+        s"Decimal/Timestamp/Date and arrays of Int/Long/Float/Double/String; " +
+        s"unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
   }
 
   def writeHeader(out: DataOutputStream, nCols: Int): Unit = {
@@ -74,6 +85,16 @@ object SegmentCodec {
     case StringType =>
       val b = row.getUTF8String(ordinal).getBytes
       out.writeInt(b.length); out.write(b)
+    case BinaryType =>
+      val b = row.getBinary(ordinal)
+      out.writeInt(b.length); out.write(b)
+    case d: DecimalType =>
+      val dec = row.getDecimal(ordinal, d.precision, d.scale)
+      if (d.precision <= MaxCompactDecimal) out.writeLong(dec.toUnscaledLong)
+      else {
+        val b = dec.toJavaBigDecimal.unscaledValue().toByteArray
+        out.writeInt(b.length); out.write(b)
+      }
     case ArrayType(et, _) =>
       val arr = row.getArray(ordinal)
       val n = arr.numElements()
@@ -99,6 +120,10 @@ object SegmentCodec {
           if (arr.isNullAt(i)) nullElement(i); out.writeFloat(arr.getFloat(i)); i += 1 }
         case DoubleType => while (i < n) {
           if (arr.isNullAt(i)) nullElement(i); out.writeDouble(arr.getDouble(i)); i += 1 }
+        case StringType => while (i < n) {
+          if (arr.isNullAt(i)) nullElement(i)
+          val b = arr.getUTF8String(i).getBytes
+          out.writeInt(b.length); out.write(b); i += 1 }
         case other => throw new IllegalArgumentException(s"unsupported array element $other")
       }
     case other => throw new IllegalArgumentException(s"unsupported type $other")
@@ -107,21 +132,28 @@ object SegmentCodec {
   /** Up-cast discipline for decoding a column whose STORED type
     * pre-dates a type widening ([[SegmentLog.widenTransform]]) into
     * the current REQUIRED type: 0 = identical, 1 = int→long,
-    * 2 = float→double, 3/4 = the array element forms. Any other pair
-    * is a decode-time contract violation (the read path refuses it
-    * before the codec runs) — fail loudly, never mis-read bytes. */
+    * 2 = float→double, 3/4 = the array element forms, 5 = int→double,
+    * 6 = decimal precision growth (same scale — the value is
+    * unchanged, only the container widens). Any other pair is a
+    * decode-time contract violation (the read path refuses it before
+    * the codec runs) — fail loudly, never mis-read bytes. */
   def upcast(stored: DataType, required: DataType): Int = (stored, required) match {
     case (s, r) if s == r => 0
     case (IntegerType, LongType) => 1
     case (FloatType, DoubleType) => 2
     case (ArrayType(IntegerType, a), ArrayType(LongType, b)) if a == b => 3
     case (ArrayType(FloatType, a), ArrayType(DoubleType, b)) if a == b => 4
+    case (IntegerType, DoubleType) => 5
+    case (s: DecimalType, r: DecimalType)
+        if s.scale == r.scale && r.precision > s.precision => 6
     case _ => throw new IllegalArgumentException(
       s"cannot decode a ${stored.simpleString} column as ${required.simpleString}")
   }
 
-  /** Apply an [[upcast]] code to a decoded catalyst value. */
-  def promote(v: Any, code: Int): Any = code match {
+  /** Apply an [[upcast]] code to a decoded catalyst value; `to` is the
+    * required (current) type, consulted by the codes whose target
+    * carries parameters (decimal precision). */
+  def promote(v: Any, code: Int, to: DataType): Any = code match {
     case 0 => v
     case 1 => v.asInstanceOf[Int].toLong
     case 2 => v.asInstanceOf[Float].toDouble
@@ -129,6 +161,12 @@ object SegmentCodec {
       v.asInstanceOf[GenericArrayData].array.map(x => x.asInstanceOf[Int].toLong: Any))
     case 4 => new GenericArrayData(
       v.asInstanceOf[GenericArrayData].array.map(x => x.asInstanceOf[Float].toDouble: Any))
+    case 5 => v.asInstanceOf[Int].toDouble
+    case 6 =>
+      val d = to.asInstanceOf[DecimalType]
+      org.apache.spark.sql.types.Decimal(
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal,
+        d.precision, d.scale)
   }
 
   /** Read one non-null value of `dt` as the catalyst-internal value. */
@@ -141,6 +179,17 @@ object SegmentCodec {
     case StringType =>
       val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
       UTF8String.fromBytes(b)
+    case BinaryType =>
+      val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+      b
+    case d: DecimalType =>
+      if (d.precision <= MaxCompactDecimal)
+        Decimal(in.readLong(), d.precision, d.scale)
+      else {
+        val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(b), d.scale), d.precision, d.scale)
+      }
     case ArrayType(et, _) =>
       val n = in.readInt()
       val vals = new Array[Any](n)
@@ -150,6 +199,9 @@ object SegmentCodec {
         case LongType => while (i < n) { vals(i) = in.readLong(); i += 1 }
         case FloatType => while (i < n) { vals(i) = in.readFloat(); i += 1 }
         case DoubleType => while (i < n) { vals(i) = in.readDouble(); i += 1 }
+        case StringType => while (i < n) {
+          val m = in.readInt(); val b = new Array[Byte](m); in.readFully(b)
+          vals(i) = UTF8String.fromBytes(b); i += 1 }
         case other => throw new IllegalArgumentException(s"unsupported array element $other")
       }
       new GenericArrayData(vals)
@@ -162,7 +214,14 @@ object SegmentCodec {
     case IntegerType | DateType | FloatType => skipFully(in, 4)
     case LongType | TimestampType | TimestampNTZType | DoubleType => skipFully(in, 8)
     case BooleanType => skipFully(in, 1)
-    case StringType => val n = in.readInt(); skipFully(in, n)
+    case StringType | BinaryType => val n = in.readInt(); skipFully(in, n)
+    case d: DecimalType =>
+      if (d.precision <= MaxCompactDecimal) skipFully(in, 8)
+      else { val n = in.readInt(); skipFully(in, n) }
+    case ArrayType(StringType, _) =>
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { val m = in.readInt(); skipFully(in, m); i += 1 }
     case ArrayType(et, _) =>
       val n = in.readInt()
       val w = et match {
@@ -211,11 +270,14 @@ object SegmentCodec {
     private var sound = dt match {
       case IntegerType | LongType | DoubleType | FloatType | TimestampType |
           TimestampNTZType | DateType | StringType => true
-      case _ => false // booleans/arrays: no zone maps
+      case _: DecimalType => true
+      case _ => false // booleans/binary/arrays: no zone maps
     }
     private var minL = 0L; private var maxL = 0L
     private var minD = 0.0; private var maxD = 0.0
     private var minS: UTF8String = _; private var maxS: UTF8String = _
+    private var minDec: java.math.BigDecimal = _
+    private var maxDec: java.math.BigDecimal = _
 
     def addNull(): Unit = nulls += 1
 
@@ -239,6 +301,11 @@ object SegmentCodec {
           if (!any || c.compareTo(maxS) > 0) maxS = c
           any = true
         }
+      case d: DecimalType =>
+        val v = row.getDecimal(ordinal, d.precision, d.scale).toJavaBigDecimal
+        if (!any || v.compareTo(minDec) < 0) minDec = v
+        if (!any || v.compareTo(maxDec) > 0) maxDec = v
+        any = true
       case _ =>
     }
 
@@ -282,6 +349,7 @@ object SegmentCodec {
         case FloatType | DoubleType =>
           if (minD.isNaN || maxD.isNaN) None else Some((minD.toString, maxD.toString))
         case StringType => Some((minS.toString, maxS.toString))
+        case _: DecimalType => Some((minDec.toPlainString, maxDec.toPlainString))
         case _ => None
       }
   }
@@ -309,6 +377,12 @@ object SegmentCodec {
       case StringType =>
         val b = value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
         while (r < rows) { v.putByteArray(r, b, 0, b.length); r += 1 }
+      case BinaryType =>
+        val b = value.asInstanceOf[Array[Byte]]
+        while (r < rows) { v.putByteArray(r, b, 0, b.length); r += 1 }
+      case d: DecimalType =>
+        val x = value.asInstanceOf[Decimal]
+        while (r < rows) { v.putDecimal(r, x, d.precision); r += 1 }
       case other => throw new IllegalArgumentException(
         s"no constant fill for ${other.simpleString}")
     }
@@ -329,6 +403,8 @@ object SegmentCodec {
     // ALTER COLUMN TYPE, and only for pre-widen segments
     private val up: Array[Int] = Array.tabulate(types.length)(c =>
       if (outIdx(c) < 0) 0 else upcast(types(c), required(outIdx(c)).dataType))
+    private val reqT: Array[DataType] = Array.tabulate(types.length)(c =>
+      if (outIdx(c) < 0) null else required(outIdx(c)).dataType)
     private var nextRow: InternalRow = _
     private var done = false
     readHeader(in, stored.length)
@@ -344,7 +420,7 @@ object SegmentCodec {
         val present = if (c == 0) first == 1 else in.readBoolean()
         val o = outIdx(c)
         if (present) {
-          if (o >= 0) vals(o) = promote(readValue(in, types(c)), up(c))
+          if (o >= 0) vals(o) = promote(readValue(in, types(c)), up(c), reqT(c))
           else skip(in, types(c))
         } // null → vals(o) stays null
         c += 1
@@ -365,8 +441,9 @@ object SegmentCodec {
     * the whole scan to the row reader. */
   def vectorizable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DoubleType | FloatType | BooleanType |
-        StringType | TimestampType | TimestampNTZType | DateType => true
-    case ArrayType(IntegerType | LongType | FloatType | DoubleType, _) => true
+        StringType | BinaryType | TimestampType | TimestampNTZType | DateType => true
+    case _: DecimalType => true
+    case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
     case _ => false
   }
 
@@ -429,6 +506,7 @@ object SegmentCodec {
             types(c) match {
               case IntegerType | DateType =>
                 if (up(c) == 1) v.putLong(r, in.readInt().toLong)
+                else if (up(c) == 5) v.putDouble(r, in.readInt().toDouble)
                 else v.putInt(r, in.readInt())
               case LongType | TimestampType | TimestampNTZType => v.putLong(r, in.readLong())
               case DoubleType => v.putDouble(r, in.readDouble())
@@ -436,9 +514,21 @@ object SegmentCodec {
                 if (up(c) == 2) v.putDouble(r, in.readFloat().toDouble)
                 else v.putFloat(r, in.readFloat())
               case BooleanType => v.putBoolean(r, in.readBoolean())
-              case StringType =>
+              case StringType | BinaryType =>
                 val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
                 v.putByteArray(r, b, 0, n)
+              case d: DecimalType =>
+                // the vector is typed by the REQUIRED precision (it
+                // may be wider after an ALTER COLUMN TYPE) — putDecimal
+                // dispatches storage on the precision passed in
+                val reqP = required(o).dataType.asInstanceOf[DecimalType].precision
+                if (d.precision <= MaxCompactDecimal)
+                  v.putDecimal(r, Decimal(in.readLong(), d.precision, d.scale), reqP)
+                else {
+                  val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+                  v.putDecimal(r, Decimal(new java.math.BigDecimal(
+                    new java.math.BigInteger(b), d.scale), d.precision, d.scale), reqP)
+                }
               case ArrayType(et, _) =>
                 // elements APPEND into the child vector (it grows and
                 // resets with the parent); the row slot records the
@@ -461,6 +551,12 @@ object SegmentCodec {
                     else while (i < n) { child.appendFloat(in.readFloat()); i += 1 }
                   case DoubleType =>
                     while (i < n) { child.appendDouble(in.readDouble()); i += 1 }
+                  case StringType =>
+                    while (i < n) {
+                      val m = in.readInt(); val b = new Array[Byte](m)
+                      in.readFully(b)
+                      child.appendByteArray(b, 0, m); i += 1
+                    }
                   case other =>
                     throw new IllegalArgumentException(s"not vectorizable: array<$other>")
                 }

@@ -57,7 +57,9 @@ object SegmentDefaults {
     * a post-add `UPDATE t SET c = array(...)` backfill doesn't). */
   def fillable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | FloatType | DoubleType | BooleanType |
-         StringType | DateType | TimestampType | TimestampNTZType => true
+         StringType | BinaryType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
     case _ => false
   }
 

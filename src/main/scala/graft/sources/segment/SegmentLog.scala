@@ -861,18 +861,41 @@ object SegmentLog {
     * does not store decimals). */
   private val widenable: Map[DataType, Set[DataType]] = {
     import org.apache.spark.sql.types._
+    Map(IntegerType -> Set[DataType](LongType, DoubleType),
+      FloatType -> Set[DataType](DoubleType))
+  }
+
+  // array ELEMENT widening stays the int→long / float→double pairs
+  // (the codec's vectorized array up-cast arms); int→double would
+  // re-type embedding-adjacent columns with no consumer asking for it
+  private val arrayWidenable: Map[DataType, Set[DataType]] = {
+    import org.apache.spark.sql.types._
     Map(IntegerType -> Set[DataType](LongType),
       FloatType -> Set[DataType](DoubleType))
   }
 
   /** Is `from` → `to` a supported metadata-only widening? Top-level
-    * primitives and one-level arrays (element widening, matching the
-    * codec's vectorized array decode). */
+    * primitives (int→bigint, int→double, float→double), DECIMAL
+    * PRECISION GROWTH at unchanged scale (the value is unchanged —
+    * only the container widens; scale changes re-scale stored
+    * unscaled values, which is a rewrite, not a widening), and
+    * one-level arrays (element widening, matching the codec's
+    * vectorized array decode).
+    *
+    * Bloom soundness per pair: int→long blooms stay engaged (the
+    * hash canonicalizes both to the long domain); int→double blooms
+    * DISENGAGE automatically — [[SegmentBloom.hashValue]] has no
+    * double arm, so a pushed double literal simply never probes;
+    * decimals never bloom. Zone maps survive every pair: int bounds
+    * parse in the double domain, decimal bounds are plain strings
+    * compared as BigDecimal. */
   def canWiden(from: DataType, to: DataType): Boolean = {
     import org.apache.spark.sql.types._
     (from, to) match {
       case (ArrayType(fe, fn), ArrayType(te, tn)) =>
-        fn == tn && widenable.get(fe).exists(_.contains(te))
+        fn == tn && arrayWidenable.get(fe).exists(_.contains(te))
+      case (f: DecimalType, t: DecimalType) =>
+        f.scale == t.scale && t.precision > f.precision
       case _ => widenable.get(from).exists(_.contains(to))
     }
   }
@@ -900,8 +923,9 @@ object SegmentLog {
     require(canWiden(f.dataType, to),
       s"cannot change column $name from ${f.dataType.simpleString} to " +
         s"${to.simpleString}: only the lossless widenings int->bigint, " +
-        "float->double (and their array element forms) are metadata-only; " +
-        "anything else needs an explicit rewrite " +
+        "int->double, float->double (plus the int->bigint/float->double " +
+        "array element forms) and decimal precision growth at unchanged " +
+        "scale are metadata-only; anything else needs an explicit rewrite " +
         "(CREATE TABLE … AS SELECT CAST(...))")
     require(!m.bucketing.exists(b => b.mode == "hash" && b.cols.contains(name)),
       s"column $name is a hash-clustering column of the live layout — " +

@@ -123,8 +123,21 @@ object SegmentPruning {
         case s: String if isAscii(s) && isAscii(boundStr) => Some(boundStr.compareTo(s))
         case _ => None
       }
+      case _: DecimalType => asBigDecimal(v).map(b =>
+        new java.math.BigDecimal(boundStr).compareTo(b))
       case _ => None
     }
+  }
+
+  /** Pushed decimal literals arrive as java.math.BigDecimal (the
+    * catalyst→Scala conversion); integer literals compare exactly in
+    * the same domain. */
+  private def asBigDecimal(v: Any): Option[java.math.BigDecimal] = v match {
+    case b: java.math.BigDecimal => Some(b)
+    case b: scala.math.BigDecimal => Some(b.bigDecimal)
+    case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
+    case l: Long => Some(java.math.BigDecimal.valueOf(l))
+    case _ => None
   }
 
   private def asLong(v: Any): Option[Long] = v match {

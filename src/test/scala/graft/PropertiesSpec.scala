@@ -29,7 +29,11 @@ class PropertiesSpec extends SparkSpec {
       StructField("l", LongType), StructField("i", IntegerType),
       StructField("d", DoubleType), StructField("s", StringType),
       StructField("b", BooleanType), StructField("ts", TimestampType),
-      StructField("v", ArrayType(FloatType))))
+      StructField("v", ArrayType(FloatType)),
+      StructField("bin", BinaryType),
+      StructField("dec", DecimalType(12, 2)),
+      StructField("big", DecimalType(30, 4)),
+      StructField("toks", ArrayType(StringType))))
     val genVal: Gen[Seq[Any]] = for {
       l <- Gen.oneOf(Gen.const(null), Gen.choose(Long.MinValue, Long.MaxValue).map(x => x: Any))
       i <- Gen.oneOf(Gen.const(null), Gen.choose(Int.MinValue, Int.MaxValue).map(x => x: Any))
@@ -42,7 +46,18 @@ class PropertiesSpec extends SparkSpec {
       v <- Gen.oneOf(Gen.const(null), Gen.listOf(Gen.choose(-1e10f, 1e10f))
         .map(fs => new org.apache.spark.sql.catalyst.util.GenericArrayData(
           fs.map(x => x: Any).toArray): Any))
-    } yield Seq(l, i, d, s, b, ts, v)
+      bin <- Gen.oneOf(Gen.const(null), Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(bs => bs.toArray: Any))
+      dec <- Gen.oneOf(Gen.const(null), Gen.choose(-9999999999L, 9999999999L)
+        .map(u => Decimal(u, 12, 2): Any))
+      big <- Gen.oneOf(Gen.const(null), Gen.choose(Long.MinValue, Long.MaxValue)
+        .map(u => Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(u.toString).multiply(new java.math.BigInteger("1000000")), 4),
+          30, 4): Any))
+      toks <- Gen.oneOf(Gen.const(null), Gen.listOf(Gen.oneOf("", "a", "uniçodé", "x" * 99))
+        .map(ss => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ss.map(x => UTF8String.fromString(x): Any).toArray): Any))
+    } yield Seq(l, i, d, s, b, ts, v, bin, dec, big, toks)
 
     val rows = samples(Gen.listOfN(20, genVal), 10).flatten
     assert(rows.size >= 150)
@@ -77,9 +92,10 @@ class PropertiesSpec extends SparkSpec {
       case (null, null) => true
       case (x: Double, y: Double) =>
         java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
-      case (x: org.apache.spark.sql.catalyst.util.ArrayData,
-            y: org.apache.spark.sql.catalyst.util.ArrayData) =>
-        x.toFloatArray().toSeq == y.toFloatArray().toSeq
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x: org.apache.spark.sql.catalyst.util.GenericArrayData,
+            y: org.apache.spark.sql.catalyst.util.GenericArrayData) =>
+        x.array.toSeq == y.array.toSeq
       case (x, y) => x == y
     }
 

@@ -2854,4 +2854,78 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "('morRewriteThreshold'='nope')")
     }
   }
+
+  test("binary, decimal, and array<string> columns: exact round-trip, " +
+      "columnar scan, decimal zone-map pruning, column-prune skip") {
+    val dir = tmp("graft-seg-typed")
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      encode(concat(lit("blob-"), col("id").cast("string")), "UTF-8").as("payload"),
+      expr("CAST(id + 0.25 AS DECIMAL(12,2))").as("cents"), // exact money
+      col("id").cast("decimal(30,4)").as("wide"),
+      split(concat(lit("tok"), (col("id") % 5).cast("string"),
+        lit(" t"), (col("id") % 3).cast("string")), " ").as("tokens"))
+    df.write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "8")
+      .mode("append").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(back.schema("cents").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(back.schema("wide").dataType ==
+      org.apache.spark.sql.types.DecimalType(30, 4))
+    assert(back.schema("tokens").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.StringType)
+
+    // the scan must stay columnar — none of the new types may drop it
+    // to the row reader (the multimodal/tokenized-text scan shape)
+    val proj = back.select("id", "payload", "cents", "wide", "tokens")
+    assert(proj.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "binary/decimal/array<string> must read columnar")
+
+    // exact round-trip vs the source expression
+    val got = proj.orderBy("id").collect()
+    assert(got.length == 1000)
+    val r7 = got(7)
+    assert(new String(r7.getAs[Array[Byte]]("payload"), "UTF-8") == "blob-7")
+    assert(r7.getDecimal(2) == new java.math.BigDecimal("7.25"))
+    assert(r7.getDecimal(3) == new java.math.BigDecimal("7.0000"))
+    assert(r7.getSeq[String](4) == Seq("tok2", "t1"))
+
+    // decimal zone maps: cents correlates with the id clustering, so a
+    // range predicate prunes most segments
+    GraftSegmentSource.lastScanEvent = None
+    val low = back.filter(col("cents") < lit(new java.math.BigDecimal("100.00")))
+      .count()
+    assert(low == 100, "rows with id < 100")
+    val (p, t) = GraftSegmentSource.lastScanEvent.get
+    assert(p * 2 <= t, s"decimal zone maps should prune: planned $p of $t")
+
+    // column pruning skips the new variable-width values byte-exactly
+    val sums = back.select(sum(col("cents")).as("s")).head()
+    assert(sums.getDecimal(0).compareTo(
+      new java.math.BigDecimal("499750.00")) == 0)
+  }
+
+  test("DESCRIBE HISTORY exposes the manifest commit wall-clock as commit_ts") {
+    val dir = tmp("graft-seg-histts")
+    import spark.implicits._
+    (0L until 10L).toDF("id").write.format(Fmt).mode("append").save(dir)   // v0
+    (10L until 20L).toDF("id").write.format(Fmt).mode("append").save(dir)  // v1
+    val f = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val h = graft.sources.segment.GraftMaintenance.history(spark, dir)
+      .orderBy("version").collect()
+    assert(h.length == 2)
+    assert(h.head.schema.fieldNames.contains("commit_ts"))
+    // the column round-trips the manifest's recorded ts — the same
+    // wall-clock TIMESTAMP AS OF binds to — for every version
+    (0L until 2L).foreach { v =>
+      val want = SegmentLog.readVersion(f, dir, v).ts
+      assert(want > 0L, "manifests record commit time")
+      val got = h(v.toInt).getTimestamp(h.head.fieldIndex("commit_ts"))
+      assert(got.getTime == want,
+        s"commit_ts must equal the manifest ts for v$v")
+    }
+  }
 }

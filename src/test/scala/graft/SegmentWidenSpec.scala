@@ -300,4 +300,72 @@ class SegmentWidenSpec extends SparkSpec {
     assert(spark.read.format(Fmt).load(dir).select("n").as[Long]
       .collect().sorted.toSeq == (0 until 90).map(_.toLong))
   }
+
+  test("widen int→double and decimal precision growth; scale change and " +
+      "precision shrink refused") {
+    val dir = tmp("graft-widen-newpairs")
+    val df = spark.range(0, 50).select(
+      col("id"),
+      col("id").cast("int").as("n"),
+      col("id").cast("decimal(10,2)").as("m"))
+    df.coalesce(1).write.format(Fmt).mode("append").save(dir)
+    val f = fs(dir)
+    val v0 = SegmentLog.read(f, dir).get
+    SegmentLog.alterSchema(f, dir, Seq(
+      SegmentLog.widenTransform("n", DoubleType),
+      SegmentLog.widenTransform("m", DecimalType(20, 2))))
+    val m1 = SegmentLog.read(f, dir).get
+    assert(m1.version == v0.version + 1, "both widenings in ONE metadata commit")
+    assert(m1.segments.map(_.path) == v0.segments.map(_.path),
+      "no segment rewritten")
+    // post-widen append: natively wide, including a decimal value only
+    // the grown precision can hold (> 18 digits → big-int byte form)
+    spark.range(50, 60).select(
+      col("id"),
+      (col("id").cast("double") * lit(1.5)).as("n"),
+      (col("id").cast("decimal(20,2)") +
+        expr("CAST('123456789012345678.25' AS DECIMAL(20,2))"))
+        .cast("decimal(20,2)").as("m"))
+      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema("n").dataType == DoubleType)
+    assert(back.schema("m").dataType == DecimalType(20, 2))
+    val got = back.orderBy("id").collect()
+    assert(got.length == 60)
+    assert(got(7).getDouble(1) == 7.0, "pre-widen int up-casts exactly")
+    assert(got(7).getDecimal(2) == new java.math.BigDecimal("7.00"),
+      "pre-widen compact decimal re-containers at the grown precision")
+    assert(got(55).getDouble(1) == 82.5)
+    assert(got(55).getDecimal(2) == new java.math.BigDecimal("123456789012345733.25"))
+    // zone maps survive: int-written bounds parse in the double domain
+    import graft.sources.segment.GraftSegmentSource
+    GraftSegmentSource.lastScanEvent = None
+    assert(back.filter(col("n") >= lit(82.0)).count() == 5)
+    // decimal bounds compare as BigDecimal
+    assert(back.filter(col("m") <
+      expr("CAST('25.00' AS DECIMAL(20,2))")).count() == 25)
+    // refusals: scale change and precision shrink are rewrites, not
+    // widenings
+    intercept[IllegalArgumentException] {
+      SegmentLog.alterSchema(f, dir,
+        Seq(SegmentLog.widenTransform("m", DecimalType(20, 4))))
+    }
+    intercept[IllegalArgumentException] {
+      SegmentLog.alterSchema(f, dir,
+        Seq(SegmentLog.widenTransform("m", DecimalType(12, 2))))
+    }
+    // SQL face through the catalog
+    val wh = tmp("graft-widen-newpairs-wh")
+    spark.conf.set("spark.sql.catalog.gwn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gwn.db")
+    spark.sql("CREATE TABLE gwn.db.t (k BIGINT, n INT, m DECIMAL(10,2))")
+    spark.sql("INSERT INTO gwn.db.t SELECT id, CAST(id AS INT), " +
+      "CAST(id AS DECIMAL(10,2)) FROM range(0, 20)")
+    spark.sql("ALTER TABLE gwn.db.t ALTER COLUMN n TYPE DOUBLE")
+    spark.sql("ALTER TABLE gwn.db.t ALTER COLUMN m TYPE DECIMAL(24,2)")
+    val r = spark.sql("SELECT sum(n) AS sn, sum(m) AS sm FROM gwn.db.t").head()
+    assert(r.getDouble(0) == 190.0)
+    assert(r.getDecimal(1) == new java.math.BigDecimal("190.00"))
+  }
 }
