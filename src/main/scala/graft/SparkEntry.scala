@@ -3270,6 +3270,29 @@ object SparkEntry {
           element_at(col("tokens"), 1).as("first_token"))
         .orderBy(col("doc_id"))
     }),
+    // NESTED + small-integer types on the native format: TINYINT /
+    // SMALLINT (full zone-map/bloom members of the integer family),
+    // STRUCT of atomics (vectorized positional child decode, nested
+    // column pruning skips unread fields byte-exactly), and MAP of
+    // atomics (lockstep key/value child appends). The multimodal
+    // sidecar shape: typed metadata records and tag→count maps next
+    // to the payload. Output is flat so DuckDB replays it closed-form
+    "store_segment_nested" -> ((s, d) => withTempDir("graft-segnested") { base =>
+      val dir = s"$base/t"
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        "CAST(doc_id % 100 AS TINYINT) AS y",
+        "CAST(n_chars % 10000 AS SMALLINT) AS w",
+        "named_struct('lang', lang, 'n', CAST(n_chars AS INT)) AS meta",
+        "map(lang, n_chars, 'all', n_chars) AS counts")
+        .write.format("graft-segment")
+        .option("clusterBy", "doc_id").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .selectExpr("doc_id", "y", "w", "meta.lang AS lang", "meta.n AS n",
+          "element_at(counts, 'all') AS total")
+        .orderBy(col("doc_id"))
+    }),
     // DEFAULT column values (SUPPORT_COLUMN_DEFAULT_VALUE): CREATE/ADD
     // COLUMN defaults are ONE metadata-only manifest commit — rows
     // written BEFORE the column existed read the folded EXISTS_DEFAULT
@@ -6128,6 +6151,12 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) + " +
         "CASE WHEN o_orderkey % 5 <> 0 THEN 7 ELSE 0 END AS cents " +
         "FROM orders ORDER BY k"),
+
+    "store_segment_nested" ->
+      ("SELECT doc_id, CAST(doc_id % 100 AS TINYINT) AS y, " +
+        "CAST(n_chars % 10000 AS SMALLINT) AS w, " +
+        "lang, CAST(n_chars AS INT) AS n, n_chars AS total " +
+        "FROM documents ORDER BY doc_id"),
 
     "store_segment_typed" ->
       ("SELECT doc_id, text AS text_back, " +

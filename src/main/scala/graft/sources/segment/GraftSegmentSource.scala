@@ -544,6 +544,12 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
         case IntegerType | DateType =>
           val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toInt)
           Some(if (takeMin) vs.min else vs.max)
+        case ByteType =>
+          val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toByte)
+          Some(if (takeMin) vs.min else vs.max)
+        case ShortType =>
+          val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toShort)
+          Some(if (takeMin) vs.min else vs.max)
         case LongType | TimestampType | TimestampNTZType =>
           val vs = bounds.map(b => (if (takeMin) b._1 else b._2).toLong)
           Some(if (takeMin) vs.min else vs.max)

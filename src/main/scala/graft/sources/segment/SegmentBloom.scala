@@ -57,8 +57,8 @@ object SegmentBloom {
   }
 
   def bloomable(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
-        StringType => true
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType | StringType => true
     case _ => false
   }
 
@@ -81,6 +81,8 @@ object SegmentBloom {
   /** Write-side canonical hash of a decoded row value. */
   def hashRow(dt: DataType, row: InternalRow, ordinal: Int): Long = dt match {
     case IntegerType | DateType => mix64(row.getInt(ordinal).toLong)
+    case ByteType => mix64(row.getByte(ordinal).toLong)
+    case ShortType => mix64(row.getShort(ordinal).toLong)
     case LongType | TimestampType | TimestampNTZType => mix64(row.getLong(ordinal))
     case StringType => mix64(fnv64(row.getUTF8String(ordinal).getBytes))
     case _ => 0L
@@ -91,6 +93,10 @@ object SegmentBloom {
     * (then the bloom simply does not engage). */
   def hashValue(dt: DataType, v: Any): Option[Long] = (dt, v) match {
     case (IntegerType, i: Int) => Some(mix64(i.toLong))
+    // the whole integer family canonicalizes through mix64(toLong), so
+    // blooms stay engaged across byte→short→int→long widens
+    case (ByteType, b: Byte) => Some(mix64(b.toLong))
+    case (ShortType, s2: Short) => Some(mix64(s2.toLong))
     case (LongType, l: Long) => Some(mix64(l))
     case (LongType, i: Int) => Some(mix64(i.toLong))
     case (DateType, d: java.sql.Date) => Some(mix64(d.toLocalDate.toEpochDay))

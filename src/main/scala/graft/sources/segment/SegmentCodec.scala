@@ -49,20 +49,35 @@ object SegmentCodec {
     * length-prefixed unscaled big-integer bytes. */
   val MaxCompactDecimal: Int = 18
 
-  def supported(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | DoubleType | FloatType | BooleanType |
-        StringType | BinaryType | TimestampType | TimestampNTZType | DateType => true
+  /** The scalar leaf set — what a top-level column, an array element
+    * (minus a few), a struct field, or a map key/value may be. */
+  def atomic(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DoubleType |
+        FloatType | BooleanType | StringType | BinaryType | TimestampType |
+        TimestampNTZType | DateType => true
     case _: DecimalType => true
+    case _ => false
+  }
+
+  def supported(dt: DataType): Boolean = dt match {
+    case t if atomic(t) => true
     case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
+    // ONE level of nesting: struct fields and map keys/values are
+    // atomic (metadata records, tag→weight maps — the multimodal
+    // sidecar shapes); deeper nesting is refused loudly
+    case StructType(fields) => fields.nonEmpty && fields.forall(f => atomic(f.dataType))
+    case MapType(k, v, _) => atomic(k) && atomic(v)
     case _ => false
   }
 
   def validateSchema(schema: StructType): Unit = {
     val bad = schema.fields.filterNot(f => supported(f.dataType))
     require(bad.isEmpty,
-      s"graft-segment supports Int/Long/Double/Float/Boolean/String/Binary/" +
-        s"Decimal/Timestamp/Date and arrays of Int/Long/Float/Double/String; " +
-        s"unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
+      s"graft-segment supports the atomic types (Byte/Short/Int/Long/Double/" +
+        s"Float/Boolean/String/Binary/Decimal/Timestamp/Date), arrays of " +
+        s"Int/Long/Float/Double/String, structs of atomics, and maps of " +
+        s"atomics; unsupported: " +
+        s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
   }
 
   def writeHeader(out: DataOutputStream, nCols: Int): Unit = {
@@ -75,13 +90,21 @@ object SegmentCodec {
       s"bad segment header (magic=$m version=$v cols=$n, expected cols=$nCols)")
   }
 
-  /** Write one value of `dt` from `row(ordinal)` (non-null). */
-  def writeValue(out: DataOutputStream, dt: DataType, row: InternalRow, ordinal: Int): Unit = dt match {
+  /** Write one value of `dt` at `row(ordinal)` (non-null). `row` is
+    * any [[org.apache.spark.sql.catalyst.expressions.SpecializedGetters]]
+    * — an InternalRow for top-level columns and struct fields, an
+    * ArrayData for map keys/values — so nested shapes recurse through
+    * the same arms. */
+  def writeValue(out: DataOutputStream, dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ordinal: Int): Unit = dt match {
     case IntegerType | DateType => out.writeInt(row.getInt(ordinal))
     case LongType | TimestampType | TimestampNTZType => out.writeLong(row.getLong(ordinal))
     case DoubleType => out.writeDouble(row.getDouble(ordinal))
     case FloatType => out.writeFloat(row.getFloat(ordinal))
     case BooleanType => out.writeBoolean(row.getBoolean(ordinal))
+    case ByteType => out.writeByte(row.getByte(ordinal).toInt)
+    case ShortType => out.writeShort(row.getShort(ordinal).toInt)
     case StringType =>
       val b = row.getUTF8String(ordinal).getBytes
       out.writeInt(b.length); out.write(b)
@@ -94,6 +117,31 @@ object SegmentCodec {
       else {
         val b = dec.toJavaBigDecimal.unscaledValue().toByteArray
         out.writeInt(b.length); out.write(b)
+      }
+    case st: StructType =>
+      // presence byte per field, values in declared order (whole-struct
+      // null takes the COLUMN's null marker, one level up)
+      val s = row.getStruct(ordinal, st.length)
+      var i = 0
+      while (i < st.length) {
+        if (s.isNullAt(i)) out.writeBoolean(false)
+        else { out.writeBoolean(true); writeValue(out, st.fields(i).dataType, s, i) }
+        i += 1
+      }
+    case mt: MapType =>
+      // n, then n dense keys (non-null by the Spark map contract),
+      // then n presence-marked values
+      val m = row.getMap(ordinal)
+      val n = m.numElements()
+      val ks = m.keyArray(); val vs = m.valueArray()
+      out.writeInt(n)
+      var i = 0
+      while (i < n) { writeValue(out, mt.keyType, ks, i); i += 1 }
+      i = 0
+      while (i < n) {
+        if (vs.isNullAt(i)) out.writeBoolean(false)
+        else { out.writeBoolean(true); writeValue(out, mt.valueType, vs, i) }
+        i += 1
       }
     case ArrayType(et, _) =>
       val arr = row.getArray(ordinal)
@@ -146,8 +194,32 @@ object SegmentCodec {
     case (IntegerType, DoubleType) => 5
     case (s: DecimalType, r: DecimalType)
         if s.scale == r.scale && r.precision > s.precision => 6
+    // 7 = byte/short widened into any larger integer-family type (or
+    // double) — the target is read from `to` at promote time
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => 7
+    case (ShortType, IntegerType | LongType | DoubleType) => 7
+    // 8 = NESTED COLUMN PRUNING: the required struct is a subsequence
+    // of the stored struct's fields (Spark's nested schema pruning —
+    // `SELECT st.a` plans a one-field struct); unneeded fields SKIP
+    // without materializing, the same discipline as top-level pruning
+    case (s: StructType, r: StructType)
+        if isPrunedStruct(s, r) => 8
     case _ => throw new IllegalArgumentException(
       s"cannot decode a ${stored.simpleString} column as ${required.simpleString}")
+  }
+
+  /** Is `r` a (proper or improper) order-preserving field subset of
+    * `s` with identical field names and types? Nullability is not
+    * part of the byte contract. */
+  private def isPrunedStruct(s: StructType, r: StructType): Boolean = {
+    var si = 0
+    var ri = 0
+    while (ri < r.length) {
+      while (si < s.length && s(si).name != r(ri).name) si += 1
+      if (si >= s.length || s(si).dataType != r(ri).dataType) return false
+      si += 1; ri += 1
+    }
+    true
   }
 
   /** Apply an [[upcast]] code to a decoded catalyst value; `to` is the
@@ -167,6 +239,38 @@ object SegmentCodec {
       org.apache.spark.sql.types.Decimal(
         v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal,
         d.precision, d.scale)
+    case 7 =>
+      val l = v match {
+        case b: Byte => b.toLong
+        case s: Short => s.toLong
+      }
+      to match {
+        case ShortType => l.toShort
+        case IntegerType => l.toInt
+        case LongType => l
+        case DoubleType => l.toDouble
+      }
+    case 8 => v // pruned structs project at decode ([[readStructPruned]]
+                // — skipped fields never materialize); nothing to promote
+  }
+
+  /** Decode a stored struct keeping only the `required` fields (an
+    * order-preserving subset — [[upcast]] code 8); the others skip
+    * byte-exactly without materializing. */
+  def readStructPruned(in: DataInputStream, stored: StructType,
+      required: StructType): GenericInternalRow = {
+    val vals = new Array[Any](required.length)
+    var si = 0
+    var ri = 0
+    while (si < stored.length) {
+      val present = in.readBoolean()
+      if (ri < required.length && stored(si).name == required(ri).name) {
+        if (present) vals(ri) = readValue(in, stored(si).dataType)
+        ri += 1
+      } else if (present) skip(in, stored(si).dataType)
+      si += 1
+    }
+    new GenericInternalRow(vals)
   }
 
   /** Read one non-null value of `dt` as the catalyst-internal value. */
@@ -176,6 +280,28 @@ object SegmentCodec {
     case DoubleType => in.readDouble()
     case FloatType => in.readFloat()
     case BooleanType => in.readBoolean()
+    case ByteType => in.readByte()
+    case ShortType => in.readShort()
+    case st: StructType =>
+      val vals = new Array[Any](st.length)
+      var i = 0
+      while (i < st.length) {
+        if (in.readBoolean()) vals(i) = readValue(in, st.fields(i).dataType)
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    case mt: MapType =>
+      val n = in.readInt()
+      val ks = new Array[Any](n); val vs = new Array[Any](n)
+      var i = 0
+      while (i < n) { ks(i) = readValue(in, mt.keyType); i += 1 }
+      i = 0
+      while (i < n) {
+        if (in.readBoolean()) vs(i) = readValue(in, mt.valueType)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(ks), new GenericArrayData(vs))
     case StringType =>
       val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
       UTF8String.fromBytes(b)
@@ -213,11 +339,24 @@ object SegmentCodec {
   def skip(in: DataInputStream, dt: DataType): Unit = dt match {
     case IntegerType | DateType | FloatType => skipFully(in, 4)
     case LongType | TimestampType | TimestampNTZType | DoubleType => skipFully(in, 8)
-    case BooleanType => skipFully(in, 1)
+    case BooleanType | ByteType => skipFully(in, 1)
+    case ShortType => skipFully(in, 2)
     case StringType | BinaryType => val n = in.readInt(); skipFully(in, n)
     case d: DecimalType =>
       if (d.precision <= MaxCompactDecimal) skipFully(in, 8)
       else { val n = in.readInt(); skipFully(in, n) }
+    case st: StructType =>
+      var i = 0
+      while (i < st.length) {
+        if (in.readBoolean()) skip(in, st.fields(i).dataType)
+        i += 1
+      }
+    case mt: MapType =>
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { skip(in, mt.keyType); i += 1 }
+      i = 0
+      while (i < n) { if (in.readBoolean()) skip(in, mt.valueType); i += 1 }
     case ArrayType(StringType, _) =>
       val n = in.readInt()
       var i = 0
@@ -268,10 +407,11 @@ object SegmentCodec {
     private var nulls = 0L
     private var any = false
     private var sound = dt match {
-      case IntegerType | LongType | DoubleType | FloatType | TimestampType |
-          TimestampNTZType | DateType | StringType => true
+      case ByteType | ShortType | IntegerType | LongType | DoubleType |
+          FloatType | TimestampType | TimestampNTZType | DateType |
+          StringType => true
       case _: DecimalType => true
-      case _ => false // booleans/binary/arrays: no zone maps
+      case _ => false // booleans/binary/arrays/structs/maps: no zone maps
     }
     private var minL = 0L; private var maxL = 0L
     private var minD = 0.0; private var maxD = 0.0
@@ -288,6 +428,8 @@ object SegmentCodec {
 
     private def addBounds(row: InternalRow, ordinal: Int): Unit = dt match {
       case IntegerType | DateType => addLong(row.getInt(ordinal).toLong)
+      case ByteType => addLong(row.getByte(ordinal).toLong)
+      case ShortType => addLong(row.getShort(ordinal).toLong)
       case LongType | TimestampType | TimestampNTZType => addLong(row.getLong(ordinal))
       case FloatType => addDouble(row.getFloat(ordinal).toDouble)
       case DoubleType => addDouble(row.getDouble(ordinal))
@@ -344,7 +486,8 @@ object SegmentCodec {
     def bounds: Option[(String, String)] =
       if (!sound || !any) None
       else dt match {
-        case IntegerType | LongType | TimestampType | TimestampNTZType | DateType =>
+        case ByteType | ShortType | IntegerType | LongType | TimestampType |
+            TimestampNTZType | DateType =>
           Some((minL.toString, maxL.toString))
         case FloatType | DoubleType =>
           if (minD.isNaN || maxD.isNaN) None else Some((minD.toString, maxD.toString))
@@ -366,6 +509,10 @@ object SegmentCodec {
     dt match {
       case IntegerType | DateType =>
         val x = value.asInstanceOf[Int]; while (r < rows) { v.putInt(r, x); r += 1 }
+      case ByteType =>
+        val x = value.asInstanceOf[Byte]; while (r < rows) { v.putByte(r, x); r += 1 }
+      case ShortType =>
+        val x = value.asInstanceOf[Short]; while (r < rows) { v.putShort(r, x); r += 1 }
       case LongType | TimestampType | TimestampNTZType =>
         val x = value.asInstanceOf[Long]; while (r < rows) { v.putLong(r, x); r += 1 }
       case FloatType =>
@@ -420,8 +567,10 @@ object SegmentCodec {
         val present = if (c == 0) first == 1 else in.readBoolean()
         val o = outIdx(c)
         if (present) {
-          if (o >= 0) vals(o) = promote(readValue(in, types(c)), up(c), reqT(c))
-          else skip(in, types(c))
+          if (o < 0) skip(in, types(c))
+          else if (up(c) == 8) vals(o) = readStructPruned(in,
+            types(c).asInstanceOf[StructType], reqT(c).asInstanceOf[StructType])
+          else vals(o) = promote(readValue(in, types(c)), up(c), reqT(c))
         } // null → vals(o) stays null
         c += 1
       }
@@ -440,10 +589,19 @@ object SegmentCodec {
     * hottest LLM-pipeline shape — stay columnar instead of dropping
     * the whole scan to the row reader. */
   def vectorizable(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | DoubleType | FloatType | BooleanType |
-        StringType | BinaryType | TimestampType | TimestampNTZType | DateType => true
+    case ByteType | ShortType | IntegerType | LongType | DoubleType |
+        FloatType | BooleanType | StringType | BinaryType | TimestampType |
+        TimestampNTZType | DateType => true
     case _: DecimalType => true
     case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
+    // struct fields write POSITIONALLY into child vectors — every
+    // atomic type has a positional put, decimals included
+    case StructType(fields) => fields.forall(f => atomic(f.dataType))
+    // map entries APPEND into the two child vectors; decimals have no
+    // append form, so decimal-keyed/valued maps take the row reader
+    case MapType(k, v, _) =>
+      def appendable(t: DataType): Boolean = atomic(t) && !t.isInstanceOf[DecimalType]
+      appendable(k) && appendable(v)
     case _ => false
   }
 
@@ -508,6 +666,53 @@ object SegmentCodec {
                 if (up(c) == 1) v.putLong(r, in.readInt().toLong)
                 else if (up(c) == 5) v.putDouble(r, in.readInt().toDouble)
                 else v.putInt(r, in.readInt())
+              case ByteType =>
+                val x = in.readByte()
+                if (up(c) == 0) v.putByte(r, x)
+                else putWidened(v, required(o).dataType, r, x.toLong)
+              case ShortType =>
+                val x = in.readShort()
+                if (up(c) == 0) v.putShort(r, x)
+                else putWidened(v, required(o).dataType, r, x.toLong)
+              case st: StructType =>
+                // fields write POSITIONALLY into the struct's child
+                // vectors at the same row index; the parent tracks
+                // only nulls (handled by the generic !present branch).
+                // Child vectors follow the REQUIRED (possibly
+                // nested-pruned) struct; stored-only fields skip.
+                val req = required(o).dataType.asInstanceOf[StructType]
+                var i = 0
+                var ri = 0
+                while (i < st.length) {
+                  val present = in.readBoolean()
+                  if (ri < req.length && st(i).name == req(ri).name) {
+                    val child = v.getChild(ri)
+                      .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+                    if (present) putAtomic(in, st.fields(i).dataType, child, r)
+                    else child.putNull(r)
+                    ri += 1
+                  } else if (present) skip(in, st.fields(i).dataType)
+                  i += 1
+                }
+              case mt: MapType =>
+                // entries APPEND into the key/value child vectors in
+                // lockstep; the row slot records the (offset, length)
+                // window exactly like arrays
+                val n = in.readInt()
+                val kc = v.getChild(0)
+                  .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+                val vc = v.getChild(1)
+                  .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+                val start = kc.getElementsAppended
+                var i = 0
+                while (i < n) { appendAtomic(in, mt.keyType, kc); i += 1 }
+                i = 0
+                while (i < n) {
+                  if (in.readBoolean()) appendAtomic(in, mt.valueType, vc)
+                  else vc.appendNull()
+                  i += 1
+                }
+                v.putArray(r, start, n)
               case LongType | TimestampType | TimestampNTZType => v.putLong(r, in.readLong())
               case DoubleType => v.putDouble(r, in.readDouble())
               case FloatType =>
@@ -574,6 +779,65 @@ object SegmentCodec {
       }
     }
     (r, pos)
+  }
+
+  /** Positional put of a widened integer-family value (upcast 7). */
+  private def putWidened(
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      to: DataType, r: Int, l: Long): Unit = to match {
+    case ShortType => v.putShort(r, l.toShort)
+    case IntegerType => v.putInt(r, l.toInt)
+    case LongType => v.putLong(r, l)
+    case DoubleType => v.putDouble(r, l.toDouble)
+    case other => throw new IllegalArgumentException(
+      s"no integer-family widen target ${other.simpleString}")
+  }
+
+  /** Positional decode of one atomic value into a child vector at row
+    * `r` — the struct-field path (structs never widen, so the stored
+    * and required types coincide). */
+  private def putAtomic(in: DataInputStream, dt: DataType,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      r: Int): Unit = dt match {
+    case IntegerType | DateType => v.putInt(r, in.readInt())
+    case LongType | TimestampType | TimestampNTZType => v.putLong(r, in.readLong())
+    case DoubleType => v.putDouble(r, in.readDouble())
+    case FloatType => v.putFloat(r, in.readFloat())
+    case BooleanType => v.putBoolean(r, in.readBoolean())
+    case ByteType => v.putByte(r, in.readByte())
+    case ShortType => v.putShort(r, in.readShort())
+    case StringType | BinaryType =>
+      val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+      v.putByteArray(r, b, 0, n)
+    case d: DecimalType =>
+      if (d.precision <= MaxCompactDecimal)
+        v.putDecimal(r, Decimal(in.readLong(), d.precision, d.scale), d.precision)
+      else {
+        val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+        v.putDecimal(r, Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(b), d.scale), d.precision, d.scale), d.precision)
+      }
+    case other => throw new IllegalArgumentException(
+      s"not a positional atomic decode: ${other.simpleString}")
+  }
+
+  /** Append-style decode of one atomic value into a map's key/value
+    * child vector (decimals excluded — no append form; the
+    * [[vectorizable]] gate routes them to the row reader). */
+  private def appendAtomic(in: DataInputStream, dt: DataType,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = dt match {
+    case IntegerType | DateType => v.appendInt(in.readInt())
+    case LongType | TimestampType | TimestampNTZType => v.appendLong(in.readLong())
+    case DoubleType => v.appendDouble(in.readDouble())
+    case FloatType => v.appendFloat(in.readFloat())
+    case BooleanType => v.appendBoolean(in.readBoolean())
+    case ByteType => v.appendByte(in.readByte())
+    case ShortType => v.appendShort(in.readShort())
+    case StringType | BinaryType =>
+      val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+      v.appendByteArray(b, 0, n)
+    case other => throw new IllegalArgumentException(
+      s"not an appendable atomic decode: ${other.simpleString}")
   }
 
   private implicit final class SchemaOps(val s: StructType) extends AnyVal {

@@ -56,9 +56,9 @@ object SegmentDefaults {
     * vector plumbing for repeated variable-width constants buy nothing
     * a post-add `UPDATE t SET c = array(...)` backfill doesn't). */
   def fillable(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | FloatType | DoubleType | BooleanType |
-         StringType | BinaryType | DateType | TimestampType |
-         TimestampNTZType => true
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | BooleanType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
   }

@@ -570,6 +570,13 @@ object SegmentLog {
       def loose(dt: DataType): DataType = dt match {
         case org.apache.spark.sql.types.ArrayType(et, _) =>
           org.apache.spark.sql.types.ArrayType(loose(et), containsNull = true)
+        case st: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(st.fields.map(f =>
+            org.apache.spark.sql.types.StructField(f.name, loose(f.dataType),
+              nullable = true)))
+        case org.apache.spark.sql.types.MapType(k, v, _) =>
+          org.apache.spark.sql.types.MapType(loose(k), loose(v),
+            valueContainsNull = true)
         case other => other
       }
       val tableSchema: StructType = current match {
@@ -861,7 +868,10 @@ object SegmentLog {
     * does not store decimals). */
   private val widenable: Map[DataType, Set[DataType]] = {
     import org.apache.spark.sql.types._
-    Map(IntegerType -> Set[DataType](LongType, DoubleType),
+    Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType, DoubleType),
+      ShortType -> Set[DataType](IntegerType, LongType, DoubleType),
+      IntegerType -> Set[DataType](LongType, DoubleType),
       FloatType -> Set[DataType](DoubleType))
   }
 

@@ -109,7 +109,7 @@ object SegmentPruning {
   private def compare(schema: StructType, c: String, boundStr: String, v: Any): Option[Int] = {
     val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
     dt match {
-      case IntegerType | LongType =>
+      case ByteType | ShortType | IntegerType | LongType =>
         asLong(v).map(l => java.lang.Long.compare(boundStr.toLong, l))
       case TimestampType =>
         asMicros(v).map(l => java.lang.Long.compare(boundStr.toLong, l))

@@ -33,7 +33,12 @@ class PropertiesSpec extends SparkSpec {
       StructField("bin", BinaryType),
       StructField("dec", DecimalType(12, 2)),
       StructField("big", DecimalType(30, 4)),
-      StructField("toks", ArrayType(StringType))))
+      StructField("toks", ArrayType(StringType)),
+      StructField("y", ByteType),
+      StructField("w", ShortType),
+      StructField("st", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType)))),
+      StructField("mp", MapType(StringType, LongType))))
     val genVal: Gen[Seq[Any]] = for {
       l <- Gen.oneOf(Gen.const(null), Gen.choose(Long.MinValue, Long.MaxValue).map(x => x: Any))
       i <- Gen.oneOf(Gen.const(null), Gen.choose(Int.MinValue, Int.MaxValue).map(x => x: Any))
@@ -57,7 +62,25 @@ class PropertiesSpec extends SparkSpec {
       toks <- Gen.oneOf(Gen.const(null), Gen.listOf(Gen.oneOf("", "a", "uniçodé", "x" * 99))
         .map(ss => new org.apache.spark.sql.catalyst.util.GenericArrayData(
           ss.map(x => UTF8String.fromString(x): Any).toArray): Any))
-    } yield Seq(l, i, d, s, b, ts, v, bin, dec, big, toks)
+      y <- Gen.oneOf(Gen.const(null), Gen.choose(Byte.MinValue, Byte.MaxValue).map(x => x: Any))
+      w <- Gen.oneOf(Gen.const(null), Gen.choose(Short.MinValue, Short.MaxValue).map(x => x: Any))
+      st <- Gen.oneOf(Gen.const(null), for {
+        a <- Gen.oneOf(Gen.const(null), Gen.choose(Int.MinValue, Int.MaxValue).map(x => x: Any))
+        bb <- Gen.oneOf(Gen.const(null), Gen.oneOf("", "f", "üñí").map(x => UTF8String.fromString(x): Any))
+      } yield new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a, bb)): Any)
+      mp <- Gen.oneOf(Gen.const(null), Gen.listOf(
+        Gen.zip(Gen.oneOf("k1", "k2", "κ"), Gen.oneOf(Gen.const(null),
+          Gen.choose(Long.MinValue, Long.MaxValue).map(x => x: Any))))
+        .map { kvs =>
+          val dedup = kvs.toMap.toSeq // map keys unique by contract
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              dedup.map(kv => UTF8String.fromString(kv._1): Any).toArray),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              dedup.map(_._2).toArray)): Any
+        })
+    } yield Seq(l, i, d, s, b, ts, v, bin, dec, big, toks, y, w, st, mp)
 
     val rows = samples(Gen.listOfN(20, genVal), 10).flatten
     assert(rows.size >= 150)
@@ -96,6 +119,13 @@ class PropertiesSpec extends SparkSpec {
       case (x: org.apache.spark.sql.catalyst.util.GenericArrayData,
             y: org.apache.spark.sql.catalyst.util.GenericArrayData) =>
         x.array.toSeq == y.array.toSeq
+      case (x: org.apache.spark.sql.catalyst.expressions.GenericInternalRow,
+            y: org.apache.spark.sql.catalyst.expressions.GenericInternalRow) =>
+        x.numFields == y.numFields &&
+          x.values.zip(y.values).forall { case (a2, b2) => cmp(a2, b2) }
+      case (x: org.apache.spark.sql.catalyst.util.ArrayBasedMapData,
+            y: org.apache.spark.sql.catalyst.util.ArrayBasedMapData) =>
+        cmp(x.keyArray, y.keyArray) && cmp(x.valueArray, y.valueArray)
       case (x, y) => x == y
     }
 

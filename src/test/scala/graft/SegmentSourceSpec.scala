@@ -2908,6 +2908,72 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       new java.math.BigDecimal("499750.00")) == 0)
   }
 
+  test("tinyint/smallint, struct, and map columns: exact round-trip, " +
+      "columnar scan, byte widening with engaged blooms") {
+    val dir = tmp("graft-seg-nested")
+    val df = spark.range(0, 400).selectExpr(
+      "id",
+      "CAST(id % 100 AS TINYINT) AS y",
+      "CAST(id % 1000 AS SMALLINT) AS w",
+      "named_struct('a', CAST(id AS INT), 'b', concat('s-', id), " +
+        "'c', CAST(id AS DECIMAL(10,2))) AS st",
+      "map(concat('k', id % 3), id * 2, 'fixed', id) AS mp")
+    df.write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "4")
+      .mode("append").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema("y").dataType == org.apache.spark.sql.types.ByteType)
+    assert(back.schema("w").dataType == org.apache.spark.sql.types.ShortType)
+    // struct with a decimal field still reads columnar (positional
+    // child puts); the map of string→long appends columnar too
+    val proj = back.select("id", "y", "w", "st", "mp")
+    assert(proj.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "tinyint/smallint/struct/map must read columnar")
+    val r = proj.orderBy("id").collect()(7)
+    assert(r.getByte(1) == 7.toByte && r.getShort(2) == 7.toShort)
+    val st = r.getStruct(3)
+    assert(st.getInt(0) == 7 && st.getString(1) == "s-7" &&
+      st.getDecimal(2) == new java.math.BigDecimal("7.00"))
+    assert(r.getMap[String, Long](4) == Map("k1" -> 14L, "fixed" -> 7L))
+    // aggregate over the whole map/struct path for exactness at volume
+    assert(back.selectExpr("sum(st.a)").head().getLong(0) == (0L until 400L).sum)
+    assert(back.selectExpr("sum(element_at(mp, 'fixed'))").head().getLong(0) ==
+      (0L until 400L).sum)
+
+    // a decimal-valued map has no append form: the scan drops to the
+    // row reader HONESTLY (values still exact)
+    val dir2 = tmp("graft-seg-decmap")
+    spark.range(0, 50).selectExpr("id",
+      "map('m', CAST(id AS DECIMAL(10,2))) AS dm")
+      .write.format(Fmt).mode("append").save(dir2)
+    val back2 = spark.read.format(Fmt).load(dir2)
+    assert(!back2.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "decimal-valued maps take the row reader")
+    assert(back2.selectExpr("sum(element_at(dm, 'm'))").head()
+      .getDecimal(0).compareTo(new java.math.BigDecimal("1225.00")) == 0)
+
+    // byte→int widening: one metadata commit, blooms stay ENGAGED
+    // (the integer family shares the mix64(toLong) hash domain)
+    val dir3 = tmp("graft-seg-bytewiden")
+    spark.range(0, 1000).selectExpr("id", "CAST(id % 97 AS TINYINT) AS y")
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "10")
+      .option("bloomFor", "y")
+      .mode("append").save(dir3)
+    val f3 = SegmentLog.fs(dir3, spark.sessionState.newHadoopConf())
+    SegmentLog.widenColumn(f3, dir3, "y", org.apache.spark.sql.types.IntegerType)
+    val back3 = spark.read.format(Fmt).load(dir3)
+    assert(back3.schema("y").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(back3.filter(col("y") === 42).count() == 10)
+    // nested and deeper shapes refused loudly
+    val e = intercept[Exception] {
+      spark.range(0, 5).selectExpr("id",
+        "named_struct('inner', named_struct('x', id)) AS nested")
+        .write.format(Fmt).mode("append").save(tmp("graft-seg-reject"))
+    }
+    assert(e.getMessage != null)
+  }
+
   test("DESCRIBE HISTORY exposes the manifest commit wall-clock as commit_ts") {
     val dir = tmp("graft-seg-histts")
     import spark.implicits._
