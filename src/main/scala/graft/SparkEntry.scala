@@ -3757,6 +3757,28 @@ object SparkEntry {
         graft.multimodal.Multimodal.syntheticImages(Tables.documents(s, d)))
         .toDF()
         .orderBy(col("media_id"))),
+    // the multimodal story CLOSED ON THE NATIVE FORMAT: the binary
+    // media blobs live in a graft-segment table (binary + small-int
+    // metadata columns), and the REAL ImageIO decode runs off the
+    // segment scan — byte fidelity proven by the same closed-form
+    // pixel-sum oracle as the parquet route. At 100 TB this is the
+    // media lakehouse shape: blobs co-located with their typed
+    // metadata under one transactional log (GDPR deletes via DVs,
+    // time travel, CDC), not a parquet sidecar
+    "mm_decode_segment" -> ((s, d) => withTempDir("graft-mmseg") { base =>
+      val dir = s"$base/media"
+      graft.multimodal.Multimodal.syntheticImages(Tables.documents(s, d))
+        .toDF()
+        .write.format("graft-segment")
+        .option("clusterBy", "media_id").option("numPartitions", "8")
+        .mode("append").save(dir)
+      import s.implicits._
+      graft.multimodal.Multimodal.decodeImageStats(
+        s.read.format("graft-segment").load(dir)
+          .as[graft.multimodal.Multimodal.MediaRecord])
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
     // the decode path under STREAMING delivery: binary media rows
     // arrive in micro-batches, each batch runs the same per-row
     // ImageIO decode (batch-independent, so the batch path's oracle
@@ -8067,6 +8089,18 @@ object SparkEntry {
     // (doc_id·m) mod 256 — matches Multimodal.syntheticImages exactly;
     // equality proves ImageIO returned the encoded pixels verbatim
     "mm_decode_features" ->
+      ("WITH g AS (SELECT doc_id AS media_id, " +
+        "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, (8 + doc_id % 9) // 2 AS wa, " +
+        "doc_id*37 % 256 AS ra, doc_id*59 % 256 AS ga, doc_id*83 % 256 AS ba, " +
+        "doc_id*101 % 256 AS rb, doc_id*131 % 256 AS gb, doc_id*151 % 256 AS bb " +
+        "FROM documents) " +
+        "SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(w*h AS BIGINT) AS n_pixels, " +
+        "CAST(h*(wa*ra + (w-wa)*rb) AS BIGINT) AS sum_r, " +
+        "CAST(h*(wa*ga + (w-wa)*gb) AS BIGINT) AS sum_g, " +
+        "CAST(h*(wa*ba + (w-wa)*bb) AS BIGINT) AS sum_b " +
+        "FROM g ORDER BY media_id"),
+    "mm_decode_segment" ->
       ("WITH g AS (SELECT doc_id AS media_id, " +
         "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, (8 + doc_id % 9) // 2 AS wa, " +
         "doc_id*37 % 256 AS ra, doc_id*59 % 256 AS ga, doc_id*83 % 256 AS ba, " +
