@@ -1860,8 +1860,16 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     out.close()
     val bytes = fs.getFileStatus(absPath).getLen
     done += SegmentMeta(relPath, rows, bytes,
-      colNames.zip(stats).map { case (n, c) =>
-        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64) }.toMap,
+      colNames.zip(stats).flatMap { case (n, c) =>
+        // struct columns contribute per-field zone maps under dotted
+        // keys ("st.a") — skipping any key a real top-level column
+        // already owns, so a literal-dotted column name never gets
+        // its bounds silently overwritten (pruning soundness)
+        (n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64)) +:
+          c.nested.collect {
+            case (fn, cs) if !colNames.contains(s"$n.$fn") => s"$n.$fn" -> cs
+          }
+      }.toMap,
       bucket, cols = colNames)
     out = null
   }

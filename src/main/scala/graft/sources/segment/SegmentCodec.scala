@@ -403,6 +403,17 @@ object SegmentCodec {
     private val bloom: Array[Long] =
       if (bloomBits > 0 && SegmentBloom.bloomable(dt)) new Array[Long](bloomBits / 64)
       else null
+    // STRUCT columns collect per-FIELD zone maps (one child collector
+    // each, no blooms): Spark pushes nested predicates (`st.a = 5`
+    // arrives as a dotted V1 filter), so typed-metadata fields inside
+    // structs prune segments exactly like top-level columns. A field's
+    // null count includes parent-null rows — `st.a IS NULL` is true
+    // when EITHER is null, so the pruning rules stay exact.
+    private val children: Array[(String, StatsCollector)] = dt match {
+      case st: StructType =>
+        st.fields.map(f => f.name -> new StatsCollector(f.dataType, 0))
+      case _ => null
+    }
     import StatsCollector.MaxStatString
     private var nulls = 0L
     private var any = false
@@ -419,12 +430,31 @@ object SegmentCodec {
     private var minDec: java.math.BigDecimal = _
     private var maxDec: java.math.BigDecimal = _
 
-    def addNull(): Unit = nulls += 1
+    def addNull(): Unit = {
+      nulls += 1
+      if (children != null) children.foreach(_._2.addNull())
+    }
 
     def add(row: InternalRow, ordinal: Int): Unit = {
       if (bloom != null) SegmentBloom.put(bloom, SegmentBloom.hashRow(dt, row, ordinal))
       if (sound) addBounds(row, ordinal)
+      if (children != null) {
+        val s = row.getStruct(ordinal, children.length)
+        var i = 0
+        while (i < children.length) {
+          if (s.isNullAt(i)) children(i)._2.addNull()
+          else children(i)._2.add(s, i)
+          i += 1
+        }
+      }
     }
+
+    /** Per-field stats of a struct column, keyed by bare field name
+      * (the writer prefixes the column name) — Nil for non-structs. */
+    def nested: Seq[(String, ColumnStats)] =
+      if (children == null) Nil
+      else children.toSeq.map { case (n, c) =>
+        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64) }
 
     private def addBounds(row: InternalRow, ordinal: Int): Unit = dt match {
       case IntegerType | DateType => addLong(row.getInt(ordinal).toLong)

@@ -745,8 +745,18 @@ object SegmentLog {
     if (m.physicalOf.isEmpty && m.retiredSchema.isEmpty) return m
     val logicalOf = m.physicalOf.map(_.swap)
     val dead = m.retiredSchema.fieldNames.toSet
-    def xlate(p: String): String =
-      logicalOf.getOrElse(p, if (dead.contains(p)) s"$DroppedPrefix$p" else p)
+    def xlate(p: String): String = logicalOf.getOrElse(p,
+      if (dead.contains(p)) s"$DroppedPrefix$p"
+      else {
+        // nested zone-map keys ("physSt.a"): translate the struct
+        // COLUMN's physical head so renamed struct columns keep their
+        // per-field pruning (exact top-level match above wins for a
+        // literal-dotted column name)
+        val dot = p.indexOf('.')
+        if (dot > 0)
+          logicalOf.get(p.substring(0, dot)).map(_ + p.substring(dot)).getOrElse(p)
+        else p
+      })
     m.copy(segments = m.segments.map(s => s.copy(
       cols = s.cols.map(xlate),
       stats = s.stats.map { case (k, v) => xlate(k) -> v })))

@@ -92,11 +92,28 @@ object SegmentPruning {
     * cluster — full-range zone maps everywhere, but most segments
     * never saw the key. */
   private def bloomExcludes(c: String, v: Any, schema: StructType, seg: SegmentMeta): Boolean = {
-    val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return false)
+    val dt = fieldType(schema, c).getOrElse(return false)
     seg.stats.get(c).flatMap(_.bloom) match {
       case Some(b64) =>
         SegmentBloom.hashValue(dt, v).exists(h => !SegmentBloom.mightContain(b64, h))
       case None => false
+    }
+  }
+
+  /** Resolve a pushed column reference's type: an exact top-level
+    * match first (a literal-dotted name wins), then one level of
+    * struct-field resolution — Spark pushes nested predicates with
+    * dotted names (`st.a = 5`), and struct columns carry per-field
+    * zone maps under the same keys. */
+  private def fieldType(schema: StructType, c: String): Option[DataType] = {
+    schema.fields.find(_.name == c).map(_.dataType).orElse {
+      val dot = c.indexOf('.')
+      if (dot <= 0) None
+      else schema.fields.find(_.name == c.substring(0, dot)).map(_.dataType) match {
+        case Some(st: StructType) =>
+          st.fields.find(_.name == c.substring(dot + 1)).map(_.dataType)
+        case _ => None
+      }
     }
   }
 
@@ -107,7 +124,7 @@ object SegmentPruning {
   /** compare(bound, literal) in the column's domain; None when the
     * literal can't be soundly interpreted there. */
   private def compare(schema: StructType, c: String, boundStr: String, v: Any): Option[Int] = {
-    val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
+    val dt = fieldType(schema, c).getOrElse(return None)
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         asLong(v).map(l => java.lang.Long.compare(boundStr.toLong, l))

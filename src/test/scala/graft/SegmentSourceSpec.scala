@@ -2940,6 +2940,30 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(back.selectExpr("sum(element_at(mp, 'fixed'))").head().getLong(0) ==
       (0L until 400L).sum)
 
+    // STRUCT-FIELD ZONE MAPS: Spark pushes `st.a = 7` as a dotted
+    // filter, and the per-field bounds collected at write time prune
+    // segments exactly like a top-level column (st.a correlates with
+    // the id clustering)
+    GraftSegmentSource.lastScanEvent = None
+    assert(back.filter(col("st.a") === 7).count() == 1)
+    val (np, nt) = GraftSegmentSource.lastScanEvent.get
+    assert(np < nt, s"nested zone maps should prune: planned $np of $nt")
+    // IS NULL on a never-null nested field prunes everything
+    GraftSegmentSource.lastScanEvent = None
+    assert(back.filter(col("st.b").isNull).count() == 0)
+    val (np2, nt2) = GraftSegmentSource.lastScanEvent.get
+    assert(np2 == 0, s"IS NULL on a no-null field prunes all: $np2 of $nt2")
+
+    // deletion vectors over nested columns: dead rows' struct/map
+    // bytes are CONSUMED (skip arms) without touching vector slots
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir, col("id") % 4 === 0)
+    val live = spark.read.format(Fmt).load(dir)
+    assert(live.count() == 300)
+    assert(live.selectExpr("sum(st.a)").head().getLong(0) ==
+      (0L until 400L).filter(_ % 4 != 0).sum)
+    assert(live.selectExpr("sum(element_at(mp, 'fixed'))").head().getLong(0) ==
+      (0L until 400L).filter(_ % 4 != 0).sum)
+
     // a decimal-valued map has no append form: the scan drops to the
     // row reader HONESTLY (values still exact)
     val dir2 = tmp("graft-seg-decmap")
