@@ -2996,6 +2996,50 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .write.format(Fmt).mode("append").save(tmp("graft-seg-reject"))
     }
     assert(e.getMessage != null)
+
+    // the STREAMING face reads the same nested bytes through the same
+    // factory: one AvailableNow pass over the dv'd table reproduces
+    // the live aggregate exactly
+    val ckpt = tmp("graft-seg-nested-ckpt")
+    val q = spark.readStream.format(Fmt).load(dir)
+      .selectExpr("st.a AS a", "element_at(mp, 'fixed') AS f")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("nested_stream").start()
+    q.awaitTermination()
+    val agg = spark.sql(
+      "SELECT sum(a), sum(f), count(*) FROM nested_stream").head()
+    assert(agg.getLong(2) == 300)
+    assert(agg.getLong(0) == (0L until 400L).filter(_ % 4 != 0).sum)
+    assert(agg.getLong(1) == (0L until 400L).filter(_ % 4 != 0).sum)
+  }
+
+  test("metadata-only DELETE decided by a struct-field predicate") {
+    val wh = tmp("graft-nestdel-wh")
+    val cat = s"graft_nestdel_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t " +
+      "(id BIGINT, st STRUCT<a: BIGINT, b: STRING>) " +
+      "TBLPROPERTIES ('clusterBy'='id', 'numPartitions'='4')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, " +
+      "named_struct('a', id, 'b', concat('s', id)) FROM range(0, 400)")
+    val dir = s"$wh/db/t"
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m0 = SegmentLog.read(fs, dir).get
+    val files0 = m0.segments.map(_.path).toSet
+    // st.a aligns with the id clustering, so the nested zone maps
+    // DECIDE every segment: one manifest commit, no file read/written
+    spark.sql(s"DELETE FROM $cat.db.t WHERE st.a < 100")
+    val m1 = SegmentLog.read(fs, dir).get
+    assert(m1.segments.map(_.path).toSet.subsetOf(files0),
+      "metadata-only DELETE must not write files")
+    assert(m1.segments.size < m0.segments.size, "whole segments dropped")
+    assert(spark.sql(s"SELECT count(*), min(st.a) FROM $cat.db.t").head()
+      .getLong(0) == 300)
+    assert(spark.sql(s"SELECT min(st.a) FROM $cat.db.t").head().getLong(0) == 100)
   }
 
   test("DESCRIBE HISTORY exposes the manifest commit wall-clock as commit_ts") {
