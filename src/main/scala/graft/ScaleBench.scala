@@ -87,6 +87,7 @@ object ScaleBench {
     // and the full-type-surface scan (binary blobs + decimal zone
     // maps + token arrays), which must track table bytes
     "store_segment_mor_bulk", "store_segment_typed",
+    "store_segment_compressed",
     // atomic CTAS+RTAS (two staged writes of the table) and the
     // partial-compaction chain (dv mark → materialize dv'd segments →
     // re-cluster one key range) — both must track table bytes

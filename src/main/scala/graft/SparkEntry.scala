@@ -3270,6 +3270,25 @@ object SparkEntry {
           element_at(col("tokens"), 1).as("first_token"))
         .orderBy(col("doc_id"))
     }),
+    // BODY COMPRESSION on the native format (header v2 = one deflate
+    // stream after the raw 12-byte header): text tables shrink ~3-4×,
+    // which at 100 TB is the difference between scanning 100 TB and
+    // 30 TB of disk; zone maps, blooms, dvs, and pruning live in the
+    // manifest and are untouched. Declared per table or per write;
+    // readers dispatch on each segment's own header. The oracle is the
+    // plain projection — compression must be invisible to answers
+    "store_segment_compressed" -> ((s, d) => withTempDir("graft-segcomp") { base =>
+      val dir = s"$base/t"
+      Tables.documents(s, d).select(col("doc_id"), col("text"),
+          col("lang"), col("n_chars"))
+        .write.format("graft-segment")
+        .option("clusterBy", "doc_id").option("numPartitions", "8")
+        .option("compress", "deflate")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .filter(col("doc_id") % 3 === 0)
+        .orderBy(col("doc_id"))
+    }),
     // NESTED + small-integer types on the native format: TINYINT /
     // SMALLINT (full zone-map/bloom members of the integer family),
     // STRUCT of atomics (vectorized positional child decode, nested
@@ -6173,6 +6192,10 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100, 0) AS BIGINT) + " +
         "CASE WHEN o_orderkey % 5 <> 0 THEN 7 ELSE 0 END AS cents " +
         "FROM orders ORDER BY k"),
+
+    "store_segment_compressed" ->
+      ("SELECT doc_id, text, lang, n_chars FROM documents " +
+        "WHERE doc_id % 3 = 0 ORDER BY doc_id"),
 
     "store_segment_nested" ->
       ("SELECT doc_id, CAST(doc_id % 100 AS TINYINT) AS y, " +

@@ -153,7 +153,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     // CHECK constraints enforced on every write (SegmentChecks)
     val checkProps = properties.asScala.toMap
       .filter { case (k, _) => k.startsWith(SegmentChecks.Prefix) }
-    val props = Seq("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold")
+    val props = Seq("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
+      "compress")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++ checkProps
     props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
     props.get("bloomBits").foreach(b => require(
@@ -164,6 +165,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     props.get("morRewriteThreshold").foreach(v => require(
       scala.util.Try(v.toDouble).toOption.exists(t => t > 0.0 && t <= 1.0),
       s"morRewriteThreshold must be a fraction in (0, 1], got '$v'"))
+    props.get("compress").foreach(v => require(Set("none", "deflate").contains(v),
+      s"compress must be none|deflate, got '$v'"))
     SegmentChecks.declared(checkProps).foreach { case (n, sql) =>
       SegmentChecks.requireAnalyzable(SparkSession.active, schema, n, sql) }
     (bucketing, props)
@@ -275,10 +278,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       // the validated keys only
       case sp: TableChange.SetProperty =>
         require(sp.property().startsWith(SegmentChecks.Prefix) ||
-            Set("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold")
-              .contains(sp.property()),
+            Set("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
+              "compress").contains(sp.property()),
           s"only bloomFor/bloomBits/rowLevelMode/morRewriteThreshold/" +
-            s"check.<name> are settable, got ${sp.property()}")
+            s"compress/check.<name> are settable, got ${sp.property()}")
         if (sp.property().startsWith(SegmentChecks.Prefix)) {
           // ADD CONSTRAINT: the expression must analyze (checked first,
           // so a malformed declaration gets the constraint error, not a
@@ -305,6 +308,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
                   .exists(t => t > 0.0 && t <= 1.0),
                 s"morRewriteThreshold must be a fraction in (0, 1], " +
                   s"got '${sp.value()}'")
+            case "compress" =>
+              require(Set("none", "deflate").contains(sp.value()),
+                s"compress must be none|deflate, got '${sp.value()}'")
             case check if check.startsWith(SegmentChecks.Prefix) =>
               SegmentChecks.requireAnalyzable(SparkSession.active, m.schema,
                 check.substring(SegmentChecks.Prefix.length), sp.value())

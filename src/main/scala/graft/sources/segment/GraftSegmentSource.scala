@@ -975,8 +975,8 @@ class GraftReaderFactory(tableSchema: StructType, required: StructType,
       gp.dv.map(d => DeletionVector.read(pfs, new Path(d))).orNull
     val onlyBits: Array[Long] =
       gp.emitOnlyDv.map(d => DeletionVector.read(pfs, new Path(d))).orNull
-    val in = new DataInputStream(new BufferedInputStream(pfs.open(p), 1 << 16))
-    SegmentCodec.readHeader(in, stored.length)
+    val rawIn = new DataInputStream(new BufferedInputStream(pfs.open(p), 1 << 16))
+    val in = SegmentCodec.bodyIn(rawIn, SegmentCodec.readHeader(rawIn, stored.length))
     val batchSize = 4096
     val vectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector] =
       org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -1479,6 +1479,18 @@ object GraftWriteBuilder {
       props.get("bloomBits").map(_.toInt).getOrElse(SegmentBloom.DefaultBits)))
     (bf, bb)
   }
+
+  /** Body compression for a write: an explicit option wins (including
+    * `compress=none`, the off-switch for one write), otherwise the
+    * table's persisted `compress` property applies — every INSERT,
+    * stream epoch, CoW rewrite, MoR insert, and compaction output
+    * inherits the declaration. */
+  def effectiveCompress(m: Option[Manifest], opt: Option[String]): Boolean = {
+    val v = opt.orElse(m.flatMap(_.props.get("compress"))).getOrElse("none")
+    require(v == "none" || v == "deflate",
+      s"compress must be none|deflate, got '$v'")
+    v == "deflate"
+  }
 }
 
 class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
@@ -1516,6 +1528,7 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
     }
     val bloomFor = Option(opts.get("bloomFor"))
       .map(SegmentBloom.parseCols(_, Some(info.schema())))
+    val compressOpt = Option(opts.get("compress"))
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       clusterMode, numPartitions,
       Option(opts.get("maxRowsPerSegment")).map(_.toLong),
@@ -1554,7 +1567,8 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
           val f = e.split("\\|", -1)
           require(f.length == 3, s"malformed expectVisibility entry: $e")
           f(0) -> ((Option(f(1)).filter(_.nonEmpty), f(2).toLong))
-        }.toMap))
+        }.toMap),
+      compressOpt = compressOpt)
   }
 }
 
@@ -1566,7 +1580,8 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     bloomBits: Option[Int] = None,
     replaceSegments: Option[Set[String]] = None,
     applyDvs: Option[Map[String, (String, Long)]] = None,
-    expectVisibility: Option[Map[String, (Option[String], Long)]] = None)
+    expectVisibility: Option[Map[String, (Option[String], Long)]] = None,
+    compressOpt: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -1595,7 +1610,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     mergeSchema = mergeSchema, txn = txn, dataChange = dataChange,
     bloomFor = bloomFor, bloomBits = bloomBits,
     replaceSegments = replaceSegments, applyDvs = applyDvs,
-    expectVisibility = expectVisibility)
+    expectVisibility = expectVisibility, compressOpt = compressOpt)
 
   /** Micro-batch streaming sink: every epoch is one manifest commit
     * carrying a (queryId, epoch) transaction id, so a REPLAYED epoch —
@@ -1644,7 +1659,8 @@ class GraftStreamingWrite(root: String, schema: StructType,
       maxRows.getOrElse(Long.MaxValue),
       physNames = SegmentLog.physicalNames(m, schema),
       bloomFor = ebf, bloomBits = ebb,
-      checks = checks)
+      checks = checks,
+      compress = GraftWriteBuilder.effectiveCompress(m, None))
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)
@@ -1680,7 +1696,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     bloomBits: Option[Int] = None,
     replaceSegments: Option[Set[String]] = None,
     applyDvs: Option[Map[String, (String, Long)]] = None,
-    expectVisibility: Option[Map[String, (Option[String], Long)]] = None)
+    expectVisibility: Option[Map[String, (Option[String], Long)]] = None,
+    compressOpt: Option[String] = None)
     extends BatchWrite {
 
   // the declared layout is persisted with the commit. Hash mode: the
@@ -1716,7 +1733,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
       physNames = SegmentLog.physicalNames(m, schema),
       bloomFor = ebf, bloomBits = ebb,
       checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
-        mf.props, mf.schema, schema)).getOrElse(Nil))
+        mf.props, mf.schema, schema)).getOrElse(Nil),
+      compress = GraftWriteBuilder.effectiveCompress(m, compressOpt))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1809,12 +1827,14 @@ class GraftWriterFactory(root: String, schema: StructType,
     physNames: Seq[String] = Nil,
     bloomFor: Set[String] = Set.empty,
     bloomBits: Int = SegmentBloom.DefaultBits,
-    checks: Seq[SegmentChecks.CheckSpec] = Nil) extends DataWriterFactory {
+    checks: Seq[SegmentChecks.CheckSpec] = Nil,
+    compress: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, conf.value, maxRows,
       bucket = if (labelBuckets) Some(partitionId) else None,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
-      bloomFor = bloomFor, bloomBits = bloomBits, checks = checks)
+      bloomFor = bloomFor, bloomBits = bloomBits, checks = checks,
+      compress = compress)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -1826,7 +1846,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     maxRows: Long, bucket: Option[Int] = None,
     physNames: Seq[String] = Nil,
     bloomFor: Set[String] = Set.empty, bloomBits: Int = SegmentBloom.DefaultBits,
-    checks: Seq[SegmentChecks.CheckSpec] = Nil)
+    checks: Seq[SegmentChecks.CheckSpec] = Nil,
+    compress: Boolean = false)
     extends DataWriter[InternalRow] {
   // CHECK constraints: compiled on the driver, codegen'd here; null
   // when none are declared so the hot loop pays nothing
@@ -1849,8 +1870,17 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
   private def open(): Unit = {
     relPath = s"${SegmentLog.DataDir}/seg-${UUID.randomUUID()}.bin"
     absPath = new Path(s"$root/$relPath")
-    out = new DataOutputStream(new BufferedOutputStream(fs.create(absPath, false), 1 << 16))
-    SegmentCodec.writeHeader(out, schema.length)
+    // the 12-byte header stays raw so readers can dispatch on the
+    // version; with compression the BODY is one deflate stream
+    // (level 1 — the speed point; closing the chain finishes it)
+    val raw = new BufferedOutputStream(fs.create(absPath, false), 1 << 16)
+    val hdr = new DataOutputStream(raw)
+    SegmentCodec.writeHeader(hdr, schema.length, deflate = compress)
+    out =
+      if (compress) new DataOutputStream(new BufferedOutputStream(
+        new java.util.zip.DeflaterOutputStream(raw,
+          new java.util.zip.Deflater(1), 1 << 16), 1 << 16))
+      else hdr
     rows = 0L
     stats = schema.fields.map(f => new SegmentCodec.StatsCollector(f.dataType,
       if (bloomFor.contains(f.name)) bloomBits else 0))
@@ -2037,13 +2067,14 @@ case class GraftDeltaCommitMessage(segments: Seq[SegmentMeta],
 
 class GraftDeltaWriterFactory(root: String, schema: StructType,
     conf: SerializableHadoopConf, physNames: Seq[String],
-    checks: Seq[SegmentChecks.CheckSpec] = Nil)
+    checks: Seq[SegmentChecks.CheckSpec] = Nil,
+    compress: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(new GraftDataWriter(root, schema, conf.value, Long.MaxValue,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
-      checks = checks))
+      checks = checks, compress = compress))
 }
 
 /** Task-side delta writer: deletes and updated-away old versions fold
@@ -2099,7 +2130,8 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
     new GraftDeltaWriterFactory(root, schema, conf,
       SegmentLog.physicalNames(m, schema),
       checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
-        mf.props, mf.schema, schema)).getOrElse(Nil))
+        mf.props, mf.schema, schema)).getOrElse(Nil),
+      compress = GraftWriteBuilder.effectiveCompress(m, None))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2226,7 +2258,8 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
     new GraftWriterFactory(root, schema, conf, Long.MaxValue,
       physNames = SegmentLog.physicalNames(m, schema),
       checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
-        mf.props, mf.schema, schema)).getOrElse(Nil))
+        mf.props, mf.schema, schema)).getOrElse(Nil),
+      compress = GraftWriteBuilder.effectiveCompress(m, None))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

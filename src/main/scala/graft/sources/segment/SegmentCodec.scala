@@ -80,15 +80,41 @@ object SegmentCodec {
         s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
   }
 
-  def writeHeader(out: DataOutputStream, nCols: Int): Unit = {
-    out.writeInt(Magic); out.writeInt(Version); out.writeInt(nCols)
+  /** Header version 2: the body after the 12-byte raw header is one
+    * DEFLATE stream (java.util.zip — level 1, the speed point). Text
+    * tables shrink ~3-4×, which at 100 TB is the difference between
+    * storing (and scanning) 100 TB and 30 TB; the row codec's
+    * sequential-stream discipline (no intra-file seeks by design) is
+    * exactly the access pattern stream compression supports. Opt-in
+    * per write (`option("compress", "deflate")`) or per table
+    * (`TBLPROPERTIES('compress'='deflate')` — every later INSERT,
+    * stream epoch, CoW rewrite, and compaction output inherits it);
+    * readers dispatch on each segment's own header, so mixed tables
+    * read seamlessly. */
+  val VersionDeflate: Int = 2
+
+  def writeHeader(out: DataOutputStream, nCols: Int,
+      deflate: Boolean = false): Unit = {
+    out.writeInt(Magic)
+    out.writeInt(if (deflate) VersionDeflate else Version)
+    out.writeInt(nCols)
   }
 
-  def readHeader(in: DataInputStream, nCols: Int): Unit = {
+  /** Validate the 12-byte header and return the format version (1 =
+    * raw body, 2 = deflate body — wrap with [[bodyIn]]). */
+  def readHeader(in: DataInputStream, nCols: Int): Int = {
     val m = in.readInt(); val v = in.readInt(); val n = in.readInt()
-    require(m == Magic && v == Version && n == nCols,
+    require(m == Magic && (v == Version || v == VersionDeflate) && n == nCols,
       s"bad segment header (magic=$m version=$v cols=$n, expected cols=$nCols)")
+    v
   }
+
+  /** The decode stream for a segment body, given its header version. */
+  def bodyIn(in: DataInputStream, version: Int): DataInputStream =
+    if (version == VersionDeflate)
+      new DataInputStream(new java.io.BufferedInputStream(
+        new java.util.zip.InflaterInputStream(in), 1 << 16))
+    else in
 
   /** Write one value of `dt` at `row(ordinal)` (non-null). `row` is
     * any [[org.apache.spark.sql.catalyst.expressions.SpecializedGetters]]
@@ -584,23 +610,23 @@ object SegmentCodec {
       if (outIdx(c) < 0) null else required(outIdx(c)).dataType)
     private var nextRow: InternalRow = _
     private var done = false
-    readHeader(in, stored.length)
+    private val body = bodyIn(in, readHeader(in, stored.length))
 
     private def advance(): Unit = {
       if (done) return
-      val first = in.read() // marker of column 0, or EOF
+      val first = body.read() // marker of column 0, or EOF
       if (first < 0) { done = true; nextRow = null; return }
       val vals =
         if (template == null) new Array[Any](required.length) else template.clone()
       var c = 0
       while (c < types.length) {
-        val present = if (c == 0) first == 1 else in.readBoolean()
+        val present = if (c == 0) first == 1 else body.readBoolean()
         val o = outIdx(c)
         if (present) {
-          if (o < 0) skip(in, types(c))
-          else if (up(c) == 8) vals(o) = readStructPruned(in,
+          if (o < 0) skip(body, types(c))
+          else if (up(c) == 8) vals(o) = readStructPruned(body,
             types(c).asInstanceOf[StructType], reqT(c).asInstanceOf[StructType])
-          else vals(o) = promote(readValue(in, types(c)), up(c), reqT(c))
+          else vals(o) = promote(readValue(body, types(c)), up(c), reqT(c))
         } // null → vals(o) stays null
         c += 1
       }
@@ -610,7 +636,7 @@ object SegmentCodec {
     advance()
     override def hasNext: Boolean = nextRow != null
     override def next(): InternalRow = { val r = nextRow; advance(); r }
-    override def close(): Unit = in.close()
+    override def close(): Unit = { body.close(); in.close() }
   }
 
   /** True when `dt` has a vectorized decode path ([[readBatch]]).

@@ -3042,6 +3042,78 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.sql(s"SELECT min(st.a) FROM $cat.db.t").head().getLong(0) == 100)
   }
 
+  test("deflate body compression: smaller files, exact reads on every " +
+      "path, per-table declaration inherited by inserts and compaction") {
+    import spark.implicits._
+    val mkDocs = spark.range(0, 2000).selectExpr("id",
+      "concat('the quick brown fox jumps over the lazy dog ', " +
+        "repeat(concat('token', CAST(id % 7 AS STRING), ' '), 40)) AS text",
+      "array(CAST(id AS FLOAT), CAST(id+1 AS FLOAT)) AS vec")
+
+    // write-option face: same rows, raw vs deflate — deflate is
+    // materially smaller and reads back bit-identical (columnar scan)
+    val rawDir = tmp("graft-seg-raw")
+    val defDir = tmp("graft-seg-def")
+    mkDocs.coalesce(2).write.format(Fmt).mode("append").save(rawDir)
+    mkDocs.coalesce(2).write.format(Fmt)
+      .option("compress", "deflate").mode("append").save(defDir)
+    def tableBytes(dir: String): Long = {
+      val f = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+      SegmentLog.read(f, dir).get.segments.map(_.bytes).sum
+    }
+    val (rawB, defB) = (tableBytes(rawDir), tableBytes(defDir))
+    assert(defB * 2 < rawB,
+      s"deflate should at least halve this text table: raw=$rawB deflate=$defB")
+    val a = spark.read.format(Fmt).load(rawDir).orderBy("id").collect()
+    val b = spark.read.format(Fmt).load(defDir).orderBy("id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(spark.read.format(Fmt).load(defDir)
+      .queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "compressed segments read columnar")
+    // zone maps / pruning live in the manifest — untouched by the codec
+    GraftSegmentSource.lastScanEvent = None
+    assert(spark.read.format(Fmt).load(defDir)
+      .filter(col("id") === 5L).count() == 1)
+
+    // table-property face: every later INSERT inherits, mixed tables
+    // (raw then compressed generations) read seamlessly, and an
+    // explicit compress=none write overrides for one bulk load
+    val wh = tmp("graft-segcomp-wh")
+    val cat = s"graft_comp_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='2', 'compress'='deflate')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, repeat('abcdef ', 50) " +
+      "FROM range(0, 1000)")
+    val dir = s"$wh/db/t"
+    val f = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val perRow = tableBytes(dir).toDouble / 1000
+    assert(perRow < 60, s"deflate rows should be far under the ~360 B raw: $perRow")
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.db.t").head()
+      .getLong(1) == (0L until 1000L).sum)
+    // compaction output inherits the declaration
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "k", 1)
+    assert(tableBytes(dir).toDouble / 1000 < 60, "compacted segments stay deflate")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.db.t").head()
+      .getLong(0) == (0L until 1000L).sum)
+    // merge-on-read DELETE over compressed segments: dv filtering
+    // consumes dead rows through the inflater exactly
+    graft.sources.segment.GraftMaintenance.deleteMark(spark, dir,
+      col("k") % 10 === 0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 900)
+
+    // property validation + off-switch
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('compress'='zstd')")
+    }
+    spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('compress'='none')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, 'x' FROM range(5000, 5010)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 910)
+  }
+
   test("DESCRIBE HISTORY exposes the manifest commit wall-clock as commit_ts") {
     val dir = tmp("graft-seg-histts")
     import spark.implicits._
