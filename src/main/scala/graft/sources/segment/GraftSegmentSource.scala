@@ -1882,8 +1882,16 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
           new java.util.zip.Deflater(1), 1 << 16), 1 << 16))
       else hdr
     rows = 0L
-    stats = schema.fields.map(f => new SegmentCodec.StatsCollector(f.dataType,
-      if (bloomFor.contains(f.name)) bloomBits else 0))
+    stats = schema.fields.map { f =>
+      // dotted declarations ("meta.lang") bloom STRUCT FIELDS: the
+      // bare field names route to the column's child collectors
+      val nested = bloomFor.collect {
+        case s if s.startsWith(f.name + ".") => s.substring(f.name.length + 1)
+      }
+      new SegmentCodec.StatsCollector(f.dataType,
+        if (bloomFor.contains(f.name) || nested.nonEmpty) bloomBits else 0,
+        nestedBloomFor = nested)
+    }
   }
 
   private def roll(): Unit = {

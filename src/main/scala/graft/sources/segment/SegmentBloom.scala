@@ -39,8 +39,23 @@ object SegmentBloom {
   def parseCols(csv: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): Set[String] = {
     val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
-    schema.foreach(sc => cols.foreach(c =>
-      require(sc.fieldNames.contains(c), s"bloomFor column $c not in schema")))
+    // dotted names declare blooms on STRUCT FIELDS ("meta.lang") —
+    // the point-lookup complement of the per-field zone maps; an
+    // exact top-level column name always wins the resolution
+    def resolvable(c: String): Boolean =
+      schema.forall { sc =>
+        sc.fieldNames.contains(c) || {
+          val dot = c.indexOf('.')
+          dot > 0 && (sc.fields.find(_.name == c.substring(0, dot))
+            .map(_.dataType) match {
+            case Some(st: org.apache.spark.sql.types.StructType) =>
+              st.fieldNames.contains(c.substring(dot + 1))
+            case _ => false
+          })
+        }
+      }
+    cols.foreach(c => require(resolvable(c),
+      s"bloomFor column $c not in schema (top-level or struct field)"))
     cols
   }
 

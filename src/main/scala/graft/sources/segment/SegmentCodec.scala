@@ -425,19 +425,22 @@ object SegmentCodec {
     * one-sided by construction (false positives only → a kept segment,
     * never a wrongly pruned one). Value hashing must agree with
     * [[SegmentBloom.hashValue]]'s literal-side canonicalization. */
-  final class StatsCollector(dt: DataType, bloomBits: Int = 0) {
+  final class StatsCollector(dt: DataType, bloomBits: Int = 0,
+      nestedBloomFor: Set[String] = Set.empty) {
     private val bloom: Array[Long] =
       if (bloomBits > 0 && SegmentBloom.bloomable(dt)) new Array[Long](bloomBits / 64)
       else null
     // STRUCT columns collect per-FIELD zone maps (one child collector
-    // each, no blooms): Spark pushes nested predicates (`st.a = 5`
-    // arrives as a dotted V1 filter), so typed-metadata fields inside
-    // structs prune segments exactly like top-level columns. A field's
-    // null count includes parent-null rows — `st.a IS NULL` is true
-    // when EITHER is null, so the pruning rules stay exact.
+    // each; blooms for `nestedBloomFor`-declared fields): Spark pushes
+    // nested predicates (`st.a = 5` arrives as a dotted V1 filter), so
+    // typed-metadata fields inside structs prune segments exactly like
+    // top-level columns. A field's null count includes parent-null
+    // rows — `st.a IS NULL` is true when EITHER is null, so the
+    // pruning rules stay exact.
     private val children: Array[(String, StatsCollector)] = dt match {
       case st: StructType =>
-        st.fields.map(f => f.name -> new StatsCollector(f.dataType, 0))
+        st.fields.map(f => f.name -> new StatsCollector(f.dataType,
+          if (nestedBloomFor.contains(f.name)) bloomBits else 0))
       case _ => null
     }
     import StatsCollector.MaxStatString

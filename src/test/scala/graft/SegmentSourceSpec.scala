@@ -3042,6 +3042,33 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.sql(s"SELECT min(st.a) FROM $cat.db.t").head().getLong(0) == 100)
   }
 
+  test("blooms on struct fields: bloomFor='st.b' decides point lookups " +
+      "the layout scatters") {
+    val dir = tmp("graft-seg-nestbloom")
+    // b is SCATTERED relative to the id clustering: every segment's
+    // zone maps cover nearly the full b range, so only the per-field
+    // bloom can prove a point value absent
+    spark.range(0, 1000).selectExpr("id",
+      "named_struct('a', id, 'b', concat('v', CAST((id * 7919) % 1000 AS STRING))) AS st")
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "8")
+      .option("bloomFor", "st.b")
+      .mode("append").save(dir)
+    GraftSegmentSource.lastScanEvent = None
+    val rows = spark.read.format(Fmt).load(dir)
+      .filter(col("st.b") === "v123").collect()
+    assert(rows.length == 1)
+    val (p, t) = GraftSegmentSource.lastScanEvent.get
+    assert(t >= 8 && p * 2 <= t,
+      s"nested bloom should prune scattered point lookups: planned $p of $t")
+    // validation: an unresolvable dotted declaration refuses loudly
+    intercept[Exception] {
+      spark.range(0, 5).selectExpr("id", "named_struct('a', id) AS st")
+        .write.format(Fmt).option("bloomFor", "st.nope")
+        .mode("append").save(tmp("graft-seg-nestbloom-bad"))
+    }
+  }
+
   test("deflate body compression: smaller files, exact reads on every " +
       "path, per-table declaration inherited by inserts and compaction") {
     import spark.implicits._
