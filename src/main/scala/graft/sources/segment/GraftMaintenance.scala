@@ -89,7 +89,22 @@ object GraftMaintenance {
     // direct DATE/TIMESTAMP_NTZ → DOUBLE cast
     def numeric(c: String): org.apache.spark.sql.Column = {
       import org.apache.spark.sql.types._
-      val dt = df.schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+      // one level of struct-field resolution ("meta.width"): z-order a
+      // media table by its typed metadata; col(c) already addresses
+      // nested fields, and the rewritten rows carry fresh per-field
+      // zone maps, so nested predicates prune the z-ordered layout
+      def resolve(name: String): Option[DataType] =
+        df.schema.fields.find(_.name == name).map(_.dataType).orElse {
+          val dot = name.indexOf('.')
+          if (dot <= 0) None
+          else df.schema.fields.find(_.name == name.substring(0, dot))
+            .map(_.dataType) match {
+            case Some(st: StructType) =>
+              st.fields.find(_.name == name.substring(dot + 1)).map(_.dataType)
+            case _ => None
+          }
+        }
+      val dt = resolve(c).getOrElse(
         throw new IllegalArgumentException(s"z-order column $c not in table schema"))
       dt match {
         case DateType => org.apache.spark.sql.functions.unix_date(col(c)).cast("double")

@@ -477,7 +477,8 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
       case _ => return false
     }
     val intFamily = tableSchema.fields.find(_.name == key).map(_.dataType).exists {
-      case IntegerType | LongType | TimestampType | TimestampNTZType | DateType => true
+      case ByteType | ShortType | IntegerType | LongType | TimestampType |
+          TimestampNTZType | DateType => true
       case _ => false
     }
     if (!intFamily) return false

@@ -3042,6 +3042,23 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.sql(s"SELECT min(st.a) FROM $cat.db.t").head().getLong(0) == 100)
   }
 
+  test("z-order by struct fields: nested predicates prune the rewritten layout") {
+    val dir = tmp("graft-seg-nestzorder")
+    spark.range(0, 2000).selectExpr("id",
+      "named_struct('x', CAST(id % 40 AS INT), 'y', CAST((id * 13) % 40 AS INT)) AS m")
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "8")
+      .mode("append").save(dir)
+    graft.sources.segment.GraftMaintenance
+      .compactZOrder(spark, dir, Seq("m.x", "m.y"), numPartitions = 8)
+    GraftSegmentSource.lastScanEvent = None
+    val n = spark.read.format(Fmt).load(dir)
+      .filter(col("m.x").between(0, 9) && col("m.y").between(0, 9)).count()
+    assert(n == (0L until 2000L).count(i => i % 40 < 10 && (i * 13) % 40 < 10))
+    val (p, t) = GraftSegmentSource.lastScanEvent.get
+    assert(p < t, s"z-order on nested fields should prune: planned $p of $t")
+  }
+
   test("blooms on struct fields: bloomFor='st.b' decides point lookups " +
       "the layout scatters") {
     val dir = tmp("graft-seg-nestbloom")
