@@ -3270,6 +3270,27 @@ object SparkEntry {
           element_at(col("tokens"), 1).as("first_token"))
         .orderBy(col("doc_id"))
     }),
+    // EXACT FILTER PUSHDOWN (opt-in `exactFilters=true`, batch-only):
+    // a filter the zone maps DECIDE for every segment is claimed as
+    // fully pushed — no row re-evaluation, and metadata-only
+    // aggregates engage UNDER the filter (LocalScan, zero tasks). At
+    // 100 TB this answers `count(*) WHERE day >= x` on a day-clustered
+    // table from the manifest alone. The certificate uses a predicate
+    // decided independently of shuffle boundaries (all rows match);
+    // the boundary-cut shape is spec-certified
+    "store_segment_exact_meta" -> ((s, d) => withTempDir("graft-segexact") { base =>
+      val dir = s"$base/t"
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").option("exactFilters", "true").load(dir)
+        .filter(col("k") >= 1L)
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    }),
     // BODY COMPRESSION on the native format (header v2 = one deflate
     // stream after the raw 12-byte header): text tables shrink ~3-4×,
     // which at 100 TB is the difference between scanning 100 TB and
@@ -6196,6 +6217,10 @@ object SparkEntry {
     "store_segment_compressed" ->
       ("SELECT doc_id, text, lang, n_chars FROM documents " +
         "WHERE doc_id % 3 = 0 ORDER BY doc_id"),
+
+    "store_segment_exact_meta" ->
+      ("SELECT count(*) AS n, min(o_orderkey) AS min_k, max(o_orderkey) AS max_k " +
+        "FROM orders WHERE o_orderkey >= 1"),
 
     "store_segment_nested" ->
       ("SELECT doc_id, CAST(doc_id % 100 AS TINYINT) AS y, " +

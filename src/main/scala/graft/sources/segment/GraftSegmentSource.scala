@@ -441,12 +441,33 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
     }
   }
 
+  // EXACT filter pushdown (opt-in: `option("exactFilters", "true")`,
+  // batch-only): a filter the zone maps DECIDE for every live segment
+  // (all rows provably match, or provably none do) is claimed as fully
+  // pushed — Spark drops its row-level re-evaluation, planning keeps
+  // exactly the all-match segments, and (filters now fully pushed)
+  // metadata-only aggregates engage UNDER the filter: at 100 TB,
+  // `count(*) WHERE day < x` on a day-clustered table answers from the
+  // manifest with zero tasks. The decision binds to the SAME manifest
+  // snapshot the scan executes against (the lazy val below), so a
+  // concurrent commit cannot un-decide it. Undecided filters stay
+  // residual exactly as before; without the option nothing changes.
+  private var claimedExact: Array[Filter] = Array.empty
+  private val exactOk: Boolean =
+    Option(options.get("exactFilters")).exists(_.toBoolean)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept every filter for segment pruning, return every filter as
-    // residual: Spark keeps row-level evaluation, the source keeps the
-    // freedom to prune only when provable
+    // accept every filter for segment pruning; residual by default
+    // (Spark keeps row-level evaluation, the source keeps the freedom
+    // to prune only when provable)
     pushed = filters
-    filters
+    if (!exactOk) return filters
+    val segs = manifest.map(_.segments).getOrElse(return filters)
+    val (exact, residual) = filters.partition(f => segs.forall(s =>
+      SegmentPruning.allMatch(f, tableSchema, s) ||
+        SegmentPruning.prunes(f, tableSchema, s)))
+    claimedExact = exact
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -523,8 +544,14 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   private def tryPlanAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(StructType, InternalRow)] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    // filters bar metadata answers UNLESS every one was claimed exact —
+    // then the kept (all-match) segments contain ONLY matching rows and
+    // the usual manifest rules apply to that subset verbatim
+    if (pushed.exists(f => !claimedExact.contains(f))) return None
     val segs = manifest.map(_.segments).getOrElse(Nil)
+      .filter(s => claimedExact.forall(f =>
+        SegmentPruning.allMatch(f, tableSchema, s)))
     // deletion vectors: COUNT(*) stays exact via rows − dvRows; every
     // other metadata answer could name a DELETED row's value (the min
     // may be gone, nullCount counts dead nulls) — refuse, scan instead
@@ -639,7 +666,8 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
         },
         maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong).map { n =>
           require(n > 0, s"maxBytesPerTrigger must be positive, got $n"); n
-        })
+        },
+        claimedExact = claimedExact)
   }
 }
 
@@ -661,7 +689,8 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     skipChangeCommits: Boolean = false,
     startTimestamp: Option[Long] = None,
     maxRowsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    claimedExact: Array[Filter] = Array.empty)
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -870,10 +899,18 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
         manifest.map(SegmentLog.markerTypes).getOrElse(Map.empty))
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // exactness was decided against ONE manifest snapshot; a stream
+    // serves segments that did not exist at that decision, so the
+    // claim cannot hold — refuse loudly instead of dropping rows
+    require(claimedExact.isEmpty,
+      "exactFilters=true is a batch-only option (the decision binds to one " +
+        "manifest snapshot; a stream reads future segments) — remove it " +
+        "for readStream")
     new GraftMicroBatchStream(root, tableSchema, required, conf, maxSegmentsPerTrigger,
       pushed, startLatest, skipChangeCommits, startTimestamp, maxRowsPerTrigger,
       maxBytesPerTrigger)
+  }
 }
 
 // not sealed: the change feed's partition type lives in its own file

@@ -3042,6 +3042,81 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.sql(s"SELECT min(st.a) FROM $cat.db.t").head().getLong(0) == 100)
   }
 
+  test("exactFilters: zone-map-decided filters claim full pushdown — " +
+      "metadata-only COUNT under the filter, undecided stay residual, " +
+      "streams refuse") {
+    val dir = tmp("graft-seg-exact")
+    import spark.implicits._
+    // segment-aligned: clusterBy id over [0, 1000) into 10 files
+    spark.range(0, 1000).select(col("id"), (col("id") % 7).as("v"))
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "10")
+      .mode("append").save(dir)
+    val fsx = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val segs = SegmentLog.read(fsx, dir).get.segments
+    // pick a REAL segment boundary so the predicate is decided
+    // everywhere regardless of how the range shuffle split rows
+    val cut = segs.map(_.stats("id").bounds.get._1.toLong).sorted.apply(3)
+    val expected = cut // ids [0, cut)
+
+    val exact = spark.read.format(Fmt).option("exactFilters", "true").load(dir)
+      .filter(col("id") < cut)
+    // the filter is fully pushed: no row-level Filter node survives
+    assert(!exact.queryExecution.executedPlan.toString.contains("Filter ("),
+      "decided filter must not be re-evaluated per row")
+    assert(exact.count() == expected)
+    // metadata-only COUNT under the filter: a LocalScan, zero tasks
+    val cnt = exact.agg(count(lit(1)).as("n"))
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"),
+      s"count under a decided filter must answer from the manifest:\n$plan")
+    assert(cnt.head().getLong(0) == expected)
+    // MIN/MAX under the filter answer from the kept segments' bounds
+    assert(exact.agg(max(col("id"))).head().getLong(0) == cut - 1)
+
+    // an UNDECIDED predicate (v cuts through every segment) stays
+    // residual and row-exact — the option never changes answers
+    val mixed = spark.read.format(Fmt).option("exactFilters", "true").load(dir)
+      .filter(col("v") === 3 && col("id") < cut)
+    assert(mixed.count() == (0L until cut).count(_ % 7 == 3))
+
+    // plain reads (no option) are untouched: filter node present
+    val plainPlan = spark.read.format(Fmt).load(dir)
+      .filter(col("id") < cut).queryExecution.executedPlan.toString
+    assert(plainPlan.contains("Filter"), "without the option nothing changes")
+
+    // STREAMS STAY EXACT under the option: Spark's streaming planner
+    // re-applies the filter per batch (the exactness claim never
+    // reaches the micro-batch scan — and if a future Spark started
+    // honoring it there, GraftScan.toMicroBatchStream refuses as the
+    // backstop). Late segments the batch decision never saw are
+    // filtered row-exactly.
+    val outDir = tmp("graft-seg-exact-out")
+    val ckpt = tmp("graft-seg-exact-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("exactFilters", "true").load(dir)
+        .filter(col("id") < cut)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(outDir).count() == expected)
+    // late arrivals: 50 matching and 50 non-matching rows
+    spark.range(0, 50).select(col("id"), (col("id") % 7).as("v"))
+      .write.format(Fmt).mode("append").save(dir)
+    spark.range(0, 50).select((col("id") + 100000L).as("id"),
+        (col("id") % 7).as("v"))
+      .write.format(Fmt).mode("append").save(dir)
+    drain()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == expected + 50,
+      "late matching rows flow, late non-matching rows are filtered")
+    assert(got.filter(col("id") >= cut).count() == 0, "no unfiltered leak")
+  }
+
   test("z-order by struct fields: nested predicates prune the rewritten layout") {
     val dir = tmp("graft-seg-nestzorder")
     spark.range(0, 2000).selectExpr("id",
