@@ -3270,6 +3270,33 @@ object SparkEntry {
           element_at(col("tokens"), 1).as("first_token"))
         .orderBy(col("doc_id"))
     }),
+    // CLONE (the Delta CLONE shape): shallow = ONE manifest write
+    // referencing the source's files absolutely (a petabyte "copy" in
+    // milliseconds — the dev/test sandbox tier), deep = an
+    // executor-parallel full copy. Both are SNAPSHOT-isolated: the
+    // source is mutated after cloning and the clones must keep
+    // serving the clone-time content (that is what the oracle checks)
+    "store_segment_clone" -> ((s, d) => withTempDir("graft-segclone") { base =>
+      val src = s"$base/src"
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+        .write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "8")
+        .mode("append").save(src)
+      graft.sources.segment.GraftMaintenance.clone(s, src, s"$base/shallow",
+        deep = false)
+      graft.sources.segment.GraftMaintenance.clone(s, src, s"$base/deep",
+        deep = true)
+      // mutate the SOURCE after cloning: deletes must not leak in
+      graft.sources.segment.GraftMaintenance.deleteMark(s, src,
+        col("k") % 2 === 0)
+      s.read.format("graft-segment").load(s"$base/shallow")
+        .select(lit("shallow").as("clone_kind"), col("k"), col("cents"))
+        .unionAll(s.read.format("graft-segment").load(s"$base/deep")
+          .select(lit("deep").as("clone_kind"), col("k"), col("cents")))
+        .orderBy(col("clone_kind"), col("k"))
+    }),
     // EXACT FILTER PUSHDOWN (opt-in `exactFilters=true`, batch-only):
     // a filter the zone maps DECIDE for every segment is claimed as
     // fully pushed — no row re-evaluation, and metadata-only
@@ -6221,6 +6248,14 @@ object SparkEntry {
     "store_segment_exact_meta" ->
       ("SELECT count(*) AS n, min(o_orderkey) AS min_k, max(o_orderkey) AS max_k " +
         "FROM orders WHERE o_orderkey >= 1"),
+
+    "store_segment_clone" ->
+      ("WITH src AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders) " +
+        "SELECT clone_kind, k, cents FROM (" +
+        "SELECT 'shallow' AS clone_kind, k, cents FROM src " +
+        "UNION ALL SELECT 'deep' AS clone_kind, k, cents FROM src) " +
+        "ORDER BY clone_kind, k"),
 
     "store_segment_nested" ->
       ("SELECT doc_id, CAST(doc_id % 100 AS TINYINT) AS y, " +

@@ -565,6 +565,83 @@ object GraftMaintenance {
     }
   }
 
+  /** CLONE a table (the Delta CLONE shape): one new table at `dst`
+    * whose v0 manifest references `src`'s segments at `version`
+    * (default: latest).
+    *
+    *  - `deep = false` — SHALLOW: zero data copied; the manifest
+    *    records ABSOLUTE source paths (segments and deletion vectors),
+    *    which every read path already resolves ([[SegmentLog.abs]]).
+    *    The dev/test-sandbox shape at 100 TB: a full "copy" of a
+    *    petabyte table is one manifest write. Caveat (Delta's own):
+    *    vacuuming or fully rewriting the SOURCE can remove files the
+    *    clone references — shallow clones share the source's
+    *    retention. Writes to the clone land under the CLONE's root
+    *    and never touch the source; a later compact materializes the
+    *    clone fully independent.
+    *  - `deep = true` — full copy, EXECUTOR-PARALLEL (one task per
+    *    file): the clone is immediately independent.
+    *
+    * Stats, blooms, deletion vectors, the declared layout, and the
+    * table properties (checks, compress, rowLevelMode, bloom
+    * declarations) all carry; segment ids are re-assigned by the v0
+    * commit (ids are table-lifetime-scoped). Tables with live column
+    * mapping (rename/drop history) or un-materialized type widenings
+    * are refused with the compact-first recipe — their segment bytes
+    * are only decodable through registries the fresh manifest does
+    * not carry. Returns (segments, rows) cloned. */
+  def clone(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None, deep: Boolean = true): (Int, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val sfs = SegmentLog.fs(src, conf)
+    val latest = SegmentLog.read(sfs, src).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $src"))
+    val base = version.map(v => SegmentLog.readVersion(sfs, src, v)).getOrElse(latest)
+    val dfs = SegmentLog.fs(dst, conf)
+    require(SegmentLog.read(dfs, dst).isEmpty, s"clone target $dst already exists")
+    require(base.physicalOf.isEmpty && base.retiredSchema.fields.isEmpty,
+      s"cannot clone $src: live column mapping (rename/drop history) — " +
+        "compact + CTAS to materialize the logical names first")
+    require(base.segments.forall(s =>
+        SegmentLog.widenOverridesFor(base, base.schema, s.id).isEmpty),
+      s"cannot clone $src: pre-widen segments decode through the type " +
+        "registry the clone would not carry — compact them first")
+    val cloned: Seq[SegmentMeta] =
+      if (!deep) base.segments.map(s => s.copy(
+        path = SegmentLog.abs(src, s.path),
+        dv = s.dv.map(SegmentLog.abs(src, _)),
+        id = -1L))
+      else {
+        // fresh uuid-named targets (a source path may itself be
+        // absolute — a deep clone of a shallow clone), copied one
+        // file per task
+        val sconf = new SerializableHadoopConf(conf)
+        val withTargets = base.segments.map { s =>
+          val segRel = s"${SegmentLog.DataDir}/seg-${java.util.UUID.randomUUID()}.bin"
+          val dvRel = s.dv.map(_ => s"${SegmentLog.DataDir}/${java.util.UUID.randomUUID()}.dv")
+          (s, segRel, dvRel)
+        }
+        val copies = withTargets.flatMap { case (s, segRel, dvRel) =>
+          Seq(SegmentLog.abs(src, s.path) -> segRel) ++
+            s.dv.zip(dvRel).map { case (d, r) => SegmentLog.abs(src, d) -> r }.toSeq
+        }
+        spark.sparkContext.parallelize(copies, math.max(1, copies.size))
+          .foreach { case (from, rel) =>
+            val c = sconf.value
+            val fp = new Path(from)
+            val tp = new Path(s"$dst/$rel")
+            org.apache.hadoop.fs.FileUtil.copy(
+              fp.getFileSystem(c), fp, tp.getFileSystem(c), tp,
+              false, false, c)
+          }
+        withTargets.map { case (s, segRel, dvRel) =>
+          s.copy(path = segRel, dv = dvRel, id = -1L) }
+      }
+    SegmentLog.commit(dfs, dst, base.schema, cloned, truncate = true,
+      bucketing = base.bucketing, props = base.props)
+    (cloned.size, cloned.map(_.liveRows).sum)
+  }
+
   /** Delete manifest versions older than the last `keepLast`. Time
     * travel reaches only retained versions afterwards; run
     * [[SegmentLog.vacuum]] next to drop newly-unreferenced data files.

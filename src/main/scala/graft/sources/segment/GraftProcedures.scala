@@ -244,6 +244,19 @@ object GraftProcedures {
               row(v, UTF8String.fromString(kind), nSeg, nRows,
                 if (ms >= 0L) java.lang.Long.valueOf(ms * 1000L) else null) }
         }
+      case "clone" =>
+        procedure("clone",
+          Seq(param("table", StringType), param("target", StringType),
+            paramDefault("deep", BooleanType, "true")),
+          StructType(Seq(
+            StructField("n_segments", IntegerType, nullable = false),
+            StructField("n_rows", LongType, nullable = false)))) { (spark, in) =>
+          val (n, rows) = GraftMaintenance.clone(spark,
+            tableDir(warehouse, in.getUTF8String(0).toString),
+            tableDir(warehouse, in.getUTF8String(1).toString),
+            deep = in.getBoolean(2))
+          Seq(row(n, rows))
+        }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other (have: ${All.mkString(", ")})")
     }
@@ -252,5 +265,5 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
       "delete_where", "delete_mark", "compact_deletes", "update_mark",
-      "rollback", "rollback_to_timestamp")
+      "rollback", "rollback_to_timestamp", "clone")
 }

@@ -3117,6 +3117,92 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.filter(col("id") >= cut).count() == 0, "no unfiltered leak")
   }
 
+  test("CLONE: shallow is zero-copy and snapshot-isolated, deep survives " +
+      "source vacuum; mapping/widen histories refused") {
+    import graft.sources.segment.GraftMaintenance
+    val base = tmp("graft-clone")
+    val src = s"$base/src"
+    import spark.implicits._
+    spark.range(0, 500).select(col("id"), (col("id") * 3).as("v"))
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("numPartitions", "4")
+      .option("bloomFor", "v")
+      .mode("append").save(src)
+    val conf = spark.sessionState.newHadoopConf()
+
+    // SHALLOW: zero data files under the clone, identical reads
+    val (n1, r1) = GraftMaintenance.clone(spark, src, s"$base/shallow", deep = false)
+    assert(n1 == 4 && r1 == 500)
+    val cfs = SegmentLog.fs(s"$base/shallow", conf)
+    assert(!cfs.exists(new org.apache.hadoop.fs.Path(s"$base/shallow/data")),
+      "a shallow clone writes no data files")
+    assert(spark.read.format(Fmt).load(s"$base/shallow")
+      .agg(sum("v")).head().getLong(0) == (0L until 500L).map(_ * 3).sum)
+
+    // DEEP: fully independent copy
+    val (n2, r2) = GraftMaintenance.clone(spark, src, s"$base/deep", deep = true)
+    assert(n2 == 4 && r2 == 500)
+
+    // snapshot isolation: mutate the SOURCE after cloning — both
+    // clones keep serving the clone-time content
+    GraftMaintenance.deleteMark(spark, src, col("id") % 2 === 0)
+    assert(spark.read.format(Fmt).load(src).count() == 250)
+    assert(spark.read.format(Fmt).load(s"$base/shallow").count() == 500)
+    assert(spark.read.format(Fmt).load(s"$base/deep").count() == 500)
+
+    // blooms carried: a point lookup on the clone prunes
+    GraftSegmentSource.lastScanEvent = None
+    assert(spark.read.format(Fmt).load(s"$base/deep")
+      .filter(col("v") === 300L).count() == 1)
+    val (p, t) = GraftSegmentSource.lastScanEvent.get
+    assert(p < t, s"cloned blooms should prune: $p of $t")
+
+    // deep survives a source truncate + vacuum; shallow (documented
+    // caveat) shares the source's retention
+    spark.range(0, 1).select(col("id"), col("id").as("v"))
+      .write.format(Fmt).mode("overwrite").save(src)
+    val sfs = SegmentLog.fs(src, conf)
+    SegmentLog.vacuum(sfs, src, retentionMs = 0L)
+    assert(spark.read.format(Fmt).load(s"$base/deep").count() == 500,
+      "a deep clone is independent of source retention")
+
+    // refusals: rename/widen histories need a compact first
+    val renamed = s"$base/renamed"
+    spark.range(0, 10).select(col("id"), col("id").as("v"))
+      .write.format(Fmt).mode("append").save(renamed)
+    SegmentLog.renameColumn(SegmentLog.fs(renamed, conf), renamed, "v", "w")
+    intercept[IllegalArgumentException] {
+      GraftMaintenance.clone(spark, renamed, s"$base/renamed-clone")
+    }
+    val widened = s"$base/widened"
+    spark.range(0, 10).selectExpr("id", "CAST(id AS INT) AS n")
+      .write.format(Fmt).mode("append").save(widened)
+    SegmentLog.widenColumn(SegmentLog.fs(widened, conf), widened, "n",
+      org.apache.spark.sql.types.LongType)
+    intercept[IllegalArgumentException] {
+      GraftMaintenance.clone(spark, widened, s"$base/widened-clone")
+    }
+    // target-exists refusal
+    intercept[IllegalArgumentException] {
+      GraftMaintenance.clone(spark, s"$base/deep", s"$base/shallow")
+    }
+
+    // SQL face through the catalog
+    val wh = tmp("graft-clone-wh")
+    val cat = s"graft_clone_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='2')")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT id FROM range(0, 100)")
+    val res = spark.sql(s"CALL $cat.system.clone('db.a', 'db.b', false)").head()
+    assert(res.getInt(0) == 2 && res.getLong(1) == 100L)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.db.b").head().getLong(0) ==
+      (0L until 100L).sum)
+  }
+
   test("z-order by struct fields: nested predicates prune the rewritten layout") {
     val dir = tmp("graft-seg-nestzorder")
     spark.range(0, 2000).selectExpr("id",
