@@ -3310,13 +3310,28 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       col("k") % 10 === 0)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 900)
 
+    // SQL MERGE on a compressed merge-on-read table: the delta
+    // writer's inserted versions inherit the declaration, dv-filtered
+    // reads stay exact through the inflater
+    spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('rowLevelMode'='mor')")
+    spark.sql(s"MERGE INTO $cat.db.t t USING " +
+      "(SELECT id AS k FROM range(0, 50)) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET s = 'merged' " +
+      "WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.k, 'inserted')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE s = 'merged'")
+      .head().getLong(0) == 45, "50 keys minus the 5 dv-deleted multiples of 10... " +
+      "45 live matched rows updated")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE s = 'inserted'")
+      .head().getLong(0) == 5, "dv-deleted keys are NOT MATCHED and re-insert")
+
     // property validation + off-switch
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('compress'='zstd')")
     }
     spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('compress'='none')")
     spark.sql(s"INSERT INTO $cat.db.t SELECT id, 'x' FROM range(5000, 5010)")
-    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 910)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 915,
+      "900 live + 5 merge-inserted + 10 raw-appended")
   }
 
   test("DESCRIBE HISTORY exposes the manifest commit wall-clock as commit_ts") {
