@@ -625,7 +625,10 @@ object GraftMaintenance {
           Seq(SegmentLog.abs(src, s.path) -> segRel) ++
             s.dv.zip(dvRel).map { case (d, r) => SegmentLog.abs(src, d) -> r }.toSeq
         }
-        spark.sparkContext.parallelize(copies, math.max(1, copies.size))
+        // bounded task count: a million-file table copies a batch of
+        // files per task instead of flooding the scheduler
+        spark.sparkContext.parallelize(copies,
+          math.max(1, math.min(copies.size, 1024)))
           .foreach { case (from, rel) =>
             val c = sconf.value
             val fp = new Path(from)
