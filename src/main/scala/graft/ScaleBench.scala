@@ -88,6 +88,10 @@ object ScaleBench {
     // maps + token arrays), which must track table bytes
     "store_segment_mor_bulk", "store_segment_typed",
     "store_segment_compressed",
+    // CLONE must track table bytes (deep copy) with a flat shallow
+    // manifest write inside; exact-meta must stay ~flat (manifest-only)
+    "store_segment_clone", "store_segment_exact_meta",
+    "store_segment_nested",
     // atomic CTAS+RTAS (two staged writes of the table) and the
     // partial-compaction chain (dv mark → materialize dv'd segments →
     // re-cluster one key range) — both must track table bytes
