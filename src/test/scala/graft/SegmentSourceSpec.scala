@@ -3187,6 +3187,17 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       GraftMaintenance.clone(spark, s"$base/deep", s"$base/shallow")
     }
 
+    // a STREAM over a clone is a plain stream over a fresh table
+    // (ids re-assigned at the v0 commit): one AvailableNow pass
+    // delivers the cloned snapshot exactly-once
+    val q = spark.readStream.format(Fmt).load(s"$base/deep")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft-clone-ckpt"))
+      .format("memory").queryName("clone_stream").start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*), sum(v) FROM clone_stream").head()
+      .getLong(0) == 500)
+
     // SQL face through the catalog
     val wh = tmp("graft-clone-wh")
     val cat = s"graft_clone_${System.nanoTime()}"
