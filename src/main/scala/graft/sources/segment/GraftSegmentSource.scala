@@ -1571,6 +1571,9 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       clusterMode, numPartitions,
       Option(opts.get("maxRowsPerSegment")).map(_.toLong),
       info.queryId(),
+      maxBytesSeg = Option(opts.get("maxBytesPerSegment")).map(_.toLong).map { n =>
+        require(n > 0, s"maxBytesPerSegment must be positive, got $n"); n
+      },
       Option(opts.get("mergeSchema")).exists(_.toBoolean),
       txn,
       // dataChange=false (maintenance rewrites only): the commit's
@@ -1612,7 +1615,8 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
 
 class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Seq[String], clusterMode: String, numPartitions: Option[Int],
-    maxRows: Option[Long], queryId: String, mergeSchema: Boolean = false,
+    maxRows: Option[Long], queryId: String,
+    maxBytesSeg: Option[Long] = None, mergeSchema: Boolean = false,
     txn: Option[(String, Long)] = None, dataChange: Boolean = true,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
@@ -1644,6 +1648,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
 
   override def toBatch: BatchWrite = new GraftBatchWrite(root, schema, truncateFirst,
     new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()), maxRows,
+    maxBytesSeg = maxBytesSeg,
     clusterBy = clusterBy, clusterMode = clusterMode,
     mergeSchema = mergeSchema, txn = txn, dataChange = dataChange,
     bloomFor = bloomFor, bloomBits = bloomBits,
@@ -1659,12 +1664,13 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     require(!truncateFirst, "graft-segment streaming sink is append-only")
     new GraftStreamingWrite(root, schema,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      maxRows, queryId)
+      maxRows, queryId, maxBytesSeg = maxBytesSeg)
   }
 }
 
 class GraftStreamingWrite(root: String, schema: StructType,
-    conf: SerializableHadoopConf, maxRows: Option[Long], queryId: String)
+    conf: SerializableHadoopConf, maxRows: Option[Long], queryId: String,
+    maxBytesSeg: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   // compiled-constraint cache across epochs: the factory is rebuilt
@@ -1698,7 +1704,8 @@ class GraftStreamingWrite(root: String, schema: StructType,
       physNames = SegmentLog.physicalNames(m, schema),
       bloomFor = ebf, bloomBits = ebb,
       checks = checks,
-      compress = GraftWriteBuilder.effectiveCompress(m, None))
+      compress = GraftWriteBuilder.effectiveCompress(m, None),
+      maxBytes = maxBytesSeg.getOrElse(Long.MaxValue))
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)
@@ -1726,7 +1733,8 @@ case class GraftCommitMessage(segments: Seq[SegmentMeta]) extends WriterCommitMe
 
 class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     conf: SerializableHadoopConf, maxRows: Option[Long],
-    clusterBy: Seq[String], clusterMode: String,
+    maxBytesSeg: Option[Long] = None,
+    clusterBy: Seq[String] = Nil, clusterMode: String = "range",
     mergeSchema: Boolean = false,
     txn: Option[(String, Long)] = None,
     dataChange: Boolean = true,
@@ -1772,7 +1780,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
       bloomFor = ebf, bloomBits = ebb,
       checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
         mf.props, mf.schema, schema)).getOrElse(Nil),
-      compress = GraftWriteBuilder.effectiveCompress(m, compressOpt))
+      compress = GraftWriteBuilder.effectiveCompress(m, compressOpt),
+      maxBytes = maxBytesSeg.getOrElse(Long.MaxValue))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1866,13 +1875,14 @@ class GraftWriterFactory(root: String, schema: StructType,
     bloomFor: Set[String] = Set.empty,
     bloomBits: Int = SegmentBloom.DefaultBits,
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
-    compress: Boolean = false) extends DataWriterFactory {
+    compress: Boolean = false,
+    maxBytes: Long = Long.MaxValue) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, conf.value, maxRows,
       bucket = if (labelBuckets) Some(partitionId) else None,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
       bloomFor = bloomFor, bloomBits = bloomBits, checks = checks,
-      compress = compress)
+      compress = compress, maxBytes = maxBytes)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -1885,7 +1895,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     physNames: Seq[String] = Nil,
     bloomFor: Set[String] = Set.empty, bloomBits: Int = SegmentBloom.DefaultBits,
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
-    compress: Boolean = false)
+    compress: Boolean = false,
+    maxBytes: Long = Long.MaxValue)
     extends DataWriter[InternalRow] {
   // CHECK constraints: compiled on the driver, codegen'd here; null
   // when none are declared so the hot loop pays nothing
@@ -1964,7 +1975,11 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
       c += 1
     }
     rows += 1L
-    if (rows >= maxRows) roll()
+    // rolling by BYTES is the scale knob row counts misfire on (wide
+    // rows, blob columns): segments are the unit of parallelism AND of
+    // skipping, so their size should be declared, not an accident of
+    // row width. size() counts logical (pre-compression) bytes.
+    if (rows >= maxRows || out.size() >= maxBytes) roll()
   }
 
   override def commit(): WriterCommitMessage = {

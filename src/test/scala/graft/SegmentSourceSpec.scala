@@ -3117,6 +3117,28 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.filter(col("id") >= cut).count() == 0, "no unfiltered leak")
   }
 
+  test("maxBytesPerSegment rolls segments by size: wide rows cannot " +
+      "inflate the unit of parallelism") {
+    val dir = tmp("graft-seg-maxbytes")
+    // ~370 B/row logical: a 16 KiB cap rolls every ~44 rows
+    spark.range(0, 500).selectExpr("id", "repeat('x', 360) AS s")
+      .coalesce(1).write.format(Fmt)
+      .option("maxBytesPerSegment", (16 * 1024).toString)
+      .mode("append").save(dir)
+    val f = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(f, dir).get
+    assert(m.segments.size >= 8,
+      s"500 wide rows over a 16 KiB cap must roll, got ${m.segments.size} segments")
+    assert(m.segments.forall(_.bytes <= 20 * 1024),
+      "no segment materially over the cap")
+    assert(m.segments.map(_.rows).sum == 500)
+    assert(spark.read.format(Fmt).load(dir).count() == 500)
+    intercept[Exception] {
+      spark.range(0, 5).toDF("id").write.format(Fmt)
+        .option("maxBytesPerSegment", "0").mode("append").save(dir)
+    }
+  }
+
   test("CLONE: shallow is zero-copy and snapshot-isolated, deep survives " +
       "source vacuum; mapping/widen histories refused") {
     import graft.sources.segment.GraftMaintenance
