@@ -154,7 +154,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val checkProps = properties.asScala.toMap
       .filter { case (k, _) => k.startsWith(SegmentChecks.Prefix) }
     val props = Seq("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
-      "compress")
+      "compress", "autoCompactSegments", "autoCompactBytes")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++ checkProps
     props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
     props.get("bloomBits").foreach(b => require(
@@ -167,6 +167,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       s"morRewriteThreshold must be a fraction in (0, 1], got '$v'"))
     props.get("compress").foreach(v => require(Set("none", "deflate").contains(v),
       s"compress must be none|deflate, got '$v'"))
+    props.get("autoCompactSegments").foreach(v => require(
+      scala.util.Try(v.toInt).toOption.exists(_ >= 2),
+      s"autoCompactSegments must be an integer >= 2, got '$v'"))
+    props.get("autoCompactBytes").foreach(v => require(
+      scala.util.Try(v.toLong).toOption.exists(_ > 0),
+      s"autoCompactBytes must be a positive byte count, got '$v'"))
     SegmentChecks.declared(checkProps).foreach { case (n, sql) =>
       SegmentChecks.requireAnalyzable(SparkSession.active, schema, n, sql) }
     (bucketing, props)
@@ -279,9 +285,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case sp: TableChange.SetProperty =>
         require(sp.property().startsWith(SegmentChecks.Prefix) ||
             Set("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
-              "compress").contains(sp.property()),
+              "compress", "autoCompactSegments", "autoCompactBytes")
+              .contains(sp.property()),
           s"only bloomFor/bloomBits/rowLevelMode/morRewriteThreshold/" +
-            s"compress/check.<name> are settable, got ${sp.property()}")
+            s"compress/autoCompactSegments/autoCompactBytes/check.<name> " +
+            s"are settable, got ${sp.property()}")
         if (sp.property().startsWith(SegmentChecks.Prefix)) {
           // ADD CONSTRAINT: the expression must analyze (checked first,
           // so a malformed declaration gets the constraint error, not a
@@ -311,6 +319,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
             case "compress" =>
               require(Set("none", "deflate").contains(sp.value()),
                 s"compress must be none|deflate, got '${sp.value()}'")
+            case "autoCompactSegments" =>
+              require(scala.util.Try(sp.value().toInt).toOption.exists(_ >= 2),
+                s"autoCompactSegments must be an integer >= 2, got '${sp.value()}'")
+            case "autoCompactBytes" =>
+              require(scala.util.Try(sp.value().toLong).toOption.exists(_ > 0),
+                s"autoCompactBytes must be a positive byte count, got '${sp.value()}'")
             case check if check.startsWith(SegmentChecks.Prefix) =>
               SegmentChecks.requireAnalyzable(SparkSession.active, m.schema,
                 check.substring(SegmentChecks.Prefix.length), sp.value())

@@ -159,7 +159,7 @@ object GraftMaintenance {
     * full clustered [[compact]] to restore it. Returns (segments
     * rewritten, segments written). */
   def compactSegments(spark: SparkSession, dir: String,
-      rawTargets: Seq[String]): (Int, Int) = {
+      rawTargets: Seq[String], coalesceTo: Option[Int] = None): (Int, Int) = {
     // dedup up front: a duplicated path would otherwise fail the
     // liveness check below with an EMPTY "not live" list (the
     // visibility map has one entry per distinct path)
@@ -181,11 +181,14 @@ object GraftMaintenance {
     // `_segment` planning filter prunes the scan to exactly the
     // targeted files — nothing else is opened
     val abs = targets.map(SegmentLog.abs(dir, _))
-    spark.read.format(Fmt)
+    val scan = spark.read.format(Fmt)
       .option("versionAsOf", m.version.toString)
       .load(dir)
       .filter(org.apache.spark.sql.functions
         .col(GraftSegmentTable.SegmentCol).isin(abs: _*))
+    // coalesceTo: merge small inputs into fewer outputs (autoCompact);
+    // default keeps per-segment rewrite granularity (dv materialization)
+    coalesceTo.map(n => scan.coalesce(math.max(1, n))).getOrElse(scan)
       .write.format(Fmt)
       .option("replaceSegments", targets.mkString(","))
       .option("expectVisibility", encodeVisibility(expect))
@@ -562,6 +565,40 @@ object GraftMaintenance {
       }
       prev = Some(m)
       (v, kind, m.segments.size, m.segments.map(_.liveRows).sum, m.ts)
+    }
+  }
+
+  /** Opt-in AUTO-COMPACTION (the Delta autoCompact shape): declared
+    * per table as `TBLPROPERTIES('autoCompactSegments'='n')` (+
+    * optional `autoCompactBytes`, default 16 MiB) — after an append
+    * commit, once `n` or more live dv-free segments are smaller than
+    * the byte threshold, they are rewritten into fewer segments in one
+    * best-effort `dataChange=false` commit (stream-invisible, like any
+    * compaction). Small-file hygiene enforced by construction instead
+    * of a cron job: a micro-batch sink cannot fragment a table
+    * unboundedly. Declared-layout tables are skipped (a partial
+    * rewrite cannot prove the global range/bucket invariant — use the
+    * full `compact`). */
+  def autoCompact(spark: SparkSession, dir: String): Unit = {
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    SegmentLog.read(fs, dir).foreach { m =>
+      val minSegs = m.props.get("autoCompactSegments") match {
+        case Some(v) => v.toInt
+        case None => return
+      }
+      if (m.bucketing.isDefined) return
+      val smallBytes = m.props.get("autoCompactBytes")
+        .map(_.toLong).getOrElse(16L * 1024 * 1024)
+      val small = m.segments.filter(s => s.bytes < smallBytes && s.dv.isEmpty)
+      if (small.size >= minSegs) {
+        // outputs sized to the threshold: ceil(total/smallBytes)
+        val outs = math.max(1,
+          ((small.map(_.bytes).sum + smallBytes - 1) / smallBytes).toInt)
+        // best-effort: a rival commit racing the rewrite merely
+        // postpones the cleanup to the next append
+        try compactSegments(spark, dir, small.map(_.path), Some(outs))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 

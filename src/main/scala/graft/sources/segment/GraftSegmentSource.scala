@@ -1717,6 +1717,10 @@ class GraftStreamingWrite(root: String, schema: StructType,
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     SegmentLog.commit(SegmentLog.fs(root, conf.value), root, nullable, segs,
       truncate = false, txn = Some((queryId, epochId)))
+    // the micro-batch sink is the classic small-file producer: the
+    // declared hygiene threshold compacts between epochs
+    // (dataChange=false — invisible to downstream streams)
+    GraftMaintenance.autoCompact(SparkSession.active, root)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1855,6 +1859,10 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
         SegmentLog.commit(fs, root, nullable, segs,
           truncateFirst, txn = txn, bucketing = bucketSpec, mergeSchema = mergeSchema,
           dataChange = dataChange)
+        // declared small-file hygiene (autoCompactSegments): plain
+        // appends trigger it; the replace/applyDvs arms above ARE
+        // maintenance and never re-enter
+        GraftMaintenance.autoCompact(SparkSession.active, root)
     }
   }
 

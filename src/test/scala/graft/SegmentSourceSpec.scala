@@ -3117,6 +3117,69 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.filter(col("id") >= cut).count() == 0, "no unfiltered leak")
   }
 
+  test("autoCompactSegments: declared small-file hygiene compacts after " +
+      "appends and stream epochs; layout tables and undeclared skip") {
+    val wh = tmp("graft-autocompact-wh")
+    val cat = s"graft_ac_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
+      "TBLPROPERTIES ('autoCompactSegments'='4')")
+    val dir = s"$wh/db/t"
+    val f = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    // 8 tiny single-partition appends: every time 4+ small segments
+    // accumulate, the post-commit hygiene folds them
+    (0 until 8).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.db.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val m = SegmentLog.read(f, dir).get
+    assert(m.segments.size < 4,
+      s"8 appends must stay folded below the threshold, got ${m.segments.size}")
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.db.t").head()
+      .getLong(1) == (0L until 80L).sum)
+    // the folds are dataChange=false: a stream over the table sees
+    // every row exactly once
+    val q = spark.readStream.format(Fmt).load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft-ac-ckpt"))
+      .format("memory").queryName("ac_stream").start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM ac_stream").head().getLong(0) == 80)
+
+    // the streaming SINK gets the same hygiene between epochs
+    val src = tmp("graft-ac-src")
+    import spark.implicits._
+    (0L until 12L).toDF("k").repartition(12).write.format(Fmt)
+      .mode("append").save(src)
+    spark.sql(s"CREATE TABLE $cat.db.sink (k BIGINT) " +
+      "TBLPROPERTIES ('autoCompactSegments'='4')")
+    val q2 = spark.readStream.format(Fmt)
+      .option("maxSegmentsPerTrigger", "2").load(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft-ac-ckpt2"))
+      .format(Fmt).option("path", s"$wh/db/sink").start()
+    q2.awaitTermination()
+    val mSink = SegmentLog.read(f, s"$wh/db/sink").get
+    assert(mSink.segments.size < 4,
+      s"epoch commits must stay folded, got ${mSink.segments.size}")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.db.sink").head().getLong(0) ==
+      (0L until 12L).sum)
+
+    // a declared-layout table skips (a partial rewrite cannot prove
+    // the range invariant) and an undeclared table is untouched
+    spark.sql(s"CREATE TABLE $cat.db.layout (k BIGINT) TBLPROPERTIES " +
+      "('clusterBy'='k', 'numPartitions'='2', 'autoCompactSegments'='2')")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.db.layout SELECT id FROM range(${i * 5}, ${i * 5 + 5})"))
+    assert(SegmentLog.read(f, s"$wh/db/layout").get.segments.size >= 4,
+      "layout tables are never partially rewritten by hygiene")
+    // property validation
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('autoCompactSegments'='1')")
+    }
+  }
+
   test("maxBytesPerSegment rolls segments by size: wide rows cannot " +
       "inflate the unit of parallelism") {
     val dir = tmp("graft-seg-maxbytes")
