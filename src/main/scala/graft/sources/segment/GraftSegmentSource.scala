@@ -1673,6 +1673,11 @@ class GraftStreamingWrite(root: String, schema: StructType,
     maxBytesSeg: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
+  // whether the table declares autoCompactSegments, refreshed at each
+  // epoch's factory build — epoch commits then skip the hygiene log
+  // read entirely for the common undeclared table
+  @volatile private var autoCompactDeclared = false
+
   // compiled-constraint cache across epochs: the factory is rebuilt
   // per micro-batch, but each constraint's analyzer pass is driver
   // work a sub-second-trigger stream should pay only when the
@@ -1686,6 +1691,7 @@ class GraftStreamingWrite(root: String, schema: StructType,
     // only the serializable GraftWriterFactory value, never an $outer
     // reference to this (non-serializable) StreamingWrite
     val m = SegmentLog.read(SegmentLog.fs(root, conf.value), root)
+    autoCompactDeclared = m.exists(_.props.contains("autoCompactSegments"))
     val (ebf, ebb) = GraftWriteBuilder.effectiveBloom(m, None, None)
     val checks = m.map { mf =>
       val declaredNow = mf.props.filter(_._1.startsWith(SegmentChecks.Prefix))
@@ -1719,8 +1725,10 @@ class GraftStreamingWrite(root: String, schema: StructType,
       truncate = false, txn = Some((queryId, epochId)))
     // the micro-batch sink is the classic small-file producer: the
     // declared hygiene threshold compacts between epochs
-    // (dataChange=false — invisible to downstream streams)
-    GraftMaintenance.autoCompact(SparkSession.active, root)
+    // (dataChange=false — invisible to downstream streams); skipped
+    // without a declaration, so undeclared sinks pay nothing
+    if (autoCompactDeclared)
+      GraftMaintenance.autoCompact(SparkSession.active, root)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1861,8 +1869,12 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
           dataChange = dataChange)
         // declared small-file hygiene (autoCompactSegments): plain
         // appends trigger it; the replace/applyDvs arms above ARE
-        // maintenance and never re-enter
-        GraftMaintenance.autoCompact(SparkSession.active, root)
+        // maintenance and never re-enter. Gated on the PLANNED
+        // manifest's props so the common undeclared table pays no
+        // extra log read per commit.
+        if (planned != null &&
+            planned.exists(_.props.contains("autoCompactSegments")))
+          GraftMaintenance.autoCompact(SparkSession.active, root)
     }
   }
 
