@@ -116,12 +116,14 @@ object GraftProcedures {
         procedure("vacuum",
           Seq(param("table", StringType),
             paramDefault("retention_ms", LongType,
-              SegmentLog.DefaultVacuumRetentionMs.toString)),
+              SegmentLog.DefaultVacuumRetentionMs.toString),
+            paramDefault("dry_run", BooleanType, "false")),
           StructType(Seq(StructField("files_removed", IntegerType, nullable = false)))) {
           (spark, in) =>
             val dir = tableDir(warehouse, in.getUTF8String(0).toString)
             Seq(row(SegmentLog.vacuum(
-              SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir, in.getLong(1))))
+              SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir,
+              in.getLong(1), dryRun = in.getBoolean(2))))
         }
       case "update_mark" =>
         procedure("update_mark",

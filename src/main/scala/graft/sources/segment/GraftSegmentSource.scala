@@ -402,7 +402,19 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
       case (None, Some(t)) =>
         Some(SegmentLog.versionAtTimestamp(fs, root, t.toLong).toString)
     }
-    (versionAsOf, Option(options.get("sinceVersion"))) match {
+    // `sinceTimestamp` is the wall-clock face of sinceVersion: the
+    // increment after the newest version committed at or before t —
+    // symmetric with timestampAsOf / startingTimestamp
+    val sinceVersion = (Option(options.get("sinceVersion")),
+        Option(options.get("sinceTimestamp"))) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "sinceVersion and sinceTimestamp are exclusive")
+      case (v, None) => v
+      case (None, Some(t)) =>
+        Some(SegmentLog.versionAtTimestamp(fs, root, t.toLong).toString)
+    }
+    (versionAsOf, sinceVersion) match {
       case (Some(_), Some(_)) =>
         throw new IllegalArgumentException("versionAsOf and sinceVersion are exclusive")
       case (Some(v), None) =>

@@ -1248,7 +1248,8 @@ object SegmentLog {
     * only. `retentionMs = 0` (tests, or a table with provably no
     * in-flight writers) disables the in-flight-write guard. */
   def vacuum(fs: FileSystem, root: String,
-      retentionMs: Long = DefaultVacuumRetentionMs): Int = {
+      retentionMs: Long = DefaultVacuumRetentionMs,
+      dryRun: Boolean = false): Int = {
     val dataDir = new Path(root, DataDir)
     if (!fs.exists(dataDir)) return 0
     val referenced: Set[String] = liveVersions(fs, root)
@@ -1265,7 +1266,10 @@ object SegmentLog {
     fs.listStatus(dataDir).foreach { st =>
       val rel = s"$DataDir/${st.getPath.getName}"
       if (!referenced.contains(rel) && st.getModificationTime < cutoff) {
-        fs.delete(st.getPath, false); n += 1
+        // dryRun COUNTS the candidates without deleting — the operator
+        // preview before an irreversible reclaim
+        if (!dryRun) fs.delete(st.getPath, false)
+        n += 1
       }
     }
     n

@@ -3117,6 +3117,35 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.filter(col("id") >= cut).count() == 0, "no unfiltered leak")
   }
 
+  test("sinceTimestamp batch increments and vacuum dry_run") {
+    val dir = tmp("graft-seg-sincets")
+    import spark.implicits._
+    (0L until 10L).toDF("id").write.format(Fmt).mode("append").save(dir) // v0
+    val f = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val t0 = SegmentLog.read(f, dir).get.ts
+    (10L until 25L).toDF("id").write.format(Fmt).mode("append").save(dir) // v1
+    // the wall-clock face of sinceVersion: rows committed AFTER the
+    // version bound at t0
+    val inc = spark.read.format(Fmt)
+      .option("sinceTimestamp", t0.toString).load(dir)
+    assert(inc.select("id").as[Long].collect().sorted.toSeq == (10L until 25L))
+    intercept[Exception] {
+      spark.read.format(Fmt).option("sinceTimestamp", t0.toString)
+        .option("sinceVersion", "0").load(dir).count()
+    }
+
+    // vacuum dry_run: counts reclaimable files without deleting
+    spark.range(0, 5).toDF("id").write.format(Fmt).mode("overwrite").save(dir) // v2 truncate
+    graft.sources.segment.GraftMaintenance.expire(spark, dir, keepLast = 1)
+    val before = f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data")).length
+    val wouldRemove = SegmentLog.vacuum(f, dir, retentionMs = 0L, dryRun = true)
+    assert(wouldRemove > 0, "the truncated generation is reclaimable")
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data")).length == before,
+      "dry run deletes nothing")
+    assert(SegmentLog.vacuum(f, dir, retentionMs = 0L) == wouldRemove,
+      "the real pass removes exactly the previewed count")
+  }
+
   test("autoCompactSegments: declared small-file hygiene compacts after " +
       "appends and stream epochs; layout tables and undeclared skip") {
     val wh = tmp("graft-autocompact-wh")
