@@ -3449,6 +3449,16 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE s = 'inserted'")
       .head().getLong(0) == 5, "dv-deleted keys are NOT MATCHED and re-insert")
 
+    // the STREAMING source reads deflate segments through the same
+    // factory: one AvailableNow pass over the dv'd, merged table
+    val qs = spark.readStream.format(Fmt).load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft-segcomp-ckpt"))
+      .format("memory").queryName("comp_stream").start()
+    qs.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM comp_stream").head().getLong(0) ==
+      spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0))
+
     // property validation + off-switch
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('compress'='zstd')")
