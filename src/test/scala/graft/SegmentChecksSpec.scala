@@ -187,6 +187,25 @@ class SegmentChecksSpec extends SparkSpec {
     assert(messageChain(e).contains("does not analyze"))
   }
 
+  test("constraints over struct fields gate writes like any predicate") {
+    val (cat, _) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.t " +
+      "(k BIGINT, meta STRUCT<w: INT, lang: STRING>) " +
+      "TBLPROPERTIES ('check.w_pos' = 'meta.w > 0')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, " +
+      "named_struct('w', CAST(id + 1 AS INT), 'lang', 'en') FROM range(0, 20)")
+    // a violating struct field fails the whole write atomically
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (99, named_struct('w', -1, 'lang', 'de'))")
+    }
+    assert(messageChain(e).contains("w_pos"))
+    // NULL struct (and NULL field) pass — SQL CHECK semantics
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (100, NULL)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES " +
+      "(101, named_struct('w', CAST(NULL AS INT), 'lang', 'fr'))")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 22)
+  }
+
   test("constraints survive the log: visible in SHOW TBLPROPERTIES, restored by rollback") {
     val (cat, wh) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT)") // v0
