@@ -27,6 +27,22 @@ class SegmentDefaultsSpec extends SparkSpec {
     wh
   }
 
+  test("defaults on the round-12 types: tinyint/smallint/binary/decimal constants fill") {
+    warehouse // force the catalog registration
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gd.db")
+    spark.sql("CREATE TABLE gd.db.newtypes (k BIGINT, " +
+      "y TINYINT DEFAULT 7, w SMALLINT DEFAULT 300, " +
+      "m DECIMAL(12,2) DEFAULT 9.75, b BINARY DEFAULT X'CAFE')")
+    spark.sql("INSERT INTO gd.db.newtypes (k) VALUES (1), (2)")
+    // ADD COLUMN with a default: old rows read the folded constant
+    spark.sql("ALTER TABLE gd.db.newtypes ADD COLUMN y2 SMALLINT DEFAULT 12")
+    val r = spark.sql("SELECT y, w, m, b, y2 FROM gd.db.newtypes WHERE k = 1").head()
+    assert(r.getByte(0) == 7.toByte && r.getShort(1) == 300.toShort)
+    assert(r.getDecimal(2) == new java.math.BigDecimal("9.75"))
+    assert(r.getAs[Array[Byte]](3).toSeq == Seq(0xCA.toByte, 0xFE.toByte))
+    assert(r.getShort(4) == 12.toShort)
+  }
+
   test("CREATE TABLE defaults: analyzer fills omitted columns and the DEFAULT keyword") {
     warehouse
     spark.sql("CREATE TABLE gd.db.c1 (k BIGINT, status STRING DEFAULT 'PENDING', " +
