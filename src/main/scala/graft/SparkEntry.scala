@@ -3238,9 +3238,14 @@ object SparkEntry {
         "CAST('123456789012345000.25' AS DECIMAL(20,2)) + " +
         "CAST(o_orderkey % 1000 AS DECIMAL(20,2)) " +
         "FROM graft_widen_orders WHERE o_orderkey % 2 = 1")
-      // the filter's BIGINT literal prunes int-written zone maps
-      s.sql(s"SELECT k, qty, price, ratio, money FROM $cat.db.t " +
-        "WHERE qty >= 10 ORDER BY k")
+      // the filter's BIGINT literal prunes int-written zone maps.
+      // money stays DECIMAL(20,2) IN the table (that's what exercises
+      // the big-integer codec arm) but is string-canonicalized in the
+      // OUTPUT: >18-digit decimals are byte-array-backed and the
+      // driver's hash canonicalization diverges on them (r12 lesson;
+      // see the oracle-authoring rules above oracleSql)
+      s.sql(s"SELECT k, qty, price, ratio, CAST(money AS STRING) AS money " +
+        s"FROM $cat.db.t WHERE qty >= 10 ORDER BY k")
     }),
     // the FULL TYPE SURFACE on the native format: BINARY (the
     // multimodal blob column — bytes round-trip through the segment
@@ -5313,6 +5318,25 @@ object SparkEntry {
         "FROM psc2b QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) <= 10 " +
         "ORDER BY q_id, rank"
 
+  /** ORACLE-AUTHORING RULES — the driver sorts columns by NAME and
+   *  HASHES values; a query that is value-exact locally can still go
+   *  red at the driver. These traps have each fired at least once:
+   *
+   *  1. NO DECIMAL OUTPUT COLUMNS, any precision. <=18 digits has
+   *     passed so far but >18 (byte-array-backed decimal128) is
+   *     PROVEN hash-unstable (rel_decimal_exact r7, store_segment_widen
+   *     r12). Emit exact scaled BIGINT (cents) when the magnitude fits
+   *     a Long, else CAST(... AS STRING) on BOTH sides. Storing
+   *     decimals in tables is fine — only the final projection matters.
+   *  2. DuckDB sum(INT/BIGINT) returns HUGEINT — CAST(... AS BIGINT)
+   *     in the oracle SQL to match Spark's LongType.
+   *  3. Total ORDER BY on a unique key on BOTH sides — ties in the
+   *     sort key make row order (and thus the hash) nondeterministic.
+   *  4. Identical column aliases both sides: alias every computed
+   *     column in the Spark query (.as("x") / AS x) AND the oracle.
+   *  5. Avoid FLOAT outputs where an expression reorders between
+   *     engines; DOUBLE computed the same way on both sides is fine.
+   */
   def oracleSql: Map[String, String] = Map(
     "ingest_parse_validate" ->
       ("SELECT event_id, user_id, event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
@@ -6229,10 +6253,10 @@ object SparkEntry {
       ("SELECT o_orderkey AS k, CAST(o_orderkey % 50 AS BIGINT) AS qty, " +
         "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price, " +
         "CAST(o_orderkey % 7 AS DOUBLE) AS ratio, " +
-        "CASE WHEN o_orderkey % 2 = 0 " +
+        "CAST(CASE WHEN o_orderkey % 2 = 0 " +
         "THEN CAST(o_orderkey % 1000 + 0.25 AS DECIMAL(20,2)) " +
         "ELSE CAST(123456789012345000.25 + (o_orderkey % 1000) AS DECIMAL(20,2)) " +
-        "END AS money " +
+        "END AS VARCHAR) AS money " +
         "FROM orders WHERE o_orderkey % 50 >= 10 ORDER BY k"),
 
     "store_segment_mor_bulk" ->

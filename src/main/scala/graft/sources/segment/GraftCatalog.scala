@@ -337,7 +337,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         s"graft-segment supports RENAME/DROP/ADD COLUMN, ALTER COLUMN " +
           s"TYPE (widening), ALTER COLUMN SET/DROP DEFAULT, and SET/UNSET " +
           s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode|" +
-          s"morRewriteThreshold|check.<name>) only, " +
+          s"morRewriteThreshold|compress|autoCompactSegments|" +
+          s"autoCompactBytes|check.<name>) only, " +
           s"got $other")
     }
     // every surviving CHECK constraint must still analyze against the

@@ -597,7 +597,13 @@ object GraftMaintenance {
         // best-effort: a rival commit racing the rewrite merely
         // postpones the cleanup to the next append
         try compactSegments(spark, dir, small.map(_.path), Some(outs))
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          // best-effort but visible: repeated auto-compaction failures
+          // would otherwise silently leave the small-segment pileup
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft-segment: auto-compaction failed under $dir for " +
+              s"${small.size} small segments; retried on the next append", e)
+        }
       }
     }
   }

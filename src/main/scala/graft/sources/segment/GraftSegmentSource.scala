@@ -1943,6 +1943,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
   private val done = Seq.newBuilder[SegmentMeta]
 
   private var out: DataOutputStream = _
+  private var counter: GraftDataWriter.CountingOutputStream = _
+  private var deflater: java.util.zip.Deflater = _
   private var relPath: String = _
   private var absPath: Path = _
   private var rows = 0L
@@ -1957,11 +1959,19 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     val raw = new BufferedOutputStream(fs.create(absPath, false), 1 << 16)
     val hdr = new DataOutputStream(raw)
     SegmentCodec.writeHeader(hdr, schema.length, deflate = compress)
-    out =
-      if (compress) new DataOutputStream(new BufferedOutputStream(
-        new java.util.zip.DeflaterOutputStream(raw,
-          new java.util.zip.Deflater(1), 1 << 16), 1 << 16))
-      else hdr
+    // a user-supplied Deflater is NOT end()ed by the stream's close(),
+    // so the writer owns its lifecycle (native zlib memory otherwise
+    // lingers until GC on executors writing many segments)
+    deflater = if (compress) new java.util.zip.Deflater(1) else null
+    val body: java.io.OutputStream =
+      if (compress) new BufferedOutputStream(
+        new java.util.zip.DeflaterOutputStream(raw, deflater, 1 << 16), 1 << 16)
+      else raw
+    // logical-byte roll decisions need a Long counter: DataOutputStream
+    // .size() is an int that saturates at 2 GiB, which would silently
+    // disable any maxBytesPerSegment above that
+    counter = new GraftDataWriter.CountingOutputStream(body)
+    out = new DataOutputStream(counter)
     rows = 0L
     stats = schema.fields.map { f =>
       // dotted declarations ("meta.lang") bloom STRUCT FIELDS: the
@@ -1975,8 +1985,12 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     }
   }
 
+  private def endDeflater(): Unit =
+    if (deflater != null) { deflater.end(); deflater = null }
+
   private def roll(): Unit = {
     out.close()
+    endDeflater()
     val bytes = fs.getFileStatus(absPath).getLen
     done += SegmentMeta(relPath, rows, bytes,
       colNames.zip(stats).flatMap { case (n, c) =>
@@ -2011,7 +2025,7 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     // rows, blob columns): segments are the unit of parallelism AND of
     // skipping, so their size should be declared, not an accident of
     // row width. size() counts logical (pre-compression) bytes.
-    if (rows >= maxRows || out.size() >= maxBytes) roll()
+    if (rows >= maxRows || counter.count >= maxBytes) roll()
   }
 
   override def commit(): WriterCommitMessage = {
@@ -2020,11 +2034,29 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
   }
 
   override def abort(): Unit = {
-    if (out != null) { out.close(); fs.delete(absPath, false) }
+    if (out != null) { out.close(); endDeflater(); fs.delete(absPath, false) }
     done.result().foreach(s => fs.delete(new Path(s"$root/${s.path}"), false))
   }
 
-  override def close(): Unit = if (out != null) { out.close(); out = null }
+  override def close(): Unit =
+    if (out != null) { out.close(); endDeflater(); out = null }
+}
+
+private[segment] object GraftDataWriter {
+  /** Long-counting pass-through: roll-by-bytes must survive segments
+    * past 2 GiB of logical bytes, where DataOutputStream's int
+    * counter saturates. Counts bytes PRE-compression (above the
+    * deflater), matching the declared maxBytesPerSegment semantics. */
+  final class CountingOutputStream(os: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { os.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      os.write(b, off, len); count += len
+    }
+    override def flush(): Unit = os.flush()
+    override def close(): Unit = os.close()
+  }
 }
 
 /** Group-based (copy-on-write) row-level operation: UPDATE / MERGE /
@@ -2320,7 +2352,15 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
       // DML on the segment or a manual compactDeletes
       try GraftMaintenance.compactSegments(
         SparkSession.active, root, pastThreshold)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // still best-effort, but VISIBLY so: a persistently failing
+        // rewrite (permissions, corrupt segment) must not silently
+        // accumulate read amplification past the declared threshold
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft-segment: morRewriteThreshold purge failed under $root " +
+            s"for segments [${pastThreshold.mkString(", ")}]; read " +
+            "amplification persists until the next DML or compactDeletes", e)
+      }
     }
   }
 
