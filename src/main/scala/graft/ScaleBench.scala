@@ -95,7 +95,11 @@ object ScaleBench {
     // atomic CTAS+RTAS (two staged writes of the table) and the
     // partial-compaction chain (dv mark → materialize dv'd segments →
     // re-cluster one key range) — both must track table bytes
-    "store_segment_ctas", "store_segment_compact_where")
+    "store_segment_ctas", "store_segment_compact_where",
+    // round-13: array<struct> items — the collect/sort/store/re-derive
+    // chain must track lineitem rows (one shuffle on l_orderkey, then
+    // table-linear encode/decode)
+    "store_segment_items")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -3255,6 +3255,35 @@ object SparkEntry {
     // child-vector decode, same as the embeddings arrays). At 100 TB
     // these are the three columns an LLM training-data table adds to
     // the relational core: raw media bytes, exact accounting, tokens
+    // ARRAY<STRUCT> on the native format — the reference's own order
+    // items[] shape (README.md:269-274; array of (product_id,
+    // quantity) records per src/ingest_order/app.py:85-90) and every
+    // per-doc span/annotation list in an LLM pipeline. Items are
+    // collected per order, element-sorted for determinism, stored on
+    // the format, then re-derived: the closed-form oracle recomputes
+    // size / lexicographic-first element / quantity total straight
+    // from lineitem, so any corruption of element bytes, order, or
+    // per-field presence markers shows up in the aggregates
+    "store_segment_items" -> ((s, d) => withTempDir("graft-segitems") { base =>
+      val dir = s"$base/t"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"),
+          col("l_partkey").as("product_id"),
+          col("l_quantity").cast("int").as("quantity"))
+        .groupBy("k")
+        .agg(array_sort(collect_list(
+          struct(col("product_id"), col("quantity")))).as("items"))
+        .write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .select(col("k"),
+          size(col("items")).as("n_items"),
+          col("items")(0).getField("product_id").cast("long").as("first_pid"),
+          expr("CAST(aggregate(items, 0L, (acc, x) -> acc + x.quantity) AS BIGINT)")
+            .as("total_qty"))
+        .orderBy("k")
+    }),
     "store_segment_typed" -> ((s, d) => withTempDir("graft-segtyped") { base =>
       val dir = s"$base/t"
       Tables.documents(s, d).select(
@@ -6258,6 +6287,15 @@ object SparkEntry {
         "ELSE CAST(123456789012345000.25 + (o_orderkey % 1000) AS DECIMAL(20,2)) " +
         "END AS VARCHAR) AS money " +
         "FROM orders WHERE o_orderkey % 50 >= 10 ORDER BY k"),
+
+    // items[0].product_id after array_sort = the lexicographic-first
+    // struct's product_id = min(l_partkey) per order (product_id is
+    // the leading sort field)
+    "store_segment_items" ->
+      ("SELECT l_orderkey AS k, CAST(count(*) AS INT) AS n_items, " +
+        "CAST(min(l_partkey) AS BIGINT) AS first_pid, " +
+        "CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty " +
+        "FROM lineitem GROUP BY l_orderkey ORDER BY k"),
 
     "store_segment_mor_bulk" ->
       ("SELECT o_orderkey AS k, " +

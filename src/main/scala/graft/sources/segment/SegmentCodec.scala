@@ -36,9 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes — the multimodal blob column), Decimal (unscaled long for
   * precision ≤ 18, length-prefixed unscaled big-integer bytes above —
   * the exact-money column), Timestamp (stored as epoch micros), Date
-  * (stored as epoch days), and arrays of Int/Long/Float/Double/String
-  * (embeddings and tokenized text). Everything the driver test tables
-  * use, plus the format's own multimodal and money stories.
+  * (stored as epoch days), arrays of Int/Long/Float/Double/String
+  * (embeddings and tokenized text), structs/maps of atomics, and
+  * arrays of structs of atomics (order item lists, per-doc span
+  * annotations). Everything the driver test tables use, plus the
+  * format's own multimodal and money stories.
   */
 object SegmentCodec {
   val Magic: Int = 0x47524654 // "GRFT"
@@ -62,11 +64,14 @@ object SegmentCodec {
   def supported(dt: DataType): Boolean = dt match {
     case t if atomic(t) => true
     case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
-    // ONE level of nesting: struct fields and map keys/values are
-    // atomic (metadata records, tag→weight maps — the multimodal
-    // sidecar shapes); deeper nesting is refused loudly
+    // ONE level of nesting: struct fields, map keys/values, and array
+    // STRUCT elements are atomic (metadata records, tag→weight maps,
+    // per-order item lists / per-doc span annotations — the reference's
+    // own items[] shape); deeper nesting is refused loudly
     case StructType(fields) => fields.nonEmpty && fields.forall(f => atomic(f.dataType))
     case MapType(k, v, _) => atomic(k) && atomic(v)
+    case ArrayType(st: StructType, _) =>
+      st.fields.nonEmpty && st.fields.forall(f => atomic(f.dataType))
     case _ => false
   }
 
@@ -75,8 +80,8 @@ object SegmentCodec {
     require(bad.isEmpty,
       s"graft-segment supports the atomic types (Byte/Short/Int/Long/Double/" +
         s"Float/Boolean/String/Binary/Decimal/Timestamp/Date), arrays of " +
-        s"Int/Long/Float/Double/String, structs of atomics, and maps of " +
-        s"atomics; unsupported: " +
+        s"Int/Long/Float/Double/String, structs of atomics, maps of " +
+        s"atomics, and arrays of structs of atomics; unsupported: " +
         s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
   }
 
@@ -198,6 +203,12 @@ object SegmentCodec {
           if (arr.isNullAt(i)) nullElement(i)
           val b = arr.getUTF8String(i).getBytes
           out.writeInt(b.length); out.write(b); i += 1 }
+        // struct elements recurse through the struct arm (ArrayData is
+        // a SpecializedGetters): per element, field presence bytes +
+        // values. Elements themselves stay densely non-null like every
+        // other element type — one discipline for the whole format.
+        case st: StructType => while (i < n) {
+          if (arr.isNullAt(i)) nullElement(i); writeValue(out, st, arr, i); i += 1 }
         case other => throw new IllegalArgumentException(s"unsupported array element $other")
       }
     case other => throw new IllegalArgumentException(s"unsupported type $other")
@@ -230,6 +241,12 @@ object SegmentCodec {
     // without materializing, the same discipline as top-level pruning
     case (s: StructType, r: StructType)
         if isPrunedStruct(s, r) => 8
+    // 9 = nested pruning THROUGH an array: `SELECT items.quantity`
+    // plans array<struct<quantity>> over a stored array<struct<...>>
+    // (Spark's GetArrayStructFields + nested schema pruning); unneeded
+    // element fields skip per element, same discipline as code 8
+    case (ArrayType(s: StructType, a), ArrayType(r: StructType, b))
+        if a == b && isPrunedStruct(s, r) => 9
     case _ => throw new IllegalArgumentException(
       s"cannot decode a ${stored.simpleString} column as ${required.simpleString}")
   }
@@ -278,6 +295,7 @@ object SegmentCodec {
       }
     case 8 => v // pruned structs project at decode ([[readStructPruned]]
                 // — skipped fields never materialize); nothing to promote
+    case 9 => v // likewise per array element ([[readArrayStructPruned]])
   }
 
   /** Decode a stored struct keeping only the `required` fields (an
@@ -297,6 +315,17 @@ object SegmentCodec {
       si += 1
     }
     new GenericInternalRow(vals)
+  }
+
+  /** Decode a stored array<struct> keeping only the `required` element
+    * fields (an order-preserving subset — [[upcast]] code 9). */
+  def readArrayStructPruned(in: DataInputStream, stored: StructType,
+      required: StructType): GenericArrayData = {
+    val n = in.readInt()
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) { vals(i) = readStructPruned(in, stored, required); i += 1 }
+    new GenericArrayData(vals)
   }
 
   /** Read one non-null value of `dt` as the catalyst-internal value. */
@@ -354,6 +383,7 @@ object SegmentCodec {
         case StringType => while (i < n) {
           val m = in.readInt(); val b = new Array[Byte](m); in.readFully(b)
           vals(i) = UTF8String.fromBytes(b); i += 1 }
+        case st: StructType => while (i < n) { vals(i) = readValue(in, st); i += 1 }
         case other => throw new IllegalArgumentException(s"unsupported array element $other")
       }
       new GenericArrayData(vals)
@@ -387,6 +417,10 @@ object SegmentCodec {
       val n = in.readInt()
       var i = 0
       while (i < n) { val m = in.readInt(); skipFully(in, m); i += 1 }
+    case ArrayType(st: StructType, _) =>
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { skip(in, st); i += 1 }
     case ArrayType(et, _) =>
       val n = in.readInt()
       val w = et match {
@@ -629,6 +663,9 @@ object SegmentCodec {
           if (o < 0) skip(body, types(c))
           else if (up(c) == 8) vals(o) = readStructPruned(body,
             types(c).asInstanceOf[StructType], reqT(c).asInstanceOf[StructType])
+          else if (up(c) == 9) vals(o) = readArrayStructPruned(body,
+            types(c).asInstanceOf[ArrayType].elementType.asInstanceOf[StructType],
+            reqT(c).asInstanceOf[ArrayType].elementType.asInstanceOf[StructType])
           else vals(o) = promote(readValue(body, types(c)), up(c), reqT(c))
         } // null → vals(o) stays null
         c += 1
