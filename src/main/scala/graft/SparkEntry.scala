@@ -3264,6 +3264,32 @@ object SparkEntry {
     // size / lexicographic-first element / quantity total straight
     // from lineitem, so any corruption of element bytes, order, or
     // per-field presence markers shows up in the aggregates
+    // VARIANT on the native format: the semi-structured props column
+    // parses ONCE (parse_json, map-only), lands on the format as the
+    // binary (value, metadata) pair it already is — no schema
+    // inference, no zone maps (sound default) — and probes by path
+    // straight off the segment bytes without re-tokenizing text. The
+    // probes and oracle are the events_props_variant shape, so this
+    // certificate isolates exactly the storage hop
+    "store_segment_variant" -> ((s, d) => withTempDir("graft-segvar") { base =>
+      val dir = s"$base/t"
+      val j = concat(lit("{\"orig\": "), col("props"),
+        lit(", \"tag\": \"t"), (col("event_id") % 3).cast("string"),
+        lit("\", \"arr\": ["), (col("event_id") % 5).cast("string"),
+        lit(","), (col("event_id") % 7).cast("string"), lit("]}"))
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(j).as("v"))
+        .write.format("graft-segment")
+        .option("clusterBy", "event_id").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .select(col("event_id"),
+          variant_get(col("v"), "$.orig.k", "bigint").as("k"),
+          variant_get(col("v"), "$.tag", "string").as("tag"),
+          variant_get(col("v"), "$.arr[1]", "bigint").as("arr1"),
+          coalesce(try_variant_get(col("v"), "$.missing", "bigint"), lit(-1L)).as("missing"))
+        .orderBy(col("event_id"))
+    }),
     "store_segment_items" -> ((s, d) => withTempDir("graft-segitems") { base =>
       val dir = s"$base/t"
       Tables.lineitem(s, d)
@@ -6287,6 +6313,18 @@ object SparkEntry {
         "ELSE CAST(123456789012345000.25 + (o_orderkey % 1000) AS DECIMAL(20,2)) " +
         "END AS VARCHAR) AS money " +
         "FROM orders WHERE o_orderkey % 50 >= 10 ORDER BY k"),
+
+    // the storage hop is transparent: same replay as the parquet-side
+    // variant certificate
+    "store_segment_variant" ->
+      ("WITH j AS (SELECT event_id, '{\"orig\": ' || props || ', \"tag\": \"t' || " +
+        "(event_id % 3) || '\", \"arr\": [' || (event_id % 5) || ',' || (event_id % 7) || ']}' AS js " +
+        "FROM events) " +
+        "SELECT event_id, CAST(json_extract(js, '$.orig.k') AS BIGINT) AS k, " +
+        "json_extract_string(js, '$.tag') AS tag, " +
+        "CAST(json_extract(js, '$.arr[1]') AS BIGINT) AS arr1, " +
+        "CAST(-1 AS BIGINT) AS missing " +
+        "FROM j ORDER BY event_id"),
 
     // items[0].product_id after array_sort = the lexicographic-first
     // struct's product_id = min(l_partkey) per order (product_id is

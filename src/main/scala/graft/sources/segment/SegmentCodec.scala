@@ -72,6 +72,13 @@ object SegmentCodec {
     case MapType(k, v, _) => atomic(k) && atomic(v)
     case ArrayType(st: StructType, _) =>
       st.fields.nonEmpty && st.fields.forall(f => atomic(f.dataType))
+    // Spark 4 Variant stores as the (value, metadata) binary pair it
+    // already is — semi-structured props/sidecar columns land on the
+    // format without a schema-inference pass. TOP-LEVEL columns only
+    // (not an `atomic`: variant inside struct/array/map stays refused);
+    // no zone maps or blooms (the sound binary-like default), no
+    // DEFAULT, no widening, row reader only.
+    case VariantType => true
     case _ => false
   }
 
@@ -81,7 +88,8 @@ object SegmentCodec {
       s"graft-segment supports the atomic types (Byte/Short/Int/Long/Double/" +
         s"Float/Boolean/String/Binary/Decimal/Timestamp/Date), arrays of " +
         s"Int/Long/Float/Double/String, structs of atomics, maps of " +
-        s"atomics, and arrays of structs of atomics; unsupported: " +
+        s"atomics, arrays of structs of atomics, and top-level Variant " +
+        s"columns; unsupported: " +
         s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
   }
 
@@ -142,6 +150,11 @@ object SegmentCodec {
     case BinaryType =>
       val b = row.getBinary(ordinal)
       out.writeInt(b.length); out.write(b)
+    case VariantType =>
+      val vv = row.getVariant(ordinal)
+      val v = vv.getValue; val m = vv.getMetadata
+      out.writeInt(v.length); out.write(v)
+      out.writeInt(m.length); out.write(m)
     case d: DecimalType =>
       val dec = row.getDecimal(ordinal, d.precision, d.scale)
       if (d.precision <= MaxCompactDecimal) out.writeLong(dec.toUnscaledLong)
@@ -363,6 +376,10 @@ object SegmentCodec {
     case BinaryType =>
       val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
       b
+    case VariantType =>
+      val nv = in.readInt(); val v = new Array[Byte](nv); in.readFully(v)
+      val nm = in.readInt(); val m = new Array[Byte](nm); in.readFully(m)
+      new org.apache.spark.unsafe.types.VariantVal(v, m)
     case d: DecimalType =>
       if (d.precision <= MaxCompactDecimal)
         Decimal(in.readLong(), d.precision, d.scale)
@@ -398,6 +415,9 @@ object SegmentCodec {
     case BooleanType | ByteType => skipFully(in, 1)
     case ShortType => skipFully(in, 2)
     case StringType | BinaryType => val n = in.readInt(); skipFully(in, n)
+    case VariantType =>
+      val nv = in.readInt(); skipFully(in, nv)
+      val nm = in.readInt(); skipFully(in, nm)
     case d: DecimalType =>
       if (d.precision <= MaxCompactDecimal) skipFully(in, 8)
       else { val n = in.readInt(); skipFully(in, n) }
