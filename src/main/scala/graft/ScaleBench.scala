@@ -26,6 +26,7 @@ object ScaleBench {
   private val heavyTail = Seq(
     "dedup_components", "dedup_minhash_verified", "dedup_minhash_buckets",
     "dedup_jaccard_pairs", "dedup_containment_pairs", "dedup_semantic",
+    "dedup_prefix_pairs", "dedup_banding_tradeoff",
     "dedup_exact_groups", "dedup_simhash",
     "text_dup_span_fraction", "text_ngram_decontam", "text_tfidf",
     "text_bm25_topk", "text_quality_filter", "text_shard_assignments",
