@@ -718,6 +718,11 @@ object SegmentCodec {
     case MapType(k, v, _) =>
       def appendable(t: DataType): Boolean = atomic(t) && !t.isInstanceOf[DecimalType]
       appendable(k) && appendable(v)
+    // array<struct> elements appendStruct into the element vector and
+    // the fields append into ITS children in lockstep (the map-arm
+    // discipline) — decimal fields take the row reader like maps
+    case ArrayType(st: StructType, _) =>
+      st.fields.forall(f => atomic(f.dataType) && !f.dataType.isInstanceOf[DecimalType])
     case _ => false
   }
 
@@ -877,6 +882,32 @@ object SegmentCodec {
                       val m = in.readInt(); val b = new Array[Byte](m)
                       in.readFully(b)
                       child.appendByteArray(b, 0, m); i += 1
+                    }
+                  case st: StructType =>
+                    // each element appendStructs into the element
+                    // vector, then its fields append into the element
+                    // vector's children in lockstep; the element
+                    // vector follows the REQUIRED (possibly
+                    // nested-pruned — upcast code 9) struct, so
+                    // stored-only fields skip without materializing
+                    val req = required(o).dataType.asInstanceOf[ArrayType]
+                      .elementType.asInstanceOf[StructType]
+                    while (i < n) {
+                      child.appendStruct(false)
+                      var si = 0
+                      var ri = 0
+                      while (si < st.length) {
+                        val present = in.readBoolean()
+                        if (ri < req.length && st(si).name == req(ri).name) {
+                          val fc = child.getChild(ri)
+                            .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+                          if (present) appendAtomic(in, st.fields(si).dataType, fc)
+                          else fc.appendNull()
+                          ri += 1
+                        } else if (present) skip(in, st.fields(si).dataType)
+                        si += 1
+                      }
+                      i += 1
                     }
                   case other =>
                     throw new IllegalArgumentException(s"not vectorizable: array<$other>")

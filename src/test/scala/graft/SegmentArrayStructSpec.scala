@@ -102,8 +102,15 @@ class SegmentArrayStructSpec extends SparkSpec {
   test("SQL over the pruned shape: items.quantity on the format matches the source") {
     val dir = tmp("graft-arrst-prune")
     ordersDf.write.format(Fmt).mode("append").save(dir)
-    val got = spark.read.format(Fmt).load(dir)
-      .select(col("k"), col("items.quantity").as("qs")).orderBy("k").collect()
+    val df = spark.read.format(Fmt).load(dir)
+      .select(col("k"), col("items.quantity").as("qs")).orderBy("k")
+    val got = df.collect()
+    // non-decimal element fields keep the COLUMNAR path (elements
+    // appendStruct + lockstep field appends); decimal fields would
+    // route to the row reader via the vectorizable gate. Assert on
+    // the FINAL plan (AQE renders ColumnarToRow only post-execution)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "array<struct> of appendable atomics must read columnar")
     val want = ordersDf.select(col("k"), col("items.quantity").as("qs"))
       .orderBy("k").collect()
     assert(got.toSeq == want.toSeq)
