@@ -31,6 +31,7 @@ object ScaleBench {
     "text_dup_span_fraction", "text_ngram_decontam", "text_tfidf",
     "text_bm25_topk", "text_quality_filter", "text_shard_assignments",
     "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ivf_topk", "emb_ivfpq_topk",
+    "emb_knn_bucketed", // r13: the O(N^1.5) kNN-graph build (times the BUILD, uncached)
     "emb_cosine_topk_segment", // r11: vectorized array decode on the segment route
     "emb_pagerank", "emb_graph_clustering", "text_hybrid_rrf",
     // the completed TPC-H suite's fact-heavy tail: lineitem/orders are

@@ -2318,6 +2318,20 @@ object SparkEntry {
       graft.ops.Ivf.topK(idx, cents, embQueries(s, d), 10, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // the 100 TB kNN-GRAPH path: the exact all-pairs 5-NN edge frame
+    // (knnEdgesFor) is a CERTIFICATION artifact — O(N²) by definition
+    // (×100 exponent measured in BENCH_NOTES r13); production graphs
+    // build edges from IVF buckets instead: every vector routes to its
+    // 2 nearest centroids, candidates come from a per-bucket
+    // equi-join, top-5 per source — ~nprobe·N²/nc pair evaluations,
+    // O(N^1.5) with nc ∝ √N. Same (src, dst, w) contract, certified
+    // exactly on its own bucketed definition; the spec pins recall vs
+    // the exact frame
+    "emb_knn_bucketed" -> ((s, d) =>
+      graft.ops.PageRank.knnEdgesBucketed(Tables.embeddings(s, d),
+        k = 5, nc = 8, iters = 2, nprobe = 2)
+        .select(col("src"), col("dst"), round(col("w"), 4).as("w"))
+        .orderBy(col("src"), col("dst"))),
     // the IVF knob sweep as certified data (the banding-tradeoff
     // pattern applied to nprobe): recall-vs-truth at nprobe 1/2/4
     // against the same trained index — monotone recall, paid in probed
@@ -7582,6 +7596,20 @@ object SparkEntry {
         "FROM r JOIN a2 USING (centroid_id) WHERE vec_id <> q_id) " +
         "SELECT q_id, vec_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank " +
         "FROM sc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 10 ORDER BY q_id, rank"),
+    // every vector routes to its 2 nearest final centroids, candidates
+    // share a probed bucket with the candidate's OWN assignment (a2),
+    // top-5 per source on raw cosine (vec_id tiebreak), weight
+    // (1+cos)/2 rounded at output only
+    "emb_knn_bucketed" ->
+      (s"WITH $ivfSql, " +
+        "kr AS (SELECT q_id, qe, centroid_id FROM (SELECT v.vec_id AS q_id, v.ve AS qe, c1.centroid_id, " +
+        s"${cosSql("v.ve", "ce")} AS csim FROM v CROSS JOIN c1) " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, centroid_id) <= 2), " +
+        s"ksc AS (SELECT q_id, vec_id, ${cosSql("qe", "ve")} AS cs FROM kr JOIN a2 USING (centroid_id) WHERE vec_id <> q_id), " +
+        "ktop AS (SELECT q_id, vec_id, cs FROM ksc QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) <= 5) " +
+        "SELECT q_id AS src, vec_id AS dst, round((1 + cs) / 2, 4) AS w " +
+        "FROM ktop ORDER BY src, dst"),
+
     // three nprobe arms over the SAME trained index (r{np} = routed
     // centroids, s{np} = bucket-restricted top-5), recall counted
     // against the a2-corpus brute force

@@ -215,6 +215,39 @@ object PageRank {
   def knnEdges(corpus: DataFrame, k: Int): DataFrame =
     knnEdgesWeighted(corpus, k).select(col("src"), col("dst"))
 
+  /** IVF-BUCKETED kNN edges — the 100 TB path beside the exact
+    * all-pairs build below. The corpus is Lloyd-clustered into `nc`
+    * buckets ([[graft.ops.Ivf.index]] — deterministic seed, float-
+    * quantized centroids), each vector probes its `nprobe` nearest
+    * centroids, and candidates come from a per-bucket EQUI-JOIN
+    * (probed bucket × assigned bucket) — never a cross join. Cost is
+    * ~nprobe·N²/nc pair evaluations: with nc ∝ √N that is O(N^1.5),
+    * versus the exact build's O(N²) (measured at ×100 in
+    * docs/BENCH_NOTES.md round 13 — the exact build is a
+    * CERTIFICATION artifact for the graph-query oracles at test SF,
+    * not the production path). Recall loss is the usual IVF boundary
+    * effect; the spec pins recall vs the exact frame on the test
+    * corpus, and nprobe is the recall/cost knob. Same (src, dst, w)
+    * contract as [[knnEdgesWeighted]], selection through the same
+    * k-bounded partial aggregate. */
+  def knnEdgesBucketed(corpus: DataFrame, k: Int, nc: Int,
+      iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val (assigned, centroids) = graft.ops.Ivf.index(corpus, nc, iters)
+    val probes = graft.ops.Ivf.route(centroids,
+      corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), nprobe)
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        struct(
+          negate(graft.functions.VectorExpressions.cosineNative(col("q_emb"), col("embedding"))).as("ns"),
+          col("vec_id").as("v")).as("cand"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.topKSmallest(col("cand"), k).as("tk"))
+      .select(col("q_id").as("src"), explode(col("tk")).as("e"))
+      .select(col("src"), col("e.v").as("dst"),
+        ((lit(1.0) + negate(col("e.ns"))) / lit(2.0)).as("w"))
+  }
+
   /** [[knnEdges]] keeping a strictly positive edge weight for
     * [[weightedRanks]]: `w = (1 + cosine)/2` ∈ (0, 1] maps the raw
     * (bit-identical) similarity into random-walk-safe mass — cosine

@@ -2088,4 +2088,29 @@ class OpsSpec extends SparkSpec {
     assert(n("near_dup") === (eIds.size - nIds.size).toLong)
     assert(n("contaminated") === (nIds.size - fIds.size).toLong)
   }
+
+  test("bucketed kNN edges: high recall vs the exact frame at a fraction of the pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = graft.ops.PageRank.knnEdgesWeighted(emb, 5)
+      .select(col("src"), col("dst"))
+    val nExact = exact.count()
+    val nVec = emb.count()
+    def recallAt(np: Int): Double = {
+      val b = graft.ops.PageRank.knnEdgesBucketed(emb, 5,
+        nc = 8, iters = 2, nprobe = np).select(col("src"), col("dst"))
+      assert(b.count() == nVec * 5, "every source still gets k edges")
+      exact.intersect(b).count().toDouble / nExact
+    }
+    // nprobe is THE recall/cost knob: scanning nprobe/nc of the corpus
+    // per query must buy monotone recall, and on this (deliberately
+    // diffuse) synthetic corpus the recall should at least track the
+    // scan fraction with a locality premium. Bounds are loose on
+    // purpose — they pin the knob's shape, not a constant hostage to
+    // testdata regeneration.
+    val r2 = recallAt(2)
+    val r4 = recallAt(4)
+    assert(r4 >= r2, s"recall must be monotone in nprobe ($r2 -> $r4)")
+    assert(r2 >= 0.3, s"nprobe=2 recall $r2 below 0.3")
+    assert(r4 >= 0.55, s"nprobe=4 recall $r4 below 0.55")
+  }
 }
