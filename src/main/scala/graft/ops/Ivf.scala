@@ -33,16 +33,30 @@ object Ivf {
       .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid"))
 
   /** Assign every vector to its nearest centroid (max cosine, tiebreak
-    * lowest centroid id). */
+    * lowest centroid id).
+    *
+    * argmax as a HASH AGGREGATE, not a row_number window: the window
+    * formulation shuffles and sorts all N×nc candidate rows (each
+    * dragging the embedding array along); max_by's partial aggregate
+    * reduces each partition to one candidate per vector map-side, so the
+    * exchange moves N rows. Ordering is window-identical: maximizing
+    * `(sim, -centroid_id)` ≡ `sim DESC, centroid_id ASC` (int negation
+    * exact; struct comparison field-ordered), and a NaN sim ranks
+    * GREATEST exactly as the window's DESC NaN-first did — bit-for-bit
+    * the same assignment the DuckDB oracle's row_number replays. */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id"))
-    corpus
+    // the aggregate stays SKINNY — (vec_id, sim, centroid_id) only;
+    // dragging the embedding through the agg state measured ~2× slower
+    // at nc=224 — and the winner's embedding joins back afterwards
+    // (one N-row hash join vs an N×nc-row sort)
+    val best = corpus
       .join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cos(col("embedding"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(col("vec_id"),
+        cos(col("embedding"), col("centroid")).as("sim"), col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("sim"), negate(col("centroid_id")))).as("centroid_id"))
+    corpus.join(best, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 
