@@ -48,15 +48,23 @@ object Pq {
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sub").as("centroid"))
 
   /** Assign every (vec, subspace) to its nearest codebook entry
-    * (argmax cosine, code tiebreak) — the encode step. */
+    * (argmax cosine, code tiebreak) — the encode step.
+    *
+    * argmax as a skinny max_by hash aggregate (the Ivf.assign
+    * discipline): the window formulation shuffles and sorts all
+    * N×nSub×k candidate rows with the sub-vectors attached; the
+    * partial aggregate reduces map-side and the winner's sub-vector
+    * joins back. Ordering window-identical — maximizing
+    * `(sim, -code)` ≡ `sim DESC, code ASC`, NaN ranks greatest in
+    * both formulations — so the DuckDB row_number replay still
+    * matches bit-for-bit. */
   def assignCodes(subs: DataFrame, codebooks: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("sim").desc, col("code"))
-    subs.join(broadcast(codebooks), Seq("m"))
-      .select(col("vec_id"), col("m"), col("sub"), col("code"),
+    val best = subs.join(broadcast(codebooks), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
         Similarity.cosine(col("sub"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("code"), struct(col("sim"), negate(col("code")))).as("code"))
+    subs.join(best, Seq("vec_id", "m"))
       .select(col("vec_id"), col("m"), col("sub"), col("code"))
   }
 
