@@ -100,9 +100,11 @@ object ScaleBench {
     "store_segment_ctas", "store_segment_compact_where",
     // round-13: array<struct> items — the collect/sort/store/re-derive
     // chain must track lineitem rows (one shuffle on l_orderkey, then
-    // table-linear encode/decode) — and variant storage: parse once,
-    // store the binary pair, probe by path — must track events rows
-    "store_segment_items", "store_segment_variant")
+    // table-linear encode/decode) — variant storage: parse once,
+    // store the binary pair, probe by path — and generated columns:
+    // one projection per written row — all must track source rows
+    "store_segment_items", "store_segment_variant",
+    "store_segment_generated")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -3278,6 +3278,36 @@ object SparkEntry {
     // size / lexicographic-first element / quantity total straight
     // from lineitem, so any corruption of element bytes, order, or
     // per-field presence markers shows up in the aggregates
+    // GENERATED columns (the Delta GENERATED ALWAYS AS shape): the
+    // declaration is ONE validated manifest property; the writer
+    // computes omitted/NULL slots and refuses diverging explicit
+    // values at the shared chokepoint — derived columns at 100 TB are
+    // a projection per written row, never a backfill pass. Generation
+    // 1 inserts OMIT the derived columns (computed); generation 2
+    // provides them explicitly correct (validated, kept) — the oracle
+    // replays the expression over the whole source either way
+    "store_segment_generated" -> ((s, d) => withTempDir("graft-seggen") { base =>
+      val cat = s"graft_gen_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, price DOUBLE, " +
+        "cents BIGINT GENERATED ALWAYS AS (CAST(round(price * 100, 0) AS BIGINT)), " +
+        "tier STRING GENERATED ALWAYS AS " +
+        "(CASE WHEN price >= 1000 THEN 'high' ELSE 'low' END)) " +
+        "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='4')")
+      Tables.orders(s, d).createOrReplaceTempView("graft_gen_orders")
+      s.sql(s"INSERT INTO $cat.db.t (k, price) " +
+        "SELECT o_orderkey, o_totalprice FROM graft_gen_orders " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT o_orderkey, o_totalprice, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT), " +
+        "CASE WHEN o_totalprice >= 1000 THEN 'high' ELSE 'low' END " +
+        "FROM graft_gen_orders WHERE o_orderkey % 2 = 1")
+      s.sql(s"SELECT k, price, cents, tier FROM $cat.db.t ORDER BY k")
+    }),
     // VARIANT on the native format: the semi-structured props column
     // parses ONCE (parse_json, map-only), lands on the format as the
     // binary (value, metadata) pair it already is — no schema
@@ -6327,6 +6357,13 @@ object SparkEntry {
         "ELSE CAST(123456789012345000.25 + (o_orderkey % 1000) AS DECIMAL(20,2)) " +
         "END AS VARCHAR) AS money " +
         "FROM orders WHERE o_orderkey % 50 >= 10 ORDER BY k"),
+
+    // both generations replay as the expression over the whole source
+    "store_segment_generated" ->
+      ("SELECT o_orderkey AS k, o_totalprice AS price, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, " +
+        "CASE WHEN o_totalprice >= 1000 THEN 'high' ELSE 'low' END AS tier " +
+        "FROM orders ORDER BY k"),
 
     // the storage hop is transparent: same replay as the parquet-side
     // variant certificate

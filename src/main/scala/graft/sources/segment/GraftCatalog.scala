@@ -55,8 +55,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   // metadata pair into the schema we persist) and substitutes
   // CURRENT_DEFAULT into INSERTs that omit the column; the read-side
   // EXISTS_DEFAULT fill is ours ([[SegmentDefaults]])
+  // ... and to GENERATED columns: the analyzer accepts
+  // `GENERATED ALWAYS AS (expr)` in CREATE DDL and validates the
+  // expression's shape; the catalog persists it as a `gen.<col>`
+  // property and the write chokepoint computes/validates it
+  // ([[SegmentGenerated]])
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -123,9 +130,45 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   /** Parse + validate a CREATE's declared layout and persisted
     * properties — shared by [[createTable]] and the atomic staging
     * faces ([[stageCreate]]/[[stageReplace]]). */
-  private def parseCreation(schema: StructType, partitions: Array[Transform],
-      properties: java.util.Map[String, String]): (Option[BucketSpec], Map[String, String]) = {
-    SegmentCodec.validateSchema(schema)
+  private def parseCreation(schema0: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): (StructType, Option[BucketSpec], Map[String, String]) = {
+    SegmentCodec.validateSchema(schema0)
+    // GENERATED columns: collect declarations from the DDL metadata
+    // (`GENERATED ALWAYS AS`) and any explicit `gen.<col>` properties,
+    // validate them, and inject CURRENT_DEFAULT = NULL into each
+    // generated field so the analyzer lets INSERTs omit the column
+    // (the writer computes on NULL — [[SegmentGenerated]])
+    val genFromDdl = schema0.fields.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(f.name -> _)).toMap
+    val genFromProps = properties.asScala.toMap
+      .filter { case (k, _) => k.startsWith(SegmentGenerated.Prefix) }
+      .map { case (k, v) => k.substring(SegmentGenerated.Prefix.length) -> v }
+    genFromDdl.keySet.intersect(genFromProps.keySet).foreach(c => require(
+      genFromDdl(c) == genFromProps(c),
+      s"column $c declared GENERATED ALWAYS AS (${genFromDdl(c)}) and " +
+        s"gen.$c = '${genFromProps(c)}' — declare it once"))
+    val gens = genFromDdl ++ genFromProps
+    gens.foreach { case (c, sql) =>
+      SegmentGenerated.requireAnalyzable(SparkSession.active, schema0,
+        c, sql, gens.keySet - c) }
+    // the persisted schema carries ONLY the default (the omission
+    // face); the generation expression lives in the gen.<col> property
+    // — Spark refuses a column carrying both metadata keys
+    // (GENERATED_COLUMN_WITH_DEFAULT_VALUE), and the property is the
+    // writer's authority anyway
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val schema = if (gens.isEmpty) schema0 else StructType(schema0.fields.map { f =>
+      if (!gens.contains(f.name)) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(genKey)
+        if (!f.metadata.contains(SegmentDefaults.CurrentKey))
+          b.putString(SegmentDefaults.CurrentKey, "NULL")
+        f.copy(metadata = b.build())
+      }
+    })
     SegmentDefaults.validate(schema)
     val bucketing = partitions.toSeq match {
       case Nil =>
@@ -153,9 +196,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     // CHECK constraints enforced on every write (SegmentChecks)
     val checkProps = properties.asScala.toMap
       .filter { case (k, _) => k.startsWith(SegmentChecks.Prefix) }
+    val genProps = gens.map { case (c, sql) => SegmentGenerated.Prefix + c -> sql }
     val props = Seq("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
       "compress", "autoCompactSegments", "autoCompactBytes")
-      .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++ checkProps
+      .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++
+      checkProps ++ genProps
     props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
     props.get("bloomBits").foreach(b => require(
       scala.util.Try(b.toInt).toOption.exists(_ >= 64),
@@ -175,12 +220,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       s"autoCompactBytes must be a positive byte count, got '$v'"))
     SegmentChecks.declared(checkProps).foreach { case (n, sql) =>
       SegmentChecks.requireAnalyzable(SparkSession.active, schema, n, sql) }
-    (bucketing, props)
+    (schema, bucketing, props)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  // the NON-deprecated v2-Column face: the stock Column[]→StructType
+  // bridge DROPS generation expressions (they are a first-class Column
+  // attribute), so convert through the shim that re-encodes them as
+  // metadata before the shared StructType path
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    createTable(ident,
+      org.apache.spark.sql.graftbridge.DefaultsBridge.structTypeWithGeneration(columns),
+      partitions, properties)
+
+  override def createTable(ident: Identifier, schema0: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    val (bucketing, props) = parseCreation(schema, partitions, properties)
+    val (schema, bucketing, props) = parseCreation(schema0, partitions, properties)
     val path = tablePath(ident)
     require(SegmentLog.read(fs, path).isEmpty,
       s"table $ident already exists at $path")
@@ -227,8 +284,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     staged(ident, info, mode = "createOrReplace")
 
   private def staged(ident: Identifier, info: TableInfo, mode: String): StagedTable = {
-    val schema = info.schema()
-    val (bucketing, props) = parseCreation(schema, info.partitions(), info.properties())
+    val (schema, bucketing, props) = parseCreation(
+      org.apache.spark.sql.graftbridge.DefaultsBridge
+        .structTypeWithGeneration(info.columns()),
+      info.partitions(), info.properties())
     val path = tablePath(ident)
     if (mode == "create" && SegmentLog.read(fs, path).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -283,6 +342,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       // the DML tier, or a CHECK constraint on an existing table —
       // the validated keys only
       case sp: TableChange.SetProperty =>
+        require(!sp.property().startsWith(SegmentGenerated.Prefix),
+          s"generation expressions are fixed at CREATE TABLE — " +
+            s"cannot SET ${sp.property()}; redefine the table (CREATE OR " +
+            "REPLACE) to change how a column derives")
         require(sp.property().startsWith(SegmentChecks.Prefix) ||
             Set("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
               "compress", "autoCompactSegments", "autoCompactBytes")
@@ -332,6 +395,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
           m.copy(props = m.props + (sp.property() -> sp.value()))
         }
       case rp: TableChange.RemoveProperty =>
+        require(!rp.property().startsWith(SegmentGenerated.Prefix),
+          s"generation expressions are fixed at CREATE TABLE — " +
+            s"cannot UNSET ${rp.property()} (stored values would silently " +
+            "stop tracking the expression)")
         (m: Manifest) => m.copy(props = m.props - rp.property())
       case other => throw new UnsupportedOperationException(
         s"graft-segment supports RENAME/DROP/ADD COLUMN, ALTER COLUMN " +
@@ -354,7 +421,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       }
       m
     }
-    SegmentLog.alterSchema(fs, path, transforms :+ checkGuard)
+    // ... and every GENERATION expression: dropping/renaming the
+    // generated column or one of its inputs, or widening a type out
+    // from under the expression, is refused — the declaration is part
+    // of the table's definition and cannot be silently orphaned
+    val genGuard = (m: Manifest) => {
+      val gens = SegmentGenerated.declared(m.props)
+      gens.foreach { case (c, sql) =>
+        try SegmentGenerated.requireAnalyzable(SparkSession.active, m.schema,
+          c, sql, gens.map(_._1).toSet - c)
+        catch { case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"this ALTER would break generated column $c ($sql) — redefine " +
+            s"the table (CREATE OR REPLACE) instead: ${e.getMessage}") }
+      }
+      m
+    }
+    SegmentLog.alterSchema(fs, path, transforms :+ checkGuard :+ genGuard)
     // ADD CONSTRAINT's validation scan ran BEFORE the commit: a
     // concurrent writer (whose factory predates the constraint and so
     // never enforced it) can land violating rows in the window.

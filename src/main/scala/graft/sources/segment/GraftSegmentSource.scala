@@ -1723,7 +1723,9 @@ class GraftStreamingWrite(root: String, schema: StructType,
       bloomFor = ebf, bloomBits = ebb,
       checks = checks,
       compress = GraftWriteBuilder.effectiveCompress(m, None),
-      maxBytes = maxBytesSeg.getOrElse(Long.MaxValue))
+      maxBytes = maxBytesSeg.getOrElse(Long.MaxValue),
+      generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
+        mf.props, mf.schema, schema)).getOrElse(Nil))
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)
@@ -1805,7 +1807,9 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
       checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
         mf.props, mf.schema, schema)).getOrElse(Nil),
       compress = GraftWriteBuilder.effectiveCompress(m, compressOpt),
-      maxBytes = maxBytesSeg.getOrElse(Long.MaxValue))
+      maxBytes = maxBytesSeg.getOrElse(Long.MaxValue),
+      generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
+        mf.props, mf.schema, schema)).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1908,13 +1912,14 @@ class GraftWriterFactory(root: String, schema: StructType,
     bloomBits: Int = SegmentBloom.DefaultBits,
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
     compress: Boolean = false,
-    maxBytes: Long = Long.MaxValue) extends DataWriterFactory {
+    maxBytes: Long = Long.MaxValue,
+    generated: Seq[SegmentGenerated.GenSpec] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, conf.value, maxRows,
       bucket = if (labelBuckets) Some(partitionId) else None,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
       bloomFor = bloomFor, bloomBits = bloomBits, checks = checks,
-      compress = compress, maxBytes = maxBytes)
+      compress = compress, maxBytes = maxBytes, generated = generated)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -1928,12 +1933,17 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     bloomFor: Set[String] = Set.empty, bloomBits: Int = SegmentBloom.DefaultBits,
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
     compress: Boolean = false,
-    maxBytes: Long = Long.MaxValue)
+    maxBytes: Long = Long.MaxValue,
+    generated: Seq[SegmentGenerated.GenSpec] = Nil)
     extends DataWriter[InternalRow] {
   // CHECK constraints: compiled on the driver, codegen'd here; null
   // when none are declared so the hot loop pays nothing
   private val enforcer: SegmentChecks.Enforcer =
     if (checks.isEmpty) null else new SegmentChecks.Enforcer(checks, schema)
+  // GENERATED columns: null-slots compute, explicit values validate —
+  // runs BEFORE checks so constraints see the final stored values
+  private val generator: SegmentGenerated.Generator =
+    if (generated.isEmpty) null else new SegmentGenerated.Generator(generated, schema)
   // segments record PHYSICAL column names (frozen at a column's first
   // commit — the column-mapping contract); identity when unset
   private val colNames: Seq[String] =
@@ -2007,7 +2017,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     out = null
   }
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    val row = if (generator == null) row0 else generator(row0)
     if (enforcer != null) enforcer.enforce(row)
     if (out == null) open()
     var c = 0
@@ -2193,13 +2204,14 @@ case class GraftDeltaCommitMessage(segments: Seq[SegmentMeta],
 class GraftDeltaWriterFactory(root: String, schema: StructType,
     conf: SerializableHadoopConf, physNames: Seq[String],
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
-    compress: Boolean = false)
+    compress: Boolean = false,
+    generated: Seq[SegmentGenerated.GenSpec] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(new GraftDataWriter(root, schema, conf.value, Long.MaxValue,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
-      checks = checks, compress = compress))
+      checks = checks, compress = compress, generated = generated))
 }
 
 /** Task-side delta writer: deletes and updated-away old versions fold
@@ -2256,7 +2268,9 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
       SegmentLog.physicalNames(m, schema),
       checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
         mf.props, mf.schema, schema)).getOrElse(Nil),
-      compress = GraftWriteBuilder.effectiveCompress(m, None))
+      compress = GraftWriteBuilder.effectiveCompress(m, None),
+      generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
+        mf.props, mf.schema, schema)).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2392,7 +2406,9 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
       physNames = SegmentLog.physicalNames(m, schema),
       checks = m.map(mf => SegmentChecks.compileAll(SparkSession.active,
         mf.props, mf.schema, schema)).getOrElse(Nil),
-      compress = GraftWriteBuilder.effectiveCompress(m, None))
+      compress = GraftWriteBuilder.effectiveCompress(m, None),
+      generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
+        mf.props, mf.schema, schema)).getOrElse(Nil))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

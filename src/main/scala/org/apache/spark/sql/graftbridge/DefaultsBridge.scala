@@ -13,4 +13,26 @@ object DefaultsBridge {
   def withDefault(f: StructField, d: ColumnDefaultValue): StructField =
     CatalogV2Util.v2ColumnsToStructType(
       Array(Column.create(f.name, f.dataType, f.nullable, null, d, null))).head
+
+  /** v2 Columns → StructType, PRESERVING `GENERATED ALWAYS AS`
+    * expressions as the same metadata key the built-in catalogs use
+    * (the stock conversion drops them — generation is a first-class
+    * v2-Column attribute, not metadata). Identity columns refused. */
+  def structTypeWithGeneration(
+      cols: Array[Column]): org.apache.spark.sql.types.StructType = {
+    cols.foreach(c => require(c.identityColumnSpec() == null,
+      s"identity columns are not supported (column ${c.name()})"))
+    val base = CatalogV2Util.v2ColumnsToStructType(cols.toSeq)
+    org.apache.spark.sql.types.StructType(base.fields.zip(cols).map {
+      case (f, c) => Option(c.generationExpression()) match {
+        case Some(g) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY, g)
+            .build())
+        case None => f
+      }
+    })
+  }
 }

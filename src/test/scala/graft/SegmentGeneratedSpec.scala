@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.segment.GraftCatalog
+
+/** GENERATED columns on graft-segment tables (the Delta
+  * `GENERATED ALWAYS AS` shape): declared at CREATE, persisted as
+  * validated `gen.<col>` properties, computed/validated at the one
+  * writer chokepoint. Omitted or NULL slots compute; explicit values
+  * must match or the write fails loudly; the declaration is fixed for
+  * the table's lifetime and DDL cannot silently orphan it. */
+class SegmentGeneratedSpec extends SparkSpec {
+
+  private var n = 0
+  private def freshCat(): String = {
+    n += 1
+    val cat = s"ggen$n"
+    val wh = Files.createTempDirectory(s"graft-gen-wh$n").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    cat
+  }
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("omitted and NULL generated columns compute; explicit matching values pass") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, price DOUBLE, " +
+      "cents BIGINT GENERATED ALWAYS AS (CAST(round(price * 100, 0) AS BIGINT)))")
+    // omitted: the injected CURRENT_DEFAULT NULL lets the analyzer
+    // accept the short column list; the writer computes
+    spark.sql(s"INSERT INTO $cat.db.t (k, price) VALUES (1, 12.34), (2, 0.5)")
+    // explicit NULL: computed too (null-means-compute)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 99.99, NULL)")
+    // explicit CORRECT value: kept
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 1.0, 100)")
+    val got = spark.sql(s"SELECT k, cents FROM $cat.db.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1234L), (2L, 50L), (3L, 9999L), (4L, 100L)))
+  }
+
+  test("explicit diverging values are refused loudly and nothing commits") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, price DOUBLE, " +
+      "cents BIGINT GENERATED ALWAYS AS (CAST(round(price * 100, 0) AS BIGINT)))")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 12.34, 9999)")
+    }
+    assert(msgs(e).exists(_.contains("diverges")), s"got: ${msgs(e)}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 0L)
+  }
+
+  test("DML: SET <gen> = NULL recomputes; an untouched stale value is refused with the recipe") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, price DOUBLE, " +
+      "cents BIGINT GENERATED ALWAYS AS (CAST(round(price * 100, 0) AS BIGINT)))")
+    spark.sql(s"INSERT INTO $cat.db.t (k, price) SELECT id, id * 1.5 FROM range(0, 20)")
+    // updating the input AND nulling the derived slot recomputes
+    spark.sql(s"UPDATE $cat.db.t SET price = price * 2, cents = NULL WHERE k < 5")
+    val got = spark.sql(s"SELECT k, price, cents FROM $cat.db.t WHERE k < 5 ORDER BY k")
+      .collect()
+    got.foreach(r => assert(
+      r.getLong(2) == math.round(r.getDouble(1) * 100), r.toString))
+    // updating the input WITHOUT nulling the derived slot would freeze
+    // a stale derived value — refused, with the NULL recipe in the error
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.db.t SET price = price * 3 WHERE k >= 5 AND k < 8")
+    }
+    assert(msgs(e).exists(m => m.contains("diverges") && m.contains("NULL")),
+      s"got: ${msgs(e)}")
+    // the failed UPDATE left the table intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 20L)
+  }
+
+  test("generation interplays: CHECK sees computed values; declaration validation refuses bad exprs") {
+    val cat = freshCat()
+    // CHECK over the GENERATED column: enforcement runs after fill
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, price DOUBLE, " +
+      "cents BIGINT GENERATED ALWAYS AS (CAST(round(price * 100, 0) AS BIGINT))) " +
+      "TBLPROPERTIES ('check.pos' = 'cents >= 0')")
+    spark.sql(s"INSERT INTO $cat.db.t (k, price) VALUES (1, 2.5)")
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.db.t (k, price) VALUES (2, -3.5)")
+    }
+    assert(msgs(e1).exists(_.contains("CHECK constraint pos")), s"got: ${msgs(e1)}")
+    // wrong result type: refused at CREATE with the CAST recipe
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad1 (k BIGINT, " +
+        "d INT GENERATED ALWAYS AS (k + 1))")
+    }
+    // Spark's analyzer refuses the DDL face itself; the catalog's own
+    // validation ("produces ... CAST inside the expression") backstops
+    // the gen.<col>-property face
+    assert(msgs(e2).exists(m => m.contains("incompatible") ||
+      m.contains("produces")), s"got: ${msgs(e2)}")
+    // referencing another generated column: refused
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad2 (k BIGINT, " +
+        "a BIGINT GENERATED ALWAYS AS (k + 1), " +
+        "b BIGINT GENERATED ALWAYS AS (a + 1))")
+    }
+    assert(e3.getMessage != null && e3.getMessage.nonEmpty)
+  }
+
+  test("the declaration is fixed: DDL cannot orphan or rewrite it") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, price DOUBLE, " +
+      "cents BIGINT GENERATED ALWAYS AS (CAST(round(price * 100, 0) AS BIGINT)))")
+    spark.sql(s"INSERT INTO $cat.db.t (k, price) VALUES (1, 1.0)")
+    // dropping the input breaks the expression — refused
+    val e1 = intercept[Exception] { spark.sql(s"ALTER TABLE $cat.db.t DROP COLUMN price") }
+    assert(msgs(e1).exists(_.contains("generated column cents")), s"got: ${msgs(e1)}")
+    // renaming the generated column orphans the gen.<name> key — refused
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN cents TO c2") }
+    assert(msgs(e2).exists(_.contains("generated column")), s"got: ${msgs(e2)}")
+    // SET / UNSET of gen.* after creation — refused
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('gen.cents' = 'k')") }
+    assert(msgs(e3).exists(_.contains("fixed at CREATE")), s"got: ${msgs(e3)}")
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t UNSET TBLPROPERTIES ('gen.cents')") }
+    assert(msgs(e4).exists(_.contains("fixed at CREATE")), s"got: ${msgs(e4)}")
+    // the table still works after every refusal
+    spark.sql(s"INSERT INTO $cat.db.t (k, price) VALUES (2, 2.0)")
+    assert(spark.sql(s"SELECT sum(cents) FROM $cat.db.t").head().getLong(0) == 300L)
+  }
+
+  test("generated columns survive the session boundary (manifest-persisted declaration)") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, price DOUBLE, " +
+      "cents BIGINT GENERATED ALWAYS AS (CAST(round(price * 100, 0) AS BIGINT)))")
+    spark.sql(s"INSERT INTO $cat.db.t (k, price) VALUES (1, 1.0)")
+    // a FRESH catalog instance (new table object, manifest re-read):
+    // the declaration and the omission face both still work
+    val cat2 = s"${cat}b"
+    spark.conf.set(s"spark.sql.catalog.$cat2", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.warehouse",
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+    spark.sql(s"INSERT INTO $cat2.db.t (k, price) VALUES (2, 3.0)")
+    assert(spark.sql(s"SELECT sum(cents) FROM $cat2.db.t").head().getLong(0) == 400L)
+  }
+}
