@@ -633,11 +633,16 @@ private[segment] class GraftStagedTable(ident: Identifier, path: String,
                   labelBuckets = bucketing.exists(_.mode == "hash"),
                   physNames = SegmentLog.physicalNames(
                     SegmentLog.read(SegmentLog.fs(path, conf.value), path), info.schema()),
-                  // CTAS/RTAS with declared CHECK constraints: the
-                  // staged data itself must pass them — there is no
-                  // manifest yet, so compile from the staged props
+                  // CTAS/RTAS with declared CHECK constraints /
+                  // GENERATED columns / compression: the staged data
+                  // itself must pass, compute, and inherit them —
+                  // there is no manifest yet, so compile from the
+                  // staged definition
                   checks = SegmentChecks.compileAll(SparkSession.active,
-                    props, tableSchema, info.schema()))
+                    props, tableSchema, info.schema()),
+                  generated = SegmentGenerated.compileAll(SparkSession.active,
+                    props, tableSchema, info.schema()),
+                  compress = props.get("compress").contains("deflate"))
               override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
                 staged.set(messages.flatMap(
                   _.asInstanceOf[GraftCommitMessage].segments).toSeq)

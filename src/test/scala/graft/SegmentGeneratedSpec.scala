@@ -129,6 +129,28 @@ class SegmentGeneratedSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(cents) FROM $cat.db.t").head().getLong(0) == 300L)
   }
 
+  test("CTAS: staged data validates generation, inherits compression, and the declaration persists") {
+    val cat = freshCat()
+    // staged rows diverging from the declared expression fail the
+    // whole atomic CTAS — no table appears
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad TBLPROPERTIES ('gen.c' = 'k * 2') " +
+        "AS SELECT id AS k, id AS c FROM range(0, 10)")
+    }
+    assert(msgs(e).exists(_.contains("diverges")), s"got: ${msgs(e)}")
+    val e2 = intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db.bad") }
+    assert(e2.getMessage != null)
+    // correct staged values pass, compression is inherited by the
+    // staged segments themselves, and the declaration governs later
+    // INSERTs (omitted c computes)
+    spark.sql(s"CREATE TABLE $cat.db.ok TBLPROPERTIES " +
+      "('gen.c' = 'k * 2', 'compress' = 'deflate') " +
+      "AS SELECT id AS k, id * 2 AS c FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $cat.db.ok (k) VALUES (100)")
+    assert(spark.sql(s"SELECT sum(c) FROM $cat.db.ok").head().getLong(0) ==
+      (0 until 10).map(_ * 2).sum + 200L)
+  }
+
   test("generated columns survive the session boundary (manifest-persisted declaration)") {
     val cat = freshCat()
     spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, price DOUBLE, " +
