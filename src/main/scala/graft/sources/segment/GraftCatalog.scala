@@ -149,9 +149,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       s"column $c declared GENERATED ALWAYS AS (${genFromDdl(c)}) and " +
         s"gen.$c = '${genFromProps(c)}' — declare it once"))
     val gens = genFromDdl ++ genFromProps
+    // the forbidden-reference set is ALL generated columns including
+    // the declaring one: a self-reference (gen.c = 'c') would compile
+    // to an always-true validation and a store-NULL fill
     gens.foreach { case (c, sql) =>
       SegmentGenerated.requireAnalyzable(SparkSession.active, schema0,
-        c, sql, gens.keySet - c) }
+        c, sql, gens.keySet) }
     // the persisted schema carries ONLY the default (the omission
     // face); the generation expression lives in the gen.<col> property
     // — Spark refuses a column carrying both metadata keys
@@ -162,11 +165,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val schema = if (gens.isEmpty) schema0 else StructType(schema0.fields.map { f =>
       if (!gens.contains(f.name)) f
       else {
-        val b = new org.apache.spark.sql.types.MetadataBuilder()
+        // a user DEFAULT on a generated column would hijack the
+        // omission face (the analyzer would substitute the default,
+        // which then diverges from the expression on every insert) —
+        // Spark refuses this for the DDL generation face; refuse it
+        // for the gen.<col>-property face too
+        require(!f.metadata.contains(SegmentDefaults.CurrentKey) &&
+            !f.metadata.contains(SegmentDefaults.ExistsKey),
+          s"column ${f.name} cannot carry both a DEFAULT and a " +
+            "generation expression — the generated column's NULL " +
+            "default is the compute trigger")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(genKey)
-        if (!f.metadata.contains(SegmentDefaults.CurrentKey))
-          b.putString(SegmentDefaults.CurrentKey, "NULL")
-        f.copy(metadata = b.build())
+          .putString(SegmentDefaults.CurrentKey, "NULL").build())
       }
     })
     SegmentDefaults.validate(schema)
@@ -328,6 +339,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       // EXISTS_DEFAULT (the SQL-standard split)
       case ud: TableChange.UpdateColumnDefaultValue =>
         require(ud.fieldNames().length == 1, "nested columns are not supported")
+        // SET DEFAULT on a GENERATED column would replace the injected
+        // NULL default the omission face computes through — every
+        // later short-column INSERT would substitute the new default
+        // and fail the divergence check
+        require(!SegmentLog.read(fs, path).exists(_.props.contains(
+            SegmentGenerated.Prefix + ud.fieldNames()(0))),
+          s"column ${ud.fieldNames()(0)} is GENERATED — its NULL default " +
+            "is the compute trigger; SET/DROP DEFAULT is refused")
         SegmentDefaults.setCurrentTransform(ud.fieldNames()(0),
           Option(ud.newCurrentDefault()).flatMap(d => Option(d.getSql))
             .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty)))
@@ -429,7 +448,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       val gens = SegmentGenerated.declared(m.props)
       gens.foreach { case (c, sql) =>
         try SegmentGenerated.requireAnalyzable(SparkSession.active, m.schema,
-          c, sql, gens.map(_._1).toSet - c)
+          c, sql, gens.map(_._1).toSet)
         catch { case e: IllegalArgumentException => throw new IllegalArgumentException(
           s"this ALTER would break generated column $c ($sql) — redefine " +
             s"the table (CREATE OR REPLACE) instead: ${e.getMessage}") }

@@ -1999,8 +1999,9 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     if (deflater != null) { deflater.end(); deflater = null }
 
   private def roll(): Unit = {
-    out.close()
-    endDeflater()
+    // a failing close must still release the native deflater (the
+    // error propagates — this is the commit path)
+    try out.close() finally endDeflater()
     val bytes = fs.getFileStatus(absPath).getLen
     done += SegmentMeta(relPath, rows, bytes,
       colNames.zip(stats).flatMap { case (n, c) =>
@@ -2045,12 +2046,21 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
   }
 
   override def abort(): Unit = {
-    if (out != null) { out.close(); endDeflater(); fs.delete(absPath, false) }
+    if (out != null) {
+      // the file is being discarded — a close failure must not keep
+      // the deflater alive or the orphan file on disk
+      try out.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+      finally endDeflater()
+      fs.delete(absPath, false)
+    }
     done.result().foreach(s => fs.delete(new Path(s"$root/${s.path}"), false))
   }
 
   override def close(): Unit =
-    if (out != null) { out.close(); endDeflater(); out = null }
+    if (out != null) {
+      try out.close() finally { endDeflater(); out = null }
+    }
 }
 
 private[segment] object GraftDataWriter {

@@ -131,9 +131,19 @@ object SegmentGenerated {
     val resolver = spark.sessionState.conf.resolver
     decls.flatMap { case (name, sql) =>
       val ord = writeSchema.fieldNames.indexWhere(resolver(_, name))
-      if (ord < 0) None
-      else {
-        val expr = requireAnalyzable(spark, tableSchema, name, sql, genNames - name)
+      if (ord < 0) {
+        // only a row-IDENTITY-only write (the pure MoR DELETE's empty
+        // value schema) may omit a generated column: a mergeSchema
+        // append carrying data columns but not the derived one would
+        // land rows whose derived slot reads back NULL ≠ expression —
+        // silent divergence, refused here
+        require(writeSchema.isEmpty,
+          s"this write omits generated column $name — partial-schema " +
+            "appends must carry every generated column (write NULL to " +
+            "have it computed)")
+        None
+      } else {
+        val expr = requireAnalyzable(spark, tableSchema, name, sql, genNames)
         val bound = expr.transformUp {
           case a: AttributeReference =>
             val i = writeSchema.fieldNames.indexWhere(resolver(_, a.name))
@@ -143,6 +153,11 @@ object SegmentGenerated {
             BoundReference(i, a.dataType, nullable = true)
         }
         val self = BoundReference(ord, writeSchema(ord).dataType, nullable = true)
+        // per row the expression evaluates exactly ONCE under codegen
+        // short-circuiting: a NULL slot skips the mismatch's right
+        // conjunct and computes in the fill's else-branch; a non-NULL
+        // slot computes in the mismatch and the fill takes the
+        // self-branch without touching it
         Some(GenSpec(name, sql, ord,
           fill = If(IsNull(self), bound, self),
           mismatch = And(IsNotNull(self), Not(EqualNullSafe(self, bound)))))

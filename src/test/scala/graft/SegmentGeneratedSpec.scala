@@ -129,6 +129,43 @@ class SegmentGeneratedSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(cents) FROM $cat.db.t").head().getLong(0) == 300L)
   }
 
+  test("hardening: self-reference, DEFAULT+generation, SET DEFAULT, and partial appends all refused") {
+    val cat = freshCat()
+    // a self-referential expression would compile to an always-true
+    // validation and a store-NULL fill — refused at declaration
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.b1 (k BIGINT, c BIGINT) " +
+        "TBLPROPERTIES ('gen.c' = 'c')")
+    }
+    assert(msgs(e1).exists(_.contains("references generated column")), s"got: ${msgs(e1)}")
+    // an explicit DEFAULT on a generated column would hijack the
+    // omission face — refused (the gen.* property face; Spark itself
+    // refuses the DDL face)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.b2 (k BIGINT, c BIGINT DEFAULT 5) " +
+        "TBLPROPERTIES ('gen.c' = 'k * 2')")
+    }
+    assert(msgs(e2).exists(_.contains("DEFAULT and a")), s"got: ${msgs(e2)}")
+    // SET DEFAULT on a generated column after creation — refused
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, " +
+      "c BIGINT GENERATED ALWAYS AS (k * 2))")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN c SET DEFAULT 5")
+    }
+    assert(msgs(e3).exists(_.contains("compute trigger")), s"got: ${msgs(e3)}")
+    // a partial-schema append carrying inputs but NOT the generated
+    // column would land silently-diverging NULL slots — refused
+    spark.sql(s"INSERT INTO $cat.db.t (k) VALUES (1)")
+    import spark.implicits._
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val e4 = intercept[Exception] {
+      Seq(2L).toDF("k").write.format("graft-segment")
+        .option("mergeSchema", "true").mode("append").save(s"$wh/db/t")
+    }
+    assert(msgs(e4).exists(_.contains("omits generated column")), s"got: ${msgs(e4)}")
+    assert(spark.sql(s"SELECT sum(c) FROM $cat.db.t").head().getLong(0) == 2L)
+  }
+
   test("CTAS: staged data validates generation, inherits compression, and the declaration persists") {
     val cat = freshCat()
     // staged rows diverging from the declared expression fail the
