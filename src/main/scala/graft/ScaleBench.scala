@@ -104,7 +104,10 @@ object ScaleBench {
     // store the binary pair, probe by path — and generated columns:
     // one projection per written row — all must track source rows
     "store_segment_items", "store_segment_variant",
-    "store_segment_generated")
+    "store_segment_generated",
+    // NDV sketches: write cost is the table write (the collector rides
+    // the encoder), the estimate itself is manifest-sized (~flat)
+    "store_segment_ndv")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

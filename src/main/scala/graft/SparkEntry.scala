@@ -3278,6 +3278,34 @@ object SparkEntry {
     // size / lexicographic-first element / quantity total straight
     // from lineitem, so any corruption of element bytes, order, or
     // per-field presence markers shows up in the aggregates
+    // NDV STATISTICS from the manifest (SegmentNdv): declared columns
+    // collect per-segment KMV sketches at write time; planning merges
+    // them to a table distinctCount for the optimizer's column stats
+    // — cost-based join reordering at 100 TB without an ANALYZE scan.
+    // The sketch hash is the repo's portable md5 construction, so the
+    // estimate is a deterministic function of the data the oracle
+    // replays bit-for-bit (doc_id saturates k=256 → the estimator arm;
+    // lang stays under k → the exact arm)
+    "store_segment_ndv" -> ((s, d) => withTempDir("graft-segndv") { base =>
+      val dir = s"$base/t"
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .write.format("graft-segment")
+        .option("ndvFor", "doc_id,lang")
+        .option("clusterBy", "doc_id").option("numPartitions", "4")
+        .mode("append").save(dir)
+      val fs2 = graft.sources.segment.SegmentLog.fs(dir,
+        s.sessionState.newHadoopConf())
+      val m = graft.sources.segment.SegmentLog.read(fs2, dir).get
+      val rows = Seq("doc_id", "lang").map { c =>
+        val sketches = m.segments
+          .map(_.stats(c).kmv.get)
+          .map(graft.sources.segment.SegmentNdv.decode)
+        (c, BigDecimal(graft.sources.segment.SegmentNdv.estimate(sketches))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      import s.implicits._
+      rows.toDF("col_name", "n_est").orderBy("col_name")
+    }),
     // GENERATED columns (the Delta GENERATED ALWAYS AS shape): the
     // declaration is ONE validated manifest property; the writer
     // computes omitted/NULL slots and refuses diverging explicit
@@ -6357,6 +6385,23 @@ object SparkEntry {
         "ELSE CAST(123456789012345000.25 + (o_orderkey % 1000) AS DECIMAL(20,2)) " +
         "END AS VARCHAR) AS money " +
         "FROM orders WHERE o_orderkey % 50 >= 10 ORDER BY k"),
+
+    // the manifest-merged KMV ≡ the global min-k of the distinct
+    // portable hashes (min-k is mergeable), replayed directly
+    "store_segment_ndv" ->
+      ("WITH hd AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "rd AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hd), " +
+        "ed AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rd WHERE rn <= 256), " +
+        "hl AS (SELECT DISTINCT CAST('0x' || substr(md5(lang), 1, 8) AS BIGINT) AS hv " +
+        "FROM documents WHERE lang IS NOT NULL), " +
+        "rl AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hl), " +
+        "el AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rl WHERE rn <= 256) " +
+        "SELECT col_name, n_est FROM (" +
+        "SELECT 'doc_id' AS col_name, round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
+        "ELSE 255 * 4294967296.0 / h_k END, 4) AS n_est FROM ed " +
+        "UNION ALL SELECT 'lang', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
+        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM el) ORDER BY col_name"),
 
     // both generations replay as the expression over the whole source
     "store_segment_generated" ->

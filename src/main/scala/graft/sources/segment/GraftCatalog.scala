@@ -209,10 +209,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       .filter { case (k, _) => k.startsWith(SegmentChecks.Prefix) }
     val genProps = gens.map { case (c, sql) => SegmentGenerated.Prefix + c -> sql }
     val props = Seq("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
-      "compress", "autoCompactSegments", "autoCompactBytes")
+      "compress", "autoCompactSegments", "autoCompactBytes", "ndvFor")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++
       checkProps ++ genProps
     props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
+    props.get("ndvFor").foreach(SegmentNdv.parseCols(_, Some(schema)))
     props.get("bloomBits").foreach(b => require(
       scala.util.Try(b.toInt).toOption.exists(_ >= 64),
       s"bloomBits must be an integer >= 64, got '$b'"))
@@ -367,11 +368,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
             "REPLACE) to change how a column derives")
         require(sp.property().startsWith(SegmentChecks.Prefix) ||
             Set("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
-              "compress", "autoCompactSegments", "autoCompactBytes")
+              "compress", "autoCompactSegments", "autoCompactBytes", "ndvFor")
               .contains(sp.property()),
           s"only bloomFor/bloomBits/rowLevelMode/morRewriteThreshold/" +
-            s"compress/autoCompactSegments/autoCompactBytes/check.<name> " +
-            s"are settable, got ${sp.property()}")
+            s"compress/autoCompactSegments/autoCompactBytes/ndvFor/" +
+            s"check.<name> are settable, got ${sp.property()}")
         if (sp.property().startsWith(SegmentChecks.Prefix)) {
           // ADD CONSTRAINT: the expression must analyze (checked first,
           // so a malformed declaration gets the constraint error, not a
@@ -387,6 +388,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         (m: Manifest) => {
           sp.property() match {
             case "bloomFor" => SegmentBloom.parseCols(sp.value(), Some(m.schema))
+            case "ndvFor" => SegmentNdv.parseCols(sp.value(), Some(m.schema))
             case "bloomBits" =>
               require(scala.util.Try(sp.value().toInt).toOption.exists(_ >= 64),
                 s"bloomBits must be an integer >= 64, got '${sp.value()}'")
@@ -661,7 +663,9 @@ private[segment] class GraftStagedTable(ident: Identifier, path: String,
                     props, tableSchema, info.schema()),
                   generated = SegmentGenerated.compileAll(SparkSession.active,
                     props, tableSchema, info.schema()),
-                  compress = props.get("compress").contains("deflate"))
+                  compress = props.get("compress").contains("deflate"),
+                  ndvFor = props.get("ndvFor")
+                    .map(SegmentNdv.parseCols(_)).getOrElse(Set.empty))
               override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
                 staged.set(messages.flatMap(
                   _.asInstanceOf[GraftCommitMessage].segments).toSeq)

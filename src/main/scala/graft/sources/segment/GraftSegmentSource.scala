@@ -844,10 +844,22 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
               Float.box(bounds.map(_.get._2.toFloat).max)))
             case _ => None // strings: binary-order bounds are not CBO literals
           } else None
+        // NDV from the declared per-segment KMV sketches ([[SegmentNdv]])
+        // when every surviving segment carries one — the distinctCount
+        // that makes cost-based join reordering possible without an
+        // ANALYZE scan; over-approximate under dvs, fine for estimates
+        val ndv: Option[Long] =
+          if (per.forall(_.get.kmv.isDefined))
+            Some(math.round(SegmentNdv.estimate(
+              per.map(s => SegmentNdv.decode(s.get.kmv.get)))))
+          else None
         cstats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def nullCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(nulls)
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
             override def min(): java.util.Optional[Object] =
               mm.map(v => java.util.Optional.of(v._1: Object))
                 .getOrElse(java.util.Optional.empty[Object]())
@@ -1530,6 +1542,14 @@ object GraftWriteBuilder {
     (bf, bb)
   }
 
+  /** Declared NDV-sketch columns ([[SegmentNdv]]): an explicit write
+    * option wins (incl. `ndvFor=""`, the one-write off-switch),
+    * otherwise the table's persisted `ndvFor` property. */
+  def effectiveNdv(m: Option[Manifest], optFor: Option[Set[String]]): Set[String] = {
+    optFor.getOrElse(m.map(_.props).getOrElse(Map.empty)
+      .get("ndvFor").map(SegmentNdv.parseCols(_)).getOrElse(Set.empty))
+  }
+
   /** Body compression for a write: an explicit option wins (including
     * `compress=none`, the off-switch for one write), otherwise the
     * table's persisted `compress` property applies — every INSERT,
@@ -1578,6 +1598,8 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
     }
     val bloomFor = Option(opts.get("bloomFor"))
       .map(SegmentBloom.parseCols(_, Some(info.schema())))
+    val ndvForOpt = Option(opts.get("ndvFor"))
+      .map(SegmentNdv.parseCols(_, Some(info.schema())))
     val compressOpt = Option(opts.get("compress"))
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       clusterMode, numPartitions,
@@ -1594,6 +1616,7 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       dataChange = !Option(opts.get("dataChange")).exists(_.toBoolean == false),
       bloomFor = bloomFor,
       bloomBits = Option(opts.get("bloomBits")).map(_.toInt),
+      ndvForOpt = ndvForOpt,
       // PARTIAL replace (incremental compaction): the commit swaps
       // exactly these root-relative segment paths for the write's
       // output; everything else carries over by reference
@@ -1632,6 +1655,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     txn: Option[(String, Long)] = None, dataChange: Boolean = true,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
+    ndvForOpt: Option[Set[String]] = None,
     replaceSegments: Option[Set[String]] = None,
     applyDvs: Option[Map[String, (String, Long)]] = None,
     expectVisibility: Option[Map[String, (Option[String], Long)]] = None,
@@ -1663,7 +1687,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     maxBytesSeg = maxBytesSeg,
     clusterBy = clusterBy, clusterMode = clusterMode,
     mergeSchema = mergeSchema, txn = txn, dataChange = dataChange,
-    bloomFor = bloomFor, bloomBits = bloomBits,
+    bloomFor = bloomFor, bloomBits = bloomBits, ndvForOpt = ndvForOpt,
     replaceSegments = replaceSegments, applyDvs = applyDvs,
     expectVisibility = expectVisibility, compressOpt = compressOpt)
 
@@ -1725,7 +1749,8 @@ class GraftStreamingWrite(root: String, schema: StructType,
       compress = GraftWriteBuilder.effectiveCompress(m, None),
       maxBytes = maxBytesSeg.getOrElse(Long.MaxValue),
       generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
-        mf.props, mf.schema, schema)).getOrElse(Nil))
+        mf.props, mf.schema, schema)).getOrElse(Nil),
+      ndvFor = GraftWriteBuilder.effectiveNdv(m, None))
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)
@@ -1766,6 +1791,7 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     dataChange: Boolean = true,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
+    ndvForOpt: Option[Set[String]] = None,
     replaceSegments: Option[Set[String]] = None,
     applyDvs: Option[Map[String, (String, Long)]] = None,
     expectVisibility: Option[Map[String, (Option[String], Long)]] = None,
@@ -1809,7 +1835,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
       compress = GraftWriteBuilder.effectiveCompress(m, compressOpt),
       maxBytes = maxBytesSeg.getOrElse(Long.MaxValue),
       generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
-        mf.props, mf.schema, schema)).getOrElse(Nil))
+        mf.props, mf.schema, schema)).getOrElse(Nil),
+      ndvFor = GraftWriteBuilder.effectiveNdv(m, ndvForOpt))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1913,13 +1940,15 @@ class GraftWriterFactory(root: String, schema: StructType,
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
     compress: Boolean = false,
     maxBytes: Long = Long.MaxValue,
-    generated: Seq[SegmentGenerated.GenSpec] = Nil) extends DataWriterFactory {
+    generated: Seq[SegmentGenerated.GenSpec] = Nil,
+    ndvFor: Set[String] = Set.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, conf.value, maxRows,
       bucket = if (labelBuckets) Some(partitionId) else None,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
       bloomFor = bloomFor, bloomBits = bloomBits, checks = checks,
-      compress = compress, maxBytes = maxBytes, generated = generated)
+      compress = compress, maxBytes = maxBytes, generated = generated,
+      ndvFor = ndvFor)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -1934,7 +1963,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
     compress: Boolean = false,
     maxBytes: Long = Long.MaxValue,
-    generated: Seq[SegmentGenerated.GenSpec] = Nil)
+    generated: Seq[SegmentGenerated.GenSpec] = Nil,
+    ndvFor: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   // CHECK constraints: compiled on the driver, codegen'd here; null
   // when none are declared so the hot loop pays nothing
@@ -1991,7 +2021,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
       }
       new SegmentCodec.StatsCollector(f.dataType,
         if (bloomFor.contains(f.name) || nested.nonEmpty) bloomBits else 0,
-        nestedBloomFor = nested)
+        nestedBloomFor = nested,
+        collectNdv = ndvFor.contains(f.name))
     }
   }
 
@@ -2009,7 +2040,7 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
         // keys ("st.a") — skipping any key a real top-level column
         // already owns, so a literal-dotted column name never gets
         // its bounds silently overwritten (pruning soundness)
-        (n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64)) +:
+        (n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64)) +:
           c.nested.collect {
             case (fn, cs) if !colNames.contains(s"$n.$fn") => s"$n.$fn" -> cs
           }
@@ -2215,13 +2246,15 @@ class GraftDeltaWriterFactory(root: String, schema: StructType,
     conf: SerializableHadoopConf, physNames: Seq[String],
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
     compress: Boolean = false,
-    generated: Seq[SegmentGenerated.GenSpec] = Nil)
+    generated: Seq[SegmentGenerated.GenSpec] = Nil,
+    ndvFor: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(new GraftDataWriter(root, schema, conf.value, Long.MaxValue,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
-      checks = checks, compress = compress, generated = generated))
+      checks = checks, compress = compress, generated = generated,
+      ndvFor = ndvFor))
 }
 
 /** Task-side delta writer: deletes and updated-away old versions fold
@@ -2280,7 +2313,8 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
         mf.props, mf.schema, schema)).getOrElse(Nil),
       compress = GraftWriteBuilder.effectiveCompress(m, None),
       generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
-        mf.props, mf.schema, schema)).getOrElse(Nil))
+        mf.props, mf.schema, schema)).getOrElse(Nil),
+      ndvFor = GraftWriteBuilder.effectiveNdv(m, None))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2418,7 +2452,8 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
         mf.props, mf.schema, schema)).getOrElse(Nil),
       compress = GraftWriteBuilder.effectiveCompress(m, None),
       generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
-        mf.props, mf.schema, schema)).getOrElse(Nil))
+        mf.props, mf.schema, schema)).getOrElse(Nil),
+      ndvFor = GraftWriteBuilder.effectiveNdv(m, None))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -480,10 +480,16 @@ object SegmentCodec {
     * never a wrongly pruned one). Value hashing must agree with
     * [[SegmentBloom.hashValue]]'s literal-side canonicalization. */
   final class StatsCollector(dt: DataType, bloomBits: Int = 0,
-      nestedBloomFor: Set[String] = Set.empty) {
+      nestedBloomFor: Set[String] = Set.empty,
+      collectNdv: Boolean = false) {
     private val bloom: Array[Long] =
       if (bloomBits > 0 && SegmentBloom.bloomable(dt)) new Array[Long](bloomBits / 64)
       else null
+    // declared NDV columns collect a per-segment KMV sketch (k-min
+    // distinct portable hashes) — the manifest-resident distinctCount
+    // feed for the optimizer ([[SegmentNdv]])
+    private val kmv: SegmentNdv.Collector =
+      if (collectNdv && SegmentNdv.hashable(dt)) new SegmentNdv.Collector else null
     // STRUCT columns collect per-FIELD zone maps (one child collector
     // each; blooms for `nestedBloomFor`-declared fields): Spark pushes
     // nested predicates (`st.a = 5` arrives as a dotted V1 filter), so
@@ -520,6 +526,7 @@ object SegmentCodec {
 
     def add(row: InternalRow, ordinal: Int): Unit = {
       if (bloom != null) SegmentBloom.put(bloom, SegmentBloom.hashRow(dt, row, ordinal))
+      if (kmv != null) kmv.add(SegmentNdv.hash(SegmentNdv.canonical(dt, row, ordinal)))
       if (sound) addBounds(row, ordinal)
       if (children != null) {
         val s = row.getStruct(ordinal, children.length)
@@ -586,6 +593,9 @@ object SegmentCodec {
     }
 
     def nullCount: Long = nulls
+
+    /** Base64 KMV sketch, None when not collected for this column. */
+    def kmvBase64: Option[String] = Option(kmv).flatMap(_.base64)
 
     /** Base64 bloom bits, None when not collected for this column. */
     def bloomBase64: Option[String] = Option(bloom).map { b =>

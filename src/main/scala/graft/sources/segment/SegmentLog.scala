@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * column's values ([[SegmentBloom]]) for point-lookup pruning on
   * columns the layout does not cluster. */
 case class ColumnStats(bounds: Option[(String, String)], nullCount: Long,
-    bloom: Option[String] = None)
+    bloom: Option[String] = None,
+    kmv: Option[String] = None)
 
 /** One committed data file. `path` is relative to the table root.
   * `bucket` is the hash-bucket index this segment belongs to when it
@@ -258,7 +259,8 @@ object SegmentLog {
             Some((c.get("min").asText(), c.get("max").asText()))
           else None
         stats += n -> ColumnStats(bounds, c.get("nulls").asLong(),
-          if (c.hasNonNull("bloom")) Some(c.get("bloom").asText()) else None)
+          if (c.hasNonNull("bloom")) Some(c.get("bloom").asText()) else None,
+          if (c.hasNonNull("kmv")) Some(c.get("kmv").asText()) else None)
       }
       val segCols =
         if (s.hasNonNull("cols")) {
@@ -405,6 +407,7 @@ object SegmentLog {
         }
         c.put("nulls", cs.nullCount)
         cs.bloom.foreach(b => c.put("bloom", b))
+        cs.kmv.foreach(k => c.put("kmv", k))
       }
     }
     if (m.txns.nonEmpty) {
@@ -810,12 +813,15 @@ object SegmentLog {
       bucketing = m.bucketing.map(b =>
         b.copy(cols = b.cols.map(c => if (c == from) to else c))),
       // declared properties name LOGICAL columns: they follow the rename
-      // or future INSERTs silently stop building the declared blooms
-      props = m.props.get("bloomFor") match {
-        case Some(csv) => m.props + ("bloomFor" ->
-          csv.split(",").map(_.trim).filter(_.nonEmpty)
-            .map(c => if (c == from) to else c).mkString(","))
-        case None => m.props
+      // or future INSERTs silently stop building the declared
+      // blooms/NDV sketches
+      props = Seq("bloomFor", "ndvFor").foldLeft(m.props) { (ps, key) =>
+        ps.get(key) match {
+          case Some(csv) => ps + (key ->
+            csv.split(",").map(_.trim).filter(_.nonEmpty)
+              .map(c => if (c == from) to else c).mkString(","))
+          case None => ps
+        }
       })
   }
 
@@ -839,14 +845,16 @@ object SegmentLog {
       physicalOf = m.physicalOf - name,
       retiredSchema = StructType(
         m.retiredSchema.fields :+ org.apache.spark.sql.types.StructField(phys, dt)),
-      // a stale declared-bloom entry would silently re-attach to a
+      // a stale declared bloom/NDV entry would silently re-attach to a
       // later re-added column of the same name
-      props = m.props.get("bloomFor") match {
-        case Some(csv) =>
-          val kept = csv.split(",").map(_.trim).filter(c => c.nonEmpty && c != name)
-          if (kept.isEmpty) m.props - "bloomFor"
-          else m.props + ("bloomFor" -> kept.mkString(","))
-        case None => m.props
+      props = Seq("bloomFor", "ndvFor").foldLeft(m.props) { (ps, key) =>
+        ps.get(key) match {
+          case Some(csv) =>
+            val kept = csv.split(",").map(_.trim).filter(c => c.nonEmpty && c != name)
+            if (kept.isEmpty) ps - key
+            else ps + (key -> kept.mkString(","))
+          case None => ps
+        }
       })
   }
 

@@ -2675,6 +2675,52 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .max().get() == Long.box(999L), "bounds stay physical (an over-estimate)")
   }
 
+  test("NDV statistics: declared KMV sketches merge to distinctCount across appends") {
+    val dir = tmp("graft-seg-ndv")
+    sample().write.format(Fmt)
+      .option("ndvFor", "id,tag")
+      .option("clusterBy", "bucket").option("numPartitions", "10")
+      .mode("append").save(dir)
+    val schema = spark.read.format(Fmt).load(dir).schema
+    def colStats() = {
+      val b = new graft.sources.segment.GraftScanBuilder(dir, schema,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().columnStats()
+    }
+    def of(n: String) = colStats().get(
+      org.apache.spark.sql.connector.expressions.Expressions.column(n))
+    // tag has 3 distinct values — under k, the exact arm
+    assert(of("tag").distinctCount().getAsLong == 3L)
+    // id has 1000 — past k = 256, the estimator arm (±4σ ≈ 25%)
+    val idNdv = of("id").distinctCount().getAsLong
+    assert(idNdv > 750 && idNdv < 1250, s"id NDV estimate $idNdv")
+    // undeclared columns report no distinctCount (min/max still do)
+    assert(!of("score").distinctCount().isPresent)
+    assert(of("score").max().isPresent)
+    // a second append MERGES (min-k is mergeable): disjoint new ids
+    // roughly double the estimate, same declared sketches via the
+    // persisted-property-free option on this write
+    sample().select(
+        (col("id") + 1000L).as("id"), col("bucket"), col("score"),
+        col("name"), col("tag"), col("ts"), col("vec"))
+      .write.format(Fmt).option("ndvFor", "id,tag").mode("append").save(dir)
+    val idNdv2 = of("id").distinctCount().getAsLong
+    assert(idNdv2 > 1500 && idNdv2 < 2500, s"merged id NDV estimate $idNdv2")
+    // declaration validation: unsupported types and unknown columns
+    // are refused loudly
+    val e1 = intercept[Exception] {
+      sample().write.format(Fmt).option("ndvFor", "score").mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("STRING and the integer family") ||
+      Option(e1.getCause).exists(_.getMessage.contains("integer family")))
+    val e2 = intercept[Exception] {
+      sample().write.format(Fmt).option("ndvFor", "nope").mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("not in schema") ||
+      Option(e2.getCause).exists(_.getMessage.contains("not in schema")))
+  }
+
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
     val dir = tmp("graft-seg-nan")
     import spark.implicits._
