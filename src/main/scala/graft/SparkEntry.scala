@@ -3288,19 +3288,26 @@ object SparkEntry {
     // lang stays under k → the exact arm)
     "store_segment_ndv" -> ((s, d) => withTempDir("graft-segndv") { base =>
       val dir = s"$base/t"
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      // a DATE column rides along (r14): 900 distinct days — past k,
+      // the estimator arm — whose ISO yyyy-MM-dd canonical DuckDB
+      // replays byte-for-byte via CAST(d AS VARCHAR). The estimates
+      // are read from the TABLE-LEVEL sketch the commit pre-merged
+      // into the manifest (planning-path O(k)); merged-at-commit ≡
+      // merge-of-per-segment is spec-pinned (SegmentSourceSpec), so
+      // the oracle's from-scratch KMV replay certifies both forms.
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          date_add(to_date(lit("2020-01-01")),
+            (col("doc_id") % 900).cast("int")).as("d"))
         .write.format("graft-segment")
-        .option("ndvFor", "doc_id,lang")
+        .option("ndvFor", "doc_id,lang,d")
         .option("clusterBy", "doc_id").option("numPartitions", "4")
         .mode("append").save(dir)
       val fs2 = graft.sources.segment.SegmentLog.fs(dir,
         s.sessionState.newHadoopConf())
       val m = graft.sources.segment.SegmentLog.read(fs2, dir).get
-      val rows = Seq("doc_id", "lang").map { c =>
-        val sketches = m.segments
-          .map(_.stats(c).kmv.get)
-          .map(graft.sources.segment.SegmentNdv.decode)
-        (c, BigDecimal(graft.sources.segment.SegmentNdv.estimate(sketches))
+      val rows = Seq("d", "doc_id", "lang").map { c =>
+        val merged = graft.sources.segment.SegmentNdv.decode(m.ndvMerged(c))
+        (c, BigDecimal(graft.sources.segment.SegmentNdv.estimateMerged(merged))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       import s.implicits._
@@ -6396,12 +6403,19 @@ object SparkEntry {
         "hl AS (SELECT DISTINCT CAST('0x' || substr(md5(lang), 1, 8) AS BIGINT) AS hv " +
         "FROM documents WHERE lang IS NOT NULL), " +
         "rl AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hl), " +
-        "el AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rl WHERE rn <= 256) " +
+        "el AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rl WHERE rn <= 256), " +
+        "hdt AS (SELECT DISTINCT CAST('0x' || substr(md5(" +
+        "CAST(DATE '2020-01-01' + CAST(doc_id % 900 AS INT) AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "rdt AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hdt), " +
+        "edt AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rdt WHERE rn <= 256) " +
         "SELECT col_name, n_est FROM (" +
         "SELECT 'doc_id' AS col_name, round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
         "ELSE 255 * 4294967296.0 / h_k END, 4) AS n_est FROM ed " +
         "UNION ALL SELECT 'lang', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
-        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM el) ORDER BY col_name"),
+        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM el " +
+        "UNION ALL SELECT 'd', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
+        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM edt) ORDER BY col_name"),
 
     // both generations replay as the expression over the whole source
     "store_segment_generated" ->

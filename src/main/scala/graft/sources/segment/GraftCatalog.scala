@@ -426,7 +426,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
           s"TYPE (widening), ALTER COLUMN SET/DROP DEFAULT, and SET/UNSET " +
           s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode|" +
           s"morRewriteThreshold|compress|autoCompactSegments|" +
-          s"autoCompactBytes|check.<name>) only, " +
+          s"autoCompactBytes|ndvFor|check.<name>) only, " +
           s"got $other")
     }
     // every surviving CHECK constraint must still analyze against the

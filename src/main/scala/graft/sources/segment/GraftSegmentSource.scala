@@ -448,7 +448,12 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
           .filterNot(accounted.contains)
         val resurrected = SegmentLog.resolveHistorical(fs, root, cur, compactedIds,
           s"sinceVersion $v")
-        Some(liveView.copy(segments = (liveInc ++ resurrected).sortBy(_.id)))
+        // the incremental slice is NOT the live table: the table-level
+        // pre-merged NDV sketch would over-state the slice's
+        // distinctCount, so drop it — stats fall back to the slice's
+        // own per-segment sketches
+        Some(liveView.copy(segments = (liveInc ++ resurrected).sortBy(_.id),
+          ndvMerged = Map.empty))
       case (None, None) => SegmentLog.read(fs, root).map(SegmentLog.logicalView)
     }
   }
@@ -844,15 +849,30 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
               Float.box(bounds.map(_.get._2.toFloat).max)))
             case _ => None // strings: binary-order bounds are not CBO literals
           } else None
-        // NDV from the declared per-segment KMV sketches ([[SegmentNdv]])
-        // when every surviving segment carries one — the distinctCount
-        // that makes cost-based join reordering possible without an
-        // ANALYZE scan; over-approximate under dvs, fine for estimates
-        val ndv: Option[Long] =
-          if (per.forall(_.get.kmv.isDefined))
-            Some(math.round(SegmentNdv.estimate(
-              per.map(s => SegmentNdv.decode(s.get.kmv.get)))))
-          else None
+        // NDV for the distinctCount that makes cost-based join
+        // reordering possible without an ANALYZE scan; over-approximate
+        // under dvs, fine for estimates. The UNPRUNED scan (the common
+        // planning case) reads the TABLE-LEVEL sketch the commit
+        // pre-merged into the manifest — O(k), no per-plan flatten over
+        // live segments; a statically PRUNED scan merges just its
+        // surviving segments' sketches (fewer segments by construction,
+        // and the narrower estimate is the better one for the pruned
+        // relation anyway). Legacy manifests without the pre-merge fall
+        // back to the per-segment path.
+        val ndv: Option[Long] = {
+          val all = manifest.map(_.segments.length).getOrElse(0)
+          val pre =
+            if (segs.length == all) manifest.flatMap(_.ndvMerged.get(f.name))
+            else None
+          pre.map(b64 => math.round(
+              SegmentNdv.estimateMerged(SegmentNdv.decode(b64))))
+            .orElse {
+              if (per.forall(_.get.kmv.isDefined))
+                Some(math.round(SegmentNdv.estimate(
+                  per.map(s => SegmentNdv.decode(s.get.kmv.get)))))
+              else None
+            }
+        }
         cstats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def nullCount(): java.util.OptionalLong =

@@ -526,7 +526,7 @@ object SegmentCodec {
 
     def add(row: InternalRow, ordinal: Int): Unit = {
       if (bloom != null) SegmentBloom.put(bloom, SegmentBloom.hashRow(dt, row, ordinal))
-      if (kmv != null) kmv.add(SegmentNdv.hash(SegmentNdv.canonical(dt, row, ordinal)))
+      if (kmv != null) kmv.add(SegmentNdv.canonical(dt, row, ordinal))
       if (sound) addBounds(row, ordinal)
       if (children != null) {
         val s = row.getStruct(ordinal, children.length)

@@ -2,7 +2,8 @@ package graft.sources.segment
 
 import org.apache.spark.sql.{functions => F, AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BoundReference, CurrentDate, CurrentTimestampLike, EqualNullSafe, Expression, If, IsNotNull, IsNull, Literal, LocalTimestamp, MutableProjection, Not, PlanExpression, Predicate, Unevaluable}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BoundReference, Cast, CurrentDate, CurrentTimestampLike, EqualNullSafe, Expression, If, IsNotNull, IsNull, Literal, LocalTimestamp, MutableProjection, Not, PlanExpression, Predicate, TimeZoneAwareExpression, Unevaluable}
 import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.types.StructType
 
@@ -67,6 +68,20 @@ object SegmentGenerated {
         k.substring(Prefix.length) -> v }
       .sortBy(_._1)
 
+  /** Session-context "functions" the analyzer folds into per-session
+    * LITERALS (ReplaceCurrentLike / literal-function resolution) before
+    * any post-analysis walk can see them: an expression built on one
+    * would validate and compute DIFFERENT values across sessions,
+    * breaking the stored-equals-derivable contract — so they are
+    * refused at the PARSE level, before folding can hide them. The
+    * timestamp family is listed here too (better error, earlier);
+    * post-analysis checks still back it up. */
+  private val SessionContextNames = Set(
+    "current_user", "user", "session_user",
+    "current_database", "current_schema", "current_catalog",
+    "current_timezone",
+    "current_timestamp", "now", "localtimestamp", "current_date")
+
   /** Parse + analyze `sql` as a projection over `schema`, refusing
     * everything that cannot soundly derive a stored column; returns
     * the analyzed expression. `allGenerated` are the table's generated
@@ -80,6 +95,39 @@ object SegmentGenerated {
     require(SegmentDefaults.fillable(field.dataType),
       s"generated column $name must have an atomic type, not " +
         s"${field.dataType.simpleString}")
+    // parse-level session-context guard: current_user()/current_database()
+    // etc. reach the analyzed tree only as already-folded literals, so
+    // walk the UNRESOLVED tree. A bare keyword form (CURRENT_USER without
+    // parens) parses as an attribute; it is refused only when no schema
+    // column claims the name — column resolution wins in the analyzer,
+    // so a real column named `user` stays usable.
+    val colNames = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(sql)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"generated column $name ($sql) does not parse: ${e.getMessage}")
+      }
+    parsed.foreach {
+      case f: UnresolvedFunction
+          if SessionContextNames.contains(
+            f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+        throw new IllegalArgumentException(
+          s"generated column $name ($sql) must not depend on session " +
+            s"context (${f.nameParts.last} varies across sessions, so the " +
+            "stored value would diverge from the expression)")
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 1 && {
+            val n = a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+            SessionContextNames.contains(n) && !colNames.contains(n)
+          } =>
+        throw new IllegalArgumentException(
+          s"generated column $name ($sql) must not depend on session " +
+            s"context (${a.nameParts.head} resolves to a per-session value, " +
+            "not a column of this table)")
+      case _ =>
+    }
     val expr =
       try {
         val df = spark.createDataFrame(
@@ -107,6 +155,29 @@ object SegmentGenerated {
         case e => e.isInstanceOf[Unevaluable] && !e.isInstanceOf[AttributeReference]
       },
       s"generated column $name ($sql) must be evaluable at write time")
+    // timezone-sensitivity guard: the expression is re-analyzed per
+    // write session, so anything reading spark.sql.session.timeZone
+    // (CAST(ts AS STRING), date_format, hour, ...) computes — and
+    // validates explicit values against — DIFFERENT results under a
+    // different session zone. Casts are refused only when the specific
+    // from→to pair consults the zone (Cast.needsTimeZone), so the
+    // bread-and-butter numeric casts stay usable; every other
+    // TimeZoneAwareExpression genuinely reads the zone. Pure date
+    // arithmetic (year/month/datediff on DATE) is zone-free and passes.
+    expr.foreach {
+      case c: Cast =>
+        require(!Cast.needsTimeZone(c.child.dataType, c.dataType),
+          s"generated column $name ($sql): CAST from " +
+            s"${c.child.dataType.simpleString} to ${c.dataType.simpleString} " +
+            "depends on spark.sql.session.timeZone, so the stored value " +
+            "would diverge from the expression across sessions")
+      case e: TimeZoneAwareExpression =>
+        throw new IllegalArgumentException(
+          s"generated column $name ($sql): ${e.prettyName} depends on " +
+            "spark.sql.session.timeZone, so the stored value would diverge " +
+            "from the expression across sessions")
+      case _ =>
+    }
     expr.foreach {
       case a: AttributeReference =>
         require(!allGenerated.contains(a.name),

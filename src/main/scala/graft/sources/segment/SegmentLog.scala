@@ -125,7 +125,15 @@ case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta
     retiredSchema: StructType = new StructType(),
     props: Map[String, String] = Map.empty,
     ts: Long = -1L,
-    widened: Map[String, Seq[(Long, String)]] = Map.empty)
+    widened: Map[String, Seq[(Long, String)]] = Map.empty,
+    // table-level pre-merged NDV sketches, PHYSICAL column name →
+    // base64 min-k hashes — maintained by every commit so planning
+    // reads distinctCount in O(k) instead of flattening every live
+    // segment's sketch per plan ([[SegmentNdv]]). Derived state: an
+    // entry exists exactly when every live segment carries a sketch
+    // for the column, and merge-of-per-segment ≡ this by KMV
+    // associativity (spec-pinned).
+    ndvMerged: Map[String, String] = Map.empty)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -359,7 +367,16 @@ object SegmentLog {
       compactedThrough =
         if (node.hasNonNull("compactedThrough")) node.get("compactedThrough").asLong() else -1L,
       physicalOf = physicalOf, retiredSchema = retired, props = props,
-      widened = widened)
+      widened = widened,
+      ndvMerged =
+        if (node.hasNonNull("ndvMerged")) {
+          val b = Map.newBuilder[String, String]
+          val names = node.get("ndvMerged").fieldNames()
+          while (names.hasNext) {
+            val c = names.next(); b += c -> node.get("ndvMerged").get(c).asText()
+          }
+          b.result()
+        } else Map.empty[String, String])
   }
 
   private def render(m: Manifest): String = {
@@ -389,6 +406,10 @@ object SegmentLog {
     if (m.props.nonEmpty) {
       val o = root.putObject("props")
       m.props.foreach { case (k, v2) => o.put(k, v2) }
+    }
+    if (m.ndvMerged.nonEmpty) {
+      val o = root.putObject("ndvMerged")
+      m.ndvMerged.foreach { case (c, b64) => o.put(c, b64) }
     }
     m.segments.foreach { s =>
       val o = arr.addObject()
@@ -658,18 +679,67 @@ object SegmentLog {
       val widened =
         if (resetProps) Map.empty[String, Seq[(Long, String)]]
         else current.map(_.widened).getOrElse(Map.empty)
-      val body = render(Manifest(v, tableSchema, merged, txns, spec,
+      val body = render(withNdvMerged(current, Manifest(v, tableSchema, merged,
+        txns, spec,
         maxSegmentId = newMax, truncateWatermark = newTw,
         truncateVersion = newTv,
         compactedThrough = newCt,
         physicalOf = physicalOf, retiredSchema = retired,
         props = liveProps,
         widened = widened,
-        ts = commitTimestamp(current))).getBytes(StandardCharsets.UTF_8)
+        ts = commitTimestamp(current)))).getBytes(StandardCharsets.UTF_8)
       if (claimSlot(fs, root, v, body, canRetry = attempt < maxRetries)) return v
       attempt += 1 // lost the slot to a concurrent writer; re-read and retry
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Maintain [[Manifest.ndvMerged]] — the table-level pre-merged NDV
+    * sketches — on the manifest a commit is about to write. A column's
+    * entry exists exactly when `ndvFor` declares it AND every live
+    * segment carries its per-segment sketch; otherwise the entry is
+    * absent and planning (correctly) reports no distinctCount.
+    *
+    * Cost discipline: an APPEND-ONLY commit with an unchanged
+    * declaration extends the previous table sketch with just the NEW
+    * segments' hashes — O(k × new segments), the hot path. Anything
+    * that changes the live set or the column mapping (truncate,
+    * compaction, rewrite, dv patch, rename, rollback) recomputes from
+    * the per-segment sketches — O(k × live), once per COMMIT instead
+    * of once per PLAN, which is the entire point: `estimateStatistics`
+    * reads the stored merge in O(k). Correctness is invariant either
+    * way (KMV merge is associative; spec-pinned). */
+  private def withNdvMerged(prev: Option[Manifest], m: Manifest): Manifest = {
+    if (m.segments.isEmpty)
+      return if (m.ndvMerged.isEmpty) m else m.copy(ndvMerged = Map.empty)
+    // a column (PHYSICAL key, matching segment stats) participates
+    // exactly when EVERY live segment sketched it — the same guard
+    // planning applies, and deliberately props-independent: the
+    // path-based API declares ndvFor per write without persisting a
+    // property, and sketch presence is the ground truth either way.
+    // A declaration retired mid-life (widen hygiene, ndvFor="" writes)
+    // stops new segments' sketches, so the forall fails and the entry
+    // drops in the same commit.
+    val candidates = m.segments.head.stats.iterator
+      .collect { case (c, cs) if cs.kmv.isDefined => c }
+      .filter(c => m.segments.forall(_.stats.get(c).exists(_.kmv.isDefined)))
+      .toSeq
+    val appendOnly = prev.exists(p =>
+      m.segments.length >= p.segments.length &&
+        m.segments.take(p.segments.length) == p.segments)
+    val entries = candidates.map { c =>
+      val fast = if (appendOnly) prev.get.ndvMerged.get(c) else None
+      val sketches: Seq[Array[Long]] = fast match {
+        case Some(prevMerged) =>
+          SegmentNdv.decode(prevMerged) +:
+            m.segments.drop(prev.get.segments.length)
+              .map(s => SegmentNdv.decode(s.stats(c).kmv.get))
+        case None =>
+          m.segments.map(s => SegmentNdv.decode(s.stats(c).kmv.get))
+      }
+      c -> SegmentNdv.encode(SegmentNdv.merge(sketches))
+    }.toMap
+    if (entries == m.ndvMerged) m else m.copy(ndvMerged = entries)
   }
 
   /** Claim version slot `v` by exclusive create and write `body`.
@@ -762,7 +832,8 @@ object SegmentLog {
       })
     m.copy(segments = m.segments.map(s => s.copy(
       cols = s.cols.map(xlate),
-      stats = s.stats.map { case (k, v) => xlate(k) -> v })))
+      stats = s.stats.map { case (k, v) => xlate(k) -> v })),
+      ndvMerged = m.ndvMerged.map { case (k, v) => xlate(k) -> v })
   }
 
   /** Types of dropped physical columns, keyed by their logical-view
@@ -970,7 +1041,27 @@ object SegmentLog {
       schema = StructType(m.schema.fields.map(x =>
         if (x.name == name) x.copy(dataType = to) else x)),
       widened = m.widened + (phys ->
-        (m.widened.getOrElse(phys, Nil) :+ (m.maxSegmentId -> f.dataType.json))))
+        (m.widened.getOrElse(phys, Nil) :+ (m.maxSegmentId -> f.dataType.json))),
+      // NDV hygiene (the rename/drop discipline): widening a declared
+      // NDV column OUT of the hashable family (int->double) would
+      // silently stop new segments' sketch collection and the table's
+      // distinctCount would quietly vanish behind the all-segments
+      // guard — retire the declaration with the widen instead. Blooms
+      // need no such edit: [[SegmentBloom.hashValue]] has no double
+      // arm, so stale bloom bits simply never probe (sound by
+      // construction). int->long keeps the declaration: the canonical
+      // string (decimal digits) is type-invariant, so old sketches
+      // stay exact under the widened type.
+      props =
+        if (!SegmentNdv.hashable(to))
+          m.props.get("ndvFor") match {
+            case Some(csv) =>
+              val kept = csv.split(",").map(_.trim).filter(c => c.nonEmpty && c != name)
+              if (kept.isEmpty) m.props - "ndvFor"
+              else m.props + ("ndvFor" -> kept.mkString(","))
+            case None => m.props
+          }
+        else m.props)
   }
 
   /** Physical column name → data type for a manifest's OWN lineage:
@@ -1054,8 +1145,13 @@ object SegmentLog {
     while (true) {
       val current = read(fs, root).getOrElse(
         throw new IllegalArgumentException(s"no graft-segment table at $root"))
-      val next = f(current).copy(version = current.version + 1,
-        ts = commitTimestamp(Some(current)))
+      // NDV-merged maintenance after the transform: rename leaves
+      // physical keys valid (fast no-op), widen/drop hygiene retires
+      // declarations and the recompute drops their entries, rollback
+      // recomputes from the restored segment set
+      val next = withNdvMerged(Some(current), f(current))
+        .copy(version = current.version + 1,
+          ts = commitTimestamp(Some(current)))
       val body = render(next).getBytes(StandardCharsets.UTF_8)
       if (claimSlot(fs, root, next.version, body, canRetry = attempt < maxRetries))
         return next.version

@@ -17,14 +17,18 @@ import org.apache.spark.sql.types._
   * Declared columns collect the k smallest 32-bit hashes of their
   * DISTINCT values per segment (1 KiB per column-segment); min-k sets
   * are mergeable (the global k smallest are each in their segment's k
-  * smallest), so planning reduces live segments' sketches to a table
-  * NDV in manifest time. The estimate feeds
+  * smallest), so every commit also maintains the TABLE-LEVEL merged
+  * sketch in the manifest ([[Manifest.ndvMerged]]) and planning reads
+  * the estimate in O(k) — no per-plan flatten over live segments. The
+  * estimate feeds
   * [[org.apache.spark.sql.connector.read.colstats.ColumnStatistics
   * .distinctCount]] beside the zone-map min/max/nullCount — at 100 TB
   * cost-based join reordering needs NDV, and an ANALYZE scan over a
   * petabyte to get it is exactly the pass this table format exists to
   * avoid. Incremental by construction: every append computes its own
-  * segment's sketch from rows already streaming through the encoder.
+  * segment's sketch from rows already streaming through the encoder,
+  * and the commit extends the table sketch with just the new
+  * segments' hashes (KMV merge is associative).
   *
   * The hash is the repo's engine-portable construction (first 8 hex
   * chars of md5 of the canonical string — [[graft.ops.Hll.hash32]]'s
@@ -34,14 +38,18 @@ import org.apache.spark.sql.types._
   * OVER-APPROXIMATE under deletion vectors (a dv'd row's value still
   * counts) — fine for statistics, which are estimates by contract.
   *
-  * Supported columns: STRING and the integer family (their canonical
-  * strings match DuckDB's CAST(x AS VARCHAR) exactly); anything else
-  * is refused at declaration time. */
+  * Supported columns: STRING, DATE, and the integer family — their
+  * canonical strings match DuckDB's CAST(x AS VARCHAR) exactly (ISO
+  * `yyyy-MM-dd` for dates). TIMESTAMP is deliberately refused: its
+  * cross-engine canonical string depends on session timezone and
+  * sub-second rendering, the known portability trap. Anything else is
+  * refused at declaration time. */
 object SegmentNdv {
   val K = 256
 
   def hashable(dt: DataType): Boolean = dt match {
-    case StringType | ByteType | ShortType | IntegerType | LongType => true
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         DateType => true
     case _ => false
   }
 
@@ -53,48 +61,82 @@ object SegmentNdv {
       val f = sc.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"ndvFor column $c not in schema"))
       require(hashable(f.dataType),
-        s"ndvFor column $c: NDV sketches support STRING and the integer " +
-          s"family, not ${f.dataType.simpleString}")
+        s"ndvFor column $c: NDV sketches support STRING, DATE and the " +
+          s"integer family, not ${f.dataType.simpleString} (TIMESTAMP has " +
+          "no engine-portable canonical string)")
     })
     cols
   }
 
-  /** The portable 32-bit hash: first 8 hex chars of md5(canonical). */
-  def hash(canonical: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getBytes(StandardCharsets.UTF_8))
+  /** The portable 32-bit hash: first 8 hex chars of md5(canonical).
+    * One-shot form (oracle replay, tests); the write path amortizes
+    * the digest through [[Collector.add]]. */
+  def hash(canonical: String): Long =
+    hashWith(java.security.MessageDigest.getInstance("MD5"), canonical)
+
+  private def hashWith(md: java.security.MessageDigest, canonical: String): Long = {
+    val d = md.digest(canonical.getBytes(StandardCharsets.UTF_8)) // digest() resets
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
   /** Canonical string of a non-null value — integer-family values
-    * render as their decimal string (= DuckDB's CAST(x AS VARCHAR)). */
+    * render as their decimal string, dates as ISO `yyyy-MM-dd`
+    * (= DuckDB's CAST(x AS VARCHAR) either way). */
   def canonical(dt: DataType, row: InternalRow, ordinal: Int): String = dt match {
     case StringType => row.getUTF8String(ordinal).toString
     case ByteType => row.getByte(ordinal).toString
     case ShortType => row.getShort(ordinal).toString
     case IntegerType => row.getInt(ordinal).toString
     case LongType => row.getLong(ordinal).toString
+    case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ordinal)).toString
     case other => throw new IllegalArgumentException(
       s"no NDV canonicalization for ${other.simpleString}")
   }
 
-  /** Bounded distinct min-k collector (TreeSet dedups; cap at K). */
+  /** Bounded distinct min-k collector (TreeSet dedups; cap at K). One
+    * per declared column per write task: the digest instance is held
+    * and reused across values (a fresh getInstance per row×column is
+    * pure allocation waste at 100 TB write volume), and once the set
+    * saturates, hashes at or above the current k-th minimum are
+    * rejected BEFORE the O(log K) insert — the overwhelming majority
+    * of values on a large segment. */
   final class Collector {
+    private val md = java.security.MessageDigest.getInstance("MD5")
     private val mins = new java.util.TreeSet[java.lang.Long]()
-    def add(h: Long): Unit = {
-      mins.add(h)
-      if (mins.size > K) mins.pollLast()
+    private var cap = Long.MaxValue // mins.last, once saturated
+
+    def add(canonical: String): Unit = {
+      val h = hashWith(md, canonical)
+      if (mins.size == K) {
+        if (h >= cap) return // not among the k smallest: skip the insert
+        mins.add(h)
+        if (mins.size > K) { mins.pollLast(); cap = mins.last }
+      } else {
+        mins.add(h)
+        if (mins.size == K) cap = mins.last
+      }
     }
+
     /** Base64 of the sorted hashes as 4-byte big-endian ints (hashes
       * are 32-bit by construction). */
     def base64: Option[String] =
       if (mins.isEmpty) None
       else {
-        val bb = java.nio.ByteBuffer.allocate(mins.size * 4)
-        mins.forEach(h => bb.putInt(h.intValue()))
-        Some(java.util.Base64.getEncoder.encodeToString(bb.array()))
+        val out = new Array[Long](mins.size)
+        val it = mins.iterator(); var i = 0
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        Some(encode(out))
       }
+  }
+
+  /** Encode sorted 32-bit hashes as base64 of 4-byte big-endian ints
+    * — the manifest wire form of both per-segment and table-level
+    * sketches. */
+  def encode(sorted: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(sorted.length * 4)
+    sorted.foreach(h => bb.putInt(h.toInt))
+    java.util.Base64.getEncoder.encodeToString(bb.array())
   }
 
   def decode(b64: String): Array[Long] = {
@@ -103,13 +145,39 @@ object SegmentNdv {
     Array.fill(bytes.length / 4)(bb.getInt().toLong & 0xffffffffL)
   }
 
-  /** Merge per-segment sketches and estimate NDV: the k smallest of
-    * the deduped union are the global min-k; fewer than K merged
-    * hashes means NO segment saturated, so the count is exact (modulo
-    * hash collisions — the same contract as the query-level KMV). */
-  def estimate(sketches: Seq[Array[Long]]): Double = {
-    val merged = sketches.flatten.distinct.sorted.take(K)
+  /** Merge sketches into the deduped global min-k, sorted ascending —
+    * the k smallest of the union are each in their sketch's k
+    * smallest, so merging sketches loses nothing vs sketching the
+    * concatenated data. */
+  def merge(sketches: Iterable[Array[Long]]): Array[Long] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    sketches.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val h = arr(i)
+        if (set.size < K) set.add(h)
+        else if (h < set.last) {
+          set.add(h)
+          if (set.size > K) set.pollLast()
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Estimate NDV from an already-merged (sorted, deduped, ≤K) sketch:
+    * fewer than K hashes means NO source saturated, so the count is
+    * exact (modulo hash collisions — the same contract as the
+    * query-level KMV). */
+  def estimateMerged(merged: Array[Long]): Double =
     if (merged.length < K) merged.length.toDouble
     else (K - 1).toDouble * 4294967296.0 / merged.last
-  }
+
+  /** Merge per-segment sketches and estimate NDV. */
+  def estimate(sketches: Seq[Array[Long]]): Double =
+    estimateMerged(merge(sketches))
 }

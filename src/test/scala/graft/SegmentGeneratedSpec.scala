@@ -202,4 +202,46 @@ class SegmentGeneratedSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat2.db.t (k, price) VALUES (2, 3.0)")
     assert(spark.sql(s"SELECT sum(cents) FROM $cat2.db.t").head().getLong(0) == 400L)
   }
+
+  test("session-context and timezone-sensitive expressions are refused at declaration") {
+    val cat = freshCat()
+    // current_user()/current_database(): the analyzer folds these to
+    // per-session LITERALS before any post-analysis walk, so the
+    // refusal must land at parse level — the same table would compute
+    // and validate different values across sessions otherwise
+    for (fn <- Seq("current_user()", "current_database()", "current_catalog()",
+        "upper(current_user)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.bad (k BIGINT, c STRING) " +
+          s"TBLPROPERTIES ('gen.c' = '$fn')")
+      }
+      assert(msgs(e).exists(_.contains("session")), s"$fn got: ${msgs(e)}")
+    }
+    // timezone-sensitive: CAST(ts AS STRING) and date_format read
+    // spark.sql.session.timeZone, so stored-equals-derivable breaks
+    // when the zone changes between sessions
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad2 (ts TIMESTAMP, s STRING) " +
+        "TBLPROPERTIES ('gen.s' = 'CAST(ts AS STRING)')")
+    }
+    assert(msgs(e1).exists(_.contains("timeZone")), s"got: ${msgs(e1)}")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad3 (d DATE, s STRING) " +
+        "TBLPROPERTIES ('gen.s' = 'date_format(d, \"yyyy\")')")
+    }
+    assert(msgs(e2).exists(_.contains("timeZone")), s"got: ${msgs(e2)}")
+    // zone-FREE date forms stay usable: CAST(date AS STRING) and
+    // year() never consult the session zone
+    spark.sql(s"CREATE TABLE $cat.db.ok (d DATE, s STRING, y INT) " +
+      "TBLPROPERTIES ('gen.s' = 'CAST(d AS STRING)', 'gen.y' = 'year(d)')")
+    spark.sql(s"INSERT INTO $cat.db.ok (d) VALUES (DATE'2024-03-05')")
+    val r = spark.sql(s"SELECT s, y FROM $cat.db.ok").head()
+    assert(r.getString(0) == "2024-03-05" && r.getInt(1) == 2024)
+    // a real column that happens to share a session-context keyword's
+    // name resolves as the COLUMN (column resolution wins) — usable
+    spark.sql(s"CREATE TABLE $cat.db.ok2 (user STRING, c STRING) " +
+      "TBLPROPERTIES ('gen.c' = 'upper(user)')")
+    spark.sql(s"INSERT INTO $cat.db.ok2 (user) VALUES ('bob')")
+    assert(spark.sql(s"SELECT c FROM $cat.db.ok2").head().getString(0) == "BOB")
+  }
 }

@@ -2712,13 +2712,99 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val e1 = intercept[Exception] {
       sample().write.format(Fmt).option("ndvFor", "score").mode("append").save(dir)
     }
-    assert(e1.getMessage.contains("STRING and the integer family") ||
+    assert(e1.getMessage.contains("STRING, DATE and the integer family") ||
       Option(e1.getCause).exists(_.getMessage.contains("integer family")))
     val e2 = intercept[Exception] {
       sample().write.format(Fmt).option("ndvFor", "nope").mode("append").save(dir)
     }
     assert(e2.getMessage.contains("not in schema") ||
       Option(e2.getCause).exists(_.getMessage.contains("not in schema")))
+  }
+
+  test("NDV: the commit pre-merges the table-level sketch; planning reads it in O(k); DATE columns hash portably") {
+    val dir = tmp("graft-seg-ndvm")
+    import spark.implicits._
+    def fs() = graft.sources.segment.SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    def m() = graft.sources.segment.SegmentLog.read(fs(), dir).get
+    import graft.sources.segment.SegmentNdv
+    // DATE joins the hashable family: canonical ISO yyyy-MM-dd
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      date_add(to_date(lit("2020-01-01")), (col("id") % 400).cast("int")).as("d"),
+      (col("id") % 7).cast("string").as("tag"))
+    df.repartition(4).write.format(Fmt).option("ndvFor", "id,d,tag")
+      .mode("append").save(dir)
+    // merged-at-commit ≡ merge-of-per-segment (KMV associativity, pinned)
+    def recomputed(c: String): Array[Long] = SegmentNdv.merge(
+      m().segments.map(s => SegmentNdv.decode(s.stats(c).kmv.get)))
+    for (c <- Seq("id", "d", "tag"))
+      assert(m().ndvMerged(c) == SegmentNdv.encode(recomputed(c)),
+        s"pre-merged sketch for $c diverges from per-segment merge")
+    // an incremental APPEND extends the stored merge — still identical
+    // to the from-scratch recompute
+    df.select((col("id") + 1000L).as("id"), col("d"), col("tag"))
+      .repartition(2).write.format(Fmt).option("ndvFor", "id,d,tag")
+      .mode("append").save(dir)
+    for (c <- Seq("id", "d", "tag"))
+      assert(m().ndvMerged(c) == SegmentNdv.encode(recomputed(c)),
+        s"incrementally extended sketch for $c diverges")
+    // planning serves distinctCount from the stored merge: DATE's 400
+    // distinct values land past k=256 (estimator arm), tag's 7 exact
+    val schema = spark.read.format(Fmt).load(dir).schema
+    val stats = new graft.sources.segment.GraftScanBuilder(dir, schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    def ndvOf(c: String) = stats.columnStats()
+      .get(org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .distinctCount().getAsLong
+    assert(ndvOf("tag") == 7L)
+    val dNdv = ndvOf("d")
+    assert(dNdv > 300 && dNdv < 500, s"DATE NDV estimate $dNdv (true 400)")
+    assert(ndvOf("d") == math.round(
+      SegmentNdv.estimateMerged(SegmentNdv.decode(m().ndvMerged("d")))),
+      "distinctCount must come from the stored table-level merge")
+    // compaction on a PATH table: ndvFor was a per-write option, never
+    // a persisted property, so the rewrite's segments carry no
+    // sketches — the table-level entries drop HONESTLY (absent beats
+    // stale) and distinctCount disappears with them
+    graft.sources.segment.GraftMaintenance.compact(spark, dir, "tag", 2)
+    assert(m().ndvMerged.isEmpty,
+      "sketchless rewrite segments must drop the pre-merged entries")
+    // compaction on a CATALOG table with the PERSISTED property: the
+    // rewrite re-sketches (effectiveNdv reads the manifest), and the
+    // recomputed table-level merge is VALUE-IDENTICAL — same rows,
+    // same sketch, through a completely different segment list
+    val cat = "gndvm"
+    val wh = tmp("graft-seg-ndvm-wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('ndvFor' = 'id,tag')")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT id, CAST(id % 7 AS STRING) FROM range(0, 1000)")
+    val catDir = s"$wh/db/t"
+    def mc() = graft.sources.segment.SegmentLog.read(fs(), catDir).get
+    val before = mc().ndvMerged
+    val beforePaths = mc().segments.map(_.path)
+    assert(before.keySet == Set("id", "tag"))
+    graft.sources.segment.GraftMaintenance.compact(spark, catDir, "tag", 2)
+    assert(mc().segments.map(_.path) != beforePaths, "live set must change")
+    for (c <- Seq("id", "tag")) {
+      assert(mc().ndvMerged(c) == before(c),
+        s"compaction must not change the table-level NDV sketch of $c (same rows)")
+      assert(mc().ndvMerged(c) == SegmentNdv.encode(SegmentNdv.merge(
+        mc().segments.map(s => SegmentNdv.decode(s.stats(c).kmv.get)))),
+        s"post-compaction sketch for $c diverges from per-segment merge")
+    }
+    // the DuckDB-parity canonical for DATE: a stored day-count renders
+    // as ISO yyyy-MM-dd, byte-identical to CAST(d AS VARCHAR)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](java.time.LocalDate.of(2020, 1, 5).toEpochDay.toInt))
+    assert(SegmentNdv.canonical(org.apache.spark.sql.types.DateType, row, 0)
+      == "2020-01-05")
   }
 
   test("a NaN anywhere in a double column poisons its zone-map bounds") {

@@ -368,4 +368,55 @@ class SegmentWidenSpec extends SparkSpec {
     assert(r.getDouble(0) == 190.0)
     assert(r.getDecimal(1) == new java.math.BigDecimal("190.00"))
   }
+
+  test("widening an NDV column out of the hashable family retires the declaration; int→long keeps it") {
+    val cat = "gwndv"
+    val wh = tmp("graft-widen-ndv")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k INT, n INT, s STRING) " +
+      "TBLPROPERTIES ('ndvFor' = 'k,n,s')")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT CAST(id % 40 AS INT), CAST(id AS INT), CAST(id % 5 AS STRING) " +
+      "FROM range(0, 500)")
+    val f = fs(s"$wh/db/t")
+    def m() = SegmentLog.read(f, s"$wh/db/t").get
+    assert(m().props("ndvFor").split(",").toSet == Set("k", "n", "s"))
+    assert(m().ndvMerged.keySet == Set("k", "n", "s"))
+    // int→long: the canonical string (decimal digits) is type-invariant,
+    // so old sketches stay exact — the declaration survives
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN k TYPE BIGINT")
+    assert(m().props("ndvFor").split(",").toSet == Set("k", "n", "s"))
+    // int→double: unhashable — silently dead sketch collection is the
+    // failure mode, so the widen RETIRES the declaration (and the
+    // pre-merged entry follows at the next data commit)
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN n TYPE DOUBLE")
+    assert(m().props("ndvFor").split(",").toSet == Set("k", "s"),
+      s"widen must drop n from ndvFor, got ${m().props.get("ndvFor")}")
+    // post-widen writes keep sketching the surviving declarations and
+    // the table still serves their distinctCount
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT CAST(id % 40 AS BIGINT), CAST(id AS DOUBLE), " +
+      "CAST(id % 5 AS STRING) FROM range(500, 600)")
+    val schema = spark.read.format(Fmt).load(s"$wh/db/t").schema
+    val stats = new graft.sources.segment.GraftScanBuilder(s"$wh/db/t", schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    def ndvOf(c: String) = stats.columnStats()
+      .get(org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .distinctCount()
+    assert(ndvOf("k").getAsLong == 40L, "int→long keeps exact NDV across the widen")
+    assert(ndvOf("s").getAsLong == 5L)
+    assert(!ndvOf("n").isPresent, "the retired column reports no distinctCount")
+    // dropping the LAST declared column removes the property entirely
+    spark.sql(s"CREATE TABLE $cat.db.one (a INT, b STRING) " +
+      "TBLPROPERTIES ('ndvFor' = 'a')")
+    spark.sql(s"INSERT INTO $cat.db.one VALUES (1, 'x')")
+    spark.sql(s"ALTER TABLE $cat.db.one ALTER COLUMN a TYPE DOUBLE")
+    assert(!SegmentLog.read(fs(s"$wh/db/one"), s"$wh/db/one").get
+      .props.contains("ndvFor"))
+  }
 }
