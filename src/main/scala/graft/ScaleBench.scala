@@ -107,7 +107,11 @@ object ScaleBench {
     "store_segment_generated",
     // NDV sketches: write cost is the table write (the collector rides
     // the encoder), the estimate itself is manifest-sized (~flat)
-    "store_segment_ndv")
+    "store_segment_ndv",
+    // round-14: the span-annotation shape (array<struct> elements
+    // carrying token arrays) — synth/store/re-derive must track
+    // document rows; the shape takes the row reader by design
+    "store_segment_spans")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -3389,6 +3389,35 @@ object SparkEntry {
             .as("total_qty"))
         .orderBy("k")
     }),
+    // the SPAN-ANNOTATION shape on the native format (r14):
+    // array<struct<s, e, tokens array<int>>> — per-doc span lists
+    // whose elements carry their own token-offset arrays, the
+    // LLM-pipeline annotation column that used to hit the one-level
+    // nesting refusal. Spans are synthesized CLOSED-FORM from doc_id
+    // (span i of m = doc_id%3+1 spans: s = 10i, e = 10i + doc_id%7,
+    // tokens = [i .. i + doc_id%4]), stored, read back, and re-derived
+    // as scalars — so element order, per-field presence bytes, and the
+    // nested array bytes all land in the hashes; DuckDB replays the
+    // arithmetic without ever building the nested value
+    "store_segment_spans" -> ((s, d) => withTempDir("graft-segspans") { base =>
+      val dir = s"$base/t"
+      Tables.documents(s, d).select(col("doc_id").as("k"),
+          expr("transform(sequence(0, CAST(doc_id % 3 AS INT)), i -> " +
+            "named_struct('s', CAST(i * 10 AS INT), " +
+            "'e', CAST(i * 10 + doc_id % 7 AS INT), " +
+            "'tokens', transform(sequence(i, i + CAST(doc_id % 4 AS INT)), " +
+            "x -> CAST(x AS INT))))").as("spans"))
+        .write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .select(col("k"),
+          size(col("spans")).as("n_spans"),
+          col("spans")(0).getField("e").as("first_e"),
+          expr("CAST(aggregate(flatten(spans.tokens), 0L, (a, x) -> a + x) " +
+            "AS BIGINT)").as("tok_total"))
+        .orderBy("k")
+    }),
     "store_segment_typed" -> ((s, d) => withTempDir("graft-segtyped") { base =>
       val dir = s"$base/t"
       Tables.documents(s, d).select(
@@ -6444,6 +6473,17 @@ object SparkEntry {
         "CAST(min(l_partkey) AS BIGINT) AS first_pid, " +
         "CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty " +
         "FROM lineitem GROUP BY l_orderkey ORDER BY k"),
+
+    // the span shape replays closed-form: n_spans = m+1, first_e =
+    // doc_id%7, tok_total = sum over spans i=0..m of sum(i..i+q) with
+    // m = doc_id%3, q = doc_id%4 — integer division is exact (m(m+1)
+    // and q(q+1) are even), // keeps DuckDB in the integer domain
+    "store_segment_spans" ->
+      ("SELECT doc_id AS k, CAST(doc_id % 3 + 1 AS INT) AS n_spans, " +
+        "CAST(doc_id % 7 AS INT) AS first_e, " +
+        "CAST((doc_id % 4 + 1) * ((doc_id % 3) * (doc_id % 3 + 1) // 2) + " +
+        "(doc_id % 3 + 1) * ((doc_id % 4) * (doc_id % 4 + 1) // 2) AS BIGINT) AS tok_total " +
+        "FROM documents ORDER BY k"),
 
     "store_segment_mor_bulk" ->
       ("SELECT o_orderkey AS k, " +

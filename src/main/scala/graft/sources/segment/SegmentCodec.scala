@@ -61,17 +61,35 @@ object SegmentCodec {
     case _ => false
   }
 
+  /** The array shapes a top-level column may take — also what a
+    * struct FIELD or array<struct> ELEMENT FIELD may carry (r14): the
+    * span-annotation shape `array<struct<start, end, tokens
+    * array<int>>>` is the LLM-pipeline column (per-span token-offset
+    * lists) that used to hit the one-level refusal. The row codec's
+    * write/read/skip recursion over SpecializedGetters is shape-
+    * generic, so admitting the field form is purely a gate change;
+    * stats stay honest automatically (array-typed children collect no
+    * zone maps — `sound = false` — so nothing over-claims pruning). */
+  private def scalarArray(dt: DataType): Boolean = dt match {
+    case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
+    case _ => false
+  }
+
   def supported(dt: DataType): Boolean = dt match {
     case t if atomic(t) => true
-    case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
-    // ONE level of nesting: struct fields, map keys/values, and array
-    // STRUCT elements are atomic (metadata records, tag→weight maps,
-    // per-order item lists / per-doc span annotations — the reference's
-    // own items[] shape); deeper nesting is refused loudly
-    case StructType(fields) => fields.nonEmpty && fields.forall(f => atomic(f.dataType))
+    case t if scalarArray(t) => true
+    // bounded nesting: struct fields and array-STRUCT element fields
+    // are atomic OR arrays-of-scalars (metadata records, tag→weight
+    // maps, per-order item lists, per-doc span annotations with token
+    // lists — the reference's items[] shape and the LLM span shape);
+    // map keys/values stay atomic. struct<struct<…>>, array<array<…>>
+    // and map-nested forms are refused loudly.
+    case StructType(fields) => fields.nonEmpty &&
+      fields.forall(f => atomic(f.dataType) || scalarArray(f.dataType))
     case MapType(k, v, _) => atomic(k) && atomic(v)
     case ArrayType(st: StructType, _) =>
-      st.fields.nonEmpty && st.fields.forall(f => atomic(f.dataType))
+      st.fields.nonEmpty &&
+        st.fields.forall(f => atomic(f.dataType) || scalarArray(f.dataType))
     // Spark 4 Variant stores as the (value, metadata) binary pair it
     // already is — semi-structured props/sidecar columns land on the
     // format without a schema-inference pass. TOP-LEVEL columns only
@@ -87,9 +105,9 @@ object SegmentCodec {
     require(bad.isEmpty,
       s"graft-segment supports the atomic types (Byte/Short/Int/Long/Double/" +
         s"Float/Boolean/String/Binary/Decimal/Timestamp/Date), arrays of " +
-        s"Int/Long/Float/Double/String, structs of atomics, maps of " +
-        s"atomics, arrays of structs of atomics, and top-level Variant " +
-        s"columns; unsupported: " +
+        s"Int/Long/Float/Double/String, structs and arrays of structs " +
+        s"whose fields are atomics or arrays of those scalars, maps of " +
+        s"atomics, and top-level Variant columns; unsupported: " +
         s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
   }
 
@@ -235,12 +253,26 @@ object SegmentCodec {
     * unchanged, only the container widens). Any other pair is a
     * decode-time contract violation (the read path refuses it before
     * the codec runs) — fail loudly, never mis-read bytes. */
+  /** Strip nullability flags recursively — nullability is NOT part of
+    * the byte contract (per-value presence markers carry it), so type
+    * comparisons on the decode path must not fork on `containsNull` /
+    * field `nullable` differences between a write-time schema (e.g.
+    * `transform()` output, whose nested arrays are containsNull=false)
+    * and Spark's pruned read schema (normalized nullable). */
+  def shape(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(shape(et), containsNull = true)
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, shape(f.dataType), nullable = true)))
+    case MapType(k, v, _) => MapType(shape(k), shape(v), valueContainsNull = true)
+    case other => other
+  }
+
   def upcast(stored: DataType, required: DataType): Int = (stored, required) match {
-    case (s, r) if s == r => 0
+    case (s, r) if s == r || shape(s) == shape(r) => 0
     case (IntegerType, LongType) => 1
     case (FloatType, DoubleType) => 2
-    case (ArrayType(IntegerType, a), ArrayType(LongType, b)) if a == b => 3
-    case (ArrayType(FloatType, a), ArrayType(DoubleType, b)) if a == b => 4
+    case (ArrayType(IntegerType, _), ArrayType(LongType, _)) => 3
+    case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => 4
     case (IntegerType, DoubleType) => 5
     case (s: DecimalType, r: DecimalType)
         if s.scale == r.scale && r.precision > s.precision => 6
@@ -258,8 +290,8 @@ object SegmentCodec {
     // plans array<struct<quantity>> over a stored array<struct<...>>
     // (Spark's GetArrayStructFields + nested schema pruning); unneeded
     // element fields skip per element, same discipline as code 8
-    case (ArrayType(s: StructType, a), ArrayType(r: StructType, b))
-        if a == b && isPrunedStruct(s, r) => 9
+    case (ArrayType(s: StructType, _), ArrayType(r: StructType, _))
+        if isPrunedStruct(s, r) => 9
     case _ => throw new IllegalArgumentException(
       s"cannot decode a ${stored.simpleString} column as ${required.simpleString}")
   }
@@ -272,7 +304,8 @@ object SegmentCodec {
     var ri = 0
     while (ri < r.length) {
       while (si < s.length && s(si).name != r(ri).name) si += 1
-      if (si >= s.length || s(si).dataType != r(ri).dataType) return false
+      if (si >= s.length ||
+          shape(s(si).dataType) != shape(r(ri).dataType)) return false
       si += 1; ri += 1
     }
     true
@@ -721,7 +754,12 @@ object SegmentCodec {
     case _: DecimalType => true
     case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
     // struct fields write POSITIONALLY into child vectors — every
-    // atomic type has a positional put, decimals included
+    // atomic type has a positional put, decimals included. An
+    // ARRAY-typed field (r14's span shape) has no positional put and
+    // would need per-row offset bookkeeping in the field's own child —
+    // supported() admits it, the ROW reader serves it (deliberate:
+    // correctness first, columnar decode for the shape is a measured
+    // follow-up, spec-pinned in SegmentArrayStructSpec)
     case StructType(fields) => fields.forall(f => atomic(f.dataType))
     // map entries APPEND into the two child vectors; decimals have no
     // append form, so decimal-keyed/valued maps take the row reader
@@ -730,7 +768,9 @@ object SegmentCodec {
       appendable(k) && appendable(v)
     // array<struct> elements appendStruct into the element vector and
     // the fields append into ITS children in lockstep (the map-arm
-    // discipline) — decimal fields take the row reader like maps
+    // discipline) — decimal fields take the row reader like maps, and
+    // so do array-typed element fields (the span shape; see the struct
+    // arm's note)
     case ArrayType(st: StructType, _) =>
       st.fields.forall(f => atomic(f.dataType) && !f.dataType.isInstanceOf[DecimalType])
     case _ => false

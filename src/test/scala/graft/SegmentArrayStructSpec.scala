@@ -177,4 +177,145 @@ class SegmentArrayStructSpec extends SparkSpec {
     assert(zeroed == 2)
     assert(spark.sql("SELECT count(*) FROM gas.db.t").head().getLong(0) == 20)
   }
+
+  // ---- r14: the SPAN-ANNOTATION shape — array<struct> elements (and
+  // plain struct fields) carrying arrays of scalars ----
+
+  private val spanType = ArrayType(StructType(Seq(
+    StructField("s", IntegerType),
+    StructField("e", IntegerType),
+    StructField("tokens", ArrayType(IntegerType)))))
+
+  private def spansDf = {
+    val rows = (0 until 150).map { i =>
+      val spans =
+        if (i % 11 == 0) null // whole-array null
+        else Seq.tabulate(i % 3) { j =>
+          Row(j * 10, j * 10 + i % 7,
+            // tokens NULL on every fourth span (field presence byte),
+            // EMPTY on every fifth (n = 0), else j..j+i%4
+            if (j % 4 == 3) null
+            else if (j % 5 == 4) Seq.empty[Int]
+            else (j to j + i % 4).toSeq)
+        }
+      Row(i.toLong, spans)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("spans", spanType))))
+  }
+
+  test("span shape roundtrip: array<struct<s, e, tokens array<int>>> — null/empty token lists, null spans arrays") {
+    val dir = tmp("graft-span-rt")
+    spansDf.write.format(Fmt).mode("append").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema("spans").dataType == spanType)
+    val got = back.orderBy("k").collect()
+    val want = spansDf.orderBy("k").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"row k=${w.getLong(0)}") }
+    // the shape deliberately takes the ROW reader (no positional put
+    // for an array field inside a struct child vector yet)
+    assert(!SegmentCodec.vectorizable(spanType))
+    // a plain STRUCT column with an array field is admitted too
+    val stArr = StructType(Seq(StructField("a", IntegerType),
+      StructField("xs", ArrayType(FloatType))))
+    assert(SegmentCodec.supported(stArr) && !SegmentCodec.vectorizable(stArr))
+    val dir2 = tmp("graft-span-st")
+    val rows2 = (0 until 50).map(i => Row(i.toLong,
+      if (i % 9 == 0) null else Row(i, Seq.tabulate(i % 4)(j => j * 0.5f + i))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows2, 2),
+        StructType(Seq(StructField("k", LongType, nullable = false),
+          StructField("st", stArr))))
+      .write.format(Fmt).mode("append").save(dir2)
+    val back2 = spark.read.format(Fmt).load(dir2).orderBy("k").collect()
+    assert(back2.length == 50 && back2(9).isNullAt(1) &&
+      back2(7).getStruct(1).getSeq[Float](1) == Seq(7.0f, 7.5f, 8.0f))
+  }
+
+  test("span shape: nested element pruning keeps or skips the token arrays byte-exactly") {
+    val dir = tmp("graft-span-prune")
+    spansDf.write.format(Fmt).mode("append").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    // project ONLY the scalar element fields: the token-array bytes
+    // SKIP per element (upcast code 9 + the generic array skip)
+    val ends = back.selectExpr("k", "transform(spans, x -> x.e) AS es")
+      .orderBy("k").collect()
+    val wantEnds = spansDf.selectExpr("k", "transform(spans, x -> x.e) AS es")
+      .orderBy("k").collect()
+    ends.zip(wantEnds).foreach { case (g, w) => assert(g == w) }
+    // project ONLY the token arrays: scalars skip, arrays materialize
+    val toks = back.selectExpr("k",
+        "aggregate(flatten(filter(spans.tokens, x -> x IS NOT NULL)), 0L, (a, x) -> a + x) AS tt")
+      .orderBy("k").collect()
+    val wantToks = spansDf.selectExpr("k",
+        "aggregate(flatten(filter(spans.tokens, x -> x IS NOT NULL)), 0L, (a, x) -> a + x) AS tt")
+      .orderBy("k").collect()
+    toks.zip(wantToks).foreach { case (g, w) => assert(g == w) }
+    // null ELEMENTS inside a token array are refused with the dense
+    // discipline (whole-array null and empty arrays are fine, above)
+    val bad = Seq(Row(1L, Seq(Row(0, 1, Seq[Any](1, null, 3)))))
+    val e = intercept[Exception] {
+      spark.createDataFrame(spark.sparkContext.parallelize(bad, 1),
+        StructType(Seq(StructField("k", LongType, nullable = false),
+          StructField("spans", spanType))))
+        .write.format(Fmt).mode("append").save(tmp("graft-span-bad"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("densely non-null")), s"got: ${msgs(e)}")
+  }
+
+  test("span shape: deeper nesting, DEFAULT, widening, blooms and NDV all refuse or no-op soundly") {
+    // still refused: array<array<…>> fields, struct-in-struct,
+    // map-valued fields, variant fields
+    assert(!SegmentCodec.supported(ArrayType(StructType(Seq(
+      StructField("xs", ArrayType(ArrayType(IntegerType))))))))
+    assert(!SegmentCodec.supported(ArrayType(StructType(Seq(
+      StructField("inner", StructType(Seq(StructField("x", IntegerType)))))))))
+    assert(!SegmentCodec.supported(ArrayType(StructType(Seq(
+      StructField("m", MapType(StringType, IntegerType)))))))
+    assert(!SegmentCodec.supported(StructType(Seq(
+      StructField("m", MapType(StringType, IntegerType))))))
+    // map keys/values stay atomic-only
+    assert(!SegmentCodec.supported(MapType(StringType, ArrayType(IntegerType))))
+    // DDL interplays on a declared span column: DEFAULT refused
+    // (atomic-only), whole-column widen refused, bloom/NDV
+    // declarations refused (non-hashable) — each loudly
+    val warehouse = tmp("graft-span-wh")
+    spark.conf.set("spark.sql.catalog.gspan", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspan.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gspan.db")
+    spark.sql("CREATE TABLE gspan.db.t (k BIGINT, " +
+      "spans ARRAY<STRUCT<s: INT, e: INT, tokens: ARRAY<INT>>>)")
+    spark.sql("INSERT INTO gspan.db.t SELECT id, array(named_struct(" +
+      "'s', CAST(0 AS INT), 'e', CAST(id AS INT), " +
+      "'tokens', array(CAST(id AS INT)))) FROM range(0, 10)")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val d = intercept[Exception] {
+      spark.sql("ALTER TABLE gspan.db.t ADD COLUMN s2 " +
+        "ARRAY<STRUCT<s: INT, tokens: ARRAY<INT>>> DEFAULT array()")
+    }
+    assert(msgs(d).exists(m => m.contains("atomic column types") ||
+      m.contains("DEFAULT")), s"got: ${msgs(d)}")
+    val w = intercept[Exception] {
+      spark.sql("ALTER TABLE gspan.db.t ALTER COLUMN spans " +
+        "TYPE ARRAY<STRUCT<s: BIGINT, e: INT, tokens: ARRAY<INT>>>")
+    }
+    assert(w.getMessage != null)
+    val b = intercept[Exception] {
+      spark.sql("ALTER TABLE gspan.db.t SET TBLPROPERTIES ('ndvFor' = 'spans')")
+    }
+    assert(msgs(b).exists(_.contains("integer family")), s"got: ${msgs(b)}")
+    // CHECK over a derived scalar of the shape works (analyzes + enforces)
+    spark.sql("ALTER TABLE gspan.db.t SET TBLPROPERTIES " +
+      "('check.has_spans' = 'size(spans) > 0')")
+    val c = intercept[Exception] {
+      spark.sql("INSERT INTO gspan.db.t VALUES (99, array())")
+    }
+    assert(msgs(c).exists(_.contains("CHECK constraint has_spans")), s"got: ${msgs(c)}")
+    assert(spark.sql("SELECT count(*) FROM gspan.db.t").head().getLong(0) == 10)
+  }
 }
