@@ -111,7 +111,12 @@ object ScaleBench {
     // round-14: the span-annotation shape (array<struct> elements
     // carrying token arrays) — synth/store/re-derive must track
     // document rows; the shape takes the row reader by design
-    "store_segment_spans")
+    "store_segment_spans",
+    // round-14: the kNN edge build at PRODUCTION settings — nc ∝ √N
+    // (the certificate pins nc for oracle determinism, which makes its
+    // pair count scale ×factor² at fixed nc; this probe measures the
+    // O(N^1.5) claim directly: expected ratio ≈ factor^1.5)
+    "emb_knn_sqrtnc")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -137,8 +142,22 @@ object ScaleBench {
 
     synthesize(spark, baseDir, synthDir, factor)
 
+    // ScaleBench-only probes: shapes whose PRODUCTION parameterization
+    // depends on N (so they cannot be fixed-parameter oracle queries).
+    // emb_knn_sqrtnc builds the 5-NN edge frame with nc = ⌈√N⌉ — the
+    // documented production sizing — so the measured base→scaled ratio
+    // IS the build's scaling exponent (≈ factor^1.5 when the O(N^1.5)
+    // claim holds), instead of the certificate's nc-pinned ×factor².
+    val probes: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "emb_knn_sqrtnc" -> ((s, dir) => {
+        val emb = graft.sources.Tables.embeddings(s, dir)
+        val nc = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+        graft.ops.PageRank.knnEdgesBucketed(emb, k = 5, nc = nc,
+          iters = 2, nprobe = 2)
+      }))
+
     def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
+      val fn = probes.getOrElse(name, SparkEntry.queries(name))
       fn(spark, dir).count() // warm plan/JIT
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

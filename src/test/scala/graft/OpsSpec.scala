@@ -2113,4 +2113,31 @@ class OpsSpec extends SparkSpec {
     assert(r2 >= 0.3, s"nprobe=2 recall $r2 below 0.3")
     assert(r4 >= 0.55, s"nprobe=4 recall $r4 below 0.55")
   }
+
+  test("bucketed kNN edges on a CLUSTERED corpus: recall >= 0.8 at the nprobe=2 default") {
+    import spark.implicits._
+    // the diffuse-corpus arm above is the PESSIMAL input (near-uniform
+    // vectors make IVF cells arbitrary); real embedding corpora
+    // cluster, and the certified number should live on that case too.
+    // 24 well-separated centers x 40 members, 24-dim, deterministic
+    // integer base + 1% jitter (the PqSpec clustered-data pattern):
+    // a member's true 5-NN are cluster mates, which IVF routing keeps
+    // together — recall at nprobe=2 must clear 0.8, well above the
+    // 0.48 the same knob measures on the diffuse corpus.
+    val vecs = for (c <- 0 until 24; j <- 0 until 40) yield {
+      val v = Array.tabulate(24) { i =>
+        ((c * 37 + i * 19) % 17 - 8).toFloat + ((j * 11 + i * 5 + c) % 7 - 3) * 0.01f
+      }
+      (c * 40L + j, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = graft.ops.PageRank.knnEdgesWeighted(emb, 5)
+      .select(col("src"), col("dst"))
+    val nExact = exact.count()
+    val b = graft.ops.PageRank.knnEdgesBucketed(emb, 5,
+      nc = 24, iters = 2, nprobe = 2).select(col("src"), col("dst"))
+    assert(b.count() == vecs.size.toLong * 5)
+    val recall = exact.intersect(b).count().toDouble / nExact
+    assert(recall >= 0.8, s"clustered-corpus recall $recall below 0.8")
+  }
 }
