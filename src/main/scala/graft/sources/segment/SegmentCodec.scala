@@ -69,7 +69,9 @@ object SegmentCodec {
     * write/read/skip recursion over SpecializedGetters is shape-
     * generic, so admitting the field form is purely a gate change;
     * stats stay honest automatically (array-typed children collect no
-    * zone maps — `sound = false` — so nothing over-claims pruning). */
+    * zone maps — `sound = false` — so nothing over-claims pruning),
+    * and the columnar reader serves the shape too (appendArray
+    * windows / positional window puts — see [[vectorizable]]). */
   private def scalarArray(dt: DataType): Boolean = dt match {
     case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
     case _ => false
@@ -755,12 +757,11 @@ object SegmentCodec {
     case ArrayType(IntegerType | LongType | FloatType | DoubleType | StringType, _) => true
     // struct fields write POSITIONALLY into child vectors — every
     // atomic type has a positional put, decimals included. An
-    // ARRAY-typed field (r14's span shape) has no positional put and
-    // would need per-row offset bookkeeping in the field's own child —
-    // supported() admits it, the ROW reader serves it (deliberate:
-    // correctness first, columnar decode for the shape is a measured
-    // follow-up, spec-pinned in SegmentArrayStructSpec)
-    case StructType(fields) => fields.forall(f => atomic(f.dataType))
+    // ARRAY-typed field (r14's span shape) combines both disciplines:
+    // elements APPEND into the field child's own element vector, the
+    // (offset, length) window puts POSITIONALLY at the row index
+    case StructType(fields) =>
+      fields.forall(f => atomic(f.dataType) || scalarArray(f.dataType))
     // map entries APPEND into the two child vectors; decimals have no
     // append form, so decimal-keyed/valued maps take the row reader
     case MapType(k, v, _) =>
@@ -768,11 +769,13 @@ object SegmentCodec {
       appendable(k) && appendable(v)
     // array<struct> elements appendStruct into the element vector and
     // the fields append into ITS children in lockstep (the map-arm
-    // discipline) — decimal fields take the row reader like maps, and
-    // so do array-typed element fields (the span shape; see the struct
-    // arm's note)
+    // discipline) — decimal fields take the row reader like maps;
+    // array-typed element fields ride appendArray (window first,
+    // elements after — the WritableColumnVector append contract)
     case ArrayType(st: StructType, _) =>
-      st.fields.forall(f => atomic(f.dataType) && !f.dataType.isInstanceOf[DecimalType])
+      st.fields.forall(f =>
+        (atomic(f.dataType) && !f.dataType.isInstanceOf[DecimalType]) ||
+          scalarArray(f.dataType))
     case _ => false
   }
 
@@ -990,9 +993,31 @@ object SegmentCodec {
       s"no integer-family widen target ${other.simpleString}")
   }
 
-  /** Positional decode of one atomic value into a child vector at row
-    * `r` — the struct-field path (structs never widen, so the stored
-    * and required types coincide). */
+  /** Append `n` dense scalar elements into an ELEMENT vector — the
+    * shared tail of every array decode (top-level arrays, map
+    * children, and r14's array-typed struct/element fields). */
+  private def appendScalarElements(in: DataInputStream, et: DataType,
+      ac: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      n: Int): Unit = {
+    var i = 0
+    et match {
+      case IntegerType => while (i < n) { ac.appendInt(in.readInt()); i += 1 }
+      case LongType => while (i < n) { ac.appendLong(in.readLong()); i += 1 }
+      case FloatType => while (i < n) { ac.appendFloat(in.readFloat()); i += 1 }
+      case DoubleType => while (i < n) { ac.appendDouble(in.readDouble()); i += 1 }
+      case StringType => while (i < n) {
+        val m = in.readInt(); val b = new Array[Byte](m); in.readFully(b)
+        ac.appendByteArray(b, 0, m); i += 1
+      }
+      case other => throw new IllegalArgumentException(
+        s"not an appendable array element: ${other.simpleString}")
+    }
+  }
+
+  /** Positional decode of one atomic (or array-of-scalars — the span
+    * shape) value into a child vector at row `r` — the struct-field
+    * path (structs never widen, so the stored and required types
+    * coincide). */
   private def putAtomic(in: DataInputStream, dt: DataType,
       v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
       r: Int): Unit = dt match {
@@ -1014,13 +1039,29 @@ object SegmentCodec {
         v.putDecimal(r, Decimal(new java.math.BigDecimal(
           new java.math.BigInteger(b), d.scale), d.precision, d.scale), d.precision)
       }
+    case ArrayType(et, _) =>
+      // the field child is itself an array vector: elements append
+      // into ITS element vector, the (offset, length) window puts at
+      // the struct's row index — rows whose struct (or field) is null
+      // simply never put a window, and the parent/field null mark
+      // keeps the garbage slot unreadable
+      val n = in.readInt()
+      val ac = v.arrayData()
+        .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+      val start = ac.getElementsAppended
+      appendScalarElements(in, et, ac, n)
+      v.putArray(r, start, n)
     case other => throw new IllegalArgumentException(
       s"not a positional atomic decode: ${other.simpleString}")
   }
 
   /** Append-style decode of one atomic value into a map's key/value
     * child vector (decimals excluded — no append form; the
-    * [[vectorizable]] gate routes them to the row reader). */
+    * [[vectorizable]] gate routes them to the row reader), or of an
+    * array-of-scalars field inside an array<struct> element (the span
+    * shape): appendArray records the window over the element vector's
+    * CURRENT high-water mark, then the elements append after it — the
+    * WritableColumnVector append contract. */
   private def appendAtomic(in: DataInputStream, dt: DataType,
       v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = dt match {
     case IntegerType | DateType => v.appendInt(in.readInt())
@@ -1033,6 +1074,11 @@ object SegmentCodec {
     case StringType | BinaryType =>
       val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
       v.appendByteArray(b, 0, n)
+    case ArrayType(et, _) =>
+      val n = in.readInt()
+      v.appendArray(n)
+      appendScalarElements(in, et, v.arrayData()
+        .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector], n)
     case other => throw new IllegalArgumentException(
       s"not an appendable atomic decode: ${other.simpleString}")
   }

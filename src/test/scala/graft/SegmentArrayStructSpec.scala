@@ -211,17 +211,21 @@ class SegmentArrayStructSpec extends SparkSpec {
     spansDf.write.format(Fmt).mode("append").save(dir)
     val back = spark.read.format(Fmt).load(dir)
     assert(back.schema("spans").dataType == spanType)
-    val got = back.orderBy("k").collect()
+    val df = back.orderBy("k")
+    val got = df.collect()
     val want = spansDf.orderBy("k").collect()
     assert(got.length == want.length)
     got.zip(want).foreach { case (g, w) => assert(g == w, s"row k=${w.getLong(0)}") }
-    // the shape deliberately takes the ROW reader (no positional put
-    // for an array field inside a struct child vector yet)
-    assert(!SegmentCodec.vectorizable(spanType))
-    // a plain STRUCT column with an array field is admitted too
+    // the shape reads COLUMNAR: the element field's token arrays ride
+    // appendArray windows over the field child's element vector
+    assert(SegmentCodec.vectorizable(spanType))
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "the span shape must read columnar")
+    // a plain STRUCT column with an array field is admitted too —
+    // positional window put at the struct's row index
     val stArr = StructType(Seq(StructField("a", IntegerType),
       StructField("xs", ArrayType(FloatType))))
-    assert(SegmentCodec.supported(stArr) && !SegmentCodec.vectorizable(stArr))
+    assert(SegmentCodec.supported(stArr) && SegmentCodec.vectorizable(stArr))
     val dir2 = tmp("graft-span-st")
     val rows2 = (0 until 50).map(i => Row(i.toLong,
       if (i % 9 == 0) null else Row(i, Seq.tabulate(i % 4)(j => j * 0.5f + i))))
