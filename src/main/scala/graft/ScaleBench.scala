@@ -109,9 +109,9 @@ object ScaleBench {
     // the encoder), the estimate itself is manifest-sized (~flat)
     "store_segment_ndv",
     // round-14: the span-annotation shape (array<struct> elements
-    // carrying token arrays) — synth/store/re-derive must track
-    // document rows; the shape takes the row reader by design
-    "store_segment_spans",
+    // carrying token arrays) and struct-valued maps — synth/store/
+    // re-derive must track document rows; both decode columnar
+    "store_segment_spans", "store_segment_map_struct",
     // round-14: the kNN edge build at PRODUCTION settings — nc ∝ √N
     // (the certificate pins nc for oracle determinism, which makes its
     // pair count scale ×factor² at fixed nc; this probe measures the

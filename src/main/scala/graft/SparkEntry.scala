@@ -3418,6 +3418,37 @@ object SparkEntry {
             "AS BIGINT)").as("tok_total"))
         .orderBy("k")
     }),
+    // map<string, struct-of-atomics> on the native format (r14): the
+    // tag → (count, weight, label) metadata shape. Entries synthesized
+    // closed-form from doc_id (key tj for j = 0..doc_id%3; n =
+    // doc_id%100 + j, w = (doc_id%9)/2 + j, lbl = 'lj' on even j else
+    // NULL — the per-FIELD presence byte inside a map value), stored,
+    // read back, re-derived as scalars: key count, a point lookup's
+    // int field, the value-sum over w (every term a multiple of 0.5 —
+    // exact in binary, order-free), and a lookup that is present-
+    // with-NULL vs absent depending on doc_id%3. DuckDB replays the
+    // arithmetic without building the map
+    "store_segment_map_struct" -> ((s, d) => withTempDir("graft-segmapst") { base =>
+      val dir = s"$base/t"
+      Tables.documents(s, d).select(col("doc_id").as("k"),
+          expr("map_from_entries(transform(sequence(0, CAST(doc_id % 3 AS INT)), " +
+            "j -> struct(concat('t', CAST(j AS STRING)), " +
+            "named_struct('n', CAST(doc_id % 100 + j AS INT), " +
+            "'w', CAST((doc_id % 9) * 0.5 + j AS DOUBLE), " +
+            "'lbl', CASE WHEN j % 2 = 1 THEN CAST(NULL AS STRING) " +
+            "ELSE concat('l', CAST(j AS STRING)) END))))").as("m"))
+        .write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .select(col("k"),
+          size(col("m")).as("n_keys"),
+          element_at(col("m"), "t0").getField("n").as("t0_n"),
+          expr("CAST(aggregate(map_values(m), 0D, (a, v) -> a + v.w) AS DOUBLE)")
+            .as("w_sum"),
+          element_at(col("m"), "t2").getField("lbl").as("lbl2"))
+        .orderBy("k")
+    }),
     "store_segment_typed" -> ((s, d) => withTempDir("graft-segtyped") { base =>
       val dir = s"$base/t"
       Tables.documents(s, d).select(
@@ -6483,6 +6514,18 @@ object SparkEntry {
         "CAST(doc_id % 7 AS INT) AS first_e, " +
         "CAST((doc_id % 4 + 1) * ((doc_id % 3) * (doc_id % 3 + 1) // 2) + " +
         "(doc_id % 3 + 1) * ((doc_id % 4) * (doc_id % 4 + 1) // 2) AS BIGINT) AS tok_total " +
+        "FROM documents ORDER BY k"),
+
+    // the map<string, struct> shape replays closed-form: w_sum =
+    // Σ_{j=0..m} ((doc_id%9)/2 + j) = (m+1)(doc_id%9)/2 + m(m+1)/2
+    // with m = doc_id%3 — 0.5-granular terms are exact doubles, and
+    // // keeps the triangular term in the integer domain
+    "store_segment_map_struct" ->
+      ("SELECT doc_id AS k, CAST(doc_id % 3 + 1 AS INT) AS n_keys, " +
+        "CAST(doc_id % 100 AS INT) AS t0_n, " +
+        "CAST((doc_id % 3 + 1) * (doc_id % 9) * 0.5 + " +
+        "((doc_id % 3) * (doc_id % 3 + 1) // 2) AS DOUBLE) AS w_sum, " +
+        "CASE WHEN doc_id % 3 >= 2 THEN 'l2' END AS lbl2 " +
         "FROM documents ORDER BY k"),
 
     "store_segment_mor_bulk" ->

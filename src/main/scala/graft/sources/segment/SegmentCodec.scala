@@ -88,7 +88,16 @@ object SegmentCodec {
     // and map-nested forms are refused loudly.
     case StructType(fields) => fields.nonEmpty &&
       fields.forall(f => atomic(f.dataType) || scalarArray(f.dataType))
-    case MapType(k, v, _) => atomic(k) && atomic(v)
+    // map VALUES may also be structs of atomics (r14): the
+    // tag → (count, weight, label) metadata shape; keys stay atomic
+    // (the Spark map contract keeps them dense non-null), and struct
+    // values nest no further
+    case MapType(k, v, _) => atomic(k) && (v match {
+      case t if atomic(t) => true
+      case StructType(fields) =>
+        fields.nonEmpty && fields.forall(f => atomic(f.dataType))
+      case _ => false
+    })
     case ArrayType(st: StructType, _) =>
       st.fields.nonEmpty &&
         st.fields.forall(f => atomic(f.dataType) || scalarArray(f.dataType))
@@ -109,7 +118,8 @@ object SegmentCodec {
         s"Float/Boolean/String/Binary/Decimal/Timestamp/Date), arrays of " +
         s"Int/Long/Float/Double/String, structs and arrays of structs " +
         s"whose fields are atomics or arrays of those scalars, maps of " +
-        s"atomics, and top-level Variant columns; unsupported: " +
+        s"atomics (values may also be structs of atomics), and top-level " +
+        s"Variant columns; unsupported: " +
         s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
   }
 
@@ -763,10 +773,17 @@ object SegmentCodec {
     case StructType(fields) =>
       fields.forall(f => atomic(f.dataType) || scalarArray(f.dataType))
     // map entries APPEND into the two child vectors; decimals have no
-    // append form, so decimal-keyed/valued maps take the row reader
+    // append form, so decimal-keyed/valued maps take the row reader.
+    // STRUCT values append via appendStruct + lockstep field appends
+    // (a NULL struct value must appendStruct(true) so the field
+    // children stay in step — plain appendNull would desync them)
     case MapType(k, v, _) =>
       def appendable(t: DataType): Boolean = atomic(t) && !t.isInstanceOf[DecimalType]
-      appendable(k) && appendable(v)
+      appendable(k) && (v match {
+        case t if appendable(t) => true
+        case StructType(fields) => fields.forall(f => appendable(f.dataType))
+        case _ => false
+      })
     // array<struct> elements appendStruct into the element vector and
     // the fields append into ITS children in lockstep (the map-arm
     // discipline) — decimal fields take the row reader like maps;
@@ -881,8 +898,13 @@ object SegmentCodec {
                 var i = 0
                 while (i < n) { appendAtomic(in, mt.keyType, kc); i += 1 }
                 i = 0
+                val structVal = mt.valueType.isInstanceOf[StructType]
                 while (i < n) {
                   if (in.readBoolean()) appendAtomic(in, mt.valueType, vc)
+                  // a NULL struct value appends null to its field
+                  // children too (appendStruct(true)) — plain
+                  // appendNull would leave them one slot behind
+                  else if (structVal) vc.appendStruct(true)
                   else vc.appendNull()
                   i += 1
                 }
@@ -1079,6 +1101,20 @@ object SegmentCodec {
       v.appendArray(n)
       appendScalarElements(in, et, v.arrayData()
         .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector], n)
+    case st: StructType =>
+      // a struct MAP VALUE (r14): one appendStruct slot, then each
+      // field appends into its child in lockstep (null fields append
+      // null — field children are element-indexed, so every element
+      // must land exactly one slot per child)
+      v.appendStruct(false)
+      var i = 0
+      while (i < st.length) {
+        val fc = v.getChild(i)
+          .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+        if (in.readBoolean()) appendAtomic(in, st.fields(i).dataType, fc)
+        else fc.appendNull()
+        i += 1
+      }
     case other => throw new IllegalArgumentException(
       s"not an appendable atomic decode: ${other.simpleString}")
   }

@@ -271,6 +271,59 @@ class SegmentArrayStructSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("densely non-null")), s"got: ${msgs(e)}")
   }
 
+  test("map<string, struct-of-atomics> values: exact roundtrip, columnar decode, loud bounds") {
+    val vType = StructType(Seq(StructField("n", IntegerType),
+      StructField("w", DoubleType), StructField("lbl", StringType)))
+    val mType = MapType(StringType, vType)
+    val rows = (0 until 120).map { i =>
+      val m: Map[String, Row] =
+        if (i % 13 == 0) null // whole-map null
+        else (0 until i % 4).map { j =>
+          s"k$j" -> (if (j % 3 == 2) null // NULL struct value
+            else Row(i * 10 + j,
+              i * 0.5 + j,
+              if (j % 2 == 1) null else s"l$i-$j")) // null field inside
+        }.toMap
+      Row(i.toLong, m)
+    }
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("m", mType))))
+    val dir = tmp("graft-mapstruct")
+    df0.write.format(Fmt).mode("append").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema("m").dataType == mType)
+    // compare via sorted entry rendering (map iteration order is not
+    // part of the contract)
+    def render(df: org.apache.spark.sql.DataFrame) = df.selectExpr("k",
+        "array_sort(transform(map_entries(m), " +
+          "e -> concat(e.key, ':', coalesce(cast(e.value.n as string), 'x'), '/', " +
+          "coalesce(cast(e.value.w as string), 'x'), '/', coalesce(e.value.lbl, 'x')))) AS es")
+      .orderBy("k").collect()
+    render(back).zip(render(df0)).foreach { case (g, w) => assert(g == w) }
+    // empty maps and the columnar plan
+    val cnt = back.selectExpr("k", "size(m) AS n")
+    cnt.collect()
+    assert(SegmentCodec.vectorizable(mType))
+    val full = back.orderBy("k"); full.collect()
+    assert(full.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "map<string, struct> must read columnar")
+    // decimal-fielded struct values take the ROW reader (no append
+    // form for decimals) but stay supported — and results match
+    val dType = MapType(StringType, StructType(Seq(
+      StructField("d", DecimalType(10, 2)))))
+    assert(SegmentCodec.supported(dType) && !SegmentCodec.vectorizable(dType))
+    // nesting bounds: arrays or structs INSIDE a struct map value,
+    // struct KEYS, and map values of maps stay refused
+    assert(!SegmentCodec.supported(MapType(StringType, StructType(Seq(
+      StructField("xs", ArrayType(IntegerType)))))))
+    assert(!SegmentCodec.supported(MapType(StringType, StructType(Seq(
+      StructField("inner", StructType(Seq(StructField("x", IntegerType)))))))))
+    assert(!SegmentCodec.supported(MapType(vType, IntegerType)))
+    assert(!SegmentCodec.supported(MapType(StringType, MapType(StringType, IntegerType))))
+  }
+
   test("span shape: deeper nesting, DEFAULT, widening, blooms and NDV all refuse or no-op soundly") {
     // still refused: array<array<…>> fields, struct-in-struct,
     // map-valued fields, variant fields
