@@ -3297,15 +3297,20 @@ object SparkEntry {
       // the oracle's from-scratch KMV replay certifies both forms.
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
           date_add(to_date(lit("2020-01-01")),
-            (col("doc_id") % 900).cast("int")).as("d"))
+            (col("doc_id") % 900).cast("int")).as("d"),
+          // DECIMAL NDV (r14): exact-money group keys; 500 distinct
+          // scale-2 values past k — the estimator arm on the
+          // scale-padded plain canonical ("123.25")
+          expr("CAST(doc_id % 500 AS DECIMAL(12,2)) + " +
+            "CAST(0.25 AS DECIMAL(3,2))").as("money"))
         .write.format("graft-segment")
-        .option("ndvFor", "doc_id,lang,d")
+        .option("ndvFor", "doc_id,lang,d,money")
         .option("clusterBy", "doc_id").option("numPartitions", "4")
         .mode("append").save(dir)
       val fs2 = graft.sources.segment.SegmentLog.fs(dir,
         s.sessionState.newHadoopConf())
       val m = graft.sources.segment.SegmentLog.read(fs2, dir).get
-      val rows = Seq("d", "doc_id", "lang").map { c =>
+      val rows = Seq("d", "doc_id", "lang", "money").map { c =>
         val merged = graft.sources.segment.SegmentNdv.decode(m.ndvMerged(c))
         (c, BigDecimal(graft.sources.segment.SegmentNdv.estimateMerged(merged))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -6468,14 +6473,22 @@ object SparkEntry {
         "CAST(DATE '2020-01-01' + CAST(doc_id % 900 AS INT) AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
         "FROM documents WHERE doc_id IS NOT NULL), " +
         "rdt AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hdt), " +
-        "edt AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rdt WHERE rn <= 256) " +
+        "edt AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rdt WHERE rn <= 256), " +
+        "hmn AS (SELECT DISTINCT CAST('0x' || substr(md5(" +
+        "CAST(CAST(doc_id % 500 AS DECIMAL(12,2)) + CAST(0.25 AS DECIMAL(3,2)) AS VARCHAR)" +
+        "), 1, 8) AS BIGINT) AS hv " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "rmn AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hmn), " +
+        "emn AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rmn WHERE rn <= 256) " +
         "SELECT col_name, n_est FROM (" +
         "SELECT 'doc_id' AS col_name, round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
         "ELSE 255 * 4294967296.0 / h_k END, 4) AS n_est FROM ed " +
         "UNION ALL SELECT 'lang', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
         "ELSE 255 * 4294967296.0 / h_k END, 4) FROM el " +
         "UNION ALL SELECT 'd', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
-        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM edt) ORDER BY col_name"),
+        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM edt " +
+        "UNION ALL SELECT 'money', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
+        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM emn) ORDER BY col_name"),
 
     // both generations replay as the expression over the whole source
     "store_segment_generated" ->

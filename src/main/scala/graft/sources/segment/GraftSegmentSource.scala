@@ -488,7 +488,20 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(requiredSchema.fields.map {
+      // map VALUE-STRUCT pruning (Spark's SelectedField narrows
+      // `SELECT m['t0'].n` to map<string, struct<n>>) has no
+      // upcast/decode arm — widen map columns back to the stored type
+      // instead of crashing the decode. Spark re-projects on top of
+      // readSchema(), so correctness is unaffected; the cost is
+      // decoding the value struct's other fields, bounded by the map
+      // entry itself. Struct (code 8) and array<struct> (code 9)
+      // pruning stay fully honored.
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        tableSchema.fields.find(_.name == f.name).getOrElse(f)
+      case f => f
+    })
 
   // LIMIT pushdown: planning stops adding segments once the cumulative
   // row count covers the limit — a `.limit(5)` preview on a million-

@@ -82,6 +82,12 @@ object SegmentGenerated {
     "current_timezone",
     "current_timestamp", "now", "localtimestamp", "current_date")
 
+  /** `DATE 'today'` / `TIMESTAMP 'now'` (and tomorrow/yesterday): the
+    * parser folds these to per-session literals before any tree
+    * exists, so they can only be refused textually. */
+  private val SpecialDatetime =
+    "(?i)\\b(date|timestamp|timestamp_ltz|timestamp_ntz)\\s*'\\s*(now|today|tomorrow|yesterday)\\s*'".r
+
   /** Parse + analyze `sql` as a projection over `schema`, refusing
     * everything that cannot soundly derive a stored column; returns
     * the analyzed expression. `allGenerated` are the table's generated
@@ -95,6 +101,17 @@ object SegmentGenerated {
     require(SegmentDefaults.fillable(field.dataType),
       s"generated column $name must have an atomic type, not " +
         s"${field.dataType.simpleString}")
+    // SPECIAL datetime strings (DATE 'today', TIMESTAMP 'now', ...)
+    // fold to per-session literals INSIDE the parser itself
+    // (convertSpecialDate/convertSpecialTimestamp) — by the time any
+    // tree exists they are indistinguishable from honest literals, so
+    // the refusal must be textual. 'epoch' is a fixed instant and
+    // stays allowed.
+    require(SpecialDatetime.findFirstIn(sql).isEmpty,
+      s"generated column $name ($sql) must not use the special datetime " +
+        "strings now/today/tomorrow/yesterday — the parser folds them to " +
+        "per-session literals, so the stored value would diverge from the " +
+        "expression across sessions")
     // parse-level session-context guard: current_user()/current_database()
     // etc. reach the analyzed tree only as already-folded literals, so
     // walk the UNRESOLVED tree. A bare keyword form (CURRENT_USER without

@@ -38,18 +38,26 @@ import org.apache.spark.sql.types._
   * OVER-APPROXIMATE under deletion vectors (a dv'd row's value still
   * counts) — fine for statistics, which are estimates by contract.
   *
-  * Supported columns: STRING, DATE, and the integer family — their
-  * canonical strings match DuckDB's CAST(x AS VARCHAR) exactly (ISO
-  * `yyyy-MM-dd` for dates). TIMESTAMP is deliberately refused: its
-  * cross-engine canonical string depends on session timezone and
-  * sub-second rendering, the known portability trap. Anything else is
-  * refused at declaration time. */
+  * Supported columns: STRING, DATE, DECIMAL, and the integer family —
+  * their canonical strings match DuckDB's CAST(x AS VARCHAR) exactly
+  * (ISO `yyyy-MM-dd` for dates, scale-padded plain form for
+  * decimals). TIMESTAMP is deliberately refused: its cross-engine
+  * canonical string depends on session timezone and sub-second
+  * rendering, the known portability trap; floating point likewise
+  * (shortest-roundtrip rendering differs across engines). Anything
+  * else is refused at declaration time. */
 object SegmentNdv {
   val K = 256
 
   def hashable(dt: DataType): Boolean = dt match {
     case StringType | ByteType | ShortType | IntegerType | LongType |
          DateType => true
+    // DECIMAL renders at its declared scale (toPlainString — "1.50"
+    // for DECIMAL(p,2)) exactly as DuckDB's CAST(d AS VARCHAR), and
+    // precision growth at unchanged scale (the one decimal widening)
+    // leaves every canonical string intact — sketches survive the
+    // widen like int→long's do
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -61,9 +69,10 @@ object SegmentNdv {
       val f = sc.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"ndvFor column $c not in schema"))
       require(hashable(f.dataType),
-        s"ndvFor column $c: NDV sketches support STRING, DATE and the " +
-          s"integer family, not ${f.dataType.simpleString} (TIMESTAMP has " +
-          "no engine-portable canonical string)")
+        s"ndvFor column $c: NDV sketches support STRING, DATE, DECIMAL " +
+          s"and the integer family, not ${f.dataType.simpleString} " +
+          "(TIMESTAMP and floating point have no engine-portable " +
+          "canonical string)")
     })
     cols
   }
@@ -89,7 +98,25 @@ object SegmentNdv {
     case ShortType => row.getShort(ordinal).toString
     case IntegerType => row.getInt(ordinal).toString
     case LongType => row.getLong(ordinal).toString
-    case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ordinal)).toString
+    case DateType =>
+      val d = java.time.LocalDate.ofEpochDay(row.getInt(ordinal))
+      // the ISO form is cross-engine only for 4-digit CE years:
+      // LocalDate renders year 10000 as '+10000-...' and BCE years
+      // signed, where DuckDB renders '10000-...' and '... (BC)' —
+      // refuse LOUDLY outside the portable range instead of silently
+      // diverging from the replay oracle
+      require(d.getYear >= 1 && d.getYear <= 9999,
+        s"NDV DATE canonicalization covers years 0001-9999 (got $d): " +
+          "signed/5-digit years render differently across engines — " +
+          "undeclare ndvFor for this column or bound the values")
+      d.toString
+    case dec: DecimalType =>
+      // toPlainString at the declared scale: "1.50" for (p,2), "150"
+      // for (p,0), "-1.50" negative — byte-identical to DuckDB's
+      // CAST(d AS VARCHAR), and scale-stable across the precision-
+      // growth widening
+      row.getDecimal(ordinal, dec.precision, dec.scale)
+        .toJavaBigDecimal.toPlainString
     case other => throw new IllegalArgumentException(
       s"no NDV canonicalization for ${other.simpleString}")
   }

@@ -302,6 +302,12 @@ class SegmentArrayStructSpec extends SparkSpec {
           "coalesce(cast(e.value.w as string), 'x'), '/', coalesce(e.value.lbl, 'x')))) AS es")
       .orderBy("k").collect()
     render(back).zip(render(df0)).foreach { case (g, w) => assert(g == w) }
+    // map VALUE-STRUCT pruning (Spark narrows `m['k0'].n` to
+    // map<string, struct<n>>): the scan widens map columns back to
+    // the stored type instead of crashing the decode — results exact
+    val pruned = back.selectExpr("k", "m['k0'].n AS n0").orderBy("k").collect()
+    val wantPruned = df0.selectExpr("k", "m['k0'].n AS n0").orderBy("k").collect()
+    pruned.zip(wantPruned).foreach { case (g, w) => assert(g == w) }
     // empty maps and the columnar plan
     val cnt = back.selectExpr("k", "size(m) AS n")
     cnt.collect()

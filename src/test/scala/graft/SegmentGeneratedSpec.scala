@@ -230,6 +230,23 @@ class SegmentGeneratedSpec extends SparkSpec {
         "TBLPROPERTIES ('gen.s' = 'date_format(d, \"yyyy\")')")
     }
     assert(msgs(e2).exists(_.contains("timeZone")), s"got: ${msgs(e2)}")
+    // special datetime strings fold to per-session literals INSIDE
+    // the parser — refused textually (epoch, a fixed instant, passes)
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad4 (k BIGINT, d DATE) " +
+        "TBLPROPERTIES ('gen.d' = 'DATE \\'today\\'')")
+    }
+    assert(msgs(e3).exists(_.contains("special datetime")), s"got: ${msgs(e3)}")
+    val e4 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad5 (k BIGINT, ts TIMESTAMP) " +
+        "TBLPROPERTIES ('gen.ts' = 'TIMESTAMP \\'now\\'')")
+    }
+    assert(msgs(e4).exists(_.contains("special datetime")), s"got: ${msgs(e4)}")
+    spark.sql(s"CREATE TABLE $cat.db.okepoch (k BIGINT, d DATE) " +
+      "TBLPROPERTIES ('gen.d' = 'DATE \\'epoch\\'')")
+    spark.sql(s"INSERT INTO $cat.db.okepoch (k) VALUES (1)")
+    assert(spark.sql(s"SELECT d FROM $cat.db.okepoch").head()
+      .getDate(0).toString == "1970-01-01")
     // zone-FREE date forms stay usable: CAST(date AS STRING) and
     // year() never consult the session zone
     spark.sql(s"CREATE TABLE $cat.db.ok (d DATE, s STRING, y INT) " +

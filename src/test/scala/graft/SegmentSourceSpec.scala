@@ -2712,7 +2712,7 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val e1 = intercept[Exception] {
       sample().write.format(Fmt).option("ndvFor", "score").mode("append").save(dir)
     }
-    assert(e1.getMessage.contains("STRING, DATE and the integer family") ||
+    assert(e1.getMessage.contains("STRING, DATE, DECIMAL and the integer family") ||
       Option(e1.getCause).exists(_.getMessage.contains("integer family")))
     val e2 = intercept[Exception] {
       sample().write.format(Fmt).option("ndvFor", "nope").mode("append").save(dir)
@@ -2731,21 +2731,22 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val df = spark.range(0, 1000).select(
       col("id"),
       date_add(to_date(lit("2020-01-01")), (col("id") % 400).cast("int")).as("d"),
-      (col("id") % 7).cast("string").as("tag"))
-    df.repartition(4).write.format(Fmt).option("ndvFor", "id,d,tag")
+      (col("id") % 7).cast("string").as("tag"),
+      (col("id") % 250).cast("decimal(10,2)").as("mny"))
+    df.repartition(4).write.format(Fmt).option("ndvFor", "id,d,tag,mny")
       .mode("append").save(dir)
     // merged-at-commit ≡ merge-of-per-segment (KMV associativity, pinned)
     def recomputed(c: String): Array[Long] = SegmentNdv.merge(
       m().segments.map(s => SegmentNdv.decode(s.stats(c).kmv.get)))
-    for (c <- Seq("id", "d", "tag"))
+    for (c <- Seq("id", "d", "tag", "mny"))
       assert(m().ndvMerged(c) == SegmentNdv.encode(recomputed(c)),
         s"pre-merged sketch for $c diverges from per-segment merge")
     // an incremental APPEND extends the stored merge — still identical
     // to the from-scratch recompute
-    df.select((col("id") + 1000L).as("id"), col("d"), col("tag"))
-      .repartition(2).write.format(Fmt).option("ndvFor", "id,d,tag")
+    df.select((col("id") + 1000L).as("id"), col("d"), col("tag"), col("mny"))
+      .repartition(2).write.format(Fmt).option("ndvFor", "id,d,tag,mny")
       .mode("append").save(dir)
-    for (c <- Seq("id", "d", "tag"))
+    for (c <- Seq("id", "d", "tag", "mny"))
       assert(m().ndvMerged(c) == SegmentNdv.encode(recomputed(c)),
         s"incrementally extended sketch for $c diverges")
     // planning serves distinctCount from the stored merge: DATE's 400
@@ -2761,6 +2762,10 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ndvOf("tag") == 7L)
     val dNdv = ndvOf("d")
     assert(dNdv > 300 && dNdv < 500, s"DATE NDV estimate $dNdv (true 400)")
+    assert(ndvOf("mny") == 250L,
+      "DECIMAL NDV (250 distinct < k): the exact arm, scale-padded canonical")
+    assert(SegmentNdv.hash("13.00") != SegmentNdv.hash("13"),
+      "decimal canonical is scale-padded — 13.00, never 13")
     assert(ndvOf("d") == math.round(
       SegmentNdv.estimateMerged(SegmentNdv.decode(m().ndvMerged("d")))),
       "distinctCount must come from the stored table-level merge")
@@ -2805,6 +2810,18 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Array[Any](java.time.LocalDate.of(2020, 1, 5).toEpochDay.toInt))
     assert(SegmentNdv.canonical(org.apache.spark.sql.types.DateType, row, 0)
       == "2020-01-05")
+    // outside 4-digit CE years the ISO form diverges across engines
+    // (+10000-… vs 10000-…; signed BCE vs '(BC)') — refused LOUDLY
+    // rather than silently breaking the replay parity
+    for (bad <- Seq(java.time.LocalDate.of(10000, 1, 1),
+        java.time.LocalDate.of(0, 12, 31))) {
+      val r2 = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bad.toEpochDay.toInt))
+      val e = intercept[IllegalArgumentException] {
+        SegmentNdv.canonical(org.apache.spark.sql.types.DateType, r2, 0)
+      }
+      assert(e.getMessage.contains("0001-9999"), e.getMessage)
+    }
   }
 
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
