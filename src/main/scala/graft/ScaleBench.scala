@@ -112,6 +112,9 @@ object ScaleBench {
     // carrying token arrays) and struct-valued maps — synth/store/
     // re-derive must track document rows; both decode columnar
     "store_segment_spans", "store_segment_map_struct",
+    // the full-algebra deep shape (row reader by design): synth/store/
+    // re-derive must track document rows
+    "store_segment_deep",
     // round-14: the kNN edge build at PRODUCTION settings — nc ∝ √N
     // (the certificate pins nc for oracle determinism, which makes its
     // pair count scale ×factor² at fixed nc; this probe measures the

@@ -3454,6 +3454,43 @@ object SparkEntry {
           element_at(col("m"), "t2").getField("lbl").as("lbl2"))
         .orderBy("k")
     }),
+    // the FULL nested-type algebra on the native format (r14):
+    // array<array<int>> grids, struct-in-struct records with string
+    // lists two levels down, and map values carrying arrays of structs
+    // that carry long arrays — every composition the r13 refusal list
+    // named, synthesized closed-form from doc_id, stored, read back,
+    // re-derived as scalars so element order, presence bytes, and
+    // every nesting level's length prefixes land in the hashes; DuckDB
+    // replays pure arithmetic
+    "store_segment_deep" -> ((s, d) => withTempDir("graft-segdeep") { base =>
+      val dir = s"$base/t"
+      Tables.documents(s, d).select(col("doc_id").as("k"),
+          expr("named_struct('inner', named_struct(" +
+            "'x', CAST(doc_id % 7 AS INT), " +
+            "'ys', transform(sequence(0, CAST(doc_id % 2 AS INT)), " +
+            "j -> concat('y', CAST(j AS STRING)))), " +
+            "'w', CAST(doc_id % 9 AS DOUBLE) * 0.5)").as("rec"),
+          expr("transform(sequence(0, CAST(doc_id % 2 AS INT)), i -> " +
+            "transform(sequence(0, i), j -> " +
+            "CAST(i * 10 + j + doc_id % 5 AS INT)))").as("grid"),
+          expr("map('g', transform(sequence(0, CAST(doc_id % 2 AS INT)), " +
+            "i -> named_struct('a', CAST(doc_id % 11 + i AS INT), " +
+            "'zs', sequence(CAST(0 AS BIGINT), CAST(doc_id % 3 AS BIGINT)))))")
+            .as("keyed"))
+        .write.format("graft-segment")
+        .option("clusterBy", "k").option("numPartitions", "8")
+        .mode("append").save(dir)
+      s.read.format("graft-segment").load(dir)
+        .select(col("k"),
+          col("rec").getField("inner").getField("x").as("inner_x"),
+          size(col("rec").getField("inner").getField("ys")).as("n_ys"),
+          col("rec").getField("w").as("w"),
+          expr("CAST(aggregate(flatten(grid), 0L, (a, x) -> a + x) AS BIGINT)")
+            .as("grid_sum"),
+          expr("CAST(aggregate(keyed['g'], 0L, " +
+            "(a, e) -> a + e.a + size(e.zs)) AS BIGINT)").as("keyed_sum"))
+        .orderBy("k")
+    }),
     "store_segment_typed" -> ((s, d) => withTempDir("graft-segtyped") { base =>
       val dir = s"$base/t"
       Tables.documents(s, d).select(
@@ -6527,6 +6564,22 @@ object SparkEntry {
         "CAST(doc_id % 7 AS INT) AS first_e, " +
         "CAST((doc_id % 4 + 1) * ((doc_id % 3) * (doc_id % 3 + 1) // 2) + " +
         "(doc_id % 3 + 1) * ((doc_id % 4) * (doc_id % 4 + 1) // 2) AS BIGINT) AS tok_total " +
+        "FROM documents ORDER BY k"),
+
+    // the deep shape replays as pure arithmetic: with m = doc_id%2,
+    // q5 = doc_id%5, grid_sum = Σ_{i=0..m} Σ_{j=0..i} (10i + j + q5)
+    // = q5 (m=0) or 3·q5 + 21 (m=1); keyed_sum = Σ_{i=0..m}
+    // (doc_id%11 + i + (doc_id%3 + 1)) — // keeps the triangular term
+    // integral
+    "store_segment_deep" ->
+      ("SELECT doc_id AS k, CAST(doc_id % 7 AS INT) AS inner_x, " +
+        "CAST(doc_id % 2 + 1 AS INT) AS n_ys, " +
+        "CAST((doc_id % 9) * 0.5 AS DOUBLE) AS w, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 " +
+        "ELSE 3 * (doc_id % 5) + 21 END AS BIGINT) AS grid_sum, " +
+        "CAST((doc_id % 2 + 1) * (doc_id % 11) + " +
+        "((doc_id % 2) * (doc_id % 2 + 1) // 2) + " +
+        "(doc_id % 2 + 1) * (doc_id % 3 + 1) AS BIGINT) AS keyed_sum " +
         "FROM documents ORDER BY k"),
 
     // the map<string, struct> shape replays closed-form: w_sum =

@@ -489,18 +489,22 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = StructType(requiredSchema.fields.map {
-      // map VALUE-STRUCT pruning (Spark's SelectedField narrows
-      // `SELECT m['t0'].n` to map<string, struct<n>>) has no
-      // upcast/decode arm — widen map columns back to the stored type
-      // instead of crashing the decode. Spark re-projects on top of
+    required = StructType(requiredSchema.fields.map { f =>
+      // accept a nested-pruned column type exactly when the decoder
+      // has an arm for it (one-level struct pruning = upcast code 8,
+      // array<struct> element pruning = code 9); anything the decoder
+      // cannot serve — map VALUE-STRUCT pruning (`SELECT m['t0'].n`
+      // plans map<string, struct<n>>), inner-struct pruning through a
+      // second nesting level — widens back to the STORED column type
+      // instead of crashing the scan. Spark re-projects on top of
       // readSchema(), so correctness is unaffected; the cost is
-      // decoding the value struct's other fields, bounded by the map
-      // entry itself. Struct (code 8) and array<struct> (code 9)
-      // pruning stay fully honored.
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        tableSchema.fields.find(_.name == f.name).getOrElse(f)
-      case f => f
+      // decoding the carrier's other fields.
+      tableSchema.fields.find(_.name == f.name) match {
+        case Some(tf) if tf.dataType != f.dataType =>
+          try { SegmentCodec.upcast(tf.dataType, f.dataType); f }
+          catch { case _: IllegalArgumentException => tf }
+        case _ => f // identical type, or a metadata column (_segment)
+      }
     })
 
   // LIMIT pushdown: planning stops adding segments once the cumulative

@@ -77,49 +77,48 @@ object SegmentCodec {
     case _ => false
   }
 
-  def supported(dt: DataType): Boolean = dt match {
+  /** The FULL nested-type algebra (r14): any composition of atomics,
+    * arrays, structs, and maps — `array<array<int>>` token grids,
+    * `struct<inner struct<…>>` annotation records,
+    * `map<string, array<struct<…>>>` keyed span lists. Sound at any
+    * depth because every layer reuses the same three byte disciplines
+    * (dense non-null array elements, per-field/value presence bytes,
+    * length-prefixed variable values) and the write/read/skip
+    * recursion over SpecializedGetters is shape-generic. Map KEYS stay
+    * atomic — the Spark map contract keeps keys dense non-null, and
+    * atomic keys are what the equality/lookup semantics are defined
+    * over. Honesty at depth is automatic: zone maps exist for atomic
+    * leaves down ONE struct level (deeper carriers emit no bounds, so
+    * nothing over-claims pruning), and [[vectorizable]] admits exactly
+    * the shapes with columnar arms — everything deeper takes the row
+    * reader. */
+  private def nestedOk(dt: DataType): Boolean = dt match {
     case t if atomic(t) => true
-    case t if scalarArray(t) => true
-    // bounded nesting: struct fields and array-STRUCT element fields
-    // are atomic OR arrays-of-scalars (metadata records, tag→weight
-    // maps, per-order item lists, per-doc span annotations with token
-    // lists — the reference's items[] shape and the LLM span shape);
-    // map keys/values stay atomic. struct<struct<…>>, array<array<…>>
-    // and map-nested forms are refused loudly.
-    case StructType(fields) => fields.nonEmpty &&
-      fields.forall(f => atomic(f.dataType) || scalarArray(f.dataType))
-    // map VALUES may also be structs of atomics (r14): the
-    // tag → (count, weight, label) metadata shape; keys stay atomic
-    // (the Spark map contract keeps them dense non-null), and struct
-    // values nest no further
-    case MapType(k, v, _) => atomic(k) && (v match {
-      case t if atomic(t) => true
-      case StructType(fields) =>
-        fields.nonEmpty && fields.forall(f => atomic(f.dataType))
-      case _ => false
-    })
-    case ArrayType(st: StructType, _) =>
-      st.fields.nonEmpty &&
-        st.fields.forall(f => atomic(f.dataType) || scalarArray(f.dataType))
+    case ArrayType(et, _) => nestedOk(et)
+    case StructType(fields) =>
+      fields.nonEmpty && fields.forall(f => nestedOk(f.dataType))
+    case MapType(k, v, _) => atomic(k) && nestedOk(v)
+    case _ => false // variant below top level, UDTs, intervals
+  }
+
+  def supported(dt: DataType): Boolean = dt match {
     // Spark 4 Variant stores as the (value, metadata) binary pair it
     // already is — semi-structured props/sidecar columns land on the
     // format without a schema-inference pass. TOP-LEVEL columns only
-    // (not an `atomic`: variant inside struct/array/map stays refused);
-    // no zone maps or blooms (the sound binary-like default), no
-    // DEFAULT, no widening, row reader only.
+    // (variant inside struct/array/map stays refused); no zone maps or
+    // blooms (the sound binary-like default), no DEFAULT, no widening,
+    // row reader only.
     case VariantType => true
-    case _ => false
+    case t => nestedOk(t)
   }
 
   def validateSchema(schema: StructType): Unit = {
     val bad = schema.fields.filterNot(f => supported(f.dataType))
     require(bad.isEmpty,
-      s"graft-segment supports the atomic types (Byte/Short/Int/Long/Double/" +
-        s"Float/Boolean/String/Binary/Decimal/Timestamp/Date), arrays of " +
-        s"Int/Long/Float/Double/String, structs and arrays of structs " +
-        s"whose fields are atomics or arrays of those scalars, maps of " +
-        s"atomics (values may also be structs of atomics), and top-level " +
-        s"Variant columns; unsupported: " +
+      s"graft-segment supports any composition of the atomic types " +
+        s"(Byte/Short/Int/Long/Double/Float/Boolean/String/Binary/Decimal/" +
+        s"Timestamp/Date) under arrays, structs, and atomic-keyed maps, " +
+        s"plus top-level Variant columns; unsupported: " +
         s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
   }
 
@@ -246,13 +245,14 @@ object SegmentCodec {
           if (arr.isNullAt(i)) nullElement(i)
           val b = arr.getUTF8String(i).getBytes
           out.writeInt(b.length); out.write(b); i += 1 }
-        // struct elements recurse through the struct arm (ArrayData is
-        // a SpecializedGetters): per element, field presence bytes +
-        // values. Elements themselves stay densely non-null like every
-        // other element type — one discipline for the whole format.
-        case st: StructType => while (i < n) {
-          if (arr.isNullAt(i)) nullElement(i); writeValue(out, st, arr, i); i += 1 }
-        case other => throw new IllegalArgumentException(s"unsupported array element $other")
+        // every other element — structs, nested arrays, maps, the
+        // remaining atomics — recurses through its own writeValue arm
+        // (ArrayData is a SpecializedGetters). Elements stay densely
+        // non-null at EVERY depth — one discipline for the whole
+        // format. The scalar arms above are just the monomorphic fast
+        // paths for the hot shapes (embeddings, token lists).
+        case other => while (i < n) {
+          if (arr.isNullAt(i)) nullElement(i); writeValue(out, other, arr, i); i += 1 }
       }
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
@@ -445,8 +445,8 @@ object SegmentCodec {
         case StringType => while (i < n) {
           val m = in.readInt(); val b = new Array[Byte](m); in.readFully(b)
           vals(i) = UTF8String.fromBytes(b); i += 1 }
-        case st: StructType => while (i < n) { vals(i) = readValue(in, st); i += 1 }
-        case other => throw new IllegalArgumentException(s"unsupported array element $other")
+        // structs, nested arrays, maps, remaining atomics: recurse
+        case other => while (i < n) { vals(i) = readValue(in, other); i += 1 }
       }
       new GenericArrayData(vals)
     case other => throw new IllegalArgumentException(s"unsupported type $other")
@@ -478,22 +478,16 @@ object SegmentCodec {
       while (i < n) { skip(in, mt.keyType); i += 1 }
       i = 0
       while (i < n) { if (in.readBoolean()) skip(in, mt.valueType); i += 1 }
-    case ArrayType(StringType, _) =>
-      val n = in.readInt()
-      var i = 0
-      while (i < n) { val m = in.readInt(); skipFully(in, m); i += 1 }
-    case ArrayType(st: StructType, _) =>
-      val n = in.readInt()
-      var i = 0
-      while (i < n) { skip(in, st); i += 1 }
+    case ArrayType(IntegerType | FloatType | DateType, _) =>
+      val n = in.readInt(); skipFully(in, n.toLong * 4)
+    case ArrayType(LongType | DoubleType | TimestampType | TimestampNTZType, _) =>
+      val n = in.readInt(); skipFully(in, n.toLong * 8)
     case ArrayType(et, _) =>
+      // variable-width or nested elements: skip one by one (strings,
+      // structs, nested arrays, maps, decimals, ...)
       val n = in.readInt()
-      val w = et match {
-        case IntegerType | FloatType => 4
-        case LongType | DoubleType => 8
-        case other => throw new IllegalArgumentException(s"unsupported array element $other")
-      }
-      skipFully(in, n.toLong * w)
+      var i = 0
+      while (i < n) { skip(in, et); i += 1 }
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 

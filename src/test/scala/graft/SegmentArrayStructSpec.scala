@@ -132,10 +132,11 @@ class SegmentArrayStructSpec extends SparkSpec {
   }
 
   test("deeper nesting, widening, and DEFAULT on array<struct> are refused loudly") {
-    // array<struct< with a nested struct field >> is two levels — refused
+    // array<struct< with a nested struct field >>: admitted since the
+    // r14 full-algebra gate (row-read; see the full-algebra test)
     val deep = ArrayType(StructType(Seq(StructField("inner",
       StructType(Seq(StructField("x", IntegerType)))))))
-    assert(!SegmentCodec.supported(deep))
+    assert(SegmentCodec.supported(deep) && !SegmentCodec.vectorizable(deep))
     val warehouse = tmp("graft-arrst-wh")
     spark.conf.set("spark.sql.catalog.gas", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gas.warehouse", warehouse)
@@ -320,29 +321,101 @@ class SegmentArrayStructSpec extends SparkSpec {
     val dType = MapType(StringType, StructType(Seq(
       StructField("d", DecimalType(10, 2)))))
     assert(SegmentCodec.supported(dType) && !SegmentCodec.vectorizable(dType))
-    // nesting bounds: arrays or structs INSIDE a struct map value,
-    // struct KEYS, and map values of maps stay refused
-    assert(!SegmentCodec.supported(MapType(StringType, StructType(Seq(
+    // deeper map-value shapes are admitted by the full-algebra gate
+    // (row-read); the hard bound that remains is ATOMIC KEYS
+    assert(SegmentCodec.supported(MapType(StringType, StructType(Seq(
       StructField("xs", ArrayType(IntegerType)))))))
-    assert(!SegmentCodec.supported(MapType(StringType, StructType(Seq(
-      StructField("inner", StructType(Seq(StructField("x", IntegerType)))))))))
+    assert(SegmentCodec.supported(MapType(StringType, MapType(StringType, IntegerType))))
     assert(!SegmentCodec.supported(MapType(vType, IntegerType)))
-    assert(!SegmentCodec.supported(MapType(StringType, MapType(StringType, IntegerType))))
+  }
+
+  test("the FULL nested-type algebra: arbitrary compositions roundtrip exactly; honesty gates hold") {
+    // arrays of arrays, struct-in-struct, maps of arrays, maps of
+    // arrays of structs, arrays of maps — the r13 refusal list, now
+    // admitted by the recursive gate over the same three byte
+    // disciplines
+    val deepType = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("grid", ArrayType(ArrayType(IntegerType))),
+      StructField("rec", StructType(Seq(
+        StructField("inner", StructType(Seq(
+          StructField("x", IntegerType),
+          StructField("ys", ArrayType(StringType))))),
+        StructField("w", DoubleType)))),
+      StructField("keyed", MapType(StringType, ArrayType(StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("zs", ArrayType(LongType))))))),
+      StructField("flags", ArrayType(BooleanType)),
+      StructField("monies", ArrayType(DecimalType(10, 2)))))
+    assert(SegmentCodec.supported(deepType("grid").dataType))
+    assert(SegmentCodec.supported(deepType("rec").dataType))
+    assert(SegmentCodec.supported(deepType("keyed").dataType))
+    assert(SegmentCodec.supported(deepType("flags").dataType))
+    assert(SegmentCodec.supported(deepType("monies").dataType))
+    val rows = (0 until 80).map { i =>
+      Row(i.toLong,
+        if (i % 11 == 0) null
+        else Seq.tabulate(i % 3)(r => Seq.tabulate(r + 1)(c => r * 10 + c + i)),
+        if (i % 7 == 0) null
+        else Row(
+          if (i % 5 == 0) null else Row(i, Seq.tabulate(i % 4)(j => s"y$i-$j")),
+          i * 0.5),
+        if (i % 13 == 0) null
+        else Map(s"g${i % 2}" -> Seq(Row(i, Seq.tabulate(i % 3)(j => j.toLong + i)))),
+        Seq.tabulate(i % 4)(j => j % 2 == 0),
+        Seq.tabulate(i % 3)(j => new java.math.BigDecimal(s"$i.${10 + j}")))
+    }
+    val df0 = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), deepType)
+    val dir = tmp("graft-deep")
+    df0.write.format(Fmt).mode("append").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+    assert(back.schema == deepType ||
+      back.schema.map(f => (f.name, f.dataType)) == deepType.map(f => (f.name, f.dataType)))
+    // order-free comparison via JSON rendering (map order is not a
+    // contract)
+    val got = back.selectExpr("k", "to_json(struct(grid, rec, keyed, flags, monies)) AS j")
+      .orderBy("k").collect()
+    val want = df0.selectExpr("k", "to_json(struct(grid, rec, keyed, flags, monies)) AS j")
+      .orderBy("k").collect()
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"k=${w.getLong(0)}") }
+    // deep shapes are supported but honestly ROW-read (no columnar arm)
+    assert(!SegmentCodec.vectorizable(deepType("grid").dataType))
+    assert(!SegmentCodec.vectorizable(deepType("rec").dataType))
+    // inner-struct pruning has no decode arm: the scan widens back to
+    // the stored type instead of crashing — results exact either way
+    val inner = back.selectExpr("k", "rec.inner.x AS x").orderBy("k").collect()
+    val wantInner = df0.selectExpr("k", "rec.inner.x AS x").orderBy("k").collect()
+    inner.zip(wantInner).foreach { case (g, w) => assert(g == w) }
+    // dense-element discipline holds at EVERY depth: a null inside a
+    // nested array refuses loudly
+    val bad = Seq(Row(1L, Seq(Seq[Any](1, null)), null, null,
+      Seq.empty[Boolean], Seq.empty[java.math.BigDecimal]))
+    val e = intercept[Exception] {
+      spark.createDataFrame(spark.sparkContext.parallelize(bad, 1), deepType)
+        .write.format(Fmt).mode("append").save(tmp("graft-deep-bad"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("densely non-null")), s"got: ${msgs(e)}")
+    // still refused: variant below top level, non-atomic map keys
+    assert(!SegmentCodec.supported(ArrayType(
+      org.apache.spark.sql.types.VariantType)))
+    assert(!SegmentCodec.supported(StructType(Seq(
+      StructField("v", org.apache.spark.sql.types.VariantType)))))
+    assert(!SegmentCodec.supported(MapType(
+      StructType(Seq(StructField("x", IntegerType))), IntegerType)))
+    assert(!SegmentCodec.supported(MapType(ArrayType(IntegerType), IntegerType)))
   }
 
   test("span shape: deeper nesting, DEFAULT, widening, blooms and NDV all refuse or no-op soundly") {
-    // still refused: array<array<…>> fields, struct-in-struct,
-    // map-valued fields, variant fields
-    assert(!SegmentCodec.supported(ArrayType(StructType(Seq(
+    // the r14 full-algebra gate admits these (row-read); what stays
+    // refused everywhere is variant below top level
+    assert(SegmentCodec.supported(ArrayType(StructType(Seq(
       StructField("xs", ArrayType(ArrayType(IntegerType))))))))
-    assert(!SegmentCodec.supported(ArrayType(StructType(Seq(
-      StructField("inner", StructType(Seq(StructField("x", IntegerType)))))))))
-    assert(!SegmentCodec.supported(ArrayType(StructType(Seq(
-      StructField("m", MapType(StringType, IntegerType)))))))
-    assert(!SegmentCodec.supported(StructType(Seq(
+    assert(SegmentCodec.supported(StructType(Seq(
       StructField("m", MapType(StringType, IntegerType))))))
-    // map keys/values stay atomic-only
-    assert(!SegmentCodec.supported(MapType(StringType, ArrayType(IntegerType))))
+    assert(!SegmentCodec.supported(ArrayType(StructType(Seq(
+      StructField("v", org.apache.spark.sql.types.VariantType))))))
     // DDL interplays on a declared span column: DEFAULT refused
     // (atomic-only), whole-column widen refused, bloom/NDV
     // declarations refused (non-hashable) — each loudly

@@ -3138,13 +3138,15 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val back3 = spark.read.format(Fmt).load(dir3)
     assert(back3.schema("y").dataType == org.apache.spark.sql.types.IntegerType)
     assert(back3.filter(col("y") === 42).count() == 10)
-    // nested and deeper shapes refused loudly
-    val e = intercept[Exception] {
-      spark.range(0, 5).selectExpr("id",
+    // struct-in-struct: admitted since the r14 full-algebra gate —
+    // roundtrips exactly through the row reader (the deep-shape spec
+    // in SegmentArrayStructSpec covers the full matrix)
+    val dirN = tmp("graft-seg-deepok")
+    spark.range(0, 5).selectExpr("id",
         "named_struct('inner', named_struct('x', id)) AS nested")
-        .write.format(Fmt).mode("append").save(tmp("graft-seg-reject"))
-    }
-    assert(e.getMessage != null)
+      .write.format(Fmt).mode("append").save(dirN)
+    assert(spark.read.format(Fmt).load(dirN)
+      .selectExpr("sum(nested.inner.x)").head().getLong(0) == 10L)
 
     // the STREAMING face reads the same nested bytes through the same
     // factory: one AvailableNow pass over the dv'd table reproduces
