@@ -144,4 +144,68 @@ class ConcurrentCommitSpec extends SparkSpec {
       "every concurrent append must survive the compactions")
     assert(back.filter(col("id") >= 1000).count() == appends)
   }
+
+  test("ndvMerged under contention: racing appenders + compactions leave the table sketch == full recompute") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    import graft.sources.segment.SegmentNdv
+
+    // a catalog table so ndvFor PERSISTS — compaction rewrites then
+    // re-sketch from the manifest property
+    val cat = "gccndv"
+    val wh = tmp("graft-cc-ndv-wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, k STRING) " +
+      "TBLPROPERTIES ('ndvFor' = 'id,k')")
+    val dir = s"$wh/db/t"
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT id, CAST(id % 5 AS STRING) FROM range(0, 400)")
+    val fs = SegmentLog.fs(dir, hconf)
+
+    // two appender threads interleave the incremental fast path; the
+    // compactor forces full recomputes mid-chain (truncate-style
+    // commits); every commit re-derives against the manifest it
+    // actually raced, so the stored merge can never go stale
+    val a1 = Future {
+      (0 until 8).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.db.t VALUES " +
+          s"(${1000 + i}, CAST(${1000 + i} AS STRING))")
+      }
+    }
+    val a2 = Future {
+      (0 until 8).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.db.t VALUES " +
+          s"(${2000 + i}, CAST(${2000 + i} AS STRING))")
+      }
+    }
+    val compactor = Future {
+      (0 until 4).foreach { _ =>
+        val live = SegmentLog.read(fs, dir).map(_.segments.map(_.path)).getOrElse(Nil)
+        if (live.nonEmpty) GraftMaintenance.compactSegments(spark, dir, live)
+      }
+    }
+    Await.result(a1, 120.seconds)
+    Await.result(a2, 120.seconds)
+    Await.result(compactor, 120.seconds)
+
+    val m = SegmentLog.read(fs, dir).get
+    for (c <- Seq("id", "k")) {
+      val recomputed = SegmentNdv.merge(
+        m.segments.map(s => SegmentNdv.decode(s.stats(c).kmv.get)))
+      assert(m.ndvMerged(c) == SegmentNdv.encode(recomputed),
+        s"table sketch for $c diverged from the per-segment merge under contention")
+    }
+    // and the estimate is sane: 416 distinct ids (saturated arm),
+    // 21 distinct k (exact arm)
+    assert(math.round(SegmentNdv.estimateMerged(
+      SegmentNdv.decode(m.ndvMerged("k")))) == 21L)
+    val idNdv = math.round(SegmentNdv.estimateMerged(
+      SegmentNdv.decode(m.ndvMerged("id"))))
+    assert(idNdv > 300 && idNdv < 550, s"id NDV estimate $idNdv (true 416)")
+  }
 }
