@@ -2795,6 +2795,7 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val before = mc().ndvMerged
     val beforePaths = mc().segments.map(_.path)
     assert(before.keySet == Set("id", "tag"))
+    val preCompactVersion = mc().version
     graft.sources.segment.GraftMaintenance.compact(spark, catDir, "tag", 2)
     assert(mc().segments.map(_.path) != beforePaths, "live set must change")
     for (c <- Seq("id", "tag")) {
@@ -2803,6 +2804,16 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(mc().ndvMerged(c) == SegmentNdv.encode(SegmentNdv.merge(
         mc().segments.map(s => SegmentNdv.decode(s.stats(c).kmv.get)))),
         s"post-compaction sketch for $c diverges from per-segment merge")
+    }
+    // RESTORE (rollback) recomputes from the RESTORED live set — the
+    // alter-path maintenance, value-identical here (same rows again)
+    graft.sources.segment.SegmentLog.rollback(fs(), catDir, preCompactVersion)
+    for (c <- Seq("id", "tag")) {
+      assert(mc().ndvMerged(c) == before(c),
+        s"post-rollback sketch for $c must match the restored state")
+      assert(mc().ndvMerged(c) == SegmentNdv.encode(SegmentNdv.merge(
+        mc().segments.map(s => SegmentNdv.decode(s.stats(c).kmv.get)))),
+        s"post-rollback sketch for $c diverges from per-segment merge")
     }
     // the DuckDB-parity canonical for DATE: a stored day-count renders
     // as ISO yyyy-MM-dd, byte-identical to CAST(d AS VARCHAR)
