@@ -397,6 +397,14 @@ class SegmentArrayStructSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("densely non-null")), s"got: ${msgs(e)}")
+    // the deflate body stream carries the deep bytes unchanged (the
+    // codec is layout-identical under compression)
+    val dirZ = tmp("graft-deep-z")
+    df0.write.format(Fmt).option("compress", "deflate").mode("append").save(dirZ)
+    val gotZ = spark.read.format(Fmt).load(dirZ)
+      .selectExpr("k", "to_json(struct(grid, rec, keyed, flags, monies)) AS j")
+      .orderBy("k").collect()
+    gotZ.zip(want).foreach { case (g, w) => assert(g == w, s"deflate k=${w.getLong(0)}") }
     // still refused: variant below top level, non-atomic map keys
     assert(!SegmentCodec.supported(ArrayType(
       org.apache.spark.sql.types.VariantType)))
