@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.update_mark('db.t', 'k = 7', 'v', 'v + 1'); -- merge-on-read UPDATE
   * CALL graft.system.rollback('db.t', 3);                 -- RESTORE to version 3
   * CALL graft.system.rollback_to_timestamp('db.t', 1755216000000); -- undo since t
+  * CALL graft.system.ndv('db.t');                         -- manifest NDV estimates
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -246,6 +247,28 @@ object GraftProcedures {
               row(v, UTF8String.fromString(kind), nSeg, nRows,
                 if (ms >= 0L) java.lang.Long.valueOf(ms * 1000L) else null) }
         }
+      case "ndv" =>
+        procedure("ndv",
+          Seq(param("table", StringType)),
+          StructType(Seq(
+            StructField("col_name", StringType, nullable = false),
+            StructField("n_est", DoubleType, nullable = false),
+            StructField("exact", BooleanType, nullable = false)))) { (spark, in) =>
+          // the manifest-resident distinct counts, straight off the
+          // table-level pre-merged sketches — the ANALYZE-free answer
+          // an operator sizes joins with; `exact` is true while the
+          // merged sketch never saturated (count is exact modulo hash
+          // collisions). O(k) per declared column, zero scans.
+          val dir = tableDir(warehouse, in.getUTF8String(0).toString)
+          val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+          val m = SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
+            throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+          m.ndvMerged.toSeq.sortBy(_._1).map { case (c, b64) =>
+            val sk = SegmentNdv.decode(b64)
+            row(UTF8String.fromString(c), SegmentNdv.estimateMerged(sk),
+              sk.length < SegmentNdv.K)
+          }
+        }
       case "clone" =>
         procedure("clone",
           Seq(param("table", StringType), param("target", StringType),
@@ -267,5 +290,5 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
       "delete_where", "delete_mark", "compact_deletes", "update_mark",
-      "rollback", "rollback_to_timestamp", "clone")
+      "rollback", "rollback_to_timestamp", "clone", "ndv")
 }

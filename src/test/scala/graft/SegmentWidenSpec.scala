@@ -411,6 +411,12 @@ class SegmentWidenSpec extends SparkSpec {
     assert(ndvOf("k").getAsLong == 40L, "int→long keeps exact NDV across the widen")
     assert(ndvOf("s").getAsLong == 5L)
     assert(!ndvOf("n").isPresent, "the retired column reports no distinctCount")
+    // the SQL face: CALL graft.system.ndv reads the same table-level
+    // sketches — estimates + the exact/estimator arm flag, zero scans
+    val nd = spark.sql(s"CALL $cat.system.ndv('db.t')").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(nd.map(_._1) == Seq("k", "s"), s"got $nd")
+    assert(nd == Seq(("k", 40.0, true), ("s", 5.0, true)), s"got $nd")
     // dropping the LAST declared column removes the property entirely
     spark.sql(s"CREATE TABLE $cat.db.one (a INT, b STRING) " +
       "TBLPROPERTIES ('ndvFor' = 'a')")
