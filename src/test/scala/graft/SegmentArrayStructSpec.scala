@@ -405,6 +405,26 @@ class SegmentArrayStructSpec extends SparkSpec {
       .selectExpr("k", "to_json(struct(grid, rec, keyed, flags, monies)) AS j")
       .orderBy("k").collect()
     gotZ.zip(want).foreach { case (g, w) => assert(g == w, s"deflate k=${w.getLong(0)}") }
+    // the SQL DDL face: CREATE TABLE with deep types through the
+    // catalog, INSERT with SQL constructors, read back through SQL
+    val whD = tmp("graft-deep-cat")
+    spark.conf.set("spark.sql.catalog.gdeep", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdeep.warehouse", whD)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdeep.db")
+    spark.sql("CREATE TABLE gdeep.db.t (k BIGINT, " +
+      "grid ARRAY<ARRAY<INT>>, " +
+      "rec STRUCT<inner: STRUCT<x: INT, ys: ARRAY<STRING>>, w: DOUBLE>, " +
+      "keyed MAP<STRING, ARRAY<STRUCT<a: INT, zs: ARRAY<BIGINT>>>>)")
+    spark.sql("INSERT INTO gdeep.db.t SELECT id, " +
+      "array(array(CAST(id AS INT)), array(CAST(id AS INT), CAST(id + 1 AS INT))), " +
+      "named_struct('inner', named_struct('x', CAST(id * 2 AS INT), " +
+      "'ys', array(CAST(id AS STRING))), 'w', id * 0.5), " +
+      "map('g', array(named_struct('a', CAST(id AS INT), " +
+      "'zs', array(id, id + 10)))) FROM range(0, 30)")
+    val agg = spark.sql("SELECT sum(grid[1][1]) AS g, sum(rec.inner.x) AS x, " +
+      "sum(keyed['g'][0].zs[1]) AS z FROM gdeep.db.t").head()
+    assert(agg.getLong(0) == (1 to 30).sum && agg.getLong(1) == 2L * (0 until 30).sum
+      && agg.getLong(2) == (10 until 40).sum, agg.toString)
     // still refused: variant below top level, non-atomic map keys
     assert(!SegmentCodec.supported(ArrayType(
       org.apache.spark.sql.types.VariantType)))
