@@ -32,6 +32,24 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case scala.util.control.NonFatal(_) => () }
+    // BOX-SPEED CALIBRATION (r15): two pinned, data-independent
+    // measurements emitted beside `total` so every BENCH_r{N}
+    // self-reports how fast the machine was THAT run — round-over-
+    // round drift can then be normalized instead of argued about
+    // (r12→r14 totals drifted +49% with per-query medians flat; the
+    // noise attribution needed an instrument). calib_cpu_sec is a
+    // single-thread xorshift loop (pure ALU, no allocation);
+    // calib_spark_sec is a fixed 32-slice shuffle+hash-agg job
+    // (codegen, exchange, task scheduling). cpu runs again at the END
+    // of the suite (calib_cpu_end_sec) to catch within-run drift —
+    // thermal throttling or a co-tenant arriving mid-bench.
+    val calibCpu = calibrateCpu()
+    val calibSpark = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, 32)
+        .selectExpr("id % 997 AS k").groupBy("k").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
     // deterministic order + per-query session hygiene: drop any cached
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state
@@ -59,6 +77,10 @@ object Bench {
         }
         name -> dt
     }
+    val calibCpuEnd = calibrateCpu()
+    def f3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val calib = s""""calib_cpu_sec":${f3(calibCpu)},"calib_spark_sec":${f3(calibSpark)},"calib_cpu_end_sec":${f3(calibCpuEnd)}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     // full-precision, full-surface JSON for the file artifact
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -66,8 +88,8 @@ object Bench {
     val errsFull = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errsFull,"sf":"$sfDir"}"""
-    val json = renderLine(results, errors.toSeq, sfDir)
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"errors":$errsFull,"sf":"$sfDir"}"""
+    val json = renderLine(results, errors.toSeq, sfDir, calib = calib)
     // The JSON line must be un-losable: streaming state stores (RocksDB
     // maintenance threads from the stream_* queries) can dump shutdown
     // stack traces that flood a captured log tail. So: quiesce streams
@@ -88,8 +110,28 @@ object Bench {
     // a short total-only line FIRST: even if the capture window clips
     // the front of the full line, the round's headline number exists on
     // its own parseable line (r5 lost its total to exactly this)
-    println(s"""{"metric":"total","value":${renderTotal(results)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${renderTotal(results)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},$calib,"sf":"$sfDir"}""")
     println(json)
+  }
+
+  /** Pinned single-thread CPU measurement: 2^28 xorshift64* steps —
+    * pure register ALU work, no allocation, no memory traffic, so the
+    * seconds it takes are a direct read of this box's effective
+    * single-core speed during THIS bench run. The fold into `acc`
+    * anchors the loop against dead-code elimination. */
+  private[graft] def calibrateCpu(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < (1 << 28)) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc += x * 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) println("calibration sink") // unreachable; defeats DCE
+    dt
   }
 
   private def renderTotal(results: Seq[(String, Double)]): String =
@@ -113,7 +155,8 @@ object Bench {
       results: Seq[(String, Double)],
       errors: Seq[(String, String)],
       sfDir: String,
-      budget: Int = 1600): String = {
+      budget: Int = 1600,
+      calib: String = ""): String = {
     def fmt(v: Double): String =
       if (v < 0) "-1.0"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -125,7 +168,8 @@ object Bench {
       (if (errors.size > 5) s""","n_errors":${errors.size}""" else "")
     def assemble(qEntries: Seq[String], omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      val cal = if (calib.isEmpty) "" else s",$calib"
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$cal,""" +
         s""""queries":${qEntries.mkString("{", ",", "}")},"errors":$errs$om,"sf":"$sfDir"}"""
     }
     // greedy fill, slowest first; errored queries (-1) sort last and are

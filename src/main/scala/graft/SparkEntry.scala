@@ -3302,15 +3302,24 @@ object SparkEntry {
           // scale-2 values past k — the estimator arm on the
           // scale-padded plain canonical ("123.25")
           expr("CAST(doc_id % 500 AS DECIMAL(12,2)) + " +
-            "CAST(0.25 AS DECIMAL(3,2))").as("money"))
+            "CAST(0.25 AS DECIMAL(3,2))").as("money"),
+          // TIMESTAMP NDV (r15): the canonical is the EPOCH-MICROS
+          // integer string — the one timestamp rendering with no
+          // session-timezone or sub-second trap, exact in both engines
+          timestamp_micros(col("doc_id") * 1000000L +
+            (col("doc_id") % 777) * 1000L).as("ts"),
+          // STRUCT-FIELD NDV (r15): dotted declarations sketch struct
+          // fields via the same child collectors zone maps/blooms use;
+          // 300 distinct > k exercises the estimator arm on a nested key
+          struct((col("doc_id") % 300).cast("int").as("b")).as("meta"))
         .write.format("graft-segment")
-        .option("ndvFor", "doc_id,lang,d,money")
+        .option("ndvFor", "doc_id,lang,d,money,ts,meta.b")
         .option("clusterBy", "doc_id").option("numPartitions", "4")
         .mode("append").save(dir)
       val fs2 = graft.sources.segment.SegmentLog.fs(dir,
         s.sessionState.newHadoopConf())
       val m = graft.sources.segment.SegmentLog.read(fs2, dir).get
-      val rows = Seq("d", "doc_id", "lang", "money").map { c =>
+      val rows = Seq("d", "doc_id", "lang", "meta.b", "money", "ts").map { c =>
         val merged = graft.sources.segment.SegmentNdv.decode(m.ndvMerged(c))
         (c, BigDecimal(graft.sources.segment.SegmentNdv.estimateMerged(merged))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -6516,7 +6525,20 @@ object SparkEntry {
         "), 1, 8) AS BIGINT) AS hv " +
         "FROM documents WHERE doc_id IS NOT NULL), " +
         "rmn AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hmn), " +
-        "emn AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rmn WHERE rn <= 256) " +
+        "emn AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rmn WHERE rn <= 256), " +
+        // TIMESTAMP: the epoch-micros canonical replays as the same
+        // integer arithmetic that built the column — zone-free
+        "hts AS (SELECT DISTINCT CAST('0x' || substr(md5(" +
+        "CAST(doc_id * 1000000 + (doc_id % 777) * 1000 AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "rts AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hts), " +
+        "ets AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rts WHERE rn <= 256), " +
+        // struct field meta.b: the child's int canonical, same hash
+        "hmb AS (SELECT DISTINCT CAST('0x' || substr(md5(" +
+        "CAST(CAST(doc_id % 300 AS INT) AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "rmb AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hmb), " +
+        "emb AS (SELECT count(*) AS n_sk, max(hv) AS h_k FROM rmb WHERE rn <= 256) " +
         "SELECT col_name, n_est FROM (" +
         "SELECT 'doc_id' AS col_name, round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
         "ELSE 255 * 4294967296.0 / h_k END, 4) AS n_est FROM ed " +
@@ -6525,7 +6547,11 @@ object SparkEntry {
         "UNION ALL SELECT 'd', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
         "ELSE 255 * 4294967296.0 / h_k END, 4) FROM edt " +
         "UNION ALL SELECT 'money', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
-        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM emn) ORDER BY col_name"),
+        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM emn " +
+        "UNION ALL SELECT 'ts', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
+        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM ets " +
+        "UNION ALL SELECT 'meta.b', round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE) " +
+        "ELSE 255 * 4294967296.0 / h_k END, 4) FROM emb) ORDER BY col_name"),
 
     // both generations replay as the expression over the whole source
     "store_segment_generated" ->

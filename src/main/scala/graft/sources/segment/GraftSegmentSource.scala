@@ -828,6 +828,27 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       GraftDriverMetric("segmentsPlanned", planned.toLong))
   }
 
+  /** NDV estimate for a stats key (top-level column or dotted struct
+    * field): the commit's pre-merged table sketch when the scan is
+    * unpruned (O(k)), else the per-segment merge over the surviving
+    * set — present only when EVERY surviving segment sketched the
+    * key (the presence-based honesty guard). */
+  private def ndvFromSketches(key: String, segs: Seq[SegmentMeta]): Option[Long] = {
+    val all = manifest.map(_.segments.length).getOrElse(0)
+    val pre =
+      if (segs.length == all) manifest.flatMap(_.ndvMerged.get(key))
+      else None
+    pre.map(b64 => math.round(
+        SegmentNdv.estimateMerged(SegmentNdv.decode(b64))))
+      .orElse {
+        val per = segs.map(_.stats.get(key))
+        if (per.nonEmpty && per.forall(_.exists(_.kmv.isDefined)))
+          Some(math.round(SegmentNdv.estimate(
+            per.map(s => SegmentNdv.decode(s.get.kmv.get)))))
+        else None
+      }
+  }
+
   override def estimateStatistics(): Statistics = {
     val segs = surviving
     val rows = segs.map(_.liveRows).sum
@@ -876,20 +897,7 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
         // and the narrower estimate is the better one for the pruned
         // relation anyway). Legacy manifests without the pre-merge fall
         // back to the per-segment path.
-        val ndv: Option[Long] = {
-          val all = manifest.map(_.segments.length).getOrElse(0)
-          val pre =
-            if (segs.length == all) manifest.flatMap(_.ndvMerged.get(f.name))
-            else None
-          pre.map(b64 => math.round(
-              SegmentNdv.estimateMerged(SegmentNdv.decode(b64))))
-            .orElse {
-              if (per.forall(_.get.kmv.isDefined))
-                Some(math.round(SegmentNdv.estimate(
-                  per.map(s => SegmentNdv.decode(s.get.kmv.get)))))
-              else None
-            }
-        }
+        val ndv: Option[Long] = ndvFromSketches(f.name, segs)
         cstats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def nullCount(): java.util.OptionalLong =
@@ -904,6 +912,37 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
               mm.map(v => java.util.Optional.of(v._2: Object))
                 .getOrElse(java.util.Optional.empty[Object]())
           })
+      }
+    }
+    // STRUCT-FIELD NDV (dotted ndvFor declarations, "meta.lang"):
+    // surfaced under the dotted FieldReference on the DSv2 Statistics
+    // face — `CALL graft.system.ndv` and any DSv2-stats consumer see
+    // them. STATED SPARK LIMITATION: catalyst CBO cannot consume them
+    // today — DataSourceV2Relation.transformV2Stats (spark-catalyst
+    // 4.1.2) admits a columnStats entry only when a TOP-LEVEL output
+    // attribute's name equals NamedReference.describe(), and
+    // catalyst's Statistics.attributeStats is an AttributeMap, which
+    // has no representation for a nested field — so "meta.lang" never
+    // matches and the entry is dropped at conversion. Emitted for the
+    // nested-NDV declarations only (bounds of undeclared children stay
+    // off this face: each entry costs an O(segments) presence pass per
+    // plan, and Spark drops it anyway).
+    if (segs.nonEmpty) tableSchema.fields.foreach { f =>
+      f.dataType match {
+        case st: org.apache.spark.sql.types.StructType => st.fields.foreach { cf =>
+          val key = s"${f.name}.${cf.name}"
+          ndvFromSketches(key, segs).foreach { n =>
+            val nulls = segs.map(_.stats.get(key).map(_.nullCount).getOrElse(0L)).sum
+            cstats.put(Expressions.column(key),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(nulls)
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(n)
+              })
+          }
+        }
+        case _ =>
       }
     }
     new Statistics {
@@ -2051,15 +2090,19 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     out = new DataOutputStream(counter)
     rows = 0L
     stats = schema.fields.map { f =>
-      // dotted declarations ("meta.lang") bloom STRUCT FIELDS: the
-      // bare field names route to the column's child collectors
+      // dotted declarations ("meta.lang") bloom/sketch STRUCT FIELDS:
+      // the bare field names route to the column's child collectors
       val nested = bloomFor.collect {
+        case s if s.startsWith(f.name + ".") => s.substring(f.name.length + 1)
+      }
+      val nestedNdv = ndvFor.collect {
         case s if s.startsWith(f.name + ".") => s.substring(f.name.length + 1)
       }
       new SegmentCodec.StatsCollector(f.dataType,
         if (bloomFor.contains(f.name) || nested.nonEmpty) bloomBits else 0,
         nestedBloomFor = nested,
-        collectNdv = ndvFor.contains(f.name))
+        collectNdv = ndvFor.contains(f.name),
+        nestedNdvFor = nestedNdv)
     }
   }
 

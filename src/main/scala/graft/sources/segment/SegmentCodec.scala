@@ -520,7 +520,8 @@ object SegmentCodec {
     * [[SegmentBloom.hashValue]]'s literal-side canonicalization. */
   final class StatsCollector(dt: DataType, bloomBits: Int = 0,
       nestedBloomFor: Set[String] = Set.empty,
-      collectNdv: Boolean = false) {
+      collectNdv: Boolean = false,
+      nestedNdvFor: Set[String] = Set.empty) {
     private val bloom: Array[Long] =
       if (bloomBits > 0 && SegmentBloom.bloomable(dt)) new Array[Long](bloomBits / 64)
       else null
@@ -530,7 +531,8 @@ object SegmentCodec {
     private val kmv: SegmentNdv.Collector =
       if (collectNdv && SegmentNdv.hashable(dt)) new SegmentNdv.Collector else null
     // STRUCT columns collect per-FIELD zone maps (one child collector
-    // each; blooms for `nestedBloomFor`-declared fields): Spark pushes
+    // each; blooms for `nestedBloomFor`-declared fields, NDV sketches
+    // for `nestedNdvFor`-declared fields): Spark pushes
     // nested predicates (`st.a = 5` arrives as a dotted V1 filter), so
     // typed-metadata fields inside structs prune segments exactly like
     // top-level columns. A field's null count includes parent-null
@@ -539,7 +541,8 @@ object SegmentCodec {
     private val children: Array[(String, StatsCollector)] = dt match {
       case st: StructType =>
         st.fields.map(f => f.name -> new StatsCollector(f.dataType,
-          if (nestedBloomFor.contains(f.name)) bloomBits else 0))
+          if (nestedBloomFor.contains(f.name)) bloomBits else 0,
+          collectNdv = nestedNdvFor.contains(f.name)))
       case _ => null
     }
     import StatsCollector.MaxStatString
@@ -583,7 +586,7 @@ object SegmentCodec {
     def nested: Seq[(String, ColumnStats)] =
       if (children == null) Nil
       else children.toSeq.map { case (n, c) =>
-        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64) }
+        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64) }
 
     private def addBounds(row: InternalRow, ordinal: Int): Unit = dt match {
       case IntegerType | DateType => addLong(row.getInt(ordinal).toLong)

@@ -84,9 +84,46 @@ object SegmentGenerated {
 
   /** `DATE 'today'` / `TIMESTAMP 'now'` (and tomorrow/yesterday): the
     * parser folds these to per-session literals before any tree
-    * exists, so they can only be refused textually. */
+    * exists, so they can only be refused textually. Both quote styles
+    * are matched — under the default `doubleQuotedIdentifiers=false`,
+    * `DATE "today"` parses as the same folded literal — and the scan
+    * runs over [[stripComments]] output so `DATE/**/'today'` cannot
+    * sneak the keyword past the regex. (When double-quoted strings are
+    * configured as identifiers, a column literally named `"today"`
+    * typed as `DATE "today"` is refused too — a false positive this
+    * guard accepts over the silent cross-session divergence.) */
   private val SpecialDatetime =
-    "(?i)\\b(date|timestamp|timestamp_ltz|timestamp_ntz)\\s*'\\s*(now|today|tomorrow|yesterday)\\s*'".r
+    ("(?i)\\b(date|timestamp|timestamp_ltz|timestamp_ntz)\\s*['\"]\\s*" +
+      "(now|today|tomorrow|yesterday)\\s*['\"]").r
+
+  /** Strip bracketed and line comments OUTSIDE quoted literals /
+    * identifiers (a string containing `--` must not be truncated, or
+    * a `'today'` after it would escape the scan). Refusal scanning
+    * only — never used for parsing. */
+  private[segment] def stripComments(sql: String): String = {
+    val out = new java.lang.StringBuilder(sql.length)
+    var i = 0
+    var quote: Char = 0 // 0 = outside; else the open quote/backtick
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0 // '' escapes simply re-open next char
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < sql.length &&
+          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, sql.length)
+        out.append(' ') // a comment is a token separator
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   /** Parse + analyze `sql` as a projection over `schema`, refusing
     * everything that cannot soundly derive a stored column; returns
@@ -105,9 +142,9 @@ object SegmentGenerated {
     // fold to per-session literals INSIDE the parser itself
     // (convertSpecialDate/convertSpecialTimestamp) — by the time any
     // tree exists they are indistinguishable from honest literals, so
-    // the refusal must be textual. 'epoch' is a fixed instant and
-    // stays allowed.
-    require(SpecialDatetime.findFirstIn(sql).isEmpty,
+    // the refusal must be textual: comment-stripped, both quote
+    // styles. 'epoch' is a fixed instant and stays allowed.
+    require(SpecialDatetime.findFirstIn(stripComments(sql)).isEmpty,
       s"generated column $name ($sql) must not use the special datetime " +
         "strings now/today/tomorrow/yesterday — the parser folds them to " +
         "per-session literals, so the stored value would diverge from the " +

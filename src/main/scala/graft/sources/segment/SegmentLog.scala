@@ -719,9 +719,20 @@ object SegmentLog {
     // property, and sketch presence is the ground truth either way.
     // A declaration retired mid-life (widen hygiene, ndvFor="" writes)
     // stops new segments' sketches, so the forall fails and the entry
-    // drops in the same commit.
+    // drops in the same commit. Candidates are ALSO intersected with
+    // the live schema's physical names (top-level and one struct-field
+    // level): a DROP COLUMN commit leaves the segments untouched
+    // (appendOnly fast path), so presence alone would let the dropped
+    // column's entry squat in ndvMerged until the next data commit.
+    val livePhys: Set[String] = m.schema.fields.iterator.flatMap { f =>
+      val p = m.physicalOf.getOrElse(f.name, f.name)
+      p +: (f.dataType match {
+        case st: StructType => st.fields.toSeq.map(cf => s"$p.${cf.name}")
+        case _ => Nil
+      })
+    }.toSet
     val candidates = m.segments.head.stats.iterator
-      .collect { case (c, cs) if cs.kmv.isDefined => c }
+      .collect { case (c, cs) if cs.kmv.isDefined && livePhys.contains(c) => c }
       .filter(c => m.segments.forall(_.stats.get(c).exists(_.kmv.isDefined)))
       .toSeq
     val appendOnly = prev.exists(p =>
@@ -885,12 +896,17 @@ object SegmentLog {
         b.copy(cols = b.cols.map(c => if (c == from) to else c))),
       // declared properties name LOGICAL columns: they follow the rename
       // or future INSERTs silently stop building the declared
-      // blooms/NDV sketches
+      // blooms/NDV sketches — incl. dotted struct-field entries, whose
+      // HEAD is the renamed column ("meta.lang" follows a meta rename)
       props = Seq("bloomFor", "ndvFor").foldLeft(m.props) { (ps, key) =>
         ps.get(key) match {
           case Some(csv) => ps + (key ->
             csv.split(",").map(_.trim).filter(_.nonEmpty)
-              .map(c => if (c == from) to else c).mkString(","))
+              .map(c =>
+                if (c == from) to
+                else if (c.startsWith(from + ".")) to + c.substring(from.length)
+                else c)
+              .mkString(","))
           case None => ps
         }
       })
@@ -917,11 +933,13 @@ object SegmentLog {
       retiredSchema = StructType(
         m.retiredSchema.fields :+ org.apache.spark.sql.types.StructField(phys, dt)),
       // a stale declared bloom/NDV entry would silently re-attach to a
-      // later re-added column of the same name
+      // later re-added column of the same name — dotted struct-field
+      // entries under the dropped column go with it
       props = Seq("bloomFor", "ndvFor").foldLeft(m.props) { (ps, key) =>
         ps.get(key) match {
           case Some(csv) =>
-            val kept = csv.split(",").map(_.trim).filter(c => c.nonEmpty && c != name)
+            val kept = csv.split(",").map(_.trim).filter(c =>
+              c.nonEmpty && c != name && !c.startsWith(name + "."))
             if (kept.isEmpty) ps - key
             else ps + (key -> kept.mkString(","))
           case None => ps
@@ -1056,7 +1074,8 @@ object SegmentLog {
         if (!SegmentNdv.hashable(to))
           m.props.get("ndvFor") match {
             case Some(csv) =>
-              val kept = csv.split(",").map(_.trim).filter(c => c.nonEmpty && c != name)
+              val kept = csv.split(",").map(_.trim).filter(c =>
+                c.nonEmpty && c != name && !c.startsWith(name + "."))
               if (kept.isEmpty) m.props - "ndvFor"
               else m.props + ("ndvFor" -> kept.mkString(","))
             case None => m.props

@@ -38,20 +38,24 @@ import org.apache.spark.sql.types._
   * OVER-APPROXIMATE under deletion vectors (a dv'd row's value still
   * counts) — fine for statistics, which are estimates by contract.
   *
-  * Supported columns: STRING, DATE, DECIMAL, and the integer family —
-  * their canonical strings match DuckDB's CAST(x AS VARCHAR) exactly
-  * (ISO `yyyy-MM-dd` for dates, scale-padded plain form for
-  * decimals). TIMESTAMP is deliberately refused: its cross-engine
-  * canonical string depends on session timezone and sub-second
-  * rendering, the known portability trap; floating point likewise
-  * (shortest-roundtrip rendering differs across engines). Anything
-  * else is refused at declaration time. */
+  * Supported columns: STRING, DATE, DECIMAL, TIMESTAMP, and the
+  * integer family. STRING/integer/DATE/DECIMAL canonical strings
+  * match DuckDB's CAST(x AS VARCHAR) exactly (ISO `yyyy-MM-dd` for
+  * dates, scale-padded plain form for decimals); TIMESTAMP hashes its
+  * EPOCH-MICROS integer rendered as a decimal string — the one
+  * timestamp canonical with no session-timezone or sub-second-
+  * rendering trap, exact in both engines (DuckDB replays it as
+  * `CAST(epoch_us(ts) AS VARCHAR)`). Floating point stays refused
+  * (shortest-roundtrip rendering differs across engines). Columns may
+  * be top-level or ONE dotted struct-field level (`meta.lang`) — the
+  * same resolution blooms and zone maps already use. Anything else is
+  * refused at declaration time. */
 object SegmentNdv {
   val K = 256
 
   def hashable(dt: DataType): Boolean = dt match {
     case StringType | ByteType | ShortType | IntegerType | LongType |
-         DateType => true
+         DateType | TimestampType | TimestampNTZType => true
     // DECIMAL renders at its declared scale (toPlainString — "1.50"
     // for DECIMAL(p,2)) exactly as DuckDB's CAST(d AS VARCHAR), and
     // precision growth at unchanged scale (the one decimal widening)
@@ -61,18 +65,29 @@ object SegmentNdv {
     case _ => false
   }
 
-  /** Validate an `ndvFor` declaration: existing, hashable, top-level
-    * columns only. */
+  /** Validate an `ndvFor` declaration: existing, hashable columns —
+    * top-level or one dotted struct-field level (`meta.lang`), the
+    * [[SegmentBloom.parseCols]] resolution (exact top-level match
+    * wins for a literal-dotted column name). */
   def parseCols(csv: String, schema: Option[StructType] = None): Set[String] = {
     val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
     schema.foreach(sc => cols.foreach { c =>
-      val f = sc.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"ndvFor column $c not in schema"))
-      require(hashable(f.dataType),
-        s"ndvFor column $c: NDV sketches support STRING, DATE, DECIMAL " +
-          s"and the integer family, not ${f.dataType.simpleString} " +
-          "(TIMESTAMP and floating point have no engine-portable " +
-          "canonical string)")
+      val dt: DataType = sc.fields.find(_.name == c).map(_.dataType).getOrElse {
+        val dot = c.indexOf('.')
+        (if (dot > 0) sc.fields.find(_.name == c.substring(0, dot)).map(_.dataType)
+         else None) match {
+          case Some(st: StructType) =>
+            st.fields.find(_.name == c.substring(dot + 1)).map(_.dataType)
+              .getOrElse(throw new IllegalArgumentException(
+                s"ndvFor column $c not in schema (top-level or struct field)"))
+          case _ => throw new IllegalArgumentException(
+            s"ndvFor column $c not in schema (top-level or struct field)")
+        }
+      }
+      require(hashable(dt),
+        s"ndvFor column $c: NDV sketches support STRING, DATE, DECIMAL, " +
+          s"TIMESTAMP and the integer family, not ${dt.simpleString} " +
+          "(floating point has no engine-portable canonical string)")
     })
     cols
   }
@@ -90,26 +105,31 @@ object SegmentNdv {
   }
 
   /** Canonical string of a non-null value — integer-family values
-    * render as their decimal string, dates as ISO `yyyy-MM-dd`
-    * (= DuckDB's CAST(x AS VARCHAR) either way). */
+    * render as their decimal string, dates as ISO `yyyy-MM-dd`,
+    * timestamps as their epoch-micros integer (= DuckDB's
+    * CAST(x AS VARCHAR) / CAST(epoch_us(ts) AS VARCHAR)). Returns
+    * NULL for a value with no engine-portable canonical (a DATE
+    * outside years 0001-9999: LocalDate renders year 10000 as
+    * '+10000-...' and BCE years signed, where DuckDB renders
+    * '10000-...' and '... (BC)') — the collector then POISONS the
+    * segment's sketch (absent beats divergent-from-the-replay, the
+    * same presence-based honesty guard planning already applies), so
+    * one out-of-range value degrades statistics instead of aborting
+    * the write job. */
   def canonical(dt: DataType, row: InternalRow, ordinal: Int): String = dt match {
     case StringType => row.getUTF8String(ordinal).toString
     case ByteType => row.getByte(ordinal).toString
     case ShortType => row.getShort(ordinal).toString
     case IntegerType => row.getInt(ordinal).toString
     case LongType => row.getLong(ordinal).toString
+    // both timestamp kinds store epoch micros as a long: the integer
+    // is the canonical — no zone, no sub-second rendering, exact in
+    // both engines
+    case TimestampType | TimestampNTZType => row.getLong(ordinal).toString
     case DateType =>
       val d = java.time.LocalDate.ofEpochDay(row.getInt(ordinal))
-      // the ISO form is cross-engine only for 4-digit CE years:
-      // LocalDate renders year 10000 as '+10000-...' and BCE years
-      // signed, where DuckDB renders '10000-...' and '... (BC)' —
-      // refuse LOUDLY outside the portable range instead of silently
-      // diverging from the replay oracle
-      require(d.getYear >= 1 && d.getYear <= 9999,
-        s"NDV DATE canonicalization covers years 0001-9999 (got $d): " +
-          "signed/5-digit years render differently across engines — " +
-          "undeclare ndvFor for this column or bound the values")
-      d.toString
+      if (d.getYear < 1 || d.getYear > 9999) null
+      else d.toString
     case dec: DecimalType =>
       // toPlainString at the declared scale: "1.50" for (p,2), "150"
       // for (p,0), "-1.50" negative — byte-identical to DuckDB's
@@ -127,13 +147,23 @@ object SegmentNdv {
     * pure allocation waste at 100 TB write volume), and once the set
     * saturates, hashes at or above the current k-th minimum are
     * rejected BEFORE the O(log K) insert — the overwhelming majority
-    * of values on a large segment. */
+    * of values on a large segment.
+    *
+    * A NULL canonical (a value [[canonical]] has no portable
+    * rendering for) POISONS the collector: the segment carries no
+    * sketch for the column, the table-level merge and planning drop
+    * the estimate behind the every-segment presence guard, and the
+    * WRITE SUCCEEDS — a statistics declaration must never become a
+    * data-dependent write refusal. */
   final class Collector {
     private val md = java.security.MessageDigest.getInstance("MD5")
     private val mins = new java.util.TreeSet[java.lang.Long]()
     private var cap = Long.MaxValue // mins.last, once saturated
+    private var poisoned = false
 
     def add(canonical: String): Unit = {
+      if (poisoned) return
+      if (canonical == null) { poisoned = true; mins.clear(); return }
       val h = hashWith(md, canonical)
       if (mins.size == K) {
         if (h >= cap) return // not among the k smallest: skip the insert
@@ -146,9 +176,9 @@ object SegmentNdv {
     }
 
     /** Base64 of the sorted hashes as 4-byte big-endian ints (hashes
-      * are 32-bit by construction). */
+      * are 32-bit by construction); None when empty or poisoned. */
     def base64: Option[String] =
-      if (mins.isEmpty) None
+      if (poisoned || mins.isEmpty) None
       else {
         val out = new Array[Long](mins.size)
         val it = mins.iterator(); var i = 0

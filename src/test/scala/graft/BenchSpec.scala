@@ -62,4 +62,24 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("queries").size() == 20)
     assert(!node.has("omitted"))
   }
+
+  test("calibration metrics ride the line (and the budget) when provided") {
+    val calib = """"calib_cpu_sec":0.412,"calib_spark_sec":1.873,"calib_cpu_end_sec":0.399"""
+    // small surface: calib fields present and parseable
+    val small = parse(Bench.renderLine(
+      (1 to 5).map(i => (s"q$i", i * 0.1)), Nil, "/sf", calib = calib))
+    assert(small.get("calib_cpu_sec").asDouble() == 0.412)
+    assert(small.get("calib_spark_sec").asDouble() == 1.873)
+    assert(small.get("calib_cpu_end_sec").asDouble() == 0.399)
+    // large surface: the budget still holds with the calib payload
+    val results = (1 to 300).map(i => (f"family_query_with_a_long_name_$i%03d", i * 0.137))
+    val line = Bench.renderLine(results, Nil, "/sf", calib = calib)
+    assert(line.length <= 1600, s"line=${line.length}B")
+    val node = parse(line)
+    assert(node.get("calib_cpu_sec").asDouble() == 0.412)
+    assert(node.get("queries").size() + node.path("omitted").asInt(0) == 300)
+    // the calibration loop itself returns a sane positive duration
+    val dt = Bench.calibrateCpu()
+    assert(dt > 0.0 && dt < 60.0, s"calibrateCpu $dt s")
+  }
 }

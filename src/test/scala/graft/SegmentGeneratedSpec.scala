@@ -242,6 +242,34 @@ class SegmentGeneratedSpec extends SparkSpec {
         "TBLPROPERTIES ('gen.ts' = 'TIMESTAMP \\'now\\'')")
     }
     assert(msgs(e4).exists(_.contains("special datetime")), s"got: ${msgs(e4)}")
+    // bypass attempts the textual guard must see through: the
+    // DOUBLE-QUOTED string form (parses as the same folded literal
+    // under default doubleQuotedIdentifiers=false) and a bracketed
+    // comment between the keyword and the literal
+    val e4b = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad5b (k BIGINT, d DATE) " +
+        "TBLPROPERTIES ('gen.d' = 'DATE \"today\"')")
+    }
+    assert(msgs(e4b).exists(_.contains("special datetime")), s"got: ${msgs(e4b)}")
+    val e4c = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad5c (k BIGINT, d DATE) " +
+        "TBLPROPERTIES ('gen.d' = 'DATE/* c */\\'today\\'')")
+    }
+    assert(msgs(e4c).exists(_.contains("special datetime")), s"got: ${msgs(e4c)}")
+    // ...and comment-stripping must respect string literals: '--'
+    // INSIDE a string is data, not a comment — a guard that truncated
+    // there would let a 'today' after it escape the scan (and this
+    // legitimate declaration must keep working regardless)
+    spark.sql(s"CREATE TABLE $cat.db.okdash (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('gen.s' = 'concat(\\'a--b\\', CAST(k AS STRING))')")
+    spark.sql(s"INSERT INTO $cat.db.okdash (k) VALUES (7)")
+    assert(spark.sql(s"SELECT s FROM $cat.db.okdash").head().getString(0) == "a--b7")
+    val e4d = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad5d (k BIGINT, s STRING) " +
+        "TBLPROPERTIES ('gen.s' = " +
+        "'concat(\\'a--b\\', CAST(DATE \\'today\\' AS STRING))')")
+    }
+    assert(msgs(e4d).exists(_.contains("special datetime")), s"got: ${msgs(e4d)}")
     spark.sql(s"CREATE TABLE $cat.db.okepoch (k BIGINT, d DATE) " +
       "TBLPROPERTIES ('gen.d' = 'DATE \\'epoch\\'')")
     spark.sql(s"INSERT INTO $cat.db.okepoch (k) VALUES (1)")

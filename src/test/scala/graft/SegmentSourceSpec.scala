@@ -2712,13 +2712,96 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val e1 = intercept[Exception] {
       sample().write.format(Fmt).option("ndvFor", "score").mode("append").save(dir)
     }
-    assert(e1.getMessage.contains("STRING, DATE, DECIMAL and the integer family") ||
+    assert(e1.getMessage.contains("STRING, DATE, DECIMAL, TIMESTAMP and the integer family") ||
       Option(e1.getCause).exists(_.getMessage.contains("integer family")))
     val e2 = intercept[Exception] {
       sample().write.format(Fmt).option("ndvFor", "nope").mode("append").save(dir)
     }
     assert(e2.getMessage.contains("not in schema") ||
       Option(e2.getCause).exists(_.getMessage.contains("not in schema")))
+  }
+
+  test("NDV on struct fields (dotted) and TIMESTAMP (epoch-micros canonical); DDL hygiene") {
+    import graft.sources.segment.SegmentNdv
+    val dir = tmp("graft-seg-ndv-nested")
+    // meta.lang: 7 distinct (exact arm); meta.b: 400 distinct
+    // (estimator arm); ts: 1000 distinct micros — the integer
+    // canonical has no zone or rendering trap
+    spark.range(0, 1000).select(
+        col("id"),
+        struct((col("id") % 7).cast("string").as("lang"),
+          (col("id") % 400).cast("int").as("b")).as("meta"),
+        timestamp_micros(col("id") * 1000000L + col("id") % 777).as("ts"))
+      .repartition(3).write.format(Fmt)
+      .option("ndvFor", "meta.lang,meta.b,ts").mode("append").save(dir)
+    val m = SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir).get
+    assert(m.ndvMerged.keySet == Set("meta.lang", "meta.b", "ts"),
+      s"got ${m.ndvMerged.keySet}")
+    def est(c: String) =
+      math.round(SegmentNdv.estimateMerged(SegmentNdv.decode(m.ndvMerged(c))))
+    assert(est("meta.lang") == 7L)
+    val bN = est("meta.b"); assert(bN > 300 && bN < 500, s"meta.b $bN (true 400)")
+    val tsN = est("ts"); assert(tsN > 750 && tsN < 1250, s"ts $tsN (true 1000)")
+    // the TIMESTAMP canonical IS the epoch-micros integer string
+    // (DuckDB replays it as CAST(epoch_us(ts) AS VARCHAR))
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](1234567L))
+    assert(SegmentNdv.canonical(org.apache.spark.sql.types.TimestampType, r, 0)
+      == "1234567")
+    // the DSv2 Statistics face surfaces the dotted entries (catalyst
+    // CBO cannot consume them today: transformV2Stats matches
+    // NamedReference.describe() against TOP-LEVEL attribute names and
+    // AttributeMap has no nested-field representation — documented in
+    // GraftSegmentSource.estimateStatistics)
+    val schema = spark.read.format(Fmt).load(dir).schema
+    val cs = new graft.sources.segment.GraftScanBuilder(dir, schema,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    def csOf(n: String) = cs.get(
+      org.apache.spark.sql.connector.expressions.Expressions.column(n))
+    assert(csOf("meta.lang").distinctCount().getAsLong == 7L)
+    assert(csOf("ts").distinctCount().getAsLong == tsN)
+    // DDL hygiene on a catalog table: DROP sheds the merged entry in
+    // the SAME commit (segments untouched — presence alone would let
+    // it squat); RENAME follows for dotted declarations
+    val wh = tmp("graft-seg-ndv-nested-wh")
+    spark.conf.set("spark.sql.catalog.gndvn",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gndvn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gndvn.db")
+    spark.sql("CREATE TABLE gndvn.db.t (k BIGINT, " +
+      "meta STRUCT<lang: STRING, b: INT>, ts TIMESTAMP) " +
+      "TBLPROPERTIES ('ndvFor' = 'k,meta.lang,ts')")
+    spark.sql("INSERT INTO gndvn.db.t SELECT id, " +
+      "named_struct('lang', CAST(id % 5 AS STRING), 'b', CAST(id % 9 AS INT)), " +
+      "timestamp_micros(id * 1000) FROM range(0, 200)")
+    val catDir = s"$wh/db/t"
+    def mc() = SegmentLog.logicalView(SegmentLog.read(
+      SegmentLog.fs(catDir, spark.sessionState.newHadoopConf()), catDir).get)
+    assert(mc().ndvMerged.keySet == Set("k", "meta.lang", "ts"))
+    spark.sql("ALTER TABLE gndvn.db.t DROP COLUMN ts")
+    assert(mc().ndvMerged.keySet == Set("k", "meta.lang"),
+      "DROP COLUMN must shed the dropped column's table-level sketch immediately")
+    assert(mc().props("ndvFor").split(",").toSet == Set("k", "meta.lang"))
+    spark.sql("ALTER TABLE gndvn.db.t RENAME COLUMN meta TO info")
+    assert(mc().props("ndvFor").split(",").toSet == Set("k", "info.lang"),
+      "dotted declarations must follow a struct-column rename")
+    assert(mc().ndvMerged.keySet == Set("k", "info.lang"),
+      "the logical view translates the dotted sketch key's head")
+    // post-rename INSERTs keep extending the SAME physical key
+    spark.sql("INSERT INTO gndvn.db.t SELECT id, " +
+      "named_struct('lang', CAST(id % 5 + 5 AS STRING), 'b', CAST(id % 9 AS INT)) " +
+      "FROM range(200, 400)")
+    assert(math.round(SegmentNdv.estimateMerged(
+      SegmentNdv.decode(mc().ndvMerged("info.lang")))) == 10L,
+      "5 old + 5 new lang values merge under the renamed declaration")
+    // DROPPING the struct column sheds its dotted entries too
+    spark.sql("ALTER TABLE gndvn.db.t DROP COLUMN info")
+    assert(mc().ndvMerged.keySet == Set("k"))
+    assert(mc().props("ndvFor") == "k")
   }
 
   test("NDV: the commit pre-merges the table-level sketch; planning reads it in O(k); DATE columns hash portably") {
@@ -2822,17 +2905,29 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(SegmentNdv.canonical(org.apache.spark.sql.types.DateType, row, 0)
       == "2020-01-05")
     // outside 4-digit CE years the ISO form diverges across engines
-    // (+10000-… vs 10000-…; signed BCE vs '(BC)') — refused LOUDLY
-    // rather than silently breaking the replay parity
+    // (+10000-… vs 10000-…; signed BCE vs '(BC)') — the canonical is
+    // NULL and the collector POISONS the segment's sketch: the write
+    // SUCCEEDS and statistics degrade to absent (a stats declaration
+    // must never be a data-dependent write refusal)
     for (bad <- Seq(java.time.LocalDate.of(10000, 1, 1),
         java.time.LocalDate.of(0, 12, 31))) {
       val r2 = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](bad.toEpochDay.toInt))
-      val e = intercept[IllegalArgumentException] {
-        SegmentNdv.canonical(org.apache.spark.sql.types.DateType, r2, 0)
-      }
-      assert(e.getMessage.contains("0001-9999"), e.getMessage)
+      assert(SegmentNdv.canonical(org.apache.spark.sql.types.DateType, r2, 0) == null)
     }
+    val dirBad = tmp("graft-seg-ndv-badyear")
+    Seq(java.time.LocalDate.of(2020, 1, 5), java.time.LocalDate.of(10000, 1, 1))
+      .map(java.sql.Date.valueOf).toDF("d").coalesce(1)
+      .write.format(Fmt).option("ndvFor", "d").mode("append").save(dirBad)
+    val mBad = graft.sources.segment.SegmentLog.read(
+      graft.sources.segment.SegmentLog.fs(dirBad,
+        spark.sessionState.newHadoopConf()), dirBad).get
+    assert(mBad.segments.forall(_.stats("d").kmv.isEmpty),
+      "out-of-range DATE must poison the segment sketch, not abort the write")
+    assert(mBad.ndvMerged.isEmpty,
+      "no table-level entry behind the every-segment presence guard")
+    assert(spark.read.format(Fmt).load(dirBad).count() == 2,
+      "the write itself must succeed")
   }
 
   test("a NaN anywhere in a double column poisons its zone-map bounds") {
