@@ -491,14 +491,14 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(requiredSchema.fields.map { f =>
       // accept a nested-pruned column type exactly when the decoder
-      // has an arm for it (one-level struct pruning = upcast code 8,
-      // array<struct> element pruning = code 9); anything the decoder
-      // cannot serve — map VALUE-STRUCT pruning (`SELECT m['t0'].n`
-      // plans map<string, struct<n>>), inner-struct pruning through a
-      // second nesting level — widens back to the STORED column type
-      // instead of crashing the scan. Spark re-projects on top of
-      // readSchema(), so correctness is unaffected; the cost is
-      // decoding the carrier's other fields.
+      // has an arm for it (struct fields = upcast code 8, array
+      // elements = 9, map values = 10 — RECURSIVE since r15, so
+      // `rec.inner.x` and map/array compositions all decode narrow);
+      // anything the decoder cannot serve widens back to the STORED
+      // column type instead of crashing the scan — a safety net now
+      // (Spark's SchemaPruning only produces ordered field subsets,
+      // which the recursive gate admits). Spark re-projects on top of
+      // readSchema(), so correctness is unaffected either way.
       tableSchema.fields.find(_.name == f.name) match {
         case Some(tf) if tf.dataType != f.dataType =>
           try { SegmentCodec.upcast(tf.dataType, f.dataType); f }

@@ -304,23 +304,52 @@ object SegmentCodec {
     // element fields skip per element, same discipline as code 8
     case (ArrayType(s: StructType, _), ArrayType(r: StructType, _))
         if isPrunedStruct(s, r) => 9
+    // 10 = nested pruning THROUGH a map's VALUE struct:
+    // `SELECT m['t0'].n` plans map<string, struct<n>> over a stored
+    // map<string, struct<...>> — keys decode whole (they are the
+    // lookup), unneeded value fields skip per entry (code 8's
+    // discipline). Until r15 this shape widened back to the stored
+    // carrier and decoded every value field.
+    case (MapType(sk, s: StructType, _), MapType(rk, r: StructType, _))
+        if shape(sk) == shape(rk) && isPrunedStruct(s, r) => 10
+    // 8 (generalized): any remaining RECURSIVELY-pruned composition —
+    // `array<array<struct<subset>>>`, `map<string, array<struct<…>>>`
+    // — served by the row reader's shared pruned decode
+    // ([[readStructPruned]]/readPrunedValue); such shapes are never
+    // vectorizable, so the columnar arms only ever see the flat
+    // prunes above
+    case (s, r) if isPrunedType(s, r) => 8
     case _ => throw new IllegalArgumentException(
       s"cannot decode a ${stored.simpleString} column as ${required.simpleString}")
   }
 
   /** Is `r` a (proper or improper) order-preserving field subset of
-    * `s` with identical field names and types? Nullability is not
-    * part of the byte contract. */
+    * `s` with identical field names and RECURSIVELY-PRUNED types
+    * (`SELECT rec.inner.x` plans struct<inner: struct<x>> over a
+    * stored struct<inner: struct<x, ys>, w> — r15; shape-identical
+    * before)? Nullability is not part of the byte contract. */
   private def isPrunedStruct(s: StructType, r: StructType): Boolean = {
     var si = 0
     var ri = 0
     while (ri < r.length) {
       while (si < s.length && s(si).name != r(ri).name) si += 1
       if (si >= s.length ||
-          shape(s(si).dataType) != shape(r(ri).dataType)) return false
+          !isPrunedType(s(si).dataType, r(ri).dataType)) return false
       si += 1; ri += 1
     }
     true
+  }
+
+  /** Can a stored `s` decode as required `r` by pruning alone —
+    * identical shape, or a (possibly nested) struct-field subset at
+    * any depth, through array elements and map values? */
+  private def isPrunedType(s: DataType, r: DataType): Boolean = (s, r) match {
+    case (s, r) if shape(s) == shape(r) => true
+    case (s: StructType, r: StructType) => isPrunedStruct(s, r)
+    case (ArrayType(se, _), ArrayType(re, _)) => isPrunedType(se, re)
+    case (MapType(sk, sv, _), MapType(rk, rv, _)) =>
+      shape(sk) == shape(rk) && isPrunedType(sv, rv)
+    case _ => false
   }
 
   /** Apply an [[upcast]] code to a decoded catalyst value; `to` is the
@@ -354,11 +383,15 @@ object SegmentCodec {
     case 8 => v // pruned structs project at decode ([[readStructPruned]]
                 // — skipped fields never materialize); nothing to promote
     case 9 => v // likewise per array element ([[readArrayStructPruned]])
+    case 10 => v // likewise per map value ([[readMapStructPruned]])
   }
 
   /** Decode a stored struct keeping only the `required` fields (an
     * order-preserving subset — [[upcast]] code 8); the others skip
-    * byte-exactly without materializing. */
+    * byte-exactly without materializing. Kept fields may themselves be
+    * pruned shapes (struct-in-struct, array/map carriers — r15):
+    * decode recurses, so `rec.inner.x` never materializes `inner`'s
+    * other fields either. */
   def readStructPruned(in: DataInputStream, stored: StructType,
       required: StructType): GenericInternalRow = {
     val vals = new Array[Any](required.length)
@@ -367,7 +400,8 @@ object SegmentCodec {
     while (si < stored.length) {
       val present = in.readBoolean()
       if (ri < required.length && stored(si).name == required(ri).name) {
-        if (present) vals(ri) = readValue(in, stored(si).dataType)
+        if (present) vals(ri) =
+          readPrunedValue(in, stored(si).dataType, required(ri).dataType)
         ri += 1
       } else if (present) skip(in, stored(si).dataType)
       si += 1
@@ -375,16 +409,36 @@ object SegmentCodec {
     new GenericInternalRow(vals)
   }
 
-  /** Decode a stored array<struct> keeping only the `required` element
-    * fields (an order-preserving subset — [[upcast]] code 9). */
-  def readArrayStructPruned(in: DataInputStream, stored: StructType,
-      required: StructType): GenericArrayData = {
-    val n = in.readInt()
-    val vals = new Array[Any](n)
-    var i = 0
-    while (i < n) { vals(i) = readStructPruned(in, stored, required); i += 1 }
-    new GenericArrayData(vals)
-  }
+  /** Decode one non-null value of stored type `s` as required type `r`
+    * — [[readValue]] when the shapes coincide, the matching pruned
+    * reader when `r` is a (nested) field subset of `s` (the shared
+    * decode behind upcast codes 8/9/10). */
+  def readPrunedValue(in: DataInputStream, s: DataType, r: DataType): Any =
+    if (shape(s) == shape(r)) readValue(in, s)
+    else (s, r) match {
+      case (s: StructType, r: StructType) => readStructPruned(in, s, r)
+      case (ArrayType(se, _), ArrayType(re, _)) =>
+        val n = in.readInt()
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) { vals(i) = readPrunedValue(in, se, re); i += 1 }
+        new GenericArrayData(vals)
+      case (MapType(sk, sv, _), MapType(_, rv, _)) =>
+        val n = in.readInt()
+        val ks = new Array[Any](n); val vs = new Array[Any](n)
+        var i = 0
+        while (i < n) { ks(i) = readValue(in, sk); i += 1 }
+        i = 0
+        while (i < n) {
+          if (in.readBoolean()) vs(i) = readPrunedValue(in, sv, rv)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new GenericArrayData(ks), new GenericArrayData(vs))
+      case other => throw new IllegalArgumentException(
+        s"no pruned decode from ${s.simpleString} to ${r.simpleString}")
+    }
+
 
   /** Read one non-null value of `dt` as the catalyst-internal value. */
   def readValue(in: DataInputStream, dt: DataType): Any = dt match {
@@ -733,11 +787,9 @@ object SegmentCodec {
         val o = outIdx(c)
         if (present) {
           if (o < 0) skip(body, types(c))
-          else if (up(c) == 8) vals(o) = readStructPruned(body,
-            types(c).asInstanceOf[StructType], reqT(c).asInstanceOf[StructType])
-          else if (up(c) == 9) vals(o) = readArrayStructPruned(body,
-            types(c).asInstanceOf[ArrayType].elementType.asInstanceOf[StructType],
-            reqT(c).asInstanceOf[ArrayType].elementType.asInstanceOf[StructType])
+          // nested pruning (codes 8/9/10 — struct fields, array
+          // elements, map values, recursively): one shared reader
+          else if (up(c) >= 8) vals(o) = readPrunedValue(body, types(c), reqT(c))
           else vals(o) = promote(readValue(body, types(c)), up(c), reqT(c))
         } // null → vals(o) stays null
         c += 1
@@ -896,8 +948,34 @@ object SegmentCodec {
                 while (i < n) { appendAtomic(in, mt.keyType, kc); i += 1 }
                 i = 0
                 val structVal = mt.valueType.isInstanceOf[StructType]
+                // struct values follow the REQUIRED (possibly value-
+                // pruned — upcast code 10) struct: `SELECT m['t0'].n`
+                // plans map<string, struct<n>>, the vector's value
+                // children are the required fields, and stored-only
+                // fields skip without materializing (code 9's per-
+                // element discipline, per map entry)
+                val reqVSt = if (structVal) required(o).dataType
+                  .asInstanceOf[MapType].valueType.asInstanceOf[StructType] else null
                 while (i < n) {
-                  if (in.readBoolean()) appendAtomic(in, mt.valueType, vc)
+                  if (in.readBoolean()) {
+                    if (structVal) {
+                      val st = mt.valueType.asInstanceOf[StructType]
+                      vc.appendStruct(false)
+                      var si = 0
+                      var ri = 0
+                      while (si < st.length) {
+                        val present = in.readBoolean()
+                        if (ri < reqVSt.length && st(si).name == reqVSt(ri).name) {
+                          val fc = vc.getChild(ri)
+                            .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+                          if (present) appendAtomic(in, st.fields(si).dataType, fc)
+                          else fc.appendNull()
+                          ri += 1
+                        } else if (present) skip(in, st.fields(si).dataType)
+                        si += 1
+                      }
+                    } else appendAtomic(in, mt.valueType, vc)
+                  }
                   // a NULL struct value appends null to its field
                   // children too (appendStruct(true)) — plain
                   // appendNull would leave them one slot behind

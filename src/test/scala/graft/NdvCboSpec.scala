@@ -87,4 +87,75 @@ class NdvCboSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("manifest NDV drives cost-based join REORDER: the provably-tiny filtered dim joins first") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // fact ⋈ dim1 (small, unfiltered) ⋈ dim2 (8× larger,
+    // equality-filtered) — the query WRITES dim1 first. Without column
+    // NDV, join cardinality falls back to |L|×|R| and the equality
+    // filter cannot reduce dim2's 40k rows, so the cheapest order keeps
+    // the SMALL dim1 in the bottom join (5e8 < 4e9 intermediate rows).
+    // With the manifest NDV the optimizer proves the filter leaves ~40
+    // of dim2's rows (1/ndv(code)) and the b-join collapses to ~4k
+    // intermediate rows vs dim1-first's 500k — the order FLIPS, on the
+    // statistic alone (same data, same query). Both plans return
+    // byte-identical rows. At 100 TB this is the second half of the
+    // statistic's value: the broadcast flip (test above) picks the
+    // STRATEGY, the reorder picks which intermediate result ever exists.
+    def writeTwin(df: org.apache.spark.sql.DataFrame, ndvFor: Option[String]):
+        (String, String) = {
+      val d1 = tmp("graft-cbo-jr"); val d2 = tmp("graft-cbo-jr")
+      val w = df.repartition(4).write.format(Fmt)
+      ndvFor.fold(w)(c => w.option("ndvFor", c)).mode("append").save(d1)
+      df.repartition(4).write.format(Fmt).mode("append").save(d2)
+      (d1, d2)
+    }
+    val facts = spark.range(0, 100000).select(
+      (col("id") % 1000).as("a"), ((col("id") + 7) % 1000).as("b"),
+      col("id").as("v"))
+    val dim1 = spark.range(0, 5000).select(
+      (col("id") % 1000).as("a"), (col("id") * 3).as("w1"))
+    val dim2 = spark.range(0, 40000).select(
+      (col("id") % 1000).as("b"), (col("id") % 1000).as("code"),
+      (col("id") * 5).as("w2"))
+    val (fN, fR) = writeTwin(facts, Some("a,b"))
+    val (d1N, d1R) = writeTwin(dim1, Some("a"))
+    val (d2N, d2R) = writeTwin(dim2, Some("b,code"))
+
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      def q(f: String, d1: String, d2: String) =
+        spark.read.format(Fmt).load(f)
+          .join(spark.read.format(Fmt).load(d1), "a")
+          .join(spark.read.format(Fmt).load(d2).filter(col("code") === 7), "b")
+          .select(col("a"), col("b"), col("v"), col("w1"), col("w2"))
+
+      // which dim shares the BOTTOM (deepest) join with the fact table?
+      def bottomJoinCols(df: org.apache.spark.sql.DataFrame): Set[String] = {
+        val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        assert(joins.size == 2, df.queryExecution.optimizedPlan.toString)
+        joins.last.children.flatMap(_.output).map(_.name).toSet
+      }
+      val withNdv = bottomJoinCols(q(fN, d1N, d2N))
+      val without = bottomJoinCols(q(fR, d1R, d2R))
+      assert(withNdv.contains("w2") && !withNdv.contains("w1"),
+        s"NDV twin: the filtered dim2 must join first, bottom join saw $withNdv")
+      assert(without.contains("w1") && !without.contains("w2"),
+        s"undeclared twin: the written order must stand, bottom join saw $without")
+
+      // the reorder changed the PLAN, never the ANSWER
+      val a = q(fN, d1N, d2N).orderBy("v", "w1", "w2").collect().toSeq
+      val b = q(fR, d1R, d2R).orderBy("v", "w1", "w2").collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -91,7 +91,8 @@ class SegmentArrayStructSpec extends SparkSpec {
     val bos = new ByteArrayOutputStream()
     SegmentCodec.writeValue(new DataOutputStream(bos), ArrayType(st), top, 0)
     val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
-    val got = SegmentCodec.readArrayStructPruned(in, st, req)
+    val got = SegmentCodec.readPrunedValue(in, ArrayType(st), ArrayType(req))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
     assert(got.numElements() == 2)
     val g1 = got.getStruct(0, 2); val g2 = got.getStruct(1, 2)
     assert(g1.getLong(0) == 1L && g1.getInt(1) == 5)
@@ -304,11 +305,41 @@ class SegmentArrayStructSpec extends SparkSpec {
       .orderBy("k").collect()
     render(back).zip(render(df0)).foreach { case (g, w) => assert(g == w) }
     // map VALUE-STRUCT pruning (Spark narrows `m['k0'].n` to
-    // map<string, struct<n>>): the scan widens map columns back to
-    // the stored type instead of crashing the decode — results exact
-    val pruned = back.selectExpr("k", "m['k0'].n AS n0").orderBy("k").collect()
+    // map<string, struct<n>>): the scan SERVES the narrow type (upcast
+    // code 10, r15 — it widened back to the full carrier before), so
+    // the other value fields skip without materializing — results exact
+    val prunedDf = back.selectExpr("k", "m['k0'].n AS n0").orderBy("k")
+    val scanValueFields = prunedDf.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema()("m").dataType
+          .asInstanceOf[MapType].valueType.asInstanceOf[StructType].fieldNames.toSeq
+    }.head
+    assert(scanValueFields == Seq("n"),
+      s"the scan must plan the PRUNED value struct, got $scanValueFields")
+    val pruned = prunedDf.collect()
     val wantPruned = df0.selectExpr("k", "m['k0'].n AS n0").orderBy("k").collect()
     pruned.zip(wantPruned).foreach { case (g, w) => assert(g == w) }
+    // ...on the ROW path too (decimal-valued sibling forces it off the
+    // columnar reader): same pruned plan, same answers
+    val dRows = (0 until 60).map { i =>
+      Row(i.toLong, Map(s"k${i % 2}" -> Row(i * 7,
+        new java.math.BigDecimal(s"$i.25"))))
+    }
+    val dDir = tmp("graft-mapstruct-dec")
+    spark.createDataFrame(spark.sparkContext.parallelize(dRows, 2),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("m", MapType(StringType, StructType(Seq(
+          StructField("n", IntegerType), StructField("d", DecimalType(10, 2)))))))))
+      .write.format(Fmt).mode("append").save(dDir)
+    val dBack = spark.read.format(Fmt).load(dDir)
+    val dPruned = dBack.selectExpr("k", "m['k0'].n AS n0").orderBy("k")
+    assert(!dPruned.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val dGot = dPruned.collect()
+    (0 until 60).foreach { i =>
+      val r = dGot(i)
+      assert(r.getLong(0) == i.toLong &&
+        (if (i % 2 == 0) r.getInt(1) == i * 7 else r.isNullAt(1)), s"row $i: $r")
+    }
     // empty maps and the columnar plan
     val cnt = back.selectExpr("k", "size(m) AS n")
     cnt.collect()
@@ -381,11 +412,28 @@ class SegmentArrayStructSpec extends SparkSpec {
     // deep shapes are supported but honestly ROW-read (no columnar arm)
     assert(!SegmentCodec.vectorizable(deepType("grid").dataType))
     assert(!SegmentCodec.vectorizable(deepType("rec").dataType))
-    // inner-struct pruning has no decode arm: the scan widens back to
-    // the stored type instead of crashing — results exact either way
-    val inner = back.selectExpr("k", "rec.inner.x AS x").orderBy("k").collect()
+    // inner-struct pruning decodes NARROW (recursive code 8 — r15):
+    // the scan plans struct<inner: struct<x>> and `ys`/`w` skip
+    // undecoded (measured ×3.0 vs parquet when this widened back)
+    val innerDf = back.selectExpr("k", "rec.inner.x AS x").orderBy("k")
+    val recScan = innerDf.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema()("rec").dataType.asInstanceOf[StructType]
+    }.head
+    assert(recScan.fieldNames.toSeq == Seq("inner") &&
+      recScan("inner").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("x"),
+      s"the scan must plan the recursively-pruned struct, got ${recScan.simpleString}")
+    val inner = innerDf.collect()
     val wantInner = df0.selectExpr("k", "rec.inner.x AS x").orderBy("k").collect()
     inner.zip(wantInner).foreach { case (g, w) => assert(g == w) }
+    // ...and through array/map carriers too: keyed is
+    // map<string, array<struct<a, zs>>> — prune to element field `a`
+    val keyedDf = back.selectExpr(
+      "k", "transform(map_values(keyed)[0], e -> e.a) AS as0").orderBy("k")
+    val keyedGot = keyedDf.collect()
+    val keyedWant = df0.selectExpr(
+      "k", "transform(map_values(keyed)[0], e -> e.a) AS as0").orderBy("k").collect()
+    keyedGot.zip(keyedWant).foreach { case (g, w) => assert(g == w) }
     // dense-element discipline holds at EVERY depth: a null inside a
     // nested array refuses loudly
     val bad = Seq(Row(1L, Seq(Seq[Any](1, null)), null, null,
