@@ -4277,7 +4277,7 @@ object SparkEntry {
       graft.ops.Curation.audit(st)
         .write.mode("overwrite").parquet(s"$out/audit")
       // outputs live in parquet now — free every lineage-cut block
-      Seq(st.exact, st.near, st.components)
+      Seq(st.quality, st.exact, st.near, st.components)
         .foreach(graft.ops.Lineage.free)
       out
     })

@@ -70,15 +70,17 @@ object Curation {
       components: DataFrame)
 
   /** Build the full pipeline. The components loop runs its (eager,
-    * driver-probed) contraction when this is CALLED, and the two
-    * most-reused survivor frames (`exact`, `near`) are eagerly
-    * lineage-cut ([[Lineage.cut]]): every downstream consumer — the
-    * components edge build, the decontam postings, the funnel counts'
-    * six branches and the audit's five membership joins — otherwise
-    * re-evaluates the full quality+digest chain per reference
-    * (measured: the audit join alone re-ran it five times). Callers
-    * that persist the outputs should free the cut blocks afterwards
-    * ([[Lineage.free]] on `exact`/`near`/`components`). */
+    * driver-probed) contraction when this is CALLED, and the three
+    * most-reused survivor frames (`quality`, `exact`, `near`) are
+    * eagerly lineage-cut ([[Lineage.cut]]): every downstream consumer
+    * — the components edge build, the decontam postings, the funnel
+    * counts' six branches and the audit's five membership joins —
+    * otherwise re-evaluates the full quality+digest chain per
+    * reference (measured: the audit join alone re-ran it five times;
+    * the quality re-derivations alone were ~3.5 s of an ~11 s sf0.1
+    * build). Callers that persist the outputs should free the cut
+    * blocks afterwards ([[Lineage.free]] on
+    * `quality`/`exact`/`near`/`components`). */
   def stages(docs: DataFrame, p: Params = Params(),
              checkpointDir: Option[String] = None): Stages = {
     val tagged = Sampling
@@ -92,15 +94,20 @@ object Curation {
 
     // quality: the filter returns the SCORED frame; survivors semi-join
     // back so text flows on (scores are a per-doc projection, cheap to
-    // recompute, not worth carrying through every later shuffle)
-    val quality = train.join(
+    // recompute, not worth carrying through every later shuffle).
+    // CUT like exact/near (r15): the quality chain (split semi-join +
+    // score quantile + survivor semi-join) is otherwise re-derived by
+    // the exact-dedup digest pass, the funnel counts AND the audit's
+    // membership flags — profiled at sf0.1, those re-derivations were
+    // ~3.5 s of the build's ~11 s (docs/BENCH_NOTES.md r15)
+    val reliable = checkpointDir.isDefined
+    Lineage.prepare(docs, checkpointDir)
+    val quality = Lineage.cut(train.join(
       TextOps.qualityFilter(train, p.qualityFrac).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"), reliable)
 
     // exact dedup: keeper = min doc_id per content digest; the shuffle
     // carries (32-byte digest, id), never text
-    val reliable = checkpointDir.isDefined
-    Lineage.prepare(docs, checkpointDir)
     val exact = Lineage.cut(
       quality.join(
         quality.groupBy(md5(col("text")).as("content_hash"))
