@@ -44,12 +44,15 @@ object Bench {
     // of the suite (calib_cpu_end_sec) to catch within-run drift —
     // thermal throttling or a co-tenant arriving mid-bench.
     val calibCpu = calibrateCpu()
-    val calibSpark = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 100000000L, 1L, 32)
-        .selectExpr("id % 997 AS k").groupBy("k").count().count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // the instrument must never cost the round its artifact: a failed
+    // calibration job reports -1, the same isolation the warmup gets
+    val calibSpark =
+      try {
+        val t0 = System.nanoTime()
+        spark.range(0L, 100000000L, 1L, 32)
+          .selectExpr("id % 997 AS k").groupBy("k").count().count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
     // deterministic order + per-query session hygiene: drop any cached
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state

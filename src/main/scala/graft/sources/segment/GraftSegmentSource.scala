@@ -931,16 +931,21 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       f.dataType match {
         case st: org.apache.spark.sql.types.StructType => st.fields.foreach { cf =>
           val key = s"${f.name}.${cf.name}"
-          ndvFromSketches(key, segs).foreach { n =>
-            val nulls = segs.map(_.stats.get(key).map(_.nullCount).getOrElse(0L)).sum
-            cstats.put(Expressions.column(key),
-              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                override def nullCount(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(nulls)
-                override def distinctCount(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(n)
-              })
-          }
+          // cheap pre-gate: only DECLARED fields carry sketches, so one
+          // head-segment probe spares every undeclared struct field the
+          // O(segments) presence pass below (a 30-field struct over 10k
+          // segments would otherwise pay ~300k lookups per plan)
+          if (segs.head.stats.get(key).exists(_.kmv.isDefined))
+            ndvFromSketches(key, segs).foreach { n =>
+              val nulls = segs.map(_.stats.get(key).map(_.nullCount).getOrElse(0L)).sum
+              cstats.put(Expressions.column(key),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nulls)
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(n)
+                })
+            }
         }
         case _ =>
       }
@@ -2091,13 +2096,17 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     rows = 0L
     stats = schema.fields.map { f =>
       // dotted declarations ("meta.lang") bloom/sketch STRUCT FIELDS:
-      // the bare field names route to the column's child collectors
-      val nested = bloomFor.collect {
-        case s if s.startsWith(f.name + ".") => s.substring(f.name.length + 1)
+      // the bare field names route to the column's child collectors.
+      // A declaration matching a LITERAL top-level column name wins
+      // that resolution outright (parseCols' contract; roll() would
+      // drop the child's stats key anyway) — don't also run the
+      // struct field's collector for it.
+      def nestedOf(decl: Set[String]): Set[String] = decl.collect {
+        case s if s.startsWith(f.name + ".") && !schema.fieldNames.contains(s) =>
+          s.substring(f.name.length + 1)
       }
-      val nestedNdv = ndvFor.collect {
-        case s if s.startsWith(f.name + ".") => s.substring(f.name.length + 1)
-      }
+      val nested = nestedOf(bloomFor)
+      val nestedNdv = nestedOf(ndvFor)
       new SegmentCodec.StatsCollector(f.dataType,
         if (bloomFor.contains(f.name) || nested.nonEmpty) bloomBits else 0,
         nestedBloomFor = nested,

@@ -107,9 +107,19 @@ object SegmentGenerated {
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (quote != 0) {
-        out.append(c)
-        if (c == quote) quote = 0 // '' escapes simply re-open next char
-        i += 1
+        // backslash escapes are live inside string literals under the
+        // default escapedStringLiterals=false — '\'' does NOT close
+        // the string, and treating it as closing would desync the
+        // tracker and let a '--' inside the literal truncate the scan
+        // text (a guard bypass). Backticks have no backslash escapes.
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          out.append(c).append(sql.charAt(i + 1))
+          i += 2
+        } else {
+          out.append(c)
+          if (c == quote) quote = 0 // '' escapes simply re-open next char
+          i += 1
+        }
       } else if (c == '\'' || c == '"' || c == '`') {
         quote = c; out.append(c); i += 1
       } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {

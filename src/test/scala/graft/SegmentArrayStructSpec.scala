@@ -319,8 +319,13 @@ class SegmentArrayStructSpec extends SparkSpec {
     val pruned = prunedDf.collect()
     val wantPruned = df0.selectExpr("k", "m['k0'].n AS n0").orderBy("k").collect()
     pruned.zip(wantPruned).foreach { case (g, w) => assert(g == w) }
-    // ...on the ROW path too (decimal-valued sibling forces it off the
-    // columnar reader): same pruned plan, same answers
+    // ...on the ROW path too: projecting the DECIMAL value field keeps
+    // the required map non-vectorizable (decimals have no append form),
+    // so this is the code-10 pruned decode through the ROW reader —
+    // and the int sibling `n` must skip undecoded. (Projecting `n`
+    // would NOT cover this: Spark prunes the decimal away and the
+    // narrow map goes columnar.) Plan asserted AFTER collect — AQE
+    // renders no physical nodes before execution.
     val dRows = (0 until 60).map { i =>
       Row(i.toLong, Map(s"k${i % 2}" -> Row(i * 7,
         new java.math.BigDecimal(s"$i.25"))))
@@ -332,13 +337,22 @@ class SegmentArrayStructSpec extends SparkSpec {
           StructField("n", IntegerType), StructField("d", DecimalType(10, 2)))))))))
       .write.format(Fmt).mode("append").save(dDir)
     val dBack = spark.read.format(Fmt).load(dDir)
-    val dPruned = dBack.selectExpr("k", "m['k0'].n AS n0").orderBy("k")
-    assert(!dPruned.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val dPruned = dBack.selectExpr("k", "m['k0'].d AS d0").orderBy("k")
+    val dScanFields = dPruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema()("m").dataType
+          .asInstanceOf[MapType].valueType.asInstanceOf[StructType].fieldNames.toSeq
+    }.head
+    assert(dScanFields == Seq("d"),
+      s"the scan must plan the pruned decimal-only value struct, got $dScanFields")
     val dGot = dPruned.collect()
+    assert(!dPruned.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a decimal-valued map must decode through the row reader")
     (0 until 60).foreach { i =>
       val r = dGot(i)
       assert(r.getLong(0) == i.toLong &&
-        (if (i % 2 == 0) r.getInt(1) == i * 7 else r.isNullAt(1)), s"row $i: $r")
+        (if (i % 2 == 0) r.getDecimal(1).toString == s"$i.25" else r.isNullAt(1)),
+        s"row $i: $r")
     }
     // empty maps and the columnar plan
     val cnt = back.selectExpr("k", "size(m) AS n")

@@ -270,6 +270,21 @@ class SegmentGeneratedSpec extends SparkSpec {
         "'concat(\\'a--b\\', CAST(DATE \\'today\\' AS STRING))')")
     }
     assert(msgs(e4d).exists(_.contains("special datetime")), s"got: ${msgs(e4d)}")
+    // ...and BACKSLASH-escaped quotes inside literals must not desync
+    // the comment scanner: in '\''--' the \' is an escaped quote (the
+    // default escapedStringLiterals=false), so the string stays open
+    // through the '--' — a scanner that closed at \' would strip the
+    // rest of the line as a comment and miss DATE 'today'
+    val e4e = intercept[IllegalArgumentException] {
+      graft.sources.segment.SegmentGenerated.requireAnalyzable(spark,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType))),
+        "s", "concat('\\'--', CAST(DATE 'today' AS STRING))", Set.empty)
+    }
+    assert(e4e.getMessage.contains("special datetime"), e4e.getMessage)
     spark.sql(s"CREATE TABLE $cat.db.okepoch (k BIGINT, d DATE) " +
       "TBLPROPERTIES ('gen.d' = 'DATE \\'epoch\\'')")
     spark.sql(s"INSERT INTO $cat.db.okepoch (k) VALUES (1)")
