@@ -898,6 +898,20 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
         // relation anyway). Legacy manifests without the pre-merge fall
         // back to the per-segment path.
         val ndv: Option[Long] = ndvFromSketches(f.name, segs)
+        // avgLen/maxLen from the per-segment length sums (string/
+        // binary columns — r15): catalyst defaults strings to the
+        // type's 20-byte defaultSize, so the size estimates of
+        // string-heavy intermediates (and the broadcast decisions
+        // built on them) are off an order of magnitude on a document
+        // corpus without the true widths. Σsum / Σnon-null is exact
+        // over the segments; over-approximate under dvs like the rest.
+        val lens: Option[(Long, Long)] =
+          if (per.forall(_.get.lenSum.isDefined)) {
+            val sum = per.map(_.get.lenSum.get).sum
+            val vals = math.max(1L, segs.map(_.rows).sum - nulls)
+            Some((math.max(1L, math.round(sum.toDouble / vals)),
+              per.map(_.get.lenMax.get).max))
+          } else None
         cstats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def nullCount(): java.util.OptionalLong =
@@ -911,6 +925,12 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
             override def max(): java.util.Optional[Object] =
               mm.map(v => java.util.Optional.of(v._2: Object))
                 .getOrElse(java.util.Optional.empty[Object]())
+            override def avgLen(): java.util.OptionalLong =
+              lens.map(l => java.util.OptionalLong.of(l._1))
+                .getOrElse(java.util.OptionalLong.empty())
+            override def maxLen(): java.util.OptionalLong =
+              lens.map(l => java.util.OptionalLong.of(l._2))
+                .getOrElse(java.util.OptionalLong.empty())
           })
       }
     }
@@ -2129,7 +2149,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
         // keys ("st.a") — skipping any key a real top-level column
         // already owns, so a literal-dotted column name never gets
         // its bounds silently overwritten (pruning soundness)
-        (n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64)) +:
+        val (ls, lm) = c.lenStats
+        (n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64, ls, lm)) +:
           c.nested.collect {
             case (fn, cs) if !colNames.contains(s"$n.$fn") => s"$n.$fn" -> cs
           }

@@ -614,6 +614,11 @@ object SegmentCodec {
     private var minS: UTF8String = _; private var maxS: UTF8String = _
     private var minDec: java.math.BigDecimal = _
     private var maxDec: java.math.BigDecimal = _
+    // value BYTE lengths of string/binary columns — the avgLen/maxLen
+    // optimizer feed (independent of `sound`: a >64-byte string kills
+    // the zone map, not the length accounting)
+    private val varWidth = dt == StringType || dt == BinaryType
+    private var lenSumV = 0L; private var lenMaxV = 0L
 
     def addNull(): Unit = {
       nulls += 1
@@ -623,6 +628,13 @@ object SegmentCodec {
     def add(row: InternalRow, ordinal: Int): Unit = {
       if (bloom != null) SegmentBloom.put(bloom, SegmentBloom.hashRow(dt, row, ordinal))
       if (kmv != null) kmv.add(SegmentNdv.canonical(dt, row, ordinal))
+      if (varWidth) {
+        val len =
+          if (dt == StringType) row.getUTF8String(ordinal).numBytes().toLong
+          else row.getBinary(ordinal).length.toLong
+        lenSumV += len
+        if (len > lenMaxV) lenMaxV = len
+      }
       if (sound) addBounds(row, ordinal)
       if (children != null) {
         val s = row.getStruct(ordinal, children.length)
@@ -640,7 +652,8 @@ object SegmentCodec {
     def nested: Seq[(String, ColumnStats)] =
       if (children == null) Nil
       else children.toSeq.map { case (n, c) =>
-        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64) }
+        val (ls, lm) = c.lenStats
+        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64, ls, lm) }
 
     private def addBounds(row: InternalRow, ordinal: Int): Unit = dt match {
       case IntegerType | DateType => addLong(row.getInt(ordinal).toLong)
@@ -692,6 +705,12 @@ object SegmentCodec {
 
     /** Base64 KMV sketch, None when not collected for this column. */
     def kmvBase64: Option[String] = Option(kmv).flatMap(_.base64)
+
+    /** (Σ value bytes, max value bytes) for string/binary columns —
+      * present even when all-null (zero is a true sum), absent for
+      * fixed-width types (their width is the type's). */
+    def lenStats: (Option[Long], Option[Long]) =
+      if (varWidth) (Some(lenSumV), Some(lenMaxV)) else (None, None)
 
     /** Base64 bloom bits, None when not collected for this column. */
     def bloomBase64: Option[String] = Option(bloom).map { b =>

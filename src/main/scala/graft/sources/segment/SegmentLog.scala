@@ -16,9 +16,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `bloom` is an optional base64 per-segment bloom filter over the
   * column's values ([[SegmentBloom]]) for point-lookup pruning on
   * columns the layout does not cluster. */
+/** Per-segment column statistics. `lenSum`/`lenMax` are total and
+  * maximum VALUE byte lengths of STRING/BINARY columns (r15): the
+  * optimizer's `avgLen`/`maxLen` feed — catalyst defaults strings to
+  * 20 bytes, so size estimates of string-heavy intermediates (and the
+  * broadcast decisions they drive) can be off an order of magnitude
+  * without them. Sums are mergeable across segments (avg = Σsum /
+  * Σnon-null); over-approximate under deletion vectors, the same
+  * estimates-by-contract stance as NDV. */
 case class ColumnStats(bounds: Option[(String, String)], nullCount: Long,
     bloom: Option[String] = None,
-    kmv: Option[String] = None)
+    kmv: Option[String] = None,
+    lenSum: Option[Long] = None,
+    lenMax: Option[Long] = None)
 
 /** One committed data file. `path` is relative to the table root.
   * `bucket` is the hash-bucket index this segment belongs to when it
@@ -268,7 +278,9 @@ object SegmentLog {
           else None
         stats += n -> ColumnStats(bounds, c.get("nulls").asLong(),
           if (c.hasNonNull("bloom")) Some(c.get("bloom").asText()) else None,
-          if (c.hasNonNull("kmv")) Some(c.get("kmv").asText()) else None)
+          if (c.hasNonNull("kmv")) Some(c.get("kmv").asText()) else None,
+          if (c.hasNonNull("lenSum")) Some(c.get("lenSum").asLong()) else None,
+          if (c.hasNonNull("lenMax")) Some(c.get("lenMax").asLong()) else None)
       }
       val segCols =
         if (s.hasNonNull("cols")) {
@@ -429,6 +441,8 @@ object SegmentLog {
         c.put("nulls", cs.nullCount)
         cs.bloom.foreach(b => c.put("bloom", b))
         cs.kmv.foreach(k => c.put("kmv", k))
+        cs.lenSum.foreach(s => c.put("lenSum", s))
+        cs.lenMax.foreach(m => c.put("lenMax", m))
       }
     }
     if (m.txns.nonEmpty) {

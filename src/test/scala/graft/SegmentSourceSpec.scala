@@ -2721,6 +2721,43 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Option(e2.getCause).exists(_.getMessage.contains("not in schema")))
   }
 
+  test("avgLen/maxLen statistics: true string widths reach the optimizer (not the 20-byte default)") {
+    val dir = tmp("graft-seg-lens")
+    // name: exactly 50 bytes each (one null); tag: exactly 5 bytes —
+    // catalyst's StringType.defaultSize is 20, so without these stats
+    // a document corpus's size estimates are off 2.5x here (and 50x+
+    // on real web text), which is exactly the broadcast-decision input
+    spark.range(0, 200).select(
+        col("id"),
+        when(col("id") === 13, lit(null).cast("string"))
+          .otherwise(rpad(lit("x"), 50, "y")).as("name"),
+        lpad(col("id").cast("string"), 5, "0").as("tag"))
+      .repartition(2).write.format(Fmt).mode("append").save(dir)
+    val schema = spark.read.format(Fmt).load(dir).schema
+    val cs = new graft.sources.segment.GraftScanBuilder(dir, schema,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    def of(n: String) = cs.get(
+      org.apache.spark.sql.connector.expressions.Expressions.column(n))
+    assert(of("name").avgLen().getAsLong == 50 && of("name").maxLen().getAsLong == 50)
+    assert(of("tag").avgLen().getAsLong == 5 && of("tag").maxLen().getAsLong == 5)
+    assert(!of("id").avgLen().isPresent,
+      "fixed-width types carry no length stats (the type's width is exact already)")
+    // ...and catalyst RECEIVES them: transformV2Stats maps avgLen/
+    // maxLen into the leaf's attributeStats, the EstimationUtils row-
+    // width input every intermediate size estimate is built from
+    val stats = spark.read.format(Fmt).load(dir)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.head
+    val nameStat = stats.attributeStats.find(_._1.name == "name").get._2
+    assert(nameStat.avgLen.contains(50L) && nameStat.maxLen.contains(50L),
+      s"catalyst attributeStats must carry the widths, got $nameStat")
+  }
+
   test("NDV on struct fields (dotted) and TIMESTAMP (epoch-micros canonical); DDL hygiene") {
     import graft.sources.segment.SegmentNdv
     val dir = tmp("graft-seg-ndv-nested")
