@@ -3087,6 +3087,33 @@ object SparkEntry {
         .select("version", "kind", "n_segments", "n_rows")
         .orderBy(col("version"))
     }),
+    // CALL graft.system.stats: the WHOLE manifest statistics surface
+    // as one frame — typed zone-map bounds reduced across segments
+    // (engine-portable renders: ISO dates, epoch-micros timestamps),
+    // null counts, the pre-merged NDV where declared, Σ/max value
+    // bytes for string/binary — zero scans, what an operator reads
+    // before sizing a job. The oracle recomputes every cell from the
+    // source rows, so a wrong bound reduce, null count, canonical
+    // render, sketch estimate or byte sum shows up as a cell diff
+    "store_segment_stats" -> ((s, d) => withTempDir("graft-segstats") { base =>
+      val cat = s"graft_stats_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, lang STRING, d DATE, " +
+        "ts TIMESTAMP, name STRING, blob BINARY) " +
+        "TBLPROPERTIES ('ndvFor'='lang', 'clusterBy'='doc_id', 'numPartitions'='4')")
+      Tables.documents(s, d).createOrReplaceTempView("graft_stats_docs")
+      s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, lang, " +
+        "date_add(DATE'2020-01-01', CAST(doc_id % 900 AS INT)), " +
+        "timestamp_micros(doc_id * 1000000 + doc_id % 777), " +
+        "CASE WHEN doc_id % 97 = 0 THEN NULL " +
+        "ELSE concat('n', lpad(CAST(doc_id % 50 AS STRING), 4, '0')) END, " +
+        "encode(concat('b', CAST(doc_id % 10 AS STRING)), 'utf-8') " +
+        "FROM graft_stats_docs")
+      s.sql(s"CALL $cat.system.stats('db.t')").orderBy(col("col_name"))
+    }),
     // CHECK constraints (the Delta ADD CONSTRAINT shape as validated
     // check.* TBLPROPERTIES): a declared predicate gates EVERY write —
     // the violating INSERT below fails atomically (nothing lands), so
@@ -6670,6 +6697,41 @@ object SparkEntry {
         // plain INSERT inherits the live layout: 2 new segments, not 4
         "UNION ALL SELECT 4, 'append', 4, (SELECT c FROM nall)) " +
         "ORDER BY version"),
+    // every stats cell recomputed from the source rows: bounds are
+    // true min/max (ISO date / epoch-micros renders match the
+    // procedure's canonicals), NDV on the declared under-k column is
+    // the exact distinct count, len_sum/len_max are value byte sums;
+    // binary carries lengths but (honestly) no bounds
+    "store_segment_stats" ->
+      ("WITH src AS (SELECT doc_id, lang, " +
+        "DATE '2020-01-01' + CAST(doc_id % 900 AS INT) AS d, " +
+        "doc_id * 1000000 + doc_id % 777 AS tsu, " +
+        "CASE WHEN doc_id % 97 = 0 THEN NULL " +
+        "ELSE 'n' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') END AS name, " +
+        "'b' || CAST(doc_id % 10 AS VARCHAR) AS blob_s " +
+        "FROM documents) " +
+        "SELECT * FROM (" +
+        "SELECT 'blob' AS col_name, count(blob_s) AS n_values, " +
+        "count(*) - count(blob_s) AS n_nulls, " +
+        "CAST(NULL AS VARCHAR) AS min_val, CAST(NULL AS VARCHAR) AS max_val, " +
+        "CAST(NULL AS DOUBLE) AS ndv_est, " +
+        "CAST(sum(strlen(blob_s)) AS BIGINT) AS len_sum, " +
+        "CAST(max(strlen(blob_s)) AS BIGINT) AS len_max FROM src " +
+        "UNION ALL SELECT 'd', count(d), count(*) - count(d), " +
+        "CAST(min(d) AS VARCHAR), CAST(max(d) AS VARCHAR), NULL, NULL, NULL FROM src " +
+        "UNION ALL SELECT 'doc_id', count(doc_id), count(*) - count(doc_id), " +
+        "CAST(min(doc_id) AS VARCHAR), CAST(max(doc_id) AS VARCHAR), NULL, NULL, NULL FROM src " +
+        "UNION ALL SELECT 'lang', count(lang), count(*) - count(lang), " +
+        "min(lang), max(lang), CAST(count(DISTINCT lang) AS DOUBLE), " +
+        "CAST(sum(strlen(lang)) AS BIGINT), " +
+        "CAST(max(strlen(lang)) AS BIGINT) FROM src " +
+        "UNION ALL SELECT 'name', count(name), count(*) - count(name), " +
+        "min(name), max(name), NULL, " +
+        "CAST(sum(strlen(name)) AS BIGINT), " +
+        "CAST(max(strlen(name)) AS BIGINT) FROM src " +
+        "UNION ALL SELECT 'ts', count(tsu), count(*) - count(tsu), " +
+        "CAST(min(tsu) AS VARCHAR), CAST(max(tsu) AS VARCHAR), NULL, NULL, NULL FROM src" +
+        ") ORDER BY col_name"),
     // only the constraint-satisfying insert survives; the violating
     // batch failed whole (write-side enforcement, atomic commit)
     "store_segment_check_constraint" ->

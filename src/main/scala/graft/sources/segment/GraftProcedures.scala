@@ -25,6 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.rollback('db.t', 3);                 -- RESTORE to version 3
   * CALL graft.system.rollback_to_timestamp('db.t', 1755216000000); -- undo since t
   * CALL graft.system.ndv('db.t');                         -- manifest NDV estimates
+  * CALL graft.system.stats('db.t');                       -- full manifest column stats
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -269,6 +270,94 @@ object GraftProcedures {
               sk.length < SegmentNdv.K)
           }
         }
+      case "stats" =>
+        procedure("stats",
+          Seq(param("table", StringType)),
+          StructType(Seq(
+            StructField("col_name", StringType, nullable = false),
+            StructField("n_values", LongType, nullable = false),
+            StructField("n_nulls", LongType, nullable = false),
+            StructField("min_val", StringType, nullable = true),
+            StructField("max_val", StringType, nullable = true),
+            StructField("ndv_est", DoubleType, nullable = true),
+            StructField("len_sum", LongType, nullable = true),
+            StructField("len_max", LongType, nullable = true)))) { (spark, in) =>
+          // the WHOLE manifest statistics surface as one frame — what
+          // an operator (or a quality dashboard) reads before sizing a
+          // job, zero scans: zone-map bounds reduced across live
+          // segments (typed compare; rendered via the engine-portable
+          // canonicals — ISO dates, epoch-micros timestamps,
+          // scale-padded decimals), null counts, the pre-merged NDV
+          // estimate where declared, and Σ/max value bytes for
+          // string/binary columns. ESTIMATES BY CONTRACT under
+          // deletion vectors (a dv'd row still counts), exact on
+          // dv-free tables. One row per live column, incl. one dotted
+          // struct-field level; columns with no sound bounds (arrays,
+          // maps, long strings) carry NULL min/max honestly.
+          val dir = tableDir(warehouse, in.getUTF8String(0).toString)
+          val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+          val m = SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
+            throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+          val live: Seq[(String, DataType)] = m.schema.fields.toSeq.flatMap { f =>
+            (f.name, f.dataType) +: (f.dataType match {
+              case st: StructType =>
+                st.fields.toSeq.map(cf => (s"${f.name}.${cf.name}", cf.dataType))
+              case _ => Nil
+            })
+          }.distinctBy(_._1)
+          val segs = m.segments
+          def render(dt: DataType, isMin: Boolean,
+              all: Seq[(String, String)]): String = {
+            def longs = all.map(b => (if (isMin) b._1 else b._2).toLong)
+            dt match {
+              case ByteType | ShortType | IntegerType | LongType |
+                  TimestampType | TimestampNTZType =>
+                (if (isMin) longs.min else longs.max).toString
+              case DateType => java.time.LocalDate
+                .ofEpochDay(if (isMin) longs.min else longs.max).toString
+              case FloatType | DoubleType =>
+                val ds = all.map(b => (if (isMin) b._1 else b._2).toDouble)
+                (if (isMin) ds.min else ds.max).toString
+              case _: DecimalType =>
+                val ds = all.map(b =>
+                  new java.math.BigDecimal(if (isMin) b._1 else b._2))
+                (if (isMin) ds.min(Ordering.comparatorToOrdering(
+                    java.util.Comparator.naturalOrder[java.math.BigDecimal]()))
+                 else ds.max(Ordering.comparatorToOrdering(
+                    java.util.Comparator.naturalOrder[java.math.BigDecimal]())))
+                  .toPlainString
+              case StringType =>
+                val ss = all.map(b => if (isMin) b._1 else b._2)
+                if (isMin) ss.min else ss.max
+              case _ => null
+            }
+          }
+          live.filter(c => segs.nonEmpty && segs.forall(_.stats.contains(c._1)))
+            .sortBy(_._1).map { case (name, dt) =>
+              val per = segs.map(_.stats(name))
+              val nulls = per.map(_.nullCount).sum
+              val nVals = segs.map(_.rows).sum - nulls
+              val bounds: (String, String) =
+                if (nVals > 0 && per.forall(_.bounds.isDefined)) {
+                  val all = per.map(_.bounds.get)
+                  (render(dt, isMin = true, all), render(dt, isMin = false, all))
+                } else (null, null)
+              val ndv = m.ndvMerged.get(name)
+                .map(b64 => SegmentNdv.estimateMerged(SegmentNdv.decode(b64)))
+              val lenSum =
+                if (per.forall(_.lenSum.isDefined)) per.map(_.lenSum.get).sum
+                else -1L
+              val lenMax =
+                if (per.forall(_.lenMax.isDefined)) per.map(_.lenMax.get).max
+                else -1L
+              row(UTF8String.fromString(name), nVals, nulls,
+                if (bounds._1 == null) null else UTF8String.fromString(bounds._1),
+                if (bounds._2 == null) null else UTF8String.fromString(bounds._2),
+                ndv.map(java.lang.Double.valueOf).orNull,
+                if (lenSum < 0) null else java.lang.Long.valueOf(lenSum),
+                if (lenMax < 0) null else java.lang.Long.valueOf(lenMax))
+            }
+        }
       case "clone" =>
         procedure("clone",
           Seq(param("table", StringType), param("target", StringType),
@@ -290,5 +379,5 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
       "delete_where", "delete_mark", "compact_deletes", "update_mark",
-      "rollback", "rollback_to_timestamp", "clone", "ndv")
+      "rollback", "rollback_to_timestamp", "clone", "ndv", "stats")
 }

@@ -2819,6 +2819,16 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     def mc() = SegmentLog.logicalView(SegmentLog.read(
       SegmentLog.fs(catDir, spark.sessionState.newHadoopConf()), catDir).get)
     assert(mc().ndvMerged.keySet == Set("k", "meta.lang", "ts"))
+    // CALL graft.system.stats lists struct-FIELD rows beside top-level
+    // columns, with the dotted NDV estimate and typed bounds
+    val statRows = spark.sql("CALL gndvn.system.stats('db.t')")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(statRows.keySet == Set("k", "meta", "meta.lang", "meta.b", "ts"),
+      s"got ${statRows.keySet}")
+    assert(statRows("meta.lang").getDouble(5) == 5.0, "dotted NDV (exact arm)")
+    assert(statRows("k").getString(3) == "0" && statRows("k").getString(4) == "199")
+    assert(statRows("meta").isNullAt(3), "struct carrier has no bounds")
+    assert(statRows("meta.b").getString(3) == "0" && statRows("meta.b").getString(4) == "8")
     spark.sql("ALTER TABLE gndvn.db.t DROP COLUMN ts")
     assert(mc().ndvMerged.keySet == Set("k", "meta.lang"),
       "DROP COLUMN must shed the dropped column's table-level sketch immediately")
