@@ -108,6 +108,10 @@ object ScaleBench {
     // NDV sketches: write cost is the table write (the collector rides
     // the encoder), the estimate itself is manifest-sized (~flat)
     "store_segment_ndv",
+    // r15: the full stats surface — write cost is the table write
+    // (length sums ride the same collectors), CALL stats itself is a
+    // manifest-sized driver answer (~flat)
+    "store_segment_stats",
     // round-14: the span-annotation shape (array<struct> elements
     // carrying token arrays) and struct-valued maps — synth/store/
     // re-derive must track document rows; both decode columnar
