@@ -854,8 +854,33 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     val rows = segs.map(_.liveRows).sum
     val bytes = segs.map(_.bytes).sum
     // scale bytes by projection width so a narrow projection of a wide
-    // table still qualifies for broadcast, like parquet's column stats
-    val frac = math.max(1, required.length).toDouble / math.max(1, tableSchema.length)
+    // table still qualifies for broadcast, like parquet's column stats.
+    // BYTE-weighted (r15), not column-count-weighted: string/binary
+    // columns use their OBSERVED average value width from the manifest
+    // length sums (a document corpus is dominated by one text column —
+    // `SELECT doc_id, lang` of a 500-byte-text table is ~2% of its
+    // bytes, not 2-of-3 columns = 66%, and that difference is exactly
+    // a broadcast decision at 100 TB); fixed-width columns use the
+    // type's defaultSize; columns without length sums fall back to the
+    // type default. The numerator uses the REQUIRED field's (possibly
+    // nested-pruned) type, so pruned structs weigh their kept fields.
+    val frac = {
+      def width(name: String, dt: org.apache.spark.sql.types.DataType): Double =
+        dt match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BinaryType =>
+            val per = segs.map(_.stats.get(name))
+            if (segs.nonEmpty && per.forall(_.exists(_.lenSum.isDefined))) {
+              val nulls = per.map(_.get.nullCount).sum
+              val vals = math.max(1L, segs.map(_.rows).sum - nulls)
+              math.max(1.0, per.map(_.get.lenSum.get).sum.toDouble / vals)
+            } else dt.defaultSize.toDouble
+          case other => other.defaultSize.toDouble
+        }
+      val all = math.max(1.0, tableSchema.fields.map(f => width(f.name, f.dataType)).sum)
+      val req = required.fields.map(f => width(f.name, f.dataType)).sum
+      math.min(1.0, math.max(req, 1.0) / all)
+    }
     // COLUMN stats for cost-based optimization (spark.sql.cbo.*):
     // min/max reduced from the zone maps when every surviving segment
     // carries sound bounds, nullCount always. These are ESTIMATES by

@@ -2756,6 +2756,19 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val nameStat = stats.attributeStats.find(_._1.name == "name").get._2
     assert(nameStat.avgLen.contains(50L) && nameStat.maxLen.contains(50L),
       s"catalyst attributeStats must carry the widths, got $nameStat")
+    // ...and projection sizing is BYTE-weighted: id is 8 of ~63 row
+    // bytes (8 + 50 + 5), so `SELECT id` must report ~13% of the
+    // table's size — a column-count frac would claim 1/3, and on a
+    // text-dominated corpus that gap is a broadcast decision
+    def sizeOf(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.sizeInBytes
+      }.head
+    val szAll = sizeOf(spark.read.format(Fmt).load(dir))
+    val szId = sizeOf(spark.read.format(Fmt).load(dir).select("id"))
+    assert(szId * 5 < szAll && szId * 20 > szAll,
+      s"SELECT id must weigh ~13% of bytes, got $szId of $szAll")
   }
 
   test("NDV on struct fields (dotted) and TIMESTAMP (epoch-micros canonical); DDL hygiene") {
