@@ -3114,6 +3114,40 @@ object SparkEntry {
         "FROM graft_stats_docs")
       s.sql(s"CALL $cat.system.stats('db.t')").orderBy(col("col_name"))
     }),
+    // VALUE-FREQUENCY HISTOGRAMS on the native format (r15): declared
+    // columns collect exact bounded frequency maps per segment; every
+    // commit pre-merges the table-level map into the manifest, and
+    // `CALL graft.system.histogram` serves it with zero scans —
+    // the skew statistic whose equi-height conversion feeds catalyst's
+    // FilterEstimation (the CBO plan-flip is HistCboSpec). Values are
+    // the long canonicals (epoch days for DATE, epoch micros for
+    // TIMESTAMP); the oracle recomputes every (column, value, count)
+    // from the source rows — the map is EXACT within the caps, so this
+    // replay certifies collection, merge and the commit pre-merge
+    "store_segment_hist" -> ((s, d) => withTempDir("graft-seghist") { base =>
+      val cat = s"graft_hist_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, bucket INT, d DATE, " +
+        "ts TIMESTAMP, meta STRUCT<code: INT>) " +
+        "TBLPROPERTIES ('histFor'='bucket,d,ts,meta.code', " +
+        "'clusterBy'='doc_id', 'numPartitions'='4')")
+      Tables.documents(s, d).createOrReplaceTempView("graft_hist_docs")
+      // two INSERTs: the second exercises the append-only pre-merge
+      // fast path (merged-at-commit ≡ merge-of-per-segment either way)
+      Seq("= 0", "<> 0").foreach { pred =>
+        s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, " +
+          "CAST(doc_id % 37 AS INT), " +
+          "date_add(DATE'2021-06-01', CAST(doc_id % 45 AS INT)), " +
+          "timestamp_micros((doc_id % 23) * 1000000), " +
+          "named_struct('code', CAST(doc_id % 11 AS INT)) " +
+          s"FROM graft_hist_docs WHERE doc_id % 2 $pred")
+      }
+      s.sql(s"CALL $cat.system.histogram('db.t')")
+        .orderBy(col("col_name"), col("value"))
+    }),
     // CHECK constraints (the Delta ADD CONSTRAINT shape as validated
     // check.* TBLPROPERTIES): a declared predicate gates EVERY write —
     // the violating INSERT below fails atomically (nothing lands), so
@@ -6732,6 +6766,22 @@ object SparkEntry {
         "UNION ALL SELECT 'ts', count(tsu), count(*) - count(tsu), " +
         "CAST(min(tsu) AS VARCHAR), CAST(max(tsu) AS VARCHAR), NULL, NULL, NULL FROM src" +
         ") ORDER BY col_name"),
+
+    // every (column, value, count) of the manifest frequency maps
+    // recomputed from the source rows: values are the long canonicals —
+    // DATE as epoch days (date minus epoch in DuckDB is integer days),
+    // TIMESTAMP as the same epoch-micros arithmetic that built it
+    "store_segment_hist" ->
+      ("SELECT col_name, value, cnt FROM (" +
+        "SELECT 'bucket' AS col_name, CAST(doc_id % 37 AS BIGINT) AS value, " +
+        "count(*) AS cnt FROM documents GROUP BY 2 " +
+        "UNION ALL SELECT 'd', CAST(DATE '2021-06-01' + CAST(doc_id % 45 AS INT) " +
+        "- DATE '1970-01-01' AS BIGINT), count(*) FROM documents GROUP BY 2 " +
+        "UNION ALL SELECT 'meta.code', CAST(doc_id % 11 AS BIGINT), count(*) " +
+        "FROM documents GROUP BY 2 " +
+        "UNION ALL SELECT 'ts', CAST((doc_id % 23) * 1000000 AS BIGINT), count(*) " +
+        "FROM documents GROUP BY 2" +
+        ") ORDER BY col_name, value"),
     // only the constraint-satisfying insert survives; the violating
     // batch failed whole (write-side enforcement, atomic commit)
     "store_segment_check_constraint" ->

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Write-path statistics overhead harness:
+  * `runMain graft.WriteBench [rows] [outBase]` — times the SAME
+  * segment write under four statistics declarations (none / ndvFor /
+  * histFor / both) so the manifest-statistics write tax is a measured
+  * number, not an assumption. The collectors ride the encoder loop
+  * (one TreeMap/digest op per declared column-row), so the expected
+  * shape is a small constant per declared column; this harness is how
+  * BENCH_NOTES records it per round when the stats write path changes. */
+object WriteBench {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 4000000L
+    val outBase = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-writebench").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // a skew-shaped declared column (800 distinct — inside the hist
+    // cap), a high-card column, and a payload: the realistic mix
+    val df = spark.range(0, rows).select(
+      when(col("id") % 10 < 9, 0L).otherwise(col("id") % 799 + 1).as("k"),
+      col("id").as("v"),
+      concat(lit("payload-"), (col("id") % 1000).cast("string")).as("s"))
+    df.count() // materialize the input plan once
+    val variants = Seq(
+      ("none", Map.empty[String, String]),
+      ("ndv", Map("ndvFor" -> "k,v")),
+      ("hist", Map("histFor" -> "k")),
+      ("both", Map("ndvFor" -> "k,v", "histFor" -> "k")))
+    // warm the write path once (JIT, codec classes)
+    df.limit(1000).write.format("graft-segment").mode("append")
+      .save(s"$outBase/warm")
+    // interleaved repeats, report the MINIMUM per variant: write
+    // times at this scale are dominated by fs/GC noise, and the min
+    // is the cleanest estimator of the added CPU work
+    val reps = if (args.length > 2) args(2).toInt else 5
+    val times = variants.map { case (label, opts) =>
+      val best = (0 until reps).map { r =>
+        val t0 = System.nanoTime()
+        opts.foldLeft(
+            df.write.format("graft-segment").mode("append"))((w, o) =>
+            w.option(o._1, o._2))
+          .save(s"$outBase/$label-$r")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"WRITEBENCH $label%-5s rows=$rows min-of-$reps $best%7.2fs")
+      label -> best
+    }
+    val base = times.head._2
+    times.tail.foreach { case (l, t) =>
+      println(f"WRITEBENCH overhead $l%-5s ${(t / base - 1) * 100}%+6.1f%% vs none")
+    }
+    spark.stop()
+  }
+}

@@ -209,11 +209,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       .filter { case (k, _) => k.startsWith(SegmentChecks.Prefix) }
     val genProps = gens.map { case (c, sql) => SegmentGenerated.Prefix + c -> sql }
     val props = Seq("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
-      "compress", "autoCompactSegments", "autoCompactBytes", "ndvFor")
+      "compress", "autoCompactSegments", "autoCompactBytes", "ndvFor", "histFor")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++
       checkProps ++ genProps
     props.get("bloomFor").foreach(SegmentBloom.parseCols(_, Some(schema)))
     props.get("ndvFor").foreach(SegmentNdv.parseCols(_, Some(schema)))
+    props.get("histFor").foreach(SegmentHistogram.parseCols(_, Some(schema)))
     props.get("bloomBits").foreach(b => require(
       scala.util.Try(b.toInt).toOption.exists(_ >= 64),
       s"bloomBits must be an integer >= 64, got '$b'"))
@@ -368,10 +369,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
             "REPLACE) to change how a column derives")
         require(sp.property().startsWith(SegmentChecks.Prefix) ||
             Set("bloomFor", "bloomBits", "rowLevelMode", "morRewriteThreshold",
-              "compress", "autoCompactSegments", "autoCompactBytes", "ndvFor")
+              "compress", "autoCompactSegments", "autoCompactBytes", "ndvFor",
+              "histFor")
               .contains(sp.property()),
           s"only bloomFor/bloomBits/rowLevelMode/morRewriteThreshold/" +
-            s"compress/autoCompactSegments/autoCompactBytes/ndvFor/" +
+            s"compress/autoCompactSegments/autoCompactBytes/ndvFor/histFor/" +
             s"check.<name> are settable, got ${sp.property()}")
         if (sp.property().startsWith(SegmentChecks.Prefix)) {
           // ADD CONSTRAINT: the expression must analyze (checked first,
@@ -389,6 +391,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
           sp.property() match {
             case "bloomFor" => SegmentBloom.parseCols(sp.value(), Some(m.schema))
             case "ndvFor" => SegmentNdv.parseCols(sp.value(), Some(m.schema))
+            case "histFor" => SegmentHistogram.parseCols(sp.value(), Some(m.schema))
             case "bloomBits" =>
               require(scala.util.Try(sp.value().toInt).toOption.exists(_ >= 64),
                 s"bloomBits must be an integer >= 64, got '${sp.value()}'")
@@ -426,7 +429,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
           s"TYPE (widening), ALTER COLUMN SET/DROP DEFAULT, and SET/UNSET " +
           s"TBLPROPERTIES(bloomFor|bloomBits|rowLevelMode|" +
           s"morRewriteThreshold|compress|autoCompactSegments|" +
-          s"autoCompactBytes|ndvFor|check.<name>) only, " +
+          s"autoCompactBytes|ndvFor|histFor|check.<name>) only, " +
           s"got $other")
     }
     // every surviving CHECK constraint must still analyze against the
@@ -665,7 +668,9 @@ private[segment] class GraftStagedTable(ident: Identifier, path: String,
                     props, tableSchema, info.schema()),
                   compress = props.get("compress").contains("deflate"),
                   ndvFor = props.get("ndvFor")
-                    .map(SegmentNdv.parseCols(_)).getOrElse(Set.empty))
+                    .map(SegmentNdv.parseCols(_)).getOrElse(Set.empty),
+                  histFor = props.get("histFor")
+                    .map(SegmentHistogram.parseCols(_)).getOrElse(Set.empty))
               override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
                 staged.set(messages.flatMap(
                   _.asInstanceOf[GraftCommitMessage].segments).toSeq)

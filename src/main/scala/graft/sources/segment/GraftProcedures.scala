@@ -26,6 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.rollback_to_timestamp('db.t', 1755216000000); -- undo since t
   * CALL graft.system.ndv('db.t');                         -- manifest NDV estimates
   * CALL graft.system.stats('db.t');                       -- full manifest column stats
+  * CALL graft.system.histogram('db.t');                   -- manifest value frequencies
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -270,6 +271,31 @@ object GraftProcedures {
               sk.length < SegmentNdv.K)
           }
         }
+      case "histogram" =>
+        procedure("histogram",
+          Seq(param("table", StringType)),
+          StructType(Seq(
+            StructField("col_name", StringType, nullable = false),
+            StructField("value", LongType, nullable = false),
+            StructField("cnt", LongType, nullable = false)))) { (spark, in) =>
+          // the manifest-resident value-frequency maps, straight off
+          // the table-level merge the commit maintained — the skew
+          // truth an operator reads before choosing a salt or a
+          // broadcast, zero scans. EXACT while within the caps (the
+          // sketch's honesty contract: overflowed columns are simply
+          // absent); values are the long canonicals (epoch days for
+          // DATE, epoch micros for TIMESTAMP). Over-approximate under
+          // deletion vectors, like every manifest statistic.
+          val dir = tableDir(warehouse, in.getUTF8String(0).toString)
+          val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+          val m = SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
+            throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+          m.histMerged.toSeq.sortBy(_._1).flatMap { case (c, b64) =>
+            SegmentHistogram.decode(b64).map { case (v, n) =>
+              row(UTF8String.fromString(c), v, n)
+            }
+          }
+        }
       case "stats" =>
         procedure("stats",
           Seq(param("table", StringType)),
@@ -379,5 +405,5 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
       "delete_where", "delete_mark", "compact_deletes", "update_mark",
-      "rollback", "rollback_to_timestamp", "clone", "ndv", "stats")
+      "rollback", "rollback_to_timestamp", "clone", "ndv", "stats", "histogram")
 }

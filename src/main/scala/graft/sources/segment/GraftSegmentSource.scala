@@ -453,7 +453,7 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
         // distinctCount, so drop it — stats fall back to the slice's
         // own per-segment sketches
         Some(liveView.copy(segments = (liveInc ++ resurrected).sortBy(_.id),
-          ndvMerged = Map.empty))
+          ndvMerged = Map.empty, histMerged = Map.empty))
       case (None, None) => SegmentLog.read(fs, root).map(SegmentLog.logicalView)
     }
   }
@@ -849,6 +849,54 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       }
   }
 
+  /** Merged value-frequency map for a stats key — [[ndvFromSketches]]'s
+    * resolution: the commit's pre-merged table map when the scan is
+    * unpruned, else the per-segment merge over the surviving set,
+    * present only when EVERY surviving segment carries the map (and
+    * the merge stays under the cap — [[SegmentHistogram.merge]] bails
+    * at [[SegmentHistogram.MaxDistinctMerged]], so the fallback probe
+    * is O(cap), not O(distinct)). */
+  private def histFromSketches(key: String,
+      segs: Seq[SegmentMeta]): Option[Array[(Long, Long)]] = {
+    val all = manifest.map(_.segments.length).getOrElse(0)
+    val pre =
+      if (segs.length == all) manifest.flatMap(_.histMerged.get(key))
+      else None
+    pre.map(SegmentHistogram.decode)
+      .orElse {
+        val per = segs.map(_.stats.get(key))
+        if (per.nonEmpty && per.forall(_.exists(_.hist.isDefined)))
+          SegmentHistogram.merge(
+            per.map(s => SegmentHistogram.decode(s.get.hist.get)))
+        else None
+      }
+  }
+
+  /** The DSv2 face of a merged frequency map: catalyst's equi-height
+    * bins ([[SegmentHistogram.toEquiHeight]]), which Spark 4.1's
+    * `DataSourceV2Relation.transformV2Stats` converts into the
+    * `ColumnStat.histogram` that `FilterEstimation` reads skew-aware
+    * selectivity from. */
+  private def v2Histogram(freq: Array[(Long, Long)])
+      : org.apache.spark.sql.connector.read.colstats.Histogram = {
+    val (binHeight, bs) = SegmentHistogram.toEquiHeight(freq)
+    // distinct local names: inside the anonymous classes, a body
+    // `= bins` would resolve to the member being defined (infinite
+    // recursion), not the enclosing val
+    val theBins = bs.map { case (binLo, binHi, binNdv) =>
+      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+        override def lo(): Double = binLo
+        override def hi(): Double = binHi
+        override def ndv(): Long = binNdv
+      }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+    }
+    new org.apache.spark.sql.connector.read.colstats.Histogram {
+      override def height(): Double = binHeight
+      override def bins(): Array[
+        org.apache.spark.sql.connector.read.colstats.HistogramBin] = theBins
+    }
+  }
+
   override def estimateStatistics(): Statistics = {
     val segs = surviving
     val rows = segs.map(_.liveRows).sum
@@ -937,6 +985,16 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
             Some((math.max(1L, math.round(sum.toDouble / vals)),
               per.map(_.get.lenMax.get).max))
           } else None
+        // value-frequency histogram (histFor declarations — r15): the
+        // skew statistic. Equality/range selectivity under CBO is
+        // 1/ndv (uniform) without it — on a 90%-heavy key that
+        // misestimate broadcasts a near-full table; the equi-height
+        // bins carry the true mass. Head-probe gate first: only
+        // declared columns pay the O(segments) presence pass.
+        val hst: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+          if (segs.head.stats.get(f.name).exists(_.hist.isDefined))
+            histFromSketches(f.name, segs).map(v2Histogram)
+          else None
         cstats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def nullCount(): java.util.OptionalLong =
@@ -956,6 +1014,11 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
             override def maxLen(): java.util.OptionalLong =
               lens.map(l => java.util.OptionalLong.of(l._2))
                 .getOrElse(java.util.OptionalLong.empty())
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hst.map(h => java.util.Optional.of(h))
+                .getOrElse(java.util.Optional.empty[
+                  org.apache.spark.sql.connector.read.colstats.Histogram]())
           })
       }
     }
@@ -980,17 +1043,30 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
           // head-segment probe spares every undeclared struct field the
           // O(segments) presence pass below (a 30-field struct over 10k
           // segments would otherwise pay ~300k lookups per plan)
-          if (segs.head.stats.get(key).exists(_.kmv.isDefined))
-            ndvFromSketches(key, segs).foreach { n =>
-              val nulls = segs.map(_.stats.get(key).map(_.nullCount).getOrElse(0L)).sum
-              cstats.put(Expressions.column(key),
-                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                  override def nullCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(nulls)
-                  override def distinctCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(n)
-                })
-            }
+          val headStats = segs.head.stats.get(key)
+          val n: Option[Long] =
+            if (headStats.exists(_.kmv.isDefined)) ndvFromSketches(key, segs)
+            else None
+          val hs: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+            if (headStats.exists(_.hist.isDefined))
+              histFromSketches(key, segs).map(v2Histogram)
+            else None
+          if (n.isDefined || hs.isDefined) {
+            val nulls = segs.map(_.stats.get(key).map(_.nullCount).getOrElse(0L)).sum
+            cstats.put(Expressions.column(key),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(nulls)
+                override def distinctCount(): java.util.OptionalLong =
+                  n.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats.Histogram] =
+                  hs.map(h => java.util.Optional.of(h))
+                    .getOrElse(java.util.Optional.empty[
+                      org.apache.spark.sql.connector.read.colstats.Histogram]())
+              })
+          }
         }
         case _ =>
       }
@@ -1676,6 +1752,14 @@ object GraftWriteBuilder {
       .get("ndvFor").map(SegmentNdv.parseCols(_)).getOrElse(Set.empty))
   }
 
+  /** Declared frequency-histogram columns ([[SegmentHistogram]]): an
+    * explicit write option wins (incl. `histFor=""`, the one-write
+    * off-switch), otherwise the table's persisted `histFor` property. */
+  def effectiveHist(m: Option[Manifest], optFor: Option[Set[String]]): Set[String] = {
+    optFor.getOrElse(m.map(_.props).getOrElse(Map.empty)
+      .get("histFor").map(SegmentHistogram.parseCols(_)).getOrElse(Set.empty))
+  }
+
   /** Body compression for a write: an explicit option wins (including
     * `compress=none`, the off-switch for one write), otherwise the
     * table's persisted `compress` property applies — every INSERT,
@@ -1726,6 +1810,8 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       .map(SegmentBloom.parseCols(_, Some(info.schema())))
     val ndvForOpt = Option(opts.get("ndvFor"))
       .map(SegmentNdv.parseCols(_, Some(info.schema())))
+    val histForOpt = Option(opts.get("histFor"))
+      .map(SegmentHistogram.parseCols(_, Some(info.schema())))
     val compressOpt = Option(opts.get("compress"))
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       clusterMode, numPartitions,
@@ -1743,6 +1829,7 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       bloomFor = bloomFor,
       bloomBits = Option(opts.get("bloomBits")).map(_.toInt),
       ndvForOpt = ndvForOpt,
+      histForOpt = histForOpt,
       // PARTIAL replace (incremental compaction): the commit swaps
       // exactly these root-relative segment paths for the write's
       // output; everything else carries over by reference
@@ -1782,6 +1869,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
     ndvForOpt: Option[Set[String]] = None,
+    histForOpt: Option[Set[String]] = None,
     replaceSegments: Option[Set[String]] = None,
     applyDvs: Option[Map[String, (String, Long)]] = None,
     expectVisibility: Option[Map[String, (Option[String], Long)]] = None,
@@ -1814,6 +1902,7 @@ class GraftWrite(root: String, schema: StructType, truncateFirst: Boolean,
     clusterBy = clusterBy, clusterMode = clusterMode,
     mergeSchema = mergeSchema, txn = txn, dataChange = dataChange,
     bloomFor = bloomFor, bloomBits = bloomBits, ndvForOpt = ndvForOpt,
+    histForOpt = histForOpt,
     replaceSegments = replaceSegments, applyDvs = applyDvs,
     expectVisibility = expectVisibility, compressOpt = compressOpt)
 
@@ -1876,7 +1965,8 @@ class GraftStreamingWrite(root: String, schema: StructType,
       maxBytes = maxBytesSeg.getOrElse(Long.MaxValue),
       generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
         mf.props, mf.schema, schema)).getOrElse(Nil),
-      ndvFor = GraftWriteBuilder.effectiveNdv(m, None))
+      ndvFor = GraftWriteBuilder.effectiveNdv(m, None),
+      histFor = GraftWriteBuilder.effectiveHist(m, None))
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
         factory.createWriter(partitionId, taskId)
@@ -1918,6 +2008,7 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
     bloomFor: Option[Set[String]] = None,
     bloomBits: Option[Int] = None,
     ndvForOpt: Option[Set[String]] = None,
+    histForOpt: Option[Set[String]] = None,
     replaceSegments: Option[Set[String]] = None,
     applyDvs: Option[Map[String, (String, Long)]] = None,
     expectVisibility: Option[Map[String, (Option[String], Long)]] = None,
@@ -1962,7 +2053,8 @@ class GraftBatchWrite(root: String, schema: StructType, truncateFirst: Boolean,
       maxBytes = maxBytesSeg.getOrElse(Long.MaxValue),
       generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
         mf.props, mf.schema, schema)).getOrElse(Nil),
-      ndvFor = GraftWriteBuilder.effectiveNdv(m, ndvForOpt))
+      ndvFor = GraftWriteBuilder.effectiveNdv(m, ndvForOpt),
+      histFor = GraftWriteBuilder.effectiveHist(m, histForOpt))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2067,14 +2159,15 @@ class GraftWriterFactory(root: String, schema: StructType,
     compress: Boolean = false,
     maxBytes: Long = Long.MaxValue,
     generated: Seq[SegmentGenerated.GenSpec] = Nil,
-    ndvFor: Set[String] = Set.empty) extends DataWriterFactory {
+    ndvFor: Set[String] = Set.empty,
+    histFor: Set[String] = Set.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, conf.value, maxRows,
       bucket = if (labelBuckets) Some(partitionId) else None,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
       bloomFor = bloomFor, bloomBits = bloomBits, checks = checks,
       compress = compress, maxBytes = maxBytes, generated = generated,
-      ndvFor = ndvFor)
+      ndvFor = ndvFor, histFor = histFor)
 }
 
 /** Per-task segment writer: streams rows into uuid-named files under
@@ -2090,7 +2183,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
     compress: Boolean = false,
     maxBytes: Long = Long.MaxValue,
     generated: Seq[SegmentGenerated.GenSpec] = Nil,
-    ndvFor: Set[String] = Set.empty)
+    ndvFor: Set[String] = Set.empty,
+    histFor: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   // CHECK constraints: compiled on the driver, codegen'd here; null
   // when none are declared so the hot loop pays nothing
@@ -2152,11 +2246,14 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
       }
       val nested = nestedOf(bloomFor)
       val nestedNdv = nestedOf(ndvFor)
+      val nestedHist = nestedOf(histFor)
       new SegmentCodec.StatsCollector(f.dataType,
         if (bloomFor.contains(f.name) || nested.nonEmpty) bloomBits else 0,
         nestedBloomFor = nested,
         collectNdv = ndvFor.contains(f.name),
-        nestedNdvFor = nestedNdv)
+        nestedNdvFor = nestedNdv,
+        collectHist = histFor.contains(f.name),
+        nestedHistFor = nestedHist)
     }
   }
 
@@ -2175,7 +2272,8 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
         // already owns, so a literal-dotted column name never gets
         // its bounds silently overwritten (pruning soundness)
         val (ls, lm) = c.lenStats
-        (n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64, ls, lm)) +:
+        (n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64,
+          ls, lm, c.histBase64)) +:
           c.nested.collect {
             case (fn, cs) if !colNames.contains(s"$n.$fn") => s"$n.$fn" -> cs
           }
@@ -2382,14 +2480,15 @@ class GraftDeltaWriterFactory(root: String, schema: StructType,
     checks: Seq[SegmentChecks.CheckSpec] = Nil,
     compress: Boolean = false,
     generated: Seq[SegmentGenerated.GenSpec] = Nil,
-    ndvFor: Set[String] = Set.empty)
+    ndvFor: Set[String] = Set.empty,
+    histFor: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(new GraftDataWriter(root, schema, conf.value, Long.MaxValue,
       physNames = if (physNames.nonEmpty) physNames else schema.fieldNames.toSeq,
       checks = checks, compress = compress, generated = generated,
-      ndvFor = ndvFor))
+      ndvFor = ndvFor, histFor = histFor))
 }
 
 /** Task-side delta writer: deletes and updated-away old versions fold
@@ -2449,7 +2548,8 @@ class GraftDeltaBatchWrite(root: String, schema: StructType,
       compress = GraftWriteBuilder.effectiveCompress(m, None),
       generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
         mf.props, mf.schema, schema)).getOrElse(Nil),
-      ndvFor = GraftWriteBuilder.effectiveNdv(m, None))
+      ndvFor = GraftWriteBuilder.effectiveNdv(m, None),
+      histFor = GraftWriteBuilder.effectiveHist(m, None))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2588,7 +2688,8 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
       compress = GraftWriteBuilder.effectiveCompress(m, None),
       generated = m.map(mf => SegmentGenerated.compileAll(SparkSession.active,
         mf.props, mf.schema, schema)).getOrElse(Nil),
-      ndvFor = GraftWriteBuilder.effectiveNdv(m, None))
+      ndvFor = GraftWriteBuilder.effectiveNdv(m, None),
+      histFor = GraftWriteBuilder.effectiveHist(m, None))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -575,7 +575,9 @@ object SegmentCodec {
   final class StatsCollector(dt: DataType, bloomBits: Int = 0,
       nestedBloomFor: Set[String] = Set.empty,
       collectNdv: Boolean = false,
-      nestedNdvFor: Set[String] = Set.empty) {
+      nestedNdvFor: Set[String] = Set.empty,
+      collectHist: Boolean = false,
+      nestedHistFor: Set[String] = Set.empty) {
     private val bloom: Array[Long] =
       if (bloomBits > 0 && SegmentBloom.bloomable(dt)) new Array[Long](bloomBits / 64)
       else null
@@ -584,6 +586,12 @@ object SegmentCodec {
     // feed for the optimizer ([[SegmentNdv]])
     private val kmv: SegmentNdv.Collector =
       if (collectNdv && SegmentNdv.hashable(dt)) new SegmentNdv.Collector else null
+    // declared histogram columns collect a per-segment bounded exact
+    // frequency map — the manifest-resident skew statistic feeding
+    // catalyst's equi-height histogram face ([[SegmentHistogram]])
+    private val hist: SegmentHistogram.Collector =
+      if (collectHist && SegmentHistogram.supported(dt))
+        new SegmentHistogram.Collector else null
     // STRUCT columns collect per-FIELD zone maps (one child collector
     // each; blooms for `nestedBloomFor`-declared fields, NDV sketches
     // for `nestedNdvFor`-declared fields): Spark pushes
@@ -596,7 +604,8 @@ object SegmentCodec {
       case st: StructType =>
         st.fields.map(f => f.name -> new StatsCollector(f.dataType,
           if (nestedBloomFor.contains(f.name)) bloomBits else 0,
-          collectNdv = nestedNdvFor.contains(f.name)))
+          collectNdv = nestedNdvFor.contains(f.name),
+          collectHist = nestedHistFor.contains(f.name)))
       case _ => null
     }
     import StatsCollector.MaxStatString
@@ -628,6 +637,7 @@ object SegmentCodec {
     def add(row: InternalRow, ordinal: Int): Unit = {
       if (bloom != null) SegmentBloom.put(bloom, SegmentBloom.hashRow(dt, row, ordinal))
       if (kmv != null) kmv.add(SegmentNdv.canonical(dt, row, ordinal))
+      if (hist != null) hist.add(SegmentHistogram.valueOf(dt, row, ordinal))
       if (varWidth) {
         val len =
           if (dt == StringType) row.getUTF8String(ordinal).numBytes().toLong
@@ -653,7 +663,8 @@ object SegmentCodec {
       if (children == null) Nil
       else children.toSeq.map { case (n, c) =>
         val (ls, lm) = c.lenStats
-        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64, ls, lm) }
+        n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64,
+          ls, lm, c.histBase64) }
 
     private def addBounds(row: InternalRow, ordinal: Int): Unit = dt match {
       case IntegerType | DateType => addLong(row.getInt(ordinal).toLong)
@@ -705,6 +716,10 @@ object SegmentCodec {
 
     /** Base64 KMV sketch, None when not collected for this column. */
     def kmvBase64: Option[String] = Option(kmv).flatMap(_.base64)
+
+    /** Base64 frequency map, None when not collected (or poisoned by
+      * cap overflow) for this column. */
+    def histBase64: Option[String] = Option(hist).flatMap(_.base64)
 
     /** (Σ value bytes, max value bytes) for string/binary columns —
       * present even when all-null (zero is a true sum), absent for

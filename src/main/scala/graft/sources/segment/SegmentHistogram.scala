@@ -1,0 +1,242 @@
+package graft.sources.segment
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Per-segment VALUE-FREQUENCY histograms — the skew statistic the
+  * optimizer reads from the MANIFEST, never from a scan:
+  *
+  * {{{
+  * CREATE TABLE graft.db.t (k BIGINT, ts TIMESTAMP)
+  *   TBLPROPERTIES ('histFor' = 'k,ts')   -- or option("histFor", ...)
+  * }}}
+  *
+  * NDV + min/max (the r13-r15 statistics) size UNIFORM columns well;
+  * what they cannot see is SKEW, and at 100 TB skew is the norm, not
+  * the exception (language tags, status codes, hot customer keys).
+  * Under CBO an equality filter on a key with NDV=2000 estimates
+  * 1/2000 of the rows — if the matched value actually covers 90% of a
+  * 100 TB table, that misestimate broadcasts a ~90 TB join side and
+  * the job dies. Catalyst's `FilterEstimation` consults an equi-height
+  * histogram precisely for this (`computeEqualityPossibilityByHistogram`
+  * / `computeComparisonPossibilityByHistogram`), and Spark 4.1's
+  * `DataSourceV2Relation.transformV2Stats` (bytecode-verified)
+  * converts a DSv2 `ColumnStatistics.histogram()` into those catalyst
+  * bins — but the only stock producer is `ANALYZE TABLE ... FOR
+  * COLUMNS`, a full scan. This sketch makes the histogram a COMMIT
+  * byproduct instead: each segment's writer collects an EXACT bounded
+  * frequency map of its declared columns while rows already stream
+  * through the encoder, commits pre-merge the table-level map
+  * ([[Manifest.histMerged]], frequency-map addition is associative),
+  * and planning converts it to equi-height bins in O(distinct) — no
+  * ANALYZE pass over a petabyte, statistics that are never stale.
+  *
+  * HONESTY CONTRACT (the NDV sketch's discipline, kept exactly):
+  *  - The map is EXACT while the column's per-segment distinct count
+  *    stays at or under [[MaxDistinct]] and the table-level merge at
+  *    or under [[MaxDistinctMerged]]. Skewed group/filter keys — the
+  *    columns histograms exist for — are low/mid-cardinality by
+  *    nature, so the caps hold at ANY row scale (1024 distinct values
+  *    is 1024 whether the table has 60k rows or 100 TB).
+  *  - Overflow POISONS the sketch (per-segment) or drops the merge
+  *    (table-level): absent beats approximate-and-unreplayable. A
+  *    high-cardinality column past the cap simply reports no
+  *    histogram and planning falls back to the NDV estimate — the
+  *    uniform assumption is least wrong exactly when cardinality is
+  *    high.
+  *  - Deletion vectors over-approximate (a dv'd row's value still
+  *    counts) — fine for statistics, same stance as NDV/avgLen.
+  *
+  * Values are canonicalized to the column's INTERNAL LONG — int-family
+  * widths widen losslessly, DATE is epoch days, TIMESTAMP epoch
+  * micros — so the stored map is a deterministic function of the data
+  * that DuckDB replays exactly (`GROUP BY CAST(epoch_us(ts) AS
+  * BIGINT)` etc.), the widen to LONG preserves every entry, and the
+  * double conversion at the catalyst face matches
+  * `EstimationUtils.toDouble`'s rendering of the same internal values.
+  * Floating point (no stable equality classes worth counting) and
+  * STRING/DECIMAL (catalyst histogram bins are doubles; strings have
+  * no double, decimals no exact one) are refused at declaration time.
+  */
+object SegmentHistogram {
+  /** Per-segment distinct cap: 16 KiB of manifest per column-segment
+    * worst case, exact for every skew-shaped key. */
+  val MaxDistinct = 1024
+  /** Table-level merged cap (segments see disjoint slices of a
+    * clustered layout, so the union legitimately exceeds one
+    * segment's spread). */
+  val MaxDistinctMerged = 4096
+  /** Equi-height bins emitted to the optimizer — catalyst's own
+    * default (`spark.sql.statistics.histogram.numBins`) is 254; 64
+    * resolves skew to ~1.6% selectivity granularity at a quarter the
+    * per-plan conversion work. */
+  val DefaultBins = 64
+
+  /** Column types with an exact long canonical AND a catalyst
+    * histogram face (bins are doubles; `EstimationUtils.toDouble`
+    * renders these internal values as the same number). */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Validate a `histFor` declaration: existing, supported columns —
+    * top-level or one dotted struct-field level (`meta.code`), the
+    * [[SegmentNdv.parseCols]] resolution (exact top-level match wins
+    * for a literal-dotted column name). */
+  def parseCols(csv: String, schema: Option[StructType] = None): Set[String] = {
+    val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    schema.foreach(sc => cols.foreach { c =>
+      val dt: DataType = sc.fields.find(_.name == c).map(_.dataType).getOrElse {
+        val dot = c.indexOf('.')
+        (if (dot > 0) sc.fields.find(_.name == c.substring(0, dot)).map(_.dataType)
+         else None) match {
+          case Some(st: StructType) =>
+            st.fields.find(_.name == c.substring(dot + 1)).map(_.dataType)
+              .getOrElse(throw new IllegalArgumentException(
+                s"histFor column $c not in schema (top-level or struct field)"))
+          case _ => throw new IllegalArgumentException(
+            s"histFor column $c not in schema (top-level or struct field)")
+        }
+      }
+      require(supported(dt),
+        s"histFor column $c: frequency histograms support the integer " +
+          s"family, DATE and TIMESTAMP, not ${dt.simpleString} (catalyst " +
+          "histogram bins are doubles — strings have no double form, " +
+          "floats no stable equality classes, decimals no exact one)")
+    })
+    cols
+  }
+
+  /** The long canonical of a non-null value — the internal
+    * representation itself (days for DATE, micros for TIMESTAMP), so
+    * widening int→long preserves every map entry verbatim. */
+  def valueOf(dt: DataType, row: InternalRow, ordinal: Int): Long = dt match {
+    case ByteType => row.getByte(ordinal).toLong
+    case ShortType => row.getShort(ordinal).toLong
+    case IntegerType | DateType => row.getInt(ordinal).toLong
+    case LongType | TimestampType | TimestampNTZType => row.getLong(ordinal)
+    case other => throw new IllegalArgumentException(
+      s"no histogram canonicalization for ${other.simpleString}")
+  }
+
+  /** Bounded exact frequency collector — one per declared column per
+    * write task. Overflow past [[MaxDistinct]] distinct values
+    * poisons the collector: the segment carries no histogram for the
+    * column, the table merge and planning drop the statistic behind
+    * the every-segment presence guard, and the WRITE SUCCEEDS. */
+  final class Collector {
+    // BOXED values: java's get returns null for an absent key, and a
+    // primitive-valued scala type parameter would silently unbox that
+    // null to 0 — breaking the absent test and with it the cap
+    private val freq = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    private var poisoned = false
+
+    def add(v: Long): Unit = {
+      if (poisoned) return
+      val prev = freq.get(v)
+      if (prev == null) {
+        if (freq.size() == MaxDistinct) { poisoned = true; freq.clear(); return }
+        freq.put(v, 1L)
+      } else freq.put(v, prev + 1L)
+    }
+
+    /** Base64 wire form, None when empty or poisoned. */
+    def base64: Option[String] =
+      if (poisoned || freq.isEmpty) None
+      else {
+        val out = new Array[(Long, Long)](freq.size())
+        val it = freq.entrySet().iterator(); var i = 0
+        while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+        Some(encode(out))
+      }
+  }
+
+  /** Encode a value-sorted frequency map as base64 of (8-byte value,
+    * 8-byte count) big-endian pairs — the manifest wire form of both
+    * per-segment and table-level maps. */
+  def encode(sorted: Array[(Long, Long)]): String = {
+    val bb = java.nio.ByteBuffer.allocate(sorted.length * 16)
+    sorted.foreach { case (v, c) => bb.putLong(v); bb.putLong(c) }
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def decode(b64: String): Array[(Long, Long)] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 16)((bb.getLong(), bb.getLong()))
+  }
+
+  /** Merge per-segment maps into the table-level map (value-sorted);
+    * None past [[MaxDistinctMerged]] distinct values — the merge
+    * BAILS at the cap instead of building an unbounded map first, so
+    * a high-cardinality fallback probe costs O(cap), not O(distinct).
+    * Frequency-map addition is associative and commutative, so
+    * merging per-segment maps loses nothing vs mapping the
+    * concatenated data. */
+  def merge(maps: Iterable[Array[(Long, Long)]]): Option[Array[(Long, Long)]] = {
+    // boxed values — see [[Collector.freq]]
+    val acc = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    val it = maps.iterator
+    while (it.hasNext) {
+      val arr = it.next()
+      var i = 0
+      while (i < arr.length) {
+        val (v, c) = arr(i)
+        val prev = acc.get(v)
+        if (prev == null) {
+          if (acc.size() == MaxDistinctMerged) return None
+          acc.put(v, c)
+        } else acc.put(v, prev + c)
+        i += 1
+      }
+    }
+    val out = new Array[(Long, Long)](acc.size())
+    val eit = acc.entrySet().iterator(); var i = 0
+    while (eit.hasNext) { val e = eit.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+    Some(out)
+  }
+
+  /** Convert an exact frequency map to catalyst's EQUI-HEIGHT shape:
+    * `(height, bins(lo, hi, ndv))` with bin boundaries at the exact
+    * `i/B` percentiles — consecutive bins share endpoints, and a
+    * heavy value OCCUPIES every bin whose percentile range it covers
+    * (lo == hi == value), which is exactly the shape
+    * `FilterEstimation` reads skew from (an equality on that value
+    * estimates bins-held/total ≈ its true frequency; a rare value in
+    * a many-distinct bin estimates 1/binNdv of one bin). ndv per bin
+    * counts distinct values in (prevBoundary, boundary] exactly —
+    * the frequency map is exact by contract — floored at 1 for bins
+    * interior to a heavy value. */
+  def toEquiHeight(freq: Array[(Long, Long)],
+      maxBins: Int = DefaultBins): (Double, Array[(Double, Double, Long)]) = {
+    require(freq.nonEmpty, "empty frequency map has no histogram")
+    val total = freq.map(_._2).sum
+    val b = math.max(1, math.min(maxBins, freq.length))
+    val height = total.toDouble / b
+    val bins = new Array[(Double, Double, Long)](b)
+    var idx = 0        // index into freq
+    var cum = 0L       // cumulative count through freq(idx)
+    var prevBound = freq(0)._1
+    var prevIdx = -1   // freq index of the previous boundary
+    var bin = 0
+    while (bin < b) {
+      // the (1-based) row this bin's upper percentile boundary lands on
+      val target =
+        if (bin == b - 1) total // last bin always closes at max
+        else math.ceil((bin + 1).toDouble * total / b).toLong
+      while (cum < target) { cum += freq(idx)._2; idx += 1 }
+      val boundIdx = idx - 1
+      val bound = freq(boundIdx)._1
+      // distinct values in (prevBound, bound]; bin 0 includes prevBound
+      val lo = if (bin == 0) -1 else prevIdx
+      val ndv = math.max(1L, (boundIdx - lo).toLong)
+      bins(bin) = (prevBound.toDouble, bound.toDouble, ndv)
+      prevBound = bound
+      prevIdx = boundIdx
+      bin += 1
+    }
+    (height, bins)
+  }
+}

@@ -28,7 +28,8 @@ case class ColumnStats(bounds: Option[(String, String)], nullCount: Long,
     bloom: Option[String] = None,
     kmv: Option[String] = None,
     lenSum: Option[Long] = None,
-    lenMax: Option[Long] = None)
+    lenMax: Option[Long] = None,
+    hist: Option[String] = None)
 
 /** One committed data file. `path` is relative to the table root.
   * `bucket` is the hash-bucket index this segment belongs to when it
@@ -143,7 +144,13 @@ case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta
     // entry exists exactly when every live segment carries a sketch
     // for the column, and merge-of-per-segment ≡ this by KMV
     // associativity (spec-pinned).
-    ndvMerged: Map[String, String] = Map.empty)
+    ndvMerged: Map[String, String] = Map.empty,
+    // table-level pre-merged value-frequency histograms, PHYSICAL
+    // column name → base64 (value, count) pairs — same commit-time
+    // maintenance and presence contract as ndvMerged; feeds the
+    // equi-height histogram on the DSv2 statistics face
+    // ([[SegmentHistogram]]).
+    histMerged: Map[String, String] = Map.empty)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -280,7 +287,8 @@ object SegmentLog {
           if (c.hasNonNull("bloom")) Some(c.get("bloom").asText()) else None,
           if (c.hasNonNull("kmv")) Some(c.get("kmv").asText()) else None,
           if (c.hasNonNull("lenSum")) Some(c.get("lenSum").asLong()) else None,
-          if (c.hasNonNull("lenMax")) Some(c.get("lenMax").asLong()) else None)
+          if (c.hasNonNull("lenMax")) Some(c.get("lenMax").asLong()) else None,
+          if (c.hasNonNull("hist")) Some(c.get("hist").asText()) else None)
       }
       val segCols =
         if (s.hasNonNull("cols")) {
@@ -388,6 +396,15 @@ object SegmentLog {
             val c = names.next(); b += c -> node.get("ndvMerged").get(c).asText()
           }
           b.result()
+        } else Map.empty[String, String],
+      histMerged =
+        if (node.hasNonNull("histMerged")) {
+          val b = Map.newBuilder[String, String]
+          val names = node.get("histMerged").fieldNames()
+          while (names.hasNext) {
+            val c = names.next(); b += c -> node.get("histMerged").get(c).asText()
+          }
+          b.result()
         } else Map.empty[String, String])
   }
 
@@ -423,6 +440,10 @@ object SegmentLog {
       val o = root.putObject("ndvMerged")
       m.ndvMerged.foreach { case (c, b64) => o.put(c, b64) }
     }
+    if (m.histMerged.nonEmpty) {
+      val o = root.putObject("histMerged")
+      m.histMerged.foreach { case (c, b64) => o.put(c, b64) }
+    }
     m.segments.foreach { s =>
       val o = arr.addObject()
       o.put("path", s.path); o.put("rows", s.rows); o.put("bytes", s.bytes)
@@ -443,6 +464,7 @@ object SegmentLog {
         cs.kmv.foreach(k => c.put("kmv", k))
         cs.lenSum.foreach(s => c.put("lenSum", s))
         cs.lenMax.foreach(m => c.put("lenMax", m))
+        cs.hist.foreach(h => c.put("hist", h))
       }
     }
     if (m.txns.nonEmpty) {
@@ -693,7 +715,7 @@ object SegmentLog {
       val widened =
         if (resetProps) Map.empty[String, Seq[(Long, String)]]
         else current.map(_.widened).getOrElse(Map.empty)
-      val body = render(withNdvMerged(current, Manifest(v, tableSchema, merged,
+      val body = render(withStatsMerged(current, Manifest(v, tableSchema, merged,
         txns, spec,
         maxSegmentId = newMax, truncateWatermark = newTw,
         truncateVersion = newTv,
@@ -765,6 +787,52 @@ object SegmentLog {
       c -> SegmentNdv.encode(SegmentNdv.merge(sketches))
     }.toMap
     if (entries == m.ndvMerged) m else m.copy(ndvMerged = entries)
+  }
+
+  /** [[withNdvMerged]] then [[withHistMerged]] — every commit path
+    * maintains BOTH manifest-resident statistics in one place. */
+  private def withStatsMerged(prev: Option[Manifest], m: Manifest): Manifest =
+    withHistMerged(prev, withNdvMerged(prev, m))
+
+  /** Maintain [[Manifest.histMerged]] — the table-level pre-merged
+    * value-frequency histograms — with [[withNdvMerged]]'s exact
+    * contract: an entry exists when `histFor` declared the column,
+    * EVERY live segment carries its per-segment map, the key is in
+    * the live schema's physical names, AND the merged map stays
+    * within [[SegmentHistogram.MaxDistinctMerged]] (overflow drops
+    * the entry — absent beats unreplayable, and the per-plan fallback
+    * bails at the same cap). Append-only commits extend the previous
+    * table map with just the new segments' maps — O(distinct × new). */
+  private def withHistMerged(prev: Option[Manifest], m: Manifest): Manifest = {
+    if (m.segments.isEmpty)
+      return if (m.histMerged.isEmpty) m else m.copy(histMerged = Map.empty)
+    val livePhys: Set[String] = m.schema.fields.iterator.flatMap { f =>
+      val p = m.physicalOf.getOrElse(f.name, f.name)
+      p +: (f.dataType match {
+        case st: StructType => st.fields.toSeq.map(cf => s"$p.${cf.name}")
+        case _ => Nil
+      })
+    }.toSet
+    val candidates = m.segments.head.stats.iterator
+      .collect { case (c, cs) if cs.hist.isDefined && livePhys.contains(c) => c }
+      .filter(c => m.segments.forall(_.stats.get(c).exists(_.hist.isDefined)))
+      .toSeq
+    val appendOnly = prev.exists(p =>
+      m.segments.length >= p.segments.length &&
+        m.segments.take(p.segments.length) == p.segments)
+    val entries = candidates.flatMap { c =>
+      val fast = if (appendOnly) prev.get.histMerged.get(c) else None
+      val maps: Seq[Array[(Long, Long)]] = fast match {
+        case Some(prevMerged) =>
+          SegmentHistogram.decode(prevMerged) +:
+            m.segments.drop(prev.get.segments.length)
+              .map(s => SegmentHistogram.decode(s.stats(c).hist.get))
+        case None =>
+          m.segments.map(s => SegmentHistogram.decode(s.stats(c).hist.get))
+      }
+      SegmentHistogram.merge(maps).map(c -> SegmentHistogram.encode(_))
+    }.toMap
+    if (entries == m.histMerged) m else m.copy(histMerged = entries)
   }
 
   /** Claim version slot `v` by exclusive create and write `body`.
@@ -858,7 +926,8 @@ object SegmentLog {
     m.copy(segments = m.segments.map(s => s.copy(
       cols = s.cols.map(xlate),
       stats = s.stats.map { case (k, v) => xlate(k) -> v })),
-      ndvMerged = m.ndvMerged.map { case (k, v) => xlate(k) -> v })
+      ndvMerged = m.ndvMerged.map { case (k, v) => xlate(k) -> v },
+      histMerged = m.histMerged.map { case (k, v) => xlate(k) -> v })
   }
 
   /** Types of dropped physical columns, keyed by their logical-view
@@ -912,7 +981,7 @@ object SegmentLog {
       // or future INSERTs silently stop building the declared
       // blooms/NDV sketches — incl. dotted struct-field entries, whose
       // HEAD is the renamed column ("meta.lang" follows a meta rename)
-      props = Seq("bloomFor", "ndvFor").foldLeft(m.props) { (ps, key) =>
+      props = Seq("bloomFor", "ndvFor", "histFor").foldLeft(m.props) { (ps, key) =>
         ps.get(key) match {
           case Some(csv) => ps + (key ->
             csv.split(",").map(_.trim).filter(_.nonEmpty)
@@ -949,7 +1018,7 @@ object SegmentLog {
       // a stale declared bloom/NDV entry would silently re-attach to a
       // later re-added column of the same name — dotted struct-field
       // entries under the dropped column go with it
-      props = Seq("bloomFor", "ndvFor").foldLeft(m.props) { (ps, key) =>
+      props = Seq("bloomFor", "ndvFor", "histFor").foldLeft(m.props) { (ps, key) =>
         ps.get(key) match {
           case Some(csv) =>
             val kept = csv.split(",").map(_.trim).filter(c =>
@@ -1084,17 +1153,23 @@ object SegmentLog {
       // construction). int->long keeps the declaration: the canonical
       // string (decimal digits) is type-invariant, so old sketches
       // stay exact under the widened type.
-      props =
-        if (!SegmentNdv.hashable(to))
-          m.props.get("ndvFor") match {
+      props = {
+        def retire(ps: Map[String, String], key: String): Map[String, String] =
+          ps.get(key) match {
             case Some(csv) =>
               val kept = csv.split(",").map(_.trim).filter(c =>
                 c.nonEmpty && c != name && !c.startsWith(name + "."))
-              if (kept.isEmpty) m.props - "ndvFor"
-              else m.props + ("ndvFor" -> kept.mkString(","))
-            case None => m.props
+              if (kept.isEmpty) ps - key else ps + (key -> kept.mkString(","))
+            case None => ps
           }
-        else m.props)
+        val afterNdv =
+          if (!SegmentNdv.hashable(to)) retire(m.props, "ndvFor") else m.props
+        // same hygiene for histograms: int->long keeps the declaration
+        // (the long canonical is value-invariant, old maps stay exact);
+        // widening out of the supported family (int->double) retires it
+        if (!SegmentHistogram.supported(to)) retire(afterNdv, "histFor")
+        else afterNdv
+      })
   }
 
   /** Physical column name → data type for a manifest's OWN lineage:
@@ -1182,7 +1257,7 @@ object SegmentLog {
       // physical keys valid (fast no-op), widen/drop hygiene retires
       // declarations and the recompute drops their entries, rollback
       // recomputes from the restored segment set
-      val next = withNdvMerged(Some(current), f(current))
+      val next = withStatsMerged(Some(current), f(current))
         .copy(version = current.version + 1,
           ts = commitTimestamp(Some(current)))
       val body = render(next).getBytes(StandardCharsets.UTF_8)

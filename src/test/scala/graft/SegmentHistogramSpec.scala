@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.segment.{SegmentHistogram, SegmentLog}
+
+/** The manifest-resident value-frequency histogram ([[SegmentHistogram]]):
+  * exact bounded collection, associative merge, the equi-height
+  * conversion catalyst reads skew from, the commit-time pre-merge, and
+  * the DDL hygiene (rename/drop/widen) the other manifest statistics
+  * already honor. The CBO consumption proof lives in [[HistCboSpec]]. */
+class SegmentHistogramSpec extends SparkSpec {
+
+  private val Fmt = "graft-segment"
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // --- sketch unit behavior ---------------------------------------------
+
+  test("collector counts exactly, poisons past the distinct cap") {
+    val c = new SegmentHistogram.Collector
+    Seq(5L, 3L, 5L, 5L, 3L, 9L).foreach(c.add)
+    val m = SegmentHistogram.decode(c.base64.get)
+    assert(m.toSeq == Seq((3L, 2L), (5L, 3L), (9L, 1L)))
+
+    val over = new SegmentHistogram.Collector
+    (0 until SegmentHistogram.MaxDistinct).foreach(i => over.add(i.toLong))
+    assert(over.base64.isDefined, "at the cap is still exact")
+    over.add(-1L) // one past the cap
+    assert(over.base64.isEmpty, "overflow poisons — absent beats approximate")
+    over.add(3L) // later adds stay no-ops
+    assert(over.base64.isEmpty)
+  }
+
+  test("merge sums counts; segment order is irrelevant; cap bails to None") {
+    val a = Array((1L, 2L), (5L, 1L))
+    val b = Array((1L, 1L), (7L, 4L))
+    val ab = SegmentHistogram.merge(Seq(a, b)).get
+    assert(ab.toSeq == Seq((1L, 3L), (5L, 1L), (7L, 4L)))
+    assert(SegmentHistogram.merge(Seq(b, a)).get.toSeq == ab.toSeq)
+
+    val big = (0 until SegmentHistogram.MaxDistinctMerged)
+      .map(i => (i.toLong, 1L)).toArray
+    assert(SegmentHistogram.merge(Seq(big)).isDefined)
+    assert(SegmentHistogram.merge(Seq(big, Array((-1L, 1L)))).isEmpty,
+      "merged overflow drops the table-level statistic")
+  }
+
+  test("encode/decode roundtrip preserves values, counts and order") {
+    val m = Array((Long.MinValue, 1L), (-7L, 3L), (0L, 9L), (Long.MaxValue, 2L))
+    assert(SegmentHistogram.decode(SegmentHistogram.encode(m)).toSeq == m.toSeq)
+  }
+
+  test("equi-height: uniform data spreads bins; a heavy value occupies its mass in bins") {
+    // uniform 128 distinct × 4 rows → 64 bins, height 8, 2 distinct/bin
+    val uniform = (0 until 128).map(i => (i.toLong, 4L)).toArray
+    val (h, bins) = SegmentHistogram.toEquiHeight(uniform)
+    assert(h == 8.0 && bins.length == 64)
+    assert(bins.forall(_._3 <= 2), "uniform bins hold <= 2 distinct values")
+    assert(bins.head._1 == 0.0 && bins.last._2 == 127.0)
+    // consecutive bins share endpoints (catalyst's percentile shape)
+    bins.sliding(2).foreach { case Array(p, n) => assert(p._2 == n._1) }
+
+    // skew: value 0 carries 90% of the mass → it occupies ~90% of bins
+    // (lo == hi == 0), which is exactly what FilterEstimation's
+    // equality-by-histogram reads the true frequency from
+    val skew = Array((0L, 900L)) ++ (1 to 100).map(i => (i.toLong, 1L))
+    val (_, sb) = SegmentHistogram.toEquiHeight(skew)
+    val heavy = sb.count(b => b._1 == 0.0 && b._2 == 0.0)
+    assert(heavy >= 56 && heavy <= 60, // 0.9 * 64 = 57.6
+      s"the heavy value should span ~90% of 64 bins, got $heavy")
+    assert(sb.map(_._3).sum >= 101 - 64, "per-bin ndv stays plausible")
+  }
+
+  test("declaration gate: unsupported types and unknown columns refuse loudly") {
+    import org.apache.spark.sql.types._
+    val sc = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("x", DoubleType),
+      StructField("meta", StructType(Seq(StructField("code", IntegerType))))))
+    assert(SegmentHistogram.parseCols("k,meta.code", Some(sc)) == Set("k", "meta.code"))
+    intercept[IllegalArgumentException](SegmentHistogram.parseCols("s", Some(sc)))
+    intercept[IllegalArgumentException](SegmentHistogram.parseCols("x", Some(sc)))
+    intercept[IllegalArgumentException](SegmentHistogram.parseCols("nope", Some(sc)))
+  }
+
+  // --- the table format end to end --------------------------------------
+
+  test("commits pre-merge the table map; it equals a from-scratch GROUP BY; appends extend it") {
+    val dir = tmp("graft-hist-premerge")
+    def write(lo: Int, hi: Int): Unit =
+      spark.range(lo, hi)
+        .select((col("id") % 10).as("k"), col("id").as("v"))
+        .repartition(3)
+        .write.format(Fmt).option("histFor", "k").mode("append").save(dir)
+    write(0, 5000)
+    write(5000, 7000) // second commit: the append-only fast path
+    val m = SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir).get
+    val got = SegmentHistogram.decode(m.histMerged("k")).toMap
+    val want = spark.read.format(Fmt).load(dir)
+      .groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "the manifest map IS the exact group-by answer")
+    // and the per-segment presence guard held: every segment sketched
+    assert(m.segments.forall(_.stats("k").hist.isDefined))
+  }
+
+  test("DDL hygiene: rename follows, drop sheds in the same commit, widen keeps int->long") {
+    val dir = tmp("graft-hist-ddl")
+    spark.range(0, 1000)
+      .select((col("id") % 7).cast("int").as("k"), col("id").as("v"))
+      .write.format(Fmt).option("histFor", "k").mode("append").save(dir)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    def logical = SegmentLog.logicalView(SegmentLog.read(fs, dir).get)
+
+    SegmentLog.renameColumn(fs, dir, "k", "key")
+    assert(logical.histMerged.contains("key") && !logical.histMerged.contains("k"),
+      "rename translates the merged key (logical view)")
+
+    // widen int->long: the long canonical is value-invariant — every
+    // stored map survives (the path API declared per-write, so there
+    // is no table property to keep; presence is the ground truth)
+    SegmentLog.widenColumn(fs, dir, "key", org.apache.spark.sql.types.LongType)
+    assert(logical.histMerged.contains("key"))
+
+    SegmentLog.dropColumn(fs, dir, "key")
+    assert(SegmentLog.read(fs, dir).get.histMerged.isEmpty,
+      "DROP COLUMN sheds the merged entry in the SAME commit")
+  }
+
+  test("widening out of the supported family retires the declaration") {
+    val cat = "ghistw"
+    val wh = tmp("graft-hist-widen")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k INT, n INT) " +
+      "TBLPROPERTIES ('histFor' = 'k,n')")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT CAST(id % 5 AS INT), CAST(id % 9 AS INT) FROM range(0, 200)")
+    val f = SegmentLog.fs(s"$wh/db/t", spark.sessionState.newHadoopConf())
+    def m() = SegmentLog.read(f, s"$wh/db/t").get
+    assert(m().histMerged.keySet == Set("k", "n"))
+    // int->long keeps (long canonical is value-invariant)
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN k TYPE BIGINT")
+    assert(m().props("histFor").split(",").toSet == Set("k", "n"))
+    // int->double: no supported canonical — the widen retires it
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN n TYPE DOUBLE")
+    assert(m().props("histFor").split(",").toSet == Set("k"),
+      s"widen must drop n from histFor, got ${m().props.get("histFor")}")
+  }
+
+  test("a high-cardinality column overflows honestly: absent, never approximate") {
+    val dir = tmp("graft-hist-overflow")
+    spark.range(0, 10000) // 10k distinct > per-segment cap
+      .select(col("id").as("k"))
+      .coalesce(1)
+      .write.format(Fmt).option("histFor", "k").mode("append").save(dir)
+    val m = SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir).get
+    assert(m.histMerged.isEmpty, "no table-level entry")
+    assert(m.segments.forall(_.stats("k").hist.isEmpty), "no per-segment map")
+  }
+
+  test("the statistics face: catalyst attributeStats carries the equi-height histogram") {
+    val dir = tmp("graft-hist-face")
+    // 90% of rows at k=0, the rest uniform over 1..100 (id/10 cycles
+    // all 100 residues over the ids ending in 9; id%100 would hit 10)
+    // ndvFor rides along: FilterEstimation requires hasCountStats
+    // (distinctCount) before it consults min/max or the histogram, so
+    // a histogram-only declaration cannot feed range selectivity —
+    // declare both (the realistic production shape anyway)
+    spark.range(0, 10000)
+      .select(when(col("id") % 10 < 9, 0L)
+        .otherwise(expr("id div 10") % 100 + 1).as("k"), col("id").as("v"))
+      .write.format(Fmt).option("histFor", "k").option("ndvFor", "k")
+      .mode("append").save(dir)
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = spark.read.format(Fmt).load(dir)
+      val stats = df.queryExecution.optimizedPlan.stats
+      val kStat = stats.attributeStats.toSeq
+        .collectFirst { case (a, s) if a.name == "k" => s }.get
+      val hist = kStat.histogram.getOrElse(
+        fail("histogram did not reach catalyst ColumnStat"))
+      assert(hist.bins.length == 64)
+      // the heavy value's bins: lo == hi == 0 over ~90% of them
+      val heavy = hist.bins.count(b => b.lo == 0.0 && b.hi == 0.0)
+      assert(heavy >= 55, s"expected ~57 heavy bins, got $heavy")
+      assert(math.abs(hist.height * hist.bins.length - 10000.0) < 64,
+        "height × bins ≈ row count")
+      // the RANGE arm (FilterEstimation.computeComparisonPossibility-
+      // ByHistogram): k > 0 truly matches 10% of the rows; min/max
+      // interpolation alone would estimate (max-0)/(max-min) ≈ 100%.
+      // The histogram's bins put the estimate near the truth.
+      val rc = df.filter(col("k") > 0)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.isDefined, "cbo filter estimate must produce a rowCount")
+      assert(rc.get.toLong > 400 && rc.get.toLong < 2500,
+        s"range selectivity should read ~10% from the bins, got ${rc.get}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+}
