@@ -3131,8 +3131,8 @@ object SparkEntry {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
       s.sql(s"CREATE NAMESPACE $cat.db")
       s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, bucket INT, d DATE, " +
-        "ts TIMESTAMP, meta STRUCT<code: INT>) " +
-        "TBLPROPERTIES ('histFor'='bucket,d,ts,meta.code', " +
+        "ts TIMESTAMP, money DECIMAL(12,2), meta STRUCT<code: INT>) " +
+        "TBLPROPERTIES ('histFor'='bucket,d,money,ts,meta.code', " +
         "'clusterBy'='doc_id', 'numPartitions'='4')")
       Tables.documents(s, d).createOrReplaceTempView("graft_hist_docs")
       // two INSERTs: the second exercises the append-only pre-merge
@@ -3142,6 +3142,8 @@ object SparkEntry {
           "CAST(doc_id % 37 AS INT), " +
           "date_add(DATE'2021-06-01', CAST(doc_id % 45 AS INT)), " +
           "timestamp_micros((doc_id % 23) * 1000000), " +
+          // DECIMAL rides as its UNSCALED long: (doc_id%50)*100 + 25
+          "CAST(doc_id % 50 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(3,2)), " +
           "named_struct('code', CAST(doc_id % 11 AS INT)) " +
           s"FROM graft_hist_docs WHERE doc_id % 2 $pred")
       }
@@ -6779,6 +6781,8 @@ object SparkEntry {
         "- DATE '1970-01-01' AS BIGINT), count(*) FROM documents GROUP BY 2 " +
         "UNION ALL SELECT 'meta.code', CAST(doc_id % 11 AS BIGINT), count(*) " +
         "FROM documents GROUP BY 2 " +
+        "UNION ALL SELECT 'money', CAST((doc_id % 50) * 100 + 25 AS BIGINT), " +
+        "count(*) FROM documents GROUP BY 2 " +
         "UNION ALL SELECT 'ts', CAST((doc_id % 23) * 1000000 AS BIGINT), count(*) " +
         "FROM documents GROUP BY 2" +
         ") ORDER BY col_name, value"),

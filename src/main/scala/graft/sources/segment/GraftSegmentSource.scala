@@ -866,8 +866,11 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       .orElse {
         val per = segs.map(_.stats.get(key))
         if (per.nonEmpty && per.forall(_.exists(_.hist.isDefined)))
+          // LAZY decode: merge bails at the cap — an eager map would
+          // decode every surviving segment's map per PLAN before the
+          // bail on an overflowing column
           SegmentHistogram.merge(
-            per.map(s => SegmentHistogram.decode(s.get.hist.get)))
+            per.iterator.map(s => SegmentHistogram.decode(s.get.hist.get)))
         else None
       }
   }
@@ -877,9 +880,19 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     * `DataSourceV2Relation.transformV2Stats` converts into the
     * `ColumnStat.histogram` that `FilterEstimation` reads skew-aware
     * selectivity from. */
-  private def v2Histogram(freq: Array[(Long, Long)])
+  private def v2Histogram(freq: Array[(Long, Long)],
+      dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.connector.read.colstats.Histogram = {
-    val (binHeight, bs) = SegmentHistogram.toEquiHeight(freq)
+    // DECIMAL maps store UNSCALED longs; the bins must land in the
+    // value domain FilterEstimation compares literals in
+    // (EstimationUtils.toDouble of a Decimal is its scaled value)
+    val div = dt match {
+      case d: org.apache.spark.sql.types.DecimalType => math.pow(10, d.scale)
+      case _ => 1.0
+    }
+    val (binHeight, rawBins) = SegmentHistogram.toEquiHeight(freq)
+    val bs = if (div == 1.0) rawBins
+      else rawBins.map { case (lo, hi, n) => (lo / div, hi / div, n) }
     // distinct local names: inside the anonymous classes, a body
     // `= bins` would resolve to the member being defined (infinite
     // recursion), not the enclosing val
@@ -958,6 +971,21 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
             case FloatType => Some((
               Float.box(bounds.map(_.get._1.toFloat).min),
               Float.box(bounds.map(_.get._2.toFloat).max)))
+            case d: DecimalType =>
+              // catalyst Decimal: FilterEstimation reads bounds via
+              // EstimationUtils.toDouble (toString.toDouble) — the
+              // plain rendering the zone maps already store. Without
+              // these, hasMinMaxStats fails and a decimal histogram/
+              // NDV would be silently inert for range selectivity.
+              val ord = Ordering.comparatorToOrdering(
+                java.util.Comparator.naturalOrder[java.math.BigDecimal]())
+              Some((
+                org.apache.spark.sql.types.Decimal(
+                  bounds.map(b => new java.math.BigDecimal(b.get._1)).min(ord),
+                  d.precision, d.scale),
+                org.apache.spark.sql.types.Decimal(
+                  bounds.map(b => new java.math.BigDecimal(b.get._2)).max(ord),
+                  d.precision, d.scale)))
             case _ => None // strings: binary-order bounds are not CBO literals
           } else None
         // NDV for the distinctCount that makes cost-based join
@@ -991,16 +1019,25 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
         // misestimate broadcasts a near-full table; the equi-height
         // bins carry the true mass. Head-probe gate first: only
         // declared columns pay the O(segments) presence pass.
-        val hst: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+        val histFreq: Option[Array[(Long, Long)]] =
           if (segs.head.stats.get(f.name).exists(_.hist.isDefined))
-            histFromSketches(f.name, segs).map(v2Histogram)
+            histFromSketches(f.name, segs)
           else None
+        val hst: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+          histFreq.map(v2Histogram(_, f.dataType))
+        // the frequency map's length IS the column's distinct count —
+        // EXACT within the caps, so it outranks the KMV estimate when
+        // both exist, and it makes a histFor-only declaration feed
+        // hasCountStats (FilterEstimation refuses to consult min/max
+        // or the histogram without a distinctCount)
+        val ndvFinal: Option[Long] =
+          histFreq.map(_.length.toLong).orElse(ndv)
         cstats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def nullCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(nulls)
             override def distinctCount(): java.util.OptionalLong =
-              ndv.map(java.util.OptionalLong.of)
+              ndvFinal.map(java.util.OptionalLong.of)
                 .getOrElse(java.util.OptionalLong.empty())
             override def min(): java.util.Optional[Object] =
               mm.map(v => java.util.Optional.of(v._1: Object))
@@ -1044,13 +1081,17 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
           // O(segments) presence pass below (a 30-field struct over 10k
           // segments would otherwise pay ~300k lookups per plan)
           val headStats = segs.head.stats.get(key)
-          val n: Option[Long] =
+          val hf: Option[Array[(Long, Long)]] =
+            if (headStats.exists(_.hist.isDefined)) histFromSketches(key, segs)
+            else None
+          // exact-map length outranks the KMV estimate (see the
+          // top-level block)
+          val n: Option[Long] = hf.map(_.length.toLong).orElse {
             if (headStats.exists(_.kmv.isDefined)) ndvFromSketches(key, segs)
             else None
+          }
           val hs: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
-            if (headStats.exists(_.hist.isDefined))
-              histFromSketches(key, segs).map(v2Histogram)
-            else None
+            hf.map(v2Histogram(_, cf.dataType))
           if (n.isDefined || hs.isDefined) {
             val nulls = segs.map(_.stats.get(key).map(_.nullCount).getOrElse(0L)).sum
             cstats.put(Expressions.column(key),

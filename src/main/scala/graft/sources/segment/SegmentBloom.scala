@@ -41,20 +41,10 @@ object SegmentBloom {
     val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
     // dotted names declare blooms on STRUCT FIELDS ("meta.lang") —
     // the point-lookup complement of the per-field zone maps; an
-    // exact top-level column name always wins the resolution
-    def resolvable(c: String): Boolean =
-      schema.forall { sc =>
-        sc.fieldNames.contains(c) || {
-          val dot = c.indexOf('.')
-          dot > 0 && (sc.fields.find(_.name == c.substring(0, dot))
-            .map(_.dataType) match {
-            case Some(st: org.apache.spark.sql.types.StructType) =>
-              st.fieldNames.contains(c.substring(dot + 1))
-            case _ => false
-          })
-        }
-      }
-    cols.foreach(c => require(resolvable(c),
+    // exact top-level column name always wins the resolution (the
+    // shared bloomFor/ndvFor/histFor rule)
+    cols.foreach(c => require(
+      schema.forall(SegmentCodec.resolveStatsColumn(_, c).isDefined),
       s"bloomFor column $c not in schema (top-level or struct field)"))
     cols
   }

@@ -112,6 +112,23 @@ object SegmentCodec {
     case t => nestedOk(t)
   }
 
+  /** Resolve a statistics-declaration column name against a schema:
+    * an exact TOP-LEVEL match wins outright (even for a literal-dotted
+    * column name), else ONE dotted struct-field level. None when
+    * nothing resolves. The single resolution rule shared by
+    * bloomFor / ndvFor / histFor — one place to evolve (quoted names,
+    * deeper nesting), three declaration gates on top. */
+  def resolveStatsColumn(sc: StructType, c: String): Option[DataType] =
+    sc.fields.find(_.name == c).map(_.dataType).orElse {
+      val dot = c.indexOf('.')
+      if (dot <= 0) None
+      else sc.fields.find(_.name == c.substring(0, dot)).map(_.dataType) match {
+        case Some(st: StructType) =>
+          st.fields.find(_.name == c.substring(dot + 1)).map(_.dataType)
+        case _ => None
+      }
+    }
+
   def validateSchema(schema: StructType): Unit = {
     val bad = schema.fields.filterNot(f => supported(f.dataType))
     require(bad.isEmpty,

@@ -74,10 +74,16 @@ object SegmentHistogram {
 
   /** Column types with an exact long canonical AND a catalyst
     * histogram face (bins are doubles; `EstimationUtils.toDouble`
-    * renders these internal values as the same number). */
+    * renders these internal values as the same number). DECIMAL
+    * within 18 digits rides as its UNSCALED long (exact, mergeable,
+    * invariant under precision-growth widening); the stats face
+    * divides by 10^scale so the bins land in the value domain
+    * catalyst compares literals in. Price-point skew is the norm on
+    * money columns, which is exactly what this statistic is for. */
   def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
          DateType | TimestampType | TimestampNTZType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -88,35 +94,30 @@ object SegmentHistogram {
   def parseCols(csv: String, schema: Option[StructType] = None): Set[String] = {
     val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
     schema.foreach(sc => cols.foreach { c =>
-      val dt: DataType = sc.fields.find(_.name == c).map(_.dataType).getOrElse {
-        val dot = c.indexOf('.')
-        (if (dot > 0) sc.fields.find(_.name == c.substring(0, dot)).map(_.dataType)
-         else None) match {
-          case Some(st: StructType) =>
-            st.fields.find(_.name == c.substring(dot + 1)).map(_.dataType)
-              .getOrElse(throw new IllegalArgumentException(
-                s"histFor column $c not in schema (top-level or struct field)"))
-          case _ => throw new IllegalArgumentException(
-            s"histFor column $c not in schema (top-level or struct field)")
-        }
-      }
+      val dt: DataType = SegmentCodec.resolveStatsColumn(sc, c).getOrElse(
+        throw new IllegalArgumentException(
+          s"histFor column $c not in schema (top-level or struct field)"))
       require(supported(dt),
         s"histFor column $c: frequency histograms support the integer " +
-          s"family, DATE and TIMESTAMP, not ${dt.simpleString} (catalyst " +
-          "histogram bins are doubles — strings have no double form, " +
-          "floats no stable equality classes, decimals no exact one)")
+          s"family, DATE, TIMESTAMP and DECIMAL within 18 digits, not " +
+          s"${dt.simpleString} (catalyst histogram bins are doubles — " +
+          "strings have no double form, floats no stable equality " +
+          "classes, wider decimals no exact long canonical)")
     })
     cols
   }
 
   /** The long canonical of a non-null value — the internal
-    * representation itself (days for DATE, micros for TIMESTAMP), so
-    * widening int→long preserves every map entry verbatim. */
+    * representation itself (days for DATE, micros for TIMESTAMP,
+    * the unscaled long for DECIMAL), so widening int→long and
+    * decimal precision growth preserve every map entry verbatim. */
   def valueOf(dt: DataType, row: InternalRow, ordinal: Int): Long = dt match {
     case ByteType => row.getByte(ordinal).toLong
     case ShortType => row.getShort(ordinal).toLong
     case IntegerType | DateType => row.getInt(ordinal).toLong
     case LongType | TimestampType | TimestampNTZType => row.getLong(ordinal)
+    case d: DecimalType =>
+      row.getDecimal(ordinal, d.precision, d.scale).toUnscaledLong
     case other => throw new IllegalArgumentException(
       s"no histogram canonicalization for ${other.simpleString}")
   }
@@ -175,7 +176,7 @@ object SegmentHistogram {
     * Frequency-map addition is associative and commutative, so
     * merging per-segment maps loses nothing vs mapping the
     * concatenated data. */
-  def merge(maps: Iterable[Array[(Long, Long)]]): Option[Array[(Long, Long)]] = {
+  def merge(maps: IterableOnce[Array[(Long, Long)]]): Option[Array[(Long, Long)]] = {
     // boxed values — see [[Collector.freq]]
     val acc = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
     val it = maps.iterator

@@ -822,13 +822,17 @@ object SegmentLog {
         m.segments.take(p.segments.length) == p.segments)
     val entries = candidates.flatMap { c =>
       val fast = if (appendOnly) prev.get.histMerged.get(c) else None
-      val maps: Seq[Array[(Long, Long)]] = fast match {
+      // LAZY decode (Iterator wrapped as a one-shot Iterable): merge
+      // bails at the cap, and an eager map would decode EVERY live
+      // segment's map first — O(segments × map) per rewrite commit on
+      // a column whose union overflows, against the documented O(cap)
+      val maps: Iterator[Array[(Long, Long)]] = fast match {
         case Some(prevMerged) =>
-          SegmentHistogram.decode(prevMerged) +:
-            m.segments.drop(prev.get.segments.length)
+          Iterator.single(SegmentHistogram.decode(prevMerged)) ++
+            m.segments.drop(prev.get.segments.length).iterator
               .map(s => SegmentHistogram.decode(s.stats(c).hist.get))
         case None =>
-          m.segments.map(s => SegmentHistogram.decode(s.stats(c).hist.get))
+          m.segments.iterator.map(s => SegmentHistogram.decode(s.stats(c).hist.get))
       }
       SegmentHistogram.merge(maps).map(c -> SegmentHistogram.encode(_))
     }.toMap

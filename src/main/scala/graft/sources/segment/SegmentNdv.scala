@@ -72,18 +72,9 @@ object SegmentNdv {
   def parseCols(csv: String, schema: Option[StructType] = None): Set[String] = {
     val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
     schema.foreach(sc => cols.foreach { c =>
-      val dt: DataType = sc.fields.find(_.name == c).map(_.dataType).getOrElse {
-        val dot = c.indexOf('.')
-        (if (dot > 0) sc.fields.find(_.name == c.substring(0, dot)).map(_.dataType)
-         else None) match {
-          case Some(st: StructType) =>
-            st.fields.find(_.name == c.substring(dot + 1)).map(_.dataType)
-              .getOrElse(throw new IllegalArgumentException(
-                s"ndvFor column $c not in schema (top-level or struct field)"))
-          case _ => throw new IllegalArgumentException(
-            s"ndvFor column $c not in schema (top-level or struct field)")
-        }
-      }
+      val dt: DataType = SegmentCodec.resolveStatsColumn(sc, c).getOrElse(
+        throw new IllegalArgumentException(
+          s"ndvFor column $c not in schema (top-level or struct field)"))
       require(hashable(dt),
         s"ndvFor column $c: NDV sketches support STRING, DATE, DECIMAL, " +
           s"TIMESTAMP and the integer family, not ${dt.simpleString} " +

@@ -104,4 +104,47 @@ class HistCboSpec extends SparkSpec {
       }
     }
   }
+
+  test("join cardinality: histograms on both sides expose the hot-key blowup NDV math divides away") {
+    // catalyst JoinEstimation.computeByHistogram engages when BOTH
+    // join sides carry a histogram for the key. Two tables, each 90%
+    // at key 0: the true join output is ~45k × 18k ≈ 810M rows; the
+    // uniform estimate |L|·|R|/max(ndv) says ~2M — a 400× lie that
+    // tells the planner the join OUTPUT is broadcastable downstream.
+    // Assert on ESTIMATES only (nothing executes the 810M-row join).
+    val lNdv = tmp("graft-histcbo-l-ndv"); val rNdv = tmp("graft-histcbo-r-ndv")
+    val lHist = tmp("graft-histcbo-l-hist"); val rHist = tmp("graft-histcbo-r-hist")
+    def skewed(rows: Int, cold: Int) = spark.range(0, rows)
+      .select(when(col("id") % 10 < 9, 0L)
+        .otherwise(col("id") % cold + 1).as("k"), col("id").as("p"))
+      .repartition(2)
+    val l = skewed(50000, 499)
+    val r = skewed(20000, 499)
+    l.write.format(Fmt).option("ndvFor", "k").mode("append").save(lNdv)
+    r.write.format(Fmt).option("ndvFor", "k").mode("append").save(rNdv)
+    l.write.format(Fmt).option("histFor", "k").mode("append").save(lHist)
+    r.write.format(Fmt).option("histFor", "k").mode("append").save(rHist)
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def est(ldir: String, rdir: String): BigInt =
+        spark.read.format(Fmt).load(ldir)
+          .join(spark.read.format(Fmt).load(rdir), "k")
+          .queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(fail("join estimate must produce a rowCount"))
+      val uniform = est(lNdv, rNdv)
+      val skewAware = est(lHist, rHist)
+      assert(uniform < BigInt(10000000),
+        s"uniform NDV math divides the hot key away, got $uniform")
+      assert(skewAware > BigInt(100000000),
+        s"histogram overlap must surface the ~810M hot-key product, got $skewAware")
+      assert(skewAware > uniform * 50,
+        s"skew-aware estimate should dwarf the uniform one: $skewAware vs $uniform")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
 }

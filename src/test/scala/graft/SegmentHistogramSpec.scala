@@ -136,16 +136,25 @@ class SegmentHistogramSpec extends SparkSpec {
       classOf[graft.sources.segment.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    spark.sql(s"CREATE TABLE $cat.db.t (k INT, n INT) " +
-      "TBLPROPERTIES ('histFor' = 'k,n')")
+    spark.sql(s"CREATE TABLE $cat.db.t (k INT, n INT, money DECIMAL(12,2)) " +
+      "TBLPROPERTIES ('histFor' = 'k,n,money')")
     spark.sql(s"INSERT INTO $cat.db.t " +
-      "SELECT CAST(id % 5 AS INT), CAST(id % 9 AS INT) FROM range(0, 200)")
+      "SELECT CAST(id % 5 AS INT), CAST(id % 9 AS INT), " +
+      "CAST(id % 7 AS DECIMAL(12,2)) FROM range(0, 200)")
     val f = SegmentLog.fs(s"$wh/db/t", spark.sessionState.newHadoopConf())
     def m() = SegmentLog.read(f, s"$wh/db/t").get
-    assert(m().histMerged.keySet == Set("k", "n"))
+    assert(m().histMerged.keySet == Set("k", "n", "money"))
     // int->long keeps (long canonical is value-invariant)
     spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN k TYPE BIGINT")
-    assert(m().props("histFor").split(",").toSet == Set("k", "n"))
+    assert(m().props("histFor").split(",").toSet == Set("k", "n", "money"))
+    // decimal precision growth at unchanged scale keeps too (the
+    // unscaled long is invariant)...
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN money TYPE DECIMAL(16,2)")
+    assert(m().props("histFor").split(",").toSet == Set("k", "n", "money"))
+    // ...but growth PAST 18 digits loses the exact long canonical
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN money TYPE DECIMAL(22,2)")
+    assert(m().props("histFor").split(",").toSet == Set("k", "n"),
+      s"widen past 18 digits must drop money, got ${m().props.get("histFor")}")
     // int->double: no supported canonical — the widen retires it
     spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN n TYPE DOUBLE")
     assert(m().props("histFor").split(",").toSet == Set("k"),
@@ -164,19 +173,57 @@ class SegmentHistogramSpec extends SparkSpec {
     assert(m.segments.forall(_.stats("k").hist.isEmpty), "no per-segment map")
   }
 
+  test("DECIMAL histograms: unscaled-long maps, value-domain bins, exact ndv, range estimate") {
+    val dir = tmp("graft-hist-dec")
+    // price points: 85% of rows at 9.99, the rest spread over 200
+    // other cent values — the classic money-column skew
+    spark.range(0, 20000)
+      .select(expr("CAST(CASE WHEN id % 20 < 17 THEN 9.99 " +
+        "ELSE CAST(id div 20 % 200 AS DECIMAL(8,2)) + 10.50 END " +
+        "AS DECIMAL(8,2))").as("price"), col("id").as("v"))
+      .write.format(Fmt).option("histFor", "price").mode("append").save(dir)
+    // the manifest map stores UNSCALED longs (999 for 9.99)
+    val m = SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir).get
+    val freq = SegmentHistogram.decode(m.histMerged("price")).toMap
+    assert(freq(999L) == 17000L, s"unscaled 999 carries the hot mass, got $freq")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = spark.read.format(Fmt).load(dir)
+      val pStat = df.queryExecution.optimizedPlan.stats.attributeStats.toSeq
+        .collectFirst { case (a, s) if a.name == "price" => s }.get
+      assert(pStat.distinctCount.exists(_.toLong == 201L))
+      val hist = pStat.histogram.getOrElse(fail("decimal histogram absent"))
+      // bins live in the VALUE domain (9.99), not the unscaled one (999)
+      val heavy = hist.bins.count(b => b.lo == 9.99 && b.hi == 9.99)
+      assert(heavy >= 50, s"expected ~54 hot bins at 9.99, got $heavy")
+      // min/max are catalyst Decimals now, so the range path works:
+      // price > 10 truly matches 15% of rows; interpolation over
+      // [9.99, 209.50] would say ~100%
+      val rc = df.filter(col("price") > expr("CAST(10 AS DECIMAL(8,2))"))
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.isDefined && rc.get.toLong > 1200 && rc.get.toLong < 7000,
+        s"range selectivity should read ~15% from the bins, got $rc")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
   test("the statistics face: catalyst attributeStats carries the equi-height histogram") {
     val dir = tmp("graft-hist-face")
     // 90% of rows at k=0, the rest uniform over 1..100 (id/10 cycles
     // all 100 residues over the ids ending in 9; id%100 would hit 10)
-    // ndvFor rides along: FilterEstimation requires hasCountStats
-    // (distinctCount) before it consults min/max or the histogram, so
-    // a histogram-only declaration cannot feed range selectivity —
-    // declare both (the realistic production shape anyway)
+    // histFor ALONE: the frequency map's length feeds distinctCount
+    // (exact within caps), so hasCountStats holds and FilterEstimation
+    // consults the bins — no ndvFor needed for the statistic to live
     spark.range(0, 10000)
       .select(when(col("id") % 10 < 9, 0L)
         .otherwise(expr("id div 10") % 100 + 1).as("k"), col("id").as("v"))
-      .write.format(Fmt).option("histFor", "k").option("ndvFor", "k")
-      .mode("append").save(dir)
+      .write.format(Fmt).option("histFor", "k").mode("append").save(dir)
     val saved = spark.conf.getOption("spark.sql.cbo.enabled")
     try {
       spark.conf.set("spark.sql.cbo.enabled", "true")
@@ -184,6 +231,8 @@ class SegmentHistogramSpec extends SparkSpec {
       val stats = df.queryExecution.optimizedPlan.stats
       val kStat = stats.attributeStats.toSeq
         .collectFirst { case (a, s) if a.name == "k" => s }.get
+      assert(kStat.distinctCount.exists(_.toLong == 101L),
+        s"the map length is the EXACT distinct count, got ${kStat.distinctCount}")
       val hist = kStat.histogram.getOrElse(
         fail("histogram did not reach catalyst ColumnStat"))
       assert(hist.bins.length == 64)
