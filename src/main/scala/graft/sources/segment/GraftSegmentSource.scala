@@ -726,7 +726,7 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
     maxBytesPerTrigger: Option[Long] = None,
     claimedExact: Array[Filter] = Array.empty)
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   // report KeyGroupedPartitioning only when every planned segment
   // carries its hash-bucket label and no limit cut distorts coverage —
@@ -748,6 +748,32 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           runtimeSurviving.getOrElse(surviving).size)
+    }
+
+  /** SORT-FREE storage-partitioned joins: every bucket-labeled segment
+    * was produced by a clusterBy write, whose
+    * `RequiresDistributionAndOrdering` made Spark sort the rows by the
+    * cluster keys ascending before encoding (rolling splits a sorted
+    * stream into sorted files; DVs drop rows without reordering;
+    * un-sorted write routes — MoR deltas, streaming epochs, plain
+    * appends — never attach bucket labels, so [[reportableBucketing]]
+    * already excludes them). One InputPartition per segment, so
+    * per-partition order IS per-segment order; Spark keeps the claim
+    * only while every key group holds at most ONE partition
+    * (DataSourceV2ScanExecBase.outputOrdering's guard — a two-append
+    * bucket concatenates and Spark drops the ordering itself, sorts
+    * reappear, results identical). With both reports live, a
+    * co-bucketed SortMergeJoin plans with ZERO exchanges and ZERO
+    * sorts — at 100 TB that deletes the last O(N log N) term the
+    * storage-partitioned join still paid. Reported only when the
+    * cluster keys survive column pruning (catalyst resolves the
+    * orders against the scan's output). */
+  override def outputOrdering(): Array[SortOrder] =
+    reportableBucketing match {
+      case Some(b) if b.cols.forall(required.fieldNames.contains) =>
+        b.cols.map(c =>
+          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+      case _ => Array.empty
     }
 
   private def segPath(seg: SegmentMeta): String = SegmentLog.abs(root, seg.path)

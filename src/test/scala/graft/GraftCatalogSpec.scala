@@ -53,14 +53,39 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false") {
-      val j = spark.sql(
+      def q() = spark.sql(
         "SELECT a.k, a.a, b.b FROM graft.db.spj_a a JOIN graft.db.spj_b b ON a.k = b.k")
+      val j = q()
       assert(j.count() == 500)
       val shuffles = collect(j.queryExecution.executedPlan) {
         case s: ShuffleExchangeExec => s
       }
       assert(shuffles.isEmpty,
         s"storage-partitioned join must plan no exchange:\n${j.queryExecution.executedPlan}")
+      // SORT-FREE too (r15): bucket-labeled segments were written
+      // sorted by the cluster key and the scan reports that ordering
+      // (one InputPartition per segment), so the SortMergeJoin plans
+      // with no SortExec either — at scale that deletes the last
+      // O(N log N) term the exchange-free join still paid
+      val sorts = collect(j.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.isEmpty,
+        s"single-segment buckets must join sort-free:\n${j.queryExecution.executedPlan}")
+
+      // a SECOND append puts two segments in each bucket: per-group
+      // concatenation voids per-partition order, Spark itself drops
+      // the reported ordering (the DataSourceV2ScanExecBase guard),
+      // sorts reappear, and the answer stays exact
+      spark.sql("INSERT INTO graft.db.spj_a SELECT id AS k, concat('x', id) FROM range(500, 600)")
+      val j2 = q()
+      assert(j2.count() == 500) // keys 500..599 have no match in spj_b
+      assert(collect(j2.queryExecution.executedPlan) {
+        case s: ShuffleExchangeExec => s }.isEmpty,
+        "the exchange-free plan must survive the second append")
+      assert(collect(j2.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.SortExec => s }.nonEmpty,
+        "two segments per bucket concatenate: the ordering claim must drop")
     }
   }
 
