@@ -26,11 +26,16 @@ object WriteBench {
     spark.sparkContext.setLogLevel("WARN")
     // a skew-shaped declared column (800 distinct — inside the hist
     // cap), a high-card column, and a payload: the realistic mix
+    // CACHE the input: without it every timed save() re-synthesizes
+    // the projection, charging input CPU to each variant's "write"
+    // time and diluting the overhead percentages this harness exists
+    // to measure
     val df = spark.range(0, rows).select(
       when(col("id") % 10 < 9, 0L).otherwise(col("id") % 799 + 1).as("k"),
       col("id").as("v"),
       concat(lit("payload-"), (col("id") % 1000).cast("string")).as("s"))
-    df.count() // materialize the input plan once
+      .cache()
+    df.count() // materialize into the cache
     val variants = Seq(
       ("none", Map.empty[String, String]),
       ("ndv", Map("ndvFor" -> "k,v")),
@@ -39,19 +44,31 @@ object WriteBench {
     // warm the write path once (JIT, codec classes)
     df.limit(1000).write.format("graft-segment").mode("append")
       .save(s"$outBase/warm")
-    // interleaved repeats, report the MINIMUM per variant: write
-    // times at this scale are dominated by fs/GC noise, and the min
-    // is the cleanest estimator of the added CPU work
-    val reps = if (args.length > 2) args(2).toInt else 5
-    val times = variants.map { case (label, opts) =>
-      val best = (0 until reps).map { r =>
-        val t0 = System.nanoTime()
-        opts.foldLeft(
-            df.write.format("graft-segment").mode("append"))((w, o) =>
-            w.option(o._1, o._2))
-          .save(s"$outBase/$label-$r")
-        (System.nanoTime() - t0) / 1e9
-      }.min
+    // INTERLEAVED repeats (rep-outer, variant-inner — consecutive
+    // same-variant runs would let monotone JIT/page-cache drift bias
+    // later variants), report the MINIMUM per variant: write times at
+    // this scale are dominated by fs/GC noise, and the min is the
+    // cleanest estimator of the added CPU work
+    val reps = if (args.length > 2) args(2).toInt else 8
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    // ROTATE the variant order per rep: a fixed order showed a strong
+    // position effect (the slot right after the rep boundary measured
+    // ~30% fast regardless of variant); rotation parks every variant
+    // in every slot equally often, so min-per-variant compares like
+    // positions
+    for (r <- 0 until reps;
+         (label, opts) <- variants.indices.map(i =>
+           variants((i + r) % variants.size))) {
+      val t0 = System.nanoTime()
+      opts.foldLeft(
+          df.write.format("graft-segment").mode("append"))((w, o) =>
+          w.option(o._1, o._2))
+        .save(s"$outBase/$label-$r")
+      samples(label) = ((System.nanoTime() - t0) / 1e9) :: samples(label)
+    }
+    val times = variants.map { case (label, _) =>
+      val best = samples(label).min
       println(f"WRITEBENCH $label%-5s rows=$rows min-of-$reps $best%7.2fs")
       label -> best
     }

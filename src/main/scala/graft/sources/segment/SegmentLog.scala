@@ -730,36 +730,40 @@ object SegmentLog {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Maintain [[Manifest.ndvMerged]] — the table-level pre-merged NDV
-    * sketches — on the manifest a commit is about to write. A column's
-    * entry exists exactly when `ndvFor` declares it AND every live
-    * segment carries its per-segment sketch; otherwise the entry is
-    * absent and planning (correctly) reports no distinctCount.
+  /** The ONE maintenance scaffold of the manifest-resident merged
+    * statistics ([[Manifest.ndvMerged]] / [[Manifest.histMerged]]).
+    * A column's entry exists exactly when EVERY live segment carries
+    * its per-segment sketch — the same presence guard planning
+    * applies, deliberately props-independent (the path-based API
+    * declares per write without persisting a property; a declaration
+    * retired mid-life stops new sketches, the forall fails, the entry
+    * drops in the same commit). Candidates are ALSO intersected with
+    * the live schema's physical names (top-level and one struct-field
+    * level): a DROP COLUMN commit leaves segments untouched
+    * (append-only fast path), so presence alone would let the dropped
+    * column's entry squat until the next data commit.
     *
-    * Cost discipline: an APPEND-ONLY commit with an unchanged
-    * declaration extends the previous table sketch with just the NEW
-    * segments' hashes — O(k × new segments), the hot path. Anything
-    * that changes the live set or the column mapping (truncate,
-    * compaction, rewrite, dv patch, rename, rollback) recomputes from
-    * the per-segment sketches — O(k × live), once per COMMIT instead
-    * of once per PLAN, which is the entire point: `estimateStatistics`
-    * reads the stored merge in O(k). Correctness is invariant either
-    * way (KMV merge is associative; spec-pinned). */
-  private def withNdvMerged(prev: Option[Manifest], m: Manifest): Manifest = {
-    if (m.segments.isEmpty)
-      return if (m.ndvMerged.isEmpty) m else m.copy(ndvMerged = Map.empty)
-    // a column (PHYSICAL key, matching segment stats) participates
-    // exactly when EVERY live segment sketched it — the same guard
-    // planning applies, and deliberately props-independent: the
-    // path-based API declares ndvFor per write without persisting a
-    // property, and sketch presence is the ground truth either way.
-    // A declaration retired mid-life (widen hygiene, ndvFor="" writes)
-    // stops new segments' sketches, so the forall fails and the entry
-    // drops in the same commit. Candidates are ALSO intersected with
-    // the live schema's physical names (top-level and one struct-field
-    // level): a DROP COLUMN commit leaves the segments untouched
-    // (appendOnly fast path), so presence alone would let the dropped
-    // column's entry squat in ndvMerged until the next data commit.
+    * Cost discipline: an APPEND-ONLY commit extends the previous
+    * table entry with just the NEW segments' sketches — the hot path;
+    * anything that changes the live set or the column mapping
+    * (truncate, compaction, rewrite, dv patch, rename, rollback)
+    * recomputes from the per-segment sketches, once per COMMIT
+    * instead of once per PLAN — `estimateStatistics` reads the
+    * stored merge directly. Correctness is invariant either way
+    * (both merges are associative; spec-pinned).
+    *
+    * `merge(seed, sketches)` receives the previous table entry (fast
+    * path only) and a LAZY iterator of the remaining per-segment
+    * base64 sketches — lazy so a cap-bailing merge (histograms) stops
+    * decoding at the cap instead of decoding every live segment
+    * first; None drops the entry (the histogram overflow contract:
+    * absent beats unreplayable). */
+  private def mergedStatEntries(prev: Option[Manifest], m: Manifest,
+      statOf: ColumnStats => Option[String],
+      prevEntries: Manifest => Map[String, String])(
+      merge: (Option[String], Iterator[String]) => Option[String])
+      : Map[String, String] = {
+    if (m.segments.isEmpty) return Map.empty
     val livePhys: Set[String] = m.schema.fields.iterator.flatMap { f =>
       val p = m.physicalOf.getOrElse(f.name, f.name)
       p +: (f.dataType match {
@@ -768,25 +772,20 @@ object SegmentLog {
       })
     }.toSet
     val candidates = m.segments.head.stats.iterator
-      .collect { case (c, cs) if cs.kmv.isDefined && livePhys.contains(c) => c }
-      .filter(c => m.segments.forall(_.stats.get(c).exists(_.kmv.isDefined)))
+      .collect { case (c, cs) if statOf(cs).isDefined && livePhys.contains(c) => c }
+      .filter(c => m.segments.forall(s => s.stats.get(c).exists(statOf(_).isDefined)))
       .toSeq
     val appendOnly = prev.exists(p =>
       m.segments.length >= p.segments.length &&
         m.segments.take(p.segments.length) == p.segments)
-    val entries = candidates.map { c =>
-      val fast = if (appendOnly) prev.get.ndvMerged.get(c) else None
-      val sketches: Seq[Array[Long]] = fast match {
-        case Some(prevMerged) =>
-          SegmentNdv.decode(prevMerged) +:
-            m.segments.drop(prev.get.segments.length)
-              .map(s => SegmentNdv.decode(s.stats(c).kmv.get))
-        case None =>
-          m.segments.map(s => SegmentNdv.decode(s.stats(c).kmv.get))
-      }
-      c -> SegmentNdv.encode(SegmentNdv.merge(sketches))
+    candidates.flatMap { c =>
+      val fast = if (appendOnly) prevEntries(prev.get).get(c) else None
+      val rest = (fast match {
+        case Some(_) => m.segments.drop(prev.get.segments.length)
+        case None => m.segments
+      }).iterator.map(s => statOf(s.stats(c)).get)
+      merge(fast, rest).map(c -> _)
     }.toMap
-    if (entries == m.ndvMerged) m else m.copy(ndvMerged = entries)
   }
 
   /** [[withNdvMerged]] then [[withHistMerged]] — every commit path
@@ -794,48 +793,26 @@ object SegmentLog {
   private def withStatsMerged(prev: Option[Manifest], m: Manifest): Manifest =
     withHistMerged(prev, withNdvMerged(prev, m))
 
-  /** Maintain [[Manifest.histMerged]] — the table-level pre-merged
-    * value-frequency histograms — with [[withNdvMerged]]'s exact
-    * contract: an entry exists when `histFor` declared the column,
-    * EVERY live segment carries its per-segment map, the key is in
-    * the live schema's physical names, AND the merged map stays
-    * within [[SegmentHistogram.MaxDistinctMerged]] (overflow drops
-    * the entry — absent beats unreplayable, and the per-plan fallback
-    * bails at the same cap). Append-only commits extend the previous
-    * table map with just the new segments' maps — O(distinct × new). */
+  /** [[Manifest.ndvMerged]] maintenance — KMV min-k merge over
+    * [[mergedStatEntries]]'s scaffold. */
+  private def withNdvMerged(prev: Option[Manifest], m: Manifest): Manifest = {
+    val entries = mergedStatEntries(prev, m, _.kmv, _.ndvMerged) { (seed, rest) =>
+      Some(SegmentNdv.encode(SegmentNdv.merge(
+        (seed.iterator ++ rest).map(SegmentNdv.decode))))
+    }
+    if (entries == m.ndvMerged) m else m.copy(ndvMerged = entries)
+  }
+
+  /** [[Manifest.histMerged]] maintenance — cap-bailing frequency-map
+    * merge over [[mergedStatEntries]]'s scaffold (overflow past
+    * [[SegmentHistogram.MaxDistinctMerged]] drops the entry; the lazy
+    * sketch iterator keeps the bail O(cap), not O(live segments)). */
   private def withHistMerged(prev: Option[Manifest], m: Manifest): Manifest = {
-    if (m.segments.isEmpty)
-      return if (m.histMerged.isEmpty) m else m.copy(histMerged = Map.empty)
-    val livePhys: Set[String] = m.schema.fields.iterator.flatMap { f =>
-      val p = m.physicalOf.getOrElse(f.name, f.name)
-      p +: (f.dataType match {
-        case st: StructType => st.fields.toSeq.map(cf => s"$p.${cf.name}")
-        case _ => Nil
-      })
-    }.toSet
-    val candidates = m.segments.head.stats.iterator
-      .collect { case (c, cs) if cs.hist.isDefined && livePhys.contains(c) => c }
-      .filter(c => m.segments.forall(_.stats.get(c).exists(_.hist.isDefined)))
-      .toSeq
-    val appendOnly = prev.exists(p =>
-      m.segments.length >= p.segments.length &&
-        m.segments.take(p.segments.length) == p.segments)
-    val entries = candidates.flatMap { c =>
-      val fast = if (appendOnly) prev.get.histMerged.get(c) else None
-      // LAZY decode (Iterator wrapped as a one-shot Iterable): merge
-      // bails at the cap, and an eager map would decode EVERY live
-      // segment's map first — O(segments × map) per rewrite commit on
-      // a column whose union overflows, against the documented O(cap)
-      val maps: Iterator[Array[(Long, Long)]] = fast match {
-        case Some(prevMerged) =>
-          Iterator.single(SegmentHistogram.decode(prevMerged)) ++
-            m.segments.drop(prev.get.segments.length).iterator
-              .map(s => SegmentHistogram.decode(s.stats(c).hist.get))
-        case None =>
-          m.segments.iterator.map(s => SegmentHistogram.decode(s.stats(c).hist.get))
-      }
-      SegmentHistogram.merge(maps).map(c -> SegmentHistogram.encode(_))
-    }.toMap
+    val entries = mergedStatEntries(prev, m, _.hist, _.histMerged) { (seed, rest) =>
+      SegmentHistogram.merge(
+        (seed.iterator ++ rest).map(SegmentHistogram.decode))
+        .map(SegmentHistogram.encode)
+    }
     if (entries == m.histMerged) m else m.copy(histMerged = entries)
   }
 

@@ -197,9 +197,9 @@ object SegmentNdv {
     * the k smallest of the union are each in their sketch's k
     * smallest, so merging sketches loses nothing vs sketching the
     * concatenated data. */
-  def merge(sketches: Iterable[Array[Long]]): Array[Long] = {
+  def merge(sketches: IterableOnce[Array[Long]]): Array[Long] = {
     val set = new java.util.TreeSet[java.lang.Long]()
-    sketches.foreach { arr =>
+    sketches.iterator.foreach { arr =>
       var i = 0
       while (i < arr.length) {
         val h = arr(i)
