@@ -115,7 +115,7 @@ object ScaleBench {
     // r15 continuation: frequency histograms — write cost is the table
     // write (the frequency map rides the same collectors), CALL
     // histogram is a manifest-sized driver answer (~flat)
-    "store_segment_hist",
+    "store_segment_hist", "store_segment_quantiles",
     // round-14: the span-annotation shape (array<struct> elements
     // carrying token arrays) and struct-valued maps — synth/store/
     // re-derive must track document rows; both decode columnar

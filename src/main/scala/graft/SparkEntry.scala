@@ -3103,7 +3103,11 @@ object SparkEntry {
       s.sql(s"CREATE NAMESPACE $cat.db")
       s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, lang STRING, d DATE, " +
         "ts TIMESTAMP, name STRING, blob BINARY) " +
-        "TBLPROPERTIES ('ndvFor'='lang', 'clusterBy'='doc_id', 'numPartitions'='4')")
+        // histFor rides along (r15): hist_ndv serves the frequency
+        // map's EXACT distinct count for declared columns, NULL for
+        // the rest — the oracle recomputes it as count(DISTINCT ...)
+        "TBLPROPERTIES ('ndvFor'='lang', 'histFor'='d,ts', " +
+        "'clusterBy'='doc_id', 'numPartitions'='4')")
       Tables.documents(s, d).createOrReplaceTempView("graft_stats_docs")
       s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, lang, " +
         "date_add(DATE'2020-01-01', CAST(doc_id % 900 AS INT)), " +
@@ -3149,6 +3153,31 @@ object SparkEntry {
       }
       s.sql(s"CALL $cat.system.histogram('db.t')")
         .orderBy(col("col_name"), col("value"))
+    }),
+    // METADATA-ONLY QUANTILES off the merged frequency maps (r15):
+    // the value at row ceil(q×N) in value order — zero scans at any
+    // table size, exact within the caps, and the oracle replays the
+    // SAME discrete rule as a windowed cumulative sum over the source
+    // rows. One skewed column (75% hot value — the quantile shape the
+    // statistic exists for) and one uniform decimal (unscaled-long
+    // canonical)
+    "store_segment_quantiles" -> ((s, d) => withTempDir("graft-segq") { base =>
+      val cat = s"graft_quant_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, bucket INT, " +
+        "money DECIMAL(12,2)) " +
+        "TBLPROPERTIES ('histFor'='bucket,money', " +
+        "'clusterBy'='doc_id', 'numPartitions'='4')")
+      Tables.documents(s, d).createOrReplaceTempView("graft_quant_docs")
+      s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, " +
+        "CASE WHEN doc_id % 4 < 3 THEN 7 ELSE CAST(doc_id % 37 AS INT) END, " +
+        "CAST(doc_id % 50 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(3,2)) " +
+        "FROM graft_quant_docs")
+      s.sql(s"CALL $cat.system.quantiles('db.t', '0.1,0.5,0.9,0.99')")
+        .orderBy(col("col_name"), col("q"))
     }),
     // CHECK constraints (the Delta ADD CONSTRAINT shape as validated
     // check.* TBLPROPERTIES): a declared predicate gates EVERY write —
@@ -6752,21 +6781,25 @@ object SparkEntry {
         "CAST(NULL AS VARCHAR) AS min_val, CAST(NULL AS VARCHAR) AS max_val, " +
         "CAST(NULL AS DOUBLE) AS ndv_est, " +
         "CAST(sum(strlen(blob_s)) AS BIGINT) AS len_sum, " +
-        "CAST(max(strlen(blob_s)) AS BIGINT) AS len_max FROM src " +
+        "CAST(max(strlen(blob_s)) AS BIGINT) AS len_max, " +
+        "CAST(NULL AS BIGINT) AS hist_ndv FROM src " +
         "UNION ALL SELECT 'd', count(d), count(*) - count(d), " +
-        "CAST(min(d) AS VARCHAR), CAST(max(d) AS VARCHAR), NULL, NULL, NULL FROM src " +
+        "CAST(min(d) AS VARCHAR), CAST(max(d) AS VARCHAR), NULL, NULL, NULL, " +
+        "CAST(count(DISTINCT d) AS BIGINT) FROM src " +
         "UNION ALL SELECT 'doc_id', count(doc_id), count(*) - count(doc_id), " +
-        "CAST(min(doc_id) AS VARCHAR), CAST(max(doc_id) AS VARCHAR), NULL, NULL, NULL FROM src " +
+        "CAST(min(doc_id) AS VARCHAR), CAST(max(doc_id) AS VARCHAR), NULL, NULL, NULL, " +
+        "NULL FROM src " +
         "UNION ALL SELECT 'lang', count(lang), count(*) - count(lang), " +
         "min(lang), max(lang), CAST(count(DISTINCT lang) AS DOUBLE), " +
         "CAST(sum(strlen(lang)) AS BIGINT), " +
-        "CAST(max(strlen(lang)) AS BIGINT) FROM src " +
+        "CAST(max(strlen(lang)) AS BIGINT), NULL FROM src " +
         "UNION ALL SELECT 'name', count(name), count(*) - count(name), " +
         "min(name), max(name), NULL, " +
         "CAST(sum(strlen(name)) AS BIGINT), " +
-        "CAST(max(strlen(name)) AS BIGINT) FROM src " +
+        "CAST(max(strlen(name)) AS BIGINT), NULL FROM src " +
         "UNION ALL SELECT 'ts', count(tsu), count(*) - count(tsu), " +
-        "CAST(min(tsu) AS VARCHAR), CAST(max(tsu) AS VARCHAR), NULL, NULL, NULL FROM src" +
+        "CAST(min(tsu) AS VARCHAR), CAST(max(tsu) AS VARCHAR), NULL, NULL, NULL, " +
+        "CAST(count(DISTINCT tsu) AS BIGINT) FROM src" +
         ") ORDER BY col_name"),
 
     // every (column, value, count) of the manifest frequency maps
@@ -6786,6 +6819,25 @@ object SparkEntry {
         "UNION ALL SELECT 'ts', CAST((doc_id % 23) * 1000000 AS BIGINT), count(*) " +
         "FROM documents GROUP BY 2" +
         ") ORDER BY col_name, value"),
+
+    // the same discrete rule — value at row ceil(q×N) in value order —
+    // replayed as a windowed cumulative sum over the source rows
+    "store_segment_quantiles" ->
+      ("WITH src AS (SELECT " +
+        "CASE WHEN doc_id % 4 < 3 THEN 7 ELSE CAST(doc_id % 37 AS INT) END AS b, " +
+        "(doc_id % 50) * 100 + 25 AS mu FROM documents), " +
+        "n AS (SELECT count(*) AS n FROM src), " +
+        "qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q), " +
+        "cb AS (SELECT b AS value, count(*) AS cnt FROM src GROUP BY 1), " +
+        "cumb AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum FROM cb), " +
+        "cm AS (SELECT mu AS value, count(*) AS cnt FROM src GROUP BY 1), " +
+        "cumm AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum FROM cm) " +
+        "SELECT col_name, q, value FROM (" +
+        "SELECT 'bucket' AS col_name, q, (SELECT CAST(min(value) AS BIGINT) FROM cumb " +
+        "WHERE cum >= greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT))) AS value FROM qs " +
+        "UNION ALL SELECT 'money', q, (SELECT CAST(min(value) AS BIGINT) FROM cumm " +
+        "WHERE cum >= greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT))) FROM qs" +
+        ") ORDER BY col_name, q"),
     // only the constraint-satisfying insert survives; the violating
     // batch failed whole (write-side enforcement, atomic commit)
     "store_segment_check_constraint" ->

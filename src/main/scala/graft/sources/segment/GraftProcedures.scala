@@ -27,6 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.ndv('db.t');                         -- manifest NDV estimates
   * CALL graft.system.stats('db.t');                       -- full manifest column stats
   * CALL graft.system.histogram('db.t');                   -- manifest value frequencies
+  * CALL graft.system.quantiles('db.t', '0.5,0.95');       -- metadata-only quantiles
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -296,6 +297,36 @@ object GraftProcedures {
             }
           }
         }
+      case "quantiles" =>
+        procedure("quantiles",
+          Seq(param("table", StringType),
+            paramDefault("quantiles", StringType, "'0.5'")),
+          StructType(Seq(
+            StructField("col_name", StringType, nullable = false),
+            StructField("q", DoubleType, nullable = false),
+            StructField("value", LongType, nullable = false)))) { (spark, in) =>
+          // METADATA-ONLY discrete quantiles off the merged frequency
+          // maps — the value at row ceil(q×N) in value order
+          // ([[SegmentHistogram.quantile]]), exact within the caps,
+          // zero scans at any table size. The partition-sizing /
+          // salt-factor input an operator otherwise pays a full
+          // percentile scan for. One row per declared column per q;
+          // values are the long canonicals (epoch days/micros,
+          // unscaled decimal). Over-approximate under deletion
+          // vectors like every manifest statistic.
+          val dir = tableDir(warehouse, in.getUTF8String(0).toString)
+          val qs = in.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+          require(qs.nonEmpty, "quantiles must name at least one q in [0,1]")
+          val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+          val m = SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
+            throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+          m.histMerged.toSeq.sortBy(_._1).flatMap { case (c, b64) =>
+            val freq = SegmentHistogram.decode(b64)
+            qs.map(q => row(UTF8String.fromString(c), q,
+              SegmentHistogram.quantile(freq, q)))
+          }
+        }
       case "stats" =>
         procedure("stats",
           Seq(param("table", StringType)),
@@ -307,7 +338,12 @@ object GraftProcedures {
             StructField("max_val", StringType, nullable = true),
             StructField("ndv_est", DoubleType, nullable = true),
             StructField("len_sum", LongType, nullable = true),
-            StructField("len_max", LongType, nullable = true)))) { (spark, in) =>
+            StructField("len_max", LongType, nullable = true),
+            // the frequency histogram's EXACT distinct count (the
+            // merged map's size), NULL when undeclared or overflowed
+            // — NULL on a declared high-cardinality column is the
+            // honesty guard showing through the SQL face
+            StructField("hist_ndv", LongType, nullable = true)))) { (spark, in) =>
           // the WHOLE manifest statistics surface as one frame — what
           // an operator (or a quality dashboard) reads before sizing a
           // job, zero scans: zone-map bounds reduced across live
@@ -376,12 +412,15 @@ object GraftProcedures {
               val lenMax =
                 if (per.forall(_.lenMax.isDefined)) per.map(_.lenMax.get).max
                 else -1L
+              val histNdv = m.histMerged.get(name)
+                .map(b64 => SegmentHistogram.decode(b64).length.toLong)
               row(UTF8String.fromString(name), nVals, nulls,
                 if (bounds._1 == null) null else UTF8String.fromString(bounds._1),
                 if (bounds._2 == null) null else UTF8String.fromString(bounds._2),
                 ndv.map(java.lang.Double.valueOf).orNull,
                 if (lenSum < 0) null else java.lang.Long.valueOf(lenSum),
-                if (lenMax < 0) null else java.lang.Long.valueOf(lenMax))
+                if (lenMax < 0) null else java.lang.Long.valueOf(lenMax),
+                histNdv.map(java.lang.Long.valueOf).orNull)
             }
         }
       case "clone" =>
@@ -405,5 +444,6 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
       "delete_where", "delete_mark", "compact_deletes", "update_mark",
-      "rollback", "rollback_to_timestamp", "clone", "ndv", "stats", "histogram")
+      "rollback", "rollback_to_timestamp", "clone", "ndv", "stats", "histogram",
+      "quantiles")
 }

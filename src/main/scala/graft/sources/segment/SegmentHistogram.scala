@@ -217,6 +217,28 @@ object SegmentHistogram {
     Some(out)
   }
 
+  /** Discrete quantile of an exact frequency map: the value at the
+    * 1-based row index ceil(q × N) in value order — the one
+    * lower-discrete quantile rule, implemented identically by the
+    * DuckDB oracle as a windowed cumulative sum over the source rows,
+    * so `CALL graft.system.quantiles` is METADATA-ONLY (zero scans at
+    * any table size) yet exactly replayable. Deterministic by
+    * construction: the map is exact within caps and the rule has no
+    * interpolation or float ambiguity. */
+  def quantile(freq: Array[(Long, Long)], q: Double): Long = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val total = freq.map(_._2).sum
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    var i = 0
+    while (i < freq.length) {
+      cum += freq(i)._2
+      if (cum >= target) return freq(i)._1
+      i += 1
+    }
+    freq.last._1
+  }
+
   /** Convert an exact frequency map to catalyst's EQUI-HEIGHT shape:
     * `(height, bins(lo, hi, ndv))` with bin boundaries at the exact
     * `i/B` percentiles — consecutive bins share endpoints, and a

@@ -73,6 +73,19 @@ class SegmentHistogramSpec extends SparkSpec {
     assert(sb.map(_._3).sum >= 101 - 64, "per-bin ndv stays plausible")
   }
 
+  test("discrete quantile: value at row ceil(q*N), skew-exact, endpoint-safe") {
+    // 10 rows: value 5 x7, then 8 x2, then 100 x1
+    val freq = Array((5L, 7L), (8L, 2L), (100L, 1L))
+    assert(SegmentHistogram.quantile(freq, 0.0) == 5L) // target floors at row 1
+    assert(SegmentHistogram.quantile(freq, 0.5) == 5L) // row 5
+    assert(SegmentHistogram.quantile(freq, 0.7) == 5L) // row 7
+    assert(SegmentHistogram.quantile(freq, 0.71) == 8L) // row 8
+    assert(SegmentHistogram.quantile(freq, 0.9) == 8L) // row 9
+    assert(SegmentHistogram.quantile(freq, 0.91) == 100L) // row 10
+    assert(SegmentHistogram.quantile(freq, 1.0) == 100L)
+    intercept[IllegalArgumentException](SegmentHistogram.quantile(freq, 1.5))
+  }
+
   test("declaration gate: unsupported types and unknown columns refuse loudly") {
     import org.apache.spark.sql.types._
     val sc = StructType(Seq(StructField("k", LongType),
