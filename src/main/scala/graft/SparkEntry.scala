@@ -3105,8 +3105,13 @@ object SparkEntry {
         "ts TIMESTAMP, name STRING, blob BINARY) " +
         // histFor rides along (r15): hist_ndv serves the frequency
         // map's EXACT distinct count for declared columns, NULL for
-        // the rest — the oracle recomputes it as count(DISTINCT ...)
-        "TBLPROPERTIES ('ndvFor'='lang', 'histFor'='d,ts', " +
+        // the rest — the oracle recomputes it as count(DISTINCT ...).
+        // Only the modulo-BOUNDED column is declared: ts is injective
+        // (distinct = row count), so its per-segment map would poison
+        // past the cap at larger sf and the oracle's count(DISTINCT)
+        // would diverge — d's <=900 distinct holds at ANY scale, which
+        // is the cap doctrine this certificate exists to certify
+        "TBLPROPERTIES ('ndvFor'='lang', 'histFor'='d', " +
         "'clusterBy'='doc_id', 'numPartitions'='4')")
       Tables.documents(s, d).createOrReplaceTempView("graft_stats_docs")
       s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, lang, " +
@@ -6799,7 +6804,7 @@ object SparkEntry {
         "CAST(max(strlen(name)) AS BIGINT), NULL FROM src " +
         "UNION ALL SELECT 'ts', count(tsu), count(*) - count(tsu), " +
         "CAST(min(tsu) AS VARCHAR), CAST(max(tsu) AS VARCHAR), NULL, NULL, NULL, " +
-        "CAST(count(DISTINCT tsu) AS BIGINT) FROM src" +
+        "NULL FROM src" +
         ") ORDER BY col_name"),
 
     // every (column, value, count) of the manifest frequency maps

@@ -49,7 +49,14 @@ object WriteBench {
     // later variants), report the MINIMUM per variant: write times at
     // this scale are dominated by fs/GC noise, and the min is the
     // cleanest estimator of the added CPU work
-    val reps = if (args.length > 2) args(2).toInt else 8
+    // reps rounds UP to a multiple of the variant count: rotation only
+    // parks every variant in every slot equally often when it divides
+    // evenly — a remainder would re-introduce the position bias
+    val reps = {
+      val asked = if (args.length > 2) args(2).toInt else 8
+      val n = variants.size
+      ((asked + n - 1) / n) * n
+    }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     // ROTATE the variant order per rep: a fixed order showed a strong

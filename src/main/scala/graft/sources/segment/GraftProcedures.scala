@@ -73,6 +73,16 @@ object GraftProcedures {
   private def row(vs: Any*): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs.toArray)
 
+  /** Resolve `db.t` (or an absolute path) and load its live manifest's
+    * LOGICAL view — the shared entry of every statistics procedure. */
+  private def loadManifest(spark: SparkSession, warehouse: String,
+      arg: String): Manifest = {
+    val dir = tableDir(warehouse, arg)
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
+      throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+  }
+
   /** Resolve `db.t` under the warehouse, or pass an absolute path. */
   private def tableDir(warehouse: String, arg: String): String =
     if (arg.startsWith("/") || arg.contains("://")) arg
@@ -262,10 +272,7 @@ object GraftProcedures {
           // an operator sizes joins with; `exact` is true while the
           // merged sketch never saturated (count is exact modulo hash
           // collisions). O(k) per declared column, zero scans.
-          val dir = tableDir(warehouse, in.getUTF8String(0).toString)
-          val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
-          val m = SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
-            throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+          val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
           m.ndvMerged.toSeq.sortBy(_._1).map { case (c, b64) =>
             val sk = SegmentNdv.decode(b64)
             row(UTF8String.fromString(c), SegmentNdv.estimateMerged(sk),
@@ -287,10 +294,7 @@ object GraftProcedures {
           // absent); values are the long canonicals (epoch days for
           // DATE, epoch micros for TIMESTAMP). Over-approximate under
           // deletion vectors, like every manifest statistic.
-          val dir = tableDir(warehouse, in.getUTF8String(0).toString)
-          val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
-          val m = SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
-            throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+          val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
           m.histMerged.toSeq.sortBy(_._1).flatMap { case (c, b64) =>
             SegmentHistogram.decode(b64).map { case (v, n) =>
               row(UTF8String.fromString(c), v, n)
@@ -314,17 +318,25 @@ object GraftProcedures {
           // values are the long canonicals (epoch days/micros,
           // unscaled decimal). Over-approximate under deletion
           // vectors like every manifest statistic.
-          val dir = tableDir(warehouse, in.getUTF8String(0).toString)
-          val qs = in.getUTF8String(1).toString.split(",")
-            .map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+          // validate the REQUEST before touching any table state: a bad
+          // q must error identically on empty, undeclared and
+          // overflowed tables (an empty frame for q=1.7 would read as
+          // a plausible answer), and a non-numeric q names the
+          // parameter instead of surfacing a raw NumberFormatException
+          val raw = in.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val qs = raw.map(t => scala.util.Try(t.toDouble).getOrElse(
+            throw new IllegalArgumentException(
+              s"quantiles must be numbers in [0,1], got '$t'")))
           require(qs.nonEmpty, "quantiles must name at least one q in [0,1]")
-          val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
-          val m = SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
-            throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+          qs.foreach(q => require(q >= 0.0 && q <= 1.0,
+            s"quantiles must be in [0,1], got $q"))
+          val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
           m.histMerged.toSeq.sortBy(_._1).flatMap { case (c, b64) =>
             val freq = SegmentHistogram.decode(b64)
+            val total = freq.foldLeft(0L)(_ + _._2) // once per map, not per q
             qs.map(q => row(UTF8String.fromString(c), q,
-              SegmentHistogram.quantile(freq, q)))
+              SegmentHistogram.quantile(freq, q, total)))
           }
         }
       case "stats" =>
@@ -356,10 +368,7 @@ object GraftProcedures {
           // dv-free tables. One row per live column, incl. one dotted
           // struct-field level; columns with no sound bounds (arrays,
           // maps, long strings) carry NULL min/max honestly.
-          val dir = tableDir(warehouse, in.getUTF8String(0).toString)
-          val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
-          val m = SegmentLog.read(fs, dir).map(SegmentLog.logicalView).getOrElse(
-            throw new IllegalArgumentException(s"no graft-segment table at $dir"))
+          val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
           val live: Seq[(String, DataType)] = m.schema.fields.toSeq.flatMap { f =>
             (f.name, f.dataType) +: (f.dataType match {
               case st: StructType =>

@@ -225,9 +225,12 @@ object SegmentHistogram {
     * any table size) yet exactly replayable. Deterministic by
     * construction: the map is exact within caps and the rule has no
     * interpolation or float ambiguity. */
-  def quantile(freq: Array[(Long, Long)], q: Double): Long = {
+  def quantile(freq: Array[(Long, Long)], q: Double,
+      knownTotal: Long = -1L): Long = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
-    val total = freq.map(_._2).sum
+    // callers asking several quantiles of one map pass the total once
+    val total =
+      if (knownTotal >= 0L) knownTotal else freq.foldLeft(0L)(_ + _._2)
     val target = math.max(1L, math.ceil(q * total).toLong)
     var cum = 0L
     var i = 0

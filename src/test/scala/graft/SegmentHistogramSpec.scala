@@ -86,6 +86,32 @@ class SegmentHistogramSpec extends SparkSpec {
     intercept[IllegalArgumentException](SegmentHistogram.quantile(freq, 1.5))
   }
 
+  test("quantiles procedure: request validation is uniform, independent of table state") {
+    val cat = "ghistq"
+    val wh = tmp("graft-hist-quant")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    // EMPTY table (no merged maps): a bad q must still refuse — an
+    // empty frame for q=1.7 would read as a plausible answer
+    spark.sql(s"CREATE TABLE $cat.db.t (k INT) TBLPROPERTIES ('histFor'='k')")
+    val bad = intercept[Exception](
+      spark.sql(s"CALL $cat.system.quantiles('db.t', '1.7')").collect())
+    assert(bad.getMessage.contains("[0,1]"), bad.getMessage)
+    val nan = intercept[Exception](
+      spark.sql(s"CALL $cat.system.quantiles('db.t', '0.5,abc')").collect())
+    assert(nan.getMessage.contains("quantiles"), nan.getMessage)
+    // valid q on the empty table: empty frame, no error
+    assert(spark.sql(s"CALL $cat.system.quantiles('db.t', '0.5')").collect().isEmpty)
+    // and the populated happy path serves the exact discrete rule
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      "SELECT CAST(CASE WHEN id % 4 < 3 THEN 5 ELSE 9 END AS INT) FROM range(0, 100)")
+    val rows = spark.sql(s"CALL $cat.system.quantiles('db.t', '0.5,0.9')")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.toSet == Set(("k", 0.5, 5L), ("k", 0.9, 9L)), rows.mkString(","))
+  }
+
   test("declaration gate: unsupported types and unknown columns refuse loudly") {
     import org.apache.spark.sql.types._
     val sc = StructType(Seq(StructField("k", LongType),
