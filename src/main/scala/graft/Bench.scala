@@ -32,7 +32,7 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case scala.util.control.NonFatal(_) => () }
-    // BOX-SPEED CALIBRATION (r15): two pinned, data-independent
+    // BOX-SPEED CALIBRATION (r15): pinned, data-independent
     // measurements emitted beside `total` so every BENCH_r{N}
     // self-reports how fast the machine was THAT run — round-over-
     // round drift can then be normalized instead of argued about
@@ -40,9 +40,11 @@ object Bench {
     // noise attribution needed an instrument). calib_cpu_sec is a
     // single-thread xorshift loop (pure ALU, no allocation);
     // calib_spark_sec is a fixed 32-slice shuffle+hash-agg job
-    // (codegen, exchange, task scheduling). cpu runs again at the END
-    // of the suite (calib_cpu_end_sec) to catch within-run drift —
-    // thermal throttling or a co-tenant arriving mid-bench.
+    // (codegen, exchange, task scheduling). r16 closes the MID-RUN
+    // blind spot the start/end-only probes left (r15's +87 s landed in
+    // a window neither bracket could see): the CPU probe re-runs every
+    // [[ProbeEvery]] queries and the (suite offset, probe seconds)
+    // series rides the compact telemetry line.
     val calibCpu = calibrateCpu()
     // the instrument must never cost the round its artifact: a failed
     // calibration job reports -1, the same isolation the warmup gets
@@ -57,10 +59,23 @@ object Bench {
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val suiteStart = System.nanoTime()
     var lastGc = System.nanoTime()
+    var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // mid-run drift probe: ~0.5 s of pinned single-thread ALU work
+        // every ProbeEvery queries (<1% of suite wall), stamped with
+        // its suite offset — the series that localizes a contention
+        // window (co-tenant, thermal throttle) from the artifact alone
+        if (qIdx % ProbeEvery == 0) {
+          probes += (((System.nanoTime() - suiteStart) / 1e9, calibrateCpu()))
+        }
+        qIdx += 1
         val t0 = System.nanoTime()
+        offsets += (t0 - suiteStart) / 1e9
         // a failed query must not look like a fast one: record -1 and the
         // error, never a normal-looking wall time
         val dt =
@@ -80,19 +95,25 @@ object Bench {
         }
         name -> dt
     }
-    val calibCpuEnd = calibrateCpu()
+    probes += (((System.nanoTime() - suiteStart) / 1e9, calibrateCpu()))
+    val calibCpuEnd = probes.last._2
     def f3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val calib = s""""calib_cpu_sec":${f3(calibCpu)},"calib_spark_sec":${f3(calibSpark)},"calib_cpu_end_sec":${f3(calibCpuEnd)}"""
     val total = results.map(_._2).filter(_ >= 0).sum
-    // full-precision, full-surface JSON for the file artifact
+    // full-precision, full-surface JSON for the file artifact — named
+    // per-query times AND start offsets AND the probe series
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val offFull = results.map(_._1).zip(offsets)
+      .map { case (k, o) => s"\"" + k + "\":" + f3(o) }.mkString("{", ",", "}")
+    val probesFull = probes
+      .map { case (o, c) => s"[${f3(o)},${f3(c)}]" }.mkString("[", ",", "]")
     val errsFull = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"errors":$errsFull,"sf":"$sfDir"}"""
-    val json = renderLine(results, errors.toSeq, sfDir, calib = calib)
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"offsets":$offFull,"probes":$probesFull,"errors":$errsFull,"sf":"$sfDir"}"""
+    val json = renderCompact(results, probes.toSeq, errors.toSeq, sfDir)
     // The JSON line must be un-losable: streaming state stores (RocksDB
     // maintenance threads from the stream_* queries) can dump shutdown
     // stack traces that flood a captured log tail. So: quiesce streams
@@ -111,11 +132,16 @@ object Bench {
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => () }
     // a short total-only line FIRST: even if the capture window clips
-    // the front of the full line, the round's headline number exists on
-    // its own parseable line (r5 lost its total to exactly this)
+    // the front of the telemetry line, the round's headline number
+    // exists on its own parseable line (r5 lost its total to exactly
+    // this)
     println(s"""{"metric":"total","value":${renderTotal(results)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},$calib,"sf":"$sfDir"}""")
     println(json)
   }
+
+  /** Queries between mid-run drift probes: 7 probes × ~0.5 s on a
+    * 331-query ≈ 580 s suite = <1% overhead. */
+  val ProbeEvery = 50
 
   /** Pinned single-thread CPU measurement: 2^28 xorshift64* steps —
     * pure register ALU work, no allocation, no memory traffic, so the
@@ -141,50 +167,71 @@ object Bench {
     BigDecimal(results.map(_._2).filter(_ >= 0).sum)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** The stdout timings line, guaranteed to fit the harness's captured
-    * log tail. The capture window is a FIXED byte count from the end of
-    * the run log (observed: 2000 bytes, with an ~80-byte sbt `[success]`
-    * trailer after our line) — a line longer than that gets its FRONT
+  /** The stdout telemetry line, guaranteed to fit the harness's
+    * captured log tail. The capture window is a FIXED byte count from
+    * the end of the run log (observed: 2000 bytes, with an ~80-byte
+    * sbt `[success]` trailer after our line and the ~230-byte headline
+    * line before it) — a line longer than that gets its FRONT
     * truncated and parses as nothing, losing the whole round's timings
-    * (the r4/r5 artifacts both died this way). So the line is built to a
-    * hard byte budget: errors first (a failed query must never be
-    * silently dropped; messages truncated), then per-query timings
-    * added SLOWEST-FIRST while they fit (the slow queries are the
-    * informative ones), re-emitted in name order for stable diffs.
-    * `n_queries` always carries the true surface size and `omitted` the
-    * trim count; the full-precision full-surface JSON goes to
-    * target/bench.json. */
-  private[graft] def renderLine(
+    * (the r4/r5 artifacts both died this way).
+    *
+    * r15's named slowest-first map left 283 of 331 queries invisible,
+    * and its +87 s drift took a judge session to attribute; r16 makes
+    * the artifact COMPLETE instead of selective: EVERY query's wall
+    * time rides as a positional integer array in the deterministic
+    * run order (queries run sorted by name, so index i names the i-th
+    * key of the round's own CORRECTNESS json — `tools/decode_bench.py`
+    * does the zip), plus the [suite offset, calib_cpu] probe series
+    * taken every [[ProbeEvery]] queries. Within a probe window, a
+    * query's start offset is the probe offset plus the cumulative sum
+    * of the preceding durations (inter-query hygiene gaps bounded by
+    * the next probe's exact offset) — full timing coverage in ~1.5 KB.
+    *
+    * The unit degrades adaptively to honor the byte budget: `cs`
+    * (centiseconds) normally; `ds` (deciseconds) if a pathological
+    * surface overflows; errored queries ride as -1 (never a
+    * plausible time) with messages in `errors` (first 3, truncated —
+    * a failure must never be silently dropped). */
+  private[graft] def renderCompact(
       results: Seq[(String, Double)],
+      probes: Seq[(Double, Double)],
       errors: Seq[(String, String)],
       sfDir: String,
-      budget: Int = 1600,
-      calib: String = ""): String = {
-    def fmt(v: Double): String =
-      if (v < 0) "-1.0"
-      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
-    val errEntries = errors.take(5).map { case (k, v) =>
-      s"\"" + k + "\":\"" + v.take(80) + "\""
+      budget: Int = 1650): String = {
+    def fmt3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = fmt3(results.map(_._2).filter(_ >= 0).sum)
+    val errEntries = errors.take(3).map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.take(60) + "\""
     }
     val errs = errEntries.mkString("{", ",", "}") +
-      (if (errors.size > 5) s""","n_errors":${errors.size}""" else "")
-    def assemble(qEntries: Seq[String], omitted: Int): String = {
-      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      val cal = if (calib.isEmpty) "" else s",$calib"
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$cal,""" +
-        s""""queries":${qEntries.mkString("{", ",", "}")},"errors":$errs$om,"sf":"$sfDir"}"""
+      (if (errors.nonEmpty) s""","n_errors":${errors.size}""" else "")
+    // probes at one decimal: offsets to 0.1 s and the ~0.5 s CPU loop
+    // to 0.01 s resolve a contention window; full precision is in
+    // target/bench.json
+    def fmt1(v: Double): String =
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val probeStr = probes.map { case (o, c) => s"[${fmt1(o)},${fmt2(c)}]" }
+      .mkString("[", ",", "]")
+    def assemble(unit: String, scale: Double, withProbes: Boolean): String = {
+      val t = results.map { case (_, v) =>
+        if (v < 0) "-1" else math.round(v * scale).toString
+      }.mkString("[", ",", "]")
+      val pr = if (withProbes) s""","probes":$probeStr""" else ""
+      s"""{"metric":"qtimes","value":$total,"unit":"sec","t_unit":"$unit","order":"name","n":${results.size},""" +
+        s""""t":$t$pr,"errors":$errs,"sf":"$sfDir"}"""
     }
-    // greedy fill, slowest first; errored queries (-1) sort last and are
-    // already represented in the errors map
-    val bySlow = results.sortBy { case (_, v) => -v }
-      .map { case (k, v) => (k, s"\"" + k + "\":" + fmt(v)) }
-    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    for ((name, entry) <- bySlow) {
-      kept += ((name, entry))
-      // worst-case size if we stopped here (omitted field at max width)
-      if (assemble(kept.map(_._2).toSeq, results.size).length > budget) kept.dropRightInPlace(1)
-    }
-    assemble(kept.sortBy(_._1).map(_._2).toSeq, results.size - kept.size)
+    // degrade RESOLUTION, then the probe payload — never coverage: the
+    // final candidate is emitted even if over budget (a surface that
+    // big would itself be the finding)
+    val candidates = Iterator(
+      assemble("cs", 100.0, withProbes = true),
+      assemble("ds", 10.0, withProbes = true),
+      assemble("s", 1.0, withProbes = true),
+      assemble("s", 1.0, withProbes = false))
+    candidates.find(_.length <= budget).getOrElse(
+      assemble("s", 1.0, withProbes = false))
   }
 }

@@ -3,9 +3,11 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import com.fasterxml.jackson.databind.ObjectMapper
 
-/** The bench stdout line is the harness's ONLY per-round perf artifact,
-  * captured from a fixed-size log tail — these tests pin the guarantee
-  * that the line always fits that window and always parses, no matter
+/** The bench stdout lines are the harness's ONLY per-round perf
+  * artifact, captured from a fixed-size log tail — these tests pin the
+  * guarantee that the telemetry line always fits that window, always
+  * parses, and carries EVERY query's wall time (positional, in the
+  * deterministic name order) plus the mid-run probe series, no matter
   * how many queries the surface grows to. (Jackson is the JSON parser
   * Spark itself ships, so no extra dependency.) */
 class BenchSpec extends AnyFunSuite {
@@ -13,72 +15,78 @@ class BenchSpec extends AnyFunSuite {
 
   private def parse(s: String) = mapper.readTree(s)
 
-  test("renderLine fits the byte budget and stays valid JSON at any surface size") {
-    for (n <- Seq(1, 10, 86, 300)) {
+  private val probes8 =
+    (0 to 7).map(i => (i * 80.0 + 3.7, 0.5 + i * 0.003))
+
+  test("renderCompact fits the byte budget and stays valid JSON at any surface size") {
+    for (n <- Seq(1, 10, 86, 331, 500)) {
       val results = (1 to n).map(i => (f"family_query_with_a_long_name_$i%03d", i * 0.137))
-      val line = Bench.renderLine(results, Nil, "/root/testdata/sf0.1")
-      assert(line.length <= 1600, s"n=$n line=${line.length}B")
+      val line = Bench.renderCompact(results, probes8, Nil, "/root/testdata/sf0.1")
+      assert(line.length <= 1650, s"n=$n line=${line.length}B")
       val node = parse(line)
-      assert(node.get("metric").asText() == "total")
-      assert(node.get("n_queries").asInt() == n)
-      assert(node.get("unit").asText() == "sec")
-      assert(node.get("queries").size() + node.path("omitted").asInt(0) == n)
+      assert(node.get("metric").asText() == "qtimes")
+      assert(node.get("n").asInt() == n)
+      assert(node.get("order").asText() == "name")
+      // COMPLETE coverage: one positional entry per query, always
+      assert(node.get("t").size() == n)
+      // probes ride at every realistic surface size (they are only
+      // shed by the very last degradation stage)
+      if (n <= 400) assert(node.get("probes").size() == 8, s"n=$n")
     }
   }
 
-  test("renderLine keeps the slowest queries when trimming") {
-    val results = (1 to 200).map(i => (f"q_$i%03d", i.toDouble))
-    val line = Bench.renderLine(results, Nil, "/sf")
+  test("renderCompact: positional times decode to the measurements at the declared unit") {
+    val results = Seq(("a_q", 0.314), ("b_q", 2.501), ("c_q", 22.543))
+    val node = parse(Bench.renderCompact(results, probes8, Nil, "/sf"))
+    val scale = node.get("t_unit").asText() match {
+      case "cs" => 100.0
+      case "ds" => 10.0
+      case "s" => 1.0
+    }
+    assert(scale == 100.0) // a small surface never degrades below cs
+    val t = node.get("t")
+    assert(math.abs(t.get(0).asLong() / scale - 0.314) < 1.0 / scale)
+    assert(math.abs(t.get(2).asLong() / scale - 22.543) < 1.0 / scale)
+    // total is the 3-decimal sum of non-failed measurements
+    assert(node.get("value").asDouble() == 25.358)
+  }
+
+  test("renderCompact degrades the unit, never the coverage, when cs overflows the budget") {
+    // pathological: 400 queries all in the 4-digit-cs band
+    val results = (1 to 400).map(i => (f"q_$i%03d", 60.0 + i * 0.01))
+    val line = Bench.renderCompact(results, probes8, Nil, "/sf")
+    assert(line.length <= 1650, s"line=${line.length}B")
     val node = parse(line)
-    val kept = {
-      val it = node.get("queries").fieldNames()
-      val b = scala.collection.mutable.Set.empty[String]
-      while (it.hasNext) b += it.next()
-      b
-    }
-    assert(node.get("omitted").asInt() > 0)
-    // the slowest 20 must all survive the trim
-    for (i <- 181 to 200) assert(kept.contains(f"q_$i%03d"), s"q_$i missing")
-    // and values are the 3-decimal rounding of the measurement
-    assert(node.get("queries").get("q_200").asDouble() == 200.0)
+    assert(node.get("t").size() == 400) // every query still present
+    assert(node.get("t_unit").asText() != "cs") // resolution paid, not coverage
   }
 
-  test("renderLine carries errors even when long, truncated not dropped") {
+  test("renderCompact: probes ride as [offset, calib] pairs localizing a mid-run window") {
+    val node = parse(Bench.renderCompact(
+      (1 to 100).map(i => (f"q_$i%03d", i * 0.1)), probes8, Nil, "/sf"))
+    val p = node.get("probes")
+    assert(p.get(0).get(0).asDouble() == 3.7)
+    assert(p.get(7).get(0).asDouble() == 563.7)
+    // the probe series is the drift instrument: a slow box mid-run
+    // shows as an inflated calib reading at that offset
+    assert(p.get(7).get(1).asDouble() == 0.52)
+  }
+
+  test("renderCompact carries errors as -1 entries plus messages, truncated not dropped") {
     val results = (1 to 100).map(i => (f"q_$i%03d", if (i <= 8) -1.0 else i * 0.5))
     val errors = (1 to 8).map(i => (f"q_$i%03d", "x" * 500))
-    val line = Bench.renderLine(results, errors, "/sf")
-    assert(line.length <= 1600)
+    val line = Bench.renderCompact(results, probes8, errors, "/sf")
+    assert(line.length <= 1650)
     val node = parse(line)
-    assert(node.get("errors").size() == 5) // first 5 shown
+    assert(node.get("errors").size() == 3) // first 3 shown
     assert(node.get("n_errors").asInt() == 8) // true count always present
-    assert(node.get("errors").get("q_001").asText().length == 80)
+    assert(node.get("errors").get("q_001").asText().length == 60)
+    assert(node.get("t").get(0).asInt() == -1) // never a plausible time
     // total never counts failed queries
     assert(node.get("value").asDouble() == (9 to 100).map(_ * 0.5).sum)
   }
 
-  test("renderLine emits the full map untrimmed when it fits") {
-    val results = (1 to 20).map(i => (s"q$i", i * 0.1))
-    val node = parse(Bench.renderLine(results, Nil, "/sf"))
-    assert(node.get("queries").size() == 20)
-    assert(!node.has("omitted"))
-  }
-
-  test("calibration metrics ride the line (and the budget) when provided") {
-    val calib = """"calib_cpu_sec":0.412,"calib_spark_sec":1.873,"calib_cpu_end_sec":0.399"""
-    // small surface: calib fields present and parseable
-    val small = parse(Bench.renderLine(
-      (1 to 5).map(i => (s"q$i", i * 0.1)), Nil, "/sf", calib = calib))
-    assert(small.get("calib_cpu_sec").asDouble() == 0.412)
-    assert(small.get("calib_spark_sec").asDouble() == 1.873)
-    assert(small.get("calib_cpu_end_sec").asDouble() == 0.399)
-    // large surface: the budget still holds with the calib payload
-    val results = (1 to 300).map(i => (f"family_query_with_a_long_name_$i%03d", i * 0.137))
-    val line = Bench.renderLine(results, Nil, "/sf", calib = calib)
-    assert(line.length <= 1600, s"line=${line.length}B")
-    val node = parse(line)
-    assert(node.get("calib_cpu_sec").asDouble() == 0.412)
-    assert(node.get("queries").size() + node.path("omitted").asInt(0) == 300)
-    // the calibration loop itself returns a sane positive duration
+  test("the calibration loop returns a sane positive duration") {
     val dt = Bench.calibrateCpu()
     assert(dt > 0.0 && dt < 60.0, s"calibrateCpu $dt s")
   }
