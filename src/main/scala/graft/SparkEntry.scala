@@ -2542,13 +2542,12 @@ object SparkEntry {
     // query time; must answer bit-identically to emb_ivfpq_topk
     // (shared oracle)
     "store_ann_roundtrip" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
-      withTempDir("graft-annidx") { base =>
-        graft.ops.AnnIndex.writeIvfPq(emb, base, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
-        graft.ops.AnnIndex.ivfPqTopK(s, base, embQueries(s, d), 4, dsub, 10, nprobe = 2)
-          .orderBy(col("q_id"), col("rank"))
-      }
+      // probes the session's stored index directly (read-only — no
+      // copy needed): train-once-store-once is the contract this
+      // certificate exists to certify ([[annIndexFor]])
+      val (idx, dsub) = annIndexFor(s, d)
+      graft.ops.AnnIndex.ivfPqTopK(s, idx, embQueries(s, d), 4, dsub, 10, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
     }),
     // right-to-be-forgotten on the live index: vec_id%7 posting+code
     // rows physically deleted, then the same probe — deleted ids can
@@ -2557,9 +2556,9 @@ object SparkEntry {
     // predicate over the unchanged training CTEs
     "store_ann_forget" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      val (idx, dsub) = annIndexFor(s, d)
       withTempDir("graft-annforget") { base =>
-        graft.ops.AnnIndex.writeIvfPq(emb, base, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+        copyDirInto(idx, base) // mutates its own copy, never the cache
         graft.ops.AnnIndex.removeVectors(s, base,
           emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
         graft.ops.AnnIndex.ivfPqTopK(s, base, embQueries(s, d), 4, dsub, 10, nprobe = 2)
@@ -2575,9 +2574,9 @@ object SparkEntry {
     // assigns/encodes the additions against those frozen tables
     "store_ann_incremental" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      val (idx, dsub) = annIndexFor(s, d)
       withTempDir("graft-annincr") { base =>
-        graft.ops.AnnIndex.writeIvfPq(emb, base, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+        copyDirInto(idx, base) // mutates its own copy, never the cache
         val additions = emb.filter(col("vec_id") % 5 === 0).select(
           (col("vec_id") + lit(100000L)).as("vec_id"),
           concat(
@@ -2594,9 +2593,9 @@ object SparkEntry {
     // the batch append's oracle verbatim
     "stream_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      val (idx, dsub) = annIndexFor(s, d)
       withTempDir("graft-annstream") { base =>
-        graft.ops.AnnIndex.writeIvfPq(emb, s"$base/idx", kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+        copyDirInto(idx, s"$base/idx") // mutates its own copy, never the cache
         val additions = emb.filter(col("vec_id") % 5 === 0).select(
           (col("vec_id") + lit(100000L)).as("vec_id"),
           concat(
@@ -4266,6 +4265,41 @@ object SparkEntry {
     * (dedup_components, alphabetically before dedup_kept_docs) pays the
     * build; every later consumer is a plain parquet scan. */
   private val componentsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The ANN certificate family's shared training (r16): the four
+    * store_ann / stream_ann certificates each probe the IDENTICAL
+    * IVF-PQ index (same corpus, same params) — training it once per
+    * (session, dir) and COPYING it into each mutating query's temp dir
+    * keeps every query independently runnable (forget / incremental /
+    * stream mutate their copy, answers unchanged) while the suite pays
+    * Lloyd training once instead of four times (the [[curationFor]]
+    * pattern: in production an index is trained once and stored — the
+    * certificates certify store/load/mutate/probe, not repeated
+    * training, and the 4× retrain was the suite's slowest cluster). */
+  private val annIdxCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  private def annIndexFor(s: SparkSession, d: String): (String, Int) =
+    annIdxCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-annidx-cache").toString
+      val emb = Tables.embeddings(s, d)
+      val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
+      graft.ops.AnnIndex.writeIvfPq(emb, out, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
+      (out, dsub)
+    })
+
+  /** Recursive file copy of the cached index into a query-owned dir —
+    * mutating certificates operate on their copy, never the cache. */
+  private def copyDirInto(src: String, dst: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val from = java.nio.file.Paths.get(src)
+    val to = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+      val t = to.resolve(from.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   /** The fuzzy-join fixture: unique part names and their deterministic
     * 1-char perturbation (char at key % length → 'q', or 'z' if it was
