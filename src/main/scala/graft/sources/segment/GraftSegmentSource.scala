@@ -910,15 +910,18 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.connector.read.colstats.Histogram = {
     // DECIMAL maps store UNSCALED longs; the bins must land in the
-    // value domain FilterEstimation compares literals in
-    // (EstimationUtils.toDouble of a Decimal is its scaled value)
-    val div = dt match {
-      case d: org.apache.spark.sql.types.DecimalType => math.pow(10, d.scale)
-      case _ => 1.0
+    // value domain FilterEstimation compares literals in — rendered
+    // through Decimal(unscaled, p, s).toDouble, the SAME path
+    // EstimationUtils.toDouble takes for the min/max literals (double
+    // DIVISION by 10^scale can differ by 1 ULP and push a literal
+    // exactly on a bin edge outside its bin)
+    val render: Long => Double = dt match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        l => org.apache.spark.sql.types.Decimal(l, d.precision, d.scale).toDouble
+      case _ => _.toDouble
     }
-    val (binHeight, rawBins) = SegmentHistogram.toEquiHeight(freq)
-    val bs = if (div == 1.0) rawBins
-      else rawBins.map { case (lo, hi, n) => (lo / div, hi / div, n) }
+    val (binHeight, bs) =
+      SegmentHistogram.toEquiHeight(freq, render = render)
     // distinct local names: inside the anonymous classes, a body
     // `= bins` would resolve to the member being defined (infinite
     // recursion), not the enclosing val

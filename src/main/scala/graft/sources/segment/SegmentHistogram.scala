@@ -72,6 +72,15 @@ object SegmentHistogram {
     * per-plan conversion work. */
   val DefaultBins = 64
 
+  /** Soft declaration cap: each declared column can cost up to ~21 KiB
+    * base64 per segment plus ~87 KiB in every manifest version's
+    * pre-merged map (worst case, both caps full) — manifest weight
+    * every commit writes and every log read pays. Declarations past
+    * this count WARN (never refuse — the caps bound each column
+    * individually and skew columns are few by nature; see
+    * docs/SEGMENT.md sizing guidance). */
+  val SoftMaxColumns = 8
+
   /** Column types with an exact long canonical AND a catalyst
     * histogram face (bins are doubles; `EstimationUtils.toDouble`
     * renders these internal values as the same number). DECIMAL
@@ -93,6 +102,12 @@ object SegmentHistogram {
     * for a literal-dotted column name). */
   def parseCols(csv: String, schema: Option[StructType] = None): Set[String] = {
     val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // declaration-time only (schema present): manifest-weight guard
+    if (schema.isDefined && cols.size > SoftMaxColumns)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"histFor declares ${cols.size} columns (soft cap $SoftMaxColumns): " +
+          "each can add ~21KiB per segment and ~87KiB per manifest version " +
+          "(docs/SEGMENT.md); declare only genuinely skew-prone keys")
     schema.foreach(sc => cols.foreach { c =>
       val dt: DataType = SegmentCodec.resolveStatsColumn(sc, c).getOrElse(
         throw new IllegalArgumentException(
@@ -252,9 +267,19 @@ object SegmentHistogram {
     * a many-distinct bin estimates 1/binNdv of one bin). ndv per bin
     * counts distinct values in (prevBoundary, boundary] exactly —
     * the frequency map is exact by contract — floored at 1 for bins
-    * interior to a heavy value. */
+    * interior to a heavy value.
+    *
+    * `render` maps a bound's LONG canonical into the double domain the
+    * consumer compares literals in — identity (`toDouble`) for the
+    * integer family, but DECIMAL bounds must go through
+    * `Decimal(unscaled, precision, scale).toDouble` (the SAME
+    * rendering `EstimationUtils.toDouble` applies to the min/max
+    * literals), not `unscaled / 10^scale` double division, which can
+    * differ by 1 ULP and push a literal exactly on a bin edge outside
+    * its bin. */
   def toEquiHeight(freq: Array[(Long, Long)],
-      maxBins: Int = DefaultBins): (Double, Array[(Double, Double, Long)]) = {
+      maxBins: Int = DefaultBins,
+      render: Long => Double = _.toDouble): (Double, Array[(Double, Double, Long)]) = {
     require(freq.nonEmpty, "empty frequency map has no histogram")
     val total = freq.map(_._2).sum
     val b = math.max(1, math.min(maxBins, freq.length))
@@ -276,7 +301,7 @@ object SegmentHistogram {
       // distinct values in (prevBound, bound]; bin 0 includes prevBound
       val lo = if (bin == 0) -1 else prevIdx
       val ndv = math.max(1L, (boundIdx - lo).toLong)
-      bins(bin) = (prevBound.toDouble, bound.toDouble, ndv)
+      bins(bin) = (render(prevBound), render(bound), ndv)
       prevBound = bound
       prevIdx = boundIdx
       bin += 1

@@ -73,6 +73,25 @@ class SegmentHistogramSpec extends SparkSpec {
     assert(sb.map(_._3).sum >= 101 - 64, "per-bin ndv stays plausible")
   }
 
+  test("equi-height: decimal bounds render via Decimal.toDouble, matching the literal path") {
+    // unscaled past 2^53: toDouble-then-divide double-rounds, while
+    // FilterEstimation renders the min/max/histogram literals through
+    // Decimal#toDouble (= BigDecimal ground truth) — a bound computed
+    // the other way can land 1 ULP off and push an on-edge literal
+    // outside its bin
+    val l = 9007199254740993L // 2^53 + 1
+    val render = (u: Long) => org.apache.spark.sql.types.Decimal(u, 18, 2).toDouble
+    val freq = Array((l, 5L), (l + 1000L, 5L))
+    val (_, bins) = SegmentHistogram.toEquiHeight(freq, render = render)
+    assert(bins.head._1 == render(l) && bins.last._2 == render(l + 1000L))
+    // the render agrees with the exact decimal value, correctly rounded
+    assert(render(l) ==
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(l), 2).doubleValue)
+    // default render (integer family) stays the identity toDouble
+    val (_, ib) = SegmentHistogram.toEquiHeight(Array((7L, 1L), (9L, 1L)))
+    assert(ib.head._1 == 7.0 && ib.last._2 == 9.0)
+  }
+
   test("discrete quantile: value at row ceil(q*N), skew-exact, endpoint-safe") {
     // 10 rows: value 5 x7, then 8 x2, then 100 x1
     val freq = Array((5L, 7L), (8L, 2L), (100L, 1L))
