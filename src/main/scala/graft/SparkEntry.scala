@@ -3105,12 +3105,14 @@ object SparkEntry {
         // histFor rides along (r15): hist_ndv serves the frequency
         // map's EXACT distinct count for declared columns, NULL for
         // the rest — the oracle recomputes it as count(DISTINCT ...).
-        // Only the modulo-BOUNDED column is declared: ts is injective
+        // Only modulo-BOUNDED columns are declared: ts is injective
         // (distinct = row count), so its per-segment map would poison
         // past the cap at larger sf and the oracle's count(DISTINCT)
-        // would diverge — d's <=900 distinct holds at ANY scale, which
-        // is the cap doctrine this certificate exists to certify
-        "TBLPROPERTIES ('ndvFor'='lang', 'histFor'='d', " +
+        // would diverge — d's <=900 and name's <=50 distinct hold at
+        // ANY scale, which is the cap doctrine this certificate exists
+        // to certify (name also covers the r16 STRING arm reaching
+        // hist_ndv; its NULLs stay out of both map and COUNT DISTINCT)
+        "TBLPROPERTIES ('ndvFor'='lang', 'histFor'='d,name', " +
         "'clusterBy'='doc_id', 'numPartitions'='4')")
       Tables.documents(s, d).createOrReplaceTempView("graft_stats_docs")
       s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, lang, " +
@@ -3139,8 +3141,12 @@ object SparkEntry {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
       s.sql(s"CREATE NAMESPACE $cat.db")
       s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, bucket INT, d DATE, " +
-        "ts TIMESTAMP, money DECIMAL(12,2), meta STRUCT<code: INT>) " +
-        "TBLPROPERTIES ('histFor'='bucket,d,money,ts,meta.code', " +
+        "ts TIMESTAMP, money DECIMAL(12,2), meta STRUCT<code: INT>, " +
+        // the STRING arm (r16): engine-local maps, value = the string
+        // itself in UTF-8 byte order; <=29 distinct at ANY scale (the
+        // cap doctrine), served in value_str beside the long canonicals
+        "tag STRING) " +
+        "TBLPROPERTIES ('histFor'='bucket,d,money,ts,meta.code,tag', " +
         "'clusterBy'='doc_id', 'numPartitions'='4')")
       Tables.documents(s, d).createOrReplaceTempView("graft_hist_docs")
       // two INSERTs: the second exercises the append-only pre-merge
@@ -3152,11 +3158,36 @@ object SparkEntry {
           "timestamp_micros((doc_id % 23) * 1000000), " +
           // DECIMAL rides as its UNSCALED long: (doc_id%50)*100 + 25
           "CAST(doc_id % 50 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(3,2)), " +
-          "named_struct('code', CAST(doc_id % 11 AS INT)) " +
+          "named_struct('code', CAST(doc_id % 11 AS INT)), " +
+          "concat('t', lpad(CAST(doc_id % 29 AS STRING), 2, '0')) " +
           s"FROM graft_hist_docs WHERE doc_id % 2 $pred")
       }
       s.sql(s"CALL $cat.system.histogram('db.t')")
-        .orderBy(col("col_name"), col("value"))
+        .orderBy(col("col_name"), col("value"), col("value_str"))
+    }),
+    // the DV-honesty face of the statistics procedures (r16): the
+    // frequency maps count deletion-vector'd rows until compaction, so
+    // after a merge-on-read DELETE the served counts are PRE-delete
+    // mass — `exact` flips to false, annotated instead of silent. The
+    // oracle replays the FULL corpus (the pre-delete truth the maps
+    // hold) with exact = false
+    "store_segment_hist_dv" -> ((s, d) => withTempDir("graft-seghistdv") { base =>
+      val cat = s"graft_histdv_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, bucket INT, tag STRING) " +
+        "TBLPROPERTIES ('histFor'='bucket,tag', " +
+        "'clusterBy'='doc_id', 'numPartitions'='4')")
+      Tables.documents(s, d).createOrReplaceTempView("graft_histdv_docs")
+      s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, " +
+        "CAST(doc_id % 19 AS INT), " +
+        "concat('t', lpad(CAST(doc_id % 23 AS STRING), 2, '0')) " +
+        "FROM graft_histdv_docs")
+      s.sql(s"CALL $cat.system.delete_mark('db.t', 'doc_id % 3 = 0')").collect()
+      s.sql(s"CALL $cat.system.histogram('db.t')")
+        .orderBy(col("col_name"), col("value"), col("value_str"))
     }),
     // METADATA-ONLY QUANTILES off the merged frequency maps (r15):
     // the value at row ceil(q×N) in value order — zero scans at any
@@ -3172,16 +3203,51 @@ object SparkEntry {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
       s.sql(s"CREATE NAMESPACE $cat.db")
       s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, bucket INT, " +
-        "money DECIMAL(12,2)) " +
-        "TBLPROPERTIES ('histFor'='bucket,money', " +
+        "money DECIMAL(12,2), " +
+        // the STRING arm: 80%-hot tag — the byte-order discrete
+        // quantile (= DuckDB's default binary collation ORDER BY)
+        "tag STRING) " +
+        "TBLPROPERTIES ('histFor'='bucket,money,tag', " +
         "'clusterBy'='doc_id', 'numPartitions'='4')")
       Tables.documents(s, d).createOrReplaceTempView("graft_quant_docs")
       s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, " +
         "CASE WHEN doc_id % 4 < 3 THEN 7 ELSE CAST(doc_id % 37 AS INT) END, " +
-        "CAST(doc_id % 50 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(3,2)) " +
+        "CAST(doc_id % 50 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(3,2)), " +
+        "CASE WHEN doc_id % 5 < 4 THEN 'hot' " +
+        "ELSE concat('c', lpad(CAST(doc_id % 13 AS STRING), 2, '0')) END " +
         "FROM graft_quant_docs")
       s.sql(s"CALL $cat.system.quantiles('db.t', '0.1,0.5,0.9,0.99')")
         .orderBy(col("col_name"), col("q"))
+    }),
+    // AUTO-SALT from the skew statistic (r16): the salted join's
+    // fan-out is DERIVED from the manifest frequency map (hot-key
+    // mass / target slot rows — Skew.saltsForTable), not guessed by
+    // the caller; the certificate writes a 75%-hot fact into the
+    // native format, derives the factor with zero scans, and joins —
+    // certified against the PLAIN join's oracle because salting must
+    // be invisible in the result at ANY factor (the derivation's own
+    // arithmetic is spec-pinned in OpsSpec)
+    "store_join_autosalt" -> ((s, d) => withTempDir("graft-autosalt") { base =>
+      val dir = s"$base/fact"
+      val fact = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 4 < 3, lit(7L))
+          .otherwise(col("l_orderkey") % 97).as("k"),
+        col("l_extendedprice"))
+      fact.write.format("graft-segment").option("histFor", "k")
+        .mode("append").save(dir)
+      val factT = s.read.format("graft-segment").load(dir)
+      val n = factT.count()
+      // one shuffle slot per core at local[32]; the 75%-hot key then
+      // derives ~24 salts where the undeclared fallback would guess 8
+      val salts = graft.ops.Skew.saltsForTable(s, dir, "k",
+        fallback = 8, targetRowsPerSlot = math.max(1L, n / 32))
+      val dim = factT.select(col("k")).distinct()
+        .withColumn("grp", concat(lit("g"), pmod(col("k"), lit(5))))
+      graft.ops.Skew.saltedJoin(factT, dim, "k", salts)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .orderBy(col("grp"))
     }),
     // CHECK constraints (the Delta ADD CONSTRAINT shape as validated
     // check.* TBLPROPERTIES): a declared predicate gates EVERY write —
@@ -6835,7 +6901,8 @@ object SparkEntry {
         "UNION ALL SELECT 'name', count(name), count(*) - count(name), " +
         "min(name), max(name), NULL, " +
         "CAST(sum(strlen(name)) AS BIGINT), " +
-        "CAST(max(strlen(name)) AS BIGINT), NULL FROM src " +
+        "CAST(max(strlen(name)) AS BIGINT), " +
+        "CAST(count(DISTINCT name) AS BIGINT) FROM src " +
         "UNION ALL SELECT 'ts', count(tsu), count(*) - count(tsu), " +
         "CAST(min(tsu) AS VARCHAR), CAST(max(tsu) AS VARCHAR), NULL, NULL, NULL, " +
         "NULL FROM src" +
@@ -6846,37 +6913,72 @@ object SparkEntry {
     // DATE as epoch days (date minus epoch in DuckDB is integer days),
     // TIMESTAMP as the same epoch-micros arithmetic that built it
     "store_segment_hist" ->
-      ("SELECT col_name, value, cnt FROM (" +
+      ("SELECT col_name, value, value_str, cnt, true AS exact FROM (" +
         "SELECT 'bucket' AS col_name, CAST(doc_id % 37 AS BIGINT) AS value, " +
+        "CAST(NULL AS VARCHAR) AS value_str, " +
         "count(*) AS cnt FROM documents GROUP BY 2 " +
         "UNION ALL SELECT 'd', CAST(DATE '2021-06-01' + CAST(doc_id % 45 AS INT) " +
-        "- DATE '1970-01-01' AS BIGINT), count(*) FROM documents GROUP BY 2 " +
-        "UNION ALL SELECT 'meta.code', CAST(doc_id % 11 AS BIGINT), count(*) " +
+        "- DATE '1970-01-01' AS BIGINT), NULL, count(*) FROM documents GROUP BY 2 " +
+        "UNION ALL SELECT 'meta.code', CAST(doc_id % 11 AS BIGINT), NULL, count(*) " +
         "FROM documents GROUP BY 2 " +
-        "UNION ALL SELECT 'money', CAST((doc_id % 50) * 100 + 25 AS BIGINT), " +
+        "UNION ALL SELECT 'money', CAST((doc_id % 50) * 100 + 25 AS BIGINT), NULL, " +
         "count(*) FROM documents GROUP BY 2 " +
-        "UNION ALL SELECT 'ts', CAST((doc_id % 23) * 1000000 AS BIGINT), count(*) " +
+        "UNION ALL SELECT 'tag', NULL, " +
+        "'t' || lpad(CAST(doc_id % 29 AS VARCHAR), 2, '0'), count(*) " +
+        "FROM documents GROUP BY 3 " +
+        "UNION ALL SELECT 'ts', CAST((doc_id % 23) * 1000000 AS BIGINT), NULL, count(*) " +
         "FROM documents GROUP BY 2" +
-        ") ORDER BY col_name, value"),
+        ") ORDER BY col_name, value, value_str"),
+
+    // the DV annotation: delete_mark leaves rows dv'd (not rewritten),
+    // the maps keep the PRE-delete mass, and exact = false says so —
+    // the oracle replays the full corpus with the flag down
+    "store_segment_hist_dv" ->
+      ("SELECT col_name, value, value_str, cnt, false AS exact FROM (" +
+        "SELECT 'bucket' AS col_name, CAST(doc_id % 19 AS BIGINT) AS value, " +
+        "CAST(NULL AS VARCHAR) AS value_str, " +
+        "count(*) AS cnt FROM documents GROUP BY 2 " +
+        "UNION ALL SELECT 'tag', NULL, " +
+        "'t' || lpad(CAST(doc_id % 23 AS VARCHAR), 2, '0'), count(*) " +
+        "FROM documents GROUP BY 3" +
+        ") ORDER BY col_name, value, value_str"),
 
     // the same discrete rule — value at row ceil(q×N) in value order —
     // replayed as a windowed cumulative sum over the source rows
     "store_segment_quantiles" ->
       ("WITH src AS (SELECT " +
         "CASE WHEN doc_id % 4 < 3 THEN 7 ELSE CAST(doc_id % 37 AS INT) END AS b, " +
-        "(doc_id % 50) * 100 + 25 AS mu FROM documents), " +
+        "(doc_id % 50) * 100 + 25 AS mu, " +
+        "CASE WHEN doc_id % 5 < 4 THEN 'hot' " +
+        "ELSE 'c' || lpad(CAST(doc_id % 13 AS VARCHAR), 2, '0') END AS tg " +
+        "FROM documents), " +
         "n AS (SELECT count(*) AS n FROM src), " +
         "qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q), " +
         "cb AS (SELECT b AS value, count(*) AS cnt FROM src GROUP BY 1), " +
         "cumb AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum FROM cb), " +
         "cm AS (SELECT mu AS value, count(*) AS cnt FROM src GROUP BY 1), " +
-        "cumm AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum FROM cm) " +
-        "SELECT col_name, q, value FROM (" +
+        "cumm AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum FROM cm), " +
+        "ct AS (SELECT tg AS value, count(*) AS cnt FROM src GROUP BY 1), " +
+        "cumt AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum FROM ct) " +
+        "SELECT col_name, q, value, value_str, true AS exact FROM (" +
         "SELECT 'bucket' AS col_name, q, (SELECT CAST(min(value) AS BIGINT) FROM cumb " +
-        "WHERE cum >= greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT))) AS value FROM qs " +
+        "WHERE cum >= greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT))) AS value, " +
+        "CAST(NULL AS VARCHAR) AS value_str FROM qs " +
         "UNION ALL SELECT 'money', q, (SELECT CAST(min(value) AS BIGINT) FROM cumm " +
+        "WHERE cum >= greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT))), NULL FROM qs " +
+        "UNION ALL SELECT 'tag', q, NULL, (SELECT min(value) FROM cumt " +
         "WHERE cum >= greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT))) FROM qs" +
         ") ORDER BY col_name, q"),
+
+    // the auto-salted join replayed as the PLAIN join: the derived
+    // fan-out must be invisible in the result by construction
+    "store_join_autosalt" ->
+      ("WITH fact AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 7 " +
+        "ELSE l_orderkey % 97 END AS k, l_extendedprice FROM lineitem), " +
+        "dim AS (SELECT DISTINCT k, 'g' || CAST(k % 5 AS VARCHAR) AS grp FROM fact) " +
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "round(sum(l_extendedprice), 2) AS total_price " +
+        "FROM fact JOIN dim USING (k) GROUP BY grp ORDER BY grp"),
     // only the constraint-satisfying insert survives; the violating
     // batch failed whole (write-side enforcement, atomic commit)
     "store_segment_check_constraint" ->

@@ -33,4 +33,53 @@ object Skew {
       .join(replicatedDim, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Derive the salt fan-out from the MANIFEST skew statistic instead
+    * of a caller guess (r16 — the move that turns the frequency
+    * histogram from planner-advisory into engine-actionable, as the
+    * NDV statistic already drives join reordering): the straggler is
+    * the shuffle slot holding the hottest key, so size the split to
+    * bring that key's mass down to `targetRowsPerSlot` —
+    * `ceil(hottestCount / target)`, clamped to [1, maxSalts] (each
+    * salt replicates the dim side once; past ~maxSalts the
+    * replication cost dominates what straggler relief buys).
+    * `counts` are the frequency map's counts — either value arm of
+    * `Manifest.histMerged` / `shistMerged` or a
+    * `CALL graft.system.histogram` result; the values themselves are
+    * irrelevant here. None / empty (undeclared, or overflowed past
+    * the caps — exactly the high-cardinality case where no single key
+    * can be hot) falls back to `fallback`, the caller constant that
+    * was the only option before the statistic existed. At 100 TB this
+    * reads O(cap) manifest entries where the alternative is a full
+    * GROUP-BY pass over the fact table — or a guessed constant that
+    * under-splits (straggler survives) or over-splits (dim replicated
+    * for nothing). */
+  def saltsFromHistogram(counts: Option[Array[Long]], fallback: Int,
+      targetRowsPerSlot: Long, maxSalts: Int = 64): Int = {
+    require(targetRowsPerSlot > 0, "targetRowsPerSlot must be positive")
+    counts.filter(_.nonEmpty) match {
+      case Some(cs) =>
+        val hot = cs.max
+        math.max(1, math.min(maxSalts.toLong,
+          (hot + targetRowsPerSlot - 1) / targetRowsPerSlot).toInt)
+      case None => fallback
+    }
+  }
+
+  /** [[saltsFromHistogram]] reading a graft-segment table's manifest
+    * directly — both the long and string arms of the merged maps
+    * (only counts matter). */
+  def saltsForTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      key: String, fallback: Int, targetRowsPerSlot: Long,
+      maxSalts: Int = 64): Int = {
+    import graft.sources.segment.{SegmentHistogram, SegmentLog}
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val counts = SegmentLog.read(fs, dir).map(SegmentLog.logicalView)
+      .flatMap { m =>
+        m.histMerged.get(key).map(SegmentHistogram.decode(_).map(_._2))
+          .orElse(m.shistMerged.get(key)
+            .map(SegmentHistogram.decodeStr(_).map(_._2)))
+      }
+    saltsFromHistogram(counts, fallback, targetRowsPerSlot, maxSalts)
+  }
 }

@@ -284,22 +284,39 @@ object GraftProcedures {
           Seq(param("table", StringType)),
           StructType(Seq(
             StructField("col_name", StringType, nullable = false),
-            StructField("value", LongType, nullable = false),
-            StructField("cnt", LongType, nullable = false)))) { (spark, in) =>
+            // exactly one of value / value_str is set per row: the
+            // long canonical for the numeric family, the string
+            // itself for STRING columns (the r16 engine-local arm)
+            StructField("value", LongType, nullable = true),
+            StructField("value_str", StringType, nullable = true),
+            StructField("cnt", LongType, nullable = false),
+            // false while any live segment carries a deletion vector:
+            // the maps count dv'd rows until compaction, so the
+            // "exact within caps" claim is then an over-approximation
+            // — annotated, never silent (the metadata-only stance)
+            StructField("exact", BooleanType, nullable = false)))) { (spark, in) =>
           // the manifest-resident value-frequency maps, straight off
           // the table-level merge the commit maintained — the skew
           // truth an operator reads before choosing a salt or a
           // broadcast, zero scans. EXACT while within the caps (the
           // sketch's honesty contract: overflowed columns are simply
-          // absent); values are the long canonicals (epoch days for
-          // DATE, epoch micros for TIMESTAMP). Over-approximate under
-          // deletion vectors, like every manifest statistic.
+          // absent) AND dv-free (`exact` column); long values are the
+          // canonicals (epoch days for DATE, epoch micros for
+          // TIMESTAMP, unscaled DECIMAL), strings are themselves in
+          // UTF-8 byte order.
           val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
-          m.histMerged.toSeq.sortBy(_._1).flatMap { case (c, b64) =>
-            SegmentHistogram.decode(b64).map { case (v, n) =>
-              row(UTF8String.fromString(c), v, n)
-            }
+          val ex = m.segments.forall(_.dvRows == 0L)
+          val longs = m.histMerged.toSeq.map { case (c, b64) =>
+            c -> SegmentHistogram.decode(b64).map { case (v, n) =>
+              row(UTF8String.fromString(c), v, null, n, ex)
+            }.toSeq
           }
+          val strs = m.shistMerged.toSeq.map { case (c, b64) =>
+            c -> SegmentHistogram.decodeStr(b64).map { case (v, n) =>
+              row(UTF8String.fromString(c), null, v.clone(), n, ex)
+            }.toSeq
+          }
+          (longs ++ strs).sortBy(_._1).flatMap(_._2)
         }
       case "quantiles" =>
         procedure("quantiles",
@@ -308,7 +325,14 @@ object GraftProcedures {
           StructType(Seq(
             StructField("col_name", StringType, nullable = false),
             StructField("q", DoubleType, nullable = false),
-            StructField("value", LongType, nullable = false)))) { (spark, in) =>
+            // exactly one of value / value_str per row — long
+            // canonicals for the numeric family, the string itself
+            // (byte-order quantile) for STRING columns
+            StructField("value", LongType, nullable = true),
+            StructField("value_str", StringType, nullable = true),
+            // false while any live segment carries a deletion vector
+            // (pre-delete mass until compaction) — see `histogram`
+            StructField("exact", BooleanType, nullable = false)))) { (spark, in) =>
           // METADATA-ONLY discrete quantiles off the merged frequency
           // maps — the value at row ceil(q×N) in value order
           // ([[SegmentHistogram.quantile]]), exact within the caps,
@@ -332,12 +356,20 @@ object GraftProcedures {
           qs.foreach(q => require(q >= 0.0 && q <= 1.0,
             s"quantiles must be in [0,1], got $q"))
           val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
-          m.histMerged.toSeq.sortBy(_._1).flatMap { case (c, b64) =>
+          val ex = m.segments.forall(_.dvRows == 0L)
+          val longs = m.histMerged.toSeq.map { case (c, b64) =>
             val freq = SegmentHistogram.decode(b64)
             val total = freq.foldLeft(0L)(_ + _._2) // once per map, not per q
-            qs.map(q => row(UTF8String.fromString(c), q,
-              SegmentHistogram.quantile(freq, q, total)))
+            c -> qs.map(q => row(UTF8String.fromString(c), q,
+              SegmentHistogram.quantile(freq, q, total), null, ex))
           }
+          val strs = m.shistMerged.toSeq.map { case (c, b64) =>
+            val freq = SegmentHistogram.decodeStr(b64)
+            val total = freq.foldLeft(0L)(_ + _._2)
+            c -> qs.map(q => row(UTF8String.fromString(c), q, null,
+              SegmentHistogram.quantileStr(freq, q, total).clone(), ex))
+          }
+          (longs ++ strs).sortBy(_._1).flatMap(_._2)
         }
       case "stats" =>
         procedure("stats",
@@ -423,6 +455,8 @@ object GraftProcedures {
                 else -1L
               val histNdv = m.histMerged.get(name)
                 .map(b64 => SegmentHistogram.decode(b64).length.toLong)
+                .orElse(m.shistMerged.get(name)
+                  .map(b64 => SegmentHistogram.decodeStr(b64).length.toLong))
               row(UTF8String.fromString(name), nVals, nulls,
                 if (bounds._1 == null) null else UTF8String.fromString(bounds._1),
                 if (bounds._2 == null) null else UTF8String.fromString(bounds._2),

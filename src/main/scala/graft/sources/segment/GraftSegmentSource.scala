@@ -453,7 +453,8 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
         // distinctCount, so drop it — stats fall back to the slice's
         // own per-segment sketches
         Some(liveView.copy(segments = (liveInc ++ resurrected).sortBy(_.id),
-          ndvMerged = Map.empty, histMerged = Map.empty))
+          ndvMerged = Map.empty, histMerged = Map.empty,
+          shistMerged = Map.empty))
       case (None, None) => SegmentLog.read(fs, root).map(SegmentLog.logicalView)
     }
   }
@@ -901,6 +902,26 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
       }
   }
 
+  /** [[histFromSketches]] for the STRING arm: the map itself never
+    * reaches catalyst (no double-bin face), but its LENGTH is the
+    * column's EXACT distinct count — the `distinctCount` feed. */
+  private def shistDistinct(key: String,
+      segs: Seq[SegmentMeta]): Option[Long] = {
+    val all = manifest.map(_.segments.length).getOrElse(0)
+    val pre =
+      if (segs.length == all) manifest.flatMap(_.shistMerged.get(key))
+      else None
+    pre.map(b64 => SegmentHistogram.decodeStr(b64).length.toLong)
+      .orElse {
+        val per = segs.map(_.stats.get(key))
+        if (per.nonEmpty && per.forall(_.exists(_.shist.isDefined)))
+          SegmentHistogram.mergeStr(
+            per.iterator.map(s => SegmentHistogram.decodeStr(s.get.shist.get)))
+            .map(_.length.toLong)
+        else None
+      }
+  }
+
   /** The DSv2 face of a merged frequency map: catalyst's equi-height
     * bins ([[SegmentHistogram.toEquiHeight]]), which Spark 4.1's
     * `DataSourceV2Relation.transformV2Stats` converts into the
@@ -1058,9 +1079,15 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
         // EXACT within the caps, so it outranks the KMV estimate when
         // both exist, and it makes a histFor-only declaration feed
         // hasCountStats (FilterEstimation refuses to consult min/max
-        // or the histogram without a distinctCount)
+        // or the histogram without a distinctCount). The STRING arm
+        // (head-probe gated like the long arm) has no catalyst
+        // histogram face but serves the same exact distinctCount.
+        val strNdv: Option[Long] =
+          if (segs.head.stats.get(f.name).exists(_.shist.isDefined))
+            shistDistinct(f.name, segs)
+          else None
         val ndvFinal: Option[Long] =
-          histFreq.map(_.length.toLong).orElse(ndv)
+          histFreq.map(_.length.toLong).orElse(strNdv).orElse(ndv)
         cstats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def nullCount(): java.util.OptionalLong =
@@ -1114,8 +1141,11 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
             if (headStats.exists(_.hist.isDefined)) histFromSketches(key, segs)
             else None
           // exact-map length outranks the KMV estimate (see the
-          // top-level block)
+          // top-level block); string fields serve distinctCount only
           val n: Option[Long] = hf.map(_.length.toLong).orElse {
+            if (headStats.exists(_.shist.isDefined)) shistDistinct(key, segs)
+            else None
+          }.orElse {
             if (headStats.exists(_.kmv.isDefined)) ndvFromSketches(key, segs)
             else None
           }
@@ -2343,7 +2373,7 @@ class GraftDataWriter(root: String, schema: StructType, conf: Configuration,
         // its bounds silently overwritten (pruning soundness)
         val (ls, lm) = c.lenStats
         (n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64,
-          ls, lm, c.histBase64)) +:
+          ls, lm, c.histBase64, c.shistBase64)) +:
           c.nested.collect {
             case (fn, cs) if !colNames.contains(s"$n.$fn") => s"$n.$fn" -> cs
           }

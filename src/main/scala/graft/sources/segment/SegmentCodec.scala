@@ -609,6 +609,12 @@ object SegmentCodec {
     private val hist: SegmentHistogram.Collector =
       if (collectHist && SegmentHistogram.supported(dt))
         new SegmentHistogram.Collector else null
+    // the STRING arm (r16): engine-local exact frequency maps — the
+    // CALL-face / distinctCount / salt-factor skew statistic for the
+    // keys that ARE strings (language tags, status codes)
+    private val shist: SegmentHistogram.StringCollector =
+      if (collectHist && dt == StringType)
+        new SegmentHistogram.StringCollector else null
     // STRUCT columns collect per-FIELD zone maps (one child collector
     // each; blooms for `nestedBloomFor`-declared fields, NDV sketches
     // for `nestedNdvFor`-declared fields): Spark pushes
@@ -655,6 +661,7 @@ object SegmentCodec {
       if (bloom != null) SegmentBloom.put(bloom, SegmentBloom.hashRow(dt, row, ordinal))
       if (kmv != null) kmv.add(SegmentNdv.canonical(dt, row, ordinal))
       if (hist != null) hist.add(SegmentHistogram.valueOf(dt, row, ordinal))
+      if (shist != null) shist.add(row.getUTF8String(ordinal))
       if (varWidth) {
         val len =
           if (dt == StringType) row.getUTF8String(ordinal).numBytes().toLong
@@ -681,7 +688,7 @@ object SegmentCodec {
       else children.toSeq.map { case (n, c) =>
         val (ls, lm) = c.lenStats
         n -> ColumnStats(c.bounds, c.nullCount, c.bloomBase64, c.kmvBase64,
-          ls, lm, c.histBase64) }
+          ls, lm, c.histBase64, c.shistBase64) }
 
     private def addBounds(row: InternalRow, ordinal: Int): Unit = dt match {
       case IntegerType | DateType => addLong(row.getInt(ordinal).toLong)
@@ -737,6 +744,10 @@ object SegmentCodec {
     /** Base64 frequency map, None when not collected (or poisoned by
       * cap overflow) for this column. */
     def histBase64: Option[String] = Option(hist).flatMap(_.base64)
+
+    /** Base64 STRING frequency map, None when not collected or
+      * poisoned (cap overflow / oversized value). */
+    def shistBase64: Option[String] = Option(shist).flatMap(_.base64)
 
     /** (Σ value bytes, max value bytes) for string/binary columns —
       * present even when all-null (zero is a true sum), absent for

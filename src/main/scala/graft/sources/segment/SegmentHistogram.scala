@@ -2,6 +2,7 @@ package graft.sources.segment
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-segment VALUE-FREQUENCY histograms — the skew statistic the
   * optimizer reads from the MANIFEST, never from a scan:
@@ -96,6 +97,33 @@ object SegmentHistogram {
     case _ => false
   }
 
+  /** Types `histFor` accepts: the catalyst-face family above, plus
+    * STRING (r16) — the scaladoc's own motivating skew keys (language
+    * tags, status codes) ARE strings. String maps are ENGINE-LOCAL
+    * statistics: exact bounded frequency maps under the same caps /
+    * poison doctrine (value canonical = the string itself, ordered by
+    * UTF-8 bytes — DuckDB's default binary collation and Spark's own
+    * UTF8String order, which agree because UTF-8 byte order IS code
+    * point order), served through `CALL graft.system.histogram /
+    * quantiles / stats` and as an EXACT `distinctCount` on the DSv2
+    * face. They carry NO catalyst histogram: `ColumnStat.histogram`
+    * bins are doubles (Spark's own ANALYZE skips string histograms
+    * for the same reason), so string skew reaches the engine's SQL
+    * face and operators, not FilterEstimation — a stated limitation,
+    * like the nested-field statistics'. Values longer than
+    * [[MaxStringBytes]] poison the collector: skew keys are short by
+    * nature, and an unbounded key domain would turn the manifest into
+    * a value store. */
+  def declarable(dt: DataType): Boolean =
+    supported(dt) || dt == StringType
+
+  /** Per-value byte cap of the STRING arm — one oversized value
+    * poisons the segment's map (absent beats a truncated-key map that
+    * no exact replay could reproduce). 64 bytes holds every language
+    * tag / status code / enum-like key; prose columns are not skew
+    * keys. */
+  val MaxStringBytes = 64
+
   /** Validate a `histFor` declaration: existing, supported columns —
     * top-level or one dotted struct-field level (`meta.code`), the
     * [[SegmentNdv.parseCols]] resolution (exact top-level match wins
@@ -112,12 +140,11 @@ object SegmentHistogram {
       val dt: DataType = SegmentCodec.resolveStatsColumn(sc, c).getOrElse(
         throw new IllegalArgumentException(
           s"histFor column $c not in schema (top-level or struct field)"))
-      require(supported(dt),
+      require(declarable(dt),
         s"histFor column $c: frequency histograms support the integer " +
-          s"family, DATE, TIMESTAMP and DECIMAL within 18 digits, not " +
-          s"${dt.simpleString} (catalyst histogram bins are doubles — " +
-          "strings have no double form, floats no stable equality " +
-          "classes, wider decimals no exact long canonical)")
+          s"family, DATE, TIMESTAMP, DECIMAL within 18 digits and STRING " +
+          s"(engine-local), not ${dt.simpleString} (floats have no stable " +
+          "equality classes, wider decimals no exact long canonical)")
     })
     cols
   }
@@ -187,6 +214,106 @@ object SegmentHistogram {
     }
   }
 
+  /** Bounded exact STRING frequency collector — the [[Collector]]
+    * contract with the string canonical: TreeMap ordered by
+    * `UTF8String.compareTo` (unsigned UTF-8 byte order = code point
+    * order = DuckDB's default binary collation, so the stored order
+    * is exactly replayable by an ORDER BY in either engine). Poisons
+    * past [[MaxDistinct]] distinct values OR on any value longer than
+    * [[MaxStringBytes]]; the same run-length memo as the long arm
+    * (skewed and clustered writes stream equal keys back to back). */
+  final class StringCollector {
+    // boxed values — see [[Collector.freq]]
+    private val freq = new java.util.TreeMap[UTF8String, java.lang.Long]()
+    private var poisoned = false
+    private var lastKey: UTF8String = _
+    private var lastRun = 0L // 0 = no pending run
+    private def flush(): Unit = {
+      if (lastRun == 0L || poisoned) { lastRun = 0L; return }
+      val prev = freq.get(lastKey)
+      if (prev == null) {
+        if (freq.size() == MaxDistinct) { poisoned = true; freq.clear() }
+        else freq.put(lastKey, lastRun)
+      } else freq.put(lastKey, prev + lastRun)
+      lastRun = 0L
+    }
+
+    def add(v: UTF8String): Unit = {
+      if (poisoned) return
+      if (v.numBytes() > MaxStringBytes) {
+        poisoned = true; freq.clear(); lastRun = 0L; return
+      }
+      if (lastRun > 0L && v == lastKey) { lastRun += 1; return }
+      flush()
+      // clone: the incoming UTF8String aliases the row's buffer
+      lastKey = v.clone()
+      lastRun = 1L
+    }
+
+    /** Base64 wire form, None when empty or poisoned. */
+    def base64: Option[String] = {
+      flush()
+      if (poisoned || freq.isEmpty) None
+      else {
+        val out = new Array[(UTF8String, Long)](freq.size())
+        val it = freq.entrySet().iterator(); var i = 0
+        while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+        Some(encodeStr(out))
+      }
+    }
+  }
+
+  /** Encode a byte-order-sorted string frequency map as base64 of
+    * (4-byte length, UTF-8 bytes, 8-byte count) records — the
+    * manifest wire form of the STRING arm. */
+  def encodeStr(sorted: Array[(UTF8String, Long)]): String = {
+    val bytes = sorted.map(_._1.numBytes()).sum
+    val bb = java.nio.ByteBuffer.allocate(sorted.length * 12 + bytes)
+    sorted.foreach { case (v, c) =>
+      val b = v.getBytes
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def decodeStr(b64: String): Array[(UTF8String, Long)] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(UTF8String, Long)]
+    while (bb.hasRemaining) {
+      val len = bb.getInt()
+      val v = new Array[Byte](len)
+      bb.get(v)
+      out += ((UTF8String.fromBytes(v), bb.getLong()))
+    }
+    out.toArray
+  }
+
+  /** [[merge]] for the STRING arm: byte-order sorted, None past
+    * [[MaxDistinctMerged]], bails at the cap. */
+  def mergeStr(maps: IterableOnce[Array[(UTF8String, Long)]])
+      : Option[Array[(UTF8String, Long)]] = {
+    val acc = new java.util.TreeMap[UTF8String, java.lang.Long]()
+    val it = maps.iterator
+    while (it.hasNext) {
+      val arr = it.next()
+      var i = 0
+      while (i < arr.length) {
+        val (v, c) = arr(i)
+        val prev = acc.get(v)
+        if (prev == null) {
+          if (acc.size() == MaxDistinctMerged) return None
+          acc.put(v, c)
+        } else acc.put(v, prev + c)
+        i += 1
+      }
+    }
+    val out = new Array[(UTF8String, Long)](acc.size())
+    val eit = acc.entrySet().iterator(); var i = 0
+    while (eit.hasNext) { val e = eit.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+    Some(out)
+  }
+
   /** Encode a value-sorted frequency map as base64 of (8-byte value,
     * 8-byte count) big-endian pairs — the manifest wire form of both
     * per-segment and table-level maps. */
@@ -241,7 +368,15 @@ object SegmentHistogram {
     * construction: the map is exact within caps and the rule has no
     * interpolation or float ambiguity. */
   def quantile(freq: Array[(Long, Long)], q: Double,
-      knownTotal: Long = -1L): Long = {
+      knownTotal: Long = -1L): Long = quantileOf(freq, q, knownTotal)
+
+  /** [[quantile]] for the STRING arm — identical discrete rule over
+    * the byte-ordered map (= ORDER BY under binary collation). */
+  def quantileStr(freq: Array[(UTF8String, Long)], q: Double,
+      knownTotal: Long = -1L): UTF8String = quantileOf(freq, q, knownTotal)
+
+  private def quantileOf[T](freq: Array[(T, Long)], q: Double,
+      knownTotal: Long): T = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
     // callers asking several quantiles of one map pass the total once
     val total =

@@ -29,7 +29,8 @@ case class ColumnStats(bounds: Option[(String, String)], nullCount: Long,
     kmv: Option[String] = None,
     lenSum: Option[Long] = None,
     lenMax: Option[Long] = None,
-    hist: Option[String] = None)
+    hist: Option[String] = None,
+    shist: Option[String] = None)
 
 /** One committed data file. `path` is relative to the table root.
   * `bucket` is the hash-bucket index this segment belongs to when it
@@ -150,7 +151,13 @@ case class Manifest(version: Long, schema: StructType, segments: Seq[SegmentMeta
     // maintenance and presence contract as ndvMerged; feeds the
     // equi-height histogram on the DSv2 statistics face
     // ([[SegmentHistogram]]).
-    histMerged: Map[String, String] = Map.empty)
+    histMerged: Map[String, String] = Map.empty,
+    // the STRING arm of histMerged (r16): PHYSICAL column name →
+    // base64 (length, UTF-8 bytes, count) records in byte order —
+    // engine-local skew statistics (CALL face + exact distinctCount;
+    // no catalyst histogram, whose bins are doubles). Same
+    // maintenance, presence and cap/poison contract.
+    shistMerged: Map[String, String] = Map.empty)
 
 /** The commit log of a graft-segment table: versioned manifests under
   * `_graft_log/manifest-<v>.json`, committed with optimistic
@@ -288,7 +295,8 @@ object SegmentLog {
           if (c.hasNonNull("kmv")) Some(c.get("kmv").asText()) else None,
           if (c.hasNonNull("lenSum")) Some(c.get("lenSum").asLong()) else None,
           if (c.hasNonNull("lenMax")) Some(c.get("lenMax").asLong()) else None,
-          if (c.hasNonNull("hist")) Some(c.get("hist").asText()) else None)
+          if (c.hasNonNull("hist")) Some(c.get("hist").asText()) else None,
+          if (c.hasNonNull("shist")) Some(c.get("shist").asText()) else None)
       }
       val segCols =
         if (s.hasNonNull("cols")) {
@@ -405,6 +413,15 @@ object SegmentLog {
             val c = names.next(); b += c -> node.get("histMerged").get(c).asText()
           }
           b.result()
+        } else Map.empty[String, String],
+      shistMerged =
+        if (node.hasNonNull("shistMerged")) {
+          val b = Map.newBuilder[String, String]
+          val names = node.get("shistMerged").fieldNames()
+          while (names.hasNext) {
+            val c = names.next(); b += c -> node.get("shistMerged").get(c).asText()
+          }
+          b.result()
         } else Map.empty[String, String])
   }
 
@@ -444,6 +461,10 @@ object SegmentLog {
       val o = root.putObject("histMerged")
       m.histMerged.foreach { case (c, b64) => o.put(c, b64) }
     }
+    if (m.shistMerged.nonEmpty) {
+      val o = root.putObject("shistMerged")
+      m.shistMerged.foreach { case (c, b64) => o.put(c, b64) }
+    }
     m.segments.foreach { s =>
       val o = arr.addObject()
       o.put("path", s.path); o.put("rows", s.rows); o.put("bytes", s.bytes)
@@ -465,6 +486,7 @@ object SegmentLog {
         cs.lenSum.foreach(s => c.put("lenSum", s))
         cs.lenMax.foreach(m => c.put("lenMax", m))
         cs.hist.foreach(h => c.put("hist", h))
+        cs.shist.foreach(h => c.put("shist", h))
       }
     }
     if (m.txns.nonEmpty) {
@@ -788,10 +810,11 @@ object SegmentLog {
     }.toMap
   }
 
-  /** [[withNdvMerged]] then [[withHistMerged]] — every commit path
-    * maintains BOTH manifest-resident statistics in one place. */
+  /** [[withNdvMerged]] then [[withHistMerged]] then [[withShistMerged]]
+    * — every commit path maintains ALL manifest-resident statistics in
+    * one place. */
   private def withStatsMerged(prev: Option[Manifest], m: Manifest): Manifest =
-    withHistMerged(prev, withNdvMerged(prev, m))
+    withShistMerged(prev, withHistMerged(prev, withNdvMerged(prev, m)))
 
   /** [[Manifest.ndvMerged]] maintenance — KMV min-k merge over
     * [[mergedStatEntries]]'s scaffold. */
@@ -814,6 +837,17 @@ object SegmentLog {
         .map(SegmentHistogram.encode)
     }
     if (entries == m.histMerged) m else m.copy(histMerged = entries)
+  }
+
+  /** [[Manifest.shistMerged]] maintenance — the STRING arm over the
+    * same scaffold, cap-bailing like the long arm. */
+  private def withShistMerged(prev: Option[Manifest], m: Manifest): Manifest = {
+    val entries = mergedStatEntries(prev, m, _.shist, _.shistMerged) { (seed, rest) =>
+      SegmentHistogram.mergeStr(
+        (seed.iterator ++ rest).map(SegmentHistogram.decodeStr))
+        .map(SegmentHistogram.encodeStr)
+    }
+    if (entries == m.shistMerged) m else m.copy(shistMerged = entries)
   }
 
   /** Claim version slot `v` by exclusive create and write `body`.
@@ -908,7 +942,8 @@ object SegmentLog {
       cols = s.cols.map(xlate),
       stats = s.stats.map { case (k, v) => xlate(k) -> v })),
       ndvMerged = m.ndvMerged.map { case (k, v) => xlate(k) -> v },
-      histMerged = m.histMerged.map { case (k, v) => xlate(k) -> v })
+      histMerged = m.histMerged.map { case (k, v) => xlate(k) -> v },
+      shistMerged = m.shistMerged.map { case (k, v) => xlate(k) -> v })
   }
 
   /** Types of dropped physical columns, keyed by their logical-view
@@ -1147,8 +1182,8 @@ object SegmentLog {
           if (!SegmentNdv.hashable(to)) retire(m.props, "ndvFor") else m.props
         // same hygiene for histograms: int->long keeps the declaration
         // (the long canonical is value-invariant, old maps stay exact);
-        // widening out of the supported family (int->double) retires it
-        if (!SegmentHistogram.supported(to)) retire(afterNdv, "histFor")
+        // widening out of the declarable family (int->double) retires it
+        if (!SegmentHistogram.declarable(to)) retire(afterNdv, "histFor")
         else afterNdv
       })
   }

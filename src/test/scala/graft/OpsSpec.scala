@@ -230,6 +230,35 @@ class OpsSpec extends SparkSpec {
       .exceptAll(plain.select($"l_orderkey", $"p_partkey", $"p_size")).isEmpty)
   }
 
+  test("auto-salt: fan-out derived from the skew statistic, caller fallback when absent") {
+    import graft.ops.Skew
+    // the arithmetic: hottest key's mass / target slot rows, clamped
+    assert(Skew.saltsFromHistogram(Some(Array(9000L, 100L, 50L)), 8, 375) == 24)
+    assert(Skew.saltsFromHistogram(Some(Array(10L, 10L)), 8, 375) == 1,
+      "no skew: no split, regardless of the fallback")
+    assert(Skew.saltsFromHistogram(Some(Array(Long.MaxValue / 2)), 8, 1) == 64,
+      "clamped: dim replication cost bounds the fan-out")
+    assert(Skew.saltsFromHistogram(None, 8, 375) == 8,
+      "undeclared or overflowed: the caller constant")
+
+    // the manifest path — a declared skewed table derives, its
+    // undeclared twin falls back, a STRING key drives the same math
+    val base = java.nio.file.Files.createTempDirectory("graft-autosalt").toString
+    val fact = spark.range(0, 12000).select(
+      when($"id" % 4 < 3, lit(7L)).otherwise($"id" % 97).as("k"), // 9000 hot
+      when($"id" % 10 < 9, lit("hot")) // 10800 hot
+        .otherwise(concat(lit("c"), $"id" % 7)).as("t"))
+    fact.write.format("graft-segment").option("histFor", "k,t")
+      .mode("append").save(s"$base/decl")
+    fact.write.format("graft-segment").mode("append").save(s"$base/undecl")
+    // hot key 7 holds 9000 (id%4<3) + 31 collisions from the
+    // otherwise-branch (id ≡ 7 mod 388): ceil(9031/375) = 25
+    assert(Skew.saltsForTable(spark, s"$base/decl", "k", 8, 375) == 25)
+    assert(Skew.saltsForTable(spark, s"$base/decl", "t", 8, 375) == 29,
+      "string-keyed maps drive the same derivation (ceil(10800/375))")
+    assert(Skew.saltsForTable(spark, s"$base/undecl", "k", 8, 375) == 8)
+  }
+
   test("embedding near-dup candidates come only from shared LSH buckets") {
     val emb = Seq(
       (1L, Seq(1f, 1f, 1f, 1f), 0), (2L, Seq(0.9f, 0.9f, 0.9f, 0.9f), 0),

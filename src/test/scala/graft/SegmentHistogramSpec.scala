@@ -137,9 +137,161 @@ class SegmentHistogramSpec extends SparkSpec {
       StructField("s", StringType), StructField("x", DoubleType),
       StructField("meta", StructType(Seq(StructField("code", IntegerType))))))
     assert(SegmentHistogram.parseCols("k,meta.code", Some(sc)) == Set("k", "meta.code"))
-    intercept[IllegalArgumentException](SegmentHistogram.parseCols("s", Some(sc)))
+    // STRING is declarable since r16 (the engine-local arm) …
+    assert(SegmentHistogram.parseCols("s", Some(sc)) == Set("s"))
+    // … but floats and unknown columns still refuse
     intercept[IllegalArgumentException](SegmentHistogram.parseCols("x", Some(sc)))
     intercept[IllegalArgumentException](SegmentHistogram.parseCols("nope", Some(sc)))
+  }
+
+  // --- the STRING arm (r16) ---------------------------------------------
+
+  test("string collector: exact counts in UTF-8 byte order; poisons on cap and oversize") {
+    val c = new SegmentHistogram.StringCollector
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    Seq("fr", "de", "fr", "fr", "été", "de").foreach(s => c.add(u(s)))
+    val m = SegmentHistogram.decodeStr(c.base64.get)
+    // byte order: 'd' < 'f' < 0xC3 (the é lead byte) — ASCII first
+    assert(m.map { case (v, n) => (v.toString, n) }.toSeq ==
+      Seq(("de", 2L), ("fr", 3L), ("été", 1L)))
+
+    // code point order, not UTF-16 code unit order: U+FFFF sorts BELOW
+    // U+10000 in UTF-8 bytes (Java String order would flip them)
+    val bmpMax = new String(Character.toChars(0xFFFF))
+    val supp = new String(Character.toChars(0x10000))
+    assert(bmpMax.compareTo(supp) > 0, "UTF-16 order flips them (the trap)")
+    val ord = new SegmentHistogram.StringCollector
+    Seq(supp, bmpMax).foreach(s => ord.add(u(s)))
+    val keys = SegmentHistogram.decodeStr(ord.base64.get).map(_._1.toString)
+    assert(keys.toSeq == Seq(bmpMax, supp), "stored order is code point order")
+
+    // distinct cap: poison past MaxDistinct, exact at it
+    val over = new SegmentHistogram.StringCollector
+    (0 until SegmentHistogram.MaxDistinct).foreach(i => over.add(u(s"v$i")))
+    assert(over.base64.isDefined, "at the cap is still exact")
+    over.add(u("one-past"))
+    assert(over.base64.isEmpty, "past the cap: absent, never approximate")
+
+    // value-size cap: one oversized value poisons the whole map
+    val big = new SegmentHistogram.StringCollector
+    big.add(u("ok"))
+    big.add(u("x" * (SegmentHistogram.MaxStringBytes + 1)))
+    big.add(u("ok"))
+    assert(big.base64.isEmpty, "an oversized key poisons the segment map")
+    // multi-byte chars count in BYTES: 33 × é = 66 bytes > 64
+    val mb = new SegmentHistogram.StringCollector
+    mb.add(u("é" * 33))
+    assert(mb.base64.isEmpty, "the cap is bytes, not chars")
+  }
+
+  test("string encode/decode roundtrip; merge is exact, bails at the merged cap") {
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val m1 = Array((u(""), 2L), (u("ascii"), 5L), (u("été"), 7L))
+    assert(SegmentHistogram.decodeStr(SegmentHistogram.encodeStr(m1)).toSeq == m1.toSeq)
+
+    // merge adds counts; result stays byte-ordered
+    val m2 = Array((u("ascii"), 1L), (u("zz"), 4L))
+    val merged = SegmentHistogram.mergeStr(Seq(m1, m2)).get
+    assert(merged.map { case (v, n) => (v.toString, n) }.toSeq ==
+      Seq(("", 2L), ("ascii", 6L), ("été", 7L), ("zz", 4L))
+        .sortBy(_._1)) // ASCII-only keys: string order = byte order
+    // cap bail: MaxDistinctMerged+1 distinct values → None
+    val wide = (0 to SegmentHistogram.MaxDistinctMerged)
+      .map(i => Array((u(s"k$i"), 1L))).toSeq
+    assert(SegmentHistogram.mergeStr(wide).isEmpty)
+  }
+
+  test("string quantile: the same discrete rule over byte order") {
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // 10 rows: "de" x7, "en" x2, "fr" x1
+    val freq = Array((u("de"), 7L), (u("en"), 2L), (u("fr"), 1L))
+    assert(SegmentHistogram.quantileStr(freq, 0.5).toString == "de")
+    assert(SegmentHistogram.quantileStr(freq, 0.71).toString == "en")
+    assert(SegmentHistogram.quantileStr(freq, 1.0).toString == "fr")
+    intercept[IllegalArgumentException](SegmentHistogram.quantileStr(freq, -0.1))
+  }
+
+  test("CALL face under deletion vectors: exact=false with pre-delete mass, compaction restores both") {
+    val cat = "ghistdv"
+    val wh = tmp("graft-hist-dv")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k INT, tag STRING) " +
+      "TBLPROPERTIES ('histFor'='k,tag')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT CAST(id % 5 AS INT), " +
+      "concat('t', id % 3) FROM range(0, 300)")
+    def hist() = spark.sql(s"CALL $cat.system.histogram('db.t')").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+        r.getLong(3), r.getBoolean(4)))
+    // dv-free: exact, post-insert truth
+    assert(hist().forall(_._5), "no dvs: exact = true")
+    assert(hist().filter(_._1 == "k").map(_._4).sum == 300L)
+
+    spark.sql(s"CALL $cat.system.delete_mark('db.t', 'k = 0')").collect()
+    // the maps still hold the PRE-delete mass — annotated, not silent
+    val dv = hist()
+    assert(dv.forall(!_._5), "live dvs: exact = false on every row")
+    assert(dv.filter(_._1 == "k").map(_._4).sum == 300L, "pre-delete mass served")
+    // quantiles carries the same flag
+    assert(spark.sql(s"CALL $cat.system.quantiles('db.t', '0.5')")
+      .collect().forall(!_.getBoolean(4)))
+
+    // materializing the vectors rewrites the dv'd segments: collectors
+    // re-run on live rows, exact returns, counts are post-delete truth
+    spark.sql(s"CALL $cat.system.compact_deletes('db.t')").collect()
+    val after = hist()
+    assert(after.forall(_._5), "post-compaction: exact = true")
+    assert(after.filter(_._1 == "k").map(_._4).sum == 240L,
+      "counts now reflect the delete")
+    assert(!after.exists(t => t._1 == "k" && t._2.contains(0L)),
+      "the deleted value is gone from the map")
+  }
+
+  test("string maps end to end: manifest pre-merge, CALL face, exact distinctCount, DDL hygiene") {
+    val dir = tmp("graft-shist")
+    def write(lo: Int, hi: Int): Unit =
+      spark.range(lo, hi)
+        .select(concat(lit("tag"), col("id") % 7).as("t"), col("id").as("v"))
+        .repartition(3)
+        .write.format(Fmt).option("histFor", "t").mode("append").save(dir)
+    write(0, 3000)
+    write(3000, 4000) // append-only fast path
+    val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
+    val m = SegmentLog.read(fs, dir).get
+    // the manifest map IS the exact group-by answer
+    val got = SegmentHistogram.decodeStr(m.shistMerged("t"))
+      .map { case (v, n) => v.toString -> n }.toMap
+    val want = spark.read.format(Fmt).load(dir)
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(m.segments.forall(_.stats("t").shist.isDefined))
+    // numeric arm stays separate: no long-map entry for a string column
+    assert(!m.histMerged.contains("t"))
+
+    // DSv2 statistics face: the map length is an EXACT distinctCount
+    val savedCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val plan = spark.read.format(Fmt).load(dir).select("t", "v")
+        .queryExecution.optimizedPlan
+      val st = plan.stats.attributeStats.find(_._1.name == "t").map(_._2)
+      assert(st.exists(_.distinctCount.exists(_.longValue == 7L)),
+        s"string histFor must feed distinctCount, got $st")
+    } finally savedCbo match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+
+    // rename follows (logical view), drop sheds in the same commit
+    SegmentLog.renameColumn(fs, dir, "t", "tag")
+    val lg = SegmentLog.logicalView(SegmentLog.read(fs, dir).get)
+    assert(lg.shistMerged.contains("tag") && !lg.shistMerged.contains("t"))
+    SegmentLog.dropColumn(fs, dir, "tag")
+    assert(SegmentLog.read(fs, dir).get.shistMerged.isEmpty,
+      "DROP sheds the string entry in the same commit")
   }
 
   // --- the table format end to end --------------------------------------
