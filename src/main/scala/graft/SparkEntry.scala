@@ -3101,7 +3101,10 @@ object SparkEntry {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
       s.sql(s"CREATE NAMESPACE $cat.db")
       s.sql(s"CREATE TABLE $cat.db.t (doc_id BIGINT, lang STRING, d DATE, " +
-        "ts TIMESTAMP, name STRING, blob BINARY) " +
+        // meta.title: dotted STRING len_sum/len_max ride the nested
+        // collectors (r16 certifies the avgLen path through structs —
+        // the byte-weighted row-width input for nested text)
+        "ts TIMESTAMP, name STRING, blob BINARY, meta STRUCT<title: STRING>) " +
         // histFor rides along (r15): hist_ndv serves the frequency
         // map's EXACT distinct count for declared columns, NULL for
         // the rest — the oracle recomputes it as count(DISTINCT ...).
@@ -3120,7 +3123,9 @@ object SparkEntry {
         "timestamp_micros(doc_id * 1000000 + doc_id % 777), " +
         "CASE WHEN doc_id % 97 = 0 THEN NULL " +
         "ELSE concat('n', lpad(CAST(doc_id % 50 AS STRING), 4, '0')) END, " +
-        "encode(concat('b', CAST(doc_id % 10 AS STRING)), 'utf-8') " +
+        "encode(concat('b', CAST(doc_id % 10 AS STRING)), 'utf-8'), " +
+        "named_struct('title', CASE WHEN doc_id % 11 = 0 THEN NULL " +
+        "ELSE repeat('y', CAST(doc_id % 5 AS INT)) END) " +
         "FROM graft_stats_docs")
       s.sql(s"CALL $cat.system.stats('db.t')").orderBy(col("col_name"))
     }),
@@ -6878,7 +6883,9 @@ object SparkEntry {
         "doc_id * 1000000 + doc_id % 777 AS tsu, " +
         "CASE WHEN doc_id % 97 = 0 THEN NULL " +
         "ELSE 'n' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') END AS name, " +
-        "'b' || CAST(doc_id % 10 AS VARCHAR) AS blob_s " +
+        "'b' || CAST(doc_id % 10 AS VARCHAR) AS blob_s, " +
+        "CASE WHEN doc_id % 11 = 0 THEN NULL " +
+        "ELSE repeat('y', CAST(doc_id % 5 AS INT)) END AS title " +
         "FROM documents) " +
         "SELECT * FROM (" +
         "SELECT 'blob' AS col_name, count(blob_s) AS n_values, " +
@@ -6903,6 +6910,12 @@ object SparkEntry {
         "CAST(sum(strlen(name)) AS BIGINT), " +
         "CAST(max(strlen(name)) AS BIGINT), " +
         "CAST(count(DISTINCT name) AS BIGINT) FROM src " +
+        "UNION ALL SELECT 'meta', count(*), 0, NULL, NULL, NULL, NULL, NULL, " +
+        "NULL FROM src " +
+        "UNION ALL SELECT 'meta.title', count(title), count(*) - count(title), " +
+        "min(title), max(title), NULL, " +
+        "CAST(sum(strlen(title)) AS BIGINT), " +
+        "CAST(max(strlen(title)) AS BIGINT), NULL FROM src " +
         "UNION ALL SELECT 'ts', count(tsu), count(*) - count(tsu), " +
         "CAST(min(tsu) AS VARCHAR), CAST(max(tsu) AS VARCHAR), NULL, NULL, NULL, " +
         "NULL FROM src" +

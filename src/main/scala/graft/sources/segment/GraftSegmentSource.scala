@@ -986,6 +986,14 @@ class GraftScan(root: String, tableSchema: StructType, required: StructType,
               val vals = math.max(1L, segs.map(_.rows).sum - nulls)
               math.max(1.0, per.map(_.get.lenSum.get).sum.toDouble / vals)
             } else dt.defaultSize.toDouble
+          // a struct weighs its FIELDS at their observed widths (the
+          // per-field collectors keep length sums under dotted keys),
+          // so `meta.title`-style text inside a struct informs row
+          // width — and a nested-PRUNED struct weighs only its kept
+          // fields (r16; previously the type's defaultSize, which
+          // prices a 500-byte nested text at 20 bytes)
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.map(cf => width(s"$name.${cf.name}", cf.dataType)).sum
           case other => other.defaultSize.toDouble
         }
       val all = math.max(1.0, tableSchema.fields.map(f => width(f.name, f.dataType)).sum)

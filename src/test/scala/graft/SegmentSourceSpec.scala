@@ -2771,6 +2771,36 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"SELECT id must weigh ~13% of bytes, got $szId of $szAll")
   }
 
+  test("projection sizing weighs struct FIELDS at observed widths (nested text, r16)") {
+    val dir = tmp("graft-seg-nestedwidth")
+    // meta.title: ~201 bytes observed; the struct's defaultSize
+    // (20 + 20) would price the row at 48 bytes and claim `SELECT id`
+    // is ~17% of the table — the observed widths say ~4%, and on a
+    // corpus whose text lives INSIDE a struct that gap is the same
+    // broadcast decision the top-level avgLen fix closed
+    spark.range(0, 2000).select(
+        col("id"),
+        struct(lit("x").as("tag"),
+          concat(lit("t"), lpad((col("id") % 10).cast("string"), 200, "y"))
+            .as("title")).as("meta"))
+      .repartition(2).write.format(Fmt).mode("append").save(dir)
+    def sizeOf(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.sizeInBytes
+      }.head
+    val all = sizeOf(spark.read.format(Fmt).load(dir))
+    val idOnly = sizeOf(spark.read.format(Fmt).load(dir).select("id"))
+    assert(idOnly * 10 < all,
+      s"SELECT id of a nested-text row must weigh ~4%, got $idOnly of $all")
+    // and a nested-PRUNED struct weighs only its kept fields: id +
+    // meta.tag is ~9 of ~209 bytes, nowhere near the unpruned struct
+    val narrow = sizeOf(spark.read.format(Fmt).load(dir)
+      .select(col("id"), col("meta.tag")))
+    assert(narrow * 10 < all,
+      s"a pruned struct must weigh its kept fields, got $narrow of $all")
+  }
+
   test("NDV on struct fields (dotted) and TIMESTAMP (epoch-micros canonical); DDL hygiene") {
     import graft.sources.segment.SegmentNdv
     val dir = tmp("graft-seg-ndv-nested")
