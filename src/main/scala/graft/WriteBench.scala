@@ -40,7 +40,12 @@ object WriteBench {
       ("none", Map.empty[String, String]),
       ("ndv", Map("ndvFor" -> "k,v")),
       ("hist", Map("histFor" -> "k")),
-      ("both", Map("ndvFor" -> "k,v", "histFor" -> "k")))
+      ("both", Map("ndvFor" -> "k,v", "histFor" -> "k")),
+      // the STRING arm (r16): the payload column's 1000 distinct
+      // values sit inside the 1024 cap, so this measures the string
+      // collector's live cost (UTF8String compare + clone per
+      // distinct-run), not the poisoned fast path
+      ("shist", Map("histFor" -> "s")))
     // warm the write path once (JIT, codec classes)
     df.limit(1000).write.format("graft-segment").mode("append")
       .save(s"$outBase/warm")

@@ -223,8 +223,14 @@ object SegmentHistogram {
     * [[MaxStringBytes]]; the same run-length memo as the long arm
     * (skewed and clustered writes stream equal keys back to back). */
   final class StringCollector {
-    // boxed values — see [[Collector.freq]]
-    private val freq = new java.util.TreeMap[UTF8String, java.lang.Long]()
+    // HASH map on the write hot path, not a TreeMap: a lookup costs
+    // one murmur over ≤64 bytes + ~one equality, where an ordered
+    // walk pays ~log(distinct) byte-wise compares PER ROW on exactly
+    // the no-run workloads the run-length memo cannot absorb
+    // (graft.WriteBench r16: −2/3 of the string collector's tax).
+    // Byte order is restored by ONE sort of ≤[[MaxDistinct]] entries
+    // at flush time. Boxed values — see [[Collector.freq]].
+    private val freq = new java.util.HashMap[UTF8String, java.lang.Long]()
     private var poisoned = false
     private var lastKey: UTF8String = _
     private var lastRun = 0L // 0 = no pending run
@@ -250,7 +256,8 @@ object SegmentHistogram {
       lastRun = 1L
     }
 
-    /** Base64 wire form, None when empty or poisoned. */
+    /** Base64 wire form (byte-order sorted), None when empty or
+      * poisoned. */
     def base64: Option[String] = {
       flush()
       if (poisoned || freq.isEmpty) None
@@ -258,6 +265,8 @@ object SegmentHistogram {
         val out = new Array[(UTF8String, Long)](freq.size())
         val it = freq.entrySet().iterator(); var i = 0
         while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+        java.util.Arrays.sort(out,
+          Ordering.by[(UTF8String, Long), UTF8String](_._1))
         Some(encodeStr(out))
       }
     }
