@@ -42,13 +42,42 @@ object GraftMaintenance {
     * segments — `mode = "range"` (zone-map-selective) or `"hash"`
     * (restores a bucket layout for storage-partitioned joins).
     * Returns (segments before, segments after). */
+  /** Default compaction target: ~128 MiB per output segment — the
+    * conventional object-store sweet spot (large enough to amortize
+    * per-file overhead, small enough for parallel scans and targeted
+    * rewrites). */
+  val DefaultTargetSegmentBytes: Long = 128L * 1024 * 1024
+
+  /** Output partition count for a full-table rewrite, derived from the
+    * MANIFEST (r16): Σ live bytes (physical bytes scaled by the live
+    * fraction under deletion vectors — compaction materializes the
+    * vectors away, so the output holds only live rows) over the target
+    * segment size. Zero scans at any table size: the operator says
+    * "compact to ~128 MiB segments", not a partition count hand-
+    * computed from a row-count query. */
+  def deriveNumPartitions(m: Manifest,
+      targetBytes: Long = DefaultTargetSegmentBytes): Int = {
+    require(targetBytes > 0, "target bytes must be positive")
+    val liveBytes = m.segments.map { s =>
+      if (s.rows == 0) 0.0 else s.bytes.toDouble * s.liveRows / s.rows
+    }.sum
+    math.max(1, math.ceil(liveBytes / targetBytes).toInt)
+  }
+
+  /** `numPartitions <= 0` derives the output count from the manifest
+    * ([[deriveNumPartitions]] at `targetBytes` per segment). */
   def compact(spark: SparkSession, dir: String, clusterBy: String,
-      numPartitions: Int, mode: String = "range"): (Int, Int) = {
+      numPartitions: Int, mode: String = "range",
+      targetBytes: Long = DefaultTargetSegmentBytes): (Int, Int) = {
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
-    val before = SegmentLog.read(fs, dir).map(_.segments.size).getOrElse(0)
+    val m = SegmentLog.read(fs, dir)
+    val before = m.map(_.segments.size).getOrElse(0)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else m.map(deriveNumPartitions(_, targetBytes)).getOrElse(1)
     spark.read.format(Fmt).load(dir)
       .write.format(Fmt)
-      .option("clusterBy", clusterBy).option("numPartitions", numPartitions.toString)
+      .option("clusterBy", clusterBy).option("numPartitions", n.toString)
       .option("clusterMode", mode)
       // rows are REORGANIZED, not changed: streams must not re-consume
       .option("dataChange", "false")
@@ -75,7 +104,8 @@ object GraftMaintenance {
     * what transfers is the zone-map selectivity this exists for.
     * Returns (segments before, after). */
   def compactZOrder(spark: SparkSession, dir: String, cols: Seq[String],
-      numPartitions: Int): (Int, Int) = {
+      numPartitions: Int,
+      targetBytes: Long = DefaultTargetSegmentBytes): (Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
     require(cols.size >= 2, "z-order needs at least 2 columns (use clusterBy for 1)")
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
@@ -83,6 +113,10 @@ object GraftMaintenance {
       throw new IllegalArgumentException(s"no graft-segment table at $dir"))
     val before = m.segments.size
     if (before == 0) return (0, 0) // nothing live to reorganize
+    // <= 0 derives the output count from the manifest, like compact()
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else deriveNumPartitions(m, targetBytes)
     val df = spark.read.format(Fmt).load(dir)
     // per-type numeric projection: date/timestamp columns go through
     // unix_date/unix_micros — Spark 4's default ANSI mode refuses the
@@ -137,7 +171,7 @@ object GraftMaintenance {
       shiftleft(shiftright(coalesce(r, lit(0L)), b).bitwiseAND(lit(1L)), b * k + i)
     }).reduce(_ bitwiseOR _)
     df.withColumn("_graft_z", z)
-      .repartitionByRange(numPartitions, col("_graft_z"))
+      .repartitionByRange(nParts, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
       .write.format(Fmt)

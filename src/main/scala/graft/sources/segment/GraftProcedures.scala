@@ -13,8 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * never leaves SQL for the table lifecycle:
   *
   * {{{
-  * CALL graft.system.compact('db.t', 'k', 16);            -- + optional mode
-  * CALL graft.system.zorder('db.t', 'x,y', 16);
+  * CALL graft.system.compact('db.t', 'k');       -- count derived from the
+  *                                               -- manifest (+ optional
+  *                                               -- num_partitions, mode,
+  *                                               -- target_mb)
+  * CALL graft.system.zorder('db.t', 'x,y');      -- same derivation
   * CALL graft.system.expire('db.t', 3);
   * CALL graft.system.vacuum('db.t');                      -- + retention_ms
   * CALL graft.system.history('db.t');
@@ -97,25 +100,33 @@ object GraftProcedures {
       s"procedures live under the system namespace, got ${ident.namespace().mkString(".")}")
     ident.name() match {
       case "compact" =>
+        // num_partitions <= 0 derives the output count from the
+        // manifest (Σ live bytes / target_mb per segment) — zero
+        // scans; the operator states a segment size, not a count
         procedure("compact",
           Seq(param("table", StringType), param("cluster_by", StringType),
-            param("num_partitions", IntegerType),
-            paramDefault("mode", StringType, "'range'")),
+            paramDefault("num_partitions", IntegerType, "0"),
+            paramDefault("mode", StringType, "'range'"),
+            paramDefault("target_mb", IntegerType,
+              (GraftMaintenance.DefaultTargetSegmentBytes / (1024 * 1024)).toString)),
           beforeAfter) { (spark, in) =>
           val (b, a) = GraftMaintenance.compact(spark,
             tableDir(warehouse, in.getUTF8String(0).toString),
-            in.getUTF8String(1).toString, in.getInt(2), in.getUTF8String(3).toString)
+            in.getUTF8String(1).toString, in.getInt(2), in.getUTF8String(3).toString,
+            targetBytes = in.getInt(4).toLong * 1024 * 1024)
           Seq(row(b, a))
         }
       case "zorder" =>
         procedure("zorder",
           Seq(param("table", StringType), param("columns", StringType),
-            param("num_partitions", IntegerType)),
+            paramDefault("num_partitions", IntegerType, "0"),
+            paramDefault("target_mb", IntegerType,
+              (GraftMaintenance.DefaultTargetSegmentBytes / (1024 * 1024)).toString)),
           beforeAfter) { (spark, in) =>
           val (b, a) = GraftMaintenance.compactZOrder(spark,
             tableDir(warehouse, in.getUTF8String(0).toString),
             in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-            in.getInt(2))
+            in.getInt(2), targetBytes = in.getInt(3).toLong * 1024 * 1024)
           Seq(row(b, a))
         }
       case "expire" =>

@@ -1092,6 +1092,49 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .contains("earliest|latest"))
   }
 
+  test("compact derives the output count from the manifest when num_partitions is omitted") {
+    import graft.sources.segment.GraftMaintenance
+    val wh = tmp("graft-autoparts-wh")
+    val cat = s"graft_autoparts_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, x BIGINT, y BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.t SELECT id, id % 100, (id * 37) % 100 " +
+        s"FROM range(${i * 2000}, ${i * 2000 + 2000})"))
+    val dir = s"$wh/db/t"
+    def manifest = SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir).get
+
+    // the derivation arithmetic: ceil(Σ live bytes / target), floor 1
+    val m = manifest
+    val total = m.segments.map(_.bytes).sum
+    assert(GraftMaintenance.deriveNumPartitions(m, total + 1) == 1)
+    val third = GraftMaintenance.deriveNumPartitions(m, math.max(1L, total / 3))
+    assert(third == 3 || third == 4, s"ceil(B/(B/3)) ∈ {3,4}, got $third")
+
+    // deletion vectors scale to the LIVE fraction: compaction
+    // materializes the vectors, so the output holds live rows only
+    spark.sql(s"CALL $cat.system.delete_mark('db.t', 'k % 2 = 0')").collect()
+    val m2 = manifest
+    assert(m2.segments.map(_.dvRows).sum > 0, "dvs in place")
+    val t8 = math.max(1L, total / 8)
+    assert(GraftMaintenance.deriveNumPartitions(m2, t8) <=
+      GraftMaintenance.deriveNumPartitions(m, t8) / 2 + 1,
+      "half the live rows must derive about half the partitions")
+
+    // the SQL face: num_partitions omitted → derived (a small table
+    // lands on 1 segment at the 128 MiB default); zorder shares it
+    val c = spark.sql(s"CALL $cat.system.compact('db.t', 'k')").collect()(0)
+    assert(c.getInt(1) == 1, s"derived compact output, got ${c.getInt(1)}")
+    val z = spark.sql(s"CALL $cat.system.zorder('db.t', 'x,y')").collect()(0)
+    assert(z.getInt(1) == 1, s"derived zorder output, got ${z.getInt(1)}")
+    // the rewrite is still the same data
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 4000L)
+  }
+
   test("CALL procedures: the whole maintenance lifecycle without leaving SQL") {
     val wh = tmp("graft-proc-wh")
     val cat = s"graft_proc_${System.nanoTime()}"
