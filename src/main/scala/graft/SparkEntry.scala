@@ -4351,12 +4351,26 @@ object SparkEntry {
 
   private def annIndexFor(s: SparkSession, d: String): (String, Int) =
     annIdxCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-annidx-cache").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-annidx-cache")
+      // session-lifetime cache: reclaim it at JVM exit (a long-lived
+      // bench box accumulates run-over-run temp otherwise — the
+      // disk-pressure failure mode BENCH_NOTES r16 records)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(out)))
       val emb = Tables.embeddings(s, d)
       val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
-      graft.ops.AnnIndex.writeIvfPq(emb, out, kIvf = 8, nSub = 4, dsub = dsub, kPq = 8)
-      (out, dsub)
+      graft.ops.AnnIndex.writeIvfPq(emb, out.toString, kIvf = 8, nSub = 4,
+        dsub = dsub, kPq = 8)
+      (out.toString, dsub)
     })
+
+  private def deleteTree(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(base)) return
+    val st = java.nio.file.Files.walk(base)
+    try st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally st.close()
+  }
 
   /** Recursive file copy of the cached index into a query-owned dir —
     * mutating certificates operate on their copy, never the cache. */
@@ -4364,12 +4378,13 @@ object SparkEntry {
     import scala.jdk.CollectionConverters._
     val from = java.nio.file.Paths.get(src)
     val to = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+    val st = java.nio.file.Files.walk(from) // close: walk holds dir handles
+    try st.iterator().asScala.foreach { p =>
       val t = to.resolve(from.relativize(p).toString)
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally st.close()
   }
 
   /** The fuzzy-join fixture: unique part names and their deterministic

@@ -73,11 +73,13 @@ object SegmentHistogram {
     * per-plan conversion work. */
   val DefaultBins = 64
 
-  /** Soft declaration cap: each declared column can cost up to ~21 KiB
-    * base64 per segment plus ~87 KiB in every manifest version's
-    * pre-merged map (worst case, both caps full) — manifest weight
-    * every commit writes and every log read pays. Declarations past
-    * this count WARN (never refuse — the caps bound each column
+  /** Soft declaration cap: a declared LONG-arm column can cost up to
+    * ~21 KiB base64 per segment plus ~87 KiB in every manifest
+    * version's pre-merged map (16-byte entries, both caps full); a
+    * STRING-arm column up to ~104 KiB / ~415 KiB (entries are 12
+    * bytes + the value, ≤76 bytes at [[MaxStringBytes]]) — manifest
+    * weight every commit writes and every log read pays. Declarations
+    * past this count WARN (never refuse — the caps bound each column
     * individually and skew columns are few by nature; see
     * docs/SEGMENT.md sizing guidance). */
   val SoftMaxColumns = 8
@@ -134,8 +136,9 @@ object SegmentHistogram {
     if (schema.isDefined && cols.size > SoftMaxColumns)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"histFor declares ${cols.size} columns (soft cap $SoftMaxColumns): " +
-          "each can add ~21KiB per segment and ~87KiB per manifest version " +
-          "(docs/SEGMENT.md); declare only genuinely skew-prone keys")
+          "each can add ~21KiB (string columns ~104KiB) per segment and " +
+          "~87KiB (string ~415KiB) per manifest version (docs/SEGMENT.md); " +
+          "declare only genuinely skew-prone keys")
     schema.foreach(sc => cols.foreach { c =>
       val dt: DataType = SegmentCodec.resolveStatsColumn(sc, c).getOrElse(
         throw new IllegalArgumentException(
@@ -215,13 +218,15 @@ object SegmentHistogram {
   }
 
   /** Bounded exact STRING frequency collector — the [[Collector]]
-    * contract with the string canonical: TreeMap ordered by
+    * contract with the string canonical. The WIRE form is sorted by
     * `UTF8String.compareTo` (unsigned UTF-8 byte order = code point
     * order = DuckDB's default binary collation, so the stored order
-    * is exactly replayable by an ORDER BY in either engine). Poisons
-    * past [[MaxDistinct]] distinct values OR on any value longer than
-    * [[MaxStringBytes]]; the same run-length memo as the long arm
-    * (skewed and clustered writes stream equal keys back to back). */
+    * is exactly replayable by an ORDER BY in either engine); the
+    * in-memory map is UNORDERED until [[base64]] sorts it once — see
+    * the field comment. Poisons past [[MaxDistinct]] distinct values
+    * OR on any value longer than [[MaxStringBytes]]; the same
+    * run-length memo as the long arm (skewed and clustered writes
+    * stream equal keys back to back). */
   final class StringCollector {
     // HASH map on the write hot path, not a TreeMap: a lookup costs
     // one murmur over ≤64 bytes + ~one equality, where an ordered
