@@ -3224,6 +3224,30 @@ object SparkEntry {
       s.sql(s"CALL $cat.system.quantiles('db.t', '0.1,0.5,0.9,0.99')")
         .orderBy(col("col_name"), col("q"))
     }),
+    // MIXTURE REBALANCING FROM METADATA (r16): the per-source totals
+    // that drive the mixture keep-rates come straight off the
+    // manifest's string frequency map — ZERO scans for the totals
+    // (the existing text_mixture_sample pays a corpus-wide token
+    // aggregate; at 100 TB a per-source doc-count mixture reads
+    // O(sources) manifest entries instead). Same rate arithmetic and
+    // md5 predicate; the oracle recomputes the totals as the exact
+    // GROUP BY the map is certified to equal
+    "store_mixture_metadata" -> ((s, d) => withTempDir("graft-mixmeta") { base =>
+      val dir = s"$base/docs"
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .write.format("graft-segment").option("histFor", "source")
+        .mode("append").save(dir)
+      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
+      val m = graft.sources.segment.SegmentLog.logicalView(
+        graft.sources.segment.SegmentLog.read(fs, dir).get)
+      val totals = graft.sources.segment.SegmentHistogram
+        .decodeStr(m.shistMerged("source"))
+        .map { case (v, n) => v.toString -> n }.toMap
+      Sampling.mixtureSample(s.read.format("graft-segment").load(dir),
+          col("doc_id"), col("source"), totals, mixShares, "mixsalt")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     // AUTO-SALT from the skew statistic (r16): the salted join's
     // fan-out is DERIVED from the manifest frequency map (hot-key
     // mass / target slot rows — Skew.saltsForTable), not guessed by
@@ -6997,6 +7021,20 @@ object SparkEntry {
         "UNION ALL SELECT 'tag', q, NULL, (SELECT min(value) FROM cumt " +
         "WHERE cum >= greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT))) FROM qs" +
         ") ORDER BY col_name, q"),
+
+    // the metadata-derived mixture: identical rate chain to
+    // text_mixture_sample with DOC counts as the totals — the GROUP BY
+    // here is exactly what the manifest string map equals by contract
+    "store_mixture_metadata" ->
+      (s"WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS toks FROM documents GROUP BY source), " +
+        s"sh(source, share) AS (VALUES $mixSharesValuesSql), " +
+        "c AS (SELECT min(CAST(toks AS DOUBLE) / share) AS c FROM t JOIN sh USING (source) WHERE share > 0), " +
+        "r AS (SELECT source, least(CAST(1.0 AS DOUBLE), c.c * share / CAST(toks AS DOUBLE)) AS rate " +
+        "FROM t JOIN sh USING (source) CROSS JOIN c WHERE share > 0), " +
+        "thr AS (SELECT source, printf('%08x', least(CAST(trunc(rate * 4294967296.0) AS BIGINT), 4294967295)) AS thr FROM r) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN thr ON d.source = thr.source " +
+        "WHERE substr(md5('mixsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr " +
+        "ORDER BY d.doc_id"),
 
     // the auto-salted join replayed as the PLAIN join: the derived
     // fan-out must be invisible in the result by construction
