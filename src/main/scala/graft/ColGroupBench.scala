@@ -32,6 +32,11 @@ object ColGroupBench {
     val outBase = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft-colgroup").toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // reclaim a GENERATED outBase even on a failed run (ENOSPC mid-
+    // write is exactly the disk-pressure mode this guards against); an
+    // explicit [outBase] arg is the caller's to keep
+    if (args.length <= 1)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(outBase)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,16 +93,16 @@ object ColGroupBench {
       s""""narrow_parquet":${f(nPq)},"group_win":${f(nAll / nHot)},""" +
       s""""wide_seg":${f(wAll)},"wide_parquet":${f(wPq)}}""")
     spark.stop()
-    // ~GBs of temp per run: reclaim a generated outBase (an explicit
-    // [outBase] arg is the caller's to keep) — the disk-pressure
-    // failure mode BENCH_NOTES r16 records
-    if (args.length <= 1) {
-      import scala.jdk.CollectionConverters._
-      val base = java.nio.file.Paths.get(outBase)
-      val st = java.nio.file.Files.walk(base)
-      try st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally st.close()
-    }
+    if (args.length <= 1) deleteTree(outBase) // ~GBs of temp per run
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(base)) return
+    val st = java.nio.file.Files.walk(base)
+    try st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally st.close()
   }
 }

@@ -3241,7 +3241,12 @@ object SparkEntry {
       val m = graft.sources.segment.SegmentLog.logicalView(
         graft.sources.segment.SegmentLog.read(fs, dir).get)
       val totals = graft.sources.segment.SegmentHistogram
-        .decodeStr(m.shistMerged("source"))
+        .decodeStr(m.shistMerged.getOrElse("source",
+          throw new IllegalStateException(
+            "no merged string map for 'source': a value past the 64-byte " +
+              "cap or > 4096 distinct sources poisons the statistic to " +
+              "absent (the cap doctrine) — this certificate requires the " +
+              "bounded source domain the test data declares")))
         .map { case (v, n) => v.toString -> n }.toMap
       Sampling.mixtureSample(s.read.format("graft-segment").load(dir),
           col("doc_id"), col("source"), totals, mixShares, "mixsalt")
@@ -4550,11 +4555,7 @@ object SparkEntry {
   private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(prefix)
     try f(base.toString).localCheckpoint(true)
-    finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    finally deleteTree(base) // closes its walk stream, unlike a bare walk
   }
 
   /** The streaming pipeline driven end-to-end as a deterministic job:
