@@ -374,8 +374,16 @@ object Dedup {
       "band counts must be within the rotation width (1..4)")
     val truthPairs = truth.getOrElse(prefixFilteredPairs(docs, t))
       .select(col("doc_a"), col("doc_b"))
+    // ONE signature pass serves every arm: band i's min-signature
+    // depends only on the band index (the rotation), not on how many
+    // bands the arm asks for, so the b-band signatures are exactly the
+    // max-arm signatures filtered to band < b. The shingle+md5 posting
+    // pass is the dominant cost and was previously paid once PER ARM
+    // (r16: ~2x on the certificate); materialized because every arm
+    // reads it twice (bucket sizes + the semi-join back).
+    val sigsAll = minhashSignatures(docs, bandCounts.max).localCheckpoint(true)
     bandCounts.map { b =>
-      val sigs = minhashSignatures(docs, b)
+      val sigs = sigsAll.filter(col("band") < b)
       val ok = sigs.groupBy(col("band"), col("signature"))
         .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
         .select(col("band"), col("signature"))
