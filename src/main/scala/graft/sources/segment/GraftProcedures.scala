@@ -31,6 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.stats('db.t');                       -- full manifest column stats
   * CALL graft.system.histogram('db.t');                   -- manifest value frequencies
   * CALL graft.system.quantiles('db.t', '0.5,0.95');       -- metadata-only quantiles
+  * CALL graft.system.salts('db.t', 'k', 100000);  -- derived salted-join fan-out
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -382,6 +383,31 @@ object GraftProcedures {
           }
           (longs ++ strs).sortBy(_._1).flatMap(_._2)
         }
+      case "salts" =>
+        // the skew statistic's operator face for SQL-only users: the
+        // salted-join fan-out [[graft.ops.Skew.saltsFromHistogram]]
+        // derives from the manifest frequency map (either value arm —
+        // only counts matter), with `derived` = false when the column
+        // is undeclared or overflowed and the fallback was served.
+        // Zero scans; the alternative is a GROUP BY over the fact side
+        // or a guessed constant.
+        procedure("salts",
+          Seq(param("table", StringType), param("column", StringType),
+            param("target_rows", LongType),
+            paramDefault("fallback", IntegerType, "8"),
+            paramDefault("max_salts", IntegerType, "64")),
+          StructType(Seq(
+            StructField("salts", IntegerType, nullable = false),
+            StructField("derived", BooleanType, nullable = false)))) { (spark, in) =>
+          val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
+          val key = in.getUTF8String(1).toString
+          val counts: Option[Array[Long]] =
+            m.histMerged.get(key).map(SegmentHistogram.decode(_).map(_._2))
+              .orElse(m.shistMerged.get(key)
+                .map(SegmentHistogram.decodeStr(_).map(_._2)))
+          Seq(row(graft.ops.Skew.saltsFromHistogram(counts,
+            in.getInt(3), in.getLong(2), in.getInt(4)), counts.nonEmpty))
+        }
       case "stats" =>
         procedure("stats",
           Seq(param("table", StringType)),
@@ -499,5 +525,5 @@ object GraftProcedures {
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
       "delete_where", "delete_mark", "compact_deletes", "update_mark",
       "rollback", "rollback_to_timestamp", "clone", "ndv", "stats", "histogram",
-      "quantiles")
+      "quantiles", "salts")
 }

@@ -249,6 +249,36 @@ class SegmentHistogramSpec extends SparkSpec {
       "the deleted value is gone from the map")
   }
 
+  test("CALL graft.system.salts: derived fan-out from either map arm, fallback annotated") {
+    val cat = "ghsalts"
+    val wh = tmp("graft-hist-salts")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, tag STRING, u BIGINT) " +
+      "TBLPROPERTIES ('histFor'='k,tag')")
+    // k: 900 hot by the modulo + id=7 itself lands in the else-branch
+    // as another 7 → 901; tag: 1080 hot
+    spark.sql(s"INSERT INTO $cat.db.t SELECT " +
+      "CASE WHEN id % 4 < 3 THEN 7 ELSE id END, " + // long arm, 901 hot
+      "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('c', id) END, " + // 1080 hot
+      "id FROM range(0, 1200)")
+    def salts(c: String, target: Long) =
+      spark.sql(s"CALL $cat.system.salts('db.t', '$c', $target)")
+        .collect()(0) match { case r => (r.getInt(0), r.getBoolean(1)) }
+    assert(salts("k", 100L) == (10, true)) // ceil(901/100)
+    assert(salts("tag", 100L) == (11, true)) // ceil(1080/100) — string arm
+    assert(salts("u", 100L) == (8, false), "undeclared: fallback, annotated")
+    // explicit fallback/max_salts ride the trailing defaults
+    val r = spark.sql(s"CALL $cat.system.salts('db.t', 'u', 100, 3)")
+      .collect()(0)
+    assert(r.getInt(0) == 3 && !r.getBoolean(1))
+    val clamped = spark.sql(s"CALL $cat.system.salts('db.t', 'k', 1, 8, 16)")
+      .collect()(0)
+    assert(clamped.getInt(0) == 16 && clamped.getBoolean(1), "max_salts clamps")
+  }
+
   test("string maps end to end: manifest pre-merge, CALL face, exact distinctCount, DDL hygiene") {
     val dir = tmp("graft-shist")
     def write(lo: Int, hi: Int): Unit =
