@@ -279,6 +279,23 @@ class SegmentHistogramSpec extends SparkSpec {
     assert(clamped.getInt(0) == 16 && clamped.getBoolean(1), "max_salts clamps")
   }
 
+  test("string maps reach struct fields: dotted histFor on a nested string") {
+    val dir = tmp("graft-shist-nested")
+    spark.range(0, 1000)
+      .select(col("id"),
+        struct(concat(lit("l"), col("id") % 5).as("lang"),
+          (col("id") % 3).cast("int").as("b")).as("meta"))
+      .repartition(2)
+      .write.format(Fmt).option("histFor", "meta.lang").mode("append").save(dir)
+    val m = SegmentLog.read(
+      SegmentLog.fs(dir, spark.sessionState.newHadoopConf()), dir).get
+    val got = graft.sources.segment.SegmentHistogram
+      .decodeStr(m.shistMerged("meta.lang"))
+      .map { case (v, n) => v.toString -> n }.toMap
+    assert(got == (0 until 5).map(i => s"l$i" -> 200L).toMap)
+    assert(m.segments.forall(_.stats("meta.lang").shist.isDefined))
+  }
+
   test("string maps end to end: manifest pre-merge, CALL face, exact distinctCount, DDL hygiene") {
     val dir = tmp("graft-shist")
     def write(lo: Int, hi: Int): Unit =
