@@ -3224,6 +3224,30 @@ object SparkEntry {
       s.sql(s"CALL $cat.system.quantiles('db.t', '0.1,0.5,0.9,0.99')")
         .orderBy(col("col_name"), col("q"))
     }),
+    // the salts procedure certified: the SQL face's derived fan-out
+    // (both map arms) against an independent DuckDB replay of the
+    // same arithmetic — ceil(hottest count / target), clamped —
+    // computed from the source rows the manifest maps equal
+    "store_segment_salts" -> ((s, d) => withTempDir("graft-segsalts") { base =>
+      val cat = s"graft_salts_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.t (k BIGINT, tag STRING) " +
+        "TBLPROPERTIES ('histFor'='k,tag', " +
+        "'clusterBy'='k', 'numPartitions'='4')")
+      Tables.documents(s, d).createOrReplaceTempView("graft_salts_docs")
+      s.sql(s"INSERT INTO $cat.db.t SELECT " +
+        "CASE WHEN doc_id % 4 < 3 THEN 7 ELSE doc_id % 97 END, " +
+        "CASE WHEN doc_id % 5 < 4 THEN 'hot' " +
+        "ELSE concat('c', lpad(CAST(doc_id % 13 AS STRING), 2, '0')) END " +
+        "FROM graft_salts_docs")
+      Seq("k", "tag").map(c =>
+          s.sql(s"CALL $cat.system.salts('db.t', '$c', 50)")
+            .select(lit(c).as("col_name"), col("salts"), col("derived")))
+        .reduce(_.unionByName(_)).orderBy(col("col_name"))
+    }),
     // MIXTURE REBALANCING FROM METADATA (r16): the per-source totals
     // that drive the mixture keep-rates come straight off the
     // manifest's string frequency map — ZERO scans for the totals
@@ -7022,6 +7046,23 @@ object SparkEntry {
         "UNION ALL SELECT 'tag', q, NULL, (SELECT min(value) FROM cumt " +
         "WHERE cum >= greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT))) FROM qs" +
         ") ORDER BY col_name, q"),
+
+    // the derived fan-out replayed from source rows: the manifest maps
+    // are the exact GROUP BY, so the hottest count is too
+    "store_segment_salts" ->
+      ("WITH src AS (SELECT CASE WHEN doc_id % 4 < 3 THEN 7 " +
+        "ELSE doc_id % 97 END AS k, " +
+        "CASE WHEN doc_id % 5 < 4 THEN 'hot' " +
+        "ELSE 'c' || lpad(CAST(doc_id % 13 AS VARCHAR), 2, '0') END AS tag " +
+        "FROM documents), " +
+        "hk AS (SELECT max(c) AS hot FROM (SELECT count(*) AS c FROM src GROUP BY k)), " +
+        "ht AS (SELECT max(c) AS hot FROM (SELECT count(*) AS c FROM src GROUP BY tag)) " +
+        "SELECT col_name, salts, true AS derived FROM (" +
+        "SELECT 'k' AS col_name, CAST(least(64, greatest(1, " +
+        "CAST(ceil(CAST((SELECT hot FROM hk) AS DOUBLE) / 50) AS BIGINT))) AS INT) AS salts " +
+        "UNION ALL SELECT 'tag', CAST(least(64, greatest(1, " +
+        "CAST(ceil(CAST((SELECT hot FROM ht) AS DOUBLE) / 50) AS BIGINT))) AS INT)" +
+        ") ORDER BY col_name"),
 
     // the metadata-derived mixture: identical rate chain to
     // text_mixture_sample with DOC counts as the totals — the GROUP BY
