@@ -3245,7 +3245,8 @@ object SparkEntry {
         "FROM graft_salts_docs")
       Seq("k", "tag").map(c =>
           s.sql(s"CALL $cat.system.salts('db.t', '$c', 50)")
-            .select(lit(c).as("col_name"), col("salts"), col("derived")))
+            .select(lit(c).as("col_name"), col("salts"), col("derived"),
+              col("exact")))
         .reduce(_.unionByName(_)).orderBy(col("col_name"))
     }),
     // MIXTURE REBALANCING FROM METADATA (r16): the per-source totals
@@ -7057,7 +7058,7 @@ object SparkEntry {
         "FROM documents), " +
         "hk AS (SELECT max(c) AS hot FROM (SELECT count(*) AS c FROM src GROUP BY k)), " +
         "ht AS (SELECT max(c) AS hot FROM (SELECT count(*) AS c FROM src GROUP BY tag)) " +
-        "SELECT col_name, salts, true AS derived FROM (" +
+        "SELECT col_name, salts, true AS derived, true AS exact FROM (" +
         "SELECT 'k' AS col_name, CAST(least(64, greatest(1, " +
         "CAST(ceil(CAST((SELECT hot FROM hk) AS DOUBLE) / 50) AS BIGINT))) AS INT) AS salts " +
         "UNION ALL SELECT 'tag', CAST(least(64, greatest(1, " +

@@ -379,9 +379,12 @@ object Dedup {
     // bands the arm asks for, so the b-band signatures are exactly the
     // max-arm signatures filtered to band < b. The shingle+md5 posting
     // pass is the dominant cost and was previously paid once PER ARM
-    // (r16: ~2x on the certificate); materialized because every arm
-    // reads it twice (bucket sizes + the semi-join back).
-    val sigsAll = minhashSignatures(docs, bandCounts.max).localCheckpoint(true)
+    // (r16: ~2x on the certificate). persist, not localCheckpoint:
+    // lineage survives executor loss (a lost block recomputes instead
+    // of failing the job at cluster scale) and the plan stays
+    // analyzable; blocks are n_docs x bands rows — a sliver of the
+    // corpus (the rel_part_blast_radius discipline).
+    val sigsAll = minhashSignatures(docs, bandCounts.max).persist()
     bandCounts.map { b =>
       val sigs = sigsAll.filter(col("band") < b)
       val ok = sigs.groupBy(col("band"), col("signature"))

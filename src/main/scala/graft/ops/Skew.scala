@@ -66,20 +66,28 @@ object Skew {
     }
   }
 
+  /** The counts of a manifest's merged frequency map for `key` — both
+    * value arms (only counts matter here); None when undeclared or
+    * overflowed. ONE resolution shared by [[saltsForTable]] and the
+    * `CALL graft.system.salts` SQL face. */
+  def mapCounts(m: graft.sources.segment.Manifest,
+      key: String): Option[Array[Long]] = {
+    import graft.sources.segment.SegmentHistogram
+    m.histMerged.get(key).map(SegmentHistogram.decode(_).map(_._2))
+      .orElse(m.shistMerged.get(key)
+        .map(SegmentHistogram.decodeStr(_).map(_._2)))
+  }
+
   /** [[saltsFromHistogram]] reading a graft-segment table's manifest
     * directly — both the long and string arms of the merged maps
     * (only counts matter). */
   def saltsForTable(spark: org.apache.spark.sql.SparkSession, dir: String,
       key: String, fallback: Int, targetRowsPerSlot: Long,
       maxSalts: Int = 64): Int = {
-    import graft.sources.segment.{SegmentHistogram, SegmentLog}
+    import graft.sources.segment.SegmentLog
     val fs = SegmentLog.fs(dir, spark.sessionState.newHadoopConf())
     val counts = SegmentLog.read(fs, dir).map(SegmentLog.logicalView)
-      .flatMap { m =>
-        m.histMerged.get(key).map(SegmentHistogram.decode(_).map(_._2))
-          .orElse(m.shistMerged.get(key)
-            .map(SegmentHistogram.decodeStr(_).map(_._2)))
-      }
+      .flatMap(mapCounts(_, key))
     saltsFromHistogram(counts, fallback, targetRowsPerSlot, maxSalts)
   }
 }

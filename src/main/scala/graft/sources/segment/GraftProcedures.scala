@@ -398,15 +398,27 @@ object GraftProcedures {
             paramDefault("max_salts", IntegerType, "64")),
           StructType(Seq(
             StructField("salts", IntegerType, nullable = false),
-            StructField("derived", BooleanType, nullable = false)))) { (spark, in) =>
+            StructField("derived", BooleanType, nullable = false),
+            // false while any live segment carries a deletion vector:
+            // the maps hold PRE-delete mass until compaction, so a
+            // derived split may be sized for rows that no longer
+            // exist — annotated like histogram/quantiles
+            StructField("exact", BooleanType, nullable = false)))) { (spark, in) =>
+          // validate the REQUEST before touching table state (the
+          // quantiles doctrine): a zero/negative fan-out would make
+          // the salted join silently return an EMPTY result
+          // (pmod(hash, 0) is null on every fact row)
+          require(in.getLong(2) > 0,
+            s"target_rows must be positive, got ${in.getLong(2)}")
+          require(in.getInt(3) >= 1,
+            s"fallback must be at least 1, got ${in.getInt(3)}")
+          require(in.getInt(4) >= 1,
+            s"max_salts must be at least 1, got ${in.getInt(4)}")
           val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
-          val key = in.getUTF8String(1).toString
-          val counts: Option[Array[Long]] =
-            m.histMerged.get(key).map(SegmentHistogram.decode(_).map(_._2))
-              .orElse(m.shistMerged.get(key)
-                .map(SegmentHistogram.decodeStr(_).map(_._2)))
+          val counts = graft.ops.Skew.mapCounts(m, in.getUTF8String(1).toString)
           Seq(row(graft.ops.Skew.saltsFromHistogram(counts,
-            in.getInt(3), in.getLong(2), in.getInt(4)), counts.nonEmpty))
+            in.getInt(3), in.getLong(2), in.getInt(4)), counts.nonEmpty,
+            m.segments.forall(_.dvRows == 0L)))
         }
       case "stats" =>
         procedure("stats",

@@ -277,6 +277,23 @@ class SegmentHistogramSpec extends SparkSpec {
     val clamped = spark.sql(s"CALL $cat.system.salts('db.t', 'k', 1, 8, 16)")
       .collect()(0)
     assert(clamped.getInt(0) == 16 && clamped.getBoolean(1), "max_salts clamps")
+
+    // request validation BEFORE table state (the quantiles doctrine):
+    // a zero fan-out would make the salted join silently empty
+    for (bad <- Seq(s"CALL $cat.system.salts('db.t', 'k', 0)",
+        s"CALL $cat.system.salts('db.t', 'k', 100, 0)",
+        s"CALL $cat.system.salts('db.t', 'k', 100, 8, 0)")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      assert(e.getMessage.contains("must be"), s"$bad: ${e.getMessage}")
+    }
+    // dv honesty: derived mass is PRE-delete until compaction — exact
+    // flips false, like histogram/quantiles
+    assert(spark.sql(s"CALL $cat.system.salts('db.t', 'k', 100)")
+      .collect()(0).getBoolean(2), "dv-free: exact")
+    spark.sql(s"CALL $cat.system.delete_mark('db.t', 'k = 7')").collect()
+    val dv = spark.sql(s"CALL $cat.system.salts('db.t', 'k', 100)").collect()(0)
+    assert(dv.getInt(0) == 10 && !dv.getBoolean(2),
+      "pre-delete mass served, annotated")
   }
 
   test("string maps reach struct fields: dotted histFor on a nested string") {
