@@ -4403,19 +4403,50 @@ object SparkEntry {
     * training, and the 4× retrain was the suite's slowest cluster). */
   private val annIdxCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
+  /** Stable per-session cache key: the session's UUID when available
+    * (identityHashCode is not collision-free across live sessions — a
+    * collision would hand one session an index trained under the
+    * other; benign only while index content is deterministic per dir,
+    * so don't rely on it). `sessionUUID` is public bytecode but
+    * `private[sql]` to Scala, hence the reflective read; the fallback
+    * restores the old best-effort key. */
+  private def sessionKey(s: SparkSession): String =
+    try s.getClass.getMethod("sessionUUID").invoke(s).asInstanceOf[String]
+    catch { case scala.util.control.NonFatal(_) =>
+      System.identityHashCode(s).toString }
+
   private def annIndexFor(s: SparkSession, d: String): (String, Int) =
-    annIdxCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+    annIdxCache.computeIfAbsent(s"${sessionKey(s)}|$d", _ => {
       val out = java.nio.file.Files.createTempDirectory("graft-annidx-cache")
       // session-lifetime cache: reclaim it at JVM exit (a long-lived
       // bench box accumulates run-over-run temp otherwise — the
       // disk-pressure failure mode BENCH_NOTES r16 records)
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(out)))
+      val t0 = System.nanoTime()
       val emb = Tables.embeddings(s, d)
       val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
       graft.ops.AnnIndex.writeIvfPq(emb, out.toString, kIvf = 8, nSub = 4,
         dsub = dsub, kPq = 8)
+      // the one-time Lloyd training is the ANN family's dominant cold
+      // cost (r16: store_ann_forget carried 6.5 s of it as the
+      // alphabetically-first cache miss) — make it visible on its own
+      // line so the certificates' numbers read mutate+probe
+      println(f"[graft] ann index cold build: ${(System.nanoTime() - t0) / 1e9}%.2f s ($d)")
       (out.toString, dsub)
     })
+
+  /** Pre-trains the session's shared ANN index OUTSIDE any timed
+    * window and returns the build seconds (0.0 on a warm cache) —
+    * [[graft.Bench]] calls this before the suite so the four
+    * store_ann/stream_ann certificates measure store/load/mutate/probe
+    * steady-state while the one-time training cost rides the artifact
+    * as its own `ann_build_sec` field. */
+  def warmAnnIndex(s: SparkSession, d: String): Double = {
+    val t0 = System.nanoTime()
+    val missed = !annIdxCache.containsKey(s"${sessionKey(s)}|$d")
+    annIndexFor(s, d)
+    if (missed) (System.nanoTime() - t0) / 1e9 else 0.0
+  }
 
   private def deleteTree(base: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

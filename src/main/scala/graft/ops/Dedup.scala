@@ -385,26 +385,36 @@ object Dedup {
     // analyzable; blocks are n_docs x bands rows — a sliver of the
     // corpus (the rel_part_blast_radius discipline).
     val sigsAll = minhashSignatures(docs, bandCounts.max).persist()
-    bandCounts.map { b =>
-      val sigs = sigsAll.filter(col("band") < b)
-      val ok = sigs.groupBy(col("band"), col("signature"))
-        .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
-        .select(col("band"), col("signature"))
-      val bucketed = sigs.join(ok, Seq("band", "signature"), "left_semi")
-      val cand = bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_a"))
-        .join(bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_b")),
-          Seq("band", "signature"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-        .distinct()
-      val captured = truthPairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(truthPairs.agg(count(lit(1)).as("n_true")))
-        .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
-        .select(lit(b).as("bands"), col("n_candidates"), col("n_true"),
-          col("n_captured"),
-          round(col("n_captured").cast("double") / col("n_true"), 4).as("recall"))
-    }.reduce(_.unionByName(_))
+    try {
+      val armed = bandCounts.map { b =>
+        val sigs = sigsAll.filter(col("band") < b)
+        val ok = sigs.groupBy(col("band"), col("signature"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+          .select(col("band"), col("signature"))
+        val bucketed = sigs.join(ok, Seq("band", "signature"), "left_semi")
+        val cand = bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_a"))
+          .join(bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_b")),
+            Seq("band", "signature"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        val captured = truthPairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truthPairs.agg(count(lit(1)).as("n_true")))
+          .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
+          .select(lit(b).as("bands"), col("n_candidates"), col("n_true"),
+            col("n_captured"),
+            round(col("n_captured").cast("double") / col("n_true"), 4).as("recall"))
+      }.reduce(_.unionByName(_))
+      // materialize the ≤4 summary rows EAGERLY (one per band count —
+      // a bounded artifact step, the Bloom/Pca/Bpe doctrine) so the
+      // shared signature blocks can be released before returning;
+      // a lazy return would pin docs × bands cached rows in the
+      // session's storage memory until the app ends (r16 advice)
+      import scala.jdk.CollectionConverters._
+      docs.sparkSession.createDataFrame(
+        armed.collect().toSeq.asJava, armed.schema)
+    } finally sigsAll.unpersist()
   }
 
   /** One LARGE-STAR round (Kiveris et al., "Connected Components in

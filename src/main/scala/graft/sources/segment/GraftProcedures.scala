@@ -416,8 +416,12 @@ object GraftProcedures {
             s"max_salts must be at least 1, got ${in.getInt(4)}")
           val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
           val counts = graft.ops.Skew.mapCounts(m, in.getUTF8String(1).toString)
+          // exists(_.nonEmpty), not isDefined: saltsFromHistogram also
+          // serves the fallback for a present-but-empty counts array,
+          // and the annotation must match the branch actually taken
           Seq(row(graft.ops.Skew.saltsFromHistogram(counts,
-            in.getInt(3), in.getLong(2), in.getInt(4)), counts.nonEmpty,
+            in.getInt(3), in.getLong(2), in.getInt(4)),
+            counts.exists(_.nonEmpty),
             m.segments.forall(_.dvRows == 0L)))
         }
       case "stats" =>
