@@ -379,6 +379,37 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("total_price"))
         .orderBy(col("p_brand"))),
 
+    // AUTO-SALTED AGGREGATION (r17 — the aggregation face of the skew
+    // statistic, the join face's store_join_autosalt discipline): a
+    // 75%-hot fact lands in the native format, the fan-out derives
+    // from the manifest frequency map with zero scans, and the
+    // two-phase salted groupBy (+ value-hash-salted exact distinct)
+    // is certified against the PLAIN GROUP BY — the split must be
+    // invisible in the result at ANY factor. Exact-long sums/counts
+    // keep every merge order-independent; avg is ONE double division
+    // of those exact operands on both sides
+    "rel_agg_autosalt" -> ((s, d) => withTempDir("graft-aggsalt") { base =>
+      val dir = s"$base/fact"
+      Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 4 < 3, lit(7L))
+          .otherwise(col("l_orderkey") % 97).as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_partkey"))
+        .write.format("graft-segment").option("histFor", "k")
+        .mode("append").save(dir)
+      val factT = s.read.format("graft-segment").load(dir)
+      val n = factT.count()
+      val salts = graft.ops.Skew.saltsForTable(s, dir, "k",
+        fallback = 8, targetRowsPerSlot = math.max(1L, n / 32))
+      val agg = graft.ops.Skew.saltedAgg(factT, "k", salts, Seq(
+        ("sum", "cents", "sum_cents"), ("count", "*", "n_lines"),
+        ("min", "cents", "min_cents"), ("max", "cents", "max_cents"),
+        ("avg", "cents", "avg_cents")))
+      val nd = graft.ops.Skew.saltedCountDistinct(
+        factT, "k", "l_partkey", salts, "n_parts")
+      agg.join(nd, Seq("k")).orderBy(col("k"))
+    }),
+
     // bloom-pruned join certified against the PLAIN join's oracle: the
     // probe-side prefilter may pass false positives (the join drops
     // them) but never false negatives — the result is identical by
@@ -6298,6 +6329,19 @@ object SparkEntry {
         "round(sum(l_extendedprice), 2) AS total_price " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_brand ORDER BY p_brand"),
+    // the auto-salted two-phase aggregation replayed as the PLAIN
+    // GROUP BY: the derived split must be invisible in the result
+    "rel_agg_autosalt" ->
+      ("WITH fact AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 7 " +
+        "ELSE l_orderkey % 97 END AS k, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +
+        "l_partkey FROM lineitem) " +
+        "SELECT k, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        "CAST(count(*) AS BIGINT) AS n_lines, " +
+        "min(cents) AS min_cents, max(cents) AS max_cents, " +
+        "CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents, " +
+        "count(DISTINCT l_partkey) AS n_parts " +
+        "FROM fact GROUP BY k ORDER BY k"),
     // the bloom-pruned join must produce exactly the plain join's result
     "rel_join_bloom" ->
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +

@@ -78,6 +78,92 @@ object Skew {
         .map(SegmentHistogram.decodeStr(_).map(_._2)))
   }
 
+  /** Two-phase salted aggregation for hot GROUP-BY keys (r17 — the
+    * aggregation face of the skew statistic; joins got theirs in
+    * [[saltedJoin]]): phase 1 aggregates on (key, __salt) — the hot
+    * key's rows split `salts` ways — phase 2 merges the partials on
+    * the key alone. Result ≡ `df.groupBy(key).agg(...)` for every
+    * supported function because each is decomposed into its exact
+    * partial/merge algebra (sum→sum, count→sum, min/max→min/max,
+    * avg→sumΣ/countΣ with the division deferred to the merge — never
+    * an average of averages).
+    *
+    * HONESTY NOTE on when this pays: Spark's hash aggregation already
+    * does map-side partial aggregation, so for these scalar
+    * aggregates a hot key contributes at most one row per input
+    * partition to its shuffle slot and plain groupBy is usually fine.
+    * The two-phase split matters when partial aggregation is
+    * ineffective or its state is heavy: re-aggregation AFTER another
+    * shuffle has collapsed partitions (the reducer-side straggler),
+    * `spark.sql.aggregate.partialaggregate` disabled shapes, or as
+    * the building block for distinct-like states —
+    * [[saltedCountDistinct]] is the form that genuinely removes a
+    * 100 TB straggler (per-source distinct URLs over crawl data,
+    * where one source is 75% of the corpus and its value set
+    * overflows a single slot's hash map). Derive `salts` from the
+    * manifest frequency map ([[saltsForTable]]) — the same zero-scan
+    * statistic the salted join reads.
+    *
+    * `aggs` entries are (fn, inputCol, outName) with fn in
+    * sum | count | min | max | avg; inputCol "*" under count counts
+    * rows. Output column order follows `aggs`. */
+  def saltedAgg(df: DataFrame, key: String, salts: Int,
+      aggs: Seq[(String, String, String)]): DataFrame = {
+    require(salts >= 1, s"salts must be at least 1, got $salts")
+    require(aggs.nonEmpty, "at least one aggregate is required")
+    val supported = Set("sum", "count", "min", "max", "avg")
+    aggs.foreach { case (fn, _, _) =>
+      require(supported(fn), s"unsupported aggregate '$fn' " +
+        s"(supported: ${supported.toSeq.sorted.mkString(", ")})") }
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val partials = aggs.zipWithIndex.flatMap { case ((fn, in, _), i) =>
+      fn match {
+        case "sum" => Seq(sum(col(in)).as(s"__p$i"))
+        case "count" =>
+          Seq((if (in == "*") count(lit(1)) else count(col(in))).as(s"__p$i"))
+        case "min" => Seq(min(col(in)).as(s"__p$i"))
+        case "max" => Seq(max(col(in)).as(s"__p$i"))
+        case "avg" => Seq(sum(col(in)).as(s"__p${i}s"),
+          count(col(in)).as(s"__p${i}n"))
+      }
+    }
+    val stage1 = salted.groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+    val merges = aggs.zipWithIndex.map { case ((fn, _, out), i) =>
+      fn match {
+        case "sum"   => sum(col(s"__p$i")).as(out)
+        case "count" => sum(col(s"__p$i")).as(out)
+        case "min"   => min(col(s"__p$i")).as(out)
+        case "max"   => max(col(s"__p$i")).as(out)
+        // exact long sum and count merged first, ONE double division
+        // at the end — the operands (and therefore the IEEE result)
+        // are identical to plain avg's sum/count
+        case "avg"   => (sum(col(s"__p${i}s")).cast("double") /
+          sum(col(s"__p${i}n"))).as(out)
+      }
+    }
+    stage1.groupBy(col(key)).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Exact `count(DISTINCT value)` per key under key skew: the salt is
+    * the VALUE's hash — equal values always share a salt, so the
+    * per-(key, salt) distinct counts partition the key's value set
+    * and phase 2 just sums them. This is the aggregation-skew case
+    * that actually hurts at 100 TB: a plain count-distinct's partial
+    * state for the hot key is its whole value set in one slot's hash
+    * map; salting bounds every slot's state to ~1/salts of it.
+    * Nulls are ignored in both phases, exactly as count(DISTINCT)
+    * ignores them. */
+  def saltedCountDistinct(df: DataFrame, key: String, valueCol: String,
+      salts: Int, outName: String = "n_distinct"): DataFrame = {
+    require(salts >= 1, s"salts must be at least 1, got $salts")
+    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count_distinct(col(valueCol)).as("__pd"))
+      .groupBy(col(key)).agg(sum(col("__pd")).as(outName))
+  }
+
   /** [[saltsFromHistogram]] reading a graft-segment table's manifest
     * directly — both the long and string arms of the merged maps
     * (only counts matter). */

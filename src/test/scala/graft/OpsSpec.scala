@@ -259,6 +259,39 @@ class OpsSpec extends SparkSpec {
     assert(Skew.saltsForTable(spark, s"$base/undecl", "k", 8, 375) == 8)
   }
 
+  test("salted aggregation: two-phase merge equals plain groupBy, any supported aggregate") {
+    import graft.ops.Skew
+    // a 75%-hot key plus nulls in the value column (count/avg must
+    // ignore them in BOTH phases) and a null-only key for the
+    // distinct arm
+    val df = spark.range(0, 4000).select(
+      when($"id" % 4 < 3, lit(7L)).otherwise($"id" % 13).as("k"),
+      when($"id" % 11 === 0, lit(null)).otherwise($"id" * 3).as("v"),
+      ($"id" % 500).as("u"))
+    val aggs = Seq(
+      ("sum", "v", "sum_v"), ("count", "v", "n_v"), ("count", "*", "n"),
+      ("min", "v", "min_v"), ("max", "v", "max_v"), ("avg", "v", "avg_v"))
+    val plain = df.groupBy($"k").agg(
+      sum($"v").as("sum_v"), count($"v").as("n_v"), count(lit(1)).as("n"),
+      min($"v").as("min_v"), max($"v").as("max_v"),
+      (sum($"v").cast("double") / count($"v")).as("avg_v"))
+    val salted = Skew.saltedAgg(df, "k", 16, aggs)
+    assert(salted.columns.toSeq === Seq("k") ++ aggs.map(_._3))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "the partial/merge algebra must be EXACT — including the avg " +
+        "double division on identical operands")
+    // distinct arm: value-hash salting means equal values share a
+    // salt, so the partial distinct counts partition the value set
+    val plainD = df.groupBy($"k").agg(count_distinct($"u").as("n_distinct"))
+    val saltedD = Skew.saltedCountDistinct(df, "k", "u", 16)
+    assert(saltedD.exceptAll(plainD).isEmpty && plainD.exceptAll(saltedD).isEmpty)
+    // request validation: the quantiles doctrine — reject before work
+    intercept[IllegalArgumentException](Skew.saltedAgg(df, "k", 0, aggs))
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(df, "k", 4, Seq(("median", "v", "m"))))
+    intercept[IllegalArgumentException](Skew.saltedAgg(df, "k", 4, Nil))
+  }
+
   test("embedding near-dup candidates come only from shared LSH buckets") {
     val emb = Seq(
       (1L, Seq(1f, 1f, 1f, 1f), 0), (2L, Seq(0.9f, 0.9f, 0.9f, 0.9f), 0),
