@@ -410,6 +410,45 @@ object SparkEntry {
       agg.join(nd, Seq("k")).orderBy(col("k"))
     }),
 
+    // the PLANNER face of the statistic (r17): the same hot fact, but
+    // the user writes a PLAIN join — SaltJoinRule reads the manifest
+    // map at plan time and injects the salt itself (fan-out derived,
+    // dim replicated, salt equality added, original output restored).
+    // The inline require proves the certified plan IS the rewritten
+    // one; the oracle is the plain join's — the rewrite must be
+    // invisible at any factor. Threshold -1 simulates the
+    // non-broadcastable dim this rule exists for (a broadcastable dim
+    // is guarded out: BHJ has no fact shuffle, measured dominant)
+    "rel_join_autosalt_rule" -> ((s, d) => withTempDir("graft-saltrule") { base =>
+      val dir = s"$base/fact"
+      Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 4 < 3, lit(7L))
+          .otherwise(col("l_orderkey") % 97).as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .write.format("graft-segment").option("histFor", "k")
+        .mode("append").save(dir)
+      val factT = s.read.format("graft-segment").load(dir)
+      val dim = s.range(0, 97).select(col("id").as("k"),
+        concat(lit("g"), pmod(col("id"), lit(5))).as("grp"))
+      val prev = s.experimental.extraOptimizations
+      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.experimental.extraOptimizations = prev :+ graft.plans.SaltJoinRule(s)
+      val out = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = factT.join(dim, Seq("k"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
+        require(joined.queryExecution.optimizedPlan.toString.contains("graft_salt_f"),
+          "SaltJoinRule must fire on the declared-hot key: this row " +
+            "certifies the REWRITTEN plan's results, not the plain one's")
+        joined.localCheckpoint()
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      }
+      out.orderBy(col("grp"))
+    }),
+
     // bloom-pruned join certified against the PLAIN join's oracle: the
     // probe-side prefilter may pass false positives (the join drops
     // them) but never false negatives — the result is identical by
@@ -6342,6 +6381,17 @@ object SparkEntry {
         "CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents, " +
         "count(DISTINCT l_partkey) AS n_parts " +
         "FROM fact GROUP BY k ORDER BY k"),
+    // the planner-salted join replayed as the PLAIN join it rewrote
+    "rel_join_autosalt_rule" ->
+      ("WITH fact AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 7 " +
+        "ELSE l_orderkey % 97 END AS k, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM lineitem), " +
+        "dim AS (SELECT range AS k, 'g' || CAST(range % 5 AS VARCHAR) AS grp " +
+        "FROM range(97)) " +
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM fact JOIN dim USING (k) GROUP BY grp ORDER BY grp"),
     // the bloom-pruned join must produce exactly the plain join's result
     "rel_join_bloom" ->
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +

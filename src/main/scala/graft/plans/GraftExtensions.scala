@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the edit-distance theta-join rewrite needs no tuning knob: the
     // threshold k is read from the query's own literal
     ext.injectOptimizerRule(_ => FuzzyJoinRule())
+    // manifest-statistic salting for shuffle joins on declared-hot
+    // keys (fan-out derived at plan time; disable with
+    // spark.graft.saltJoin.enabled=false)
+    ext.injectOptimizerRule(session => SaltJoinRule(session))
     // the whole-operator rung: plans AsOfJoinPlan as the merge-sweep
     // AsOfJoinExec (runtime counterpart: AsOfJoinNative.install)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

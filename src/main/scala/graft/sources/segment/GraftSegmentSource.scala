@@ -259,6 +259,13 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
   override def name(): String = s"graft-segment `$root`"
   override def schema(): StructType = tableSchema
 
+  /** Root directory and version pin, read by
+    * [[graft.plans.SaltJoinRule]] to resolve the manifest frequency
+    * map at plan time (the rule skips pinned scans — the CURRENT
+    * map's masses may not describe a time-traveled snapshot). */
+  private[graft] def rootDir: String = root
+  private[graft] def pinned: Option[Long] = pinnedVersion
+
   // SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the persisted declarations
   // plus the declared layout, straight from the (instance-cached)
   // manifest

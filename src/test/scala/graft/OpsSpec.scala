@@ -292,6 +292,57 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Skew.saltedAgg(df, "k", 4, Nil))
   }
 
+  test("SaltJoinRule: manifest-hot join salted automatically; every guard holds") {
+    import graft.plans.SaltJoinRule
+    val base = java.nio.file.Files.createTempDirectory("graft-saltrule").toString
+    val fact = spark.range(0, 12000).select(
+      when($"id" % 4 < 3, lit(7L)).otherwise($"id" % 13).as("k"), // ~9000 hot
+      ($"id" * 3).as("v"))
+    fact.write.format("graft-segment").option("histFor", "k")
+      .mode("append").save(s"$base/decl")
+    fact.write.format("graft-segment").mode("append").save(s"$base/undecl")
+    val factT = spark.read.format("graft-segment").load(s"$base/decl")
+    val dim = spark.range(0, 13).select($"id".as("k"), ($"id" % 3).as("b"))
+    def fired(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("graft_salt_f")
+    def shape(t: org.apache.spark.sql.DataFrame) = t.join(dim, Seq("k"))
+      .groupBy($"b").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val plain = shape(factT)
+    val prev = spark.experimental.extraOptimizations
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.experimental.extraOptimizations = prev :+ SaltJoinRule(spark)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val auto = shape(factT)
+      assert(fired(auto), "declared-hot key + non-broadcastable dim must fire")
+      assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty,
+        "the rewrite must be invisible in the result")
+      // row level too: multiplicity is exact, not just aggregate-exact
+      val rows = factT.join(dim, Seq("k"))
+      assert(fired(rows) && rows.count() === 12000)
+      // no statistic (undeclared map) -> no rewrite
+      assert(!fired(spark.read.format("graft-segment").load(s"$base/undecl")
+        .join(dim, Seq("k"))))
+      // non-inner joins are untouched
+      assert(!fired(factT.join(dim, Seq("k"), "left_outer")))
+      // extra conjunct -> untouched (the narrow-condition convergence
+      // guard: the rewritten join itself carries two conjuncts)
+      assert(!fired(factT.join(dim,
+        factT("k") === dim("k") && factT("v") > dim("b"))))
+      // kill switch
+      spark.conf.set(SaltJoinRule.EnabledKey, "false")
+      try assert(!fired(shape(factT)))
+      finally spark.conf.unset(SaltJoinRule.EnabledKey)
+      // broadcast-eligible dim -> no rewrite (BHJ has no fact shuffle;
+      // SaltBench measured broadcast strictly dominating)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      assert(!fired(shape(factT)), "broadcastable dim must stay unsalted")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+  }
+
   test("embedding near-dup candidates come only from shared LSH buckets") {
     val emb = Seq(
       (1L, Seq(1f, 1f, 1f, 1f), 0), (2L, Seq(0.9f, 0.9f, 0.9f, 0.9f), 0),
