@@ -36,7 +36,7 @@ object ColGroupBench {
     // write is exactly the disk-pressure mode this guards against); an
     // explicit [outBase] arg is the caller's to keep
     if (args.length <= 1)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(outBase)))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => TempDirs.deleteTree(outBase)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,7 +93,7 @@ object ColGroupBench {
       s""""narrow_parquet":${f(nPq)},"group_win":${f(nAll / nHot)},""" +
       s""""wide_seg":${f(wAll)},"wide_parquet":${f(wPq)}}""")
     spark.stop()
-    if (args.length <= 1) deleteTree(outBase) // ~GBs of temp per run
+    if (args.length <= 1) TempDirs.deleteTree(outBase) // ~GBs of temp per run
   }
 
   private def deleteTree(dir: String): Unit = {

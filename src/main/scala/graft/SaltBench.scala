@@ -52,141 +52,142 @@ object SaltBench {
 
     // the certificate's shape, replicated mult× and WRITTEN to the
     // native format so the salted arms derive their fan-out from the
-    // manifest statistic exactly as production would (zero scans)
+    // manifest statistic exactly as production would (zero scans).
+    // try/finally around EVERYTHING after the tempdir exists: a failed
+    // arm must not leak the multi-GB fact dir (the documented
+    // disk-pressure failure mode — / at 98% once produced a x5
+    // phantom slowdown)
     val base = java.nio.file.Files.createTempDirectory("graft-saltbench").toString
-    val dir = s"$base/fact"
-    Tables.lineitem(spark, sfDir)
-      .crossJoin(spark.range(mult).select(col("id").as("rep")))
-      .select(
-        when(col("l_orderkey") % 4 < 3, lit(7L))
-          .otherwise(col("l_orderkey") % 97).as("k"),
-        (round(col("l_extendedprice") * 100, 0).cast("long") + col("rep")).as("cents"),
-        (col("l_partkey") * mult + col("rep")).as("v"))
-      // write cpus files, as a production table would have: AQE's skew
-      // split works at MAP-OUTPUT granularity — a single-file table
-      // gives the join's shuffle ONE mapper and OptimizeSkewedJoin
-      // finds "0 skewed partitions" no matter how hot the key (the
-      // r17 harness's first finding; manifest salting has no such
-      // floor because it splits BEFORE the shuffle is written)
-      .repartition(cpus.toInt)
-      .write.format("graft-segment").option("histFor", "k")
-      .mode("append").save(dir)
-    def fact = spark.read.format("graft-segment").load(dir)
-    val n = fact.count()
-    val salts = graft.ops.Skew.saltsForTable(spark, dir, "k",
-      fallback = 8, targetRowsPerSlot = math.max(1L, n / cpus.toInt))
-    println(s"SALTBENCH rows=$n hot_share~0.75 derived_salts=$salts cpus=$cpus")
-    // materialize the (97-row) dim once — rebuilding it per arm would
-    // add a full fact scan+distinct to every measurement equally and
-    // blur the arm separation this harness exists to read
-    val dim = fact.select(col("k")).distinct()
-      .withColumn("grp", concat(lit("g"), pmod(col("k"), lit(5))))
-      .localCheckpoint()
+    try {
+      val dir = s"$base/fact"
+      Tables.lineitem(spark, sfDir)
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select(
+          when(col("l_orderkey") % 4 < 3, lit(7L))
+            .otherwise(col("l_orderkey") % 97).as("k"),
+          (round(col("l_extendedprice") * 100, 0).cast("long") + col("rep")).as("cents"),
+          (col("l_partkey") * mult + col("rep")).as("v"))
+        // write cpus files, as a production table would have: AQE's skew
+        // split works at MAP-OUTPUT granularity — a single-file table
+        // gives the join's shuffle ONE mapper and OptimizeSkewedJoin
+        // finds "0 skewed partitions" no matter how hot the key (the
+        // r17 harness's first finding; manifest salting has no such
+        // floor because it splits BEFORE the shuffle is written)
+        .repartition(cpus.toInt)
+        .write.format("graft-segment").option("histFor", "k")
+        .mode("append").save(dir)
+      def fact = spark.read.format("graft-segment").load(dir)
+      val n = fact.count()
+      val salts = graft.ops.Skew.saltsForTable(spark, dir, "k",
+        fallback = 8, targetRowsPerSlot = math.max(1L, n / cpus.toInt))
+      println(s"SALTBENCH rows=$n hot_share~0.75 derived_salts=$salts cpus=$cpus")
+      // materialize the (97-row) dim once — rebuilding it per arm would
+      // add a full fact scan+distinct to every measurement equally and
+      // blur the arm separation this harness exists to read
+      val dim = fact.select(col("k")).distinct()
+        .withColumn("grp", concat(lit("g"), pmod(col("k"), lit(5))))
+        .localCheckpoint()
 
-    def agg(df: org.apache.spark.sql.DataFrame) = df
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("s"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("s"))
 
-    def time(label: String, build: () => org.apache.spark.sql.DataFrame,
-        confs: (String, String)*): Unit = {
-      val olds = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
-      confs.foreach { case (c, v) => spark.conf.set(c, v) }
-      try {
-        build().count() // warm (codegen, file listing)
-        val times = (1 to repeat).map { _ =>
-          val s = System.nanoTime()
-          build().count()
-          (System.nanoTime() - s) / 1e9
-        }
-        // which join ran, and did AQE's skew split actually fire? the
-        // conclusion this harness feeds is worthless without that.
-        // collect(), not count(): count() spawns a SEPARATE query
-        // execution and leaves df's own AQE plan unfinalized (every
-        // arm's result is <= 97 aggregate rows)
-        val df = build(); df.collect()
-        def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
-            : org.apache.spark.sql.execution.SparkPlan = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan
-          case other => other
-        }
-        var joins = List.empty[String]
-        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-          p match {
-            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
-              joins ::= (if (j.isSkewJoin) "SMJ(skew-split)" else "SMJ")
-            case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
-              joins ::= (if (j.isSkewJoin) "SHJ(skew-split)" else "SHJ")
-            case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
-              joins ::= "BHJ"
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              walk(q.plan)
-            case _ =>
+      def time(label: String, build: () => org.apache.spark.sql.DataFrame,
+          confs: (String, String)*): Unit = {
+        val olds = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+        confs.foreach { case (c, v) => spark.conf.set(c, v) }
+        try {
+          build().count() // warm (codegen, file listing)
+          val times = (1 to repeat).map { _ =>
+            val s = System.nanoTime()
+            build().count()
+            (System.nanoTime() - s) / 1e9
           }
-          p.children.foreach(walk)
+          // which join ran, and did AQE's skew split actually fire? the
+          // conclusion this harness feeds is worthless without that.
+          // collect(), not count(): count() spawns a SEPARATE query
+          // execution and leaves df's own AQE plan unfinalized (every
+          // arm's result is <= 97 aggregate rows)
+          val df = build(); df.collect()
+          def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+              : org.apache.spark.sql.execution.SparkPlan = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case other => other
+          }
+          var joins = List.empty[String]
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            p match {
+              case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+                joins ::= (if (j.isSkewJoin) "SMJ(skew-split)" else "SMJ")
+              case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+                joins ::= (if (j.isSkewJoin) "SHJ(skew-split)" else "SHJ")
+              case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+                joins ::= "BHJ"
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(q.plan)
+              case _ =>
+            }
+            p.children.foreach(walk)
+          }
+          walk(finalPlan(df.queryExecution.executedPlan))
+          println(f"SALTBENCH $label%-16s best=${times.min}%6.2fs " +
+            f"median=${times.sorted.apply(times.size / 2)}%6.2fs " +
+            s"joins=${joins.reverse.mkString("+")}")
+        } finally olds.foreach {
+          case (c, Some(v)) => spark.conf.set(c, v)
+          case (c, None) => spark.conf.unset(c)
         }
-        walk(finalPlan(df.queryExecution.executedPlan))
-        println(f"SALTBENCH $label%-16s best=${times.min}%6.2fs " +
-          f"median=${times.sorted.apply(times.size / 2)}%6.2fs " +
-          s"joins=${joins.reverse.mkString("+")}")
-      } finally olds.foreach {
-        case (c, Some(v)) => spark.conf.set(c, v)
-        case (c, None) => spark.conf.unset(c)
       }
+
+      val noBcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+      val aqeOff = "spark.sql.adaptive.enabled" -> "false"
+      val aqeOn = "spark.sql.adaptive.enabled" -> "true"
+      // fire the skew split at bench scale: the hot partition here is
+      // tens of MB, not the 256 MB production default
+      val skewTuned = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        // without force, OptimizeSkewedJoin bails whenever the split
+        // might introduce an extra shuffle (ValidateRequirements) —
+        // which it conservatively assumes here
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+      time("smj-aqe-off", () => agg(fact.join(dim, Seq("k"))), noBcast, aqeOff)
+      time("smj-aqe-skew", () => agg(fact.join(dim, Seq("k"))),
+        (Seq(noBcast, aqeOn) ++ skewTuned): _*)
+      // AQE's best shot: same firing thresholds, default-ish 64 MB
+      // advisory so the split makes ~7 chunks instead of ~100
+      time("smj-aqe-skew64", () => agg(fact.join(dim, Seq("k"))),
+        (Seq(noBcast, aqeOn) ++ skewTuned.map {
+          case (c, _) if c.endsWith("advisoryPartitionSizeInBytes") => (c, "64m")
+          case kv => kv
+        }): _*)
+      time("salted-smj", () => agg(graft.ops.Skew.saltedJoin(fact, dim, "k", salts)),
+        noBcast, aqeOff)
+      time("salted-aqe", () => agg(graft.ops.Skew.saltedJoin(fact, dim, "k", salts)),
+        (Seq(noBcast, aqeOn) ++ skewTuned): _*)
+      // explicit hint: the checkpointed dim's stats are opaque, so the
+      // size-based auto-broadcast can't see the 97 rows
+      time("broadcast", () => agg(fact.join(broadcast(dim), Seq("k"))), aqeOff)
+
+      def plainAgg() = fact.groupBy(col("k"))
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
+      time("agg-plain", () => plainAgg(), aqeOff)
+      time("agg-salted", () => graft.ops.Skew.saltedAgg(fact, "k", salts,
+        Seq(("sum", "cents", "s"), ("count", "*", "c"))), aqeOff)
+      time("distinct-plain", () => fact.groupBy(col("k"))
+        .agg(count_distinct(col("v")).as("nd")), aqeOff)
+      time("distinct-salted", () => graft.ops.Skew.saltedCountDistinct(
+        fact, "k", "v", salts, "nd"), aqeOff)
+
+      spark.stop()
+    } finally {
+      // bench temp hygiene on EVERY exit path: multi-GB segment dirs
+      // add up run-over-run
+      TempDirs.deleteTree(base)
     }
-
-    val noBcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
-    val aqeOff = "spark.sql.adaptive.enabled" -> "false"
-    val aqeOn = "spark.sql.adaptive.enabled" -> "true"
-    // fire the skew split at bench scale: the hot partition here is
-    // tens of MB, not the 256 MB production default
-    val skewTuned = Seq(
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      // without force, OptimizeSkewedJoin bails whenever the split
-      // might introduce an extra shuffle (ValidateRequirements) —
-      // which it conservatively assumes here
-      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
-
-    time("smj-aqe-off", () => agg(fact.join(dim, Seq("k"))), noBcast, aqeOff)
-    time("smj-aqe-skew", () => agg(fact.join(dim, Seq("k"))),
-      (Seq(noBcast, aqeOn) ++ skewTuned): _*)
-    // AQE's best shot: same firing thresholds, default-ish 64 MB
-    // advisory so the split makes ~7 chunks instead of ~100
-    time("smj-aqe-skew64", () => agg(fact.join(dim, Seq("k"))),
-      (Seq(noBcast, aqeOn) ++ skewTuned.map {
-        case (c, _) if c.endsWith("advisoryPartitionSizeInBytes") => (c, "64m")
-        case kv => kv
-      }): _*)
-    time("salted-smj", () => agg(graft.ops.Skew.saltedJoin(fact, dim, "k", salts)),
-      noBcast, aqeOff)
-    time("salted-aqe", () => agg(graft.ops.Skew.saltedJoin(fact, dim, "k", salts)),
-      (Seq(noBcast, aqeOn) ++ skewTuned): _*)
-    // explicit hint: the checkpointed dim's stats are opaque, so the
-    // size-based auto-broadcast can't see the 97 rows
-    time("broadcast", () => agg(fact.join(broadcast(dim), Seq("k"))), aqeOff)
-
-    def plainAgg() = fact.groupBy(col("k"))
-      .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
-    time("agg-plain", () => plainAgg(), aqeOff)
-    time("agg-salted", () => graft.ops.Skew.saltedAgg(fact, "k", salts,
-      Seq(("sum", "cents", "s"), ("count", "*", "c"))), aqeOff)
-    time("distinct-plain", () => fact.groupBy(col("k"))
-      .agg(count_distinct(col("v")).as("nd")), aqeOff)
-    time("distinct-salted", () => graft.ops.Skew.saltedCountDistinct(
-      fact, "k", "v", salts, "nd"), aqeOff)
-
-    spark.stop()
-    // bench temp hygiene: 6 M-row segment dirs add up run-over-run
-    def rm(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      val st = java.nio.file.Files.walk(p)
-      try st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally st.close()
-    }
-    rm(java.nio.file.Paths.get(base))
   }
 }

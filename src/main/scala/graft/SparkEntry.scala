@@ -4491,7 +4491,7 @@ object SparkEntry {
       // session-lifetime cache: reclaim it at JVM exit (a long-lived
       // bench box accumulates run-over-run temp otherwise — the
       // disk-pressure failure mode BENCH_NOTES r16 records)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(out)))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => TempDirs.deleteTree(out)))
       val t0 = System.nanoTime()
       val emb = Tables.embeddings(s, d)
       val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
@@ -4516,15 +4516,6 @@ object SparkEntry {
     val missed = !annIdxCache.containsKey(s"${sessionKey(s)}|$d")
     annIndexFor(s, d)
     if (missed) (System.nanoTime() - t0) / 1e9 else 0.0
-  }
-
-  private def deleteTree(base: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.exists(base)) return
-    val st = java.nio.file.Files.walk(base)
-    try st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    finally st.close()
   }
 
   /** Recursive file copy of the cached index into a query-owned dir —
@@ -4681,7 +4672,7 @@ object SparkEntry {
   private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(prefix)
     try f(base.toString).localCheckpoint(true)
-    finally deleteTree(base) // closes its walk stream, unlike a bare walk
+    finally TempDirs.deleteTree(base) // closes its walk stream, unlike a bare walk
   }
 
   /** The streaming pipeline driven end-to-end as a deterministic job:

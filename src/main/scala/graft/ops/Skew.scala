@@ -25,6 +25,8 @@ object Skew {
     * uniform enough to split hot keys, and irrelevant to the result
     * (every fact row still meets its dim row exactly once). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already carries a __salt column — withColumn would silently replace it")
     val saltedFact = fact.withColumn(
       "__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val replicatedDim = dim.withColumn(
@@ -82,11 +84,12 @@ object Skew {
     * aggregation face of the skew statistic; joins got theirs in
     * [[saltedJoin]]): phase 1 aggregates on (key, __salt) — the hot
     * key's rows split `salts` ways — phase 2 merges the partials on
-    * the key alone. Result ≡ `df.groupBy(key).agg(...)` for every
-    * supported function because each is decomposed into its exact
-    * partial/merge algebra (sum→sum, count→sum, min/max→min/max,
-    * avg→sumΣ/countΣ with the division deferred to the merge — never
-    * an average of averages).
+    * the key alone. Result ≡ `df.groupBy(key).agg(...)` for
+    * sum/count/min/max because each is decomposed into its exact
+    * partial/merge algebra (sum→sum, count→sum, min/max→min/max);
+    * avg is sumΣ/countΣ with the division deferred to the merge —
+    * never an average of averages, and see the contract note below
+    * for how that relates to builtin avg.
     *
     * HONESTY NOTE on when this pays: Spark's hash aggregation already
     * does map-side partial aggregation, so for these scalar
@@ -105,16 +108,33 @@ object Skew {
     * statistic the salted join reads.
     *
     * `aggs` entries are (fn, inputCol, outName) with fn in
-    * sum | count | min | max | avg; inputCol "*" under count counts
-    * rows. Output column order follows `aggs`. */
+    * sum | count | min | max | avg; inputCol "*" is valid ONLY under
+    * count (counts rows). Output column order follows `aggs`.
+    *
+    * avg's contract is exact-sum-over-exact-count — `sum(x)/count(x)`
+    * with ONE double division at the merge. For integral inputs this
+    * is the order-independent exact form; Spark's builtin `avg(long)`
+    * instead accumulates an incremental DOUBLE partial sum, so past
+    * 2^53 of accumulated mass (or under different add orders) the two
+    * can differ in final ULPs — this form is the reproducible one. */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
       aggs: Seq[(String, String, String)]): DataFrame = {
     require(salts >= 1, s"salts must be at least 1, got $salts")
     require(aggs.nonEmpty, "at least one aggregate is required")
+    // reject before work (the quantiles doctrine): a pre-existing
+    // __salt column would be silently replaced and then aggregated as
+    // the GENERATED salt; a key named like a partial would collide in
+    // the stage-1 output
+    require(!df.columns.contains("__salt"),
+      "input already carries a __salt column — withColumn would silently replace it")
+    require(!key.startsWith("__p"),
+      s"key '$key' collides with the generated partial-column namespace (__p*)")
     val supported = Set("sum", "count", "min", "max", "avg")
-    aggs.foreach { case (fn, _, _) =>
+    aggs.foreach { case (fn, in, _) =>
       require(supported(fn), s"unsupported aggregate '$fn' " +
-        s"(supported: ${supported.toSeq.sorted.mkString(", ")})") }
+        s"(supported: ${supported.toSeq.sorted.mkString(", ")})")
+      require(in != "*" || fn == "count",
+        s"'*' input is only meaningful under count, got $fn(*)") }
     val salted = df.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val partials = aggs.zipWithIndex.flatMap { case ((fn, in, _), i) =>
@@ -158,6 +178,8 @@ object Skew {
   def saltedCountDistinct(df: DataFrame, key: String, valueCol: String,
       salts: Int, outName: String = "n_distinct"): DataFrame = {
     require(salts >= 1, s"salts must be at least 1, got $salts")
+    require(!df.columns.contains("__salt"),
+      "input already carries a __salt column — withColumn would silently replace it")
     df.withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(count_distinct(col(valueCol)).as("__pd"))

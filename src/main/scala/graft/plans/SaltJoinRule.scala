@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.sources.segment.{GraftSegmentTable, SegmentLog}
+import graft.sources.segment.GraftSegmentTable
 
 /** Catalyst optimizer rule: salt a shuffle equi-join whose fact side is
   * a graft-segment scan with a MANIFEST-DECLARED hot key — the planner
@@ -69,9 +69,12 @@ import graft.sources.segment.{GraftSegmentTable, SegmentLog}
   * results for non-decomposable functions).
   *
   * Disable with `spark.graft.saltJoin.enabled=false`. Plan-time cost:
-  * one manifest read per candidate join (fired joins never re-match;
-  * at 100 TB the read is O(KB) against a GROUP-BY sizing pass it
-  * replaces).
+  * the broadcast-eligibility precheck is stats-only; the manifest
+  * lookup rides the table instance's cached read (one log read per
+  * query resolution, however many fixed-point iterations re-match a
+  * non-firing candidate) and is Try-guarded — an FS hiccup must never
+  * fail planning of a query that didn't need the rewrite. At 100 TB
+  * the O(KB) read replaces a GROUP-BY sizing pass.
   */
 case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -85,50 +88,80 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
           else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
           else None
         keyed.flatMap { case (lk, rk) =>
-          factSalts(left, lk).map(s => (left, lk, right, rk, s))
-            .orElse(factSalts(right, rk).map(s => (right, rk, left, lk, s)))
+          oriented(left, lk, right, rk).orElse(oriented(right, rk, left, lk))
         } match {
-          case Some((fact, fk, dim, dk, salts)) if worthReplicating(fact, dim, salts) =>
+          case Some((fact, fk, dim, dk, salts)) =>
             rewrite(j, fact, fk, dim, dk, salts)
           case _ => j
         }
     }
   }
 
-  /** The derived fan-out when `side` scans an unpinned graft-segment
-    * table that outputs `key` and whose manifest map marks it hot;
-    * None (no rewrite) otherwise. fallback = 1: no statistic, no salt. */
-  private def factSalts(side: LogicalPlan, key: AttributeReference): Option[Int] = {
-    val table = side.collectFirst {
+  /** Fire conditions for one orientation, cheapest first. The
+    * STRUCTURAL check (is the fact side an eligible graft-segment
+    * scan?) runs before ANY stats call: a pre-pushdown DSv2
+    * relation's `computeStats` builds a throwaway ScanBuilder — and
+    * throws outright under `spark.testing` — so a join with no graft
+    * table in it must never touch plan stats. The stats that do run
+    * are Try-guarded for the same reason. */
+  private def oriented(fact: LogicalPlan, fk: AttributeReference,
+      dim: LogicalPlan, dk: AttributeReference)
+      : Option[(LogicalPlan, AttributeReference, LogicalPlan, AttributeReference, Int)] =
+    segmentTable(fact, fk).flatMap { t =>
+      scala.util.Try((dim.stats.sizeInBytes, fact.stats.sizeInBytes))
+        .toOption.flatMap { case (dimSize, factSize) =>
+          // broadcast beats any salting (no fact shuffle at all,
+          // SaltBench measured dominant)
+          val thresh = conf.autoBroadcastJoinThreshold
+          if (thresh >= 0 && dimSize <= BigInt(thresh)) None
+          else tableSalts(t, fk)
+            // the replicated dim must stay cheaper than the fact scan
+            // it parallelizes
+            .filter(s => dimSize * s <= factSize)
+            .map(s => (fact, fk, dim, dk, s))
+        }
+    }
+
+  /** The unpinned, non-time-traveled graft-segment table `side` scans
+    * to produce `key`, if any — pure plan-structure inspection, no
+    * stats, no I/O. Option-based time travel (versionAsOf /
+    * timestampAsOf / sinceVersion) is skipped for the same reason as
+    * a catalog pin: the CURRENT manifest's masses may not describe
+    * the snapshot being scanned. */
+  private def segmentTable(side: LogicalPlan,
+      key: AttributeReference): Option[GraftSegmentTable] =
+    side.collectFirst {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftSegmentTable] && r.outputSet.contains(key) =>
+          if r.table.isInstanceOf[GraftSegmentTable] &&
+            r.outputSet.contains(key) && !timeTraveled(r.options) =>
         r.table.asInstanceOf[GraftSegmentTable]
       // the experimental.extraOptimizations path runs AFTER V2 scan
       // pushdown has turned the relation into a ScanRelation
       case r: DataSourceV2ScanRelation
-          if r.relation.table.isInstanceOf[GraftSegmentTable] && r.outputSet.contains(key) =>
+          if r.relation.table.isInstanceOf[GraftSegmentTable] &&
+            r.outputSet.contains(key) && !timeTraveled(r.relation.options) =>
         r.relation.table.asInstanceOf[GraftSegmentTable]
-    }
-    table.filter(_.pinned.isEmpty).flatMap { t =>
-      val fs = SegmentLog.fs(t.rootDir, session.sessionState.newHadoopConf())
-      SegmentLog.read(fs, t.rootDir).map(SegmentLog.logicalView).flatMap { m =>
-        val live = m.segments.map(_.liveRows).sum
-        val target = math.max(1L, live / math.max(1, conf.numShufflePartitions))
-        val s = graft.ops.Skew.saltsFromHistogram(
-          graft.ops.Skew.mapCounts(m, key.name), fallback = 1, target)
-        if (s > 1) Some(s) else None
-      }
-    }
-  }
+    }.filter(_.pinned.isEmpty)
 
-  /** Broadcast beats any salting (no fact shuffle at all), and the
-    * replicated dim must stay cheaper than the fact it parallelizes. */
-  private def worthReplicating(fact: LogicalPlan, dim: LogicalPlan, salts: Int): Boolean = {
-    val thresh = conf.autoBroadcastJoinThreshold
-    val dimSize = dim.stats.sizeInBytes
-    (thresh < 0 || dimSize > BigInt(thresh)) &&
-      dimSize * salts <= fact.stats.sizeInBytes
-  }
+  private def timeTraveled(
+      o: org.apache.spark.sql.util.CaseInsensitiveStringMap): Boolean =
+    o.containsKey("versionAsOf") || o.containsKey("timestampAsOf") ||
+      o.containsKey("sinceVersion")
+
+  /** The derived fan-out when the table's manifest map marks `key`
+    * hot; None otherwise. fallback = 1: no statistic, no salt. Reads
+    * the TABLE INSTANCE's cached manifest (one log read per query
+    * resolution), Try-guarded: a statistic that can't be read is a
+    * statistic that's absent, never a planning failure. */
+  private def tableSalts(t: GraftSegmentTable,
+      key: AttributeReference): Option[Int] =
+    scala.util.Try(t.liveManifest).toOption.flatten.flatMap { m =>
+      val live = m.segments.map(_.liveRows).sum
+      val target = math.max(1L, live / math.max(1, conf.numShufflePartitions))
+      val s = graft.ops.Skew.saltsFromHistogram(
+        graft.ops.Skew.mapCounts(m, key.name), fallback = 1, target)
+      if (s > 1) Some(s) else None
+    }
 
   private def rewrite(j: Join, fact: LogicalPlan, fk: AttributeReference,
       dim: LogicalPlan, dk: AttributeReference, salts: Int): LogicalPlan = {

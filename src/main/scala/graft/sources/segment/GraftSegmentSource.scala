@@ -266,6 +266,15 @@ class GraftSegmentTable(root: String, tableSchema: StructType,
   private[graft] def rootDir: String = root
   private[graft] def pinned: Option[Long] = pinnedVersion
 
+  /** The instance-cached manifest in its logical (rename-resolved)
+    * view — at most ONE log read per table instance, i.e. per query
+    * resolution, no matter how many fixed-point iterations consult it
+    * (SaltJoinRule's plan-time statistic lookups ride this; the same
+    * staleness argument as [[analysisManifest]] applies: a statistic
+    * one commit old sizes a salt split, it never affects results). */
+  private[graft] lazy val liveManifest: Option[Manifest] =
+    analysisManifest.map(SegmentLog.logicalView)
+
   // SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the persisted declarations
   // plus the declared layout, straight from the (instance-cached)
   // manifest

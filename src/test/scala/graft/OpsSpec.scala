@@ -261,13 +261,15 @@ class OpsSpec extends SparkSpec {
 
   test("salted aggregation: two-phase merge equals plain groupBy, any supported aggregate") {
     import graft.ops.Skew
-    // a 75%-hot key plus nulls in the value column (count/avg must
-    // ignore them in BOTH phases) and a null-only key for the
-    // distinct arm
+    // a 75%-hot key with NULL keys mixed in (they must form one group,
+    // both forms), nulls in the value column (count/avg must ignore
+    // them in BOTH phases), and a nullable distinct column (null
+    // values hash to one salt and count as zero, like count(DISTINCT))
     val df = spark.range(0, 4000).select(
-      when($"id" % 4 < 3, lit(7L)).otherwise($"id" % 13).as("k"),
+      when($"id" % 17 === 0, lit(null))
+        .when($"id" % 4 < 3, lit(7L)).otherwise($"id" % 13).as("k"),
       when($"id" % 11 === 0, lit(null)).otherwise($"id" * 3).as("v"),
-      ($"id" % 500).as("u"))
+      when($"id" % 19 === 0, lit(null)).otherwise($"id" % 500).as("u"))
     val aggs = Seq(
       ("sum", "v", "sum_v"), ("count", "v", "n_v"), ("count", "*", "n"),
       ("min", "v", "min_v"), ("max", "v", "max_v"), ("avg", "v", "avg_v"))
@@ -282,9 +284,16 @@ class OpsSpec extends SparkSpec {
         "double division on identical operands")
     // distinct arm: value-hash salting means equal values share a
     // salt, so the partial distinct counts partition the value set
+    // (nulls in u ignored in both phases; null k one group)
     val plainD = df.groupBy($"k").agg(count_distinct($"u").as("n_distinct"))
     val saltedD = Skew.saltedCountDistinct(df, "k", "u", 16)
     assert(saltedD.exceptAll(plainD).isEmpty && plainD.exceptAll(saltedD).isEmpty)
+    // a null-ONLY key: count(DISTINCT all-null) = 0, both forms
+    val nulls = spark.range(0, 10).select(lit(null).cast("long").as("k"),
+      lit(null).cast("long").as("v"), lit(null).cast("long").as("u"))
+    val pd = nulls.groupBy($"k").agg(count_distinct($"u").as("n_distinct"))
+    val sd = Skew.saltedCountDistinct(nulls, "k", "u", 4)
+    assert(sd.exceptAll(pd).isEmpty && pd.exceptAll(sd).isEmpty)
     // request validation: the quantiles doctrine — reject before work
     intercept[IllegalArgumentException](Skew.saltedAgg(df, "k", 0, aggs))
     intercept[IllegalArgumentException](

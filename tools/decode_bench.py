@@ -65,14 +65,30 @@ def load_round(bench_path, corr_path):
             if i < 0:
                 raise SystemExit(f"no qtimes/queries payload in {bench_path}")
             qmap, _ = json.JSONDecoder().raw_decode(tail, i + len('"queries":'))
-            tm = re.search(r'"metric":"total","value":([\d.]+)', tail)
+            # the total that belongs to THIS queries map is on the same
+            # line, before it — a tail holding two runs' emissions must
+            # not pair run 1's headline with run 2's map
+            tm = None
+            for tm in re.finditer(r'"metric":"total","value":([\d.]+)',
+                                  tail[:i]):
+                pass
             doc = {"named": qmap,
                    "value": float(tm.group(1)) if tm else sum(qmap.values())}
-    calib = _headline_calib(tail or "")
+    # the full-precision backup artifact (target/bench.json) carries a
+    # named `queries` map plus probes/errors/calib at the top level
+    if doc is not None and "queries" in doc and "t" not in doc:
+        doc = {"named": doc["queries"], "value": doc["value"],
+               "probes": doc.get("probes", []),
+               "errors": doc.get("errors", {}),
+               "calib": {k: float(v) for k, v in doc.items()
+                         if re.fullmatch(r"(?:calib|ann)_\w+_sec", k)}}
+    calib = doc.get("calib") if isinstance(doc, dict) and doc.get("calib") \
+        else _headline_calib(tail or "")
     if "named" in doc:
         times = {k: float(v) for k, v in doc["named"].items()}
         return dict(times=times, total=doc["value"], n=len(times),
-                    probes=[], calib=calib, errors={})
+                    probes=doc.get("probes", []), calib=calib,
+                    errors=doc.get("errors", {}), res=0.001)
     with open(corr_path) as f:
         names = sorted(json.load(f).keys())
     if len(names) != doc["n"]:
@@ -82,10 +98,11 @@ def load_round(bench_path, corr_path):
     scale = {"cs": 100.0, "ds": 10.0, "s": 1.0}[doc["t_unit"]]
     times = {name: (t / scale if t >= 0 else -1.0)
              for name, t in zip(names, doc["t"])}
-    errors = {k: v for k, v in doc.get("errors", {}).items()
-              if k != "n_errors"} if isinstance(doc.get("errors"), dict) else {}
+    errors = doc.get("errors", {}) \
+        if isinstance(doc.get("errors"), dict) else {}
     return dict(times=times, total=doc["value"], n=doc["n"],
-                probes=doc.get("probes", []), calib=calib, errors=errors)
+                probes=doc.get("probes", []), calib=calib, errors=errors,
+                res=1.0 / scale)
 
 
 def family(name):
@@ -96,6 +113,8 @@ def show_round(r):
     for name, sec in sorted(r["times"].items(), key=lambda kv: -kv[1]):
         print(f"{sec:10.2f}  {name}")
     print(f"\ntotal {r['total']} sec over {r['n']} queries")
+    for name, msg in r.get("errors", {}).items():
+        print(f"ERROR {name}: {msg}")
     _show_calib(r)
 
 
@@ -111,14 +130,22 @@ def show_vs(cur, prev):
     """Per-query ratios (cur/prev, slowest regression first), family
     sums, calibration series side by side."""
     shared = sorted(set(cur["times"]) & set(prev["times"]))
+    # floors scale with the COARSER round's decode resolution (cs/ds/s
+    # positional artifacts round to a tick; a 0-decoded time must not
+    # manufacture an infinite "regression" above real ones)
+    floor = max(cur.get("res", 0.01), prev.get("res", 0.01))
     rows = []
+    noise = 0
     for name in shared:
         a, b = cur["times"][name], prev["times"][name]
         if a < 0 or b < 0:
             continue  # errored on one side; listed below
-        rows.append((a / b if b > 0 else float("inf"), a, b, name))
+        if a < 5 * floor and b < 5 * floor:
+            noise += 1  # both under the resolution floor: ratio is noise
+            continue
+        rows.append((a / max(b, floor), a, b, name))
     print(f"{'ratio':>7} {'cur_s':>8} {'prev_s':>8}  query "
-          f"({len(shared)} shared)")
+          f"({len(shared)} shared, {noise} sub-resolution skipped)")
     for ratio, a, b, name in sorted(rows, key=lambda r: -r[0]):
         print(f"{ratio:7.2f} {a:8.2f} {b:8.2f}  {name}")
     only_cur = sorted(set(cur["times"]) - set(prev["times"]))
@@ -140,7 +167,9 @@ def show_vs(cur, prev):
     _only("current", only_cur, cur["times"])
     _only("previous", only_prev, prev["times"])
     if errored:
-        print("errored (−1) on one side: " + ", ".join(errored))
+        msgs = {**prev.get("errors", {}), **cur.get("errors", {})}
+        print("errored (−1) on one side: " + ", ".join(
+            f"{n} [{msgs[n]}]" if n in msgs else n for n in errored))
 
     fams = {}
     for name in shared:
