@@ -3319,6 +3319,41 @@ object SparkEntry {
               col("exact")))
         .reduce(_.unionByName(_)).orderBy(col("col_name"))
     }),
+    // ZERO-SCAN JOIN CARDINALITY (r17): both sides' frequency maps
+    // are exact within caps over non-null values — precisely the rows
+    // an inner equi-join matches — so Σ cA(v)·cB(v) read off two
+    // manifests IS the exact join count, no scan of either table. The
+    // oracle replays the actual COUNT(*) joins; the undeclared probe
+    // certifies the honesty path (NULL, never a uniform-assumption
+    // guess). At 100 TB the alternative is running the join to size it
+    "store_join_estimate" -> ((s, d) => withTempDir("graft-jest") { base =>
+      val cat = s"graft_jest_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.a (k BIGINT, tag STRING, u BIGINT) " +
+        "TBLPROPERTIES ('histFor'='k,tag')")
+      s.sql(s"CREATE TABLE $cat.db.b (k BIGINT, tag STRING, u BIGINT) " +
+        "TBLPROPERTIES ('histFor'='k,tag')")
+      Tables.documents(s, d).createOrReplaceTempView("graft_jest_docs")
+      s.sql(s"INSERT INTO $cat.db.a SELECT " +
+        "CASE WHEN doc_id % 4 < 3 THEN 7 ELSE doc_id % 97 END, " +
+        "CASE WHEN doc_id % 5 < 4 THEN 'hot' " +
+        "ELSE concat('c', lpad(CAST(doc_id % 13 AS STRING), 2, '0')) END, " +
+        "doc_id FROM graft_jest_docs")
+      s.sql(s"INSERT INTO $cat.db.b SELECT doc_id % 13, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'hot' " +
+        "ELSE concat('c', lpad(CAST(doc_id % 20 AS STRING), 2, '0')) END, " +
+        "doc_id FROM graft_jest_docs")
+      Seq(("k_long", "k", "k"), ("tag_str", "tag", "tag"),
+          ("undeclared", "u", "u")).map { case (probe, colA, colB) =>
+          s.sql(s"CALL $cat.system.join_estimate('db.a', '$colA', 'db.b', '$colB')")
+            .select(lit(probe).as("probe"), col("n_rows"), col("derived"),
+              col("exact"))
+        }
+        .reduce(_.unionByName(_)).orderBy(col("probe"))
+    }),
     // MIXTURE REBALANCING FROM METADATA (r16): the per-source totals
     // that drive the mixture keep-rates come straight off the
     // manifest's string frequency map — ZERO scans for the totals
@@ -3346,6 +3381,40 @@ object SparkEntry {
       Sampling.mixtureSample(s.read.format("graft-segment").load(dir),
           col("doc_id"), col("source"), totals, mixShares, "mixsalt")
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // TEMPERATURE mixture (r17): shares derived from the corpus's own
+    // per-source masses — share_s ∝ n_s^alpha, the pre-training
+    // data-mixing knob — with the totals off the manifest string map
+    // (zero scans) and alpha = 0.5 so the whole rate chain is sqrt /
+    // div / mul on identical operands in both engines (the normalizer
+    // cancels inside mixtureRates, so no cross-source double SUM
+    // exists to diverge). The stratum is DERIVED 75%-hot (the test
+    // data's natural sources are uniform, where temperature keeps
+    // everything and certifies nothing): the hot source must be
+    // downsampled to rate ~sqrt(n_min/n_hot), the tail kept near 1.
+    // Closed form the oracle replays: rate_s = min(1, sqrt(n_min/n_s))
+    "store_mixture_temperature" -> ((s, d) => withTempDir("graft-mixtemp") { base =>
+      val dir = s"$base/docs"
+      Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 4 < 3, lit("web"))
+            .otherwise(concat(lit("s"), col("doc_id") % 7)).as("src"))
+        .write.format("graft-segment").option("histFor", "src")
+        .mode("append").save(dir)
+      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
+      val m = graft.sources.segment.SegmentLog.logicalView(
+        graft.sources.segment.SegmentLog.read(fs, dir).get)
+      val totals = graft.sources.segment.SegmentHistogram
+        .decodeStr(m.shistMerged.getOrElse("src",
+          throw new IllegalStateException(
+            "no merged string map for 'src' — the cap doctrine " +
+              "poisoned the statistic; this certificate requires the " +
+              "bounded source domain its own derivation declares")))
+        .map { case (v, n) => v.toString -> n }.toMap
+      Sampling.mixtureSample(s.read.format("graft-segment").load(dir),
+          col("doc_id"), col("src"), totals,
+          Sampling.temperatureShares(totals, 0.5), "tempsalt")
+        .select(col("doc_id"), col("src"))
         .orderBy(col("doc_id"))
     }),
     // AUTO-SALT from the skew statistic (r16): the salted join's
@@ -7180,6 +7249,24 @@ object SparkEntry {
         "UNION ALL SELECT 'tag', CAST(least(64, greatest(1, " +
         "CAST(ceil(CAST((SELECT hot FROM ht) AS DOUBLE) / 50) AS BIGINT))) AS INT)" +
         ") ORDER BY col_name"),
+    // the metadata-derived join counts replayed as the ACTUAL joins
+    "store_join_estimate" ->
+      ("WITH a AS (SELECT CASE WHEN doc_id % 4 < 3 THEN 7 " +
+        "ELSE doc_id % 97 END AS k, " +
+        "CASE WHEN doc_id % 5 < 4 THEN 'hot' " +
+        "ELSE 'c' || lpad(CAST(doc_id % 13 AS VARCHAR), 2, '0') END AS tag " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id % 13 AS k, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'hot' " +
+        "ELSE 'c' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') END AS tag " +
+        "FROM documents) " +
+        "SELECT probe, n_rows, derived, exact FROM (" +
+        "SELECT 'k_long' AS probe, CAST((SELECT count(*) FROM a JOIN b " +
+        "ON a.k = b.k) AS BIGINT) AS n_rows, true AS derived, true AS exact " +
+        "UNION ALL SELECT 'tag_str', CAST((SELECT count(*) FROM a JOIN b " +
+        "ON a.tag = b.tag) AS BIGINT), true, true " +
+        "UNION ALL SELECT 'undeclared', NULL, false, true" +
+        ") ORDER BY probe"),
 
     // the metadata-derived mixture: identical rate chain to
     // text_mixture_sample with DOC counts as the totals — the GROUP BY
@@ -7193,6 +7280,20 @@ object SparkEntry {
         "thr AS (SELECT source, printf('%08x', least(CAST(trunc(rate * 4294967296.0) AS BIGINT), 4294967295)) AS thr FROM r) " +
         "SELECT d.doc_id, d.source FROM documents d JOIN thr ON d.source = thr.source " +
         "WHERE substr(md5('mixsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr " +
+        "ORDER BY d.doc_id"),
+    // temperature mixture: share = sqrt(count) per source, identical
+    // rate chain — sqrt/div/mul on the same operands, no cross-source
+    // sum anywhere (the normalizer cancels inside the rate formula)
+    "store_mixture_temperature" ->
+      ("WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 4 < 3 THEN 'web' " +
+        "ELSE 's' || CAST(doc_id % 7 AS VARCHAR) END AS src FROM documents), " +
+        "t AS (SELECT src, CAST(count(*) AS BIGINT) AS toks FROM docs GROUP BY src), " +
+        "sh AS (SELECT src, sqrt(CAST(toks AS DOUBLE)) AS share, toks FROM t), " +
+        "c AS (SELECT min(CAST(toks AS DOUBLE) / share) AS c FROM sh), " +
+        "r AS (SELECT src, least(CAST(1.0 AS DOUBLE), c.c * share / CAST(toks AS DOUBLE)) AS rate FROM sh CROSS JOIN c), " +
+        "thr AS (SELECT src, printf('%08x', least(CAST(trunc(rate * 4294967296.0) AS BIGINT), 4294967295)) AS thr FROM r) " +
+        "SELECT d.doc_id, d.src FROM docs d JOIN thr ON d.src = thr.src " +
+        "WHERE substr(md5('tempsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr " +
         "ORDER BY d.doc_id"),
 
     // the auto-salted join replayed as the PLAIN join: the derived

@@ -94,6 +94,28 @@ object Sampling {
     }.toMap
   }
 
+  /** Temperature-scaled mixture shares: share_s ∝ tokens_s^alpha —
+    * the standard LLM data-mixing move (alpha=1 keeps natural
+    * proportions, alpha=0 equalizes sources, alpha∈(0,1) upweights
+    * the tail). Returned UNNORMALIZED (t^alpha): [[mixtureRates]]'
+    * arithmetic is scale-invariant in the shares (the normalizer
+    * cancels inside c·share/toks), and by monotonicity the composed
+    * keep-rate has the closed form rate_s = min(1,
+    * (t_min/t_s)^(1-alpha)) — so no cross-source double SUM ever
+    * enters the chain, which is what keeps it engine-portable.
+    * alpha = 0.5 additionally makes it bit-for-bit replayable (sqrt
+    * is IEEE-correctly-rounded everywhere; general pow may differ in
+    * the last ulp across libms — fine in production, not for a
+    * hash-equality oracle). */
+  def temperatureShares(tokenTotals: Map[String, Long],
+                        alpha: Double): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    tokenTotals.map { case (s, n) =>
+      s -> (if (alpha == 0.5) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, alpha))
+    }
+  }
+
   /** Deterministic mixture rebalancing: downsample each source at the
     * [[mixtureRates]] rate via the same (salt, key) hash predicate as
     * [[stratifiedSample]] — map-only after the one tiny rate

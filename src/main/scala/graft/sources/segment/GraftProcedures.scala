@@ -32,6 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.histogram('db.t');                   -- manifest value frequencies
   * CALL graft.system.quantiles('db.t', '0.5,0.95');       -- metadata-only quantiles
   * CALL graft.system.salts('db.t', 'k', 100000);  -- derived salted-join fan-out
+  * CALL graft.system.join_estimate('db.a','k','db.b','k'); -- zero-scan join count
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -424,6 +425,51 @@ object GraftProcedures {
             counts.exists(_.nonEmpty),
             m.segments.forall(_.dvRows == 0L)))
         }
+      case "join_estimate" =>
+        // ZERO-SCAN inner equi-join cardinality (r17): both sides'
+        // merged frequency maps are EXACT within caps and count only
+        // non-null values — exactly the rows an inner equi-join
+        // matches — so Σ_v cA(v)·cB(v) over the value intersection is
+        // not an estimate but the EXACT join row count whenever both
+        // maps are present (`derived`=true). Undeclared / overflowed
+        // on either side → n_rows NULL, derived=false (no silent
+        // uniform-assumption guess); `exact` carries the sibling
+        // procedures' dv annotation (the maps hold pre-delete mass
+        // until compaction). The alternative at 100 TB is RUNNING the
+        // join (or a COUNT over it) just to size it; this reads
+        // O(cap) manifest entries per side. Same-arm resolution only:
+        // a long key joins a long key, a string key a string key — a
+        // cross-arm request has no sane equi-join to size.
+        procedure("join_estimate",
+          Seq(param("table_a", StringType), param("column_a", StringType),
+            param("table_b", StringType), param("column_b", StringType)),
+          StructType(Seq(
+            StructField("n_rows", LongType, nullable = true),
+            StructField("derived", BooleanType, nullable = false),
+            StructField("exact", BooleanType, nullable = false)))) { (spark, in) =>
+          val ma = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
+          val mb = loadManifest(spark, warehouse, in.getUTF8String(2).toString)
+          val (ca, cb) = (in.getUTF8String(1).toString, in.getUTF8String(3).toString)
+          def joinMass[K](a: Option[Array[(K, Long)]],
+              b: Option[Array[(K, Long)]]): Option[BigInt] = (a, b) match {
+            case (Some(xs), Some(ys)) =>
+              val am = xs.toMap
+              Some(ys.foldLeft(BigInt(0)) { case (acc, (v, n)) =>
+                acc + BigInt(am.getOrElse(v, 0L)) * n })
+            case _ => None
+          }
+          val mass = joinMass(
+              ma.histMerged.get(ca).map(SegmentHistogram.decode),
+              mb.histMerged.get(cb).map(SegmentHistogram.decode))
+            .orElse(joinMass(
+              ma.shistMerged.get(ca).map(SegmentHistogram.decodeStr),
+              mb.shistMerged.get(cb).map(SegmentHistogram.decodeStr)))
+          // a count past Long.MaxValue is not representable in the
+          // BIGINT face (nor runnable) — clamp, never wrap
+          val nRows = mass.map(_.min(BigInt(Long.MaxValue)).toLong)
+          Seq(row(nRows.map(Long.box).orNull, mass.isDefined,
+            (ma.segments ++ mb.segments).forall(_.dvRows == 0L)))
+        }
       case "stats" =>
         procedure("stats",
           Seq(param("table", StringType)),
@@ -541,5 +587,5 @@ object GraftProcedures {
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
       "delete_where", "delete_mark", "compact_deletes", "update_mark",
       "rollback", "rollback_to_timestamp", "clone", "ndv", "stats", "histogram",
-      "quantiles", "salts")
+      "quantiles", "salts", "join_estimate")
 }

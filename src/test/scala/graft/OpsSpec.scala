@@ -1529,6 +1529,27 @@ class OpsSpec extends SparkSpec {
     assert(r2("a") === 1.0 && math.abs(r2("b") - 0.25) < 1e-12)
   }
 
+  test("temperatureShares: the alpha knob's endpoints and closed form") {
+    import graft.ops.Sampling
+    val totals = Map("web" -> 900L, "code" -> 100L, "books" -> 25L)
+    // alpha = 1: natural proportions — the mixture is a no-op (every
+    // rate 1.0; shares are scale-invariant through mixtureRates)
+    val nat = Sampling.mixtureRates(totals, Sampling.temperatureShares(totals, 1.0))
+    assert(nat.values.forall(_ == 1.0))
+    // alpha = 0: equalize — every source downsampled to the smallest
+    val eq = Sampling.mixtureRates(totals, Sampling.temperatureShares(totals, 0.0))
+    assert(eq("books") == 1.0 &&
+      math.abs(eq("web") - 25.0 / 900) < 1e-12 &&
+      math.abs(eq("code") - 25.0 / 100) < 1e-12)
+    // alpha = 0.5: the closed form rate_s = min(1, sqrt(n_min/n_s)) —
+    // the normalizer cancels, so no cross-source sum enters the chain
+    val t = Sampling.mixtureRates(totals, Sampling.temperatureShares(totals, 0.5))
+    assert(t("books") == 1.0 &&
+      math.abs(t("web") - math.sqrt(25.0 / 900)) < 1e-12 &&
+      math.abs(t("code") - math.sqrt(25.0 / 100)) < 1e-12)
+    intercept[IllegalArgumentException](Sampling.temperatureShares(totals, 1.5))
+  }
+
   test("pageRank: cycle is uniform, hubs outrank leaves, mass conserved") {
     import graft.ops.PageRank
     // 3-cycle: uniform 1/3 is the exact stationary distribution, and

@@ -296,6 +296,49 @@ class SegmentHistogramSpec extends SparkSpec {
       "pre-delete mass served, annotated")
   }
 
+  test("CALL graft.system.join_estimate: exact zero-scan join counts, honesty paths") {
+    val cat = "ghjest"
+    val wh = tmp("graft-hist-jest")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, tag STRING, u BIGINT) " +
+      "TBLPROPERTIES ('histFor'='k,tag')")
+    spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT, tag STRING, u BIGINT) " +
+      "TBLPROPERTIES ('histFor'='k,tag')")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT " +
+      "CASE WHEN id % 4 < 3 THEN 7 ELSE id % 11 END, " +
+      "concat('c', id % 5), id FROM range(0, 1200)")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT id % 13, " +
+      "concat('c', id % 8), id FROM range(0, 400)")
+    def est(ca: String, cb: String) =
+      spark.sql(s"CALL $cat.system.join_estimate('db.a','$ca','db.b','$cb')")
+        .collect()(0)
+    // the metadata count IS the actual inner-join count, both arms
+    val actualK = spark.sql(
+      s"SELECT count(*) FROM $cat.db.a a JOIN $cat.db.b b ON a.k = b.k")
+      .collect()(0).getLong(0)
+    val rK = est("k", "k")
+    assert(rK.getLong(0) == actualK && rK.getBoolean(1) && rK.getBoolean(2))
+    val actualT = spark.sql(
+      s"SELECT count(*) FROM $cat.db.a a JOIN $cat.db.b b ON a.tag = b.tag")
+      .collect()(0).getLong(0)
+    val rT = est("tag", "tag")
+    assert(rT.getLong(0) == actualT && rT.getBoolean(1))
+    // honesty: undeclared on either side -> NULL, never a guess;
+    // a cross-arm request (long vs string) has no joinable map pair
+    assert(est("u", "k").isNullAt(0) && !est("u", "k").getBoolean(1))
+    assert(est("k", "u").isNullAt(0) && !est("k", "u").getBoolean(1))
+    assert(est("k", "tag").isNullAt(0) && !est("k", "tag").getBoolean(1),
+      "cross-arm: no sane equi-join to size")
+    // dv honesty: pre-delete mass until compaction, annotated
+    spark.sql(s"CALL $cat.system.delete_mark('db.b', 'k = 7')").collect()
+    val dv = est("k", "k")
+    assert(dv.getLong(0) == actualK && !dv.getBoolean(2),
+      "pre-delete mass served, exact=false")
+  }
+
   test("string maps reach struct fields: dotted histFor on a nested string") {
     val dir = tmp("graft-shist-nested")
     spark.range(0, 1000)
