@@ -372,8 +372,13 @@ object Dedup {
       truth: Option[DataFrame] = None): DataFrame = {
     require(bandCounts.nonEmpty && bandCounts.forall(b => b >= 1 && b <= 4),
       "band counts must be within the rotation width (1..4)")
+    // the exact truth is the expensive pass here (prefix-filtered
+    // verified pairs) and every arm consults it twice (capture
+    // semi-join + the n_true denominator): persist it alongside the
+    // signatures — r16 shared the signature pass but left the truth
+    // re-evaluated per use (6x for the default three arms)
     val truthPairs = truth.getOrElse(prefixFilteredPairs(docs, t))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).persist()
     // ONE signature pass serves every arm: band i's min-signature
     // depends only on the band index (the rotation), not on how many
     // bands the arm asks for, so the b-band signatures are exactly the
@@ -386,35 +391,68 @@ object Dedup {
     // corpus (the rel_part_blast_radius discipline).
     val sigsAll = minhashSignatures(docs, bandCounts.max).persist()
     try {
-      val armed = bandCounts.map { b =>
-        val sigs = sigsAll.filter(col("band") < b)
-        val ok = sigs.groupBy(col("band"), col("signature"))
-          .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
-          .select(col("band"), col("signature"))
-        val bucketed = sigs.join(ok, Seq("band", "signature"), "left_semi")
-        val cand = bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_a"))
-          .join(bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_b")),
-            Seq("band", "signature"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .distinct()
-        val captured = truthPairs.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-        cand.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(truthPairs.agg(count(lit(1)).as("n_true")))
-          .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
-          .select(lit(b).as("bands"), col("n_candidates"), col("n_true"),
-            col("n_captured"),
-            round(col("n_captured").cast("double") / col("n_true"), 4).as("recall"))
-      }.reduce(_.unionByName(_))
-      // materialize the ≤4 summary rows EAGERLY (one per band count —
-      // a bounded artifact step, the Bloom/Pca/Bpe doctrine) so the
-      // shared signature blocks can be released before returning;
-      // a lazy return would pin docs × bands cached rows in the
-      // session's storage memory until the app ends (r16 advice)
+      // cand(b) is MONOTONE in b — a pair is a b-band candidate iff it
+      // shares a capped bucket in SOME band < b — so one bucketed
+      // self-join over ALL bands, collapsed to each pair's MINIMUM
+      // shared band, answers every arm at once: n_candidates(b) =
+      // |{pairs : min_band < b}|, captured(b) the same over the truth
+      // join. r16 paid the join+distinct once per arm (1+2+4 band
+      // volumes for the default arms); this pays the max arm's volume
+      // once and replaces three distincts with one min-aggregate. The
+      // per-(band, signature) bucket cap is unchanged: bucket counts
+      // don't depend on which arms exist.
+      val ok = sigsAll.groupBy(col("band"), col("signature"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+        .select(col("band"), col("signature"))
+      val bucketed = sigsAll.join(ok, Seq("band", "signature"), "left_semi")
+      val pairMin = bucketed
+        .select(col("band"), col("signature"), col("doc_id").as("doc_a"))
+        .join(bucketed.select(col("band"), col("signature"), col("doc_id").as("doc_b")),
+          Seq("band", "signature"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(min(col("band")).as("mband"))
+      // every arm's counts in ONE aggregate over pairMin ⟗ truth
+      // (full outer: candidate-only rows carry null __truth,
+      // truth-only rows null mband — a null mband fails every
+      // `mband < b`, exactly an uncaptured truth pair) — the pair
+      // self-join is evaluated ONCE for all arms and both axes
+      val joined = pairMin.join(
+        truthPairs.withColumn("__truth", lit(1L)),
+        Seq("doc_a", "doc_b"), "full_outer")
+      val aggRow = joined.agg(
+        sum(coalesce(col("__truth"), lit(0L))).as("n_true"),
+        (bandCounts.map(b =>
+          sum(when(col("mband") < b, 1L).otherwise(0L)).as(s"c$b")) ++
+          bandCounts.map(b =>
+            sum(when(col("mband") < b && col("__truth").isNotNull, 1L)
+              .otherwise(0L)).as(s"t$b"))): _*).head()
+      val nTrue = aggRow.getLong(0)
+      // assemble the ≤4 summary rows locally (the bounded-artifact
+      // doctrine); recall rounding = Spark's round (BigDecimal
+      // HALF_UP), the arithmetic the DuckDB oracle already certifies
+      val rows = bandCounts.zipWithIndex.map { case (b, i) =>
+        val nCand = aggRow.getLong(1 + i)
+        val nCapt = aggRow.getLong(1 + bandCounts.size + i)
+        val recall =
+          if (nTrue == 0L) Double.NaN
+          else BigDecimal(nCapt.toDouble / nTrue)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        org.apache.spark.sql.Row(b, nCand, nTrue, nCapt, recall)
+      }
       import scala.jdk.CollectionConverters._
-      docs.sparkSession.createDataFrame(
-        armed.collect().toSeq.asJava, armed.schema)
-    } finally sigsAll.unpersist()
+      docs.sparkSession.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bands",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_candidates",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_true",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_captured",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("recall",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    } finally { sigsAll.unpersist(); truthPairs.unpersist() }
   }
 
   /** One LARGE-STAR round (Kiveris et al., "Connected Components in
