@@ -53,15 +53,22 @@ object Bench {
     // alone, the way the CPU probe series already localizes ALU-side
     // contention windows
     val calibSpark = calibrateSpark(spark)
-    // the ANN certificates' shared IVF-PQ training happens ONCE per
-    // session (SparkEntry.annIndexFor); warming it here moves the
-    // one-time build OUT of whichever store_ann_* query runs first
-    // (r16: store_ann_forget carried 6.5 s of training) and reports it
-    // as its own artifact field, so the family's timed numbers read
-    // store/load/mutate/probe steady-state
-    val annBuild =
-      try SparkEntry.warmAnnIndex(spark, sfDir)
-      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // the session-cached shared fixtures (IVF-PQ index, exact truth
+    // pairs, dedup components, the curation run) build ONCE per
+    // session; warming them here moves each one-time build OUT of its
+    // alphabetically-first consumer (r16: store_ann_forget carried
+    // 6.5 s of ANN training; dedup_banding_tradeoff the truth build;
+    // pipeline_curation_audit the whole curation run) and reports the
+    // costs as their own artifact fields, so the timed certificates
+    // measure consumption steady-state
+    val fixtures =
+      try SparkEntry.warmFixtures(spark, sfDir)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty[(String, Double)] }
+    fixtures.foreach { case (n, t) =>
+      println(f"[graft] fixture $n built in $t%.2f s") }
+    val annBuild = fixtures.find(_._1 == "ann").map(_._2).getOrElse(-1.0)
+    val fixturesBuild =
+      if (fixtures.isEmpty) -1.0 else fixtures.filter(_._1 != "ann").map(_._2).sum
     // deterministic order + per-query session hygiene: drop any cached
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state
@@ -113,7 +120,7 @@ object Bench {
     val calibSparkEnd = calibrateSpark(spark)
     def f3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val calib = s""""calib_cpu_sec":${f3(calibCpu)},"calib_spark_sec":${f3(calibSpark)},"calib_spark_mid_sec":${f3(calibSparkMid)},"calib_spark_end_sec":${f3(calibSparkEnd)},"calib_cpu_end_sec":${f3(calibCpuEnd)},"ann_build_sec":${f3(annBuild)}"""
+    val calib = s""""calib_cpu_sec":${f3(calibCpu)},"calib_spark_sec":${f3(calibSpark)},"calib_spark_mid_sec":${f3(calibSparkMid)},"calib_spark_end_sec":${f3(calibSparkEnd)},"calib_cpu_end_sec":${f3(calibCpuEnd)},"ann_build_sec":${f3(annBuild)},"fixtures_build_sec":${f3(fixturesBuild)}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     // full-precision, full-surface JSON for the file artifact — named
     // per-query times AND start offsets AND the probe series
