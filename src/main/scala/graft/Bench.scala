@@ -67,8 +67,10 @@ object Bench {
     fixtures.foreach { case (n, t) =>
       println(f"[graft] fixture $n built in $t%.2f s") }
     val annBuild = fixtures.find(_._1 == "ann").map(_._2).getOrElse(-1.0)
-    val fixturesBuild =
-      if (fixtures.isEmpty) -1.0 else fixtures.filter(_._1 != "ann").map(_._2).sum
+    // sum the builds that succeeded (failed ones report -1 on their
+    // own log line); all-failed degrades to -1 like the calibrations
+    val okFixtures = fixtures.filter(f => f._1 != "ann" && f._2 >= 0)
+    val fixturesBuild = if (okFixtures.isEmpty) -1.0 else okFixtures.map(_._2).sum
     // deterministic order + per-query session hygiene: drop any cached
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state

@@ -3367,17 +3367,7 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"), col("source"))
         .write.format("graft-segment").option("histFor", "source")
         .mode("append").save(dir)
-      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
-      val m = graft.sources.segment.SegmentLog.logicalView(
-        graft.sources.segment.SegmentLog.read(fs, dir).get)
-      val totals = graft.sources.segment.SegmentHistogram
-        .decodeStr(m.shistMerged.getOrElse("source",
-          throw new IllegalStateException(
-            "no merged string map for 'source': a value past the 64-byte " +
-              "cap or > 4096 distinct sources poisons the statistic to " +
-              "absent (the cap doctrine) — this certificate requires the " +
-              "bounded source domain the test data declares")))
-        .map { case (v, n) => v.toString -> n }.toMap
+      val totals = manifestStrTotals(s, dir, "source")
       Sampling.mixtureSample(s.read.format("graft-segment").load(dir),
           col("doc_id"), col("source"), totals, mixShares, "mixsalt")
         .select(col("doc_id"), col("source"))
@@ -3401,16 +3391,7 @@ object SparkEntry {
             .otherwise(concat(lit("s"), col("doc_id") % 7)).as("src"))
         .write.format("graft-segment").option("histFor", "src")
         .mode("append").save(dir)
-      val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
-      val m = graft.sources.segment.SegmentLog.logicalView(
-        graft.sources.segment.SegmentLog.read(fs, dir).get)
-      val totals = graft.sources.segment.SegmentHistogram
-        .decodeStr(m.shistMerged.getOrElse("src",
-          throw new IllegalStateException(
-            "no merged string map for 'src' — the cap doctrine " +
-              "poisoned the statistic; this certificate requires the " +
-              "bounded source domain its own derivation declares")))
-        .map { case (v, n) => v.toString -> n }.toMap
+      val totals = manifestStrTotals(s, dir, "src")
       Sampling.mixtureSample(s.read.format("graft-segment").load(dir),
           col("doc_id"), col("src"), totals,
           Sampling.temperatureShares(totals, 0.5), "tempsalt")
@@ -4590,10 +4571,15 @@ object SparkEntry {
     * dedup_components the contraction loop, pipeline_curation_audit
     * the whole curation run). */
   def warmFixtures(s: SparkSession, d: String): Seq[(String, Double)] = {
-    def timed(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime(); f
-      (name, (System.nanoTime() - t0) / 1e9)
-    }
+    // per-fixture isolation: one failed build must neither skip the
+    // remaining warms nor discard the timings of the ones that
+    // succeeded — an un-warmed build would land back inside its
+    // first consumer's timed window and read as a query regression
+    def timed(name: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        (name, (System.nanoTime() - t0) / 1e9)
+      } catch { case scala.util.control.NonFatal(_) => (name, -1.0) }
     Seq(
       timed("ann")(annIndexFor(s, d)),
       timed("prefix_pairs")(prefixPairsFor(s, d).count()),
@@ -4729,6 +4715,25 @@ object SparkEntry {
     })
     (s.read.parquet(s"$base/counts"), s.read.parquet(s"$base/docs"),
       s.read.parquet(s"$base/audit"))
+  }
+
+  /** Per-value totals off a graft-segment table's merged STRING map —
+    * the zero-scan strata/mixture input shared by the mixture
+    * certificates; fails diagnosably when the cap doctrine poisoned
+    * the declared column (a value past the 64-byte cap or over the
+    * distinct cap makes the statistic absent, never approximate). */
+  private def manifestStrTotals(s: SparkSession, dir: String,
+      column: String): Map[String, Long] = {
+    val fs = graft.sources.segment.SegmentLog.fs(dir, s.sessionState.newHadoopConf())
+    val m = graft.sources.segment.SegmentLog.logicalView(
+      graft.sources.segment.SegmentLog.read(fs, dir).get)
+    graft.sources.segment.SegmentHistogram
+      .decodeStr(m.shistMerged.getOrElse(column,
+        throw new IllegalStateException(
+          s"no merged string map for '$column' — the cap doctrine " +
+            "poisoned the statistic; this certificate requires the " +
+            "bounded domain its data declares")))
+      .map { case (v, n) => v.toString -> n }.toMap
   }
 
   /** The synthetic CDC ops log shared by the batch apply, the

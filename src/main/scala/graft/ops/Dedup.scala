@@ -372,13 +372,13 @@ object Dedup {
       truth: Option[DataFrame] = None): DataFrame = {
     require(bandCounts.nonEmpty && bandCounts.forall(b => b >= 1 && b <= 4),
       "band counts must be within the rotation width (1..4)")
-    // the exact truth is the expensive pass here (prefix-filtered
-    // verified pairs) and every arm consults it twice (capture
-    // semi-join + the n_true denominator): persist it alongside the
-    // signatures — r16 shared the signature pass but left the truth
-    // re-evaluated per use (6x for the default three arms)
+    // pair-distinct the truth (idempotent for the prefix-filter
+    // default): the conditional aggregate below counts JOINED rows,
+    // so a caller-supplied truth frame holding a pair k times would
+    // otherwise inflate both axes k-fold. One consumer only after the
+    // single-pass rewrite — no persist needed
     val truthPairs = truth.getOrElse(prefixFilteredPairs(docs, t))
-      .select(col("doc_a"), col("doc_b")).persist()
+      .select(col("doc_a"), col("doc_b")).distinct()
     // ONE signature pass serves every arm: band i's min-signature
     // depends only on the band index (the rotation), not on how many
     // bands the arm asks for, so the b-band signatures are exactly the
@@ -426,13 +426,16 @@ object Dedup {
           bandCounts.map(b =>
             sum(when(col("mband") < b && col("__truth").isNotNull, 1L)
               .otherwise(0L)).as(s"t$b"))): _*).head()
-      val nTrue = aggRow.getLong(0)
+      // sums over an EMPTY joined frame are SQL null (a dup-free or
+      // empty corpus) — read them as the zero counts they mean
+      def cnt(i: Int): Long = if (aggRow.isNullAt(i)) 0L else aggRow.getLong(i)
+      val nTrue = cnt(0)
       // assemble the ≤4 summary rows locally (the bounded-artifact
       // doctrine); recall rounding = Spark's round (BigDecimal
       // HALF_UP), the arithmetic the DuckDB oracle already certifies
       val rows = bandCounts.zipWithIndex.map { case (b, i) =>
-        val nCand = aggRow.getLong(1 + i)
-        val nCapt = aggRow.getLong(1 + bandCounts.size + i)
+        val nCand = cnt(1 + i)
+        val nCapt = cnt(1 + bandCounts.size + i)
         val recall =
           if (nTrue == 0L) Double.NaN
           else BigDecimal(nCapt.toDouble / nTrue)
@@ -452,7 +455,7 @@ object Dedup {
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("recall",
             org.apache.spark.sql.types.DoubleType, nullable = false))))
-    } finally { sigsAll.unpersist(); truthPairs.unpersist() }
+    } finally sigsAll.unpersist()
   }
 
   /** One LARGE-STAR round (Kiveris et al., "Connected Components in

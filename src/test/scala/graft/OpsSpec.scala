@@ -301,6 +301,33 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Skew.saltedAgg(df, "k", 4, Nil))
   }
 
+  test("bandingTradeoff: dup-free corpus counts zeros, duplicate truth rows don't inflate") {
+    import graft.ops.Dedup
+    // no shared shingles anywhere: empty candidate set AND empty truth
+    // — the aggregate's null sums must read as the zero counts they
+    // mean, not NPE (r17 review finding on the single-pass rewrite)
+    val loners = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (2L, "zulu yankee xray whiskey victor uniform tango sierra quebec"))
+      .toDF("doc_id", "text")
+    val zero = Dedup.bandingTradeoff(loners, 0.8, Seq(1, 2)).collect()
+    assert(zero.length == 2 &&
+      zero.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
+    // a caller-supplied truth with duplicate pairs must count like its
+    // distinct form on BOTH axes (the conditional aggregate counts
+    // joined rows; the op pair-distincts the truth first)
+    val twins = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (3L, "completely unrelated text about segment manifests and maps"))
+      .toDF("doc_id", "text")
+    val truth1 = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val truthDup = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val a = Dedup.bandingTradeoff(twins, 0.5, Seq(1, 4), truth = Some(truth1))
+    val b = Dedup.bandingTradeoff(twins, 0.5, Seq(1, 4), truth = Some(truthDup))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("SaltJoinRule: manifest-hot join salted automatically; every guard holds") {
     import graft.plans.SaltJoinRule
     val base = java.nio.file.Files.createTempDirectory("graft-saltrule").toString
