@@ -3398,6 +3398,25 @@ object SparkEntry {
         .select(col("doc_id"), col("src"))
         .orderBy(col("doc_id"))
     }),
+    // the mixture statistic's SQL face: per-value temperature
+    // keep-rates straight off the manifest map via CALL — the same
+    // temperatureShares→mixtureRates chain the operator uses, zero
+    // scans, dv-annotated; the oracle replays the sqrt/div/mul chain
+    // over the exact GROUP BY the map equals
+    "store_mixture_rates" -> ((s, d) => withTempDir("graft-mixrates") { base =>
+      val dir = s"$base/docs"
+      Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 4 < 3, lit("web"))
+            .otherwise(concat(lit("s"), col("doc_id") % 7)).as("src"))
+        .write.format("graft-segment").option("histFor", "src")
+        .mode("append").save(dir)
+      val cat = s"graft_mixr_${segCatalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.segment.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+      s.sql(s"CALL $cat.system.mixture_rates('$dir', 'src', 0.5)")
+        .orderBy(col("value"))
+    }),
     // AUTO-SALT from the skew statistic (r16): the salted join's
     // fan-out is DERIVED from the manifest frequency map (hot-key
     // mass / target slot rows — Skew.saltsForTable), not guessed by
@@ -7314,6 +7333,16 @@ object SparkEntry {
         "SELECT d.doc_id, d.src FROM docs d JOIN thr ON d.src = thr.src " +
         "WHERE substr(md5('tempsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr " +
         "ORDER BY d.doc_id"),
+    // the CALL face's rates replayed over the exact GROUP BY
+    "store_mixture_rates" ->
+      ("WITH docs AS (SELECT CASE WHEN doc_id % 4 < 3 THEN 'web' " +
+        "ELSE 's' || CAST(doc_id % 7 AS VARCHAR) END AS src FROM documents), " +
+        "t AS (SELECT src, CAST(count(*) AS BIGINT) AS toks FROM docs GROUP BY src), " +
+        "sh AS (SELECT src, sqrt(CAST(toks AS DOUBLE)) AS share, toks FROM t), " +
+        "c AS (SELECT min(CAST(toks AS DOUBLE) / share) AS c FROM sh) " +
+        "SELECT src AS value, toks AS n_rows, " +
+        "least(CAST(1.0 AS DOUBLE), c.c * share / CAST(toks AS DOUBLE)) AS rate, " +
+        "true AS exact FROM sh CROSS JOIN c ORDER BY value"),
 
     // the auto-salted join replayed as the PLAIN join: the derived
     // fan-out must be invisible in the result by construction

@@ -33,6 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.quantiles('db.t', '0.5,0.95');       -- metadata-only quantiles
   * CALL graft.system.salts('db.t', 'k', 100000);  -- derived salted-join fan-out
   * CALL graft.system.join_estimate('db.a','k','db.b','k'); -- zero-scan join count
+  * CALL graft.system.mixture_rates('db.t','source',0.5);   -- temperature keep-rates
   * }}}
   *
   * Each is a thin SQL binding over the [[GraftMaintenance]] /
@@ -470,6 +471,45 @@ object GraftProcedures {
           Seq(row(nRows.map(Long.box).orNull, mass.isDefined,
             (ma.segments ++ mb.segments).forall(_.dvRows == 0L)))
         }
+      case "mixture_rates" =>
+        // the data-mixing statistic's SQL face (r17): per-value
+        // temperature keep-rates straight off the manifest frequency
+        // map — share ∝ n^alpha through the SAME
+        // Sampling.temperatureShares→mixtureRates chain the operator
+        // uses (rate = min(1, (n_min/n)^(1-alpha)) by cancellation),
+        // zero scans. alpha validated BEFORE table state (the
+        // quantiles doctrine); an undeclared/poisoned column FAILS
+        // diagnosably — there is no honest fallback rate. Either map
+        // arm serves (long values rendered as strings); `exact`
+        // carries the dv annotation.
+        procedure("mixture_rates",
+          Seq(param("table", StringType), param("column", StringType),
+            paramDefault("alpha", DoubleType, "0.5")),
+          StructType(Seq(
+            StructField("value", StringType, nullable = false),
+            StructField("n_rows", LongType, nullable = false),
+            StructField("rate", DoubleType, nullable = false),
+            StructField("exact", BooleanType, nullable = false)))) { (spark, in) =>
+          val alpha = in.getDouble(2)
+          require(alpha >= 0.0 && alpha <= 1.0,
+            s"alpha must be in [0,1], got $alpha")
+          val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
+          val c = in.getUTF8String(1).toString
+          val totals: Seq[(String, Long)] =
+            m.shistMerged.get(c).map(SegmentHistogram.decodeStr(_).toSeq
+                .map { case (v, n) => v.toString -> n })
+              .orElse(m.histMerged.get(c).map(SegmentHistogram.decode(_).toSeq
+                .map { case (v, n) => v.toString -> n }))
+              .getOrElse(throw new IllegalStateException(
+                s"no merged frequency map for '$c' — undeclared, or the " +
+                  "cap doctrine poisoned it to absent"))
+          val tmap = totals.toMap
+          val rates = graft.ops.Sampling.mixtureRates(tmap,
+            graft.ops.Sampling.temperatureShares(tmap, alpha))
+          val ex = m.segments.forall(_.dvRows == 0L)
+          totals.sortBy(_._1).map { case (v, n) =>
+            row(UTF8String.fromString(v), n, rates(v), ex) }
+        }
       case "stats" =>
         procedure("stats",
           Seq(param("table", StringType)),
@@ -587,5 +627,5 @@ object GraftProcedures {
     Seq("compact", "zorder", "expire", "vacuum", "history", "detail",
       "delete_where", "delete_mark", "compact_deletes", "update_mark",
       "rollback", "rollback_to_timestamp", "clone", "ndv", "stats", "histogram",
-      "quantiles", "salts", "join_estimate")
+      "quantiles", "salts", "join_estimate", "mixture_rates")
 }

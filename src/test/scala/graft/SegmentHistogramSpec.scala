@@ -339,6 +339,48 @@ class SegmentHistogramSpec extends SparkSpec {
       "pre-delete mass served, exact=false")
   }
 
+  test("CALL graft.system.mixture_rates: temperature rates off either arm, honesty paths") {
+    val cat = "ghmixr"
+    val wh = tmp("graft-hist-mixr")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, tag STRING, u BIGINT) " +
+      "TBLPROPERTIES ('histFor'='k,tag')")
+    // tag: 900 'hot', 100 spread over c0..c2 (ids ending in 9 are odd,
+    // so a mod-4 tail would never hit even residues — mod 3 covers)
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, " +
+      "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('c', id % 3) END, " +
+      "id FROM range(0, 1000)")
+    def rates(c: String, alpha: Double) =
+      spark.sql(s"CALL $cat.system.mixture_rates('db.t', '$c', $alpha)")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val half = rates("tag", 0.5)
+    val nMin = half.values.map(_._1).min
+    assert(half.find(_._2._1 == nMin).get._2._2 == 1.0,
+      "the smallest source is never downsampled")
+    assert(math.abs(half("hot")._2 - math.sqrt(nMin.toDouble / 900)) < 1e-12,
+      "alpha=0.5: the closed form sqrt(n_min/n)")
+    assert(rates("tag", 1.0).values.forall(_._2 == 1.0),
+      "alpha=1: natural proportions, the mixture is a no-op")
+    // the long arm serves too (values rendered as strings); uniform
+    // distinct ids -> every rate 1.0 at any alpha
+    assert(rates("k", 0.0).values.forall(v => v._1 == 1L && v._2 == 1.0))
+    // honesty: alpha validated BEFORE table state; undeclared fails
+    // diagnosably (no honest fallback rate exists)
+    for (bad <- Seq(s"CALL $cat.system.mixture_rates('db.t', 'tag', 1.5)",
+        s"CALL $cat.system.mixture_rates('db.t', 'u', 0.5)")) {
+      intercept[Exception](spark.sql(bad).collect())
+    }
+    // dv honesty: pre-delete mass until compaction, annotated
+    assert(spark.sql(s"CALL $cat.system.mixture_rates('db.t', 'tag', 0.5)")
+      .collect().forall(_.getBoolean(3)))
+    spark.sql(s"CALL $cat.system.delete_mark('db.t', 'k = 7')").collect()
+    assert(spark.sql(s"CALL $cat.system.mixture_rates('db.t', 'tag', 0.5)")
+      .collect().forall(!_.getBoolean(3)), "exact flips under a live dv")
+  }
+
   test("string maps reach struct fields: dotted histFor on a nested string") {
     val dir = tmp("graft-shist-nested")
     spark.range(0, 1000)
