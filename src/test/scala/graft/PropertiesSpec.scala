@@ -432,4 +432,65 @@ class PropertiesSpec extends SparkSpec {
       "skip+emitOnly decode drifted (the change feed's delta face)")
     assert(decode(deleted, None).size == n - deleted.size)
   }
+
+  test("salted-aggregation property: two-phase merge ≡ plain groupBy on random frames") {
+    import graft.ops.Skew
+    // random skew profiles, null rates, and fan-outs: the partial/
+    // merge algebra must be EXACT for every supported function on
+    // every draw — the generative form of the rel_agg_autosalt pin
+    val genCase = for {
+      nRows <- Gen.choose(50, 400)
+      nKeys <- Gen.choose(1, 8)
+      hotShare <- Gen.choose(0, 90) // percent of rows on key 0
+      nullPct <- Gen.choose(0, 30)
+      salts <- Gen.choose(1, 23)
+    } yield (nRows, nKeys, hotShare, nullPct, salts)
+    samples(genCase, 6).foreach { case (nRows, nKeys, hotShare, nullPct, salts) =>
+      val df = spark.range(0, nRows).select(
+        when(col("id") % 100 < hotShare, lit(0L))
+          .otherwise(col("id") % nKeys).as("k"),
+        when(col("id") % 100 < nullPct, lit(null))
+          .otherwise(col("id") * 7 - nRows).as("v"),
+        (col("id") % 13).as("u"))
+      val plain = df.groupBy(col("k")).agg(
+        sum(col("v")).as("s"), count(col("v")).as("c"), count(lit(1)).as("n"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        (sum(col("v")).cast("double") / count(col("v"))).as("a"))
+      val salted = Skew.saltedAgg(df, "k", salts, Seq(
+        ("sum", "v", "s"), ("count", "v", "c"), ("count", "*", "n"),
+        ("min", "v", "mn"), ("max", "v", "mx"), ("avg", "v", "a")))
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"saltedAgg drifted at rows=$nRows keys=$nKeys hot=$hotShare% " +
+          s"nulls=$nullPct% salts=$salts")
+      val plainD = df.groupBy(col("k")).agg(count_distinct(col("u")).as("nd"))
+      val saltedD = Skew.saltedCountDistinct(df, "k", "u", salts, "nd")
+      assert(saltedD.exceptAll(plainD).isEmpty && plainD.exceptAll(saltedD).isEmpty,
+        s"saltedCountDistinct drifted at salts=$salts")
+    }
+  }
+
+  test("salted-join property: derived-fanout join ≡ plain join row multiset on random frames") {
+    import graft.ops.Skew
+    val genCase = for {
+      nFact <- Gen.choose(100, 500)
+      nKeys <- Gen.choose(2, 12)
+      hotShare <- Gen.choose(10, 95)
+      salts <- Gen.choose(1, 17)
+      dupDim <- Gen.oneOf(1, 2) // dim key multiplicity must be preserved
+    } yield (nFact, nKeys, hotShare, salts, dupDim)
+    samples(genCase, 6).foreach { case (nFact, nKeys, hotShare, salts, dupDim) =>
+      val fact = spark.range(0, nFact).select(
+        when(col("id") % 100 < hotShare, lit(1L))
+          .otherwise(col("id") % nKeys).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, nKeys.toLong * dupDim)
+        .select((col("id") % nKeys).as("k"), (col("id") * 11).as("w"))
+      val plain = fact.join(dim, Seq("k"))
+      val salted = Skew.saltedJoin(fact, dim, "k", salts)
+        .select(plain.columns.map(col): _*)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"saltedJoin drifted at fact=$nFact keys=$nKeys hot=$hotShare% " +
+          s"salts=$salts dupDim=$dupDim")
+    }
+  }
 }
