@@ -3417,6 +3417,39 @@ object SparkEntry {
       s.sql(s"CALL $cat.system.mixture_rates('$dir', 'src', 0.5)")
         .orderBy(col("value"))
     }),
+    // STREAMING temperature mixture: the mixture predicate is a pure
+    // (salt, key) hash filter — STATELESS, so it applies per
+    // micro-batch with no state store and the kept set is identical
+    // to the batch op's under ANY batch-boundary placement (the
+    // retry-stability the deterministic hash buys). Rates derive ONCE
+    // before the stream starts, from the manifest map — the
+    // production shape: statistics versioned with the table, the
+    // filter stamped into the running pipeline. Three appends stream
+    // as three micro-batches (admission control); oracle = the batch
+    // replay of the same chain
+    "stream_mixture_counts" -> ((s, d) => withTempDir("graft-mixstream") { base =>
+      val dir = s"$base/docs"
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 < 3, lit("web"))
+          .otherwise(concat(lit("s"), col("doc_id") % 7)).as("src"))
+      Seq(0, 1, 2).foreach(i => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.format("graft-segment").option("histFor", "src")
+        .mode("append").save(dir))
+      val totals = manifestStrTotals(s, dir, "src")
+      val in = s.readStream.format("graft-segment")
+        .option("maxSegmentsPerTrigger", "1").load(dir)
+      val q = Sampling.mixtureSample(in, col("doc_id"), col("src"), totals,
+          Sampling.temperatureShares(totals, 0.5), "tempsalt")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("src"))
+    }),
     // AUTO-SALT from the skew statistic (r16): the salted join's
     // fan-out is DERIVED from the manifest frequency map (hot-key
     // mass / target slot rows — Skew.saltsForTable), not guessed by
@@ -7343,6 +7376,20 @@ object SparkEntry {
         "SELECT src AS value, toks AS n_rows, " +
         "least(CAST(1.0 AS DOUBLE), c.c * share / CAST(toks AS DOUBLE)) AS rate, " +
         "true AS exact FROM sh CROSS JOIN c ORDER BY value"),
+    // the streamed mixture replayed as the batch chain, grouped
+    "stream_mixture_counts" ->
+      ("WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 4 < 3 THEN 'web' " +
+        "ELSE 's' || CAST(doc_id % 7 AS VARCHAR) END AS src FROM documents), " +
+        "t AS (SELECT src, CAST(count(*) AS BIGINT) AS toks FROM docs GROUP BY src), " +
+        "sh AS (SELECT src, sqrt(CAST(toks AS DOUBLE)) AS share, toks FROM t), " +
+        "c AS (SELECT min(CAST(toks AS DOUBLE) / share) AS c FROM sh), " +
+        "r AS (SELECT src, least(CAST(1.0 AS DOUBLE), c.c * share / CAST(toks AS DOUBLE)) AS rate FROM sh CROSS JOIN c), " +
+        "thr AS (SELECT src, printf('%08x', least(CAST(trunc(rate * 4294967296.0) AS BIGINT), 4294967295)) AS thr FROM r) " +
+        "SELECT d.src, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "min(d.doc_id) AS min_id, max(d.doc_id) AS max_id " +
+        "FROM docs d JOIN thr ON d.src = thr.src " +
+        "WHERE substr(md5('tempsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr " +
+        "GROUP BY d.src ORDER BY d.src"),
 
     // the auto-salted join replayed as the PLAIN join: the derived
     // fan-out must be invisible in the result by construction
