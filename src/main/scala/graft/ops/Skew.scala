@@ -73,11 +73,24 @@ object Skew {
     * overflowed. ONE resolution shared by [[saltsForTable]] and the
     * `CALL graft.system.salts` SQL face. */
   def mapCounts(m: graft.sources.segment.Manifest,
-      key: String): Option[Array[Long]] = {
+      key: String): Option[Array[Long]] =
+    mapEntries(m, key).map(_.map(_._2).toArray)
+
+  /** The (value, count) entries of a manifest's merged frequency map
+    * for `key` — long arm first (matching [[mapCounts]]), values
+    * rendered as strings; None when undeclared or overflowed. The ONE
+    * arm resolution shared by [[mapCounts]]/[[saltsForTable]], the
+    * `CALL graft.system.salts` face, and `CALL mixture_rates` (the
+    * join_estimate procedure keeps its own TYPED arms deliberately:
+    * rendering to strings there would let a long 7 match a string
+    * "7" across arms, breaking same-arm-only matching). */
+  def mapEntries(m: graft.sources.segment.Manifest,
+      key: String): Option[Seq[(String, Long)]] = {
     import graft.sources.segment.SegmentHistogram
-    m.histMerged.get(key).map(SegmentHistogram.decode(_).map(_._2))
-      .orElse(m.shistMerged.get(key)
-        .map(SegmentHistogram.decodeStr(_).map(_._2)))
+    m.histMerged.get(key).map(SegmentHistogram.decode(_).toSeq
+        .map { case (v, n) => v.toString -> n })
+      .orElse(m.shistMerged.get(key).map(SegmentHistogram.decodeStr(_).toSeq
+        .map { case (v, n) => v.toString -> n }))
   }
 
   /** Two-phase salted aggregation for hot GROUP-BY keys (r17 — the

@@ -495,11 +495,10 @@ object GraftProcedures {
             s"alpha must be in [0,1], got $alpha")
           val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
           val c = in.getUTF8String(1).toString
+          // the ONE shared arm resolution (Skew.mapEntries) — the
+          // salts face reads the same entries' counts
           val totals: Seq[(String, Long)] =
-            m.shistMerged.get(c).map(SegmentHistogram.decodeStr(_).toSeq
-                .map { case (v, n) => v.toString -> n })
-              .orElse(m.histMerged.get(c).map(SegmentHistogram.decode(_).toSeq
-                .map { case (v, n) => v.toString -> n }))
+            graft.ops.Skew.mapEntries(m, c)
               .getOrElse(throw new IllegalStateException(
                 s"no merged frequency map for '$c' — undeclared, or the " +
                   "cap doctrine poisoned it to absent"))
