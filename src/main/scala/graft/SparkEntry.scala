@@ -4587,13 +4587,28 @@ object SparkEntry {
     catch { case scala.util.control.NonFatal(_) =>
       System.identityHashCode(s).toString }
 
+  /** computeIfAbsent on a (session, dir)-keyed fixture cache with the
+    * temp-dir lifecycle EVERY session fixture needs: the key is
+    * [[sessionKey]] (identityHashCode is not collision-free across
+    * live sessions) and a JVM shutdown hook reclaims the dir (a
+    * long-lived bench box accumulates run-over-run temp otherwise —
+    * the disk-pressure failure mode BENCH_NOTES r16 records). r17
+    * applied both to the ANN cache only while five sibling caches
+    * replicated the pre-fix pattern; this is the ONE helper they all
+    * share now (r17 verdict item 2). */
+  private def sessionFixture[V](
+      cache: java.util.concurrent.ConcurrentHashMap[String, V],
+      s: SparkSession, d: String, prefix: String)
+      (build: java.nio.file.Path => V): V =
+    cache.computeIfAbsent(s"${sessionKey(s)}|$d", _ => {
+      val out = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => TempDirs.deleteTree(out)))
+      build(out)
+    })
+
   private def annIndexFor(s: SparkSession, d: String): (String, Int) =
-    annIdxCache.computeIfAbsent(s"${sessionKey(s)}|$d", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-annidx-cache")
-      // session-lifetime cache: reclaim it at JVM exit (a long-lived
-      // bench box accumulates run-over-run temp otherwise — the
-      // disk-pressure failure mode BENCH_NOTES r16 records)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => TempDirs.deleteTree(out)))
+    sessionFixture(annIdxCache, s, d, "graft-annidx-cache") { out =>
       val t0 = System.nanoTime()
       val emb = Tables.embeddings(s, d)
       val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
@@ -4605,7 +4620,7 @@ object SparkEntry {
       // line so the certificates' numbers read mutate+probe
       println(f"[graft] ann index cold build: ${(System.nanoTime() - t0) / 1e9}%.2f s ($d)")
       (out.toString, dsub)
-    })
+    }
 
   /** Pre-builds every session-cached shared fixture OUTSIDE a timed
     * window — the IVF-PQ index, the exact-Jaccard truth pairs, the
@@ -4680,16 +4695,13 @@ object SparkEntry {
     * bit-exactly, so all five stay on their unchanged oracles. */
   private val knnEdgeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def knnEdgesFor(s: SparkSession, d: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$d"
-    val path = knnEdgeCache.computeIfAbsent(key, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-knn-edges").toString
-      graft.ops.PageRank.knnEdgesWeighted(Tables.embeddings(s, d), 5)
-        .write.mode("overwrite").parquet(out)
-      out
+  private def knnEdgesFor(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(sessionFixture(knnEdgeCache, s, d, "graft-knn-edges") {
+      out =>
+        graft.ops.PageRank.knnEdgesWeighted(Tables.embeddings(s, d), 5)
+          .write.mode("overwrite").parquet(out.toString)
+        out.toString
     })
-    s.read.parquet(path)
-  }
 
   /** The trained unigram-LM segmentation table, persisted once per
     * (session, dir) — the tokenizer-artifact discipline: train is a
@@ -4697,17 +4709,14 @@ object SparkEntry {
     * certifies the build, text_unigram_encode the serving read). */
   private val unigramCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def unigramTableFor(s: SparkSession, d: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$d"
-    val path = unigramCache.computeIfAbsent(key, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-unigram").toString
-      graft.ops.UnigramLm.train(Tables.documents(s, d),
-        maxPieceLen = 4, topV = 32, maxWordLen = 8)
-        .write.mode("overwrite").parquet(out)
-      out
+  private def unigramTableFor(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(sessionFixture(unigramCache, s, d, "graft-unigram") {
+      out =>
+        graft.ops.UnigramLm.train(Tables.documents(s, d),
+          maxPieceLen = 4, topV = 32, maxWordLen = 8)
+          .write.mode("overwrite").parquet(out.toString)
+        out.toString
     })
-    s.read.parquet(path)
-  }
 
   /** The complete exact Jaccard-≥0.8 pair frame feeds both the pair
     * query and the LSH-recall certification — the same persist-once
@@ -4715,30 +4724,24 @@ object SparkEntry {
     * not a per-consumer rebuild). */
   private val prefixPairsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def prefixPairsFor(s: SparkSession, d: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$d"
-    val path = prefixPairsCache.computeIfAbsent(key, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-prefix-pairs").toString
-      Dedup.prefixFilteredPairs(Tables.documents(s, d), 0.8)
-        .write.mode("overwrite").parquet(out)
-      out
+  private def prefixPairsFor(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(sessionFixture(prefixPairsCache, s, d, "graft-prefix-pairs") {
+      out =>
+        Dedup.prefixFilteredPairs(Tables.documents(s, d), 0.8)
+          .write.mode("overwrite").parquet(out.toString)
+        out.toString
     })
-    s.read.parquet(path)
-  }
 
-  private def componentsFor(s: SparkSession, d: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$d"
-    val path = componentsCache.computeIfAbsent(key, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-components").toString
-      val comps = Dedup.dedupComponents(Tables.documents(s, d), 4)
-      comps.write.mode("overwrite").parquet(out)
-      // the decisions now live in parquet; release the contraction
-      // loop's final checkpoint blocks instead of stranding them
-      org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(comps)
-      out
+  private def componentsFor(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(sessionFixture(componentsCache, s, d, "graft-components") {
+      out =>
+        val comps = Dedup.dedupComponents(Tables.documents(s, d), 4)
+        comps.write.mode("overwrite").parquet(out.toString)
+        // the decisions now live in parquet; release the contraction
+        // loop's final checkpoint blocks instead of stranding them
+        org.apache.spark.sql.graftbridge.RddBridge.freeCheckpoint(comps)
+        out.toString
     })
-    s.read.parquet(path)
-  }
 
   /** The end-to-end curation run is ONE pipeline serving two queries
     * (the funnel counts and the curated corpus) — built once per
@@ -4749,8 +4752,8 @@ object SparkEntry {
   private val curationCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def curationFor(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val base = curationCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val base = sessionFixture(curationCache, s, d, "graft-curation") { outP =>
+      val out = outP.toString
       val st = graft.ops.Curation.stages(Tables.documents(s, d))
       graft.ops.Curation.stageCounts(st)
         .write.mode("overwrite").parquet(s"$out/counts")
@@ -4764,7 +4767,7 @@ object SparkEntry {
       Seq(st.quality, st.exact, st.near, st.components)
         .foreach(graft.ops.Lineage.free)
       out
-    })
+    }
     (s.read.parquet(s"$base/counts"), s.read.parquet(s"$base/docs"),
       s.read.parquet(s"$base/audit"))
   }

@@ -366,7 +366,9 @@ object Dedup {
     * before picking the production knob, instead of trusting the
     * 1-(1-s^r)^b formula sight unseen. Shares [[minhashRecall]]'s
     * internals per arm; band counts are bounded by the md5 rotation
-    * width (≤ 4 with 8-hex-char bands). */
+    * width (≤ 4 with 8-hex-char bands). `recall` is SQL NULL when the
+    * truth set is empty (a dup-free corpus has no denominator — the
+    * divide-by-zero contract, JSON-safe where NaN is not). */
   def bandingTradeoff(
       docs: DataFrame, t: Double, bandCounts: Seq[Int], maxBucket: Int = 50,
       truth: Option[DataFrame] = None): DataFrame = {
@@ -433,13 +435,18 @@ object Dedup {
       // assemble the ≤4 summary rows locally (the bounded-artifact
       // doctrine); recall rounding = Spark's round (BigDecimal
       // HALF_UP), the arithmetic the DuckDB oracle already certifies
+      // recall under an EMPTY truth set is SQL null (no denominator) —
+      // the pre-r17 contract (Spark's divide-by-zero), kept over NaN
+      // because a dup-free corpus is a legitimate input and NaN is not
+      // representable in strict JSON if the frame is exported
+      // (r17 ADVICE)
       val rows = bandCounts.zipWithIndex.map { case (b, i) =>
         val nCand = cnt(1 + i)
         val nCapt = cnt(1 + bandCounts.size + i)
-        val recall =
-          if (nTrue == 0L) Double.NaN
-          else BigDecimal(nCapt.toDouble / nTrue)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val recall: java.lang.Double =
+          if (nTrue == 0L) null
+          else java.lang.Double.valueOf(BigDecimal(nCapt.toDouble / nTrue)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         org.apache.spark.sql.Row(b, nCand, nTrue, nCapt, recall)
       }
       import scala.jdk.CollectionConverters._
@@ -454,7 +461,7 @@ object Dedup {
           org.apache.spark.sql.types.StructField("n_captured",
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("recall",
-            org.apache.spark.sql.types.DoubleType, nullable = false))))
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
     } finally sigsAll.unpersist()
   }
 

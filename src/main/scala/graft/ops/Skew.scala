@@ -129,7 +129,10 @@ object Skew {
     * is the order-independent exact form; Spark's builtin `avg(long)`
     * instead accumulates an incremental DOUBLE partial sum, so past
     * 2^53 of accumulated mass (or under different add orders) the two
-    * can differ in final ULPs — this form is the reproducible one. */
+    * can differ in final ULPs — this form is the reproducible one.
+    * ENFORCED (r18): avg requires an integral input column — a
+    * floating input's partial sums are order-dependent on both sides
+    * of the ≡, so the drop-in contract would silently not hold. */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
       aggs: Seq[(String, String, String)]): DataFrame = {
     require(salts >= 1, s"salts must be at least 1, got $salts")
@@ -147,7 +150,23 @@ object Skew {
       require(supported(fn), s"unsupported aggregate '$fn' " +
         s"(supported: ${supported.toSeq.sorted.mkString(", ")})")
       require(in != "*" || fn == "count",
-        s"'*' input is only meaningful under count, got $fn(*)") }
+        s"'*' input is only meaningful under count, got $fn(*)")
+      // the "result ≡ plain groupBy" contract is only EXACT when the
+      // partial sums are order-independent — true for integral inputs
+      // (exact long sums), false for floating ones (each add order
+      // yields different final ULPs, on BOTH sides of the ≡). Reject
+      // rather than silently weaken the contract (r17 verdict item 5)
+      if (fn == "avg") {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val dt = df.schema(in).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"avg('$in') requires an integral input column, got $dt: the " +
+            "exact-sum-over-exact-count merge is order-independent only " +
+            "for integral sums — floating partials differ in final ULPs " +
+            "per add order, which breaks the '≡ plain groupBy' contract. " +
+            "Cast to long units (e.g. cents) upstream, or request " +
+            "sum+count and divide with your own tolerance.")
+      } }
     val salted = df.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val partials = aggs.zipWithIndex.flatMap { case ((fn, in, _), i) =>

@@ -79,7 +79,13 @@ import graft.sources.segment.GraftSegmentTable
 case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!session.conf.get(SaltJoinRule.EnabledKey, "true").toBoolean) return plan
+    // tolerant parse (the rule's own never-fail-planning doctrine,
+    // applied to its OWN kill switch): a malformed value ('0', 'yes')
+    // degrades to the default instead of throwing
+    // IllegalArgumentException out of the optimizer for every query
+    // in the session — only an explicit "false" disables
+    if (session.conf.get(SaltJoinRule.EnabledKey, "true")
+        .equalsIgnoreCase("false")) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(EqualTo(a: AttributeReference, b: AttributeReference)), hint)
           if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>

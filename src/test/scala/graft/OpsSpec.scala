@@ -299,6 +299,15 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Skew.saltedAgg(df, "k", 4, Seq(("median", "v", "m"))))
     intercept[IllegalArgumentException](Skew.saltedAgg(df, "k", 4, Nil))
+    // avg over a FLOATING input is rejected: its partial sums are
+    // order-dependent, so the "≡ plain groupBy" contract would
+    // silently not hold (r17 verdict item 5). sum/min/max over the
+    // same column stay allowed — their contracts don't divide
+    val dbl = df.select($"k", ($"v" / 7.0).as("x"))
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(dbl, "k", 4, Seq(("avg", "x", "a"))))
+    assert(Skew.saltedAgg(dbl, "k", 4, Seq(("min", "x", "m"))).columns
+      .toSeq === Seq("k", "m"))
   }
 
   test("bandingTradeoff: dup-free corpus counts zeros, duplicate truth rows don't inflate") {
@@ -313,6 +322,9 @@ class OpsSpec extends SparkSpec {
     val zero = Dedup.bandingTradeoff(loners, 0.8, Seq(1, 2)).collect()
     assert(zero.length == 2 &&
       zero.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
+    // recall with no denominator is SQL null — the pre-r17 contract,
+    // pinned (NaN would be unrepresentable in strict JSON exports)
+    assert(zero.forall(_.isNullAt(4)))
     // a caller-supplied truth with duplicate pairs must count like its
     // distinct form on BOTH axes (the conditional aggregate counts
     // joined rows; the op pair-distincts the truth first)
