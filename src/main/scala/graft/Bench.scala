@@ -120,9 +120,35 @@ object Bench {
     probes += (((System.nanoTime() - suiteStart) / 1e9, calibrateCpu()))
     val calibCpuEnd = probes.last._2
     val calibSparkEnd = calibrateSpark(spark)
+    // REPEAT PASS (r18): one second sample for the suite's slowest
+    // tail. Two consecutive rounds' headline adjudications (r16
+    // banding x1.83, r17 rel x2.14 on untouched code) rested on
+    // evidence OUTSIDE the artifact — A/A re-runs and probe flatness —
+    // because every per-query time was a single sample. A repeat
+    // separates per-job scheduler drift from plan regression
+    // mechanically: a real regression repeats, a scheduling hiccup
+    // doesn't. First samples remain `total` (comparable round-over-
+    // round); repeats ride as their own fields, and the repeat
+    // window's wall cost is self-reported as repeats_sec so wall-
+    // conserving cross-round totals stay mechanical.
+    val repeats = results.filter(_._2 >= 0).sortBy(-_._2).take(RepeatSlowest)
+      .map { case (name, _) =>
+        val t0 = System.nanoTime()
+        val dt =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> dt
+      }
+    // one more CPU sample AFTER the repeat window, so the window the
+    // repeats ran in is itself instrumented (decode marks entries past
+    // end-of-suite as post-suite)
+    probes += (((System.nanoTime() - suiteStart) / 1e9, calibrateCpu()))
+    val repeatsSec = repeats.map(_._2).filter(_ >= 0).sum
     def f3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val calib = s""""calib_cpu_sec":${f3(calibCpu)},"calib_spark_sec":${f3(calibSpark)},"calib_spark_mid_sec":${f3(calibSparkMid)},"calib_spark_end_sec":${f3(calibSparkEnd)},"calib_cpu_end_sec":${f3(calibCpuEnd)},"ann_build_sec":${f3(annBuild)},"fixtures_build_sec":${f3(fixturesBuild)}"""
+    val calib = s""""calib_cpu_sec":${f3(calibCpu)},"calib_spark_sec":${f3(calibSpark)},"calib_spark_mid_sec":${f3(calibSparkMid)},"calib_spark_end_sec":${f3(calibSparkEnd)},"calib_cpu_end_sec":${f3(calibCpuEnd)},"ann_build_sec":${f3(annBuild)},"fixtures_build_sec":${f3(fixturesBuild)},"repeats_sec":${f3(repeatsSec)}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     // full-precision, full-surface JSON for the file artifact — named
     // per-query times AND start offsets AND the probe series
@@ -134,9 +160,15 @@ object Bench {
       .map { case (o, c) => s"[${f3(o)},${f3(c)}]" }.mkString("[", ",", "]")
     val errsFull = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val rptFull = repeats.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"offsets":$offFull,"probes":$probesFull,"errors":$errsFull,"sf":"$sfDir"}"""
-    val json = renderCompact(results, probes.toSeq, errors.toSeq, sfDir)
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"offsets":$offFull,"probes":$probesFull,"repeats":$rptFull,"errors":$errsFull,"sf":"$sfDir"}"""
+    val nameIdx = suite.map(_._1).zipWithIndex.toMap
+    val json = renderCompact(results, probes.toSeq,
+      Seq(calibSpark, calibSparkMid, calibSparkEnd),
+      repeats.map { case (n, t) => nameIdx(n) -> t },
+      errors.toSeq, sfDir)
     // The JSON line must be un-losable: streaming state stores (RocksDB
     // maintenance threads from the stream_* queries) can dump shutdown
     // stack traces that flood a captured log tail. So: quiesce streams
@@ -165,6 +197,13 @@ object Bench {
   /** Queries between mid-run drift probes: 7 probes × ~0.5 s on a
     * 331-query ≈ 580 s suite = <1% overhead. */
   val ProbeEvery = 50
+
+  /** How many of the suite's slowest queries get a second sample after
+    * the suite (r18): ~10 covers every query whose single-sample drift
+    * has needed adjudication so far (the r16/r17 tails), at a wall
+    * cost of roughly the tail's own sum (~60-90 s at the driver) —
+    * paid OUTSIDE the timed window and self-reported as repeats_sec. */
+  val RepeatSlowest = 10
 
   /** Pinned single-thread CPU measurement: 2^28 xorshift64* steps —
     * pure register ALU work, no allocation, no memory traffic, so the
@@ -216,12 +255,11 @@ object Bench {
     * captured log tail. The capture window is a FIXED byte count from
     * the end of the run log (observed: 2000 bytes, with an ~80-byte
     * sbt `[success]` trailer after our line and the headline line
-    * before it — ~310 bytes worst-case since r17 grew it with the
-    * bracketed spark calibration and ann_build fields, which is why
-    * the default budget below dropped 1650 → 1550) — a line longer
-    * than that gets its FRONT truncated and parses as nothing, losing
-    * the whole round's timings (the r4/r5 artifacts both died this
-    * way).
+    * before it — ~330 bytes worst-case since r18 grew it with
+    * repeats_sec, which is why the default budget stays at 1550) — a
+    * line longer than that gets its FRONT truncated and parses as
+    * nothing, losing the whole round's timings (the r4/r5 artifacts
+    * both died this way).
     *
     * r15's named slowest-first map left 283 of 331 queries invisible,
     * and its +87 s drift took a judge session to attribute; r16 makes
@@ -229,20 +267,36 @@ object Bench {
     * time rides as a positional integer array in the deterministic
     * run order (queries run sorted by name, so index i names the i-th
     * key of the round's own CORRECTNESS json — `tools/decode_bench.py`
-    * does the zip), plus the [suite offset, calib_cpu] probe series
-    * taken every [[ProbeEvery]] queries. Within a probe window, a
-    * query's start offset is the probe offset plus the cumulative sum
-    * of the preceding durations (inter-query hygiene gaps bounded by
-    * the next probe's exact offset) — full timing coverage in ~1.5 KB.
+    * does the zip). r18 completes the INSTRUMENT payload the same
+    * way, because two consecutive rounds' drift adjudications needed
+    * data the compact line didn't carry:
     *
-    * The unit degrades adaptively to honor the byte budget: `cs`
-    * (centiseconds) normally; `ds` (deciseconds) if a pathological
-    * surface overflows; errored queries ride as -1 (never a
-    * plausible time) with messages in `errors` (first 3, truncated —
-    * a failure must never be silently dropped). */
+    *  - `cpu`: the [[ProbeEvery]]-interval calib series as positional
+    *    centisecond ints — entry k < ceil(n/50) ran before query 50k
+    *    (offset ≈ cumsum of t[0..50k), hygiene gaps excluded — good
+    *    to a few seconds over the suite, full precision in
+    *    target/bench.json), then one end-of-suite entry, then any
+    *    post-suite entries (the repeat window);
+    *  - `spk`: the start/mid/end Spark-path brackets, centisecond
+    *    ints — previously headline-only, now overlayable with `cpu`
+    *    from one field (r17 verdict item 7);
+    *  - `rpt`: flat [idx, t, idx, t, ...] pairs — the second sample
+    *    for the [[RepeatSlowest]] slowest queries, same t_unit as
+    *    `t`, idx in the positional name order. This is what lets
+    *    `decode_bench --vs` label a tail regression repeat-confirmed
+    *    vs first-sample-only from the artifact alone (r17 verdict
+    *    item 1).
+    *
+    * The payload degrades adaptively to honor the byte budget:
+    * resolution first (`cs` → `ds` → `s`), then the instrument
+    * series, then the repeats — never coverage; errored queries ride
+    * as -1 (never a plausible time) with messages in `errors` (first
+    * 3, truncated — a failure must never be silently dropped). */
   private[graft] def renderCompact(
       results: Seq[(String, Double)],
       probes: Seq[(Double, Double)],
+      spark: Seq[Double],
+      repeats: Seq[(Int, Double)],
       errors: Seq[(String, String)],
       sfDir: String,
       budget: Int = 1550): String = {
@@ -254,32 +308,35 @@ object Bench {
     }
     val errs = errEntries.mkString("{", ",", "}") +
       (if (errors.nonEmpty) s""","n_errors":${errors.size}""" else "")
-    // probes at one decimal: offsets to 0.1 s and the ~0.5 s CPU loop
-    // to 0.01 s resolve a contention window; full precision is in
-    // target/bench.json
-    def fmt1(v: Double): String =
-      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmt2(v: Double): String =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val probeStr = probes.map { case (o, c) => s"[${fmt1(o)},${fmt2(c)}]" }
-      .mkString("[", ",", "]")
-    def assemble(unit: String, scale: Double, withProbes: Boolean): String = {
+    // both instrument series at centisecond ints: the ~0.5 s CPU loop
+    // and the ~1-2 s Spark job resolve a contention window at that
+    // grain; full precision is in target/bench.json
+    def csInt(v: Double): String =
+      if (v < 0) "-1" else math.round(v * 100).toString
+    val cpuStr = probes.map(p => csInt(p._2)).mkString("[", ",", "]")
+    val spkStr = spark.map(csInt).mkString("[", ",", "]")
+    def assemble(unit: String, scale: Double, withCal: Boolean,
+        withRpt: Boolean): String = {
       val t = results.map { case (_, v) =>
         if (v < 0) "-1" else math.round(v * scale).toString
       }.mkString("[", ",", "]")
-      val pr = if (withProbes) s""","probes":$probeStr""" else ""
+      val cal = if (withCal) s""","cpu":$cpuStr,"spk":$spkStr""" else ""
+      val rpt = if (withRpt && repeats.nonEmpty)
+        s""","rpt":${repeats.map { case (i, v) => s"$i,${if (v < 0) "-1" else math.round(v * scale).toString}" }.mkString("[", ",", "]")}"""
+      else ""
       s"""{"metric":"qtimes","value":$total,"unit":"sec","t_unit":"$unit","order":"name","n":${results.size},""" +
-        s""""t":$t$pr,"errors":$errs,"sf":"$sfDir"}"""
+        s""""t":$t$cal$rpt,"errors":$errs,"sf":"$sfDir"}"""
     }
-    // degrade RESOLUTION, then the probe payload — never coverage: the
-    // final candidate is emitted even if over budget (a surface that
-    // big would itself be the finding)
+    // degrade RESOLUTION, then the instrument series, then the repeat
+    // samples — never coverage: the final candidate is emitted even
+    // if over budget (a surface that big would itself be the finding)
     val candidates = Iterator(
-      assemble("cs", 100.0, withProbes = true),
-      assemble("ds", 10.0, withProbes = true),
-      assemble("s", 1.0, withProbes = true),
-      assemble("s", 1.0, withProbes = false))
+      assemble("cs", 100.0, withCal = true, withRpt = true),
+      assemble("ds", 10.0, withCal = true, withRpt = true),
+      assemble("s", 1.0, withCal = true, withRpt = true),
+      assemble("s", 1.0, withCal = false, withRpt = true),
+      assemble("s", 1.0, withCal = false, withRpt = false))
     candidates.find(_.length <= budget).getOrElse(
-      assemble("s", 1.0, withProbes = false))
+      assemble("s", 1.0, withCal = false, withRpt = false))
   }
 }

@@ -22,6 +22,18 @@ import graft.sources.Tables
   *                      statistic, AQE off (isolates the rewrite)
   *  4. salted-aqe     — the rewrite under AQE (both may fire)
   *
+  * Composite-key arms (r18, the SaltJoinRule scope decision): the same
+  * hot fact joined on (k, k2 = cents % 3) — the composite hot key is
+  * bounded by the declared k map (count(k=a ∧ k2=b) ≤ count(k=a)), so
+  * the k-derived fan-out is what a planner rule would use. Arms mirror
+  * the single-key set: comp-smj-aqe-off / comp-smj-aqe-skew /
+  * comp-salted-smj / comp-salted-aqe.
+  *
+  * Fact-preserving left-outer arms (r18): left-plain / left-aqe-skew /
+  * left-salted with the hot key MATCHED (dimHalf), and leftmiss-* with
+  * the hot key UNMATCHED (the null-extended straggler still
+  * sort-merges the hot partition, so salting should pay there too).
+  *
   * Aggregation arms (the face AQE does NOT cover — no runtime split
   * exists for a skewed hash aggregate):
   *  5. agg-plain      — groupBy(k).agg(sum, count): map-side partial
@@ -172,6 +184,53 @@ object SaltBench {
       // explicit hint: the checkpointed dim's stats are opaque, so the
       // size-based auto-broadcast can't see the 97 rows
       time("broadcast", () => agg(fact.join(broadcast(dim), Seq("k"))), aqeOff)
+
+      // COMPOSITE-KEY arms (r18, rule-scope decision): the same 75%-hot
+      // fact joined on (k, k2) with k2 = cents % 3 — the hot COMPOSITE
+      // key (7, x) still owns ~25% of the rows each, and the manifest
+      // statistic on k alone upper-bounds the composite hot mass
+      // (count(k=a, k2=b) <= count(k=a)), so the k-derived fan-out is
+      // the bound a planner rule would use. Same salts as the
+      // single-key arms by that argument.
+      val fact2 = fact.withColumn("k2", pmod(col("cents"), lit(3)))
+      val dim2 = fact2.select(col("k"), col("k2")).distinct()
+        .withColumn("grp", concat(lit("g"), pmod(col("k") + col("k2"), lit(5))))
+        .localCheckpoint()
+      time("comp-smj-aqe-off", () => agg(fact2.join(dim2, Seq("k", "k2"))),
+        noBcast, aqeOff)
+      time("comp-smj-aqe-skew", () => agg(fact2.join(dim2, Seq("k", "k2"))),
+        (Seq(noBcast, aqeOn) ++ skewTuned): _*)
+      time("comp-salted-smj", () => agg(
+        graft.ops.Skew.saltedJoin(fact2, dim2, Seq("k", "k2"), salts)),
+        noBcast, aqeOff)
+      time("comp-salted-aqe", () => agg(
+        graft.ops.Skew.saltedJoin(fact2, dim2, Seq("k", "k2"), salts)),
+        (Seq(noBcast, aqeOn) ++ skewTuned): _*)
+
+      // FACT-PRESERVING LEFT-OUTER arms (r18): the preserved side is
+      // the salted fact, so every unmatched fact row survives exactly
+      // once with its single salt. Two sub-shapes: the hot key MATCHED
+      // (dimHalf keeps k=7 — the typical enrich-with-nulls shape) and
+      // the hot key UNMATCHED (dimMiss drops it — the null-extended
+      // straggler still sort-merges the hot partition, so salting
+      // should pay there too)
+      val dimHalf = dim.filter(col("k") < 50 || col("k") === 7).localCheckpoint()
+      val dimMiss = dim.filter(col("k") =!= 7).localCheckpoint()
+      def aggL(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(coalesce(col("grp"), lit("null")).as("g"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("s"))
+      time("left-plain", () => aggL(fact.join(dimHalf, Seq("k"), "left")),
+        noBcast, aqeOff)
+      time("left-aqe-skew", () => aggL(fact.join(dimHalf, Seq("k"), "left")),
+        (Seq(noBcast, aqeOn) ++ skewTuned): _*)
+      time("left-salted", () => aggL(
+        graft.ops.Skew.saltedJoin(fact, dimHalf, Seq("k"), salts, "left")),
+        noBcast, aqeOff)
+      time("leftmiss-plain", () => aggL(fact.join(dimMiss, Seq("k"), "left")),
+        noBcast, aqeOff)
+      time("leftmiss-salted", () => aggL(
+        graft.ops.Skew.saltedJoin(fact, dimMiss, Seq("k"), salts, "left")),
+        noBcast, aqeOff)
 
       def plainAgg() = fact.groupBy(col("k"))
         .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))

@@ -449,6 +449,80 @@ object SparkEntry {
       out.orderBy(col("grp"))
     }),
 
+    // the rule's COMPOSITE-KEY scope (r18, measured on SaltBench's
+    // comp-* arms before shipping): the user joins on (k, k2); only k
+    // is manifest-declared, and count(k=a ∧ k2=b) ≤ count(k=a) makes
+    // the k-derived fan-out a valid bound for the composite hot mass
+    // (a declared-not-hot column would veto instead — OpsSpec pins
+    // that guard). Same plain-join oracle: the rewrite must stay
+    // invisible at any factor
+    "rel_join_autosalt_composite" -> ((s, d) => withTempDir("graft-saltrulec") { base =>
+      val dir = s"$base/fact"
+      Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 4 < 3, lit(7L))
+          .otherwise(col("l_orderkey") % 97).as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .withColumn("k2", col("cents") % 3)
+        .write.format("graft-segment").option("histFor", "k")
+        .mode("append").save(dir)
+      val factT = s.read.format("graft-segment").load(dir)
+      val dim = s.range(0, 97).select(col("id").as("k"))
+        .crossJoin(s.range(0, 3).select(col("id").as("k2")))
+        .withColumn("grp", concat(lit("g"), (col("k") + col("k2")) % 5))
+      val prev = s.experimental.extraOptimizations
+      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.experimental.extraOptimizations = prev :+ graft.plans.SaltJoinRule(s)
+      val out = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = factT.join(dim, Seq("k", "k2"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
+        require(joined.queryExecution.optimizedPlan.toString.contains("graft_salt_f"),
+          "SaltJoinRule must fire on the composite key bounded by the " +
+            "declared k map: this row certifies the REWRITTEN plan")
+        joined.localCheckpoint()
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      }
+      out.orderBy(col("grp"))
+    }),
+
+    // the rule's FACT-PRESERVING LEFT-JOIN scope (r18, measured on
+    // SaltBench's left-* arms): dim covers k < 50 only, so keys 50..96
+    // are preserved with null grp — every preserved fact row keeps
+    // exactly ONE salt, so the null-extended rows appear exactly once
+    // and the plain LEFT JOIN oracle certifies it
+    "rel_join_autosalt_left" -> ((s, d) => withTempDir("graft-saltrulel") { base =>
+      val dir = s"$base/fact"
+      Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 4 < 3, lit(7L))
+          .otherwise(col("l_orderkey") % 97).as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .write.format("graft-segment").option("histFor", "k")
+        .mode("append").save(dir)
+      val factT = s.read.format("graft-segment").load(dir)
+      val dim = s.range(0, 50).select(col("id").as("k"),
+        concat(lit("g"), pmod(col("id"), lit(5))).as("grp"))
+      val prev = s.experimental.extraOptimizations
+      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.experimental.extraOptimizations = prev :+ graft.plans.SaltJoinRule(s)
+      val out = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = factT.join(dim, Seq("k"), "left")
+          .groupBy(coalesce(col("grp"), lit("missing")).as("grp"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
+        require(joined.queryExecution.optimizedPlan.toString.contains("graft_salt_f"),
+          "SaltJoinRule must fire on the fact-preserving left join: " +
+            "this row certifies the REWRITTEN plan")
+        joined.localCheckpoint()
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      }
+      out.orderBy(col("grp"))
+    }),
+
     // bloom-pruned join certified against the PLAIN join's oracle: the
     // probe-side prefilter may pass false positives (the join drops
     // them) but never false negatives — the result is identical by
@@ -3444,6 +3518,61 @@ object SparkEntry {
         .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("src"))
+    }),
+    // STREAMING mixture under STATISTIC REFRESH (r18 — the versioned-
+    // statistics story): at 100 TB the corpus composition drifts while
+    // the pipeline runs, so the keep-rates must be re-derivable from
+    // the table's CURRENT manifest and applied at a batch boundary.
+    // Regime A (the even half, two segments) streams under rates(A);
+    // then a web-only append shifts the composition, the rates
+    // re-derive from the updated manifest — zero scans, same
+    // temperatureShares→mixtureRates chain — and a QUERY RESTART on
+    // the same checkpoint applies them: the restart IS the batch
+    // boundary, so only the new segment runs under rates(A∪B). The
+    // oracle replays the two regimes' closed forms and concatenates —
+    // exactly the kept set, because the per-regime predicate is a
+    // stateless (salt, key) hash filter (batch-boundary-invariant
+    // WITHIN a regime; the regime split is pinned by the appends)
+    "stream_mixture_refresh" -> ((s, d) => withTempDir("graft-mixrefresh") { base =>
+      val dir = s"$base/docs"
+      // %8<5 (not the siblings' %4<3): regime A is the EVEN half, and
+      // evens under %4<3 would be web-only — a single-source mixture
+      // keeps everything and the refresh would certify nothing. Under
+      // %8<5 the evens split ~3:1 web:tail, so both regimes' rate sets
+      // are non-trivial and DIFFERENT (B is pure web)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 8 < 5, lit("web"))
+          .otherwise(concat(lit("s"), col("doc_id") % 7)).as("src"))
+      def run(totals: Map[String, Long]): Unit = {
+        val in = s.readStream.format("graft-segment")
+          .option("maxSegmentsPerTrigger", "1").load(dir)
+        val q = Sampling.mixtureSample(in, col("doc_id"), col("src"), totals,
+            Sampling.temperatureShares(totals, 0.5), "tempsalt")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // regime A: the even half, as two segments (two micro-batches)
+      Seq(0, 2).foreach(i => docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        .coalesce(1).write.format("graft-segment").option("histFor", "src")
+        .mode("append").save(dir))
+      run(manifestStrTotals(s, dir, "src"))
+      // the composition shifts: a web-only append (doc_id % 8 == 1 ⊂
+      // web) lands and the manifest statistic versions with it
+      docs.filter(pmod(col("doc_id"), lit(8)) === 1)
+        .coalesce(1).write.format("graft-segment").option("histFor", "src")
+        .mode("append").save(dir)
+      // refreshed rates from the CURRENT manifest, applied by restart:
+      // the checkpoint has consumed regime A, so only the new segment
+      // streams under the re-derived rates
+      run(manifestStrTotals(s, dir, "src"))
       s.read.parquet(s"$base/out")
         .groupBy(col("src"))
         .agg(count(lit(1)).as("n_kept"),
@@ -6526,6 +6655,32 @@ object SparkEntry {
         "SELECT grp, CAST(count(*) AS BIGINT) AS n_lines, " +
         "CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM fact JOIN dim USING (k) GROUP BY grp ORDER BY grp"),
+    // the composite-key planner rewrite replayed as the PLAIN join
+    "rel_join_autosalt_composite" ->
+      ("WITH fact AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 7 " +
+        "ELSE l_orderkey % 97 END AS k, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM lineitem), " +
+        "fact2 AS (SELECT k, cents, cents % 3 AS k2 FROM fact), " +
+        "dim AS (SELECT a.range AS k, b.range AS k2, " +
+        "'g' || CAST((a.range + b.range) % 5 AS VARCHAR) AS grp " +
+        "FROM range(97) a CROSS JOIN range(3) b) " +
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM fact2 JOIN dim USING (k, k2) GROUP BY grp ORDER BY grp"),
+    // the fact-preserving left-join rewrite replayed as the PLAIN
+    // left join — null-extended rows must appear exactly once
+    "rel_join_autosalt_left" ->
+      ("WITH fact AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 7 " +
+        "ELSE l_orderkey % 97 END AS k, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents " +
+        "FROM lineitem), " +
+        "dim AS (SELECT range AS k, 'g' || CAST(range % 5 AS VARCHAR) AS grp " +
+        "FROM range(50)) " +
+        "SELECT coalesce(grp, 'missing') AS grp, " +
+        "CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM fact LEFT JOIN dim USING (k) GROUP BY 1 ORDER BY 1"),
     // the bloom-pruned join must produce exactly the plain join's result
     "rel_join_bloom" ->
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
@@ -7393,6 +7548,36 @@ object SparkEntry {
         "FROM docs d JOIN thr ON d.src = thr.src " +
         "WHERE substr(md5('tempsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr " +
         "GROUP BY d.src ORDER BY d.src"),
+    // the refreshed stream replayed as the CONCATENATED two-regime
+    // batch: regime A (the even half) under rates derived from A's
+    // totals, regime B (the web-only append) under rates derived from
+    // the cumulative A∪B totals — the same sqrt/div/mul/trunc chain
+    // per regime, so face and predicate cannot drift
+    "stream_mixture_refresh" ->
+      ("WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 8 < 5 THEN 'web' " +
+        "ELSE 's' || CAST(doc_id % 7 AS VARCHAR) END AS src FROM documents), " +
+        "a AS (SELECT * FROM docs WHERE doc_id % 2 = 0), " +
+        "b AS (SELECT * FROM docs WHERE doc_id % 8 = 1), " +
+        "ab AS (SELECT * FROM docs WHERE doc_id % 2 = 0 OR doc_id % 8 = 1), " +
+        "ta AS (SELECT src, CAST(count(*) AS BIGINT) AS toks FROM a GROUP BY src), " +
+        "sha AS (SELECT src, sqrt(CAST(toks AS DOUBLE)) AS share, toks FROM ta), " +
+        "ca AS (SELECT min(CAST(toks AS DOUBLE) / share) AS c FROM sha), " +
+        "ra AS (SELECT src, least(CAST(1.0 AS DOUBLE), ca.c * share / CAST(toks AS DOUBLE)) AS rate FROM sha CROSS JOIN ca), " +
+        "thra AS (SELECT src, printf('%08x', least(CAST(trunc(rate * 4294967296.0) AS BIGINT), 4294967295)) AS thr FROM ra), " +
+        "tb AS (SELECT src, CAST(count(*) AS BIGINT) AS toks FROM ab GROUP BY src), " +
+        "shb AS (SELECT src, sqrt(CAST(toks AS DOUBLE)) AS share, toks FROM tb), " +
+        "cb AS (SELECT min(CAST(toks AS DOUBLE) / share) AS c FROM shb), " +
+        "rb AS (SELECT src, least(CAST(1.0 AS DOUBLE), cb.c * share / CAST(toks AS DOUBLE)) AS rate FROM shb CROSS JOIN cb), " +
+        "thrb AS (SELECT src, printf('%08x', least(CAST(trunc(rate * 4294967296.0) AS BIGINT), 4294967295)) AS thr FROM rb), " +
+        "kept AS (" +
+        "SELECT d.doc_id, d.src FROM a d JOIN thra ON d.src = thra.src " +
+        "WHERE substr(md5('tempsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thra.thr " +
+        "UNION ALL " +
+        "SELECT d.doc_id, d.src FROM b d JOIN thrb ON d.src = thrb.src " +
+        "WHERE substr(md5('tempsalt' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thrb.thr) " +
+        "SELECT src, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM kept GROUP BY src ORDER BY src"),
 
     // the auto-salted join replayed as the PLAIN join: the derived
     // fan-out must be invisible in the result by construction

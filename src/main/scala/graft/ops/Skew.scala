@@ -24,15 +24,50 @@ object Skew {
     * derived by hashing the fact row's own key + partition-stable id —
     * uniform enough to split hot keys, and irrelevant to the result
     * (every fact row still meets its dim row exactly once). */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame =
+    saltedJoin(fact, dim, Seq(key), salts)
+
+  /** The general form (r18): COMPOSITE equi-keys and FACT-PRESERVING
+    * outer joins, same algebra. Every fact row gets exactly ONE salt
+    * (hash of its full key tuple + partition-stable id), the dim side
+    * is replicated once per salt value, and the join runs on
+    * (keys..., __salt):
+    *
+    *  - composite keys change nothing in the algebra — the salt hash
+    *    just takes the whole tuple, and each qualifying (fact, dim)
+    *    pair still meets exactly once;
+    *  - `left`/`left_outer` is safe because the PRESERVED side is the
+    *    salted fact: an unmatched fact row (no key match, or a NULL
+    *    key — NULL fails the key equality in both forms) is preserved
+    *    exactly once, carrying its single salt; a matched one meets
+    *    each matching dim row in exactly one replica. The dim side is
+    *    the non-preserved side, where replication is invisible — an
+    *    unmatched dim row produces nothing in a left join anyway.
+    *    Replicating a PRESERVED side would emit `salts` copies of
+    *    every null-extended row, which is why `right`/`full` are
+    *    rejected: flip the arguments and use `left` instead.
+    *
+    * SaltBench r18 measured both shapes at ×80 (75%-hot fact, 32-way):
+    * same ~2× win over plain SMJ as the single-key inner case — the
+    * shuffle mechanics don't care how many key columns or whether
+    * unmatched rows are preserved. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "at least one join key is required")
+    require(Set("inner", "left", "leftouter")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"joinType '$joinType' is not fact-preserving-safe: only inner and " +
+        "left(_outer) keep every preserved row on the salted side — for a " +
+        "right join, flip the arguments and use 'left'")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "input already carries a __salt column — withColumn would silently replace it")
     val saltedFact = fact.withColumn(
-      "__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+      "__salt",
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
     val replicatedDim = dim.withColumn(
       "__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact
-      .join(replicatedDim, Seq(key, "__salt"))
+      .join(replicatedDim, keys :+ "__salt", joinType)
       .drop("__salt")
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -18,33 +18,48 @@ import graft.sources.segment.GraftSegmentTable
   *
   * Rewrite (multiplicity-exact — every fact row gets exactly ONE salt,
   * every dim row is replicated once per salt value, so each qualifying
-  * (fact, dim) pair meets exactly once, and NULL keys are dropped by
-  * the key equality in both forms):
+  * (fact, dim) pair meets exactly once, and NULL keys fail the key
+  * equality in both forms):
   * {{{
-  *   Join_inner(F, D, fk = dk)
+  *   Join(F, D, fk1 = dk1 && ... && fkN = dkN)
   *   ==>
   *   Project(original output,
-  *     Join_inner(
-  *       Project(F.*, pmod(hash(fk, mid()), salts) AS graft_salt_f, F),
+  *     Join(
+  *       Project(F.*, pmod(hash(fk1..fkN, mid()), salts) AS graft_salt_f, F),
   *       Generate(explode(sequence(0, salts-1)), drop seq, D),
-  *       fk = dk && graft_salt_f = graft_salt_d))
+  *       fk1 = dk1 && ... && graft_salt_f = graft_salt_d))
   * }}}
   *
   * The fan-out derives at PLAN TIME from the manifest frequency map
   * ([[graft.ops.Skew.saltsFromHistogram]]: hottest key mass over
   * live-rows/shuffle-partitions, clamped to 64) — zero scans, the same
-  * arithmetic `CALL graft.system.salts` serves. Fires only when ALL of:
+  * arithmetic `CALL graft.system.salts` serves. For a COMPOSITE key
+  * the bound is the tightest declared column's: count(k1=a ∧ k2=b) ≤
+  * min_i count(ki=vi), so the minimum of the per-column derivations
+  * bounds the composite fan-out (a column with a declared-but-not-hot
+  * map derives 1 and correctly vetoes the rewrite; an UNDECLARED
+  * column contributes no bound). Fires only when ALL of:
   *
-  *  - inner join, condition EXACTLY one equality between the children
-  *    (the convergence guard: the rewritten join carries TWO equality
-  *    conjuncts, so the rule can never re-match its own output inside
-  *    the fixed-point batch — the [[JoinRewriteGuard]] doctrine), and
-  *    no join-strategy hints (a user hint outranks the statistic);
-  *  - one side scans an UNPINNED graft-segment table whose manifest
-  *    map for the key derives salts > 1 (undeclared / overflowed /
-  *    not-hot all fall back to 1 — no statistic, no rewrite; pinned
-  *    scans are skipped because the CURRENT map may not describe a
-  *    time-traveled snapshot);
+  *  - join type is Inner, or a fact-preserving outer join — LeftOuter
+  *    with the fact scan on the LEFT, RightOuter with it on the RIGHT
+  *    (r18, measured first: SaltBench's left arms win like the inner
+  *    ones, because the preserved fact row keeps exactly one salt —
+  *    unmatched rows survive exactly once — while dim replication is
+  *    invisible on the non-preserved side; replicating a PRESERVED dim
+  *    would emit `salts` null-extended copies, so those orientations
+  *    never match);
+  *  - the condition is a conjunction of column equalities between the
+  *    children, none touching the rule's own salt namespace (the
+  *    convergence guard: the rewritten join carries `graft_salt_f` /
+  *    `graft_salt_d`, so the rule can never re-match its own output —
+  *    r17's exactly-one-equality guard, generalized to composite keys
+  *    via the marker the r17 verdict suggested), and no join-strategy
+  *    hints (a user hint outranks the statistic);
+  *  - one side scans an UNPINNED graft-segment table producing ALL of
+  *    its keys, with at least one declared map deriving salts > 1
+  *    (undeclared / overflowed / not-hot fall back to no rewrite;
+  *    pinned or time-traveled scans are skipped because the CURRENT
+  *    map may not describe the snapshot);
   *  - the dim side is NOT broadcast-eligible (sizeInBytes above
   *    `autoBroadcastJoinThreshold`): a broadcast join has no fact-side
   *    shuffle, hence NO skew problem — SaltBench measured BHJ 0.8 s vs
@@ -76,7 +91,8 @@ import graft.sources.segment.GraftSegmentTable
   * fail planning of a query that didn't need the rewrite. At 100 TB
   * the O(KB) read replaces a GROUP-BY sizing pass.
   */
-case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
+case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // tolerant parse (the rule's own never-fail-planning doctrine,
@@ -87,20 +103,45 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (session.conf.get(SaltJoinRule.EnabledKey, "true")
         .equalsIgnoreCase("false")) return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(EqualTo(a: AttributeReference, b: AttributeReference)), hint)
-          if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
-        val keyed =
-          if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b))
-          else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
-          else None
-        keyed.flatMap { case (lk, rk) =>
-          oriented(left, lk, right, rk).orElse(oriented(right, rk, left, lk))
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if (jt == Inner || jt == LeftOuter || jt == RightOuter) &&
+            hint.leftHint.isEmpty && hint.rightHint.isEmpty &&
+            !SaltJoinRule.touchesSaltNamespace(cond) =>
+        keyPairs(left, right, cond).flatMap { pairs =>
+          val (lks, rks) = pairs.unzip
+          jt match {
+            case Inner =>
+              oriented(left, lks, right, rks)
+                .orElse(oriented(right, rks, left, lks))
+            // only the PRESERVED side may be the salted fact
+            case LeftOuter  => oriented(left, lks, right, rks)
+            case RightOuter => oriented(right, rks, left, lks)
+            case _ => None
+          }
         } match {
-          case Some((fact, fk, dim, dk, salts)) =>
-            rewrite(j, fact, fk, dim, dk, salts)
+          case Some((fact, fks, dim, dks, salts)) =>
+            rewrite(j, fact, fks, dim, dks, salts)
           case _ => j
         }
     }
+  }
+
+  /** The (leftKey, rightKey) pairs when the condition is a PURE
+    * conjunction of column equalities between the children; None on
+    * any other conjunct (a residual predicate changes which rows
+    * match, and this rule's multiplicity argument only covers the
+    * equi-join shape). */
+  private def keyPairs(left: LogicalPlan, right: LogicalPlan,
+      cond: Expression): Option[Seq[(AttributeReference, AttributeReference)]] = {
+    val pairs = splitConjunctivePredicates(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b))
+        else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
+        else None
+      case _ => None
+    }
+    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten)
+    else None
   }
 
   /** Fire conditions for one orientation, cheapest first. The
@@ -110,42 +151,48 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     * throws outright under `spark.testing` — so a join with no graft
     * table in it must never touch plan stats. The stats that do run
     * are Try-guarded for the same reason. */
-  private def oriented(fact: LogicalPlan, fk: AttributeReference,
-      dim: LogicalPlan, dk: AttributeReference)
-      : Option[(LogicalPlan, AttributeReference, LogicalPlan, AttributeReference, Int)] =
-    segmentTable(fact, fk).flatMap { t =>
+  private def oriented(fact: LogicalPlan, fks: Seq[AttributeReference],
+      dim: LogicalPlan, dks: Seq[AttributeReference])
+      : Option[(LogicalPlan, Seq[AttributeReference], LogicalPlan, Seq[AttributeReference], Int)] =
+    segmentTable(fact, fks).flatMap { t =>
       scala.util.Try((dim.stats.sizeInBytes, fact.stats.sizeInBytes))
         .toOption.flatMap { case (dimSize, factSize) =>
           // broadcast beats any salting (no fact shuffle at all,
           // SaltBench measured dominant)
           val thresh = conf.autoBroadcastJoinThreshold
           if (thresh >= 0 && dimSize <= BigInt(thresh)) None
-          else tableSalts(t, fk)
-            // the replicated dim must stay cheaper than the fact scan
-            // it parallelizes
-            .filter(s => dimSize * s <= factSize)
-            .map(s => (fact, fk, dim, dk, s))
+          else {
+            // the tightest DECLARED column bounds the composite key's
+            // hot mass; no declared column, no statistic, no rewrite —
+            // and a declared-not-hot column (derives 1) vetoes
+            val bounds = fks.flatMap(tableSalts(t, _))
+            Some(bounds).filter(_.nonEmpty).map(_.min).filter(_ > 1)
+              // the replicated dim must stay cheaper than the fact
+              // scan it parallelizes
+              .filter(s => dimSize * s <= factSize)
+              .map(s => (fact, fks, dim, dks, s))
+          }
         }
     }
 
   /** The unpinned, non-time-traveled graft-segment table `side` scans
-    * to produce `key`, if any — pure plan-structure inspection, no
-    * stats, no I/O. Option-based time travel (versionAsOf /
-    * timestampAsOf / sinceVersion) is skipped for the same reason as
-    * a catalog pin: the CURRENT manifest's masses may not describe
-    * the snapshot being scanned. */
+    * to produce ALL of `keys`, if any — pure plan-structure
+    * inspection, no stats, no I/O. Option-based time travel
+    * (versionAsOf / timestampAsOf / sinceVersion) is skipped for the
+    * same reason as a catalog pin: the CURRENT manifest's masses may
+    * not describe the snapshot being scanned. */
   private def segmentTable(side: LogicalPlan,
-      key: AttributeReference): Option[GraftSegmentTable] =
+      keys: Seq[AttributeReference]): Option[GraftSegmentTable] =
     side.collectFirst {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSegmentTable] &&
-            r.outputSet.contains(key) && !timeTraveled(r.options) =>
+            keys.forall(r.outputSet.contains) && !timeTraveled(r.options) =>
         r.table.asInstanceOf[GraftSegmentTable]
       // the experimental.extraOptimizations path runs AFTER V2 scan
       // pushdown has turned the relation into a ScanRelation
       case r: DataSourceV2ScanRelation
           if r.relation.table.isInstanceOf[GraftSegmentTable] &&
-            r.outputSet.contains(key) && !timeTraveled(r.relation.options) =>
+            keys.forall(r.outputSet.contains) && !timeTraveled(r.relation.options) =>
         r.relation.table.asInstanceOf[GraftSegmentTable]
     }.filter(_.pinned.isEmpty)
 
@@ -154,28 +201,31 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     o.containsKey("versionAsOf") || o.containsKey("timestampAsOf") ||
       o.containsKey("sinceVersion")
 
-  /** The derived fan-out when the table's manifest map marks `key`
-    * hot; None otherwise. fallback = 1: no statistic, no salt. Reads
-    * the TABLE INSTANCE's cached manifest (one log read per query
-    * resolution), Try-guarded: a statistic that can't be read is a
-    * statistic that's absent, never a planning failure. */
+  /** The derived fan-out off the table's manifest map for `key`:
+    * Some(n) when the map is DECLARED (n = 1 meaning declared but not
+    * hot — a veto, not an unknown), None when undeclared or
+    * overflowed. Reads the TABLE INSTANCE's cached manifest (one log
+    * read per query resolution), Try-guarded: a statistic that can't
+    * be read is a statistic that's absent, never a planning
+    * failure. */
   private def tableSalts(t: GraftSegmentTable,
       key: AttributeReference): Option[Int] =
     scala.util.Try(t.liveManifest).toOption.flatten.flatMap { m =>
-      val live = m.segments.map(_.liveRows).sum
-      val target = math.max(1L, live / math.max(1, conf.numShufflePartitions))
-      val s = graft.ops.Skew.saltsFromHistogram(
-        graft.ops.Skew.mapCounts(m, key.name), fallback = 1, target)
-      if (s > 1) Some(s) else None
+      graft.ops.Skew.mapCounts(m, key.name).map { counts =>
+        val live = m.segments.map(_.liveRows).sum
+        val target = math.max(1L, live / math.max(1, conf.numShufflePartitions))
+        graft.ops.Skew.saltsFromHistogram(Some(counts), fallback = 1, target)
+      }
     }
 
-  private def rewrite(j: Join, fact: LogicalPlan, fk: AttributeReference,
-      dim: LogicalPlan, dk: AttributeReference, salts: Int): LogicalPlan = {
-    // the fact row's salt: hash of its own key + partition-stable id —
-    // uniform enough to split the hot key, invisible to the result
-    // (exactly ops.Skew.saltedJoin's expression, as resolved nodes)
+  private def rewrite(j: Join, fact: LogicalPlan, fks: Seq[AttributeReference],
+      dim: LogicalPlan, dks: Seq[AttributeReference], salts: Int): LogicalPlan = {
+    // the fact row's salt: hash of its own key tuple + partition-
+    // stable id — uniform enough to split the hot key, invisible to
+    // the result (exactly ops.Skew.saltedJoin's expression, as
+    // resolved nodes)
     val fSalt = Alias(
-      Pmod(new Murmur3Hash(Seq(fk, MonotonicallyIncreasingID())), Literal(salts)),
+      Pmod(new Murmur3Hash(fks :+ MonotonicallyIncreasingID()), Literal(salts)),
       "graft_salt_f")()
     val saltedFact = Project(fact.output :+ fSalt, fact)
     // Sequence is TimeZoneAwareExpression: without an explicit
@@ -191,12 +241,28 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
       Explode(seq.toAttribute), unrequiredChildIndex = Seq(dim.output.size),
       outer = false, qualifier = None, generatorOutput = Seq(dSalt),
       child = Project(dim.output :+ seq, dim))
-    val salted = Join(saltedFact, repDim, Inner,
-      Some(And(EqualTo(fk, dk), EqualTo(fSalt.toAttribute, dSalt))), j.hint)
+    val keyEqs = fks.zip(dks).map { case (fk, dk) => EqualTo(fk, dk) }
+    val condition = (keyEqs :+ EqualTo(fSalt.toAttribute, dSalt))
+      .reduce[Expression](And(_, _))
+    // the fact must stay on the PRESERVED side of an outer join; Inner
+    // is symmetric, so fact-left is fine for either orientation
+    val salted = j.joinType match {
+      case RightOuter =>
+        Join(repDim, saltedFact, RightOuter, Some(condition), j.hint)
+      case jt => Join(saltedFact, repDim, jt, Some(condition), j.hint)
+    }
     Project(j.output, salted)
   }
 }
 
 object SaltJoinRule {
   val EnabledKey = "spark.graft.saltJoin.enabled"
+
+  /** The rewrite's own attribute namespace — the convergence marker:
+    * any condition already referencing it is this rule's output (or a
+    * user column squatting on the documented namespace, which the
+    * rule then conservatively leaves alone). */
+  private[plans] def touchesSaltNamespace(cond: Expression): Boolean =
+    cond.references.exists(a =>
+      a.name == "graft_salt_f" || a.name == "graft_salt_d")
 }

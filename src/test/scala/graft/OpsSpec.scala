@@ -228,6 +228,28 @@ class OpsSpec extends SparkSpec {
     assert(salted.count() === plain.count())
     assert(salted.select($"l_orderkey", $"p_partkey", $"p_size")
       .exceptAll(plain.select($"l_orderkey", $"p_partkey", $"p_size")).isEmpty)
+    // COMPOSITE key (r18): the salt hashes the whole tuple; each
+    // qualifying pair still meets exactly once
+    val factC = fact.withColumn("pmod5", $"p_partkey" % 5)
+    val dimC = dim.withColumn("pmod5", $"p_partkey" % 5)
+    val plainC = factC.join(dimC, Seq("p_partkey", "pmod5"))
+    val saltedC = graft.ops.Skew.saltedJoin(
+      factC, dimC, Seq("p_partkey", "pmod5"), 8)
+    assert(saltedC.exceptAll(plainC).isEmpty && plainC.exceptAll(saltedC).isEmpty)
+    // FACT-PRESERVING left join (r18): unmatched fact rows survive
+    // exactly once with null dim columns — the preserved side carries
+    // ONE salt, the replicated side is the non-preserved one
+    val dimHalf = dim.filter($"p_partkey" % 2 === 0)
+    val plainL = fact.join(dimHalf, Seq("p_partkey"), "left")
+    val saltedL = graft.ops.Skew.saltedJoin(fact, dimHalf, Seq("p_partkey"), 8, "left")
+    assert(saltedL.count() === plainL.count())
+    assert(saltedL.select($"l_orderkey", $"p_partkey", $"p_size")
+      .exceptAll(plainL.select($"l_orderkey", $"p_partkey", $"p_size")).isEmpty)
+    // a PRESERVED dim would replicate null-extended rows — rejected
+    intercept[IllegalArgumentException](
+      graft.ops.Skew.saltedJoin(fact, dim, Seq("p_partkey"), 8, "right"))
+    intercept[IllegalArgumentException](
+      graft.ops.Skew.saltedJoin(fact, dim, Seq("p_partkey"), 8, "full"))
   }
 
   test("auto-salt: fan-out derived from the skew statistic, caller fallback when absent") {
@@ -345,17 +367,40 @@ class OpsSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft-saltrule").toString
     val fact = spark.range(0, 12000).select(
       when($"id" % 4 < 3, lit(7L)).otherwise($"id" % 13).as("k"), // ~9000 hot
+      ($"id" % 13).as("u"), // uniform low-cardinality second key
       ($"id" * 3).as("v"))
     fact.write.format("graft-segment").option("histFor", "k")
       .mode("append").save(s"$base/decl")
     fact.write.format("graft-segment").mode("append").save(s"$base/undecl")
+    // u DECLARED and uniform: its derived fan-out is 1 — a veto for
+    // any composite join including it (count(k=a ∧ u=b) ≤ count(u=b))
+    fact.write.format("graft-segment").option("histFor", "k,u")
+      .mode("append").save(s"$base/declv")
     val factT = spark.read.format("graft-segment").load(s"$base/decl")
+    val factTv = spark.read.format("graft-segment").load(s"$base/declv")
     val dim = spark.range(0, 13).select($"id".as("k"), ($"id" % 3).as("b"))
+    // all (k, u) pairs, so the composite join keeps multiplicity 1:1
+    // (the floor-div must come back to LONG: a double u would put a
+    // cast around the join key and the rule correctly bails on
+    // anything but raw column equalities)
+    val dimC = spark.range(0, 13 * 13).select(
+      ($"id" % 13).as("k"), ($"id" / 13).cast("long").as("u"), ($"id" % 5).as("b"))
+    // dim keys < 7 only: the HOT key is unmatched, so the left join's
+    // null-extended straggler rows are exercised
+    val dimHalf = spark.range(0, 7).select($"id".as("k"), ($"id" % 3).as("b"))
     def fired(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.optimizedPlan.toString.contains("graft_salt_f")
     def shape(t: org.apache.spark.sql.DataFrame) = t.join(dim, Seq("k"))
       .groupBy($"b").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    def leftShape(t: org.apache.spark.sql.DataFrame) =
+      t.join(dimHalf, Seq("k"), "left_outer")
+        .groupBy(coalesce($"b".cast("string"), lit("miss")).as("g"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
     val plain = shape(factT)
+    // expected results collected BEFORE the rule is installed (the
+    // session is shared: a lazy plan first materialized inside the
+    // try would be rewritten too)
+    val leftExpected = leftShape(factT).collect().toSet
     val prev = spark.experimental.extraOptimizations
     val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.experimental.extraOptimizations = prev :+ SaltJoinRule(spark)
@@ -368,18 +413,44 @@ class OpsSpec extends SparkSpec {
       // row level too: multiplicity is exact, not just aggregate-exact
       val rows = factT.join(dim, Seq("k"))
       assert(fired(rows) && rows.count() === 12000)
+      // FACT-PRESERVING left join fires (r18, SaltBench-measured) and
+      // stays invisible, including the null-extended unmatched rows —
+      // every preserved fact row keeps exactly ONE salt
+      val leftAuto = leftShape(factT)
+      assert(fired(leftAuto), "fact-preserving left join must fire")
+      assert(leftAuto.collect().toSet === leftExpected)
+      assert(factT.join(dimHalf, Seq("k"), "left_outer").count() === 12000)
+      // the preserved side must be the FACT: a dim-preserved left (or
+      // its mirrored right) would emit `salts` null-extended copies
+      assert(!fired(dimHalf.join(factT, Seq("k"), "left_outer")))
+      assert(!fired(factT.join(dimHalf, Seq("k"), "right_outer")))
+      assert(fired(dimHalf.join(factT, Seq("k"), "right_outer")),
+        "right-outer with the fact on the preserved RIGHT fires")
+      assert(!fired(factT.join(dimHalf, Seq("k"), "full_outer")))
+      // COMPOSITE key (r18): u undeclared — the k map alone bounds the
+      // composite hot mass, the rewrite fires and stays 1:1
+      val comp = factT.join(dimC, Seq("k", "u"))
+      assert(fired(comp), "composite key with one declared column must fire")
+      assert(comp.count() === 12000)
+      // ... but a DECLARED-uniform column vetoes: count(k=7 ∧ u=x) ≤
+      // count(u=x) ≈ n/13 — no composite hot key exists
+      assert(!fired(factTv.join(dimC, Seq("k", "u"))),
+        "the tightest declared bound (u: not hot) must veto the rewrite")
       // no statistic (undeclared map) -> no rewrite
       assert(!fired(spark.read.format("graft-segment").load(s"$base/undecl")
         .join(dim, Seq("k"))))
-      // non-inner joins are untouched
-      assert(!fired(factT.join(dim, Seq("k"), "left_outer")))
-      // extra conjunct -> untouched (the narrow-condition convergence
-      // guard: the rewritten join itself carries two conjuncts)
+      // residual non-equality conjunct -> untouched (the multiplicity
+      // argument only covers the pure equi-join shape)
       assert(!fired(factT.join(dim,
         factT("k") === dim("k") && factT("v") > dim("b"))))
-      // kill switch
+      // kill switch — and its TOLERANT parse: a malformed value must
+      // degrade to the default, never fail planning (r17 ADVICE)
       spark.conf.set(SaltJoinRule.EnabledKey, "false")
       try assert(!fired(shape(factT)))
+      finally spark.conf.unset(SaltJoinRule.EnabledKey)
+      spark.conf.set(SaltJoinRule.EnabledKey, "not-a-boolean")
+      try assert(fired(shape(factT)),
+        "a malformed kill-switch value degrades to enabled")
       finally spark.conf.unset(SaltJoinRule.EnabledKey)
       // broadcast-eligible dim -> no rewrite (BHJ has no fact shuffle;
       // SaltBench measured broadcast strictly dominating)

@@ -4,25 +4,33 @@
 The bench stdout `{"metric":"qtimes",...}` line carries EVERY query's
 wall time as a positional integer array `t` (unit in `t_unit`: cs/ds/s)
 in the deterministic run order — queries run sorted by name — plus the
-`probes` series of [suite_offset_sec, calib_cpu_sec] pairs taken every
-50 queries (the mid-run box-speed instrument). Position i names the
-i-th key, sorted, of the SAME round's CORRECTNESS_r{N}.json (the driver
-emits both from one commit, and the query surfaces coincide).
+instrument payload: `cpu` (the ProbeEvery=50-interval calib series as
+positional centisecond ints; offsets reconstruct from cumsum(t) at the
+probe boundaries), `spk` (the start/mid/end Spark-path brackets, cs
+ints) and `rpt` (flat [idx, t, ...] pairs — a second sample for the ~10
+slowest queries, same unit as `t`). Position i names the i-th key,
+sorted, of the SAME round's CORRECTNESS_r{N}.json (the driver emits
+both from one commit, and the query surfaces coincide).
 
-Pre-r16 artifacts (<= BENCH_r15) carried a NAMED slowest-first
-`queries` map on the `total` line instead; the loader handles both, so
-any two rounds diff.
+Pre-r18 artifacts carried a `probes` series of [offset, calib] pairs
+and no repeats; pre-r16 artifacts (<= BENCH_r15) carried a NAMED
+slowest-first `queries` map on the `total` line instead. The loader
+handles all three, so any two rounds diff.
 
 Usage:
 
-    tools/decode_bench.py BENCH_r17.json CORRECTNESS_r17.json
-    tools/decode_bench.py BENCH_r17.json CORRECTNESS_r17.json \
-        --vs BENCH_r16.json CORRECTNESS_r16.json
+    tools/decode_bench.py BENCH_r18.json CORRECTNESS_r18.json
+    tools/decode_bench.py BENCH_r18.json CORRECTNESS_r18.json \
+        --vs BENCH_r17.json CORRECTNESS_r17.json
 
 Single-round: one `name seconds` line per query (slowest first) plus
-the probe series. --vs: per-query ratios (slowest regression first),
-family sums, and the two calibration/probe series side by side — the
-table every round-over-round adjudication starts from.
+the instrument series and repeat samples. --vs: per-query ratios
+(slowest regression first) with each tail regression labeled
+repeat-confirmed / first-sample-only when the current round carries a
+repeat for it, family sums, raw AND wall-conserving totals (adding
+back the out-of-window ann/fixtures/repeat seconds), and the
+calibration series side by side — the table every round-over-round
+adjudication starts from.
 """
 import json
 import re
@@ -40,15 +48,18 @@ def _tail(bench_path):
 
 
 def _headline_calib(text):
-    """calib_* / ann_build fields off the short `total` headline line."""
+    """Every *_sec field off the short `total` headline line (calib_*,
+    ann_build, fixtures_build, repeats — match generically so a new
+    field never silently drops, the r17 ADVICE failure mode)."""
     calib = {}
-    for m in re.finditer(r'"((?:calib|ann)_\w+?_sec)":(-?[\d.]+)', text):
+    for m in re.finditer(r'"(\w+_sec)":(-?[\d.]+)', text):
         calib[m.group(1)] = float(m.group(2))
     return calib
 
 
 def load_round(bench_path, corr_path):
-    """-> dict(times={name: sec}, total, n, probes, calib, errors)."""
+    """-> dict(times={name: sec}, total, n, probes, calib, errors,
+    repeats={name: sec}, spk=[...])."""
     tail, doc = _tail(bench_path)
     if doc is None:
         # r16+ compact positional line
@@ -75,20 +86,23 @@ def load_round(bench_path, corr_path):
             doc = {"named": qmap,
                    "value": float(tm.group(1)) if tm else sum(qmap.values())}
     # the full-precision backup artifact (target/bench.json) carries a
-    # named `queries` map plus probes/errors/calib at the top level
+    # named `queries` map plus probes/repeats/errors/calib at the top
     if doc is not None and "queries" in doc and "t" not in doc:
         doc = {"named": doc["queries"], "value": doc["value"],
                "probes": doc.get("probes", []),
+               "named_repeats": doc.get("repeats", {}),
                "errors": doc.get("errors", {}),
                "calib": {k: float(v) for k, v in doc.items()
-                         if re.fullmatch(r"(?:calib|ann)_\w+_sec", k)}}
+                         if re.fullmatch(r"\w+_sec", k)}}
     calib = doc.get("calib") if isinstance(doc, dict) and doc.get("calib") \
         else _headline_calib(tail or "")
     if "named" in doc:
         times = {k: float(v) for k, v in doc["named"].items()}
         return dict(times=times, total=doc["value"], n=len(times),
                     probes=doc.get("probes", []), calib=calib,
-                    errors=doc.get("errors", {}), res=0.001)
+                    repeats={k: float(v) for k, v in
+                             doc.get("named_repeats", {}).items()},
+                    spk=[], errors=doc.get("errors", {}), res=0.001)
     with open(corr_path) as f:
         names = sorted(json.load(f).keys())
     if len(names) != doc["n"]:
@@ -98,21 +112,60 @@ def load_round(bench_path, corr_path):
     scale = {"cs": 100.0, "ds": 10.0, "s": 1.0}[doc["t_unit"]]
     times = {name: (t / scale if t >= 0 else -1.0)
              for name, t in zip(names, doc["t"])}
+    # probes: r17- carried [offset, calib_sec] pairs; r18+ carries the
+    # positional `cpu` cs-int series — reconstruct offsets as the
+    # cumsum of decoded times at the ProbeEvery=50 boundaries (hygiene
+    # gaps excluded: good to a few seconds over the suite). Entries
+    # past end-of-suite (the +1th and later) are post-suite samples
+    # bracketing the repeat window; mark them with the full-suite sum.
+    probes = doc.get("probes", [])
+    if not probes and "cpu" in doc:
+        tsec = [max(v, 0) / scale for v in doc["t"]]
+        n = doc["n"]
+        probes = []
+        for k, c in enumerate(doc["cpu"]):
+            upto = min(k * 50, n)
+            probes.append([sum(tsec[:upto]), c / 100.0])
+    repeats = {}
+    rpt = doc.get("rpt", [])
+    for i in range(0, len(rpt) - 1, 2):
+        idx, tv = rpt[i], rpt[i + 1]
+        if 0 <= idx < len(names):
+            repeats[names[idx]] = (tv / scale if tv >= 0 else -1.0)
     errors = doc.get("errors", {}) \
         if isinstance(doc.get("errors"), dict) else {}
     return dict(times=times, total=doc["value"], n=doc["n"],
-                probes=doc.get("probes", []), calib=calib, errors=errors,
-                res=1.0 / scale)
+                probes=probes, calib=calib, repeats=repeats,
+                spk=[v / 100.0 for v in doc.get("spk", [])],
+                errors=errors, res=1.0 / scale)
 
 
 def family(name):
     return name.split("_", 1)[0]
 
 
+def _wall_total(r):
+    """The wall-conserving total: headline total plus the out-of-window
+    seconds the warming/repeat passes moved out of it (r17 moved ~42 s
+    of builds out of `total`; comparing raw totals across that change
+    silently mis-states — r17 verdict item 3)."""
+    extra = sum(v for k, v in r["calib"].items()
+                if k in ("ann_build_sec", "fixtures_build_sec",
+                         "repeats_sec") and v > 0)
+    try:
+        return float(r["total"]) + extra
+    except (TypeError, ValueError):
+        return None
+
+
 def show_round(r):
     for name, sec in sorted(r["times"].items(), key=lambda kv: -kv[1]):
-        print(f"{sec:10.2f}  {name}")
-    print(f"\ntotal {r['total']} sec over {r['n']} queries")
+        rep = r["repeats"].get(name)
+        suffix = f"  (repeat {rep:.2f})" if rep is not None else ""
+        print(f"{sec:10.2f}  {name}{suffix}")
+    wt = _wall_total(r)
+    extra = f" (wall-conserving {wt:.1f})" if wt is not None else ""
+    print(f"\ntotal {r['total']} sec over {r['n']} queries{extra}")
     for name, msg in r.get("errors", {}).items():
         print(f"ERROR {name}: {msg}")
     _show_calib(r)
@@ -122,13 +175,16 @@ def _show_calib(r):
     if r["calib"]:
         print("calib: " + "  ".join(
             f"{k.replace('_sec', '')}={v:.2f}" for k, v in r["calib"].items()))
+    if r.get("spk"):
+        print("spk brackets: " + "  ".join(f"{v:.2f}s" for v in r["spk"]))
     for off, calib in r["probes"]:
         print(f"probe @{off:7.1f}s  calib_cpu {calib:.2f}s")
 
 
 def show_vs(cur, prev):
-    """Per-query ratios (cur/prev, slowest regression first), family
-    sums, calibration series side by side."""
+    """Per-query ratios (cur/prev, slowest regression first), repeat
+    labels, family sums, raw + wall-conserving totals, calibration
+    series side by side."""
     shared = sorted(set(cur["times"]) & set(prev["times"]))
     # floors scale with the COARSER round's decode resolution (cs/ds/s
     # positional artifacts round to a tick; a 0-decoded time must not
@@ -147,7 +203,20 @@ def show_vs(cur, prev):
     print(f"{'ratio':>7} {'cur_s':>8} {'prev_s':>8}  query "
           f"({len(shared)} shared, {noise} sub-resolution skipped)")
     for ratio, a, b, name in sorted(rows, key=lambda r: -r[0]):
-        print(f"{ratio:7.2f} {a:8.2f} {b:8.2f}  {name}")
+        rep = cur["repeats"].get(name)
+        label = ""
+        if rep is not None and rep >= 0 and ratio > 1.25:
+            # the second sample adjudicates the regression: if the
+            # repeat is ALSO elevated vs the previous round the drift
+            # is in the query (plan/code), if it falls back in line the
+            # first sample was a scheduling hiccup (the r16/r17 class)
+            rr = rep / max(b, floor)
+            label = (f"  repeat {rep:.2f}s "
+                     + ("[repeat-confirmed]" if rr > 1.25
+                        else "[first-sample-only]"))
+        elif rep is not None and rep >= 0:
+            label = f"  repeat {rep:.2f}s"
+        print(f"{ratio:7.2f} {a:8.2f} {b:8.2f}  {name}{label}")
     only_cur = sorted(set(cur["times"]) - set(prev["times"]))
     only_prev = sorted(set(prev["times"]) - set(cur["times"]))
     errored = sorted([n for n in shared
@@ -192,6 +261,11 @@ def show_vs(cur, prev):
     print(f"{'SHARED':<10} {sum(v[2] for v in fams.values()):>4} "
           f"{ta:9.2f} {tb:9.2f} {(ta / tb if tb else 0):7.2f}   "
           f"(headline totals {cur['total']} vs {prev['total']})")
+    wa, wb = _wall_total(cur), _wall_total(prev)
+    if wa is not None and wb is not None:
+        print(f"{'':>10} {'':>4} {'':>9} {'':>9} {'':>7}   "
+              f"(wall-conserving {wa:.1f} vs {wb:.1f} — raw totals "
+              f"exclude out-of-window ann/fixtures/repeat seconds)")
 
     print("\ncurrent round instruments:")
     _show_calib(cur)
