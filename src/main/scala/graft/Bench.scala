@@ -136,7 +136,15 @@ object Bench {
         val t0 = System.nanoTime()
         val dt =
           try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+          catch {
+            case e: Throwable =>
+              // a repeat that fails where the first sample passed is
+              // itself a finding (late-session resource exhaustion,
+              // restart-only bugs) — it must not ride as a bare -1
+              println("[graft] repeat of " + name + " failed: " +
+                sanitizeForJson(e.toString).take(160))
+              -1.0
+          }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> dt

@@ -430,23 +430,11 @@ object SparkEntry {
       val factT = s.read.format("graft-segment").load(dir)
       val dim = s.range(0, 97).select(col("id").as("k"),
         concat(lit("g"), pmod(col("id"), lit(5))).as("grp"))
-      val prev = s.experimental.extraOptimizations
-      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.experimental.extraOptimizations = prev :+ graft.plans.SaltJoinRule(s)
-      val out = try {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val joined = factT.join(dim, Seq("k"))
+      withSaltRule(s) {
+        factT.join(dim, Seq("k"))
           .groupBy(col("grp"))
           .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
-        require(joined.queryExecution.optimizedPlan.toString.contains("graft_salt_f"),
-          "SaltJoinRule must fire on the declared-hot key: this row " +
-            "certifies the REWRITTEN plan's results, not the plain one's")
-        joined.localCheckpoint()
-      } finally {
-        s.experimental.extraOptimizations = prev
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      }
-      out.orderBy(col("grp"))
+      }.orderBy(col("grp"))
     }),
 
     // the rule's COMPOSITE-KEY scope (r18, measured on SaltBench's
@@ -469,23 +457,11 @@ object SparkEntry {
       val dim = s.range(0, 97).select(col("id").as("k"))
         .crossJoin(s.range(0, 3).select(col("id").as("k2")))
         .withColumn("grp", concat(lit("g"), (col("k") + col("k2")) % 5))
-      val prev = s.experimental.extraOptimizations
-      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.experimental.extraOptimizations = prev :+ graft.plans.SaltJoinRule(s)
-      val out = try {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val joined = factT.join(dim, Seq("k", "k2"))
+      withSaltRule(s) {
+        factT.join(dim, Seq("k", "k2"))
           .groupBy(col("grp"))
           .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
-        require(joined.queryExecution.optimizedPlan.toString.contains("graft_salt_f"),
-          "SaltJoinRule must fire on the composite key bounded by the " +
-            "declared k map: this row certifies the REWRITTEN plan")
-        joined.localCheckpoint()
-      } finally {
-        s.experimental.extraOptimizations = prev
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      }
-      out.orderBy(col("grp"))
+      }.orderBy(col("grp"))
     }),
 
     // the rule's FACT-PRESERVING LEFT-JOIN scope (r18, measured on
@@ -504,23 +480,11 @@ object SparkEntry {
       val factT = s.read.format("graft-segment").load(dir)
       val dim = s.range(0, 50).select(col("id").as("k"),
         concat(lit("g"), pmod(col("id"), lit(5))).as("grp"))
-      val prev = s.experimental.extraOptimizations
-      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.experimental.extraOptimizations = prev :+ graft.plans.SaltJoinRule(s)
-      val out = try {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val joined = factT.join(dim, Seq("k"), "left")
+      withSaltRule(s) {
+        factT.join(dim, Seq("k"), "left")
           .groupBy(coalesce(col("grp"), lit("missing")).as("grp"))
           .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
-        require(joined.queryExecution.optimizedPlan.toString.contains("graft_salt_f"),
-          "SaltJoinRule must fire on the fact-preserving left join: " +
-            "this row certifies the REWRITTEN plan")
-        joined.localCheckpoint()
-      } finally {
-        s.experimental.extraOptimizations = prev
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      }
-      out.orderBy(col("grp"))
+      }.orderBy(col("grp"))
     }),
 
     // bloom-pruned join certified against the PLAIN join's oracle: the
@@ -4899,6 +4863,31 @@ object SparkEntry {
     }
     (s.read.parquet(s"$base/counts"), s.read.parquet(s"$base/docs"),
       s.read.parquet(s"$base/audit"))
+  }
+
+  /** Shared scaffold of the rel_join_autosalt_* certificates: install
+    * [[graft.plans.SaltJoinRule]] plus a non-broadcastable-dim
+    * threshold for the duration of `build` (-1 simulates the big dim
+    * this rule exists for — a broadcastable one is guarded out: BHJ
+    * has no fact shuffle, measured dominant), REQUIRE the built plan
+    * to be the rewritten one (the row must certify the rule's output,
+    * never the plain join), and materialize it before both settings
+    * restore. */
+  private def withSaltRule(s: SparkSession)(build: => DataFrame): DataFrame = {
+    val prev = s.experimental.extraOptimizations
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.experimental.extraOptimizations = prev :+ graft.plans.SaltJoinRule(s)
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = build
+      require(joined.queryExecution.optimizedPlan.toString.contains("graft_salt_f"),
+        "SaltJoinRule must fire: this row certifies the REWRITTEN " +
+          "plan's results, not the plain one's")
+      joined.localCheckpoint()
+    } finally {
+      s.experimental.extraOptimizations = prev
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
   }
 
   /** Per-value totals off a graft-segment table's merged STRING map —

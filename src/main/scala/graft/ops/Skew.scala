@@ -165,9 +165,10 @@ object Skew {
     * instead accumulates an incremental DOUBLE partial sum, so past
     * 2^53 of accumulated mass (or under different add orders) the two
     * can differ in final ULPs — this form is the reproducible one.
-    * ENFORCED (r18): avg requires an integral input column — a
-    * floating input's partial sums are order-dependent on both sides
-    * of the ≡, so the drop-in contract would silently not hold. */
+    * ENFORCED (r18): avg requires an exact-sum input column (integral
+    * or decimal) — a floating input's partial sums are order-dependent
+    * on both sides of the ≡, so the drop-in contract would silently
+    * not hold. */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
       aggs: Seq[(String, String, String)]): DataFrame = {
     require(salts >= 1, s"salts must be at least 1, got $salts")
@@ -192,15 +193,20 @@ object Skew {
       // yields different final ULPs, on BOTH sides of the ≡). Reject
       // rather than silently weaken the contract (r17 verdict item 5)
       if (fn == "avg") {
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val dt = df.schema(in).dataType
-        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-          s"avg('$in') requires an integral input column, got $dt: the " +
-            "exact-sum-over-exact-count merge is order-independent only " +
-            "for integral sums — floating partials differ in final ULPs " +
-            "per add order, which breaks the '≡ plain groupBy' contract. " +
-            "Cast to long units (e.g. cents) upstream, or request " +
-            "sum+count and divide with your own tolerance.")
+        import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+        // resolve exactly as the aggregation will (col(in) handles
+        // nested fields like payload.cents; schema(in) would not)
+        val dt = df.select(col(in)).schema.head.dataType
+        val exactSum = Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(dt) || dt.isInstanceOf[DecimalType]
+        require(exactSum,
+          s"avg('$in') requires an exact-sum input column (integral or " +
+            s"decimal), got $dt: the exact-sum-over-exact-count merge is " +
+            "order-independent only when the partial sums are exact — " +
+            "floating partials differ in final ULPs per add order, which " +
+            "breaks the '≡ plain groupBy' contract. Cast to long units " +
+            "(e.g. cents) upstream, or request sum+count and divide with " +
+            "your own tolerance.")
       } }
     val salted = df.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))

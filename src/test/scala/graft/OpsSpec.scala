@@ -396,10 +396,11 @@ class OpsSpec extends SparkSpec {
       t.join(dimHalf, Seq("k"), "left_outer")
         .groupBy(coalesce($"b".cast("string"), lit("miss")).as("g"))
         .agg(count(lit(1)).as("n"), sum($"v").as("s"))
-    val plain = shape(factT)
     // expected results collected BEFORE the rule is installed (the
     // session is shared: a lazy plan first materialized inside the
-    // try would be rewritten too)
+    // try would be rewritten too, making the invisibility comparison
+    // rewritten-vs-rewritten — vacuous)
+    val plainExpected = shape(factT).collect().toSet
     val leftExpected = leftShape(factT).collect().toSet
     val prev = spark.experimental.extraOptimizations
     val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -408,7 +409,7 @@ class OpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val auto = shape(factT)
       assert(fired(auto), "declared-hot key + non-broadcastable dim must fire")
-      assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty,
+      assert(auto.collect().toSet === plainExpected,
         "the rewrite must be invisible in the result")
       // row level too: multiplicity is exact, not just aggregate-exact
       val rows = factT.join(dim, Seq("k"))
