@@ -83,8 +83,32 @@ object Bench {
     val suiteStart = System.nanoTime()
     var lastGc = System.nanoTime()
     var qIdx = 0
+    // ONE measure-and-hygiene block for the suite loop AND the repeat
+    // pass — a divergence here would make the two windows measure
+    // under different session-state regimes. Returns (elapsed, error):
+    // elapsed is real even on failure (the repeat window's wall cost
+    // must conserve), the CALLER decides how a failure rides.
+    def timedRun(name: String): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(sanitizeForJson(e.toString)) }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query session hygiene: drop any cached RDDs/tables a query
+      // left behind so back-to-back timings measure the query, not
+      // accumulated session state
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // time-based GC nudge (the ContextCleaner drains on driver GC);
+      // decoupled from query index so no single query systematically
+      // pays the collection of its predecessors
+      if ((System.nanoTime() - lastGc) / 1e9 > 20.0) {
+        System.gc(); lastGc = System.nanoTime()
+      }
+      (dt, err)
+    }
     val results = suite.map {
-      case (name, fn) =>
+      case (name, _) =>
         // mid-run drift probe: ~0.5 s of pinned single-thread ALU work
         // every ProbeEvery queries (<1% of suite wall), stamped with
         // its suite offset — the series that localizes a contention
@@ -96,26 +120,12 @@ object Bench {
         // can't see scheduler/shuffle/codegen-side contention
         if (qIdx == midIdx) calibSparkMid = calibrateSpark(spark)
         qIdx += 1
-        val t0 = System.nanoTime()
-        offsets += (t0 - suiteStart) / 1e9
-        // a failed query must not look like a fast one: record -1 and the
-        // error, never a normal-looking wall time
-        val dt =
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch {
-            case e: Throwable =>
-              errors += name -> sanitizeForJson(e.toString).take(200)
-              -1.0
-          }
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        // time-based GC nudge (the ContextCleaner drains on driver GC);
-        // decoupled from query index so no single query systematically
-        // pays the collection of its predecessors
-        if ((System.nanoTime() - lastGc) / 1e9 > 20.0) {
-          System.gc(); lastGc = System.nanoTime()
-        }
-        name -> dt
+        offsets += (System.nanoTime() - suiteStart) / 1e9
+        // a failed query must not look like a fast one: record -1 and
+        // the error, never a normal-looking wall time
+        val (dt, err) = timedRun(name)
+        err.foreach(m => errors += name -> m.take(200))
+        name -> (if (err.isEmpty) dt else -1.0)
     }
     probes += (((System.nanoTime() - suiteStart) / 1e9, calibrateCpu()))
     val calibCpuEnd = probes.last._2
@@ -131,29 +141,25 @@ object Bench {
     // round); repeats ride as their own fields, and the repeat
     // window's wall cost is self-reported as repeats_sec so wall-
     // conserving cross-round totals stay mechanical.
+    var repeatSpent = 0.0
     val repeats = results.filter(_._2 >= 0).sortBy(-_._2).take(RepeatSlowest)
       .map { case (name, _) =>
-        val t0 = System.nanoTime()
-        val dt =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch {
-            case e: Throwable =>
-              // a repeat that fails where the first sample passed is
-              // itself a finding (late-session resource exhaustion,
-              // restart-only bugs) — it must not ride as a bare -1
-              println("[graft] repeat of " + name + " failed: " +
-                sanitizeForJson(e.toString).take(160))
-              -1.0
-          }
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        name -> dt
+        val (dt, err) = timedRun(name)
+        // wall conserves even on failure: repeats_sec is the window's
+        // COST, and decode's wall-conserving totals add it back
+        repeatSpent += dt
+        // a repeat that fails where the first sample passed is itself
+        // a finding (late-session resource exhaustion, restart-only
+        // bugs) — log it AND ride the -1 (decode labels it errored)
+        err.foreach(m =>
+          println("[graft] repeat of " + name + " failed: " + m.take(160)))
+        name -> (if (err.isEmpty) dt else -1.0)
       }
     // one more CPU sample AFTER the repeat window, so the window the
     // repeats ran in is itself instrumented (decode marks entries past
     // end-of-suite as post-suite)
     probes += (((System.nanoTime() - suiteStart) / 1e9, calibrateCpu()))
-    val repeatsSec = repeats.map(_._2).filter(_ >= 0).sum
+    val repeatsSec = repeatSpent
     def f3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val calib = s""""calib_cpu_sec":${f3(calibCpu)},"calib_spark_sec":${f3(calibSpark)},"calib_spark_mid_sec":${f3(calibSparkMid)},"calib_spark_end_sec":${f3(calibSparkEnd)},"calib_cpu_end_sec":${f3(calibCpuEnd)},"ann_build_sec":${f3(annBuild)},"fixtures_build_sec":${f3(fixturesBuild)},"repeats_sec":${f3(repeatsSec)}"""

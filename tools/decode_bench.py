@@ -119,13 +119,28 @@ def load_round(bench_path, corr_path):
     # past end-of-suite (the +1th and later) are post-suite samples
     # bracketing the repeat window; mark them with the full-suite sum.
     probes = doc.get("probes", [])
+    post_from = len(probes)
     if not probes and "cpu" in doc:
         tsec = [max(v, 0) / scale for v in doc["t"]]
         n = doc["n"]
+        total_t = sum(tsec)
+        # in-loop probes precede queries 0, 50, ...; the next entry is
+        # the end-of-suite bracket; anything after ran POST-SUITE (the
+        # repeat window) — offset those by the self-reported
+        # repeats_sec and tag them, so an overlay doesn't attribute a
+        # repeat-window spike to the final suite queries
+        n_inloop = ((n - 1) // 50 + 1) if n else 0
+        post_from = n_inloop + 1
+        rep_sec = max(calib.get("repeats_sec", 0.0), 0.0)
         probes = []
         for k, c in enumerate(doc["cpu"]):
-            upto = min(k * 50, n)
-            probes.append([sum(tsec[:upto]), c / 100.0])
+            if k < n_inloop:
+                off = sum(tsec[:k * 50])
+            elif k == n_inloop:
+                off = total_t
+            else:
+                off = total_t + rep_sec
+            probes.append([off, c / 100.0])
     repeats = {}
     rpt = doc.get("rpt", [])
     for i in range(0, len(rpt) - 1, 2):
@@ -135,7 +150,8 @@ def load_round(bench_path, corr_path):
     errors = doc.get("errors", {}) \
         if isinstance(doc.get("errors"), dict) else {}
     return dict(times=times, total=doc["value"], n=doc["n"],
-                probes=probes, calib=calib, repeats=repeats,
+                probes=probes, post_from=post_from, calib=calib,
+                repeats=repeats,
                 spk=[v / 100.0 for v in doc.get("spk", [])],
                 errors=errors, res=1.0 / scale)
 
@@ -161,7 +177,12 @@ def _wall_total(r):
 def show_round(r):
     for name, sec in sorted(r["times"].items(), key=lambda kv: -kv[1]):
         rep = r["repeats"].get(name)
-        suffix = f"  (repeat {rep:.2f})" if rep is not None else ""
+        if rep is None:
+            suffix = ""
+        elif rep < 0:  # taken but errored — a finding, not a blank
+            suffix = "  (repeat FAILED)"
+        else:
+            suffix = f"  (repeat {rep:.2f})"
         print(f"{sec:10.2f}  {name}{suffix}")
     wt = _wall_total(r)
     extra = f" (wall-conserving {wt:.1f})" if wt is not None else ""
@@ -177,8 +198,10 @@ def _show_calib(r):
             f"{k.replace('_sec', '')}={v:.2f}" for k, v in r["calib"].items()))
     if r.get("spk"):
         print("spk brackets: " + "  ".join(f"{v:.2f}s" for v in r["spk"]))
-    for off, calib in r["probes"]:
-        print(f"probe @{off:7.1f}s  calib_cpu {calib:.2f}s")
+    post_from = r.get("post_from", len(r["probes"]))
+    for k, (off, calib) in enumerate(r["probes"]):
+        tag = "  (post-suite)" if k >= post_from else ""
+        print(f"probe @{off:7.1f}s  calib_cpu {calib:.2f}s{tag}")
 
 
 def show_vs(cur, prev):
@@ -205,7 +228,12 @@ def show_vs(cur, prev):
     for ratio, a, b, name in sorted(rows, key=lambda r: -r[0]):
         rep = cur["repeats"].get(name)
         label = ""
-        if rep is not None and rep >= 0 and ratio > 1.25:
+        if rep is not None and rep < 0:
+            # a second sample was TAKEN and failed — distinct from "no
+            # repeat": the repeat window itself misbehaved (the
+            # restart-only-bug class the repeat pass exists to surface)
+            label = "  [repeat-errored]"
+        elif rep is not None and ratio > 1.25:
             # the second sample adjudicates the regression: if the
             # repeat is ALSO elevated vs the previous round the drift
             # is in the query (plan/code), if it falls back in line the
