@@ -70,6 +70,16 @@ class BenchSpec extends AnyFunSuite {
     val node = parse(line)
     assert(node.get("t").size() == 400) // every query still present
     assert(node.get("t_unit").asText() != "cs") // resolution paid, not coverage
+    // the repeat samples degrade WITH the unit — rpt shares t_unit by
+    // contract (decode divides both by the same scale)
+    val scale = node.get("t_unit").asText() match {
+      case "ds" => 10.0
+      case "s" => 1.0
+      case u => fail(s"unexpected unit $u")
+    }
+    val rpt = node.get("rpt")
+    assert(rpt.get(0).asInt() == rpt10.head._1)
+    assert(math.abs(rpt.get(1).asLong() / scale - rpt10.head._2) <= 0.5 / scale + 1e-9)
   }
 
   test("renderCompact: instrument series ride as centisecond ints, repeats as [idx,t] pairs") {

@@ -491,6 +491,26 @@ class PropertiesSpec extends SparkSpec {
       assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
         s"saltedJoin drifted at fact=$nFact keys=$nKeys hot=$hotShare% " +
           s"salts=$salts dupDim=$dupDim")
+      // r18 forms under the same random draws: COMPOSITE key (second
+      // key k2 = v % 3 on both sides — each qualifying pair must
+      // still meet exactly once) and FACT-PRESERVING LEFT (dim
+      // truncated so some keys miss — every unmatched fact row must
+      // null-extend exactly once, whatever the fan-out)
+      val factC = fact.withColumn("k2", col("v") % 3)
+      val dimC = dim.crossJoin(spark.range(0, 3).select(col("id").as("k2")))
+      val plainC = factC.join(dimC, Seq("k", "k2"))
+      val saltedC = Skew.saltedJoin(factC, dimC, Seq("k", "k2"), salts)
+        .select(plainC.columns.map(col): _*)
+      assert(saltedC.exceptAll(plainC).isEmpty && plainC.exceptAll(saltedC).isEmpty,
+        s"composite saltedJoin drifted at fact=$nFact keys=$nKeys " +
+          s"hot=$hotShare% salts=$salts dupDim=$dupDim")
+      val dimMiss = dim.filter(col("k") % 2 === 0)
+      val plainL = fact.join(dimMiss, Seq("k"), "left")
+      val saltedL = Skew.saltedJoin(fact, dimMiss, Seq("k"), salts, "left")
+        .select(plainL.columns.map(col): _*)
+      assert(saltedL.exceptAll(plainL).isEmpty && plainL.exceptAll(saltedL).isEmpty,
+        s"left saltedJoin drifted at fact=$nFact keys=$nKeys " +
+          s"hot=$hotShare% salts=$salts dupDim=$dupDim")
     }
   }
 }
