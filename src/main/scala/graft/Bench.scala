@@ -75,9 +75,16 @@ object Bench {
     // RDDs/tables a query left behind so back-to-back timings measure
     // the query, not accumulated session state
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // an errored query's REAL elapsed wall (its t entry rides as -1 —
+    // never a plausible time — but offset reconstruction from
+    // cumsum(t) must not lose the seconds the failure consumed)
+    val errWall = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val probes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Double]
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    // queries is a def building the whole registry Map: resolve ONCE,
+    // not per timed run
+    val registry = suite.toMap
     val midIdx = suite.size / 2
     var calibSparkMid = -1.0
     val suiteStart = System.nanoTime()
@@ -91,7 +98,7 @@ object Bench {
     def timedRun(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        try { registry(name)(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(sanitizeForJson(e.toString)) }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query session hygiene: drop any cached RDDs/tables a query
@@ -124,7 +131,7 @@ object Bench {
         // a failed query must not look like a fast one: record -1 and
         // the error, never a normal-looking wall time
         val (dt, err) = timedRun(name)
-        err.foreach(m => errors += name -> m.take(200))
+        err.foreach { m => errors += name -> m.take(200); errWall += name -> dt }
         name -> (if (err.isEmpty) dt else -1.0)
     }
     probes += (((System.nanoTime() - suiteStart) / 1e9, calibrateCpu()))
@@ -182,6 +189,7 @@ object Bench {
     val json = renderCompact(results, probes.toSeq,
       Seq(calibSpark, calibSparkMid, calibSparkEnd),
       repeats.map { case (n, t) => nameIdx(n) -> t },
+      errWall.toSeq.map { case (n, t) => nameIdx(n) -> t },
       errors.toSeq, sfDir)
     // The JSON line must be un-losable: streaming state stores (RocksDB
     // maintenance threads from the stream_* queries) can dump shutdown
@@ -299,7 +307,11 @@ object Bench {
     *    `t`, idx in the positional name order. This is what lets
     *    `decode_bench --vs` label a tail regression repeat-confirmed
     *    vs first-sample-only from the artifact alone (r17 verdict
-    *    item 1).
+    *    item 1);
+    *  - `errt` (only when a query failed): flat [idx, t, ...] pairs
+    *    carrying each errored query's REAL elapsed in t_unit — its
+    *    `t` entry stays -1 (never a plausible time), but the offset
+    *    reconstruction must not lose the wall the failure consumed.
     *
     * The payload degrades adaptively to honor the byte budget:
     * resolution first (`cs` → `ds` → `s`), then the instrument
@@ -311,6 +323,7 @@ object Bench {
       probes: Seq[(Double, Double)],
       spark: Seq[Double],
       repeats: Seq[(Int, Double)],
+      errWall: Seq[(Int, Double)],
       errors: Seq[(String, String)],
       sfDir: String,
       budget: Int = 1550): String = {
@@ -338,8 +351,15 @@ object Bench {
       val rpt = if (withRpt && repeats.nonEmpty)
         s""","rpt":${repeats.map { case (i, v) => s"$i,${if (v < 0) "-1" else math.round(v * scale).toString}" }.mkString("[", ",", "]")}"""
       else ""
+      // errored queries' REAL elapsed (their t is -1): without it the
+      // cumsum-based probe-offset reconstruction loses the seconds a
+      // failure consumed and every later offset lands early. Rare
+      // (zero in r12-r18) and tiny, so it never degrades
+      val ew = if (errWall.nonEmpty)
+        s""","errt":${errWall.map { case (i, v) => s"$i,${math.round(v * scale)}" }.mkString("[", ",", "]")}"""
+      else ""
       s"""{"metric":"qtimes","value":$total,"unit":"sec","t_unit":"$unit","order":"name","n":${results.size},""" +
-        s""""t":$t$cal$rpt,"errors":$errs,"sf":"$sfDir"}"""
+        s""""t":$t$cal$rpt$ew,"errors":$errs,"sf":"$sfDir"}"""
     }
     // degrade RESOLUTION, then the instrument series, then the repeat
     // samples — never coverage: the final candidate is emitted even

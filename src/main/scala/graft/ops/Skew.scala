@@ -54,6 +54,10 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "at least one join key is required")
+    // salts=0 would make the fact salt pmod(_, 0) = NULL and the dim
+    // replication sequence(0, -1) — a join that silently matches
+    // nothing (inner: empty; left: all null-extended)
+    require(salts >= 1, s"salts must be at least 1, got $salts")
     require(Set("inner", "left", "leftouter")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"joinType '$joinType' is not fact-preserving-safe: only inner and " +

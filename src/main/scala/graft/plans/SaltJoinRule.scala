@@ -96,12 +96,18 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // tolerant parse (the rule's own never-fail-planning doctrine,
-    // applied to its OWN kill switch): a malformed value ('0', 'yes')
-    // degrades to the default instead of throwing
+    // applied to its OWN kill switch): the standard disable spellings
+    // all disable — ignoring "0"/"off"/"no" would silently INVERT an
+    // explicit disable intent — while a truly malformed value ("yes",
+    // "maybe") degrades to the default instead of throwing
     // IllegalArgumentException out of the optimizer for every query
-    // in the session — only an explicit "false" disables
-    if (session.conf.get(SaltJoinRule.EnabledKey, "true")
-        .equalsIgnoreCase("false")) return plan
+    // in the session
+    val disabled = session.conf.get(SaltJoinRule.EnabledKey, "true")
+      .trim.toLowerCase match {
+      case "false" | "0" | "no" | "off" => true
+      case _ => false
+    }
+    if (disabled) return plan
     plan.transform {
       case j @ Join(left, right, jt, Some(cond), hint)
           if (jt == Inner || jt == LeftOuter || jt == RightOuter) &&

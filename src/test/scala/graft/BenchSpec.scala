@@ -25,7 +25,7 @@ class BenchSpec extends AnyFunSuite {
     for (n <- Seq(1, 10, 86, 331, 500)) {
       val results = (1 to n).map(i => (f"family_query_with_a_long_name_$i%03d", i * 0.137))
       val line = Bench.renderCompact(results, probes8, spark3,
-        rpt10.filter(_._1 < n), Nil, "/root/testdata/sf0.1")
+        rpt10.filter(_._1 < n), Nil, Nil, "/root/testdata/sf0.1")
       // the budget is honored at every realistic surface size; past
       // the point where even the fully-degraded candidate can't fit,
       // COVERAGE wins by contract — the line is still emitted, still
@@ -48,7 +48,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("renderCompact: positional times decode to the measurements at the declared unit") {
     val results = Seq(("a_q", 0.314), ("b_q", 2.501), ("c_q", 22.543))
-    val node = parse(Bench.renderCompact(results, probes8, spark3, Nil, Nil, "/sf"))
+    val node = parse(Bench.renderCompact(results, probes8, spark3, Nil, Nil, Nil, "/sf"))
     val scale = node.get("t_unit").asText() match {
       case "cs" => 100.0
       case "ds" => 10.0
@@ -65,7 +65,7 @@ class BenchSpec extends AnyFunSuite {
   test("renderCompact degrades the unit, never the coverage, when cs overflows the budget") {
     // pathological: 400 queries all in the 4-digit-cs band
     val results = (1 to 400).map(i => (f"q_$i%03d", 60.0 + i * 0.01))
-    val line = Bench.renderCompact(results, probes8, spark3, rpt10, Nil, "/sf")
+    val line = Bench.renderCompact(results, probes8, spark3, rpt10, Nil, Nil, "/sf")
     assert(line.length <= 1550, s"line=${line.length}B")
     val node = parse(line)
     assert(node.get("t").size() == 400) // every query still present
@@ -85,7 +85,7 @@ class BenchSpec extends AnyFunSuite {
   test("renderCompact: instrument series ride as centisecond ints, repeats as [idx,t] pairs") {
     val node = parse(Bench.renderCompact(
       (1 to 100).map(i => (f"q_$i%03d", i * 0.1)), probes8, spark3,
-      Seq((99, 10.03), (42, 4.27)), Nil, "/sf"))
+      Seq((99, 10.03), (42, 4.27)), Nil, Nil, "/sf"))
     // the CPU probe series: one positional centisecond int per probe —
     // a slow box mid-run shows as an inflated entry at that position
     // (offsets reconstruct from cumsum(t) at ProbeEvery boundaries)
@@ -108,7 +108,8 @@ class BenchSpec extends AnyFunSuite {
   test("renderCompact carries errors as -1 entries plus messages, truncated not dropped") {
     val results = (1 to 100).map(i => (f"q_$i%03d", if (i <= 8) -1.0 else i * 0.5))
     val errors = (1 to 8).map(i => (f"q_$i%03d", "x" * 500))
-    val line = Bench.renderCompact(results, probes8, spark3, Nil, errors, "/sf")
+    val line = Bench.renderCompact(results, probes8, spark3, Nil,
+      (0 until 8).map(i => (i, 33.3)), errors, "/sf")
     assert(line.length <= 1550)
     val node = parse(line)
     assert(node.get("errors").size() == 3) // first 3 shown
@@ -117,6 +118,11 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("t").get(0).asInt() == -1) // never a plausible time
     // total never counts failed queries
     assert(node.get("value").asDouble() == (9 to 100).map(_ * 0.5).sum)
+    // the errored queries' REAL elapsed rides as errt [idx, t] pairs
+    // (t_unit scaled), so offset reconstruction conserves their wall
+    val et = node.get("errt")
+    assert(et.size() == 16)
+    assert(et.get(0).asInt() == 0 && et.get(1).asInt() == 3330)
   }
 
   test("the fully-degraded line still fits the capture window up to the surface the window can hold") {
@@ -132,7 +138,7 @@ class BenchSpec extends AnyFunSuite {
     for (n <- Seq(341, 400, 450)) {
       val results = (1 to n).map(i => (f"q_$i%03d", 60.0 + i * 0.01))
       val line = Bench.renderCompact(results, probes8, spark3, rpt10,
-        Nil, "/root/testdata/sf0.1")
+        Nil, Nil, "/root/testdata/sf0.1")
       assert(line.length <= 1590,
         s"n=$n fully-degraded line=${line.length}B exceeds the capture " +
           "window: the compact format needs a new degradation stage " +
@@ -145,7 +151,7 @@ class BenchSpec extends AnyFunSuite {
     val real = (1 to n).map(i =>
       (f"q_$i%03d", if (i % 97 == 0) 9.5 + i * 0.01 else 0.2 + (i % 30) * 0.11))
     val line = Bench.renderCompact(real, probes8, spark3, rpt10,
-      Seq(("q_001", "boom")), "/root/testdata/sf0.1")
+      Seq((0, 12.7)), Seq(("q_001", "boom")), "/root/testdata/sf0.1")
     assert(line.length <= 1550,
       s"real surface n=$n no longer fits the 1550 B budget at any " +
         s"resolution (line=${line.length}B)")

@@ -449,6 +449,13 @@ class OpsSpec extends SparkSpec {
       spark.conf.set(SaltJoinRule.EnabledKey, "false")
       try assert(!fired(shape(factT)))
       finally spark.conf.unset(SaltJoinRule.EnabledKey)
+      // the standard disable spellings all disable — ignoring "0"
+      // would silently invert explicit disable intent
+      Seq("0", "off", "FALSE", "no").foreach { v =>
+        spark.conf.set(SaltJoinRule.EnabledKey, v)
+        try assert(!fired(shape(factT)), s"'$v' must disable")
+        finally spark.conf.unset(SaltJoinRule.EnabledKey)
+      }
       spark.conf.set(SaltJoinRule.EnabledKey, "not-a-boolean")
       try assert(fired(shape(factT)),
         "a malformed kill-switch value degrades to enabled")

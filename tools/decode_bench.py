@@ -7,8 +7,10 @@ in the deterministic run order — queries run sorted by name — plus the
 instrument payload: `cpu` (the ProbeEvery=50-interval calib series as
 positional centisecond ints; offsets reconstruct from cumsum(t) at the
 probe boundaries), `spk` (the start/mid/end Spark-path brackets, cs
-ints) and `rpt` (flat [idx, t, ...] pairs — a second sample for the ~10
-slowest queries, same unit as `t`). Position i names the i-th key,
+ints), `rpt` (flat [idx, t, ...] pairs — a second sample for the ~10
+slowest queries, same unit as `t`) and, only when a query failed,
+`errt` (flat [idx, t, ...] pairs: the errored queries' real elapsed,
+conserved in offset reconstruction). Position i names the i-th key,
 sorted, of the SAME round's CORRECTNESS_r{N}.json (the driver emits
 both from one commit, and the query surfaces coincide).
 
@@ -121,7 +123,13 @@ def load_round(bench_path, corr_path):
     probes = doc.get("probes", [])
     post_from = len(probes)
     if not probes and "cpu" in doc:
-        tsec = [max(v, 0) / scale for v in doc["t"]]
+        # an errored query rides as t=-1 but its REAL elapsed (errt
+        # pairs, r18) must still count in the cumsum, or every later
+        # offset reconstructs early by the seconds the failure took
+        et = doc.get("errt", [])
+        errw = {et[i]: et[i + 1] / scale for i in range(0, len(et) - 1, 2)}
+        tsec = [(v / scale) if v >= 0 else errw.get(i, 0.0)
+                for i, v in enumerate(doc["t"])]
         n = doc["n"]
         total_t = sum(tsec)
         # in-loop probes precede queries 0, 50, ...; the next entry is
