@@ -3351,11 +3351,17 @@ object SparkEntry {
         "CASE WHEN doc_id % 5 < 4 THEN 'hot' " +
         "ELSE concat('c', lpad(CAST(doc_id % 13 AS STRING), 2, '0')) END " +
         "FROM graft_salts_docs")
-      Seq("k", "tag").map(c =>
-          s.sql(s"CALL $cat.system.salts('db.t', '$c', 50)")
+      // the composite arm (r18) runs at a DIFFERENT target (30) so
+      // min(ceil(hot_k/30), ceil(hot_tag/30)) cannot coincide with
+      // either single-column arm's value at 50 — the oracle's min
+      // replay genuinely discriminates; the fourth arm includes an
+      // undeclared column, which contributes no bound (not a veto)
+      (Seq(("k", 50), ("tag", 50), ("k,tag", 30), ("k,nodecl", 50)).map {
+        case (c, target) =>
+          s.sql(s"CALL $cat.system.salts('db.t', '$c', $target)")
             .select(lit(c).as("col_name"), col("salts"), col("derived"),
-              col("exact")))
-        .reduce(_.unionByName(_)).orderBy(col("col_name"))
+              col("exact"))
+      }).reduce(_.unionByName(_)).orderBy(col("col_name"))
     }),
     // ZERO-SCAN JOIN CARDINALITY (r17): both sides' frequency maps
     // are exact within caps over non-null values — precisely the rows
@@ -7465,7 +7471,15 @@ object SparkEntry {
         "SELECT 'k' AS col_name, CAST(least(64, greatest(1, " +
         "CAST(ceil(CAST((SELECT hot FROM hk) AS DOUBLE) / 50) AS BIGINT))) AS INT) AS salts " +
         "UNION ALL SELECT 'tag', CAST(least(64, greatest(1, " +
-        "CAST(ceil(CAST((SELECT hot FROM ht) AS DOUBLE) / 50) AS BIGINT))) AS INT)" +
+        "CAST(ceil(CAST((SELECT hot FROM ht) AS DOUBLE) / 50) AS BIGINT))) AS INT) " +
+        // the composite bound: min over declared columns at target 30
+        "UNION ALL SELECT 'k,tag', CAST(least(" +
+        "least(64, greatest(1, CAST(ceil(CAST((SELECT hot FROM hk) AS DOUBLE) / 30) AS BIGINT))), " +
+        "least(64, greatest(1, CAST(ceil(CAST((SELECT hot FROM ht) AS DOUBLE) / 30) AS BIGINT)))" +
+        ") AS INT) " +
+        // an undeclared column contributes no bound — k's alone
+        "UNION ALL SELECT 'k,nodecl', CAST(least(64, greatest(1, " +
+        "CAST(ceil(CAST((SELECT hot FROM hk) AS DOUBLE) / 50) AS BIGINT))) AS INT)" +
         ") ORDER BY col_name"),
     // the metadata-derived join counts replayed as the ACTUAL joins
     "store_join_estimate" ->

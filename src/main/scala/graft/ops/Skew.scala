@@ -107,6 +107,24 @@ object Skew {
     }
   }
 
+  /** The per-column derived fan-outs for every DECLARED column of a
+    * (possibly composite) join key — the r18 composite bound shared by
+    * [[graft.plans.SaltJoinRule]] and the `CALL graft.system.salts`
+    * SQL face, so the planner and the face can never drift:
+    * count(k1=a ∧ ... ∧ kn=z) ≤ min_i count(ki=vi), so the MINIMUM of
+    * these per-column derivations bounds the composite hot mass. A
+    * declared-but-not-hot column derives 1 (a veto, not an unknown);
+    * an undeclared/overflowed column contributes no bound; empty =
+    * no statistic at all (the caller falls back). */
+  def compositeSaltBounds(m: graft.sources.segment.Manifest,
+      keys: Seq[String], targetRowsPerSlot: Long,
+      maxSalts: Int = 64): Seq[Int] =
+    // filter(_.nonEmpty): a present-but-EMPTY counts array is the
+    // overflow poison — an UNKNOWN (no bound), which must not read as
+    // the not-hot veto a genuine 1-derivation means
+    keys.flatMap(k => mapCounts(m, k).filter(_.nonEmpty).map(c =>
+      saltsFromHistogram(Some(c), fallback = 1, targetRowsPerSlot, maxSalts)))
+
   /** The counts of a manifest's merged frequency map for `key` — both
     * value arms (only counts matter here); None when undeclared or
     * overflowed. ONE resolution shared by [[saltsForTable]] and the

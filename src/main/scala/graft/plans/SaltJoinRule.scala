@@ -171,8 +171,7 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan]
             // the tightest DECLARED column bounds the composite key's
             // hot mass; no declared column, no statistic, no rewrite —
             // and a declared-not-hot column (derives 1) vetoes
-            val bounds = fks.flatMap(tableSalts(t, _))
-            Some(bounds).filter(_.nonEmpty).map(_.min).filter(_ > 1)
+            derivedSalts(t, fks).filter(_ > 1)
               // the replicated dim must stay cheaper than the fact
               // scan it parallelizes
               .filter(s => dimSize * s <= factSize)
@@ -207,21 +206,23 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     o.containsKey("versionAsOf") || o.containsKey("timestampAsOf") ||
       o.containsKey("sinceVersion")
 
-  /** The derived fan-out off the table's manifest map for `key`:
-    * Some(n) when the map is DECLARED (n = 1 meaning declared but not
-    * hot — a veto, not an unknown), None when undeclared or
-    * overflowed. Reads the TABLE INSTANCE's cached manifest (one log
-    * read per query resolution), Try-guarded: a statistic that can't
-    * be read is a statistic that's absent, never a planning
-    * failure. */
-  private def tableSalts(t: GraftSegmentTable,
-      key: AttributeReference): Option[Int] =
+  /** The derived fan-out off the table's manifest maps for the
+    * (possibly composite) `keys`: the minimum over DECLARED columns of
+    * the per-column derivation ([[graft.ops.Skew.compositeSaltBounds]]
+    * — the ONE resolution the `CALL graft.system.salts` face shares,
+    * so planner and face can never drift); a value of 1 means
+    * declared-but-not-hot (a veto the caller applies), None means no
+    * column is declared at all. Reads the TABLE INSTANCE's cached
+    * manifest (one log read per query resolution), Try-guarded: a
+    * statistic that can't be read is a statistic that's absent, never
+    * a planning failure. */
+  private def derivedSalts(t: GraftSegmentTable,
+      keys: Seq[AttributeReference]): Option[Int] =
     scala.util.Try(t.liveManifest).toOption.flatten.flatMap { m =>
-      graft.ops.Skew.mapCounts(m, key.name).map { counts =>
-        val live = m.segments.map(_.liveRows).sum
-        val target = math.max(1L, live / math.max(1, conf.numShufflePartitions))
-        graft.ops.Skew.saltsFromHistogram(Some(counts), fallback = 1, target)
-      }
+      val live = m.segments.map(_.liveRows).sum
+      val target = math.max(1L, live / math.max(1, conf.numShufflePartitions))
+      val bounds = graft.ops.Skew.compositeSaltBounds(m, keys.map(_.name), target)
+      if (bounds.isEmpty) None else Some(bounds.min)
     }
 
   private def rewrite(j: Join, fact: LogicalPlan, fks: Seq[AttributeReference],

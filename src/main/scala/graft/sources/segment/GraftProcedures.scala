@@ -391,8 +391,14 @@ object GraftProcedures {
         // derives from the manifest frequency map (either value arm —
         // only counts matter), with `derived` = false when the column
         // is undeclared or overflowed and the fallback was served.
-        // Zero scans; the alternative is a GROUP BY over the fact side
-        // or a guessed constant.
+        // COMPOSITE keys (r18): a comma-separated column list derives
+        // the minimum over DECLARED columns of the per-column bound —
+        // count(k1=a ∧ k2=b) ≤ min_i count(ki=vi) — through the SAME
+        // [[graft.ops.Skew.compositeSaltBounds]] resolution
+        // SaltJoinRule plans with, so face and planner can never
+        // drift; the fallback is served (derived=false) only when NO
+        // listed column is declared. Zero scans; the alternative is a
+        // GROUP BY over the fact side or a guessed constant.
         procedure("salts",
           Seq(param("table", StringType), param("column", StringType),
             param("target_rows", LongType),
@@ -416,14 +422,18 @@ object GraftProcedures {
             s"fallback must be at least 1, got ${in.getInt(3)}")
           require(in.getInt(4) >= 1,
             s"max_salts must be at least 1, got ${in.getInt(4)}")
+          val cols = in.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          require(cols.nonEmpty, "column must name at least one column")
           val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
-          val counts = graft.ops.Skew.mapCounts(m, in.getUTF8String(1).toString)
-          // exists(_.nonEmpty), not isDefined: saltsFromHistogram also
-          // serves the fallback for a present-but-empty counts array,
-          // and the annotation must match the branch actually taken
-          Seq(row(graft.ops.Skew.saltsFromHistogram(counts,
-            in.getInt(3), in.getLong(2), in.getInt(4)),
-            counts.exists(_.nonEmpty),
+          // compositeSaltBounds drops undeclared/overflowed columns
+          // (incl. a present-but-empty counts array — the overflow
+          // poison), so `derived` is exactly bounds.nonEmpty and the
+          // annotation matches the branch actually taken
+          val bounds = graft.ops.Skew.compositeSaltBounds(
+            m, cols, in.getLong(2), in.getInt(4))
+          Seq(row(if (bounds.isEmpty) in.getInt(3) else bounds.min,
+            bounds.nonEmpty,
             m.segments.forall(_.dvRows == 0L)))
         }
       case "join_estimate" =>
