@@ -90,6 +90,18 @@ object GraftProcedures {
   }
 
   /** Resolve `db.t` under the warehouse, or pass an absolute path. */
+  /** The comma-list argument convention shared by zorder / quantiles /
+    * salts (and by histFor itself): comma is RESERVED as the list
+    * separator, so a literal column name containing a comma is not
+    * addressable through these faces — it is also undeclarable in
+    * histFor for the same reason, so no statistic can exist for it
+    * and the split can never silently serve one. Blank entries are
+    * dropped; an all-blank argument yields empty for the caller's
+    * own validation (the quantiles doctrine: reject the REQUEST
+    * before touching table state). */
+  private def csvArg(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   private def tableDir(warehouse: String, arg: String): String =
     if (arg.startsWith("/") || arg.contains("://")) arg
     else s"$warehouse/${arg.split('.').mkString("/")}"
@@ -128,7 +140,7 @@ object GraftProcedures {
           beforeAfter) { (spark, in) =>
           val (b, a) = GraftMaintenance.compactZOrder(spark,
             tableDir(warehouse, in.getUTF8String(0).toString),
-            in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            csvArg(in.getUTF8String(1).toString),
             in.getInt(2), targetBytes = in.getInt(3).toLong * 1024 * 1024)
           Seq(row(b, a))
         }
@@ -361,8 +373,7 @@ object GraftProcedures {
           // overflowed tables (an empty frame for q=1.7 would read as
           // a plausible answer), and a non-numeric q names the
           // parameter instead of surfacing a raw NumberFormatException
-          val raw = in.getUTF8String(1).toString.split(",")
-            .map(_.trim).filter(_.nonEmpty).toSeq
+          val raw = csvArg(in.getUTF8String(1).toString)
           val qs = raw.map(t => scala.util.Try(t.toDouble).getOrElse(
             throw new IllegalArgumentException(
               s"quantiles must be numbers in [0,1], got '$t'")))
@@ -422,8 +433,7 @@ object GraftProcedures {
             s"fallback must be at least 1, got ${in.getInt(3)}")
           require(in.getInt(4) >= 1,
             s"max_salts must be at least 1, got ${in.getInt(4)}")
-          val cols = in.getUTF8String(1).toString.split(",")
-            .map(_.trim).filter(_.nonEmpty).toSeq
+          val cols = csvArg(in.getUTF8String(1).toString)
           require(cols.nonEmpty, "column must name at least one column")
           val m = loadManifest(spark, warehouse, in.getUTF8String(0).toString)
           // compositeSaltBounds drops undeclared/overflowed columns

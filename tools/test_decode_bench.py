@@ -54,7 +54,11 @@ def r18_round(tmp, n=100, err_idx=None, err_wall_ticks=9000):
     line = json.dumps({
         "metric": "qtimes", "value": round(sum(v for v in t if v >= 0) / 100, 3),
         "unit": "sec", "t_unit": "cs", "order": "name", "n": n, "t": t,
-        "cpu": [54, 60, 61], "spk": [224, 88, 79],
+        # the real emitter appends one post-repeat probe, so a real
+        # artifact always has n_inloop+2 entries — the fixture must
+        # exercise that branch (4 entries for n=100: in-loop 0,50 /
+        # end-of-suite / post-suite)
+        "cpu": [54, 60, 61, 52], "spk": [224, 88, 79],
         "rpt": [3, 333, (err_idx if err_idx is not None else 5),
                 (-1 if err_idx is not None else 555)],
         **extra, "errors": errors, "sf": "/sf"}, separators=(",", ":"))
@@ -78,11 +82,22 @@ def main():
     check("r18: headline calib generic *_sec fields (fixtures, repeats)",
           r["calib"].get("fixtures_build_sec") == 25.0 and
           r["calib"].get("repeats_sec") == 4.0)
-    # probe offsets: in-loop k=0,1 (before q0, q50), then end-of-suite,
-    # none post-suite here (3 entries, n_inloop=2)
+    # probe offsets: in-loop k=0,1 (before q0, q50), end-of-suite at
+    # the full cumsum, then the post-repeat entry offset by repeats_sec
+    # and tagged (post-suite) — the branch every real artifact hits
     check("r18: probe offsets reconstruct from cumsum",
           abs(r["probes"][1][0] - 25.0) < 1e-9 and
           abs(r["probes"][2][0] - 50.0) < 1e-9 and r["post_from"] == 3)
+    check("r18: post-suite probe offset adds repeats_sec and is tagged",
+          abs(r["probes"][3][0] - 54.0) < 1e-9 and len(r["probes"]) == 4,
+          f"got {r['probes'][3]}")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        decode_bench._show_calib(r)
+    check("r18: (post-suite) tag printed on the post-repeat entry only",
+          out.getvalue().count("(post-suite)") == 1 and
+          "@   54.0s  calib_cpu 0.52s  (post-suite)" in out.getvalue(),
+          out.getvalue()[-200:])
     check("r18: wall-conserving total adds builds+repeats back",
           abs(decode_bench._wall_total(r) -
               (float(r["total"]) + 10.0 + 25.0 + 4.0)) < 1e-6)
@@ -98,15 +113,20 @@ def main():
           abs(r["probes"][1][0] - (49 * 0.5 + 90.0)) < 1e-9,
           f"got {r['probes'][1][0]}")
 
-    # --- committed legacy artifacts must keep decoding ---
+    # --- committed legacy artifacts must keep decoding; their ABSENCE
+    # is itself a failure (a vacuous pass here is exactly the format
+    # regression this test exists to catch) ---
     for rnd in ("r16", "r17"):
         b = os.path.join(REPO, f"BENCH_{rnd}.json")
         c = os.path.join(REPO, f"CORRECTNESS_{rnd}.json")
-        if os.path.exists(b) and os.path.exists(c):
-            rr = decode_bench.load_round(b, c)
-            check(f"legacy {rnd}: decodes with full coverage",
-                  rr["n"] == len(rr["times"]) and rr["n"] > 300 and
-                  rr["probes"], f"n={rr['n']}")
+        if not (os.path.exists(b) and os.path.exists(c)):
+            check(f"legacy {rnd}: fixture artifacts present", False,
+                  f"missing {b} or {c} — update this test if they moved")
+            continue
+        rr = decode_bench.load_round(b, c)
+        check(f"legacy {rnd}: decodes with full coverage",
+              rr["n"] == len(rr["times"]) and rr["n"] > 300 and
+              rr["probes"], f"n={rr['n']}")
 
     # --- full-precision target/bench.json shape (named map) ---
     fp = os.path.join(tmp, "full.json")
