@@ -4750,7 +4750,13 @@ object SparkEntry {
       timed("ann")(annIndexFor(s, d)),
       timed("prefix_pairs")(prefixPairsFor(s, d).count()),
       timed("components")(componentsFor(s, d).count()),
-      timed("curation")(curationFor(s, d)._1.count()))
+      timed("curation")(curationFor(s, d)._1.count()),
+      // r18: the two caches the r17 warming pass missed — the 5-NN
+      // edge frame (five graph consumers; the quadratic certification
+      // build) and the unigram segmentation table (train is a build
+      // step, serving reads the stored table)
+      timed("knn_edges")(knnEdgesFor(s, d).count()),
+      timed("unigram")(unigramTableFor(s, d).count()))
   }
 
   /** Recursive file copy of the cached index into a query-owned dir —

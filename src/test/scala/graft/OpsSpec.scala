@@ -470,6 +470,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("SaltJoinRule fires through the catalog SQL face (histFor table property)") {
+    import graft.plans.SaltJoinRule
+    // the certificates exercise path-based loads; a SQL user reaches
+    // the same statistic through a CATALOG-managed table — the rule
+    // must fire there too (same GraftSegmentTable instance underneath)
+    val base = java.nio.file.Files.createTempDirectory("graft-saltcat").toString
+    val cat = "graft_saltcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.segment.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$base/wh")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.fact (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('histFor'='k')")
+    spark.range(0, 12000).select(
+      when($"id" % 4 < 3, lit(7L)).otherwise($"id" % 13).as("k"),
+      ($"id" * 3).as("v")).createOrReplaceTempView("graft_saltcat_src")
+    spark.sql(s"INSERT INTO $cat.db.fact SELECT k, v FROM graft_saltcat_src")
+    spark.range(0, 13).select($"id".as("k"), ($"id" % 3).as("b"))
+      .createOrReplaceTempView("graft_saltcat_dim")
+    val prev = spark.experimental.extraOptimizations
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.experimental.extraOptimizations = prev :+ SaltJoinRule(spark)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.sql(s"SELECT b, count(*) AS n, sum(v) AS s " +
+        s"FROM $cat.db.fact JOIN graft_saltcat_dim USING (k) GROUP BY b")
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_salt_f"),
+        "the rule must serve SQL users through the catalog table path")
+      assert(q.count() === 3)
+      // row multiplicity is exact through the SQL face too
+      assert(spark.sql(s"SELECT * FROM $cat.db.fact " +
+        "JOIN graft_saltcat_dim USING (k)").count() === 12000)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+  }
+
   test("embedding near-dup candidates come only from shared LSH buckets") {
     val emb = Seq(
       (1L, Seq(1f, 1f, 1f, 1f), 0), (2L, Seq(0.9f, 0.9f, 0.9f, 0.9f), 0),
