@@ -214,7 +214,7 @@ object SaltBench {
       // the hot key UNMATCHED (dimMiss drops it — the null-extended
       // straggler still sort-merges the hot partition, so salting
       // should pay there too)
-      val dimHalf = dim.filter(col("k") < 50 || col("k") === 7).localCheckpoint()
+      val dimHalf = dim.filter(col("k") < 50).localCheckpoint() // keeps hot k=7
       val dimMiss = dim.filter(col("k") =!= 7).localCheckpoint()
       def aggL(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(coalesce(col("grp"), lit("null")).as("g"))

@@ -89,7 +89,6 @@ object GraftProcedures {
       throw new IllegalArgumentException(s"no graft-segment table at $dir"))
   }
 
-  /** Resolve `db.t` under the warehouse, or pass an absolute path. */
   /** The comma-list argument convention shared by zorder / quantiles /
     * salts (and by histFor itself): comma is RESERVED as the list
     * separator, so a literal column name containing a comma is not
@@ -102,6 +101,7 @@ object GraftProcedures {
   private def csvArg(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Resolve `db.t` under the warehouse, or pass an absolute path. */
   private def tableDir(warehouse: String, arg: String): String =
     if (arg.startsWith("/") || arg.contains("://")) arg
     else s"$warehouse/${arg.split('.').mkString("/")}"

@@ -114,6 +114,11 @@ def load_round(bench_path, corr_path):
     scale = {"cs": 100.0, "ds": 10.0, "s": 1.0}[doc["t_unit"]]
     times = {name: (t / scale if t >= 0 else -1.0)
              for name, t in zip(names, doc["t"])}
+    # an errored query rides as t=-1 but its REAL elapsed (errt pairs,
+    # r18) is excluded from the headline total — decode it once, both
+    # for probe-offset reconstruction and for the wall-conserving total
+    et = doc.get("errt", [])
+    errw = {et[i]: et[i + 1] / scale for i in range(0, len(et) - 1, 2)}
     # probes: r17- carried [offset, calib_sec] pairs; r18+ carries the
     # positional `cpu` cs-int series — reconstruct offsets as the
     # cumsum of decoded times at the ProbeEvery=50 boundaries (hygiene
@@ -123,11 +128,9 @@ def load_round(bench_path, corr_path):
     probes = doc.get("probes", [])
     post_from = len(probes)
     if not probes and "cpu" in doc:
-        # an errored query rides as t=-1 but its REAL elapsed (errt
-        # pairs, r18) must still count in the cumsum, or every later
-        # offset reconstructs early by the seconds the failure took
-        et = doc.get("errt", [])
-        errw = {et[i]: et[i + 1] / scale for i in range(0, len(et) - 1, 2)}
+        # errored elapsed must still count in the cumsum, or every
+        # later offset reconstructs early by the seconds the failure
+        # took
         tsec = [(v / scale) if v >= 0 else errw.get(i, 0.0)
                 for i, v in enumerate(doc["t"])]
         n = doc["n"]
@@ -159,7 +162,7 @@ def load_round(bench_path, corr_path):
         if isinstance(doc.get("errors"), dict) else {}
     return dict(times=times, total=doc["value"], n=doc["n"],
                 probes=probes, post_from=post_from, calib=calib,
-                repeats=repeats,
+                repeats=repeats, err_sec=sum(errw.values()),
                 spk=[v / 100.0 for v in doc.get("spk", [])],
                 errors=errors, res=1.0 / scale)
 
@@ -172,10 +175,14 @@ def _wall_total(r):
     """The wall-conserving total: headline total plus the out-of-window
     seconds the warming/repeat passes moved out of it (r17 moved ~42 s
     of builds out of `total`; comparing raw totals across that change
-    silently mis-states — r17 verdict item 3)."""
+    silently mis-states — r17 verdict item 3), plus any errored
+    queries' real elapsed (errt, r18): the headline total filters
+    t<0, so without the add-back an errored round's wall reads low
+    by exactly the seconds the failures consumed."""
     extra = sum(v for k, v in r["calib"].items()
                 if k in ("ann_build_sec", "fixtures_build_sec",
                          "repeats_sec") and v > 0)
+    extra += r.get("err_sec", 0.0)
     try:
         return float(r["total"]) + extra
     except (TypeError, ValueError):

@@ -112,6 +112,14 @@ def main():
     check("r18-err: errt conserved in offset reconstruction",
           abs(r["probes"][1][0] - (49 * 0.5 + 90.0)) < 1e-9,
           f"got {r['probes'][1][0]}")
+    # the headline total filters t<0, so the wall-conserving total
+    # must add the errored elapsed back (plus builds+repeats) — else
+    # an errored round's cross-round wall comparison reads low by
+    # exactly the seconds the failure consumed
+    check("r18-err: wall-conserving total adds errored elapsed back",
+          abs(decode_bench._wall_total(r) -
+              (float(r["total"]) + 10.0 + 25.0 + 4.0 + 90.0)) < 1e-6,
+          f"got {decode_bench._wall_total(r)}")
 
     # --- committed legacy artifacts must keep decoding; their ABSENCE
     # is itself a failure (a vacuous pass here is exactly the format
