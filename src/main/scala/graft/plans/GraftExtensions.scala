@@ -20,9 +20,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule { session =>
+      // tolerant parse (the SaltJoinRule kill-switch doctrine): a
+      // malformed or non-positive width degrades to the default
+      // instead of throwing inside the optimizer build, which would
+      // fail every query in the session
       BinnedRangeJoinRule(
         session.conf.getOption(GraftExtensions.BinWidthKey)
-          .map(_.toLong).getOrElse(3600L * 1000 * 1000))
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+          .filter(_ > 0)
+          .getOrElse(3600L * 1000 * 1000))
     }
     // the edit-distance theta-join rewrite needs no tuning knob: the
     // threshold k is read from the query's own literal

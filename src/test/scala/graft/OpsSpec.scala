@@ -938,6 +938,15 @@ class OpsSpec extends SparkSpec {
         case graft.plans.BinnedRangeJoinRule(w) => w
       } === Seq(12345L))
       assert(rules.exists(_.isInstanceOf[graft.plans.FuzzyJoinRule]))
+      // a malformed or non-positive width must degrade to the default
+      // (1 h in micros), never throw inside the optimizer build — the
+      // kill-switch doctrine: a bad conf value may not fail planning
+      for (bad <- Seq("1h", "", "-5", "0")) {
+        spark.conf.set(graft.plans.GraftExtensions.BinWidthKey, bad)
+        assert(ExtensionsBridge.optimizerRules(ext, spark).collect {
+          case graft.plans.BinnedRangeJoinRule(w) => w
+        } === Seq(3600L * 1000 * 1000), s"binWidth='$bad'")
+      }
     } finally prev match {
       case Some(v) => spark.conf.set(graft.plans.GraftExtensions.BinWidthKey, v)
       case None => spark.conf.unset(graft.plans.GraftExtensions.BinWidthKey)
