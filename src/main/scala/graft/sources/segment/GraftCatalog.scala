@@ -187,7 +187,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         // the zone-map-decidable complement of bucket(...) hash layout
         Option(properties.get("clusterBy")).map { cs =>
           val cols = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          val n = Option(properties.get("numPartitions")).map(_.toInt).getOrElse(8)
+          // validated HERE like every sibling property (the quantiles
+          // doctrine: reject the REQUEST) — a persisted non-positive
+          // count would otherwise surface only at the first INSERT's
+          // repartition, far from the CREATE that caused it
+          val n = Option(properties.get("numPartitions")).map { v =>
+            require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
+              s"numPartitions must be a positive integer, got '$v'")
+            v.toInt
+          }.getOrElse(8)
           BucketSpec(cols, n, "range")
         }
       case Seq(t) =>

@@ -312,4 +312,24 @@ class GraftCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("numPartitions is validated at CREATE, not at the first INSERT") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    // a persisted bad count would otherwise fail far from its cause,
+    // inside the first INSERT's repartition — reject the REQUEST,
+    // with the same clear-message contract as the sibling properties
+    for (bad <- Seq("eight", "0", "-4")) {
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("CREATE TABLE graft.db.np_bad (k BIGINT, v BIGINT) " +
+          s"TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='$bad')")
+      }
+      assert(e.getMessage.contains("numPartitions"), s"got: ${e.getMessage}")
+    }
+    spark.sql("CREATE TABLE graft.db.np_ok (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'numPartitions'='3')")
+    spark.sql("INSERT INTO graft.db.np_ok SELECT id, id * 2 FROM range(0, 30)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.np_ok")
+      .collect().head.getLong(0) === 30L)
+  }
 }
