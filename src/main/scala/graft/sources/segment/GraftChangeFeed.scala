@@ -217,9 +217,11 @@ class GraftChangeFeedTable(root: String, tableSchema: StructType)
         // (epoch millis, inclusive — bound against the same monotonized
         // commit stamps as TIMESTAMP AS OF); exclusive
         private def startFrom(): Option[Long] = {
-          val sv = Option(options.get("startingVersion")).map(_.toLong - 1)
+          val sv = Option(options.get("startingVersion"))
+            .map(SegmentOpts.long("startingVersion", _) - 1)
           val st = Option(options.get("startingTimestamp"))
-            .map(t => SegmentLog.versionStartAtTimestamp(fs, root, t.toLong))
+            .map(t => SegmentLog.versionStartAtTimestamp(fs, root,
+              SegmentOpts.long("startingTimestamp", t)))
           require(sv.isEmpty || st.isEmpty,
             "startingVersion and startingTimestamp are exclusive")
           sv.orElse(st)
@@ -232,7 +234,8 @@ class GraftChangeFeedTable(root: String, tableSchema: StructType)
             throw new IllegalArgumentException(
               "batch change-feed reads need startingVersion or startingTimestamp " +
                 "(streaming defaults to 'now')"))
-          val to = Option(options.get("endingVersion")).map(_.toLong).getOrElse(cur.version)
+          val to = Option(options.get("endingVersion"))
+            .map(SegmentOpts.long("endingVersion", _)).getOrElse(cur.version)
           GraftChangeFeed.changedSegments(fs, root, cur, math.max(from, -1L), to)
             .map(GraftChangeFeed.toPartition(root, tableSchema)).toArray
         }
@@ -244,9 +247,10 @@ class GraftChangeFeedTable(root: String, tableSchema: StructType)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangeFeedStream(root, tableSchema, conf,
             startFrom().map(_ + 1),
-            Option(options.get("maxVersionsPerTrigger")).map(_.toInt).map { n =>
-              require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"); n
-            })
+            Option(options.get("maxVersionsPerTrigger"))
+              .map(SegmentOpts.int("maxVersionsPerTrigger", _)).map { n =>
+                require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"); n
+              })
       }
     }
 }

@@ -89,7 +89,7 @@ class GraftSegmentSource extends TableProvider with DataSourceRegister {
       .getOrElse(throw new IllegalArgumentException(
         s"no graft-segment table at $dir (no ${SegmentLog.LogDir}/ manifest)"))
       .schema
-    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+    if (Option(options.get("readChangeFeed")).exists(SegmentOpts.bool("readChangeFeed", _)))
       GraftChangeFeed.feedSchema(table)
     else table
   }
@@ -98,7 +98,7 @@ class GraftSegmentSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val dir = root(opts)
-    if (Option(opts.get("readChangeFeed")).exists(_.toBoolean)) {
+    if (Option(opts.get("readChangeFeed")).exists(SegmentOpts.bool("readChangeFeed", _))) {
       // the CDF face: same table, rows + (_change_type, _commit_version)
       val conf = SparkSession.active.sessionState.newHadoopConf()
       val m = SegmentLog.read(SegmentLog.fs(dir, conf), dir).getOrElse(
@@ -416,7 +416,8 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
         throw new IllegalArgumentException("versionAsOf and timestampAsOf are exclusive")
       case (v, None) => v
       case (None, Some(t)) =>
-        Some(SegmentLog.versionAtTimestamp(fs, root, t.toLong).toString)
+        Some(SegmentLog.versionAtTimestamp(fs, root,
+          SegmentOpts.long("timestampAsOf", t)).toString)
     }
     // `sinceTimestamp` is the wall-clock face of sinceVersion: the
     // increment after the newest version committed at or before t —
@@ -428,7 +429,8 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
           "sinceVersion and sinceTimestamp are exclusive")
       case (v, None) => v
       case (None, Some(t)) =>
-        Some(SegmentLog.versionAtTimestamp(fs, root, t.toLong).toString)
+        Some(SegmentLog.versionAtTimestamp(fs, root,
+          SegmentOpts.long("sinceTimestamp", t)).toString)
     }
     (versionAsOf, sinceVersion) match {
       case (Some(_), Some(_)) =>
@@ -442,15 +444,17 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
         // since then up-cast (currentView keeps the version's own
         // stored-type registry authoritative)
         val cur = SegmentLog.read(fs, root)
-        val base = SegmentLog.readVersion(fs, root, v.toLong)
+        val base = SegmentLog.readVersion(fs, root,
+          SegmentOpts.long("versionAsOf", v))
         Some(SegmentLog.logicalView(
           SegmentLog.currentView(base, cur.getOrElse(base))))
       case (None, Some(v)) =>
-        val base = SegmentLog.readVersion(fs, root, v.toLong)
+        val vl = SegmentOpts.long("sinceVersion", v)
+        val base = SegmentLog.readVersion(fs, root, vl)
         val cur = SegmentLog.read(fs, root).getOrElse(base)
         // version-based, not id-based: two truncates can tie at one
         // watermark id when no ids were allocated between them
-        require(cur.truncateVersion <= v.toLong,
+        require(cur.truncateVersion <= vl,
           s"sinceVersion $v: history is not append-only past that version " +
             s"(a data-changing truncate committed at version " +
             s"${cur.truncateVersion}) — an increment cannot express deleted rows")
@@ -488,7 +492,7 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
   // residual exactly as before; without the option nothing changes.
   private var claimedExact: Array[Filter] = Array.empty
   private val exactOk: Boolean =
-    Option(options.get("exactFilters")).exists(_.toBoolean)
+    Option(options.get("exactFilters")).exists(SegmentOpts.bool("exactFilters", _))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept every filter for segment pruning; residual by default
@@ -693,7 +697,8 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
     case Some((schema, row)) => new GraftLocalAggScan(root, schema, row)
     case None =>
       new GraftScan(root, tableSchema, required, pushed, conf,
-        Option(options.get("maxSegmentsPerTrigger")).map(_.toInt).map { n =>
+        Option(options.get("maxSegmentsPerTrigger"))
+          .map(SegmentOpts.int("maxSegmentsPerTrigger", _)).map { n =>
           // 0 or negative would stall the stream silently (offsets
           // never advance) — refuse at build time
           require(n > 0, s"maxSegmentsPerTrigger must be positive, got $n"); n
@@ -705,17 +710,21 @@ class GraftScanBuilder(root: String, tableSchema: StructType, options: CaseInsen
           case other => throw new IllegalArgumentException(
             s"startingOffsets must be earliest|latest, got $other")
         },
-        skipChangeCommits = Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+        skipChangeCommits = Option(options.get("skipChangeCommits"))
+          .exists(SegmentOpts.bool("skipChangeCommits", _)),
         startTimestamp = {
-          val t = Option(options.get("startingTimestamp")).map(_.toLong)
+          val t = Option(options.get("startingTimestamp"))
+            .map(SegmentOpts.long("startingTimestamp", _))
           require(t.isEmpty || options.get("startingOffsets") == null,
             "startingOffsets and startingTimestamp are exclusive")
           t
         },
-        maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger")).map(_.toLong).map { n =>
+        maxRowsPerTrigger = Option(options.get("maxRowsPerTrigger"))
+          .map(SegmentOpts.long("maxRowsPerTrigger", _)).map { n =>
           require(n > 0, s"maxRowsPerTrigger must be positive, got $n"); n
         },
-        maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong).map { n =>
+        maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger"))
+          .map(SegmentOpts.long("maxBytesPerTrigger", _)).map { n =>
           require(n > 0, s"maxBytesPerTrigger must be positive, got $n"); n
         },
         claimedExact = claimedExact)
@@ -1912,10 +1921,11 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
     // INSERTs preserve it without the writer re-stating options
     val (clusterBy, clusterMode, numPartitions) = optCluster match {
       case Some(cols) => (cols, Option(opts.get("clusterMode")).getOrElse("range"),
-        Option(opts.get("numPartitions")).map(_.toInt))
+        Option(opts.get("numPartitions")).map(SegmentOpts.int("numPartitions", _)))
       case None => tableBucketing match {
         case Some(b) => (b.cols, b.mode, Some(b.n))
-        case None => (Nil, "range", Option(opts.get("numPartitions")).map(_.toInt))
+        case None => (Nil, "range",
+          Option(opts.get("numPartitions")).map(SegmentOpts.int("numPartitions", _)))
       }
     }
     clusterBy.foreach(c => require(info.schema().fieldNames.contains(c),
@@ -1925,7 +1935,7 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
     // REPLAYED batch commits as a no-op — exactly-once state updates
     // on top of plain DataFrame writes
     val txn = (Option(opts.get("txnAppId")), Option(opts.get("txnVersion"))) match {
-      case (Some(a), Some(v)) => Some((a, v.toLong))
+      case (Some(a), Some(v)) => Some((a, SegmentOpts.long("txnVersion", v)))
       case (None, None) => None
       case _ => throw new IllegalArgumentException(
         "txnAppId and txnVersion must be set together")
@@ -1939,12 +1949,13 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
     val compressOpt = Option(opts.get("compress"))
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
       clusterMode, numPartitions,
-      Option(opts.get("maxRowsPerSegment")).map(_.toLong),
+      Option(opts.get("maxRowsPerSegment")).map(SegmentOpts.long("maxRowsPerSegment", _)),
       info.queryId(),
-      maxBytesSeg = Option(opts.get("maxBytesPerSegment")).map(_.toLong).map { n =>
-        require(n > 0, s"maxBytesPerSegment must be positive, got $n"); n
-      },
-      Option(opts.get("mergeSchema")).exists(_.toBoolean),
+      maxBytesSeg = Option(opts.get("maxBytesPerSegment"))
+        .map(SegmentOpts.long("maxBytesPerSegment", _)).map { n =>
+          require(n > 0, s"maxBytesPerSegment must be positive, got $n"); n
+        },
+      Option(opts.get("mergeSchema")).exists(SegmentOpts.bool("mergeSchema", _)),
       txn,
       // dataChange=false (maintenance rewrites only): the commit's
       // segments carry rows already committed under earlier ids, so

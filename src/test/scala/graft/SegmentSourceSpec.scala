@@ -3879,4 +3879,34 @@ class SegmentSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"commit_ts must equal the manifest ts for v$v")
     }
   }
+
+  test("malformed numeric/boolean options are rejected naming the option") {
+    // the option surface parses through SegmentOpts so a malformed
+    // value names WHICH option was bad — a bare NumberFormatException
+    // ("For input string: ...") on a dozen-option surface is the kind
+    // of rejection that costs a round-trip through the stack trace
+    val dir = tmp("graft-seg-opts")
+    import spark.implicits._
+    (0L until 10L).toDF("id").write.format(Fmt).mode("append").save(dir)
+    def msgOf(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msgOf(spark.read.format(Fmt).option("versionAsOf", "v1")
+      .load(dir).collect()).contains("versionAsOf"))
+    assert(msgOf(spark.read.format(Fmt).option("sinceVersion", "x")
+      .load(dir).collect()).contains("sinceVersion"))
+    assert(msgOf(spark.read.format(Fmt).option("timestampAsOf", "yesterday")
+      .load(dir).collect()).contains("timestampAsOf"))
+    assert(msgOf(spark.read.format(Fmt).option("readChangeFeed", "yes")
+      .load(dir).collect()).contains("readChangeFeed"))
+    assert(msgOf((10L until 20L).toDF("id").write.format(Fmt)
+      .option("txnAppId", "a").option("txnVersion", "one")
+      .mode("append").save(dir)).contains("txnVersion"))
+    assert(msgOf((10L until 20L).toDF("id").write.format(Fmt)
+      .option("mergeSchema", "1").mode("append").save(dir))
+      .contains("mergeSchema"))
+    // the valid spellings still parse (and the writes above were
+    // correctly refused before committing anything)
+    assert(spark.read.format(Fmt).option("versionAsOf", "0")
+      .load(dir).count() === 10)
+  }
 }
