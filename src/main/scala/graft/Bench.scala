@@ -183,8 +183,13 @@ object Bench {
       .mkString("{", ",", "}")
     val rptFull = repeats.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // errored queries' REAL elapsed (value excludes them): the full-
+    // precision artifact must conserve the wall like the compact
+    // line's errt field, or the two artifacts of one run disagree
+    val errwFull = errWall.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"offsets":$offFull,"probes":$probesFull,"repeats":$rptFull,"errors":$errsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"offsets":$offFull,"probes":$probesFull,"repeats":$rptFull,"errors":$errsFull,"err_wall":$errwFull,"sf":"$sfDir"}"""
     val nameIdx = suite.map(_._1).zipWithIndex.toMap
     val json = renderCompact(results, probes.toSeq,
       Seq(calibSpark, calibSparkMid, calibSparkEnd),

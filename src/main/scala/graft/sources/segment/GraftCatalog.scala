@@ -192,9 +192,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
           // count would otherwise surface only at the first INSERT's
           // repartition, far from the CREATE that caused it
           val n = Option(properties.get("numPartitions")).map { v =>
-            require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
-              s"numPartitions must be a positive integer, got '$v'")
-            v.toInt
+            val p = SegmentOpts.int("numPartitions", v)
+            require(p > 0, s"numPartitions must be a positive integer, got '$v'")
+            p
           }.getOrElse(8)
           BucketSpec(cols, n, "range")
         }

@@ -1948,8 +1948,20 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       .map(SegmentHistogram.parseCols(_, Some(info.schema())))
     val compressOpt = Option(opts.get("compress"))
     new GraftWrite(root, info.schema(), truncateFirst, clusterBy,
-      clusterMode, numPartitions,
-      Option(opts.get("maxRowsPerSegment")).map(SegmentOpts.long("maxRowsPerSegment", _)),
+      clusterMode,
+      // positivity checked HERE like the catalog's TBLPROPERTIES face
+      // (same knob, same doctrine) — a non-positive required partition
+      // count reads as "unspecified" to Spark's write distribution, so
+      // without the check the option is silently dropped
+      numPartitions.map { n =>
+        require(n > 0, s"numPartitions must be positive, got $n"); n
+      },
+      Option(opts.get("maxRowsPerSegment"))
+        .map(SegmentOpts.long("maxRowsPerSegment", _)).map { n =>
+          // 0 would roll a new segment after every row — a one-row-
+          // per-file table layout produced far from the option
+          require(n > 0, s"maxRowsPerSegment must be positive, got $n"); n
+        },
       info.queryId(),
       maxBytesSeg = Option(opts.get("maxBytesPerSegment"))
         .map(SegmentOpts.long("maxBytesPerSegment", _)).map { n =>
@@ -1960,9 +1972,10 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo,
       // dataChange=false (maintenance rewrites only): the commit's
       // segments carry rows already committed under earlier ids, so
       // streams skip them — Delta's OPTIMIZE contract
-      dataChange = !Option(opts.get("dataChange")).exists(_.toBoolean == false),
+      dataChange = !Option(opts.get("dataChange"))
+        .exists(!SegmentOpts.bool("dataChange", _)),
       bloomFor = bloomFor,
-      bloomBits = Option(opts.get("bloomBits")).map(_.toInt),
+      bloomBits = Option(opts.get("bloomBits")).map(SegmentOpts.int("bloomBits", _)),
       ndvForOpt = ndvForOpt,
       histForOpt = histForOpt,
       // PARTIAL replace (incremental compaction): the commit swaps

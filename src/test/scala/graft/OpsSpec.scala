@@ -505,6 +505,10 @@ class OpsSpec extends SparkSpec {
     } finally {
       spark.experimental.extraOptimizations = prev
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      // drop the test-local catalog from the shared session — later
+      // tests must not inherit a live catalog over a temp warehouse
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
 

@@ -94,6 +94,7 @@ def load_round(bench_path, corr_path):
                "probes": doc.get("probes", []),
                "named_repeats": doc.get("repeats", {}),
                "errors": doc.get("errors", {}),
+               "err_wall": doc.get("err_wall", {}),
                "calib": {k: float(v) for k, v in doc.items()
                          if re.fullmatch(r"\w+_sec", k)}}
     calib = doc.get("calib") if isinstance(doc, dict) and doc.get("calib") \
@@ -104,6 +105,8 @@ def load_round(bench_path, corr_path):
                     probes=doc.get("probes", []), calib=calib,
                     repeats={k: float(v) for k, v in
                              doc.get("named_repeats", {}).items()},
+                    err_sec=sum(float(v) for v in
+                                doc.get("err_wall", {}).values()),
                     spk=[], errors=doc.get("errors", {}), res=0.001)
     with open(corr_path) as f:
         names = sorted(json.load(f).keys())

@@ -140,13 +140,19 @@ def main():
     fp = os.path.join(tmp, "full.json")
     json.dump({"metric": "total", "value": 12.5, "unit": "sec",
                "calib_cpu_sec": 0.5, "repeats_sec": 2.0,
-               "queries": {"a_q": 10.0, "b_q": 2.5},
+               "queries": {"a_q": 10.0, "b_q": 2.5, "c_q": -1},
                "offsets": {"a_q": 0.0, "b_q": 10.2},
                "probes": [[0.0, 0.5]], "repeats": {"a_q": 9.0},
-               "errors": {}, "sf": "/sf"}, open(fp, "w"))
+               "errors": {"c_q": "boom"}, "err_wall": {"c_q": 33.0},
+               "sf": "/sf"}, open(fp, "w"))
     r = decode_bench.load_round(fp, cp)
     check("full-precision: named map + repeats decode",
           r["times"]["a_q"] == 10.0 and r["repeats"]["a_q"] == 9.0)
+    # the full-precision artifact conserves errored wall like the
+    # compact line's errt — both artifacts of one run must agree
+    check("full-precision: err_wall reaches the wall-conserving total",
+          abs(decode_bench._wall_total(r) - (12.5 + 2.0 + 33.0)) < 1e-6,
+          f"got {decode_bench._wall_total(r)}")
 
     # --- show_vs repeat labels ---
     (bp, cp), names = r18_round(tmp)
