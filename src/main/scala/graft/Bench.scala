@@ -99,7 +99,11 @@ object Bench {
       val t0 = System.nanoTime()
       val err =
         try { registry(name)(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(sanitizeForJson(e.toString)) }
+        // NonFatal only: an OOM/VM error means every later timing would
+        // run in a poisoned JVM — a failed RUN reports more faithfully
+        // than a plausible-looking garbage artifact
+        catch { case scala.util.control.NonFatal(e) =>
+          Some(sanitizeForJson(e.toString)) }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query session hygiene: drop any cached RDDs/tables a query
       // left behind so back-to-back timings measure the query, not
@@ -167,8 +171,6 @@ object Bench {
     // end-of-suite as post-suite)
     probes += (((System.nanoTime() - suiteStart) / 1e9, calibrateCpu()))
     val repeatsSec = repeatSpent
-    def f3(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val calib = s""""calib_cpu_sec":${f3(calibCpu)},"calib_spark_sec":${f3(calibSpark)},"calib_spark_mid_sec":${f3(calibSparkMid)},"calib_spark_end_sec":${f3(calibSparkEnd)},"calib_cpu_end_sec":${f3(calibCpuEnd)},"ann_build_sec":${f3(annBuild)},"fixtures_build_sec":${f3(fixturesBuild)},"repeats_sec":${f3(repeatsSec)}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     // full-precision, full-surface JSON for the file artifact — named
@@ -189,7 +191,7 @@ object Bench {
     val errwFull = errWall.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"offsets":$offFull,"probes":$probesFull,"repeats":$rptFull,"errors":$errsFull,"err_wall":$errwFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qsFull,"offsets":$offFull,"probes":$probesFull,"repeats":$rptFull,"errors":$errsFull,"err_wall":$errwFull,"sf":"${sanitizeForJson(sfDir)}"}"""
     val nameIdx = suite.map(_._1).zipWithIndex.toMap
     val json = renderCompact(results, probes.toSeq,
       Seq(calibSpark, calibSparkMid, calibSparkEnd),
@@ -217,7 +219,7 @@ object Bench {
     // the front of the telemetry line, the round's headline number
     // exists on its own parseable line (r5 lost its total to exactly
     // this)
-    println(s"""{"metric":"total","value":${renderTotal(results)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},$calib,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${renderTotal(results)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},$calib,"sf":"${sanitizeForJson(sfDir)}"}""")
     println(json)
   }
 
@@ -272,11 +274,24 @@ object Bench {
     * artifact this code exists to protect. Strip rather than escape:
     * escapes cost budget bytes and the message is diagnostic prose. */
   private[graft] def sanitizeForJson(s: String): String =
-    s.map(c => if (c == '"' || c == '\\' || c.isControl) ' ' else c)
+    s.map(c =>
+      if (c == '"' || c == '\\' || c.isControl) ' '
+      // non-ASCII chars are 2-4 UTF-8 bytes but count 1 in the
+      // char-length budget the compact line enforces — map them out so
+      // sanitized content is exactly one byte per char and the budget
+      // measures what the capture window actually sees
+      else if (c > '\u007e') '?'
+      else c)
 
   private def renderTotal(results: Seq[(String, Double)]): String =
-    BigDecimal(results.map(_._2).filter(_ >= 0).sum)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    f3(results.map(_._2).filter(_ >= 0).sum)
+
+  /** ONE 3-decimal artifact rounding shared by every emitter
+    * (headline, full-precision file, compact tail) — a precision
+    * change must not be able to make the three artifacts of one run
+    * disagree in rounding. */
+  private[graft] def f3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
   /** The stdout telemetry line, guaranteed to fit the harness's
     * captured log tail. The capture window is a FIXED byte count from
@@ -332,9 +347,7 @@ object Bench {
       errors: Seq[(String, String)],
       sfDir: String,
       budget: Int = 1550): String = {
-    def fmt3(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = fmt3(results.map(_._2).filter(_ >= 0).sum)
+    val total = f3(results.map(_._2).filter(_ >= 0).sum)
     val errEntries = errors.take(3).map { case (k, v) =>
       s"\"" + k + "\":\"" + sanitizeForJson(v).take(60) + "\""
     }
@@ -364,7 +377,7 @@ object Bench {
         s""","errt":${errWall.map { case (i, v) => s"$i,${math.round(v * scale)}" }.mkString("[", ",", "]")}"""
       else ""
       s"""{"metric":"qtimes","value":$total,"unit":"sec","t_unit":"$unit","order":"name","n":${results.size},""" +
-        s""""t":$t$cal$rpt$ew,"errors":$errs,"sf":"$sfDir"}"""
+        s""""t":$t$cal$rpt$ew,"errors":$errs,"sf":"${sanitizeForJson(sfDir)}"}"""
     }
     // degrade RESOLUTION, then the instrument series, then the repeat
     // samples — never coverage: the final candidate is emitted even

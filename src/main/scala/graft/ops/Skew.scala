@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  // withColumn/drop/col resolve case-INsensitively under the default
+  // spark.sql.caseSensitive=false, so the reserved-name guards must
+  // compare the same way — a user column named __Salt would otherwise
+  // pass the guard and then be silently REPLACED by the generated salt
+  private def hasColIgnoreCase(df: DataFrame, name: String): Boolean =
+    df.columns.exists(_.equalsIgnoreCase(name))
+
   /** Equi-join `fact ⋈ dim` on `key`, salted `salts` ways. The salt is
     * derived by hashing the fact row's own key + partition-stable id —
     * uniform enough to split hot keys, and irrelevant to the result
@@ -63,8 +70,9 @@ object Skew {
       s"joinType '$joinType' is not fact-preserving-safe: only inner and " +
         "left(_outer) keep every preserved row on the salted side — for a " +
         "right join, flip the arguments and use 'left'")
-    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
-      "input already carries a __salt column — withColumn would silently replace it")
+    require(!hasColIgnoreCase(fact, "__salt") && !hasColIgnoreCase(dim, "__salt"),
+      "input already carries a __salt column (any case) — withColumn " +
+        "would silently replace it")
     val saltedFact = fact.withColumn(
       "__salt",
       pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
@@ -199,9 +207,10 @@ object Skew {
     // __salt column would be silently replaced and then aggregated as
     // the GENERATED salt; a key named like a partial would collide in
     // the stage-1 output
-    require(!df.columns.contains("__salt"),
-      "input already carries a __salt column — withColumn would silently replace it")
-    require(!key.startsWith("__p"),
+    require(!hasColIgnoreCase(df, "__salt"),
+      "input already carries a __salt column (any case) — withColumn " +
+        "would silently replace it")
+    require(!key.toLowerCase.startsWith("__p"),
       s"key '$key' collides with the generated partial-column namespace (__p*)")
     val supported = Set("sum", "count", "min", "max", "avg")
     aggs.foreach { case (fn, in, _) =>
@@ -258,7 +267,11 @@ object Skew {
           sum(col(s"__p${i}n"))).as(out)
       }
     }
-    stage1.groupBy(col(key)).agg(merges.head, merges.tail: _*)
+    // group stage 2 by the stage-1 OUTPUT attribute, not the caller's
+    // spelling: a nested key like payload.k surfaces from stage 1
+    // under its leaf name (exactly as plain groupBy would output it)
+    stage1.groupBy(stage1(stage1.columns.head))
+      .agg(merges.head, merges.tail: _*)
   }
 
   /** Exact `count(DISTINCT value)` per key under key skew: the salt is
@@ -273,12 +286,15 @@ object Skew {
   def saltedCountDistinct(df: DataFrame, key: String, valueCol: String,
       salts: Int, outName: String = "n_distinct"): DataFrame = {
     require(salts >= 1, s"salts must be at least 1, got $salts")
-    require(!df.columns.contains("__salt"),
-      "input already carries a __salt column — withColumn would silently replace it")
-    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+    require(!hasColIgnoreCase(df, "__salt"),
+      "input already carries a __salt column (any case) — withColumn " +
+        "would silently replace it")
+    require(!key.toLowerCase.startsWith("__p"),
+      s"key '$key' collides with the generated partial-column namespace (__p*)")
+    val stage1 = df.withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(count_distinct(col(valueCol)).as("__pd"))
-      .groupBy(col(key)).agg(sum(col("__pd")).as(outName))
+    stage1.groupBy(stage1(stage1.columns.head)).agg(sum(col("__pd")).as(outName))
   }
 
   /** [[saltsFromHistogram]] reading a graft-segment table's manifest

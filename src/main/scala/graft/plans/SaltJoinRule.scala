@@ -188,7 +188,7 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     * not describe the snapshot being scanned. */
   private def segmentTable(side: LogicalPlan,
       keys: Seq[AttributeReference]): Option[GraftSegmentTable] =
-    side.collectFirst {
+    descendToScan(side).collect {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSegmentTable] &&
             keys.forall(r.outputSet.contains) && !timeTraveled(r.options) =>
@@ -200,6 +200,25 @@ case class SaltJoinRule(session: SparkSession) extends Rule[LogicalPlan]
             keys.forall(r.outputSet.contains) && !timeTraveled(r.relation.options) =>
         r.relation.table.asInstanceOf[GraftSegmentTable]
     }.filter(_.pinned.isEmpty)
+
+  /** Walk from the join input toward the scan through ONLY the nodes
+    * under which the manifest statistic remains an upper bound on the
+    * join input's per-key mass: Project and Filter keep or shrink each
+    * key's row count (over-salting at worst — the composite-bound
+    * doctrine), while an Aggregate/Distinct/Window/Join/Generate in
+    * between changes multiplicity in ways the scan statistic no
+    * longer describes (e.g. post-aggregate every key appears ONCE —
+    * zero skew — yet the raw scan's hot-key mass would size a
+    * pointless ×salts dim replication). Anything unrecognized bails. */
+  @annotation.tailrec
+  private def descendToScan(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case f: Filter => descendToScan(f.child)
+    case pr: Project => descendToScan(pr.child)
+    case a: SubqueryAlias => descendToScan(a.child)
+    case r: DataSourceV2Relation => Some(r)
+    case r: DataSourceV2ScanRelation => Some(r)
+    case _ => None
+  }
 
   private def timeTraveled(
       o: org.apache.spark.sql.util.CaseInsensitiveStringMap): Boolean =

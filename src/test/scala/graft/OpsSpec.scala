@@ -330,6 +330,35 @@ class OpsSpec extends SparkSpec {
       Skew.saltedAgg(dbl, "k", 4, Seq(("avg", "x", "a"))))
     assert(Skew.saltedAgg(dbl, "k", 4, Seq(("min", "x", "m"))).columns
       .toSeq === Seq("k", "m"))
+    // reserved-name guards resolve case-INsensitively, like
+    // withColumn/drop do under the default caseSensitive=false — a
+    // __Salt column would otherwise pass the guard and be silently
+    // REPLACED by the generated salt (destroying the user's data)
+    val sneaky = df.withColumnRenamed("u", "__Salt")
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(sneaky, "k", 4, Seq(("sum", "v", "s"))))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(sneaky, df.select($"k").distinct(), "k", 4))
+    intercept[IllegalArgumentException](
+      Skew.saltedCountDistinct(sneaky, "k", "v", 4))
+    // ... and the partial-namespace guard covers saltedCountDistinct's
+    // __pd alias too (an ambiguous-reference error deep inside the op
+    // is not a rejection)
+    intercept[IllegalArgumentException](
+      Skew.saltedCountDistinct(df.select($"k".as("__pd"), $"u"), "__pd", "u", 4))
+    // a nested (dotted) key: stage 2 groups by the stage-1 OUTPUT
+    // attribute, so result AND column naming match plain
+    // groupBy("payload.kk")
+    val nested = df.select(struct($"k".as("kk")).as("payload"), $"v", $"u")
+    val plainN = nested.groupBy($"payload.kk").agg(sum($"v").as("s"))
+    val saltedN = Skew.saltedAgg(nested, "payload.kk", 8, Seq(("sum", "v", "s")))
+    assert(saltedN.columns.toSeq === plainN.columns.toSeq)
+    assert(saltedN.exceptAll(plainN).isEmpty && plainN.exceptAll(saltedN).isEmpty)
+    val plainND = nested.groupBy($"payload.kk")
+      .agg(count_distinct($"u").as("n_distinct"))
+    val saltedND = Skew.saltedCountDistinct(nested, "payload.kk", "u", 8)
+    assert(saltedND.exceptAll(plainND).isEmpty &&
+      plainND.exceptAll(saltedND).isEmpty)
   }
 
   test("bandingTradeoff: dup-free corpus counts zeros, duplicate truth rows don't inflate") {
@@ -444,6 +473,17 @@ class OpsSpec extends SparkSpec {
       // argument only covers the pure equi-join shape)
       assert(!fired(factT.join(dim,
         factT("k") === dim("k") && factT("v") > dim("b"))))
+      // a multiplicity-CHANGING node between scan and join must bail:
+      // post-aggregate every key appears exactly once — zero skew —
+      // so the raw scan's hot-key statistic no longer describes the
+      // join input and salting would replicate the dim for nothing.
+      // A FILTER in between only shrinks per-key mass (the statistic
+      // stays an upper bound — the composite-bound doctrine) and fires
+      assert(!fired(factT.groupBy($"k").agg(sum($"v").as("v2"))
+        .join(dim, Seq("k"))),
+        "an aggregate between scan and join must bail")
+      assert(fired(factT.filter($"v" >= 0).join(dim, Seq("k"))),
+        "a filter between scan and join preserves the upper bound")
       // kill switch — and its TOLERANT parse: a malformed value must
       // degrade to the default, never fail planning (r17 ADVICE)
       spark.conf.set(SaltJoinRule.EnabledKey, "false")
