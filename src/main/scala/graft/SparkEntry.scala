@@ -749,9 +749,12 @@ object SparkEntry {
       val queries = Seq(
         (0L, "hash join"), (1L, "window scan fast"), (2L, "customer order batch"),
         (3L, "vector merge slow"), (4L, "filter row")).toDF("q_id", "q_text")
+      // chunking materialized once: the ranker's tokenize pass and its
+      // corpus-count scalar otherwise each re-chunk the whole corpus
       val ch = TextOps.chunks(Tables.documents(s, d), 32, 24)
         .select((col("doc_id") * 1000000L + col("chunk_start")).as("doc_id"),
           col("chunk_text").as("text"))
+        .localCheckpoint(true)
       val hits = graft.ops.Bm25.topK(ch, queries, 10)
         .select(col("q_id"), expr("doc_id DIV 1000000").as("src_doc"),
           pmod(col("doc_id"), lit(1000000L)).as("chunk_start"), col("score"))

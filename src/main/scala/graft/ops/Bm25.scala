@@ -42,7 +42,14 @@ object Bm25 {
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    // term frequencies materialized ONCE (the jaccardPairs postings
+    // discipline): dl, avgdl, df and the scoring join all read these
+    // blocks — without the cut, the avgdl scalar, the postings
+    // restriction and the doc-length join each re-run
+    // tokenize+explode+aggregate over the corpus (for the chunk-level
+    // RAG caller that is re-chunking the corpus per consumer)
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // two O(1) corpus scalars (the embBits-style exception): the doc
     // count and average length parameterize every score
@@ -83,14 +90,22 @@ object Bm25 {
     * raw-vector rule): postings are integers keyed by term and doc id,
     * a fraction of corpus bytes. */
   def writeIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
     val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     tf.write.mode("overwrite").parquet(s"$dir/postings")
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // doc lengths and avgdl derive from the frames JUST WRITTEN — the
+    // values are bit-identical (exact integer sums either way) but the
+    // derivation reads columnar integers back instead of re-running
+    // tokenize+explode+aggregate over the corpus once per derived
+    // frame, which at 100 TB is the difference between an index build
+    // that scans text once and one that scans it three times
+    val dl = spark.read.parquet(s"$dir/postings")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     dl.write.mode("overwrite").parquet(s"$dir/doclens")
     val n = docs.count()
-    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
-    val spark = docs.sparkSession
+    val avgdl = spark.read.parquet(s"$dir/doclens")
+      .agg(avg(col("dl"))).head().getDouble(0)
     import spark.implicits._
     Seq((n, avgdl)).toDF("n", "avgdl")
       .write.mode("overwrite").parquet(s"$dir/meta")
