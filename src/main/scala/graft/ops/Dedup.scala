@@ -297,7 +297,12 @@ object Dedup {
     * vanishing fraction of the corpus. */
   def minhashVerifiedPairs(
       docs: DataFrame, topN: Int, bands: Int = 4, maxBucket: Int = 50): DataFrame = {
-    val sigs = minhashSignatures(docs, bands)
+    // signatures and shingle postings each materialized ONCE (the
+    // jaccardPairs discipline): sigs feed the cap aggregate and both
+    // sides of the bucket self-join, sh feeds the size aggregate and
+    // both sides of the verification join — without the cuts each
+    // consumer re-runs tokenize(+md5) over the corpus
+    val sigs = minhashSignatures(docs, bands).localCheckpoint(true)
     val ok = sigs.groupBy(col("band"), col("signature"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select(col("band"), col("signature"))
@@ -308,7 +313,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val sh = shingleSets(docs)
+    val sh = shingleSets(docs).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -342,7 +347,9 @@ object Dedup {
     // pass it in; standalone use derives it from the corpus
     val truthPairs = truth.getOrElse(prefixFilteredPairs(docs, t))
       .select(col("doc_a"), col("doc_b"))
-    val sigs = minhashSignatures(docs, bands)
+    // one signature pass shared by the cap aggregate and both
+    // self-join sides (the jaccardPairs discipline)
+    val sigs = minhashSignatures(docs, bands).localCheckpoint(true)
     val ok = sigs.groupBy(col("band"), col("signature"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select(col("band"), col("signature"))
@@ -533,7 +540,9 @@ object Dedup {
     // (NOT a window over the full signature list — the aggregate avoids
     // the bucket-wide sort and stays broadcast-able under AQE, the same
     // reasoning as jaccardPairs' DF cap)
-    val sigs = minhashSignatures(docs, bands)
+    // one signature pass shared by the hub aggregate and the edge
+    // join (the jaccardPairs discipline)
+    val sigs = minhashSignatures(docs, bands).localCheckpoint(true)
     val hubs = sigs.groupBy(col("band"), col("signature"))
       .agg(min(col("doc_id")).as("hub"))
     val edges = sigs.join(hubs, Seq("band", "signature"))
