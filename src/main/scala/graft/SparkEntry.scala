@@ -611,8 +611,12 @@ object SparkEntry {
     // star contraction; singleton records stay their own entity
     "rel_entity_resolution" -> ((s, d) => {
       val (dirty, clean) = fuzzyNameParts(s, d)
+      // materialized once: both fuzzy-join sides AND the final
+      // left-join re-derive this frame (3× the name-normalization
+      // scan without the cut)
       val records = clean.select((col("clean_key") * 2).as("rec_id"), col("cname").as("name"))
         .unionByName(dirty.select((col("dirty_key") * 2 + 1).as("rec_id"), col("dname").as("name")))
+        .localCheckpoint(true)
       val l = records.select(col("rec_id").as("lkey"), col("name").as("lname"))
       val r = records.select(col("rec_id").as("rkey"), col("name").as("rname"))
       val pairs = graft.ops.Fuzzy.fuzzyJoin(l, r, "lname", "rname", 1)

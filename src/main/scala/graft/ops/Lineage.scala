@@ -36,6 +36,18 @@ object Lineage {
   def cut(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
+  /** Cut lineage LAZILY: the caller's next FULL-FRAME action (a
+    * count()) materializes the blocks and truncates the plan in ONE
+    * job where [[cut]]-then-count pays two — per round, in a loop that
+    * is scheduler-bound rather than data-bound, that is the dominant
+    * fixed cost. Local-checkpoint only: a lazy RELIABLE checkpoint
+    * recomputes its whole lineage when writing the checkpoint files
+    * (the classic rdd.checkpoint() double-compute), so reliable cuts
+    * stay eager. The materializing action must cover every partition —
+    * a limit()/take() would checkpoint only the partitions it touched. */
+  def cutLazy(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) cut(df, reliable) else df.localCheckpoint(false)
+
   /** Free the blocks pinned by a previous [[cut]]. Local-checkpoint
     * blocks are unpersisted immediately (leaving them for driver GC
     * strands rounds × partitions blocks); reliable checkpoints live in
