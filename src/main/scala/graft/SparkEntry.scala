@@ -2572,7 +2572,11 @@ object SparkEntry {
             slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
       }.reduce(_ unionByName _)
       graft.ops.KCore.weightedCore(
-        graft.ops.KCore.knnSimEdges(emb.unionByName(copies), 5), 4.5)
+        // input materialized once like the bucketed twin: both sides
+        // of the n² similarity cross-join otherwise re-derive the
+        // union+synthetic-copies frame
+        graft.ops.KCore.knnSimEdges(
+          emb.unionByName(copies).localCheckpoint(true), 5), 4.5)
         .select(col("node").as("vec_id"), round(col("wd"), 4).as("core_weight"))
         .orderBy(col("vec_id"))
     }),

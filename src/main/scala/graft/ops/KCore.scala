@@ -101,7 +101,9 @@ object KCore {
         .groupBy(col("node"))
         .agg(sum(col("w")).cast("float").cast("double").as("wd"))
     Lineage.prepare(edges, checkpointDir)
-    var cur = Lineage.cut(edges.select(col("a"), col("b"), col("w")),
+    // lazy cuts: the count() that follows is the materializing action,
+    // one job per round instead of cut+count's two (see Lineage.cutLazy)
+    var cur = Lineage.cutLazy(edges.select(col("a"), col("b"), col("w")),
       checkpointDir.isDefined)
     var n = cur.count()
     var prev = -1L
@@ -112,7 +114,7 @@ object KCore {
       val nxt = cur
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-      val cut = Lineage.cut(nxt, checkpointDir.isDefined)
+      val cut = Lineage.cutLazy(nxt, checkpointDir.isDefined)
       n = cut.count()
       Lineage.free(cur)
       cur = cut
