@@ -80,11 +80,18 @@ object Ivf {
     * cross-engine reproducibility: a float has enough headroom over the
     * ~1-ulp double variance of aggregation order. */
   def index(corpus: DataFrame, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    // per-iteration lineage cuts (the MLlib-kmeans caching discipline):
+    // the lazy chain otherwise re-runs every earlier Lloyd step — and
+    // re-scans the corpus — once per downstream consumer of the
+    // (assigned, centroids) pair, and once more per iteration inside
+    // the chain itself (measured: emb_ivf_topk read the corpus 6x,
+    // emb_ivfpq_topk 24x through the PQ composition). Values are
+    // identical — the cut freezes the same deterministic evaluation
     var centroids = seedCentroids(corpus, k)
-    var assigned = assign(corpus, centroids)
+    var assigned = assign(corpus, centroids).localCheckpoint(true)
     for (_ <- 1 until math.max(1, iters)) {
       centroids = updateCentroids(assigned)
-      assigned = assign(corpus, centroids)
+      assigned = assign(corpus, centroids).localCheckpoint(true)
     }
     (assigned, centroids)
   }

@@ -84,12 +84,16 @@ object Pq {
     * the Ivf schedule) and encode the corpus. Returns (codes, codebooks):
     * codes = (vec_id, m, code), the complete per-vector search state. */
   def encode(corpus: DataFrame, nSub: Int, dsub: Int, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
-    val subs = subVectors(corpus, nSub, dsub)
+    // sub-vector explosion materialized once and per-iteration cuts —
+    // the Ivf.index Lloyd discipline: every seed/assign step and every
+    // downstream consumer of (codes, books) otherwise re-explodes and
+    // re-scans the corpus
+    val subs = subVectors(corpus, nSub, dsub).localCheckpoint(true)
     var books = seedCodebooks(subs, k)
-    var assigned = assignCodes(subs, books)
+    var assigned = assignCodes(subs, books).localCheckpoint(true)
     for (_ <- 1 until math.max(1, iters)) {
       books = updateCodebooks(assigned)
-      assigned = assignCodes(subs, books)
+      assigned = assignCodes(subs, books).localCheckpoint(true)
     }
     (assigned.select(col("vec_id"), col("m"), col("code")), books)
   }
