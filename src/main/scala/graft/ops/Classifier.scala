@@ -68,7 +68,9 @@ object Classifier {
     require(iters >= 1, "need at least one iteration")
     val raw = features(docs)
     Lineage.prepare(raw, checkpointDir)
-    val f = Lineage.cut(raw, checkpointDir.isDefined)
+    // lazy cut: the count() is the materializing action (one job, see
+    // Lineage.cutLazy); the 20 gradient jobs then read the blocks
+    val f = Lineage.cutLazy(raw, checkpointDir.isDefined)
     val n = f.count().toDouble
     val xs = Array("x0", "x1", "x2", "x3")
     var w = Array.fill(Dim)(0.0)
