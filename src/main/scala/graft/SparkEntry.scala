@@ -2383,8 +2383,10 @@ object SparkEntry {
     // 1/4 of the vector bytes per candidate
     "emb_ivfsq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val (idxRaw, centsRaw) = graft.ops.Ivf.index(emb, k = 8, iters = 2)
-      val (idx, cents) = (idxRaw.localCheckpoint(true), centsRaw.localCheckpoint(true))
+      // the trainer's returns are already materialized and cut
+      // (Ivf.index's contract) — re-checkpointing them here would copy
+      // the blocks and pay an extra job per frame
+      val (idx, cents) = graft.ops.Ivf.index(emb, k = 8, iters = 2)
       val st = graft.ops.Sq.stats(emb).localCheckpoint(true)
       val codes = graft.ops.Sq.encode(emb, st).localCheckpoint(true)
       val cands = graft.ops.Ivf.route(cents, embQueries(s, d), nprobe = 2)
@@ -2642,18 +2644,17 @@ object SparkEntry {
     // the composed IVF-PQ index: IVF routes each query to nprobe=2
     // centroid buckets, PQ's ADC scores ONLY those candidates through
     // their codes — scan fraction nprobe/k, M lookups per candidate.
-    // The four index frames are MATERIALIZED before querying (eager
-    // localCheckpoint): in production an ANN index is built once and
-    // stored, never re-trained per query — without this each DataFrame
-    // reference re-executes the whole Lloyd chain (measured 11.9 s vs
-    // ~4 s at sf0.1; same design rule as the dedup-components cache)
+    // The four index frames come back MATERIALIZED from the trainers
+    // (Ivf.index/Pq.encode contract: returns are lineage-cut): in
+    // production an ANN index is built once and stored, never
+    // re-trained per query — without the cuts each DataFrame reference
+    // re-executes the whole Lloyd chain (measured 11.9 s vs ~4 s at
+    // sf0.1; same design rule as the dedup-components cache)
     "emb_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dsub = emb.select(size(col("embedding"))).head().getInt(0) / 4
-      val (idxRaw, centsRaw) = graft.ops.Ivf.index(emb, k = 8, iters = 2)
-      val (codesRaw, booksRaw) = graft.ops.Pq.encode(emb, 4, dsub, 8)
-      val (idx, cents) = (idxRaw.localCheckpoint(true), centsRaw.localCheckpoint(true))
-      val (codes, books) = (codesRaw.localCheckpoint(true), booksRaw.localCheckpoint(true))
+      val (idx, cents) = graft.ops.Ivf.index(emb, k = 8, iters = 2)
+      val (codes, books) = graft.ops.Pq.encode(emb, 4, dsub, 8)
       val cands = graft.ops.Ivf.route(cents, embQueries(s, d), nprobe = 2)
         .join(idx, Seq("centroid_id"))
         .filter(col("vec_id") =!= col("q_id"))

@@ -79,19 +79,29 @@ object Ivf {
     * (updateCentroids casts the per-dim mean to float), which also pins
     * cross-engine reproducibility: a float has enough headroom over the
     * ~1-ulp double variance of aggregation order. */
-  def index(corpus: DataFrame, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+  def index(corpus: DataFrame, k: Int, iters: Int = 2,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     // per-iteration lineage cuts (the MLlib-kmeans caching discipline):
     // the lazy chain otherwise re-runs every earlier Lloyd step — and
     // re-scans the corpus — once per downstream consumer of the
     // (assigned, centroids) pair, and once more per iteration inside
     // the chain itself (measured: emb_ivf_topk read the corpus 6x,
     // emb_ivfpq_topk 24x through the PQ composition). Values are
-    // identical — the cut freezes the same deterministic evaluation
-    var centroids = seedCentroids(corpus, k)
-    var assigned = assign(corpus, centroids).localCheckpoint(true)
+    // identical — the cut freezes the same deterministic evaluation.
+    // Contract: BOTH returned frames are already cut (callers must not
+    // re-checkpoint). The k-row centroid frame is cut each round so the
+    // superseded corpus-sized assignment has no lazy referents and is
+    // freed immediately (the Lineage.free discipline); `checkpointDir`
+    // upgrades every cut to the executor-loss-safe reliable form
+    Lineage.prepare(corpus, checkpointDir)
+    val reliable = checkpointDir.isDefined
+    var centroids = Lineage.cut(seedCentroids(corpus, k), reliable)
+    var assigned = Lineage.cut(assign(corpus, centroids), reliable)
     for (_ <- 1 until math.max(1, iters)) {
-      centroids = updateCentroids(assigned)
-      assigned = assign(corpus, centroids).localCheckpoint(true)
+      centroids = Lineage.cut(updateCentroids(assigned), reliable)
+      val prev = assigned
+      assigned = Lineage.cut(assign(corpus, centroids), reliable)
+      Lineage.free(prev)
     }
     (assigned, centroids)
   }
@@ -201,13 +211,13 @@ object Ivf {
       k: Int,
       iters: Int = 2,
       checkpointDir: Option[String] = None): DataFrame = {
-    // materialize the assignments once: the pair join reads them as BOTH
-    // sides, and without the checkpoint each side re-runs the whole
-    // Lloyd chain (broadcast joins don't produce a reusable exchange);
-    // checkpointDir upgrades this and the CC loop to reliable
-    // checkpoints (executor-loss-safe on a real cluster — see Lineage)
-    Lineage.prepare(corpus, checkpointDir)
-    val assigned = Lineage.cut(index(corpus, k, iters)._1, checkpointDir.isDefined)
+    // the trainer's returned assignment is already materialized and
+    // lineage-cut ([[index]]'s contract) — the pair join reads it as
+    // BOTH sides off the same frozen blocks, no re-cut; checkpointDir
+    // threads through so the Lloyd cuts and the CC loop all upgrade to
+    // reliable checkpoints (executor-loss-safe on a real cluster — see
+    // Lineage)
+    val assigned = index(corpus, k, iters, checkpointDir)._1
     val a = assigned.select(col("centroid_id"), col("vec_id").as("src"), col("embedding").as("ea"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("dst"), col("embedding").as("eb"))
     val edges = a.join(b, Seq("centroid_id"))

@@ -53,7 +53,9 @@ object KCore {
     * corpora small enough to pay n². */
   def knnSimEdgesBucketed(corpus: DataFrame, k: Int,
       kClusters: Int, iters: Int = 2): DataFrame = {
-    val assigned = Ivf.index(corpus, kClusters, iters)._1.localCheckpoint(true)
+    // Ivf.index's returns are already lineage-cut (its contract) — no
+    // re-checkpoint here, which would materialize a second block copy
+    val assigned = Ivf.index(corpus, kClusters, iters)._1
     val cand = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"))
     val queries = assigned.select(col("centroid_id"),
       col("vec_id").as("q_id"), col("embedding").as("q_emb"))

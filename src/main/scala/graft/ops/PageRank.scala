@@ -232,12 +232,11 @@ object PageRank {
     * k-bounded partial aggregate. */
   def knnEdgesBucketed(corpus: DataFrame, k: Int, nc: Int,
       iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    // freeze the TRAINED centroids (nc rows — an eager checkpoint of
-    // almost nothing) and derive the assignment once from the frozen
-    // frame: consuming Ivf.index's two returns separately would
-    // re-evaluate the whole Lloyd chain per consumer, which at nc ∝ √N
-    // is the build's dominant term re-run for free
-    val centroids = graft.ops.Ivf.index(corpus, nc, iters)._2.localCheckpoint(true)
+    // the TRAINED centroids come back already lineage-cut (Ivf.index's
+    // contract — nc frozen rows); derive the assignment once from the
+    // frozen frame: re-deriving through the lazy Lloyd chain per
+    // consumer would re-run the build's dominant term for free
+    val centroids = graft.ops.Ivf.index(corpus, nc, iters)._2
     val assigned = graft.ops.Ivf.assign(corpus, centroids)
     val probes = graft.ops.Ivf.route(centroids,
       corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), nprobe)

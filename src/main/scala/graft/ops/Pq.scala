@@ -83,17 +83,23 @@ object Pq {
   /** Train codebooks (seed-assign + (iters-1) × update-assign, exactly
     * the Ivf schedule) and encode the corpus. Returns (codes, codebooks):
     * codes = (vec_id, m, code), the complete per-vector search state. */
-  def encode(corpus: DataFrame, nSub: Int, dsub: Int, k: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+  def encode(corpus: DataFrame, nSub: Int, dsub: Int, k: Int, iters: Int = 2,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     // sub-vector explosion materialized once and per-iteration cuts —
-    // the Ivf.index Lloyd discipline: every seed/assign step and every
-    // downstream consumer of (codes, books) otherwise re-explodes and
-    // re-scans the corpus
-    val subs = subVectors(corpus, nSub, dsub).localCheckpoint(true)
-    var books = seedCodebooks(subs, k)
-    var assigned = assignCodes(subs, books).localCheckpoint(true)
+    // the Ivf.index Lloyd discipline (see its scaladoc): both returned
+    // frames are already cut, the tiny codebook frame is cut per round
+    // so the superseded assignment frame is freeable, and checkpointDir
+    // upgrades every cut to the reliable form
+    Lineage.prepare(corpus, checkpointDir)
+    val reliable = checkpointDir.isDefined
+    val subs = Lineage.cut(subVectors(corpus, nSub, dsub), reliable)
+    var books = Lineage.cut(seedCodebooks(subs, k), reliable)
+    var assigned = Lineage.cut(assignCodes(subs, books), reliable)
     for (_ <- 1 until math.max(1, iters)) {
-      books = updateCodebooks(assigned)
-      assigned = assignCodes(subs, books).localCheckpoint(true)
+      books = Lineage.cut(updateCodebooks(assigned), reliable)
+      val prev = assigned
+      assigned = Lineage.cut(assignCodes(subs, books), reliable)
+      Lineage.free(prev)
     }
     (assigned.select(col("vec_id"), col("m"), col("code")), books)
   }
